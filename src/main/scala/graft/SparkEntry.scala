@@ -1,13 +1,49 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
+  *
+  * Every implemented operator has a `queries` entry; SQL-expressible ones
+  * also have an `oracleSql` entry the driver checks against DuckDB on the
+  * same parquet tables. Column names match between the two by construction
+  * (SURVEY §4 determinism rules).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q04(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_groupby"     -> (Relational.q01 _),
+    "q02_filter_daterange" -> (Relational.q02 _),
+    "q03_json_extract"    -> (Relational.q03 _),
+    "q04_join_dims"       -> (Relational.q04 _),
+    "q05_type_infer"      -> (Relational.q05 _),
+    "q06_pivot_per_type"  -> (Relational.q06 _),
+    "q07_window_running"  -> (Relational.q07 _),
+    "q08_topk_per_group"  -> (Relational.q08 _),
+    "q09_anti_semi_join"  -> (Relational.q09 _),
+    "q10_sessionize"      -> (Relational.q10 _),
+    "q11_time_bucket_agg" -> (Relational.q11 _),
+    "q12_multi_join_fact" -> (Relational.q12 _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_groupby"     -> Relational.q01Sql,
+    "q02_filter_daterange" -> Relational.q02Sql,
+    "q03_json_extract"    -> Relational.q03Sql,
+    "q04_join_dims"       -> Relational.q04Sql,
+    "q05_type_infer"      -> Relational.q05Sql,
+    "q06_pivot_per_type"  -> Relational.q06Sql,
+    "q07_window_running"  -> Relational.q07Sql,
+    "q08_topk_per_group"  -> Relational.q08Sql,
+    "q09_anti_semi_join"  -> Relational.q09Sql,
+    "q10_sessionize"      -> Relational.q10Sql,
+    "q11_time_bucket_agg" -> Relational.q11Sql,
+    "q12_multi_join_fact" -> Relational.q12Sql
+  )
 }

@@ -1,0 +1,57 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver-generated testdata star schema.
+  *
+  * Scans stay declarative (`spark.read.parquet`) so Catalyst pushes filters
+  * and prunes columns at the source — at 100 TB the scan is the dominant
+  * cost and pushdown/pruning is what keeps it bounded.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default. Read nanos as long and rebuild the column as a µs timestamp
+    * with exact integer arithmetic (`DIV 1000` floors, which is exactly what
+    * DuckDB's ns→µs truncation does — keeps the oracle bit-identical).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.LongType
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
+
+/** Test/session helper. Bench and Verify own their sessions (driver
+  * contract); this one is for ScalaTest specs.
+  */
+object GraftSession {
+  def local(cores: Int = 4): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

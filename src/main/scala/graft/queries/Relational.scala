@@ -1,0 +1,320 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.InferType
+
+/** §2.B relational query surface.
+  *
+  * Each query mirrors a capability of the reference
+  * (jshrake/healthkit-to-sqlite README example queries + the ETL semantics of
+  * `src/core.rs`), expressed over the driver's TPC-H-ish testdata so the
+  * DuckDB oracle can check it.
+  *
+  * Determinism rules (SURVEY §4): money/quantity sums accumulate in DECIMAL
+  * and cast to DOUBLE at the end; timestamps are returned as formatted
+  * strings or epoch-micro bigints; ratios are a single double division of
+  * exact values; every computed column is aliased identically here and in
+  * the oracle SQL.
+  */
+object Relational {
+
+  /** Exact 2-dp accumulation: cast to decimal, sum, emit double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  // --- B1: groupBy + aggregate (README "total workout duration" analog) ----
+  def q01(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(
+          col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+        ).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- B2: date-range + category filter (README December-2022 query) -------
+  def q02(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .events(spark, dir)
+      .filter(
+        col("ts") >= lit("2024-01-10 00:00:00") &&
+          col("ts") < lit("2024-01-20 00:00:00") &&
+          col("event_type").isin("click", "purchase", "view")
+      )
+      .groupBy(col("event_type"))
+      .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val q02Sql: String =
+    """SELECT event_type,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      | COUNT(*) AS n_events
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      | AND event_type IN ('click','purchase','view')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- B3: JSON extraction (README json_extract on workoutStatistics) ------
+  def q03(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")
+      )
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+      .orderBy(col("event_type"))
+  }
+
+  // Oracle uses regexp extraction — same result without relying on the
+  // DuckDB json extension being loadable.
+  val q03Sql: String =
+    """SELECT event_type,
+      | CAST(SUM(CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      | COUNT(CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS BIGINT)) AS n_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- B4: broadcast dimension join ---------------------------------------
+  def q04(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q04Sql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_cust,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // --- B5: value-string type inference (core.rs:171-204) -------------------
+  def q05(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val strings = ev.select(
+      explode(
+        array(
+          col("value").cast("string"),
+          col("user_id").cast("string"),
+          date_format(col("ts"), "yyyy-MM-dd"),
+          col("event_type")
+        )
+      ).as("s")
+    )
+    strings
+      .groupBy(InferType.inferType(col("s")).as("ty"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("ty"))
+  }
+
+  val q05Sql: String = {
+    val kase = InferType.duckdbCase("s")
+    s"""SELECT $kase AS ty, COUNT(*) AS n FROM (
+       | SELECT CAST(value AS VARCHAR) AS s FROM events
+       | UNION ALL SELECT CAST(user_id AS VARCHAR) FROM events
+       | UNION ALL SELECT strftime(ts, '%Y-%m-%d') FROM events
+       | UNION ALL SELECT event_type FROM events
+       |) GROUP BY 1 ORDER BY ty""".stripMargin
+  }
+
+  // --- B6: per-type pivot (Record-type → table fan-out, core.rs:311) -------
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  def q06(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .count()
+    EventTypes
+      .foldLeft(pivoted) { (df, t) =>
+        df.withColumn(s"n_$t", coalesce(col(t), lit(0L))).drop(t)
+      }
+      .orderBy(col("user_id"))
+  }
+
+  val q06Sql: String = {
+    val conds = EventTypes
+      .map(t => s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t")
+      .mkString(", ")
+    s"SELECT user_id, $conds FROM events GROUP BY user_id ORDER BY user_id"
+  }
+
+  // --- B7: window functions (running aggregates) ---------------------------
+  def q07(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        row_number().over(w).as("rn"),
+        sum(col("value").cast("decimal(18,2)"))
+          .over(wRows)
+          .cast("double")
+          .as("running_value")
+      )
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  val q07Sql: String =
+    """SELECT user_id, event_id,
+      | ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      |FROM events ORDER BY user_id, rn""".stripMargin
+
+  // --- B8: top-k per group -------------------------------------------------
+  def q08(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables
+      .orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= 10)
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
+  val q08Sql: String =
+    """SELECT o_orderpriority, o_orderkey, rk FROM (
+      | SELECT o_orderpriority, o_orderkey,
+      |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      | FROM orders)
+      |WHERE rk <= 10 ORDER BY o_orderpriority, rk""".stripMargin
+
+  // --- B9: anti + semi join (orders with/without lineitems) ----------------
+  def q09(spark: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+    val anti = o
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), lit("no_items").as("tag"))
+    val semi = o
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), lit("filled_with_items").as("tag"))
+    anti.unionAll(semi).orderBy(col("tag"), col("o_orderkey"))
+  }
+
+  val q09Sql: String =
+    """SELECT o_orderkey, tag FROM (
+      | SELECT o_orderkey, 'no_items' AS tag FROM orders
+      |  WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      | UNION ALL
+      | SELECT o_orderkey, 'filled_with_items' AS tag FROM orders
+      |  WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |   AND o_orderstatus = 'F')
+      |ORDER BY tag, o_orderkey""".stripMargin
+
+  // --- B10: sessionization (batch twin of streaming E2) --------------------
+  // Gap > 30 min starts a new session; arithmetic in exact epoch micros so
+  // Spark (µs) and DuckDB (ns→µs) agree bit-for-bit.
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum    = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn(
+        "new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L)
+      )
+      .withColumn("session_id", sum(col("new_sess")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q10Sql: String =
+    """WITH e AS (
+      | SELECT user_id, event_id, epoch_us(ts) AS us,
+      |  LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      | FROM events),
+      |s AS (
+      | SELECT user_id, event_id, us,
+      |  CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |   OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      | FROM e)
+      |SELECT user_id, session_id, COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us
+      |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  // --- B11: tumbling time-window aggregation (batch twin of E1) ------------
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .events(spark, dir)
+      .groupBy(
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type")
+      )
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val q11Sql: String =
+    """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+      | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // --- B12: fact-fact shuffle join + rollup (AQE path) ---------------------
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(
+          col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+        ).cast("double").as("revenue")
+      )
+      .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+  }
+
+  val q12Sql: String =
+    """SELECT c_mktsegment, o_orderpriority,
+      | COUNT(DISTINCT o_orderkey) AS n_orders,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment, o_orderpriority
+      |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
+}

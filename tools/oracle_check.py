@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB with views over
+<sfDir>/*.parquet, loads the corresponding Spark parquet result, and compares
+row count, column names, and values (sorted by all columns, column order by
+name) — a stricter local approximation of the driver's hash compare.
+NOT part of the library; dev tooling only (mirrors driver-side duckdb usage).
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    spark_path = f"{out_dir}/{name}"
+    if not os.path.isdir(spark_path):
+        print(f"FAIL {name}: spark output missing")
+        fails += 1
+        continue
+    try:
+        duck = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: duckdb error: {e}")
+        fails += 1
+        continue
+    spark = pd.concat(
+        [pd.read_parquet(f) for f in sorted(glob.glob(f"{spark_path}/*.parquet"))],
+        ignore_index=True,
+    )
+    def norm(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(by=list(df.columns), ignore_index=True)
+    if sorted(duck.columns) != sorted(spark.columns):
+        print(f"FAIL {name}: columns duck={sorted(duck.columns)} spark={sorted(spark.columns)}")
+        fails += 1
+        continue
+    d, s = norm(duck), norm(spark)
+    if len(d) != len(s):
+        print(f"FAIL {name}: rows duck={len(d)} spark={len(s)}")
+        fails += 1
+        continue
+    # exact compare after canonicalizing dtypes to string repr
+    mism = []
+    for c in d.columns:
+        dv, sv = d[c], s[c]
+        try:
+            eq = (dv.astype("string").fillna("<null>") == sv.astype("string").fillna("<null>")).all()
+        except Exception:
+            eq = False
+        if not eq:
+            idx = (dv.astype("string").fillna("<null>") != sv.astype("string").fillna("<null>")).idxmax()
+            mism.append((c, dv.iloc[idx], sv.iloc[idx]))
+    if mism:
+        print(f"FAIL {name}: value mismatch {mism[:3]}")
+        fails += 1
+    else:
+        print(f"OK   {name}: {len(d)} rows")
+print("RESULT:", "FAIL" if fails else "PASS", f"({len(oracle)-fails}/{len(oracle)})")
+sys.exit(1 if fails else 0)
