@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.operators.{Multimodal, TextOps, VectorOps}
 import graft.queries.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
@@ -29,7 +30,19 @@ object SparkEntry {
     "q09_anti_semi_join"  -> (Relational.q09 _),
     "q10_sessionize"      -> (Relational.q10 _),
     "q11_time_bucket_agg" -> (Relational.q11 _),
-    "q12_multi_join_fact" -> (Relational.q12 _)
+    "q12_multi_join_fact" -> (Relational.q12 _),
+    "q20_dedup_exact"     -> (TextOps.dedupExact _),
+    "q21_token_count"     -> (TextOps.tokenCount _),
+    "q22_quality_score"   -> (TextOps.qualityScore _),
+    "q23_langid"          -> (TextOps.langId _),
+    "q24_fingerprint"     -> (TextOps.fingerprint _),
+    "q25_minhash_lsh"     -> (TextOps.minhashLsh _),
+    "q26_simhash"         -> (TextOps.simhashPairs _),
+    "q27_ngram_jaccard"   -> (TextOps.ngramJaccard _),
+    "q28_cosine_topk"     -> (VectorOps.cosineTopK _),
+    "q29_ann_lsh"         -> (VectorOps.annLsh _),
+    "q30_embed_neardup"   -> (VectorOps.embedNearDup _),
+    "q31_multimodal_pipe" -> (Multimodal.pipeline _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -44,6 +57,12 @@ object SparkEntry {
     "q09_anti_semi_join"  -> Relational.q09Sql,
     "q10_sessionize"      -> Relational.q10Sql,
     "q11_time_bucket_agg" -> Relational.q11Sql,
-    "q12_multi_join_fact" -> Relational.q12Sql
+    "q12_multi_join_fact" -> Relational.q12Sql,
+    "q20_dedup_exact"     -> TextOps.dedupExactSql,
+    "q21_token_count"     -> TextOps.tokenCountSql,
+    "q22_quality_score"   -> TextOps.qualityScoreSql,
+    "q28_cosine_topk"     -> VectorOps.cosineTopKSql
+    // q23-q27, q29-q31 are approximate / hash-parameterized ops with no
+    // SQL-expressible oracle → driver records the weaker rows-only check.
   )
 }

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+
+/** Custom Catalyst expressions for operators Spark's built-ins can't
+  * express directly. All are deterministic pure functions of their input so
+  * they stay safe under retries/speculation at cluster scale.
+  *
+  * CodegenFallback is acceptable here: each runs once per (already
+  * aggregated) row on narrow data, outside the hot whole-stage-codegen scan
+  * paths.
+  */
+object Expressions {
+
+  /** 64-bit polynomial rolling-hash fingerprint of a token array
+    * (document fingerprinting, SURVEY §2.C5). Order-sensitive: token
+    * sequences, not bags, distinguish documents.
+    */
+  case class PolyFingerprint(child: Expression)
+      extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      var h   = 1125899906842597L // large prime seed
+      var i   = 0
+      while (i < arr.numElements()) {
+        val s  = arr.getUTF8String(i)
+        var th = 0L
+        val bytes = s.getBytes
+        var j  = 0
+        while (j < bytes.length) { th = 31L * th + (bytes(j) & 0xff); j += 1 }
+        h = 1000003L * h + th
+        i += 1
+      }
+      java.lang.Long.valueOf(h)
+    }
+    override protected def withNewChildInternal(c: Expression): PolyFingerprint = copy(c)
+  }
+
+  /** 64-bit SimHash over an array of (already hashed) token longs
+    * (SURVEY §2.C7): per bit, sum +1/-1 across token hashes; result bit set
+    * where the sum is positive. Token multiplicity acts as the weight.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr    = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var i      = 0
+      while (i < arr.numElements()) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b   = 0
+      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  }
+
+  /** Random-hyperplane LSH bucket id for an array<double> embedding
+    * (SURVEY §2.C10): sign bits of `planes` fixed pseudo-random hyperplanes,
+    * offset by `table * planes` so multiple independent tables can share one
+    * plane matrix. Plane weights come from a fixed-seed `java.util.Random`
+    * (spec'd LCG — identical on every JVM/executor).
+    */
+  case class HyperplaneBucket(child: Expression, table: Int, planes: Int)
+      extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    private lazy val weights: Array[Array[Double]] = {
+      val rnd = new java.util.Random(42L + table.toLong * 1000L)
+      Array.fill(planes)(Array.fill(HyperplaneBucket.Dims)(rnd.nextGaussian()))
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val arr    = input.asInstanceOf[ArrayData]
+      val n      = math.min(arr.numElements(), HyperplaneBucket.Dims)
+      var bucket = 0
+      var p      = 0
+      while (p < planes) {
+        var dot = 0.0
+        val w   = weights(p)
+        var d   = 0
+        while (d < n) { dot += arr.getDouble(d) * w(d); d += 1 }
+        if (dot > 0) bucket |= (1 << p)
+        p += 1
+      }
+      java.lang.Integer.valueOf(bucket)
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
+      copy(child = c)
+  }
+  object HyperplaneBucket { val Dims = 64 }
+
+  // Column-facing wrappers
+  import GraftColumnBridge.{toColumn, toExpression}
+  def poly_fingerprint(c: Column): Column = toColumn(PolyFingerprint(toExpression(c)))
+  def simhash64(c: Column): Column        = toColumn(SimHash64(toExpression(c)))
+  def hyperplane_bucket(c: Column, table: Int, planes: Int): Column =
+    toColumn(HyperplaneBucket(toExpression(c), table, planes))
+}

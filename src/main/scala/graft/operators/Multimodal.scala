@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** §2.D multimodal-column plumbing.
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata struct —
+  * the schema a 100 TB image/audio/video corpus would use (payload +
+  * modality + nominal dims). Decode / feature-extraction runs batch-wise in
+  * `mapPartitions` over a typed Dataset: partition-preserving, no shuffle,
+  * executor-local — exactly where a real JNI/FFmpeg/PIL decode would sit.
+  *
+  * STUB: the container has no image/audio libraries, so `decodeStub`
+  * produces a deterministic fake feature vector from the raw bytes. The
+  * Spark-side plumbing (schema, batching, partitioning, typed encoders) is
+  * real and tested; swap `decodeStub` for a real decoder to productionize.
+  */
+object Multimodal {
+
+  case class MediaRecord(
+      media_id: Long,
+      payload: Array[Byte],
+      modality: String,
+      width: Int,
+      height: Int,
+      source: String
+  )
+
+  case class MediaFeatures(
+      media_id: Long,
+      source: String,
+      n_bytes: Int,
+      features: Array[Double]
+  )
+
+  val FeatureDim = 8
+
+  /** STUB decode: byte-histogram-ish deterministic fake features standing in
+    * for a real image/audio decode (libs absent in this container).
+    */
+  def decodeStub(payload: Array[Byte]): Array[Double] = {
+    val f = new Array[Double](FeatureDim)
+    var i = 0
+    while (i < payload.length) {
+      f(i % FeatureDim) += (payload(i) & 0xff) / 255.0
+      i += 1
+    }
+    if (payload.length > 0) { var j = 0; while (j < FeatureDim) { f(j) /= payload.length; j += 1 } }
+    f
+  }
+
+  /** Build a media table from `documents` (text bytes stand in for media
+    * payloads — same binary-column plumbing).
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"),
+        lit("image/fake").as("modality"),
+        lit(64).as("width"),
+        lit(64).as("height"),
+        col("source")
+      )
+      .as[MediaRecord]
+  }
+
+  /** Batch decode: one `decodeStub` call per record, streamed per partition —
+    * the iterator shape a vectorized (batched) UDF would use.
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        MediaFeatures(r.media_id, r.source, r.payload.length, decodeStub(r.payload))
+      }
+    }
+  }
+
+  /** Frame sampler for "video" payloads: every Nth fixed-size frame slice.
+    * Real frame extraction is the same shape with a codec behind it (STUB).
+    */
+  def sampleFrames(
+      media: Dataset[MediaRecord],
+      frameBytes: Int,
+      everyNth: Int
+  ): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .flatMap { r =>
+        val nFrames = r.payload.length / frameBytes
+        (0 until nFrames by everyNth).map { f =>
+          (r.media_id, f, r.payload.slice(f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame")
+  }
+
+  // --- D4 q31: full pipe as a queries entry (rows-only) --------------------
+  def pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(mediaTable(spark, dir))
+    feats
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(expr("features[0]")), 4).as("avg_f0")
+      )
+      .orderBy(col("source"))
+  }
+}
