@@ -1,0 +1,289 @@
+package graft.sources
+
+import scala.collection.immutable.ListMap
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.InferType
+
+/** Spark-native HealthKit `export.zip` reader.
+  *
+  * Semantics follow the reference (jshrake/healthkit-to-sqlite
+  * `src/core.rs`): `Record` elements fan out to one table per `type`
+  * attribute (`core.rs:311-337`), `Workout` elements land in a `Workout`
+  * table with `metadata_<key>` columns plus `workoutEvents` /
+  * `workoutStatistics` JSON columns and a GPX-derived GeoJSON `geometry`
+  * column (`core.rs:517-653`), `ActivitySummary` elements land in an
+  * `ActivitySummary` table (`core.rs:358-365`). Attribute strings are typed
+  * INTEGER/REAL/DATE/TEXT by value shape (`core.rs:171-204`).
+  *
+  * Architecture is NOT the reference's two-pass single-threaded design:
+  * parsing is a streaming StAX pull-parse per archive inside
+  * `mapPartitions` over a Dataset of file paths — one task per export
+  * archive, memory-bounded, no driver round-trips. A 100 TB corpus is many
+  * archives, so parallelism scales with file count; schema inference is a
+  * distributed aggregation over (table, column, observed-type) triples
+  * (tiny cardinality) rather than the reference's in-memory first-pass map.
+  */
+object HealthKitXml {
+
+  /** One parsed top-level HealthKit element.
+    *
+    * @param kind      Record | Workout | ActivitySummary
+    * @param tableName target table (Record's `type` attr, else the kind)
+    * @param attrs     XML attributes + `metadata_<key>` entries
+    * @param jsonCols  pre-rendered JSON column values (workoutEvents,
+    *                  workoutStatistics, geometry)
+    */
+  case class HkElement(
+      kind: String,
+      tableName: String,
+      attrs: Map[String, String],
+      jsonCols: Map[String, String]
+  )
+
+  val WorkoutTable         = "Workout"
+  val ActivitySummaryTable = "ActivitySummary"
+
+  // ---------------------------------------------------------------- parsing
+
+  /** Parse one or more export.zip archives into a Dataset of elements.
+    * One task per archive: archives parse independently and in parallel.
+    * (Paths must be visible from executors — local FS here; at cluster
+    * scale the open would go through `org.apache.hadoop.fs.FileSystem`.)
+    */
+  def elements(spark: SparkSession, zipPaths: Seq[String]): Dataset[HkElement] = {
+    import spark.implicits._
+    spark
+      .createDataset(zipPaths)
+      .repartition(zipPaths.size)
+      .mapPartitions(paths => paths.flatMap(parseArchive))
+  }
+
+  /** Streaming-parse a single archive; GPX route files are read from a
+    * second handle on the same archive, mirroring the reference's dual
+    * zip readers (`core.rs:48-51`).
+    */
+  def parseArchive(zipPath: String): Iterator[HkElement] = {
+    val zip   = new java.util.zip.ZipFile(zipPath)
+    val entry = zip.getEntry("apple_health_export/export.xml")
+    require(entry != null, s"no apple_health_export/export.xml in $zipPath")
+    val reader = xmlReader(zip.getInputStream(entry))
+
+    val out = mutable.ArrayBuffer.empty[HkElement]
+    import javax.xml.stream.XMLStreamConstants._
+    while (reader.hasNext) {
+      reader.next() match {
+        case START_ELEMENT =>
+          reader.getLocalName match {
+            case "Record"          => out += parseRecord(reader)
+            case "Workout"         => out += parseWorkout(reader, zip)
+            case "ActivitySummary" =>
+              out += HkElement("ActivitySummary", ActivitySummaryTable, attrsOf(reader), Map.empty)
+            case _ => () // HealthData, ExportDate, Me, Correlation children, …
+          }
+        case _ => ()
+      }
+    }
+    reader.close()
+    zip.close()
+    out.iterator
+  }
+
+  /** JDK StAX reader with DTD processing off: Apple's export DTD is
+    * malformed (Woodstox — the classpath default via the hadoop-shaded
+    * service file — rejects it), and the JDK parser with SUPPORT_DTD=false
+    * skips the internal subset entirely. External entities disabled.
+    */
+  private def xmlReader(in: java.io.InputStream): javax.xml.stream.XMLStreamReader = {
+    val factory = javax.xml.stream.XMLInputFactory.newDefaultFactory()
+    factory.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    factory.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    factory.createXMLStreamReader(in)
+  }
+
+  private def attrsOf(r: javax.xml.stream.XMLStreamReader): Map[String, String] =
+    (0 until r.getAttributeCount).map(i => r.getAttributeLocalName(i) -> r.getAttributeValue(i)).toMap
+
+  /** Record element: own attributes + metadata_<key> columns (core.rs:655-685). */
+  private def parseRecord(r: javax.xml.stream.XMLStreamReader): HkElement = {
+    val attrs = mutable.LinkedHashMap.empty[String, String]
+    attrs ++= attrsOf(r)
+    val table = attrs.getOrElse("type", sys.error("Record element without type attribute"))
+    import javax.xml.stream.XMLStreamConstants._
+    var depth = 1
+    while (depth > 0 && r.hasNext) {
+      r.next() match {
+        case START_ELEMENT =>
+          depth += 1
+          if (r.getLocalName == "MetadataEntry") {
+            val m = attrsOf(r)
+            for (k <- m.get("key"); v <- m.get("value")) attrs(s"metadata_$k") = v
+          }
+        case END_ELEMENT => depth -= 1
+        case _           => ()
+      }
+    }
+    HkElement("Record", table, attrs.toMap, Map.empty)
+  }
+
+  /** Workout element: attributes, metadata, WorkoutEvent JSON array,
+    * WorkoutStatistics JSON object keyed by type, WorkoutRoute → GeoJSON
+    * LineString (core.rs:517-653).
+    */
+  private def parseWorkout(
+      r: javax.xml.stream.XMLStreamReader,
+      zip: java.util.zip.ZipFile
+  ): HkElement = {
+    val attrs  = mutable.LinkedHashMap.empty[String, String]
+    attrs ++= attrsOf(r)
+    val events = mutable.ArrayBuffer.empty[String]
+    val stats  = mutable.LinkedHashMap.empty[String, String]
+    var geometry = "{}"
+    import javax.xml.stream.XMLStreamConstants._
+    var depth = 1
+    while (depth > 0 && r.hasNext) {
+      r.next() match {
+        case START_ELEMENT =>
+          depth += 1
+          r.getLocalName match {
+            case "MetadataEntry" =>
+              val m = attrsOf(r)
+              for (k <- m.get("key"); v <- m.get("value")) attrs(s"metadata_$k") = v
+            case "WorkoutEvent" =>
+              events += jsonObject(attrsOf(r))
+            case "WorkoutStatistics" =>
+              val m = attrsOf(r)
+              m.get("type").foreach(t => stats(t) = jsonObject(m))
+            case "FileReference" =>
+              attrsOf(r).get("path").foreach { p =>
+                geometry = gpxToGeoJson(zip, s"apple_health_export$p")
+              }
+            case _ => () // WorkoutRoute wrapper, HeartRate lists, …
+          }
+        case END_ELEMENT => depth -= 1
+        case _           => ()
+      }
+    }
+    val stateJson = Map(
+      "workoutEvents"     -> events.mkString("[", ",", "]"),
+      "workoutStatistics" -> stats.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonString(k)}:$v" }.mkString("{", ",", "}"),
+      "geometry"          -> geometry
+    )
+    HkElement("Workout", WorkoutTable, attrs.toMap, stateJson)
+  }
+
+  /** GPX track points → GeoJSON LineString, [lon, lat] pairs (core.rs:588-628).
+    * Coordinates go through f32 like the reference (f32 parse → f64 print).
+    */
+  def gpxToGeoJson(zip: java.util.zip.ZipFile, entryName: String): String = {
+    val entry = zip.getEntry(entryName)
+    if (entry == null) return "{}"
+    val r      = xmlReader(zip.getInputStream(entry))
+    val coords = mutable.ArrayBuffer.empty[String]
+    import javax.xml.stream.XMLStreamConstants._
+    while (r.hasNext) {
+      r.next() match {
+        case START_ELEMENT if r.getLocalName == "trkpt" =>
+          val m = attrsOf(r)
+          for (lon <- m.get("lon"); lat <- m.get("lat"))
+            coords += s"[${jsonF32(lon)},${jsonF32(lat)}]"
+        case _ => ()
+      }
+    }
+    r.close()
+    s"""{"coordinates":${coords.mkString("[", ",", "]")},"type":"LineString"}"""
+  }
+
+  // Minimal JSON rendering (no deps): numbers follow the reference's
+  // f32-parse-else-string rule (core.rs:487-491); f32 → f64 → shortest
+  // string matches serde_json's output for the same value.
+  private def jsonF32(s: String): String = s.toFloat.toDouble.toString
+
+  private def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+
+  private def jsonValue(s: String): String =
+    if (s.toFloatOption.isDefined) jsonF32(s) else jsonString(s)
+
+  private def jsonObject(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonString(k)}:${jsonValue(v)}" }.mkString("{", ",", "}")
+
+  // ------------------------------------------------------- schema inference
+
+  /** Distributed schema inference: (table, column, type) triples aggregated
+    * with the widening lattice ([[InferType.widen]]). The result is tiny
+    * (hundreds of columns) regardless of corpus size. Columns are
+    * alphabetical — the same order the reference's BTreeMap produces.
+    */
+  def inferSchemas(elems: Dataset[HkElement]): Map[String, ListMap[String, String]] = {
+    import elems.sparkSession.implicits._
+    val triples = elems
+      .flatMap { e =>
+        e.attrs.map { case (c, v) => (e.tableName, c, InferType.inferTypeStr(v)) } ++
+          e.jsonCols.keys.map(c => (e.tableName, c, "JSON"))
+      }
+      .toDF("tbl", "col", "ty")
+      .groupBy("tbl", "col")
+      .agg(collect_set($"ty").as("tys"))
+      .collect()
+    triples
+      .groupBy(_.getString(0))
+      .map { case (tbl, rows) =>
+        val cols = rows
+          .map(r => r.getString(1) -> r.getSeq[String](2).reduce(InferType.widen))
+          .sortBy(_._1)
+        tbl -> ListMap(cols: _*)
+      }
+  }
+
+  // ------------------------------------------------------- table extraction
+
+  /** Typed DataFrame for one inferred table: a map-side filter + projection
+    * (no shuffle) casting each attribute per its inferred type.
+    * INTEGER→int, REAL→double, DATE→timestamp, TEXT/JSON→string.
+    */
+  def table(
+      elems: Dataset[HkElement],
+      name: String,
+      schema: ListMap[String, String]
+  ): DataFrame = {
+    val filtered = elems.filter(col("tableName") === name)
+    val cols = schema.map { case (c, ty) =>
+      val raw =
+        if (ty == "JSON") element_at(col("jsonCols"), c)
+        else element_at(col("attrs"), c)
+      val typed = ty match {
+        case "INTEGER" => raw.cast("int")
+        case "REAL"    => raw.cast("double")
+        case "DATE" =>
+          coalesce(
+            expr(s"try_to_timestamp(element_at(attrs, '$c'), 'yyyy-MM-dd HH:mm:ss xx')"),
+            expr(s"try_to_timestamp(element_at(attrs, '$c'), 'yyyy-MM-dd')")
+          )
+        case _ => raw
+      }
+      typed.as(c)
+    }.toSeq
+    filtered.select(cols: _*)
+  }
+
+  /** Parse archives and materialize every inferred table, keyed by name —
+    * the reference's whole output surface as DataFrames.
+    */
+  def tables(spark: SparkSession, zipPaths: Seq[String]): Map[String, DataFrame] = {
+    val elems = elements(spark, zipPaths).cache()
+    val schemas = inferSchemas(elems)
+    schemas.map { case (name, schema) => name -> table(elems, name, schema) }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** §2.E Structured Streaming operators — the streaming twins of the batch
+  * queries q11 (windowed agg), q10 (sessionization), q20 (dedup). Same
+  * transformations compose over `readStream` sources; watermarks bound
+  * state so they run indefinitely at cluster scale.
+  */
+object EventStreams {
+
+  case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class SessState(sessionId: Long, lastTsMs: Long, n: Int)
+  case class SessUpdate(user_id: Long, session_id: Long, n_events: Int)
+
+  /** E1: tumbling 1-hour window aggregation with a 2-hour watermark.
+    * Late events beyond the watermark are dropped; state is bounded by
+    * (watermark / window) × key cardinality.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** E2: gap-based sessionization with explicit state
+    * (`flatMapGroupsWithState`) — a session closes after `gapSec` of
+    * inactivity; each batch emits the updated session row. Batch twin:
+    * Relational.q10.
+    */
+  def sessionize(events: Dataset[Ev], gapSec: Long): Dataset[SessUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st     = state.getOption.getOrElse(SessState(0L, Long.MinValue, 0))
+          val out    = ListBuffer.empty[SessUpdate]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.lastTsMs == Long.MinValue || t - st.lastTsMs > gapSec * 1000L) {
+              if (st.n > 0) out += SessUpdate(uid, st.sessionId, st.n)
+              st = SessState(st.sessionId + 1, t, 1)
+            } else {
+              st = st.copy(lastTsMs = t, n = st.n + 1)
+            }
+          }
+          state.update(st)
+          out += SessUpdate(uid, st.sessionId, st.n)
+          out.iterator
+      }
+  }
+
+  /** E3: streaming exact dedup on event_id within the watermark window. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+}

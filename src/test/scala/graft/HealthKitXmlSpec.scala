@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.Sinks
+import graft.sources.HealthKitXml
+
+/** §2.A: HealthKit ETL against the reference's own example export.zip
+  * (fixture copied from the reference repo's /example, MIT/Apache-2.0).
+  * Expected values derived from the XML content: 1 Record
+  * (HKQuantityTypeIdentifierWalkingSpeed), 1 Workout (4 WorkoutEvents,
+  * 3 WorkoutStatistics, 644-point route), 10 ActivitySummary rows.
+  */
+class HealthKitXmlSpec extends SparkSpec {
+
+  private lazy val zipPath =
+    getClass.getResource("/export.zip").getPath
+  private lazy val tables = HealthKitXml.tables(spark, Seq(zipPath))
+
+  test("A1/A3: Record elements fan out to per-type tables") {
+    assert(tables.keySet.contains("HKQuantityTypeIdentifierWalkingSpeed"))
+    val rec = tables("HKQuantityTypeIdentifierWalkingSpeed")
+    assert(rec.count() == 1)
+    val row = rec.collect().head
+    assert(row.getAs[Double]("value") == 2.95276)
+    assert(row.getAs[String]("unit") == "mi/hr")
+  }
+
+  test("A2: schema inference types columns like the reference") {
+    val schemas = HealthKitXml.inferSchemas(
+      HealthKitXml.elements(spark, Seq(zipPath))
+    )
+    val rec = schemas("HKQuantityTypeIdentifierWalkingSpeed")
+    assert(rec("value") == "REAL")
+    assert(rec("unit") == "TEXT")
+    assert(rec("startDate") == "DATE")
+    val w = schemas(HealthKitXml.WorkoutTable)
+    assert(w("duration") == "REAL")
+    assert(w("workoutEvents") == "JSON")
+    assert(w("workoutStatistics") == "JSON")
+    assert(w("geometry") == "JSON")
+    // columns come out alphabetical, matching the reference's BTreeMap order
+    assert(rec.keys.toSeq == rec.keys.toSeq.sorted)
+  }
+
+  test("A4: Workout table with metadata_* columns and JSON columns") {
+    val w = tables(HealthKitXml.WorkoutTable)
+    assert(w.count() == 1)
+    val row = w.collect().head
+    assert(math.abs(row.getAs[Double]("duration") - 34.18067507346471) < 1e-9)
+    assert(row.getAs[String]("metadata_Test Entry") == "FooBar")
+    val events = row.getAs[String]("workoutEvents")
+    assert(events.startsWith("[") && events.contains("HKWorkoutEventTypeSegment"))
+    // 4 WorkoutEvent elements in the fixture
+    assert(spark.sql(s"SELECT size(from_json('${events.replace("'", "''")}', 'array<map<string,string>>'))")
+      .collect().head.getInt(0) == 4)
+    val stats = row.getAs[String]("workoutStatistics")
+    assert(stats.contains("\"HKQuantityTypeIdentifierActiveEnergyBurned\""))
+    assert(stats.contains("\"sum\""))
+  }
+
+  test("A5: GPX route becomes a GeoJSON LineString with all 644 trkpts") {
+    val row = tables(HealthKitXml.WorkoutTable).collect().head
+    val geo = row.getAs[String]("geometry")
+    assert(geo.contains("\"type\":\"LineString\""))
+    val nCoords = spark
+      .sql(
+        s"""SELECT size(from_json('${geo.replace("'", "''")}',
+           |'struct<coordinates:array<array<double>>,type:string>').coordinates)""".stripMargin)
+      .collect().head.getInt(0)
+    assert(nCoords == 644)
+    // first point is [lon, lat] per GeoJSON; values go through f32 like the
+    // reference (core.rs:613 lon.parse::<f32>()), printed as shortest f64
+    val lon = "-118.232524".toFloat.toDouble
+    val lat = "34.045088".toFloat.toDouble
+    assert(geo.contains(s"[$lon,$lat]"))
+  }
+
+  test("A6: ActivitySummary table") {
+    val a = tables(HealthKitXml.ActivitySummaryTable)
+    assert(a.count() == 10)
+    assert(a.schema("activeEnergyBurned").dataType.typeName == "double")
+    val total = a.agg(sum(col("activeEnergyBurned"))).collect().head.getDouble(0)
+    assert(total > 0)
+  }
+
+  test("A8: DATE columns parse HealthKit offset dates to UTC timestamps") {
+    val rec = tables("HKQuantityTypeIdentifierWalkingSpeed")
+    val start = rec.select(date_format(col("startDate"), "yyyy-MM-dd HH:mm:ss").as("s"))
+      .collect().head.getAs[String]("s")
+    // 2022-12-15 17:48:29 -0800 → 2022-12-16 01:48:29 UTC
+    assert(start == "2022-12-16 01:48:29")
+  }
+
+  test("A7: JDBC sink round-trips through embedded Derby") {
+    val url = "jdbc:derby:memory:graftTest;create=true"
+    val a   = tables(HealthKitXml.ActivitySummaryTable)
+    Sinks.writeJdbc(a, url, "ActivitySummary")
+    val back = spark.read.jdbc(url, "\"ActivitySummary\"", new java.util.Properties())
+    assert(back.count() == 10)
+    assert(back.columns.sorted.sameElements(a.columns.sorted))
+  }
+
+  test("A7: parquet sink writes partitioned output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    val a   = tables(HealthKitXml.ActivitySummaryTable)
+    Sinks.writeParquet(a, s"$dir/as")
+    assert(spark.read.parquet(s"$dir/as").count() == 10)
+  }
+
+  test("reference README query: workout duration by activity type") {
+    // select sum(duration)/60 from workout where workoutActivityType in (...)
+    val w = tables(HealthKitXml.WorkoutTable)
+    val hrs = w
+      .filter(col("workoutActivityType").isin(
+        "HKWorkoutActivityTypeWalking", "HKWorkoutActivityTypeRunning", "HKWorkoutActivityTypeHiking"))
+      .agg((sum(col("duration")) / 60.0).as("total_duration"))
+      .collect().head.getDouble(0)
+    assert(math.abs(hrs - 34.18067507346471 / 60.0) < 1e-9)
+  }
+
+  test("reference README query: json_extract on workoutStatistics") {
+    val w = tables(HealthKitXml.WorkoutTable)
+    val miles = w
+      .select(get_json_object(col("workoutStatistics"),
+        "$.HKQuantityTypeIdentifierDistanceWalkingRunning.sum").cast("double").as("mi"))
+      .agg(sum(col("mi"))).collect().head.getDouble(0)
+    assert(miles > 0)
+  }
+}

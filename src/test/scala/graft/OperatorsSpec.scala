@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.InferType
+import graft.operators.{Multimodal, TextOps, VectorOps}
+import graft.queries.Relational
+
+/** §2.B/C/D operator specs. Ground truth established offline:
+  * sf0.001 documents contain exactly 25 planted near-dup pairs at
+  * jaccard ≥ 0.9 (and zero exact-dup texts at this SF).
+  */
+class OperatorsSpec extends SparkSpec {
+
+  test("B5: type inference matches the reference's precedence rules") {
+    val cases = Seq(
+      "42"                          -> "INTEGER",
+      "-7"                          -> "INTEGER",
+      "2.95276"                     -> "REAL",
+      "1e5"                         -> "REAL",
+      "2022-12-15"                  -> "DATE",
+      "2022-12-15 17:48:29 -0800"   -> "DATE",
+      "mi/hr"                       -> "TEXT",
+      "HKQuantityTypeIdentifierX"   -> "TEXT",
+      ""                            -> "TEXT"
+    )
+    cases.foreach { case (v, expect) =>
+      assert(InferType.inferTypeStr(v) == expect, s"for '$v'")
+    }
+    // widening lattice is order-free
+    assert(InferType.widen("INTEGER", "REAL") == "REAL")
+    assert(InferType.widen("REAL", "INTEGER") == "REAL")
+    assert(InferType.widen("DATE", "INTEGER") == "TEXT")
+    assert(InferType.widen("TEXT", "REAL") == "TEXT")
+  }
+
+  test("C6/C8: minhash-LSH finds planted near-dups, jaccard verifies them") {
+    val pairs = TextOps.minhashLsh(spark, Sf0001).collect()
+    assert(pairs.length >= 20, s"expected ~25 planted pairs, got ${pairs.length}")
+    val verified = TextOps.ngramJaccard(spark, Sf0001).collect()
+    assert(verified.nonEmpty)
+    // every verified pair has jaccard >= 0.5 by construction
+    assert(verified.forall(_.getAs[Double]("jaccard") >= 0.5))
+    // candidates are canonical (a < b) and unique
+    assert(pairs.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).distinct.length == pairs.length)
+  }
+
+  test("C7: simhash pairs are a (near-)subset of minhash candidates") {
+    val mh = TextOps.minhashLsh(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = TextOps.simhashPairs(spark, Sf0001).collect()
+    assert(sh.nonEmpty)
+    assert(sh.forall(_.getAs[Int]("hamming") <= 3))
+    // hamming<=1 pairs should be true near-dups that minhash also found
+    val strict = sh.filter(_.getAs[Int]("hamming") <= 1)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(strict.forall(mh.contains))
+  }
+
+  test("C1: exact dedup groups identical texts") {
+    import spark.implicits._
+    val df = Seq((1L, "aaa"), (2L, "aaa"), (3L, "bbb")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("dup_docs")
+    val grouped = df
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val byKeep = grouped.collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(byKeep == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("C9: brute-force cosine top-k is exact (matches local computation)") {
+    val rows = VectorOps.cosineTopK(spark, Sf0001).collect()
+    assert(rows.length == VectorOps.QueryCount * VectorOps.TopK)
+    // local recomputation for query 0
+    val vecs = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q0 = vecs(0L)
+    val expect = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q0, v)) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(VectorOps.TopK).map(_._1)
+    val got = rows.filter(_.getAs[Long]("q_id") == 0L).sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("n_id")).toSeq
+    assert(got == expect)
+  }
+
+  test("C10: ANN-LSH neighbors are real corpus vectors in the query's bucket") {
+    val rows = VectorOps.annLsh(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("n_id")))
+    assert(rows.forall(_.getAs[Int]("rk") <= VectorOps.AnnTopK))
+  }
+
+  test("C11: embedding near-dup pairs exceed the cosine threshold") {
+    val rows = VectorOps.embedNearDup(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("sim") >= VectorOps.NearDupThreshold))
+    assert(rows.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
+  }
+
+  test("D1-D4: multimodal decode plumbing is deterministic and partition-safe") {
+    val media = Multimodal.mediaTable(spark, Sf0001)
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media.repartition(7)).collect().sortBy(_.media_id)
+    assert(f1.length == 500)
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+    assert(f1.forall(_.features.length == Multimodal.FeatureDim))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, everyNth = 2)
+    assert(frames.count() > 0)
+    assert(frames.select(max(length(col("frame")))).collect().head.getInt(0) <= 16)
+  }
+
+  test("B1/B4 plans: filters push to parquet, dim joins broadcast") {
+    val q1plan = Relational.q01(spark, Sf001).queryExecution.executedPlan.toString
+    assert(q1plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"q01 should push the shipdate filter:\n$q1plan")
+    val q4plan = Relational.q04(spark, Sf001).queryExecution.executedPlan.toString
+    assert(q4plan.contains("BroadcastHashJoin"), s"q04 should broadcast dims:\n$q4plan")
+  }
+}

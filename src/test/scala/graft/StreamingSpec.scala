@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+
+/** §2.E streaming specs over MemoryStream sources — multi-batch feeds
+  * exercise cross-trigger state (sessions spanning batches, duplicate
+  * arrivals in later batches).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("E1: windowed aggregation over a stream") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("win_agg").outputMode("complete").start()
+    in.addData(
+      Ev(1, 1, ts(5), "click", 1.0),
+      Ev(2, 1, ts(10), "click", 2.0),
+      Ev(3, 2, Timestamp.valueOf("2024-01-01 11:05:00"), "view", 3.0)
+    )
+    q.processAllAvailable()
+    val rows = spark.table("win_agg").collect()
+    q.stop()
+    assert(rows.length == 2) // two 1-hour windows
+    val clicks = rows.find(_.getAs[String]("event_type") == "click").get
+    assert(clicks.getAs[Long]("n") == 2)
+    assert(clicks.getAs[Double]("total_value") == 3.0)
+  }
+
+  test("E2: sessionization state carries across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .sessionize(in.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sess").outputMode("update").start()
+    // batch 1: two events 10 min apart → one session
+    in.addData(Ev(1, 7, ts(0), "click", 0), Ev(2, 7, ts(10), "click", 0))
+    q.processAllAvailable()
+    // batch 2: one event 5 min later (same session), one 2h later (new session)
+    in.addData(Ev(3, 7, ts(15), "click", 0))
+    q.processAllAvailable()
+    in.addData(Ev(4, 7, Timestamp.valueOf("2024-01-01 13:00:00"), "click", 0))
+    q.processAllAvailable()
+    val rows = spark.table("sess").collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"), r.getAs[Int]("n_events")))
+    q.stop()
+    // final state per session: session 1 has 3 events, session 2 has 1
+    val finalBySession = rows.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).max }
+    assert(finalBySession == Map(1L -> 3, 2L -> 1))
+  }
+
+  test("E3: streaming dedup drops duplicate event_ids across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .dedup(in.toDF())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    in.addData(Ev(1, 1, ts(0), "click", 1.0), Ev(2, 1, ts(1), "view", 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(1, 1, ts(0), "click", 1.0), Ev(3, 1, ts(2), "view", 1.0)) // id 1 is a dup
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+}
