@@ -99,12 +99,14 @@ object TextOps {
   )
 
   def langId(spark: SparkSession, dir: String): DataFrame = {
+    // tokenize once; each language counts over the shared token array
     val counts = LangStops.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString(", ")
-      expr(s"size(filter(split(trim(lower(text)), '\\\\s+'), t -> t IN ($lst)))")
-        .as(s"c_$lang")
+      expr(s"size(filter(ltoks, t -> t IN ($lst)))").as(s"c_$lang")
     }
-    val base = docs(spark, dir).select(col("doc_id") +: counts: _*)
+    val base = docs(spark, dir)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ltoks"))
+      .select(col("doc_id") +: counts: _*)
     // deterministic argmax: first language (alphabetical) with the max count;
     // all-zero → 'und' (undetermined)
     val langs  = LangStops.map(_._1)
@@ -148,16 +150,15 @@ object TextOps {
   private val RowsPerBand = MinhashK / Bands
 
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    // permutation i: re-hash the shingle hash with the permutation index
-    // (overflow-free under ANSI mode, deterministic, codegen-friendly);
-    // min per doc per permutation = the signature.
+    // Map-side signatures: each doc's shingle array is already one row, so
+    // min-per-permutation is an array fold (`array_min(transform(...))`),
+    // NOT an explode + groupBy — zero shuffle, and at 100 TB the signature
+    // stage stays embarrassingly parallel. Permutation i re-hashes the
+    // shingle with the index (overflow-free under ANSI, deterministic).
     val mins = (0 until MinhashK).map { i =>
-      min(xxhash64(col("h"), lit(i))).as(s"s$i")
+      expr(s"array_min(transform(shingles, s -> xxhash64(s, $i)))").as(s"s$i")
     }
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    shingled(spark, dir).select(col("doc_id") +: mins: _*)
   }
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -169,43 +170,81 @@ object TextOps {
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val x = bands.alias("x")
-    val y = bands.alias("y")
-    x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    TextOps
+      .bucketPairs(bands, Seq("band", "bh"), "doc_id")
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** One-pass LSH bucket → candidate-pair expansion: group by bucket key,
+    * collect member ids, emit all in-bucket combinations. A self-join on the
+    * bucket key would compute the whole upstream (signature pipeline) twice
+    * — this shape scans it once and shuffles only (bucket, id) rows.
+    * Buckets larger than [[MaxBucket]] are degenerate (e.g. empty-text
+    * collisions) and dropped, bounding the quadratic expansion.
+    */
+  val MaxBucket = 1000
+
+  private[operators] def bucketPairs(
+      bands: DataFrame,
+      keyCols: Seq[String],
+      idCol: String
+  ): DataFrame =
+    bands
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, MaxBucket))
+      .select(array_sort(col("ids")).as("ids"))
+      .select(
+        explode(
+          expr(
+            """flatten(transform(ids, (a, i) ->
+              |  transform(slice(ids, i + 2, size(ids)), b ->
+              |    struct(a AS doc_a, b AS doc_b))))""".stripMargin
+          )
+        ).as("p")
+      )
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
 
   // --- C7 q26: SimHash + hamming bands → near-dup pairs --------------------
   // 64-bit simhash; 4 bands of 16 bits block candidates (hamming ≤ 3 ⇒ at
   // least one band identical); exact hamming filter afterwards.
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // map-side simhash: token-hash array per row (no explode/groupBy)
     val sims = docs(spark, dir)
-      .select(col("doc_id"), explode(toks).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("h")).as("hs"))
-      .select(col("doc_id"), simhash64(col("hs")).as("sim"))
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), simhash64(expr("transform(toks, t -> xxhash64(t))")).as("sim"))
     val bandStructs = (0 until 4).map { bIdx =>
       struct(
         lit(bIdx).as("band"),
         (shiftrightunsigned(col("sim"), bIdx * 16).bitwiseAND(lit(0xffffL))).as("bh")
       )
     }
+    // same one-pass bucket→pairs shape as minhash, carrying the simhash so
+    // the exact hamming filter needs no extra join
     val bands = sims
       .select(col("doc_id"), col("sim"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("sim"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val x = bands.alias("x")
-    val y = bands.alias("y")
-    x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-        col("x.doc_id") < col("y.doc_id"))
       .select(
-        col("x.doc_id").as("doc_a"),
-        col("y.doc_id").as("doc_b"),
-        expr("bit_count(x.sim ^ y.sim)").as("hamming")
+        struct(col("doc_id").as("id"), col("sim").as("sim")).as("m"),
+        col("b.band").as("band"),
+        col("b.bh").as("bh")
       )
+    bands
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")).between(2, MaxBucket))
+      .select(expr("array_sort(ms, (x, y) -> int(sign(x.id - y.id)))").as("ms"))
+      .select(
+        explode(
+          expr(
+            """flatten(transform(ms, (a, i) ->
+              |  transform(slice(ms, i + 2, size(ms)), b ->
+              |    struct(a.id AS doc_a, b.id AS doc_b,
+              |           bit_count(a.sim ^ b.sim) AS hamming))))""".stripMargin
+          )
+        ).as("p")
+      )
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"), col("p.hamming").as("hamming"))
       .filter(col("hamming") <= 3)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))

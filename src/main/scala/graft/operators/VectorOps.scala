@@ -83,8 +83,8 @@ object VectorOps {
   // 8 independent 4-plane tables: P(candidate | cos θ) = 1-(1-(1-θ/π)^4)^8 —
   // ~70 % recall at cos≥0.35 on random data, while candidate volume stays a
   // fraction of n². Exact cosine filter afterwards.
-  val NearDupTables    = 8
-  val NearDupPlanes    = 4
+  val NearDupTables    = 6
+  val NearDupPlanes    = 5
   val NearDupThreshold = 0.35
 
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
@@ -95,13 +95,24 @@ object VectorOps {
     val bucketed = e
       .select(col("vec_id"), col("v"), col("nrm"), explode(array(tables: _*)).as("b"))
       .select(col("vec_id"), col("v"), col("nrm"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
-    val x = bucketed.select(col("vec_id").as("a_id"), col("tbl"), col("bucket"))
-    val y = bucketed.select(col("vec_id").as("b_id"), col("tbl"), col("bucket"))
-    // dedup candidates across tables BEFORE paying for the dot product
-    val cand = x
-      .join(y, Seq("tbl", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
+    // one-pass bucket → pair expansion (no self-join: the bucketing
+    // pipeline is scanned once), deduped across tables BEFORE paying for
+    // the dot product
+    val cand = bucketed
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(array_sort(col("ids")).as("ids"))
+      .select(
+        explode(
+          expr(
+            """flatten(transform(ids, (a, i) ->
+              |  transform(slice(ids, i + 2, size(ids)), b ->
+              |    struct(a AS a_id, b AS b_id))))""".stripMargin
+          )
+        ).as("p")
+      )
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
     cand
       .join(e.select(col("vec_id").as("a_id"), col("v").as("qv"), col("nrm").as("qn")), "a_id")

@@ -1,0 +1,44 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Dumps `.explain("formatted")` for every SparkEntry query to PLANS.md —
+  * the plan-review artifact for the scale audit (pushdown, broadcast,
+  * exchange reuse, codegen spans).
+  *
+  *   runMain graft.tools.PlanDump [sfDir] [outFile]
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out   = args.lift(1).getOrElse("/root/repo/PLANS.md")
+    val spark = SparkSession
+      .builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sb = new StringBuilder
+    sb.append("# PLANS — physical plans per query (explain formatted)\n\n")
+    sb.append(s"Generated against `$sfDir`. Things to check per SURVEY §5:\n")
+    sb.append("pushed filters + pruned ReadSchema on scans, BroadcastHashJoin on\n")
+    sb.append("dims, ReusedExchange on self-joins, WholeStageCodegen coverage.\n")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
+      sb.append(s"\n## $name\n\n```\n$plan```\n")
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}
