@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{Expressions, InferType}
+
+/** SQL-surface registration for graft's custom functions, usable two ways:
+  *
+  *   - new sessions: `.withExtensions(new GraftExtensions)` or
+  *     `spark.sql.extensions=graft.GraftExtensions`
+  *   - existing sessions: `GraftExtensions.register(spark)`
+  *
+  * Registered functions:
+  *   - `hk_infer_type(str)`       — reference's value-string type inference
+  *   - `graft_fingerprint(arr)`   — 64-bit polynomial document fingerprint
+  *   - `graft_simhash64(arr)`     — 64-bit SimHash over token-hash longs
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.GraftExtensions", null, name, usage, "")
+
+  private[graft] val builders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      "hk_infer_type",
+      info("hk_infer_type", "hk_infer_type(str) - HealthKit SQL type for a value string"),
+      (exprs: Seq[Expression]) => InferType.inferTypeExpr(exprs.head)
+    ),
+    (
+      "graft_fingerprint",
+      info("graft_fingerprint", "graft_fingerprint(array<string>) - 64-bit rolling-hash fingerprint"),
+      (exprs: Seq[Expression]) => Expressions.PolyFingerprint(exprs.head)
+    ),
+    (
+      "graft_simhash64",
+      info("graft_simhash64", "graft_simhash64(array<bigint>) - 64-bit simhash"),
+      (exprs: Seq[Expression]) => Expressions.SimHash64(exprs.head)
+    )
+  )
+
+  /** Register on an already-built session (extensions normally bind at
+    * builder time).
+    */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+}

@@ -31,6 +31,10 @@ object SparkEntry {
     "q10_sessionize"      -> (Relational.q10 _),
     "q11_time_bucket_agg" -> (Relational.q11 _),
     "q12_multi_join_fact" -> (Relational.q12 _),
+    "q13_global_topn"     -> (Relational.q13 _),
+    "q14_rollup"          -> (Relational.q14 _),
+    "q15_scalar_subquery" -> (Relational.q15 _),
+    "q16_set_ops"         -> (Relational.q16 _),
     "q20_dedup_exact"     -> (TextOps.dedupExact _),
     "q21_token_count"     -> (TextOps.tokenCount _),
     "q22_quality_score"   -> (TextOps.qualityScore _),
@@ -58,11 +62,16 @@ object SparkEntry {
     "q10_sessionize"      -> Relational.q10Sql,
     "q11_time_bucket_agg" -> Relational.q11Sql,
     "q12_multi_join_fact" -> Relational.q12Sql,
+    "q13_global_topn"     -> Relational.q13Sql,
+    "q14_rollup"          -> Relational.q14Sql,
+    "q15_scalar_subquery" -> Relational.q15Sql,
+    "q16_set_ops"         -> Relational.q16Sql,
     "q20_dedup_exact"     -> TextOps.dedupExactSql,
     "q21_token_count"     -> TextOps.tokenCountSql,
     "q22_quality_score"   -> TextOps.qualityScoreSql,
+    "q23_langid"          -> TextOps.langIdSql,
     "q28_cosine_topk"     -> VectorOps.cosineTopKSql
-    // q23-q27, q29-q31 are approximate / hash-parameterized ops with no
+    // q24-q27, q29-q31 are approximate / hash-parameterized ops with no
     // SQL-expressible oracle → driver records the weaker rows-only check.
   )
 }

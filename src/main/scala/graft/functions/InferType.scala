@@ -29,6 +29,25 @@ object InferType {
       .when(c.rlike(DateRe) || c.rlike(OffsetDateRe), "DATE")
       .otherwise("TEXT")
 
+  /** Raw Catalyst tree form of [[inferType]], for SQL function registration
+    * (the Column form wraps lazy column nodes that don't resolve through the
+    * function registry).
+    */
+  def inferTypeExpr(
+      child: org.apache.spark.sql.catalyst.expressions.Expression
+  ): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Literal, Or, RLike}
+    def rl(re: String) = RLike(child, Literal(re))
+    CaseWhen(
+      Seq(
+        rl(IntRe)  -> Literal("INTEGER"),
+        rl(RealRe) -> Literal("REAL"),
+        Or(rl(DateRe), rl(OffsetDateRe)) -> Literal("DATE")
+      ),
+      Some(Literal("TEXT"))
+    )
+  }
+
   /** The same decision procedure for plain strings (schema-inference path). */
   def inferTypeStr(v: String): String =
     if (v.matches(IntRe)) "INTEGER"

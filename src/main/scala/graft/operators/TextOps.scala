@@ -102,7 +102,7 @@ object TextOps {
     // tokenize once; each language counts over the shared token array
     val counts = LangStops.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString(", ")
-      expr(s"size(filter(ltoks, t -> t IN ($lst)))").as(s"c_$lang")
+      expr(s"size(filter(ltoks, t -> t IN ($lst)))").cast("long").as(s"c_$lang")
     }
     val base = docs(spark, dir)
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ltoks"))
@@ -119,6 +119,22 @@ object TextOps {
     base
       .withColumn("lang_guess", guess)
       .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    val countCols = LangStops.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN ($lst))) AS c_$lang"
+    }.mkString(",\n  ")
+    val langs = LangStops.map(_._1)
+    val g     = langs.map(l => s"c_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN c_$l = $g THEN '$l'").mkString(" ")
+    s"""SELECT doc_id, c_de, c_en, c_es, c_fr,
+       | CASE WHEN $g = 0 THEN 'und' $cases ELSE 'und' END AS lang_guess
+       |FROM (SELECT doc_id,
+       |  $countCols
+       | FROM documents)
+       |ORDER BY doc_id""".stripMargin
   }
 
   // --- C5 q24: document fingerprint (rows-only) ----------------------------

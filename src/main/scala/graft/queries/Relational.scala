@@ -317,4 +317,75 @@ object Relational {
       |JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment, o_orderpriority
       |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
+
+  // --- B13: global top-n (ORDER BY + LIMIT → TakeOrderedAndProject) --------
+  def q13(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  val q13Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // --- B14: rollup (hierarchical grouping sets) ----------------------------
+  def q14(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"),
+        col("total")
+      )
+      .orderBy(col("prio"), col("status"))
+
+  val q14Sql: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
+      | COALESCE(o_orderstatus, 'ALL') AS status,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY prio, status""".stripMargin
+
+  // --- B15: scalar-subquery filter (customers above global avg balance) ----
+  // Threshold rounded to 2 dp on both sides so parallel-vs-serial double
+  // summation ulp differences can't flip boundary rows.
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val thresh = c.agg(round(avg(col("c_acctbal")), 2).as("t"))
+    c.crossJoin(broadcast(thresh))
+      .filter(col("c_acctbal") > col("t"))
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q15Sql: String =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 2) FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- B16: set operations (INTERSECT / EXCEPT / UNION ALL) ----------------
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("key")).distinct()
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("key")).distinct()
+    val both     = c.intersect(s).select(lit("both").as("tag"), col("key"))
+    val custOnly = c.except(s).select(lit("cust_only").as("tag"), col("key"))
+    both.unionAll(custOnly).orderBy(col("tag"), col("key"))
+  }
+
+  val q16Sql: String =
+    """SELECT tag, key FROM (
+      | SELECT 'both' AS tag, key FROM (
+      |  SELECT DISTINCT c_nationkey AS key FROM customer
+      |  INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+      | UNION ALL
+      | SELECT 'cust_only' AS tag, key FROM (
+      |  SELECT DISTINCT c_nationkey AS key FROM customer
+      |  EXCEPT SELECT DISTINCT s_nationkey FROM supplier))
+      |ORDER BY tag, key""".stripMargin
 }

@@ -108,6 +108,15 @@ class HealthKitXmlSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/as").count() == 10)
   }
 
+  test("A1: multiple archives parse in parallel (scale path is per-file)") {
+    val elems = HealthKitXml.elements(spark, Seq(zipPath, zipPath, zipPath))
+    // 3 archives × (1 Record + 1 Workout + 10 ActivitySummary) elements
+    assert(elems.count() == 36)
+    assert(elems.rdd.getNumPartitions == 3)
+    val t = HealthKitXml.tables(spark, Seq(zipPath, zipPath, zipPath))
+    assert(t(HealthKitXml.ActivitySummaryTable).count() == 30)
+  }
+
   test("reference README query: workout duration by activity type") {
     // select sum(duration)/60 from workout where workoutActivityType in (...)
     val w = tables(HealthKitXml.WorkoutTable)

@@ -114,6 +114,20 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.select(max(length(col("frame")))).collect().head.getInt(0) <= 16)
   }
 
+  test("SQL function registration (SparkSessionExtensions path)") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT hk_infer_type('42') AS a, hk_infer_type('2.5') AS b,
+        |  hk_infer_type('2022-12-15') AS c, hk_infer_type('mi/hr') AS d,
+        |  graft_fingerprint(array('a','b')) AS fp,
+        |  graft_simhash64(array(1L, 3L)) AS sh""".stripMargin).collect().head
+    assert(r.getString(0) == "INTEGER" && r.getString(1) == "REAL")
+    assert(r.getString(2) == "DATE" && r.getString(3) == "TEXT")
+    // 1 & 3 share bit 0 → majority positive; bit 1 ties at 0 → unset
+    assert(r.getAs[Long]("sh") == 1L)
+    assert(r.getAs[Long]("fp") != 0L)
+  }
+
   test("B1/B4 plans: filters push to parquet, dim joins broadcast") {
     val q1plan = Relational.q01(spark, Sf001).queryExecution.executedPlan.toString
     assert(q1plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
