@@ -28,21 +28,28 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.GraftExtensions", null, name, usage, "")
 
+  private def unary(name: String)(f: Expression => Expression): Seq[Expression] => Expression = {
+    case Seq(e) => f(e)
+    case exprs =>
+      throw new IllegalArgumentException(
+        s"$name expects exactly 1 argument, got ${exprs.length}")
+  }
+
   private[graft] val builders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (
       "hk_infer_type",
       info("hk_infer_type", "hk_infer_type(str) - HealthKit SQL type for a value string"),
-      (exprs: Seq[Expression]) => InferType.inferTypeExpr(exprs.head)
+      unary("hk_infer_type")(InferType.inferTypeExpr)
     ),
     (
       "graft_fingerprint",
       info("graft_fingerprint", "graft_fingerprint(array<string>) - 64-bit rolling-hash fingerprint"),
-      (exprs: Seq[Expression]) => Expressions.PolyFingerprint(exprs.head)
+      unary("graft_fingerprint")(Expressions.PolyFingerprint(_))
     ),
     (
       "graft_simhash64",
       info("graft_simhash64", "graft_simhash64(array<bigint>) - 64-bit simhash"),
-      (exprs: Seq[Expression]) => Expressions.SimHash64(exprs.head)
+      unary("graft_simhash64")(Expressions.SimHash64(_))
     )
   )
 
