@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Multimodal, TextOps, VectorOps}
+import graft.operators.{Multimodal, Skew, TextOps, VectorOps}
 import graft.queries.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
@@ -35,6 +35,7 @@ object SparkEntry {
     "q14_rollup"          -> (Relational.q14 _),
     "q15_scalar_subquery" -> (Relational.q15 _),
     "q16_set_ops"         -> (Relational.q16 _),
+    "q17_salted_agg"      -> (Skew.q17 _),
     "q20_dedup_exact"     -> (TextOps.dedupExact _),
     "q21_token_count"     -> (TextOps.tokenCount _),
     "q22_quality_score"   -> (TextOps.qualityScore _),
@@ -66,6 +67,7 @@ object SparkEntry {
     "q14_rollup"          -> Relational.q14Sql,
     "q15_scalar_subquery" -> Relational.q15Sql,
     "q16_set_ops"         -> Relational.q16Sql,
+    "q17_salted_agg"      -> Skew.q17Sql,
     "q20_dedup_exact"     -> TextOps.dedupExactSql,
     "q21_token_count"     -> TextOps.tokenCountSql,
     "q22_quality_score"   -> TextOps.qualityScoreSql,

@@ -114,6 +114,19 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.select(max(length(col("frame")))).collect().head.getInt(0) <= 16)
   }
 
+  test("B18: salted aggregation is result-invariant vs plain groupBy") {
+    import graft.core.Tables
+    import graft.operators.Skew
+    val ev = Tables.events(spark, Sf0001)
+    val salted = Skew.saltedCountSum(ev, "event_type", "value", buckets = 16)
+      .orderBy(col("event_type")).collect()
+    val plain = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("event_type")).collect()
+    assert(salted.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      plain.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
   test("SQL function registration (SparkSessionExtensions path)") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(

@@ -61,6 +61,27 @@ class StreamingSpec extends SparkSpec {
     assert(finalBySession == Map(1L -> 3, 2L -> 1))
   }
 
+  test("E4: file-source stream over the events parquet (readStream path)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file source wants a directory; stage the single parquet file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(dir.toString).schema // ts as long nanos
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val q = EventStreams
+      .windowedCounts(stream)
+      .writeStream.format("memory").queryName("file_win").outputMode("complete").start()
+    q.processAllAvailable()
+    val total = spark.table("file_win").agg(sum(col("n"))).collect().head.getLong(0)
+    q.stop()
+    assert(total == 1000L) // all sf0.001 events counted exactly once
+  }
+
   test("E3: streaming dedup drops duplicate event_ids across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
