@@ -50,6 +50,20 @@ object GraftExtensions {
       "graft_simhash64",
       info("graft_simhash64", "graft_simhash64(array<bigint>) - 64-bit simhash"),
       unary("graft_simhash64")(Expressions.SimHash64(_))
+    ),
+    (
+      // SQLite-compat alias so the reference README's example queries run
+      // verbatim (json_extract(col, '$.path') ≡ get_json_object).
+      "json_extract",
+      info("json_extract", "json_extract(json, path) - SQLite-compatible JSON path extraction"),
+      (exprs: Seq[Expression]) =>
+        exprs match {
+          case Seq(json, path) =>
+            org.apache.spark.sql.catalyst.expressions.GetJsonObject(json, path)
+          case other =>
+            throw new IllegalArgumentException(
+              s"json_extract expects exactly 2 arguments, got ${other.length}")
+        }
     )
   )
 

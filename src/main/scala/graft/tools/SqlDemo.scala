@@ -15,6 +15,7 @@ object SqlDemo {
       .appName("graft-sql-demo")
       .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // show the bucketed SMJ path
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -28,6 +29,19 @@ object SqlDemo {
       .sql("""SELECT graft_fingerprint(split('the quick brown fox', ' ')) AS fp,
              | graft_simhash64(transform(split('a b c', ' '), t -> xxhash64(t))) AS sh""".stripMargin)
       .show(false)
+    // SQLite-compat json_extract (the reference README's function name)
+    spark
+      .sql("""SELECT json_extract('{"a": {"sum": 1.5}}', "$.a.sum") AS v""")
+      .show(false)
+    // bucketed co-located join: pay the shuffle at write time, join free
+    val rev = graft.operators.Bucketing
+      .cobucketedRevenue(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    rev.show(false)
+    val plan = rev.queryExecution.executedPlan.toString
+    println("join strategy: " +
+      (if (plan.contains("SortMergeJoin")) "SortMergeJoin" else "other") +
+      ", exchanges under join inputs: " +
+      (plan.split("Join").drop(1).mkString.contains("Exchange hashpartitioning(l_orderkey")))
     args.headOption.foreach { _ => // probe mode: intentionally bad arity
       spark.sql("SELECT hk_infer_type()").show()
     }

@@ -136,4 +136,38 @@ class HealthKitXmlSpec extends SparkSpec {
       .agg(sum(col("mi"))).collect().head.getDouble(0)
     assert(miles > 0)
   }
+
+  test("reference README queries run VERBATIM via spark.sql") {
+    graft.GraftExtensions.register(spark)
+    tables(HealthKitXml.WorkoutTable).createOrReplaceTempView("workout")
+    // README query 1, verbatim (README.md "Total walking, running, and
+    // hiking workout duration"), date range widened to the fixture's year
+    val dur = spark.sql(
+      """select
+        |  sum(duration) / 60 as total_duration
+        |from
+        |  workout
+        |where
+        |  (
+        |    creationDate between '2020-01-01' and '2020-12-31'
+        |  )
+        |  and (
+        |    workoutActivityType = 'HKWorkoutActivityTypeWalking' or
+        |    workoutActivityType = 'HKWorkoutActivityTypeRunning' or
+        |    workoutActivityType = 'HKWorkoutActivityTypeHiking'
+        |  )""".stripMargin).collect().head.getDouble(0)
+    assert(math.abs(dur - 34.18067507346471 / 60.0) < 1e-9)
+    // README query 2, verbatim (json_extract + double-quoted path)
+    val miles = spark.sql(
+      """select
+        |  sum(
+        |    json_extract(
+        |      workoutStatistics,
+        |      "$.HKQuantityTypeIdentifierDistanceWalkingRunning.sum"
+        |    )
+        |  ) as total_distance_miles
+        |from
+        |  workout""".stripMargin).collect().head.getDouble(0)
+    assert(miles > 0)
+  }
 }

@@ -114,6 +114,32 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.select(max(length(col("frame")))).collect().head.getInt(0) <= 16)
   }
 
+  test("B19: co-bucketed tables join with zero exchanges") {
+    import graft.operators.Bucketing
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val rev  = Bucketing.cobucketedRevenue(spark, Sf0001)
+      val plan = rev.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // the join itself reads bucketed scans — no shuffle on either side;
+      // the only exchange allowed is the post-join groupBy/orderBy
+      val joinPart = plan.split("SortMergeJoin")(1)
+      assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey") &&
+        !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+        s"join inputs must not re-shuffle:\n$plan")
+      // and the result matches the plain (unbucketed) computation
+      val expect = graft.core.Tables.lineitem(spark, Sf0001)
+        .join(graft.core.Tables.orders(spark, Sf0001), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority")).collect()
+      assert(rev.collect().map(_.toSeq).toSeq == expect.map(_.toSeq).toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("B18: salted aggregation is result-invariant vs plain groupBy") {
     import graft.core.Tables
     import graft.operators.Skew
