@@ -36,6 +36,7 @@ object SparkEntry {
     "q15_scalar_subquery" -> (Relational.q15 _),
     "q16_set_ops"         -> (Relational.q16 _),
     "q17_salted_agg"      -> (Skew.q17 _),
+    "q18_cube"            -> (Relational.q18 _),
     "q20_dedup_exact"     -> (TextOps.dedupExact _),
     "q21_token_count"     -> (TextOps.tokenCount _),
     "q22_quality_score"   -> (TextOps.qualityScore _),
@@ -47,6 +48,7 @@ object SparkEntry {
     "q28_cosine_topk"     -> (VectorOps.cosineTopK _),
     "q29_ann_lsh"         -> (VectorOps.annLsh _),
     "q30_embed_neardup"   -> (VectorOps.embedNearDup _),
+    "q32_ann_ivf"         -> (VectorOps.annIvf _),
     "q31_multimodal_pipe" -> (Multimodal.pipeline _)
   )
 
@@ -68,6 +70,7 @@ object SparkEntry {
     "q15_scalar_subquery" -> Relational.q15Sql,
     "q16_set_ops"         -> Relational.q16Sql,
     "q17_salted_agg"      -> Skew.q17Sql,
+    "q18_cube"            -> Relational.q18Sql,
     "q20_dedup_exact"     -> TextOps.dedupExactSql,
     "q21_token_count"     -> TextOps.tokenCountSql,
     "q22_quality_score"   -> TextOps.qualityScoreSql,

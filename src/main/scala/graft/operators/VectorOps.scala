@@ -79,6 +79,60 @@ object VectorOps {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // --- C10b q32: IVF-style bucketed ANN ------------------------------------
+  // Coarse quantizer: NCells fixed centroid vectors (here: a deterministic
+  // prefix of the corpus standing in for trained k-means centroids — the
+  // assignment/probe machinery is identical). Every vector is assigned
+  // map-side to its nearest centroid; a query probes its NProbe closest
+  // cells only, so the scan touches ~NProbe/NCells of the corpus. At
+  // 100 TB: train real centroids on a sample, broadcast them (tiny), keep
+  // the corpus partitioned/bucketed by cell id.
+  val IvfCells  = 16
+  val IvfProbes = 4
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val centroids = e
+      .filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    // map-side cell assignment: broadcast centroids, keep best cell per vec
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+    val assigned = e
+      .crossJoin(broadcast(centroids))
+      .withColumn(
+        "csim",
+        expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          (col("nrm") * col("cn"))
+      )
+      .withColumn("cell_rank", row_number().over(wAssign))
+      .filter(col("cell_rank") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    // queries probe their NProbe nearest cells
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cell"))
+    val probes = e
+      .filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn(
+        "csim",
+        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          (col("qn") * col("cn"))
+      )
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= IvfProbes)
+      .select(col("q_id"), col("qv"), col("qn"), col("cell"))
+    // search only within probed cells
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    assigned
+      .select(col("vec_id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", dot / (col("qn") * col("cn")))
+      .select(col("q_id"), col("n_id"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= AnnTopK)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   // --- C11 q30: embedding-cosine near-dup pairs via multi-table LSH --------
   // 8 independent 4-plane tables: P(candidate | cos θ) = 1-(1-(1-θ/π)^4)^8 —
   // ~70 % recall at cos≥0.35 on random data, while candidate volume stays a

@@ -352,6 +352,28 @@ object Relational {
       |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
       |ORDER BY prio, status""".stripMargin
 
+  // --- B14b: CUBE over two dimensions (all grouping-set combinations) ------
+  def q18(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"),
+        col("qty")
+      )
+      .orderBy(col("rf"), col("ls"))
+
+  val q18Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      | COALESCE(l_linestatus, 'ALL') AS ls,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
   // --- B15: scalar-subquery filter (customers above global avg balance) ----
   // Threshold rounded to 2 dp on both sides so parallel-vs-serial double
   // summation ulp differences can't flip boundary rows.

@@ -137,6 +137,41 @@ class HealthKitXmlSpec extends SparkSpec {
     assert(miles > 0)
   }
 
+  test("A2/A3: synthetic export — conflicting value types widen, types fan out") {
+    // the reference example has one Record type; synthesize an export with
+    // two types and an INTEGER-vs-REAL conflict inside one column
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<HealthData locale="en_US">
+        | <ExportDate value="2024-01-01 10:00:00 -0800"/>
+        | <Record type="HKQuantityTypeIdentifierStepCount" value="100" unit="count" startDate="2024-01-01 09:00:00 -0800" endDate="2024-01-01 09:10:00 -0800" sourceName="t"/>
+        | <Record type="HKQuantityTypeIdentifierStepCount" value="12.5" unit="count" startDate="2024-01-01 09:20:00 -0800" endDate="2024-01-01 09:30:00 -0800" sourceName="t"/>
+        | <Record type="HKCategoryTypeIdentifierSleepAnalysis" value="InBed" startDate="2024-01-01 01:00:00 -0800" endDate="2024-01-01 07:00:00 -0800" sourceName="t">
+        |   <MetadataEntry key="quality" value="3"/>
+        | </Record>
+        |</HealthData>""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("hk_synth")
+    val zp  = dir.resolve("export.zip")
+    val zos = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(zp))
+    zos.putNextEntry(new java.util.zip.ZipEntry("apple_health_export/export.xml"))
+    zos.write(xml.getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+
+    val elems   = HealthKitXml.elements(spark, Seq(zp.toString))
+    val schemas = HealthKitXml.inferSchemas(elems)
+    val steps = schemas("HKQuantityTypeIdentifierStepCount")
+    assert(steps("value") == "REAL")            // INTEGER ⊔ REAL = REAL
+    val sleep = schemas("HKCategoryTypeIdentifierSleepAnalysis")
+    assert(sleep("value") == "TEXT")
+    assert(sleep("metadata_quality") == "INTEGER")
+
+    val tabs = HealthKitXml.tables(spark, Seq(zp.toString))
+    val stepVals = tabs("HKQuantityTypeIdentifierStepCount")
+      .select(col("value")).collect().map(_.getDouble(0)).sorted
+    assert(stepVals.sameElements(Array(12.5, 100.0)))
+    assert(tabs("HKCategoryTypeIdentifierSleepAnalysis").count() == 1)
+  }
+
   test("reference README queries run VERBATIM via spark.sql") {
     graft.GraftExtensions.register(spark)
     tables(HealthKitXml.WorkoutTable).createOrReplaceTempView("workout")

@@ -95,6 +95,19 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("rk") <= VectorOps.AnnTopK))
   }
 
+  test("C10b: IVF ANN probes nearest cells and returns in-cell neighbors") {
+    val rows = VectorOps.annIvf(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("n_id")))
+    assert(rows.forall(_.getAs[Int]("rk") <= VectorOps.AnnTopK))
+    // IVF with NProbe cells should agree with brute force on most rank-1
+    // neighbors when the rank-1 neighbor's cell is probed; sanity: overlap>0
+    val brute = VectorOps.cosineTopK(spark, Sf0001).collect()
+      .filter(_.getAs[Int]("rk") == 1).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf1 = rows.filter(_.getAs[Int]("rk") == 1).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf1.intersect(brute).nonEmpty)
+  }
+
   test("C11: embedding near-dup pairs exceed the cosine threshold") {
     val rows = VectorOps.embedNearDup(spark, Sf0001).collect()
     assert(rows.nonEmpty)
