@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
@@ -10,9 +10,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
   * express directly. All are deterministic pure functions of their input so
   * they stay safe under retries/speculation at cluster scale.
   *
-  * CodegenFallback is acceptable here: each runs once per (already
-  * aggregated) row on narrow data, outside the hot whole-stage-codegen scan
-  * paths.
+  * PolyFingerprint/SimHash64 implement `doGenCode`, so they stay inside
+  * whole-stage codegen on the hot per-document paths; HyperplaneBucket
+  * falls back (its plane matrix lives in a reference object and it sits on
+  * narrow post-aggregation rows).
   */
 object Expressions {
 
@@ -20,9 +21,7 @@ object Expressions {
     * (document fingerprinting, SURVEY §2.C5). Order-sensitive: token
     * sequences, not bags, distinguish documents.
     */
-  case class PolyFingerprint(child: Expression)
-      extends UnaryExpression
-      with CodegenFallback {
+  case class PolyFingerprint(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -39,6 +38,22 @@ object Expressions {
       }
       java.lang.Long.valueOf(h)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val i, j, th, bytes = ctx.freshName("v")
+        s"""
+           |long ${ev.value}_h = 1125899906842597L;
+           |for (int $i = 0; $i < $c.numElements(); $i++) {
+           |  byte[] $bytes = $c.getUTF8String($i).getBytes();
+           |  long $th = 0L;
+           |  for (int $j = 0; $j < $bytes.length; $j++) {
+           |    $th = 31L * $th + ($bytes[$j] & 0xff);
+           |  }
+           |  ${ev.value}_h = 1000003L * ${ev.value}_h + $th;
+           |}
+           |${ev.value} = ${ev.value}_h;
+           |""".stripMargin
+      })
     override protected def withNewChildInternal(c: Expression): PolyFingerprint = copy(c)
   }
 
@@ -46,9 +61,7 @@ object Expressions {
     * (SURVEY §2.C7): per bit, sum +1/-1 across token hashes; result bit set
     * where the sum is positive. Token multiplicity acts as the weight.
     */
-  case class SimHash64(child: Expression)
-      extends UnaryExpression
-      with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val arr    = input.asInstanceOf[ArrayData]
@@ -68,6 +81,23 @@ object Expressions {
       while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
       java.lang.Long.valueOf(out)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val i, b, h, counts = ctx.freshName("v")
+        s"""
+           |int[] $counts = new int[64];
+           |for (int $i = 0; $i < $c.numElements(); $i++) {
+           |  long $h = $c.getLong($i);
+           |  for (int $b = 0; $b < 64; $b++) {
+           |    if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+           |  }
+           |}
+           |${ev.value} = 0L;
+           |for (int $b = 0; $b < 64; $b++) {
+           |  if ($counts[$b] > 0) ${ev.value} |= (1L << $b);
+           |}
+           |""".stripMargin
+      })
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   }
 

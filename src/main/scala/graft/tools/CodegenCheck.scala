@@ -1,0 +1,19 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object CodegenCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_fingerprint(split(text, ' ')) AS fp,
+        |  graft_simhash64(transform(split(text, ' '), t -> xxhash64(t))) AS sh
+        |FROM parquet.`/root/testdata/sf0.001/documents.parquet`""".stripMargin)
+    val n = r.filter("fp IS NOT NULL AND sh IS NOT NULL").count()
+    println(s"CODEGEN_ONLY evaluated rows: $n")
+    spark.stop()
+  }
+}
