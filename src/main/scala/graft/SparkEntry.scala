@@ -37,6 +37,7 @@ object SparkEntry {
     "q16_set_ops"         -> (Relational.q16 _),
     "q17_salted_agg"      -> (Skew.q17 _),
     "q18_cube"            -> (Relational.q18 _),
+    "q19_scalar_funcs"    -> (Relational.q19 _),
     "q20_dedup_exact"     -> (TextOps.dedupExact _),
     "q21_token_count"     -> (TextOps.tokenCount _),
     "q22_quality_score"   -> (TextOps.qualityScore _),
@@ -71,6 +72,7 @@ object SparkEntry {
     "q16_set_ops"         -> Relational.q16Sql,
     "q17_salted_agg"      -> Skew.q17Sql,
     "q18_cube"            -> Relational.q18Sql,
+    "q19_scalar_funcs"    -> Relational.q19Sql,
     "q20_dedup_exact"     -> TextOps.dedupExactSql,
     "q21_token_count"     -> TextOps.tokenCountSql,
     "q22_quality_score"   -> TextOps.qualityScoreSql,

@@ -82,6 +82,30 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic byte-domain downscale standing in for a
+    * real image resize (no imaging libs in this container). Keeps the
+    * batch/partition shape a real resize kernel would have: pure function
+    * of (payload, target dims), map-only.
+    */
+  def resizeStub(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    val out = new Array[Byte](outW * outH)
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = payload((i.toLong * payload.length / out.length).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Map-side resize over the media table (STUB kernel, real plumbing). */
+  def resize(media: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r =>
+      r.copy(payload = resizeStub(r.payload, outW, outH), width = outW, height = outH)))
+  }
+
   /** Frame sampler for "video" payloads: every Nth fixed-size frame slice.
     * Real frame extraction is the same shape with a codec behind it (STUB).
     */

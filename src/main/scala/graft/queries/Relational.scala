@@ -374,6 +374,34 @@ object Relational {
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin
 
+  // --- B22: scalar string/date function suite ------------------------------
+  // upper/substring/concat/LIKE + year/month/quarter — the everyday scalar
+  // surface, typed to match DuckDB exactly (casts where return types differ).
+  def q19(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .filter(col("o_orderpriority").like("%-%"))
+      .select(
+        upper(substring(col("o_orderpriority"), 3, 30)).as("prio_name"),
+        concat(col("o_orderstatus"), lit("/"), substring(col("o_orderpriority"), 1, 1)).as("code"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr")
+      )
+      .groupBy(col("prio_name"), col("code"), col("yr"), col("qtr"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prio_name"), col("code"), col("yr"), col("qtr"))
+
+  val q19Sql: String =
+    """SELECT upper(substring(o_orderpriority, 3, 30)) AS prio_name,
+      | o_orderstatus || '/' || substring(o_orderpriority, 1, 1) AS code,
+      | year(o_orderdate) AS yr,
+      | quarter(o_orderdate) AS qtr,
+      | COUNT(*) AS n
+      |FROM orders
+      |WHERE o_orderpriority LIKE '%-%'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY prio_name, code, yr, qtr""".stripMargin
+
   // --- B15: scalar-subquery filter (customers above global avg balance) ----
   // Threshold rounded to 2 dp on both sides so parallel-vs-serial double
   // summation ulp differences can't flip boundary rows.

@@ -125,6 +125,9 @@ class OperatorsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media, frameBytes = 16, everyNth = 2)
     assert(frames.count() > 0)
     assert(frames.select(max(length(col("frame")))).collect().head.getInt(0) <= 16)
+    // resize: every payload lands at exactly outW*outH bytes, dims updated
+    val resized = Multimodal.resize(media, 8, 8).collect()
+    assert(resized.forall(r => r.payload.length == 64 && r.width == 8 && r.height == 8))
   }
 
   test("B19: co-bucketed tables join with zero exchanges") {
