@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Multimodal, Skew, TextOps, VectorOps}
+import graft.operators.{CleanPipeline, Multimodal, Skew, TextOps, VectorOps}
 import graft.queries.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
@@ -50,6 +50,7 @@ object SparkEntry {
     "q29_ann_lsh"         -> (VectorOps.annLsh _),
     "q30_embed_neardup"   -> (VectorOps.embedNearDup _),
     "q32_ann_ivf"         -> (VectorOps.annIvf _),
+    "q33_clean_pipeline"  -> (CleanPipeline.q33 _),
     "q31_multimodal_pipe" -> (Multimodal.pipeline _)
   )
 

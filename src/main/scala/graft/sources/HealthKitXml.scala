@@ -53,13 +53,34 @@ object HealthKitXml {
     * One task per archive: archives parse independently and in parallel.
     * (Paths must be visible from executors — local FS here; at cluster
     * scale the open would go through `org.apache.hadoop.fs.FileSystem`.)
+    *
+    * `lenient = true` is the large-fleet posture: a corrupt archive is
+    * logged and counted (accumulator "hk_bad_archives") instead of failing
+    * the whole job — at 100 TB some archive in the corpus WILL be broken.
     */
-  def elements(spark: SparkSession, zipPaths: Seq[String]): Dataset[HkElement] = {
+  def elements(
+      spark: SparkSession,
+      zipPaths: Seq[String],
+      lenient: Boolean = false
+  ): Dataset[HkElement] = {
     import spark.implicits._
+    val badArchives = spark.sparkContext.longAccumulator("hk_bad_archives")
     spark
       .createDataset(zipPaths)
       .repartition(zipPaths.size)
-      .mapPartitions(paths => paths.flatMap(parseArchive))
+      .mapPartitions { paths =>
+        paths.flatMap { p =>
+          if (!lenient) parseArchive(p)
+          else
+            try parseArchive(p)
+            catch {
+              case e: Exception =>
+                System.err.println(s"[graft] skipping unreadable archive $p: ${e.getMessage}")
+                badArchives.add(1L)
+                Iterator.empty
+            }
+        }
+      }
   }
 
   /** Streaming-parse a single archive; GPX route files are read from a

@@ -137,6 +137,19 @@ class HealthKitXmlSpec extends SparkSpec {
     assert(miles > 0)
   }
 
+  test("A1: lenient mode skips corrupt archives instead of failing the job") {
+    val dir = java.nio.file.Files.createTempDirectory("hk_bad")
+    val bad = dir.resolve("broken.zip")
+    java.nio.file.Files.write(bad, "this is not a zip".getBytes)
+    // strict mode: corrupt archive fails the job
+    intercept[org.apache.spark.SparkException] {
+      HealthKitXml.elements(spark, Seq(bad.toString)).count()
+    }
+    // lenient mode: good archive's data survives, bad one is skipped
+    val elems = HealthKitXml.elements(spark, Seq(zipPath, bad.toString), lenient = true)
+    assert(elems.count() == 12) // 1 Record + 1 Workout + 10 ActivitySummary
+  }
+
   test("A2/A3: synthetic export — conflicting value types widen, types fan out") {
     // the reference example has one Record type; synthesize an export with
     // two types and an INTEGER-vs-REAL conflict inside one column

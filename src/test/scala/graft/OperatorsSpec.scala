@@ -115,6 +115,24 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
   }
 
+  test("C12: clean pipeline drops near-dup victims and low-quality docs") {
+    import graft.operators.CleanPipeline
+    val survivors = CleanPipeline.clean(spark, Sf0001).collect()
+    assert(survivors.nonEmpty)
+    val ids = survivors.map(_.getAs[Long]("doc_id")).toSet
+    // every verified near-dup pair keeps at most one member
+    val pairs = TextOps.ngramJaccard(spark, Sf0001)
+      .filter(col("jaccard") >= CleanPipeline.JaccardCut).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      assert(!(ids.contains(p.getAs[Long]("doc_a")) && ids.contains(p.getAs[Long]("doc_b"))),
+        s"both members of near-dup pair survived: $p")
+    }
+    // quality gates hold
+    assert(survivors.forall(_.getAs[Int]("n_tokens") >= CleanPipeline.MinTokens))
+    assert(survivors.forall(_.getAs[Double]("stop_ratio") <= CleanPipeline.MaxStopRatio))
+  }
+
   test("D1-D4: multimodal decode plumbing is deterministic and partition-safe") {
     val media = Multimodal.mediaTable(spark, Sf0001)
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
