@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-quality regression guards: the physical-plan properties SURVEY §5
+  * claims, asserted so future rounds can't silently regress them.
+  * Shuffle count = `Exchange hashpartitioning/rangepartitioning`
+  * occurrences (broadcast exchanges excluded — those are the cheap ones).
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def shuffles(p: String): Int =
+    "Exchange (hash|range)partitioning".r.findAllIn(p).length
+
+  test("every query's plan builds and stays within its shuffle budget") {
+    val budgets = Map(
+      "q01_agg_groupby"   -> 2, // agg + sort
+      "q02_filter_daterange" -> 2,
+      "q04_join_dims"     -> 2, // agg + sort (joins broadcast)
+      "q06_pivot_per_type" -> 3, // pivot = 2-phase agg (pre-agg to user×type) + sort
+      "q11_time_bucket_agg" -> 2,
+      "q17_salted_agg"    -> 3, // salted partial + combine + sort
+      "q20_dedup_exact"   -> 2,
+      "q25_minhash_lsh"   -> 3, // bucket agg + pair distinct + sort
+      "q26_simhash"       -> 3
+    )
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = plan(fn(spark, Sf001)) // building the plan must not throw
+      budgets.get(name).foreach { maxShuffles =>
+        val n = shuffles(p)
+        assert(n <= maxShuffles, s"$name has $n shuffles (budget $maxShuffles):\n$p")
+      }
+    }
+  }
+
+  test("scans prune columns and push filters") {
+    val p1 = plan(queries.Relational.q01(spark, Sf001))
+    assert(p1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // q01 touches 5 lineitem columns; the 11-column table must not be fully read
+    assert(!p1.contains("l_partkey"), "q01 should not read l_partkey")
+    val p4 = plan(queries.Relational.q04(spark, Sf001))
+    assert(p4.contains("BroadcastHashJoin"))
+    assert(!p4.contains("SortMergeJoin"), "dim joins must broadcast, not SMJ")
+  }
+
+  test("no accidental cartesian products anywhere") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = plan(fn(spark, Sf001))
+      assert(!p.contains("CartesianProduct"),
+        s"$name contains a CartesianProduct:\n$p")
+    }
+  }
+}

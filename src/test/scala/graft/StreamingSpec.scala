@@ -82,6 +82,28 @@ class StreamingSpec extends SparkSpec {
     assert(total == 1000L) // all sf0.001 events counted exactly once
   }
 
+  test("E5: streaming sink via foreachBatch into JDBC (Derby)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in  = MemoryStream[Ev]
+    val url = "jdbc:derby:memory:streamSink;create=true"
+    val q = in
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sinks.Sinks.writeJdbc(batch, url, "events_stream", mode = "append")
+      }
+      .start()
+    in.addData(Ev(1, 1, ts(0), "click", 1.0), Ev(2, 1, ts(1), "view", 2.0))
+    q.processAllAvailable()
+    in.addData(Ev(3, 2, ts(2), "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.jdbc(url, "\"events_stream\"", new java.util.Properties())
+    assert(back.count() == 3)
+  }
+
   test("E3: streaming dedup drops duplicate event_ids across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
