@@ -25,23 +25,27 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
 
-    // best-of-2 per query: single local runs are GC/scheduling-noisy
+    // best-of-2 per query: single local runs are GC/scheduling-noisy.
+    // Failed runs must not contribute a (fast) bogus time — a query with no
+    // successful run reports -1 and is excluded from the total.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     )

@@ -48,10 +48,14 @@ object CleanPipeline {
       )
       .filter(col("n_tokens") >= MinTokens && col("stop_ratio") <= MaxStopRatio)
 
-    // 3. near-dup removal: verified pairs → drop the higher id
+    // 3. near-dup removal: verified pairs → drop the higher id, but ONLY
+    // when the kept (lower-id) member itself survived the earlier stages —
+    // otherwise a pair whose keeper was quality-gated would lose BOTH copies
+    val keptSide = gated.select(col("doc_id").as("doc_a"))
     val victims = TextOps
       .ngramJaccard(spark, dir)
       .filter(col("jaccard") >= JaccardCut)
+      .join(keptSide, Seq("doc_a"), "left_semi")
       .select(col("doc_b").as("doc_id"))
       .distinct()
     gated

@@ -71,46 +71,99 @@ object HealthKitXml {
       .mapPartitions { paths =>
         paths.flatMap { p =>
           if (!lenient) parseArchive(p)
-          else
-            try parseArchive(p)
-            catch {
-              case e: Exception =>
-                System.err.println(s"[graft] skipping unreadable archive $p: ${e.getMessage}")
-                badArchives.add(1L)
-                Iterator.empty
-            }
+          else lenientIterator(p, badArchives)
         }
       }
   }
 
-  /** Streaming-parse a single archive; GPX route files are read from a
-    * second handle on the same archive, mirroring the reference's dual
-    * zip readers (`core.rs:48-51`).
+  /** Lenient wrapper: failures at open OR mid-iteration truncate the
+    * archive's element stream (counted) instead of failing the task.
     */
-  def parseArchive(zipPath: String): Iterator[HkElement] = {
-    val zip   = new java.util.zip.ZipFile(zipPath)
-    val entry = zip.getEntry("apple_health_export/export.xml")
-    require(entry != null, s"no apple_health_export/export.xml in $zipPath")
-    val reader = xmlReader(zip.getInputStream(entry))
-
-    val out = mutable.ArrayBuffer.empty[HkElement]
-    import javax.xml.stream.XMLStreamConstants._
-    while (reader.hasNext) {
-      reader.next() match {
-        case START_ELEMENT =>
-          reader.getLocalName match {
-            case "Record"          => out += parseRecord(reader)
-            case "Workout"         => out += parseWorkout(reader, zip)
-            case "ActivitySummary" =>
-              out += HkElement("ActivitySummary", ActivitySummaryTable, attrsOf(reader), Map.empty)
-            case _ => () // HealthData, ExportDate, Me, Correlation children, …
-          }
-        case _ => ()
+  private def lenientIterator(
+      path: String,
+      bad: org.apache.spark.util.LongAccumulator
+  ): Iterator[HkElement] = {
+    def skip(e: Exception): Unit = {
+      System.err.println(s"[graft] skipping unreadable archive $path: ${e.getMessage}")
+      bad.add(1L)
+    }
+    val underlying =
+      try parseArchive(path)
+      catch { case e: Exception => skip(e); return Iterator.empty }
+    new Iterator[HkElement] {
+      private var pending: HkElement = null
+      private var broken             = false
+      override def hasNext: Boolean =
+        pending != null || (!broken && {
+          try {
+            if (underlying.hasNext) { pending = underlying.next(); true }
+            else false
+          } catch { case e: Exception => skip(e); broken = true; false }
+        })
+      override def next(): HkElement = {
+        if (!hasNext) throw new NoSuchElementException
+        val e = pending; pending = null; e
       }
     }
-    reader.close()
-    zip.close()
-    out.iterator
+  }
+
+  /** Streaming-parse a single archive as a LAZY iterator — elements are
+    * pulled from the StAX reader on demand, so task memory stays bounded
+    * even for multi-GB exports. GPX route files are read from a second
+    * handle on the same archive, mirroring the reference's dual zip
+    * readers (`core.rs:48-51`). Resources close at EOF or on error.
+    */
+  def parseArchive(zipPath: String): Iterator[HkElement] = {
+    val archive = new java.util.zip.ZipFile(zipPath)
+    val entry   = archive.getEntry("apple_health_export/export.xml")
+    if (entry == null) {
+      archive.close()
+      throw new IllegalArgumentException(s"no apple_health_export/export.xml in $zipPath")
+    }
+    val reader = xmlReader(archive.getInputStream(entry))
+    import javax.xml.stream.XMLStreamConstants._
+
+    new Iterator[HkElement] {
+      private var pending: HkElement = null
+      private var closed             = false
+
+      private def close(): Unit =
+        if (!closed) {
+          closed = true
+          try reader.close()
+          finally archive.close()
+        }
+
+      private def advance(): Unit = {
+        if (pending != null || closed) return
+        try {
+          while (pending == null && reader.hasNext) {
+            reader.next() match {
+              case START_ELEMENT =>
+                reader.getLocalName match {
+                  case "Record"  => pending = parseRecord(reader)
+                  case "Workout" => pending = parseWorkout(reader, archive)
+                  case "ActivitySummary" =>
+                    pending =
+                      HkElement("ActivitySummary", ActivitySummaryTable, attrsOf(reader), Map.empty)
+                  case _ => () // HealthData, ExportDate, Me, Correlation children, …
+                }
+              case _ => ()
+            }
+          }
+          if (pending == null) close()
+        } catch {
+          case e: Exception => close(); throw e
+        }
+      }
+
+      override def hasNext: Boolean = { advance(); pending != null }
+      override def next(): HkElement = {
+        advance()
+        if (pending == null) throw new NoSuchElementException
+        val e = pending; pending = null; e
+      }
+    }
   }
 
   /** JDK StAX reader with DTD processing off: Apple's export DTD is
@@ -220,7 +273,16 @@ object HealthKitXml {
 
   // Minimal JSON rendering (no deps): numbers follow the reference's
   // f32-parse-else-string rule (core.rs:487-491); f32 → f64 → shortest
-  // string matches serde_json's output for the same value.
+  // string matches serde_json's output for the same value. A regex gate
+  // restricts "numeric" to Rust-float syntax: Java's Float.parseFloat also
+  // accepts "1f"/"0x1p3"/"NaN"/"Infinity", which must stay strings (bare
+  // NaN would even be invalid JSON).
+  private val FloatRe =
+    "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
+  private def isJsonNumber(s: String): Boolean =
+    s.matches(FloatRe) && s.toFloatOption.exists(f => !f.isNaN && !f.isInfinite)
+
   private def jsonF32(s: String): String = s.toFloat.toDouble.toString
 
   private def jsonString(s: String): String =
@@ -235,7 +297,7 @@ object HealthKitXml {
     } + "\""
 
   private def jsonValue(s: String): String =
-    if (s.toFloatOption.isDefined) jsonF32(s) else jsonString(s)
+    if (isJsonNumber(s)) jsonF32(s) else jsonString(s)
 
   private def jsonObject(m: Map[String, String]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonString(k)}:${jsonValue(v)}" }.mkString("{", ",", "}")
@@ -288,9 +350,11 @@ object HealthKitXml {
         case "INTEGER" => raw.cast("int")
         case "REAL"    => raw.cast("double")
         case "DATE" =>
+          // Column API, not interpolated SQL — column names (metadata keys)
+          // may contain quotes/spaces
           coalesce(
-            expr(s"try_to_timestamp(element_at(attrs, '$c'), 'yyyy-MM-dd HH:mm:ss xx')"),
-            expr(s"try_to_timestamp(element_at(attrs, '$c'), 'yyyy-MM-dd')")
+            try_to_timestamp(raw, lit("yyyy-MM-dd HH:mm:ss xx")),
+            try_to_timestamp(raw, lit("yyyy-MM-dd"))
           )
         case _ => raw
       }
@@ -301,9 +365,20 @@ object HealthKitXml {
 
   /** Parse archives and materialize every inferred table, keyed by name —
     * the reference's whole output surface as DataFrames.
+    *
+    * `persist = true` caches the parsed elements so schema inference + N
+    * table extractions parse each archive once; callers that finish with
+    * the tables in one pass (or parse many corpora in one session) can
+    * pass `false` to avoid pinning storage memory for the session, at the
+    * cost of re-parsing per downstream action.
     */
-  def tables(spark: SparkSession, zipPaths: Seq[String]): Map[String, DataFrame] = {
-    val elems = elements(spark, zipPaths).cache()
+  def tables(
+      spark: SparkSession,
+      zipPaths: Seq[String],
+      persist: Boolean = true
+  ): Map[String, DataFrame] = {
+    val raw     = elements(spark, zipPaths)
+    val elems   = if (persist) raw.cache() else raw
     val schemas = inferSchemas(elems)
     schemas.map { case (name, schema) => name -> table(elems, name, schema) }
   }

@@ -56,7 +56,11 @@ object EventStreams {
       }
   }
 
-  /** E3: streaming exact dedup on event_id within the watermark window. */
+  /** E3: streaming exact dedup on event_id within the watermark window.
+    * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`) so the
+    * watermark actually evicts dedup state — with a bare event_id key the
+    * state store would grow unboundedly on a long-running stream.
+    */
   def dedup(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+    events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark("event_id")
 }
