@@ -51,7 +51,9 @@ object SparkEntry {
     "q30_embed_neardup"   -> (VectorOps.embedNearDup _),
     "q32_ann_ivf"         -> (VectorOps.annIvf _),
     "q33_clean_pipeline"  -> (CleanPipeline.q33 _),
-    "q31_multimodal_pipe" -> (Multimodal.pipeline _)
+    "q31_multimodal_pipe" -> (Multimodal.pipeline _),
+    "q34_top_terms"       -> (TextOps.topTerms _),
+    "q35_funnel"          -> (Relational.q35 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -78,8 +80,10 @@ object SparkEntry {
     "q21_token_count"     -> TextOps.tokenCountSql,
     "q22_quality_score"   -> TextOps.qualityScoreSql,
     "q23_langid"          -> TextOps.langIdSql,
-    "q28_cosine_topk"     -> VectorOps.cosineTopKSql
-    // q24-q27, q29-q31 are approximate / hash-parameterized ops with no
+    "q28_cosine_topk"     -> VectorOps.cosineTopKSql,
+    "q34_top_terms"       -> TextOps.topTermsSql,
+    "q35_funnel"          -> Relational.q35Sql
+    // q24-q27, q29-q33 are approximate / hash-parameterized ops with no
     // SQL-expressible oracle → driver records the weaker rows-only check.
   )
 }

@@ -90,6 +90,22 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- C13 q34: corpus top-terms (token frequency analytics) ---------------
+  val TopTerms = 20
+
+  def topTerms(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(toks).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(TopTerms)
+
+  val topTermsSql: String =
+    s"""SELECT token, COUNT(*) AS n FROM (
+       | SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)
+       |GROUP BY token ORDER BY n DESC, token LIMIT $TopTerms""".stripMargin
+
   // --- C4 q23: language-ID heuristic (rows-only) ---------------------------
   private val LangStops: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "ein", "ist"),

@@ -429,6 +429,43 @@ object Relational {
       |WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 2) FROM customer)
       |ORDER BY c_custkey""".stripMargin
 
+  // --- B23: sequence/funnel analytics (signup → purchase conversion) -------
+  // Per user: did a purchase happen after the first signup? Classic
+  // event-sequence rollup; exact integer micros keep both engines aligned.
+  def q35(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val firstSignup = ev
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("signup_us"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    firstSignup
+      .join(purchases, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("signup_us"))
+      .agg(
+        sum(when(col("p_us") > col("signup_us"), 1L).otherwise(0L)).as("n_purchases_after"),
+        count(col("p_us")).as("n_purchases_total")
+      )
+      .withColumn("converted", col("n_purchases_after") > 0)
+      .orderBy(col("user_id"))
+  }
+
+  val q35Sql: String =
+    """WITH fs AS (
+      | SELECT user_id, MIN(epoch_us(ts)) AS signup_us FROM events
+      | WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (
+      | SELECT user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase')
+      |SELECT fs.user_id, fs.signup_us,
+      | CAST(SUM(CASE WHEN p.p_us > fs.signup_us THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases_after,
+      | COUNT(p.p_us) AS n_purchases_total,
+      | CAST(SUM(CASE WHEN p.p_us > fs.signup_us THEN 1 ELSE 0 END) AS BIGINT) > 0 AS converted
+      |FROM fs LEFT JOIN p ON fs.user_id = p.user_id
+      |GROUP BY fs.user_id, fs.signup_us
+      |ORDER BY fs.user_id""".stripMargin
+
   // --- B16: set operations (INTERSECT / EXCEPT / UNION ALL) ----------------
   def q16(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select(col("c_nationkey").as("key")).distinct()
