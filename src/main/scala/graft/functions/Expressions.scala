@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
@@ -10,10 +10,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
   * express directly. All are deterministic pure functions of their input so
   * they stay safe under retries/speculation at cluster scale.
   *
-  * PolyFingerprint/SimHash64 implement `doGenCode`, so they stay inside
-  * whole-stage codegen on the hot per-document paths; HyperplaneBucket
-  * falls back (its plane matrix lives in a reference object and it sits on
-  * narrow post-aggregation rows).
+  * All three implement `doGenCode`, so they stay inside whole-stage
+  * codegen on the hot per-document/per-vector paths.
   */
 object Expressions {
 
@@ -105,11 +103,11 @@ object Expressions {
     * (SURVEY §2.C10): sign bits of `planes` fixed pseudo-random hyperplanes,
     * offset by `table * planes` so multiple independent tables can share one
     * plane matrix. Plane weights come from a fixed-seed `java.util.Random`
-    * (spec'd LCG — identical on every JVM/executor).
+    * (spec'd LCG — identical on every JVM/executor); in codegen the matrix
+    * rides along as a reference object.
     */
   case class HyperplaneBucket(child: Expression, table: Int, planes: Int)
-      extends UnaryExpression
-      with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = IntegerType
     private lazy val weights: Array[Array[Double]] = {
       val rnd = new java.util.Random(42L + table.toLong * 1000L)
@@ -129,6 +127,23 @@ object Expressions {
         p += 1
       }
       java.lang.Integer.valueOf(bucket)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val w = ctx.addReferenceObj("hyperplaneWeights", weights, "double[][]")
+      nullSafeCodeGen(ctx, ev, c => {
+        val n, p, d, dot = ctx.freshName("v")
+        s"""
+           |int $n = java.lang.Math.min($c.numElements(), ${HyperplaneBucket.Dims});
+           |${ev.value} = 0;
+           |for (int $p = 0; $p < $planes; $p++) {
+           |  double $dot = 0.0;
+           |  for (int $d = 0; $d < $n; $d++) {
+           |    $dot += $c.getDouble($d) * $w[$p][$d];
+           |  }
+           |  if ($dot > 0) ${ev.value} |= (1 << $p);
+           |}
+           |""".stripMargin
+      })
     }
     override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
       copy(child = c)

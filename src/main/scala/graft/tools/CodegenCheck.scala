@@ -13,7 +13,14 @@ object CodegenCheck {
         |  graft_simhash64(transform(split(text, ' '), t -> xxhash64(t))) AS sh
         |FROM parquet.`/root/testdata/sf0.001/documents.parquet`""".stripMargin)
     val n = r.filter("fp IS NOT NULL AND sh IS NOT NULL").count()
-    println(s"CODEGEN_ONLY evaluated rows: $n")
+    import org.apache.spark.sql.functions.{col, expr}
+    val nb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .select(graft.functions.Expressions.hyperplane_bucket(col("v"), 0, 6).as("b"))
+      .filter("b IS NOT NULL AND b >= 0 AND b < 64")
+      .count()
+    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector")
     spark.stop()
   }
 }
