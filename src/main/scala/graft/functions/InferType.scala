@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
   * which widen harmlessly to REAL).
   */
 object InferType {
-  val IntRe  = "^[+-]?[0-9]{1,9}$"
-  val RealRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
-  val DateRe = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+  // \A/\z anchors, not ^/$: Java's find-semantics `rlike` lets $ match
+  // before a trailing newline, which would disagree with both
+  // String.matches (full match) and DuckDB's regexp_matches on "42\n".
+  val IntRe  = "\\A[+-]?[0-9]{1,9}\\z"
+  val RealRe = "\\A[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?\\z"
+  val DateRe = "\\A[0-9]{4}-[0-9]{2}-[0-9]{2}\\z"
   val OffsetDateRe =
-    "^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2} [+-][0-9]{4}$"
+    "\\A[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2} [+-][0-9]{4}\\z"
 
   /** SQL type name for a value string, matching the reference's precedence. */
   def inferType(c: Column): Column =
@@ -70,13 +73,15 @@ object InferType {
       }
 
   /** The DuckDB-side CASE expression equivalent to [[inferType]], for oracle
-    * SQL construction. RE2 and Java regex agree on these patterns.
+    * SQL construction — built from the SAME regex constants so the two
+    * engines can't drift. RE2 and Java regex agree on these patterns
+    * (incl. \A/\z anchors).
     */
   def duckdbCase(col: String): String =
     s"""CASE
-       | WHEN regexp_matches($col, '^[+-]?[0-9]{1,9}$$') THEN 'INTEGER'
-       | WHEN regexp_matches($col, '^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$$') THEN 'REAL'
-       | WHEN regexp_matches($col, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$$')
-       |   OR regexp_matches($col, '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2} [+-][0-9]{4}$$') THEN 'DATE'
+       | WHEN regexp_matches($col, '$IntRe') THEN 'INTEGER'
+       | WHEN regexp_matches($col, '$RealRe') THEN 'REAL'
+       | WHEN regexp_matches($col, '$DateRe')
+       |   OR regexp_matches($col, '$OffsetDateRe') THEN 'DATE'
        | ELSE 'TEXT' END""".stripMargin.replace("\n", " ")
 }

@@ -35,17 +35,12 @@ object CleanPipeline {
       .select(col("doc_id"))
     val exactDeduped = docs.join(keep, Seq("doc_id"), "left_semi")
 
-    // 2. quality gates (map-side)
+    // 2. quality gates (map-side); tokenization + stopword list shared with
+    // TextOps.qualityScore so metric and gate can't diverge
     val toks = split(trim(col("text")), "\\s+")
-    val stopList = Seq("the", "a", "an", "and", "of", "to", "in", "is")
-      .map(s => s"'$s'").mkString(", ")
     val gated = exactDeduped
       .withColumn("n_tokens", size(toks))
-      .withColumn(
-        "stop_ratio",
-        expr(s"size(filter(split(trim(text), '\\\\s+'), t -> t IN ($stopList)))") /
-          col("n_tokens")
-      )
+      .withColumn("stop_ratio", TextOps.stopCountExpr / col("n_tokens"))
       .filter(col("n_tokens") >= MinTokens && col("stop_ratio") <= MaxStopRatio)
 
     // 3. near-dup removal: verified pairs → drop the higher id, but ONLY

@@ -56,16 +56,23 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // --- C3 q22: quality scoring ---------------------------------------------
-  private val Stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+  /** Shared with CleanPipeline — one list, one tokenization, so the quality
+    * metric and the pipeline that enforces it can't silently diverge.
+    */
+  private[operators] val Stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+
+  /** stop-word count over whitespace tokens of `text` (shared helper). */
+  private[operators] def stopCountExpr: Column = {
+    val lst = Stopwords.map(s => s"'$s'").mkString(", ")
+    expr(s"size(filter(split(trim(text), '\\\\s+'), t -> t IN ($lst)))")
+  }
 
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
     docs(spark, dir)
       .select(
         col("doc_id"),
         size(toks).as("n_tokens"),
-        expr(s"size(filter(split(trim(text), '\\\\s+'), t -> t IN ($stopList)))")
-          .as("n_stop"),
+        stopCountExpr.as("n_stop"),
         (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
           .as("n_punct"),
         length(regexp_replace(col("text"), "\\s", "")).as("n_nonspace")

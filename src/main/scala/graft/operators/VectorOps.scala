@@ -18,7 +18,11 @@ import graft.functions.Expressions.hyperplane_bucket
   */
 object VectorOps {
 
-  /** embeddings with the float vector upcast to double + precomputed norm. */
+  /** embeddings with the float vector upcast to double + precomputed norm.
+    * Zero-norm vectors are dropped: they carry no direction, and their
+    * cosine is NaN — which Spark sorts ABOVE all real values, so one zero
+    * vector would otherwise claim rank 1 of every query's top-k.
+    */
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables
       .embeddings(spark, dir)
@@ -27,6 +31,7 @@ object VectorOps {
         expr("transform(embedding, x -> cast(x AS double))").as("v")
       )
       .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+      .filter(col("nrm") > 0)
 
   private val dot: Column =
     expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
@@ -134,9 +139,10 @@ object VectorOps {
   }
 
   // --- C11 q30: embedding-cosine near-dup pairs via multi-table LSH --------
-  // 8 independent 4-plane tables: P(candidate | cos θ) = 1-(1-(1-θ/π)^4)^8 —
-  // ~70 % recall at cos≥0.35 on random data, while candidate volume stays a
-  // fraction of n². Exact cosine filter afterwards.
+  // 6 independent 5-plane tables: P(candidate | cos θ) = 1-(1-(1-θ/π)^5)^6 —
+  // ~40 % recall at cos≥0.35 on random data (recall/cost dial: raise tables
+  // for more), while candidate volume stays a fraction of n². Exact cosine
+  // filter afterwards.
   val NearDupTables    = 6
   val NearDupPlanes    = 5
   val NearDupThreshold = 0.35
@@ -149,25 +155,16 @@ object VectorOps {
     val bucketed = e
       .select(col("vec_id"), col("v"), col("nrm"), explode(array(tables: _*)).as("b"))
       .select(col("vec_id"), col("v"), col("nrm"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
-    // one-pass bucket → pair expansion (no self-join: the bucketing
-    // pipeline is scanned once), deduped across tables BEFORE paying for
-    // the dot product
-    val cand = bucketed
-      .groupBy(col("tbl"), col("bucket"))
-      .agg(collect_list(col("vec_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(array_sort(col("ids")).as("ids"))
-      .select(
-        explode(
-          expr(
-            """flatten(transform(ids, (a, i) ->
-              |  transform(slice(ids, i + 2, size(ids)), b ->
-              |    struct(a AS a_id, b AS b_id))))""".stripMargin
-          )
-        ).as("p")
+    // one-pass bucket → pair expansion via the shared (MaxBucket-capped)
+    // helper — degenerate buckets can't explode quadratically — deduped
+    // across tables BEFORE paying for the dot product
+    val cand = TextOps
+      .bucketPairs(
+        bucketed.select(col("tbl"), col("bucket"), col("vec_id")),
+        Seq("tbl", "bucket"),
+        "vec_id"
       )
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
-      .distinct()
+      .select(col("doc_a").as("a_id"), col("doc_b").as("b_id"))
     cand
       .join(e.select(col("vec_id").as("a_id"), col("v").as("qv"), col("nrm").as("qn")), "a_id")
       .join(e.select(col("vec_id").as("b_id"), col("v").as("cv"), col("nrm").as("cn")), "b_id")

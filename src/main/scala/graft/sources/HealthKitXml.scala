@@ -65,6 +65,7 @@ object HealthKitXml {
   ): Dataset[HkElement] = {
     import spark.implicits._
     val badArchives = spark.sparkContext.longAccumulator("hk_bad_archives")
+    if (zipPaths.isEmpty) return spark.emptyDataset[HkElement]
     spark
       .createDataset(zipPaths)
       .repartition(zipPaths.size)
@@ -123,16 +124,22 @@ object HealthKitXml {
     val reader = xmlReader(archive.getInputStream(entry))
     import javax.xml.stream.XMLStreamConstants._
 
+    var closed = false
+    def closeResources(): Unit =
+      if (!closed) {
+        closed = true
+        try reader.close()
+        finally archive.close()
+      }
+    // a downstream limit()/take() may stop pulling before EOF — close with
+    // the task rather than leaking the handle until GC
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeResources()))
+
     new Iterator[HkElement] {
       private var pending: HkElement = null
-      private var closed             = false
 
-      private def close(): Unit =
-        if (!closed) {
-          closed = true
-          try reader.close()
-          finally archive.close()
-        }
+      private def close(): Unit = closeResources()
 
       private def advance(): Unit = {
         if (pending != null || closed) return
@@ -283,7 +290,20 @@ object HealthKitXml {
   private def isJsonNumber(s: String): Boolean =
     s.matches(FloatRe) && s.toFloatOption.exists(f => !f.isNaN && !f.isInfinite)
 
-  private def jsonF32(s: String): String = s.toFloat.toDouble.toString
+  private def jsonF32(s: String): String = plainDecimal(s.toFloat.toDouble)
+
+  /** Java's Double.toString switches to 1.23E7-style notation outside
+    * [1e-3, 1e7); serde_json prints plain decimal there — convert so JSON
+    * output stays comparable with the reference's.
+    */
+  private def plainDecimal(d: Double): String = {
+    val s = d.toString
+    if (!s.contains('E')) s
+    else {
+      val plain = new java.math.BigDecimal(s).toPlainString
+      if (plain.contains('.')) plain else plain + ".0"
+    }
+  }
 
   private def jsonString(s: String): String =
     "\"" + s.flatMap {

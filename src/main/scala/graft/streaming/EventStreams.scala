@@ -31,28 +31,45 @@ object EventStreams {
     * (`flatMapGroupsWithState`) — a session closes after `gapSec` of
     * inactivity; each batch emits the updated session row. Batch twin:
     * Relational.q10.
+    *
+    * EventTimeTimeout (2× the gap past the last event, gated by the
+    * watermark) bounds state: an idle user's final session is emitted once
+    * more and the state-store entry removed — without a timeout every
+    * user_id ever seen would pin state forever. Event-time (not
+    * processing-time) timeouts advance only with data, so the query
+    * doesn't busy-trigger empty batches.
     */
   def sessionize(events: Dataset[Ev], gapSec: Long): Dataset[SessUpdate] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", s"$gapSec seconds")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, batch: Iterator[Ev], state: GroupState[SessState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st     = state.getOption.getOrElse(SessState(0L, Long.MinValue, 0))
-          val out    = ListBuffer.empty[SessUpdate]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (st.lastTsMs == Long.MinValue || t - st.lastTsMs > gapSec * 1000L) {
-              if (st.n > 0) out += SessUpdate(uid, st.sessionId, st.n)
-              st = SessState(st.sessionId + 1, t, 1)
-            } else {
-              st = st.copy(lastTsMs = t, n = st.n + 1)
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.n > 0) Iterator.single(SessUpdate(uid, st.sessionId, st.n))
+            else Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st     = state.getOption.getOrElse(SessState(0L, Long.MinValue, 0))
+            val out    = ListBuffer.empty[SessUpdate]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st.lastTsMs == Long.MinValue || t - st.lastTsMs > gapSec * 1000L) {
+                if (st.n > 0) out += SessUpdate(uid, st.sessionId, st.n)
+                st = SessState(st.sessionId + 1, t, 1)
+              } else {
+                st = st.copy(lastTsMs = t, n = st.n + 1)
+              }
             }
+            state.update(st)
+            if (st.lastTsMs != Long.MinValue)
+              state.setTimeoutTimestamp(st.lastTsMs + gapSec * 2000L)
+            out += SessUpdate(uid, st.sessionId, st.n)
+            out.iterator
           }
-          state.update(st)
-          out += SessUpdate(uid, st.sessionId, st.n)
-          out.iterator
       }
   }
 
