@@ -290,6 +290,12 @@ object TextOps {
   }
 
   // --- C8 q27: exact n-gram Jaccard verification of LSH candidates ---------
+  // NOTE (100 TB): this plan tokenizes+shingles the corpus three times
+  // (candidate generation + both join sides) because Spark doesn't reuse
+  // unshuffled common subplans. At cluster scale, persist/checkpoint the
+  // shingled() output once (a deliberate caller-side decision — an operator
+  // that silently pins executor storage would be worse) and feed it to both
+  // stages; at bench scale the re-scan is noise.
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val cands = minhashLsh(spark, dir)
     val sh    = shingled(spark, dir)
