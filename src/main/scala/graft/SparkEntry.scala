@@ -45,7 +45,7 @@ object SparkEntry {
     "q24_fingerprint"     -> (TextOps.fingerprint _),
     "q25_minhash_lsh"     -> (TextOps.minhashLsh _),
     "q26_simhash"         -> (TextOps.simhashPairs _),
-    "q27_ngram_jaccard"   -> (TextOps.ngramJaccard _),
+    "q27_ngram_jaccard"   -> ((s: SparkSession, d: String) => TextOps.ngramJaccard(s, d)),
     "q28_cosine_topk"     -> (VectorOps.cosineTopK _),
     "q29_ann_lsh"         -> (VectorOps.annLsh _),
     "q30_embed_neardup"   -> (VectorOps.embedNearDup _),
@@ -80,10 +80,16 @@ object SparkEntry {
     "q21_token_count"     -> TextOps.tokenCountSql,
     "q22_quality_score"   -> TextOps.qualityScoreSql,
     "q23_langid"          -> TextOps.langIdSql,
+    "q24_fingerprint"     -> TextOps.fingerprintSql,
+    "q27_ngram_jaccard"   -> TextOps.ngramJaccardSql,
     "q28_cosine_topk"     -> VectorOps.cosineTopKSql,
+    "q33_clean_pipeline"  -> CleanPipeline.cleanSql,
     "q34_top_terms"       -> TextOps.topTermsSql,
     "q35_funnel"          -> Relational.q35Sql
-    // q24-q27, q29-q33 are approximate / hash-parameterized ops with no
-    // SQL-expressible oracle → driver records the weaker rows-only check.
+    // q25/q26/q29-q32 are hash-/probe-parameterized approximate ops (LSH
+    // banding, simhash, ANN bucket membership) whose outputs depend on the
+    // engine's hash functions — no SQL-expressible oracle → driver records
+    // the weaker rows-only check. q27/q33 ARE oracled: at the 0.9 Jaccard
+    // cut, LSH-then-verify equals exact all-pairs (recall ≈ 0.9998/pair).
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Custom Catalyst expressions for operators Spark's built-ins can't
   * express directly. All are deterministic pure functions of their input so
@@ -150,10 +150,93 @@ object Expressions {
   }
   object HyperplaneBucket { val Dims = 64 }
 
+  /** Indices of the `n` nearest centroids for an array<double> vector, by
+    * descending dot product (SURVEY §2.C10b — IVF cell assignment / probe
+    * selection). Centroids must be L2-normalized by the caller so dot order
+    * equals cosine order (the row's own norm is a positive constant and
+    * cannot change its argmax). Ties break to the lowest cell index.
+    *
+    * This is the map-side replacement for crossJoin(centroids) + window
+    * argmax: the centroid matrix rides along as a broadcast-safe reference
+    * object and assignment needs ZERO shuffle — the property that makes IVF
+    * viable at 100 TB (the old window plan shuffled NCells× the corpus).
+    */
+  case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr  = input.asInstanceOf[ArrayData]
+      val k    = centroids.length
+      val dots = new Array[Double](k)
+      var c    = 0
+      while (c < k) {
+        val w  = centroids(c)
+        val nd = math.min(arr.numElements(), w.length)
+        var s  = 0.0
+        var d  = 0
+        while (d < nd) { s += arr.getDouble(d) * w(d); d += 1 }
+        dots(c) = s
+        c += 1
+      }
+      val m    = math.min(n, k)
+      val out  = new Array[Int](m)
+      val used = new Array[Boolean](k)
+      var r    = 0
+      while (r < m) {
+        var best  = -1
+        var bestV = Double.NegativeInfinity
+        var i     = 0
+        while (i < k) {
+          if (!used(i) && dots(i) > bestV) { best = i; bestV = dots(i) }
+          i += 1
+        }
+        used(best) = true
+        out(r) = best
+        r += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cents = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+      val m     = math.min(n, centroids.length)
+      nullSafeCodeGen(ctx, ev, c => {
+        val k, dots, i, d, nd, s, out, used, r, best, bestV = ctx.freshName("v")
+        s"""
+           |int $k = $cents.length;
+           |double[] $dots = new double[$k];
+           |for (int $i = 0; $i < $k; $i++) {
+           |  int $nd = java.lang.Math.min($c.numElements(), $cents[$i].length);
+           |  double $s = 0.0;
+           |  for (int $d = 0; $d < $nd; $d++) {
+           |    $s += $c.getDouble($d) * $cents[$i][$d];
+           |  }
+           |  $dots[$i] = $s;
+           |}
+           |int[] $out = new int[$m];
+           |boolean[] $used = new boolean[$k];
+           |for (int $r = 0; $r < $m; $r++) {
+           |  int $best = -1;
+           |  double $bestV = Double.NEGATIVE_INFINITY;
+           |  for (int $i = 0; $i < $k; $i++) {
+           |    if (!$used[$i] && $dots[$i] > $bestV) { $best = $i; $bestV = $dots[$i]; }
+           |  }
+           |  $used[$best] = true;
+           |  $out[$r] = $best;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |""".stripMargin
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCentroids =
+      copy(child = c)
+  }
+
   // Column-facing wrappers
   import GraftColumnBridge.{toColumn, toExpression}
   def poly_fingerprint(c: Column): Column = toColumn(PolyFingerprint(toExpression(c)))
   def simhash64(c: Column): Column        = toColumn(SimHash64(toExpression(c)))
   def hyperplane_bucket(c: Column, table: Int, planes: Int): Column =
     toColumn(HyperplaneBucket(toExpression(c), table, planes))
+  def nearest_centroids(c: Column, centroids: Array[Array[Double]], n: Int): Column =
+    toColumn(NearestCentroids(toExpression(c), centroids, n))
 }

@@ -20,9 +20,12 @@ object Bucketing {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // a previous session's in-memory catalog may have left the managed
-    // location behind — clear it or the write fails LOCATION_ALREADY_EXISTS
+    // location behind — clear it or the write fails LOCATION_ALREADY_EXISTS.
+    // Resolve the path through the catalog (not warehouse.dir + name) so a
+    // non-default database/catalog layout still targets the right location.
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write

@@ -45,20 +45,60 @@ object CleanPipeline {
 
     // 3. near-dup removal: verified pairs → drop the higher id, but ONLY
     // when the kept (lower-id) member itself survived the earlier stages —
-    // otherwise a pair whose keeper was quality-gated would lose BOTH copies
+    // otherwise a pair whose keeper was quality-gated would lose BOTH copies.
+    // No broadcast hint on the victim set: it is proportional to the corpus
+    // dup rate (NOT a dimension table), so a forced broadcast would OOM at
+    // high dup rates. AQE picks broadcast at runtime when it IS small.
     val keptSide = gated.select(col("doc_id").as("doc_a"))
     val victims = TextOps
-      .ngramJaccard(spark, dir)
-      .filter(col("jaccard") >= JaccardCut)
+      .ngramJaccard(spark, dir, minJaccard = JaccardCut)
       .join(keptSide, Seq("doc_a"), "left_semi")
       .select(col("doc_b").as("doc_id"))
       .distinct()
     gated
-      .join(broadcast(victims), Seq("doc_id"), "left_anti")
+      .join(victims, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tokens"), round(col("stop_ratio"), 4).as("stop_ratio"))
       .orderBy(col("doc_id"))
   }
 
-  /** queries entry (rows-only): survivor stats per corpus. */
+  /** queries entry: survivor stats per corpus. */
   def q33(spark: SparkSession, dir: String): DataFrame = clean(spark, dir)
+
+  /** DuckDB oracle: the same three stages with EXACT all-pairs Jaccard for
+    * stage 3 (the LSH-vs-exact equivalence argument is q27's — see
+    * [[TextOps.JaccardThreshold]]).
+    */
+  val cleanSql: String = {
+    val stops = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+    raw"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |gated AS (
+         |  SELECT doc_id, n_tokens, n_stop / n_tokens AS stop_ratio FROM (
+         |    SELECT d.doc_id,
+         |      len(string_split_regex(trim(d.text), '\s+')) AS n_tokens,
+         |      len(list_filter(string_split_regex(trim(d.text), '\s+'),
+         |          t -> t IN ($stops))) AS n_stop
+         |    FROM documents d JOIN keep k ON d.doc_id = k.doc_id)
+         |  WHERE n_tokens >= $MinTokens AND n_stop / n_tokens <= $MaxStopRatio
+         |),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+         |  WHERE len(toks) >= 3
+         |),
+         |victims AS (
+         |  SELECT DISTINCT p.doc_b AS doc_id FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      len(list_intersect(a.shingles, b.shingles))::DOUBLE
+         |        / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+         |  JOIN gated g ON p.doc_a = g.doc_id
+         |  WHERE p.jaccard >= $JaccardCut
+         |)
+         |SELECT g.doc_id, g.n_tokens, round(g.stop_ratio, 4) AS stop_ratio
+         |FROM gated g LEFT JOIN victims v ON g.doc_id = v.doc_id
+         |WHERE v.doc_id IS NULL
+         |ORDER BY g.doc_id""".stripMargin
+  }
 }

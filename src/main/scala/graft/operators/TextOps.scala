@@ -160,11 +160,33 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
-  // --- C5 q24: document fingerprint (rows-only) ----------------------------
+  // --- C5 q24: document fingerprint ----------------------------------------
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), poly_fingerprint(toks).as("fp"))
       .orderBy(col("doc_id"))
+
+  /** DuckDB oracle reproducing [[graft.functions.Expressions.PolyFingerprint]]
+    * bit-for-bit: Java's 64-bit wraparound is emulated with HUGEINT (int128)
+    * arithmetic mod 2^64, then mapped back to signed. Per-token byte hashing
+    * iterates characters (`ord`), which equals byte iteration for the ASCII
+    * corpus — the synthetic documents are all-ASCII by construction.
+    */
+  val fingerprintSql: String =
+    raw"""SELECT doc_id,
+         | CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+         |           THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp
+         |FROM (
+         | SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(1125899906842597::HUGEINT,
+         |      list_transform(string_split_regex(trim(text), '\s+'),
+         |        t -> list_reduce(list_prepend(0::HUGEINT,
+         |               list_transform(string_split(t, ''), c -> ord(c)::HUGEINT)),
+         |             (a, x) -> (31*a + x) % 18446744073709551616::HUGEINT))),
+         |    (a, th) -> (1000003*a + th) % 18446744073709551616::HUGEINT) AS h
+         | FROM documents)
+         |ORDER BY doc_id""".stripMargin
 
   // --- shared shingle machinery for C6/C8 ----------------------------------
   /** doc_id + distinct 3-token shingles (docs shorter than 3 tokens drop out). */
@@ -188,7 +210,7 @@ object TextOps {
   private val Bands    = 8
   private val RowsPerBand = MinhashK / Bands
 
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashSigsFrom(sh: DataFrame): DataFrame = {
     // Map-side signatures: each doc's shingle array is already one row, so
     // min-per-permutation is an array fold (`array_min(transform(...))`),
     // NOT an explode + groupBy — zero shuffle, and at 100 TB the signature
@@ -197,11 +219,15 @@ object TextOps {
     val mins = (0 until MinhashK).map { i =>
       expr(s"array_min(transform(shingles, s -> xxhash64(s, $i)))").as(s"s$i")
     }
-    shingled(spark, dir).select(col("doc_id") +: mins: _*)
+    sh.select(col("doc_id") +: mins: _*)
   }
 
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir)
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSigsFrom(shingled(spark, dir))
+
+  /** LSH candidate pairs from a shingle DataFrame (unordered). */
+  private def minhashLshFrom(sh: DataFrame): DataFrame = {
+    val sig = minhashSigsFrom(sh)
     val bandStructs = (0 until Bands).map { bIdx =>
       val cols = (0 until RowsPerBand).map(r => col(s"s${bIdx * RowsPerBand + r}"))
       struct(lit(bIdx).as("band"), xxhash64(cols: _*).as("bh"))
@@ -209,10 +235,12 @@ object TextOps {
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    TextOps
-      .bucketPairs(bands, Seq("band", "bh"), "doc_id")
-      .orderBy(col("doc_a"), col("doc_b"))
+    TextOps.bucketPairs(bands, Seq("band", "bh"), "doc_id")
   }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshFrom(shingled(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** One-pass LSH bucket → candidate-pair expansion: group by bucket key,
     * collect member ids, emit all in-bucket combinations. A self-join on the
@@ -290,15 +318,30 @@ object TextOps {
   }
 
   // --- C8 q27: exact n-gram Jaccard verification of LSH candidates ---------
-  // NOTE (100 TB): this plan tokenizes+shingles the corpus three times
-  // (candidate generation + both join sides) because Spark doesn't reuse
-  // unshuffled common subplans. At cluster scale, persist/checkpoint the
-  // shingled() output once (a deliberate caller-side decision — an operator
-  // that silently pins executor storage would be worse) and feed it to both
-  // stages; at bench scale the re-scan is noise.
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val cands = minhashLsh(spark, dir)
-    val sh    = shingled(spark, dir)
+  /** Threshold for a "verified near-dup": with 8 bands × 4 rows,
+    * P(candidate | j) = 1-(1-j^4)^8 ≈ 0.9998 at j = 0.9, so LSH-then-verify
+    * at this cut is (within ε) the exact all-pairs computation — which is
+    * what the driver's DuckDB oracle computes.
+    */
+  val JaccardThreshold = 0.9
+
+  /** Exact Jaccard over LSH candidates. The shingle stage is persisted and
+    * feeds candidate generation AND both verification join sides, so the
+    * corpus is tokenized+shingled ONCE per session (Spark does not reuse
+    * unshuffled common subplans on its own). The cache is (doc_id, distinct
+    * shingle arrays) — linear in corpus size, MEMORY_AND_DISK so executors
+    * spill rather than OOM at scale. Spark's CacheManager dedupes by
+    * canonicalized plan, so q27 and q33 (which composes this) share one
+    * materialization.
+    */
+  def ngramJaccard(
+      spark: SparkSession,
+      dir: String,
+      minJaccard: Double = JaccardThreshold
+  ): DataFrame = {
+    val sh = shingled(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = minhashLshFrom(sh)
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -307,8 +350,28 @@ object TextOps {
         size(array_intersect(col("sh_a"), col("sh_b"))) /
           size(array_union(col("sh_a"), col("sh_b")))
       )
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** DuckDB oracle: exact ALL-PAIRS 3-gram Jaccard at the 0.9 cut — no LSH,
+    * no hashing — so a hash-match proves the LSH path loses nothing at the
+    * dedup threshold.
+    */
+  val ngramJaccardSql: String =
+    raw"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+         |  WHERE len(toks) >= 3
+         |)
+         |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.shingles, b.shingles))::DOUBLE
+         |      / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin
 }

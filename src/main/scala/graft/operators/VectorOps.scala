@@ -58,8 +58,11 @@ object VectorOps {
        | SELECT q.vec_id AS q_id, c.vec_id AS n_id,
        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |    ORDER BY list_cosine_similarity(q.vd, c.vd) DESC, c.vec_id) AS rk
-       | FROM (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings WHERE vec_id < $QueryCount) q,
-       |      (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings) c
+       | FROM (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
+       |        WHERE vec_id < $QueryCount
+       |          AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) q,
+       |      (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
+       |        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) c
        | WHERE q.vec_id <> c.vec_id)
        |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
 
@@ -85,51 +88,91 @@ object VectorOps {
   }
 
   // --- C10b q32: IVF-style bucketed ANN ------------------------------------
-  // Coarse quantizer: NCells fixed centroid vectors (here: a deterministic
-  // prefix of the corpus standing in for trained k-means centroids — the
-  // assignment/probe machinery is identical). Every vector is assigned
-  // map-side to its nearest centroid; a query probes its NProbe closest
-  // cells only, so the scan touches ~NProbe/NCells of the corpus. At
-  // 100 TB: train real centroids on a sample, broadcast them (tiny), keep
-  // the corpus partitioned/bucketed by cell id.
-  val IvfCells  = 16
-  val IvfProbes = 4
+  // Coarse quantizer: spherical k-means centroids trained on a bounded,
+  // deterministic sample (driver-side Lloyd's — the sample is capped, so
+  // this stays O(sampleCap × k × iters) regardless of corpus size; at
+  // 100 TB the cap simply becomes a real random sample). Every vector is
+  // assigned MAP-SIDE to its nearest centroid via the codegen'd
+  // `nearest_centroids` expression — zero shuffle for assignment — and a
+  // query probes its NProbe closest cells only, so the search join touches
+  // ~NProbe/NCells of the corpus, shuffling on cell id alone.
+  val IvfCells     = 16
+  val IvfProbes    = 4
+  val IvfSampleCap = 512
+  val IvfIters     = 10
+
+  /** Spherical k-means on a systematic sample (every 7th vec_id, capped) —
+    * deterministic across runs/executors. Returns L2-normalized centroids
+    * so `nearest_centroids`' dot-product order equals cosine order.
+    * The only driver-side work is over ≤ sampleCap vectors.
+    */
+  private[operators] def trainCentroids(
+      e: DataFrame,
+      k: Int,
+      sampleCap: Int = IvfSampleCap,
+      iters: Int = IvfIters
+  ): Array[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val sample = e
+      .filter(col("vec_id") % 7 === 0)
+      .orderBy(col("vec_id")) // TakeOrderedAndProject: deterministic, no full sort
+      .limit(sampleCap)
+      .select(col("v"))
+      .collect()
+      .map(r => normalize(r.getSeq[Double](0).toArray))
+    require(sample.length >= k, s"need >= $k sample vectors, got ${sample.length}")
+    var cents = sample.take(k).map(_.clone())
+    (0 until iters).foreach { _ =>
+      val sums   = Array.fill(k)(new Array[Double](cents(0).length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best  = 0
+        var bestV = Double.NegativeInfinity
+        var c     = 0
+        while (c < k) {
+          var s = 0.0
+          var d = 0
+          val w = cents(c)
+          while (d < math.min(v.length, w.length)) { s += v(d) * w(d); d += 1 }
+          if (s > bestV) { best = c; bestV = s }
+          c += 1
+        }
+        var d = 0
+        while (d < v.length) { sums(best)(d) += v(d); d += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else normalize(sums(c))
+      }
+    }
+    cents
+  }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val centroids = e
-      .filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
-    // map-side cell assignment: broadcast centroids, keep best cell per vec
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+    import graft.functions.Expressions.nearest_centroids
+    val e     = emb(spark, dir)
+    val cents = trainCentroids(e, IvfCells)
+    // map-side cell assignment: one codegen'd argmax per row, no shuffle
     val assigned = e
-      .crossJoin(broadcast(centroids))
-      .withColumn(
-        "csim",
-        expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-          (col("nrm") * col("cn"))
-      )
-      .withColumn("cell_rank", row_number().over(wAssign))
-      .filter(col("cell_rank") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    // queries probe their NProbe nearest cells
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cell"))
+      .withColumn("cell", nearest_centroids(col("v"), cents, 1).getItem(0))
+      .select(col("vec_id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"), col("cell"))
+    // queries probe their NProbe nearest cells — also map-side (explode of a
+    // per-row top-NProbe array); the probe set is QueryCount × NProbe rows,
+    // bounded by construction, so the broadcast hint is safe
     val probes = e
       .filter(col("vec_id") < QueryCount)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      .crossJoin(broadcast(centroids))
-      .withColumn(
-        "csim",
-        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-          (col("qn") * col("cn"))
+      .select(
+        col("vec_id").as("q_id"),
+        col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(nearest_centroids(col("v"), cents, IvfProbes)).as("cell")
       )
-      .withColumn("probe_rank", row_number().over(wProbe))
-      .filter(col("probe_rank") <= IvfProbes)
-      .select(col("q_id"), col("qv"), col("qn"), col("cell"))
     // search only within probed cells
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     assigned
-      .select(col("vec_id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"), col("cell"))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", dot / (col("qn") * col("cn")))
@@ -152,24 +195,39 @@ object VectorOps {
     val tables = (0 until NearDupTables).map { t =>
       struct(lit(t).as("tbl"), hyperplane_bucket(col("v"), t, NearDupPlanes).as("bucket"))
     }
+    // Carry (v, nrm) through the bucket structs (the way simhashPairs
+    // carries `sim`) so the exact cosine runs INSIDE the pair expansion —
+    // no corpus re-join afterwards. The sub-threshold filter then drops
+    // non-dups before the cross-table dedup, so the distinct shuffles only
+    // (a_id, b_id, sim) scalars for true near-dups. Bucket size is capped
+    // ([[TextOps.MaxBucket]]) so the quadratic expansion — and the struct
+    // memory per group — stays bounded. Two data shuffles total: the
+    // bucket agg (keyed on table × bucket) and the pair distinct.
     val bucketed = e
-      .select(col("vec_id"), col("v"), col("nrm"), explode(array(tables: _*)).as("b"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
-    // one-pass bucket → pair expansion via the shared (MaxBucket-capped)
-    // helper — degenerate buckets can't explode quadratically — deduped
-    // across tables BEFORE paying for the dot product
-    val cand = TextOps
-      .bucketPairs(
-        bucketed.select(col("tbl"), col("bucket"), col("vec_id")),
-        Seq("tbl", "bucket"),
-        "vec_id"
+      .select(
+        struct(col("vec_id").as("id"), col("v").as("v"), col("nrm").as("nrm")).as("m"),
+        explode(array(tables: _*)).as("b")
       )
-      .select(col("doc_a").as("a_id"), col("doc_b").as("b_id"))
-    cand
-      .join(e.select(col("vec_id").as("a_id"), col("v").as("qv"), col("nrm").as("qn")), "a_id")
-      .join(e.select(col("vec_id").as("b_id"), col("v").as("cv"), col("nrm").as("cn")), "b_id")
-      .withColumn("sim", dot / (col("qn") * col("cn")))
+      .select(col("m"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    bucketed
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")).between(2, TextOps.MaxBucket))
+      .select(expr("array_sort(ms, (x, y) -> int(sign(x.id - y.id)))").as("ms"))
+      .select(
+        explode(
+          expr(
+            """flatten(transform(ms, (a, i) ->
+              |  transform(slice(ms, i + 2, size(ms)), b ->
+              |    struct(a.id AS a_id, b.id AS b_id,
+              |           aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D,
+              |                     (acc, x) -> acc + x) / (a.nrm * b.nrm) AS sim))))""".stripMargin
+          )
+        ).as("p")
+      )
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"), col("p.sim").as("sim"))
       .filter(col("sim") >= NearDupThreshold)
+      .distinct()
       .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
       .orderBy(col("a_id"), col("b_id"))
   }

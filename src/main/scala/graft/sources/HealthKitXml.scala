@@ -57,6 +57,9 @@ object HealthKitXml {
     * `lenient = true` is the large-fleet posture: a corrupt archive is
     * logged and counted (accumulator "hk_bad_archives") instead of failing
     * the whole job — at 100 TB some archive in the corpus WILL be broken.
+    * Caveat: the accumulator updates inside a transformation, so task
+    * retries/speculation can double-count — treat it as a diagnostic floor,
+    * not an exact tally (count a materialized bad-archive table for exact).
     */
   def elements(
       spark: SparkSession,
@@ -395,9 +398,10 @@ object HealthKitXml {
   def tables(
       spark: SparkSession,
       zipPaths: Seq[String],
-      persist: Boolean = true
+      persist: Boolean = true,
+      lenient: Boolean = false
   ): Map[String, DataFrame] = {
-    val raw     = elements(spark, zipPaths)
+    val raw     = elements(spark, zipPaths, lenient)
     val elems   = if (persist) raw.cache() else raw
     val schemas = inferSchemas(elems)
     schemas.map { case (name, schema) => name -> table(elems, name, schema) }

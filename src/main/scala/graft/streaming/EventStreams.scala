@@ -65,8 +65,14 @@ object EventStreams {
               }
             }
             state.update(st)
+            // Clamp above the current watermark: a user whose last event lags
+            // the batch max event time by > ~3× the gap would otherwise ask
+            // for a timeout below the watermark, which Spark rejects
+            // (IllegalArgumentException) and fails the query — likely with
+            // skewed/late users at scale.
             if (st.lastTsMs != Long.MinValue)
-              state.setTimeoutTimestamp(st.lastTsMs + gapSec * 2000L)
+              state.setTimeoutTimestamp(
+                math.max(st.lastTsMs + gapSec * 2000L, state.getCurrentWatermarkMs() + 1))
             out += SessUpdate(uid, st.sessionId, st.n)
             out.iterator
           }

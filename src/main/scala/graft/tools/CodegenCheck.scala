@@ -14,13 +14,24 @@ object CodegenCheck {
         |FROM parquet.`/root/testdata/sf0.001/documents.parquet`""".stripMargin)
     val n = r.filter("fp IS NOT NULL AND sh IS NOT NULL").count()
     import org.apache.spark.sql.functions.{col, expr}
-    val nb = spark.read
+    val vecs = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val nb = vecs
       .select(graft.functions.Expressions.hyperplane_bucket(col("v"), 0, 6).as("b"))
       .filter("b IS NOT NULL AND b >= 0 AND b < 64")
       .count()
-    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector")
+    // fixed unit-ish centroids: exercises NearestCentroids' generated loops
+    val cents = Array(
+      Array.tabulate(64)(d => if (d == 0) 1.0 else 0.0),
+      Array.tabulate(64)(d => if (d == 1) 1.0 else 0.0),
+      Array.tabulate(64)(d => if (d == 2) 1.0 else 0.0)
+    )
+    val nc = vecs
+      .select(graft.functions.Expressions.nearest_centroids(col("v"), cents, 2).as("cells"))
+      .filter("size(cells) = 2 AND cells[0] >= 0 AND cells[0] < 3 AND cells[0] <> cells[1]")
+      .count()
+    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector, $nc centroid")
     spark.stop()
   }
 }
