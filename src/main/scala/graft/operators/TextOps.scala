@@ -188,18 +188,21 @@ object TextOps {
          | FROM documents)
          |ORDER BY doc_id""".stripMargin
 
-  // --- shared shingle machinery for C6/C8 ----------------------------------
+  // --- shared shingle machinery for C6/C8 (+ streaming twin) ---------------
+  /** Distinct 3-token shingles over a `toks` column — one definition shared
+    * by the batch dedup path and the streaming twin so they can't drift.
+    */
+  private[graft] val shingleCol: Column =
+    expr(
+      "array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+    )
+
   /** doc_id + distinct 3-token shingles (docs shorter than 3 tokens drop out). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(
-        col("doc_id"),
-        expr(
-          "array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
-        ).as("shingles")
-      )
+      .select(col("doc_id"), shingleCol.as("shingles"))
 
   // --- C6 q25: MinHash + LSH banding → near-dup candidate pairs ------------
   // k=32 permutations, 8 bands × 4 rows: P(candidate | jaccard j) =
@@ -210,30 +213,31 @@ object TextOps {
   private val Bands    = 8
   private val RowsPerBand = MinhashK / Bands
 
-  private def minhashSigsFrom(sh: DataFrame): DataFrame = {
-    // Map-side signatures: each doc's shingle array is already one row, so
-    // min-per-permutation is an array fold (`array_min(transform(...))`),
-    // NOT an explode + groupBy — zero shuffle, and at 100 TB the signature
-    // stage stays embarrassingly parallel. Permutation i re-hashes the
-    // shingle with the index (overflow-free under ANSI, deterministic).
-    val mins = (0 until MinhashK).map { i =>
-      expr(s"array_min(transform(shingles, s -> xxhash64(s, $i)))").as(s"s$i")
-    }
-    sh.select(col("doc_id") +: mins: _*)
+  // Map-side signatures: each doc's shingle array is already one row, so
+  // min-per-permutation is an array fold (`array_min(transform(...))`),
+  // NOT an explode + groupBy — zero shuffle, and at 100 TB the signature
+  // stage stays embarrassingly parallel. Permutation i re-hashes the
+  // shingle with the index (overflow-free under ANSI, deterministic).
+  private[graft] val minhashSigCols: Seq[Column] = (0 until MinhashK).map { i =>
+    expr(s"array_min(transform(shingles, s -> xxhash64(s, $i)))").as(s"s$i")
   }
+
+  /** s0..s31 → array of (band, band-hash) structs, over signature columns. */
+  private[graft] val bandArray: Column = array((0 until Bands).map { bIdx =>
+    val cols = (0 until RowsPerBand).map(r => col(s"s${bIdx * RowsPerBand + r}"))
+    struct(lit(bIdx).as("band"), xxhash64(cols: _*).as("bh"))
+  }: _*)
+
+  private def minhashSigsFrom(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id") +: minhashSigCols: _*)
 
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     minhashSigsFrom(shingled(spark, dir))
 
   /** LSH candidate pairs from a shingle DataFrame (unordered). */
   private def minhashLshFrom(sh: DataFrame): DataFrame = {
-    val sig = minhashSigsFrom(sh)
-    val bandStructs = (0 until Bands).map { bIdx =>
-      val cols = (0 until RowsPerBand).map(r => col(s"s${bIdx * RowsPerBand + r}"))
-      struct(lit(bIdx).as("band"), xxhash64(cols: _*).as("bh"))
-    }
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+    val bands = minhashSigsFrom(sh)
+      .select(col("doc_id"), explode(bandArray).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
     TextOps.bucketPairs(bands, Seq("band", "bh"), "doc_id")
   }

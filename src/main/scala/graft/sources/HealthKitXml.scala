@@ -37,11 +37,16 @@ object HealthKitXml {
     * @param jsonCols  pre-rendered JSON column values (workoutEvents,
     *                  workoutStatistics, geometry)
     */
+  /** `ordinal` encodes document order — (archive index << 40) | element
+    * index — so order-sensitive modes (first-seen-wins type inference) stay
+    * deterministic under any partitioning. 0 until assigned by [[elements]].
+    */
   case class HkElement(
       kind: String,
       tableName: String,
       attrs: Map[String, String],
-      jsonCols: Map[String, String]
+      jsonCols: Map[String, String],
+      ordinal: Long = 0L
   )
 
   val WorkoutTable         = "Workout"
@@ -70,12 +75,16 @@ object HealthKitXml {
     val badArchives = spark.sparkContext.longAccumulator("hk_bad_archives")
     if (zipPaths.isEmpty) return spark.emptyDataset[HkElement]
     spark
-      .createDataset(zipPaths)
+      .createDataset(zipPaths.zipWithIndex.map { case (p, i) => (p, i.toLong) })
       .repartition(zipPaths.size)
       .mapPartitions { paths =>
-        paths.flatMap { p =>
-          if (!lenient) parseArchive(p)
-          else lenientIterator(p, badArchives)
+        paths.flatMap { case (p, archiveIdx) =>
+          val it =
+            if (!lenient) parseArchive(p)
+            else lenientIterator(p, badArchives)
+          it.zipWithIndex.map { case (e, i) =>
+            e.copy(ordinal = (archiveIdx << 40) | i.toLong)
+          }
         }
       }
   }
@@ -331,23 +340,41 @@ object HealthKitXml {
     * with the widening lattice ([[InferType.widen]]). The result is tiny
     * (hundreds of columns) regardless of corpus size. Columns are
     * alphabetical — the same order the reference's BTreeMap produces.
+    *
+    * `firstSeen = true` is the migration-compat mode: a column is typed by
+    * its FIRST value in document order — exactly the reference's rule
+    * (core.rs:219-230, `if !columns.contains_key { insert }`) — via
+    * `min_by(type, ordinal)`, still one distributed aggregate. The default
+    * stays the order-free widening lattice, which is better behaved when a
+    * column's first value is unrepresentative (e.g. "100" then "12.5").
     */
-  def inferSchemas(elems: Dataset[HkElement]): Map[String, ListMap[String, String]] = {
+  def inferSchemas(
+      elems: Dataset[HkElement],
+      firstSeen: Boolean = false
+  ): Map[String, ListMap[String, String]] = {
     import elems.sparkSession.implicits._
     val triples = elems
       .flatMap { e =>
-        e.attrs.map { case (c, v) => (e.tableName, c, InferType.inferTypeStr(v)) } ++
-          e.jsonCols.keys.map(c => (e.tableName, c, "JSON"))
+        e.attrs.map { case (c, v) => (e.tableName, c, InferType.inferTypeStr(v), e.ordinal) } ++
+          e.jsonCols.keys.map(c => (e.tableName, c, "JSON", e.ordinal))
       }
-      .toDF("tbl", "col", "ty")
+      .toDF("tbl", "col", "ty", "ord")
       .groupBy("tbl", "col")
-      .agg(collect_set($"ty").as("tys"))
+      .agg(
+        if (firstSeen) min_by($"ty", $"ord").as("tys")
+        else collect_set($"ty").as("tys")
+      )
       .collect()
     triples
       .groupBy(_.getString(0))
       .map { case (tbl, rows) =>
         val cols = rows
-          .map(r => r.getString(1) -> r.getSeq[String](2).reduce(InferType.widen))
+          .map { r =>
+            val ty =
+              if (firstSeen) r.getString(2)
+              else r.getSeq[String](2).reduce(InferType.widen)
+            r.getString(1) -> ty
+          }
           .sortBy(_._1)
         tbl -> ListMap(cols: _*)
       }
@@ -369,9 +396,13 @@ object HealthKitXml {
       val raw =
         if (ty == "JSON") element_at(col("jsonCols"), c)
         else element_at(col("attrs"), c)
+      // try_cast, not cast: under first-seen typing a column typed INTEGER
+      // by its first value can later hold "12.5" — NULL it (Spark columns
+      // are statically typed) rather than fail the job under ANSI mode.
+      // Widening mode never produces such conflicts, so this is cast-equal.
       val typed = ty match {
-        case "INTEGER" => raw.cast("int")
-        case "REAL"    => raw.cast("double")
+        case "INTEGER" => raw.try_cast("int")
+        case "REAL"    => raw.try_cast("double")
         case "DATE" =>
           // Column API, not interpolated SQL — column names (metadata keys)
           // may contain quotes/spaces
@@ -399,11 +430,12 @@ object HealthKitXml {
       spark: SparkSession,
       zipPaths: Seq[String],
       persist: Boolean = true,
-      lenient: Boolean = false
+      lenient: Boolean = false,
+      firstSeenTypes: Boolean = false
   ): Map[String, DataFrame] = {
     val raw     = elements(spark, zipPaths, lenient)
     val elems   = if (persist) raw.cache() else raw
-    val schemas = inferSchemas(elems)
+    val schemas = inferSchemas(elems, firstSeen = firstSeenTypes)
     schemas.map { case (name, schema) => name -> table(elems, name, schema) }
   }
 }

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** §2.E streaming twin of the MinHash-LSH dedup path (batch: TextOps C6).
+  *
+  * The expensive parts of MinHash — shingling and the k signature folds —
+  * are pure map-side expressions, shared verbatim with the batch operator
+  * ([[TextOps.shingleCol]]/[[TextOps.minhashSigCols]]/[[TextOps.bandArray]]),
+  * so the streaming form costs one watermarked windowed aggregation: bucket
+  * membership per (window, band, band-hash). State is bounded by
+  * watermark × band cardinality; buckets emit once, when their window
+  * closes (append mode).
+  */
+object DocStreams {
+
+  case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+  /** Near-dup candidate pairs per event-time window.
+    *
+    * Pairs may repeat across bands (the batch path's `distinct` would be a
+    * second stateful operator here); the downstream exact-verify stage —
+    * identical to the batch one — dedups, and the repeat factor is bounded
+    * by the band count (8).
+    */
+  def minhashCandidates(
+      docs: DataFrame,
+      windowDur: String = "10 minutes",
+      watermarkDur: String = "10 minutes"
+  ): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val shingled = docs
+      .withWatermark("ts", watermarkDur)
+      .select(col("ts"), col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", TextOps.shingleCol)
+    val bands = shingled
+      .select(Seq(col("ts"), col("doc_id")) ++ TextOps.minhashSigCols: _*)
+      .select(col("ts"), col("doc_id"), explode(TextOps.bandArray).as("b"))
+      .select(col("ts"), col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    bands
+      .groupBy(window(col("ts"), windowDur), col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, TextOps.MaxBucket))
+      .select(col("window"), array_sort(col("ids")).as("ids"))
+      .select(
+        col("window"),
+        explode(
+          expr(
+            """flatten(transform(ids, (a, i) ->
+              |  transform(slice(ids, i + 2, size(ids)), b ->
+              |    struct(a AS doc_a, b AS doc_b))))""".stripMargin
+          )
+        ).as("p")
+      )
+      .select(
+        col("window.start").as("window_start"),
+        col("p.doc_a").as("doc_a"),
+        col("p.doc_b").as("doc_b")
+      )
+  }
+}

@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sinks.Sinks
+import graft.sources.HealthKitXml
+
+/** One-command CLI parity with the reference
+  * (`healthkit-to-sqlite export.zip sqlite://healthkit.db`, main.rs:23-40):
+  *
+  *   runMain graft.tools.HkToJdbc <export.zip> <jdbcUrl> [--lenient]
+  *
+  * Composes the whole A1→A7 pipeline: archive parse → schema inference →
+  * per-type tables → JDBC sink, with per-table progress output. `--lenient`
+  * turns corrupt archives into counted skips instead of job failures.
+  * Given a SQLite JDBC driver jar the same code targets sqlite: URLs; in
+  * this environment it is proven against embedded Derby.
+  */
+object HkToJdbc {
+
+  /** Parse `zipPath` and write every inferred table to `jdbcUrl`.
+    * Returns (table, rows written), sorted by table name.
+    */
+  def run(
+      spark: SparkSession,
+      zipPath: String,
+      jdbcUrl: String,
+      lenient: Boolean = false
+  ): Seq[(String, Long)] = {
+    val tables = HealthKitXml.tables(spark, Seq(zipPath), persist = true, lenient = lenient)
+    tables.toSeq.sortBy(_._1).map { case (name, df) =>
+      Sinks.writeJdbc(df, jdbcUrl, name)
+      val n = df.count()
+      println(s"[hk-to-jdbc] $name: $n rows")
+      name -> n
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val positional = args.filterNot(_.startsWith("--"))
+    if (positional.length != 2)
+      sys.error("usage: HkToJdbc <export.zip> <jdbcUrl> [--lenient]")
+    val Array(zipPath, jdbcUrl) = positional
+    val lenient = args.contains("--lenient")
+
+    val spark = SparkSession
+      .builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("hk-to-jdbc")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val written = run(spark, zipPath, jdbcUrl, lenient)
+      println(s"[hk-to-jdbc] done: ${written.length} tables, ${written.map(_._2).sum} rows total")
+    } finally spark.stop()
+  }
+}

@@ -183,6 +183,32 @@ class HealthKitXmlSpec extends SparkSpec {
       .select(col("value")).collect().map(_.getDouble(0)).sorted
     assert(stepVals.sameElements(Array(12.5, 100.0)))
     assert(tabs("HKCategoryTypeIdentifierSleepAnalysis").count() == 1)
+
+    // first-seen-wins compat mode (reference core.rs:219-230): the column is
+    // typed by its first value in document order — "100" → INTEGER — and the
+    // later non-conforming "12.5" becomes NULL in the statically-typed column
+    val fsSchemas = HealthKitXml.inferSchemas(elems, firstSeen = true)
+    assert(fsSchemas("HKQuantityTypeIdentifierStepCount")("value") == "INTEGER")
+    assert(fsSchemas("HKCategoryTypeIdentifierSleepAnalysis")("value") == "TEXT")
+    val fsTabs = HealthKitXml.tables(spark, Seq(zp.toString), firstSeenTypes = true)
+    val fsVals = fsTabs("HKQuantityTypeIdentifierStepCount")
+      .select(col("value")).collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(fsVals.toSet == Set(Some(100), None))
+  }
+
+  test("CLI parity: HkToJdbc writes every inferred table end-to-end") {
+    val url = "jdbc:derby:memory:hkToJdbcTest;create=true"
+    val written = graft.tools.HkToJdbc.run(spark, zipPath, url, lenient = true)
+    val byName = written.toMap
+    // the fixture's whole output surface: 1 Record type + Workout + summary
+    assert(byName("HKQuantityTypeIdentifierWalkingSpeed") == 1L)
+    assert(byName(HealthKitXml.WorkoutTable) == 1L)
+    assert(byName(HealthKitXml.ActivitySummaryTable) == 10L)
+    // every table is actually queryable in the target DB with all columns
+    written.foreach { case (name, n) =>
+      val back = spark.read.jdbc(url, "\"" + name + "\"", new java.util.Properties())
+      assert(back.count() == n, s"$name JDBC roundtrip")
+    }
   }
 
   test("reference README queries run VERBATIM via spark.sql") {

@@ -24,7 +24,10 @@ class PlanGuardSpec extends SparkSpec {
       "q17_salted_agg"    -> 3, // salted partial + combine + sort
       "q20_dedup_exact"   -> 2,
       "q25_minhash_lsh"   -> 3, // bucket agg + pair distinct + sort
-      "q26_simhash"       -> 3
+      "q26_simhash"       -> 3,
+      "q29_ann_lsh"       -> 2, // bucket join broadcasts; top-k window + sort
+      "q30_embed_neardup" -> 3, // bucket agg + pair distinct + sort (no corpus re-joins)
+      "q32_ann_ivf"       -> 2  // assignment+probes map-side; window + sort only
     )
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf001)) // building the plan must not throw
@@ -50,6 +53,35 @@ class PlanGuardSpec extends SparkSpec {
       val p = plan(fn(spark, Sf001))
       assert(!p.contains("CartesianProduct"),
         s"$name contains a CartesianProduct:\n$p")
+    }
+  }
+
+  test("no forced broadcast of unbounded sets (nested-loop joins)") {
+    // BroadcastNestedLoopJoin is only acceptable where the broadcast side is
+    // bounded by construction: q28's non-equi self-exclusion against the
+    // fixed QueryCount query set. Anywhere else (e.g. the clean pipeline's
+    // victim anti-join, proportional to corpus dup rate) it is a scale
+    // regression — the exact defect this pins: CleanPipeline must let AQE
+    // pick the strategy, never force-broadcast the victim set.
+    // q15's nested-loop side is a scalar subquery result — one row.
+    val allowed = Set("q28_cosine_topk", "q15_scalar_subquery")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!allowed(name)) {
+        val p = plan(fn(spark, Sf001))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name broadcasts an unbounded side via nested-loop join:\n$p")
+      }
+    }
+  }
+
+  test("q27/q33 share one cached shingle stage (no corpus re-scan)") {
+    Seq(
+      "q27" -> operators.TextOps.ngramJaccard(spark, Sf001),
+      "q33" -> operators.CleanPipeline.clean(spark, Sf001)
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(p.contains("InMemoryTableScan"),
+        s"$name must read shingles from the persisted stage, not re-derive them:\n$p")
     }
   }
 }

@@ -104,6 +104,32 @@ class StreamingSpec extends SparkSpec {
     assert(back.count() == 3)
   }
 
+  test("E6: streaming minhash emits near-dup candidates when windows close") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    val in = MemoryStream[Doc]
+    val q = DocStreams
+      .minhashCandidates(in.toDF(), windowDur = "10 minutes", watermarkDur = "5 minutes")
+      .writeStream.format("memory").queryName("mh_cand").outputMode("append").start()
+    val dupText   = "spark shuffles on band hashes only never an n squared cross join at scale"
+    val otherText = "an entirely different document about healthkit workouts and gpx route parsing"
+    in.addData(
+      Doc(1, dupText, ts(1)),
+      Doc(2, dupText, ts(2)), // exact dup of 1 → all 8 bands collide
+      Doc(3, otherText, ts(3))
+    )
+    q.processAllAvailable()
+    // advance the watermark past the first window so append emits it
+    in.addData(Doc(9, otherText, Timestamp.valueOf("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    val pairs = spark.table("mh_cand").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    q.stop()
+    assert(pairs == Set((1L, 2L))) // the planted dup, and nothing with doc 3
+  }
+
   test("E3: streaming dedup drops duplicate event_ids across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
