@@ -28,12 +28,17 @@ object CleanPipeline {
   def clean(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
 
-    // 1. exact dedup
-    val keep = docs
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val exactDeduped = docs.join(keep, Seq("doc_id"), "left_semi")
+    // 1. exact dedup — rank within content-hash groups and keep the lowest
+    // doc_id: ONE scan of documents and ONE shuffle (by md5), where a
+    // groupBy-then-semi-join shape would scan the corpus twice and shuffle
+    // twice. Same result as q20's keep-min-doc_id rule.
+    val wDedup = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+      .orderBy(col("doc_id"))
+    val exactDeduped = docs
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1)
+      .drop("rn")
 
     // 2. quality gates (map-side); tokenization + stopword list shared with
     // TextOps.qualityScore so metric and gate can't diverge
