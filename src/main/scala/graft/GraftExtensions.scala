@@ -26,7 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.GraftExtensions", null, name, usage, "")
+    new ExpressionInfo(
+      "graft.GraftExtensions", null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   private def unary(name: String)(f: Expression => Expression): Seq[Expression] => Expression = {
     case Seq(e) => f(e)

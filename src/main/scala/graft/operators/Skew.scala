@@ -26,7 +26,7 @@ object Skew {
       valueCol: String,
       buckets: Int
   ): DataFrame = {
-    val salt: Column = pmod(xxhash64(struct(df.columns.map(col): _*)), lit(buckets.toLong))
+    val salt: Column = pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(buckets.toLong))
     df.withColumn("_salt", salt)
       .groupBy(col(keyCol), col("_salt"))
       .agg(

@@ -36,10 +36,10 @@ object HealthKitXml {
     * @param attrs     XML attributes + `metadata_<key>` entries
     * @param jsonCols  pre-rendered JSON column values (workoutEvents,
     *                  workoutStatistics, geometry)
-    */
-  /** `ordinal` encodes document order — (archive index << 40) | element
-    * index — so order-sensitive modes (first-seen-wins type inference) stay
-    * deterministic under any partitioning. 0 until assigned by [[elements]].
+    * @param ordinal   document order — (archive index << 40) | element
+    *                  index — so order-sensitive modes (first-seen-wins type
+    *                  inference) stay deterministic under any partitioning;
+    *                  0 until assigned by [[elements]]
     */
   case class HkElement(
       kind: String,
@@ -376,7 +376,7 @@ object HealthKitXml {
             r.getString(1) -> ty
           }
           .sortBy(_._1)
-        tbl -> ListMap(cols: _*)
+        tbl -> ListMap(cols.toIndexedSeq: _*)
       }
   }
 
