@@ -183,11 +183,14 @@ object Expressions {
       val used = new Array[Boolean](k)
       var r    = 0
       while (r < m) {
+        // `best == -1` guard: a NaN element in the vector makes every dot
+        // NaN, and NaN > x is always false — without the guard `best` stays
+        // -1 and used(-1) throws. NaN rows fall back to index order.
         var best  = -1
         var bestV = Double.NegativeInfinity
         var i     = 0
         while (i < k) {
-          if (!used(i) && dots(i) > bestV) { best = i; bestV = dots(i) }
+          if (!used(i) && (best == -1 || dots(i) > bestV)) { best = i; bestV = dots(i) }
           i += 1
         }
         used(best) = true
@@ -218,7 +221,9 @@ object Expressions {
            |  int $best = -1;
            |  double $bestV = Double.NEGATIVE_INFINITY;
            |  for (int $i = 0; $i < $k; $i++) {
-           |    if (!$used[$i] && $dots[$i] > $bestV) { $best = $i; $bestV = $dots[$i]; }
+           |    if (!$used[$i] && ($best == -1 || $dots[$i] > $bestV)) {
+           |      $best = $i; $bestV = $dots[$i];
+           |    }
            |  }
            |  $used[$best] = true;
            |  $out[$r] = $best;

@@ -70,40 +70,31 @@ object CleanPipeline {
   def q33(spark: SparkSession, dir: String): DataFrame = clean(spark, dir)
 
   /** DuckDB oracle: the same three stages with EXACT all-pairs Jaccard for
-    * stage 3 (the LSH-vs-exact equivalence argument is q27's — see
-    * [[TextOps.JaccardThreshold]]).
+    * stage 3. The shingle/pairs CTEs and the tokenize/stop-count fragments
+    * are shared with q27's / q22's oracles ([[TextOps.DuckShingleCte]],
+    * [[TextOps.duckStopCount]]) so the composed pipeline can't drift from
+    * the operators it composes; the LSH-vs-exact equivalence caveats are
+    * documented at [[TextOps.ngramJaccardSql]].
     */
-  val cleanSql: String = {
-    val stops = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
-    raw"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-         |gated AS (
-         |  SELECT doc_id, n_tokens, n_stop / n_tokens AS stop_ratio FROM (
-         |    SELECT d.doc_id,
-         |      len(string_split_regex(trim(d.text), '\s+')) AS n_tokens,
-         |      len(list_filter(string_split_regex(trim(d.text), '\s+'),
-         |          t -> t IN ($stops))) AS n_stop
-         |    FROM documents d JOIN keep k ON d.doc_id = k.doc_id)
-         |  WHERE n_tokens >= $MinTokens AND n_stop / n_tokens <= $MaxStopRatio
-         |),
-         |sh AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(generate_series(1, len(toks)-2),
-         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
-         |  WHERE len(toks) >= 3
-         |),
-         |victims AS (
-         |  SELECT DISTINCT p.doc_b AS doc_id FROM (
-         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |      len(list_intersect(a.shingles, b.shingles))::DOUBLE
-         |        / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
-         |  JOIN gated g ON p.doc_a = g.doc_id
-         |  WHERE p.jaccard >= $JaccardCut
-         |)
-         |SELECT g.doc_id, g.n_tokens, round(g.stop_ratio, 4) AS stop_ratio
-         |FROM gated g LEFT JOIN victims v ON g.doc_id = v.doc_id
-         |WHERE v.doc_id IS NULL
-         |ORDER BY g.doc_id""".stripMargin
-  }
+  val cleanSql: String =
+    s"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |gated AS (
+       |  SELECT doc_id, n_tokens, n_stop / n_tokens AS stop_ratio FROM (
+       |    SELECT doc_id,
+       |      len(${TextOps.DuckToks}) AS n_tokens,
+       |      ${TextOps.duckStopCount} AS n_stop
+       |    FROM documents JOIN keep USING (doc_id))
+       |  WHERE n_tokens >= $MinTokens AND n_stop / n_tokens <= $MaxStopRatio
+       |),
+       |${TextOps.DuckShingleCte},
+       |${TextOps.DuckJaccardPairsCte},
+       |victims AS (
+       |  SELECT DISTINCT p.doc_b AS doc_id
+       |  FROM pairs p JOIN gated g ON p.doc_a = g.doc_id
+       |  WHERE p.jaccard >= $JaccardCut
+       |)
+       |SELECT g.doc_id, g.n_tokens, round(g.stop_ratio, 4) AS stop_ratio
+       |FROM gated g LEFT JOIN victims v ON g.doc_id = v.doc_id
+       |WHERE v.doc_id IS NULL
+       |ORDER BY g.doc_id""".stripMargin
 }

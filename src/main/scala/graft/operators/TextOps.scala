@@ -20,6 +20,48 @@ object TextOps {
 
   private val toks: Column = split(trim(col("text")), "\\s+")
 
+  // --- DuckDB-side fragments shared across oracles -------------------------
+  // One definition per semantic (mirroring shingleCol / stopCountExpr on the
+  // Spark side) so an oracle edit can't silently diverge from its siblings.
+  private[operators] val DuckToks = raw"string_split_regex(trim(text), '\s+')"
+
+  private[operators] def duckStopCount: String = {
+    val lst = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"len(list_filter($DuckToks, t -> t IN ($lst)))"
+  }
+
+  /** `sh` CTE: doc_id + distinct 3-token shingles (DuckDB twin of
+    * [[shingleCol]]).
+    */
+  private[operators] val DuckShingleCte: String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+       |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+       |  WHERE len(toks) >= 3
+       |)""".stripMargin
+
+  /** `pairs` CTE: exact all-pairs Jaccard over `sh` (needs [[DuckShingleCte]]). */
+  private[operators] val DuckJaccardPairsCte: String =
+    """pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.shingles, b.shingles))::DOUBLE
+      |      / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  /** SQL for the one-pass in-bucket combination expansion over a sorted
+    * array column `arr`: every (a, b) pair with a before b, shaped by
+    * `structBody` (which references the paired elements as `a`/`b`).
+    * Every bucketed-LSH family member shares this so the slice/index idiom
+    * exists exactly once.
+    */
+  private[graft] def pairExpansionSql(arr: String, structBody: String): String =
+    s"""flatten(transform($arr, (a, i) ->
+       |  transform(slice($arr, i + 2, size($arr)), b ->
+       |    struct($structBody))))""".stripMargin
+
   // --- C1 q20: exact dedup via content-hash groupBy ------------------------
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
@@ -50,7 +92,7 @@ object TextOps {
 
   val tokenCountSql: String =
     s"""SELECT doc_id,
-       | len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       | len($DuckToks) AS n_ws_tokens,
        | len(regexp_extract_all(text, '$BpeReDuck')) AS n_bpe_tokens,
        | length(text) AS n_chars_actual
        |FROM documents ORDER BY doc_id""".stripMargin
@@ -82,20 +124,18 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  val qualityScoreSql: String = {
-    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+  val qualityScoreSql: String =
     s"""SELECT doc_id, n_tokens, n_stop, n_punct, n_nonspace,
        | n_stop / n_tokens AS stop_ratio,
        | n_nonspace / n_tokens AS avg_token_len
        |FROM (
        | SELECT doc_id,
-       |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-       |  len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN ($stopList))) AS n_stop,
+       |  len($DuckToks) AS n_tokens,
+       |  $duckStopCount AS n_stop,
        |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
        |  length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
        | FROM documents)
        |ORDER BY doc_id""".stripMargin
-  }
 
   // --- C13 q34: corpus top-terms (token frequency analytics) ---------------
   val TopTerms = 20
@@ -170,7 +210,10 @@ object TextOps {
     * bit-for-bit: Java's 64-bit wraparound is emulated with HUGEINT (int128)
     * arithmetic mod 2^64, then mapped back to signed. Per-token byte hashing
     * iterates characters (`ord`), which equals byte iteration for the ASCII
-    * corpus — the synthetic documents are all-ASCII by construction.
+    * corpus — the synthetic documents are all-ASCII by construction. The
+    * `c <> ''` filter handles the empty token an empty/whitespace-only text
+    * produces: DuckDB's `string_split('', '')` yields [''] and ord('') is
+    * -1, where Java's byte loop over zero bytes yields 0.
     */
   val fingerprintSql: String =
     raw"""SELECT doc_id,
@@ -182,7 +225,8 @@ object TextOps {
          |    list_prepend(1125899906842597::HUGEINT,
          |      list_transform(string_split_regex(trim(text), '\s+'),
          |        t -> list_reduce(list_prepend(0::HUGEINT,
-         |               list_transform(string_split(t, ''), c -> ord(c)::HUGEINT)),
+         |               list_transform(list_filter(string_split(t, ''), c -> c <> ''),
+         |                              c -> ord(c)::HUGEINT)),
          |             (a, x) -> (31*a + x) % 18446744073709551616::HUGEINT))),
          |    (a, th) -> (1000003*a + th) % 18446744073709551616::HUGEINT) AS h
          | FROM documents)
@@ -265,15 +309,7 @@ object TextOps {
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")).between(2, MaxBucket))
       .select(array_sort(col("ids")).as("ids"))
-      .select(
-        explode(
-          expr(
-            """flatten(transform(ids, (a, i) ->
-              |  transform(slice(ids, i + 2, size(ids)), b ->
-              |    struct(a AS doc_a, b AS doc_b))))""".stripMargin
-          )
-        ).as("p")
-      )
+      .select(explode(expr(pairExpansionSql("ids", "a AS doc_a, b AS doc_b"))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
 
@@ -308,11 +344,9 @@ object TextOps {
       .select(
         explode(
           expr(
-            """flatten(transform(ms, (a, i) ->
-              |  transform(slice(ms, i + 2, size(ms)), b ->
-              |    struct(a.id AS doc_a, b.id AS doc_b,
-              |           bit_count(a.sim ^ b.sim) AS hamming))))""".stripMargin
-          )
+            pairExpansionSql(
+              "ms",
+              "a.id AS doc_a, b.id AS doc_b, bit_count(a.sim ^ b.sim) AS hamming"))
         ).as("p")
       )
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"), col("p.hamming").as("hamming"))
@@ -362,20 +396,20 @@ object TextOps {
   /** DuckDB oracle: exact ALL-PAIRS 3-gram Jaccard at the 0.9 cut — no LSH,
     * no hashing — so a hash-match proves the LSH path loses nothing at the
     * dedup threshold.
+    *
+    * The equivalence is probabilistic, not absolute — two honest caveats:
+    * a pair at exactly j = 0.9 still has ~2e-4 chance of no band collision
+    * (expected failures at the driver's sf0.01: ~0.005), and the Spark
+    * path's [[MaxBucket]] cap drops ALL pairs of a degenerate >1000-member
+    * bucket while the oracle has no cap. Neither fires on the shipped
+    * corpora; a corpus with 1000+ mutual near-dups would need the cap
+    * raised (or the cluster pre-collapsed by exact dedup) before this
+    * oracle applies.
     */
   val ngramJaccardSql: String =
-    raw"""WITH sh AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(generate_series(1, len(toks)-2),
-         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
-         |  WHERE len(toks) >= 3
-         |)
-         |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    len(list_intersect(a.shingles, b.shingles))::DOUBLE
-         |      / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |WHERE jaccard >= $JaccardThreshold
-         |ORDER BY doc_a, doc_b""".stripMargin
+    s"""WITH $DuckShingleCte,
+       |$DuckJaccardPairsCte
+       |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+       |FROM pairs WHERE jaccard >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

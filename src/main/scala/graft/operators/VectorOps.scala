@@ -217,12 +217,11 @@ object VectorOps {
       .select(
         explode(
           expr(
-            """flatten(transform(ms, (a, i) ->
-              |  transform(slice(ms, i + 2, size(ms)), b ->
-              |    struct(a.id AS a_id, b.id AS b_id,
-              |           aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D,
-              |                     (acc, x) -> acc + x) / (a.nrm * b.nrm) AS sim))))""".stripMargin
-          )
+            TextOps.pairExpansionSql(
+              "ms",
+              """a.id AS a_id, b.id AS b_id,
+                |aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D,
+                |          (acc, x) -> acc + x) / (a.nrm * b.nrm) AS sim""".stripMargin))
         ).as("p")
       )
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"), col("p.sim").as("sim"))

@@ -48,13 +48,7 @@ object DocStreams {
       .select(col("window"), array_sort(col("ids")).as("ids"))
       .select(
         col("window"),
-        explode(
-          expr(
-            """flatten(transform(ids, (a, i) ->
-              |  transform(slice(ids, i + 2, size(ids)), b ->
-              |    struct(a AS doc_a, b AS doc_b))))""".stripMargin
-          )
-        ).as("p")
+        explode(expr(TextOps.pairExpansionSql("ids", "a AS doc_a, b AS doc_b"))).as("p")
       )
       .select(
         col("window.start").as("window_start"),

@@ -29,10 +29,16 @@ object HkToJdbc {
   ): Seq[(String, Long)] = {
     val tables = HealthKitXml.tables(spark, Seq(zipPath), persist = true, lenient = lenient)
     tables.toSeq.sortBy(_._1).map { case (name, df) =>
-      Sinks.writeJdbc(df, jdbcUrl, name)
-      val n = df.count()
-      println(s"[hk-to-jdbc] $name: $n rows")
-      name -> n
+      // persist around write+count so the table projection runs once, not
+      // once per action (the parsed elements are cached, but each table's
+      // filter+cast would still re-execute)
+      val cached = df.persist()
+      try {
+        Sinks.writeJdbc(cached, jdbcUrl, name)
+        val n = cached.count()
+        println(s"[hk-to-jdbc] $name: $n rows")
+        name -> n
+      } finally cached.unpersist()
     }
   }
 
