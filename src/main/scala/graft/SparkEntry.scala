@@ -53,7 +53,8 @@ object SparkEntry {
     "q33_clean_pipeline"  -> (CleanPipeline.q33 _),
     "q31_multimodal_pipe" -> (Multimodal.pipeline _),
     "q34_top_terms"       -> (TextOps.topTerms _),
-    "q35_funnel"          -> (Relational.q35 _)
+    "q35_funnel"          -> (Relational.q35 _),
+    "q36_embed_quantize"  -> (VectorOps.quantize _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -85,7 +86,8 @@ object SparkEntry {
     "q28_cosine_topk"     -> VectorOps.cosineTopKSql,
     "q33_clean_pipeline"  -> CleanPipeline.cleanSql,
     "q34_top_terms"       -> TextOps.topTermsSql,
-    "q35_funnel"          -> Relational.q35Sql
+    "q35_funnel"          -> Relational.q35Sql,
+    "q36_embed_quantize"  -> VectorOps.quantizeSql
     // q25/q26/q29-q32 are hash-/probe-parameterized approximate ops (LSH
     // banding, simhash, ANN bucket membership) whose outputs depend on the
     // engine's hash functions — no SQL-expressible oracle → driver records

@@ -181,6 +181,45 @@ object VectorOps {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // --- C14 q36: symmetric int8 embedding quantization ----------------------
+  /** q_i = round(127 · x_i / max|x|) — the standard max-abs int8 storage /
+    * compute reduction for embedding corpora. Entirely map-side (zero
+    * shuffle until the output sort). The query emits exact INTEGER summaries
+    * of each quantized vector (min/max/sum/sum-of-squares) rather than the
+    * int8 array itself: the integers pin every quantized element's value
+    * class while staying engine-exact for the DuckDB oracle (both engines
+    * round half away from zero, and the one float expression `x·127/amax`
+    * is evaluated in the same IEEE order). Zero vectors (amax = 0) carry no
+    * information and are dropped, mirroring [[emb]]'s zero-norm rule.
+    */
+  def quantize(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .filter(col("amax") > 0)
+      .withColumn("q", expr("transform(v, x -> cast(round(x * 127D / amax) AS int))"))
+      .select(
+        col("vec_id"),
+        expr("array_min(q)").as("q_min"),
+        expr("array_max(q)").as("q_max"),
+        expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("q_sum"),
+        expr("aggregate(q, 0L, (acc, x) -> acc + cast(x AS bigint) * x)").as("q_sumsq")
+      )
+      .orderBy(col("vec_id"))
+
+  val quantizeSql: String =
+    """SELECT vec_id,
+      | list_min(q) AS q_min, list_max(q) AS q_max,
+      | CAST(list_reduce(list_prepend(0, q), (a, x) -> a + x) AS BIGINT) AS q_sum,
+      | CAST(list_reduce(list_prepend(0, list_transform(q, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS q_sumsq
+      |FROM (
+      | SELECT vec_id, list_transform(v, x -> CAST(round(x * 127 / amax) AS INTEGER)) AS q
+      | FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax
+      |       FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))
+      | WHERE amax > 0)
+      |ORDER BY vec_id""".stripMargin
+
   // --- C11 q30: embedding-cosine near-dup pairs via multi-table LSH --------
   // 6 independent 5-plane tables: P(candidate | cos θ) = 1-(1-(1-θ/π)^5)^6 —
   // ~40 % recall at cos≥0.35 on random data (recall/cost dial: raise tables

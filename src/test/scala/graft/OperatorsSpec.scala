@@ -115,6 +115,32 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
   }
 
+  test("C14: int8 quantization is within the max-abs error bound") {
+    val rows = VectorOps.quantize(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      r.getAs[Int]("q_min") >= -127 && r.getAs[Int]("q_max") <= 127
+    })
+    // local recomputation for vec 0: q matches round-half-away-from-zero,
+    // and dequantized values are within half a quantization step
+    val row0 = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .filter(col("vec_id") === 0L).collect().head
+    val v = row0.getSeq[Float](row0.fieldIndex("embedding")).map(_.toDouble)
+    val amax = v.map(math.abs).max
+    // BigDecimal HALF_UP = half away from zero — matches Spark's round()
+    // (scala math.round is floor(x+0.5), which differs on negative halves)
+    val q = v.map(x =>
+      BigDecimal(x * 127d / amax).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val expect = (q.min, q.max, q.sum, q.map(x => x * x).sum)
+    val got = rows.find(_.getAs[Long]("vec_id") == 0L).get
+    assert((got.getAs[Int]("q_min").toLong, got.getAs[Int]("q_max").toLong,
+      got.getAs[Long]("q_sum"), got.getAs[Long]("q_sumsq")) == expect)
+    // dequantization error bound: |x - q*amax/127| <= amax/254 (+ eps)
+    assert(v.zip(q).forall { case (x, qi) =>
+      math.abs(x - qi * amax / 127d) <= amax / 254d + 1e-9
+    })
+  }
+
   test("C12: clean pipeline drops near-dup victims and low-quality docs") {
     import graft.operators.CleanPipeline
     val survivors = CleanPipeline.clean(spark, Sf0001).collect()
