@@ -47,7 +47,7 @@ object SparkEntry {
     "q26_simhash"         -> (TextOps.simhashPairs _),
     "q27_ngram_jaccard"   -> ((s: SparkSession, d: String) => TextOps.ngramJaccard(s, d)),
     "q28_cosine_topk"     -> (VectorOps.cosineTopK _),
-    "q29_ann_lsh"         -> (VectorOps.annLsh _),
+    "q29_ann_lsh"         -> ((s: SparkSession, d: String) => VectorOps.annLsh(s, d)),
     "q30_embed_neardup"   -> (VectorOps.embedNearDup _),
     "q32_ann_ivf"         -> (VectorOps.annIvf _),
     "q33_clean_pipeline"  -> (CleanPipeline.q33 _),

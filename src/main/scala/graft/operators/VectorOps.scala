@@ -68,15 +68,34 @@ object VectorOps {
 
   // --- C10 q29: hyperplane-LSH bucketed ANN top-k (rows-only) --------------
   // 6 planes → 64 buckets: at this corpus size each bucket holds a handful
-  // of vectors; at 100 TB raise planes (and add multi-probe) so bucket size
-  // stays bounded — the join below shuffles on bucket only.
+  // of vectors; at 100 TB raise planes so bucket size stays bounded — the
+  // join below shuffles on bucket only. Multi-probe (default on): a query
+  // also probes every bucket at hamming distance 1 — a near neighbor that
+  // falls just on the other side of ONE hyperplane is still found. This is
+  // the standard recall/cost dial that lets plane count grow with the
+  // corpus without recall collapsing; probe volume stays (planes+1) ×
+  // QueryCount, bounded by construction.
   val AnnPlanes = 6
   val AnnTopK   = 3
 
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String, multiProbe: Boolean = true): DataFrame = {
     val e = emb(spark, dir).withColumn("bucket", hyperplane_bucket(col("v"), 0, AnnPlanes))
-    val q = e.filter(col("vec_id") < QueryCount)
+    val q0 = e.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val q =
+      if (!multiProbe) q0
+      else
+        q0.select(
+          col("q_id"),
+          col("qv"),
+          col("qn"),
+          explode(
+            expr(
+              s"""array_union(array(bucket),
+                 |  transform(sequence(0, ${AnnPlanes - 1}),
+                 |            p -> cast(bucket ^ shiftleft(1, p) AS int)))""".stripMargin)
+          ).as("bucket")
+        )
     val c = e.select(col("vec_id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"), col("bucket"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     c.join(broadcast(q), Seq("bucket"))

@@ -93,6 +93,16 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("n_id")))
     assert(rows.forall(_.getAs[Int]("rk") <= VectorOps.AnnTopK))
+    // multi-probe (hamming-1 buckets) must dominate single-probe on rank-1
+    // agreement with brute force — it searches a strict superset of buckets
+    val brute = VectorOps.cosineTopK(spark, Sf0001).collect()
+      .filter(_.getAs[Int]("rk") == 1).map(r => (r.getLong(0), r.getLong(1))).toSet
+    def rank1Hits(df: org.apache.spark.sql.DataFrame): Int = df.collect()
+      .filter(_.getAs[Int]("rk") == 1).map(r => (r.getLong(0), r.getLong(1)))
+      .count(brute.contains)
+    val multi  = rank1Hits(VectorOps.annLsh(spark, Sf0001, multiProbe = true))
+    val single = rank1Hits(VectorOps.annLsh(spark, Sf0001, multiProbe = false))
+    assert(multi >= single, s"multi-probe hits $multi < single-probe hits $single")
   }
 
   test("C10b: IVF ANN probes nearest cells and returns in-cell neighbors") {
