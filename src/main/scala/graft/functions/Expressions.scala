@@ -183,14 +183,18 @@ object Expressions {
       val used = new Array[Boolean](k)
       var r    = 0
       while (r < m) {
-        // `best == -1` guard: a NaN element in the vector makes every dot
-        // NaN, and NaN > x is always false — without the guard `best` stays
-        // -1 and used(-1) throws. NaN rows fall back to index order.
+        // NaN guards: a NaN dot (NaN vector element or NaN centroid) makes
+        // `>` comparisons always false — without them `best` could stay -1
+        // (used(-1) throws), and a NaN bestV would beat every finite dot.
+        // Any finite dot replaces a NaN one; all-NaN falls back to index
+        // order.
         var best  = -1
         var bestV = Double.NegativeInfinity
         var i     = 0
         while (i < k) {
-          if (!used(i) && (best == -1 || dots(i) > bestV)) { best = i; bestV = dots(i) }
+          if (!used(i) && (best == -1 || dots(i) > bestV || (bestV.isNaN && !dots(i).isNaN))) {
+            best = i; bestV = dots(i)
+          }
           i += 1
         }
         used(best) = true
@@ -221,7 +225,7 @@ object Expressions {
            |  int $best = -1;
            |  double $bestV = Double.NEGATIVE_INFINITY;
            |  for (int $i = 0; $i < $k; $i++) {
-           |    if (!$used[$i] && ($best == -1 || $dots[$i] > $bestV)) {
+           |    if (!$used[$i] && ($best == -1 || $dots[$i] > $bestV || ($bestV != $bestV && $dots[$i] == $dots[$i]))) {
            |      $best = $i; $bestV = $dots[$i];
            |    }
            |  }

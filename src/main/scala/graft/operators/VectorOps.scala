@@ -215,8 +215,10 @@ object VectorOps {
     Tables
       .embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      // NaN vectors dropped explicitly: NaN > 0 is TRUE in both engines,
+      // and downstream they diverge (Spark casts NaN to 0, DuckDB errors)
       .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
-      .filter(col("amax") > 0)
+      .filter(col("amax") > 0 && !isnan(col("amax")))
       .withColumn("q", expr("transform(v, x -> cast(round(x * 127D / amax) AS int))"))
       .select(
         col("vec_id"),
@@ -227,16 +229,19 @@ object VectorOps {
       )
       .orderBy(col("vec_id"))
 
+  // BIGINT seeds: list_reduce keeps the seed's type as the accumulator, so
+  // an INTEGER seed would overflow at high dimensionality where Spark's 0L
+  // accumulator widens — the engines must agree on the arithmetic domain.
   val quantizeSql: String =
     """SELECT vec_id,
       | list_min(q) AS q_min, list_max(q) AS q_max,
-      | CAST(list_reduce(list_prepend(0, q), (a, x) -> a + x) AS BIGINT) AS q_sum,
-      | CAST(list_reduce(list_prepend(0, list_transform(q, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS q_sumsq
+      | list_reduce(list_prepend(0::BIGINT, q), (a, x) -> a + x) AS q_sum,
+      | list_reduce(list_prepend(0::BIGINT, list_transform(q, x -> x::BIGINT * x)), (a, x) -> a + x) AS q_sumsq
       |FROM (
       | SELECT vec_id, list_transform(v, x -> CAST(round(x * 127 / amax) AS INTEGER)) AS q
       | FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax
       |       FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))
-      | WHERE amax > 0)
+      | WHERE amax > 0 AND NOT isnan(amax))
       |ORDER BY vec_id""".stripMargin
 
   // --- C11 q30: embedding-cosine near-dup pairs via multi-table LSH --------

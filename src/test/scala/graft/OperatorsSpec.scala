@@ -97,11 +97,11 @@ class OperatorsSpec extends SparkSpec {
     // agreement with brute force — it searches a strict superset of buckets
     val brute = VectorOps.cosineTopK(spark, Sf0001).collect()
       .filter(_.getAs[Int]("rk") == 1).map(r => (r.getLong(0), r.getLong(1))).toSet
-    def rank1Hits(df: org.apache.spark.sql.DataFrame): Int = df.collect()
+    def rank1Hits(collected: Array[org.apache.spark.sql.Row]): Int = collected
       .filter(_.getAs[Int]("rk") == 1).map(r => (r.getLong(0), r.getLong(1)))
       .count(brute.contains)
-    val multi  = rank1Hits(VectorOps.annLsh(spark, Sf0001, multiProbe = true))
-    val single = rank1Hits(VectorOps.annLsh(spark, Sf0001, multiProbe = false))
+    val multi  = rank1Hits(rows) // `rows` is the multi-probe default, already collected
+    val single = rank1Hits(VectorOps.annLsh(spark, Sf0001, multiProbe = false).collect())
     assert(multi >= single, s"multi-probe hits $multi < single-probe hits $single")
   }
 
@@ -131,10 +131,13 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall { r =>
       r.getAs[Int]("q_min") >= -127 && r.getAs[Int]("q_max") <= 127
     })
-    // local recomputation for vec 0: q matches round-half-away-from-zero,
-    // and dequantized values are within half a quantization step
+    // local recomputation for the first surviving vector (not a hardcoded
+    // id — a zero/NaN vec 0 would be filtered out and .get would throw):
+    // q matches round-half-away-from-zero, and dequantized values are
+    // within half a quantization step
+    val firstId = rows.map(_.getAs[Long]("vec_id")).min
     val row0 = spark.read.parquet(s"$Sf0001/embeddings.parquet")
-      .filter(col("vec_id") === 0L).collect().head
+      .filter(col("vec_id") === firstId).collect().head
     val v = row0.getSeq[Float](row0.fieldIndex("embedding")).map(_.toDouble)
     val amax = v.map(math.abs).max
     // BigDecimal HALF_UP = half away from zero — matches Spark's round()
@@ -142,7 +145,7 @@ class OperatorsSpec extends SparkSpec {
     val q = v.map(x =>
       BigDecimal(x * 127d / amax).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
     val expect = (q.min, q.max, q.sum, q.map(x => x * x).sum)
-    val got = rows.find(_.getAs[Long]("vec_id") == 0L).get
+    val got = rows.find(_.getAs[Long]("vec_id") == firstId).get
     assert((got.getAs[Int]("q_min").toLong, got.getAs[Int]("q_max").toLong,
       got.getAs[Long]("q_sum"), got.getAs[Long]("q_sumsq")) == expect)
     // dequantization error bound: |x - q*amax/127| <= amax/254 (+ eps)
