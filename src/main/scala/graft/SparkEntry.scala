@@ -82,16 +82,21 @@ object SparkEntry {
     "q22_quality_score"   -> TextOps.qualityScoreSql,
     "q23_langid"          -> TextOps.langIdSql,
     "q24_fingerprint"     -> TextOps.fingerprintSql,
+    "q25_minhash_lsh"     -> TextOps.minhashLshSql,
+    "q26_simhash"         -> TextOps.simhashSql,
     "q27_ngram_jaccard"   -> TextOps.ngramJaccardSql,
     "q28_cosine_topk"     -> VectorOps.cosineTopKSql,
     "q33_clean_pipeline"  -> CleanPipeline.cleanSql,
     "q34_top_terms"       -> TextOps.topTermsSql,
     "q35_funnel"          -> Relational.q35Sql,
     "q36_embed_quantize"  -> VectorOps.quantizeSql
-    // q25/q26/q29-q32 are hash-/probe-parameterized approximate ops (LSH
-    // banding, simhash, ANN bucket membership) whose outputs depend on the
-    // engine's hash functions — no SQL-expressible oracle → driver records
-    // the weaker rows-only check. q27/q33 ARE oracled: at the 0.9 Jaccard
-    // cut, LSH-then-verify equals exact all-pairs (recall ≈ 0.9998/pair).
+    // q25/q26 are oracled EXACTLY: Spark's xxhash64 is emulated in DuckDB
+    // HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/pairs are
+    // engine-identical, not probabilistically equivalent. q27/q33 are
+    // oracled via exact all-pairs Jaccard at the 0.9 cut (recall ≈
+    // 0.9998/pair). q30/q32 stay rows-only: q30's LSH recall at its 0.35
+    // threshold is intentionally < 1 (no exact-equivalent SQL), and q32's
+    // centroids come from driver-side iterative k-means — float-iteration
+    // parity across engines is not expressible as a DuckDB oracle.
   )
 }

@@ -290,6 +290,98 @@ object TextOps {
     minhashLshFrom(shingled(spark, dir))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** DuckDB oracle reproducing the ENTIRE MinHash-LSH pipeline bit-for-bit —
+    * Spark's `xxhash64` (seed-42 string hash, int chaining for permutations,
+    * long chaining for band hashes) is emulated in HUGEINT mod-2^64
+    * arithmetic via [[graft.functions.DuckHash]]. Unlike the q27 oracle
+    * (probabilistic equivalence to exact all-pairs), this is an exact
+    * identity: same signatures, same band hashes, same buckets, same pairs.
+    *
+    * Plan shape mirrors the Spark side's scale posture: DISTINCT shingles
+    * are hashed once (not per instance), the 32 permutations explode over
+    * DISTINCT base hashes only, and the band table is MATERIALIZED so the
+    * three probes (two join sides + bucket-size filter) evaluate it once.
+    */
+  lazy val minhashLshSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q25sh" ->
+        s"""(SELECT doc_id,
+           |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+           |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+           |  WHERE len(toks) >= 3)""".stripMargin,
+      "q25inst" -> "(SELECT doc_id, unnest(shingles) AS s FROM q25sh)",
+      "q25b"    -> s"(SELECT s, ${bytesOf("s")} AS b FROM (SELECT DISTINCT s FROM q25inst))"
+    )
+    val hb = hashBytesChain("q25hx", "q25b", Seq("s"), "42", "hb")
+    ctes ++= hb.ctes
+    val hi0 = "q25pd" -> s"(SELECT hb, i FROM (SELECT DISTINCT hb FROM ${hb.last}), range(0, $MinhashK) r(i))"
+    ctes += hi0
+    val hi = new SqlChain("q25hi", "q25pd", Seq("hb", "i"))
+    hashIntLevels(hi, "i", "hb", "hi")
+    ctes ++= hi.ctes
+    ctes += ("q25sig" ->
+      s"""(SELECT t.doc_id, h.i, min(${toSigned("h.hi")}) AS sig
+         |    FROM q25inst t JOIN ${hb.last} d ON t.s = d.s JOIN ${hi.last} h ON h.hb = d.hb
+         |    GROUP BY t.doc_id, h.i)""".stripMargin)
+    ctes += ("q25u" ->
+      s"(SELECT doc_id, i // $RowsPerBand AS band, i % $RowsPerBand AS r, ${toUnsigned("sig")} AS sigu FROM q25sig)")
+    ctes += ("q25s0" -> "(SELECT DISTINCT doc_id, band, 42::HUGEINT AS h FROM q25u)")
+    var cur = "q25s0"
+    (0 until RowsPerBand).foreach { r =>
+      ctes += (s"q25f${r}in" ->
+        s"""(SELECT x.doc_id, x.band, x.h AS seed, u.sigu AS l FROM $cur x
+           |    JOIN q25u u ON u.doc_id = x.doc_id AND u.band = x.band AND u.r = $r)""".stripMargin)
+      val ch = new SqlChain(s"q25f$r", s"q25f${r}in", Seq("doc_id", "band", "seed", "l"))
+      hashLongLevels(ch, "l", "seed", "h")
+      ctes ++= ch.ctes
+      cur = ch.last
+    }
+    ctes += ("q25bl" -> s"(SELECT doc_id, band, h AS bh FROM $cur)")
+    ctes += ("q25bk" -> s"(SELECT band, bh FROM q25bl GROUP BY band, bh HAVING count(*) BETWEEN 2 AND $MaxBucket)")
+    assemble(
+      ctes.toSeq,
+      """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM q25bl a JOIN q25bl b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |JOIN q25bk k ON k.band = a.band AND k.bh = a.bh
+        |ORDER BY doc_a, doc_b""".stripMargin
+    )
+  }
+
+  /** DuckDB oracle for [[simhashPairs]] — also an exact identity, and
+    * additionally band-free: hamming ≤ 3 over 4 bands of 16 bits
+    * pigeonholes into "at least one band equal", so banded-LSH-then-filter
+    * equals plain all-pairs hamming ≤ 3 (the only divergence would be a
+    * >[[MaxBucket]] band bucket, impossible at the oracle's corpus size).
+    * Token hashes are computed over DISTINCT tokens then re-joined with
+    * multiplicity (SimHash weights by occurrence count).
+    */
+  lazy val simhashSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q26t" -> "(SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS s FROM documents)",
+      "q26b" -> s"(SELECT s, ${bytesOf("s")} AS b FROM (SELECT DISTINCT s FROM q26t))"
+    )
+    val hb = hashBytesChain("q26hx", "q26b", Seq("s"), "42", "hb")
+    ctes ++= hb.ctes
+    val bitSum =
+      "list_reduce(list_prepend(0::HUGEINT, list_transform(range(0, 64), bit -> " +
+        "CASE WHEN 2 * len(list_filter(hs, h -> (h // (1::HUGEINT << bit)) % 2 = 1)) > len(hs) " +
+        "THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END)), (a, x) -> a + x)"
+    ctes += ("q26hs" ->
+      s"(SELECT t.doc_id, list(d.hb) AS hs FROM q26t t JOIN ${hb.last} d ON t.s = d.s GROUP BY t.doc_id)")
+    ctes += ("q26s" -> s"(SELECT doc_id, CAST($bitSum AS UBIGINT) AS sim FROM q26hs)")
+    assemble(
+      ctes.toSeq,
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.sim, b.sim))::INTEGER AS hamming
+        |FROM q26s a JOIN q26s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
+    )
+  }
+
   /** One-pass LSH bucket → candidate-pair expansion: group by bucket key,
     * collect member ids, emit all in-bucket combinations. A self-join on the
     * bucket key would compute the whole upstream (signature pipeline) twice
