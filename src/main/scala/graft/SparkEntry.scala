@@ -86,17 +86,21 @@ object SparkEntry {
     "q26_simhash"         -> TextOps.simhashSql,
     "q27_ngram_jaccard"   -> TextOps.ngramJaccardSql,
     "q28_cosine_topk"     -> VectorOps.cosineTopKSql,
+    "q29_ann_lsh"         -> VectorOps.annLshSql,
+    "q31_multimodal_pipe" -> Multimodal.pipelineSql,
     "q33_clean_pipeline"  -> CleanPipeline.cleanSql,
     "q34_top_terms"       -> TextOps.topTermsSql,
     "q35_funnel"          -> Relational.q35Sql,
     "q36_embed_quantize"  -> VectorOps.quantizeSql
-    // q25/q26 are oracled EXACTLY: Spark's xxhash64 is emulated in DuckDB
-    // HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/pairs are
-    // engine-identical, not probabilistically equivalent. q27/q33 are
-    // oracled via exact all-pairs Jaccard at the 0.9 cut (recall ≈
-    // 0.9998/pair). q30/q32 stay rows-only: q30's LSH recall at its 0.35
-    // threshold is intentionally < 1 (no exact-equivalent SQL), and q32's
-    // centroids come from driver-side iterative k-means — float-iteration
-    // parity across engines is not expressible as a DuckDB oracle.
+    // q25/q26/q29 are oracled EXACTLY: Spark's xxhash64 is emulated in
+    // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
+    // probes/pairs are engine-identical, not probabilistically equivalent.
+    // q27/q33 are oracled via exact all-pairs Jaccard at the 0.9 cut
+    // (recall ≈ 0.9998/pair). q30/q32 stay rows-only — the ONLY two of 36:
+    // q30's LSH recall at its 0.35 threshold is intentionally < 1 (no
+    // exact-equivalent SQL), and q32's centroids come from driver-side
+    // iterative k-means — float-iteration parity across engines is not
+    // expressible as a DuckDB oracle. Both carry ScalaTest properties
+    // (brute-force agreement / threshold invariants) instead.
   )
 }

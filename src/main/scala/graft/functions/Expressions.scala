@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
@@ -102,17 +102,23 @@ object Expressions {
   /** Random-hyperplane LSH bucket id for an array<double> embedding
     * (SURVEY §2.C10): sign bits of `planes` fixed pseudo-random hyperplanes,
     * offset by `table * planes` so multiple independent tables can share one
-    * plane matrix. Plane weights come from a fixed-seed `java.util.Random`
-    * (spec'd LCG — identical on every JVM/executor); in codegen the matrix
-    * rides along as a reference object.
+    * plane matrix; in codegen the matrix rides along as a reference object.
+    *
+    * Plane weights are ±1 Rademacher signs derived from Spark's own
+    * `XXH64.hashLong((table·64 + p)·64 + d, 42)` — sign-random-projection
+    * LSH is valid for any symmetric subgaussian weight distribution, and a
+    * hash-derived matrix (unlike a JVM `Random` Gaussian sequence) is
+    * reproducible in the DuckDB oracle, which makes the ANN search
+    * hard-verifiable end to end (see VectorOps.annLshSql).
     */
   case class HyperplaneBucket(child: Expression, table: Int, planes: Int)
       extends UnaryExpression {
     override def dataType: DataType = IntegerType
-    private lazy val weights: Array[Array[Double]] = {
-      val rnd = new java.util.Random(42L + table.toLong * 1000L)
-      Array.fill(planes)(Array.fill(HyperplaneBucket.Dims)(rnd.nextGaussian()))
-    }
+    private lazy val weights: Array[Array[Double]] =
+      Array.tabulate(planes, HyperplaneBucket.Dims) { (p, d) =>
+        val idx = (table.toLong * 64L + p) * 64L + d
+        if ((XXH64.hashLong(idx, 42L) & 1L) == 1L) 1.0 else -1.0
+      }
     override def nullSafeEval(input: Any): Any = {
       val arr    = input.asInstanceOf[ArrayData]
       val n      = math.min(arr.numElements(), HyperplaneBucket.Dims)

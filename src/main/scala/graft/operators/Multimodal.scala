@@ -125,7 +125,28 @@ object Multimodal {
       .toDF("media_id", "frame_idx", "frame")
   }
 
-  // --- D4 q31: full pipe as a queries entry (rows-only) --------------------
+  // --- D4 q31: full pipe as a queries entry (oracled) ----------------------
+  /** DuckDB oracle for [[pipeline]]: [[decodeStub]]'s f0 feature is a
+    * deterministic left-fold over the payload bytes at positions ≡ 0 mod 8
+    * (`f(0) += b_i/255.0`, then `/n`), which DuckDB reproduces in the same
+    * IEEE evaluation order — per-row f0 is bit-identical. The only
+    * engine-order-dependent value is the per-source `avg(f0)` group sum;
+    * `round(..., 4)` absorbs the last-ulp summation-order difference
+    * (values sit ~1e-13 from any rounding boundary; same slack q27/q30
+    * rely on for their rounded doubles).
+    */
+  val pipelineSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, source, length(text) AS n_bytes,
+      |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |      list_reduce(list_prepend(0.0::DOUBLE,
+      |        list_transform(range(1, length(text) + 1, 8), p -> ord(text[p]) / 255.0)),
+      |        (a, x) -> a + x) / length(text) END AS f0
+      |  FROM documents)
+      |SELECT source, count(*) AS n_media, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |  round(avg(f0), 4) AS avg_f0
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   def pipeline(spark: SparkSession, dir: String): DataFrame = {
     val feats = extractFeatures(mediaTable(spark, dir))
     feats

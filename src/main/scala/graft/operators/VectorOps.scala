@@ -106,6 +106,59 @@ object VectorOps {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** DuckDB oracle reproducing [[annLsh]] (multi-probe) bit-for-bit. The
+    * Rademacher plane matrix is re-derived from the same
+    * `XXH64.hashLong((table·64+p)·64+d, 42)` bit (via
+    * [[graft.functions.DuckHash]]); dot products, norms, and cosines are
+    * left-fold double arithmetic in the exact evaluation order of the Spark
+    * side's `aggregate(...)` folds, so buckets, probe sets, similarity
+    * values, and the (sim DESC, n_id) ranking are all engine-identical —
+    * no rounding slack needed anywhere.
+    */
+  lazy val annLshSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q29pd" ->
+        s"(SELECT p, d, ((0 * 64 + p) * 64 + d)::HUGEINT AS idx FROM range(0, $AnnPlanes) r(p), range(0, 64) s(d))"
+    )
+    val ch = new SqlChain("q29h", "q29pd", Seq("p", "d", "idx"))
+    hashLongLevels(ch, "idx", "42", "hw")
+    ctes ++= ch.ctes
+    ctes += ("q29sgn" ->
+      s"(SELECT p, list(CASE WHEN hw % 2 = 1 THEN 1.0 ELSE -1.0 END ORDER BY d) AS sv FROM ${ch.last} GROUP BY p)")
+    ctes += ("q29ev" ->
+      """(SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding::DOUBLE[], x -> x * x)),
+        |         (a, x) -> a + x)) AS nrm
+        |  FROM embeddings)""".stripMargin)
+    ctes += ("q29ef" -> "(SELECT * FROM q29ev WHERE nrm > 0)")
+    ctes += ("q29dots" ->
+      """(SELECT vec_id, p,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> v[i] * sv[i])),
+        |      (a, x) -> a + x) AS dot
+        |  FROM q29ef, q29sgn)""".stripMargin)
+    ctes += ("q29bkt" ->
+      "(SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END)::INTEGER AS bucket FROM q29dots GROUP BY vec_id)")
+    ctes += ("q29c" ->
+      "(SELECT f.vec_id AS n_id, f.v AS cv, f.nrm AS cn, b.bucket FROM q29ef f JOIN q29bkt b USING (vec_id))")
+    ctes += ("q29q" ->
+      s"""(SELECT DISTINCT q_id, qv, qn, unnest(probes) AS bucket FROM (
+         |    SELECT f.vec_id AS q_id, f.v AS qv, f.nrm AS qn,
+         |      list_prepend(b.bucket, list_transform(range(0, $AnnPlanes),
+         |        p -> xor(b.bucket::BIGINT, (1 << p)::BIGINT)::INTEGER)) AS probes
+         |    FROM q29ef f JOIN q29bkt b USING (vec_id) WHERE f.vec_id < $QueryCount))""".stripMargin)
+    ctes += ("q29rk" ->
+      """(SELECT q_id, n_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+        |      list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> qv[i] * cv[i])),
+        |        (a, x) -> a + x) / (qn * cn) DESC,
+        |      n_id) AS rk
+        |  FROM q29c JOIN q29q USING (bucket) WHERE q_id <> n_id)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      s"SELECT q_id, n_id, rk::INTEGER AS rk FROM q29rk WHERE rk <= $AnnTopK ORDER BY q_id, rk")
+  }
+
   // --- C10b q32: IVF-style bucketed ANN ------------------------------------
   // Coarse quantizer: spherical k-means centroids trained on a bounded,
   // deterministic sample (driver-side Lloyd's — the sample is capped, so
