@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CleanPipeline, Multimodal, Skew, TextOps, VectorOps}
+import graft.operators.{CleanPipeline, Multimodal, Skew, TextOps, TimeJoins, TrainingOps, VectorOps}
 import graft.queries.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
@@ -54,7 +54,14 @@ object SparkEntry {
     "q31_multimodal_pipe" -> (Multimodal.pipeline _),
     "q34_top_terms"       -> (TextOps.topTerms _),
     "q35_funnel"          -> (Relational.q35 _),
-    "q36_embed_quantize"  -> (VectorOps.quantize _)
+    "q36_embed_quantize"  -> (VectorOps.quantize _),
+    "q37_asof_join"       -> (TimeJoins.asofJoin _),
+    "q38_range_join"      -> (TimeJoins.rangeJoin _),
+    "q39_decontaminate"   -> (TrainingOps.decontaminate _),
+    "q40_split_hash"      -> (TrainingOps.splitHash _),
+    "q41_repetition_quality" -> (TrainingOps.repetitionQuality _),
+    "q42_kmv_distinct"    -> (TrainingOps.kmvDistinct _),
+    "q43_percentiles"     -> (TrainingOps.percentiles _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -91,7 +98,14 @@ object SparkEntry {
     "q33_clean_pipeline"  -> CleanPipeline.cleanSql,
     "q34_top_terms"       -> TextOps.topTermsSql,
     "q35_funnel"          -> Relational.q35Sql,
-    "q36_embed_quantize"  -> VectorOps.quantizeSql
+    "q36_embed_quantize"  -> VectorOps.quantizeSql,
+    "q37_asof_join"       -> TimeJoins.asofJoinSql,
+    "q38_range_join"      -> TimeJoins.rangeJoinSql,
+    "q39_decontaminate"   -> TrainingOps.decontaminateSql,
+    "q40_split_hash"      -> TrainingOps.splitHashSql,
+    "q41_repetition_quality" -> TrainingOps.repetitionQualitySql,
+    "q42_kmv_distinct"    -> TrainingOps.kmvDistinctSql,
+    "q43_percentiles"     -> TrainingOps.percentilesSql
     // q25/q26/q29 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
     // probes/pairs are engine-identical, not probabilistically equivalent.

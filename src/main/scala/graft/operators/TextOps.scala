@@ -18,7 +18,7 @@ object TextOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
 
-  private val toks: Column = split(trim(col("text")), "\\s+")
+  private[operators] val toks: Column = split(trim(col("text")), "\\s+")
 
   // --- DuckDB-side fragments shared across oracles -------------------------
   // One definition per semantic (mirroring shingleCol / stopCountExpr on the

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Temporal join operators Spark has no built-in for: as-of join and
+  * interval range join — both expressed so the plan shuffles on a bounded
+  * key (user, time-bin), never a cross product.
+  */
+object TimeJoins {
+
+  // --- q37: as-of join -----------------------------------------------------
+  /** For every 'click' event, the same user's most recent prior (ts' ≤ ts)
+    * 'purchase' event.
+    *
+    * Spark-first shape: NO join at all — union both sides tagged by kind,
+    * one window over (user_id ORDER BY ts, kind) carries the last purchase
+    * struct forward, clicks read it. A single hash shuffle on user_id,
+    * linear in input — the classic scalable as-of plan (a time-range join
+    * would be quadratic per user; a per-click subquery would be a shuffle
+    * per probe). Purchases are pre-deduped to one per (user, ts) — max
+    * event_id wins — so the carried value is deterministic under ties;
+    * kind sorts purchases before clicks at equal ts, making the match
+    * inclusive (ts' = ts counts), exactly DuckDB's `ASOF JOIN ... >=`.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val purch = ev
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("p_event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+    val pType  = "struct<p_event_id:bigint,p_ts:timestamp>"
+    val tagged = purch
+      .select(
+        col("user_id"),
+        col("ts"),
+        lit(0).as("kind"),
+        lit(null).cast("bigint").as("event_id"),
+        struct(col("p_event_id"), col("ts").as("p_ts")).as("p"))
+      .unionByName(
+        clicks.select(
+          col("user_id"),
+          col("ts"),
+          lit(1).as("kind"),
+          col("event_id"),
+          lit(null).cast(pType).as("p")))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("m", last(col("p"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("m").isNotNull)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        col("m.p_event_id").as("p_event_id"),
+        col("m.p_ts").as("p_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** DuckDB's native ASOF JOIN is the oracle — an independent
+    * implementation of the same semantics (greatest p_ts ≤ ts per key).
+    */
+  val asofJoinSql: String =
+    """WITH p AS (SELECT user_id, ts AS p_ts, max(event_id) AS p_event_id
+      |           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+      |     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, c.ts, p.p_event_id, p.p_ts
+      |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.p_ts
+      |ORDER BY c.event_id""".stripMargin
+
+  // --- q38: interval range join --------------------------------------------
+  val RangeWindowMinutes = 30
+  val RangeWindowEvery   = 200L
+
+  /** Pure range join (no equi key): per time window [ts, ts+30min) anchored
+    * at every 200th event, aggregate ALL events inside the window.
+    *
+    * Spark-first shape: both sides get a coarse time-bin key (bin width =
+    * window width, so a window spans at most 2 bins); windows explode to
+    * their covered bins, the join is a plain equi join on bin, and the
+    * exact containment predicate filters after. Each event lands in exactly
+    * one bin, so no post-join dedup is needed. The join shuffles on bin
+    * (or broadcasts the window side when AQE sees it is small — it is NOT
+    * force-broadcast here, since the window count grows with the corpus).
+    * This turns an O(n·m) theta join into an O(n + m) bucketed join — the
+    * standard interval-bucketing shape that survives 100 TB.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val binMicros = RangeWindowMinutes * 60L * 1000000L
+    val ev        = Tables.events(spark, dir).select(col("event_id"), col("ts"))
+    val win = ev
+      .filter(col("event_id") % RangeWindowEvery === 0)
+      .select(
+        col("event_id").as("w_id"),
+        col("ts").as("w_start"),
+        expr(s"ts + INTERVAL $RangeWindowMinutes MINUTES").as("w_end"))
+    val evB = ev.withColumn("bin", expr(s"unix_micros(ts) div $binMicros"))
+    val winB = win.withColumn(
+      "bin",
+      explode(expr(s"sequence(unix_micros(w_start) div $binMicros, unix_micros(w_end) div $binMicros)")))
+    evB
+      .join(winB, Seq("bin"))
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy(col("w_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_eid"),
+        max(col("event_id")).as("max_eid"))
+      .orderBy(col("w_id"))
+  }
+
+  /** Oracle: the naive theta join (exact containment, no bucketing). */
+  val rangeJoinSql: String =
+    s"""WITH w AS (SELECT event_id AS w_id, ts AS w_start,
+       |            ts + INTERVAL $RangeWindowMinutes MINUTE AS w_end
+       |          FROM events WHERE event_id % $RangeWindowEvery = 0)
+       |SELECT w.w_id, count(*) AS n_events, min(e.event_id) AS min_eid, max(e.event_id) AS max_eid
+       |FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+       |GROUP BY w.w_id ORDER BY w.w_id""".stripMargin
+}

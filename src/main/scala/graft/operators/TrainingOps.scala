@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Training-data curation operators beyond dedup/similarity: benchmark
+  * decontamination, deterministic corpus splits, repetition-based quality
+  * filtering, and sketch-based cardinality estimation. All map-side except
+  * the decontamination join (equi join on n-gram) — the shapes a 100 TB
+  * pretraining pipeline runs daily.
+  */
+object TrainingOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  // --- q39: benchmark decontamination --------------------------------------
+  val DecontamN     = 8
+  val BenchEvery    = 50L
+
+  /** Docs sharing ≥1 distinct 8-token n-gram with a "benchmark" document
+    * (every 50th doc stands in for an eval set). The standard
+    * train-set-decontamination shape: shingle both sides, equi join on the
+    * n-gram, count shared grams per (doc, benchmark) pair. The join key is
+    * the n-gram string; the benchmark side is a fixed eval corpus in
+    * production — small enough that AQE broadcasts it — while the corpus
+    * side stays a linear scan. No similarity math, no candidate explosion:
+    * contamination is exact substring-overlap evidence.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val gramExpr = {
+      val parts = (0 until DecontamN).map(j => s"toks[i+$j]").mkString(", ")
+      expr(s"array_distinct(transform(sequence(0, size(toks)-$DecontamN), i -> concat_ws(' ', $parts)))")
+    }
+    val sh = docs(spark, dir)
+      .select(col("doc_id"), TextOps.toks.as("toks"))
+      .filter(size(col("toks")) >= DecontamN)
+      .select(col("doc_id"), explode(gramExpr).as("g"))
+    val bench  = sh.filter(col("doc_id") % BenchEvery === 0).select(col("doc_id").as("bench_id"), col("g"))
+    val corpus = sh.filter(col("doc_id") % BenchEvery =!= 0)
+    corpus
+      .join(bench, "g")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  val decontaminateSql: String = {
+    val parts = (1 to DecontamN).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(toks) - ${DecontamN - 1}), i -> $parts))) AS g
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+       |  WHERE len(toks) >= $DecontamN)
+       |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+       |FROM sh c JOIN sh b ON c.g = b.g
+       |WHERE b.doc_id % $BenchEvery = 0 AND c.doc_id % $BenchEvery <> 0
+       |GROUP BY c.doc_id, b.doc_id
+       |ORDER BY c.doc_id, bench_id""".stripMargin
+  }
+
+  // --- q40: deterministic hash split ---------------------------------------
+  val SplitTrainPct = 80
+  val SplitValPct   = 90
+
+  /** train/val/test assignment via `pmod(xxhash64(doc_id), 100)` — the
+    * standard content-stable split: purely map-side, reproducible on any
+    * cluster size, and immune to row order / partitioning (unlike
+    * `randomSplit`, whose assignment shifts with partition layout — a real
+    * leakage hazard when the corpus is re-ingested).
+    */
+  def splitHash(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), pmod(xxhash64(col("doc_id")), lit(100)).cast("int").as("bucket"))
+      .withColumn(
+        "split",
+        when(col("bucket") < SplitTrainPct, "train")
+          .when(col("bucket") < SplitValPct, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle re-derives the same xxhash64 via [[graft.functions.DuckHash]];
+    * `((h % 100) + 100) % 100` on the signed value is exactly Spark's pmod.
+    */
+  lazy val splitHashSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q40in" -> "(SELECT doc_id, doc_id::HUGEINT AS l FROM documents)"
+    )
+    val ch = new SqlChain("q40h", "q40in", Seq("doc_id", "l"))
+    hashLongLevels(ch, s"${toUnsigned("l")}", "42", "h")
+    ctes ++= ch.ctes
+    assemble(
+      ctes.toSeq,
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < $SplitTrainPct THEN 'train'
+         |       WHEN bucket < $SplitValPct THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, (((${toSigned("h")} % 100) + 100) % 100)::INTEGER AS bucket FROM ${ch.last})
+         |ORDER BY doc_id""".stripMargin
+    )
+  }
+
+  // --- q41: repetition-based quality (Gopher-style) ------------------------
+  val RepMinToks     = 5
+  val RepMaxToks     = 1000
+  val RepMaxDupFrac  = 0.3
+  val RepMaxTop2Frac = 0.18
+
+  /** Per-document repetition metrics: duplicate-token fraction and
+    * most-frequent-2-gram fraction, plus the keep/drop verdict — the
+    * Gopher-rules repetition family. Entirely map-side (higher-order array
+    * functions inside codegen); the per-row 2-gram mode is O(distinct ×
+    * total) in-row, which beats a per-doc shuffle for any real document
+    * length. All ratios are exact int/int double divisions — engine-identical
+    * with no rounding slack.
+    */
+  /** 2-gram array, guarded: Spark's `sequence(0, -1)` would yield a
+    * DESCENDING sequence for 1-token docs, not an empty one.
+    */
+  private def g2: Column =
+    when(
+      size(col("toks")) >= 2,
+      expr("transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))")
+    ).otherwise(expr("array()").cast("array<string>"))
+
+  def repetitionQuality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), TextOps.toks.as("toks"))
+      .withColumn("g2", g2)
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        when(
+          size(col("toks")) >= 2,
+          expr("""array_max(transform(array_distinct(g2), d -> size(filter(g2, x -> x = d))))""")
+        ).otherwise(lit(0)).as("top2_count")
+      )
+      .withColumn("dup_frac", (col("n_toks") - col("n_distinct")) / col("n_toks"))
+      .withColumn(
+        "top2_frac",
+        when(col("n_toks") >= 2, col("top2_count") / (col("n_toks") - 1)).otherwise(lit(0.0)))
+      .withColumn(
+        "keep",
+        col("n_toks").between(RepMinToks, RepMaxToks) &&
+          col("dup_frac") < RepMaxDupFrac && col("top2_frac") < RepMaxTop2Frac)
+      .orderBy(col("doc_id"))
+
+  val repetitionQualitySql: String =
+    s"""SELECT doc_id, n_toks, n_distinct, top2_count,
+       |  (n_toks - n_distinct) / n_toks AS dup_frac,
+       |  CASE WHEN n_toks >= 2 THEN top2_count / (n_toks - 1) ELSE 0.0 END AS top2_frac,
+       |  (n_toks BETWEEN $RepMinToks AND $RepMaxToks)
+       |    AND (n_toks - n_distinct) / n_toks < $RepMaxDupFrac
+       |    AND (CASE WHEN n_toks >= 2 THEN top2_count / (n_toks - 1) ELSE 0.0 END) < $RepMaxTop2Frac AS keep
+       |FROM (
+       |  SELECT doc_id, len(toks) AS n_toks, len(list_distinct(toks)) AS n_distinct,
+       |    CASE WHEN len(toks) >= 2 THEN
+       |      list_max(list_transform(list_distinct(g2), d -> len(list_filter(g2, x -> x = d))))
+       |    ELSE 0 END AS top2_count
+       |  FROM (
+       |    SELECT doc_id, toks,
+       |      list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]) AS g2
+       |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+
+  // --- q42: KMV distinct-count sketch --------------------------------------
+  val KmvK = 256
+
+  /** K-minimum-values cardinality sketch over `l_orderkey`: keep the K
+    * smallest distinct `xxhash64` values (unsigned order); the Kth one
+    * estimates distinct ≈ (K-1)·2^64/h_K. The sketch side is a
+    * TakeOrdered — per-partition top-K then a driver merge of K·partitions
+    * values, no full shuffle — which is the whole point of KMV at 100 TB:
+    * cardinality from a bounded sketch, with the exact distinct count (one
+    * real shuffle) alongside to report the sketch's relative error.
+    * Unsigned ordering of signed longs = signed ordering of
+    * `h XOR Long.MinValue` (flips the sign bit; order-isomorphic).
+    *
+    * "Exact" here is the distinct-hash count — identical to the distinct
+    * key count absent a 64-bit collision (none at any tested SF, and at
+    * 100 TB a KMV user accepts hash-distinct semantics by definition.)
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val hs = Tables
+      .lineitem(spark, dir)
+      .select(xxhash64(col("l_orderkey")).as("h"))
+      .distinct()
+    val flipped = hs.select(col("h").bitwiseXOR(lit(Long.MinValue)).as("hf"))
+    val top     = flipped.orderBy(col("hf")).limit(KmvK)
+    val sketch  = top.agg(max(col("hf")).as("hfk"), count(lit(1)).as("k_used"))
+    val exact   = hs.agg(count(lit(1)).as("n_distinct"))
+    // 1-row × 1-row cross join: bounded by construction (two aggregates).
+    sketch
+      .crossJoin(exact)
+      .select(
+        col("k_used"),
+        col("hfk").bitwiseXOR(lit(Long.MinValue)).as("kth_hash"),
+        round(
+          (col("k_used") - 1).cast("double") *
+            (lit(1.8446744073709551616e19) / (col("hfk").cast("double") + lit(9.223372036854775808e18))),
+          2
+        ).as("est_distinct"),
+        col("n_distinct"),
+        round(
+          (col("k_used") - 1).cast("double") *
+            (lit(1.8446744073709551616e19) / (col("hfk").cast("double") + lit(9.223372036854775808e18))) /
+            col("n_distinct").cast("double") - 1,
+          4
+        ).as("rel_err")
+      )
+  }
+
+  /** Oracle replicates the flip/cast/divide in the exact same IEEE op order
+    * (`hf::DOUBLE + 2^63`, then `2^64 / u`, then `(k-1) · …`), so the
+    * doubles are bit-identical before rounding.
+    */
+  lazy val kmvDistinctSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q42in" -> "(SELECT l, l::HUGEINT AS lu FROM (SELECT DISTINCT l_orderkey AS l FROM lineitem))"
+    )
+    val ch = new SqlChain("q42h", "q42in", Seq("l", "lu"))
+    hashLongLevels(ch, s"${toUnsigned("lu")}", "42", "h")
+    ctes ++= ch.ctes
+    ctes += ("q42hs" -> s"(SELECT DISTINCT (h - 9223372036854775808::HUGEINT)::BIGINT AS hf FROM ${ch.last})")
+    ctes += ("q42top" -> s"(SELECT hf FROM q42hs ORDER BY hf LIMIT $KmvK)")
+    ctes += ("q42sk"  -> "(SELECT max(hf) AS hfk, count(*) AS k_used FROM q42top)")
+    ctes += ("q42ex"  -> "(SELECT count(*) AS n_distinct FROM q42hs)")
+    assemble(
+      ctes.toSeq,
+      """SELECT k_used,
+        |  xor(hfk, (-9223372036854775808)::BIGINT) AS kth_hash,
+        |  round((k_used - 1)::DOUBLE * (18446744073709551616.0 / (hfk::DOUBLE + 9223372036854775808.0)), 2) AS est_distinct,
+        |  n_distinct,
+        |  round((k_used - 1)::DOUBLE * (18446744073709551616.0 / (hfk::DOUBLE + 9223372036854775808.0))
+        |        / n_distinct::DOUBLE - 1, 4) AS rel_err
+        |FROM q42sk, q42ex""".stripMargin
+    )
+  }
+
+  // --- q43: exact grouped percentiles --------------------------------------
+  /** Exact type-7 (linear-interpolation) quartiles of `l_extendedprice` per
+    * return flag, via Spark's exact `percentile` aggregate. Empirically
+    * bit-identical to DuckDB's `quantile_cont` (same sorted-array indexing
+    * and interpolation arithmetic) — no rounding slack needed. Scale note:
+    * exact percentile buffers each group's values (ObjectHashAggregate);
+    * at 100 TB per-group cardinality, switch to `approx_percentile`
+    * (t-digest, bounded memory) — kept exact here because the oracle
+    * demands engine-exact semantics.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("p"))
+      .select(
+        col("l_returnflag"),
+        col("p").getItem(0).as("p25"),
+        col("p").getItem(1).as("p50"),
+        col("p").getItem(2).as("p75"))
+      .orderBy(col("l_returnflag"))
+
+  val percentilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25,
+      |  quantile_cont(l_extendedprice, 0.50) AS p50,
+      |  quantile_cont(l_extendedprice, 0.75) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+}

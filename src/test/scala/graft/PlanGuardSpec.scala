@@ -27,7 +27,14 @@ class PlanGuardSpec extends SparkSpec {
       "q26_simhash"       -> 3,
       "q29_ann_lsh"       -> 2, // bucket join broadcasts; top-k window + sort
       "q30_embed_neardup" -> 3, // bucket agg + pair distinct + sort (no corpus re-joins)
-      "q32_ann_ivf"       -> 2  // assignment+probes map-side; window + sort only
+      "q32_ann_ivf"       -> 2, // assignment+probes map-side; window + sort only
+      "q37_asof_join"     -> 3, // purchase dedup agg + user window + sort (NO join)
+      "q38_range_join"    -> 4, // bin equi-join (AQE may broadcast) + agg + sort
+      "q39_decontaminate" -> 4, // gram equi-join + pair agg + sort
+      "q40_split_hash"    -> 1, // map-side assignment; sort only
+      "q41_repetition_quality" -> 1, // map-side metrics; sort only
+      "q42_kmv_distinct"  -> 4, // hash distinct (sketch + exact branches)
+      "q43_percentiles"   -> 2  // grouped agg + sort
     )
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf001)) // building the plan must not throw
@@ -64,7 +71,8 @@ class PlanGuardSpec extends SparkSpec {
     // regression — the exact defect this pins: CleanPipeline must let AQE
     // pick the strategy, never force-broadcast the victim set.
     // q15's nested-loop side is a scalar subquery result — one row.
-    val allowed = Set("q28_cosine_topk", "q15_scalar_subquery")
+    // q42 joins two single-row aggregates (KMV sketch × exact count).
+    val allowed = Set("q28_cosine_topk", "q15_scalar_subquery", "q42_kmv_distinct")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, Sf001))

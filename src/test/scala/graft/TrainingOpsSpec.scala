@@ -1,0 +1,127 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.{TimeJoins, TrainingOps}
+
+/** Specs for the temporal-join and training-curation operators (q37-q43).
+  * Each recomputes ground truth independently (driver-side brute force over
+  * the small sf0.001 tables) rather than trusting the operator's own plan.
+  */
+class TrainingOpsSpec extends SparkSpec {
+
+  private lazy val events =
+    graft.core.Tables.events(spark, Sf0001)
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+
+  test("q37: as-of join matches brute-force latest-prior-purchase per click") {
+    val purch = events.filter(_._4 == "purchase")
+    val expected = events
+      .filter(_._4 == "click")
+      .flatMap { case (eid, uid, ts, _) =>
+        val prior = purch.filter(p => p._2 == uid && !p._3.after(ts))
+        if (prior.isEmpty) None
+        else {
+          // greatest ts, max event_id among ties — the operator's contract
+          val best = prior.maxBy(p => (p._3.getTime, p._1))
+          Some((eid, uid, ts, best._1, best._3))
+        }
+      }
+      .sortBy(_._1)
+      .toSeq
+    val got = TimeJoins.asofJoin(spark, Sf0001).collect()
+      .map(r =>
+        (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"), r.getAs[Timestamp]("ts"),
+          r.getAs[Long]("p_event_id"), r.getAs[Timestamp]("p_ts")))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("q38: bucketed range join equals the naive theta join") {
+    val winMs = TimeJoins.RangeWindowMinutes * 60L * 1000L
+    val expected = events
+      .filter(_._1 % TimeJoins.RangeWindowEvery == 0)
+      .map { case (wid, _, ws, _) =>
+        val in = events.filter(e => e._3.getTime >= ws.getTime && e._3.getTime < ws.getTime + winMs)
+        (wid, in.length.toLong, in.map(_._1).min, in.map(_._1).max)
+      }
+      .filter(_._2 > 0)
+      .sortBy(_._1)
+      .toSeq
+    val got = TimeJoins.rangeJoin(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("q39: every reported contamination pair truly shares that many 8-grams") {
+    val texts = graft.core.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(id: Long): Set[String] = {
+      val t = texts(id).trim.split("\\s+")
+      if (t.length < TrainingOps.DecontamN) Set.empty
+      else t.sliding(TrainingOps.DecontamN).map(_.mkString(" ")).toSet
+    }
+    val rows = TrainingOps.decontaminate(spark, Sf0001).collect()
+    rows.foreach { r =>
+      val (doc, bench, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(bench % TrainingOps.BenchEvery == 0 && doc % TrainingOps.BenchEvery != 0)
+      assert(grams(doc).intersect(grams(bench)).size.toLong == n, s"pair ($doc,$bench)")
+    }
+    // and completeness: no overlapping pair is missing
+    val benchIds = texts.keys.filter(_ % TrainingOps.BenchEvery == 0)
+    val missing = for {
+      b <- benchIds
+      d <- texts.keys if d % TrainingOps.BenchEvery != 0
+      shared = grams(d).intersect(grams(b)).size if shared > 0
+    } yield (d, b)
+    assert(missing.toSet == rows.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("q40: hash split is content-stable with sane proportions") {
+    val rows = TrainingOps.splitHash(spark, Sf0001).collect()
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 100))
+    val frac = rows.count(_.getString(2) == "train").toDouble / rows.length
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac")
+    // deterministic: a second evaluation assigns identically
+    val again = TrainingOps.splitHash(spark, Sf0001).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("q41: repetition metrics match a direct recomputation") {
+    val texts = graft.core.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TrainingOps.repetitionQuality(spark, Sf0001).collect()
+    assert(rows.length == texts.size)
+    rows.take(50).foreach { r =>
+      val toks = texts(r.getLong(0)).trim.split("\\s+").toSeq
+      assert(r.getInt(1) == toks.length)
+      assert(r.getInt(2) == toks.distinct.length)
+      val g2 = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val top2 = if (g2.isEmpty) 0 else g2.groupBy(identity).values.map(_.size).max
+      assert(r.getInt(3) == top2, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("q42: KMV estimate lands within 20% of the exact distinct count") {
+    val r = TrainingOps.kmvDistinct(spark, Sf0001).collect().head
+    val (k, est, exact) = (r.getAs[Long]("k_used"), r.getAs[Double]("est_distinct"), r.getAs[Long]("n_distinct"))
+    assert(k == TrainingOps.KmvK)
+    assert(math.abs(est / exact - 1) < 0.2, s"est $est vs exact $exact")
+  }
+
+  test("q43: percentiles are ordered and the median matches a direct sort") {
+    val rows = TrainingOps.percentiles(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3)))
+    val flag = rows.head.getString(0)
+    val vals = graft.core.Tables.lineitem(spark, Sf0001)
+      .filter(org.apache.spark.sql.functions.col("l_returnflag") === flag)
+      .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+    val pos  = 0.5 * (vals.length - 1)
+    val (lo, g) = (pos.toInt, pos - pos.toInt)
+    val median  = vals(lo) + g * (vals(math.min(lo + 1, vals.length - 1)) - vals(lo))
+    assert(math.abs(rows.head.getDouble(2) - median) < 1e-6)
+  }
+}
