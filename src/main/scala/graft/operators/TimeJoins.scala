@@ -55,12 +55,13 @@ object TimeJoins {
     tagged
       .withColumn("m", last(col("p"), ignoreNulls = true).over(w))
       .filter(col("kind") === 1 && col("m").isNotNull)
+      // SURVEY §4: timestamps leave query output as exact epoch micros
       .select(
         col("event_id"),
         col("user_id"),
-        col("ts"),
+        unix_micros(col("ts")).as("ts_us"),
         col("m.p_event_id").as("p_event_id"),
-        col("m.p_ts").as("p_ts"))
+        unix_micros(col("m.p_ts")).as("p_ts_us"))
       .orderBy(col("event_id"))
   }
 
@@ -71,7 +72,8 @@ object TimeJoins {
     """WITH p AS (SELECT user_id, ts AS p_ts, max(event_id) AS p_event_id
       |           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
       |     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
-      |SELECT c.event_id, c.user_id, c.ts, p.p_event_id, p.p_ts
+      |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, p.p_event_id,
+      |       epoch_us(p.p_ts) AS p_ts_us
       |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.p_ts
       |ORDER BY c.event_id""".stripMargin
 

@@ -10,6 +10,9 @@ import graft.operators.{TimeJoins, TrainingOps}
   */
 class TrainingOpsSpec extends SparkSpec {
 
+  private def tsMicros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000 + t.getNanos / 1000
+
   private lazy val events =
     graft.core.Tables.events(spark, Sf0001)
       .select("event_id", "user_id", "ts", "event_type").collect()
@@ -24,26 +27,26 @@ class TrainingOpsSpec extends SparkSpec {
         if (prior.isEmpty) None
         else {
           // greatest ts, max event_id among ties — the operator's contract
-          val best = prior.maxBy(p => (p._3.getTime, p._1))
-          Some((eid, uid, ts, best._1, best._3))
+          val best = prior.maxBy(p => (tsMicros(p._3), p._1))
+          Some((eid, uid, tsMicros(ts), best._1, tsMicros(best._3)))
         }
       }
       .sortBy(_._1)
       .toSeq
     val got = TimeJoins.asofJoin(spark, Sf0001).collect()
       .map(r =>
-        (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"), r.getAs[Timestamp]("ts"),
-          r.getAs[Long]("p_event_id"), r.getAs[Timestamp]("p_ts")))
+        (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+          r.getAs[Long]("p_event_id"), r.getAs[Long]("p_ts_us")))
       .toSeq
     assert(got == expected)
   }
 
   test("q38: bucketed range join equals the naive theta join") {
-    val winMs = TimeJoins.RangeWindowMinutes * 60L * 1000L
+    val winUs = TimeJoins.RangeWindowMinutes * 60L * 1000000L
     val expected = events
       .filter(_._1 % TimeJoins.RangeWindowEvery == 0)
       .map { case (wid, _, ws, _) =>
-        val in = events.filter(e => e._3.getTime >= ws.getTime && e._3.getTime < ws.getTime + winMs)
+        val in = events.filter(e => tsMicros(e._3) >= tsMicros(ws) && tsMicros(e._3) < tsMicros(ws) + winUs)
         (wid, in.length.toLong, in.map(_._1).min, in.map(_._1).max)
       }
       .filter(_._2 > 0)
