@@ -111,10 +111,13 @@ object TrainingOps {
   /** Per-document repetition metrics: duplicate-token fraction and
     * most-frequent-2-gram fraction, plus the keep/drop verdict — the
     * Gopher-rules repetition family. Entirely map-side (higher-order array
-    * functions inside codegen); the per-row 2-gram mode is O(distinct ×
-    * total) in-row, which beats a per-doc shuffle for any real document
-    * length. All ratios are exact int/int double divisions — engine-identical
-    * with no rounding slack.
+    * functions inside codegen). The per-row 2-gram mode count is computed
+    * as the longest equal-run of the SORTED gram array — O(n log n) string
+    * compares instead of the O(distinct × total) filter-per-distinct shape
+    * (which benched 3.1 s at sf0.1 vs ~0.6 s for this plan) — and the
+    * result is order-insensitive, so engine sort-order differences cannot
+    * matter. All ratios are exact int/int double divisions —
+    * engine-identical with no rounding slack.
     */
   /** 2-gram array, guarded: Spark's `sequence(0, -1)` would yield a
     * DESCENDING sequence for 1-token docs, not an empty one.
@@ -133,10 +136,13 @@ object TrainingOps {
         col("doc_id"),
         size(col("toks")).as("n_toks"),
         size(array_distinct(col("toks"))).as("n_distinct"),
-        when(
-          size(col("toks")) >= 2,
-          expr("""array_max(transform(array_distinct(g2), d -> size(filter(g2, x -> x = d))))""")
-        ).otherwise(lit(0)).as("top2_count")
+        expr(
+          """aggregate(array_sort(g2),
+            |  struct(cast('' as string) as prev, 0 as run, 0 as best),
+            |  (a, x) -> struct(x as prev,
+            |                   if(x = a.prev, a.run + 1, 1) as run,
+            |                   greatest(a.best, if(x = a.prev, a.run + 1, 1)) as best),
+            |  a -> a.best)""".stripMargin).as("top2_count")
       )
       .withColumn("dup_frac", (col("n_toks") - col("n_distinct")) / col("n_toks"))
       .withColumn(
@@ -148,22 +154,35 @@ object TrainingOps {
           col("dup_frac") < RepMaxDupFrac && col("top2_frac") < RepMaxTop2Frac)
       .orderBy(col("doc_id"))
 
+  /** Oracle computes the 2-gram mode count relationally (unnest + GROUP BY
+    * + max) — NOT as a list_reduce fold: DuckDB 1.0's `list_reduce` with a
+    * STRUCT accumulator leaks fold state across rows in a vectorized batch
+    * (correct on a single-row batch, wrong over the full table). Scalar
+    * accumulators (every other DuckHash/oracle fold here) are unaffected.
+    * Mode count == longest equal-run of the sorted grams, so both engines
+    * compute the same value by different-but-equivalent routes.
+    */
   val repetitionQualitySql: String =
-    s"""SELECT doc_id, n_toks, n_distinct, top2_count,
-       |  (n_toks - n_distinct) / n_toks AS dup_frac,
-       |  CASE WHEN n_toks >= 2 THEN top2_count / (n_toks - 1) ELSE 0.0 END AS top2_frac,
-       |  (n_toks BETWEEN $RepMinToks AND $RepMaxToks)
-       |    AND (n_toks - n_distinct) / n_toks < $RepMaxDupFrac
-       |    AND (CASE WHEN n_toks >= 2 THEN top2_count / (n_toks - 1) ELSE 0.0 END) < $RepMaxTop2Frac AS keep
-       |FROM (
-       |  SELECT doc_id, len(toks) AS n_toks, len(list_distinct(toks)) AS n_distinct,
-       |    CASE WHEN len(toks) >= 2 THEN
-       |      list_max(list_transform(list_distinct(g2), d -> len(list_filter(g2, x -> x = d))))
-       |    ELSE 0 END AS top2_count
+    s"""WITH base AS (
+       |  SELECT doc_id, len(toks) AS n_toks, len(list_distinct(toks)) AS n_distinct, g2
        |  FROM (
        |    SELECT doc_id, toks,
        |      list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]) AS g2
-       |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)))
+       |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents))),
+       |gmode AS (
+       |  SELECT doc_id, max(c) AS top2_count FROM (
+       |    SELECT doc_id, g, count(*) AS c
+       |    FROM (SELECT doc_id, unnest(g2) AS g FROM base) GROUP BY doc_id, g)
+       |  GROUP BY doc_id)
+       |SELECT b.doc_id AS doc_id, n_toks, n_distinct,
+       |  COALESCE(m.top2_count, 0) AS top2_count,
+       |  (n_toks - n_distinct) / n_toks AS dup_frac,
+       |  CASE WHEN n_toks >= 2 THEN COALESCE(m.top2_count, 0) / (n_toks - 1) ELSE 0.0 END AS top2_frac,
+       |  (n_toks BETWEEN $RepMinToks AND $RepMaxToks)
+       |    AND (n_toks - n_distinct) / n_toks < $RepMaxDupFrac
+       |    AND (CASE WHEN n_toks >= 2 THEN COALESCE(m.top2_count, 0) / (n_toks - 1) ELSE 0.0 END)
+       |        < $RepMaxTop2Frac AS keep
+       |FROM base b LEFT JOIN gmode m ON b.doc_id = m.doc_id
        |ORDER BY doc_id""".stripMargin
 
   // --- q42: KMV distinct-count sketch --------------------------------------
