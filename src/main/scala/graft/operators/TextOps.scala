@@ -260,10 +260,16 @@ object TextOps {
   // Map-side signatures: each doc's shingle array is already one row, so
   // min-per-permutation is an array fold (`array_min(transform(...))`),
   // NOT an explode + groupBy — zero shuffle, and at 100 TB the signature
-  // stage stays embarrassingly parallel. Permutation i re-hashes the
-  // shingle with the index (overflow-free under ANSI, deterministic).
+  // stage stays embarrassingly parallel. Each shingle STRING is hashed
+  // exactly once ([[minhashBaseCol]]); permutation i then mixes the 64-bit
+  // base hash with the index — long mixing is ~10× cheaper than re-hashing
+  // the string bytes k times, and xxhash64 on a 64-bit value is as valid a
+  // permutation family as xxhash64 on the string.
+  private[graft] val minhashBaseCol: Column =
+    expr("transform(shingles, s -> xxhash64(s))")
+
   private[graft] val minhashSigCols: Seq[Column] = (0 until MinhashK).map { i =>
-    expr(s"array_min(transform(shingles, s -> xxhash64(s, $i)))").as(s"s$i")
+    expr(s"array_min(transform(bh, b -> xxhash64(b, $i)))").as(s"s$i")
   }
 
   /** s0..s31 → array of (band, band-hash) structs, over signature columns. */
@@ -273,7 +279,7 @@ object TextOps {
   }: _*)
 
   private def minhashSigsFrom(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id") +: minhashSigCols: _*)
+    sh.withColumn("bh", minhashBaseCol).select(col("doc_id") +: minhashSigCols: _*)
 
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     minhashSigsFrom(shingled(spark, dir))
@@ -316,10 +322,15 @@ object TextOps {
     )
     val hb = hashBytesChain("q25hx", "q25b", Seq("s"), "42", "hb")
     ctes ++= hb.ctes
-    val hi0 = "q25pd" -> s"(SELECT hb, i FROM (SELECT DISTINCT hb FROM ${hb.last}), range(0, $MinhashK) r(i))"
-    ctes += hi0
-    val hi = new SqlChain("q25hi", "q25pd", Seq("hb", "i"))
-    hashIntLevels(hi, "i", "hb", "hi")
+    // base hash per DISTINCT shingle string, then one hashLong mixing level
+    // (Spark side: xxhash64(s) once, xxhash64(base, i) per permutation)
+    ctes += ("q25bd" -> s"(SELECT DISTINCT hb FROM ${hb.last})")
+    val bm = new SqlChain("q25bm", "q25bd", Seq("hb"))
+    hashLongLevels(bm, "hb", "42", "hb2")
+    ctes ++= bm.ctes
+    ctes += ("q25pd" -> s"(SELECT hb, hb2, i FROM ${bm.last}, range(0, $MinhashK) r(i))")
+    val hi = new SqlChain("q25hi", "q25pd", Seq("hb", "i", "hb2"))
+    hashIntLevels(hi, "i", "hb2", "hi")
     ctes ++= hi.ctes
     ctes += ("q25sig" ->
       s"""(SELECT t.doc_id, h.i, min(${toSigned("h.hi")}) AS sig
