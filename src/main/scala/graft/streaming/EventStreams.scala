@@ -86,4 +86,28 @@ object EventStreams {
     */
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark("event_id")
+
+  /** E7: stream-stream interval join — the streaming twin of the q37 as-of
+    * family: each click joins the same user's purchases at most
+    * `windowMinutes` earlier (inclusive). Both sides carry watermarks and
+    * the join condition carries an explicit event-time interval, which is
+    * what lets Spark bound BOTH state stores: a buffered purchase can be
+    * evicted once the click-side watermark passes `p_ts + window`, a
+    * buffered click once the purchase-side watermark passes `c_ts`. A
+    * stream-stream join without the interval (or the watermarks) would pin
+    * every row forever — the unbounded-state failure mode at scale.
+    */
+  def clickPurchaseJoin(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    clicks.join(
+      purchases,
+      expr(s"c_user = p_user AND p_ts BETWEEN c_ts - INTERVAL $windowMinutes MINUTES AND c_ts"))
+  }
 }

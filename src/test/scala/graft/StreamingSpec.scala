@@ -145,4 +145,27 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("E7: stream-stream interval join bounds state with watermarks") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .clickPurchaseJoin(in.toDF(), windowMinutes = 60)
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    in.addData(
+      Ev(1, 1, ts(0), "purchase", 5.0),  // joins clicks at 10:00-11:00
+      Ev(2, 1, ts(30), "click", 0),      // <- joins purchase 1
+      Ev(3, 2, ts(30), "click", 0),      // no purchase for user 2
+      Ev(4, 1, Timestamp.valueOf("2024-01-01 12:00:00"), "click", 0) // outside window
+    )
+    q.processAllAvailable()
+    // advance both watermarks so joined rows are emitted in append mode
+    in.addData(Ev(9, 9, Timestamp.valueOf("2024-01-01 14:00:00"), "view", 0))
+    q.processAllAvailable()
+    val rows = spark.table("ssjoin").collect()
+      .map(r => (r.getAs[Long]("c_id"), r.getAs[Long]("p_id")))
+    q.stop()
+    assert(rows.toSet == Set((2L, 1L)))
+  }
 }
