@@ -19,6 +19,7 @@ object TrainingOps {
   // --- q39: benchmark decontamination --------------------------------------
   val DecontamN     = 8
   val BenchEvery    = 50L
+  val DecontamMaxDf = 50L
 
   /** Docs sharing ≥1 distinct 8-token n-gram with a "benchmark" document
     * (every 50th doc stands in for an eval set). The standard
@@ -28,6 +29,13 @@ object TrainingOps {
     * production — small enough that AQE broadcasts it — while the corpus
     * side stays a linear scan. No similarity math, no candidate explosion:
     * contamination is exact substring-overlap evidence.
+    *
+    * Grams appearing in more than [[DecontamMaxDf]] documents are dropped
+    * before the join (left-anti against the tiny over-cap set): a
+    * boilerplate stop-gram is no contamination evidence, and at 100 TB it
+    * is also the skew bomb — one hot gram would fan out every doc × every
+    * benchmark containing it. The cap bounds per-key join fan-out by
+    * construction.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val gramExpr = {
@@ -38,8 +46,14 @@ object TrainingOps {
       .select(col("doc_id"), TextOps.toks.as("toks"))
       .filter(size(col("toks")) >= DecontamN)
       .select(col("doc_id"), explode(gramExpr).as("g"))
-    val bench  = sh.filter(col("doc_id") % BenchEvery === 0).select(col("doc_id").as("bench_id"), col("g"))
-    val corpus = sh.filter(col("doc_id") % BenchEvery =!= 0)
+    val hot = sh
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > DecontamMaxDf)
+      .select(col("g"))
+    val pruned = sh.join(hot, Seq("g"), "left_anti")
+    val bench  = pruned.filter(col("doc_id") % BenchEvery === 0).select(col("doc_id").as("bench_id"), col("g"))
+    val corpus = pruned.filter(col("doc_id") % BenchEvery =!= 0)
     corpus
       .join(bench, "g")
       .groupBy(col("doc_id"), col("bench_id"))
@@ -53,9 +67,12 @@ object TrainingOps {
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    generate_series(1, len(toks) - ${DecontamN - 1}), i -> $parts))) AS g
        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
-       |  WHERE len(toks) >= $DecontamN)
+       |  WHERE len(toks) >= $DecontamN),
+       |pruned AS (
+       |  SELECT doc_id, g FROM sh
+       |  WHERE g NOT IN (SELECT g FROM sh GROUP BY g HAVING count(*) > $DecontamMaxDf))
        |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
-       |FROM sh c JOIN sh b ON c.g = b.g
+       |FROM pruned c JOIN pruned b ON c.g = b.g
        |WHERE b.doc_id % $BenchEvery = 0 AND c.doc_id % $BenchEvery <> 0
        |GROUP BY c.doc_id, b.doc_id
        |ORDER BY c.doc_id, bench_id""".stripMargin

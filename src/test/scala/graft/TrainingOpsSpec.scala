@@ -61,11 +61,15 @@ class TrainingOpsSpec extends SparkSpec {
     val texts = graft.core.Tables.documents(spark, Sf0001)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    def grams(id: Long): Set[String] = {
+    def rawGrams(id: Long): Set[String] = {
       val t = texts(id).trim.split("\\s+")
       if (t.length < TrainingOps.DecontamN) Set.empty
       else t.sliding(TrainingOps.DecontamN).map(_.mkString(" ")).toSet
     }
+    // document frequency cap: grams in more than MaxDf docs are pruned
+    val df = texts.keys.toSeq.flatMap(rawGrams(_).toSeq).groupBy(identity).map { case (g, o) => g -> o.size }
+    def grams(id: Long): Set[String] =
+      rawGrams(id).filter(g => df(g) <= TrainingOps.DecontamMaxDf)
     val rows = TrainingOps.decontaminate(spark, Sf0001).collect()
     rows.foreach { r =>
       val (doc, bench, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
