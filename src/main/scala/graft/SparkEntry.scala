@@ -61,7 +61,9 @@ object SparkEntry {
     "q40_split_hash"      -> (TrainingOps.splitHash _),
     "q41_repetition_quality" -> (TrainingOps.repetitionQuality _),
     "q42_kmv_distinct"    -> (TrainingOps.kmvDistinct _),
-    "q43_percentiles"     -> (TrainingOps.percentiles _)
+    "q43_percentiles"     -> (TrainingOps.percentiles _),
+    "q44_countmin_topterms" -> (TrainingOps.countMinTopTerms _),
+    "q45_stratified_sample" -> (TrainingOps.stratifiedSample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -105,7 +107,9 @@ object SparkEntry {
     "q40_split_hash"      -> TrainingOps.splitHashSql,
     "q41_repetition_quality" -> TrainingOps.repetitionQualitySql,
     "q42_kmv_distinct"    -> TrainingOps.kmvDistinctSql,
-    "q43_percentiles"     -> TrainingOps.percentilesSql
+    "q43_percentiles"     -> TrainingOps.percentilesSql,
+    "q44_countmin_topterms" -> TrainingOps.countMinTopTermsSql,
+    "q45_stratified_sample" -> TrainingOps.stratifiedSampleSql
     // q25/q26/q29 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
     // probes/pairs are engine-identical, not probabilistically equivalent.

@@ -305,4 +305,128 @@ object TrainingOps {
       |  quantile_cont(l_extendedprice, 0.50) AS p50,
       |  quantile_cont(l_extendedprice, 0.75) AS p75
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --- q44: count-min sketch of token frequencies --------------------------
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Count-min sketch of corpus token frequencies, probed with the exact
+    * top-[[TextOps.TopTerms]] terms: per term, the exact count next to the
+    * sketch estimate (`min` over [[CmsDepth]] hash rows — always ≥ exact;
+    * equality means no bucket collision inflated it).
+    *
+    * Scale shape: the sketch build shuffles at most depth × width = 4096
+    * counter keys regardless of corpus size — THE point of CMS at 100 TB:
+    * frequency estimates from a fixed-size aggregate. Token strings are
+    * hashed once ([[TextOps.minhashBaseCol]]-style); row hashes mix the
+    * 64-bit base. The probe side joins the bounded counter table
+    * (broadcast-safe by construction). Fully integer-valued, so the DuckDB
+    * oracle is exact.
+    */
+  def countMinTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val bucketCols = (0 until CmsDepth).map { j =>
+      expr(s"cast(pmod(xxhash64(base, $j), $CmsWidth) AS int)").as(s"b$j")
+    }
+    val tok = docs(spark, dir)
+      .select(explode(TextOps.toks).as("token"))
+      .withColumn("base", xxhash64(col("token")))
+    val cms = tok
+      .select(posexplode(array(bucketCols.map(c => c.cast("int")): _*)).as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val top = docs(spark, dir)
+      .select(explode(TextOps.toks).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(TextOps.TopTerms)
+    val probes = top
+      .withColumn("base", xxhash64(col("token")))
+      .select(col("token") +: col("n") +: bucketCols: _*)
+      .select(
+        col("token"),
+        col("n"),
+        posexplode(array((0 until CmsDepth).map(j => col(s"b$j")): _*)).as(Seq("j", "bucket")))
+    probes
+      .join(cms, Seq("j", "bucket"))
+      .groupBy(col("token"), col("n"))
+      .agg(min(col("c")).as("est"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  /** Oracle rebuilds the sketch in SQL: DISTINCT tokens are base-hashed via
+    * [[graft.functions.DuckHash]] once, bucket rows re-derive Spark's
+    * `xxhash64(base, j)` = `hashInt(j, hashLong(base, 42))`.
+    */
+  lazy val countMinTopTermsSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q44t" -> "(SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)",
+      "q44b" -> s"(SELECT token, ${bytesOf("token")} AS b FROM (SELECT DISTINCT token FROM q44t))"
+    )
+    val hb = hashBytesChain("q44hx", "q44b", Seq("token"), "42", "hs")
+    ctes ++= hb.ctes
+    val bm = new SqlChain("q44bm", hb.last, Seq("token", "hs"))
+    hashLongLevels(bm, "hs", "42", "hl")
+    ctes ++= bm.ctes
+    ctes += ("q44jd" -> s"(SELECT token, hl, j FROM ${bm.last}, range(0, $CmsDepth) r(j))")
+    val hi = new SqlChain("q44hi", "q44jd", Seq("token", "j", "hl"))
+    hashIntLevels(hi, "j", "hl", "hj")
+    ctes ++= hi.ctes
+    ctes += ("q44bk" ->
+      s"(SELECT token, j, (((${toSigned("hj")} % $CmsWidth) + $CmsWidth) % $CmsWidth)::INTEGER AS bucket FROM ${hi.last})")
+    ctes += ("q44cms" ->
+      """(SELECT j, bucket, count(*) AS c
+        |    FROM q44t t JOIN q44bk k ON t.token = k.token GROUP BY j, bucket)""".stripMargin)
+    ctes += ("q44top" ->
+      s"""(SELECT token, count(*) AS n FROM q44t GROUP BY token
+         |    ORDER BY n DESC, token LIMIT ${TextOps.TopTerms})""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT p.token AS token, p.n AS n, min(c.c) AS est
+        |FROM q44top p JOIN q44bk k ON k.token = p.token
+        |JOIN q44cms c ON c.j = k.j AND c.bucket = k.bucket
+        |GROUP BY p.token, p.n
+        |ORDER BY n DESC, token""".stripMargin
+    )
+  }
+
+  // --- q45: deterministic stratified sample --------------------------------
+  val StrataSampleK = 10
+
+  /** K docs per source, selected by ascending `xxhash64(doc_id)` — a
+    * deterministic, content-stable stratified sample: any cluster, any
+    * partitioning, any re-run picks the same rows (unlike `sampleBy`,
+    * which seeds per partition). One shuffle on the strata key; the
+    * per-group top-K is a window rank, not a sort of the whole corpus.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"), xxhash64(col("doc_id")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= StrataSampleK)
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  lazy val stratifiedSampleSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q45in" -> "(SELECT source, doc_id, doc_id::HUGEINT AS l FROM documents)"
+    )
+    val ch = new SqlChain("q45h", "q45in", Seq("source", "doc_id", "l"))
+    hashLongLevels(ch, s"${toUnsigned("l")}", "42", "h")
+    ctes ++= ch.ctes
+    assemble(
+      ctes.toSeq,
+      s"""SELECT source, rk, doc_id FROM (
+         |  SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY ${toSigned("h")}, doc_id) AS rk
+         |  FROM ${ch.last})
+         |WHERE rk <= $StrataSampleK ORDER BY source, rk""".stripMargin
+    )
+  }
 }

@@ -118,6 +118,34 @@ class TrainingOpsSpec extends SparkSpec {
     assert(math.abs(est / exact - 1) < 0.2, s"est $est vs exact $exact")
   }
 
+  test("q44: count-min estimates dominate exact counts and match on top terms") {
+    val rows = TrainingOps.countMinTopTerms(spark, Sf0001).collect()
+    assert(rows.length == graft.operators.TextOps.TopTerms)
+    rows.foreach { r =>
+      val (n, est) = (r.getAs[Long]("n"), r.getAs[Long]("est"))
+      assert(est >= n, s"CMS must overestimate: token ${r.getString(0)} n=$n est=$est")
+    }
+    // with a 4×1024 sketch over this vocabulary, top terms should rarely
+    // collide — at least half must be estimated exactly
+    assert(rows.count(r => r.getAs[Long]("est") == r.getAs[Long]("n")) >= rows.length / 2)
+  }
+
+  test("q45: stratified sample is deterministic, k-bounded, and hash-minimal") {
+    val rows = TrainingOps.stratifiedSample(spark, Sf0001).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    assert(bySource.values.forall(_.length <= TrainingOps.StrataSampleK))
+    // chosen ids per source are exactly the k smallest by (xxhash64, id)
+    val docs = graft.core.Tables.documents(spark, Sf0001)
+      .select(org.apache.spark.sql.functions.col("source"), org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.col("doc_id")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val expect = ds.sortBy(d => (d._3, d._2)).take(TrainingOps.StrataSampleK).map(_._2).toSeq
+      val got = rows.filter(_.getString(0) == src).sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("doc_id")).toSeq
+      assert(got == expect, s"source $src")
+    }
+  }
+
   test("q43: percentiles are ordered and the median matches a direct sort") {
     val rows = TrainingOps.percentiles(spark, Sf0001).collect()
     assert(rows.nonEmpty)
