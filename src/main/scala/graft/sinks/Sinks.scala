@@ -46,4 +46,30 @@ object Sinks {
     val w = df.write.mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** Sharded compressed-JSONL export — the interchange format training
+    * pipelines consume. Shard membership is `pmod(xxhash64(<key>), shards)`:
+    * content-stable (re-export of the same corpus lands each row in the
+    * same shard regardless of cluster size or partitioning), and
+    * `repartition` on the shard id makes file count = shard count exactly,
+    * so downstream loaders see a stable layout. Codec is Spark-native
+    * (gzip/zstd — no extra deps).
+    */
+  def writeJsonlShards(
+      df: DataFrame,
+      path: String,
+      keyCol: String,
+      shards: Int,
+      codec: String = "gzip",
+      mode: String = "overwrite"
+  ): Unit = {
+    import org.apache.spark.sql.functions.{col, pmod, xxhash64}
+    df.withColumn("shard", pmod(xxhash64(col(keyCol)), org.apache.spark.sql.functions.lit(shards)))
+      .repartition(shards, col("shard"))
+      .write
+      .mode(mode)
+      .option("compression", codec)
+      .partitionBy("shard")
+      .json(path)
+  }
 }

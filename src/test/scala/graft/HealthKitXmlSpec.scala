@@ -108,6 +108,20 @@ class HealthKitXmlSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/as").count() == 10)
   }
 
+  test("A7: JSONL shard sink is content-stable and round-trips") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val dir  = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    Sinks.writeJsonlShards(docs, s"$dir/docs", keyCol = "doc_id", shards = 4)
+    val back = spark.read.json(s"$dir/docs")
+    assert(back.count() == docs.count())
+    // shard dirs exist and every row's shard equals pmod(xxhash64(doc_id), 4)
+    val wrong = back
+      .filter(col("shard") =!= pmod(xxhash64(col("doc_id")), lit(4)))
+      .count()
+    assert(wrong == 0)
+  }
+
   test("A1: multiple archives parse in parallel (scale path is per-file)") {
     val elems = HealthKitXml.elements(spark, Seq(zipPath, zipPath, zipPath))
     // 3 archives × (1 Record + 1 Workout + 10 ActivitySummary) elements
