@@ -46,12 +46,15 @@ object TrainingOps {
       .select(col("doc_id"), TextOps.toks.as("toks"))
       .filter(size(col("toks")) >= DecontamN)
       .select(col("doc_id"), explode(gramExpr).as("g"))
-    val hot = sh
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > DecontamMaxDf)
-      .select(col("g"))
-    val pruned = sh.join(hot, Seq("g"), "left_anti")
+    // DF cap via a count window over the gram partition — ONE shuffle on g,
+    // which the bench/corpus join below reuses (ReusedExchange: both join
+    // sides derive from this same hash-partitioning), instead of a separate
+    // groupBy + anti-join pass that scanned and exploded the grams twice.
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val pruned = sh
+      .withColumn("df", count(lit(1)).over(wg))
+      .filter(col("df") <= DecontamMaxDf)
+      .drop("df")
     val bench  = pruned.filter(col("doc_id") % BenchEvery === 0).select(col("doc_id").as("bench_id"), col("g"))
     val corpus = pruned.filter(col("doc_id") % BenchEvery =!= 0)
     corpus
