@@ -54,6 +54,22 @@ object GraftExtensions {
       unary("graft_simhash64")(Expressions.SimHash64(_))
     ),
     (
+      "graft_dot",
+      info("graft_dot", "graft_dot(array<double>, array<double>) - codegen'd left-fold dot product"),
+      (exprs: Seq[Expression]) =>
+        exprs match {
+          case Seq(a, b) => Expressions.DotProduct(a, b)
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_dot expects exactly 2 arguments, got ${other.length}")
+        }
+    ),
+    (
+      "graft_l2norm",
+      info("graft_l2norm", "graft_l2norm(array<double>) - codegen'd L2 norm"),
+      unary("graft_l2norm")(Expressions.L2Norm(_))
+    ),
+    (
       // SQLite-compat alias so the reference README's example queries run
       // verbatim (json_extract(col, '$.path') ≡ get_json_object).
       "json_extract",

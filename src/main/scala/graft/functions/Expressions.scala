@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Custom Catalyst expressions for operators Spark's built-ins can't
   * express directly. All are deterministic pure functions of their input so
@@ -246,6 +246,67 @@ object Expressions {
       copy(child = c)
   }
 
+  /** Dot product of two array<double> columns, left-to-right accumulation —
+    * the SAME summation order as `aggregate(zip_with(a, b, (x,y) -> x*y),
+    * 0D, (acc,x) -> acc+x)`, which it replaces: Spark's higher-order
+    * functions evaluate their lambdas interpreted (per element, per row),
+    * while this stays inside whole-stage codegen. Identical IEEE result,
+    * so the DuckDB oracles' list_reduce folds still match bit-for-bit.
+    * Length mismatch folds over the common prefix.
+    */
+  case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      java.lang.Double.valueOf(s)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i, n = ctx.freshName("v")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |${ev.value} = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+      copy(left = l, right = r)
+  }
+
+  /** L2 norm of an array<double> column; same fold order as
+    * `sqrt(aggregate(v, 0D, (acc,x) -> acc + x*x))`.
+    */
+  case class L2Norm(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any = {
+      val x = input.asInstanceOf[ArrayData]
+      var s = 0.0
+      var i = 0
+      while (i < x.numElements()) { val v = x.getDouble(i); s += v * v; i += 1 }
+      java.lang.Double.valueOf(math.sqrt(s))
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val i, s, v = ctx.freshName("v")
+        s"""
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $c.numElements(); $i++) {
+           |  double $v = $c.getDouble($i);
+           |  $s += $v * $v;
+           |}
+           |${ev.value} = java.lang.Math.sqrt($s);
+           |""".stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): L2Norm = copy(c)
+  }
+
   // Column-facing wrappers
   import GraftColumnBridge.{toColumn, toExpression}
   def poly_fingerprint(c: Column): Column = toColumn(PolyFingerprint(toExpression(c)))
@@ -254,4 +315,7 @@ object Expressions {
     toColumn(HyperplaneBucket(toExpression(c), table, planes))
   def nearest_centroids(c: Column, centroids: Array[Array[Double]], n: Int): Column =
     toColumn(NearestCentroids(toExpression(c), centroids, n))
+  def dot_product(a: Column, b: Column): Column =
+    toColumn(DotProduct(toExpression(a), toExpression(b)))
+  def l2_norm(c: Column): Column = toColumn(L2Norm(toExpression(c)))
 }

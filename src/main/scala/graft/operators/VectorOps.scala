@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.Expressions.hyperplane_bucket
+import graft.functions.Expressions.{dot_product, hyperplane_bucket, l2_norm}
 
 /** §2.C similarity-search operators over the `embeddings` table
   * (array<float> column).
@@ -13,8 +13,11 @@ import graft.functions.Expressions.hyperplane_bucket
   * Scale posture: the brute-force path broadcasts a SMALL query set against
   * the corpus (linear scan, no shuffle of the corpus); the LSH paths bucket
   * the corpus with random hyperplanes so the join shuffles on bucket ids and
-  * candidate volume stays near-linear. Dot products run inside codegen'd
-  * higher-order functions (`zip_with`/`aggregate`) on double arrays.
+  * candidate volume stays near-linear. Dot products and norms are custom
+  * codegen'd expressions (`DotProduct`/`L2Norm`) with the same left-fold
+  * IEEE order as the `zip_with`/`aggregate` folds they replace — Spark's
+  * higher-order lambdas evaluate interpreted, these stay in whole-stage
+  * codegen, and the DuckDB oracles keep matching bit-for-bit.
   */
 object VectorOps {
 
@@ -30,11 +33,13 @@ object VectorOps {
         col("vec_id"),
         expr("transform(embedding, x -> cast(x AS double))").as("v")
       )
-      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("nrm", l2_norm(col("v")))
       .filter(col("nrm") > 0)
 
-  private val dot: Column =
-    expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+  // Codegen'd left-fold dot (identical IEEE order to the zip_with/aggregate
+  // fold it replaces — Spark's higher-order lambdas run interpreted, this
+  // stays in whole-stage codegen; the DuckDB oracles still match bitwise).
+  private val dot: Column = dot_product(col("qv"), col("cv"))
 
   // --- C9 q28: brute-force cosine top-k (oracled; ids+rank only) -----------
   val QueryCount = 8
@@ -307,6 +312,7 @@ object VectorOps {
   val NearDupThreshold = 0.35
 
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark) // graft_dot inside the pair-expansion SQL
     val e = emb(spark, dir)
     val tables = (0 until NearDupTables).map { t =>
       struct(lit(t).as("tbl"), hyperplane_bucket(col("v"), t, NearDupPlanes).as("bucket"))
@@ -335,9 +341,7 @@ object VectorOps {
           expr(
             TextOps.pairExpansionSql(
               "ms",
-              """a.id AS a_id, b.id AS b_id,
-                |aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D,
-                |          (acc, x) -> acc + x) / (a.nrm * b.nrm) AS sim""".stripMargin))
+              "a.id AS a_id, b.id AS b_id, graft_dot(a.v, b.v) / (a.nrm * b.nrm) AS sim"))
         ).as("p")
       )
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"), col("p.sim").as("sim"))
