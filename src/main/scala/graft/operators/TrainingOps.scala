@@ -281,26 +281,57 @@ object TrainingOps {
   }
 
   // --- q43: exact grouped percentiles --------------------------------------
+  private val Quartiles = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")
+
   /** Exact type-7 (linear-interpolation) quartiles of `l_extendedprice` per
-    * return flag, via Spark's exact `percentile` aggregate. Empirically
-    * bit-identical to DuckDB's `quantile_cont` (same sorted-array indexing
-    * and interpolation arithmetic) — no rounding slack needed. Scale note:
-    * exact percentile buffers each group's values (ObjectHashAggregate);
-    * at 100 TB per-group cardinality, switch to `approx_percentile`
-    * (t-digest, bounded memory) — kept exact here because the oracle
-    * demands engine-exact semantics.
+    * return flag — computed DISTRIBUTED: a window rank over the group-sorted
+    * values, then only the ≤2 boundary rows per quantile are aggregated and
+    * interpolated with Spark's own `Percentile` formula
+    * (`v_lo·(ceil(pos)−pos) + v_hi·(pos−floor(pos))`, `pos = p·(n−1)`),
+    * which is empirically bit-identical to DuckDB's `quantile_cont` — no
+    * rounding slack anywhere.
+    *
+    * Scale rationale vs the built-in `percentile` aggregate: the built-in
+    * buffers every group value in an in-memory ObjectHashAggregate map —
+    * the OOM path at 100 TB group cardinality. The sort+rank plan spills
+    * through the external sorter instead; its only limit is one reducer
+    * per group (fine for low-cardinality strata; for a single giant group
+    * use a range-partitioned global sort — same arithmetic).
     */
-  def percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+    val base = Tables
       .lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val counts = base.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val ranked = base
+      .withColumn("rn", row_number().over(w))
+      .join(counts, "l_returnflag")
+    def pos(p: Double): Column   = lit(p) * (col("n") - 1).cast("double")
+    def loRn(p: Double): Column  = floor(pos(p)) + 1
+    def hiRn(p: Double): Column  = ceil(pos(p)) + 1
+    val boundary = Quartiles.map { case (p, _) => col("rn") === loRn(p) || col("rn") === hiRn(p) }
+      .reduce(_ || _)
+    val aggs = Quartiles.flatMap { case (p, nm) =>
+      Seq(
+        min(when(col("rn") === loRn(p), col("v"))).as(s"${nm}_lo"),
+        min(when(col("rn") === hiRn(p), col("v"))).as(s"${nm}_hi"))
+    } :+ first(col("n")).as("n")
+    val interp = Quartiles.map { case (p, nm) =>
+      when(loRn(p) === hiRn(p), col(s"${nm}_lo"))
+        .otherwise(
+          col(s"${nm}_lo") * (ceil(pos(p)).cast("double") - pos(p)) +
+            col(s"${nm}_hi") * (pos(p) - floor(pos(p)).cast("double")))
+        .as(nm)
+    }
+    ranked
+      .filter(boundary)
       .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("p"))
-      .select(
-        col("l_returnflag"),
-        col("p").getItem(0).as("p25"),
-        col("p").getItem(1).as("p50"),
-        col("p").getItem(2).as("p75"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("l_returnflag") +: interp: _*)
       .orderBy(col("l_returnflag"))
+  }
 
   val percentilesSql: String =
     """SELECT l_returnflag,

@@ -34,7 +34,9 @@ class PlanGuardSpec extends SparkSpec {
       "q40_split_hash"    -> 1, // map-side assignment; sort only
       "q41_repetition_quality" -> 1, // map-side metrics; sort only
       "q42_kmv_distinct"  -> 4, // hash distinct (sketch + exact branches)
-      "q43_percentiles"   -> 2  // grouped agg + sort
+      "q43_percentiles"   -> 4, // group counts + window sort-rank + boundary agg + sort
+      "q44_countmin_topterms" -> 5, // cms agg + exact top agg + probe join + min agg + sort
+      "q45_stratified_sample" -> 2  // strata window + sort
     )
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf001)) // building the plan must not throw
