@@ -246,6 +246,54 @@ object Expressions {
       copy(child = c)
   }
 
+  /** All k MinHash signature values in ONE pass over an array of 64-bit
+    * base hashes: `sig_i = min_b XXH64.hashInt(i, XXH64.hashLong(b, 42))` —
+    * element-for-element the same chain as `xxhash64(b, i)`, so replacing
+    * the k separate `array_min(transform(bh, b -> xxhash64(b, i)))` folds
+    * (each an interpreted lambda pass) changes NOTHING in the output or
+    * the DuckDB oracle, only the cost: one codegen'd loop computes
+    * `hashLong` once per element and k cheap `hashInt` mixes, instead of
+    * k interpreted passes re-deriving it.
+    */
+  case class MinHashSignatures(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr  = input.asInstanceOf[ArrayData]
+      val sigs = Array.fill(k)(Long.MaxValue)
+      var i    = 0
+      while (i < arr.numElements()) {
+        val hl = XXH64.hashLong(arr.getLong(i), 42L)
+        var p  = 0
+        while (p < k) {
+          val h = XXH64.hashInt(p, hl)
+          if (h < sigs(p)) sigs(p) = h
+          p += 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val i, p, hl, h, sigs = ctx.freshName("v")
+        val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+        s"""
+           |long[] $sigs = new long[$k];
+           |java.util.Arrays.fill($sigs, Long.MAX_VALUE);
+           |for (int $i = 0; $i < $c.numElements(); $i++) {
+           |  long $hl = $xxh.hashLong($c.getLong($i), 42L);
+           |  for (int $p = 0; $p < $k; $p++) {
+           |    long $h = $xxh.hashInt($p, $hl);
+           |    if ($h < $sigs[$p]) $sigs[$p] = $h;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+           |""".stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): MinHashSignatures =
+      copy(child = c)
+  }
+
   /** Dot product of two array<double> columns, left-to-right accumulation —
     * the SAME summation order as `aggregate(zip_with(a, b, (x,y) -> x*y),
     * 0D, (acc,x) -> acc+x)`, which it replaces: Spark's higher-order
@@ -318,4 +366,6 @@ object Expressions {
   def dot_product(a: Column, b: Column): Column =
     toColumn(DotProduct(toExpression(a), toExpression(b)))
   def l2_norm(c: Column): Column = toColumn(L2Norm(toExpression(c)))
+  def minhash_signatures(c: Column, k: Int): Column =
+    toColumn(MinHashSignatures(toExpression(c), k))
 }

@@ -38,7 +38,7 @@ object DocStreams {
       .filter(size(col("toks")) >= 3)
       .withColumn("shingles", TextOps.shingleCol)
     val bands = shingled
-      .withColumn("bh", TextOps.minhashBaseCol)
+      .withColumn("sigs", TextOps.minhashSigsArray)
       .select(Seq(col("ts"), col("doc_id")) ++ TextOps.minhashSigCols: _*)
       .select(col("ts"), col("doc_id"), explode(TextOps.bandArray).as("b"))
       .select(col("ts"), col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))

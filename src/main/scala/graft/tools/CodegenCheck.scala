@@ -31,13 +31,19 @@ object CodegenCheck {
       .select(graft.functions.Expressions.nearest_centroids(col("v"), cents, 2).as("cells"))
       .filter("size(cells) = 2 AND cells[0] >= 0 AND cells[0] < 3 AND cells[0] <> cells[1]")
       .count()
+    val nm = spark.sql(
+      """SELECT transform(split(text, ' '), t -> xxhash64(t)) AS bh
+        |FROM parquet.`/root/testdata/sf0.001/documents.parquet`""".stripMargin)
+      .select(graft.functions.Expressions.minhash_signatures(col("bh"), 32).as("sigs"))
+      .filter("size(sigs) = 32")
+      .count()
     val nd = vecs
       .select(
         graft.functions.Expressions.dot_product(col("v"), col("v")).as("d"),
         graft.functions.Expressions.l2_norm(col("v")).as("nrm"))
       .filter("d IS NOT NULL AND abs(sqrt(d) - nrm) < 1e-9")
       .count()
-    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector, $nc centroid, $nd dot/norm")
+    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector, $nc centroid, $nd dot/norm, $nm minhash")
     spark.stop()
   }
 }
