@@ -63,7 +63,8 @@ object SparkEntry {
     "q42_kmv_distinct"    -> (TrainingOps.kmvDistinct _),
     "q43_percentiles"     -> (TrainingOps.percentiles _),
     "q44_countmin_topterms" -> (TrainingOps.countMinTopTerms _),
-    "q45_stratified_sample" -> (TrainingOps.stratifiedSample _)
+    "q45_stratified_sample" -> (TrainingOps.stratifiedSample _),
+    "q46_ann_pq"          -> (VectorOps.annPq _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -110,6 +111,8 @@ object SparkEntry {
     "q43_percentiles"     -> TrainingOps.percentilesSql,
     "q44_countmin_topterms" -> TrainingOps.countMinTopTermsSql,
     "q45_stratified_sample" -> TrainingOps.stratifiedSampleSql
+    // q46 (PQ ANN) is rows-only like q32: iterative k-means codebooks
+    // have no SQL-expressible oracle; brute-force-agreement spec instead.
     // q25/q26/q29 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
     // probes/pairs are engine-identical, not probabilistically equivalent.

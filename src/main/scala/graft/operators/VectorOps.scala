@@ -258,6 +258,116 @@ object VectorOps {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // --- C24 q46: product-quantization ANN (ADC search) ----------------------
+  val PqSubspaces = 8
+  val PqSubDim    = 8
+  val PqCentroids = 16
+
+  /** Plain-L2 Lloyd's on a bounded deterministic sample of one subspace's
+    * sub-vectors (PQ codebooks are L2, unlike the spherical IVF coarse
+    * quantizer). Driver-side cost is O(sampleCap · k · iters), corpus-free.
+    */
+  private[operators] def trainPqCodebook(
+      e: DataFrame,
+      m: Int,
+      k: Int = PqCentroids,
+      sampleCap: Int = IvfSampleCap,
+      iters: Int = IvfIters
+  ): Array[Array[Double]] = {
+    val sample = e
+      .filter(col("vec_id") % 7 === 0)
+      .orderBy(col("vec_id"))
+      .limit(sampleCap)
+      .select(expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)").as("sv"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k, s"need >= $k sample vectors, got ${sample.length}")
+    var cents = sample.take(k).map(_.clone())
+    (0 until iters).foreach { _ =>
+      val sums   = Array.fill(k)(new Array[Double](PqSubDim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best  = 0
+        var bestV = Double.MaxValue
+        var c     = 0
+        while (c < k) {
+          var d2 = 0.0
+          var d  = 0
+          while (d < PqSubDim) { val t = v(d) - cents(c)(d); d2 += t * t; d += 1 }
+          if (d2 < bestV) { best = c; bestV = d2 }
+          c += 1
+        }
+        var d = 0
+        while (d < PqSubDim) { sums(best)(d) += v(d); d += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+    cents
+  }
+
+  /** PQ encode + asymmetric-distance (ADC) top-k search: each vector is
+    * stored as [[PqSubspaces]] one-byte codes (its nearest L2 codebook
+    * entry per subspace — a 64× storage reduction at 64 dims); a query
+    * scores a candidate as Σ_m LUT[m][code_m], where LUT[m][j] =
+    * q_m · c_{m,j} is the query's dot with each codebook entry.
+    *
+    * Scale shape: codebooks are driver-trained on a bounded sample; corpus
+    * ENCODING is map-side — L2 argmin per subspace reuses the codegen'd
+    * dot-argmax [[graft.functions.Expressions.NearestCentroids]] via the
+    * augmented-vector identity argmin‖x−c‖² = argmax(x·c − ‖c‖²/2), i.e.
+    * x′ = [x, 1], c′ = [c, −‖c‖²/2] — zero shuffle. The LUTs ride with the
+    * bounded query set (QueryCount × m × k doubles); search is one
+    * broadcast join + window top-k. In production the codes table is the
+    * ~1-byte-per-dim ANN index you keep hot; rows-only here (iterative
+    * k-means has no SQL-expressible oracle) with a brute-force-agreement
+    * spec, like q32.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Expressions.nearest_centroids
+    val e = emb(spark, dir)
+    val cbs: Array[Array[Array[Double]]] =
+      (0 until PqSubspaces).map(m => trainPqCodebook(e, m)).toArray
+    val codeCols = (0 until PqSubspaces).map { m =>
+      val aug = cbs(m).map(c => c :+ (-c.map(x => x * x).sum / 2))
+      nearest_centroids(
+        expr(s"concat(slice(v, ${m * PqSubDim + 1}, $PqSubDim), array(1.0D))"),
+        aug,
+        1
+      ).getItem(0).as(s"c$m")
+    }
+    val codes = e
+      .select(col("vec_id").as("n_id") +: codeCols: _*)
+      .select(col("n_id"), array((0 until PqSubspaces).map(m => col(s"c$m")): _*).as("codes"))
+    // bounded query set: LUT[m][j] = q_m · c_{m,j}
+    val qRows = e.filter(col("vec_id") < QueryCount).select(col("vec_id"), col("v")).collect()
+    val luts = qRows.map { r =>
+      val q = r.getSeq[Double](1).toArray
+      val lut = (0 until PqSubspaces).map { m =>
+        cbs(m).map { c =>
+          var s = 0.0
+          var d = 0
+          while (d < PqSubDim) { s += q(m * PqSubDim + d) * c(d); d += 1 }
+          s
+        }.toSeq
+      }
+      (r.getLong(0), lut)
+    }.toSeq
+    import spark.implicits._
+    val qdf = luts.toDF("q_id", "lut")
+    val w   = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    codes
+      .join(broadcast(qdf), col("q_id") =!= col("n_id"))
+      .withColumn(
+        "sim",
+        expr("aggregate(zip_with(codes, lut, (c, row) -> row[c]), 0D, (acc, x) -> acc + x)"))
+      .select(col("q_id"), col("n_id"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= AnnTopK)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   // --- C14 q36: symmetric int8 embedding quantization ----------------------
   /** q_i = round(127 · x_i / max|x|) — the standard max-abs int8 storage /
     * compute reduction for embedding corpora. Entirely map-side (zero

@@ -118,6 +118,20 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf1.intersect(brute).nonEmpty)
   }
 
+  test("C24: PQ-ADC ANN returns valid ranked neighbors that correlate with brute force") {
+    val rows = VectorOps.annPq(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("n_id")))
+    assert(rows.forall(_.getAs[Int]("rk") <= VectorOps.AnnTopK))
+    // ADC is an approximation of the dot product: PQ's rank-1 neighbor set
+    // must overlap brute force's top-5 set (weak but non-vacuous: random
+    // ranking over ~500 candidates would essentially never hit)
+    val brute = VectorOps.cosineTopK(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq1 = rows.filter(_.getAs[Int]("rk") == 1).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq1.intersect(brute).nonEmpty, s"no PQ rank-1 neighbor in brute-force top-5: $pq1")
+  }
+
   test("C11: embedding near-dup pairs exceed the cosine threshold") {
     val rows = VectorOps.embedNearDup(spark, Sf0001).collect()
     assert(rows.nonEmpty)

@@ -74,7 +74,9 @@ class PlanGuardSpec extends SparkSpec {
     // pick the strategy, never force-broadcast the victim set.
     // q15's nested-loop side is a scalar subquery result — one row.
     // q42 joins two single-row aggregates (KMV sketch × exact count).
-    val allowed = Set("q28_cosine_topk", "q15_scalar_subquery", "q42_kmv_distinct")
+    // q46's broadcast side is the fixed QueryCount LUT set, like q28.
+    val allowed =
+      Set("q28_cosine_topk", "q15_scalar_subquery", "q42_kmv_distinct", "q46_ann_pq")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, Sf001))
