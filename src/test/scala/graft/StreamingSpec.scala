@@ -146,6 +146,39 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("E8: dedup state survives a checkpointed restart (exactly-once recovery)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val in = MemoryStream[Ev]
+    val out = java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
+    // foreachBatch (unlike the memory sink) supports checkpoint recovery
+    def start() = EventStreams
+      .dedup(in.toDF())
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => out.add(r.getAs[Long]("event_id")))
+      }
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    in.addData(Ev(1, 1, ts(0), "click", 0), Ev(2, 1, ts(5), "click", 0))
+    q1.processAllAvailable()
+    assert(out.size == 2)
+    q1.stop()
+
+    // restart from the same checkpoint: anything emitted now comes AFTER
+    // recovery — a replay of event 1 must be suppressed by the RECOVERED
+    // state store, not by in-memory session state.
+    out.clear()
+    val q2 = start()
+    in.addData(Ev(1, 1, ts(1), "click", 0), Ev(3, 1, ts(10), "click", 0))
+    q2.processAllAvailable()
+    q2.stop()
+    val ids = out.toArray.map(_.asInstanceOf[Long]).toSet
+    assert(ids == Set(3L), s"recovered dedup state should drop the replayed event 1, got $ids")
+  }
+
   test("E7: stream-stream interval join bounds state with watermarks") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
