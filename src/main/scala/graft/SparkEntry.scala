@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CleanPipeline, Multimodal, Skew, TextOps, TimeJoins, TrainingOps, VectorOps}
+import graft.operators.{CleanPipeline, CurationOps, Multimodal, Skew, TextOps, TimeJoins, TrainingOps, VectorOps}
 import graft.queries.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
@@ -64,7 +64,12 @@ object SparkEntry {
     "q43_percentiles"     -> (TrainingOps.percentiles _),
     "q44_countmin_topterms" -> (TrainingOps.countMinTopTerms _),
     "q45_stratified_sample" -> (TrainingOps.stratifiedSample _),
-    "q46_ann_pq"          -> (VectorOps.annPq _)
+    "q46_ann_pq"          -> (VectorOps.annPq _),
+    "q47_dup_clusters"    -> (CurationOps.dupClusters _),
+    "q48_pii_scrub"       -> (CurationOps.scrubPii _),
+    "q49_bm25"            -> (CurationOps.bm25 _),
+    "q50_pack_sequences"  -> (CurationOps.packSequences _),
+    "q51_gram_coverage"   -> (CurationOps.gramCoverage _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -110,14 +115,20 @@ object SparkEntry {
     "q42_kmv_distinct"    -> TrainingOps.kmvDistinctSql,
     "q43_percentiles"     -> TrainingOps.percentilesSql,
     "q44_countmin_topterms" -> TrainingOps.countMinTopTermsSql,
-    "q45_stratified_sample" -> TrainingOps.stratifiedSampleSql
+    "q45_stratified_sample" -> TrainingOps.stratifiedSampleSql,
+    "q47_dup_clusters"    -> CurationOps.dupClustersSql,
+    "q48_pii_scrub"       -> CurationOps.scrubPiiSql,
+    "q49_bm25"            -> CurationOps.bm25Sql,
+    "q50_pack_sequences"  -> CurationOps.packSequencesSql,
+    "q51_gram_coverage"   -> CurationOps.gramCoverageSql
     // q46 (PQ ANN) is rows-only like q32: iterative k-means codebooks
     // have no SQL-expressible oracle; brute-force-agreement spec instead.
     // q25/q26/q29 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
     // probes/pairs are engine-identical, not probabilistically equivalent.
     // q27/q33 are oracled via exact all-pairs Jaccard at the 0.9 cut
-    // (recall ≈ 0.9998/pair). q30/q32 stay rows-only — the ONLY two of 36:
+    // (recall ≈ 0.9998/pair). q30/q32 stay rows-only — with q46, the only
+    // three of the 51-query suite:
     // q30's LSH recall at its 0.35 threshold is intentionally < 1 (no
     // exact-equivalent SQL), and q32's centroids come from driver-side
     // iterative k-means — float-iteration parity across engines is not

@@ -1,0 +1,402 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Corpus-curation operators that close the loop from pairwise evidence to
+  * corpus-level decisions: duplicate clustering (q47), PII/blocklist
+  * scrubbing (q48), BM25 retrieval (q49), training-sequence packing (q50),
+  * and n-gram-coverage dedup (q51). Like [[TrainingOps]], every operator is
+  * shaped for a 1000-executor corpus first and oracled against DuckDB at
+  * test scale.
+  */
+object CurationOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  // --- q47: duplicate clusters via connected components --------------------
+
+  /** Connected components over the verified near-dup pair graph (q27's
+    * pairs at the 0.9 Jaccard cut): every doc in a component is labeled
+    * with the component's minimum doc_id. This is the step pairwise dedup
+    * output actually needs — dropping one side of each PAIR under-deletes
+    * triangles and chains (a~b, b~c leaves {a, c} both kept even when a~c
+    * was just below threshold), while one-keeper-per-component is the
+    * exact "keep one representative" semantics.
+    *
+    * Implementation is iterative min-label propagation:
+    * `l(v) ← min(l(v), min over edges (u,v) of l(u))` to fixpoint. Each
+    * round is ONE shuffle join of the edge list against the label table
+    * plus a map-side-combined min-agg — both keyed shuffles on ids, no
+    * driver-side graph. `localCheckpoint` after each round truncates the
+    * lineage so round N doesn't recompute rounds 1..N-1, and the edge list
+    * itself is checkpointed once so the (expensive) LSH+verify pipeline
+    * runs exactly once, not once per iteration.
+    *
+    * Rounds needed = component diameter. Near-dup components are dense by
+    * construction (LSH bucket expansion emits near-cliques), so 2-3 rounds
+    * converge in practice; an adversarially chain-shaped graph would call
+    * for the O(log n) large-star/small-star contraction — same join/agg
+    * primitives, more bookkeeping — which this operator trades away for
+    * plan simplicity and documents here.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TextOps
+      .ngramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val sym = edges
+      .toDF("src", "dst")
+      .union(edges.select(col("doc_b"), col("doc_a")).toDF("src", "dst"))
+
+    var labels = sym
+      .select(col("src").as("node"))
+      .distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("lbl")).as("nbl"))
+      val next = labels
+        .join(viaNeighbors, Seq("node"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("lbl", "prev"), "node")
+        .filter(col("lbl") < col("prev"))
+        .count()
+      labels = next
+    }
+
+    val wCl = Window.partitionBy(col("cluster_id"))
+    labels
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wCl))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle: transitive closure of the same edge set via a recursive
+    * CTE (`reach` = every node's reachable set), cluster = min reachable
+    * id. Shares the exact-all-pairs Jaccard CTEs with q27's oracle, so the
+    * edge sets are the ones the driver already hash-verified.
+    */
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE ${TextOps.DuckShingleCte},
+       |${TextOps.DuckJaccardPairsCte},
+       |e AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= ${TextOps.JaccardThreshold}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM e
+       |          UNION ALL SELECT doc_b, doc_a FROM e),
+       |reach(node, r) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT w.node, e2.dst FROM reach w JOIN edges e2 ON w.r = e2.src
+       |),
+       |lab AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node)
+       |SELECT node AS doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM lab
+       |ORDER BY doc_id""".stripMargin
+
+  // --- q48: PII / blocklist scrubbing --------------------------------------
+
+  /** Pattern set: the standard PII trio plus a configurable term blocklist.
+    * Patterns are written in the RE2 ∩ java.util.regex common dialect
+    * (`\b`, `\d`, `(?:…)`, bounded reps — all ASCII-equivalent in both), so
+    * the Spark side and the DuckDB oracle compile the SAME strings.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Terms treated as sensitive: the classic credential nouns. `key` and
+    * `hash` occur in the synthetic corpus, so the driver oracle exercises
+    * real (non-zero) redactions; the PII regexes are exercised by the
+    * ScalaTest fixture, which plants emails/IPs/phones.
+    */
+  val Blockterms = Seq("secret", "password", "token", "key", "hash")
+  val BlockRe: String = s"\\b(?:${Blockterms.mkString("|")})\\b"
+
+  private val ScrubOrder = Seq(
+    EmailRe -> "<EMAIL>",
+    Ipv4Re  -> "<IP>",
+    PhoneRe -> "<PHONE>",
+    BlockRe -> "<TERM>"
+  )
+
+  /** Redaction over any (doc_id, text) frame: per-category match counts on
+    * the ORIGINAL text plus an md5 of the scrubbed text — a full content
+    * check in a fixed-width row (the driver compare stays cheap even when
+    * documents are megabytes). Purely map-side: regex match + replace are
+    * per-row, no shuffle except the final presentation sort; at 100 TB this
+    * is a pass-through transform that fuses into whatever scan feeds it.
+    */
+  def scrub(df: DataFrame): DataFrame = {
+    val scrubbed = ScrubOrder.foldLeft(col("text")) { case (c, (re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+    df.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ip"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phone"),
+      regexp_count(col("text"), lit(BlockRe)).cast("long").as("n_block"),
+      md5(scrubbed).as("scrub_md5")
+    ).orderBy(col("doc_id"))
+  }
+
+  def scrubPii(spark: SparkSession, dir: String): DataFrame =
+    scrub(docs(spark, dir))
+
+  /** DuckDB oracle: identical pattern strings; `regexp_replace(…, 'g')`
+    * because DuckDB replaces only the first match by default (Spark always
+    * replaces all).
+    */
+  val scrubPiiSql: String = {
+    val scrubbed = ScrubOrder.foldLeft("text") { case (c, (re, repl)) =>
+      s"regexp_replace($c, '$re', '$repl', 'g')"
+    }
+    def cnt(re: String) = s"len(regexp_extract_all(text, '$re'))"
+    s"""SELECT doc_id,
+       |  ${cnt(EmailRe)} AS n_email,
+       |  ${cnt(Ipv4Re)} AS n_ip,
+       |  ${cnt(PhoneRe)} AS n_phone,
+       |  ${cnt(BlockRe)} AS n_block,
+       |  md5($scrubbed) AS scrub_md5
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --- q49: BM25 ranked retrieval ------------------------------------------
+
+  val BmK1     = 1.2
+  val BmB      = 0.75
+  val BmQuery  = Seq("data", "hash", "window")
+  val BmTopK   = 20
+
+  /** BM25 top-k over the corpus for a fixed conjunctive-OR query. The plan
+    * is the scale shape ranked retrieval wants on Spark: per-doc term
+    * frequencies and lengths are map-side array ops; the corpus statistics
+    * (N, Σdl, per-term df) collapse to ONE aggregate row that broadcasts
+    * back over the scored scan; the top-k is TakeOrdered (per-partition
+    * heaps + driver merge), never a global sort materialization. Two jobs,
+    * one pass each over the corpus, no keyed shuffle at all.
+    *
+    * Float determinism: the score expression is mirrored token-for-token in
+    * the oracle (same literals via Scala's shortest-round-trip printing,
+    * same association order), and the final score is rounded to 6 decimals
+    * because Java's `Math.log` and DuckDB's `ln` differ by 1 ulp on ~1% of
+    * inputs (measured) — everything before the log is exact IEEE arithmetic.
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Of(docs(spark, dir))
+
+  private[graft] def bm25Of(corpus: DataFrame): DataFrame = {
+    val base = corpus
+      .select(col("doc_id"), TextOps.toks.as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val withTf = BmQuery.zipWithIndex
+      .foldLeft(base) { case (df, (t, i)) =>
+        df.withColumn(s"tf$i", size(expr(s"filter(toks, x -> x = '$t')")))
+      }
+      .drop("toks")
+
+    val statAggs =
+      Seq(count(lit(1)).cast("double").as("n_docs"), sum(col("dl")).cast("double").as("sum_dl")) ++
+        BmQuery.indices.map(i => sum((col(s"tf$i") > 0).cast("long")).cast("double").as(s"df$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+
+    val avgdl = col("sum_dl") / col("n_docs")
+    val score = BmQuery.indices
+      .map { i =>
+        val tf  = col(s"tf$i").cast("double")
+        val idf = log(lit(1.0) + (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+        idf * (tf * lit(BmK1 + 1)) /
+          (tf + lit(BmK1) * (lit(1 - BmB) + lit(BmB) * col("dl") / avgdl))
+      }
+      .reduce(_ + _)
+
+    withTf
+      .crossJoin(broadcast(stats))
+      .filter(BmQuery.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(BmTopK)
+  }
+
+  /** Oracle: same statistics, same expression tree. Literals are embedded
+    * via [[java.lang.Double.toString]] (shortest round-trip), so e.g.
+    * `k1+1` parses back to the identical double in DuckDB.
+    */
+  val bm25Sql: String = {
+    val k1p1 = java.lang.Double.toString(BmK1 + 1)
+    val k1   = java.lang.Double.toString(BmK1)
+    val omb  = java.lang.Double.toString(1 - BmB)
+    val b    = java.lang.Double.toString(BmB)
+    val tfCols = BmQuery.zipWithIndex
+      .map { case (t, i) => s"len(list_filter(toks, x -> x = '$t')) AS tf$i" }
+      .mkString(",\n    ")
+    val dfAggs = BmQuery.indices
+      .map(i => s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$i")
+      .mkString(", ")
+    val terms = BmQuery.indices
+      .map { i =>
+        s"ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5)) * (tf$i * $k1p1) / " +
+          s"(tf$i + $k1 * ($omb + $b * dl / (sum_dl / n_docs)))"
+      }
+      .mkString(" + ")
+    val anyTf = BmQuery.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id, ${TextOps.DuckToks} AS toks FROM documents)),
+       |st AS (
+       |  SELECT count(*)::DOUBLE AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl, $dfAggs
+       |  FROM tf)
+       |SELECT doc_id, round($terms, 6) AS score
+       |FROM tf, st
+       |WHERE $anyTf
+       |ORDER BY score DESC, doc_id
+       |LIMIT $BmTopK""".stripMargin
+  }
+
+  // --- q50: training-sequence packing --------------------------------------
+
+  val PackSeqLen = 512
+  val PackShards = 8
+
+  /** Concat-and-chunk sequence packing: docs are laid out in a
+    * deterministic order and cut into fixed [[PackSeqLen]]-token training
+    * sequences; each doc learns which sequence its tokens start and end in
+    * and its offset within the first one. This is the layout step between a
+    * cleaned corpus and a token-consuming trainer.
+    *
+    * A single global running sum would serialize onto one task, so the
+    * corpus is first split into [[PackShards]] content-stable shards
+    * (`pmod(xxhash64(doc_id))` — same assignment on any cluster, any
+    * partitioning) and packed per shard: the cumulative sum is a window
+    * over (shard, doc_id), i.e. [[PackShards]]-way parallel. In production
+    * the shard count scales with the cluster; each shard emits an
+    * independent sequence namespace exactly as independent data-loader
+    * workers would consume it. Integer arithmetic throughout — the oracle
+    * is exact, not rounded.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .select(col("doc_id"), size(TextOps.toks).cast("long").as("n_tok"))
+      .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(PackShards)).cast("int"))
+      .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(
+        col("doc_id"),
+        col("shard"),
+        col("n_tok"),
+        expr(s"tok_before DIV $PackSeqLen").as("begin_seq"),
+        expr(s"(tok_before + n_tok - 1) DIV $PackSeqLen").as("end_seq"),
+        (col("tok_before") % PackSeqLen).as("offset_in_seq")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: shard via the emulated xxhash64 ([[graft.functions.DuckHash]],
+    * q40's pattern), then the same windowed cumulative sum.
+    */
+  lazy val packSequencesSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = ArrayBuffer[(String, String)](
+      "q50in" ->
+        s"(SELECT doc_id, len(${TextOps.DuckToks})::BIGINT AS n_tok, doc_id::HUGEINT AS l FROM documents)"
+    )
+    val ch = new SqlChain("q50h", "q50in", Seq("doc_id", "n_tok", "l"))
+    hashLongLevels(ch, s"${toUnsigned("l")}", "42", "h")
+    ctes ++= ch.ctes
+    ctes += ("q50s" ->
+      s"""(SELECT doc_id, n_tok,
+         |    (((${toSigned("h")} % $PackShards) + $PackShards) % $PackShards)::INTEGER AS shard
+         |  FROM ${ch.last})""".stripMargin)
+    ctes += ("q50c" ->
+      s"""(SELECT doc_id, shard, n_tok,
+         |    COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_before
+         |  FROM q50s)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      s"""SELECT doc_id, shard, n_tok,
+         |  tok_before // $PackSeqLen AS begin_seq,
+         |  (tok_before + n_tok - 1) // $PackSeqLen AS end_seq,
+         |  tok_before % $PackSeqLen AS offset_in_seq
+         |FROM q50c
+         |ORDER BY doc_id""".stripMargin
+    )
+  }
+
+  // --- q51: n-gram-coverage dedup ------------------------------------------
+
+  val CovN      = 8
+  val CovDupCut = 0.5
+
+  /** Coverage-based dedup (the Lee-et-al. "substring overlap" family): for
+    * each doc, the fraction of its distinct 8-grams already OWNED by an
+    * earlier doc (owner = minimum doc_id containing the gram). A doc whose
+    * grams are mostly second-hand is flagged, catching mosaic duplicates —
+    * documents stitched from pieces of others — that whole-doc MinHash
+    * misses (each piece dilutes whole-doc Jaccard below threshold).
+    *
+    * ONE keyed shuffle on the gram: the min-owner is a window over the gram
+    * partition (q39's DF-cap pattern), then the per-doc rollup groups by
+    * doc_id. The same hot-gram concern as q39 does NOT apply — there is no
+    * join to fan out; a popular gram is one window partition, and AQE
+    * splits skewed partitions.
+    */
+  def gramCoverage(spark: SparkSession, dir: String): DataFrame =
+    gramCoverageOf(docs(spark, dir))
+
+  private[graft] def gramCoverageOf(corpus: DataFrame): DataFrame = {
+    val sh = corpus
+      .select(col("doc_id"), TextOps.toks.as("toks"))
+      .filter(size(col("toks")) >= CovN)
+      .select(col("doc_id"), explode(TextOps.distinctGramExpr(CovN)).as("g"))
+    val wg = Window.partitionBy(col("g"))
+    sh.withColumn("owner", min(col("doc_id")).over(wg))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum((col("owner") < col("doc_id")).cast("long")).as("n_seen")
+      )
+      .withColumn("coverage", round(col("n_seen") / col("n_grams"), 4))
+      .withColumn("is_dup", col("coverage") >= CovDupCut)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: same grams (shared fragment with q39's oracle via
+    * [[TextOps.duckDistinctGrams]]), min-owner window, integer-exact
+    * counts; the coverage division is BIGINT/BIGINT → DOUBLE in both
+    * engines, rounded to 4 like every ratio oracle in the suite.
+    */
+  val gramCoverageSql: String =
+    s"""WITH shq AS (
+       |  SELECT doc_id, unnest(${TextOps.duckDistinctGrams(CovN)}) AS g
+       |  FROM (SELECT doc_id, ${TextOps.DuckToks} AS toks FROM documents)
+       |  WHERE len(toks) >= $CovN),
+       |own AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS owner FROM shq),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_grams,
+       |    CAST(sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+       |  FROM own GROUP BY doc_id)
+       |SELECT doc_id, n_grams, n_seen,
+       |  round(n_seen / n_grams, 4) AS coverage,
+       |  round(n_seen / n_grams, 4) >= $CovDupCut AS is_dup
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
+}

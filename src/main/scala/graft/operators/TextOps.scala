@@ -51,6 +51,21 @@ object TextOps {
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |)""".stripMargin
 
+  /** Distinct n-token grams of `toks` as an array column — the unit of
+    * evidence for decontamination (q39) and coverage dedup (q51). One
+    * definition so the two operators can't drift.
+    */
+  private[operators] def distinctGramExpr(n: Int): Column = {
+    val parts = (0 until n).map(j => s"toks[i+$j]").mkString(", ")
+    expr(s"array_distinct(transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', $parts)))")
+  }
+
+  /** DuckDB twin of [[distinctGramExpr]] (1-based list indexing). */
+  private[operators] def duckDistinctGrams(n: Int): String = {
+    val parts = (1 to n).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(generate_series(1, len(toks) - ${n - 1}), i -> $parts))"
+  }
+
   /** SQL for the one-pass in-bucket combination expansion over a sorted
     * array column `arr`: every (a, b) pair with a before b, shaped by
     * `structBody` (which references the paired elements as `a`/`b`).

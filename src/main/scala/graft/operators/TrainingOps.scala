@@ -38,10 +38,7 @@ object TrainingOps {
     * construction.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val gramExpr = {
-      val parts = (0 until DecontamN).map(j => s"toks[i+$j]").mkString(", ")
-      expr(s"array_distinct(transform(sequence(0, size(toks)-$DecontamN), i -> concat_ws(' ', $parts)))")
-    }
+    val gramExpr = TextOps.distinctGramExpr(DecontamN)
     val sh = docs(spark, dir)
       .select(col("doc_id"), TextOps.toks.as("toks"))
       .filter(size(col("toks")) >= DecontamN)
@@ -65,10 +62,8 @@ object TrainingOps {
   }
 
   val decontaminateSql: String = {
-    val parts = (1 to DecontamN).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
     s"""WITH sh AS (
-       |  SELECT doc_id, unnest(list_distinct(list_transform(
-       |    generate_series(1, len(toks) - ${DecontamN - 1}), i -> $parts))) AS g
+       |  SELECT doc_id, unnest(${TextOps.duckDistinctGrams(DecontamN)}) AS g
        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
        |  WHERE len(toks) >= $DecontamN),
        |pruned AS (

@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CurationOps, TextOps}
+
+/** Specs for the corpus-curation operators (q47-q51). Ground truth is
+  * recomputed independently in driver-side Scala (union-find, regex on
+  * planted strings, the BM25 formula over a hand-built corpus) — never by
+  * trusting the operator's own plan.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- q47 ------------------------------------------------------------------
+
+  test("q47: cluster assignment equals union-find over the verified pairs") {
+    val pairs = TextOps
+      .ngramJaccard(spark, Sf0001)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture corpus must contain near-dup pairs")
+
+    // driver-side union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    pairs.foreach { case (a, b) => union(a, b) }
+    val expected = parent.keys.map(n => n -> find(n)).toMap
+    val expectedSizes = expected.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+
+    val got = CurationOps
+      .dupClusters(spark, Sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))
+    assert(got.map(g => g._1 -> g._2).toMap == expected)
+    got.foreach { case (_, c, sz) => assert(sz == expectedSizes(c)) }
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+  }
+
+  // --- q48 ------------------------------------------------------------------
+
+  test("q48: planted PII is counted and scrubbed; clean text passes through") {
+    val planted = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or 10.0.0.1 now"),
+      (2L, "call 555-123-4567 about the secret password key"),
+      (3L, "nothing sensitive here at all"),
+      (4L, "two mails a@b.io c@d.org one ip 192.168.1.255 and token")
+    ).toDF("doc_id", "text")
+    val got = CurationOps
+      .scrub(planted)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_email"), r.getAs[Long]("n_ip"),
+          r.getAs[Long]("n_phone"), r.getAs[Long]("n_block"), r.getAs[String]("scrub_md5")))
+
+    assert(got.map(g => (g._1, g._2, g._3, g._4, g._5)).toSeq == Seq(
+      (1L, 1L, 1L, 0L, 0L),
+      (2L, 0L, 0L, 1L, 3L),
+      (3L, 0L, 0L, 0L, 0L),
+      (4L, 2L, 1L, 0L, 1L)
+    ))
+    // scrubbed content check: md5 of the hand-scrubbed strings
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expectedScrubbed = Seq(
+      "contact <EMAIL> or <IP> now",
+      "call <PHONE> about the <TERM> <TERM> <TERM>",
+      "nothing sensitive here at all",
+      "two mails <EMAIL> <EMAIL> one ip <IP> and <TERM>"
+    )
+    assert(got.map(_._6).toSeq == expectedScrubbed.map(md5hex))
+  }
+
+  // --- q49 ------------------------------------------------------------------
+
+  test("q49: scores equal the BM25 formula computed independently") {
+    val corpus = Seq(
+      (1L, "data data hash window filler filler filler filler"),
+      (2L, "data only once with more tokens than the first one here"),
+      (3L, "window window window hash"),
+      (4L, "no query terms at all in this document"),
+      (5L, "hash")
+    ).toDF("doc_id", "text")
+
+    // independent recomputation with plain Scala doubles
+    val toks = Map(
+      1L -> "data data hash window filler filler filler filler".split(" ").toSeq,
+      2L -> "data only once with more tokens than the first one here".split(" ").toSeq,
+      3L -> "window window window hash".split(" ").toSeq,
+      4L -> "no query terms at all in this document".split(" ").toSeq,
+      5L -> Seq("hash"))
+    val n     = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    def score(id: Long): Double = {
+      val dl = toks(id).size.toDouble
+      CurationOps.BmQuery.map { t =>
+        val tf = toks(id).count(_ == t).toDouble
+        val df = toks.values.count(_.contains(t)).toDouble
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        idf * (tf * (CurationOps.BmK1 + 1)) /
+          (tf + CurationOps.BmK1 * ((1 - CurationOps.BmB) + CurationOps.BmB * dl / avgdl))
+      }.sum
+    }
+    val expected = toks.keys.toSeq
+      .filter(id => CurationOps.BmQuery.exists(toks(id).contains))
+      .map(id => id -> BigDecimal(score(id)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .sortBy { case (id, s) => (-s, id) }
+
+    val got = CurationOps
+      .bm25Of(corpus)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .toSeq
+    assert(got == expected)
+    // the all-filler doc must not appear
+    assert(!got.exists(_._1 == 4L))
+  }
+
+  // --- q50 ------------------------------------------------------------------
+
+  test("q50: per-shard layout is gapless and offsets are consistent") {
+    val rows = CurationOps
+      .packSequences(spark, Sf0001)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("n_tok"),
+          r.getAs[Long]("begin_seq"), r.getAs[Long]("end_seq"), r.getAs[Long]("offset_in_seq")))
+    assert(rows.length == 500)
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (_, _, nTok, beginSeq, endSeq, off) =>
+        assert(beginSeq == cum / CurationOps.PackSeqLen)
+        assert(off == cum % CurationOps.PackSeqLen)
+        assert(endSeq == (cum + nTok - 1) / CurationOps.PackSeqLen)
+        assert(beginSeq <= endSeq)
+        cum += nTok // gapless: next doc starts exactly where this one ended
+      }
+    }
+    // shards are content-stable, not clustered by id range
+    assert(rows.map(_._2).distinct.length == CurationOps.PackShards)
+  }
+
+  // --- q51 ------------------------------------------------------------------
+
+  test("q51: a mosaic duplicate is flagged; novel docs are not") {
+    val words  = ('a' to 'z').map(_.toString)
+    val docA   = words.take(16).mkString(" ")            // 16 tokens → 9 grams
+    val docB   = words.drop(10).take(16).mkString(" ")   // overlaps A on 10..15
+    // stitched from the WHOLE of A and B: 25 grams, 18 owned by 1/2, the 7
+    // seam-spanning grams novel → coverage 0.72 ≥ the 0.5 cut
+    val mosaic = (words.take(16) ++ words.drop(10).take(16)).mkString(" ")
+    val novel  = words.reverse.take(16).mkString(" ")
+    val corpus = Seq((1L, docA), (2L, docB), (3L, mosaic), (4L, novel)).toDF("doc_id", "text")
+
+    // independent ground truth: distinct 8-grams, owner = min doc_id
+    val grams: Map[Long, Seq[String]] = Map(
+      1L -> docA, 2L -> docB, 3L -> mosaic, 4L -> novel
+    ).map { case (id, t) =>
+      id -> t.split(" ").toSeq.sliding(CurationOps.CovN).map(_.mkString(" ")).toSeq.distinct
+    }
+    val owner = grams.toSeq
+      .flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val expected = grams.map { case (id, gs) =>
+      val seen = gs.count(g => owner(g) < id).toLong
+      val cov = BigDecimal(seen.toDouble / gs.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, gs.size.toLong, seen, cov, cov >= CurationOps.CovDupCut)
+    }.toSeq.sortBy(_._1)
+
+    val got = CurationOps
+      .gramCoverageOf(corpus)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"), r.getAs[Long]("n_seen"),
+          r.getAs[Double]("coverage"), r.getAs[Boolean]("is_dup")))
+      .toSeq
+    assert(got == expected)
+    val byId = got.map(g => g._1 -> g._5).toMap
+    assert(byId(3L), "the stitched mosaic doc must be flagged")
+    assert(!byId(1L) && !byId(4L), "first owner and novel docs must pass")
+  }
+}

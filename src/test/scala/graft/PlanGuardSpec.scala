@@ -36,7 +36,11 @@ class PlanGuardSpec extends SparkSpec {
       "q42_kmv_distinct"  -> 4, // hash distinct (sketch + exact branches)
       "q43_percentiles"   -> 4, // group counts + window sort-rank + boundary agg + sort
       "q44_countmin_topterms" -> 5, // cms agg + exact top agg + probe join + min agg + sort
-      "q45_stratified_sample" -> 2  // strata window + sort
+      "q45_stratified_sample" -> 2, // strata window + sort
+      "q48_pii_scrub"     -> 1, // map-side regex; sort only
+      "q49_bm25"          -> 0, // map-side tf + one-row stats broadcast + TakeOrdered
+      "q50_pack_sequences" -> 2, // shard window + sort
+      "q51_gram_coverage" -> 3  // gram window + doc rollup + sort
     )
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf001)) // building the plan must not throw
@@ -75,8 +79,10 @@ class PlanGuardSpec extends SparkSpec {
     // q15's nested-loop side is a scalar subquery result — one row.
     // q42 joins two single-row aggregates (KMV sketch × exact count).
     // q46's broadcast side is the fixed QueryCount LUT set, like q28.
+    // q49 broadcasts its one-row corpus-statistics aggregate, like q42.
     val allowed =
-      Set("q28_cosine_topk", "q15_scalar_subquery", "q42_kmv_distinct", "q46_ann_pq")
+      Set("q28_cosine_topk", "q15_scalar_subquery", "q42_kmv_distinct", "q46_ann_pq",
+        "q49_bm25")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, Sf001))
