@@ -69,7 +69,9 @@ object SparkEntry {
     "q48_pii_scrub"       -> (CurationOps.scrubPii _),
     "q49_bm25"            -> (CurationOps.bm25 _),
     "q50_pack_sequences"  -> (CurationOps.packSequences _),
-    "q51_gram_coverage"   -> (CurationOps.gramCoverage _)
+    "q51_gram_coverage"   -> (CurationOps.gramCoverage _),
+    "q52_incremental_dedup" -> (CurationOps.incrementalDedup _),
+    "q53_mix_weights"     -> (CurationOps.mixWeights _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -120,7 +122,9 @@ object SparkEntry {
     "q48_pii_scrub"       -> CurationOps.scrubPiiSql,
     "q49_bm25"            -> CurationOps.bm25Sql,
     "q50_pack_sequences"  -> CurationOps.packSequencesSql,
-    "q51_gram_coverage"   -> CurationOps.gramCoverageSql
+    "q51_gram_coverage"   -> CurationOps.gramCoverageSql,
+    "q52_incremental_dedup" -> CurationOps.incrementalDedupSql,
+    "q53_mix_weights"     -> CurationOps.mixWeightsSql
     // q46 (PQ ANN) is rows-only like q32: iterative k-means codebooks
     // have no SQL-expressible oracle; brute-force-agreement spec instead.
     // q25/q26/q29 are oracled EXACTLY: Spark's xxhash64 is emulated in
@@ -128,7 +132,7 @@ object SparkEntry {
     // probes/pairs are engine-identical, not probabilistically equivalent.
     // q27/q33 are oracled via exact all-pairs Jaccard at the 0.9 cut
     // (recall ≈ 0.9998/pair). q30/q32 stay rows-only — with q46, the only
-    // three of the 51-query suite:
+    // three of the 53-query suite:
     // q30's LSH recall at its 0.35 threshold is intentionally < 1 (no
     // exact-equivalent SQL), and q32's centroids come from driver-side
     // iterative k-means — float-iteration parity across engines is not

@@ -399,4 +399,141 @@ object CurationOps {
        |  round(n_seen / n_grams, 4) >= $CovDupCut AS is_dup
        |FROM agg
        |ORDER BY doc_id""".stripMargin
+
+  // --- q52: incremental dedup (batch vs existing corpus) -------------------
+
+  /** Dedup of a NEW ingestion batch against an EXISTING corpus snapshot —
+    * the shape every recurring crawl runs: the existing side is already
+    * deduped and immutable; only the batch needs verdicts. Even doc_ids
+    * stand in for the existing snapshot, odd for the batch.
+    *
+    * A batch doc is dropped when there is exact (identical md5) or verified
+    * near-dup (Jaccard ≥ 0.9) evidence against ANY existing doc (the
+    * snapshot always wins, regardless of id order) or against an
+    * earlier-id batch doc (first-seen-wins inside the batch). Exact
+    * evidence outranks near-dup in the verdict. Unlike q33 this is
+    * deliberately conservative — a batch doc drops even if its existing
+    * keeper was itself low-quality, because the snapshot is not ours to
+    * re-litigate at ingestion time.
+    *
+    * Plan shape: the exact check is ONE keyed shuffle on the content hash
+    * (two windowed mins, no self-join); the near-dup check reuses the
+    * LSH+verify pair pipeline and classifies its (tiny) pair output with
+    * set operations. Nothing here fans out per-row at 100 TB.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d  = docs(spark, dir).select(col("doc_id"), md5(col("text")).as("h"))
+    val wH = Window.partitionBy(col("h"))
+    val flagged = d
+      .withColumn("min_existing", min(when(col("doc_id") % 2 === 0, col("doc_id"))).over(wH))
+      .withColumn("min_batch", min(when(col("doc_id") % 2 =!= 0, col("doc_id"))).over(wH))
+      .filter(col("doc_id") % 2 =!= 0)
+      .withColumn(
+        "exact_dup",
+        col("min_existing").isNotNull || col("min_batch") < col("doc_id"))
+
+    val pairs = TextOps.ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val nearVictims = pairs
+      .filter(col("doc_b") % 2 =!= 0)
+      .select(col("doc_b").as("doc_id"))
+      .union(
+        pairs
+          .filter(col("doc_a") % 2 =!= 0 && col("doc_b") % 2 === 0)
+          .select(col("doc_a").as("doc_id")))
+      .distinct()
+      .withColumn("near_dup", lit(true))
+
+    flagged
+      .join(nearVictims, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("exact_dup"), "exact_dup")
+          .when(coalesce(col("near_dup"), lit(false)), "near_dup")
+          .otherwise("kept")
+          .as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: identical rules over the shared exact-Jaccard pair CTEs. */
+  val incrementalDedupSql: String =
+    s"""WITH ${TextOps.DuckShingleCte},
+       |${TextOps.DuckJaccardPairsCte},
+       |hashes AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |flags AS (
+       |  SELECT doc_id,
+       |    min(CASE WHEN doc_id % 2 = 0 THEN doc_id END) OVER (PARTITION BY h) AS min_existing,
+       |    min(CASE WHEN doc_id % 2 <> 0 THEN doc_id END) OVER (PARTITION BY h) AS min_batch
+       |  FROM hashes),
+       |nearv AS (
+       |  SELECT doc_b AS doc_id FROM pairs
+       |  WHERE jaccard >= ${TextOps.JaccardThreshold} AND doc_b % 2 <> 0
+       |  UNION
+       |  SELECT doc_a FROM pairs
+       |  WHERE jaccard >= ${TextOps.JaccardThreshold} AND doc_a % 2 <> 0 AND doc_b % 2 = 0)
+       |SELECT f.doc_id,
+       |  CASE WHEN f.min_existing IS NOT NULL OR f.min_batch < f.doc_id THEN 'exact_dup'
+       |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+       |       ELSE 'kept' END AS verdict
+       |FROM flags f LEFT JOIN nearv n ON f.doc_id = n.doc_id
+       |WHERE f.doc_id % 2 <> 0
+       |ORDER BY f.doc_id""".stripMargin
+
+  // --- q53: data-recipe mixture weights ------------------------------------
+
+  val MixResolution = 1000000L
+
+  /** Materializes a data recipe: each source carries a fractional sampling
+    * weight (how many epochs of that source the training run should see),
+    * and every doc gets a concrete integer repeat count realizing it —
+    * `floor(w)` guaranteed repeats plus one more with probability
+    * `frac(w)`, decided by a content-stable hash threshold (deterministic
+    * stochastic rounding: the same doc gets the same verdict on any
+    * cluster, any partitioning, any day). Purely map-side.
+    *
+    * The demo weight table derives from the source id
+    * (`0.5 + (idx mod 4) * 0.75` → 0.5/1.25/2.0/2.75) so the oracle can
+    * recompute it; production passes a real weight map. The fractional
+    * threshold is computed in INTEGER arithmetic
+    * (`(idx mod 4) * 750000 + 500000 mod 1e6`) — no float rounding in the
+    * keep/repeat decision at all.
+    */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("idx", expr("CAST(substring(source, 4) AS INT)"))
+      .withColumn("weight", lit(0.5) + (col("idx") % 4).cast("double") * lit(0.75))
+      .withColumn(
+        "thr",
+        ((col("idx") % 4).cast("long") * lit(750000L) + lit(500000L)) % lit(MixResolution))
+      .withColumn(
+        "n_repeats",
+        floor(col("weight")).cast("long") +
+          when(pmod(xxhash64(col("doc_id")), lit(MixResolution)) < col("thr"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("source"), col("weight"), col("n_repeats"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle: same integer thresholds, emulated xxhash64. */
+  lazy val mixWeightsSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = ArrayBuffer[(String, String)](
+      "q53in" ->
+        """(SELECT doc_id, source, CAST(substr(source, 4) AS INTEGER) AS idx,
+          |    doc_id::HUGEINT AS l FROM documents)""".stripMargin
+    )
+    val ch = new SqlChain("q53h", "q53in", Seq("doc_id", "source", "idx", "l"))
+    hashLongLevels(ch, s"${toUnsigned("l")}", "42", "h")
+    ctes ++= ch.ctes
+    assemble(
+      ctes.toSeq,
+      s"""SELECT doc_id, source,
+         |  0.5 + (idx % 4)::DOUBLE * 0.75 AS weight,
+         |  CAST(floor(0.5 + (idx % 4)::DOUBLE * 0.75) AS BIGINT) +
+         |    CASE WHEN (((${toSigned("h")} % $MixResolution) + $MixResolution) % $MixResolution)
+         |              < ((idx % 4)::BIGINT * 750000 + 500000) % $MixResolution
+         |         THEN 1 ELSE 0 END AS n_repeats
+         |FROM ${ch.last}
+         |ORDER BY doc_id""".stripMargin
+    )
+  }
+
 }

@@ -149,6 +149,65 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.map(_._2).distinct.length == CurationOps.PackShards)
   }
 
+  // --- q52 ------------------------------------------------------------------
+
+  test("q52: batch verdicts match an independent recomputation") {
+    val d = graft.core.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md5 = d.map { case (id, t) =>
+      id -> java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }.toMap
+    val pairs = TextOps.ngramJaccard(spark, Sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    val expected = d.map(_._1).filter(_ % 2 != 0).sorted.map { id =>
+      val h = md5(id)
+      val exact = d.exists { case (o, _) =>
+        o != id && md5(o) == h && (o % 2 == 0 || o < id)
+      }
+      val near = pairs.exists { case (a, b) =>
+        (b == id && (a % 2 == 0 || a < id)) || (a == id && b % 2 == 0)
+      }
+      (id, if (exact) "exact_dup" else if (near) "near_dup" else "kept")
+    }.toSeq
+    val got = CurationOps.incrementalDedup(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._2 != "kept"), "fixture must contain dropped batch docs")
+  }
+
+  // --- q53 ------------------------------------------------------------------
+
+  test("q53: repeat counts realize the recipe weights exactly") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val got = CurationOps.mixWeights(spark, Sf0001)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+          r.getAs[Double]("weight"), r.getAs[Long]("n_repeats")))
+    assert(got.length == 500)
+    got.foreach { case (id, src, w, n) =>
+      val idx = src.drop(3).toInt
+      assert(w == 0.5 + (idx % 4) * 0.75)
+      val thr = ((idx % 4).toLong * 750000L + 500000L) % CurationOps.MixResolution
+      val hmod = {
+        val m = XXH64.hashLong(id, 42) % CurationOps.MixResolution
+        if (m < 0) m + CurationOps.MixResolution else m
+      }
+      val expected = w.toLong + (if (hmod < thr) 1L else 0L)
+      assert(n == expected, s"doc $id: got $n, expected $expected")
+    }
+    // every source with a fractional weight must split both ways somewhere
+    val bySrc = got.groupBy(g => g._2.drop(3).toInt % 4)
+    Seq(0, 1, 3).foreach { m =>
+      val ns = bySrc(m).map(_._4).toSet
+      assert(ns.size == 2, s"weight class $m should mix floor and floor+1, saw $ns")
+    }
+    assert(bySrc(2).map(_._4).toSet == Set(2L), "integer weight 2.0 never rounds")
+  }
+
   // --- q51 ------------------------------------------------------------------
 
   test("q51: a mosaic duplicate is flagged; novel docs are not") {

@@ -40,7 +40,13 @@ class PlanGuardSpec extends SparkSpec {
       "q48_pii_scrub"     -> 1, // map-side regex; sort only
       "q49_bm25"          -> 0, // map-side tf + one-row stats broadcast + TakeOrdered
       "q50_pack_sequences" -> 2, // shard window + sort
-      "q51_gram_coverage" -> 3  // gram window + doc rollup + sort
+      "q51_gram_coverage" -> 3, // gram window + doc rollup + sort
+      // q52 composes the FULL LSH+verify pair pipeline (q25's 3 + the two
+      // verify-side joins) on top of its own md5 window, victim
+      // union-distinct and sort — 10 static exchanges, none quadratic;
+      // AQE turns the small-side joins into broadcasts at runtime.
+      "q52_incremental_dedup" -> 10,
+      "q53_mix_weights"   -> 1  // map-side recipe; sort only
     )
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf001)) // building the plan must not throw
