@@ -56,7 +56,7 @@ object CleanPipeline {
     // high dup rates. AQE picks broadcast at runtime when it IS small.
     val keptSide = gated.select(col("doc_id").as("doc_a"))
     val victims = TextOps
-      .ngramJaccard(spark, dir, minJaccard = JaccardCut)
+      .ngramJaccardPairs(spark, dir, minJaccard = JaccardCut)
       .join(keptSide, Seq("doc_a"), "left_semi")
       .select(col("doc_b").as("doc_id"))
       .distinct()

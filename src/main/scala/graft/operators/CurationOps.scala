@@ -48,17 +48,20 @@ object CurationOps {
     */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val edges = TextOps
-      .ngramJaccard(spark, dir)
+      .ngramJaccardPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     val sym = edges
       .toDF("src", "dst")
       .union(edges.select(col("doc_b"), col("doc_a")).toDF("src", "dst"))
 
+    // round 0 fused into initialization: l(v) = min(v, min direct neighbor)
+    // is what the first propagation round would compute from identity
+    // labels, for the price of one agg instead of a join + agg.
     var labels = sym
-      .select(col("src").as("node"))
-      .distinct()
-      .withColumn("lbl", col("node"))
+      .groupBy(col("dst").as("node"))
+      .agg(min(col("src")).as("m"))
+      .select(col("node"), least(col("node"), col("m")).as("lbl"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
@@ -139,10 +142,20 @@ object CurationOps {
     * per-row, no shuffle except the final presentation sort; at 100 TB this
     * is a pass-through transform that fuses into whatever scan feeds it.
     */
+  /** The scrub transform at Column level, so batch (q48) and the streaming
+    * ingest gate (E9) share one definition.
+    */
+  private[graft] def scrubCol(c: Column): Column =
+    ScrubOrder.foldLeft(c) { case (acc, (re, repl)) => regexp_replace(acc, re, repl) }
+
+  /** Total PII + blockterm match count at Column level (fixed reduce order). */
+  private[graft] def piiCountCol(c: Column): Column =
+    Seq(EmailRe, Ipv4Re, PhoneRe, BlockRe)
+      .map(re => regexp_count(c, lit(re)).cast("long"))
+      .reduce(_ + _)
+
   def scrub(df: DataFrame): DataFrame = {
-    val scrubbed = ScrubOrder.foldLeft(col("text")) { case (c, (re, repl)) =>
-      regexp_replace(c, re, repl)
-    }
+    val scrubbed = scrubCol(col("text"))
     df.select(
       col("doc_id"),
       regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
@@ -432,7 +445,7 @@ object CurationOps {
         "exact_dup",
         col("min_existing").isNotNull || col("min_batch") < col("doc_id"))
 
-    val pairs = TextOps.ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = TextOps.ngramJaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val nearVictims = pairs
       .filter(col("doc_b") % 2 =!= 0)
       .select(col("doc_b").as("doc_id"))

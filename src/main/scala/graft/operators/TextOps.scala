@@ -119,7 +119,7 @@ object TextOps {
   private[operators] val Stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
 
   /** stop-word count over whitespace tokens of `text` (shared helper). */
-  private[operators] def stopCountExpr: Column = {
+  private[graft] def stopCountExpr: Column = {
     val lst = Stopwords.map(s => s"'$s'").mkString(", ")
     expr(s"size(filter(split(trim(text), '\\\\s+'), t -> t IN ($lst)))")
   }
@@ -501,6 +501,18 @@ object TextOps {
       spark: SparkSession,
       dir: String,
       minJaccard: Double = JaccardThreshold
+  ): DataFrame =
+    ngramJaccardPairs(spark, dir, minJaccard).orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[ngramJaccard]] without the presentation sort — for consumers that
+    * re-shuffle the pairs anyway (q33's victim join, q47's label
+    * propagation, q52's verdict classification): a range exchange feeding a
+    * hash exchange is pure waste.
+    */
+  private[graft] def ngramJaccardPairs(
+      spark: SparkSession,
+      dir: String,
+      minJaccard: Double = JaccardThreshold
   ): DataFrame = {
     val sh = shingled(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -515,7 +527,6 @@ object TextOps {
       )
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** DuckDB oracle: exact ALL-PAIRS 3-gram Jaccard at the 0.9 cut — no LSH,

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextOps
+import graft.operators.{CurationOps, TextOps}
 
 /** §2.E streaming twin of the MinHash-LSH dedup path (batch: TextOps C6).
   *
@@ -18,6 +18,40 @@ import graft.operators.TextOps
 object DocStreams {
 
   case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+  /** §2.E streaming ingest gate — the stateless front of the batch clean
+    * pipeline applied to a live document stream in ONE map-side pass:
+    * quality gates (q22's token/stopword rules via the shared
+    * [[TextOps.stopCountExpr]]), PII/blocklist scrubbing (q48's
+    * [[CurationOps.scrubCol]]), and the content-stable split assignment
+    * (q40's hash rule). No state, no watermark, no shuffle — every rule is
+    * per-row, so the streaming twin is the batch expression tree verbatim,
+    * and throughput is bounded by the source, not by state store I/O.
+    */
+  def ingestGate(docs: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("stop_ratio", TextOps.stopCountExpr / col("n_tokens"))
+      .filter(
+        col("n_tokens") >= graft.operators.CleanPipeline.MinTokens &&
+          col("stop_ratio") <= graft.operators.CleanPipeline.MaxStopRatio)
+      .select(
+        col("doc_id"),
+        col("ts"),
+        col("n_tokens"),
+        CurationOps.piiCountCol(col("text")).as("n_pii"),
+        md5(CurationOps.scrubCol(col("text"))).as("scrub_md5"),
+        when(
+          pmod(xxhash64(col("doc_id")), lit(100)) < graft.operators.TrainingOps.SplitTrainPct,
+          "train")
+          .when(
+            pmod(xxhash64(col("doc_id")), lit(100)) < graft.operators.TrainingOps.SplitValPct,
+            "val")
+          .otherwise("test")
+          .as("split")
+      )
+  }
 
   /** Near-dup candidate pairs per event-time window.
     *

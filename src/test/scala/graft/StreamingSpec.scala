@@ -130,6 +130,40 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L))) // the planted dup, and nothing with doc 3
   }
 
+  test("E9: streaming ingest gate filters, scrubs, and splits in one pass") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    val in = MemoryStream[Doc]
+    val q = DocStreams
+      .ingestGate(in.toDF())
+      .writeStream.format("memory").queryName("ingest_gate").outputMode("append").start()
+    in.addData(
+      Doc(1, "contact bob@example.com about spark shuffles and scans at corpus scale", ts(1)),
+      Doc(2, "too short", ts(2)), // < MinTokens → gated out
+      Doc(3, "the a an and of to in is the a an and of", ts(3)) // stopword soup → gated out
+    )
+    q.processAllAvailable()
+    val rows = spark.table("ingest_gate").collect()
+      .map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_pii"), r.getAs[String]("scrub_md5"),
+          r.getAs[String]("split")))
+    q.stop()
+    assert(rows.map(_._1).toSeq == Seq(1L))
+    val (_, nPii, md5Got, split) = rows.head
+    assert(nPii == 1L) // the email
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(md5Got ==
+      md5hex("contact <EMAIL> about spark shuffles and scans at corpus scale"))
+    // split must equal the batch q40 rule for doc_id 1
+    val batchSplit = graft.operators.TrainingOps.splitHash(spark, Sf0001)
+      .filter($"doc_id" === 1L).select("split").collect().head.getString(0)
+    assert(split == batchSplit)
+  }
+
   test("E3: streaming dedup drops duplicate event_ids across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
