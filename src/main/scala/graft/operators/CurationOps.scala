@@ -491,6 +491,57 @@ object CurationOps {
        |WHERE f.doc_id % 2 <> 0
        |ORDER BY f.doc_id""".stripMargin
 
+  // --- q54: cross-source overlap matrix ------------------------------------
+
+  val OverlapN     = 8
+  val OverlapMaxDf = 50L
+
+  /** Source-level duplication analytics: for every ordered source pair, how
+    * many distinct 8-grams the two sources share — the "which crawls copy
+    * from which" matrix that decides whether a whole source is worth
+    * ingesting before any per-doc work runs.
+    *
+    * Shape: distinct (source, gram) pairs, the q39 document-frequency cap
+    * (a gram in > [[OverlapMaxDf]] docs is boilerplate, and is also the
+    * skew bomb — one hot gram would fan out |sources|² rows), then a
+    * self-equi-join on the gram and a count per source pair. The join input
+    * is DISTINCT per source, so per-gram fan-out is bounded by the source
+    * count, not the doc count — output is |sources|² rows max regardless of
+    * corpus size.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .select(col("doc_id"), col("source"), TextOps.toks.as("toks"))
+      .filter(size(col("toks")) >= OverlapN)
+      .select(col("doc_id"), col("source"), explode(TextOps.distinctGramExpr(OverlapN)).as("g"))
+    val wg = Window.partitionBy(col("g"))
+    val pruned = sh
+      .withColumn("df", count(lit(1)).over(wg))
+      .filter(col("df") <= OverlapMaxDf)
+      .select(col("source"), col("g"))
+      .distinct()
+    pruned
+      .join(pruned.select(col("source").as("source_b"), col("g")), "g")
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Oracle: same cap, same distinct-per-source join. */
+  val sourceOverlapSql: String =
+    s"""WITH shq AS (
+       |  SELECT doc_id, source, unnest(${TextOps.duckDistinctGrams(OverlapN)}) AS g
+       |  FROM (SELECT doc_id, source, ${TextOps.DuckToks} AS toks FROM documents)
+       |  WHERE len(toks) >= $OverlapN),
+       |pruned AS (
+       |  SELECT DISTINCT source, g FROM shq
+       |  WHERE g NOT IN (SELECT g FROM shq GROUP BY g HAVING count(*) > $OverlapMaxDf))
+       |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_grams
+       |FROM pruned a JOIN pruned b ON a.g = b.g AND a.source < b.source
+       |GROUP BY a.source, b.source
+       |ORDER BY source_a, source_b""".stripMargin
+
   // --- q53: data-recipe mixture weights ------------------------------------
 
   val MixResolution = 1000000L

@@ -208,6 +208,37 @@ class CurationOpsSpec extends SparkSpec {
     assert(bySrc(2).map(_._4).toSet == Set(2L), "integer weight 2.0 never rounds")
   }
 
+  // --- q54 ------------------------------------------------------------------
+
+  test("q54: source overlap matrix matches an independent recomputation") {
+    val d = graft.core.Tables.documents(spark, Sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val docGrams = d.map { case (id, src, t) =>
+      (id, src, t.trim.split("\\s+").toSeq.sliding(CurationOps.OverlapN)
+        .filter(_.size == CurationOps.OverlapN).map(_.mkString(" ")).toSeq.distinct)
+    }.filter(_._3.nonEmpty)
+    val df = docGrams.flatMap(_._3).groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val srcGrams = docGrams
+      .flatMap { case (_, src, gs) => gs.filter(df(_) <= CurationOps.OverlapMaxDf).map(src -> _) }
+      .distinct
+    val expected = srcGrams
+      .groupBy(_._2)
+      .toSeq
+      .flatMap { case (_, xs) =>
+        val ss = xs.map(_._1).distinct.sorted
+        for { i <- ss.indices; j <- (i + 1) until ss.size } yield (ss(i), ss(j))
+      }
+      .groupBy(identity)
+      .map { case ((a, b), xs) => (a, b, xs.size.toLong) }
+      .toSeq.sortBy(x => (x._1, x._2))
+
+    val got = CurationOps.sourceOverlap(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "planted near-dups must create cross-source overlap")
+  }
+
   // --- q51 ------------------------------------------------------------------
 
   test("q51: a mosaic duplicate is flagged; novel docs are not") {

@@ -46,7 +46,8 @@ class PlanGuardSpec extends SparkSpec {
       // union-distinct and sort — 10 static exchanges, none quadratic;
       // AQE turns the small-side joins into broadcasts at runtime.
       "q52_incremental_dedup" -> 10,
-      "q53_mix_weights"   -> 1  // map-side recipe; sort only
+      "q53_mix_weights"   -> 1, // map-side recipe; sort only
+      "q54_source_overlap" -> 5  // gram window + distinct + gram join + pair agg + sort
     )
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf001)) // building the plan must not throw
