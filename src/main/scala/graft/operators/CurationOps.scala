@@ -65,14 +65,7 @@ object CurationOps {
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      val viaNeighbors = sym
-        .join(labels.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(min(col("lbl")).as("nbl"))
-      val next = labels
-        .join(viaNeighbors, Seq("node"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+      val next = propagationRound(sym, labels).localCheckpoint()
       changed = next
         .join(labels.withColumnRenamed("lbl", "prev"), "node")
         .filter(col("lbl") < col("prev"))
@@ -85,6 +78,23 @@ object CurationOps {
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(wCl))
       .orderBy(col("doc_id"))
+  }
+
+  /** One min-label propagation round: `l(v) ← min(l(v), min over (u,v)∈sym
+    * of l(u))`. Factored out so PlanGuardSpec can assert the round's join
+    * structure on a plain (un-checkpointed) plan — [[dupClusters]] itself
+    * executes eagerly at construction time, so its returned DataFrame only
+    * exposes the final window+sort over the checkpointed labels, and a plan
+    * guard on it would never see these joins.
+    */
+  private[graft] def propagationRound(sym: DataFrame, labels: DataFrame): DataFrame = {
+    val viaNeighbors = sym
+      .join(labels.withColumnRenamed("node", "src"), "src")
+      .groupBy(col("dst").as("node"))
+      .agg(min(col("lbl")).as("nbl"))
+    labels
+      .join(viaNeighbors, Seq("node"), "left")
+      .select(col("node"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
   }
 
   /** DuckDB oracle: transitive closure of the same edge set via a recursive
@@ -128,11 +138,23 @@ object CurationOps {
   val Blockterms = Seq("secret", "password", "token", "key", "hash")
   val BlockRe: String = s"\\b(?:${Blockterms.mkString("|")})\\b"
 
+  /** Defense-in-depth residue pass: any digit run of ≥ 7 chars (with
+    * dots/dashes) that survived the category passes. Sequential per-category
+    * replacement can leave partial matches behind when categories overlap —
+    * e.g. in `1.2.3.444.555.6666` the IP pass consumes `1.2.3.444`, after
+    * which the phone `444.555.6666` (counted on the ORIGINAL text) no
+    * longer matches — so a final catch-all keeps overlap residue out of the
+    * scrubbed output. Not a counted category: the counts are per-pattern
+    * detector signals on the original text.
+    */
+  val ResidualRe = "\\d[\\d.-]{5,}\\d"
+
   private val ScrubOrder = Seq(
-    EmailRe -> "<EMAIL>",
-    Ipv4Re  -> "<IP>",
-    PhoneRe -> "<PHONE>",
-    BlockRe -> "<TERM>"
+    EmailRe    -> "<EMAIL>",
+    Ipv4Re     -> "<IP>",
+    PhoneRe    -> "<PHONE>",
+    BlockRe    -> "<TERM>",
+    ResidualRe -> "<NUM>"
   )
 
   /** Redaction over any (doc_id, text) frame: per-category match counts on
@@ -366,11 +388,14 @@ object CurationOps {
     * documents stitched from pieces of others — that whole-doc MinHash
     * misses (each piece dilutes whole-doc Jaccard below threshold).
     *
-    * ONE keyed shuffle on the gram: the min-owner is a window over the gram
-    * partition (q39's DF-cap pattern), then the per-doc rollup groups by
-    * doc_id. The same hot-gram concern as q39 does NOT apply — there is no
-    * join to fan out; a popular gram is one window partition, and AQE
-    * splits skewed partitions.
+    * The min-owner is a groupBy aggregate joined back on the gram — NOT a
+    * window over the gram partition: a window has no map-side combine, so
+    * one boilerplate gram shared by millions of docs would pile every
+    * instance onto a single task (window partitions cannot be split). The
+    * aggregate collapses hot grams to one row per partition before the
+    * shuffle, and the join back is an equi-join AQE can skew-split. Cost is
+    * a second exchange on `g`, which the exchange reuse pays back (both
+    * sides derive from the same explode).
     */
   def gramCoverage(spark: SparkSession, dir: String): DataFrame =
     gramCoverageOf(docs(spark, dir))
@@ -380,8 +405,8 @@ object CurationOps {
       .select(col("doc_id"), TextOps.toks.as("toks"))
       .filter(size(col("toks")) >= CovN)
       .select(col("doc_id"), explode(TextOps.distinctGramExpr(CovN)).as("g"))
-    val wg = Window.partitionBy(col("g"))
-    sh.withColumn("owner", min(col("doc_id")).over(wg))
+    val owners = sh.groupBy(col("g")).agg(min(col("doc_id")).as("owner"))
+    sh.join(owners, "g")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),

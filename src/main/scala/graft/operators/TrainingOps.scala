@@ -86,14 +86,21 @@ object TrainingOps {
     * `randomSplit`, whose assignment shifts with partition layout — a real
     * leakage hazard when the corpus is re-ingested).
     */
+  /** The bucket → split-name rule, shared with the E9 streaming ingest gate
+    * so batch and streaming assignments cannot diverge.
+    */
+  private[graft] def splitBucketCol(idCol: Column): Column =
+    pmod(xxhash64(idCol), lit(100)).cast("int")
+
+  private[graft] def splitNameCol(bucket: Column): Column =
+    when(bucket < SplitTrainPct, "train")
+      .when(bucket < SplitValPct, "val")
+      .otherwise("test")
+
   def splitHash(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), pmod(xxhash64(col("doc_id")), lit(100)).cast("int").as("bucket"))
-      .withColumn(
-        "split",
-        when(col("bucket") < SplitTrainPct, "train")
-          .when(col("bucket") < SplitValPct, "val")
-          .otherwise("test"))
+      .select(col("doc_id"), splitBucketCol(col("doc_id")).as("bucket"))
+      .withColumn("split", splitNameCol(col("bucket")))
       .orderBy(col("doc_id"))
 
   /** Oracle re-derives the same xxhash64 via [[graft.functions.DuckHash]];

@@ -42,13 +42,8 @@ object DocStreams {
         col("n_tokens"),
         CurationOps.piiCountCol(col("text")).as("n_pii"),
         md5(CurationOps.scrubCol(col("text"))).as("scrub_md5"),
-        when(
-          pmod(xxhash64(col("doc_id")), lit(100)) < graft.operators.TrainingOps.SplitTrainPct,
-          "train")
-          .when(
-            pmod(xxhash64(col("doc_id")), lit(100)) < graft.operators.TrainingOps.SplitValPct,
-            "val")
-          .otherwise("test")
+        graft.operators.TrainingOps
+          .splitNameCol(graft.operators.TrainingOps.splitBucketCol(col("doc_id")))
           .as("split")
       )
   }

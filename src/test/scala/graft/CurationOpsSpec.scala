@@ -52,7 +52,10 @@ class CurationOpsSpec extends SparkSpec {
       (1L, "contact bob.smith+x@example.co.uk or 10.0.0.1 now"),
       (2L, "call 555-123-4567 about the secret password key"),
       (3L, "nothing sensitive here at all"),
-      (4L, "two mails a@b.io c@d.org one ip 192.168.1.255 and token")
+      (4L, "two mails a@b.io c@d.org one ip 192.168.1.255 and token"),
+      // category overlap: the IP pass consumes 1.2.3.444, the counted phone
+      // 444.555.6666 no longer matches — the residual pass must catch it
+      (5L, "ip then phone 1.2.3.444.555.6666 end")
     ).toDF("doc_id", "text")
     val got = CurationOps
       .scrub(planted)
@@ -65,7 +68,8 @@ class CurationOpsSpec extends SparkSpec {
       (1L, 1L, 1L, 0L, 0L),
       (2L, 0L, 0L, 1L, 3L),
       (3L, 0L, 0L, 0L, 0L),
-      (4L, 2L, 1L, 0L, 1L)
+      (4L, 2L, 1L, 0L, 1L),
+      (5L, 0L, 1L, 1L, 0L)
     ))
     // scrubbed content check: md5 of the hand-scrubbed strings
     def md5hex(s: String): String =
@@ -75,7 +79,8 @@ class CurationOpsSpec extends SparkSpec {
       "contact <EMAIL> or <IP> now",
       "call <PHONE> about the <TERM> <TERM> <TERM>",
       "nothing sensitive here at all",
-      "two mails <EMAIL> <EMAIL> one ip <IP> and <TERM>"
+      "two mails <EMAIL> <EMAIL> one ip <IP> and <TERM>",
+      "ip then phone <IP>.<NUM> end"
     )
     assert(got.map(_._6).toSeq == expectedScrubbed.map(md5hex))
   }

@@ -14,6 +14,14 @@ class PlanGuardSpec extends SparkSpec {
   private def shuffles(p: String): Int =
     "Exchange (hash|range)partitioning".r.findAllIn(p).length
 
+  /** Every query's plan, built ONCE and shared by the structural guards —
+    * building a plan must not throw, and q47/q46/q32 run driver-side work
+    * (label propagation / k-means) at construction time, so re-building per
+    * test would triple the suite's most expensive pipelines.
+    */
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) => name -> plan(fn(spark, Sf001)) }
+
   test("every query's plan builds and stays within its shuffle budget") {
     val budgets = Map(
       "q01_agg_groupby"   -> 2, // agg + sort
@@ -40,7 +48,7 @@ class PlanGuardSpec extends SparkSpec {
       "q48_pii_scrub"     -> 1, // map-side regex; sort only
       "q49_bm25"          -> 0, // map-side tf + one-row stats broadcast + TakeOrdered
       "q50_pack_sequences" -> 2, // shard window + sort
-      "q51_gram_coverage" -> 3, // gram window + doc rollup + sort
+      "q51_gram_coverage" -> 4, // owner agg + join-back + doc rollup + sort
       // q52 composes the FULL LSH+verify pair pipeline (q25's 3 + the two
       // verify-side joins) on top of its own md5 window, victim
       // union-distinct and sort — 10 static exchanges, none quadratic;
@@ -49,13 +57,25 @@ class PlanGuardSpec extends SparkSpec {
       "q53_mix_weights"   -> 1, // map-side recipe; sort only
       "q54_source_overlap" -> 5  // gram window + distinct + gram join + pair agg + sort
     )
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val p = plan(fn(spark, Sf001)) // building the plan must not throw
+    plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
         val n = shuffles(p)
         assert(n <= maxShuffles, s"$name has $n shuffles (budget $maxShuffles):\n$p")
       }
     }
+  }
+
+  test("q47's propagation round is guarded structurally (its entry point executes eagerly)") {
+    // dupClusters localCheckpoints at construction time, so plans("q47_…")
+    // only shows the final window+sort over an ExistingRDD — the joins live
+    // in propagationRound, asserted here on an un-checkpointed plan.
+    import spark.implicits._
+    val sym    = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("node", "lbl")
+    val p = plan(operators.CurationOps.propagationRound(sym, labels))
+    assert(!p.contains("CartesianProduct"), s"propagation round has a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"propagation round nested-loops:\n$p")
+    assert(shuffles(p) <= 3, s"propagation round over-shuffles:\n$p")
   }
 
   test("scans prune columns and push filters") {
@@ -69,8 +89,7 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("no accidental cartesian products anywhere") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val p = plan(fn(spark, Sf001))
+    plans.foreach { case (name, p) =>
       assert(!p.contains("CartesianProduct"),
         s"$name contains a CartesianProduct:\n$p")
     }
@@ -90,9 +109,8 @@ class PlanGuardSpec extends SparkSpec {
     val allowed =
       Set("q28_cosine_topk", "q15_scalar_subquery", "q42_kmv_distinct", "q46_ann_pq",
         "q49_bm25")
-    SparkEntry.queries.foreach { case (name, fn) =>
+    plans.foreach { case (name, p) =>
       if (!allowed(name)) {
-        val p = plan(fn(spark, Sf001))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name broadcasts an unbounded side via nested-loop join:\n$p")
       }
