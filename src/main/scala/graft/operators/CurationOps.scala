@@ -526,29 +526,28 @@ object CurationOps {
     * from which" matrix that decides whether a whole source is worth
     * ingesting before any per-doc work runs.
     *
-    * Shape: distinct (source, gram) pairs, the q39 document-frequency cap
-    * (a gram in > [[OverlapMaxDf]] docs is boilerplate, and is also the
-    * skew bomb — one hot gram would fan out |sources|² rows), then a
-    * self-equi-join on the gram and a count per source pair. The join input
-    * is DISTINCT per source, so per-gram fan-out is bounded by the source
-    * count, not the doc count — output is |sources|² rows max regardless of
-    * corpus size.
+    * Shape: ONE keyed shuffle on the gram. A single aggregate computes both
+    * the document frequency (for the q39-style boilerplate cap — a gram in
+    * > [[OverlapMaxDf]] docs is no duplication evidence and is also the
+    * skew bomb) and the per-gram DISTINCT source set; the source pairs then
+    * expand IN-ROW via the same one-pass combination idiom as the LSH
+    * bucket expansion ([[TextOps.pairExpansionSql]]), bounded by the source
+    * count per gram. No self-join, no window: a gram shared by millions of
+    * docs still collapses map-side (partial count + partial collect_set)
+    * before it ever crosses the wire.
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val sh = docs(spark, dir)
       .select(col("doc_id"), col("source"), TextOps.toks.as("toks"))
       .filter(size(col("toks")) >= OverlapN)
       .select(col("doc_id"), col("source"), explode(TextOps.distinctGramExpr(OverlapN)).as("g"))
-    val wg = Window.partitionBy(col("g"))
-    val pruned = sh
-      .withColumn("df", count(lit(1)).over(wg))
-      .filter(col("df") <= OverlapMaxDf)
-      .select(col("source"), col("g"))
-      .distinct()
-    pruned
-      .join(pruned.select(col("source").as("source_b"), col("g")), "g")
-      .filter(col("source") < col("source_b"))
-      .groupBy(col("source").as("source_a"), col("source_b"))
+    sh.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"), collect_set(col("source")).as("ss"))
+      .filter(col("df") <= OverlapMaxDf && size(col("ss")) >= 2)
+      .select(array_sort(col("ss")).as("ss"))
+      .select(
+        explode(expr(TextOps.pairExpansionSql("ss", "a AS source_a, b AS source_b"))).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("n_shared_grams"))
       .orderBy(col("source_a"), col("source_b"))
   }

@@ -55,7 +55,7 @@ class PlanGuardSpec extends SparkSpec {
       // AQE turns the small-side joins into broadcasts at runtime.
       "q52_incremental_dedup" -> 10,
       "q53_mix_weights"   -> 1, // map-side recipe; sort only
-      "q54_source_overlap" -> 5  // gram window + distinct + gram join + pair agg + sort
+      "q54_source_overlap" -> 3  // gram agg (df + source set) + pair agg + sort
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
