@@ -566,6 +566,65 @@ object CurationOps {
        |GROUP BY a.source, b.source
        |ORDER BY source_a, source_b""".stripMargin
 
+  // --- q55: hybrid retrieval via reciprocal-rank fusion ---------------------
+
+  val HybridK      = 20
+  val RrfC         = 60
+  val HybridTopK   = 10
+  val HybridVecId  = 0L
+
+  /** Hybrid text+vector retrieval: BM25 ranks (q49's leg) fused with cosine
+    * ranks of a query embedding (q28's leg, doc_id ≡ vec_id) via reciprocal
+    * rank fusion `Σ 1/(C + rank)` — the standard way production search
+    * merges a lexical and a semantic ranker without score calibration.
+    *
+    * Both legs end in a top-[[HybridK]] TakeOrdered, so the fusion join and
+    * the rank windows operate on ≤ 2·k rows regardless of corpus size; the
+    * heavy lifting stays in the legs, which keep their own scale shapes
+    * (map-side tf + one-row stats broadcast; single-vector broadcast over a
+    * linear scan). RRF arithmetic is two IEEE divisions and one sum in
+    * fixed order — engine-identical with no rounding slack.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val wT = Window.orderBy(col("score").desc, col("doc_id"))
+    val textRanks = bm25Of(docs(spark, dir))
+      .withColumn("rt", row_number().over(wT))
+      .select(col("doc_id"), col("rt"))
+    val vecRanks = VectorOps.cosineRanksForQuery(spark, dir, HybridVecId, HybridK)
+    textRanks
+      .join(vecRanks, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        (when(col("rt").isNotNull, lit(1.0) / (col("rt") + lit(RrfC))).otherwise(lit(0.0)) +
+          when(col("rv").isNotNull, lit(1.0) / (col("rv") + lit(RrfC))).otherwise(lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(HybridTopK)
+  }
+
+  /** Oracle: the q49 statement as a subquery for the text leg, the q28
+    * cosine idiom for the vector leg, identical fusion arithmetic.
+    */
+  lazy val hybridRrfSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rt
+       |  FROM ($bm25Sql) b),
+       |vtop AS (
+       |  SELECT c.vec_id AS doc_id, list_cosine_similarity(q.vd, c.vd) AS sim
+       |  FROM (SELECT embedding::DOUBLE[] AS vd FROM embeddings
+       |         WHERE vec_id = $HybridVecId
+       |           AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) q,
+       |       (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
+       |         WHERE vec_id <> $HybridVecId
+       |           AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) c
+       |  ORDER BY sim DESC, c.vec_id LIMIT $HybridK),
+       |v AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rv FROM vtop)
+       |SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+       |  COALESCE(1.0/(t.rt + $RrfC), 0.0) + COALESCE(1.0/(v.rv + $RrfC), 0.0) AS rrf
+       |FROM t FULL OUTER JOIN v ON t.doc_id = v.doc_id
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT $HybridTopK""".stripMargin
+
   // --- q53: data-recipe mixture weights ------------------------------------
 
   val MixResolution = 1000000L

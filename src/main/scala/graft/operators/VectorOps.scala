@@ -71,6 +71,32 @@ object VectorOps {
        | WHERE q.vec_id <> c.vec_id)
        |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
 
+  /** Ranked cosine neighbors of ONE query vector — the vector leg of the
+    * hybrid RRF retrieval (q55). Single-row broadcast against the linear
+    * corpus scan (the q28 shape), top-k via TakeOrdered, then ranks over
+    * the already-k-bounded result (the rank window is single-partition by
+    * construction, but its input is ≤ k rows — never the corpus).
+    */
+  private[graft] def cosineRanksForQuery(
+      spark: SparkSession,
+      dir: String,
+      queryId: Long,
+      k: Int
+  ): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"), col("nrm").as("qn"))
+    val c = e
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val top = c
+      .crossJoin(broadcast(q))
+      .withColumn("sim", dot / (col("qn") * col("cn")))
+      .orderBy(col("sim").desc, col("n_id"))
+      .limit(k)
+    val w = Window.orderBy(col("sim").desc, col("n_id"))
+    top.withColumn("rv", row_number().over(w)).select(col("n_id").as("doc_id"), col("rv"))
+  }
+
   // --- C10 q29: hyperplane-LSH bucketed ANN top-k (rows-only) --------------
   // 6 planes → 64 buckets: at this corpus size each bucket holds a handful
   // of vectors; at 100 TB raise planes so bucket size stays bounded — the

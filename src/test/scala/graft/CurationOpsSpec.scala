@@ -213,6 +213,70 @@ class CurationOpsSpec extends SparkSpec {
     assert(bySrc(2).map(_._4).toSet == Set(2L), "integer weight 2.0 never rounds")
   }
 
+  // --- q55 ------------------------------------------------------------------
+
+  test("q55: hybrid RRF fuses independently recomputed BM25 and cosine ranks") {
+    // text leg: BM25 over the real sf0.001 corpus, recomputed in Scala
+    val d = graft.core.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+    val n     = d.length.toDouble
+    val avgdl = d.map(_._2.size).sum.toDouble / n
+    val dfs   = CurationOps.BmQuery.map(t => t -> d.count(_._2.contains(t)).toDouble).toMap
+    def bm25Score(toks: Seq[String]): Double = {
+      val dl = toks.size.toDouble
+      CurationOps.BmQuery.map { t =>
+        val tf  = toks.count(_ == t).toDouble
+        val idf = math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
+        idf * (tf * (CurationOps.BmK1 + 1)) /
+          (tf + CurationOps.BmK1 * ((1 - CurationOps.BmB) + CurationOps.BmB * dl / avgdl))
+      }.sum
+    }
+    val textRanks = d
+      .filter { case (_, toks) => CurationOps.BmQuery.exists(toks.contains) }
+      .map { case (id, toks) =>
+        (id, BigDecimal(bm25Score(toks)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(20)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+
+    // vector leg: cosine vs vec 0, recomputed with the same left-fold order
+    val vecs = graft.core.Tables.embeddings(spark, Sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .filter { case (_, v) => math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)) > 0 }
+    val q0 = vecs.find(_._1 == CurationOps.HybridVecId).get._2
+    def nrm(v: Array[Double]) = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    val vecRanks = vecs
+      .filter(_._1 != CurationOps.HybridVecId)
+      .map { case (id, v) =>
+        val dot = (0 until v.length).foldLeft(0.0)((a, i) => a + q0(i) * v(i))
+        (id, dot / (nrm(q0) * nrm(v)))
+      }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(CurationOps.HybridK)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+
+    val expected = (textRanks.keySet ++ vecRanks.keySet).toSeq
+      .map { id =>
+        val rrf = textRanks.get(id).map(r => 1.0 / (r + CurationOps.RrfC)).getOrElse(0.0) +
+          vecRanks.get(id).map(r => 1.0 / (r + CurationOps.RrfC)).getOrElse(0.0)
+        (id, rrf)
+      }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(CurationOps.HybridTopK)
+
+    val got = CurationOps.hybridRrf(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+    // the fusion must actually mix legs: some top doc carries both ranks
+    assert(expected.exists { case (id, _) => textRanks.contains(id) && vecRanks.contains(id) } ||
+      expected.map(_._1).toSet.intersect(textRanks.keySet).nonEmpty &&
+        expected.map(_._1).toSet.intersect(vecRanks.keySet).nonEmpty)
+  }
+
   // --- q54 ------------------------------------------------------------------
 
   test("q54: source overlap matrix matches an independent recomputation") {

@@ -56,6 +56,8 @@ class PlanGuardSpec extends SparkSpec {
       "q52_incremental_dedup" -> 10,
       "q53_mix_weights"   -> 1, // map-side recipe; sort only
       "q54_source_overlap" -> 3  // gram agg (df + source set) + pair agg + sort
+      // q55 intentionally unbudgeted: its two legs are already budgeted
+      // shapes (q49 + q28) and the fusion joins ≤ 2k rank rows.
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -106,9 +108,11 @@ class PlanGuardSpec extends SparkSpec {
     // q42 joins two single-row aggregates (KMV sketch × exact count).
     // q46's broadcast side is the fixed QueryCount LUT set, like q28.
     // q49 broadcasts its one-row corpus-statistics aggregate, like q42.
+    // q55 composes q49's one-row stats broadcast and a one-row query-vector
+    // broadcast (the q28 shape) — both bounded by construction.
     val allowed =
       Set("q28_cosine_topk", "q15_scalar_subquery", "q42_kmv_distinct", "q46_ann_pq",
-        "q49_bm25")
+        "q49_bm25", "q55_hybrid_rrf")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
