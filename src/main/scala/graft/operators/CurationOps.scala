@@ -119,6 +119,50 @@ object CurationOps {
        |FROM lab
        |ORDER BY doc_id""".stripMargin
 
+  // --- q56: cluster representative selection -------------------------------
+
+  /** Keep-best-per-cluster: q47 turns pairwise near-dup evidence into
+    * components; this picks each component's REPRESENTATIVE by content
+    * quality (most tokens, ties to the lower doc_id) instead of the
+    * arbitrary min-id rule — the difference between "drop duplicates" and
+    * "keep the best copy", which is what a curation pass actually ships.
+    * One keyed join (cluster membership × per-doc token counts) and a
+    * per-cluster argmax window; cluster cardinality is bounded by the
+    * near-dup graph, never the corpus.
+    */
+  def clusterBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val toksLen = docs(spark, dir)
+      .select(col("doc_id"), size(TextOps.toks).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("n_tok").desc, col("doc_id"))
+    clusters
+      .join(toksLen, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(
+        col("cluster_id"),
+        col("doc_id").as("keep_id"),
+        col("n_tok").as("keep_tokens"),
+        col("cluster_size"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Oracle: q47's closure statement as a subquery, argmax by the same
+    * (token count desc, doc_id) rule.
+    */
+  lazy val clusterBestSql: String =
+    s"""SELECT cluster_id, doc_id AS keep_id, n_tok AS keep_tokens, cluster_size
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |    ORDER BY n_tok DESC, doc_id) AS rk
+       |  FROM (
+       |    SELECT c.cluster_id, c.doc_id, c.cluster_size,
+       |      len(${TextOps.DuckToks})::BIGINT AS n_tok
+       |    FROM ($dupClustersSql) c JOIN documents ON documents.doc_id = c.doc_id))
+       |WHERE rk = 1
+       |ORDER BY cluster_id""".stripMargin
+
   // --- q48: PII / blocklist scrubbing --------------------------------------
 
   /** Pattern set: the standard PII trio plus a configurable term blocklist.

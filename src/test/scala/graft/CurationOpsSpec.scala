@@ -45,6 +45,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
   }
 
+  // --- q56 ------------------------------------------------------------------
+
+  test("q56: every cluster keeps its longest member (ties to lower id)") {
+    val toksLen = graft.core.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").length.toLong)).toMap
+    val clusters = CurationOps.dupClusters(spark, Sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))
+    val expected = clusters
+      .groupBy(_._2)
+      .map { case (cid, ms) =>
+        val best = ms.map(_._1).minBy(id => (-toksLen(id), id))
+        (cid, best, toksLen(best), ms.head._3)
+      }
+      .toSeq.sortBy(_._1)
+    val got = CurationOps.clusterBest(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // the rule must differ from min-id somewhere, or it isn't testing anything
+    assert(got.exists { case (cid, keep, _, _) => keep != cid },
+      "fixture should contain a cluster whose longest member is not the min id")
+  }
+
   // --- q48 ------------------------------------------------------------------
 
   test("q48: planted PII is counted and scrubbed; clean text passes through") {
