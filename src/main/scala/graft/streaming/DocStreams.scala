@@ -48,6 +48,30 @@ object DocStreams {
       )
   }
 
+  /** §2.E stream-static join: incoming documents deduped against a STATIC
+    * already-ingested corpus snapshot — the streaming twin of q52's exact
+    * leg, and the join modality (stream ⋈ static) the rest of §2.E doesn't
+    * exercise. The snapshot side is a plain batch DataFrame: Spark
+    * re-evaluates it per micro-batch, so a refreshed snapshot is picked up
+    * without restarting the query. Within the stream itself, duplicates
+    * drop via watermark-bounded content-hash state
+    * (`dropDuplicatesWithinWatermark`, E3's tool) — state stays bounded by
+    * the watermark horizon, not the stream's lifetime.
+    */
+  def snapshotDedup(
+      stream: DataFrame,
+      snapshot: DataFrame,
+      watermarkDur: String = "10 minutes"
+  ): DataFrame = {
+    val s = stream
+      .withWatermark("ts", watermarkDur)
+      .withColumn("h", md5(col("text")))
+    val snap = snapshot.select(md5(col("text")).as("h")).distinct()
+    s.join(snap, Seq("h"), "left_anti")
+      .dropDuplicatesWithinWatermark("h")
+      .select(col("doc_id"), col("ts"), col("h"))
+  }
+
   /** Near-dup candidate pairs per event-time window.
     *
     * Pairs may repeat across bands (the batch path's `distinct` would be a

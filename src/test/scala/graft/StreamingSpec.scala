@@ -164,6 +164,32 @@ class StreamingSpec extends SparkSpec {
     assert(split == batchSplit)
   }
 
+  test("E10: stream-static snapshot dedup drops known and repeated content") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    val snapshot = graft.core.Tables.documents(spark, Sf0001).select("doc_id", "text")
+    val knownText = snapshot.orderBy($"doc_id").select("text").head.getString(0)
+    val in = MemoryStream[Doc]
+    val q = DocStreams
+      .snapshotDedup(in.toDF(), snapshot)
+      .writeStream.format("memory").queryName("snap_dedup").outputMode("append").start()
+    in.addData(
+      Doc(1001, knownText, ts(1)),                     // already in the snapshot → dropped
+      Doc(1002, "a genuinely novel incoming document", ts(2)) // kept
+    )
+    q.processAllAvailable()
+    in.addData(
+      Doc(1003, "a genuinely novel incoming document", ts(3)), // in-stream dup → state drops it
+      Doc(1004, "another novel one", ts(4))            // second batch still joins the snapshot
+    )
+    q.processAllAvailable()
+    val ids = spark.table("snap_dedup").select("doc_id").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1002L, 1004L))
+  }
+
   test("E3: streaming dedup drops duplicate event_ids across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
