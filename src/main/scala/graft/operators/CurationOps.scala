@@ -622,8 +622,10 @@ object CurationOps {
     * rank fusion `Σ 1/(C + rank)` — the standard way production search
     * merges a lexical and a semantic ranker without score calibration.
     *
-    * Both legs end in a top-[[HybridK]] TakeOrdered, so the fusion join and
-    * the rank windows operate on ≤ 2·k rows regardless of corpus size; the
+    * The text leg is q49's public entry verbatim (depth = [[BmTopK]]); the
+    * vector leg cuts at [[HybridK]]. Both end in a TakeOrdered, so the
+    * fusion join and the rank windows operate on ≤ BmTopK + HybridK rows
+    * regardless of corpus size; the
     * heavy lifting stays in the legs, which keep their own scale shapes
     * (map-side tf + one-row stats broadcast; single-vector broadcast over a
     * linear scan). RRF arithmetic is two IEEE divisions and one sum in
@@ -631,7 +633,7 @@ object CurationOps {
     */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val wT = Window.orderBy(col("score").desc, col("doc_id"))
-    val textRanks = bm25Of(docs(spark, dir))
+    val textRanks = bm25(spark, dir)
       .withColumn("rt", row_number().over(wT))
       .select(col("doc_id"), col("rt"))
     val vecRanks = VectorOps.cosineRanksForQuery(spark, dir, HybridVecId, HybridK)
@@ -654,7 +656,7 @@ object CurationOps {
        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rt
        |  FROM ($bm25Sql) b),
        |vtop AS (
-       |  SELECT c.vec_id AS doc_id, list_cosine_similarity(q.vd, c.vd) AS sim
+       |  SELECT c.vec_id AS doc_id, ${VectorOps.duckCosine("q.vd", "c.vd")} AS sim
        |  FROM (SELECT embedding::DOUBLE[] AS vd FROM embeddings
        |         WHERE vec_id = $HybridVecId
        |           AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) q,

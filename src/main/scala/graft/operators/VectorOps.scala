@@ -58,11 +58,19 @@ object VectorOps {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** The explicit cosine in the SPARK evaluation shape —
+    * `dot / (sqrt(‖a‖²) * sqrt(‖b‖²))` with left-fold dot products — NOT
+    * `list_cosine_similarity`, whose internal factoring can differ by an
+    * ulp and flip a rank boundary between engines.
+    */
+  private[graft] def duckCosine(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
   val cosineTopKSql: String =
     s"""SELECT q_id, n_id, rk FROM (
        | SELECT q.vec_id AS q_id, c.vec_id AS n_id,
        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
-       |    ORDER BY list_cosine_similarity(q.vd, c.vd) DESC, c.vec_id) AS rk
+       |    ORDER BY ${duckCosine("q.vd", "c.vd")} DESC, c.vec_id) AS rk
        | FROM (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
        |        WHERE vec_id < $QueryCount
        |          AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) q,

@@ -51,12 +51,17 @@ object DocStreams {
   /** §2.E stream-static join: incoming documents deduped against a STATIC
     * already-ingested corpus snapshot — the streaming twin of q52's exact
     * leg, and the join modality (stream ⋈ static) the rest of §2.E doesn't
-    * exercise. The snapshot side is a plain batch DataFrame: Spark
-    * re-evaluates it per micro-batch, so a refreshed snapshot is picked up
-    * without restarting the query. Within the stream itself, duplicates
-    * drop via watermark-bounded content-hash state
-    * (`dropDuplicatesWithinWatermark`, E3's tool) — state stays bounded by
-    * the watermark horizon, not the stream's lifetime.
+    * exercise. The snapshot is FIXED for the lifetime of the query:
+    * file-based sources pin their listing when the DataFrame is created, so
+    * picking up a newer snapshot means rebuilding the DataFrame and
+    * restarting the query (or routing through a refreshable table format).
+    * Because it cannot change mid-query, the hashed-and-distinct snapshot
+    * is persisted here — without that, every micro-batch would re-scan,
+    * re-md5, and re-shuffle the full corpus for an identical result.
+    * Within the stream itself, duplicates drop via watermark-bounded
+    * content-hash state (`dropDuplicatesWithinWatermark`, E3's tool) —
+    * state stays bounded by the watermark horizon, not the stream's
+    * lifetime.
     */
   def snapshotDedup(
       stream: DataFrame,
@@ -66,7 +71,10 @@ object DocStreams {
     val s = stream
       .withWatermark("ts", watermarkDur)
       .withColumn("h", md5(col("text")))
-    val snap = snapshot.select(md5(col("text")).as("h")).distinct()
+    val snap = snapshot
+      .select(md5(col("text")).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     s.join(snap, Seq("h"), "left_anti")
       .dropDuplicatesWithinWatermark("h")
       .select(col("doc_id"), col("ts"), col("h"))
