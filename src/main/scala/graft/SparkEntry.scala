@@ -74,7 +74,9 @@ object SparkEntry {
     "q53_mix_weights"     -> (CurationOps.mixWeights _),
     "q54_source_overlap"  -> (CurationOps.sourceOverlap _),
     "q55_hybrid_rrf"      -> (CurationOps.hybridRrf _),
-    "q56_cluster_best"    -> (CurationOps.clusterBest _)
+    "q56_cluster_best"    -> (CurationOps.clusterBest _),
+    "q57_dsir_weights"    -> (CurationOps.dsirWeights _),
+    "q58_token_entropy"   -> (TrainingOps.tokenEntropy _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -130,7 +132,9 @@ object SparkEntry {
     "q53_mix_weights"     -> CurationOps.mixWeightsSql,
     "q54_source_overlap"  -> CurationOps.sourceOverlapSql,
     "q55_hybrid_rrf"      -> CurationOps.hybridRrfSql,
-    "q56_cluster_best"    -> CurationOps.clusterBestSql
+    "q56_cluster_best"    -> CurationOps.clusterBestSql,
+    "q57_dsir_weights"    -> CurationOps.dsirWeightsSql,
+    "q58_token_entropy"   -> TrainingOps.tokenEntropySql
     // q46 (PQ ANN) is rows-only like q32: iterative k-means codebooks
     // have no SQL-expressible oracle; brute-force-agreement spec instead.
     // q25/q26/q29 are oracled EXACTLY: Spark's xxhash64 is emulated in
@@ -138,7 +142,7 @@ object SparkEntry {
     // probes/pairs are engine-identical, not probabilistically equivalent.
     // q27/q33 are oracled via exact all-pairs Jaccard at the 0.9 cut
     // (recall ≈ 0.9998/pair). q30/q32 stay rows-only — with q46, the only
-    // three of the 56-query suite:
+    // three of the 58-query suite:
     // q30's LSH recall at its 0.35 threshold is intentionally < 1 (no
     // exact-equivalent SQL), and q32's centroids come from driver-side
     // iterative k-means — float-iteration parity across engines is not

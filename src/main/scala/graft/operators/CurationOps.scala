@@ -729,4 +729,128 @@ object CurationOps {
     )
   }
 
+  // --- q57: DSIR-style importance weighting --------------------------------
+
+  val DsirBuckets = 128
+  val DsirTarget  = Seq("src0", "src1")
+
+  /** Data Selection with Importance Resampling (Xie et al. 2023) scoring:
+    * every document gets `log(p_target(x) / p_raw(x))` under bag-of-hashed-
+    * n-gram (n ∈ {1,2}) unigram models of a TARGET domain ([[DsirTarget]]
+    * sources) vs the raw corpus, add-one smoothed over the [[DsirBuckets]]
+    * feature space. Positive score = "looks like the target domain"; a
+    * curation pass resamples the raw corpus ∝ exp(score) to shift its
+    * distribution toward the target. Hashing bounds the feature space at
+    * any corpus size — THE trick that makes importance weighting tractable
+    * at 100 TB: the model is a [[DsirBuckets]]-row table, not a vocabulary.
+    *
+    * Scale shape: feature extraction is in-row (`transform` over the token
+    * array — no join, no UDF); the two n-gram models collapse to ONE
+    * bounded aggregate (≤ [[DsirBuckets]] rows) built with one keyed
+    * shuffle and broadcast back; per-doc scoring shuffles on (doc, feature)
+    * then (doc) with map-side combine. Like q49, the corpus is scanned
+    * twice — once for the model, once for scoring — the unavoidable
+    * two-pass of any global-statistics normalization.
+    *
+    * Float determinism: each feature's log-ratio is ONE `ln` of an exactly-
+    * representable rational (integer products < 2^53, one correctly-rounded
+    * division); the per-doc sum folds contributions in ascending-feature
+    * order on both engines (Spark `aggregate` over `array_sort`, DuckDB
+    * `list_reduce` over `list(… ORDER BY f)` — IEEE `0.0 + x ≡ x` makes the
+    * seeded/seedless folds identical), and the final score rounds to 6 for
+    * the same 1-ulp `ln` reason as q49.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsOf(docs(spark, dir))
+
+  private[graft] def dsirWeightsOf(corpus: DataFrame): DataFrame = {
+    val feats = expr(
+      s"""concat(
+         |  transform(toks, t -> pmod(xxhash64(t), $DsirBuckets)),
+         |  CASE WHEN size(toks) >= 2 THEN
+         |    transform(sequence(1, size(toks) - 1),
+         |      i -> pmod(xxhash64(concat(element_at(toks, i), ' ', element_at(toks, i + 1))), $DsirBuckets))
+         |  ELSE cast(array() AS array<bigint>) END)""".stripMargin)
+    val exploded = corpus
+      .select(col("doc_id"), col("source"), TextOps.toks.as("toks"))
+      .select(col("doc_id"), col("source"), explode(feats).as("f"))
+
+    val isTgt = col("source").isInCollection(DsirTarget)
+    // Feature totals ride an unpartitioned window over the ≤B-row model
+    // table (a SinglePartition exchange of ≤B rows) instead of a separate
+    // aggregate — a second `stats.agg(...)` branch would re-execute the
+    // whole explode+aggregate subtree, scanning the corpus twice more.
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val logRatio = exploded
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("cr"), sum(isTgt.cast("long")).as("ct"))
+      .withColumn("tr", sum(col("cr")).over(wAll))
+      .withColumn("tt", sum(col("ct")).over(wAll))
+      .select(
+        col("f"),
+        log(
+          ((col("ct") + 1).cast("double") * (col("tr") + DsirBuckets).cast("double")) /
+            ((col("cr") + 1).cast("double") * (col("tt") + DsirBuckets).cast("double"))).as("lr"))
+
+    exploded
+      .groupBy(col("doc_id"), col("source"), col("f"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(logRatio), "f")
+      .select(
+        col("doc_id"), col("source"), col("c"),
+        struct(col("f"), (col("c").cast("double") * col("lr")).as("w")).as("fw"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n_feat"), collect_list(col("fw")).as("fws"))
+      .select(
+        col("doc_id"), col("source"), col("n_feat"),
+        round(
+          expr("aggregate(array_sort(fws), cast(0 AS double), (a, x) -> a + x.w)"),
+          6).as("dsir_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: DISTINCT 1/2-grams hashed once via [[graft.functions.DuckHash]]
+    * (the q44 pattern), joined back to instances; same smoothed-ratio
+    * expression tree, same ascending-feature fold.
+    */
+  lazy val dsirWeightsSql: String = {
+    import graft.functions.DuckHash._
+    val B   = DsirBuckets
+    val tgt = DsirTarget.map(s => s"'$s'").mkString(", ")
+    val ctes = ArrayBuffer[(String, String)](
+      "q57t" -> s"(SELECT doc_id, source, ${TextOps.DuckToks} AS toks FROM documents)",
+      "q57g" -> ("(SELECT doc_id, source, unnest(list_concat(toks, " +
+        "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS gram FROM q57t)"),
+      "q57d" -> s"(SELECT gram, ${bytesOf("gram")} AS b FROM (SELECT DISTINCT gram FROM q57g))"
+    )
+    val hb = hashBytesChain("q57hx", "q57d", Seq("gram"), "42", "hs")
+    ctes ++= hb.ctes
+    ctes += ("q57f" ->
+      s"(SELECT gram, (((${toSigned("hs")} % $B) + $B) % $B) AS f FROM ${hb.last})")
+    ctes += ("q57e" ->
+      "(SELECT g.doc_id, g.source, d.f FROM q57g g JOIN q57f d ON g.gram = d.gram)")
+    ctes += ("q57s" ->
+      s"""(SELECT f, count(*) AS cr,
+         |    CAST(sum(CASE WHEN source IN ($tgt) THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |    FROM q57e GROUP BY f)""".stripMargin)
+    ctes += ("q57o" ->
+      "(SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt FROM q57s)")
+    ctes += ("q57l" ->
+      s"""(SELECT f, ln(((ct + 1)::DOUBLE * (tr + $B)::DOUBLE) /
+         |             ((cr + 1)::DOUBLE * (tt + $B)::DOUBLE)) AS lr
+         |    FROM q57s, q57o)""".stripMargin)
+    ctes += ("q57c" ->
+      "(SELECT doc_id, source, f, count(*) AS c FROM q57e GROUP BY doc_id, source, f)")
+    ctes += ("q57w" ->
+      "(SELECT doc_id, source, f, c, c::DOUBLE * lr AS w FROM q57c JOIN q57l USING (f))")
+    assemble(
+      ctes.toSeq,
+      """SELECT doc_id, source, n_feat, round(s, 6) AS dsir_score FROM (
+        |  SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_feat,
+        |    list_reduce(list(w ORDER BY f), (a, b) -> a + b) AS s
+        |  FROM q57w GROUP BY doc_id, source)
+        |ORDER BY doc_id""".stripMargin
+    )
+  }
+
 }

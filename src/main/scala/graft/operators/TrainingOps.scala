@@ -207,6 +207,72 @@ object TrainingOps {
        |FROM base b LEFT JOIN gmode m ON b.doc_id = m.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // --- q58: token-distribution entropy -------------------------------------
+
+  /** Per-document unigram Shannon entropy (nats) + type-token ratio — the
+    * information-density complement to q41's repetition metrics: boilerplate
+    * and template spam score low-entropy long before exact n-gram repetition
+    * trips, and a near-uniform token draw scores ≈ ln(vocab). Computed as
+    * `H = ln(n) − (Σ c·ln c)/n` so every float term is a function of one
+    * integer count.
+    *
+    * Scale shape: explode → count by (doc, token) → per-doc rollup — two
+    * keyed shuffles, both map-side combinable, nothing corpus-global at
+    * all (no stats broadcast needed, unlike q57). Per-doc state is bounded
+    * by document length, never the corpus.
+    *
+    * Float determinism: `c·ln(c)` is one product of an integer-exact double
+    * with a 1-ulp `ln`; contributions fold in ascending-token order on both
+    * engines (the q57 fold pattern) and the result rounds to 6.
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    tokenEntropyOf(docs(spark, dir))
+
+  private[graft] def tokenEntropyOf(corpus: DataFrame): DataFrame = {
+    val n = col("n_tok").cast("double")
+    corpus
+      .select(col("doc_id"), explode(TextOps.toks).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .select(
+        col("doc_id"), col("c"),
+        struct(
+          col("token"),
+          (col("c").cast("double") * log(col("c").cast("double"))).as("cl")).as("tc"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_types"),
+        collect_list(col("tc")).as("tcs"))
+      .select(
+        col("doc_id"), col("n_tok"), col("n_types"),
+        round(
+          log(n) -
+            expr("aggregate(array_sort(tcs), cast(0 AS double), (a, x) -> a + x.cl)") / n,
+          6).as("entropy"),
+        round(col("n_types").cast("double") / n, 6).as("ttr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: same relational shape; the fold is a scalar-DOUBLE
+    * `list_reduce` in `ORDER BY token` order (struct accumulators would hit
+    * the DuckDB fold bug documented on q41 — scalars are safe).
+    */
+  val tokenEntropySql: String =
+    s"""WITH q58c AS (
+       |  SELECT doc_id, token, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(${TextOps.DuckToks}) AS token FROM documents)
+       |  GROUP BY doc_id, token),
+       |q58p AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS n_types,
+       |    list_reduce(list(c::DOUBLE * ln(c::DOUBLE) ORDER BY token), (a, b) -> a + b) AS s
+       |  FROM q58c GROUP BY doc_id)
+       |SELECT doc_id, n_tok, n_types,
+       |  round(ln(n_tok::DOUBLE) - s / n_tok::DOUBLE, 6) AS entropy,
+       |  round(n_types::DOUBLE / n_tok::DOUBLE, 6) AS ttr
+       |FROM q58p
+       |ORDER BY doc_id""".stripMargin
+
   // --- q42: KMV distinct-count sketch --------------------------------------
   val KmvK = 256
 

@@ -374,4 +374,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(byId(3L), "the stitched mosaic doc must be flagged")
     assert(!byId(1L) && !byId(4L), "first owner and novel docs must pass")
   }
+
+  // --- q57 ------------------------------------------------------------------
+
+  test("q57: DSIR scores rank target-domain content above alien content") {
+    // Target sources (src0/src1) write in vocab A, an alien source in vocab
+    // B; two probe docs sit under NEUTRAL sources, so their score can only
+    // come from their CONTENT — the defining property of importance
+    // weighting (score by distribution, not by label).
+    val tgtText   = "alpha beta gamma alpha beta gamma alpha beta"
+    val alienText = "delta epsilon zeta delta epsilon zeta delta epsilon"
+    val corpus = (
+      (0 until 4).map(i => (i.toLong, tgtText, "src0")) ++
+        (4 until 8).map(i => (i.toLong, tgtText, "src1")) ++
+        (8 until 12).map(i => (i.toLong, alienText, "src5")) ++
+        Seq((12L, "alpha beta gamma", "src7"), (13L, "delta epsilon zeta", "src8"))
+    ).toDF("doc_id", "text", "source")
+
+    val got = CurationOps
+      .dsirWeightsOf(corpus)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("n_feat"),
+          r.getAs[Double]("dsir_score")))
+    assert(got.map(_._1).toSeq == (0L to 13L), "every doc scored, in doc_id order")
+    // n_feat = unigrams + bigrams: 3 tokens → 3 + 2 = 5
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId(12L)._3 == 5L)
+    assert(byId(12L)._4 > 0.0, s"target-vocab probe must score positive: ${byId(12L)}")
+    assert(byId(13L)._4 < 0.0, s"alien-vocab probe must score negative: ${byId(13L)}")
+    assert(byId(12L)._4 > byId(13L)._4)
+    // full-length docs: every target doc outranks every alien doc
+    val tgtMin   = got.filter(g => g._2 == "src0" || g._2 == "src1").map(_._4).min
+    val alienMax = got.filter(_._2 == "src5").map(_._4).max
+    assert(tgtMin > alienMax)
+  }
 }

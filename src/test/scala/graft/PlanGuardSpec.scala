@@ -55,9 +55,11 @@ class PlanGuardSpec extends SparkSpec {
       // AQE turns the small-side joins into broadcasts at runtime.
       "q52_incremental_dedup" -> 10,
       "q53_mix_weights"   -> 1, // map-side recipe; sort only
-      "q54_source_overlap" -> 3  // gram agg (df + source set) + pair agg + sort
+      "q54_source_overlap" -> 3, // gram agg (df + source set) + pair agg + sort
       // q55 intentionally unbudgeted: its two legs are already budgeted
       // shapes (q49 + q28) and the fusion joins ≤ 2k rank rows.
+      "q57_dsir_weights"  -> 4, // model agg (≤B rows) + (doc,f) agg + doc agg + sort
+      "q58_token_entropy" -> 3  // (doc,token) agg + doc agg + sort
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>

@@ -9,6 +9,7 @@ import graft.operators.{TimeJoins, TrainingOps}
   * the small sf0.001 tables) rather than trusting the operator's own plan.
   */
 class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
 
   private def tsMicros(t: Timestamp): Long =
     t.getTime / 1000 * 1000000 + t.getNanos / 1000
@@ -158,5 +159,34 @@ class TrainingOpsSpec extends SparkSpec {
     val (lo, g) = (pos.toInt, pos - pos.toInt)
     val median  = vals(lo) + g * (vals(math.min(lo + 1, vals.length - 1)) - vals(lo))
     assert(math.abs(rows.head.getDouble(2) - median) < 1e-6)
+  }
+
+  test("q58: entropy matches the closed form on planted docs and is bounded on the corpus") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val planted = Seq(
+      (1L, "a a b"),   // H = ln 3 − (2 ln 2)/3, ttr = 2/3
+      (2L, "a b c"),   // uniform: H = ln 3, ttr = 1
+      (3L, "a")        // degenerate: H = 0, ttr = 1
+    ).toDF("doc_id", "text")
+    val got = TrainingOps.tokenEntropyOf(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("n_types"),
+          r.getAs[Double]("entropy"), r.getAs[Double]("ttr"))))
+      .toMap
+    assert(got(1L) == ((3L, 2L, r6(math.log(3.0) - (2.0 * math.log(2.0)) / 3.0), r6(2.0 / 3.0))))
+    assert(got(2L) == ((3L, 3L, r6(math.log(3.0)), 1.0)))
+    assert(got(3L) == ((1L, 1L, 0.0, 1.0)))
+
+    // corpus-wide invariant: 0 ≤ H ≤ ln(n_types) (max-entropy bound)
+    val corpus = TrainingOps.tokenEntropy(spark, Sf0001).collect()
+    assert(corpus.length == 500)
+    corpus.foreach { r =>
+      val (types, h, ttr) =
+        (r.getAs[Long]("n_types"), r.getAs[Double]("entropy"), r.getAs[Double]("ttr"))
+      // 6-decimal rounding can lift H up to 5e-7 above the exact bound
+      assert(h >= 0.0 && h <= math.log(types.toDouble) + 5e-7, s"doc ${r.getLong(0)}")
+      assert(ttr > 0.0 && ttr <= 1.0)
+    }
   }
 }
