@@ -109,6 +109,7 @@ object SparkEntry {
     "q27_ngram_jaccard"   -> TextOps.ngramJaccardSql,
     "q28_cosine_topk"     -> VectorOps.cosineTopKSql,
     "q29_ann_lsh"         -> VectorOps.annLshSql,
+    "q30_embed_neardup"   -> VectorOps.embedNearDupSql,
     "q31_multimodal_pipe" -> Multimodal.pipelineSql,
     "q33_clean_pipeline"  -> CleanPipeline.cleanSql,
     "q34_top_terms"       -> TextOps.topTermsSql,
@@ -137,16 +138,16 @@ object SparkEntry {
     "q58_token_entropy"   -> TrainingOps.tokenEntropySql
     // q46 (PQ ANN) is rows-only like q32: iterative k-means codebooks
     // have no SQL-expressible oracle; brute-force-agreement spec instead.
-    // q25/q26/q29 are oracled EXACTLY: Spark's xxhash64 is emulated in
+    // q25/q26/q29/q30 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
-    // probes/pairs are engine-identical, not probabilistically equivalent.
+    // probes/pairs are engine-identical, not probabilistically equivalent
+    // (q30's < 1 LSH recall doesn't matter — the oracle re-derives the SAME
+    // candidate generation, not an exact all-pairs equivalent).
     // q27/q33 are oracled via exact all-pairs Jaccard at the 0.9 cut
-    // (recall ≈ 0.9998/pair). q30/q32 stay rows-only — with q46, the only
-    // three of the 58-query suite:
-    // q30's LSH recall at its 0.35 threshold is intentionally < 1 (no
-    // exact-equivalent SQL), and q32's centroids come from driver-side
-    // iterative k-means — float-iteration parity across engines is not
-    // expressible as a DuckDB oracle. Both carry ScalaTest properties
-    // (brute-force agreement / threshold invariants) instead.
+    // (recall ≈ 0.9998/pair). q32/q46 are the only two rows-only queries of
+    // the 58-query suite: their centroids come from driver-side iterative
+    // k-means — float-iteration parity across engines is not expressible as
+    // a DuckDB oracle. Both carry ScalaTest brute-force-agreement specs
+    // instead.
   )
 }

@@ -494,4 +494,58 @@ object VectorOps {
       .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** DuckDB oracle reproducing [[embedNearDup]] bit-for-bit — the
+    * [[annLshSql]] plane emulation generalized to [[NearDupTables]] tables:
+    * same `XXH64.hashLong((t·64+p)·64+d, 42)` Rademacher signs, same
+    * left-fold dots/norms, same [2, MaxBucket] bucket gate, pairs joined
+    * within (table, bucket) and deduped BEFORE the one cosine per distinct
+    * pair (the Spark side computes per-table and dedupes after — identical
+    * output because the cosine is a pure function of the pair).
+    */
+  lazy val embedNearDupSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q30pd" ->
+        (s"(SELECT t, p, d, ((t * 64 + p) * 64 + d)::HUGEINT AS idx " +
+          s"FROM range(0, $NearDupTables) r(t), range(0, $NearDupPlanes) q(p), range(0, 64) s(d))")
+    )
+    val ch = new SqlChain("q30h", "q30pd", Seq("t", "p", "d", "idx"))
+    hashLongLevels(ch, "idx", "42", "hw")
+    ctes ++= ch.ctes
+    ctes += ("q30sgn" ->
+      s"(SELECT t, p, list(CASE WHEN hw % 2 = 1 THEN 1.0 ELSE -1.0 END ORDER BY d) AS sv FROM ${ch.last} GROUP BY t, p)")
+    ctes += ("q30ev" ->
+      """(SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding::DOUBLE[], x -> x * x)),
+        |         (a, x) -> a + x)) AS nrm
+        |  FROM embeddings)""".stripMargin)
+    ctes += ("q30ef" -> "(SELECT * FROM q30ev WHERE nrm > 0)")
+    ctes += ("q30dots" ->
+      """(SELECT vec_id, t, p,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> v[i] * sv[i])),
+        |      (a, x) -> a + x) AS dot
+        |  FROM q30ef, q30sgn)""".stripMargin)
+    ctes += ("q30bkt" ->
+      "(SELECT vec_id, t, sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END)::INTEGER AS bucket FROM q30dots GROUP BY vec_id, t)")
+    ctes += ("q30ok" ->
+      s"(SELECT t, bucket FROM q30bkt GROUP BY t, bucket HAVING count(*) BETWEEN 2 AND ${TextOps.MaxBucket})")
+    ctes += ("q30pairs" ->
+      """(SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM q30bkt a
+        |  JOIN q30ok k ON k.t = a.t AND k.bucket = a.bucket
+        |  JOIN q30bkt b ON b.t = a.t AND b.bucket = a.bucket AND a.vec_id < b.vec_id)""".stripMargin)
+    ctes += ("q30sim" ->
+      """(SELECT a_id, b_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> av[i] * bv[i])),
+        |      (a, x) -> a + x) / (an * bn) AS sim
+        |  FROM q30pairs
+        |  JOIN (SELECT vec_id, v AS av, nrm AS an FROM q30ef) fa ON fa.vec_id = a_id
+        |  JOIN (SELECT vec_id, v AS bv, nrm AS bn FROM q30ef) fb ON fb.vec_id = b_id)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      s"""SELECT a_id, b_id, round(sim, 4) AS sim FROM q30sim
+         |WHERE sim >= $NearDupThreshold
+         |ORDER BY a_id, b_id""".stripMargin)
+  }
 }
