@@ -168,6 +168,90 @@ object TextOps {
        | SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)
        |GROUP BY token ORDER BY n DESC, token LIMIT $TopTerms""".stripMargin
 
+  // --- C37 q59: PMI collocation mining --------------------------------------
+  val PmiMinCount = 5
+  val PmiTopK     = 20
+
+  /** Top-[[PmiTopK]] bigram collocations by pointwise mutual information
+    * `ln(p(ab) / (p(a)·p(b)))` with a [[PmiMinCount]] support floor (rare
+    * pairs otherwise dominate PMI on noise) — the corpus-level association
+    * miner that complements q34's raw frequencies: "which token pairs occur
+    * together far more than chance", the standard phrase/collocation signal
+    * for tokenizer and n-gram vocabulary curation.
+    *
+    * Scale shape: bigram and unigram counts are the two classic keyed
+    * aggregates (map-side combinable; output bounded by vocabulary, not
+    * corpus); the unigram table is persisted because BOTH position joins
+    * consume it — without that, each join branch would re-explode the
+    * corpus. Token totals come from a separate map-side sum over the doc
+    * scan (one row, no shuffle, broadcast back) — never a window over the
+    * vocab-sized table. The final top-k is a TakeOrdered over the
+    * min-count-filtered join, ordered by the UNROUNDED pmi (bit-identical
+    * across engines) with ties to the gram.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    pmiCollocationsOf(docs(spark, dir))
+
+  private[graft] def pmiCollocationsOf(corpus: DataFrame): DataFrame = {
+    val base = corpus.select(toks.as("toks"))
+    val bigrams = expr(
+      """CASE WHEN size(toks) >= 2 THEN
+        |  transform(sequence(1, size(toks) - 1),
+        |    i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+        |ELSE cast(array() AS array<string>) END""".stripMargin)
+    val bi = base
+      .select(explode(bigrams).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= PmiMinCount)
+    val uni = base
+      .select(explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = base.agg(
+      sum(size(col("toks")).cast("long")).as("n1"),
+      sum(greatest(size(col("toks")) - 1, lit(0)).cast("long")).as("n2"))
+    val pmi = log(
+      (col("c_ab").cast("double") * col("n1").cast("double") * col("n1").cast("double")) /
+        (col("c_a").cast("double") * col("c_b").cast("double") * col("n2").cast("double")))
+    bi
+      .withColumn("a", element_at(split(col("gram"), " "), 1))
+      .withColumn("b", element_at(split(col("gram"), " "), 2))
+      .join(uni.select(col("token").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("token").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("gram"), col("c_ab"), col("c_a"), col("c_b"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("gram"))
+      .limit(PmiTopK)
+      .select(col("gram"), col("c_ab"), col("c_a"), col("c_b"), round(col("pmi"), 6).as("pmi"))
+  }
+
+  /** Oracle: same counts, same left-associated double products inside one
+    * `ln` (correctly-rounded ops → bit-identical), same unrounded ordering.
+    */
+  val pmiCollocationsSql: String =
+    s"""WITH q59t AS (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |q59b AS (
+       |  SELECT gram, count(*) AS c_ab FROM (
+       |    SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS gram
+       |    FROM q59t)
+       |  GROUP BY gram HAVING count(*) >= $PmiMinCount),
+       |q59u AS (
+       |  SELECT token, count(*) AS c FROM (SELECT unnest(toks) AS token FROM q59t) GROUP BY token),
+       |q59n AS (
+       |  SELECT CAST(sum(len(toks)) AS BIGINT) AS n1,
+       |         CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS n2 FROM q59t)
+       |SELECT gram, c_ab, c_a, c_b, round(pmi, 6) AS pmi FROM (
+       |  SELECT gram, c_ab, ua.c AS c_a, ub.c AS c_b,
+       |    ln((c_ab::DOUBLE * n1::DOUBLE * n1::DOUBLE) /
+       |       (ua.c::DOUBLE * ub.c::DOUBLE * n2::DOUBLE)) AS pmi
+       |  FROM q59b
+       |  JOIN q59u ua ON ua.token = split_part(gram, ' ', 1)
+       |  JOIN q59u ub ON ub.token = split_part(gram, ' ', 2), q59n)
+       |ORDER BY pmi DESC, gram
+       |LIMIT $PmiTopK""".stripMargin
+
   // --- C4 q23: language-ID heuristic (rows-only) ---------------------------
   private val LangStops: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "ein", "ist"),

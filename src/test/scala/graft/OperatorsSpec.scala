@@ -261,4 +261,42 @@ class OperatorsSpec extends SparkSpec {
     val q4plan = Relational.q04(spark, Sf001).queryExecution.executedPlan.toString
     assert(q4plan.contains("BroadcastHashJoin"), s"q04 should broadcast dims:\n$q4plan")
   }
+
+  test("C37 q59: PMI collocations match an independent recomputation") {
+    import spark.implicits._
+    // "fizz buzz" always adjacent; "alpha"/"beta" frequent but scattered —
+    // association must rank fizz-buzz far above the frequent-but-independent
+    // pairs, and every value must match a driver-side recomputation with the
+    // identical multiply order.
+    val docsSeq =
+      Seq.fill(10)("fizz buzz alpha beta") ++ Seq.fill(10)("foo alpha gamma bar") ++
+        Seq.fill(6)("fizz gamma gamma beta") ++ Seq.fill(6)("buzz beta foo foo")
+    val corpus = docsSeq.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val tokss = docsSeq.map(_.split(" ").toSeq)
+    val uni = tokss.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = tokss
+      .flatMap(t => t.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= TextOps.PmiMinCount)
+    val n1 = tokss.map(_.size).sum.toDouble
+    val n2 = tokss.map(t => math.max(t.size - 1, 0)).sum.toDouble
+    val expected = bi.toSeq
+      .map { case (g, cab) =>
+        val Array(a, b) = g.split(" ")
+        val pmi = math.log((cab.toDouble * n1 * n1) / (uni(a).toDouble * uni(b).toDouble * n2))
+        (g, cab, uni(a), uni(b), pmi)
+      }
+      .sortBy { case (g, _, _, _, p) => (-p, g) }
+      .take(TextOps.PmiTopK)
+      .map { case (g, cab, ca, cb, p) =>
+        (g, cab, ca, cb, BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val got = TextOps.pmiCollocationsOf(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(got == expected)
+    // the always-adjacent pair must outrank the frequent-but-scattered one
+    val rank = got.map(_._1).zipWithIndex.toMap
+    assert(rank("fizz buzz") < rank("alpha gamma"), s"association must beat frequency: $got")
+  }
 }

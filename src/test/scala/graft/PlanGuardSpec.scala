@@ -59,7 +59,10 @@ class PlanGuardSpec extends SparkSpec {
       // q55 intentionally unbudgeted: its two legs are already budgeted
       // shapes (q49 + q28) and the fusion joins ≤ 2k rank rows.
       "q57_dsir_weights"  -> 4, // model agg (≤B rows) + (doc,f) agg + doc agg + sort
-      "q58_token_entropy" -> 3  // (doc,token) agg + doc agg + sort
+      "q58_token_entropy" -> 3, // (doc,token) agg + doc agg + sort
+      // bigram agg + unigram agg (persisted, counted once) + join; totals
+      // broadcast, top-k is TakeOrdered
+      "q59_pmi_collocations" -> 3
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -112,9 +115,11 @@ class PlanGuardSpec extends SparkSpec {
     // q49 broadcasts its one-row corpus-statistics aggregate, like q42.
     // q55 composes q49's one-row stats broadcast and a one-row query-vector
     // broadcast (the q28 shape) — both bounded by construction.
+    // q59 crossJoins its one-row token-total aggregate onto the min-count-
+    // filtered collocation table — bounded like q49's stats broadcast.
     val allowed =
       Set("q28_cosine_topk", "q15_scalar_subquery", "q42_kmv_distinct", "q46_ann_pq",
-        "q49_bm25", "q55_hybrid_rrf")
+        "q49_bm25", "q55_hybrid_rrf", "q59_pmi_collocations")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
