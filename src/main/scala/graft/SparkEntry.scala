@@ -77,7 +77,8 @@ object SparkEntry {
     "q56_cluster_best"    -> (CurationOps.clusterBest _),
     "q57_dsir_weights"    -> (CurationOps.dsirWeights _),
     "q58_token_entropy"   -> (TrainingOps.tokenEntropy _),
-    "q59_pmi_collocations" -> (TextOps.pmiCollocations _)
+    "q59_pmi_collocations" -> (TextOps.pmiCollocations _),
+    "q60_winnow_fingerprints" -> (TextOps.winnowFingerprints _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -137,7 +138,8 @@ object SparkEntry {
     "q56_cluster_best"    -> CurationOps.clusterBestSql,
     "q57_dsir_weights"    -> CurationOps.dsirWeightsSql,
     "q58_token_entropy"   -> TrainingOps.tokenEntropySql,
-    "q59_pmi_collocations" -> TextOps.pmiCollocationsSql
+    "q59_pmi_collocations" -> TextOps.pmiCollocationsSql,
+    "q60_winnow_fingerprints" -> TextOps.winnowFingerprintsSql
     // q46 (PQ ANN) is rows-only like q32: iterative k-means codebooks
     // have no SQL-expressible oracle; brute-force-agreement spec instead.
     // q25/q26/q29/q30 are oracled EXACTLY: Spark's xxhash64 is emulated in
@@ -147,7 +149,7 @@ object SparkEntry {
     // candidate generation, not an exact all-pairs equivalent).
     // q27/q33 are oracled via exact all-pairs Jaccard at the 0.9 cut
     // (recall ≈ 0.9998/pair). q32/q46 are the only two rows-only queries of
-    // the 59-query suite: their centroids come from driver-side iterative
+    // the 60-query suite: their centroids come from driver-side iterative
     // k-means — float-iteration parity across engines is not expressible as
     // a DuckDB oracle. Both carry ScalaTest brute-force-agreement specs
     // instead.

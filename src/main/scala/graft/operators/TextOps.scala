@@ -299,6 +299,87 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- C38 q60: winnowing fingerprints --------------------------------------
+  val WinnowK = 4
+  val WinnowW = 4
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS algorithm): hash every token [[WinnowK]]-gram, slide a
+    * [[WinnowW]]-hash window, and keep each window's minimum (rightmost on
+    * ties). Guarantees any shared run of ≥ W+K-1 tokens between two
+    * documents shares a fingerprint, at ~2/(W+1) the density of full k-gram
+    * sets — the local, position-robust complement to q24's whole-doc hash
+    * (one edit changes q24; winnowing keeps every fingerprint outside the
+    * edited window) and to q25's MinHash (global similarity vs local
+    * containment). Minima compare in SIGNED hash order — an arbitrary but
+    * engine-consistent total order, which is all winnowing needs.
+    *
+    * Entirely in-row (gram build, xxhash64, window fold — one generated-code
+    * pass, no UDF, no join); the only shuffle is the output sort. Docs
+    * shorter than W+K-1 tokens emit nothing (the guarantee needs a full
+    * window; the CASE also dodges Spark's descending-`sequence` trap).
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprintsOf(docs(spark, dir))
+
+  private[graft] def winnowFingerprintsOf(corpus: DataFrame): DataFrame = {
+    // The hash sequence is BOUND as a lambda variable (transform over a
+    // one-element array) instead of a withColumn: collapsed projections
+    // would otherwise inline the whole hs construction into every
+    // element_at(hs, …) inside the fold — re-hashing the document once per
+    // window step (measured ~8× the entire suite's runtime at sf0.001).
+    val fps = expr(
+      s"""element_at(transform(array(
+         |  CASE WHEN size(toks) >= $WinnowK THEN
+         |    transform(sequence(1, size(toks) - ${WinnowK - 1}),
+         |      i -> xxhash64(concat_ws(' ', slice(toks, i, $WinnowK))))
+         |  ELSE cast(array() AS array<bigint>) END),
+         |  hs -> CASE WHEN size(hs) >= $WinnowW THEN
+         |    transform(
+         |      array_distinct(transform(sequence(1, size(hs) - ${WinnowW - 1}),
+         |        w -> aggregate(sequence(w + 1, w + ${WinnowW - 1}), w,
+         |               (acc, j) -> IF(element_at(hs, j) <= element_at(hs, acc), j, acc)))),
+         |      p -> named_struct('pos', p, 'fp', element_at(hs, p)))
+         |  ELSE cast(array() AS array<struct<pos:int,fp:bigint>>) END), 1)""".stripMargin)
+    corpus
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(fps).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** Oracle: DISTINCT 4-grams hashed via [[graft.functions.DuckHash]], the
+    * per-doc hash sequence rebuilt in gram order, and the same
+    * rightmost-argmin window fold as a nested lambda (scalar BIGINT
+    * accumulator — safe from the struct-fold bug documented on q41).
+    */
+  lazy val winnowFingerprintsSql: String = {
+    import graft.functions.DuckHash._
+    val W = WinnowW
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q60t" -> s"(SELECT doc_id, $DuckToks AS toks FROM documents)",
+      "q60gl" ->
+        (s"(SELECT doc_id, list_transform(range(1, len(toks) - ${WinnowK - 1} + 1), " +
+          s"i -> array_to_string(toks[i:i + ${WinnowK - 1}], ' ')) AS gl FROM q60t)"),
+      "q60g" -> "(SELECT doc_id, unnest(range(1, len(gl) + 1)) AS i, unnest(gl) AS gram FROM q60gl)",
+      "q60d" -> s"(SELECT gram, ${bytesOf("gram")} AS b FROM (SELECT DISTINCT gram FROM q60g))"
+    )
+    val hb = hashBytesChain("q60hx", "q60d", Seq("gram"), "42", "hs")
+    ctes ++= hb.ctes
+    ctes += ("q60f" -> s"(SELECT gram, CAST(${toSigned("hs")} AS BIGINT) AS h FROM ${hb.last})")
+    ctes += ("q60hs" ->
+      "(SELECT g.doc_id, list(f.h ORDER BY g.i) AS hs FROM q60g g JOIN q60f f USING (gram) GROUP BY g.doc_id)")
+    ctes += ("q60sel" ->
+      s"""(SELECT doc_id, hs,
+         |    unnest(list_distinct(list_transform(range(1, len(hs) - ${W - 1} + 1),
+         |      w -> list_reduce(list_prepend(w, range(w + 1, w + $W)),
+         |             (acc, j) -> CASE WHEN hs[j] <= hs[acc] THEN j ELSE acc END)))) AS pos
+         |  FROM q60hs)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      "SELECT doc_id, pos::INTEGER AS pos, hs[pos] AS fp FROM q60sel ORDER BY doc_id, pos")
+  }
+
   // --- C5 q24: document fingerprint ----------------------------------------
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

@@ -299,4 +299,33 @@ class OperatorsSpec extends SparkSpec {
     val rank = got.map(_._1).zipWithIndex.toMap
     assert(rank("fizz buzz") < rank("alpha gamma"), s"association must beat frequency: $got")
   }
+
+  test("C38 q60: winnowed fingerprints are the rightmost window minima") {
+    import spark.implicits._
+    val (kk, ww) = (TextOps.WinnowK, TextOps.WinnowW)
+    val texts = graft.core.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    // independent ground truth: gram strings + driver-side winnow; only the
+    // hash itself is delegated to Spark's own xxhash64 (one batch call)
+    val grams = texts.values.flatMap(_.sliding(kk).filter(_.size == kk).map(_.mkString(" "))).toSeq.distinct
+    val hashOf = grams.toDF("g")
+      .select(col("g"), xxhash64(col("g")).as("h")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = texts.toSeq.flatMap { case (id, ts) =>
+      val hs = ts.sliding(kk).filter(_.size == kk).map(g => hashOf(g.mkString(" "))).toArray
+      if (hs.length < ww) Seq.empty
+      else {
+        (0 to hs.length - ww).map { w =>
+          (w + 1 until w + ww).foldLeft(w)((acc, j) => if (hs(j) <= hs(acc)) j else acc)
+        }.distinct.sorted.map(p => (id, p + 1, hs(p)))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = TextOps.winnowFingerprints(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // density sanity: winnowing keeps roughly 2/(W+1) of positions
+    val positions = texts.values.map(ts => math.max(ts.size - kk + 1, 0)).sum.toDouble
+    assert(got.size > positions * 0.2 && got.size < positions * 0.7, s"${got.size} of $positions")
+  }
 }

@@ -62,7 +62,8 @@ class PlanGuardSpec extends SparkSpec {
       "q58_token_entropy" -> 3, // (doc,token) agg + doc agg + sort
       // bigram agg + unigram agg (persisted, counted once) + join; totals
       // broadcast, top-k is TakeOrdered
-      "q59_pmi_collocations" -> 3
+      "q59_pmi_collocations" -> 3,
+      "q60_winnow_fingerprints" -> 1 // in-row hash + window fold; sort only
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
