@@ -760,28 +760,32 @@ object CurationOps {
     * seeded/seedless folds identical), and the final score rounds to 6 for
     * the same 1-ulp `ln` reason as q49.
     */
-  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
-    dsirWeightsOf(docs(spark, dir))
+  /** Hashed 1/2-gram feature buckets over a `toks` column — shared by the
+    * batch scorer and the E11 streaming model-apply gate.
+    */
+  private[graft] val dsirFeats: Column = expr(
+    s"""concat(
+       |  transform(toks, t -> pmod(xxhash64(t), $DsirBuckets)),
+       |  CASE WHEN size(toks) >= 2 THEN
+       |    transform(sequence(1, size(toks) - 1),
+       |      i -> pmod(xxhash64(concat(element_at(toks, i), ' ', element_at(toks, i + 1))), $DsirBuckets))
+       |  ELSE cast(array() AS array<bigint>) END)""".stripMargin)
 
-  private[graft] def dsirWeightsOf(corpus: DataFrame): DataFrame = {
-    val feats = expr(
-      s"""concat(
-         |  transform(toks, t -> pmod(xxhash64(t), $DsirBuckets)),
-         |  CASE WHEN size(toks) >= 2 THEN
-         |    transform(sequence(1, size(toks) - 1),
-         |      i -> pmod(xxhash64(concat(element_at(toks, i), ' ', element_at(toks, i + 1))), $DsirBuckets))
-         |  ELSE cast(array() AS array<bigint>) END)""".stripMargin)
-    val exploded = corpus
+  private def dsirExploded(corpus: DataFrame): DataFrame =
+    corpus
       .select(col("doc_id"), col("source"), TextOps.toks.as("toks"))
-      .select(col("doc_id"), col("source"), explode(feats).as("f"))
+      .select(col("doc_id"), col("source"), explode(dsirFeats).as("f"))
 
+  /** The trained model: per-feature smoothed `ln(p_target/p_raw)` —
+    * ≤ [[DsirBuckets]] rows. Feature totals ride an unpartitioned window
+    * over the model table (a SinglePartition exchange of ≤B rows) instead
+    * of a separate aggregate — a second `.agg(...)` branch would re-execute
+    * the whole explode+aggregate subtree, scanning the corpus twice more.
+    */
+  private def dsirLogRatioOf(exploded: DataFrame): DataFrame = {
     val isTgt = col("source").isInCollection(DsirTarget)
-    // Feature totals ride an unpartitioned window over the ≤B-row model
-    // table (a SinglePartition exchange of ≤B rows) instead of a separate
-    // aggregate — a second `stats.agg(...)` branch would re-execute the
-    // whole explode+aggregate subtree, scanning the corpus twice more.
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val logRatio = exploded
+    val wAll  = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    exploded
       .groupBy(col("f"))
       .agg(count(lit(1)).as("cr"), sum(isTgt.cast("long")).as("ct"))
       .withColumn("tr", sum(col("cr")).over(wAll))
@@ -791,6 +795,21 @@ object CurationOps {
         log(
           ((col("ct") + 1).cast("double") * (col("tr") + DsirBuckets).cast("double")) /
             ((col("cr") + 1).cast("double") * (col("tt") + DsirBuckets).cast("double"))).as("lr"))
+  }
+
+  /** Collected model for broadcast-style application (E11): bucket → lr. */
+  def dsirModel(spark: SparkSession, dir: String): Map[Long, Double] =
+    dsirLogRatioOf(dsirExploded(docs(spark, dir)))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsOf(docs(spark, dir))
+
+  private[graft] def dsirWeightsOf(corpus: DataFrame): DataFrame = {
+    val exploded = dsirExploded(corpus)
+    val logRatio = dsirLogRatioOf(exploded)
 
     exploded
       .groupBy(col("doc_id"), col("source"), col("f"))

@@ -118,4 +118,35 @@ object DocStreams {
         col("p.doc_b").as("doc_b")
       )
   }
+
+  /** §2.E model-apply gate: score incoming documents against a PRECOMPUTED
+    * importance model (q57's ≤ [[CurationOps.DsirBuckets]]-row log-ratio
+    * table from [[CurationOps.dsirModel]]) and tag a keep verdict. The model
+    * rides as a LITERAL map column — the streaming shape of a broadcast
+    * model join, and what streaming inference wants: no state, no
+    * watermark, no shuffle, no per-batch model re-derivation; refreshing
+    * the model = restarting the query with a new literal. Features a model
+    * has never seen contribute 0 (no evidence either way). Scoring folds
+    * the doc's hashed features in document order, so it equals the batch
+    * q57 score up to float re-association (batch folds by ascending
+    * feature; spec-checked at 1e-6).
+    */
+  def dsirScoreGate(
+      stream: DataFrame,
+      model: Map[Long, Double],
+      threshold: Double = 0.0
+  ): DataFrame = {
+    val m = map(model.toSeq.sortBy(_._1).flatMap { case (f, lr) => Seq(lit(f), lit(lr)) }: _*)
+    stream
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("feats", CurationOps.dsirFeats)
+      .withColumn(
+        "dsir_score",
+        aggregate(col("feats"), lit(0.0), (acc, f) => acc + coalesce(element_at(m, f), lit(0.0))))
+      .select(
+        col("doc_id"),
+        col("ts"),
+        col("dsir_score"),
+        (col("dsir_score") >= threshold).as("keep"))
+  }
 }

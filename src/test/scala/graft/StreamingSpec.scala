@@ -164,6 +164,37 @@ class StreamingSpec extends SparkSpec {
     assert(split == batchSplit)
   }
 
+  test("E11: streaming model-apply gate reproduces batch DSIR scores") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    import graft.operators.CurationOps
+    val batch = CurationOps.dsirWeights(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_score")).toMap
+    val model = CurationOps.dsirModel(spark, Sf0001)
+    assert(model.nonEmpty && model.size <= CurationOps.DsirBuckets)
+    val sample = graft.core.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").orderBy($"doc_id").limit(20).collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), ts(1)))
+    val in = MemoryStream[Doc]
+    val q = DocStreams
+      .dsirScoreGate(in.toDF(), model)
+      .writeStream.format("memory").queryName("dsir_gate").outputMode("append").start()
+    in.addData(sample.toSeq: _*)
+    q.processAllAvailable()
+    val rows = spark.table("dsir_gate").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("dsir_score"), r.getAs[Boolean]("keep")))
+    q.stop()
+    assert(rows.length == 20)
+    rows.foreach { case (id, s, keep) =>
+      // batch folds by ascending feature and rounds to 6; the gate folds in
+      // document order — equal up to float re-association
+      assert(math.abs(s - batch(id)) < 1e-6, s"doc $id: stream $s vs batch ${batch(id)}")
+      assert(keep == (s >= 0.0))
+    }
+  }
+
   test("E10: stream-static snapshot dedup drops known and repeated content") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
