@@ -212,28 +212,38 @@ object VectorOps {
   val IvfSampleCap = 512
   val IvfIters     = 10
 
-  /** Spherical k-means on a systematic sample (every 7th vec_id, capped) —
-    * deterministic across runs/executors. Returns L2-normalized centroids
-    * so `nearest_centroids`' dot-product order equals cosine order.
+  /** The bounded deterministic training sample every ANN trainer shares:
+    * every 7th vec_id, capped — ONE collect feeds the IVF coarse quantizer
+    * and all [[PqSubspaces]] PQ codebooks (the trainers used to each
+    * re-collect it: 9 driver jobs where one suffices). orderBy+limit plans
+    * as TakeOrderedAndProject — deterministic, no full sort.
+    */
+  private[operators] def collectSample(
+      e: DataFrame,
+      sampleCap: Int = IvfSampleCap
+  ): Array[Array[Double]] =
+    e.filter(col("vec_id") % 7 === 0)
+      .orderBy(col("vec_id"))
+      .limit(sampleCap)
+      .select(col("v"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Spherical k-means on the systematic sample — deterministic across
+    * runs/executors. Returns L2-normalized centroids so
+    * `nearest_centroids`' dot-product order equals cosine order.
     * The only driver-side work is over ≤ sampleCap vectors.
     */
   private[operators] def trainCentroids(
-      e: DataFrame,
+      rawSample: Array[Array[Double]],
       k: Int,
-      sampleCap: Int = IvfSampleCap,
       iters: Int = IvfIters
   ): Array[Array[Double]] = {
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
-    val sample = e
-      .filter(col("vec_id") % 7 === 0)
-      .orderBy(col("vec_id")) // TakeOrderedAndProject: deterministic, no full sort
-      .limit(sampleCap)
-      .select(col("v"))
-      .collect()
-      .map(r => normalize(r.getSeq[Double](0).toArray))
+    val sample = rawSample.map(normalize)
     require(sample.length >= k, s"need >= $k sample vectors, got ${sample.length}")
     var cents = sample.take(k).map(_.clone())
     (0 until iters).foreach { _ =>
@@ -265,7 +275,7 @@ object VectorOps {
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Expressions.nearest_centroids
     val e     = emb(spark, dir)
-    val cents = trainCentroids(e, IvfCells)
+    val cents = trainCentroids(collectSample(e), IvfCells)
     // map-side cell assignment: one codegen'd argmax per row, no shuffle
     val assigned = e
       .withColumn("cell", nearest_centroids(col("v"), cents, 1).getItem(0))
@@ -297,24 +307,15 @@ object VectorOps {
   val PqSubDim    = 8
   val PqCentroids = 16
 
-  /** Plain-L2 Lloyd's on a bounded deterministic sample of one subspace's
-    * sub-vectors (PQ codebooks are L2, unlike the spherical IVF coarse
+  /** Plain-L2 Lloyd's on one subspace's slice of the shared systematic
+    * sample (PQ codebooks are L2, unlike the spherical IVF coarse
     * quantizer). Driver-side cost is O(sampleCap · k · iters), corpus-free.
     */
   private[operators] def trainPqCodebook(
-      e: DataFrame,
-      m: Int,
+      sample: Array[Array[Double]],
       k: Int = PqCentroids,
-      sampleCap: Int = IvfSampleCap,
       iters: Int = IvfIters
   ): Array[Array[Double]] = {
-    val sample = e
-      .filter(col("vec_id") % 7 === 0)
-      .orderBy(col("vec_id"))
-      .limit(sampleCap)
-      .select(expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)").as("sv"))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
     require(sample.length >= k, s"need >= $k sample vectors, got ${sample.length}")
     var cents = sample.take(k).map(_.clone())
     (0 until iters).foreach { _ =>
@@ -361,9 +362,12 @@ object VectorOps {
     */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Expressions.nearest_centroids
-    val e = emb(spark, dir)
+    val e      = emb(spark, dir)
+    val sample = collectSample(e)
     val cbs: Array[Array[Array[Double]]] =
-      (0 until PqSubspaces).map(m => trainPqCodebook(e, m)).toArray
+      (0 until PqSubspaces)
+        .map(m => trainPqCodebook(sample.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim))))
+        .toArray
     val codeCols = (0 until PqSubspaces).map { m =>
       val aug = cbs(m).map(c => c :+ (-c.map(x => x * x).sum / 2))
       nearest_centroids(
