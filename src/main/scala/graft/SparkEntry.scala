@@ -139,19 +139,18 @@ object SparkEntry {
     "q57_dsir_weights"    -> CurationOps.dsirWeightsSql,
     "q58_token_entropy"   -> TrainingOps.tokenEntropySql,
     "q59_pmi_collocations" -> TextOps.pmiCollocationsSql,
-    "q60_winnow_fingerprints" -> TextOps.winnowFingerprintsSql
-    // q46 (PQ ANN) is rows-only like q32: iterative k-means codebooks
-    // have no SQL-expressible oracle; brute-force-agreement spec instead.
+    "q60_winnow_fingerprints" -> TextOps.winnowFingerprintsSql,
+    "q32_ann_ivf"         -> VectorOps.annIvfSql
     // q25/q26/q29/q30 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
     // probes/pairs are engine-identical, not probabilistically equivalent
     // (q30's < 1 LSH recall doesn't matter — the oracle re-derives the SAME
     // candidate generation, not an exact all-pairs equivalent).
     // q27/q33 are oracled via exact all-pairs Jaccard at the 0.9 cut
-    // (recall ≈ 0.9998/pair). q32/q46 are the only two rows-only queries of
-    // the 60-query suite: their centroids come from driver-side iterative
-    // k-means — float-iteration parity across engines is not expressible as
-    // a DuckDB oracle. Both carry ScalaTest brute-force-agreement specs
-    // instead.
+    // (recall ≈ 0.9998/pair). q32/q46's driver-side k-means trainers are
+    // deterministic (systematic sample, fixed iterations, first-wins
+    // argmax, ordered accumulation), so even the Lloyd iterations are
+    // emulated in DuckDB — unrolled CTE chains with every float op a left
+    // fold in the Scala evaluation order.
   )
 }

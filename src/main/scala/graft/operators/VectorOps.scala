@@ -302,6 +302,85 @@ object VectorOps {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // --- exact SQL emulation of the driver-side k-means trainers -------------
+  // Left-fold dot of two 1-based DuckDB lists over `dims` dimensions — the
+  // IEEE evaluation order of DotProduct / NearestCentroids / the trainers'
+  // while-loops (s = 0.0; s += a(d)*b(d) ascending d).
+  private def dotFoldSql(a: String, b: String, dims: Int): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${dims + 1}), j -> ($a)[j] * ($b)[j])), (acc, x) -> acc + x)"
+
+  // Left-fold sum of squares (the `v.map(x => x*x).sum` / L2Norm order).
+  private def sqFoldSql(v: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform($v, x -> x * x)), (acc, y) -> acc + y)"
+
+  /** DuckDB oracle reproducing [[annIvf]] bit-for-bit — including the
+    * driver-side [[trainCentroids]] spherical k-means, which is
+    * deterministic by construction (systematic `vec_id % 7` sample ordered
+    * by vec_id, fixed [[IvfIters]] Lloyd iterations, first-wins strict-`>`
+    * argmax, per-cluster sums accumulated in sample order, empty clusters
+    * keep their old centroid). Each iteration unrolls to four CTEs:
+    * assignment dots → first-wins argmax (`list_position(ds, list_max(ds))`
+    * = the scan's first strict maximum) → per-cluster ordered vector fold →
+    * centroid rebuild via sparse-list lookup. Cell assignment, probe
+    * selection (greedy top-NProbe ≡ sort by dot DESC, index ASC), and the
+    * cosine rank search then mirror [[annLshSql]]'s arithmetic. Every float
+    * op is a left fold in the Scala evaluation order, so centroids, cells,
+    * probe sets, similarities, and ranks are engine-identical.
+    */
+  lazy val annIvfSql: String = {
+    import graft.functions.DuckHash.assemble
+    import scala.collection.mutable.ArrayBuffer
+    val D    = 64
+    val ctes = ArrayBuffer.empty[(String, String)]
+    ctes += ("q32ev" ->
+      s"(SELECT vec_id, embedding::DOUBLE[] AS v, sqrt(${sqFoldSql("embedding::DOUBLE[]")}) AS nrm FROM embeddings)")
+    ctes += ("q32ef" -> "(SELECT * FROM q32ev WHERE nrm > 0)")
+    // systematic sample with ordinal; normalize reuses nrm (same fold)
+    ctes += ("q32samp" ->
+      s"""(SELECT row_number() OVER (ORDER BY vec_id) AS i, list_transform(v, x -> x / nrm) AS sv
+         |  FROM (SELECT vec_id, v, nrm FROM q32ef WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT $IvfSampleCap))""".stripMargin)
+    ctes += ("q32c0" -> s"(SELECT list_slice(list(sv ORDER BY i), 1, $IvfCells) AS cents FROM q32samp)")
+    (1 to IvfIters).foreach { t =>
+      ctes += (s"q32a$t" ->
+        s"(SELECT i, sv, list_transform(c.cents, w -> ${dotFoldSql("sv", "w", D)}) AS ds FROM q32samp s, q32c${t - 1} c)")
+      ctes += (s"q32b$t" ->
+        s"(SELECT i, sv, list_position(ds, list_max(ds)) AS best FROM q32a$t)")
+      ctes += (s"q32s$t" ->
+        s"""(SELECT best, list_reduce(list_prepend(list_transform(range(1, ${D + 1}), z -> 0.0::DOUBLE),
+           |    list(sv ORDER BY i)), (acc, x) -> list_transform(range(1, ${D + 1}), j -> acc[j] + x[j])) AS sm
+           |  FROM q32b$t GROUP BY best)""".stripMargin)
+      ctes += (s"q32n$t" ->
+        s"""(SELECT list(best ORDER BY best) AS bs, list(nc ORDER BY best) AS ncs FROM
+           |  (SELECT best, CASE WHEN nn = 0 THEN sm ELSE list_transform(sm, x -> x / nn) END AS nc FROM
+           |    (SELECT best, sm, sqrt(${sqFoldSql("sm")}) AS nn FROM q32s$t)))""".stripMargin)
+      ctes += (s"q32c$t" ->
+        s"""(SELECT list_transform(range(1, ${IvfCells + 1}), k ->
+           |    CASE WHEN list_position(bs, k) IS NULL THEN cents[k] ELSE ncs[list_position(bs, k)] END) AS cents
+           |  FROM q32c${t - 1}, q32n$t)""".stripMargin)
+    }
+    val cf = s"q32c$IvfIters"
+    ctes += ("q32asg" ->
+      s"""(SELECT vec_id AS n_id, v AS cv, nrm AS cn, list_position(ds, list_max(ds)) AS cell FROM
+         |  (SELECT vec_id, v, nrm, list_transform(cents, w -> ${dotFoldSql("v", "w", D)}) AS ds FROM q32ef, $cf))""".stripMargin)
+    ctes += ("q32qd" ->
+      s"""(SELECT vec_id AS q_id, v AS qv, qn, ds FROM
+         |  (SELECT vec_id, v, nrm AS qn, list_transform(cents, w -> ${dotFoldSql("v", "w", D)}) AS ds
+         |   FROM q32ef, $cf WHERE vec_id < $QueryCount))""".stripMargin)
+    ctes += ("q32pr" ->
+      s"""(SELECT q_id, qv, qn, cell FROM
+         |  (SELECT q_id, qv, qn, k AS cell,
+         |     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ds[k] DESC, k) AS pr
+         |   FROM q32qd, range(1, ${IvfCells + 1}) r(k))
+         |  WHERE pr <= $IvfProbes)""".stripMargin)
+    ctes += ("q32rk" ->
+      s"""(SELECT q_id, n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ${dotFoldSql("qv", "cv", D)} / (qn * cn) DESC, n_id) AS rk
+         |  FROM q32asg JOIN q32pr USING (cell) WHERE q_id <> n_id)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      s"SELECT q_id, n_id, rk::INTEGER AS rk FROM q32rk WHERE rk <= $AnnTopK ORDER BY q_id, rk")
+  }
+
   // --- C24 q46: product-quantization ANN (ADC search) ----------------------
   val PqSubspaces = 8
   val PqSubDim    = 8
