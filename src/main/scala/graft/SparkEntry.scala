@@ -140,7 +140,8 @@ object SparkEntry {
     "q58_token_entropy"   -> TrainingOps.tokenEntropySql,
     "q59_pmi_collocations" -> TextOps.pmiCollocationsSql,
     "q60_winnow_fingerprints" -> TextOps.winnowFingerprintsSql,
-    "q32_ann_ivf"         -> VectorOps.annIvfSql
+    "q32_ann_ivf"         -> VectorOps.annIvfSql,
+    "q46_ann_pq"          -> VectorOps.annPqSql
     // q25/q26/q29/q30 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
     // probes/pairs are engine-identical, not probabilistically equivalent

@@ -485,6 +485,82 @@ object VectorOps {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** DuckDB oracle reproducing [[annPq]] bit-for-bit — the [[annIvfSql]]
+    * approach applied to the PQ pipeline: all [[PqSubspaces]] L2 codebooks
+    * train in ONE unrolled Lloyd chain keyed by subspace `m` (first-wins
+    * strict-`<` argmin, per-cluster ordered sums, mean = sum/count with the
+    * count's exact int→double widening, empty clusters keep old entries).
+    * Encoding re-derives Spark's augmented-vector trick arithmetic
+    * verbatim: score_j = fold₈(x·c_j) + 1.0·(−‖c_j‖²/2) — the exact
+    * 9-dim NearestCentroids fold, NOT a mathematical L2 argmin, so tie and
+    * rounding behavior is engine-identical. ADC scores fold LUT lookups in
+    * subspace order like the Spark `aggregate(zip_with(...))`.
+    */
+  lazy val annPqSql: String = {
+    import graft.functions.DuckHash.assemble
+    import scala.collection.mutable.ArrayBuffer
+    val M    = PqSubspaces
+    val S    = PqSubDim
+    val K    = PqCentroids
+    def l2Fold(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${S + 1}), j -> (($a)[j] - ($b)[j]) * (($a)[j] - ($b)[j]))), (acc, x) -> acc + x)"
+    def dotS(a: String, b: String): String = dotFoldSql(a, b, S)
+    val ctes = ArrayBuffer.empty[(String, String)]
+    ctes += ("q46ev" ->
+      s"(SELECT vec_id, embedding::DOUBLE[] AS v, sqrt(${sqFoldSql("embedding::DOUBLE[]")}) AS nrm FROM embeddings)")
+    ctes += ("q46ef" -> "(SELECT vec_id, v FROM q46ev WHERE nrm > 0)")
+    ctes += ("q46sampr" ->
+      s"""(SELECT row_number() OVER (ORDER BY vec_id) AS i, v
+         |  FROM (SELECT vec_id, v FROM q46ef WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT $IvfSampleCap))""".stripMargin)
+    ctes += ("q46sampm" ->
+      s"(SELECT m, i, list_slice(v, m * $S + 1, (m + 1) * $S) AS sv FROM q46sampr, range(0, $M) r(m))")
+    ctes += ("q46c0" -> s"(SELECT m, list_slice(list(sv ORDER BY i), 1, $K) AS cents FROM q46sampm GROUP BY m)")
+    (1 to IvfIters).foreach { t =>
+      ctes += (s"q46a$t" ->
+        s"(SELECT s.m, i, sv, list_transform(c.cents, w -> ${l2Fold("sv", "w")}) AS ds FROM q46sampm s JOIN q46c${t - 1} c USING (m))")
+      ctes += (s"q46b$t" ->
+        s"(SELECT m, i, sv, list_position(ds, list_min(ds)) AS best FROM q46a$t)")
+      ctes += (s"q46s$t" ->
+        s"""(SELECT m, best, count(*) AS cnt,
+           |    list_reduce(list_prepend(list_transform(range(1, ${S + 1}), z -> 0.0::DOUBLE),
+           |      list(sv ORDER BY i)), (acc, x) -> list_transform(range(1, ${S + 1}), j -> acc[j] + x[j])) AS sm
+           |  FROM q46b$t GROUP BY m, best)""".stripMargin)
+      ctes += (s"q46n$t" ->
+        s"""(SELECT m, list(best ORDER BY best) AS bs, list(nc ORDER BY best) AS ncs FROM
+           |  (SELECT m, best, list_transform(sm, x -> x / cnt) AS nc FROM q46s$t) GROUP BY m)""".stripMargin)
+      ctes += (s"q46c$t" ->
+        s"""(SELECT c.m, list_transform(range(1, ${K + 1}), k ->
+           |    CASE WHEN list_position(bs, k) IS NULL THEN cents[k] ELSE ncs[list_position(bs, k)] END) AS cents
+           |  FROM q46c${t - 1} c JOIN q46n$t USING (m))""".stripMargin)
+    }
+    val cf = s"q46c$IvfIters"
+    // encode: Spark's augmented 9-dim fold — fold8(x·c) + 1.0·(−‖c‖²/2),
+    // first-wins strict-> argmax over the 16 entries
+    ctes += ("q46enc" ->
+      s"""(SELECT vec_id AS n_id, list(code ORDER BY m) AS codes FROM
+         |  (SELECT vec_id, m, list_position(scs, list_max(scs)) AS code FROM
+         |    (SELECT e.vec_id, c.m,
+         |       list_transform(c.cents, w ->
+         |         ${dotS(s"list_slice(e.v, c.m * $S + 1, (c.m + 1) * $S)", "w")} + 1.0 * (-(${sqFoldSql("w")}) / 2.0)) AS scs
+         |     FROM q46ef e, $cf c))
+         |  GROUP BY vec_id)""".stripMargin)
+    // per-query LUTs: lut[m][j] = fold8(q_m · c_{m,j})
+    ctes += ("q46lut" ->
+      s"""(SELECT q_id, list(lm ORDER BY m) AS lut FROM
+         |  (SELECT e.vec_id AS q_id, c.m,
+         |     list_transform(c.cents, w -> ${dotS(s"list_slice(e.v, c.m * $S + 1, (c.m + 1) * $S)", "w")}) AS lm
+         |   FROM q46ef e, $cf c WHERE e.vec_id < $QueryCount)
+         |  GROUP BY q_id)""".stripMargin)
+    ctes += ("q46rk" ->
+      s"""(SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${M + 1}), m -> lut[m][codes[m]])),
+         |      (acc, x) -> acc + x) DESC, n_id) AS rk
+         |  FROM q46enc, q46lut WHERE q_id <> n_id)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      s"SELECT q_id, n_id, rk::INTEGER AS rk FROM q46rk WHERE rk <= $AnnTopK ORDER BY q_id, rk")
+  }
+
   // --- C14 q36: symmetric int8 embedding quantization ----------------------
   /** q_i = round(127 · x_i / max|x|) — the standard max-abs int8 storage /
     * compute reduction for embedding corpora. Entirely map-side (zero
