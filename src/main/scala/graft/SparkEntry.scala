@@ -78,7 +78,8 @@ object SparkEntry {
     "q57_dsir_weights"    -> (CurationOps.dsirWeights _),
     "q58_token_entropy"   -> (TrainingOps.tokenEntropy _),
     "q59_pmi_collocations" -> (TextOps.pmiCollocations _),
-    "q60_winnow_fingerprints" -> (TextOps.winnowFingerprints _)
+    "q60_winnow_fingerprints" -> (TextOps.winnowFingerprints _),
+    "q61_topk_agg"        -> (Relational.q61 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -141,7 +142,8 @@ object SparkEntry {
     "q59_pmi_collocations" -> TextOps.pmiCollocationsSql,
     "q60_winnow_fingerprints" -> TextOps.winnowFingerprintsSql,
     "q32_ann_ivf"         -> VectorOps.annIvfSql,
-    "q46_ann_pq"          -> VectorOps.annPqSql
+    "q46_ann_pq"          -> VectorOps.annPqSql,
+    "q61_topk_agg"        -> Relational.q61Sql
     // q25/q26/q29/q30 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
     // probes/pairs are engine-identical, not probabilistically equivalent

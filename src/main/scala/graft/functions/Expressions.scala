@@ -357,6 +357,20 @@ object Expressions {
 
   // Column-facing wrappers
   import GraftColumnBridge.{toColumn, toExpression}
+
+  /** Bounded-heap top-k aggregate (Spark's internal `CollectTopK`,
+    * surfaced as a Column): keeps the k LARGEST values of the child under
+    * its type's ordering (struct children compare field by field). This is
+    * an ObjectHashAggregate with PARTIAL aggregation — each map task keeps
+    * ≤ k rows per group before the shuffle — which is the scale-correct
+    * replacement for `row_number().over(window) <= k`: the window plan
+    * shuffles the WHOLE table and sorts every partition; this shuffles at
+    * most k·groups rows per map task and never sorts the corpus.
+    */
+  def collect_topk(c: Column, k: Int): Column =
+    toColumn(
+      org.apache.spark.sql.catalyst.expressions.aggregate.GraftAggBridge
+        .collectTopK(toExpression(c), k))
   def poly_fingerprint(c: Column): Column = toColumn(PolyFingerprint(toExpression(c)))
   def simhash64(c: Column): Column        = toColumn(SimHash64(toExpression(c)))
   def hyperplane_bucket(c: Column, table: Int, planes: Int): Column =

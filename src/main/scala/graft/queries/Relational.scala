@@ -216,6 +216,42 @@ object Relational {
       | FROM orders)
       |WHERE rk <= 10 ORDER BY o_orderpriority, rk""".stripMargin
 
+  // --- B24 q61: heap-based top-k per group (no sort of the corpus) ---------
+  /** q08's exact semantics via a bounded-heap aggregate instead of a window
+    * rank. The window plan shuffles EVERY order row and sorts each
+    * partition before discarding all but k rows per group; `collect_topk`
+    * keeps ≤ k rows per group inside each map task (partial
+    * ObjectHashAggregate), so the exchange carries at most k·groups rows
+    * per map partition and nothing ever sorts the corpus — the plan that
+    * survives a 100× fact-table scale-up. The heap key
+    * (price, −orderkey) makes "k largest" equal the window's rank ≤ k
+    * under (price DESC, orderkey ASC); orderkey rides as a third struct
+    * field (never compared — the first two are unique). The final in-row
+    * `array_sort` touches ≤ k elements per group.
+    */
+  def q61(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Expressions.collect_topk
+    val item = struct(
+      col("o_totalprice").as("p"),
+      (-col("o_orderkey")).as("nk"),
+      col("o_orderkey").as("o_orderkey"))
+    Tables
+      .orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(collect_topk(item, 10).as("top"))
+      .select(col("o_orderpriority"), posexplode(reverse(array_sort(col("top")))))
+      .select(
+        col("o_orderpriority"),
+        col("col.o_orderkey").as("o_orderkey"),
+        (col("pos") + 1).cast("int").as("rk"))
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
+  /** Identical output to q08 by design — the oracle IS the window
+    * formulation, which is the point: same semantics, better plan.
+    */
+  val q61Sql: String = q08Sql
+
   // --- B9: anti + semi join (orders with/without lineitems) ----------------
   def q09(spark: SparkSession, dir: String): DataFrame = {
     val o  = Tables.orders(spark, dir)

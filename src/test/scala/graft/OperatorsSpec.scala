@@ -300,6 +300,17 @@ class OperatorsSpec extends SparkSpec {
     assert(rank("fizz buzz") < rank("alpha gamma"), s"association must beat frequency: $got")
   }
 
+  test("B24 q61: heap top-k aggregate equals the window rank formulation, sort-free") {
+    val viaHeap   = Relational.q61(spark, Sf0001).collect().toSeq
+    val viaWindow = Relational.q08(spark, Sf0001).collect().toSeq
+    assert(viaHeap == viaWindow)
+    val p = Relational.q61(spark, Sf0001).queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), s"expected a heap aggregate plan:\n$p")
+    assert(p.contains("partial_collect_top_k"),
+      s"expected partial (map-side) top-k aggregation:\n$p")
+    assert(!p.contains("Window"), s"q61 must not fall back to a window sort:\n$p")
+  }
+
   test("C38 q60: winnowed fingerprints are the rightmost window minima") {
     import spark.implicits._
     val (kk, ww) = (TextOps.WinnowK, TextOps.WinnowW)

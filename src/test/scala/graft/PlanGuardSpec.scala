@@ -63,7 +63,8 @@ class PlanGuardSpec extends SparkSpec {
       // bigram agg + unigram agg (persisted, counted once) + join; totals
       // broadcast, top-k is TakeOrdered
       "q59_pmi_collocations" -> 3,
-      "q60_winnow_fingerprints" -> 1 // in-row hash + window fold; sort only
+      "q60_winnow_fingerprints" -> 1, // in-row hash + window fold; sort only
+      "q61_topk_agg"      -> 2 // heap agg (partial → final) + output sort; NO window
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
