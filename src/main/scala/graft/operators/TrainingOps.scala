@@ -531,4 +531,106 @@ object TrainingOps {
          |WHERE rk <= $StrataSampleK ORDER BY source, rk""".stripMargin
     )
   }
+
+  // --- q62: Bloom-filter membership gate ------------------------------------
+  val BloomBits = 8192
+  val BloomK    = 4
+
+  /** Bloom-filter ingest gate — the sketch twin of q52's exact leg: a NEW
+    * batch (odd doc_ids) probes a fixed-size Bloom filter built over the
+    * existing snapshot's (even doc_ids) content hashes, and each batch doc
+    * gets `dup` / `new` / `false_positive` by comparing the filter's answer
+    * with exact key membership. Key = `xxhash64(text)`; probe i sets bit
+    * `pmod(xxhash64(text, i), m)` — the i-th probe reuses the one string
+    * hash (`hashInt(i, hashBytes(text, 42))`), so hashing cost is one text
+    * pass regardless of [[BloomK]].
+    *
+    * Scale shape (the point of a Bloom gate at 100 TB): the filter build is
+    * a [[BloomBits]]/64-row `bit_or` aggregate with map-side combine —
+    * fixed size regardless of corpus size, like q44's count-min — and the
+    * probe side joins that bounded table broadcast. Only the exact-truth
+    * comparison (which production would SKIP — it is the gate's own
+    * false-positive audit) shuffles on the content key.
+    */
+  def bloomGate(spark: SparkSession, dir: String): DataFrame =
+    bloomGateOf(docs(spark, dir))
+
+  private[graft] def bloomGateOf(d: DataFrame): DataFrame = {
+    val posCols = (0 until BloomK).map { i =>
+      expr(s"cast(pmod(xxhash64(text, $i), $BloomBits) AS int)").as(s"p$i")
+    }
+    val keyed = d.select(col("doc_id") +: xxhash64(col("text")).as("key") +: posCols: _*)
+    val positions = keyed
+      .select(
+        col("doc_id"),
+        col("key"),
+        explode(array((0 until BloomK).map(i => col(s"p$i")): _*)).as("pos"))
+      .select(col("doc_id"), col("key"), expr("pos div 64").as("word"), (col("pos") % 64).as("bit"))
+    val bloom = positions
+      .filter(col("doc_id") % 2 === 0)
+      .groupBy(col("word"))
+      .agg(bit_or(expr("shiftleft(1L, bit)")).as("w"))
+    val bloomHits = positions
+      .filter(col("doc_id") % 2 =!= 0)
+      .join(broadcast(bloom), Seq("word"), "left")
+      .withColumn(
+        "present",
+        coalesce(col("w").bitwiseAND(expr("shiftleft(1L, bit)")) =!= 0, lit(false)))
+      .groupBy(col("doc_id"), col("key"))
+      .agg(min(col("present").cast("int")).as("bloom_hit"))
+    val snapKeys = keyed
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("key"))
+      .distinct()
+      .withColumn("exact_hit", lit(1))
+    bloomHits
+      .join(snapKeys, Seq("key"), "left")
+      .select(
+        col("doc_id"),
+        col("bloom_hit"),
+        coalesce(col("exact_hit"), lit(0)).as("exact_hit"),
+        when(coalesce(col("exact_hit"), lit(0)) === 1, "dup")
+          .when(col("bloom_hit") === 1, "false_positive")
+          .otherwise("new")
+          .as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle re-derives key, probe positions, filter words (HUGEINT bit_or —
+    * same bits as Spark's signed longs), presence tests, and verdicts.
+    */
+  lazy val bloomGateSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q62t" -> s"(SELECT doc_id, ${bytesOf("text")} AS b FROM documents)"
+    )
+    val hb = hashBytesChain("q62hx", "q62t", Seq("doc_id"), "42", "hs")
+    ctes ++= hb.ctes
+    ctes += ("q62pd" -> s"(SELECT doc_id, hs, i FROM ${hb.last}, range(0, $BloomK) r(i))")
+    val hi = new SqlChain("q62hi", "q62pd", Seq("doc_id", "hs", "i"))
+    hashIntLevels(hi, "i", "hs", "hp")
+    ctes ++= hi.ctes
+    ctes += ("q62pos" ->
+      s"""(SELECT doc_id, pos // 64 AS word, (pos % 64)::INTEGER AS bit FROM
+         |  (SELECT doc_id, ((${toSigned("hp")} % $BloomBits + $BloomBits) % $BloomBits)::INTEGER AS pos FROM ${hi.last}))""".stripMargin)
+    ctes += ("q62bloom" ->
+      s"(SELECT word, bit_or(1::HUGEINT << bit) AS w FROM q62pos WHERE doc_id % 2 = 0 GROUP BY word)")
+    ctes += ("q62bh" ->
+      s"""(SELECT p.doc_id,
+         |    min(CASE WHEN b.w IS NOT NULL AND (b.w & (1::HUGEINT << p.bit)) <> 0 THEN 1 ELSE 0 END) AS bloom_hit
+         |  FROM q62pos p LEFT JOIN q62bloom b USING (word)
+         |  WHERE p.doc_id % 2 <> 0 GROUP BY p.doc_id)""".stripMargin)
+    ctes += ("q62sk" -> s"(SELECT DISTINCT hs FROM ${hb.last} WHERE doc_id % 2 = 0)")
+    ctes += ("q62ex" ->
+      s"""(SELECT h.doc_id, CASE WHEN s.hs IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+         |  FROM ${hb.last} h LEFT JOIN q62sk s ON h.hs = s.hs WHERE h.doc_id % 2 <> 0)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      s"""SELECT b.doc_id, b.bloom_hit::INTEGER AS bloom_hit, e.exact_hit::INTEGER AS exact_hit,
+         |  CASE WHEN e.exact_hit = 1 THEN 'dup'
+         |       WHEN b.bloom_hit = 1 THEN 'false_positive'
+         |       ELSE 'new' END AS verdict
+         |FROM q62bh b JOIN q62ex e ON b.doc_id = e.doc_id
+         |ORDER BY b.doc_id""".stripMargin)
+  }
 }

@@ -64,7 +64,10 @@ class PlanGuardSpec extends SparkSpec {
       // broadcast, top-k is TakeOrdered
       "q59_pmi_collocations" -> 3,
       "q60_winnow_fingerprints" -> 1, // in-row hash + window fold; sort only
-      "q61_topk_agg"      -> 2 // heap agg (partial → final) + output sort; NO window
+      "q61_topk_agg"      -> 2, // heap agg (partial → final) + output sort; NO window
+      // fixed 128-word bit_or agg (broadcast back) + per-doc min agg +
+      // snapshot-key distinct + exact-truth key join + sort
+      "q62_bloom_gate"    -> 6
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>

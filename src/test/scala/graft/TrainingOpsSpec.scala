@@ -189,4 +189,30 @@ class TrainingOpsSpec extends SparkSpec {
       assert(ttr > 0.0 && ttr <= 1.0)
     }
   }
+
+  test("q62: bloom gate flags planted dups and never false-negatives") {
+    val d = Seq(
+      (0L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta"),
+      (4L, "eta theta iota"),
+      (1L, "alpha beta gamma"), // exact copy of snapshot doc 0
+      (3L, "completely fresh content nowhere else")
+    ).toDF("doc_id", "text")
+    val got = TrainingOps.bloomGateOf(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got.keySet == Set(1L, 3L)) // only the batch gets verdicts
+    assert(got(1L) == ((1, 1, "dup")))
+    // a Bloom filter admits false positives, never false negatives
+    assert(got(3L)._2 == 0)
+    assert(got(3L)._3 == (if (got(3L)._1 == 1) "false_positive" else "new"))
+    got.values.foreach { case (bh, eh, _) => assert(eh == 0 || bh == 1) }
+    // corpus run: verdict consistency at sf0.001
+    val corpus = TrainingOps.bloomGate(spark, Sf0001).collect()
+    corpus.foreach { r =>
+      val (bh, eh, v) = (r.getInt(1), r.getInt(2), r.getString(3))
+      assert(eh == 0 || bh == 1, s"false negative for doc ${r.getLong(0)}")
+      val expect = if (eh == 1) "dup" else if (bh == 1) "false_positive" else "new"
+      assert(v == expect)
+    }
+  }
 }
