@@ -80,7 +80,8 @@ object SparkEntry {
     "q59_pmi_collocations" -> (TextOps.pmiCollocations _),
     "q60_winnow_fingerprints" -> (TextOps.winnowFingerprints _),
     "q61_topk_agg"        -> (Relational.q61 _),
-    "q62_bloom_gate"      -> (TrainingOps.bloomGate _)
+    "q62_bloom_gate"      -> (TrainingOps.bloomGate _),
+    "q63_hll_distinct"    -> (TrainingOps.hllDistinct _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -145,7 +146,8 @@ object SparkEntry {
     "q32_ann_ivf"         -> VectorOps.annIvfSql,
     "q46_ann_pq"          -> VectorOps.annPqSql,
     "q61_topk_agg"        -> Relational.q61Sql,
-    "q62_bloom_gate"      -> TrainingOps.bloomGateSql
+    "q62_bloom_gate"      -> TrainingOps.bloomGateSql,
+    "q63_hll_distinct"    -> TrainingOps.hllDistinctSql
     // q25/q26/q29/q30 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
     // probes/pairs are engine-identical, not probabilistically equivalent

@@ -633,4 +633,112 @@ object TrainingOps {
          |FROM q62bh b JOIN q62ex e ON b.doc_id = e.doc_id
          |ORDER BY b.doc_id""".stripMargin)
   }
+
+  // --- q63: HyperLogLog distinct-count sketch -------------------------------
+  val HllRegisters = 256 // b = 8 index bits → σ ≈ 1.04/√256 ≈ 6.5 %
+
+  /** HyperLogLog over the q42 key domain (`xxhash64(l_orderkey)`), reported
+    * next to the exact distinct count — the fixed-memory complement to
+    * q42's KMV: register j = top 8 hash bits, rank ρ = leading-zero count
+    * of the low-56-bit remainder + 1 (computed with INTEGER string logic —
+    * `57 − bitlen` via `bin()` — no float log anywhere), registers merged
+    * by `max`.
+    *
+    * Scale shape: ONE scan with a map-side partial `max` into at most
+    * [[HllRegisters]] keys — the shuffle is 256 rows regardless of corpus
+    * size, and unlike KMV's TakeOrdered the register merge is a plain
+    * commutative aggregate, which is why HLL is the sketch that unions
+    * across shards/days for free. The exact-count branch (the sketch's own
+    * error audit, skipped in production) is the only real shuffle.
+    *
+    * Determinism: the Σ2^(−M_j) fold runs in register order over a 256-slot
+    * in-row array on both engines; 2^(−M) terms are exact powers of two;
+    * the α constant is the same literal expression text in both engines.
+    * The linear-counting branch's `ln` never fires above 640 distinct —
+    * exercised by the spec's synthetic corpus instead.
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame =
+    hllDistinctOf(
+      Tables.lineitem(spark, dir).select(xxhash64(col("l_orderkey")).as("h")),
+      Tables
+        .lineitem(spark, dir)
+        .select(xxhash64(col("l_orderkey")).as("h"))
+        .distinct()
+        .agg(count(lit(1)).as("n_distinct")))
+
+  private[graft] def hllDistinctOf(hashes: DataFrame, exact: DataFrame): DataFrame = {
+    val m = HllRegisters
+    val regs = hashes
+      .select(
+        expr("cast(shiftrightunsigned(h, 56) AS int)").as("j"),
+        expr(s"h & ${(1L << 56) - 1}").as("r"))
+      .select(
+        col("j"),
+        (lit(57) - length(expr("trim(LEADING '0' FROM bin(r))"))).as("rho"))
+      .groupBy(col("j"))
+      .agg(max(col("rho")).as("mj"))
+    val sketch = regs
+      .agg(map_from_entries(collect_list(struct(col("j"), col("mj")))).as("mm"))
+      .select(expr(s"transform(sequence(0, ${m - 1}), j -> coalesce(element_at(mm, j), 0))").as("ms"))
+      .select(
+        expr("aggregate(ms, 0D, (acc, x) -> acc + pow(2.0D, -x))").as("s"),
+        expr("size(filter(ms, x -> x = 0))").as("v_zero"))
+    sketch
+      .crossJoin(exact) // 1-row × 1-row: bounded by construction
+      .select(
+        lit(m).as("m"),
+        col("v_zero"),
+        round(
+          expr(s"CASE WHEN (0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 / s <= 2.5 * $m.0 AND v_zero > 0" +
+            s" THEN $m.0 * ln($m.0 / v_zero)" +
+            s" ELSE (0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 / s END"),
+          2
+        ).as("est_distinct"),
+        col("n_distinct"),
+        round(
+          expr(s"CASE WHEN (0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 / s <= 2.5 * $m.0 AND v_zero > 0" +
+            s" THEN $m.0 * ln($m.0 / v_zero)" +
+            s" ELSE (0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 / s END / n_distinct - 1"),
+          4
+        ).as("rel_err"))
+  }
+
+  /** Oracle rebuilds registers from the emulated hash (integer-exact rank
+    * via the same `57 − bitlen` string logic) and folds Σ2^(−M_j) in the
+    * same register order.
+    */
+  lazy val hllDistinctSql: String = {
+    import graft.functions.DuckHash._
+    val m = HllRegisters
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q63in" -> "(SELECT l, l::HUGEINT AS lu FROM (SELECT DISTINCT l_orderkey AS l FROM lineitem))"
+    )
+    val ch = new SqlChain("q63h", "q63in", Seq("l", "lu"))
+    hashLongLevels(ch, s"${toUnsigned("lu")}", "42", "h")
+    ctes ++= ch.ctes
+    ctes += ("q63r" ->
+      s"""(SELECT (h // 72057594037927936)::INTEGER AS j,
+         |    57 - length(ltrim(bin((h % 72057594037927936)::BIGINT), '0')) AS rho
+         |  FROM ${ch.last})""".stripMargin)
+    ctes += ("q63reg" -> "(SELECT j, max(rho) AS mj FROM q63r GROUP BY j)")
+    ctes += ("q63full" ->
+      s"""(SELECT list_transform(range(0, $m), k ->
+         |    CASE WHEN list_position(bs, k) IS NULL THEN 0 ELSE ms[list_position(bs, k)] END) AS fl FROM
+         |  (SELECT list(j ORDER BY j) AS bs, list(mj ORDER BY j) AS ms FROM q63reg))""".stripMargin)
+    ctes += ("q63sk" ->
+      """(SELECT list_reduce(list_prepend(0.0::DOUBLE, list_transform(fl, x -> pow(2.0, -x))), (acc, y) -> acc + y) AS s,
+        |    len(list_filter(fl, x -> x = 0)) AS v_zero FROM q63full)""".stripMargin)
+    ctes += ("q63ex" -> "(SELECT count(*) AS n_distinct FROM q63in)")
+    val estExpr =
+      s"CASE WHEN (0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 / s <= 2.5 * $m.0 AND v_zero > 0" +
+        s" THEN $m.0 * ln($m.0 / v_zero)" +
+        s" ELSE (0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 / s END"
+    assemble(
+      ctes.toSeq,
+      s"""SELECT $m AS m, v_zero::INTEGER AS v_zero,
+         |  round($estExpr, 2) AS est_distinct,
+         |  n_distinct,
+         |  round($estExpr / n_distinct - 1, 4) AS rel_err
+         |FROM q63sk, q63ex""".stripMargin)
+  }
 }

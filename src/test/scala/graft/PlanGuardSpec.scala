@@ -67,7 +67,9 @@ class PlanGuardSpec extends SparkSpec {
       "q61_topk_agg"      -> 2, // heap agg (partial → final) + output sort; NO window
       // fixed 128-word bit_or agg (broadcast back) + per-doc min agg +
       // snapshot-key distinct + exact-truth key join + sort
-      "q62_bloom_gate"    -> 6
+      "q62_bloom_gate"    -> 6,
+      // 256-register max agg + distinct exact count; 1-row × 1-row join
+      "q63_hll_distinct"  -> 4
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -122,9 +124,10 @@ class PlanGuardSpec extends SparkSpec {
     // broadcast (the q28 shape) — both bounded by construction.
     // q59 crossJoins its one-row token-total aggregate onto the min-count-
     // filtered collocation table — bounded like q49's stats broadcast.
+    // q63 joins two single-row aggregates (HLL sketch × exact count), q42's shape.
     val allowed =
       Set("q28_cosine_topk", "q15_scalar_subquery", "q42_kmv_distinct", "q46_ann_pq",
-        "q49_bm25", "q55_hybrid_rrf", "q59_pmi_collocations")
+        "q49_bm25", "q55_hybrid_rrf", "q59_pmi_collocations", "q63_hll_distinct")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),

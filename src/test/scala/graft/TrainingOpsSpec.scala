@@ -215,4 +215,20 @@ class TrainingOpsSpec extends SparkSpec {
       assert(v == expect)
     }
   }
+
+  test("q63: HLL estimate is within sketch error; linear counting fires on tiny sets") {
+    import org.apache.spark.sql.functions.{col, count, lit, xxhash64}
+    // raw branch on the corpus (distinct orders >> 2.5·m): σ ≈ 6.5 % at m=256
+    val row = TrainingOps.hllDistinct(spark, Sf0001).collect().head
+    val (est, n) = (row.getAs[Double]("est_distinct"), row.getAs[Long]("n_distinct"))
+    assert(n > 640, s"raw-branch precondition: $n distinct")
+    assert(math.abs(est / n - 1) < 0.25, s"est $est vs exact $n")
+    // linear-counting branch: 50 distinct keys leave most registers zero
+    val tiny = (1L to 50L).toDF("k").select(xxhash64(col("k")).as("h"))
+    val ex   = tiny.distinct().agg(count(lit(1)).as("n_distinct"))
+    val r2   = TrainingOps.hllDistinctOf(tiny, ex).collect().head
+    assert(r2.getAs[Int]("v_zero") > 0)
+    assert(math.abs(r2.getAs[Double]("est_distinct") / 50.0 - 1) < 0.3,
+      s"linear-counting est ${r2.getAs[Double]("est_distinct")}")
+  }
 }
