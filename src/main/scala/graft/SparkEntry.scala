@@ -81,7 +81,8 @@ object SparkEntry {
     "q60_winnow_fingerprints" -> (TextOps.winnowFingerprints _),
     "q61_topk_agg"        -> (Relational.q61 _),
     "q62_bloom_gate"      -> (TrainingOps.bloomGate _),
-    "q63_hll_distinct"    -> (TrainingOps.hllDistinct _)
+    "q63_hll_distinct"    -> (TrainingOps.hllDistinct _),
+    "q64_shared_runs"     -> (TextOps.sharedRuns _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -147,7 +148,8 @@ object SparkEntry {
     "q46_ann_pq"          -> VectorOps.annPqSql,
     "q61_topk_agg"        -> Relational.q61Sql,
     "q62_bloom_gate"      -> TrainingOps.bloomGateSql,
-    "q63_hll_distinct"    -> TrainingOps.hllDistinctSql
+    "q63_hll_distinct"    -> TrainingOps.hllDistinctSql,
+    "q64_shared_runs"     -> TextOps.sharedRunsSql
     // q25/q26/q29/q30 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
     // probes/pairs are engine-identical, not probabilistically equivalent

@@ -322,7 +322,14 @@ object TextOps {
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
     winnowFingerprintsOf(docs(spark, dir))
 
-  private[graft] def winnowFingerprintsOf(corpus: DataFrame): DataFrame = {
+  private[graft] def winnowFingerprintsOf(corpus: DataFrame): DataFrame =
+    winnowFps(corpus).orderBy(col("doc_id"), col("pos"))
+
+  /** Unsorted (doc_id, pos, fp) winnowing output — shared by q60 and the
+    * q64 shared-run detector (which aggregates it and must not inherit a
+    * pointless pre-sort).
+    */
+  private[graft] def winnowFps(corpus: DataFrame): DataFrame = {
     // The hash sequence is BOUND as a lambda variable (transform over a
     // one-element array) instead of a withColumn: collapsed projections
     // would otherwise inline the whole hs construction into every
@@ -345,7 +352,6 @@ object TextOps {
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), explode(fps).as("f"))
       .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
-      .orderBy(col("doc_id"), col("pos"))
   }
 
   /** Oracle: DISTINCT 4-grams hashed via [[graft.functions.DuckHash]], the
@@ -353,7 +359,10 @@ object TextOps {
     * rightmost-argmin window fold as a nested lambda (scalar BIGINT
     * accumulator — safe from the struct-fold bug documented on q41).
     */
-  lazy val winnowFingerprintsSql: String = {
+  /** CTE chain rebuilding the winnowing output as relation `q60fp`
+    * (doc_id, pos, fp) — shared by the q60 and q64 oracles.
+    */
+  private lazy val winnowCtes: Seq[(String, String)] = {
     import graft.functions.DuckHash._
     val W = WinnowW
     val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
@@ -375,9 +384,81 @@ object TextOps {
          |      w -> list_reduce(list_prepend(w, range(w + 1, w + $W)),
          |             (acc, j) -> CASE WHEN hs[j] <= hs[acc] THEN j ELSE acc END)))) AS pos
          |  FROM q60hs)""".stripMargin)
+    ctes += ("q60fp" -> "(SELECT doc_id, pos::INTEGER AS pos, hs[pos] AS fp FROM q60sel)")
+    ctes.toSeq
+  }
+
+  lazy val winnowFingerprintsSql: String = {
+    import graft.functions.DuckHash.assemble
+    assemble(winnowCtes, "SELECT doc_id, pos, fp FROM q60fp ORDER BY doc_id, pos")
+  }
+
+  // --- q64: cross-doc shared-run detection ----------------------------------
+  val SharedRunMaxFpDocs = 16
+
+  /** Which document PAIRS share long token runs — the cross-doc consumer of
+    * q60's fingerprints (exact-substring-duplication evidence, the
+    * Lee-et-al. "deduplicating training data" family): any run of
+    * ≥ W+K−1 = 7 shared tokens is GUARANTEED to surface as ≥1 shared
+    * fingerprint. Per pair: the number of shared distinct fingerprints and
+    * a containment ratio (shared / the smaller doc's fingerprint count).
+    *
+    * Scale shape: pairs come from the LSH bucket-expansion idiom — one
+    * aggregate keyed on the fingerprint, doc pairs expanded IN-ROW from
+    * each fingerprint's sorted doc set, never a fingerprint self-join.
+    * Fingerprints present in more than [[SharedRunMaxFpDocs]] docs are
+    * boilerplate (the q39/q51 stop-gram rule): dropped before expansion,
+    * which caps the quadratic fan-out per fingerprint by construction.
+    * The per-doc totals ride a doc-keyed join that AQE broadcasts (the
+    * pair side is tiny after aggregation).
+    */
+  def sharedRuns(spark: SparkSession, dir: String): DataFrame =
+    sharedRunsOf(docs(spark, dir))
+
+  private[graft] def sharedRunsOf(corpus: DataFrame): DataFrame = {
+    val fps = winnowFps(corpus).select(col("doc_id"), col("fp")).distinct()
+    val tot = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("tot"))
+    val pairs = fps
+      .groupBy(col("fp"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, SharedRunMaxFpDocs))
+      .select(explode(expr(pairExpansionSql("ids", "a AS doc_a, b AS doc_b"))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(tot.select(col("doc_id").as("doc_a"), col("tot").as("tot_a")), Seq("doc_a"))
+      .join(tot.select(col("doc_id").as("doc_b"), col("tot").as("tot_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("n_shared"),
+        round(
+          col("n_shared").cast("double") / least(col("tot_a"), col("tot_b")).cast("double"),
+          4).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: the q60 chain + a within-fingerprint pair join under the same
+    * document-frequency gate, with the identical single double division.
+    */
+  lazy val sharedRunsSql: String = {
+    import graft.functions.DuckHash.assemble
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](winnowCtes: _*)
+    ctes += ("q64fps" -> "(SELECT DISTINCT doc_id, fp FROM q60fp)")
+    ctes += ("q64tot" -> "(SELECT doc_id, count(*) AS tot FROM q64fps GROUP BY doc_id)")
+    ctes += ("q64ok" ->
+      s"(SELECT fp FROM q64fps GROUP BY fp HAVING count(*) BETWEEN 2 AND $SharedRunMaxFpDocs)")
+    ctes += ("q64p" ->
+      """(SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM q64fps a JOIN q64ok k USING (fp)
+        |  JOIN q64fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin)
     assemble(
       ctes.toSeq,
-      "SELECT doc_id, pos::INTEGER AS pos, hs[pos] AS fp FROM q60sel ORDER BY doc_id, pos")
+      """SELECT doc_a, doc_b, n_shared,
+        |  round(n_shared::DOUBLE / least(ta.tot, tb.tot)::DOUBLE, 4) AS containment
+        |FROM q64p JOIN q64tot ta ON ta.doc_id = doc_a JOIN q64tot tb ON tb.doc_id = doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
   // --- C5 q24: document fingerprint ----------------------------------------

@@ -311,6 +311,22 @@ class OperatorsSpec extends SparkSpec {
     assert(!p.contains("Window"), s"q61 must not fall back to a window sort:\n$p")
   }
 
+  test("q64: a shared run of W+K-1 tokens is always detected; disjoint docs are not") {
+    import spark.implicits._
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val d = Seq(
+      (1L, s"unique lead-in words here $run trailing bits one"),
+      (2L, s"other intro tokens $run different ending text"),
+      (3L, "totally unrelated material with zero overlap anywhere at all whatsoever")
+    ).toDF("doc_id", "text")
+    val got = TextOps.sharedRunsOf(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // winnowing guarantee: the 9-token shared run must surface >= 1 shared fp
+    assert(got.contains((1L, 2L)), s"guaranteed pair missing: $got")
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      s"disjoint doc flagged: $got")
+  }
+
   test("C38 q60: winnowed fingerprints are the rightmost window minima") {
     import spark.implicits._
     val (kk, ww) = (TextOps.WinnowK, TextOps.WinnowW)

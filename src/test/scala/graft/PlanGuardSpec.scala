@@ -69,7 +69,10 @@ class PlanGuardSpec extends SparkSpec {
       // snapshot-key distinct + exact-truth key join + sort
       "q62_bloom_gate"    -> 6,
       // 256-register max agg + distinct exact count; 1-row × 1-row join
-      "q63_hll_distinct"  -> 4
+      "q63_hll_distinct"  -> 4,
+      // fp distinct + per-doc totals + fp-keyed pair expansion + pair agg
+      // + two doc-keyed total joins + sort; NO fingerprint self-join
+      "q64_shared_runs"   -> 8
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
