@@ -82,7 +82,8 @@ object SparkEntry {
     "q61_topk_agg"        -> (Relational.q61 _),
     "q62_bloom_gate"      -> (TrainingOps.bloomGate _),
     "q63_hll_distinct"    -> (TrainingOps.hllDistinct _),
-    "q64_shared_runs"     -> (TextOps.sharedRuns _)
+    "q64_shared_runs"     -> (TextOps.sharedRuns _),
+    "q65_semdedup"        -> (VectorOps.semDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -149,7 +150,8 @@ object SparkEntry {
     "q61_topk_agg"        -> Relational.q61Sql,
     "q62_bloom_gate"      -> TrainingOps.bloomGateSql,
     "q63_hll_distinct"    -> TrainingOps.hllDistinctSql,
-    "q64_shared_runs"     -> TextOps.sharedRunsSql
+    "q64_shared_runs"     -> TextOps.sharedRunsSql,
+    "q65_semdedup"        -> VectorOps.semDedupSql
     // q25/q26/q29/q30 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
     // probes/pairs are engine-identical, not probabilistically equivalent

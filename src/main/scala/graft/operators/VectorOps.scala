@@ -614,9 +614,17 @@ object VectorOps {
   val NearDupPlanes    = 5
   val NearDupThreshold = 0.35
 
-  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairsRaw(spark, emb(spark, dir))
+      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** The multi-table LSH near-dup pair pipeline with UNROUNDED sims —
+    * shared by q30 (which rounds for output) and q65's semantic dedup
+    * (which thresholds the raw sim like the 0.35 gate does).
+    */
+  private[graft] def nearDupPairsRaw(spark: SparkSession, e: DataFrame): DataFrame = {
     graft.GraftExtensions.register(spark) // graft_dot inside the pair-expansion SQL
-    val e = emb(spark, dir)
     val tables = (0 until NearDupTables).map { t =>
       struct(lit(t).as("tbl"), hyperplane_bucket(col("v"), t, NearDupPlanes).as("bucket"))
     }
@@ -650,8 +658,6 @@ object VectorOps {
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"), col("p.sim").as("sim"))
       .filter(col("sim") >= NearDupThreshold)
       .distinct()
-      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** DuckDB oracle reproducing [[embedNearDup]] bit-for-bit — the
@@ -663,6 +669,18 @@ object VectorOps {
     * output because the cosine is a pure function of the pair).
     */
   lazy val embedNearDupSql: String = {
+    import graft.functions.DuckHash.assemble
+    assemble(
+      nearDupCtes,
+      s"""SELECT a_id, b_id, round(sim, 4) AS sim FROM q30sim
+         |WHERE sim >= $NearDupThreshold
+         |ORDER BY a_id, b_id""".stripMargin)
+  }
+
+  /** Shared CTE chain ending at `q30sim` (a_id, b_id, raw sim) + the
+    * filtered corpus `q30ef` — consumed by the q30 and q65 oracles.
+    */
+  private lazy val nearDupCtes: Seq[(String, String)] = {
     import graft.functions.DuckHash._
     val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
       "q30pd" ->
@@ -701,10 +719,51 @@ object VectorOps {
         |  FROM q30pairs
         |  JOIN (SELECT vec_id, v AS av, nrm AS an FROM q30ef) fa ON fa.vec_id = a_id
         |  JOIN (SELECT vec_id, v AS bv, nrm AS bn FROM q30ef) fb ON fb.vec_id = b_id)""".stripMargin)
+    ctes.toSeq
+  }
+
+  // --- q65: semantic dedup over embeddings (SemDeDup-style) ----------------
+  val SemDedupThreshold = 0.45
+
+  /** Greedy semantic dedup (the SemDeDup recipe, Abbas et al. 2023): a
+    * vector DROPS when the LSH pipeline surfaces a partner with LOWER id at
+    * cosine ≥ [[SemDedupThreshold]]; every corpus vector gets a
+    * keep/drop verdict plus its keeper (itself when kept, the smallest
+    * such partner when dropped). Candidate generation is q30's multi-table
+    * bucket machinery verbatim — recall is the table-count dial, and NO new
+    * scan shapes appear: one bucket agg, one pair distinct, then a
+    * left join of the (tiny) victim set back onto the corpus, which AQE
+    * broadcasts. The threshold gates the RAW cosine, like q30's 0.35 gate.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupOf(spark, emb(spark, dir))
+
+  private[graft] def semDedupOf(spark: SparkSession, e: DataFrame): DataFrame = {
+    val victims = nearDupPairsRaw(spark, e)
+      .filter(col("sim") >= SemDedupThreshold)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(min(col("a_id")).as("keeper"))
+    e.select(col("vec_id"))
+      .join(victims, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        when(col("keeper").isNull, "keep").otherwise("drop").as("action"),
+        coalesce(col("keeper"), col("vec_id")).as("keeper"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: the q30 chain + the same victim aggregation and verdict join. */
+  lazy val semDedupSql: String = {
+    import graft.functions.DuckHash.assemble
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](nearDupCtes: _*)
+    ctes += ("q65v" ->
+      s"(SELECT b_id AS vec_id, min(a_id) AS keeper FROM q30sim WHERE sim >= $SemDedupThreshold GROUP BY b_id)")
     assemble(
       ctes.toSeq,
-      s"""SELECT a_id, b_id, round(sim, 4) AS sim FROM q30sim
-         |WHERE sim >= $NearDupThreshold
-         |ORDER BY a_id, b_id""".stripMargin)
+      """SELECT e.vec_id,
+        |  CASE WHEN v.keeper IS NULL THEN 'keep' ELSE 'drop' END AS action,
+        |  coalesce(v.keeper, e.vec_id) AS keeper
+        |FROM q30ef e LEFT JOIN q65v v ON v.vec_id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin)
   }
 }

@@ -327,6 +327,26 @@ class OperatorsSpec extends SparkSpec {
       s"disjoint doc flagged: $got")
   }
 
+  test("q65: identical vectors dedup to the lowest id; orthogonal ones survive") {
+    import spark.implicits._
+    import graft.functions.Expressions.l2_norm
+    val e = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0, 0.0)), // cos = 1 with vec 1 → drop, keeper 1
+      (5L, Seq(1.0, 1e-3, 0.0, 0.0)), // cos ≈ 1 with vecs 1/2 → drop, keeper 1
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)) // orthogonal → keep
+    ).toDF("vec_id", "v")
+      .select(col("vec_id"), col("v"))
+      .withColumn("nrm", l2_norm(col("v")))
+      .filter(col("nrm") > 0)
+    val got = VectorOps.semDedupOf(spark, e).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("keep", 1L)))
+    assert(got(2L) == (("drop", 1L)))
+    assert(got(5L) == (("drop", 1L)))
+    assert(got(3L) == (("keep", 3L)))
+  }
+
   test("C38 q60: winnowed fingerprints are the rightmost window minima") {
     import spark.implicits._
     val (kk, ww) = (TextOps.WinnowK, TextOps.WinnowW)

@@ -72,7 +72,9 @@ class PlanGuardSpec extends SparkSpec {
       "q63_hll_distinct"  -> 4,
       // fp distinct + per-doc totals + fp-keyed pair expansion + pair agg
       // + two doc-keyed total joins + sort; NO fingerprint self-join
-      "q64_shared_runs"   -> 8
+      "q64_shared_runs"   -> 8,
+      // q30's bucket agg + pair distinct + victim agg + verdict join + sort
+      "q65_semdedup"      -> 6
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
