@@ -555,11 +555,32 @@ object TrainingOps {
   def bloomGate(spark: SparkSession, dir: String): DataFrame =
     bloomGateOf(docs(spark, dir))
 
-  private[graft] def bloomGateOf(d: DataFrame): DataFrame = {
-    val posCols = (0 until BloomK).map { i =>
+  /** The K probe-position expressions, shared verbatim by the batch gate
+    * and the E12 streaming gate so their bit domains cannot drift.
+    */
+  private[graft] def bloomPosCols: Seq[Column] =
+    (0 until BloomK).map { i =>
       expr(s"cast(pmod(xxhash64(text, $i), $BloomBits) AS int)").as(s"p$i")
     }
-    val keyed = d.select(col("doc_id") +: xxhash64(col("text")).as("key") +: posCols: _*)
+
+  /** The built filter as a driver-side word map (≤ [[BloomBits]]/64
+    * entries) — the artifact a streaming query ships as a literal.
+    */
+  def bloomFilterWords(snapshot: DataFrame): Map[Int, Long] = {
+    val positions = snapshot
+      .select(col("doc_id") +: bloomPosCols: _*)
+      .select(explode(array((0 until BloomK).map(i => col(s"p$i")): _*)).as("pos"))
+      .select(expr("pos div 64").as("word"), (col("pos") % 64).as("bit"))
+    positions
+      .groupBy(col("word"))
+      .agg(bit_or(expr("shiftleft(1L, bit)")).as("w"))
+      .collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)) // `div` yields LONG
+      .toMap
+  }
+
+  private[graft] def bloomGateOf(d: DataFrame): DataFrame = {
+    val keyed = d.select(col("doc_id") +: xxhash64(col("text")).as("key") +: bloomPosCols: _*)
     val positions = keyed
       .select(
         col("doc_id"),

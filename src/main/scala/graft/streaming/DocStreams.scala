@@ -131,6 +131,30 @@ object DocStreams {
     * q57 score up to float re-association (batch folds by ascending
     * feature; spec-checked at 1e-6).
     */
+  /** §2.E Bloom-filter gate: q62's built snapshot filter
+    * ([[graft.operators.TrainingOps.bloomFilterWords]], ≤128 longs) rides
+    * as a LITERAL word array over the stream — stateless, shuffle-free
+    * streaming membership: per document, the [[graft.operators
+    * .TrainingOps.bloomPosCols]] probe expressions (shared verbatim with
+    * the batch gate, so the bit domains cannot drift) index the literal
+    * and `maybe_dup` is the all-bits-set test. Like E11's model gate,
+    * refreshing the filter = restarting the query with a new literal —
+    * the streaming form of a broadcast sketch. No false negatives by
+    * construction; false positives are the filter's documented rate.
+    */
+  def bloomGate(stream: DataFrame, filterWords: Map[Int, Long]): DataFrame = {
+    import graft.operators.TrainingOps
+    val words = array(
+      (0 until TrainingOps.BloomBits / 64).map(w => lit(filterWords.getOrElse(w, 0L))): _*)
+    stream
+      .withColumn("ws", words)
+      .withColumn("ps", array(TrainingOps.bloomPosCols.map(c => c): _*))
+      .withColumn(
+        "maybe_dup",
+        expr("forall(ps, p -> (element_at(ws, int(p div 64) + 1) & shiftleft(1L, p % 64)) != 0)"))
+      .select(col("doc_id"), col("ts"), col("maybe_dup"))
+  }
+
   def dsirScoreGate(
       stream: DataFrame,
       model: Map[Long, Double],

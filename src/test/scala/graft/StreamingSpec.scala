@@ -195,6 +195,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("E12: streaming bloom gate matches the batch gate's bloom verdicts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    import graft.operators.TrainingOps
+    val docsDf = graft.core.Tables.documents(spark, Sf0001).select("doc_id", "text")
+    val words  = TrainingOps.bloomFilterWords(docsDf.filter($"doc_id" % 2 === 0))
+    assert(words.nonEmpty && words.size <= TrainingOps.BloomBits / 64)
+    val batch = TrainingOps.bloomGate(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1) == 1)).toMap
+    val sample = docsDf.filter($"doc_id" % 2 =!= 0)
+      .orderBy($"doc_id").limit(20).collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), ts(1)))
+    val in = MemoryStream[Doc]
+    val q = DocStreams
+      .bloomGate(in.toDF(), words)
+      .writeStream.format("memory").queryName("bloom_gate").outputMode("append").start()
+    in.addData(sample.toSeq: _*)
+    q.processAllAvailable()
+    val rows = spark.table("bloom_gate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("maybe_dup"))
+    q.stop()
+    assert(rows.length == 20)
+    rows.foreach { case (id, maybeDup) =>
+      assert(maybeDup == batch(id), s"doc $id: stream $maybeDup vs batch ${batch(id)}")
+    }
+  }
+
   test("E10: stream-static snapshot dedup drops known and repeated content") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
