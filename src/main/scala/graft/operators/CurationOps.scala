@@ -445,10 +445,13 @@ object CurationOps {
     gramCoverageOf(docs(spark, dir))
 
   private[graft] def gramCoverageOf(corpus: DataFrame): DataFrame = {
+    // grams ride as in-row xxhash64 longs (distinctGramHashExpr): both
+    // exchanges on `g` and the owner join compare 8-byte keys, not 8-token
+    // strings — the oracle re-derives the same hashes, so still exact
     val sh = corpus
       .select(col("doc_id"), TextOps.toks.as("toks"))
       .filter(size(col("toks")) >= CovN)
-      .select(col("doc_id"), explode(TextOps.distinctGramExpr(CovN)).as("g"))
+      .select(col("doc_id"), explode(TextOps.distinctGramHashExpr(CovN)).as("g"))
     val owners = sh.groupBy(col("g")).agg(min(col("doc_id")).as("owner"))
     sh.join(owners, "g")
       .groupBy(col("doc_id"))
@@ -461,26 +464,38 @@ object CurationOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Oracle: same grams (shared fragment with q39's oracle via
-    * [[TextOps.duckDistinctGrams]]), min-owner window, integer-exact
-    * counts; the coverage division is BIGINT/BIGINT → DOUBLE in both
-    * engines, rounded to 4 like every ratio oracle in the suite.
+  /** Oracle: the same distinct gram strings, mapped through the emulated
+    * xxhash64 chain (DISTINCT per doc over the HASH, exactly the Spark
+    * side's `array_distinct` over hashed grams), then the same min-owner
+    * window and integer-exact counts; the coverage division is
+    * BIGINT/BIGINT → DOUBLE in both engines, rounded to 4.
     */
-  val gramCoverageSql: String =
-    s"""WITH shq AS (
-       |  SELECT doc_id, unnest(${TextOps.duckDistinctGrams(CovN)}) AS g
-       |  FROM (SELECT doc_id, ${TextOps.DuckToks} AS toks FROM documents)
-       |  WHERE len(toks) >= $CovN),
-       |own AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS owner FROM shq),
-       |agg AS (
-       |  SELECT doc_id, count(*) AS n_grams,
-       |    CAST(sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
-       |  FROM own GROUP BY doc_id)
-       |SELECT doc_id, n_grams, n_seen,
-       |  round(n_seen / n_grams, 4) AS coverage,
-       |  round(n_seen / n_grams, 4) >= $CovDupCut AS is_dup
-       |FROM agg
-       |ORDER BY doc_id""".stripMargin
+  lazy val gramCoverageSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q51g" ->
+        s"""(SELECT doc_id, unnest(${TextOps.duckDistinctGrams(CovN)}) AS gram
+           |  FROM (SELECT doc_id, ${TextOps.DuckToks} AS toks FROM documents)
+           |  WHERE len(toks) >= $CovN)""".stripMargin,
+      "q51d" -> s"(SELECT gram, ${bytesOf("gram")} AS b FROM (SELECT DISTINCT gram FROM q51g))"
+    )
+    val hb = hashBytesChain("q51hx", "q51d", Seq("gram"), "42", "hs")
+    ctes ++= hb.ctes
+    ctes += ("q51f" -> s"(SELECT gram, CAST(${toSigned("hs")} AS BIGINT) AS g FROM ${hb.last})")
+    ctes += ("q51gh" -> "(SELECT DISTINCT doc_id, g FROM q51g JOIN q51f USING (gram))")
+    ctes += ("q51own" -> "(SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS owner FROM q51gh)")
+    ctes += ("q51agg" ->
+      """(SELECT doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+        |  FROM q51own GROUP BY doc_id)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      s"""SELECT doc_id, n_grams, n_seen,
+         |  round(n_seen / n_grams, 4) AS coverage,
+         |  round(n_seen / n_grams, 4) >= $CovDupCut AS is_dup
+         |FROM q51agg
+         |ORDER BY doc_id""".stripMargin)
+  }
 
   // --- q52: incremental dedup (batch vs existing corpus) -------------------
 
@@ -581,10 +596,12 @@ object CurationOps {
     * before it ever crosses the wire.
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // grams as in-row xxhash64 longs (see q51): the one keyed shuffle
+    // moves 8-byte keys; the oracle re-derives identical hashes
     val sh = docs(spark, dir)
       .select(col("doc_id"), col("source"), TextOps.toks.as("toks"))
       .filter(size(col("toks")) >= OverlapN)
-      .select(col("doc_id"), col("source"), explode(TextOps.distinctGramExpr(OverlapN)).as("g"))
+      .select(col("doc_id"), col("source"), explode(TextOps.distinctGramHashExpr(OverlapN)).as("g"))
     sh.groupBy(col("g"))
       .agg(count(lit(1)).as("df"), collect_set(col("source")).as("ss"))
       .filter(col("df") <= OverlapMaxDf && size(col("ss")) >= 2)
@@ -596,19 +613,33 @@ object CurationOps {
       .orderBy(col("source_a"), col("source_b"))
   }
 
-  /** Oracle: same cap, same distinct-per-source join. */
-  val sourceOverlapSql: String =
-    s"""WITH shq AS (
-       |  SELECT doc_id, source, unnest(${TextOps.duckDistinctGrams(OverlapN)}) AS g
-       |  FROM (SELECT doc_id, source, ${TextOps.DuckToks} AS toks FROM documents)
-       |  WHERE len(toks) >= $OverlapN),
-       |pruned AS (
-       |  SELECT DISTINCT source, g FROM shq
-       |  WHERE g NOT IN (SELECT g FROM shq GROUP BY g HAVING count(*) > $OverlapMaxDf))
-       |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_grams
-       |FROM pruned a JOIN pruned b ON a.g = b.g AND a.source < b.source
-       |GROUP BY a.source, b.source
-       |ORDER BY source_a, source_b""".stripMargin
+  /** Oracle: same distinct gram strings mapped through the emulated hash
+    * chain (per-doc distinct over the HASH, like the Spark side), same cap,
+    * same distinct-per-source join.
+    */
+  lazy val sourceOverlapSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q54g" ->
+        s"""(SELECT doc_id, source, unnest(${TextOps.duckDistinctGrams(OverlapN)}) AS gram
+           |  FROM (SELECT doc_id, source, ${TextOps.DuckToks} AS toks FROM documents)
+           |  WHERE len(toks) >= $OverlapN)""".stripMargin,
+      "q54d" -> s"(SELECT gram, ${bytesOf("gram")} AS b FROM (SELECT DISTINCT gram FROM q54g))"
+    )
+    val hb = hashBytesChain("q54hx", "q54d", Seq("gram"), "42", "hs")
+    ctes ++= hb.ctes
+    ctes += ("q54f" -> s"(SELECT gram, CAST(${toSigned("hs")} AS BIGINT) AS g FROM ${hb.last})")
+    ctes += ("q54gh" -> "(SELECT DISTINCT doc_id, source, g FROM q54g JOIN q54f USING (gram))")
+    ctes += ("q54pr" ->
+      s"""(SELECT DISTINCT source, g FROM q54gh
+         |  WHERE g NOT IN (SELECT g FROM q54gh GROUP BY g HAVING count(*) > $OverlapMaxDf))""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_grams
+        |FROM q54pr a JOIN q54pr b ON a.g = b.g AND a.source < b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY source_a, source_b""".stripMargin)
+  }
 
   // --- q55: hybrid retrieval via reciprocal-rank fusion ---------------------
 

@@ -66,6 +66,18 @@ object TextOps {
     s"list_distinct(list_transform(generate_series(1, len(toks) - ${n - 1}), i -> $parts))"
   }
 
+  /** [[distinctGramExpr]] with each gram hashed to its `xxhash64` IN-ROW:
+    * the gram-keyed operators (q51/q54) shuffle and join 8-byte longs
+    * instead of ~50-byte 8-token strings — ~6× less exchange volume and
+    * long-vs-long join compares, same distinct set (the oracles re-derive
+    * the identical hashes via DuckHash, so this stays hard-verified).
+    */
+  private[operators] def distinctGramHashExpr(n: Int): Column = {
+    val parts = (0 until n).map(j => s"toks[i+$j]").mkString(", ")
+    expr(
+      s"array_distinct(transform(sequence(0, size(toks)-$n), i -> xxhash64(concat_ws(' ', $parts))))")
+  }
+
   /** SQL for the one-pass in-bucket combination expansion over a sorted
     * array column `arr`: every (a, b) pair with a before b, shaped by
     * `structBody` (which references the paired elements as `a`/`b`).

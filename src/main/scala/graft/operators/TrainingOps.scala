@@ -38,7 +38,10 @@ object TrainingOps {
     * construction.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val gramExpr = TextOps.distinctGramExpr(DecontamN)
+    // grams as in-row xxhash64 longs (see q51): the DF-cap window and the
+    // corpus×bench join key 8-byte longs, not 8-token strings; the oracle
+    // re-derives identical hashes via DuckHash
+    val gramExpr = TextOps.distinctGramHashExpr(DecontamN)
     val sh = docs(spark, dir)
       .select(col("doc_id"), TextOps.toks.as("toks"))
       .filter(size(col("toks")) >= DecontamN)
@@ -61,19 +64,33 @@ object TrainingOps {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
-  val decontaminateSql: String = {
-    s"""WITH sh AS (
-       |  SELECT doc_id, unnest(${TextOps.duckDistinctGrams(DecontamN)}) AS g
-       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
-       |  WHERE len(toks) >= $DecontamN),
-       |pruned AS (
-       |  SELECT doc_id, g FROM sh
-       |  WHERE g NOT IN (SELECT g FROM sh GROUP BY g HAVING count(*) > $DecontamMaxDf))
-       |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
-       |FROM pruned c JOIN pruned b ON c.g = b.g
-       |WHERE b.doc_id % $BenchEvery = 0 AND c.doc_id % $BenchEvery <> 0
-       |GROUP BY c.doc_id, b.doc_id
-       |ORDER BY c.doc_id, bench_id""".stripMargin
+  /** Oracle: same distinct gram strings through the emulated hash chain
+    * (per-doc distinct over the HASH, like the Spark side's
+    * `array_distinct` of hashed grams), same DF cap, same join.
+    */
+  lazy val decontaminateSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q39g" ->
+        s"""(SELECT doc_id, unnest(${TextOps.duckDistinctGrams(DecontamN)}) AS gram
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+           |  WHERE len(toks) >= $DecontamN)""".stripMargin,
+      "q39d" -> s"(SELECT gram, ${bytesOf("gram")} AS b FROM (SELECT DISTINCT gram FROM q39g))"
+    )
+    val hb = hashBytesChain("q39hx", "q39d", Seq("gram"), "42", "hs")
+    ctes ++= hb.ctes
+    ctes += ("q39f" -> s"(SELECT gram, CAST(${toSigned("hs")} AS BIGINT) AS g FROM ${hb.last})")
+    ctes += ("q39gh" -> "(SELECT DISTINCT doc_id, g FROM q39g JOIN q39f USING (gram))")
+    ctes += ("q39pr" ->
+      s"""(SELECT doc_id, g FROM q39gh
+         |  WHERE g NOT IN (SELECT g FROM q39gh GROUP BY g HAVING count(*) > $DecontamMaxDf))""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      s"""SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+         |FROM q39pr c JOIN q39pr b ON c.g = b.g
+         |WHERE b.doc_id % $BenchEvery = 0 AND c.doc_id % $BenchEvery <> 0
+         |GROUP BY c.doc_id, b.doc_id
+         |ORDER BY c.doc_id, bench_id""".stripMargin)
   }
 
   // --- q40: deterministic hash split ---------------------------------------
