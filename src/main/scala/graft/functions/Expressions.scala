@@ -294,6 +294,71 @@ object Expressions {
       copy(child = c)
   }
 
+  /** The whole per-document winnowing selection (gram hash sequence +
+    * rightmost-minimum window fold + position dedupe) as ONE compiled call
+    * per row, replacing a doubly-nested higher-order-function expression
+    * whose lambdas Spark evaluates INTERPRETED per element (the q60/q64
+    * hot path: one lambda dispatch per window step per row).
+    *
+    * Semantics are bit-identical to the HOF formulation (and its DuckDB
+    * oracle): gram hash `i` = `xxhash64(concat_ws(' ', toks[i..i+k-1]))`
+    * via the same `XXH64.hashUTF8String(…, 42)`; per window the fold keeps
+    * the RIGHTMOST minimum (`<=` while scanning ascending); dedupe relies
+    * on the selection sequence being non-decreasing — the rightmost-tie
+    * rule means a still-in-window selection is only ever replaced by a
+    * LATER index, so dropping consecutive repeats equals `array_distinct`
+    * in first-occurrence order. Docs shorter than w+k-1 tokens emit
+    * nothing, like the CASE guards they replace.
+    */
+  case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("pos", IntegerType, nullable = false),
+        StructField("fp", LongType, nullable = false))),
+      containsNull = false)
+
+    private val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+    def compute(input: ArrayData): ArrayData = {
+      val n = input.numElements()
+      val m = n - k + 1
+      if (n < k || m < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+      val hs = new Array[Long](m)
+      var i  = 0
+      while (i < m) {
+        val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+        var j     = 0
+        while (j < k) { parts(j) = input.getUTF8String(i + j); j += 1 }
+        hs(i) = XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*), 42L)
+        i += 1
+      }
+      val out  = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var last = -1
+      var ww   = 0
+      while (ww <= m - w) {
+        var acc = ww
+        var j   = ww + 1
+        while (j < ww + w) { if (hs(j) <= hs(acc)) acc = j; j += 1 }
+        if (acc != last) {
+          out += org.apache.spark.sql.catalyst.InternalRow(acc + 1, hs(acc))
+          last = acc
+        }
+        ww += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("winnowFps", this, classOf[WinnowFps].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): WinnowFps = copy(child = c)
+  }
+
   /** Dot product of two array<double> columns, left-to-right accumulation —
     * the SAME summation order as `aggregate(zip_with(a, b, (x,y) -> x*y),
     * 0D, (acc,x) -> acc+x)`, which it replaces: Spark's higher-order
@@ -382,4 +447,6 @@ object Expressions {
   def l2_norm(c: Column): Column = toColumn(L2Norm(toExpression(c)))
   def minhash_signatures(c: Column, k: Int): Column =
     toColumn(MinHashSignatures(toExpression(c), k))
+  def winnow_fps(c: Column, k: Int, w: Int): Column =
+    toColumn(WinnowFps(toExpression(c), k, w))
 }

@@ -342,27 +342,17 @@ object TextOps {
     * pointless pre-sort).
     */
   private[graft] def winnowFps(corpus: DataFrame): DataFrame = {
-    // The hash sequence is BOUND as a lambda variable (transform over a
-    // one-element array) instead of a withColumn: collapsed projections
-    // would otherwise inline the whole hs construction into every
-    // element_at(hs, …) inside the fold — re-hashing the document once per
-    // window step (measured ~8× the entire suite's runtime at sf0.001).
-    val fps = expr(
-      s"""element_at(transform(array(
-         |  CASE WHEN size(toks) >= $WinnowK THEN
-         |    transform(sequence(1, size(toks) - ${WinnowK - 1}),
-         |      i -> xxhash64(concat_ws(' ', slice(toks, i, $WinnowK))))
-         |  ELSE cast(array() AS array<bigint>) END),
-         |  hs -> CASE WHEN size(hs) >= $WinnowW THEN
-         |    transform(
-         |      array_distinct(transform(sequence(1, size(hs) - ${WinnowW - 1}),
-         |        w -> aggregate(sequence(w + 1, w + ${WinnowW - 1}), w,
-         |               (acc, j) -> IF(element_at(hs, j) <= element_at(hs, acc), j, acc)))),
-         |      p -> named_struct('pos', p, 'fp', element_at(hs, p)))
-         |  ELSE cast(array() AS array<struct<pos:int,fp:bigint>>) END), 1)""".stripMargin)
+    // One codegen'd WinnowFps call per row (gram hashing + window fold +
+    // dedupe in compiled code). This replaced a doubly-nested
+    // higher-order-function expression whose lambdas evaluate INTERPRETED
+    // per element — one dispatch per window step per row; 1.26 s → 0.91 s
+    // for q60 at sf0.1 — and before that, a withColumn formulation that
+    // collapsed projections re-inlined into every fold step (~8× the
+    // suite). Same output, same oracle.
+    import graft.functions.Expressions.winnow_fps
     corpus
       .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), explode(fps).as("f"))
+      .select(col("doc_id"), explode(winnow_fps(col("toks"), WinnowK, WinnowW)).as("f"))
       .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
   }
 

@@ -43,7 +43,13 @@ object CodegenCheck {
         graft.functions.Expressions.l2_norm(col("v")).as("nrm"))
       .filter("d IS NOT NULL AND abs(sqrt(d) - nrm) < 1e-9")
       .count()
-    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector, $nc centroid, $nd dot/norm, $nm minhash")
+    val nw = spark.sql(
+      """SELECT split(text, ' ') AS toks
+        |FROM parquet.`/root/testdata/sf0.001/documents.parquet`""".stripMargin)
+      .select(graft.functions.Expressions.winnow_fps(col("toks"), 4, 4).as("fps"))
+      .filter("size(fps) >= 0")
+      .count()
+    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector, $nc centroid, $nd dot/norm, $nm minhash, $nw winnow")
     spark.stop()
   }
 }
