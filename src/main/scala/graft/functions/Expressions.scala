@@ -359,6 +359,105 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): WinnowFps = copy(child = c)
   }
 
+  /** Most-frequent-2-gram count of a token array in ONE compiled pass (the
+    * q41 Gopher-repetition hot path): adjacent-pair multiplicities in a
+    * hash map, max count out. Replaces an interpreted-lambda chain
+    * (transform-concat → array_sort with comparator lambda → struct-
+    * accumulator fold). Mode count ≡ longest equal-run of the sorted gram
+    * array ≡ the oracle's relational GROUP BY route — all three compute
+    * the same integer. Docs under 2 tokens return 0, like the CASE guard
+    * this replaces.
+    */
+  case class Top2GramCount(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    private val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    def compute(arr: ArrayData): Int = {
+      val n = arr.numElements()
+      if (n < 2) return 0
+      val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+      var best   = 0
+      var i      = 0
+      while (i < n - 1) {
+        val g = org.apache.spark.unsafe.types.UTF8String
+          .concatWs(sep, arr.getUTF8String(i), arr.getUTF8String(i + 1))
+        val c = counts.merge(g, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+        if (c > best) best = c
+        i += 1
+      }
+      best
+    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Integer.valueOf(compute(input.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("top2gram", this, classOf[Top2GramCount].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Top2GramCount = copy(c)
+  }
+
+  /** The q36 int8 max-abs quantization summaries in ONE compiled pass:
+    * amax, then per-element `cast(round(x·127/amax) AS int)` with Spark's
+    * own Round semantics (`BigDecimal.setScale(0, HALF_UP)` — half away
+    * from zero, identical to the DuckDB oracle), accumulating
+    * min/max/sum/sum-of-squares. NULL (→ filtered) when the vector has a
+    * NaN or no non-zero element, exactly the `amax > 0 AND NOT isnan`
+    * gate it replaces. Replaces four interpreted higher-order folds per
+    * row.
+    */
+  case class Int8QuantSummary(child: Expression) extends UnaryExpression {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    override def dataType: DataType = StructType(Seq(
+      StructField("q_min", IntegerType, nullable = false),
+      StructField("q_max", IntegerType, nullable = false),
+      StructField("q_sum", LongType, nullable = false),
+      StructField("q_sumsq", LongType, nullable = false)))
+    override def nullable: Boolean = true
+    def compute(arr: ArrayData): Any = {
+      val n       = arr.numElements()
+      var amax    = 0.0
+      var hasNaN  = false
+      var i       = 0
+      while (i < n) {
+        val a = math.abs(arr.getDouble(i))
+        if (a.isNaN) hasNaN = true else if (a > amax) amax = a
+        i += 1
+      }
+      if (hasNaN || amax <= 0) return null
+      var qMin  = Int.MaxValue
+      var qMax  = Int.MinValue
+      var qSum  = 0L
+      var qSsq  = 0L
+      i = 0
+      while (i < n) {
+        val q = java.math.BigDecimal
+          .valueOf(arr.getDouble(i) * 127.0 / amax)
+          .setScale(0, java.math.RoundingMode.HALF_UP)
+          .doubleValue()
+          .toInt
+        if (q < qMin) qMin = q
+        if (q > qMax) qMax = q
+        qSum += q
+        qSsq += q.toLong * q
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(qMin, qMax, qSum, qSsq)
+    }
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("int8sum", this, classOf[Int8QuantSummary].getName)
+      nullSafeCodeGen(ctx, ev, c => {
+        val r = ctx.freshName("v")
+        s"""
+           |Object $r = $self.compute($c);
+           |if ($r == null) { ${ev.isNull} = true; } else {
+           |  ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r;
+           |}
+           |""".stripMargin
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): Int8QuantSummary = copy(c)
+  }
+
   /** Dot product of two array<double> columns, left-to-right accumulation —
     * the SAME summation order as `aggregate(zip_with(a, b, (x,y) -> x*y),
     * 0D, (acc,x) -> acc+x)`, which it replaces: Spark's higher-order
@@ -449,4 +548,6 @@ object Expressions {
     toColumn(MinHashSignatures(toExpression(c), k))
   def winnow_fps(c: Column, k: Int, w: Int): Column =
     toColumn(WinnowFps(toExpression(c), k, w))
+  def top2gram_count(c: Column): Column   = toColumn(Top2GramCount(toExpression(c)))
+  def int8_quant_summary(c: Column): Column = toColumn(Int8QuantSummary(toExpression(c)))
 }

@@ -576,18 +576,17 @@ object VectorOps {
     Tables
       .embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      // NaN vectors dropped explicitly: NaN > 0 is TRUE in both engines,
-      // and downstream they diverge (Spark casts NaN to 0, DuckDB errors)
-      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
-      .filter(col("amax") > 0 && !isnan(col("amax")))
-      .withColumn("q", expr("transform(v, x -> cast(round(x * 127D / amax) AS int))"))
+      // one codegen'd pass (Int8QuantSummary) — replaced five interpreted
+      // higher-order folds per row; the NaN / all-zero gate lives inside
+      // the expression (NULL → filtered), same rule as before
+      .select(col("vec_id"), graft.functions.Expressions.int8_quant_summary(col("v")).as("s"))
+      .filter(col("s").isNotNull)
       .select(
         col("vec_id"),
-        expr("array_min(q)").as("q_min"),
-        expr("array_max(q)").as("q_max"),
-        expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("q_sum"),
-        expr("aggregate(q, 0L, (acc, x) -> acc + cast(x AS bigint) * x)").as("q_sumsq")
-      )
+        col("s.q_min").as("q_min"),
+        col("s.q_max").as("q_max"),
+        col("s.q_sum").as("q_sum"),
+        col("s.q_sumsq").as("q_sumsq"))
       .orderBy(col("vec_id"))
 
   // BIGINT seeds: list_reduce keeps the seed's type as the accumulator, so

@@ -49,7 +49,17 @@ object CodegenCheck {
       .select(graft.functions.Expressions.winnow_fps(col("toks"), 4, 4).as("fps"))
       .filter("size(fps) >= 0")
       .count()
-    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector, $nc centroid, $nd dot/norm, $nm minhash, $nw winnow")
+    val ng = spark.sql(
+      """SELECT split(text, ' ') AS toks
+        |FROM parquet.`/root/testdata/sf0.001/documents.parquet`""".stripMargin)
+      .select(graft.functions.Expressions.top2gram_count(col("toks")).as("c"))
+      .filter("c >= 0")
+      .count()
+    val nq = vecs
+      .select(graft.functions.Expressions.int8_quant_summary(col("v")).as("s"))
+      .filter("s IS NULL OR (s.q_min >= -127 AND s.q_max <= 127)")
+      .count()
+    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector, $nc centroid, $nd dot/norm, $nm minhash, $nw winnow, $ng top2gram, $nq int8")
     spark.stop()
   }
 }
