@@ -458,6 +458,109 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Int8QuantSummary = copy(c)
   }
 
+  /** The hashed 1/2-gram DSIR feature sequence (unigrams then bigrams, in
+    * token order) as one compiled call — the feature-extraction half of
+    * [[DsirScore]], for paths that need the exploded features themselves
+    * (the model-build aggregate, the E11 doc-order fold). Identical hashes
+    * to the `transform(...pmod(xxhash64(...)))` chain it replaces.
+    */
+  case class HashedNgramFeats(child: Expression, buckets: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    def compute(arr: ArrayData): ArrayData = {
+      val n   = arr.numElements()
+      val m   = if (n >= 2) 2 * n - 1 else n
+      val out = new Array[Long](m)
+      def pmod(h: Long): Long = ((h % buckets) + buckets) % buckets
+      var i = 0
+      while (i < n) {
+        out(i) = pmod(XXH64.hashUTF8String(arr.getUTF8String(i), 42L))
+        i += 1
+      }
+      i = 0
+      while (i < n - 1) {
+        out(n + i) = pmod(XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String
+            .concat(arr.getUTF8String(i), sep, arr.getUTF8String(i + 1)),
+          42L))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("ngramFeats", this, classOf[HashedNgramFeats].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): HashedNgramFeats =
+      copy(child = c)
+  }
+
+  /** Map-side DSIR scoring (the q57 apply path): hashed 1/2-gram features
+    * + per-feature counts + the ascending-feature weighted fold, all in
+    * ONE compiled call against the collected ≤B-row model (a reference
+    * object — the batch form of E11's literal-map broadcast). Replaces the
+    * corpus×features (doc, f) shuffle + model join + collect_list + in-row
+    * sort-fold: scoring becomes a pure projection, which is the shape a
+    * 100 TB apply pass needs (the model aggregate still runs distributed —
+    * once, at construction).
+    *
+    * Arithmetic parity with the join formulation (and the oracle): feature
+    * f = `pmod(xxhash64(token | tok·' '·tok), B)` via the same
+    * `XXH64.hashUTF8String`; a TreeMap iterates distinct features
+    * ASCENDING, adding `count · lr` per feature — the exact term order of
+    * `aggregate(array_sort(fws), 0D, (a, x) -> a + x.w)`. Features absent
+    * from the model contribute 0 (impossible when the model was trained on
+    * a corpus containing the doc; the E11 rule otherwise).
+    */
+  case class DsirScore(child: Expression, model: Map[Long, Double], buckets: Int)
+      extends UnaryExpression {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_feat", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    private val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    def compute(arr: ArrayData): Any = {
+      val n      = arr.numElements()
+      val counts = new java.util.TreeMap[java.lang.Long, Int]()
+      def add(h: Long): Unit = {
+        val f = ((h % buckets) + buckets) % buckets
+        counts.merge(java.lang.Long.valueOf(f), 1, (a, b) => a + b)
+      }
+      var i = 0
+      while (i < n) {
+        add(XXH64.hashUTF8String(arr.getUTF8String(i), 42L))
+        i += 1
+      }
+      i = 0
+      while (i < n - 1) {
+        add(XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String
+            .concat(arr.getUTF8String(i), sep, arr.getUTF8String(i + 1)),
+          42L))
+        i += 1
+      }
+      var total = 0L
+      var score = 0.0
+      val it    = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        total += e.getValue.toLong
+        score += e.getValue.toDouble * model.getOrElse(e.getKey.longValue(), 0.0)
+      }
+      org.apache.spark.sql.catalyst.InternalRow(total, score)
+    }
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("dsirScore", this, classOf[DsirScore].getName)
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        c => s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $self.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): DsirScore = copy(child = c)
+  }
+
   /** Dot product of two array<double> columns, left-to-right accumulation —
     * the SAME summation order as `aggregate(zip_with(a, b, (x,y) -> x*y),
     * 0D, (acc,x) -> acc+x)`, which it replaces: Spark's higher-order
@@ -550,4 +653,8 @@ object Expressions {
     toColumn(WinnowFps(toExpression(c), k, w))
   def top2gram_count(c: Column): Column   = toColumn(Top2GramCount(toExpression(c)))
   def int8_quant_summary(c: Column): Column = toColumn(Int8QuantSummary(toExpression(c)))
+  def dsir_score(c: Column, model: Map[Long, Double], buckets: Int): Column =
+    toColumn(DsirScore(toExpression(c), model, buckets))
+  def hashed_ngram_feats(c: Column, buckets: Int): Column =
+    toColumn(HashedNgramFeats(toExpression(c), buckets))
 }

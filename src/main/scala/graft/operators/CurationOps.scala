@@ -794,13 +794,11 @@ object CurationOps {
   /** Hashed 1/2-gram feature buckets over a `toks` column — shared by the
     * batch scorer and the E11 streaming model-apply gate.
     */
-  private[graft] val dsirFeats: Column = expr(
-    s"""concat(
-       |  transform(toks, t -> pmod(xxhash64(t), $DsirBuckets)),
-       |  CASE WHEN size(toks) >= 2 THEN
-       |    transform(sequence(1, size(toks) - 1),
-       |      i -> pmod(xxhash64(concat(element_at(toks, i), ' ', element_at(toks, i + 1))), $DsirBuckets))
-       |  ELSE cast(array() AS array<bigint>) END)""".stripMargin)
+  // Codegen'd HashedNgramFeats (identical hashes/order to the interpreted
+  // transform chain it replaced); shared by the model build and E11's
+  // doc-order fold.
+  private[graft] val dsirFeats: Column =
+    graft.functions.Expressions.hashed_ngram_feats(col("toks"), DsirBuckets)
 
   private def dsirExploded(corpus: DataFrame): DataFrame =
     corpus
@@ -839,23 +837,29 @@ object CurationOps {
     dsirWeightsOf(docs(spark, dir))
 
   private[graft] def dsirWeightsOf(corpus: DataFrame): DataFrame = {
-    val exploded = dsirExploded(corpus)
-    val logRatio = dsirLogRatioOf(exploded)
-
-    exploded
-      .groupBy(col("doc_id"), col("source"), col("f"))
-      .agg(count(lit(1)).as("c"))
-      .join(broadcast(logRatio), "f")
+    // The ≤B-row model is collected once at construction (a driver job,
+    // like the q32/q46 trainers) and rides into the codegen'd DsirScore
+    // expression as a reference object — scoring is a pure projection.
+    // The previous formulation shuffled corpus×features twice ((doc, f)
+    // count agg + doc-level collect_list) and joined the model back; at
+    // 100 TB the apply pass must be map-side, which is also exactly the
+    // E11 streaming shape. Same features, same ascending-feature fold,
+    // same oracle.
+    val model = dsirLogRatioOf(dsirExploded(corpus))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    corpus
+      .select(col("doc_id"), col("source"), TextOps.toks.as("toks"))
       .select(
-        col("doc_id"), col("source"), col("c"),
-        struct(col("f"), (col("c").cast("double") * col("lr")).as("w")).as("fw"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("c")).as("n_feat"), collect_list(col("fw")).as("fws"))
+        col("doc_id"),
+        col("source"),
+        graft.functions.Expressions.dsir_score(col("toks"), model, DsirBuckets).as("s"))
       .select(
-        col("doc_id"), col("source"), col("n_feat"),
-        round(
-          expr("aggregate(array_sort(fws), cast(0 AS double), (a, x) -> a + x.w)"),
-          6).as("dsir_score"))
+        col("doc_id"),
+        col("source"),
+        col("s.n_feat").as("n_feat"),
+        round(col("s.score"), 6).as("dsir_score"))
       .orderBy(col("doc_id"))
   }
 

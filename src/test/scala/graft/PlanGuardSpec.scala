@@ -58,7 +58,9 @@ class PlanGuardSpec extends SparkSpec {
       "q54_source_overlap" -> 3, // gram agg (df + source set) + pair agg + sort
       // q55 intentionally unbudgeted: its two legs are already budgeted
       // shapes (q49 + q28) and the fusion joins ≤ 2k rank rows.
-      "q57_dsir_weights"  -> 4, // model agg (≤B rows) + (doc,f) agg + doc agg + sort
+      // model collected at construction; scoring is a pure projection
+      // (codegen'd DsirScore) — the only exchange is the output sort
+      "q57_dsir_weights"  -> 1,
       "q58_token_entropy" -> 3, // (doc,token) agg + doc agg + sort
       // bigram agg + unigram agg (persisted, counted once) + join; totals
       // broadcast, top-k is TakeOrdered
