@@ -458,6 +458,43 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Int8QuantSummary = copy(c)
   }
 
+  /** Distinct hashed token n-grams in ONE compiled pass — the gram stage
+    * of q39/q51/q54 (`array_distinct(transform(…, xxhash64(concat_ws(…))))`
+    * with interpreted lambdas). Same hashes (`XXH64.hashUTF8String` of the
+    * space-joined gram), same distinct set; first-occurrence order like
+    * `array_distinct` (irrelevant post-explode, kept anyway).
+    */
+  case class HashedGrams(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    def compute(arr: ArrayData): ArrayData = {
+      val len = arr.numElements()
+      val m   = len - n + 1
+      if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i    = 0
+      while (i < m) {
+        val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+        var j     = 0
+        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        seen.add(XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*), 42L))
+        i += 1
+      }
+      val out = new Array[Long](seen.size())
+      val it  = seen.iterator()
+      var k   = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("hashedGrams", this, classOf[HashedGrams].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): HashedGrams = copy(child = c)
+  }
+
   /** The hashed 1/2-gram DSIR feature sequence (unigrams then bigrams, in
     * token order) as one compiled call — the feature-extraction half of
     * [[DsirScore]], for paths that need the exploded features themselves
@@ -657,4 +694,5 @@ object Expressions {
     toColumn(DsirScore(toExpression(c), model, buckets))
   def hashed_ngram_feats(c: Column, buckets: Int): Column =
     toColumn(HashedNgramFeats(toExpression(c), buckets))
+  def hashed_grams(c: Column, n: Int): Column = toColumn(HashedGrams(toExpression(c), n))
 }

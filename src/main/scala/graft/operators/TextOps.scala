@@ -72,11 +72,8 @@ object TextOps {
     * long-vs-long join compares, same distinct set (the oracles re-derive
     * the identical hashes via DuckHash, so this stays hard-verified).
     */
-  private[operators] def distinctGramHashExpr(n: Int): Column = {
-    val parts = (0 until n).map(j => s"toks[i+$j]").mkString(", ")
-    expr(
-      s"array_distinct(transform(sequence(0, size(toks)-$n), i -> xxhash64(concat_ws(' ', $parts))))")
-  }
+  private[operators] def distinctGramHashExpr(n: Int): Column =
+    graft.functions.Expressions.hashed_grams(col("toks"), n)
 
   /** SQL for the one-pass in-bucket combination expansion over a sorted
     * array column `arr`: every (a, b) pair with a before b, shaped by
