@@ -83,7 +83,8 @@ object SparkEntry {
     "q62_bloom_gate"      -> (TrainingOps.bloomGate _),
     "q63_hll_distinct"    -> (TrainingOps.hllDistinct _),
     "q64_shared_runs"     -> (TextOps.sharedRuns _),
-    "q65_semdedup"        -> (VectorOps.semDedup _)
+    "q65_semdedup"        -> (VectorOps.semDedup _),
+    "q66_nb_classify"     -> (CurationOps.nbClassify _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -151,7 +152,8 @@ object SparkEntry {
     "q62_bloom_gate"      -> TrainingOps.bloomGateSql,
     "q63_hll_distinct"    -> TrainingOps.hllDistinctSql,
     "q64_shared_runs"     -> TextOps.sharedRunsSql,
-    "q65_semdedup"        -> VectorOps.semDedupSql
+    "q65_semdedup"        -> VectorOps.semDedupSql,
+    "q66_nb_classify"     -> CurationOps.nbClassifySql
     // q25/q26/q29/q30 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
     // probes/pairs are engine-identical, not probabilistically equivalent

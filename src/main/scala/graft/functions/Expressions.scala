@@ -533,6 +533,93 @@ object Expressions {
       copy(child = c)
   }
 
+  /** Ascending per-feature counts of the hashed 1/2-gram features —
+    * shared by [[DsirScore]] and [[NBClassify]].
+    */
+  private val FeatSep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  private[functions] def ngramFeatureCounts(
+      arr: ArrayData,
+      buckets: Int
+  ): java.util.TreeMap[java.lang.Long, Int] = {
+    val n      = arr.numElements()
+    val counts = new java.util.TreeMap[java.lang.Long, Int]()
+    def add(h: Long): Unit = {
+      val f = ((h % buckets) + buckets) % buckets
+      counts.merge(java.lang.Long.valueOf(f), 1, (a, b) => a + b)
+    }
+    var i = 0
+    while (i < n) {
+      add(XXH64.hashUTF8String(arr.getUTF8String(i), 42L))
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      add(XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String
+          .concat(arr.getUTF8String(i), FeatSep, arr.getUTF8String(i + 1)),
+        42L))
+      i += 1
+    }
+    counts
+  }
+
+  /** Map-side multinomial naive-Bayes classification (the q66 apply path):
+    * one compiled call scores a document against every class of a
+    * COLLECTED model (≤ classes × buckets rows, a reference object) and
+    * returns the argmax class — fastText-style domain tagging as a pure
+    * projection, the same train-distributed / apply-map-side split as
+    * [[DsirScore]].
+    *
+    * Engine-exact by construction: model weights and priors are rounded
+    * to 6 decimals BEFORE scoring (Java `log` and DuckDB `ln` differ by
+    * 1 ulp on ~1 % of inputs — rounding first makes the weights
+    * engine-identical, the q49 rule), scores fold ascending by feature
+    * from the prior, and ties break to the lexicographically first class
+    * (strict `>` over the ascending class array).
+    */
+  case class NBClassify(
+      child: Expression,
+      classes: Array[String],
+      priors: Array[Double],
+      weights: Map[Long, Array[Double]],
+      zeroWeights: Array[Double],
+      buckets: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    private lazy val classUtf8 =
+      classes.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+    def compute(arr: ArrayData): Any = {
+      val counts = Expressions.ngramFeatureCounts(arr, buckets)
+      var best   = 0
+      var bestV  = Double.NegativeInfinity
+      var ci     = 0
+      while (ci < classes.length) {
+        var score = priors(ci)
+        val it    = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val w = weights.get(e.getKey.longValue()) match {
+            case Some(ws) => ws(ci)
+            case None     => zeroWeights(ci)
+          }
+          score += e.getValue.toDouble * w
+        }
+        if (score > bestV) { best = ci; bestV = score }
+        ci += 1
+      }
+      classUtf8(best)
+    }
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("nbClassify", this, classOf[NBClassify].getName)
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        c => s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $self.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): NBClassify = copy(child = c)
+  }
+
   /** Map-side DSIR scoring (the q57 apply path): hashed 1/2-gram features
     * + per-feature counts + the ascending-feature weighted fold, all in
     * ONE compiled call against the collected ≤B-row model (a reference
@@ -556,30 +643,11 @@ object Expressions {
     override def dataType: DataType = StructType(Seq(
       StructField("n_feat", LongType, nullable = false),
       StructField("score", DoubleType, nullable = false)))
-    private val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
     def compute(arr: ArrayData): Any = {
-      val n      = arr.numElements()
-      val counts = new java.util.TreeMap[java.lang.Long, Int]()
-      def add(h: Long): Unit = {
-        val f = ((h % buckets) + buckets) % buckets
-        counts.merge(java.lang.Long.valueOf(f), 1, (a, b) => a + b)
-      }
-      var i = 0
-      while (i < n) {
-        add(XXH64.hashUTF8String(arr.getUTF8String(i), 42L))
-        i += 1
-      }
-      i = 0
-      while (i < n - 1) {
-        add(XXH64.hashUTF8String(
-          org.apache.spark.unsafe.types.UTF8String
-            .concat(arr.getUTF8String(i), sep, arr.getUTF8String(i + 1)),
-          42L))
-        i += 1
-      }
-      var total = 0L
-      var score = 0.0
-      val it    = counts.entrySet().iterator()
+      val counts = Expressions.ngramFeatureCounts(arr, buckets)
+      var total  = 0L
+      var score  = 0.0
+      val it     = counts.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
         total += e.getValue.toLong
@@ -695,4 +763,12 @@ object Expressions {
   def hashed_ngram_feats(c: Column, buckets: Int): Column =
     toColumn(HashedNgramFeats(toExpression(c), buckets))
   def hashed_grams(c: Column, n: Int): Column = toColumn(HashedGrams(toExpression(c), n))
+  def nb_classify(
+      c: Column,
+      classes: Array[String],
+      priors: Array[Double],
+      weights: Map[Long, Array[Double]],
+      zeroWeights: Array[Double],
+      buckets: Int): Column =
+    toColumn(NBClassify(toExpression(c), classes, priors, weights, zeroWeights, buckets))
 }

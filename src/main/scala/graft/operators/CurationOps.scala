@@ -867,22 +867,33 @@ object CurationOps {
     * (the q44 pattern), joined back to instances; same smoothed-ratio
     * expression tree, same ascending-feature fold.
     */
+  /** CTE chain rebuilding the hashed 1/2-gram feature instances as
+    * relation `<pfx>e` (doc_id, source, f) — shared by the q57 and q66
+    * oracles (both consume [[dsirFeats]]' feature space).
+    */
+  private def dsirFeatureCtes(pfx: String): ArrayBuffer[(String, String)] = {
+    import graft.functions.DuckHash._
+    val B = DsirBuckets
+    val ctes = ArrayBuffer[(String, String)](
+      s"${pfx}t" -> s"(SELECT doc_id, source, ${TextOps.DuckToks} AS toks FROM documents)",
+      s"${pfx}g" -> (s"(SELECT doc_id, source, unnest(list_concat(toks, " +
+        s"list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS gram FROM ${pfx}t)"),
+      s"${pfx}d" -> s"(SELECT gram, ${bytesOf("gram")} AS b FROM (SELECT DISTINCT gram FROM ${pfx}g))"
+    )
+    val hb = hashBytesChain(s"${pfx}hx", s"${pfx}d", Seq("gram"), "42", "hs")
+    ctes ++= hb.ctes
+    ctes += (s"${pfx}f" ->
+      s"(SELECT gram, (((${toSigned("hs")} % $B) + $B) % $B) AS f FROM ${hb.last})")
+    ctes += (s"${pfx}e" ->
+      s"(SELECT g.doc_id, g.source, d.f FROM ${pfx}g g JOIN ${pfx}f d ON g.gram = d.gram)")
+    ctes
+  }
+
   lazy val dsirWeightsSql: String = {
     import graft.functions.DuckHash._
-    val B   = DsirBuckets
-    val tgt = DsirTarget.map(s => s"'$s'").mkString(", ")
-    val ctes = ArrayBuffer[(String, String)](
-      "q57t" -> s"(SELECT doc_id, source, ${TextOps.DuckToks} AS toks FROM documents)",
-      "q57g" -> ("(SELECT doc_id, source, unnest(list_concat(toks, " +
-        "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS gram FROM q57t)"),
-      "q57d" -> s"(SELECT gram, ${bytesOf("gram")} AS b FROM (SELECT DISTINCT gram FROM q57g))"
-    )
-    val hb = hashBytesChain("q57hx", "q57d", Seq("gram"), "42", "hs")
-    ctes ++= hb.ctes
-    ctes += ("q57f" ->
-      s"(SELECT gram, (((${toSigned("hs")} % $B) + $B) % $B) AS f FROM ${hb.last})")
-    ctes += ("q57e" ->
-      "(SELECT g.doc_id, g.source, d.f FROM q57g g JOIN q57f d ON g.gram = d.gram)")
+    val B    = DsirBuckets
+    val tgt  = DsirTarget.map(s => s"'$s'").mkString(", ")
+    val ctes = dsirFeatureCtes("q57")
     ctes += ("q57s" ->
       s"""(SELECT f, count(*) AS cr,
          |    CAST(sum(CASE WHEN source IN ($tgt) THEN 1 ELSE 0 END) AS BIGINT) AS ct
@@ -907,4 +918,109 @@ object CurationOps {
     )
   }
 
+  // --- q66: hashed naive-Bayes domain classifier ----------------------------
+
+  /** Multinomial naive Bayes over [[dsirFeats]]' hashed 1/2-gram feature
+    * space, classifying every document's SOURCE — fastText-style domain
+    * tagging without embeddings, the model-based router a data recipe
+    * uses to tag crawl content by domain. Per doc: predicted class +
+    * whether it matches the actual source (the model's own training-set
+    * confusion — the standard first look at class separability).
+    *
+    * Scale split (the q57/E11 pattern): training is ONE distributed
+    * aggregate over (class, feature) — ≤ classes × [[DsirBuckets]] rows,
+    * collected — and the apply pass is a pure projection through the
+    * codegen'd [[graft.functions.Expressions.NBClassify]], zero scoring
+    * shuffles. Cross-engine exactness: weights/priors round to 6 decimals
+    * BEFORE scoring (the q49 log-ulp rule), scores fold ascending by
+    * feature from the prior, argmax ties break to the first class in
+    * sorted order.
+    */
+  def nbClassify(spark: SparkSession, dir: String): DataFrame =
+    nbClassifyOf(docs(spark, dir))
+
+  private[graft] def nbClassifyOf(corpus: DataFrame): DataFrame = {
+    val B = DsirBuckets
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // training: one (class, feature) aggregate + per-class doc counts,
+    // both bounded (≤ classes × B and ≤ classes rows) — driver jobs at
+    // construction, like the ANN trainers
+    val cf = dsirExploded(corpus)
+      .groupBy(col("source"), col("f"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docCounts = corpus
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nd"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val classes = docCounts.keys.toArray.sorted
+    val nDocs   = docCounts.values.sum
+    val tot     = cf.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val w0      = classes.map(c => r6(math.log(1.0 / (tot.getOrElse(c, 0L) + B))))
+    val weights: Map[Long, Array[Double]] = cf
+      .groupBy(_._2)
+      .map { case (f, rows) =>
+        val byCls = rows.map(r => r._1 -> r._3).toMap
+        f -> classes.zipWithIndex.map { case (c, i) =>
+          byCls.get(c) match {
+            case Some(cnt) => r6(math.log((cnt + 1).toDouble / (tot(c) + B)))
+            case None      => w0(i)
+          }
+        }
+      }
+    val priors = classes.map(c => r6(math.log(docCounts(c).toDouble / nDocs)))
+    corpus
+      .select(col("doc_id"), col("source"), TextOps.toks.as("toks"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        graft.functions.Expressions
+          .nb_classify(col("toks"), classes, priors, weights, w0, B)
+          .as("predicted"))
+      .withColumn("correct", col("source") === col("predicted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the q66-prefixed feature chain + the same rounded-weight
+    * model in SQL, scores folded ascending by feature from the prior,
+    * argmax via (score DESC, cls ASC) rank.
+    */
+  lazy val nbClassifySql: String = {
+    import graft.functions.DuckHash._
+    val B    = DsirBuckets
+    val ctes = dsirFeatureCtes("q66")
+    ctes += ("q66cls" -> "(SELECT source AS cls, count(*) AS nd FROM documents GROUP BY source)")
+    ctes += ("q66n" -> "(SELECT count(*) AS n FROM documents)")
+    ctes += ("q66cf" -> "(SELECT source AS cls, f, count(*) AS cnt FROM q66e GROUP BY source, f)")
+    ctes += ("q66tot" -> "(SELECT cls, CAST(sum(cnt) AS BIGINT) AS tot FROM q66cf GROUP BY cls)")
+    ctes += ("q66w" ->
+      s"(SELECT cls, f, round(ln((cnt + 1)::DOUBLE / (tot + $B)::DOUBLE), 6) AS w FROM q66cf JOIN q66tot USING (cls))")
+    ctes += ("q66k" ->
+      s"""(SELECT t.cls, round(ln(1::DOUBLE / (tot + $B)::DOUBLE), 6) AS w0,
+         |    round(ln(nd::DOUBLE / n::DOUBLE), 6) AS prior
+         |  FROM q66tot t JOIN q66cls c ON c.cls = t.cls, q66n)""".stripMargin)
+    ctes += ("q66dc" -> "(SELECT doc_id, f, count(*) AS c FROM q66e GROUP BY doc_id, f)")
+    ctes += ("q66sc" ->
+      """(SELECT d.doc_id, k.cls,
+        |    list_reduce(list_prepend(k.prior, list(d.c::DOUBLE * coalesce(w.w, k.w0) ORDER BY d.f)),
+        |      (a, b) -> a + b) AS score
+        |  FROM q66dc d CROSS JOIN q66k k
+        |  LEFT JOIN q66w w ON w.cls = k.cls AND w.f = d.f
+        |  GROUP BY d.doc_id, k.cls, k.prior)""".stripMargin)
+    ctes += ("q66pred" ->
+      """(SELECT doc_id, cls AS predicted FROM (
+        |    SELECT doc_id, cls,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rk
+        |    FROM q66sc)
+        |  WHERE rk = 1)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT d.doc_id, d.source, p.predicted, (d.source = p.predicted) AS correct
+        |FROM documents d JOIN q66pred p ON p.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
+  }
 }

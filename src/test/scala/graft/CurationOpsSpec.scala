@@ -375,6 +375,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(!byId(1L) && !byId(4L), "first owner and novel docs must pass")
   }
 
+  test("q66: NB classifier separates planted domains and beats chance on the corpus") {
+    val planted = (
+      Seq.tabulate(10)(i => (i.toLong, s"alpha beta gamma delta extra$i", "catA")) ++
+        Seq.tabulate(10)(i => ((i + 10).toLong, s"omega psi chi phi other$i", "catB"))
+    ).toDF("doc_id", "text", "source")
+    val got = operators.CurationOps.nbClassifyOf(planted).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    (0L to 9L).foreach(i => assert(got(i) == "catA", s"doc $i"))
+    (10L to 19L).foreach(i => assert(got(i) == "catB", s"doc $i"))
+    // corpus: 20 classes, chance = 5 % — the synthetic sources separate
+    val corpus = operators.CurationOps.nbClassify(spark, Sf0001).collect()
+    val acc    = corpus.count(_.getBoolean(3)).toDouble / corpus.length
+    assert(acc > 0.15, s"training accuracy $acc not above chance")
+  }
+
   // --- q57 ------------------------------------------------------------------
 
   test("q57: DSIR scores rank target-domain content above alien content") {

@@ -76,7 +76,10 @@ class PlanGuardSpec extends SparkSpec {
       // + two doc-keyed total joins + sort; NO fingerprint self-join
       "q64_shared_runs"   -> 8,
       // q30's bucket agg + pair distinct + victim agg + verdict join + sort
-      "q65_semdedup"      -> 6
+      "q65_semdedup"      -> 6,
+      // model collected at construction; classification is a pure
+      // projection (codegen'd NBClassify) — only the output sort remains
+      "q66_nb_classify"   -> 1
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
