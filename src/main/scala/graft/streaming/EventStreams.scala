@@ -110,4 +110,32 @@ object EventStreams {
       purchases,
       expr(s"c_user = p_user AND p_ts BETWEEN c_ts - INTERVAL $windowMinutes MINUTES AND c_ts"))
   }
+
+  /** E13: windowed streaming top-k — the streaming twin of q61's
+    * bounded-heap plan argument. Per event-time window, only the k
+    * largest (value, event_id) pairs survive, via the same
+    * `collect_top_k` aggregate: the state store holds ≤ k rows per open
+    * window instead of the window's whole contents (a rank-per-window
+    * formulation would buffer every event until the window closes — the
+    * unbounded-state failure mode). Heap key (value, −event_id) makes
+    * the kept set equal rank ≤ k under (value DESC, event_id ASC);
+    * windows emit once, on watermark close (append mode).
+    */
+  def windowTopK(events: DataFrame, k: Int = 5): DataFrame = {
+    import graft.functions.Expressions.collect_topk
+    val item = struct(
+      col("value").as("v"),
+      (-col("event_id")).as("nk"),
+      col("event_id").as("event_id"))
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(collect_topk(item, k).as("top"))
+      .select(col("window.start").as("window_start"), posexplode(reverse(array_sort(col("top")))))
+      .select(
+        col("window_start"),
+        col("col.event_id").as("event_id"),
+        col("col.v").as("value"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
 }

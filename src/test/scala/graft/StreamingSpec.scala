@@ -38,6 +38,33 @@ class StreamingSpec extends SparkSpec {
     assert(clicks.getAs[Double]("total_value") == 3.0)
   }
 
+  test("E13: windowed streaming top-k keeps the k largest per closed window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .windowTopK(in.toDF(), k = 3)
+      .writeStream.format("memory").queryName("win_topk").outputMode("append").start()
+    // 5 events in the 10:00 window with distinct values
+    in.addData(
+      Ev(1, 1, ts(5), "click", 10.0),
+      Ev(2, 1, ts(10), "click", 50.0),
+      Ev(3, 2, ts(20), "click", 30.0),
+      Ev(4, 2, ts(25), "click", 20.0),
+      Ev(5, 3, ts(40), "click", 40.0)
+    )
+    q.processAllAvailable()
+    // advance the watermark far past the 10:00 window so it closes
+    in.addData(Ev(9, 9, Timestamp.valueOf("2024-01-01 14:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_topk").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"), r.getAs[Int]("rk")))
+      .sortBy(_._3)
+    q.stop()
+    assert(rows.toSeq == Seq((2L, 50.0, 1), (5L, 40.0, 2), (3L, 30.0, 3)),
+      s"got ${rows.toSeq}")
+  }
+
   test("E2: sessionization state carries across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
