@@ -84,7 +84,8 @@ object SparkEntry {
     "q63_hll_distinct"    -> (TrainingOps.hllDistinct _),
     "q64_shared_runs"     -> (TextOps.sharedRuns _),
     "q65_semdedup"        -> (VectorOps.semDedup _),
-    "q66_nb_classify"     -> (CurationOps.nbClassify _)
+    "q66_nb_classify"     -> (CurationOps.nbClassify _),
+    "q67_weighted_sample" -> (TrainingOps.weightedSample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -153,7 +154,8 @@ object SparkEntry {
     "q63_hll_distinct"    -> TrainingOps.hllDistinctSql,
     "q64_shared_runs"     -> TextOps.sharedRunsSql,
     "q65_semdedup"        -> VectorOps.semDedupSql,
-    "q66_nb_classify"     -> CurationOps.nbClassifySql
+    "q66_nb_classify"     -> CurationOps.nbClassifySql,
+    "q67_weighted_sample" -> TrainingOps.weightedSampleSql
     // q25/q26/q29/q30 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
     // probes/pairs are engine-identical, not probabilistically equivalent

@@ -539,6 +539,66 @@ object TrainingOps {
     )
   }
 
+  // --- q67: deterministic weighted sample (Efraimidis–Spirakis) ------------
+  val WeightedSampleK = 5
+
+  /** Weighted stratified sampling without replacement — the
+    * quality-weighted counterpart of q45: per source, the top
+    * [[WeightedSampleK]] docs by the Efraimidis–Spirakis key
+    * `u^(1/w)` with `u` a content-stable uniform derived from
+    * `xxhash64(doc_id)` and weight `w = n_chars`. Selecting the k largest
+    * keys IS weighted sampling without replacement (E-S 2006), and
+    * deriving `u` from the content hash (not an RNG) makes the sample
+    * reproducible on any cluster size, partitioning, or re-run — the same
+    * property q40/q45/q53 build on. Map-side key computation; one window
+    * shuffle on the stratum.
+    *
+    * Cross-engine determinism: `u = ((h + 2^63) + 0.5) / 2^64` is written
+    * in the same IEEE op order in both engines; `pow` may differ by 1 ulp
+    * between Java and DuckDB, but keys only RANK — a flip needs two keys
+    * within an ulp of each other, which the 64-bit hash spread makes
+    * vanishing (and doc_id breaks exact ties).
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("key").desc, col("doc_id"))
+    docs(spark, dir)
+      .select(
+        col("source"),
+        col("doc_id"),
+        col("n_chars"),
+        expr(
+          "pow(((cast(xxhash64(doc_id) AS double) + 9.223372036854775808e18) + 0.5)" +
+            " / 1.8446744073709551616e19, 1.0D / n_chars)").as("key"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= WeightedSampleK)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  lazy val weightedSampleSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q67in" -> "(SELECT source, doc_id, n_chars, doc_id::HUGEINT AS l FROM documents)"
+    )
+    val ch = new SqlChain("q67h", "q67in", Seq("source", "doc_id", "n_chars", "l"))
+    hashLongLevels(ch, s"${toUnsigned("l")}", "42", "h")
+    ctes ++= ch.ctes
+    ctes += ("q67k" ->
+      s"""(SELECT source, doc_id, n_chars,
+         |    pow(((CAST(${toSigned("h")} AS DOUBLE) + 9.223372036854775808e18) + 0.5)
+         |        / 1.8446744073709551616e19, 1.0 / n_chars) AS key
+         |  FROM ${ch.last})""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      s"""SELECT source, rk, doc_id, n_chars FROM (
+         |  SELECT source, doc_id, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rk
+         |  FROM q67k)
+         |WHERE rk <= $WeightedSampleK ORDER BY source, rk""".stripMargin)
+  }
+
   // --- q62: Bloom-filter membership gate ------------------------------------
   val BloomBits = 8192
   val BloomK    = 4

@@ -79,7 +79,8 @@ class PlanGuardSpec extends SparkSpec {
       "q65_semdedup"      -> 6,
       // model collected at construction; classification is a pure
       // projection (codegen'd NBClassify) — only the output sort remains
-      "q66_nb_classify"   -> 1
+      "q66_nb_classify"   -> 1,
+      "q67_weighted_sample" -> 2 // strata window + output sort (q45's shape)
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>

@@ -216,6 +216,20 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("q67: weighted sample is deterministic and biased toward heavy docs") {
+    val a = TrainingOps.weightedSample(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val b = TrainingOps.weightedSample(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(a.toSeq == b.toSeq) // content-stable: identical across runs
+    assert(a.groupBy(_._1).values.forall(_.length <= TrainingOps.WeightedSampleK))
+    // weighting bias: sampled docs should average longer than the corpus
+    val corpusMean = graft.core.Tables.documents(spark, Sf0001)
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head.getDouble(0)
+    val sampleMean = a.map(_._4).sum.toDouble / a.length
+    assert(sampleMean > corpusMean, s"sample $sampleMean vs corpus $corpusMean")
+  }
+
   test("q63: HLL estimate is within sketch error; linear counting fires on tiny sets") {
     import org.apache.spark.sql.functions.{col, count, lit, xxhash64}
     // raw branch on the corpus (distinct orders >> 2.5·m): σ ≈ 6.5 % at m=256
