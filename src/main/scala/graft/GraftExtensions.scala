@@ -37,6 +37,12 @@ object GraftExtensions {
         s"$name expects exactly 1 argument, got ${exprs.length}")
   }
 
+  private def intLit(name: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other =>
+      throw new IllegalArgumentException(s"$name expects a literal int argument, got $other")
+  }
+
   private[graft] val builders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (
       "hk_infer_type",
@@ -68,6 +74,58 @@ object GraftExtensions {
       "graft_l2norm",
       info("graft_l2norm", "graft_l2norm(array<double>) - codegen'd L2 norm"),
       unary("graft_l2norm")(Expressions.L2Norm(_))
+    ),
+    (
+      "graft_top2gram",
+      info("graft_top2gram", "graft_top2gram(array<string>) - most-frequent-2-gram count (compiled)"),
+      unary("graft_top2gram")(Expressions.Top2GramCount(_))
+    ),
+    (
+      "graft_int8_summary",
+      info(
+        "graft_int8_summary",
+        "graft_int8_summary(array<double>) - int8 max-abs quantization summaries (q_min, q_max, q_sum, q_sumsq)"),
+      unary("graft_int8_summary")(Expressions.Int8QuantSummary(_))
+    ),
+    (
+      "graft_winnow",
+      info(
+        "graft_winnow",
+        "graft_winnow(array<string>, k, w) - winnowing fingerprints (pos, fp) over token k-grams"),
+      (exprs: Seq[Expression]) =>
+        exprs match {
+          case Seq(toks, k, w) =>
+            Expressions.WinnowFps(toks, intLit("graft_winnow", k), intLit("graft_winnow", w))
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_winnow expects exactly 3 arguments, got ${other.length}")
+        }
+    ),
+    (
+      "graft_grams",
+      info(
+        "graft_grams",
+        "graft_grams(array<string>, n) - distinct xxhash64 token n-grams (compiled)"),
+      (exprs: Seq[Expression]) =>
+        exprs match {
+          case Seq(toks, n) => Expressions.HashedGrams(toks, intLit("graft_grams", n))
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_grams expects exactly 2 arguments, got ${other.length}")
+        }
+    ),
+    (
+      "graft_minhash",
+      info(
+        "graft_minhash",
+        "graft_minhash(array<bigint>, k) - k MinHash signature minima in one pass"),
+      (exprs: Seq[Expression]) =>
+        exprs match {
+          case Seq(bh, k) => Expressions.MinHashSignatures(bh, intLit("graft_minhash", k))
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_minhash expects exactly 2 arguments, got ${other.length}")
+        }
     ),
     (
       // SQLite-compat alias so the reference README's example queries run

@@ -252,6 +252,20 @@ class OperatorsSpec extends SparkSpec {
     // 1 & 3 share bit 0 → majority positive; bit 1 ties at 0 → unset
     assert(r.getAs[Long]("sh") == 1L)
     assert(r.getAs[Long]("fp") != 0L)
+    // round-5 additions: compiled gram/winnow/sketch functions
+    val r2 = spark.sql(
+      """SELECT graft_top2gram(array('a','b','a','b','a','b')) AS t2,
+        |  graft_grams(array('a','b','c','d'), 2) AS gs,
+        |  graft_winnow(array('a','b','c','d','e','f','g','h'), 4, 4) AS wf,
+        |  graft_minhash(array(1L, 2L, 3L), 4) AS mh,
+        |  graft_int8_summary(array(1.0D, -2.0D, 0.5D)) AS i8""".stripMargin).collect().head
+    assert(r2.getAs[Int]("t2") == 3) // "a b" occurs 3×
+    assert(r2.getSeq[Long](1).length == 3) // 3 distinct 2-grams
+    assert(r2.getSeq[org.apache.spark.sql.Row](2).nonEmpty) // 8 toks → 5 hashes → 2 windows
+    assert(r2.getSeq[Long](3).length == 4)
+    // amax=2: q = [64, -127, 32] (31.75 rounds HALF_UP to 32)
+    val i8 = r2.getStruct(4)
+    assert(i8.getInt(0) == -127 && i8.getInt(1) == 64)
   }
 
   test("B1/B4 plans: filters push to parquet, dim joins broadcast") {
