@@ -359,39 +359,50 @@ object TrainingOps {
   private val Quartiles = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")
 
   /** Exact type-7 (linear-interpolation) quartiles of `l_extendedprice` per
-    * return flag — computed DISTRIBUTED: a window rank over the group-sorted
-    * values, then only the ≤2 boundary rows per quantile are aggregated and
-    * interpolated with Spark's own `Percentile` formula
+    * return flag — computed over the VALUE HISTOGRAM, not the raw rows:
+    * `groupBy(flag, value) → count` collapses the corpus map-side to one
+    * row per distinct value, a cumulative-count window over that (much
+    * smaller) histogram locates the ≤2 boundary values per quantile, and
+    * the interpolation is Spark's own `Percentile` formula
     * (`v_lo·(ceil(pos)−pos) + v_hi·(pos−floor(pos))`, `pos = p·(n−1)`),
     * which is empirically bit-identical to DuckDB's `quantile_cont` — no
     * rounding slack anywhere.
     *
-    * Scale rationale vs the built-in `percentile` aggregate: the built-in
-    * buffers every group value in an in-memory ObjectHashAggregate map —
-    * the OOM path at 100 TB group cardinality. The sort+rank plan spills
-    * through the external sorter instead; its only limit is one reducer
-    * per group (fine for low-cardinality strata; for a single giant group
-    * use a range-partitioned global sort — same arithmetic).
+    * Scale rationale: the built-in `percentile` aggregate buffers every
+    * group value in an in-memory ObjectHashAggregate map — the OOM path at
+    * 100 TB group cardinality — and even a sort+rank plan funnels every RAW
+    * row of a group through one reducer. The histogram plan shuffles only
+    * |groups| × |distinct values| rows (the value domain of a price/
+    * quantity-like column is bounded and grows far slower than the data),
+    * with the heavy reduction done by map-side partial counts. A rank `r`
+    * falls inside value `v` iff `cum−c < r ≤ cum`, so boundary ranks are
+    * found without ever materializing per-row ranks. For a genuinely
+    * unbounded continuous domain this degrades gracefully — the histogram
+    * approaches the raw rows but never exceeds them, and the window sort
+    * spills through the external sorter.
     */
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
-    val base = Tables
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val cumW   = byFlag.orderBy(col("v"))
+    val hist = Tables
       .lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-    val counts = base.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-    val ranked = base
-      .withColumn("rn", row_number().over(w))
-      .join(counts, "l_returnflag")
+      .groupBy(col("l_returnflag"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = hist
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n", sum(col("c")).over(byFlag))
     def pos(p: Double): Column   = lit(p) * (col("n") - 1).cast("double")
     def loRn(p: Double): Column  = floor(pos(p)) + 1
     def hiRn(p: Double): Column  = ceil(pos(p)) + 1
-    val boundary = Quartiles.map { case (p, _) => col("rn") === loRn(p) || col("rn") === hiRn(p) }
+    def covers(r: Column): Column = (col("cum") - col("c") < r) && (r <= col("cum"))
+    val boundary = Quartiles.map { case (p, _) => covers(loRn(p)) || covers(hiRn(p)) }
       .reduce(_ || _)
     val aggs = Quartiles.flatMap { case (p, nm) =>
       Seq(
-        min(when(col("rn") === loRn(p), col("v"))).as(s"${nm}_lo"),
-        min(when(col("rn") === hiRn(p), col("v"))).as(s"${nm}_hi"))
+        min(when(covers(loRn(p)), col("v"))).as(s"${nm}_lo"),
+        min(when(covers(hiRn(p)), col("v"))).as(s"${nm}_hi"))
     } :+ first(col("n")).as("n")
     val interp = Quartiles.map { case (p, nm) =>
       when(loRn(p) === hiRn(p), col(s"${nm}_lo"))

@@ -42,7 +42,7 @@ class PlanGuardSpec extends SparkSpec {
       "q40_split_hash"    -> 1, // map-side assignment; sort only
       "q41_repetition_quality" -> 1, // map-side metrics; sort only
       "q42_kmv_distinct"  -> 4, // hash distinct (sketch + exact branches)
-      "q43_percentiles"   -> 4, // group counts + window sort-rank + boundary agg + sort
+      "q43_percentiles"   -> 3, // value-histogram agg + flag-partitioned window (boundary agg reuses it) + sort
       "q44_countmin_topterms" -> 5, // cms agg + exact top agg + probe join + min agg + sort
       "q45_stratified_sample" -> 2, // strata window + sort
       "q48_pii_scrub"     -> 1, // map-side regex; sort only
@@ -88,6 +88,19 @@ class PlanGuardSpec extends SparkSpec {
         assert(n <= maxShuffles, s"$name has $n shuffles (budget $maxShuffles):\n$p")
       }
     }
+  }
+
+  test("q43 computes percentiles from the value histogram, never buffering raw values") {
+    val p = plans("q43_percentiles")
+    // The OOM shapes: percentile()'s ObjectHashAggregate buffers every group
+    // value; a raw-row rank plan windows over the un-aggregated scan. The
+    // histogram plan must aggregate BEFORE the window sort.
+    assert(!p.contains("ObjectHashAggregate"), s"q43 buffers raw values in an object agg:\n$p")
+    assert(!p.contains("percentile"), s"q43 fell back to the buffering percentile aggregate:\n$p")
+    assert(p.contains("Window"), s"q43 lost its cumulative-histogram window:\n$p")
+    val windowAt = p.indexOf("Window")
+    val aggBelow = p.indexOf("HashAggregate", windowAt)
+    assert(aggBelow >= 0, s"q43's window must read the (flag,value)-count histogram aggregate:\n$p")
   }
 
   test("q47's propagation round is guarded structurally (its entry point executes eagerly)") {
