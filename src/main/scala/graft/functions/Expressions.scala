@@ -400,9 +400,9 @@ object Expressions {
     * own Round semantics (`BigDecimal.setScale(0, HALF_UP)` — half away
     * from zero, identical to the DuckDB oracle), accumulating
     * min/max/sum/sum-of-squares. NULL (→ filtered) when the vector has a
-    * NaN or no non-zero element, exactly the `amax > 0 AND NOT isnan`
-    * gate it replaces. Replaces four interpreted higher-order folds per
-    * row.
+    * NaN, an infinity, or no non-zero element — the
+    * `amax > 0 AND NOT isnan AND NOT isinf` gate. Replaces four
+    * interpreted higher-order folds per row.
     */
   case class Int8QuantSummary(child: Expression) extends UnaryExpression {
     import org.apache.spark.sql.types.{StructField, StructType}
@@ -422,7 +422,9 @@ object Expressions {
         if (a.isNaN) hasNaN = true else if (a > amax) amax = a
         i += 1
       }
-      if (hasNaN || amax <= 0) return null
+      // ±Inf joins NaN in the null gate: an infinite amax would make the
+      // per-element quotient NaN (Inf/Inf) and BigDecimal.valueOf throw.
+      if (hasNaN || amax.isInfinite || amax <= 0) return null
       var qMin  = Int.MaxValue
       var qMax  = Int.MinValue
       var qSum  = 0L
@@ -617,6 +619,10 @@ object Expressions {
         ev,
         c => s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $self.compute($c);")
     }
+    // Default Expression.toString would dump the whole collected model
+    // (classes × buckets weights) into every explain/plan-guard string.
+    override def toString: String =
+      s"nb_classify($child, classes=${classes.length}, features=${weights.size}, buckets=$buckets)"
     override protected def withNewChildInternal(c: Expression): NBClassify = copy(child = c)
   }
 
@@ -663,6 +669,10 @@ object Expressions {
         ev,
         c => s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $self.compute($c);")
     }
+    // Same rationale as NBClassify.toString: keep the ≤B-entry model out of
+    // explain output.
+    override def toString: String =
+      s"dsir_score($child, features=${model.size}, buckets=$buckets)"
     override protected def withNewChildInternal(c: Expression): DsirScore = copy(child = c)
   }
 

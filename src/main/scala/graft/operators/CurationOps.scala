@@ -999,18 +999,27 @@ object CurationOps {
     ctes += ("q66tot" -> "(SELECT cls, CAST(sum(cnt) AS BIGINT) AS tot FROM q66cf GROUP BY cls)")
     ctes += ("q66w" ->
       s"(SELECT cls, f, round(ln((cnt + 1)::DOUBLE / (tot + $B)::DOUBLE), 6) AS w FROM q66cf JOIN q66tot USING (cls))")
+    // q66k LEFT-joins q66tot (coalesce tot→0) and q66sc starts from
+    // documents, so a class with zero feature instances and a document with
+    // zero features both survive — mirroring NBClassify's tot.getOrElse /
+    // prior-only-score behavior instead of silently dropping rows if the
+    // tokenizer ever stops guaranteeing ≥1 token per doc.
     ctes += ("q66k" ->
-      s"""(SELECT t.cls, round(ln(1::DOUBLE / (tot + $B)::DOUBLE), 6) AS w0,
+      s"""(SELECT c.cls, round(ln(1::DOUBLE / (coalesce(t.tot, 0) + $B)::DOUBLE), 6) AS w0,
          |    round(ln(nd::DOUBLE / n::DOUBLE), 6) AS prior
-         |  FROM q66tot t JOIN q66cls c ON c.cls = t.cls, q66n)""".stripMargin)
+         |  FROM q66cls c LEFT JOIN q66tot t ON t.cls = c.cls, q66n)""".stripMargin)
     ctes += ("q66dc" -> "(SELECT doc_id, f, count(*) AS c FROM q66e GROUP BY doc_id, f)")
     ctes += ("q66sc" ->
-      """(SELECT d.doc_id, k.cls,
-        |    list_reduce(list_prepend(k.prior, list(d.c::DOUBLE * coalesce(w.w, k.w0) ORDER BY d.f)),
+      """(SELECT dd.doc_id, k.cls,
+        |    list_reduce(list_prepend(k.prior,
+        |        coalesce(list(d.c::DOUBLE * coalesce(w.w, k.w0) ORDER BY d.f)
+        |                   FILTER (d.f IS NOT NULL), [])),
         |      (a, b) -> a + b) AS score
-        |  FROM q66dc d CROSS JOIN q66k k
+        |  FROM (SELECT doc_id FROM documents) dd
+        |  CROSS JOIN q66k k
+        |  LEFT JOIN q66dc d ON d.doc_id = dd.doc_id
         |  LEFT JOIN q66w w ON w.cls = k.cls AND w.f = d.f
-        |  GROUP BY d.doc_id, k.cls, k.prior)""".stripMargin)
+        |  GROUP BY dd.doc_id, k.cls, k.prior)""".stripMargin)
     ctes += ("q66pred" ->
       """(SELECT doc_id, cls AS predicted FROM (
         |    SELECT doc_id, cls,

@@ -601,7 +601,7 @@ object VectorOps {
       | SELECT vec_id, list_transform(v, x -> CAST(round(x * 127 / amax) AS INTEGER)) AS q
       | FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax
       |       FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))
-      | WHERE amax > 0 AND NOT isnan(amax))
+      | WHERE amax > 0 AND NOT isnan(amax) AND NOT isinf(amax))
       |ORDER BY vec_id""".stripMargin
 
   // --- C11 q30: embedding-cosine near-dup pairs via multi-table LSH --------

@@ -168,6 +168,20 @@ class OperatorsSpec extends SparkSpec {
     })
   }
 
+  test("C14: int8 quantization nulls out NaN/Inf/zero vectors instead of crashing") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, -2.0, 3.0)),            // normal → summary row
+      (2L, Seq(1.0, Double.NaN)),            // NaN → null
+      (3L, Seq(1.0, Double.PositiveInfinity)), // +Inf amax → null (was: BigDecimal NFE crash)
+      (4L, Seq(0.0, Double.NegativeInfinity)), // -Inf |x| → null
+      (5L, Seq(0.0, 0.0))                    // all-zero → null
+    ).toDF("vec_id", "v")
+      .select(col("vec_id"), graft.functions.Expressions.int8_quant_summary(col("v")).as("s"))
+    val byId = df.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(byId == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true, 5L -> true))
+  }
+
   test("C12: clean pipeline drops near-dup victims and low-quality docs") {
     import graft.operators.CleanPipeline
     val survivors = CleanPipeline.clean(spark, Sf0001).collect()
