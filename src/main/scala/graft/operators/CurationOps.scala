@@ -30,49 +30,32 @@ object CurationOps {
     * was just below threshold), while one-keeper-per-component is the
     * exact "keep one representative" semantics.
     *
-    * Implementation is iterative min-label propagation:
-    * `l(v) ← min(l(v), min over edges (u,v) of l(u))` to fixpoint. Each
-    * round is ONE shuffle join of the edge list against the label table
-    * plus a map-side-combined min-agg — both keyed shuffles on ids, no
-    * driver-side graph. `localCheckpoint` after each round truncates the
-    * lineage so round N doesn't recompute rounds 1..N-1, and the edge list
-    * itself is checkpointed once so the (expensive) LSH+verify pipeline
-    * runs exactly once, not once per iteration.
+    * Implementation is the large-star/small-star contraction (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond"): alternate
+    *   large-star — per node u, point every LARGER neighbor at
+    *     m = min(N(u) ∪ {u});
+    *   small-star — per node u, point every not-larger neighbor and u
+    *     itself at m = min(N≤(u) ∪ {u});
+    * until the edge set is stable, at which point every component is a
+    * star rooted at its minimum id. Each half-round is one keyed window
+    * (partition by node, min over neighbors) plus a distinct — keyed
+    * shuffles on ids only, no driver-side graph. `localCheckpoint` after
+    * each round truncates the lineage so round N doesn't recompute rounds
+    * 1..N-1, and the edge list itself is checkpointed once so the
+    * (expensive) LSH+verify pipeline runs exactly once, not once per
+    * iteration.
     *
-    * Rounds needed = component diameter. Near-dup components are dense by
-    * construction (LSH bucket expansion emits near-cliques), so 2-3 rounds
-    * converge in practice; an adversarially chain-shaped graph would call
-    * for the O(log n) large-star/small-star contraction — same join/agg
-    * primitives, more bookkeeping — which this operator trades away for
-    * plan simplicity and documents here.
+    * Rounds needed = O(log n) on ANY graph shape — dense near-dup cliques
+    * converge in 1-2 rounds, and an adversarial chain of 64 nodes in ~4
+    * (spec-pinned), where plain min-label propagation would need
+    * diameter = 63.
     */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val edges = TextOps
       .ngramJaccardPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
-    val sym = edges
-      .toDF("src", "dst")
-      .union(edges.select(col("doc_b"), col("doc_a")).toDF("src", "dst"))
-
-    // round 0 fused into initialization: l(v) = min(v, min direct neighbor)
-    // is what the first propagation round would compute from identity
-    // labels, for the price of one agg instead of a join + agg.
-    var labels = sym
-      .groupBy(col("dst").as("node"))
-      .agg(min(col("src")).as("m"))
-      .select(col("node"), least(col("node"), col("m")).as("lbl"))
-      .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val next = propagationRound(sym, labels).localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("lbl", "prev"), "node")
-        .filter(col("lbl") < col("prev"))
-        .count()
-      labels = next
-    }
-
+    val (labels, _) = starContract(edges.toDF("src", "dst"))
     val wCl = Window.partitionBy(col("cluster_id"))
     labels
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
@@ -80,21 +63,69 @@ object CurationOps {
       .orderBy(col("doc_id"))
   }
 
-  /** One min-label propagation round: `l(v) ← min(l(v), min over (u,v)∈sym
-    * of l(u))`. Factored out so PlanGuardSpec can assert the round's join
-    * structure on a plain (un-checkpointed) plan — [[dupClusters]] itself
-    * executes eagerly at construction time, so its returned DataFrame only
-    * exposes the final window+sort over the checkpointed labels, and a plan
-    * guard on it would never see these joins.
+  /** Large-star/small-star contraction to connected-component labels.
+    * Input: undirected edges (src, dst), either orientation, no self-loops
+    * required. Output: (labels DataFrame (node, lbl = component min id),
+    * rounds executed). Every node incident to an edge gets a label.
+    *
+    * Both half-rounds keep edges in the canonical larger→smaller
+    * orientation, so `m < src` holds everywhere and self-loops vanish by
+    * construction. Convergence = the canonical edge set reaches a fixpoint
+    * (checked with a count + except, both keyed operations).
     */
-  private[graft] def propagationRound(sym: DataFrame, labels: DataFrame): DataFrame = {
-    val viaNeighbors = sym
-      .join(labels.withColumnRenamed("node", "src"), "src")
-      .groupBy(col("dst").as("node"))
-      .agg(min(col("lbl")).as("nbl"))
-    labels
-      .join(viaNeighbors, Seq("node"), "left")
-      .select(col("node"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+  private[graft] def starContract(edges: DataFrame): (DataFrame, Int) = {
+    var cur = edges
+      .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var curCount = cur.count()
+    var rounds   = 0
+    var stable   = false
+    while (!stable) {
+      val next      = smallStarRound(largeStarRound(cur)).localCheckpoint()
+      val nextCount = next.count()
+      rounds += 1
+      stable = nextCount == curCount && next.except(cur).isEmpty
+      cur = next
+      curCount = nextCount
+    }
+    val labels = cur
+      .select(col("src").as("node"), col("dst").as("lbl"))
+      .union(cur.select(col("dst").as("node"), col("dst").as("lbl")))
+      .groupBy(col("node"))
+      .agg(min(col("lbl")).as("lbl"))
+    (labels, rounds)
+  }
+
+  /** One large-star half-round: symmetrize, then per node u point every
+    * strictly larger neighbor at min(N(u) ∪ {u}). One hash shuffle (the
+    * per-node window min) + the output distinct.
+    */
+  private[graft] def largeStarRound(canonical: DataFrame): DataFrame = {
+    val sym = canonical
+      .union(canonical.select(col("dst").as("src"), col("src").as("dst")))
+    val w = Window.partitionBy(col("src"))
+    sym
+      .withColumn("m", least(min(col("dst")).over(w), col("src")))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** One small-star half-round: per node u (over its not-larger neighbors,
+    * which is all of them in canonical orientation) point each neighbor
+    * and u itself at the minimum. Same window+distinct shape as
+    * [[largeStarRound]].
+    */
+  private[graft] def smallStarRound(canonical: DataFrame): DataFrame = {
+    val w     = Window.partitionBy(col("src"))
+    val withM = canonical.withColumn("m", min(col("dst")).over(w))
+    withM
+      .filter(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .union(withM.select(col("src"), col("m").as("dst")))
+      .distinct()
   }
 
   /** DuckDB oracle: transitive closure of the same edge set via a recursive

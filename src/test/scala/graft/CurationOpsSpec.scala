@@ -45,6 +45,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
   }
 
+  test("q47: star contraction converges in O(log n) rounds on an adversarial chain") {
+    import spark.implicits._
+    // 64-node path graph 0-1-2-…-63: diameter 63, so plain min-label
+    // propagation needs 63 rounds; large-star/small-star must stay
+    // logarithmic. The bound is intentionally loose (2·log2 n) — the point
+    // is the order of growth, not the exact constant.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = CurationOps.starContract(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 63L).map(_ -> 0L).toMap, "every chain node must label to the min id")
+    assert(rounds <= 12, s"chain took $rounds rounds — propagation-like, not logarithmic")
+
+    // two components + a singleton-free check: nodes only ever appear with
+    // their own component's min
+    val two = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("src", "dst")
+    val (l2, _) = CurationOps.starContract(two)
+    assert(l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
   // --- q56 ------------------------------------------------------------------
 
   test("q56: every cluster keeps its longest member (ties to lower id)") {

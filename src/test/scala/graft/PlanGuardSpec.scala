@@ -103,17 +103,23 @@ class PlanGuardSpec extends SparkSpec {
     assert(aggBelow >= 0, s"q43's window must read the (flag,value)-count histogram aggregate:\n$p")
   }
 
-  test("q47's propagation round is guarded structurally (its entry point executes eagerly)") {
+  test("q47's star-contraction rounds are guarded structurally (its entry point executes eagerly)") {
     // dupClusters localCheckpoints at construction time, so plans("q47_…")
-    // only shows the final window+sort over an ExistingRDD — the joins live
-    // in propagationRound, asserted here on an un-checkpointed plan.
+    // only shows the final window+sort over an ExistingRDD — the per-round
+    // plans live in the half-round helpers, asserted un-checkpointed here.
+    // Each half-round must stay a keyed window + distinct: no joins at all,
+    // so no cartesian/broadcast risk and a fixed shuffle budget per round.
     import spark.implicits._
-    val sym    = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
-    val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("node", "lbl")
-    val p = plan(operators.CurationOps.propagationRound(sym, labels))
-    assert(!p.contains("CartesianProduct"), s"propagation round has a cartesian:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"), s"propagation round nested-loops:\n$p")
-    assert(shuffles(p) <= 3, s"propagation round over-shuffles:\n$p")
+    val canonical = Seq((2L, 1L), (3L, 2L), (4L, 3L)).toDF("src", "dst")
+    Seq(
+      "large-star" -> operators.CurationOps.largeStarRound(canonical),
+      "small-star" -> operators.CurationOps.smallStarRound(canonical)
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name round has a cartesian:\n$p")
+      assert(!p.contains("Join"), s"$name round should be window+distinct, not a join:\n$p")
+      assert(shuffles(p) <= 3, s"$name round over-shuffles:\n$p")
+    }
   }
 
   test("scans prune columns and push filters") {
