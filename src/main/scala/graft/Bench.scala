@@ -22,8 +22,28 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warmup: JVM/codegen/file-listing, not counted against any query.
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => () }
+    // A bare count() leaves the whole-stage-codegen compiler, shuffle
+    // writer, sorter, window and noop sink cold — the first timed queries
+    // then eat seconds of JIT (r3 saw q01 2.1× slower purely from running
+    // first). Run the common physical shapes twice, untimed.
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      for (_ <- 1 to 2) {
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("s"), avg(col("l_extendedprice")).as("a"),
+            count(lit(1)).as("c"))
+          .write.format("noop").mode("overwrite").save()
+        li.orderBy(col("l_extendedprice").desc).limit(100)
+          .write.format("noop").mode("overwrite").save()
+        li.select(col("l_orderkey"), col("l_shipdate"),
+            row_number().over(
+              Window.partitionBy(col("l_orderkey")).orderBy(col("l_shipdate"))).as("rn"))
+          .filter(col("rn") <= 2)
+          .write.format("noop").mode("overwrite").save()
+      }
+    } catch { case _: Throwable => () }
 
     // best-of-2 per query: single local runs are GC/scheduling-noisy.
     // Failed runs must not contribute a (fast) bogus time — a query with no

@@ -694,10 +694,9 @@ object CurationOps {
     * fixed order — engine-identical with no rounding slack.
     */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val wT = Window.orderBy(col("score").desc, col("doc_id"))
-    val textRanks = bm25(spark, dir)
-      .withColumn("rt", row_number().over(wT))
-      .select(col("doc_id"), col("rt"))
+    // text-leg ranks via BoundedRank (≤ BmTopK rows): same (score desc,
+    // doc_id) row_number, no partitionless-window warning
+    val textRanks = BoundedRank.byValueDesc(bm25(spark, dir), col("score"), col("doc_id"), "doc_id", "rt")
     val vecRanks = VectorOps.cosineRanksForQuery(spark, dir, HybridVecId, HybridK)
     textRanks
       .join(vecRanks, Seq("doc_id"), "full_outer")
@@ -837,32 +836,35 @@ object CurationOps {
       .select(col("doc_id"), col("source"), explode(dsirFeats).as("f"))
 
   /** The trained model: per-feature smoothed `ln(p_target/p_raw)` —
-    * ≤ [[DsirBuckets]] rows. Feature totals ride an unpartitioned window
-    * over the model table (a SinglePartition exchange of ≤B rows) instead
-    * of a separate aggregate — a second `.agg(...)` branch would re-execute
-    * the whole explode+aggregate subtree, scanning the corpus twice more.
+    * ≤ [[DsirBuckets]] rows. ONE distributed (f → cr, ct) aggregate is
+    * collected; feature totals and the log-ratio are then computed on the
+    * ≤B driver-side rows. (An earlier formulation rode the totals on an
+    * unpartitioned window over the model table — bounded input, but it
+    * planned a SinglePartition exchange and logged the scary
+    * "Moving all data to a single partition" warning on every run.)
+    * `StrictMath.log` is what Spark's own `log` expression evaluates, so
+    * the weights are bit-identical to the previous in-plan formulation and
+    * the DuckDB oracle's rounded `ln` stays exact.
     */
-  private def dsirLogRatioOf(exploded: DataFrame): DataFrame = {
+  private def dsirModelOf(exploded: DataFrame): Map[Long, Double] = {
     val isTgt = col("source").isInCollection(DsirTarget)
-    val wAll  = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    exploded
+    val rows = exploded
       .groupBy(col("f"))
       .agg(count(lit(1)).as("cr"), sum(isTgt.cast("long")).as("ct"))
-      .withColumn("tr", sum(col("cr")).over(wAll))
-      .withColumn("tt", sum(col("ct")).over(wAll))
-      .select(
-        col("f"),
-        log(
-          ((col("ct") + 1).cast("double") * (col("tr") + DsirBuckets).cast("double")) /
-            ((col("cr") + 1).cast("double") * (col("tt") + DsirBuckets).cast("double"))).as("lr"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tr = rows.map(_._2).sum
+    val tt = rows.map(_._3).sum
+    rows.map { case (f, cr, ct) =>
+      f -> StrictMath.log(
+        ((ct + 1).toDouble * (tr + DsirBuckets).toDouble) /
+          ((cr + 1).toDouble * (tt + DsirBuckets).toDouble))
+    }.toMap
   }
 
   /** Collected model for broadcast-style application (E11): bucket → lr. */
   def dsirModel(spark: SparkSession, dir: String): Map[Long, Double] =
-    dsirLogRatioOf(dsirExploded(docs(spark, dir)))
-      .collect()
-      .map(r => r.getLong(0) -> r.getDouble(1))
-      .toMap
+    dsirModelOf(dsirExploded(docs(spark, dir)))
 
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
     dsirWeightsOf(docs(spark, dir))
@@ -876,10 +878,7 @@ object CurationOps {
     // 100 TB the apply pass must be map-side, which is also exactly the
     // E11 streaming shape. Same features, same ascending-feature fold,
     // same oracle.
-    val model = dsirLogRatioOf(dsirExploded(corpus))
-      .collect()
-      .map(r => r.getLong(0) -> r.getDouble(1))
-      .toMap
+    val model = dsirModelOf(dsirExploded(corpus))
     corpus
       .select(col("doc_id"), col("source"), TextOps.toks.as("toks"))
       .select(

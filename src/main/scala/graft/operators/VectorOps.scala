@@ -82,8 +82,8 @@ object VectorOps {
   /** Ranked cosine neighbors of ONE query vector — the vector leg of the
     * hybrid RRF retrieval (q55). Single-row broadcast against the linear
     * corpus scan (the q28 shape), top-k via TakeOrdered, then ranks over
-    * the already-k-bounded result (the rank window is single-partition by
-    * construction, but its input is ≤ k rows — never the corpus).
+    * the already-k-bounded result via [[BoundedRank]] (a ≤k-row global
+    * aggregate — never the corpus, and no partitionless window warning).
     */
   private[graft] def cosineRanksForQuery(
       spark: SparkSession,
@@ -101,8 +101,7 @@ object VectorOps {
       .withColumn("sim", dot / (col("qn") * col("cn")))
       .orderBy(col("sim").desc, col("n_id"))
       .limit(k)
-    val w = Window.orderBy(col("sim").desc, col("n_id"))
-    top.withColumn("rv", row_number().over(w)).select(col("n_id").as("doc_id"), col("rv"))
+    BoundedRank.byValueDesc(top, col("sim"), col("n_id"), "doc_id", "rv")
   }
 
   // --- C10 q29: hyperplane-LSH bucketed ANN top-k (rows-only) --------------

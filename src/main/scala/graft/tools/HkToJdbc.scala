@@ -8,13 +8,16 @@ import graft.sources.HealthKitXml
 /** One-command CLI parity with the reference
   * (`healthkit-to-sqlite export.zip sqlite://healthkit.db`, main.rs:23-40):
   *
-  *   runMain graft.tools.HkToJdbc <export.zip> <jdbcUrl> [--lenient]
+  *   runMain graft.tools.HkToJdbc <export.zip> <jdbcUrl> [--lenient] [--first-seen]
   *
   * Composes the whole A1→A7 pipeline: archive parse → schema inference →
   * per-type tables → JDBC sink, with per-table progress output. `--lenient`
   * turns corrupt archives into counted skips instead of job failures.
-  * Given a SQLite JDBC driver jar the same code targets sqlite: URLs; in
-  * this environment it is proven against embedded Derby.
+  * `--first-seen` selects the migration-compat typing mode (a column is
+  * typed by its FIRST value in document order, core.rs:219-230) instead of
+  * the whole-column type lattice. Given a SQLite JDBC driver jar the same
+  * code targets sqlite: URLs; in this environment it is proven against
+  * embedded Derby.
   */
 object HkToJdbc {
 
@@ -25,9 +28,11 @@ object HkToJdbc {
       spark: SparkSession,
       zipPath: String,
       jdbcUrl: String,
-      lenient: Boolean = false
+      lenient: Boolean = false,
+      firstSeen: Boolean = false
   ): Seq[(String, Long)] = {
-    val tables = HealthKitXml.tables(spark, Seq(zipPath), persist = true, lenient = lenient)
+    val tables = HealthKitXml
+      .tables(spark, Seq(zipPath), persist = true, lenient = lenient, firstSeenTypes = firstSeen)
     tables.toSeq.sortBy(_._1).map { case (name, df) =>
       // persist around write+count so the table projection runs once, not
       // once per action (the parsed elements are cached, but each table's
@@ -45,9 +50,10 @@ object HkToJdbc {
   def main(args: Array[String]): Unit = {
     val positional = args.filterNot(_.startsWith("--"))
     if (positional.length != 2)
-      sys.error("usage: HkToJdbc <export.zip> <jdbcUrl> [--lenient]")
+      sys.error("usage: HkToJdbc <export.zip> <jdbcUrl> [--lenient] [--first-seen]")
     val Array(zipPath, jdbcUrl) = positional
-    val lenient = args.contains("--lenient")
+    val lenient   = args.contains("--lenient")
+    val firstSeen = args.contains("--first-seen")
 
     val spark = SparkSession
       .builder()
@@ -59,7 +65,7 @@ object HkToJdbc {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val written = run(spark, zipPath, jdbcUrl, lenient)
+      val written = run(spark, zipPath, jdbcUrl, lenient, firstSeen)
       println(s"[hk-to-jdbc] done: ${written.length} tables, ${written.map(_._2).sum} rows total")
     } finally spark.stop()
   }

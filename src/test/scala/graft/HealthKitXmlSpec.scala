@@ -225,6 +225,35 @@ class HealthKitXmlSpec extends SparkSpec {
     }
   }
 
+  test("CLI parity: --first-seen maps to the A10 compat typing mode end-to-end") {
+    // same mixed-type fixture as the A2/A3 spec: value column sees "100"
+    // then "12.5" — lattice mode widens to REAL, first-seen pins INTEGER
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<HealthData locale="en_US">
+        | <ExportDate value="2024-01-01 10:00:00 -0800"/>
+        | <Record type="HKQuantityTypeIdentifierStepCount" value="100" unit="count" startDate="2024-01-01 09:00:00 -0800" endDate="2024-01-01 09:10:00 -0800" sourceName="t"/>
+        | <Record type="HKQuantityTypeIdentifierStepCount" value="12.5" unit="count" startDate="2024-01-01 09:20:00 -0800" endDate="2024-01-01 09:30:00 -0800" sourceName="t"/>
+        |</HealthData>""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("hk_fs_cli")
+    val zp  = dir.resolve("export.zip")
+    val zos = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(zp))
+    zos.putNextEntry(new java.util.zip.ZipEntry("apple_health_export/export.xml"))
+    zos.write(xml.getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+
+    val url = "jdbc:derby:memory:hkFirstSeenTest;create=true"
+    graft.tools.HkToJdbc.run(spark, zp.toString, url, firstSeen = true)
+    val back = spark.read
+      .jdbc(url, "\"HKQuantityTypeIdentifierStepCount\"", new java.util.Properties())
+    // Derby reports the first-seen INTEGER column type; the non-conforming
+    // later value lands as NULL — the reference's migration behavior
+    assert(back.schema("value").dataType == org.apache.spark.sql.types.IntegerType)
+    val vals = back.select(col("value")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSet
+    assert(vals == Set(Some(100), None))
+  }
+
   test("reference README queries run VERBATIM via spark.sql") {
     graft.GraftExtensions.register(spark)
     tables(HealthKitXml.WorkoutTable).createOrReplaceTempView("workout")
