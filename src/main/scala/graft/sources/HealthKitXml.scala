@@ -55,7 +55,16 @@ object HealthKitXml {
   // ---------------------------------------------------------------- parsing
 
   /** Parse one or more export.zip archives into a Dataset of elements.
-    * One task per archive: archives parse independently and in parallel.
+    * One PARSE task per archive: zip + StAX is an inherently serial stream
+    * per archive (the reference is fully serial too, `core.rs` single
+    * pass), so a single multi-GB export parses on one task — but the
+    * output is immediately round-robin repartitioned to the session's
+    * default parallelism, so every DOWNSTREAM stage (schema inference,
+    * per-type pivots, sinks) fans out across the cluster even when there
+    * is only one archive. Order-sensitive consumers are unaffected: each
+    * element carries its document [[HkElement.ordinal]], assigned before
+    * the shuffle, and first-seen-wins inference reduces over it
+    * (`min_by`), deterministic under any partitioning.
     * (Paths must be visible from executors — local FS here; at cluster
     * scale the open would go through `org.apache.hadoop.fs.FileSystem`.)
     *
@@ -87,6 +96,10 @@ object HealthKitXml {
           }
         }
       }
+      // intra-archive parallelism for everything AFTER the parse: without
+      // this, one archive = one partition = serial schema inference and
+      // table writes no matter how big the cluster
+      .repartition(math.max(spark.sparkContext.defaultParallelism, zipPaths.size))
   }
 
   /** Lenient wrapper: failures at open OR mid-iteration truncate the

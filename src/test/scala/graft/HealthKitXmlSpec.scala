@@ -126,9 +126,23 @@ class HealthKitXmlSpec extends SparkSpec {
     val elems = HealthKitXml.elements(spark, Seq(zipPath, zipPath, zipPath))
     // 3 archives × (1 Record + 1 Workout + 10 ActivitySummary) elements
     assert(elems.count() == 36)
-    assert(elems.rdd.getNumPartitions == 3)
     val t = HealthKitXml.tables(spark, Seq(zipPath, zipPath, zipPath))
     assert(t(HealthKitXml.ActivitySummaryTable).count() == 30)
+  }
+
+  test("A1: a SINGLE archive fans out to many partitions after the parse") {
+    // the parse itself is one task (zip+StAX is a serial stream, like the
+    // reference), but everything downstream must parallelize: the element
+    // Dataset is repartitioned to the session default parallelism
+    val elems = HealthKitXml.elements(spark, Seq(zipPath))
+    assert(elems.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    assert(elems.rdd.getNumPartitions > 1,
+      "downstream stages would run serially on a single-archive export")
+    assert(elems.count() == 12)
+    // order-sensitive inference survives the shuffle: ordinals pick the
+    // SAME first-seen types under the multi-partition layout
+    val fs = HealthKitXml.inferSchemas(elems, firstSeen = true)
+    assert(fs.nonEmpty)
   }
 
   test("reference README query: workout duration by activity type") {

@@ -65,6 +65,49 @@ class StreamingSpec extends SparkSpec {
       s"got ${rows.toSeq}")
   }
 
+  test("E13: heap state survives a checkpointed restart (recovery equals uninterrupted run)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_topk").toString
+    val in   = MemoryStream[Ev]
+    val out  = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Double, Int)]())
+    def start() = EventStreams
+      .windowTopK(in.toDF(), k = 3)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          out.add((r.getAs[Long]("event_id"), r.getAs[Double]("value"), r.getAs[Int]("rk"))))
+      }
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+
+    // batch 1: partial window content — the ≤k heap is now in the state
+    // store, window still open (nothing emitted yet)
+    val q1 = start()
+    in.addData(
+      Ev(1, 1, ts(5), "click", 10.0),
+      Ev(2, 1, ts(10), "click", 50.0),
+      Ev(3, 2, ts(20), "click", 30.0),
+      Ev(4, 2, ts(25), "click", 20.0))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(out.isEmpty, "window must not emit before the watermark closes it")
+
+    // restart from the checkpoint: the RECOVERED heap must absorb an event
+    // that displaces a pre-restart entry (40 > 20), then close on watermark
+    val q2 = start()
+    in.addData(Ev(5, 3, ts(40), "click", 40.0))
+    q2.processAllAvailable()
+    in.addData(Ev(9, 9, Timestamp.valueOf("2024-01-01 14:00:00"), "click", 1.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = out.toArray.map(_.asInstanceOf[(Long, Double, Int)]).toSeq.sortBy(_._3)
+    // identical to the uninterrupted E13 run over the same five events
+    assert(got == Seq((2L, 50.0, 1), (5L, 40.0, 2), (3L, 30.0, 3)),
+      s"recovered heap state diverged from the uninterrupted run: $got")
+  }
+
   test("E2: sessionization state carries across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
