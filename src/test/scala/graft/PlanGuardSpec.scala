@@ -166,6 +166,32 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("PLANS.md covers every registered query (the plan-audit artifact can't go stale)") {
+    // PLANS.md is regenerated by graft.tools.PlanDump, which enumerates
+    // SparkEntry.queries — this pins that a query added without re-running
+    // PlanDump fails the suite instead of silently missing from the audit.
+    val plansMd = java.nio.file.Files.readString(java.nio.file.Paths.get("PLANS.md"))
+    val sections = "(?m)^## (\\S+)$".r.findAllMatchIn(plansMd).map(_.group(1)).toSet
+    val missing  = SparkEntry.queries.keySet -- sections
+    assert(missing.isEmpty,
+      s"PLANS.md is stale — rerun graft.tools.PlanDump; missing: ${missing.toSeq.sorted}")
+    assert(!plansMd.contains("ERROR:"), "PLANS.md contains a failed plan dump")
+  }
+
+  test("E13's streaming plan is stateful-bounded: watermark + heap aggregate, no raw buffering") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val df = streaming.EventStreams.windowTopK(MemoryStream[streaming.EventStreams.Ev].toDF(), k = 3)
+    assert(df.isStreaming)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("EventTimeWatermark"), s"E13 lost its watermark:\n$analyzed")
+    assert(analyzed.contains("collect_top_k"),
+      s"E13 must aggregate through the bounded heap, not buffer whole windows:\n$analyzed")
+    assert(!analyzed.contains("row_number"),
+      s"a rank-per-window formulation buffers every event until close:\n$analyzed")
+  }
+
   test("q27/q33 share one cached shingle stage (no corpus re-scan)") {
     Seq(
       "q27" -> operators.TextOps.ngramJaccard(spark, Sf001),
