@@ -676,6 +676,70 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): DsirScore = copy(child = c)
   }
 
+  /** Map-side bigram-LM cross-entropy scoring (the q68 apply path): the
+    * KenLM-style quality signal — average surprisal of a document under a
+    * corpus-trained hashed bigram language model — as ONE compiled call
+    * against the two COLLECTED count maps (≤ buckets rows each, reference
+    * objects). Same train-distributed / apply-map-side split as
+    * [[DsirScore]]: at 100 TB the apply pass is a pure projection.
+    *
+    * Per adjacent token pair (t_i, t_{i+1}), left to right:
+    * `term = r6(ln((C_bigram(f2) + 1) / (C_unigram(f1) + buckets)))` with
+    * `f1 = pmod(xxhash64(t_i), buckets)`,
+    * `f2 = pmod(xxhash64(t_i ⊔ ' ' ⊔ t_{i+1}), buckets)` (add-one
+    * smoothing over the bucket vocabulary); output is
+    * `(n_pairs, r6(−Σterms / n_pairs))`, cross-entropy in nats — lower is
+    * more fluent. Terms round to 6 decimals BEFORE summing (the q49/q57
+    * ln-ulp rule) and fold in position order, so the DuckDB oracle is
+    * bit-exact. A document with < 2 tokens has no pairs → (0, NULL).
+    */
+  case class LmXent(
+      child: Expression,
+      bigram: Map[Long, Long],
+      unigram: Map[Long, Long],
+      buckets: Int)
+      extends UnaryExpression {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_pairs", LongType, nullable = false),
+      StructField("lm_xent", DoubleType, nullable = true)))
+    private def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    private def bucketOf(h: Long): Long = ((h % buckets) + buckets) % buckets
+    def compute(arr: ArrayData): Any = {
+      val n  = arr.numElements()
+      val np = math.max(n - 1, 0).toLong
+      if (np == 0L)
+        return org.apache.spark.sql.catalyst.InternalRow(0L, null)
+      var sum = 0.0
+      var i   = 0
+      while (i < n - 1) {
+        val f1 = bucketOf(XXH64.hashUTF8String(arr.getUTF8String(i), 42L))
+        val f2 = bucketOf(XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String
+            .concat(arr.getUTF8String(i), FeatSep, arr.getUTF8String(i + 1)),
+          42L))
+        val cb = bigram.getOrElse(f2, 0L)
+        val cu = unigram.getOrElse(f1, 0L)
+        sum += r6(StrictMath.log((cb + 1).toDouble / (cu + buckets).toDouble))
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(np, r6(-sum / np.toDouble))
+    }
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("lmXent", this, classOf[LmXent].getName)
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        c => s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $self.compute($c);")
+    }
+    // keep the ≤2×buckets-entry model out of explain output (NBClassify rule)
+    override def toString: String =
+      s"lm_xent($child, bigrams=${bigram.size}, unigrams=${unigram.size}, buckets=$buckets)"
+    override protected def withNewChildInternal(c: Expression): LmXent = copy(child = c)
+  }
+
   /** Dot product of two array<double> columns, left-to-right accumulation —
     * the SAME summation order as `aggregate(zip_with(a, b, (x,y) -> x*y),
     * 0D, (acc,x) -> acc+x)`, which it replaces: Spark's higher-order
@@ -770,6 +834,8 @@ object Expressions {
   def int8_quant_summary(c: Column): Column = toColumn(Int8QuantSummary(toExpression(c)))
   def dsir_score(c: Column, model: Map[Long, Double], buckets: Int): Column =
     toColumn(DsirScore(toExpression(c), model, buckets))
+  def lm_xent(c: Column, bigram: Map[Long, Long], unigram: Map[Long, Long], buckets: Int): Column =
+    toColumn(LmXent(toExpression(c), bigram, unigram, buckets))
   def hashed_ngram_feats(c: Column, buckets: Int): Column =
     toColumn(HashedNgramFeats(toExpression(c), buckets))
   def hashed_grams(c: Column, n: Int): Column = toColumn(HashedGrams(toExpression(c), n))

@@ -893,6 +893,109 @@ object CurationOps {
       .orderBy(col("doc_id"))
   }
 
+  // --- q68: hashed bigram-LM cross-entropy (perplexity-style gate) ----------
+
+  val LmBuckets = 4096
+
+  /** KenLM-style fluency scoring — the quality filter production pipelines
+    * run between heuristics (q22) and model gates (q57/q66): train a hashed
+    * bigram language model on the corpus, score every document by its
+    * average per-token surprisal (cross-entropy, nats); high-xent docs are
+    * the gibberish/boilerplate candidates.
+    *
+    * Scale split (the q57/q66 pattern): training is ONE corpus scan whose
+    * unigram- and bigram-bucket counts collapse to ≤ 2×[[LmBuckets]] rows
+    * (collected at construction); scoring is a pure projection through the
+    * codegen'd [[graft.functions.Expressions.LmXent]] — zero shuffles
+    * besides the output sort, the map-side apply shape a 100 TB pass needs.
+    * Cross-engine exactness: per-pair `ln` terms round to 6 decimals before
+    * the position-ordered fold (the q49/q57 rule).
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreOf(docs(spark, dir))
+
+  /** Collected model: (bigram-bucket counts, unigram-bucket counts) —
+    * both ≤ [[LmBuckets]] rows, ONE distributed aggregate over one scan
+    * (unigram and bigram instances unioned in-row, tagged by kind).
+    */
+  private[graft] def lmModelOf(corpus: DataFrame): (Map[Long, Long], Map[Long, Long]) = {
+    val B = LmBuckets
+    val counts = corpus
+      .select(TextOps.toks.as("toks"))
+      .select(
+        explode(concat(
+          expr(s"transform(toks, t -> named_struct('kind', 0, 'f', pmod(xxhash64(t), $B)))"),
+          expr(
+            s"""zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+               |  (a, b) -> named_struct('kind', 1, 'f', pmod(xxhash64(concat(a, ' ', b)), $B)))"""
+              .stripMargin)
+        )).as("kf"))
+      .groupBy(col("kf.kind").as("kind"), col("kf.f").as("f"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val cb = counts.collect { case (1, f, c) => f -> c }.toMap
+    val cu = counts.collect { case (0, f, c) => f -> c }.toMap
+    (cb, cu)
+  }
+
+  private[graft] def lmScoreOf(corpus: DataFrame): DataFrame = {
+    val (cb, cu) = lmModelOf(corpus)
+    corpus
+      .select(col("doc_id"), col("source"), TextOps.toks.as("toks"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        graft.functions.Expressions.lm_xent(col("toks"), cb, cu, LmBuckets).as("s"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("s.n_pairs").as("n_pairs"),
+        col("s.lm_xent").as("lm_xent"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: DISTINCT token / bigram strings hashed once through the
+    * [[graft.functions.DuckHash]] chain (the q57 pattern) and joined back
+    * to positional pair instances; same add-one smoothing, same rounded
+    * per-pair terms folded in position order.
+    */
+  lazy val lmScoreSql: String = {
+    import graft.functions.DuckHash._
+    val B = LmBuckets
+    val ctes = ArrayBuffer[(String, String)](
+      "q68t" -> s"(SELECT doc_id, ${TextOps.DuckToks} AS toks FROM documents)",
+      "q68p" ->
+        """(SELECT doc_id, pos, toks[pos] AS w1, toks[pos] || ' ' || toks[pos + 1] AS bg
+          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS pos FROM q68t))""".stripMargin,
+      "q68uw" -> "(SELECT doc_id, unnest(toks) AS w FROM q68t)",
+      "q68ud" -> s"(SELECT w, ${bytesOf("w")} AS b FROM (SELECT DISTINCT w FROM q68uw))"
+    )
+    val hu = hashBytesChain("q68hu", "q68ud", Seq("w"), "42", "hs")
+    ctes ++= hu.ctes
+    ctes += ("q68uf" -> s"(SELECT w, (((${toSigned("hs")} % $B) + $B) % $B) AS f1 FROM ${hu.last})")
+    ctes += ("q68bd" -> s"(SELECT bg, ${bytesOf("bg")} AS b FROM (SELECT DISTINCT bg FROM q68p))")
+    val hb = hashBytesChain("q68hb", "q68bd", Seq("bg"), "42", "hs")
+    ctes ++= hb.ctes
+    ctes += ("q68bf" -> s"(SELECT bg, (((${toSigned("hs")} % $B) + $B) % $B) AS f2 FROM ${hb.last})")
+    ctes += ("q68cu" -> "(SELECT f1, count(*) AS cu FROM q68uw JOIN q68uf USING (w) GROUP BY f1)")
+    ctes += ("q68cb" -> "(SELECT f2, count(*) AS cb FROM q68p JOIN q68bf USING (bg) GROUP BY f2)")
+    ctes += ("q68w" ->
+      s"""(SELECT p.doc_id, p.pos, round(ln((cb + 1)::DOUBLE / (cu + $B)::DOUBLE), 6) AS w
+         |  FROM q68p p JOIN q68uf u ON u.w = p.w1 JOIN q68bf g ON g.bg = p.bg
+         |  JOIN q68cu ON q68cu.f1 = u.f1 JOIN q68cb ON q68cb.f2 = g.f2)""".stripMargin)
+    ctes += ("q68s" ->
+      """(SELECT doc_id, count(*) AS n_pairs,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY pos)), (a, b) -> a + b) AS s
+        |  FROM q68w GROUP BY doc_id)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT d.doc_id, d.source, coalesce(n_pairs, 0) AS n_pairs,
+        |  round(-s / n_pairs, 6) AS lm_xent
+        |FROM documents d LEFT JOIN q68s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)
+  }
+
   /** Oracle: DISTINCT 1/2-grams hashed once via [[graft.functions.DuckHash]]
     * (the q44 pattern), joined back to instances; same smoothed-ratio
     * expression tree, same ascending-feature fold.

@@ -155,6 +155,34 @@ object DocStreams {
       .select(col("doc_id"), col("ts"), col("maybe_dup"))
   }
 
+  /** §2.E LM-fluency gate (E14): q68's trained hashed bigram model applied
+    * to a live stream through the SAME codegen'd
+    * [[graft.functions.Expressions.LmXent]] projection as the batch
+    * operator — stateless, shuffle-free, the q57/E11 model-apply shape.
+    * Because the expression is shared verbatim (model maps as reference
+    * objects), streaming scores equal the batch q68 column EXACTLY, not
+    * just approximately; refreshing the model = restarting the query with
+    * a newly collected pair of count maps. Documents too short to have a
+    * bigram (n_pairs = 0) fail the gate — no fluency evidence.
+    */
+  def lmGate(
+      stream: DataFrame,
+      bigram: Map[Long, Long],
+      unigram: Map[Long, Long],
+      maxXent: Double = 10.0
+  ): DataFrame =
+    stream
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn(
+        "s",
+        graft.functions.Expressions.lm_xent(col("toks"), bigram, unigram, CurationOps.LmBuckets))
+      .select(
+        col("doc_id"),
+        col("ts"),
+        col("s.n_pairs").as("n_pairs"),
+        col("s.lm_xent").as("lm_xent"),
+        (col("s.lm_xent").isNotNull && col("s.lm_xent") <= maxXent).as("keep"))
+
   def dsirScoreGate(
       stream: DataFrame,
       model: Map[Long, Double],

@@ -412,6 +412,52 @@ class CurationOpsSpec extends SparkSpec {
 
   // --- q57 ------------------------------------------------------------------
 
+  test("q68: bigram-LM cross-entropy matches an independent recomputation") {
+    import spark.implicits._
+    val B = CurationOps.LmBuckets
+    val corpus = Seq(
+      (0L, "the cat sat", "s0"),
+      (1L, "the cat ran", "s0"),
+      (2L, "solo", "s1") // one token → no pairs → (0, NULL)
+    ).toDF("doc_id", "text", "source")
+    val got = CurationOps.lmScoreOf(corpus).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+
+    // independent recomputation: buckets via the SQL builtin xxhash64
+    // (interpreted path, not the compiled expression), arithmetic in Scala
+    def bucketsOf(vals: Seq[String]): Map[String, Long] =
+      vals.distinct.toDF("t")
+        .selectExpr("t", s"pmod(xxhash64(t), $B) AS f")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs    = Seq("the cat sat", "the cat ran", "solo").map(_.split(" ").toSeq)
+    val unis    = docs.flatten
+    val bis     = docs.flatMap(t => t.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+    val uniF    = bucketsOf(unis)
+    val biF     = bucketsOf(bis)
+    val cu      = unis.groupBy(uniF).view.mapValues(_.size.toLong).toMap
+    val cb      = bis.groupBy(biF).view.mapValues(_.size.toLong).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def xent(toks: Seq[String]): Option[Double] = {
+      val pairs = toks.sliding(2).filter(_.size == 2).toSeq
+      if (pairs.isEmpty) None
+      else {
+        val s = pairs.foldLeft(0.0) { (acc, p) =>
+          acc + r6(StrictMath.log(
+            (cb.getOrElse(biF(p.mkString(" ")), 0L) + 1).toDouble /
+              (cu.getOrElse(uniF(p.head), 0L) + B).toDouble))
+        }
+        Some(r6(-s / pairs.size))
+      }
+    }
+    assert(got(2L) == ((0L, None)))
+    assert(got(0L) == ((2L, xent(docs(0)))))
+    assert(got(1L) == ((2L, xent(docs(1)))))
+    // "the cat" repeats across docs while "cat sat" is unique, so doc 0's
+    // first pair must be more probable (smaller surprisal) than its second
+    assert(got(0L)._2.get > 0, "cross-entropy of a finite corpus is positive")
+  }
+
   test("q57: DSIR scores rank target-domain content above alien content") {
     // Target sources (src0/src1) write in vocab A, an alien source in vocab
     // B; two probe docs sit under NEUTRAL sources, so their score can only

@@ -80,7 +80,10 @@ class PlanGuardSpec extends SparkSpec {
       // model collected at construction; classification is a pure
       // projection (codegen'd NBClassify) — only the output sort remains
       "q66_nb_classify"   -> 1,
-      "q67_weighted_sample" -> 2 // strata window + output sort (q45's shape)
+      "q67_weighted_sample" -> 2, // strata window + output sort (q45's shape)
+      // model collected at construction; scoring is a pure projection
+      // (codegen'd LmXent) — only the output sort remains (q57's shape)
+      "q68_lm_score"        -> 1
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>

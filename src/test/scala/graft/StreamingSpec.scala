@@ -265,6 +265,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("E14: streaming LM gate scores EQUAL the batch q68 column (shared expression)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    import graft.operators.CurationOps
+    val corpus = graft.core.Tables.documents(spark, Sf0001)
+    val batch = CurationOps.lmScoreOf(corpus).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val (cb, cu) = CurationOps.lmModelOf(corpus)
+    assert(cb.nonEmpty && cb.size <= CurationOps.LmBuckets)
+    assert(cu.nonEmpty && cu.size <= CurationOps.LmBuckets)
+    val sample = corpus
+      .select("doc_id", "text").orderBy($"doc_id").limit(20).collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), ts(1)))
+    val in = MemoryStream[Doc]
+    val q = DocStreams
+      .lmGate(in.toDF(), cb, cu, maxXent = 8.0)
+      .writeStream.format("memory").queryName("lm_gate").outputMode("append").start()
+    in.addData(sample.toSeq: _*)
+    q.processAllAvailable()
+    val rows = spark.table("lm_gate").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getAs[Boolean]("keep")))
+    q.stop()
+    assert(rows.length == 20)
+    rows.foreach { case (id, x, keep) =>
+      // identical expression + identical model → exact equality, not 1e-6
+      assert(x == batch(id), s"doc $id: stream $x vs batch ${batch(id)}")
+      assert(keep == x.exists(_ <= 8.0))
+    }
+  }
+
   test("E12: streaming bloom gate matches the batch gate's bloom verdicts") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
