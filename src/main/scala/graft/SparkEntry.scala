@@ -86,7 +86,8 @@ object SparkEntry {
     "q65_semdedup"        -> (VectorOps.semDedup _),
     "q66_nb_classify"     -> (CurationOps.nbClassify _),
     "q67_weighted_sample" -> (TrainingOps.weightedSample _),
-    "q68_lm_score"        -> (CurationOps.lmScore _)
+    "q68_lm_score"        -> (CurationOps.lmScore _),
+    "q69_approx_percentiles" -> (TrainingOps.approxPercentiles _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -157,7 +158,8 @@ object SparkEntry {
     "q65_semdedup"        -> VectorOps.semDedupSql,
     "q66_nb_classify"     -> CurationOps.nbClassifySql,
     "q67_weighted_sample" -> TrainingOps.weightedSampleSql,
-    "q68_lm_score"        -> CurationOps.lmScoreSql
+    "q68_lm_score"        -> CurationOps.lmScoreSql,
+    "q69_approx_percentiles" -> TrainingOps.approxPercentilesSql
     // q25/q26/q29/q30 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
     // probes/pairs are engine-identical, not probabilistically equivalent

@@ -426,6 +426,95 @@ object TrainingOps {
       |  quantile_cont(l_extendedprice, 0.75) AS p75
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --- q69: fixed-width histogram approximate percentiles ------------------
+
+  val ApproxBins = 1024
+
+  /** Approximate quartiles via a fixed-width equi-bin histogram — the
+    * sketch-family twin q43 needs for a genuinely CONTINUOUS value domain,
+    * where q43's exact value-histogram approaches the raw row count. This
+    * plan's state is capped at [[ApproxBins]] rows per group NO MATTER
+    * WHAT the data looks like (the q42/q44/q63 fixed-size-aggregate
+    * property): pass 1 computes per-group (min, max, n); pass 2 bins every
+    * value into `least(NB−1, floor((v−mn)/w))`, `w = (mx−mn)/NB`, and the
+    * quantile interpolates uniformly INSIDE the covering bin:
+    * `mn + w·(bin + (r − cum_before)/c)` at continuous rank `r = p·n`.
+    * Error is bounded by one bin width by construction. Deterministic —
+    * no randomness, no transcendentals — so the DuckDB oracle runs the
+    * identical expression tree and matches bit-for-bit.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val NB   = ApproxBins
+    val base = Tables
+      .lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val ext = base
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
+    val binned = base
+      .join(broadcast(ext), "l_returnflag")
+      .withColumn("w", (col("mx") - col("mn")) / NB)
+      .withColumn(
+        "bin",
+        when(col("w") === 0.0, lit(0))
+          .otherwise(least(lit(NB - 1), floor((col("v") - col("mn")) / col("w")).cast("int"))))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(
+        count(lit(1)).as("c"),
+        first(col("mn")).as("mn"),
+        first(col("w")).as("w"),
+        first(col("n")).as("n"))
+    val cumW   = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+    val ranked = binned.withColumn("cum", sum(col("c")).over(cumW))
+    def r(p: Double): Column = lit(p) * col("n").cast("double")
+    def covers(rr: Column): Column =
+      ((col("cum") - col("c")).cast("double") < rr) && (rr <= col("cum").cast("double"))
+    def estimate(p: Double): Column =
+      col("mn") + col("w") *
+        (col("bin").cast("double") +
+          (r(p) - (col("cum") - col("c")).cast("double")) / col("c").cast("double"))
+    val aggs = Quartiles.map { case (p, nm) =>
+      max(when(covers(r(p)), round(estimate(p), 6))).as(s"${nm}a")
+    }
+    ranked
+      .groupBy(col("l_returnflag"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Oracle: the identical two-pass histogram expression tree in SQL — the
+    * estimate is deterministic (no randomness, no transcendentals), so the
+    * comparison is exact, not tolerance-based.
+    */
+  val approxPercentilesSql: String = {
+    val NB = ApproxBins
+    def est(p: Double, nm: String): String =
+      s"""MAX(CASE WHEN (cum - c)::DOUBLE < $p * n::DOUBLE AND $p * n::DOUBLE <= cum::DOUBLE
+         |  THEN round(mn + w * (bin::DOUBLE + ($p * n::DOUBLE - (cum - c)::DOUBLE) / c::DOUBLE), 6)
+         |  END) AS ${nm}a""".stripMargin
+    s"""WITH ext AS (
+       |  SELECT l_returnflag, min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+       |         count(*) AS n
+       |  FROM lineitem GROUP BY l_returnflag),
+       |binned AS (
+       |  SELECT l.l_returnflag,
+       |    CASE WHEN (mx - mn) / $NB = 0.0 THEN 0
+       |         ELSE least($NB - 1, floor((l_extendedprice - mn) / ((mx - mn) / $NB))::INT)
+       |    END AS bin,
+       |    count(*) AS c, any_value(mn) AS mn, any_value((mx - mn) / $NB) AS w,
+       |    any_value(n) AS n
+       |  FROM lineitem l JOIN ext USING (l_returnflag)
+       |  GROUP BY l.l_returnflag, bin),
+       |ranked AS (
+       |  SELECT *, sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum FROM binned)
+       |SELECT l_returnflag,
+       |  ${est(0.25, "p25")},
+       |  ${est(0.5, "p50")},
+       |  ${est(0.75, "p75")}
+       |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
   // --- q44: count-min sketch of token frequencies --------------------------
   val CmsDepth = 4
   val CmsWidth = 1024

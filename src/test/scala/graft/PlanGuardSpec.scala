@@ -83,7 +83,10 @@ class PlanGuardSpec extends SparkSpec {
       "q67_weighted_sample" -> 2, // strata window + output sort (q45's shape)
       // model collected at construction; scoring is a pure projection
       // (codegen'd LmXent) — only the output sort remains (q57's shape)
-      "q68_lm_score"        -> 1
+      "q68_lm_score"        -> 1,
+      // extent agg (broadcast back) + bin agg + flag window + sort; state
+      // capped at ApproxBins rows/group regardless of the value domain
+      "q69_approx_percentiles" -> 4
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>

@@ -161,6 +161,28 @@ class TrainingOpsSpec extends SparkSpec {
     assert(math.abs(rows.head.getDouble(2) - median) < 1e-6)
   }
 
+  test("q69: histogram approximation is within one bin width of the exact percentiles") {
+    val exact  = TrainingOps.percentiles(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = TrainingOps.approxPercentiles(spark, Sf0001).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val flag = r.getString(0)
+      val vals = graft.core.Tables.lineitem(spark, Sf0001)
+        .filter(org.apache.spark.sql.functions.col("l_returnflag") === flag)
+        .select("l_extendedprice").collect().map(_.getDouble(0))
+      val w  = (vals.max - vals.min) / TrainingOps.ApproxBins
+      val (e25, e50, e75) = exact(flag)
+      // the true percentile and the estimate both lie inside the covering
+      // bin (continuous-rank vs type-7 rank differ by < 1 rank, so at most
+      // one extra bin) → error bounded by ~one bin width
+      assert(math.abs(r.getDouble(1) - e25) <= 2 * w, s"$flag p25")
+      assert(math.abs(r.getDouble(2) - e50) <= 2 * w, s"$flag p50")
+      assert(math.abs(r.getDouble(3) - e75) <= 2 * w, s"$flag p75")
+      assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))
+    }
+  }
+
   test("q58: entropy matches the closed form on planted docs and is bounded on the corpus") {
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
