@@ -70,25 +70,27 @@ object CurationOps {
     *
     * Both half-rounds keep edges in the canonical larger→smaller
     * orientation, so `m < src` holds everywhere and self-loops vanish by
-    * construction. Convergence = the canonical edge set reaches a fixpoint
-    * (checked with a count + except, both keyed operations).
+    * construction. Convergence is detected STRUCTURALLY: a canonical edge
+    * set is a union of rooted stars exactly when no `dst` also appears as
+    * a `src` (every edge already points at a root), and rooted stars are
+    * provably the fixpoint of both half-rounds — so one tiny semi-join
+    * per round replaces a count + except AND the final no-op
+    * "verification round" a fixpoint comparison would need.
     */
   private[graft] def starContract(edges: DataFrame): (DataFrame, Int) = {
+    def isStars(e: DataFrame): Boolean =
+      e.select(col("dst"))
+        .join(e.select(col("src")), col("dst") === col("src"), "left_semi")
+        .isEmpty
     var cur = edges
       .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
-    var curCount = cur.count()
-    var rounds   = 0
-    var stable   = false
-    while (!stable) {
-      val next      = smallStarRound(largeStarRound(cur)).localCheckpoint()
-      val nextCount = next.count()
+    var rounds = 0
+    while (!isStars(cur)) {
+      cur = smallStarRound(largeStarRound(cur)).localCheckpoint()
       rounds += 1
-      stable = nextCount == curCount && next.except(cur).isEmpty
-      cur = next
-      curCount = nextCount
     }
     val labels = cur
       .select(col("src").as("node"), col("dst").as("lbl"))
