@@ -65,6 +65,33 @@ class CurationOpsSpec extends SparkSpec {
       Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("q47: star contraction equals union-find on random graphs (property check)") {
+    import spark.implicits._
+    // deterministic seed: sparse, dense, and multi-component regimes; each
+    // compared against a driver-side union-find ground truth
+    val rng = new scala.util.Random(20260813L)
+    for ((nodes, edgeCount) <- Seq((30, 15), (40, 80), (200, 60))) {
+      val edges = Seq.fill(edgeCount)((rng.nextInt(nodes).toLong, rng.nextInt(nodes).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // canonical min-id label per node (union-find roots are not min ids)
+      val members  = parent.keys.groupBy(find)
+      val expected = members.values.flatMap { ns => val m = ns.min; ns.map(_ -> m) }.toMap
+      val (labels, rounds) = CurationOps.starContract(edges.toDF("src", "dst"))
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"n=$nodes e=$edgeCount diverged from union-find")
+      assert(rounds <= 12, s"n=$nodes e=$edgeCount took $rounds rounds")
+    }
+  }
+
   // --- q56 ------------------------------------------------------------------
 
   test("q56: every cluster keeps its longest member (ties to lower id)") {
