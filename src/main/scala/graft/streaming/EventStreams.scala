@@ -121,6 +121,55 @@ object EventStreams {
     * the kept set equal rank ≤ k under (value DESC, event_id ASC);
     * windows emit once, on watermark close (append mode).
     */
+  /** E15: windowed value-histogram sketch — q69's fixed-width approximate
+    * percentile histogram under an event-time window. The value extent
+    * rides as LITERALS (collected from a corpus snapshot at construction,
+    * exactly the E11/E12/E14 model-gate shape), so binning is a stateless
+    * map-side expression; the only stateful operator is the windowed
+    * (window, bin) count, whose state is ≤ `bins` rows per open window no
+    * matter the stream volume. Windows emit their ≤ `bins` histogram rows
+    * on watermark close (append mode); quantile extraction over a closed
+    * window is [[histogramQuantile]] — the identical interpolation q69
+    * runs in-plan.
+    */
+  def windowHistogram(
+      events: DataFrame,
+      mn: Double,
+      mx: Double,
+      bins: Int = 64
+  ): DataFrame = {
+    val w = (mx - mn) / bins
+    val bin =
+      if (w == 0.0) lit(0)
+      else least(lit(bins - 1), floor((col("value") - mn) / w).cast("int"))
+    events
+      .withWatermark("ts", "2 hours")
+      .withColumn("bin", bin)
+      .groupBy(window(col("ts"), "1 hour"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("window_start"), col("bin"), col("c"))
+  }
+
+  /** q69's uniform in-bin interpolation at continuous rank `p·n`, applied
+    * to one closed window's histogram rows — the driver-side companion of
+    * [[windowHistogram]] for sinks that want quantiles, kept as a pure
+    * function so the streaming query itself needs only ONE stateful op.
+    */
+  def histogramQuantile(hist: Seq[(Int, Long)], p: Double, mn: Double, mx: Double, bins: Int): Option[Double] = {
+    val n = hist.map(_._2).sum
+    if (n == 0L) return None
+    val w = (mx - mn) / bins
+    val r = p * n.toDouble
+    var cum = 0L
+    hist.sortBy(_._1).foreach { case (b, c) =>
+      val before = cum
+      cum += c
+      if (before.toDouble < r && r <= cum.toDouble)
+        return Some(mn + w * (b.toDouble + (r - before.toDouble) / c.toDouble))
+    }
+    Some(mx)
+  }
+
   def windowTopK(events: DataFrame, k: Int = 5): DataFrame = {
     import graft.functions.Expressions.collect_topk
     val item = struct(

@@ -108,6 +108,36 @@ class StreamingSpec extends SparkSpec {
       s"recovered heap state diverged from the uninterrupted run: $got")
   }
 
+  test("E15: windowed histogram sketch bins a closed window and yields q69-style quantiles") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val (mn, mx, bins) = (0.0, 100.0, 10)
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .windowHistogram(in.toDF(), mn, mx, bins)
+      .writeStream.format("memory").queryName("win_hist").outputMode("append").start()
+    // 10:00 window: values 5, 15, 15, 95, 200 (value 200 clamps to the top bin)
+    in.addData(
+      Ev(1, 1, ts(5), "click", 5.0),
+      Ev(2, 1, ts(10), "click", 15.0),
+      Ev(3, 2, ts(20), "click", 15.0),
+      Ev(4, 2, ts(25), "click", 95.0),
+      Ev(5, 3, ts(40), "click", 200.0))
+    q.processAllAvailable()
+    in.addData(Ev(9, 9, Timestamp.valueOf("2024-01-01 14:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_hist").collect()
+      .filter(_.getAs[Timestamp]("window_start") == Timestamp.valueOf("2024-01-01 10:00:00"))
+      .map(r => r.getAs[Int]("bin") -> r.getAs[Long]("c")).sorted
+    q.stop()
+    assert(rows.toSeq == Seq(0 -> 1L, 1 -> 2L, 9 -> 2L), s"got ${rows.toSeq}")
+    // median via the q69 interpolation: r = 0.5·5 = 2.5 falls in bin 1
+    // (cum 1 → 3): 10 + 10·(2.5 − 1)/2 = 17.5
+    val med = EventStreams.histogramQuantile(rows.toSeq, 0.5, mn, mx, bins)
+    assert(med.contains(17.5), s"got $med")
+    assert(EventStreams.histogramQuantile(Nil, 0.5, mn, mx, bins).isEmpty)
+  }
+
   test("E2: sessionization state carries across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
