@@ -87,7 +87,8 @@ object SparkEntry {
     "q66_nb_classify"     -> (CurationOps.nbClassify _),
     "q67_weighted_sample" -> (TrainingOps.weightedSample _),
     "q68_lm_score"        -> (CurationOps.lmScore _),
-    "q69_approx_percentiles" -> (TrainingOps.approxPercentiles _)
+    "q69_approx_percentiles" -> (TrainingOps.approxPercentiles _),
+    "q70_temperature_mix" -> (CurationOps.temperatureMix _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -159,7 +160,8 @@ object SparkEntry {
     "q66_nb_classify"     -> CurationOps.nbClassifySql,
     "q67_weighted_sample" -> TrainingOps.weightedSampleSql,
     "q68_lm_score"        -> CurationOps.lmScoreSql,
-    "q69_approx_percentiles" -> TrainingOps.approxPercentilesSql
+    "q69_approx_percentiles" -> TrainingOps.approxPercentilesSql,
+    "q70_temperature_mix" -> CurationOps.temperatureMixSql
     // q25/q26/q29/q30 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
     // probes/pairs are engine-identical, not probabilistically equivalent

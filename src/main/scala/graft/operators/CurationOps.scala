@@ -792,6 +792,64 @@ object CurationOps {
     )
   }
 
+  // --- q70: temperature-scaled source mixture --------------------------------
+
+  /** Temperature sampling over sources (the T5/mT5 recipe step that
+    * complements q53's per-doc repeat realization): natural token shares
+    * `p_s = tokens_s / N` are flattened to `p_s^(1/T) / Σ p^(1/T)` so
+    * low-resource sources are up-sampled. T = 2 here, making the exponent
+    * `sqrt` — which IEEE 754 requires to be correctly rounded, so unlike a
+    * general `pow` the whole computation is bit-exact across engines with
+    * NO rounding slack: integer token sums, exact divisions, exact square
+    * roots, and the one float SUM (Σ√p) folded in source order on both
+    * sides. Output: natural share, temperature-scaled sampling probability,
+    * and the resulting up/down-sampling factor per source.
+    *
+    * Scale shape: one corpus scan collapses map-side to |sources| rows
+    * (persisted — the three tiny downstream consumers must not re-scan the
+    * corpus); everything after operates on that bounded table with 1-row
+    * broadcast stats (the q49/q59 pattern).
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(col("source"), size(TextOps.toks).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tok"))
+      .persist()
+    val withP = counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_tok")).as("nn"))))
+      .withColumn("p", col("n_tok").cast("double") / col("nn").cast("double"))
+      .withColumn("w", sqrt(col("p")))
+    val sumW = withP.agg(
+      expr("aggregate(array_sort(collect_list(struct(source, w))), 0D, (a, x) -> a + x.w)")
+        .as("sumw"))
+    withP
+      .crossJoin(broadcast(sumW))
+      .select(
+        col("source"),
+        col("n_tok"),
+        col("p"),
+        (col("w") / col("sumw")).as("prob"),
+        ((col("w") / col("sumw")) / col("p")).as("factor"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: identical integer sums, divisions, and square roots; the Σ√p
+    * fold is pinned to source order on both sides — exact, tolerance-free.
+    */
+  val temperatureMixSql: String =
+    s"""WITH c AS (
+       |  SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tok
+       |  FROM (SELECT source, ${TextOps.DuckToks} AS toks FROM documents)
+       |  GROUP BY source),
+       |t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS nn FROM c),
+       |wp AS (SELECT source, n_tok, n_tok::DOUBLE / nn::DOUBLE AS p,
+       |         sqrt(n_tok::DOUBLE / nn::DOUBLE) AS w FROM c, t),
+       |s AS (SELECT list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY source)),
+       |        (a, b) -> a + b) AS sumw FROM wp)
+       |SELECT source, n_tok, p, w / sumw AS prob, (w / sumw) / p AS factor
+       |FROM wp, s ORDER BY source""".stripMargin
+
   // --- q57: DSIR-style importance weighting --------------------------------
 
   val DsirBuckets = 128

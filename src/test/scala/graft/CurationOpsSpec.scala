@@ -485,6 +485,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(0L)._2.get > 0, "cross-entropy of a finite corpus is positive")
   }
 
+  test("q70: temperature mix flattens the source distribution toward uniform") {
+    val rows = CurationOps.temperatureMix(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // probabilities are a distribution
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+    // recompute from raw counts: prob_s = sqrt(p_s) / Σ sqrt(p)
+    val n     = rows.map(_._2).sum.toDouble
+    val sumW  = rows.sortBy(_._1).foldLeft(0.0)((a, r) => a + math.sqrt(r._2 / n))
+    rows.foreach { case (_, nt, p, prob, factor) =>
+      assert(math.abs(p - nt / n) < 1e-12)
+      assert(math.abs(prob - math.sqrt(nt / n) / sumW) < 1e-12)
+      assert(math.abs(factor - prob / p) < 1e-12)
+    }
+    // temperature flattening: below-average sources up-sample, above-average
+    // ones down-sample — factor strictly ordered against share
+    val (small, big) = (rows.minBy(_._3), rows.maxBy(_._3))
+    if (small._3 < big._3) assert(small._5 > big._5)
+  }
+
   test("q57: DSIR scores rank target-domain content above alien content") {
     // Target sources (src0/src1) write in vocab A, an alien source in vocab
     // B; two probe docs sit under NEUTRAL sources, so their score can only

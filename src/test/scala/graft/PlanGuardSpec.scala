@@ -86,7 +86,11 @@ class PlanGuardSpec extends SparkSpec {
       "q68_lm_score"        -> 1,
       // extent agg (broadcast back) + bin agg + flag window + sort; state
       // capped at ApproxBins rows/group regardless of the value domain
-      "q69_approx_percentiles" -> 4
+      "q69_approx_percentiles" -> 4,
+      // one source agg (persisted |S|-row table, whose build exchange the
+      // plan STRING prints once per InMemoryTableScan occurrence — 3×,
+      // though it executes once) + 1-row stat broadcasts + output sort
+      "q70_temperature_mix" -> 5
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -161,9 +165,12 @@ class PlanGuardSpec extends SparkSpec {
     // q59 crossJoins its one-row token-total aggregate onto the min-count-
     // filtered collocation table — bounded like q49's stats broadcast.
     // q63 joins two single-row aggregates (HLL sketch × exact count), q42's shape.
+    // q70 crossJoins two single-row stats aggregates onto the |sources|-row
+    // count table — bounded like q42/q63's sketch×exact joins.
     val allowed =
       Set("q28_cosine_topk", "q15_scalar_subquery", "q42_kmv_distinct", "q46_ann_pq",
-        "q49_bm25", "q55_hybrid_rrf", "q59_pmi_collocations", "q63_hll_distinct")
+        "q49_bm25", "q55_hybrid_rrf", "q59_pmi_collocations", "q63_hll_distinct",
+        "q70_temperature_mix")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
