@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CleanPipeline, CurationOps, Multimodal, Skew, TextOps, TimeJoins, TrainingOps, VectorOps}
+import graft.operators.{CleanPipeline, CurationOps, Multimodal, Skew, StatsOps, TextOps, TimeJoins, TrainingOps, VectorOps}
 import graft.queries.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
@@ -88,7 +88,8 @@ object SparkEntry {
     "q67_weighted_sample" -> (TrainingOps.weightedSample _),
     "q68_lm_score"        -> (CurationOps.lmScore _),
     "q69_approx_percentiles" -> (TrainingOps.approxPercentiles _),
-    "q70_temperature_mix" -> (CurationOps.temperatureMix _)
+    "q70_temperature_mix" -> (CurationOps.temperatureMix _),
+    "q71_source_drift"    -> (StatsOps.sourceDrift _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -161,7 +162,8 @@ object SparkEntry {
     "q67_weighted_sample" -> TrainingOps.weightedSampleSql,
     "q68_lm_score"        -> CurationOps.lmScoreSql,
     "q69_approx_percentiles" -> TrainingOps.approxPercentilesSql,
-    "q70_temperature_mix" -> CurationOps.temperatureMixSql
+    "q70_temperature_mix" -> CurationOps.temperatureMixSql,
+    "q71_source_drift"    -> StatsOps.sourceDriftSql
     // q25/q26/q29/q30 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
     // probes/pairs are engine-identical, not probabilistically equivalent

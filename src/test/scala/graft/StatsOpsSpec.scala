@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.StatsOps
+
+class StatsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q71: KL drift is ~0 for the corpus vs itself and large for an alien source") {
+    // Build a corpus where src_same mirrors the corpus mix and src_alien
+    // writes a disjoint vocabulary: KL(src_alien) must dominate.
+    val common = Seq("the", "cat", "sat", "on", "a", "mat")
+    val alien  = Seq("zzq", "vvw", "kkj", "qqp", "xxr", "jjy")
+    // 90/10 mix: the majority source nearly IS the pooled corpus, the alien
+    // minority is nothing like it — and enough tokens that add-one smoothing
+    // over the 128 buckets doesn't wash out the signal.
+    val rows = (0 until 540).map { i =>
+      (i.toLong, common(i % common.size) + " " + common((i + 1) % common.size), "en", "src_same", 7L)
+    } ++ (540 until 600).map { i =>
+      (i.toLong, alien(i % alien.size) + " " + alien((i + 1) % alien.size), "en", "src_alien", 7L)
+    }
+    val df  = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("q71spec").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = StatsOps.sourceDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set("src_same", "src_alien"))
+    assert(got("src_same")._1 == 1080L && got("src_alien")._1 == 120L)
+    // KL is non-negative and the alien source drifts much harder than the
+    // majority source (which nearly IS the corpus distribution)
+    assert(got("src_same")._2 >= 0.0 && got("src_alien")._2 >= 0.0)
+    assert(got("src_alien")._2 > 4 * got("src_same")._2,
+      s"alien source should dominate drift: $got")
+  }
+
+  test("q71: output is one bounded row per source on the synthetic corpus") {
+    val out = StatsOps.sourceDrift(spark, Sf0001)
+    val n   = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(countDistinct(col("source"))).as[Long].head()
+    assert(out.count() == n)
+    // drift of every source against the pooled corpus is finite and ≥ 0
+    assert(out.collect().forall(r => r.getDouble(2) >= 0.0))
+  }
+}
