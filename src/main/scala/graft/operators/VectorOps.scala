@@ -764,4 +764,80 @@ object VectorOps {
         |FROM q30ef e LEFT JOIN q65v v ON v.vec_id = e.vec_id
         |ORDER BY e.vec_id""".stripMargin)
   }
+
+  // --- q72: per-label centroids + pairwise cosine matrix --------------------
+
+  /** Per-class embedding centroids and the inter-class cosine-similarity
+    * matrix — the first diagnostic of a labeled (or clustered) embedding
+    * space: classes whose centroids sit at cosine ≈ 1 are candidates for
+    * merging, classes far from all others flag mislabeled or contaminated
+    * shards. The same pass prices an IVF layout (q32): near-parallel
+    * centroids mean probe counts must rise.
+    *
+    * Scale shape: the corpus is touched ONCE by a posexplode over the
+    * vector elements; the keyed shuffle carries |labels|×dim aggregation
+    * keys with map-side combine, never rows. Everything downstream (array
+    * reassembly, norms, the |labels|² pair join) operates on a table the
+    * size of the LABEL SET, broadcast by AQE.
+    *
+    * Cross-engine exactness without order-pinning: float sums depend on
+    * aggregation order, so the element sums are quantized FIRST —
+    * `round(v·10⁶)` to BIGINT, summed exactly in any order — and the
+    * centroid element is one double division of exact integers. Norms and
+    * dots then fold in element-index order (the q28 convention), making the
+    * whole matrix deterministic with no tolerance.
+    */
+  def centroidSim(spark: SparkSession, dir: String): DataFrame = {
+    val Q = 1000000L
+    val sums = Tables
+      .embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "ve")))
+      .select(col("label"), col("pos"),
+        expr(s"CAST(round(CAST(ve AS DOUBLE) * $Q, 0) AS BIGINT)").as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    val cents = sums
+      .withColumn("c", col("s").cast("double") / (col("n") * lit(Q)).cast("double"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cent"))
+      .withColumn("nrm", sqrt(expr("aggregate(cent, 0D, (a, x) -> a + x * x)")))
+    cents.as("a")
+      .join(cents.as("b"), col("a.label") < col("b.label"))
+      .select(
+        col("a.label").as("label_a"),
+        col("b.label").as("label_b"),
+        round(
+          expr("aggregate(zip_with(a.cent, b.cent, (x, y) -> x * y), 0D, (a2, x) -> a2 + x)") /
+            (col("a.nrm") * col("b.nrm")),
+          6).as("cos_sim"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  /** Oracle: identical quantized integer sums (order-free), one-division
+    * centroid elements, and index-ordered norm/dot folds — exact.
+    */
+  val centroidSimSql: String =
+    """WITH q72e AS MATERIALIZED (
+      |  SELECT label, unnest(range(1, len(embedding) + 1)) AS pos,
+      |         unnest(embedding) AS ve
+      |  FROM embeddings),
+      |q72s AS MATERIALIZED (
+      |  SELECT label, pos,
+      |    CAST(sum(CAST(round(ve::DOUBLE * 1000000, 0) AS BIGINT)) AS BIGINT) AS s,
+      |    count(*) AS n
+      |  FROM q72e GROUP BY label, pos),
+      |q72c AS MATERIALIZED (
+      |  SELECT label, list(s::DOUBLE / (n * 1000000)::DOUBLE ORDER BY pos) AS cent
+      |  FROM q72s GROUP BY label),
+      |q72n AS MATERIALIZED (
+      |  SELECT label, cent,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(cent, x -> x * x)),
+      |         (a, b) -> a + b)) AS nrm
+      |  FROM q72c)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  round(list_reduce(list_prepend(0.0::DOUBLE,
+      |          list_transform(range(1, len(a.cent) + 1), i -> a.cent[i] * b.cent[i])),
+      |        (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim
+      |FROM q72n a JOIN q72n b ON a.label < b.label
+      |ORDER BY label_a, label_b""".stripMargin
 }

@@ -34,6 +34,26 @@ class StatsOpsSpec extends SparkSpec {
       s"alien source should dominate drift: $got")
   }
 
+  test("q72: centroid cosine matrix matches hand-computed centroids") {
+    // label 0 → centroid (2,0,0,0); label 1 → (0,2,0,0); label 2 → (3,3,0,0)
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(3f, 0f, 0f, 0f), 0),
+      (3L, Seq(0f, 1f, 0f, 0f), 1),
+      (4L, Seq(0f, 3f, 0f, 0f), 1),
+      (5L, Seq(2f, 2f, 0f, 0f), 2),
+      (6L, Seq(4f, 4f, 0f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("q72spec").toString
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.VectorOps.centroidSim(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((0, 1), (0, 2), (1, 2)))
+    assert(got((0, 1)) == 0.0)
+    assert(math.abs(got((0, 2)) - 0.707107) < 1e-9)
+    assert(math.abs(got((1, 2)) - 0.707107) < 1e-9)
+  }
+
   test("q71: output is one bounded row per source on the synthetic corpus") {
     val out = StatsOps.sourceDrift(spark, Sf0001)
     val n   = spark.read.parquet(s"$Sf0001/documents.parquet")
