@@ -3,6 +3,7 @@ package graft.operators
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -122,4 +123,69 @@ object StatsOps {
         |FROM q71w GROUP BY source, n_s ORDER BY source""".stripMargin
     )
   }
+
+  // --- q73: per-document top TF-IDF terms -----------------------------------
+
+  val TfidfTopK = 3
+
+  /** The [[TfidfTopK]] most salient terms of every document by TF-IDF
+    * (`tf · ln(N/df)`) — per-doc keyword extraction, the cheap labelless
+    * cousin of topic tagging: common across the corpus ⇒ downweighted,
+    * frequent within the doc ⇒ upweighted. Complements q34 (corpus-global
+    * top terms) and q49 (query-conditioned BM25) with a per-document view.
+    *
+    * Scale shape: term frequencies aggregate once on (doc, term) with
+    * map-side combine (persisted — both the document-frequency rollup and
+    * the scoring join consume it; the corpus is scanned ONCE); df is a
+    * vocabulary-bounded aggregate of that table; N is a one-row broadcast.
+    * The per-doc rank window partitions on doc_id with group size bounded
+    * by the DOCUMENT's distinct-term count — unlike a corpus-keyed window,
+    * this cannot degenerate at scale (the q61 heap is for unbounded
+    * groups; a document is not one).
+    *
+    * Determinism: idf is ONE ln of a single division of exact integers,
+    * rounded to 6 (the q49 ulp rule) BEFORE the tf multiply and the rank —
+    * so the ordering key is engine-identical and ties break on the term
+    * string.
+    */
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d  = docs(spark, dir)
+    val tf = d
+      .select(col("doc_id"), explode(TextOps.toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n     = d.agg(count(lit(1)).as("n"))
+    val w     = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "tfidf",
+        col("tf").cast("double") * round(log(col("n").cast("double") / col("df").cast("double")), 6))
+      .select(col("doc_id"), col("term"), row_number().over(w).as("rk"), col("tfidf"))
+      .filter(col("rk") <= TfidfTopK)
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Oracle: same integer tf/df/N, same rounded one-ln idf, same
+    * (score desc, term asc) total order.
+    */
+  val tfidfTermsSql: String =
+    s"""WITH q73tf AS MATERIALIZED (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${TextOps.DuckToks}) AS term FROM documents)
+       |  GROUP BY doc_id, term),
+       |q73df AS MATERIALIZED (SELECT term, count(*) AS df FROM q73tf GROUP BY term),
+       |q73n AS (SELECT count(*) AS n FROM documents),
+       |q73s AS (
+       |  SELECT doc_id, term,
+       |    tf::DOUBLE * round(ln(n::DOUBLE / df::DOUBLE), 6) AS tfidf
+       |  FROM q73tf JOIN q73df USING (term) CROSS JOIN q73n)
+       |SELECT doc_id, term, rk, tfidf FROM (
+       |  SELECT doc_id, term, tfidf,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rk
+       |  FROM q73s)
+       |WHERE rk <= $TfidfTopK
+       |ORDER BY doc_id, rk""".stripMargin
 }

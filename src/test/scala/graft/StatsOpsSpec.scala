@@ -54,6 +54,29 @@ class StatsOpsSpec extends SparkSpec {
     assert(math.abs(got((1, 2)) - 0.707107) < 1e-9)
   }
 
+  test("q73: corpus-common terms are downweighted, doc-distinctive terms win") {
+    val rows = Seq(
+      (0L, "apple apple banana", "en", "s0", 18L),
+      (1L, "banana cherry", "en", "s0", 13L),
+      (2L, "banana banana banana", "en", "s0", 20L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("q73spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = StatsOps.tfidfTerms(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> ((r.getString(1), r.getDouble(3))))
+      .toMap
+    // banana appears in every doc → idf = ln(1) = 0; the rare terms win
+    assert(got((0L, 1))._1 == "apple")
+    assert(math.abs(got((0L, 1))._2 - 2 * math.log(3.0)) < 1e-6)
+    assert(got((1L, 1))._1 == "cherry")
+    assert(got((2L, 1)) == (("banana", 0.0))) // only term, zero score, still ranked
+    // every doc's ranks are 1..min(k, n_terms) with descending scores
+    got.groupBy(_._1._1).foreach { case (_, g) =>
+      val byRank = g.toSeq.sortBy(_._1._2).map(_._2._2)
+      assert(byRank == byRank.sorted.reverse)
+    }
+  }
+
   test("q71: output is one bounded row per source on the synthetic corpus") {
     val out = StatsOps.sourceDrift(spark, Sf0001)
     val n   = spark.read.parquet(s"$Sf0001/documents.parquet")
