@@ -91,7 +91,8 @@ object SparkEntry {
     "q70_temperature_mix" -> (CurationOps.temperatureMix _),
     "q71_source_drift"    -> (StatsOps.sourceDrift _),
     "q72_centroid_sim"    -> (VectorOps.centroidSim _),
-    "q73_tfidf_terms"     -> (StatsOps.tfidfTerms _)
+    "q73_tfidf_terms"     -> (StatsOps.tfidfTerms _),
+    "q74_threshold_sweep" -> (StatsOps.thresholdSweep _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -167,7 +168,8 @@ object SparkEntry {
     "q70_temperature_mix" -> CurationOps.temperatureMixSql,
     "q71_source_drift"    -> StatsOps.sourceDriftSql,
     "q72_centroid_sim"    -> VectorOps.centroidSimSql,
-    "q73_tfidf_terms"     -> StatsOps.tfidfTermsSql
+    "q73_tfidf_terms"     -> StatsOps.tfidfTermsSql,
+    "q74_threshold_sweep" -> StatsOps.thresholdSweepSql
     // q25/q26/q29/q30 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
     // probes/pairs are engine-identical, not probabilistically equivalent

@@ -188,4 +188,96 @@ object StatsOps {
        |  FROM q73s)
        |WHERE rk <= $TfidfTopK
        |ORDER BY doc_id, rk""".stripMargin
+
+  // --- q74: filter-threshold calibration sweep ------------------------------
+
+  val SweepSteps = 20 // thresholds i/50 for i = 0..20 → 0.00, 0.02, …, 0.40
+  val SweepScale = 50
+
+  /** Operating-point calibration for a quality gate: sweep a keep-threshold
+    * over a per-document score and report the confusion counts +
+    * precision/recall/F1 at every threshold — the table a pipeline owner
+    * reads to pick WHERE to cut before a filter ships (every "keep if
+    * score ≥ t" gate in this repo — q22/q33/E9 — implies someone chose t;
+    * this operator is how). Score here: q22's stopword ratio (shared
+    * expression, so the calibrated gate and the deployed gate can't
+    * diverge); weak label: the corpus' own `lang = 'en'` tag.
+    *
+    * Scale shape: ONE corpus scan bins each doc's score map-side
+    * (`floor(ratio·SweepScale)` clamped) and collapses to a ≤ (bins+1)×2
+    * (bin, label) count table; the threshold sweep is then a bounded
+    * theta-join (21 thresholds × ≤42 count rows, broadcast) — per-threshold
+    * confusion counts WITHOUT a per-threshold corpus pass or a corpus ×
+    * thresholds fan-out. Adding thresholds costs nothing at any corpus
+    * size.
+    *
+    * Determinism: bin boundaries compare `floor(ratio·50) ≥ i` on an
+    * IEEE-identical product of one exact division; confusion counts are
+    * exact integers; precision/recall/F1 are short pinned-shape division
+    * chains of those integers (no ln, no rounding needed). Degenerate
+    * thresholds (no predicted positives) yield NULL precision/F1 on both
+    * engines.
+    */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(
+        (col("lang") === "en").as("pos"),
+        least(
+          floor((TextOps.stopCountExpr.cast("double") / size(TextOps.toks).cast("double")) *
+            lit(SweepScale.toDouble)),
+          lit(SweepSteps.toLong)).as("bin"))
+      .groupBy(col("bin"), col("pos"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val npos = counts.filter(col("pos")).agg(sum(col("c")).as("np"))
+    spark.range(0, SweepSteps + 1).toDF("i")
+      .join(broadcast(counts), col("bin") >= col("i"), "left")
+      .groupBy(col("i"))
+      .agg(
+        coalesce(sum(when(col("pos"), col("c"))), lit(0L)).as("tp"),
+        coalesce(sum(when(!col("pos"), col("c"))), lit(0L)).as("fp"))
+      .crossJoin(broadcast(npos))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+      .withColumn("recall", col("tp").cast("double") / col("np").cast("double"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall"))))
+      .select(
+        (col("i").cast("double") / lit(SweepScale.toDouble)).as("threshold"),
+        col("tp"), col("fp"), (col("np") - col("tp")).as("fn"),
+        col("precision"), col("recall"), col("f1"))
+      .orderBy(col("threshold"))
+  }
+
+  /** Oracle: identical binning product, identical integer confusion counts,
+    * identical division shapes.
+    */
+  lazy val thresholdSweepSql: String = {
+    import graft.operators.TextOps.{duckStopCount, DuckToks}
+    s"""WITH q74b AS MATERIALIZED (
+       |  SELECT (lang = 'en') AS pos,
+       |    least(CAST(floor((ns::DOUBLE / nt::DOUBLE) * $SweepScale) AS BIGINT),
+       |          $SweepSteps) AS bin
+       |  FROM (SELECT lang, $duckStopCount AS ns, len($DuckToks) AS nt FROM documents)),
+       |q74c AS MATERIALIZED (SELECT bin, pos, count(*) AS c FROM q74b GROUP BY bin, pos),
+       |q74p AS (SELECT CAST(sum(c) AS BIGINT) AS np FROM q74c WHERE pos),
+       |q74t AS (SELECT unnest(range(0, ${SweepSteps + 1})) AS i),
+       |q74j AS (
+       |  SELECT i,
+       |    coalesce(CAST(sum(CASE WHEN pos THEN c END) AS BIGINT), 0) AS tp,
+       |    coalesce(CAST(sum(CASE WHEN NOT pos THEN c END) AS BIGINT), 0) AS fp
+       |  FROM q74t LEFT JOIN q74c ON bin >= i GROUP BY i),
+       |q74m AS (
+       |  SELECT i, tp, fp, np,
+       |    CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp)::DOUBLE END AS precision,
+       |    tp::DOUBLE / np::DOUBLE AS recall
+       |  FROM q74j CROSS JOIN q74p)
+       |SELECT i::DOUBLE / $SweepScale AS threshold, tp, fp, np - tp AS fn,
+       |  precision, recall,
+       |  CASE WHEN precision + recall > 0
+       |       THEN 2.0 * precision * recall / (precision + recall) END AS f1
+       |FROM q74m ORDER BY threshold""".stripMargin
+  }
 }

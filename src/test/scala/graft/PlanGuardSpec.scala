@@ -90,7 +90,24 @@ class PlanGuardSpec extends SparkSpec {
       // one source agg (persisted |S|-row table, whose build exchange the
       // plan STRING prints once per InMemoryTableScan occurrence — 3×,
       // though it executes once) + 1-row stat broadcasts + output sort
-      "q70_temperature_mix" -> 5
+      "q70_temperature_mix" -> 5,
+      // (source,bucket) count agg (whose build exchange the plan STRING
+      // prints once per InMemoryTableScan occurrence — 4×, though it
+      // executes once) + three tiny rollups of the persisted count table +
+      // the per-source KL fold agg + output sort
+      "q71_source_drift"    -> 8,
+      // (label,pos) element-sum agg + centroid reassembly agg + output sort;
+      // the |labels|² pair join broadcasts
+      "q72_centroid_sim"    -> 5,
+      // (doc,term) tf agg (printed once per InMemoryTableScan occurrence of
+      // the persisted tf table — 2×, executes once) + vocabulary df agg +
+      // doc rank window + sort; WindowGroupLimit caps each partition's
+      // sort at k rows
+      "q73_tfidf_terms"     -> 5,
+      // (bin,label) count agg (printed per InMemoryTableScan occurrence of
+      // the persisted count table) + output sort — the sweep itself joins
+      // only bounded aggregates
+      "q74_threshold_sweep" -> 3
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -167,10 +184,18 @@ class PlanGuardSpec extends SparkSpec {
     // q63 joins two single-row aggregates (HLL sketch × exact count), q42's shape.
     // q70 crossJoins two single-row stats aggregates onto the |sources|-row
     // count table — bounded like q42/q63's sketch×exact joins.
+    // q74's threshold sweep is a theta-join of the 21-row threshold range
+    // against the ≤(bins+1)×2 (bin,label) count aggregate plus a 1-row
+    // total — every side bounded by construction, never the corpus.
+    // q71 crossJoins the 128-row bucket universe and the 1-row grand total
+    // onto the |sources|-row totals; q72's label_a < label_b pair join is
+    // |labels|² centroids; q73 crossJoins the 1-row corpus doc count —
+    // all bounded by construction, never the corpus.
     val allowed =
       Set("q28_cosine_topk", "q15_scalar_subquery", "q42_kmv_distinct", "q46_ann_pq",
         "q49_bm25", "q55_hybrid_rrf", "q59_pmi_collocations", "q63_hll_distinct",
-        "q70_temperature_mix")
+        "q70_temperature_mix", "q71_source_drift", "q72_centroid_sim",
+        "q73_tfidf_terms", "q74_threshold_sweep")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),

@@ -77,6 +77,35 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q74: sweep reports exact confusion counts at every threshold") {
+    // 10 en docs scoring 1.0, 5 en docs scoring 0.0, 10 de docs scoring 0.0
+    val rows =
+      (0 until 10).map(i => (i.toLong, "the of and to", "en", "s0", 13L)) ++
+        (10 until 15).map(i => (i.toLong, "cat dog fish", "en", "s0", 12L)) ++
+        (15 until 25).map(i => (i.toLong, "hund katze maus", "de", "s0", 15L))
+    val dir = java.nio.file.Files.createTempDirectory("q74spec").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = StatsOps.thresholdSweep(spark, dir).collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          r.getDouble(5),
+          Option(r.get(6)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got.size == StatsOps.SweepSteps + 1)
+    // t = 0: everything predicted positive
+    assert(got(0.0)._1 == 15L && got(0.0)._2 == 10L && got(0.0)._3 == 0L)
+    assert(got(0.0)._4.contains(0.6) && got(0.0)._5 == 1.0)
+    // any t > 0: only the stopword-heavy en docs pass — perfect precision,
+    // recall loses the 5 stopword-free en docs
+    assert(got(0.1) == ((10L, 0L, 5L, Some(1.0), 10.0 / 15.0,
+      Some(2.0 * 1.0 * (10.0 / 15.0) / (1.0 + 10.0 / 15.0)))))
+    // F1 at its best operating point beats both extremes' F1
+    val f1s = got.values.flatMap(_._6)
+    assert(f1s.max == 0.8)
+  }
+
   test("q71: output is one bounded row per source on the synthetic corpus") {
     val out = StatsOps.sourceDrift(spark, Sf0001)
     val n   = spark.read.parquet(s"$Sf0001/documents.parquet")
