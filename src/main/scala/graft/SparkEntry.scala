@@ -92,7 +92,8 @@ object SparkEntry {
     "q71_source_drift"    -> (StatsOps.sourceDrift _),
     "q72_centroid_sim"    -> (VectorOps.centroidSim _),
     "q73_tfidf_terms"     -> (StatsOps.tfidfTerms _),
-    "q74_threshold_sweep" -> (StatsOps.thresholdSweep _)
+    "q74_threshold_sweep" -> (StatsOps.thresholdSweep _),
+    "q75_random_projection" -> (VectorOps.randomProjection _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -169,7 +170,8 @@ object SparkEntry {
     "q71_source_drift"    -> StatsOps.sourceDriftSql,
     "q72_centroid_sim"    -> VectorOps.centroidSimSql,
     "q73_tfidf_terms"     -> StatsOps.tfidfTermsSql,
-    "q74_threshold_sweep" -> StatsOps.thresholdSweepSql
+    "q74_threshold_sweep" -> StatsOps.thresholdSweepSql,
+    "q75_random_projection" -> VectorOps.randomProjectionSql
     // q25/q26/q29/q30 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
     // probes/pairs are engine-identical, not probabilistically equivalent

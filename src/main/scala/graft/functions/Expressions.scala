@@ -156,6 +156,62 @@ object Expressions {
   }
   object HyperplaneBucket { val Dims = 64 }
 
+  /** Johnson–Lindenstrauss random projection of an array<double> embedding
+    * to `outDims` dimensions: `y_j = (Σ_d v_d · w_jd) / √outDims` with the
+    * same hash-derived ±1 Rademacher weights as [[HyperplaneBucket]]
+    * (Achlioptas 2003 — database-friendly random projections: Rademacher
+    * entries satisfy the JL lemma like Gaussians). `table` offsets the hash
+    * index space so the projection is independent of any LSH table sharing
+    * the family. Map-side, codegen'd, and — because the weights come from
+    * `XXH64.hashLong` rather than a JVM RNG — exactly reproducible in the
+    * DuckDB oracle, fold order d ascending per output dim.
+    */
+  case class RademacherProject(child: Expression, table: Int, outDims: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    private lazy val scale: Double = math.sqrt(outDims.toDouble)
+    private lazy val weights: Array[Array[Double]] =
+      Array.tabulate(outDims, HyperplaneBucket.Dims) { (p, d) =>
+        val idx = (table.toLong * 64L + p) * 64L + d
+        if ((XXH64.hashLong(idx, 42L) & 1L) == 1L) 1.0 else -1.0
+      }
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n   = math.min(arr.numElements(), HyperplaneBucket.Dims)
+      val out = new Array[Double](outDims)
+      var p   = 0
+      while (p < outDims) {
+        var dot = 0.0
+        val w   = weights(p)
+        var d   = 0
+        while (d < n) { dot += arr.getDouble(d) * w(d); d += 1 }
+        out(p) = dot / scale
+        p += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val w = ctx.addReferenceObj("rademacherWeights", weights, "double[][]")
+      nullSafeCodeGen(ctx, ev, c => {
+        val n, p, d, dot, out = ctx.freshName("v")
+        s"""
+           |int $n = java.lang.Math.min($c.numElements(), ${HyperplaneBucket.Dims});
+           |double[] $out = new double[$outDims];
+           |for (int $p = 0; $p < $outDims; $p++) {
+           |  double $dot = 0.0;
+           |  for (int $d = 0; $d < $n; $d++) {
+           |    $dot += $c.getDouble($d) * $w[$p][$d];
+           |  }
+           |  $out[$p] = $dot / $scale;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |""".stripMargin
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): RademacherProject =
+      copy(child = c)
+  }
+
   /** Indices of the `n` nearest centroids for an array<double> vector, by
     * descending dot product (SURVEY §2.C10b — IVF cell assignment / probe
     * selection). Centroids must be L2-normalized by the caller so dot order
@@ -821,6 +877,8 @@ object Expressions {
   def simhash64(c: Column): Column        = toColumn(SimHash64(toExpression(c)))
   def hyperplane_bucket(c: Column, table: Int, planes: Int): Column =
     toColumn(HyperplaneBucket(toExpression(c), table, planes))
+  def rademacher_project(c: Column, table: Int, outDims: Int): Column =
+    toColumn(RademacherProject(toExpression(c), table, outDims))
   def nearest_centroids(c: Column, centroids: Array[Array[Double]], n: Int): Column =
     toColumn(NearestCentroids(toExpression(c), centroids, n))
   def dot_product(a: Column, b: Column): Column =

@@ -765,6 +765,61 @@ object VectorOps {
         |ORDER BY e.vec_id""".stripMargin)
   }
 
+  // --- q75: Johnson–Lindenstrauss random projection --------------------------
+  val JlDims  = 16
+  val JlTable = 97 // hash-index offset decorrelating from the LSH tables
+
+  /** Dimensionality reduction by JL random projection: every embedding maps
+    * to [[JlDims]] dims via hash-derived ±1 Rademacher weights (Achlioptas
+    * 2003), `y_j = Σ_d v_d·w_jd / √k` — THE pre-step that makes downstream
+    * similarity passes (q28/q30/q65) cheaper at 100 TB: pairwise distances
+    * survive within (1±ε) at k = O(ln n / ε²), and a 4× narrower vector is
+    * a 4× cheaper shuffle and a 4× denser cache. Purely map-side via the
+    * codegen'd [[graft.functions.Expressions.RademacherProject]] — zero
+    * shuffles besides the output sort; the weight matrix is hash-derived
+    * (never materialized, no broadcast, reproducible on any executor AND in
+    * the oracle).
+    *
+    * Output is long-form (vec_id, j, y) — scalar columns keep the oracle
+    * compare exact; y is bit-exact (index-ordered fold, √16 = 4 exact).
+    */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .select(
+        col("vec_id"),
+        posexplode(graft.functions.Expressions.rademacher_project(col("v"), JlTable, JlDims))
+          .as(Seq("j", "y")))
+      .orderBy(col("vec_id"), col("j"))
+
+  /** Oracle: the q29 plane-emulation pattern — the same
+    * `XXH64.hashLong((table·64+j)·64+d, 42)` sign matrix re-derived in
+    * DuckDB, identical index-ordered folds. Exact, no tolerance.
+    */
+  lazy val randomProjectionSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q75pd" ->
+        s"""(SELECT j, d, (($JlTable * 64 + j) * 64 + d)::HUGEINT AS idx
+           |  FROM range(0, $JlDims) r(j), range(0, 64) s(d))""".stripMargin
+    )
+    val ch = new SqlChain("q75h", "q75pd", Seq("j", "d", "idx"))
+    hashLongLevels(ch, "idx", "42", "hw")
+    ctes ++= ch.ctes
+    ctes += ("q75sgn" ->
+      s"(SELECT j, list(CASE WHEN hw % 2 = 1 THEN 1.0 ELSE -1.0 END ORDER BY d) AS sv FROM ${ch.last} GROUP BY j)")
+    ctes += ("q75v" -> "(SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)")
+    assemble(
+      ctes.toSeq,
+      s"""SELECT vec_id, j::INTEGER AS j,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> v[i] * sv[i])),
+         |    (a, x) -> a + x) / sqrt(${JlDims}.0) AS y
+         |FROM q75v, q75sgn ORDER BY vec_id, j""".stripMargin)
+  }
+
   // --- q72: per-label centroids + pairwise cosine matrix --------------------
 
   /** Per-class embedding centroids and the inter-class cosine-similarity

@@ -59,6 +59,10 @@ object CodegenCheck {
       .select(graft.functions.Expressions.int8_quant_summary(col("v")).as("s"))
       .filter("s IS NULL OR (s.q_min >= -127 AND s.q_max <= 127)")
       .count()
+    val nj = vecs
+      .select(graft.functions.Expressions.rademacher_project(col("v"), 97, 16).as("y"))
+      .filter("size(y) = 16")
+      .count()
     val nl = spark.sql(
       """SELECT split(text, ' ') AS toks
         |FROM parquet.`/root/testdata/sf0.001/documents.parquet`""".stripMargin)
@@ -66,7 +70,7 @@ object CodegenCheck {
         .lm_xent(col("toks"), Map(1L -> 3L), Map(2L -> 5L), 4096).as("s"))
       .filter("s.n_pairs >= 0 AND (s.n_pairs = 0) = (s.lm_xent IS NULL)")
       .count()
-    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector, $nc centroid, $nd dot/norm, $nm minhash, $nw winnow, $ng top2gram, $nq int8, $nl lmxent")
+    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector, $nc centroid, $nd dot/norm, $nm minhash, $nw winnow, $ng top2gram, $nq int8, $nj jlproj, $nl lmxent")
     spark.stop()
   }
 }

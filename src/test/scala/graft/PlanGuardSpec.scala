@@ -107,7 +107,9 @@ class PlanGuardSpec extends SparkSpec {
       // (bin,label) count agg (printed per InMemoryTableScan occurrence of
       // the persisted count table) + output sort — the sweep itself joins
       // only bounded aggregates
-      "q74_threshold_sweep" -> 3
+      "q74_threshold_sweep" -> 3,
+      // map-side codegen'd projection; output sort only
+      "q75_random_projection" -> 1
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>

@@ -106,6 +106,48 @@ class StatsOpsSpec extends SparkSpec {
     assert(f1s.max == 0.8)
   }
 
+  test("q75: projection equals a driver-side recomputation from the hash signs") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val emb  = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val got = graft.operators.VectorOps.randomProjection(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == emb.size * graft.operators.VectorOps.JlDims)
+    val scale = math.sqrt(graft.operators.VectorOps.JlDims.toDouble)
+    emb.take(5).foreach { case (id, v) =>
+      for (j <- 0 until graft.operators.VectorOps.JlDims) {
+        var dot = 0.0
+        for (d <- v.indices) {
+          val idx = (graft.operators.VectorOps.JlTable.toLong * 64L + j) * 64L + d
+          val w   = if ((XXH64.hashLong(idx, 42L) & 1L) == 1L) 1.0 else -1.0
+          dot += v(d) * w
+        }
+        assert(got((id, j)) == dot / scale, s"vec $id dim $j")
+      }
+    }
+  }
+
+  test("q75: pairwise distances survive the projection in expectation (JL property)") {
+    val proj = graft.operators.VectorOps.randomProjection(spark, Sf0001).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    val orig = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted.take(30)
+    val ratios = for {
+      (a, i) <- ids.zipWithIndex; b <- ids.drop(i + 1)
+      od = d2(orig(a), orig(b)) if od > 0
+    } yield d2(proj(a).toArray, proj(b).toArray) / od
+    // E[ratio] = 1 (Rademacher projections are unbiased); var ≈ 2/k per
+    // pair, so the mean over ~400 pairs concentrates tightly
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"JL distance preservation broken: mean ratio $mean")
+  }
+
   test("q71: output is one bounded row per source on the synthetic corpus") {
     val out = StatsOps.sourceDrift(spark, Sf0001)
     val n   = spark.read.parquet(s"$Sf0001/documents.parquet")
