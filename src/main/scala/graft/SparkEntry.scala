@@ -93,7 +93,9 @@ object SparkEntry {
     "q72_centroid_sim"    -> (VectorOps.centroidSim _),
     "q73_tfidf_terms"     -> (StatsOps.tfidfTerms _),
     "q74_threshold_sweep" -> (StatsOps.thresholdSweep _),
-    "q75_random_projection" -> (VectorOps.randomProjection _)
+    "q75_random_projection" -> (VectorOps.randomProjection _),
+    "q76_dataset_card"    -> (StatsOps.datasetCard _),
+    "q77_zipf_slope"      -> (StatsOps.zipfSlope _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -171,7 +173,9 @@ object SparkEntry {
     "q72_centroid_sim"    -> VectorOps.centroidSimSql,
     "q73_tfidf_terms"     -> StatsOps.tfidfTermsSql,
     "q74_threshold_sweep" -> StatsOps.thresholdSweepSql,
-    "q75_random_projection" -> VectorOps.randomProjectionSql
+    "q75_random_projection" -> VectorOps.randomProjectionSql,
+    "q76_dataset_card"    -> StatsOps.datasetCardSql,
+    "q77_zipf_slope"      -> StatsOps.zipfSlopeSql
     // q25/q26/q29/q30 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
     // probes/pairs are engine-identical, not probabilistically equivalent

@@ -251,6 +251,151 @@ object StatsOps {
       .orderBy(col("threshold"))
   }
 
+  // --- q76: per-source dataset report card ----------------------------------
+
+  /** The "dataset card" rollup: one row per source with the numbers a data
+    * recipe quotes — document/token/char volume, English share, stopword
+    * token share, and exact-duplicate rate. This is the composition layer
+    * over the per-doc operators (q20's dup evidence, q22's quality
+    * numerators, q23's label) that turns them into source-level
+    * accept/reject/weight decisions (q53/q70 consume exactly these
+    * volumes).
+    *
+    * Scale shape: ONE corpus scan computes all per-doc metrics map-side;
+    * the exact-dup owner comes from one md5-keyed window (q52's idiom — no
+    * join-back), then everything collapses to a |sources|-row aggregate.
+    * Determinism: every reported ratio is ONE double division of exact
+    * integer sums (never a mean of per-doc floats — same information,
+    * no float-accumulation order to pin).
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val wH = Window.partitionBy(col("h"))
+    docs(spark, dir)
+      .select(
+        col("doc_id"), col("source"),
+        (col("lang") === "en").cast("long").as("is_en"),
+        col("n_chars"),
+        size(TextOps.toks).cast("long").as("n_tok"),
+        TextOps.stopCountExpr.cast("long").as("n_stop"),
+        md5(col("text")).as("h"))
+      .withColumn("is_dup", (col("doc_id") > min(col("doc_id")).over(wH)).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("is_en")).as("n_en"),
+        sum(col("n_stop")).as("n_stop"),
+        sum(col("is_dup")).as("n_dup"))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        (col("n_en").cast("double") / col("n_docs").cast("double")).as("pct_en"),
+        (col("n_stop").cast("double") / col("n_tokens").cast("double")).as("stop_share"),
+        (col("n_dup").cast("double") / col("n_docs").cast("double")).as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: md5 agrees across engines (hex strings), sums are exact
+    * integers, each ratio is one identical division.
+    */
+  lazy val datasetCardSql: String = {
+    import graft.operators.TextOps.{duckStopCount, DuckToks}
+    s"""WITH q76d AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+       |    n_chars, len($DuckToks) AS n_tok, $duckStopCount AS n_stop,
+       |    md5(text) AS h
+       |  FROM documents),
+       |q76w AS MATERIALIZED (
+       |  SELECT *, CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY h) THEN 1 ELSE 0 END AS is_dup
+       |  FROM q76d)
+       |SELECT source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(is_en) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS pct_en,
+       |  CAST(sum(n_stop) AS BIGINT)::DOUBLE / CAST(sum(n_tok) AS BIGINT)::DOUBLE AS stop_share,
+       |  CAST(sum(is_dup) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS dup_rate
+       |FROM q76w GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // --- q77: per-source Zipf slope --------------------------------------------
+
+  val ZipfTopN = 100
+
+  /** Zipf-law fit per source: the least-squares slope of `ln f` against
+    * `ln rank` over the source's [[ZipfTopN]] most frequent terms. Natural
+    * language sits near slope −1; template floods and synthetic/boilerplate
+    * text bend the curve (flat head = keyword stuffing, cliff = tiny
+    * effective vocabulary) — a one-number corpus-health check next to
+    * q71's drift and q58's entropy.
+    *
+    * Scale shape: one (source, term) frequency aggregate (vocabulary-
+    * bounded, map-side combine), a per-source rank window that
+    * WindowGroupLimit caps at [[ZipfTopN]] rows per partition, then ALL
+    * regression sums fold over ≤[[ZipfTopN]]-element arrays per source —
+    * the fit itself costs nothing at any corpus size.
+    *
+    * Determinism: x/y are single rounded lns of exact integers (the q49
+    * rule); the four regression sums fold in rank order on both engines;
+    * the slope is one fixed-shape expression of those sums, rounded to 6.
+    */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("f").desc, col("term"))
+    docs(spark, dir)
+      .select(col("source"), explode(TextOps.toks).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("f"))
+      .select(col("source"), col("f"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= ZipfTopN)
+      .select(
+        col("source"), col("rk"),
+        round(log(col("rk").cast("double")), 6).as("x"),
+        round(log(col("f").cast("double")), 6).as("y"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        expr("aggregate(array_sort(collect_list(struct(rk, x))), 0D, (a, s) -> a + s.x)").as("sx"),
+        expr("aggregate(array_sort(collect_list(struct(rk, y))), 0D, (a, s) -> a + s.y)").as("sy"),
+        expr("aggregate(array_sort(collect_list(struct(rk, x, y))), 0D, (a, s) -> a + s.x * s.y)")
+          .as("sxy"),
+        expr("aggregate(array_sort(collect_list(struct(rk, x))), 0D, (a, s) -> a + s.x * s.x)")
+          .as("sxx"))
+      .select(
+        col("source"),
+        col("n").cast("long").as("n_terms"),
+        round(
+          when(col("n") >= 2,
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))),
+          6).as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: same rounded lns, same rank-ordered folds, same slope shape. */
+  val zipfSlopeSql: String =
+    s"""WITH q77f AS MATERIALIZED (
+       |  SELECT source, term, count(*) AS f
+       |  FROM (SELECT source, unnest(${TextOps.DuckToks}) AS term FROM documents)
+       |  GROUP BY source, term),
+       |q77p AS MATERIALIZED (
+       |  SELECT source, rk, round(ln(rk::DOUBLE), 6) AS x, round(ln(f::DOUBLE), 6) AS y
+       |  FROM (SELECT source, f,
+       |          row_number() OVER (PARTITION BY source ORDER BY f DESC, term) AS rk
+       |        FROM q77f)
+       |  WHERE rk <= $ZipfTopN),
+       |q77a AS (
+       |  SELECT source, count(*)::DOUBLE AS n,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(x ORDER BY rk)), (a, b) -> a + b) AS sx,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(y ORDER BY rk)), (a, b) -> a + b) AS sy,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(x * y ORDER BY rk)), (a, b) -> a + b) AS sxy,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(x * x ORDER BY rk)), (a, b) -> a + b) AS sxx
+       |  FROM q77p GROUP BY source)
+       |SELECT source, CAST(n AS BIGINT) AS n_terms,
+       |  round(CASE WHEN n >= 2
+       |        THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS zipf_slope
+       |FROM q77a ORDER BY source""".stripMargin
+
   /** Oracle: identical binning product, identical integer confusion counts,
     * identical division shapes.
     */

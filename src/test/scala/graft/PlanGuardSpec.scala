@@ -109,7 +109,12 @@ class PlanGuardSpec extends SparkSpec {
       // only bounded aggregates
       "q74_threshold_sweep" -> 3,
       // map-side codegen'd projection; output sort only
-      "q75_random_projection" -> 1
+      "q75_random_projection" -> 1,
+      // md5 dup-owner window + |sources| rollup + output sort
+      "q76_dataset_card"    -> 3,
+      // (source,term) freq agg + capped rank window + per-source fold agg
+      // + output sort
+      "q77_zipf_slope"      -> 4
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>

@@ -148,6 +148,49 @@ class StatsOpsSpec extends SparkSpec {
     assert(mean > 0.8 && mean < 1.2, s"JL distance preservation broken: mean ratio $mean")
   }
 
+  test("q76: card reports exact volumes, shares, and cross-source dup rate") {
+    val rows = Seq(
+      (0L, "the cat", "en", "s0", 7L),
+      (1L, "the cat", "en", "s0", 7L), // exact dup of doc 0
+      (2L, "hund katze", "de", "s0", 10L),
+      (3L, "the cat", "en", "s1", 7L) // dup of doc 0 ACROSS sources
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("q76spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = StatsOps.datasetCard(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got("s0") == ((3L, 6L, 24L, 2.0 / 3.0, 2.0 / 6.0, 1.0 / 3.0)))
+    assert(got("s1") == ((1L, 2L, 7L, 1.0, 0.5, 1.0)), "cross-source dup must count")
+  }
+
+  test("q77: slope matches the closed-form fit; flat sources fit slope 0") {
+    val rows = Seq(
+      // zipf-ish source: freqs 8, 4, 2, 1 over ranks 1..4
+      (0L, "a a a a a a a a b b b b", "en", "zipfy", 23L),
+      (1L, "c c d", "en", "zipfy", 5L),
+      // flat source: every term exactly once → ln f ≡ 0 → slope 0
+      (2L, "u v w x y z", "en", "flat", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("q77spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = StatsOps.zipfSlope(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("flat")._1 == 6L && got("flat")._2 == 0.0)
+    // closed-form least squares over the same rounded points
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xs = (1 to 4).map(r => r6(math.log(r.toDouble)))
+    val ys = Seq(8, 4, 2, 1).map(f => r6(math.log(f.toDouble)))
+    val n  = 4.0
+    val (sx, sy)   = (xs.sum, ys.sum)
+    val (sxy, sxx) = (xs.zip(ys).map { case (x, y) => x * y }.sum, xs.map(x => x * x).sum)
+    val expected   = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(got("zipfy")._1 == 4L)
+    assert(math.abs(got("zipfy")._2 - expected) < 1e-6)
+    assert(got("zipfy")._2 < -0.9, "power-law source must fit a steep negative slope")
+  }
+
   test("q71: output is one bounded row per source on the synthetic corpus") {
     val out = StatsOps.sourceDrift(spark, Sf0001)
     val n   = spark.read.parquet(s"$Sf0001/documents.parquet")
