@@ -83,6 +83,28 @@ object StatsOps {
       .orderBy(col("source"))
   }
 
+  /** q71's KL formula as a pure function over one collected histogram —
+    * shared with the E16 streaming drift monitor so the windowed statistic
+    * and the batch statistic cannot diverge: same full-support smoothing,
+    * same single-division rationals, same `StrictMath.log` (what Spark's
+    * `log` evaluates), same ascending-bucket fold from 0.0.
+    */
+  def driftKl(hist: Seq[(Long, Long)], refCf: Map[Long, Long], refN: Long, buckets: Int): (Long, Double) = {
+    val cs = hist.toMap
+    val nS = hist.map(_._2).sum
+    var kl = 0.0
+    var f  = 0L
+    while (f < buckets) {
+      val c   = cs.getOrElse(f, 0L)
+      val cf  = refCf.getOrElse(f, 0L)
+      val psf = (c + 1).toDouble / (nS + buckets).toDouble
+      kl += psf * StrictMath.log(
+        ((c + 1) * (refN + buckets)).toDouble / ((cf + 1) * (nS + buckets)).toDouble)
+      f += 1
+    }
+    (nS, kl)
+  }
+
   /** Oracle: distinct token strings hashed once through the [[graft.functions.DuckHash]]
     * chain (the q68 pattern), joined back to instances; same smoothing, same
     * single-division rationals, same ascending-bucket fold.

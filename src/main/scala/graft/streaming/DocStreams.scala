@@ -18,6 +18,7 @@ import graft.operators.{CurationOps, TextOps}
 object DocStreams {
 
   case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+  case class SrcDoc(doc_id: Long, text: String, source: String, ts: java.sql.Timestamp)
 
   /** §2.E streaming ingest gate — the stateless front of the batch clean
     * pipeline applied to a live document stream in ONE map-side pass:
@@ -182,6 +183,36 @@ object DocStreams {
         col("s.n_pairs").as("n_pairs"),
         col("s.lm_xent").as("lm_xent"),
         (col("s.lm_xent").isNotNull && col("s.lm_xent") <= maxXent).as("keep"))
+
+  /** §2.E windowed drift monitor (E16): q71's per-source bucket histogram
+    * under an event-time window — the live view of "which source started
+    * sounding different?". Binning is the SAME in-row hashed-unigram
+    * expression as the batch operator (no literals, no model: the hash IS
+    * the binning), so the only stateful operator is the windowed
+    * (window, source, bucket) count — state ≤ |sources|×buckets rows per
+    * open window no matter the stream volume, the E15 histogram shape.
+    * Windows emit their histogram rows on watermark close (append mode);
+    * the KL against a reference snapshot distribution is extracted at the
+    * sink via [[graft.operators.StatsOps.driftKl]] — the batch q71 formula
+    * verbatim, so a window whose content equals a batch source scores
+    * IDENTICALLY to q71 on that corpus (spec-pinned).
+    */
+  def driftMonitor(
+      stream: DataFrame,
+      buckets: Int = graft.operators.StatsOps.DriftBuckets,
+      windowDur: String = "1 hour",
+      watermarkDur: String = "2 hours"
+  ): DataFrame =
+    stream
+      .withWatermark("ts", watermarkDur)
+      .select(
+        col("ts"),
+        col("source"),
+        explode(expr(
+          s"transform(split(trim(text), '\\\\s+'), t -> pmod(xxhash64(t), $buckets))")).as("f"))
+      .groupBy(window(col("ts"), windowDur), col("source"), col("f"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("window_start"), col("source"), col("f"), col("c"))
 
   def dsirScoreGate(
       stream: DataFrame,

@@ -328,6 +328,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("E16: a closed window's drift equals the batch q71 statistic on the same corpus") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.SrcDoc
+    import graft.operators.StatsOps
+    val B      = StatsOps.DriftBuckets
+    val corpus = graft.core.Tables.documents(spark, Sf0001)
+    val batch = StatsOps.sourceDrift(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // the reference snapshot distribution (what q71 compares each source to)
+    val ref = corpus
+      .selectExpr(s"explode(transform(split(trim(text), '\\\\s+'), t -> pmod(xxhash64(t), $B))) AS f")
+      .groupBy("f").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refN = ref.values.sum
+    // replay the WHOLE corpus into one event-time window
+    val replay = corpus.select("doc_id", "text", "source").collect()
+      .map(r => SrcDoc(r.getLong(0), r.getString(1), r.getString(2), ts(1)))
+    val in = MemoryStream[SrcDoc]
+    val q = DocStreams.driftMonitor(in.toDF())
+      .writeStream.format("memory").queryName("drift_mon").outputMode("append").start()
+    in.addData(replay.toSeq: _*)
+    q.processAllAvailable()
+    // advance the watermark past the window so it closes and emits
+    in.addData(SrcDoc(99999L, "late", "srcX", Timestamp.valueOf("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    val hists = spark.table("drift_mon").collect()
+      .filter(_.getAs[Timestamp]("window_start") == Timestamp.valueOf("2024-01-01 10:00:00"))
+      .groupBy(_.getAs[String]("source"))
+    q.stop()
+    assert(hists.keySet == batch.keySet)
+    hists.foreach { case (src, rows) =>
+      assert(rows.length <= B, "state per (window, source) must stay bucket-bounded")
+      val h       = rows.map(r => r.getAs[Long]("f") -> r.getAs[Long]("c")).toSeq
+      val (n, kl) = StatsOps.driftKl(h, ref, refN, B)
+      assert(n == batch(src)._1, s"$src token count")
+      val r6 = BigDecimal(kl).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // a window whose content IS the batch source scores identically
+      assert(r6 == batch(src)._2, s"$src: stream $r6 vs batch ${batch(src)._2}")
+    }
+  }
+
   test("E12: streaming bloom gate matches the batch gate's bloom verdicts") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
