@@ -95,7 +95,10 @@ object SparkEntry {
     "q74_threshold_sweep" -> (StatsOps.thresholdSweep _),
     "q75_random_projection" -> (VectorOps.randomProjection _),
     "q76_dataset_card"    -> (StatsOps.datasetCard _),
-    "q77_zipf_slope"      -> (StatsOps.zipfSlope _)
+    "q77_zipf_slope"      -> (StatsOps.zipfSlope _),
+    "q78_fuzzy_clusters"  -> (CurationOps.fuzzyClusters _),
+    "q79_quantile_normalize" -> (StatsOps.quantileNormalize _),
+    "q80_doc_chunks"      -> (CurationOps.docChunks _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -175,7 +178,10 @@ object SparkEntry {
     "q74_threshold_sweep" -> StatsOps.thresholdSweepSql,
     "q75_random_projection" -> VectorOps.randomProjectionSql,
     "q76_dataset_card"    -> StatsOps.datasetCardSql,
-    "q77_zipf_slope"      -> StatsOps.zipfSlopeSql
+    "q77_zipf_slope"      -> StatsOps.zipfSlopeSql,
+    "q78_fuzzy_clusters"  -> CurationOps.fuzzyClustersSql,
+    "q79_quantile_normalize" -> StatsOps.quantileNormalizeSql,
+    "q80_doc_chunks"      -> CurationOps.docChunksSql
     // q25/q26/q29/q30 are oracled EXACTLY: Spark's xxhash64 is emulated in
     // DuckDB HUGEINT arithmetic (DuckHash), so signatures/bands/buckets/
     // probes/pairs are engine-identical, not probabilistically equivalent

@@ -196,6 +196,64 @@ object CurationOps {
        |WHERE rk = 1
        |ORDER BY cluster_id""".stripMargin
 
+  // --- q78: full fuzzy-dedup manifest (LSH edges → components → keep/drop) -
+
+  /** The artifact a fuzzy-dedup pass actually ships: EVERY document labeled
+    * with its component and a keep/drop verdict, in one table. q47 labels
+    * only the docs incident to a verified (Jaccard ≥ 0.9) edge; here the
+    * edge set is q25's recall-oriented MinHash-LSH candidates — the
+    * production trade (trust the banding, skip the O(|pairs|·len) verify
+    * scan) — and docs with no candidate at all come through as singleton
+    * keepers, so the output is a total function of the corpus: filter
+    * `is_keeper` and you HAVE the deduped corpus.
+    *
+    * Scale shape: the LSH pipeline runs exactly once (`localCheckpoint`
+    * before iteration, q47's rule); star contraction is O(log n) rounds of
+    * keyed shuffles on ids only; the final left join + cluster window
+    * shuffle on doc_id/cluster_id with group sizes bounded by the dup
+    * graph, never the corpus. Nothing here is all-pairs and nothing
+    * collects to the driver.
+    */
+  def fuzzyClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TextOps
+      .minhashCandidatePairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint()
+    val (labels, _) = starContract(edges)
+    val wCl = Window.partitionBy(col("cluster_id"))
+    docs(spark, dir)
+      .select(col("doc_id"))
+      .join(labels.select(col("node").as("doc_id"), col("lbl").as("cl")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cl"), col("doc_id")))
+      .withColumn("cluster_size", count(lit(1)).over(wCl))
+      .withColumn("is_keeper", col("doc_id") === min(col("doc_id")).over(wCl))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: q25's bit-exact LSH emulation as the edge set (the driver
+    * already hash-verifies it standalone), transitive closure via the q47
+    * recursive CTE, then a left join back onto `documents` so singletons
+    * surface with cluster_id = their own id.
+    */
+  lazy val fuzzyClustersSql: String =
+    s"""WITH RECURSIVE cand AS MATERIALIZED (SELECT doc_a, doc_b FROM (${TextOps.minhashLshSql})),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |          UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach(node, r) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT w.node, e2.dst FROM reach w JOIN edges e2 ON w.r = e2.src
+       |),
+       |lab AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node),
+       |total AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+       |          FROM documents d LEFT JOIN lab l ON l.node = d.doc_id)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  (doc_id = min(doc_id) OVER (PARTITION BY cluster_id)) AS is_keeper
+       |FROM total
+       |ORDER BY doc_id""".stripMargin
+
   // --- q48: PII / blocklist scrubbing --------------------------------------
 
   /** Pattern set: the standard PII trio plus a configurable term blocklist.
@@ -451,6 +509,72 @@ object CurationOps {
          |FROM q50c
          |ORDER BY doc_id""".stripMargin
     )
+  }
+
+  // --- q80: overlapping token-window chunking ------------------------------
+
+  val ChunkLen    = 64
+  val ChunkStride = 48
+
+  /** RAG/pretraining chunker: every document split into [[ChunkLen]]-token
+    * windows advancing by [[ChunkStride]] (16-token overlap, the standard
+    * context-preserving recipe), each chunk given a stable (doc_id,
+    * chunk_idx) identity and a content hash for chunk-level exact dedup
+    * downstream. Start offsets are `0, S, 2S, …, ⌈max(n−C,0)/S⌉·S` — the
+    * last window is the first one that reaches the end of the document, so
+    * every token is covered, the final chunk may run short, no chunk is
+    * fully contained in its predecessor, and a doc no longer than one
+    * window yields exactly one chunk. The `max(…, 0)` keeps the ceiling
+    * arithmetic non-negative — load-bearing for the oracle, because Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors, and they only
+    * agree on non-negatives.
+    *
+    * Scale shape: one projection + one explode, zero shuffles before the
+    * presentation sort; the per-row expansion factor is n/S. The token
+    * array is built once per row and sliced per chunk (columnar reuse, no
+    * re-tokenization per chunk).
+    */
+  private[graft] val chunkCols: Seq[Column] = {
+    val (c, s) = (ChunkLen, ChunkStride)
+    Seq(
+      expr(s"cast(start div $s AS INT)").as("chunk_idx"),
+      size(expr(s"slice(toks, start + 1, $c)")).as("n_tok"),
+      md5(concat_ws(" ", expr(s"slice(toks, start + 1, $c)"))).as("chunk_hash"))
+  }
+
+  /** Chunk a (…, toks) frame; every non-`toks` column passes through, so
+    * the E17 stream twin keeps its event time with the SAME expression.
+    */
+  private[graft] def chunked(withToks: DataFrame): DataFrame = {
+    val keep = withToks.columns.filterNot(_ == "toks").map(col(_))
+    withToks
+      .withColumn(
+        "start",
+        explode(expr(
+          s"sequence(0, ((greatest(size(toks) - $ChunkLen, 0) + $ChunkStride - 1) div $ChunkStride) * $ChunkStride, $ChunkStride)")))
+      .select(keep ++ chunkCols: _*)
+  }
+
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    chunked(docs(spark, dir).select(col("doc_id"), TextOps.toks.as("toks")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Oracle: same start-offset rule via `generate_series`, same 1-based
+    * inclusive slice semantics (`toks[a : a+C−1]` ≡ Spark's
+    * `slice(toks, a, C)` — both truncate at the end), md5 hex agrees
+    * across engines.
+    */
+  lazy val docChunksSql: String = {
+    val (c, s) = (ChunkLen, ChunkStride)
+    s"""WITH q80t AS (SELECT doc_id, ${TextOps.DuckToks} AS toks FROM documents),
+       |q80c AS (SELECT doc_id, toks,
+       |           unnest(generate_series(0, ((greatest(len(toks) - $c, 0) + $s - 1) // $s) * $s, $s)) AS start
+       |         FROM q80t)
+       |SELECT doc_id, (start // $s)::INTEGER AS chunk_idx,
+       |  len(toks[start + 1 : start + $c])::INTEGER AS n_tok,
+       |  md5(array_to_string(toks[start + 1 : start + $c], ' ')) AS chunk_hash
+       |FROM q80c
+       |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
   // --- q51: n-gram-coverage dedup ------------------------------------------

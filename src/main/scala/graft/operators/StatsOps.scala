@@ -447,4 +447,117 @@ object StatsOps {
        |       THEN 2.0 * precision * recall / (precision + recall) END AS f1
        |FROM q74m ORDER BY threshold""".stripMargin
   }
+
+  // --- q79: exact quantile normalization without a global sort -------------
+
+  /** How many range partitions the rank shuffle spreads over. 32 here (=
+    * local cores); on a real cluster this is the one knob — set it to a few
+    * × executor count and each task sorts corpus/P rows.
+    */
+  val RankPartitions = 32
+
+  /** Exact corpus-wide and within-source percentile of each document's
+    * stop-word ratio (q22's score) — quantile normalization, the step that
+    * turns a raw filter score into a calibrated "keep the best X%" cut that
+    * is comparable across sources with different score distributions.
+    *
+    * `percent_rank()` over an unpartitioned window is the textbook spelling
+    * and a 100 TB suicide note: Spark plans it as ONE task holding the
+    * whole corpus. This is the scale-correct exact equivalent:
+    *
+    *   1. `repartitionByRange(score)` — each partition owns a contiguous
+    *      score range, ties all land in one partition (range partitioning
+    *      sends equal keys to equal partitions);
+    *   2. per-partition strictly-less counts via an ordinary KEYED window
+    *      (`partitionBy(pid)`, `rank()-1`) — P parallel sorts of n/P rows;
+    *   3. partition-prefix offsets from the ≤P-row (pid → count) table,
+    *      broadcast as one collected array and folded map-side (no window,
+    *      no single-partition stage);
+    *   4. strictly_less = prefix + local, pct = less/(n−1) — one exact
+    *      integer division, identical bits to DuckDB's `percent_rank()`.
+    *
+    * The within-source ranks reuse the same machinery keyed by (source,
+    * score) — per-source sorts also spread over all P partitions, so one
+    * giant source cannot pin a task the way `Window.partitionBy(source)
+    * .orderBy(score)` would. AQE only ever coalesces ADJACENT shuffle
+    * partitions, which preserves both the range ordering and tie
+    * colocation, so the counts are layout-independent.
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        (TextOps.stopCountExpr / size(TextOps.toks)).as("score"))
+
+    val corpus = strictlyLess(scored, Nil, "less_c").withColumnRenamed("n_s", "n")
+    val bySrc  = strictlyLess(scored.select(col("doc_id"), col("source"), col("score")), Seq("source"), "less_s")
+      .select(col("doc_id"), col("less_s"), col("n_s"))
+
+    corpus
+      .join(bySrc, "doc_id")
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("score"),
+        when(col("n") === 1L, lit(0.0))
+          .otherwise(col("less_c").cast("double") / (col("n") - 1L).cast("double"))
+          .as("pct_corpus"),
+        when(col("n_s") === 1L, lit(0.0))
+          .otherwise(col("less_s").cast("double") / (col("n_s") - 1L).cast("double"))
+          .as("pct_source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Strictly-less-than-count of `score` within each `parts` group (empty
+    * `parts` = the whole corpus), plus the group size `n_s` when grouped —
+    * the range-partition + keyed-window + prefix-fold plan described on
+    * [[quantileNormalize]]. Output: input columns + `out` (+ `n_s`).
+    */
+  private def strictlyLess(df: DataFrame, parts: Seq[String], out: String): DataFrame = {
+    val rangeCols = parts.map(col) :+ col("score")
+    val keyed = df
+      .repartitionByRange(RankPartitions, rangeCols: _*)
+      .withColumn("pid", spark_partition_id())
+    val groupCols = col("pid") +: parts.map(col)
+    val partCounts = keyed.groupBy(groupCols: _*).agg(count(lit(1)).as("pc"))
+    // ≤ P×|groups| structs; the fold below sums counts of EARLIER pids in
+    // the SAME group — the partition-prefix offset, computed map-side.
+    val sKey = parts.headOption.map(p => col(p).as("g")).getOrElse(lit(0).as("g"))
+    val offs = partCounts
+      .agg(collect_list(struct(col("pid").as("p"), sKey, col("pc").as("c"))).as("pcs"))
+    val gRef = parts.headOption.map(col).getOrElse(lit(0))
+    val w    = Window.partitionBy(groupCols: _*).orderBy(col("score"))
+    keyed
+      .crossJoin(broadcast(offs))
+      .withColumn("g0", gRef)
+      .withColumn(
+        "off",
+        expr("aggregate(filter(pcs, x -> x.p < pid AND x.g = g0), 0L, (a, x) -> a + x.c)"))
+      .withColumn(
+        "n_s",
+        expr("aggregate(filter(pcs, x -> x.g = g0), 0L, (a, x) -> a + x.c)"))
+      .withColumn(out, col("off") + rank().over(w).cast("long") - 1L)
+      .drop("pid", "pcs", "g0", "off")
+  }
+
+  /** Oracle: the textbook window spelling — `rank()-1` over the same keys,
+    * same guarded division. DuckDB can afford the single-sort plan at test
+    * scale; agreement pins that the distributed plan IS percent_rank.
+    */
+  lazy val quantileNormalizeSql: String = {
+    import graft.operators.TextOps.{duckStopCount, DuckToks}
+    s"""WITH q79s AS MATERIALIZED (
+       |  SELECT doc_id, source, ns / nt AS score
+       |  FROM (SELECT doc_id, source, $duckStopCount AS ns, len($DuckToks) AS nt
+       |        FROM documents))
+       |SELECT doc_id, source, score,
+       |  CASE WHEN count(*) OVER () = 1 THEN 0.0
+       |       ELSE (rank() OVER (ORDER BY score) - 1)::DOUBLE
+       |            / ((count(*) OVER ()) - 1)::DOUBLE END AS pct_corpus,
+       |  CASE WHEN count(*) OVER (PARTITION BY source) = 1 THEN 0.0
+       |       ELSE (rank() OVER (PARTITION BY source ORDER BY score) - 1)::DOUBLE
+       |            / ((count(*) OVER (PARTITION BY source)) - 1)::DOUBLE END AS pct_source
+       |FROM q79s ORDER BY doc_id""".stripMargin
+  }
 }

@@ -563,6 +563,13 @@ object TextOps {
     minhashLshFrom(shingled(spark, dir))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** q25's candidate pairs without the presentation sort — the edge feed
+    * for q78's fuzzy-dedup components (the sort would be a wasted global
+    * exchange right before a `localCheckpoint`).
+    */
+  private[operators] def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame =
+    minhashLshFrom(shingled(spark, dir))
+
   /** DuckDB oracle reproducing the ENTIRE MinHash-LSH pipeline bit-for-bit —
     * Spark's `xxhash64` (seed-42 string hash, int chaining for permutations,
     * long chaining for band hashes) is emulated in HUGEINT mod-2^64

@@ -49,6 +49,19 @@ object DocStreams {
       )
   }
 
+  /** §2.E stream chunker (twin: q80) — incoming documents split into the
+    * same overlapping [[CurationOps.ChunkLen]]-token windows the batch
+    * chunker emits, with the batch operator's OWN expression tree
+    * ([[CurationOps.chunked]] — start-offset rule, slice, content md5 all
+    * shared, so the two cannot diverge). The event time rides through
+    * every chunk, ready for a downstream watermark. Stateless: one
+    * projection + one explode per micro-batch, no watermark, no shuffle,
+    * no state store — the chunk stream is as fast as the source feeds it.
+    */
+  def streamChunker(docs: DataFrame): DataFrame =
+    CurationOps.chunked(
+      docs.select(col("doc_id"), col("ts"), split(trim(col("text")), "\\s+").as("toks")))
+
   /** §2.E stream-static join: incoming documents deduped against a STATIC
     * already-ingested corpus snapshot — the streaming twin of q52's exact
     * leg, and the join modality (stream ⋈ static) the rest of §2.E doesn't

@@ -538,4 +538,74 @@ class CurationOpsSpec extends SparkSpec {
     val alienMax = got.filter(_._2 == "src5").map(_._4).max
     assert(tgtMin > alienMax)
   }
+
+  // --- q78 ------------------------------------------------------------------
+
+  test("q78: the fuzzy-dedup manifest is total, with one keeper per cluster") {
+    // Three exact copies (identical shingle sets ⇒ identical signatures ⇒
+    // LSH MUST pair them), plus two unrelated docs that share no shingle.
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = Seq(
+      (10L, dup, "en", "s0", 60L),
+      (11L, dup, "en", "s0", 60L),
+      (12L, dup, "en", "s1", 60L),
+      (20L, "entirely different words about completely other topics here now", "en", "s0", 64L),
+      (21L, "short", "en", "s1", 5L)
+    )
+    val dir = java.nio.file.Files.createTempDirectory("q78spec").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = CurationOps.fuzzyClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // total: every doc appears exactly once, in doc_id order
+    assert(got.map(_._1).toSeq == Seq(10L, 11L, 12L, 20L, 21L))
+    val byId = got.map(g => g._1 -> g).toMap
+    // the copies form one cluster rooted at the min id, only the root keeps
+    assert(Seq(10L, 11L, 12L).map(byId(_)._2).forall(_ == 10L))
+    assert(Seq(10L, 11L, 12L).map(byId(_)._3).forall(_ == 3L))
+    assert(byId(10L)._4 && !byId(11L)._4 && !byId(12L)._4)
+    // singletons: own cluster, size 1, keeper
+    Seq(20L, 21L).foreach { id =>
+      assert(byId(id) == ((id, id, 1L, true)), s"doc $id must be a singleton keeper")
+    }
+    // invariant: exactly one keeper per cluster, and it is the cluster min
+    got.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.count(_._4) == 1, s"cluster $cl must have exactly one keeper")
+      assert(members.filter(_._4).head._1 == members.map(_._1).min)
+    }
+  }
+
+  // --- q80 ------------------------------------------------------------------
+
+  test("q80: chunk windows cover every token, overlap by stride, and hash stably") {
+    val C = CurationOps.ChunkLen
+    val S = CurationOps.ChunkStride
+    val longDoc  = (0 until 100).map(i => s"t$i").mkString(" ") // 100 tokens
+    val tinyDoc  = "a b c"                                      // < one window
+    val exactDoc = (0 until C).map(i => s"x$i").mkString(" ")   // exactly one window
+    val corpus = Seq((1L, longDoc), (2L, tinyDoc), (3L, exactDoc))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+
+    val got = CurationOps.chunked(corpus).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val byDoc = got.groupBy(_._1)
+
+    // 100 tokens: last start = ⌈(100−64)/48⌉·48 = 48 → windows [0,64) and
+    // [48,100) — the end is reached, no redundant third window
+    assert(byDoc(1L).sortBy(_._2).map(c => (c._2, c._3)).toSeq ==
+      Seq((0, 64), (1, 52)))
+    // sub-window and exact-window docs yield exactly one full chunk
+    assert(byDoc(2L).map(c => (c._2, c._3)).toSeq == Seq((0, 3)))
+    assert(byDoc(3L).map(c => (c._2, c._3)).toSeq == Seq((0, C)))
+    // every token of the long doc is covered by at least one chunk
+    val covered = byDoc(1L).flatMap(c => (c._2 * S) until (c._2 * S + c._3)).toSet
+    assert(covered == (0 until 100).toSet)
+    // the content hash is md5 of the space-joined window, independently
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest((48 until 100).map(i => s"t$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(byDoc(1L).find(_._2 == 1).get._4 == expect)
+  }
 }

@@ -114,7 +114,16 @@ class PlanGuardSpec extends SparkSpec {
       "q76_dataset_card"    -> 3,
       // (source,term) freq agg + capped rank window + per-source fold agg
       // + output sort
-      "q77_zipf_slope"      -> 4
+      "q77_zipf_slope"      -> 4,
+      // LSH + contraction execute eagerly (q47's rule), so the static plan
+      // is the docs scan + label join + cluster window + output sort
+      "q78_fuzzy_clusters"  -> 5,
+      // two range repartitions (corpus + per-source rank spreads) + their
+      // pid-keyed rank windows + the doc_id join + output sort — every
+      // exchange spreads over all partitions, nothing funnels to one task
+      "q79_quantile_normalize" -> 9,
+      // map-side chunk explode; output sort only
+      "q80_doc_chunks"      -> 1
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -202,7 +211,7 @@ class PlanGuardSpec extends SparkSpec {
       Set("q28_cosine_topk", "q15_scalar_subquery", "q42_kmv_distinct", "q46_ann_pq",
         "q49_bm25", "q55_hybrid_rrf", "q59_pmi_collocations", "q63_hll_distinct",
         "q70_temperature_mix", "q71_source_drift", "q72_centroid_sim",
-        "q73_tfidf_terms", "q74_threshold_sweep")
+        "q73_tfidf_terms", "q74_threshold_sweep", "q79_quantile_normalize")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),

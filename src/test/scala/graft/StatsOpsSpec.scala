@@ -7,6 +7,40 @@ import graft.operators.StatsOps
 class StatsOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q79: range-partitioned ranks equal the textbook percent_rank window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // Ties galore (scores repeat across sources), a dominant source, and a
+    // single-doc source to exercise the n_s=1 → 0.0 guard.
+    val words = Seq("the", "a", "an", "cat", "dog", "runs", "of", "to")
+    val rows = (0 until 120).map { i =>
+      val text = (0 to i % 7).map(j => words((i + j) % words.size)).mkString(" ")
+      (i.toLong, text, "en", s"src${i % 3}", text.length.toLong)
+    } :+ ((120L, "lonely text here", "en", "src_solo", 16L))
+    val dir = java.nio.file.Files.createTempDirectory("q79spec").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = StatsOps.quantileNormalize(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+
+    // The single-partition textbook spelling — fine at spec scale, the very
+    // plan q79 exists to avoid at corpus scale. Equality must be EXACT:
+    // both reduce to strictly_less/(n-1) on identical integers.
+    val naive = StatsOps.quantileNormalize(spark, dir)
+      .select(col("doc_id"), col("source"), col("score"))
+      .withColumn("pc", percent_rank().over(Window.orderBy(col("score"))))
+      .withColumn("ps", percent_rank().over(Window.partitionBy(col("source")).orderBy(col("score"))))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+
+    assert(got.keySet == naive.keySet && got.keySet.size == 121)
+    got.foreach { case (id, (pc, ps)) =>
+      assert(pc == naive(id)._1, s"doc $id corpus pct: got $pc want ${naive(id)._1}")
+      assert(ps == naive(id)._2, s"doc $id source pct: got $ps want ${naive(id)._2}")
+    }
+    assert(got(120L)._2 == 0.0, "single-doc source pins pct_source to 0")
+  }
+
   test("q71: KL drift is ~0 for the corpus vs itself and large for an alien source") {
     // Build a corpus where src_same mirrors the corpus mix and src_alien
     // writes a disjoint vocabulary: KL(src_alien) must dominate.

@@ -328,6 +328,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("E17: streamed chunks EQUAL the batch q80 chunks (shared expression)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    import graft.operators.CurationOps
+    val corpus = graft.core.Tables.documents(spark, Sf0001)
+    val batch = CurationOps.docChunks(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3))).toMap
+    val sample = corpus
+      .select("doc_id", "text").orderBy($"doc_id").limit(25).collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), ts(1)))
+    val in = MemoryStream[Doc]
+    val st = DocStreams.streamChunker(in.toDF())
+    assert(st.isStreaming)
+    val q = st.writeStream.format("memory").queryName("chunker").outputMode("append").start()
+    in.addData(sample.toSeq: _*)
+    q.processAllAvailable()
+    val rows = spark.table("chunker").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("n_tok"), r.getAs[String]("chunk_hash")))
+    q.stop()
+    val streamedDocs = sample.map(_.doc_id).toSet
+    // every batch chunk of the streamed docs arrived, bit-identical, and
+    // nothing else did
+    assert(rows.map(r => (r._1, r._2)).toSet ==
+      batch.keySet.filter(k => streamedDocs(k._1)))
+    rows.foreach { case (id, idx, n, h) =>
+      assert(batch((id, idx)) == ((n, h)), s"chunk ($id, $idx) diverged from batch")
+    }
+  }
+
   test("E16: a closed window's drift equals the batch q71 statistic on the same corpus") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
