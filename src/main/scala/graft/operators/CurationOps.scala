@@ -577,6 +577,71 @@ object CurationOps {
        |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  // --- q81: chunk-granular dedup (sequence-level, Lee et al.) --------------
+
+  /** Sequence-level dedup at q80's chunk granularity: every chunk hash is
+    * owned by its lexicographically first (doc_id, chunk_idx) occurrence;
+    * later occurrences are dropped, and each document reports how much of
+    * it survives — the "dedup the training data, not the documents" pass
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"), which removes repeated boilerplate spans from otherwise
+    * unique documents instead of keeping or killing docs whole.
+    *
+    * Scale shape: the owner is a groupBy MIN over a struct — an aggregate
+    * with map-side combine, NOT a window over the hash partition (q51's
+    * rule: one viral boilerplate chunk shared by millions of docs must
+    * collapse per-partition, not pile onto one task). Shuffles on
+    * chunk_hash and doc_id only; the division is one exact-integer ratio.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = chunked(docs(spark, dir).select(col("doc_id"), TextOps.toks.as("toks")))
+    val owner = chunks
+      .groupBy(col("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("own"))
+    chunks
+      .join(owner, "chunk_hash")
+      .withColumn(
+        "kept",
+        col("own.doc_id") === col("doc_id") && col("own.chunk_idx") === col("chunk_idx"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tok").cast("long")).as("n_tok"),
+        sum(when(col("kept"), col("n_tok").cast("long")).otherwise(0L)).as("n_tok_kept"))
+      .withColumn(
+        "kept_frac",
+        col("n_tok_kept").cast("double") / col("n_tok").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: q80's chunk CTE verbatim, ownership as `row_number() = 1`
+    * over (hash | doc_id, chunk_idx) — semantically the lexicographic-min
+    * struct — and HUGEINT sums pinned back to BIGINT.
+    */
+  lazy val chunkDedupSql: String = {
+    val (c, s) = (ChunkLen, ChunkStride)
+    s"""WITH q81t AS (SELECT doc_id, ${TextOps.DuckToks} AS toks FROM documents),
+       |q81x AS (SELECT doc_id, toks,
+       |           unnest(generate_series(0, ((greatest(len(toks) - $c, 0) + $s - 1) // $s) * $s, $s)) AS start
+       |         FROM q81t),
+       |q81c AS (SELECT doc_id, (start // $s)::INTEGER AS chunk_idx,
+       |           len(toks[start + 1 : start + $c]) AS n_tok,
+       |           md5(array_to_string(toks[start + 1 : start + $c], ' ')) AS chunk_hash
+       |         FROM q81x),
+       |q81r AS (SELECT doc_id, chunk_idx, n_tok,
+       |           (row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) = 1) AS kept
+       |         FROM q81c)
+       |SELECT doc_id,
+       |  count(*)::BIGINT AS n_chunks,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+       |  CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS n_tok_kept,
+       |  CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS DOUBLE)
+       |    / CAST(sum(n_tok) AS DOUBLE) AS kept_frac
+       |FROM q81r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // --- q51: n-gram-coverage dedup ------------------------------------------
 
   val CovN      = 8

@@ -490,8 +490,8 @@ object StatsOps {
         col("source"),
         (TextOps.stopCountExpr / size(TextOps.toks)).as("score"))
 
-    val corpus = strictlyLess(scored, Nil, "less_c").withColumnRenamed("n_s", "n")
-    val bySrc  = strictlyLess(scored.select(col("doc_id"), col("source"), col("score")), Seq("source"), "less_s")
+    val corpus = strictlyLess(scored, Nil, "score", "less_c").withColumnRenamed("n_s", "n")
+    val bySrc  = strictlyLess(scored.select(col("doc_id"), col("source"), col("score")), Seq("source"), "score", "less_s")
       .select(col("doc_id"), col("less_s"), col("n_s"))
 
     corpus
@@ -509,13 +509,19 @@ object StatsOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Strictly-less-than-count of `score` within each `parts` group (empty
-    * `parts` = the whole corpus), plus the group size `n_s` when grouped —
-    * the range-partition + keyed-window + prefix-fold plan described on
-    * [[quantileNormalize]]. Output: input columns + `out` (+ `n_s`).
+  /** Strictly-less-than-count of `valueCol` within each `parts` group
+    * (empty `parts` = the whole corpus), plus the group size `n_s` — the
+    * range-partition + keyed-window + prefix-fold plan described on
+    * [[quantileNormalize]], shared with q82's sort-free doc ranking.
+    * Output: input columns + `out` + `n_s`.
     */
-  private def strictlyLess(df: DataFrame, parts: Seq[String], out: String): DataFrame = {
-    val rangeCols = parts.map(col) :+ col("score")
+  private[operators] def strictlyLess(
+      df: DataFrame,
+      parts: Seq[String],
+      valueCol: String,
+      out: String
+  ): DataFrame = {
+    val rangeCols = parts.map(col) :+ col(valueCol)
     val keyed = df
       .repartitionByRange(RankPartitions, rangeCols: _*)
       .withColumn("pid", spark_partition_id())
@@ -527,7 +533,7 @@ object StatsOps {
     val offs = partCounts
       .agg(collect_list(struct(col("pid").as("p"), sKey, col("pc").as("c"))).as("pcs"))
     val gRef = parts.headOption.map(col).getOrElse(lit(0))
-    val w    = Window.partitionBy(groupCols: _*).orderBy(col("score"))
+    val w    = Window.partitionBy(groupCols: _*).orderBy(col(valueCol))
     keyed
       .crossJoin(broadcast(offs))
       .withColumn("g0", gRef)
@@ -539,6 +545,150 @@ object StatsOps {
         expr("aggregate(filter(pcs, x -> x.g = g0), 0L, (a, x) -> a + x.c)"))
       .withColumn(out, col("off") + rank().over(w).cast("long") - 1L)
       .drop("pid", "pcs", "g0", "off")
+  }
+
+  // --- q82: Heaps-law vocabulary growth ------------------------------------
+
+  val HeapsCheckpoints = 20
+
+  /** Vocabulary growth along the corpus (Heaps' law `V ≈ K·nᵝ`): at each of
+    * [[HeapsCheckpoints]] prefix checkpoints of the doc_id order, the
+    * running doc count, token count, and DISTINCT-BIGRAM count, plus the
+    * fitted log-log slope β — the statistic that says whether a corpus is
+    * still yielding new vocabulary (β ≈ 0.5 for natural text) or has gone
+    * templated/repetitive (β → 0), and a direct health check on tokenizer
+    * budgets as the corpus scales. The vocabulary unit is word BIGRAMS:
+    * closed-vocabulary corpora (like the synthetic test tables) saturate
+    * their unigram list almost immediately, which degenerates the fit,
+    * while combination growth keeps the statistic informative — and at
+    * real-corpus scale the machinery is identical either way.
+    *
+    * "Running distinct count" is the textbook cumulative-window killer;
+    * here it needs no distinct-over-prefix at all: each term's FIRST
+    * position is one `groupBy(term).min(rank)` aggregate (map-side
+    * combine), ranks come sort-free from [[strictlyLess]] (q79's
+    * range-partition machinery — doc_id is unique, so strictly-less IS the
+    * rank), and vocab(c) is a cumulative sum of the ≤C-bucket first-rank
+    * histogram, folded from one broadcast array. Checkpoint thresholds are
+    * `⌊c·N/20⌋` in pure integer arithmetic; a rank's bucket is the count
+    * of thresholds ≤ it — a 20-term fold, exact on both engines.
+    *
+    * Float determinism: β's regression inputs are ONE rounded ln of exact
+    * integers per checkpoint (q73's rule), summed in checkpoint order
+    * (q77's rule), slope one fixed-shape expression rounded to 6.
+    */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val c      = HeapsCheckpoints
+    val perDoc = docs(spark, dir)
+      .select(col("doc_id"), TextOps.toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        expr("""if(size(toks) < 2, array(),
+                array_distinct(transform(sequence(0, size(toks) - 2),
+                  i -> concat_ws(' ', toks[i], toks[i+1]))))""").as("terms"))
+      .persist()
+    // persisted: read by the doc histogram AND the bigram first-rank join —
+    // without the cache the whole range-rank subtree replays per consumer
+    val ranked = strictlyLess(perDoc.select(col("doc_id"), col("n_tok")), Nil, "doc_id", "rk")
+      .persist()
+    // bucket of rank r0 = 1 + how many thresholds ⌊k·nn/C⌋ are ≤ it (reads
+    // columns `r0` and `nn`, exact integer arithmetic)
+    val bucketExpr =
+      expr(s"1 + aggregate(sequence(1, $c), 0, (a, k) -> a + if((k * nn) div $c <= r0, 1, 0))")
+    val docStats = ranked
+      .withColumn("nn", col("n_s"))
+      .withColumn("r0", col("rk"))
+      .withColumn("b", bucketExpr)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("dc"), sum(col("n_tok")).as("tc"))
+    val nRow = perDoc.agg(count(lit(1)).as("nn"))
+    val termStats = perDoc
+      .select(col("doc_id"), explode(col("terms")).as("term"))
+      .join(ranked.select(col("doc_id"), col("rk")), "doc_id")
+      .groupBy(col("term"))
+      .agg(min(col("rk")).as("r0"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("b", bucketExpr)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("vc"))
+    val cps = spark.range(1, c + 1).toDF("cp")
+      .crossJoin(broadcast(docStats.agg(collect_list(struct(col("b"), col("dc"), col("tc"))).as("ds"))))
+      .crossJoin(broadcast(termStats.agg(collect_list(struct(col("b"), col("vc"))).as("vs"))))
+      .select(
+        col("cp").cast("int").as("checkpoint"),
+        expr("aggregate(filter(ds, x -> x.b <= cp), 0L, (a, x) -> a + x.dc)").as("n_docs"),
+        expr("aggregate(filter(ds, x -> x.b <= cp), 0L, (a, x) -> a + x.tc)").as("n_tokens"),
+        expr("aggregate(filter(vs, x -> x.b <= cp), 0L, (a, x) -> a + x.vc)").as("vocab"))
+      .persist() // ≤C rows; read by the fit and again by the output join
+    val fit = cps
+      .filter(col("n_tokens") > 0 && col("vocab") > 0)
+      .select(
+        col("checkpoint"),
+        round(log(col("n_tokens").cast("double")), 6).as("x"),
+        round(log(col("vocab").cast("double")), 6).as("y"))
+      .agg(
+        count(lit(1)).cast("double").as("nf"),
+        expr("aggregate(array_sort(collect_list(struct(checkpoint, x))), 0D, (a, s) -> a + s.x)").as("sx"),
+        expr("aggregate(array_sort(collect_list(struct(checkpoint, y))), 0D, (a, s) -> a + s.y)").as("sy"),
+        expr("aggregate(array_sort(collect_list(struct(checkpoint, x, y))), 0D, (a, s) -> a + s.x * s.y)").as("sxy"),
+        expr("aggregate(array_sort(collect_list(struct(checkpoint, x))), 0D, (a, s) -> a + s.x * s.x)").as("sxx"))
+    cps
+      .crossJoin(broadcast(fit))
+      .select(
+        col("checkpoint"), col("n_docs"), col("n_tokens"), col("vocab"),
+        // `+ 0.0` pins IEEE −0.0 to +0.0 — a flat fit's numerator can
+        // cancel to a zero whose SIGN differs across engines
+        (round(
+          when(col("nf") >= 2 && (col("nf") * col("sxx") - col("sx") * col("sx")) =!= 0.0,
+            (col("nf") * col("sxy") - col("sx") * col("sy")) /
+              (col("nf") * col("sxx") - col("sx") * col("sx"))),
+          6) + 0.0).as("heaps_beta"))
+      .orderBy(col("checkpoint"))
+  }
+
+  /** Oracle: `row_number()` over doc_id as the rank (DuckDB can afford the
+    * single sort at test scale), the same 20-term threshold-count bucket
+    * fold, cumulative sums as ≤C-row theta-join rollups, q77's ordered-list
+    * regression folds.
+    */
+  lazy val heapsLawSql: String = {
+    val c = HeapsCheckpoints
+    s"""WITH q82d AS MATERIALIZED (
+       |  SELECT doc_id, len(toks)::BIGINT AS n_tok,
+       |    CASE WHEN len(toks) < 2 THEN []
+       |         ELSE list_distinct(list_transform(generate_series(1, len(toks) - 1),
+       |                i -> toks[i] || ' ' || toks[i+1])) END AS terms,
+       |    row_number() OVER (ORDER BY doc_id) - 1 AS rk,
+       |    count(*) OVER () AS nn
+       |  FROM (SELECT doc_id, ${TextOps.DuckToks} AS toks FROM documents)),
+       |q82db AS (SELECT *, 1 + len(list_filter(range(1, ${c + 1}), k -> (k * nn) // $c <= rk)) AS b
+       |          FROM q82d),
+       |q82doc AS (SELECT b, count(*) AS dc, sum(n_tok) AS tc FROM q82db GROUP BY b),
+       |q82tf AS (SELECT term, min(rk) AS r0, min(nn) AS nn
+       |          FROM (SELECT unnest(terms) AS term, rk, nn FROM q82db) GROUP BY term),
+       |q82v AS (SELECT b, count(*) AS vc
+       |         FROM (SELECT 1 + len(list_filter(range(1, ${c + 1}), k -> (k * nn) // $c <= r0)) AS b
+       |               FROM q82tf) GROUP BY b),
+       |q82i AS (SELECT unnest(range(1, ${c + 1})) AS cp),
+       |q82c1 AS (SELECT cp, CAST(coalesce(sum(dc), 0) AS BIGINT) AS n_docs,
+       |            CAST(coalesce(sum(tc), 0) AS BIGINT) AS n_tokens
+       |          FROM q82i LEFT JOIN q82doc ON b <= cp GROUP BY cp),
+       |q82c2 AS (SELECT cp, CAST(coalesce(sum(vc), 0) AS BIGINT) AS vocab
+       |          FROM q82i LEFT JOIN q82v ON b <= cp GROUP BY cp),
+       |q82cp AS (SELECT cp, n_docs, n_tokens, vocab FROM q82c1 JOIN q82c2 USING (cp)),
+       |q82p AS (SELECT cp, round(ln(n_tokens::DOUBLE), 6) AS x, round(ln(vocab::DOUBLE), 6) AS y
+       |         FROM q82cp WHERE n_tokens > 0 AND vocab > 0),
+       |q82a AS (SELECT count(*)::DOUBLE AS nf,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(x ORDER BY cp)), (a, b) -> a + b) AS sx,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(y ORDER BY cp)), (a, b) -> a + b) AS sy,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(x * y ORDER BY cp)), (a, b) -> a + b) AS sxy,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(x * x ORDER BY cp)), (a, b) -> a + b) AS sxx
+       |  FROM q82p)
+       |SELECT cp::INTEGER AS checkpoint, n_docs, n_tokens, vocab,
+       |  round(CASE WHEN nf >= 2 AND (nf * sxx - sx * sx) != 0
+       |        THEN (nf * sxy - sx * sy) / (nf * sxx - sx * sx) END, 6) + 0.0 AS heaps_beta
+       |FROM q82cp CROSS JOIN q82a ORDER BY checkpoint""".stripMargin
   }
 
   /** Oracle: the textbook window spelling — `rank()-1` over the same keys,

@@ -608,4 +608,31 @@ class CurationOpsSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     assert(byDoc(1L).find(_._2 == 1).get._4 == expect)
   }
+
+  // --- q81 ------------------------------------------------------------------
+
+  test("q81: a repeated aligned window is dropped from the later doc only") {
+    val C = CurationOps.ChunkLen
+    val w = (0 until C).map(i => s"w$i")
+    val z = (0 until 36).map(i => s"z$i")
+    // docB opens with docA's exact window, then diverges; docC is unrelated
+    val rows = Seq(
+      (1L, w.mkString(" "), "en", "s0", 100L),
+      (2L, (w ++ z).mkString(" "), "en", "s0", 100L),
+      (3L, (0 until C).map(i => s"u$i").mkString(" "), "en", "s1", 100L)
+    )
+    val dir = java.nio.file.Files.createTempDirectory("q81spec").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = CurationOps.chunkDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // docA: its one chunk is the owner (lexicographically first)
+    assert(got(1L) == ((1L, 1L, 64L, 64L, 1.0)))
+    // docB: chunk 0 (== docA's window) dropped, tail chunk [48,100) kept
+    assert(got(2L) == ((2L, 1L, 116L, 52L, 52.0 / 116.0)))
+    // docC: untouched
+    assert(got(3L) == ((1L, 1L, 64L, 64L, 1.0)))
+  }
 }

@@ -123,7 +123,16 @@ class PlanGuardSpec extends SparkSpec {
       // exchange spreads over all partitions, nothing funnels to one task
       "q79_quantile_normalize" -> 9,
       // map-side chunk explode; output sort only
-      "q80_doc_chunks"      -> 1
+      "q80_doc_chunks"      -> 1,
+      // chunk-hash owner agg + join-back + per-doc rollup + output sort
+      // (q51's aggregate-not-window owner rule)
+      "q81_chunk_dedup"     -> 5,
+      // sort-free rank (range + pid window) + bigram first-rank agg +
+      // ≤C-row histograms + broadcast folds + output sort. The static
+      // string re-prints the persisted per-doc/rank/checkpoint subtrees
+      // under EVERY InMemoryTableScan occurrence (6 of them), so 23 static
+      // prints ≈ 9 executed exchanges — same multiplicity rule as q70/q71
+      "q82_heaps_law"       -> 23
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -211,7 +220,8 @@ class PlanGuardSpec extends SparkSpec {
       Set("q28_cosine_topk", "q15_scalar_subquery", "q42_kmv_distinct", "q46_ann_pq",
         "q49_bm25", "q55_hybrid_rrf", "q59_pmi_collocations", "q63_hll_distinct",
         "q70_temperature_mix", "q71_source_drift", "q72_centroid_sim",
-        "q73_tfidf_terms", "q74_threshold_sweep", "q79_quantile_normalize")
+        "q73_tfidf_terms", "q74_threshold_sweep", "q79_quantile_normalize",
+        "q82_heaps_law")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),

@@ -41,6 +41,33 @@ class StatsOpsSpec extends SparkSpec {
     assert(got(120L)._2 == 0.0, "single-doc source pins pct_source to 0")
   }
 
+  test("q82: growth curve is monotone, ends at the true totals, and fits beta > 0") {
+    // 40 docs, each introducing fresh bigrams → vocabulary genuinely grows
+    val rows = (0 until 40).map { i =>
+      val text = (0 until 10).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, text, "en", "s0", text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("q82spec").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = StatsOps.heapsLaw(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1 to StatsOps.HeapsCheckpoints))
+    // monotone non-decreasing in every cumulative column
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4, s"not monotone: $a -> $b")
+    }
+    // the last checkpoint is the whole corpus: 40 docs, 400 tokens, and
+    // every doc's 9 bigrams are distinct across docs → 360
+    assert(got.last._2 == 40L && got.last._3 == 400L && got.last._4 == 360L)
+    // fresh vocabulary every doc → a decisively positive Heaps slope,
+    // identical on every row
+    assert(got.map(_._5).distinct.length == 1)
+    assert(got.head._5 > 0.5, s"expected strong growth, got beta=${got.head._5}")
+  }
+
   test("q71: KL drift is ~0 for the corpus vs itself and large for an alien source") {
     // Build a corpus where src_same mirrors the corpus mix and src_alien
     // writes a disjoint vocabulary: KL(src_alien) must dominate.
