@@ -547,6 +547,51 @@ object StatsOps {
       .drop("pid", "pcs", "g0", "off")
   }
 
+  // --- E18 support: snapshot score-CDF model --------------------------------
+
+  val CdfBins = 64
+
+  /** Bounded calibration model for the E18 streaming quantile gate: the
+    * corpus snapshot's stop-ratio score distribution as a fixed-width
+    * histogram — (bin → count) plus the extent and total. ≤ [[CdfBins]]+1
+    * rows collected regardless of corpus size (the E11/E12/E14
+    * model-collection shape); the corpus pass is one map-side binning +
+    * one ≤[[CdfBins]]-row aggregate.
+    */
+  def scoreCdfModel(spark: SparkSession, dir: String): (Seq[(Int, Long)], Double, Double, Long) = {
+    val scored = docs(spark, dir)
+      .select((TextOps.stopCountExpr / size(TextOps.toks)).as("score"))
+      .persist()
+    val Array(ext) = scored.agg(min(col("score")).as("mn"), max(col("score")).as("mx")).collect()
+    val (mn, mx)   = (ext.getDouble(0), ext.getDouble(1))
+    val w          = (mx - mn) / CdfBins
+    val bin =
+      if (w == 0.0) lit(0)
+      else greatest(lit(0), least(lit(CdfBins - 1), floor((col("score") - mn) / w).cast("int")))
+    val hist = scored
+      .groupBy(bin.as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .toSeq
+    (hist, mn, mx, hist.map(_._2).sum)
+  }
+
+  /** The E18 gate's percentile estimate as a pure function — the SAME
+    * binning ops (subtract, divide, floor, clamp) and the same
+    * one-division step CDF the streaming expression evaluates, so stream
+    * and driver cannot diverge: pct(x) = (snapshot values in strictly
+    * lower bins) / n, i.e. q79's percent-rank at bin resolution.
+    */
+  def cdfPct(hist: Seq[(Int, Long)], mn: Double, mx: Double, n: Long, x: Double): Double = {
+    val w = (mx - mn) / CdfBins
+    val b =
+      if (w == 0.0) 0
+      else math.max(0, math.min(CdfBins - 1, math.floor((x - mn) / w).toInt))
+    val below = hist.filter(_._1 < b).map(_._2).sum
+    below.toDouble / n.toDouble
+  }
+
   // --- q82: Heaps-law vocabulary growth ------------------------------------
 
   val HeapsCheckpoints = 20

@@ -62,6 +62,47 @@ object DocStreams {
     CurationOps.chunked(
       docs.select(col("doc_id"), col("ts"), split(trim(col("text")), "\\s+").as("toks")))
 
+  /** §2.E streaming quantile gate (twin: q79) — each incoming document's
+    * quality score calibrated against a CORPUS SNAPSHOT's score CDF
+    * ([[graft.operators.StatsOps.scoreCdfModel]]), gating on "is this doc
+    * above the snapshot's P·100th percentile" instead of a raw threshold —
+    * the cut that stays meaningful when sources drift. The snapshot CDF
+    * rides as literals (≤ CdfBins cumulative counts + extent — the
+    * model-gate shape), so the whole gate is one stateless map-side
+    * projection: the score is q79's expression, the percentile is q79's
+    * strictly-less/n at bin resolution, and
+    * [[graft.operators.StatsOps.cdfPct]] is the same arithmetic as a pure
+    * function (spec-pinned ==). Out-of-extent scores clamp to the edge
+    * bins — a stream CAN see values the snapshot never did.
+    */
+  def quantileGate(
+      docs: DataFrame,
+      hist: Seq[(Int, Long)],
+      mn: Double,
+      mx: Double,
+      n: Long,
+      minPct: Double
+  ): DataFrame = {
+    import graft.operators.StatsOps.CdfBins
+    val byBin = hist.toMap
+    // cumBelow(b) = snapshot values in bins strictly below b
+    val cumBelow = (0 until CdfBins).map(b => (0 until b).map(i => byBin.getOrElse(i, 0L)).sum)
+    val w        = (mx - mn) / CdfBins
+    val toks     = split(trim(col("text")), "\\s+")
+    val score    = (TextOps.stopCountExpr / size(toks)).as("score")
+    val bin =
+      if (w == 0.0) lit(0)
+      else greatest(lit(0), least(lit(CdfBins - 1), floor((col("score") - mn) / w).cast("int")))
+    docs
+      .select(col("doc_id"), col("ts"), score)
+      .withColumn("bin", bin)
+      .withColumn(
+        "pct",
+        element_at(typedLit(cumBelow), col("bin") + 1).cast("double") / lit(n.toDouble))
+      .withColumn("keep", col("pct") >= minPct)
+      .drop("bin")
+  }
+
   /** §2.E stream-static join: incoming documents deduped against a STATIC
     * already-ingested corpus snapshot — the streaming twin of q52's exact
     * leg, and the join modality (stream ⋈ static) the rest of §2.E doesn't

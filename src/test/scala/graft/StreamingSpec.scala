@@ -360,6 +360,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("E18: streaming quantile gate matches the pure-function CDF on every doc") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    import graft.operators.StatsOps
+    val (hist, mn, mx, n) = StatsOps.scoreCdfModel(spark, Sf0001)
+    assert(n > 0 && hist.nonEmpty && hist.size <= StatsOps.CdfBins)
+    val sample = graft.core.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").orderBy($"doc_id").limit(30).collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), ts(1)))
+    val in = MemoryStream[Doc]
+    val st = DocStreams.quantileGate(in.toDF(), hist, mn, mx, n, minPct = 0.5)
+    assert(st.isStreaming)
+    val q = st.writeStream.format("memory").queryName("qgate").outputMode("append").start()
+    in.addData(sample.toSeq: _*)
+    q.processAllAvailable()
+    val rows = spark.table("qgate").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Double]("pct"), r.getAs[Boolean]("keep")))
+    q.stop()
+    assert(rows.length == 30)
+    rows.foreach { case (id, score, pct, keep) =>
+      // same binning ops, same one-division CDF → exact equality
+      val want = StatsOps.cdfPct(hist, mn, mx, n, score)
+      assert(pct == want, s"doc $id: stream pct $pct vs cdfPct $want")
+      assert(keep == (pct >= 0.5))
+    }
+    // the gate separates: some kept, some dropped at the median cut
+    assert(rows.exists(_._4) && rows.exists(!_._4))
+  }
+
   test("E16: a closed window's drift equals the batch q71 statistic on the same corpus") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
