@@ -104,6 +104,132 @@ object VectorOps {
     BoundedRank.byValueDesc(top, col("sim"), col("n_id"), "doc_id", "rv")
   }
 
+  // --- q83: MMR-diversified retrieval --------------------------------------
+
+  val MmrPool   = 10
+  val MmrSelect = 4
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998) of
+    * each query's exact cosine top-[[MmrPool]]: greedily pick
+    * [[MmrSelect]] results maximizing `0.7·rel − 0.3·max_sim_to_selected`
+    * — the retrieval step that keeps a RAG context window or a few-shot
+    * pool from filling up with near-duplicates of the same best hit.
+    *
+    * The greedy loop is NOT a driver loop: per query the candidate pool
+    * and its pairwise similarities are bounded (≤ pool, ≤ pool²), so both
+    * collapse into one row and the whole selection runs as a single SQL
+    * `aggregate` fold over `sequence(1, M)` — each step appends the
+    * argmax (score, then lowest id) of the still-unselected candidates.
+    * At 100 TB the expensive part is the pool construction, which is
+    * exactly q28's broadcast-query linear scan; the fold is O(M·k²·k)
+    * driver-free arithmetic per query row.
+    *
+    * Float determinism: rel and pair sims are the same left-fold dot /
+    * norm-product shape q28 pins bit-exact across engines; the MMR score
+    * is two multiplies by the same decimal literals and one subtraction,
+    * folded over identical doubles — so the argmax (with the `(sc, −id)`
+    * lexicographic tie rule) is engine-identical, and the output score
+    * rounds to 6 as elsewhere.
+    */
+  def mmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("n_id"))
+    val cands = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("rel", dot / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MmrPool)
+      .select(col("q_id"), col("n_id"), col("rk"), col("rel"), col("cv"), col("cn"))
+      .persist() // read twice: the pool itself + both sides of the pair join
+    val a = cands.select(col("q_id"), col("n_id").as("pa"), col("cv").as("av"), col("cn").as("an"))
+    val b = cands.select(col("q_id"), col("n_id").as("pb"), col("cv").as("bv"), col("cn").as("bn"))
+    val pairs = a.join(b, "q_id")
+      .filter(col("pa") =!= col("pb"))
+      .withColumn("psim", dot_product(col("av"), col("bv")) / (col("an") * col("bn")))
+      .select(col("q_id"), col("pa"), col("pb"), col("psim"))
+    val gc = cands.groupBy(col("q_id"))
+      .agg(expr("sort_array(collect_list(struct(rk, n_id, rel)))").as("rem"))
+    val gp = pairs.groupBy(col("q_id"))
+      .agg(collect_list(struct(col("pa"), col("pb"), col("psim"))).as("prs"))
+    val fold =
+      s"""aggregate(
+         |  sequence(1, $MmrSelect),
+         |  cast(array() AS array<struct<n_id:bigint, sc:double>>),
+         |  (st, i) -> concat(st, transform(
+         |    array(array_max(transform(
+         |      filter(rem, r -> NOT exists(st, s -> s.n_id = r.n_id)),
+         |      r -> struct(
+         |        0.7D * r.rel - 0.3D * coalesce(
+         |          array_max(transform(st,
+         |            s -> filter(prs, p -> p.pa = r.n_id AND p.pb = s.n_id)[0].psim)),
+         |          0D) AS sc,
+         |        -r.n_id AS neg,
+         |        r.n_id AS n_id)))),
+         |    b -> struct(b.n_id AS n_id, b.sc AS sc))))""".stripMargin
+    gc.join(gp, "q_id")
+      .withColumn("sel", expr(fold))
+      .select(col("q_id"), posexplode(col("sel")).as(Seq("pos", "s")))
+      .select(
+        col("q_id"),
+        col("s.n_id").as("n_id"),
+        (col("pos") + 1).cast("int").as("mmr_rank"),
+        round(col("s.sc"), 6).as("mmr_score"))
+      .orderBy(col("q_id"), col("mmr_rank"))
+  }
+
+  /** Oracle: the same pool (q28's ROW_NUMBER shape), the same pair sims,
+    * and the greedy fold as a [[MmrSelect]]-step recursive CTE — each step
+    * appends `list_reverse_sort(...)[1]`, the identical (sc, −id) argmax.
+    */
+  lazy val mmrDiversifySql: String =
+    s"""WITH RECURSIVE q83e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
+       |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+       |q83c AS MATERIALIZED (
+       |  SELECT q_id, n_id, rk, rel FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |      ${duckCosine("q.vd", "c.vd")} AS rel,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${duckCosine("q.vd", "c.vd")} DESC, c.vec_id) AS rk
+       |    FROM q83e q JOIN q83e c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < $QueryCount)
+       |  WHERE rk <= $MmrPool),
+       |q83p AS MATERIALIZED (
+       |  SELECT a.q_id, a.n_id AS pa, b.n_id AS pb,
+       |    ${duckCosine("ea.vd", "eb.vd")} AS psim
+       |  FROM q83c a JOIN q83c b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+       |  JOIN q83e ea ON ea.vec_id = a.n_id
+       |  JOIN q83e eb ON eb.vec_id = b.n_id),
+       |q83g AS MATERIALIZED (
+       |  SELECT c.q_id,
+       |    (SELECT list({'rk': rk, 'n_id': n_id, 'rel': rel} ORDER BY rk)
+       |     FROM q83c x WHERE x.q_id = c.q_id) AS rem,
+       |    (SELECT list({'pa': pa, 'pb': pb, 'psim': psim})
+       |     FROM q83p y WHERE y.q_id = c.q_id) AS prs
+       |  FROM (SELECT DISTINCT q_id FROM q83c) c),
+       |q83s(q_id, step, sel) AS (
+       |  SELECT q_id, 0, []::STRUCT(n_id BIGINT, sc DOUBLE)[] FROM q83g
+       |  UNION ALL
+       |  SELECT s.q_id, s.step + 1,
+       |    list_concat(s.sel, list_transform(
+       |      [list_reverse_sort(list_transform(
+       |        list_filter(g.rem, r -> len(list_filter(s.sel, z -> z.n_id = r.n_id)) = 0),
+       |        r -> {'sc': 0.7 * r.rel - 0.3 * coalesce(
+       |                list_aggregate(list_transform(s.sel,
+       |                  z -> list_filter(g.prs, p -> p.pa = r.n_id AND p.pb = z.n_id)[1].psim),
+       |                  'max'), 0.0),
+       |              'neg': -r.n_id, 'n_id': r.n_id}))[1]],
+       |      b -> {'n_id': b.n_id, 'sc': b.sc}))
+       |  FROM q83s s JOIN q83g g ON s.q_id = g.q_id
+       |  WHERE s.step < $MmrSelect)
+       |SELECT q_id, u.n_id AS n_id, u.rk::INTEGER AS mmr_rank, round(u.sc, 6) AS mmr_score
+       |FROM (SELECT q_id,
+       |        unnest(list_transform(sel, (x, i) -> {'n_id': x.n_id, 'rk': i, 'sc': x.sc})) AS u
+       |      FROM q83s WHERE step = $MmrSelect)
+       |ORDER BY q_id, mmr_rank""".stripMargin
+
   // --- C10 q29: hyperplane-LSH bucketed ANN top-k (rows-only) --------------
   // 6 planes → 64 buckets: at this corpus size each bucket holds a handful
   // of vectors; at 100 TB raise planes so bucket size stays bounded — the

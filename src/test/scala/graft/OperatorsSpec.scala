@@ -88,6 +88,52 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("q83: MMR equals an independent greedy and actually diversifies") {
+    import spark.implicits._
+    // query 0 along x; 1 and 2 are EXACT duplicates at +37°; 3 mirrors them
+    // at −37° (same relevance, low mutual sim); 4 medium; 5 irrelevant.
+    // Round 1 must take 1 (tie with 2 → lower id); round 2 must take 3 —
+    // the duplicate 2 is penalized by sim=1.0 while 3 offers equal
+    // relevance at sim 0.28.
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.8f, 0.6f, 0f, 0f), 0),
+      (2L, Seq(0.8f, 0.6f, 0f, 0f), 0),
+      (3L, Seq(0.8f, -0.6f, 0f, 0f), 0),
+      (4L, Seq(0.5f, 0.5f, 0.707f, 0f), 0),
+      (5L, Seq(0f, 0f, 0f, 1f), 0)
+    )
+    val dir = java.nio.file.Files.createTempDirectory("q83spec").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val got = VectorOps.mmrDiversify(spark, dir).collect()
+      .filter(_.getAs[Long]("q_id") == 0L)
+      .sortBy(_.getAs[Int]("mmr_rank"))
+      .map(_.getAs[Long]("n_id")).toSeq
+    assert(got.length == VectorOps.MmrSelect)
+
+    // independent greedy (same left-fold arithmetic)
+    val vm = vecs.map { case (id, v, _) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rel = vm.filter(_._1 != 0L).map { case (id, v) => id -> cos(vm(0L), v) }
+    val sel = scala.collection.mutable.ArrayBuffer[Long]()
+    (1 to VectorOps.MmrSelect).foreach { _ =>
+      val best = rel.keys.filterNot(sel.contains).map { r =>
+        val pen = sel.map(s => cos(vm(r), vm(s))).maxOption.getOrElse(0.0)
+        (0.7 * rel(r) - 0.3 * pen, -r, r)
+      }.max
+      sel += best._3
+    }
+    assert(got == sel.toSeq, s"operator $got vs independent greedy ${sel.toSeq}")
+    // the planted structure: 1 first, its exact duplicate 2 NOT second
+    assert(got.head == 1L && got(1) == 3L && !got.take(2).contains(2L))
+  }
+
   test("C10: ANN-LSH neighbors are real corpus vectors in the query's bucket") {
     val rows = VectorOps.annLsh(spark, Sf0001).collect()
     assert(rows.nonEmpty)

@@ -132,7 +132,11 @@ class PlanGuardSpec extends SparkSpec {
       // string re-prints the persisted per-doc/rank/checkpoint subtrees
       // under EVERY InMemoryTableScan occurrence (6 of them), so 23 static
       // prints ≈ 9 executed exchanges — same multiplicity rule as q70/q71
-      "q82_heaps_law"       -> 23
+      "q82_heaps_law"       -> 23,
+      // pool build broadcasts the 8 queries (q28's shape); pair join +
+      // two per-query collects + final join are all pool-bounded; the
+      // persisted pool subtree re-prints per InMemoryTableScan occurrence
+      "q83_mmr_diversify"   -> 7
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -221,7 +225,7 @@ class PlanGuardSpec extends SparkSpec {
         "q49_bm25", "q55_hybrid_rrf", "q59_pmi_collocations", "q63_hll_distinct",
         "q70_temperature_mix", "q71_source_drift", "q72_centroid_sim",
         "q73_tfidf_terms", "q74_threshold_sweep", "q79_quantile_normalize",
-        "q82_heaps_law")
+        "q82_heaps_law", "q83_mmr_diversify")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
