@@ -800,4 +800,123 @@ object TextOps {
        |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
        |FROM pairs WHERE jaccard >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- q84: LSH candidate-quality probe -------------------------------------
+
+  val EvalSample = 200
+
+  /** Dedup-recall health check: the production MinHash-LSH candidate set
+    * (q25's, corpus-wide) evaluated against EXACT all-pairs Jaccard ground
+    * truth on a bounded deterministic probe sample — per similarity
+    * threshold, how many truly-similar pairs exist, how many the bands
+    * caught, and the recall/precision of the candidate generator. This is
+    * the number a curation team watches when retuning bands/rows: q25's
+    * S-curve promises ≈1.0 recall at j ≥ 0.9 and fast decay below — this
+    * operator measures the promise on live data.
+    *
+    * Scale shape: exact all-pairs is quadratic, so truth is computed ONLY
+    * on a [[EvalSample]]-doc probe — picked by (xxhash64(doc_id), doc_id)
+    * TakeOrdered, the ANN trainers' bounded-deterministic-sample rule, so
+    * the probe is content-independent and stable across layouts. The
+    * sample² pair table and its per-jaccard rollup are bounded by
+    * construction; the threshold sweep theta-joins only that bounded
+    * aggregate (q74's rule). The LSH pipeline itself runs once,
+    * corpus-wide — it IS the system under test.
+    */
+  def lshQuality(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).persist()
+    val sample = sh
+      .withColumn("h", xxhash64(col("doc_id")))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(EvalSample)
+      .select(col("doc_id"), col("shingles"))
+    val truth = sample
+      .select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+      .join(
+        broadcast(sample.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))),
+        col("doc_a") < col("doc_b"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val cands = minhashLshFrom(sh).withColumn("in_cand", lit(true))
+    // bounded: ≤ sample²/2 pairs → ≤ that many distinct jaccard values
+    val byJac = truth
+      .join(cands, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("jaccard"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("in_cand"), 1L).otherwise(0L)).as("nc"))
+      .persist()
+    val nCand = byJac.agg(sum(col("nc")).as("n_cand"))
+    val th = spark.range(5).select((expr("array(0.5D, 0.6D, 0.7D, 0.8D, 0.9D)")(col("id"))).as("threshold"))
+    th.join(broadcast(byJac), col("jaccard") >= col("threshold"), "left")
+      .groupBy(col("threshold"))
+      .agg(
+        coalesce(sum(col("n")), lit(0L)).as("n_truth"),
+        coalesce(sum(col("nc")), lit(0L)).as("n_caught"))
+      .crossJoin(broadcast(nCand))
+      .select(
+        col("threshold"),
+        col("n_truth"),
+        col("n_caught"),
+        col("n_cand"),
+        when(col("n_truth") > 0, col("n_caught").cast("double") / col("n_truth").cast("double"))
+          .as("recall"),
+        when(col("n_cand") > 0, col("n_caught").cast("double") / col("n_cand").cast("double"))
+          .as("precision"))
+      .orderBy(col("threshold"))
+  }
+
+  /** Oracle: the q25 emulation as the candidate set (already hash-verified
+    * standalone), the probe sample re-derived with the emulated
+    * xxhash64-on-BIGINT ordering, exact all-pairs truth on the sample, the
+    * same bounded per-jaccard rollup and threshold theta-join.
+    */
+  lazy val lshQualitySql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q84sh" ->
+        s"""(SELECT doc_id,
+           |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+           |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+           |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+           |  WHERE len(toks) >= 3)""".stripMargin,
+      "q84h0" -> "(SELECT doc_id, doc_id::HUGEINT AS l FROM q84sh)"
+    )
+    val ch = new SqlChain("q84h", "q84h0", Seq("doc_id", "l"))
+    hashLongLevels(ch, s"${toUnsigned("l")}", "42", "h")
+    ctes ++= ch.ctes
+    ctes += ("q84smp" ->
+      s"""(SELECT s.doc_id, s.shingles FROM q84sh s JOIN ${ch.last} x ON x.doc_id = s.doc_id
+         |  ORDER BY ${toSigned("x.h")}, s.doc_id LIMIT $EvalSample)""".stripMargin)
+    ctes += ("q84tr" ->
+      """(SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        |      / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+        |  FROM q84smp a JOIN q84smp b ON a.doc_id < b.doc_id)""".stripMargin)
+    ctes += ("q84cd" -> s"(SELECT doc_a, doc_b, true AS in_cand FROM ($minhashLshSql))")
+    ctes += ("q84bj" ->
+      """(SELECT jaccard, count(*) AS n,
+        |    CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        |  FROM q84tr LEFT JOIN q84cd USING (doc_a, doc_b) GROUP BY jaccard)""".stripMargin)
+    ctes += ("q84nc" -> "(SELECT CAST(coalesce(sum(nc), 0) AS BIGINT) AS n_cand FROM q84bj)")
+    assemble(
+      ctes.toSeq,
+      """SELECT threshold,
+        |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_truth,
+        |  CAST(coalesce(sum(nc), 0) AS BIGINT) AS n_caught,
+        |  n_cand,
+        |  CASE WHEN coalesce(sum(n), 0) > 0
+        |       THEN CAST(coalesce(sum(nc), 0) AS DOUBLE) / CAST(sum(n) AS DOUBLE) END AS recall,
+        |  CASE WHEN n_cand > 0
+        |       THEN CAST(coalesce(sum(nc), 0) AS DOUBLE) / n_cand::DOUBLE END AS precision
+        |FROM (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS threshold)
+        |LEFT JOIN q84bj ON jaccard >= threshold
+        |CROSS JOIN q84nc
+        |GROUP BY threshold, n_cand
+        |ORDER BY threshold""".stripMargin
+    )
+  }
 }

@@ -323,6 +323,47 @@ object VectorOps {
       s"SELECT q_id, n_id, rk::INTEGER AS rk FROM q29rk WHERE rk <= $AnnTopK ORDER BY q_id, rk")
   }
 
+  // --- q85: ANN recall report ----------------------------------------------
+
+  /** ANN quality monitoring: per query, how much of the EXACT cosine
+    * top-[[AnnTopK]] the multi-probe LSH index (q29) actually returned —
+    * recall@k, the one number that tells you whether the index's
+    * plane/probe budget still matches the corpus as it grows. Composes two
+    * already-oracled pipelines; the comparison itself is a k-bounded
+    * per-query join + rollup, so the report costs one exact scan (q28's
+    * broadcast-query shape) + one index probe (q29's bucket join) no
+    * matter the corpus size.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = cosineTopK(spark, dir)
+      .filter(col("rk") <= AnnTopK)
+      .select(col("q_id"), col("n_id"))
+    val approx = annLsh(spark, dir)
+      .select(col("q_id"), col("n_id"), lit(true).as("hit"))
+    exact
+      .join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / lit(AnnTopK.toDouble))
+      .orderBy(col("q_id"))
+  }
+
+  /** Oracle: both engine-exact statements embedded verbatim, same rollup,
+    * same fixed-k division.
+    */
+  lazy val annRecallSql: String =
+    s"""WITH q85x AS MATERIALIZED (
+       |  SELECT q_id, n_id FROM ($cosineTopKSql) WHERE rk <= $AnnTopK),
+       |q85a AS MATERIALIZED (SELECT q_id, n_id FROM ($annLshSql))
+       |SELECT x.q_id, count(*)::BIGINT AS n_exact,
+       |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / ${AnnTopK.toDouble} AS recall
+       |FROM q85x x LEFT JOIN q85a a ON a.q_id = x.q_id AND a.n_id = x.n_id
+       |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin
+
   // --- C10b q32: IVF-style bucketed ANN ------------------------------------
   // Coarse quantizer: spherical k-means centroids trained on a bounded,
   // deterministic sample (driver-side Lloyd's — the sample is capped, so

@@ -134,6 +134,60 @@ class OperatorsSpec extends SparkSpec {
     assert(got.head == 1L && got(1) == 3L && !got.take(2).contains(2L))
   }
 
+  test("q84: LSH probe reports full recall on planted near-dups, monotone truth counts") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while rain falls softly on rooftops"
+    // 3 planted near-dup pairs (one-word tail edits) + unrelated fillers —
+    // every doc fits in the 200-doc probe, so truth is exhaustive here
+    val rows = (0 until 3).flatMap { i =>
+      Seq((i * 2L, s"$base group$i", "en", "s0", 80L),
+        (i * 2L + 1, s"$base grp$i", "en", "s0", 80L))
+    } ++ (6 until 30).map { i =>
+      (i.toLong, (0 until 12).map(j => s"filler_${i}_$j").mkString(" "), "en", "s1", 80L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("q84spec").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = TextOps.lshQuality(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    // n_truth monotone non-increasing, n_caught ≤ n_truth and ≤ n_cand
+    got.sliding(2).foreach { case Array(a, b) => assert(a._2 >= b._2) }
+    got.foreach { case (_, nt, nc, ncand) => assert(nc <= nt && nc <= ncand) }
+    // all six planted docs share the same 78-token base (the tail word is
+    // the only edit), so they form a near-dup 6-clique: C(6,2) = 15 truth
+    // pairs at jaccard ≈ 12/14, every one caught by the bands (recall 1.0)
+    val at08 = got.find(_._1 == 0.8).get
+    assert(at08._2 == 15L && at08._3 == 15L, s"planted clique must be caught: $at08")
+  }
+
+  test("q85: recall is 1.0 on exact-duplicate clusters, bounded on the corpus") {
+    import spark.implicits._
+    // two clusters of EXACT copies — same bucket by construction, so the
+    // index must achieve perfect recall
+    val vecs = (0 until 6).map(i => (i.toLong, Seq(1f, 0f, 0f, 0f), 0)) ++
+      (6 until 12).map(i => (i.toLong, Seq(0f, 1f, 0f, 0f), 1))
+    val dir = java.nio.file.Files.createTempDirectory("q85spec").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val planted = VectorOps.annRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(planted.length == VectorOps.QueryCount)
+    planted.foreach { case (q, ne, nh, rec) =>
+      assert(ne == VectorOps.AnnTopK && nh == ne && rec == 1.0,
+        s"query $q must recall its duplicate cluster: ($ne, $nh, $rec)")
+    }
+    // corpus: recall well-formed per query
+    val corpus = VectorOps.annRecall(spark, Sf0001).collect()
+    assert(corpus.length == VectorOps.QueryCount)
+    corpus.foreach { r =>
+      val rec = r.getDouble(3)
+      assert(rec >= 0.0 && rec <= 1.0 && r.getLong(1) == VectorOps.AnnTopK)
+    }
+  }
+
   test("C10: ANN-LSH neighbors are real corpus vectors in the query's bucket") {
     val rows = VectorOps.annLsh(spark, Sf0001).collect()
     assert(rows.nonEmpty)

@@ -136,7 +136,13 @@ class PlanGuardSpec extends SparkSpec {
       // pool build broadcasts the 8 queries (q28's shape); pair join +
       // two per-query collects + final join are all pool-bounded; the
       // persisted pool subtree re-prints per InMemoryTableScan occurrence
-      "q83_mmr_diversify"   -> 7
+      "q83_mmr_diversify"   -> 7,
+      // probe-sample TakeOrdered + sample² truth (broadcast non-equi, both
+      // sides ≤ EvalSample) + the q25 candidate pipeline + bounded rollups;
+      // the persisted shingle stage re-prints per InMemoryTableScan
+      "q84_lsh_quality"     -> 12,
+      // q28's exact scan + q29's bucket probe + k-bounded join + rollup
+      "q85_ann_recall"      -> 6
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -225,7 +231,7 @@ class PlanGuardSpec extends SparkSpec {
         "q49_bm25", "q55_hybrid_rrf", "q59_pmi_collocations", "q63_hll_distinct",
         "q70_temperature_mix", "q71_source_drift", "q72_centroid_sim",
         "q73_tfidf_terms", "q74_threshold_sweep", "q79_quantile_normalize",
-        "q82_heaps_law", "q83_mmr_diversify")
+        "q82_heaps_law", "q83_mmr_diversify", "q84_lsh_quality", "q85_ann_recall")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
