@@ -547,6 +547,58 @@ object StatsOps {
       .drop("pid", "pcs", "g0", "off")
   }
 
+  // --- q86: language-ID confusion matrix ------------------------------------
+
+  /** Classifier evaluation for the q23 language identifier: the confusion
+    * matrix of (gold lang label × predicted lang_guess) with per-gold-class
+    * share — the report that says WHERE the n-gram heuristic fails (which
+    * languages bleed into which), not just how often. Completes the
+    * evaluation layer: q74 calibrates filters, q84 audits dedup recall,
+    * q85 audits ANN recall, this audits the classifier the routing
+    * decisions depend on.
+    *
+    * Scale shape: prediction is q23's map-side expression; the matrix is
+    * one (gold, guess) aggregate — ≤ |langs|² rows out of one corpus scan;
+    * the share is one exact-integer division against the per-gold rollup
+    * of the matrix itself (no second corpus pass).
+    */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val preds = TextOps.langId(spark, dir).select(col("doc_id"), col("lang_guess"))
+    val mat = docs(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .join(preds, "doc_id")
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // ≤ |langs|² rows; read again by its own per-gold rollup
+    val tot = mat.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    mat
+      .join(broadcast(tot), "lang")
+      .select(
+        col("lang"),
+        col("lang_guess"),
+        col("n"),
+        (col("n").cast("double") / col("n_lang").cast("double")).as("share"),
+        (col("lang") === col("lang_guess")).as("correct"))
+      .orderBy(col("lang"), col("lang_guess"))
+  }
+
+  /** Oracle: q23's engine-exact statement embedded, same rollup, one
+    * BIGINT-pinned division.
+    */
+  lazy val langidConfusionSql: String =
+    s"""WITH q86p AS MATERIALIZED (
+       |  SELECT doc_id, lang_guess FROM (${TextOps.langIdSql})),
+       |q86m AS MATERIALIZED (
+       |  SELECT d.lang, p.lang_guess, count(*)::BIGINT AS n
+       |  FROM documents d JOIN q86p p ON p.doc_id = d.doc_id
+       |  GROUP BY d.lang, p.lang_guess),
+       |q86t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM q86m GROUP BY lang)
+       |SELECT m.lang, m.lang_guess, m.n,
+       |  m.n::DOUBLE / t.n_lang::DOUBLE AS share,
+       |  (m.lang = m.lang_guess) AS correct
+       |FROM q86m m JOIN q86t t ON t.lang = m.lang
+       |ORDER BY m.lang, m.lang_guess""".stripMargin
+
   // --- E18 support: snapshot score-CDF model --------------------------------
 
   val CdfBins = 64

@@ -141,6 +141,69 @@ object TrainingOps {
     )
   }
 
+  // --- q87: split-leakage audit ---------------------------------------------
+
+  /** The leakage audit every eval pipeline needs: how many VERIFIED
+    * near-dup pairs (q27's Jaccard ≥ 0.9 evidence) straddle the q40
+    * train/val/test boundary. Hash-splitting by doc_id is content-blind —
+    * two near-identical documents hash independently, so ~(1 −
+    * Σ p_split²) of near-dup pairs land cross-split and quietly inflate
+    * eval scores. Output: the (split × split) pair matrix with an
+    * `is_leak` flag — row (train, val) is the number your benchmark
+    * contamination report quotes.
+    *
+    * Scale shape: the pair pipeline is q27's (LSH-bucketed, capped, never
+    * all-pairs); split assignment is the q40 map-side expression applied
+    * to both endpoints via two keyed joins; the rollup is ≤ 6 rows.
+    * Canonicalizing with least/greatest makes the matrix orientation-free.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.TextOps
+      .ngramJaccardPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val splits = docs(spark, dir)
+      .select(col("doc_id"), splitNameCol(splitBucketCol(col("doc_id"))).as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("split_a"), greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", col("split_a") =!= col("split_b"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  /** Oracle: q27's exact all-pairs truth as the pair set (the probabilistic
+    * LSH equivalence the driver already hash-verifies on q27 itself), q40's
+    * emulated-hash split assignment, same canonical rollup.
+    */
+  lazy val splitLeakageSql: String = {
+    import graft.functions.DuckHash._
+    import graft.operators.TextOps.{DuckJaccardPairsCte, DuckShingleCte, JaccardThreshold}
+    val ch = new SqlChain("q87h", "q87in", Seq("doc_id", "l"))
+    hashLongLevels(ch, s"${toUnsigned("l")}", "42", "h")
+    val chain = ch.ctes.map { case (n, s) => s"$n AS $s" }.mkString(",\n")
+    s"""WITH $DuckShingleCte,
+       |$DuckJaccardPairsCte,
+       |q87in AS (SELECT doc_id, doc_id::HUGEINT AS l FROM documents),
+       |$chain,
+       |q87s AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN bucket < $SplitTrainPct THEN 'train'
+       |         WHEN bucket < $SplitValPct THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, (((${toSigned("h")} % 100) + 100) % 100)::INTEGER AS bucket
+       |        FROM ${ch.last}))
+       |SELECT least(sa.split, sb.split) AS split_a,
+       |  greatest(sa.split, sb.split) AS split_b,
+       |  count(*)::BIGINT AS n_pairs,
+       |  (least(sa.split, sb.split) != greatest(sa.split, sb.split)) AS is_leak
+       |FROM (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $JaccardThreshold) p
+       |JOIN q87s sa ON sa.doc_id = p.doc_a
+       |JOIN q87s sb ON sb.doc_id = p.doc_b
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   // --- q41: repetition-based quality (Gopher-style) ------------------------
   val RepMinToks     = 5
   val RepMaxToks     = 1000

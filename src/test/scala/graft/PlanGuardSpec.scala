@@ -142,7 +142,13 @@ class PlanGuardSpec extends SparkSpec {
       // the persisted shingle stage re-prints per InMemoryTableScan
       "q84_lsh_quality"     -> 12,
       // q28's exact scan + q29's bucket probe + k-bounded join + rollup
-      "q85_ann_recall"      -> 6
+      "q85_ann_recall"      -> 6,
+      // map-side prediction + (gold,guess) matrix agg (persisted, re-prints
+      // per InMemoryTableScan) + per-gold rollup + doc_id join + sort
+      "q86_langid_confusion" -> 8,
+      // q27's LSH+verify pipeline + two split-assignment joins + ≤6-row
+      // rollup + sort
+      "q87_split_leakage"   -> 9
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>

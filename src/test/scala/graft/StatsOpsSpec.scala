@@ -41,6 +41,66 @@ class StatsOpsSpec extends SparkSpec {
     assert(got(120L)._2 == 0.0, "single-doc source pins pct_source to 0")
   }
 
+  test("q86: confusion matrix counts planted hits and misses exactly") {
+    // 3 gold-en docs that read English, 1 gold-en doc that reads French
+    // (the planted confusion), 2 gold-fr docs that read French
+    val rows = Seq(
+      (0L, "the cat and the dog of town", "en"),
+      (1L, "a road to the north and a river", "en"),
+      (2L, "the one and only a to of", "en"),
+      (3L, "le chat et les chiens un matin", "en"),
+      (4L, "le jour et la nuit des saisons un", "fr"),
+      (5L, "les enfants et le parc un soir", "fr")
+    ).map { case (id, t, l) => (id, t, l, "s0", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("q86spec").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = StatsOps.langidConfusion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got.keySet == Set(("en", "en"), ("en", "fr"), ("fr", "fr")))
+    assert(got(("en", "en")) == ((3L, 0.75, true)))
+    assert(got(("en", "fr")) == ((1L, 0.25, false)))
+    assert(got(("fr", "fr")) == ((2L, 1.0, true)))
+  }
+
+  test("q87: planted cross-split near-dups are reported as leaks") {
+    import graft.operators.TrainingOps
+    // Find two doc ids that q40's hash rule sends to DIFFERENT splits and
+    // two it sends to the SAME split, then plant near-identical text on
+    // them — the audit must classify each pair by the same rule.
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val ids = (0L until 200L)
+    // derive splits by running the operator itself on a probe corpus
+    val probeDir = java.nio.file.Files.createTempDirectory("q87probe").toString
+    ids.map(id => (id, "x", "en", "s0", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
+    val sp = TrainingOps.splitHash(spark, probeDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val (sameA, sameB) = ids.combinations(2).map(c => (c(0), c(1)))
+      .find { case (a, b) => sp(a) == sp(b) }.get
+    val (crossA, crossB) = ids.combinations(2).map(c => (c(0), c(1)))
+      .find { case (a, b) => sp(a) != sp(b) && Set(a, b).intersect(Set(sameA, sameB)).isEmpty }.get
+
+    val rows = Seq(
+      (sameA, s"$base same one", "en", "s0", 100L),
+      (sameB, s"$base same two", "en", "s0", 100L),
+      (crossA, s"$base cross one", "en", "s0", 100L),
+      (crossB, s"$base cross two", "en", "s0", 100L)
+    )
+    val dir = java.nio.file.Files.createTempDirectory("q87spec").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = TrainingOps.splitLeakage(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    val sameKey  = (sp(sameA), sp(sameB))
+    val crossKey = (Seq(sp(crossA), sp(crossB)).min, Seq(sp(crossA), sp(crossB)).max)
+    assert(got(sameKey)._1 >= 1L && !got(sameKey)._2, s"same-split pair must not be a leak: $got")
+    assert(got(crossKey)._1 >= 1L && got(crossKey)._2, s"cross-split pair must be a leak: $got")
+  }
+
   test("q82: growth curve is monotone, ends at the true totals, and fits beta > 0") {
     // 40 docs, each introducing fresh bigrams → vocabulary genuinely grows
     val rows = (0 until 40).map { i =>
