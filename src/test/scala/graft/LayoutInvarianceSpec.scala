@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** SURVEY §4's central determinism claim, asserted end-to-end: operator
+  * OUTPUT is a pure function of the data — never of the cluster layout.
+  * Every hash-split, range-rank, fold, and sample in the library is built
+  * content-stable precisely so that re-running on a different executor
+  * count or scan split produces byte-identical results; this suite
+  * actually re-runs a representative slice under a different layout.
+  *
+  * The probe set covers the mechanisms most at risk from re-layout:
+  * q20 (hash groupBy dedup), q24 (map-side fingerprints), q79 (the
+  * range-partition + partition-prefix rank machinery, where
+  * `spark_partition_id` values CHANGE under re-layout and the counts must
+  * not), q81 (chunk explode + owner aggregate), q82 (sort-free ranks
+  * feeding cumulative histograms). Caches are cleared between runs so the
+  * second pass genuinely re-derives everything under the new layout.
+  */
+class LayoutInvarianceSpec extends SparkSpec {
+
+  private val Probes =
+    Seq("q20_dedup_exact", "q24_fingerprint", "q79_quantile_normalize",
+      "q81_chunk_dedup", "q82_heaps_law")
+
+  private def run(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, Sf0001).collect().map(_.toString).toSeq
+
+  test("outputs are identical under a different shuffle/scan layout") {
+    val conf       = spark.conf
+    val oldShuffle = conf.get("spark.sql.shuffle.partitions")
+    val oldBytes   = conf.get("spark.sql.files.maxPartitionBytes")
+    spark.catalog.clearCache()
+    val base = Probes.map(n => n -> run(n)).toMap
+    try {
+      conf.set("spark.sql.shuffle.partitions", "7")
+      conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      spark.catalog.clearCache() // force full re-derivation under the new layout
+      Probes.foreach { n =>
+        val again = run(n)
+        assert(again == base(n), s"$n output changed under re-layout")
+      }
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      conf.set("spark.sql.files.maxPartitionBytes", oldBytes)
+      spark.catalog.clearCache()
+    }
+  }
+}
