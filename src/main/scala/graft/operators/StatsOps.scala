@@ -520,8 +520,19 @@ object StatsOps {
       parts: Seq[String],
       valueCol: String,
       out: String
+  ): DataFrame = strictlyLess(df, parts, Seq(valueCol), out)
+
+  /** Multi-column variant: strictly-less on the lexicographic tuple of
+    * `valueCols` — with a unique tiebreaker column appended this is a
+    * distributed, sort-free `row_number() - 1`.
+    */
+  private[operators] def strictlyLess(
+      df: DataFrame,
+      parts: Seq[String],
+      valueCols: Seq[String],
+      out: String
   ): DataFrame = {
-    val rangeCols = parts.map(col) :+ col(valueCol)
+    val rangeCols = parts.map(col) ++ valueCols.map(col)
     val keyed = df
       .repartitionByRange(RankPartitions, rangeCols: _*)
       .withColumn("pid", spark_partition_id())
@@ -533,7 +544,7 @@ object StatsOps {
     val offs = partCounts
       .agg(collect_list(struct(col("pid").as("p"), sKey, col("pc").as("c"))).as("pcs"))
     val gRef = parts.headOption.map(col).getOrElse(lit(0))
-    val w    = Window.partitionBy(groupCols: _*).orderBy(col(valueCol))
+    val w    = Window.partitionBy(groupCols: _*).orderBy(valueCols.map(col): _*)
     keyed
       .crossJoin(broadcast(offs))
       .withColumn("g0", gRef)
@@ -545,6 +556,63 @@ object StatsOps {
         expr("aggregate(filter(pcs, x -> x.g = g0), 0L, (a, x) -> a + x.c)"))
       .withColumn(out, col("off") + rank().over(w).cast("long") - 1L)
       .drop("pid", "pcs", "g0", "off")
+  }
+
+  // --- q88: curriculum / epoch ordering --------------------------------------
+
+  /** Deterministic curriculum order: every document given a unique global
+    * training position that (a) goes quality-first WITHIN each source
+    * (stop-ratio desc — the natural-language-ness score — with doc_id
+    * tiebreak) and (b) round-robins ACROSS sources, so an epoch reading
+    * positions in order sees sources interleaved instead of concatenated —
+    * the standard mitigation for source-ordering drift in streaming-style
+    * training loops. `pos = within_source_rank · |sources| + source_index`
+    * is collision-free by construction and a pure function of content, so
+    * re-sharding the corpus cannot reorder an epoch.
+    *
+    * Scale shape: the within-source rank is [[strictlyLess]] on the
+    * (−score, doc_id) tuple — the sort-free row_number, spread over all
+    * partitions even for one giant source; the source index is a
+    * when-chain literal from the collected sorted source list (sources
+    * are a bounded named set — the model-collection rule).
+    */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        (TextOps.stopCountExpr / size(TextOps.toks)).as("score"))
+      .withColumn("nscore", -col("score"))
+    val srcNames = scored.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val srcIdx = srcNames.zipWithIndex
+      .foldLeft(when(lit(false), 0)) { case (acc, (s, i)) => acc.when(col("source") === s, i) }
+      .otherwise(-1)
+    strictlyLess(scored, Seq("source"), Seq("nscore", "doc_id"), "o_s")
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("score"),
+        (col("o_s") * lit(srcNames.length.toLong) + srcIdx.cast("long")).as("pos"))
+      .orderBy(col("pos"))
+  }
+
+  /** Oracle: textbook windows — `row_number()-1` per source on the same
+    * (score DESC, doc_id) order, `dense_rank()-1` over source names — and
+    * the same collision-free position formula.
+    */
+  lazy val curriculumOrderSql: String = {
+    import graft.operators.TextOps.{duckStopCount, DuckToks}
+    s"""WITH q88s AS MATERIALIZED (
+       |  SELECT doc_id, source, ns / nt AS score
+       |  FROM (SELECT doc_id, source, $duckStopCount AS ns, len($DuckToks) AS nt
+       |        FROM documents)),
+       |q88n AS (SELECT count(DISTINCT source)::BIGINT AS nsrc FROM q88s)
+       |SELECT doc_id, source, score,
+       |  ((row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) - 1)
+       |    * nsrc + (dense_rank() OVER (ORDER BY source) - 1))::BIGINT AS pos
+       |FROM q88s CROSS JOIN q88n
+       |ORDER BY pos""".stripMargin
   }
 
   // --- q86: language-ID confusion matrix ------------------------------------

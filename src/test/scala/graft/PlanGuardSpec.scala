@@ -148,7 +148,10 @@ class PlanGuardSpec extends SparkSpec {
       "q86_langid_confusion" -> 8,
       // q27's LSH+verify pipeline + two split-assignment joins + ≤6-row
       // rollup + sort
-      "q87_split_leakage"   -> 9
+      "q87_split_leakage"   -> 9,
+      // one strictlyLess pass ((−score, doc_id) range repartition + pid
+      // window + prefix fold) + output sort; source index is a literal chain
+      "q88_curriculum_order" -> 5
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -237,7 +240,8 @@ class PlanGuardSpec extends SparkSpec {
         "q49_bm25", "q55_hybrid_rrf", "q59_pmi_collocations", "q63_hll_distinct",
         "q70_temperature_mix", "q71_source_drift", "q72_centroid_sim",
         "q73_tfidf_terms", "q74_threshold_sweep", "q79_quantile_normalize",
-        "q82_heaps_law", "q83_mmr_diversify", "q84_lsh_quality", "q85_ann_recall")
+        "q82_heaps_law", "q83_mmr_diversify", "q84_lsh_quality", "q85_ann_recall",
+        "q88_curriculum_order")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),

@@ -101,6 +101,31 @@ class StatsOpsSpec extends SparkSpec {
     assert(got(crossKey)._1 >= 1L && got(crossKey)._2, s"cross-split pair must be a leak: $got")
   }
 
+  test("q88: positions are unique, round-robin across sources, quality-first within") {
+    val words = Seq("the", "and", "of", "rock", "tree", "blue")
+    val rows = (0 until 90).map { i =>
+      val text = (0 to i % 6).map(j => words((i * 3 + j) % words.size)).mkString(" ")
+      (i.toLong, text, "en", s"src${i % 3}", text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("q88spec").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = StatsOps.curriculumOrder(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(got.length == 90)
+    // positions collision-free
+    assert(got.map(_._4).distinct.length == 90)
+    // the first |sources| positions cover every source exactly once
+    val firstRound = got.sortBy(_._4).take(3).map(_._2).toSet
+    assert(firstRound == Set("src0", "src1", "src2"))
+    // within each source, ascending position = descending score (doc_id ties)
+    got.groupBy(_._2).values.foreach { docs =>
+      val ordered = docs.sortBy(_._4).map(d => (-d._3, d._1)).toSeq
+      assert(ordered == ordered.sorted, "within-source order must be quality-first")
+    }
+  }
+
   test("q82: growth curve is monotone, ends at the true totals, and fits beta > 0") {
     // 40 docs, each introducing fresh bigrams → vocabulary genuinely grows
     val rows = (0 until 40).map { i =>
