@@ -364,6 +364,53 @@ object VectorOps {
        |FROM q85x x LEFT JOIN q85a a ON a.q_id = x.q_id AND a.n_id = x.n_id
        |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin
 
+  // --- q89: comparative index recall report ---------------------------------
+
+  /** The index bake-off table: per query, recall@k of ALL THREE ANN
+    * structures (hyperplane-LSH q29, IVF q32, PQ q46) against the exact
+    * cosine top-k — one row per query, one column per index, so "which
+    * index family still fits this corpus" is a single table read. The
+    * exact top-k is computed ONCE and persisted; each index contributes a
+    * k-bounded left join + rollup.
+    */
+  def indexRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = cosineTopK(spark, dir)
+      .filter(col("rk") <= AnnTopK)
+      .select(col("q_id"), col("n_id"))
+      .persist()
+    def leg(df: DataFrame, out: String): DataFrame =
+      exact
+        .join(df.select(col("q_id"), col("n_id"), lit(true).as("hit")), Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg((sum(when(col("hit"), 1L).otherwise(0L)).cast("double") / lit(AnnTopK.toDouble)).as(out))
+    leg(annLsh(spark, dir), "recall_lsh")
+      .join(leg(annIvf(spark, dir), "recall_ivf"), "q_id")
+      .join(leg(annPq(spark, dir), "recall_pq"), "q_id")
+      .orderBy(col("q_id"))
+  }
+
+  /** Oracle: the three engine-exact index statements + the exact top-k,
+    * each as a rollup CTE, joined on the query id.
+    */
+  lazy val indexRecallSql: String = {
+    def rollup(name: String, src: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT x.q_id,
+         |    CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / ${AnnTopK.toDouble} AS r
+         |  FROM q89x x LEFT JOIN (SELECT q_id, n_id FROM ($src)) a
+         |    ON a.q_id = x.q_id AND a.n_id = x.n_id
+         |  GROUP BY x.q_id)""".stripMargin
+    s"""WITH q89x AS MATERIALIZED (
+       |  SELECT q_id, n_id FROM ($cosineTopKSql) WHERE rk <= $AnnTopK),
+       |${rollup("q89l", annLshSql)},
+       |${rollup("q89i", annIvfSql)},
+       |${rollup("q89p", annPqSql)}
+       |SELECT l.q_id, l.r AS recall_lsh, i.r AS recall_ivf, p.r AS recall_pq
+       |FROM q89l l JOIN q89i i ON i.q_id = l.q_id JOIN q89p p ON p.q_id = l.q_id
+       |ORDER BY l.q_id""".stripMargin
+  }
+
   // --- C10b q32: IVF-style bucketed ANN ------------------------------------
   // Coarse quantizer: spherical k-means centroids trained on a bounded,
   // deterministic sample (driver-side Lloyd's — the sample is capped, so

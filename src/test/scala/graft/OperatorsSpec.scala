@@ -188,6 +188,19 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q89: comparative index report agrees with the standalone LSH audit") {
+    val rep = VectorOps.indexRecall(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rep.size == VectorOps.QueryCount)
+    rep.values.foreach { case (l, i, p) =>
+      Seq(l, i, p).foreach(x => assert(x >= 0.0 && x <= 1.0))
+    }
+    // the LSH column must equal q85's standalone number exactly
+    val solo = VectorOps.annRecall(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    rep.foreach { case (q, (l, _, _)) => assert(l == solo(q), s"query $q: $l vs ${solo(q)}") }
+  }
+
   test("C10: ANN-LSH neighbors are real corpus vectors in the query's bucket") {
     val rows = VectorOps.annLsh(spark, Sf0001).collect()
     assert(rows.nonEmpty)

@@ -142,7 +142,9 @@ class PlanGuardSpec extends SparkSpec {
       // the persisted shingle stage re-prints per InMemoryTableScan
       "q84_lsh_quality"     -> 12,
       // q28's exact scan + q29's bucket probe + k-bounded join + rollup
-      "q85_ann_recall"      -> 6,
+      // (7 static prints: q89's persisted exact-top-k cache-matches q28's
+      // subtree here, adding one InMemoryTableScan re-print)
+      "q85_ann_recall"      -> 7,
       // map-side prediction + (gold,guess) matrix agg (persisted, re-prints
       // per InMemoryTableScan) + per-gold rollup + doc_id join + sort
       "q86_langid_confusion" -> 8,
@@ -151,7 +153,10 @@ class PlanGuardSpec extends SparkSpec {
       "q87_split_leakage"   -> 9,
       // one strictlyLess pass ((−score, doc_id) range repartition + pid
       // window + prefix fold) + output sort; source index is a literal chain
-      "q88_curriculum_order" -> 5
+      "q88_curriculum_order" -> 5,
+      // three index probes (each its own budgeted shape) + the persisted
+      // exact top-k (re-printed per InMemoryTableScan) + three rollup joins
+      "q89_index_recall"    -> 19
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -241,7 +246,7 @@ class PlanGuardSpec extends SparkSpec {
         "q70_temperature_mix", "q71_source_drift", "q72_centroid_sim",
         "q73_tfidf_terms", "q74_threshold_sweep", "q79_quantile_normalize",
         "q82_heaps_law", "q83_mmr_diversify", "q84_lsh_quality", "q85_ann_recall",
-        "q88_curriculum_order")
+        "q88_curriculum_order", "q89_index_recall")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
