@@ -434,6 +434,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("E16: bucket-count state survives a checkpointed restart (recovery = uninterrupted)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.SrcDoc
+    val docs = (0 until 10).map { i =>
+      val text = (0 to i % 4).map(j => s"tok${(i + j) % 5}").mkString(" ")
+      SrcDoc(i.toLong, text, if (i % 2 == 0) "sA" else "sB", ts(1 + i))
+    }
+    val late = SrcDoc(999L, "late", "sX", Timestamp.valueOf("2024-01-01 14:00:00"))
+
+    def runRows(feed: Seq[Seq[SrcDoc]], ckpt: Option[String]): Set[(Timestamp, String, Long, Long)] = {
+      val in  = MemoryStream[SrcDoc]
+      val out = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Timestamp, String, Long, Long)]())
+      def start() = {
+        val w = DocStreams.driftMonitor(in.toDF())
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.collect().foreach(r => out.add((r.getAs[Timestamp]("window_start"),
+              r.getAs[String]("source"), r.getAs[Long]("f"), r.getAs[Long]("c"))))
+          }
+          .outputMode("append")
+        ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
+      }
+      var q = start()
+      feed.init.foreach { batch =>
+        in.addData(batch: _*)
+        q.processAllAvailable()
+        if (ckpt.isDefined) { q.stop(); q = start() } // restart between batches
+      }
+      in.addData(feed.last: _*)
+      q.processAllAvailable()
+      q.stop()
+      out.toArray.map(_.asInstanceOf[(Timestamp, String, Long, Long)]).toSet
+    }
+
+    val uninterrupted = runRows(Seq(docs :+ late), None)
+    assert(uninterrupted.nonEmpty)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_drift").toString
+    val recovered = runRows(Seq(docs.take(5), docs.drop(5) :+ late), Some(ckpt))
+    // the recovered (window, source, bucket) counts merge pre- and
+    // post-restart contributions into the same closed-window histogram
+    assert(recovered == uninterrupted,
+      s"recovered drift state diverged: ${recovered.diff(uninterrupted)} / ${uninterrupted.diff(recovered)}")
+  }
+
   test("E12: streaming bloom gate matches the batch gate's bloom verdicts") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
