@@ -470,9 +470,10 @@ object StatsOps {
     *      sends equal keys to equal partitions);
     *   2. per-partition strictly-less counts via an ordinary KEYED window
     *      (`partitionBy(pid)`, `rank()-1`) — P parallel sorts of n/P rows;
-    *   3. partition-prefix offsets from the ≤P-row (pid → count) table,
-    *      broadcast as one collected array and folded map-side (no window,
-    *      no single-partition stage);
+    *   3. partition-prefix offsets computed ON the ≤P-row (pid → count)
+    *      table and broadcast-joined back — the corpus-side cost is one
+    *      codegen'd hash-join probe per row (no window, no
+    *      single-partition stage, no interpreted per-row lambda);
     *   4. strictly_less = prefix + local, pct = less/(n−1) — one exact
     *      integer division, identical bits to DuckDB's `percent_rank()`.
     *
@@ -538,24 +539,28 @@ object StatsOps {
       .withColumn("pid", spark_partition_id())
     val groupCols = col("pid") +: parts.map(col)
     val partCounts = keyed.groupBy(groupCols: _*).agg(count(lit(1)).as("pc"))
-    // ≤ P×|groups| structs; the fold below sums counts of EARLIER pids in
-    // the SAME group — the partition-prefix offset, computed map-side.
+    // Partition-prefix offsets and group sizes, computed ON the ≤
+    // P×|groups| count table (folding its own collected array — tiny²
+    // work), then broadcast-JOINED back by (pid, group). The corpus-side
+    // per-row cost is one codegen'd hash-join probe — an earlier draft
+    // folded the array per corpus row, which put an interpreted
+    // higher-order lambda on the 100 TB hot path.
     val sKey = parts.headOption.map(p => col(p).as("g")).getOrElse(lit(0).as("g"))
-    val offs = partCounts
-      .agg(collect_list(struct(col("pid").as("p"), sKey, col("pc").as("c"))).as("pcs"))
     val gRef = parts.headOption.map(col).getOrElse(lit(0))
-    val w    = Window.partitionBy(groupCols: _*).orderBy(valueCols.map(col): _*)
-    keyed
-      .crossJoin(broadcast(offs))
+    val offsets = partCounts
+      .crossJoin(broadcast(
+        partCounts.agg(collect_list(struct(col("pid").as("p"), sKey, col("pc").as("c"))).as("pcs"))))
       .withColumn("g0", gRef)
-      .withColumn(
-        "off",
-        expr("aggregate(filter(pcs, x -> x.p < pid AND x.g = g0), 0L, (a, x) -> a + x.c)"))
-      .withColumn(
-        "n_s",
-        expr("aggregate(filter(pcs, x -> x.g = g0), 0L, (a, x) -> a + x.c)"))
+      .select(
+        (col("pid") +: parts.map(col)) ++ Seq(
+          expr("aggregate(filter(pcs, x -> x.p < pid AND x.g = g0), 0L, (a, x) -> a + x.c)")
+            .as("off"),
+          expr("aggregate(filter(pcs, x -> x.g = g0), 0L, (a, x) -> a + x.c)").as("n_s")): _*)
+    val w = Window.partitionBy(groupCols: _*).orderBy(valueCols.map(col): _*)
+    keyed
+      .join(broadcast(offsets), "pid" +: parts, "inner")
       .withColumn(out, col("off") + rank().over(w).cast("long") - 1L)
-      .drop("pid", "pcs", "g0", "off")
+      .drop("pid", "off")
   }
 
   // --- q88: curriculum / epoch ordering --------------------------------------

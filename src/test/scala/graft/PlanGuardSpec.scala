@@ -120,8 +120,11 @@ class PlanGuardSpec extends SparkSpec {
       "q78_fuzzy_clusters"  -> 5,
       // two range repartitions (corpus + per-source rank spreads) + their
       // pid-keyed rank windows + the doc_id join + output sort — every
-      // exchange spreads over all partitions, nothing funnels to one task
-      "q79_quantile_normalize" -> 9,
+      // exchange spreads over all partitions, nothing funnels to one task;
+      // each strictlyLess prints its partCounts subtree twice (collect +
+      // join side of the broadcast offset table), so 15 static prints ≈
+      // 9 executed exchanges — same multiplicity rule as q88
+      "q79_quantile_normalize" -> 15,
       // map-side chunk explode; output sort only
       "q80_doc_chunks"      -> 1,
       // chunk-hash owner agg + join-back + per-doc rollup + output sort
@@ -130,9 +133,11 @@ class PlanGuardSpec extends SparkSpec {
       // sort-free rank (range + pid window) + bigram first-rank agg +
       // ≤C-row histograms + broadcast folds + output sort. The static
       // string re-prints the persisted per-doc/rank/checkpoint subtrees
-      // under EVERY InMemoryTableScan occurrence (6 of them), so 23 static
-      // prints ≈ 9 executed exchanges — same multiplicity rule as q70/q71
-      "q82_heaps_law"       -> 23,
+      // under EVERY InMemoryTableScan occurrence (6 of them), and the
+      // rank's strictlyLess now prints its partCounts subtree twice
+      // (collect + broadcast-join side), so 31 static prints ≈ 10
+      // executed exchanges — same multiplicity rule as q70/q71/q88
+      "q82_heaps_law"       -> 31,
       // pool build broadcasts the 8 queries (q28's shape); pair join +
       // two per-query collects + final join are all pool-bounded; the
       // persisted pool subtree re-prints per InMemoryTableScan occurrence
@@ -152,8 +157,10 @@ class PlanGuardSpec extends SparkSpec {
       // rollup + sort
       "q87_split_leakage"   -> 9,
       // one strictlyLess pass ((−score, doc_id) range repartition + pid
-      // window + prefix fold) + output sort; source index is a literal chain
-      "q88_curriculum_order" -> 5,
+      // window + broadcast offset join) + output sort; the ≤P-row offset
+      // table's build prints its own partCounts subtree twice (collect +
+      // join side) — 7 static prints, 4 executed exchanges
+      "q88_curriculum_order" -> 7,
       // three index probes (each its own budgeted shape) + the persisted
       // exact top-k (re-printed per InMemoryTableScan) + three rollup joins
       "q89_index_recall"    -> 19
