@@ -163,7 +163,11 @@ class PlanGuardSpec extends SparkSpec {
       "q88_curriculum_order" -> 7,
       // three index probes (each its own budgeted shape) + the persisted
       // exact top-k (re-printed per InMemoryTableScan) + three rollup joins
-      "q89_index_recall"    -> 19
+      "q89_index_recall"    -> 19,
+      // dictionary collected at construction (one corpus word-count agg +
+      // TakeOrdered, the model-collection rule); the remaining plan is the
+      // ≤K-row local merge table + its output sort
+      "q90_bpe_train"       -> 1
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
