@@ -796,6 +796,87 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): LmXent = copy(child = c)
   }
 
+  /** One symbol per UTF-16 code unit — the shared base segmentation for BPE
+    * training (TokenizerOps' driver loop over the ≤V-word dictionary) and
+    * apply ([[BpeEncode]]'s per-row path). One definition so the two sides
+    * cannot diverge; equals DuckDB's `regexp_extract_all(w, '.')` on the
+    * BMP text the corpus carries.
+    */
+  private[graft] def charSymbols(w: String): Array[String] = {
+    val out = new Array[String](w.length)
+    var i   = 0
+    while (i < w.length) { out(i) = String.valueOf(w.charAt(i)); i += 1 }
+    out
+  }
+
+  /** One greedy left-to-right merge pass: at each site where `l` is
+    * immediately followed by `r`, emit the merged symbol and skip both.
+    * One pass is exhaustive for the pair: a residual adjacent (l,r) would
+    * need its `l` consumed as a previous site's `r`, and the merged symbol
+    * (textually l+r, r non-empty) can never equal `l` — so applying ranks
+    * 1..K sequentially reproduces exhaustive-per-rank BPE segmentation.
+    */
+  private[graft] def bpeGreedyMerge(ss: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](ss.length)
+    var i   = 0
+    while (i < ss.length) {
+      if (i < ss.length - 1 && ss(i) == l && ss(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += ss(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Corpus-scale BPE apply (the q91 hot path): segments every word of the
+    * input token array with the learned merge table and returns
+    * `[n_words, n_raw_syms, n_bpe_toks]`. The merge table rides along as a
+    * reference object (the NBClassify/DsirScore model-collection rule), so
+    * the 100 TB pass is a pure codegen'd projection — training (q90) ran
+    * its one corpus aggregate already; apply never shuffles.
+    *
+    * Semantics match TokenizerOps' driver loop exactly: per word, start
+    * from [[Expressions.charSymbols]] and apply merges in rank order via
+    * [[Expressions.bpeGreedyMerge]]. Zero-length tokens (split artifacts
+    * of empty text) are skipped on both sides.
+    */
+  case class BpeEncode(child: Expression, lefts: Array[String], rights: Array[String])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    def compute(arr: ArrayData): Any = {
+      var nWords = 0L
+      var nRaw   = 0L
+      var nBpe   = 0L
+      var i      = 0
+      while (i < arr.numElements()) {
+        val w = arr.getUTF8String(i).toString
+        if (w.nonEmpty) {
+          nWords += 1
+          var ss = charSymbols(w)
+          nRaw += ss.length
+          var r = 0
+          while (r < lefts.length) {
+            ss = bpeGreedyMerge(ss, lefts(r), rights(r))
+            r += 1
+          }
+          nBpe += ss.length
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(nWords, nRaw, nBpe))
+    }
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("bpeEncode", this, classOf[BpeEncode].getName)
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        c => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($c);")
+    }
+    // keep the merge table out of explain output (NBClassify rule)
+    override def toString: String = s"bpe_encode($child, merges=${lefts.length})"
+    override protected def withNewChildInternal(c: Expression): BpeEncode = copy(child = c)
+  }
+
   /** Dot product of two array<double> columns, left-to-right accumulation —
     * the SAME summation order as `aggregate(zip_with(a, b, (x,y) -> x*y),
     * 0D, (acc,x) -> acc+x)`, which it replaces: Spark's higher-order
@@ -905,4 +986,6 @@ object Expressions {
       zeroWeights: Array[Double],
       buckets: Int): Column =
     toColumn(NBClassify(toExpression(c), classes, priors, weights, zeroWeights, buckets))
+  def bpe_encode(c: Column, lefts: Array[String], rights: Array[String]): Column =
+    toColumn(BpeEncode(toExpression(c), lefts, rights))
 }

@@ -6,18 +6,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.Expressions
 
-/** Tokenizer-training operators: the corpus-scale side of building a BPE
-  * vocabulary — the step every LLM data pipeline runs once per corpus
-  * refresh, and the canonical map-reduce workload (word counting) feeding a
-  * bounded training loop.
+/** Tokenizer operators: the corpus-scale side of building and applying a
+  * BPE vocabulary — the step every LLM data pipeline runs once per corpus
+  * refresh (train) and once per document forever after (apply).
   */
 object TokenizerOps {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-
-  // --- q90: BPE merge-rule training ----------------------------------------
 
   /** Dictionary cap: BPE trains on the word-frequency DICTIONARY, not the
     * corpus — top-V words by (count desc, word asc). Distinct words grow
@@ -29,6 +27,62 @@ object TokenizerOps {
 
   /** How many merge rules to learn. Fixed so the oracle unrolls exactly. */
   val BpeMerges = 8
+
+  /** The one corpus-scale pass of BPE training: word count with map-side
+    * partial aggregation, then a bounded TakeOrdered(V) collect — the
+    * model-collection rule shared with the ANN/DSIR/NB trainers.
+    */
+  private def trainDict(spark: SparkSession, dir: String): Array[(String, Long)] =
+    docs(spark, dir)
+      .select(explode(TextOps.toks).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(BpeVocabWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+  /** Driver-local merge training over the collected ≤V-row dictionary:
+    * count adjacent symbol pairs weighted by word frequency, merge the
+    * argmax under the (count desc, left asc, right asc) tie-break, repeat.
+    * Returns (rank, left, right, merged, pair_count) in rank order.
+    */
+  private[graft] def trainMerges(
+      dict: Array[(String, Long)]): Seq[(Int, String, String, String, Long)] = {
+    var words: Array[(Array[String], Long)] =
+      dict.map { case (w, c) => (Expressions.charSymbols(w), c) }
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank   = 1
+    var done   = false
+    while (rank <= BpeMerges && !done) {
+      val pc = mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (ss, c) =>
+        var i = 0
+        while (i < ss.length - 1) {
+          val k = (ss(i), ss(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val ((l, r), c) = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((rank, l, r, l + r, c))
+        words = words.map { case (ss, wc) => (Expressions.bpeGreedyMerge(ss, l, r), wc) }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Forwarder kept for spec-level unit tests of the merge-pass semantics;
+    * the shared implementation lives beside [[graft.functions.Expressions.BpeEncode]].
+    */
+  private[graft] def greedyMerge(ss: Array[String], l: String, r: String): Array[String] =
+    Expressions.bpeGreedyMerge(ss, l, r)
+
+  // --- q90: BPE merge-rule training ----------------------------------------
 
   /** Byte-pair-encoding merge-rule training (Sennrich et al. 2016, the
     * public BPE algorithm): start from characters, repeatedly count
@@ -54,71 +108,55 @@ object TokenizerOps {
     */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dict: Array[(String, Long)] = docs(spark, dir)
-      .select(explode(TextOps.toks).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w").asc)
-      .limit(BpeVocabWords)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-
-    var words: Array[(Array[String], Long)] =
-      dict.map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
-    val merges = mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    var rank   = 1
-    var done   = false
-    while (rank <= BpeMerges && !done) {
-      val pc = mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (ss, c) =>
-        var i = 0
-        while (i < ss.length - 1) {
-          val k = (ss(i), ss(i + 1))
-          pc.update(k, pc.getOrElse(k, 0L) + c)
-          i += 1
-        }
-      }
-      if (pc.isEmpty) done = true
-      else {
-        val ((l, r), c) = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
-        merges += ((rank, l, r, l + r, c))
-        words = words.map { case (ss, wc) => (greedyMerge(ss, l, r), wc) }
-        rank += 1
-      }
-    }
-    merges.toSeq.toDF("rank", "lft", "rgt", "merged", "pair_count")
+    trainMerges(trainDict(spark, dir))
+      .toDF("rank", "lft", "rgt", "merged", "pair_count")
       .orderBy(col("rank"))
   }
 
-  /** One greedy left-to-right merge pass: at each site where `l` is
-    * immediately followed by `r`, emit the merged symbol and skip both —
-    * a merged symbol never re-matches as `l` within the same pass (it is
-    * textually `l+r`, and `r` is non-empty).
+  // --- q91: BPE apply at corpus scale --------------------------------------
+
+  /** Tokenize the whole corpus with the learned merge table: per document,
+    * word count, raw symbol (character) count, BPE token count, and the
+    * compression ratio chars/token — the standard "how well does the
+    * vocabulary fit this corpus slice" diagnostic.
+    *
+    * Scale shape: q90's bounded trainer runs at construction; apply is ONE
+    * map-side codegen'd projection ([[graft.functions.Expressions.BpeEncode]]
+    * carrying the K-rule merge table as a reference object) + the output
+    * sort — the same pure apply-pass shape as q57/q66/q68. No shuffle
+    * touches the corpus.
     */
-  private[graft] def greedyMerge(ss: Array[String], l: String, r: String): Array[String] = {
-    val out = mutable.ArrayBuffer.empty[String]
-    var i   = 0
-    while (i < ss.length) {
-      if (i < ss.length - 1 && ss(i) == l && ss(i + 1) == r) {
-        out += (l + r); i += 2
-      } else { out += ss(i); i += 1 }
-    }
-    out.toArray
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainMerges(trainDict(spark, dir))
+    val enc = Expressions.bpe_encode(
+      TextOps.toks, merges.map(_._2).toArray, merges.map(_._3).toArray)
+    docs(spark, dir)
+      .select(col("doc_id"), enc.as("e"))
+      .select(
+        col("doc_id"),
+        col("e")(0).as("n_words"),
+        col("e")(1).as("n_raw_syms"),
+        col("e")(2).as("n_bpe_toks"),
+        when(col("e")(2) > 0,
+          round(col("e")(1).cast("double") / col("e")(2), 6)).as("compression"))
+      .orderBy(col("doc_id"))
   }
 
-  /** Oracle: the identical K rounds unrolled as CTEs. Per round: positional
-    * explode + lookahead (`y`), pair counts (`p`), argmax with the same
-    * tie-break (`b`), candidate sites (`c`), greedy selection = odd
-    * row_number within each run of consecutive candidates (`s`), rebuild
-    * (`w{r+1}`). All integer/string ops — exact on any engine. The
-    * round-carried CTEs are MATERIALIZED: DuckDB inlines plain CTEs at
-    * every reference, which re-expands the whole prefix chain per round —
-    * exponential plan growth (it exhausts file handles re-opening the
-    * scan) — while materialization keeps the chain linear, mirroring how
-    * the Scala loop actually executes.
+  // --- oracles -------------------------------------------------------------
+
+  /** Shared training chain: the identical K rounds unrolled as CTEs — used
+    * verbatim by BOTH the q90 and q91 oracles so they cannot diverge.
+    * Per round: positional explode + lookahead (`y`), pair counts (`p`),
+    * argmax with the same tie-break (`b`), candidate sites (`c`), greedy
+    * selection = odd row_number within each run of consecutive candidates
+    * (`s`), rebuild (`w{r+1}`). All integer/string ops — exact on any
+    * engine. The round-carried CTEs are MATERIALIZED: DuckDB inlines plain
+    * CTEs at every reference, which re-expands the whole prefix chain per
+    * round — exponential plan growth (it exhausts file handles re-opening
+    * the scan) — while materialization keeps the chain linear, mirroring
+    * how the Scala loop actually executes.
     */
-  lazy val bpeTrainSql: String = {
+  private lazy val trainCtes: String = {
     val rounds = (1 to BpeMerges).map { r =>
       s"""y$r AS MATERIALIZED (
          |  SELECT wid, i, s, lead(s) OVER (PARTITION BY wid ORDER BY i) AS s2, c
@@ -137,10 +175,7 @@ object TokenizerOps {
          |  WHERE p.i IS NULL
          |  GROUP BY y.wid)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeMerges)
-      .map(r => s"SELECT $r AS rank, l, rgt, cnt FROM b$r")
-      .mkString("\n  UNION ALL ")
-    s"""WITH q90wf AS MATERIALIZED (
+    s"""q90wf AS MATERIALIZED (
        |  SELECT w, count(*)::BIGINT AS c
        |  FROM (SELECT unnest(${TextOps.DuckToks}) AS w FROM documents)
        |  WHERE len(w) > 0
@@ -149,9 +184,68 @@ object TokenizerOps {
        |  SELECT row_number() OVER (ORDER BY c DESC, w) AS wid,
        |         regexp_extract_all(w, '.') AS ss, c
        |  FROM q90wf),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** q90 oracle: the training chain, selecting each round's argmax row. */
+  lazy val bpeTrainSql: String = {
+    val out = (1 to BpeMerges)
+      .map(r => s"SELECT $r AS rank, l, rgt, cnt FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $trainCtes
        |SELECT rank::INT AS rank, l AS lft, rgt, l || rgt AS merged, cnt AS pair_count
        |FROM ($out)
        |ORDER BY rank""".stripMargin
+  }
+
+  /** q91 oracle: the training chain, then the SAME greedy machinery driven
+    * by each round's learned pair (`b{r}`) instead of an argmax, applied
+    * over the full distinct-word set (`x{r}` — not just the top-V training
+    * dictionary), joined back to per-doc word counts. Docs with no
+    * non-empty words survive via the LEFT JOIN with zero counts and a null
+    * ratio, mirroring BpeEncode's [0,0,0] row.
+    */
+  lazy val bpeEncodeSql: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      s"""xy$r AS MATERIALIZED (
+         |  SELECT wid, i, s, lead(s) OVER (PARTITION BY wid ORDER BY i) AS s2
+         |  FROM (SELECT wid, i, ss[i] AS s FROM x$r, unnest(generate_series(1, len(ss))) AS t(i))),
+         |xc$r AS (SELECT y.wid, y.i FROM xy$r y, b$r b WHERE y.s = b.l AND y.s2 = b.rgt),
+         |xr$r AS (SELECT wid, i, i - row_number() OVER (PARTITION BY wid ORDER BY i) AS rn FROM xc$r),
+         |xs$r AS MATERIALIZED (SELECT wid, i FROM (
+         |  SELECT wid, i, row_number() OVER (PARTITION BY wid, rn ORDER BY i) AS k FROM xr$r) WHERE k % 2 = 1),
+         |x${r + 1} AS MATERIALIZED (
+         |  SELECT y.wid, list(CASE WHEN m.i IS NOT NULL THEN y.s || y.s2 ELSE y.s END ORDER BY y.i) AS ss
+         |  FROM xy$r y LEFT JOIN xs$r m ON m.wid = y.wid AND m.i = y.i
+         |             LEFT JOIN xs$r p ON p.wid = y.wid AND p.i = y.i - 1
+         |  WHERE p.i IS NULL
+         |  GROUP BY y.wid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $trainCtes,
+       |q91dw AS MATERIALIZED (
+       |  SELECT doc_id, w, count(*)::BIGINT AS c
+       |  FROM (SELECT doc_id, unnest(${TextOps.DuckToks}) AS w FROM documents)
+       |  WHERE len(w) > 0
+       |  GROUP BY doc_id, w),
+       |x1 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY w) AS wid, w, regexp_extract_all(w, '.') AS ss
+       |  FROM (SELECT DISTINCT w FROM q91dw)),
+       |$rounds,
+       |q91wn AS (
+       |  SELECT x1.w, len(x1.ss) AS nraw, len(xf.ss) AS nsym
+       |  FROM x1 JOIN x${BpeMerges + 1} xf USING (wid)),
+       |q91doc AS (
+       |  SELECT dw.doc_id, sum(dw.c)::BIGINT AS n_words,
+       |         sum(dw.c * wn.nraw)::BIGINT AS n_raw_syms,
+       |         sum(dw.c * wn.nsym)::BIGINT AS n_bpe_toks
+       |  FROM q91dw dw JOIN q91wn wn ON wn.w = dw.w
+       |  GROUP BY dw.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(q.n_words, 0) AS n_words,
+       |  coalesce(q.n_raw_syms, 0) AS n_raw_syms,
+       |  coalesce(q.n_bpe_toks, 0) AS n_bpe_toks,
+       |  CASE WHEN q.n_bpe_toks > 0 THEN round(q.n_raw_syms::DOUBLE / q.n_bpe_toks, 6) END AS compression
+       |FROM documents d LEFT JOIN q91doc q USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 }

@@ -70,7 +70,14 @@ object CodegenCheck {
         .lm_xent(col("toks"), Map(1L -> 3L), Map(2L -> 5L), 4096).as("s"))
       .filter("s.n_pairs >= 0 AND (s.n_pairs = 0) = (s.lm_xent IS NULL)")
       .count()
-    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector, $nc centroid, $nd dot/norm, $nm minhash, $nw winnow, $ng top2gram, $nq int8, $nj jlproj, $nl lmxent")
+    val ne = spark.sql(
+      """SELECT split(text, ' ') AS toks
+        |FROM parquet.`/root/testdata/sf0.001/documents.parquet`""".stripMargin)
+      .select(graft.functions.Expressions
+        .bpe_encode(col("toks"), Array("t", "th"), Array("h", "e")).as("e"))
+      .filter("size(e) = 3 AND e[2] <= e[1] AND e[0] <= e[2]")
+      .count()
+    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector, $nc centroid, $nd dot/norm, $nm minhash, $nw winnow, $ng top2gram, $nq int8, $nj jlproj, $nl lmxent, $ne bpe")
     spark.stop()
   }
 }

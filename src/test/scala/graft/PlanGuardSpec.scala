@@ -167,7 +167,11 @@ class PlanGuardSpec extends SparkSpec {
       // dictionary collected at construction (one corpus word-count agg +
       // TakeOrdered, the model-collection rule); the remaining plan is the
       // ≤K-row local merge table + its output sort
-      "q90_bpe_train"       -> 1
+      "q90_bpe_train"       -> 1,
+      // trainer runs at construction; apply is one map-side codegen'd
+      // BpeEncode projection (merge table as a reference object) + the
+      // output sort — the q57/q66/q68 pure apply-pass shape
+      "q91_bpe_encode"      -> 1
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>

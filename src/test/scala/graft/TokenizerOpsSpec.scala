@@ -55,6 +55,31 @@ class TokenizerOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q91 encodes the textbook corpus with hand-computed token counts") {
+    val text5 = Array.fill(5)("low").mkString(" ")
+    val rows = Seq(
+      (0L, s"$text5 lower lower", "en", "s0", 30L),
+      (1L, Array.fill(6)("newest").mkString(" "), "en", "s0", 41L),
+      (2L, Array.fill(3)("widest").mkString(" "), "en", "s1", 20L),
+      (3L, "   ", "en", "s1", 3L) // whitespace-only: zero words, null ratio
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("q91spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = TokenizerOps.bpeEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4))).toSeq
+    // low→[low] (1 tok), lower→[low,e,r] (3), newest→[newest] (1),
+    // widest→[w,i,dest] (3) under the 8 learned merges
+    val expected: Seq[(Long, Long, Long, Long, Any)] = Seq(
+      (0L, 7L, 25L, 11L, 2.272727), // round(25/11, 6)
+      (1L, 6L, 36L, 6L, 6.0),
+      (2L, 3L, 18L, 9L, 2.0),
+      (3L, 0L, 0L, 0L, null)
+    )
+    assert(got == expected)
+  }
+
   test("q90 on the test corpus: ranks are 1..K, counts non-increasing, merges well-formed") {
     val out = TokenizerOps.bpeTrain(spark, Sf0001).collect()
     assert(out.length == TokenizerOps.BpeMerges)
