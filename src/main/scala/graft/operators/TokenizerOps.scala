@@ -32,7 +32,7 @@ object TokenizerOps {
     * partial aggregation, then a bounded TakeOrdered(V) collect — the
     * model-collection rule shared with the ANN/DSIR/NB trainers.
     */
-  private def trainDict(spark: SparkSession, dir: String): Array[(String, Long)] =
+  private[graft] def trainDict(spark: SparkSession, dir: String): Array[(String, Long)] =
     docs(spark, dir)
       .select(explode(TextOps.toks).as("w"))
       .filter(length(col("w")) > 0)

@@ -268,6 +268,36 @@ object DocStreams {
       .agg(count(lit(1)).as("c"))
       .select(col("window.start").as("window_start"), col("source"), col("f"), col("c"))
 
+  /** §2.E BPE vocabulary-fit gate (E19): q91's learned merge table applied
+    * to a live stream through the SAME codegen'd
+    * [[graft.functions.Expressions.BpeEncode]] projection as the batch
+    * operator — stateless, shuffle-free, the E14 model-apply shape. The
+    * compression ratio (chars per BPE token) is the fit signal: text the
+    * vocabulary was trained for compresses well; out-of-domain or junk
+    * text stays near 1 char/token and fails the gate. Shared expression +
+    * literal merge table ⇒ streaming stats equal batch q91 EXACTLY;
+    * refreshing the vocabulary = restarting the query with a newly
+    * trained merge table.
+    */
+  def bpeGate(
+      stream: DataFrame,
+      lefts: Array[String],
+      rights: Array[String],
+      minRatio: Double = 1.5
+  ): DataFrame =
+    stream
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("e", graft.functions.Expressions.bpe_encode(col("toks"), lefts, rights))
+      .select(
+        col("doc_id"),
+        col("ts"),
+        col("e")(0).as("n_words"),
+        col("e")(1).as("n_raw_syms"),
+        col("e")(2).as("n_bpe_toks"),
+        when(col("e")(2) > 0,
+          round(col("e")(1).cast("double") / col("e")(2), 6)).as("compression"))
+      .withColumn("keep", coalesce(col("compression") >= minRatio, lit(false)))
+
   def dsirScoreGate(
       stream: DataFrame,
       model: Map[Long, Double],

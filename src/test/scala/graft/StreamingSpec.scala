@@ -328,6 +328,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("E19: streaming BPE gate stats EQUAL the batch q91 columns (shared expression)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    import graft.operators.TokenizerOps
+    val batch = TokenizerOps.bpeEncode(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    val merges = TokenizerOps.trainMerges(TokenizerOps.trainDict(spark, Sf0001))
+    assert(merges.nonEmpty && merges.size <= TokenizerOps.BpeMerges)
+    val sample = graft.core.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").orderBy($"doc_id").limit(20).collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), ts(1)))
+    val in = MemoryStream[Doc]
+    val q = DocStreams
+      .bpeGate(in.toDF(), merges.map(_._2).toArray, merges.map(_._3).toArray, minRatio = 1.5)
+      .writeStream.format("memory").queryName("bpe_gate").outputMode("append").start()
+    in.addData(sample.toSeq: _*)
+    q.processAllAvailable()
+    val rows = spark.table("bpe_gate").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_raw_syms"), r.getAs[Long]("n_bpe_toks"),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))),
+        r.getAs[Boolean]("keep")))
+    q.stop()
+    assert(rows.length == 20)
+    rows.foreach { case (id, got, keep) =>
+      // identical expression + identical merge table → exact equality
+      assert(got == batch(id), s"doc $id: stream $got vs batch ${batch(id)}")
+      assert(keep == got._4.exists(_ >= 1.5))
+    }
+  }
+
   test("E17: streamed chunks EQUAL the batch q80 chunks (shared expression)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
