@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Storage-layout operators: how the table is ARRANGED on disk decides how
+  * much of 100 TB a selective scan must read. Z-ordering clusters rows so
+  * each output file covers a small rectangle of the (partkey, suppkey)
+  * space — min/max file statistics then prune most files for predicates on
+  * EITHER dimension, which a single-column sort only gives the leading
+  * column.
+  */
+object LayoutOps {
+
+  /** Bits per dimension in the interleaved key (16 ⇒ a 32-bit z value). */
+  val ZBits = 16
+
+  /** Output files the layout is balanced into. */
+  val ZFiles = 16
+
+  /** Spread the low 16 bits of `c` so bit i lands at position 2i — the
+    * classic magic-number dilation (4 shift/mask steps, all codegen'd
+    * builtins; the identical arithmetic runs in the oracle).
+    */
+  private def spreadBits(c: Column): Column = {
+    var t = c
+    t = t.bitwiseOR(shiftleft(t, 8)).bitwiseAND(lit(16711935L))   // 0x00FF00FF
+    t = t.bitwiseOR(shiftleft(t, 4)).bitwiseAND(lit(252645135L))  // 0x0F0F0F0F
+    t = t.bitwiseOR(shiftleft(t, 2)).bitwiseAND(lit(858993459L))  // 0x33333333
+    t = t.bitwiseOR(shiftleft(t, 1)).bitwiseAND(lit(1431655765L)) // 0x55555555
+    t
+  }
+
+  /** Exact integer quantization of column `v` into [0, 2^ZBits) over the
+    * closed extent [lo, hi]: `((v − lo) · (2^B − 1)) div (hi − lo)`.
+    * Non-negative operands, so Spark's truncating `div` equals DuckDB's
+    * flooring `//` (the q80 rule). Degenerate extent (hi = lo) maps
+    * everything to 0. Takes column NAMES (integer `div` only exists in
+    * SQL form).
+    */
+  private def quantize(v: String, lo: String, hi: String): Column =
+    expr(
+      s"CASE WHEN $hi = $lo THEN 0L ELSE (($v - $lo) * ${(1 << ZBits) - 1}) div ($hi - $lo) END")
+
+  /** q92: Z-order layout audit of lineitem over (l_partkey, l_suppkey).
+    *
+    * Pipeline: ONE extent aggregate (1 row, broadcast) → map-side exact
+    * quantization + bit-interleaved z value → the sort-free global rank
+    * ([[StatsOps.strictlyLess]] on the unique (z, orderkey, linenumber,
+    * partkey, suppkey) tuple — range repartition + keyed windows, never a
+    * single-task sort)
+    * → balanced file assignment `(rank · F) div n` → per-file bounding
+    * boxes with their coverage fraction of the global extent rectangle.
+    *
+    * At 100 TB the write path is `repartitionByRange(z)` + per-file
+    * min/max stats; the rank-div emulation here is what makes file
+    * membership deterministic and the oracle exact. Output is ≤ZFiles
+    * rows: tight per-file boxes (coverage ≪ 1) are precisely what lets
+    * min/max pruning skip files for predicates on either key — the
+    * measurable benefit of the layout, reported by the operator itself.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+
+    val ext = li.agg(
+      min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+      min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+
+    val keyed = li
+      .crossJoin(broadcast(ext))
+      .withColumn("bx", quantize("l_partkey", "pmin", "pmax"))
+      .withColumn("by", quantize("l_suppkey", "smin", "smax"))
+      .withColumn("z", shiftleft(spreadBits(col("bx")), 1).bitwiseOR(spreadBits(col("by"))))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("z"))
+
+    // the synthetic lineitem does NOT key on (orderkey, linenumber) — only
+    // the full 4-column tuple is unique, so rank on all of it
+    val ranked = StatsOps.strictlyLess(
+      keyed, Nil, Seq("z", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"), "rk")
+
+    ranked
+      .withColumn("file_id", expr(s"(rk * $ZFiles) div n_s"))
+      .groupBy(col("file_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("p_lo"), max(col("l_partkey")).as("p_hi"),
+        min(col("l_suppkey")).as("s_lo"), max(col("l_suppkey")).as("s_hi"))
+      .crossJoin(broadcast(ext))
+      .withColumn(
+        "coverage",
+        round(
+          ((col("p_hi") - col("p_lo") + 1L) * (col("s_hi") - col("s_lo") + 1L)).cast("double") /
+            ((col("pmax") - col("pmin") + 1L) * (col("smax") - col("smin") + 1L)).cast("double"),
+          6))
+      .select("file_id", "n_rows", "p_lo", "p_hi", "s_lo", "s_hi", "coverage")
+      .orderBy(col("file_id"))
+  }
+
+  /** q92 oracle: identical integer arithmetic — extent, quantization with
+    * flooring division, the same 4-step bit dilation, row_number−1 on the
+    * same unique tuple, `(rank · F) // n` file assignment, box aggregates.
+    */
+  lazy val zorderLayoutSql: String = {
+    val m = (1 << ZBits) - 1
+    // the same 4-step dilation as spreadBits, one lateral alias per step
+    def spread(v: String, o: String): String =
+      s"""($v | ($v << 8)) & 16711935 AS ${o}1,
+         |    (${o}1 | (${o}1 << 4)) & 252645135 AS ${o}2,
+         |    (${o}2 | (${o}2 << 2)) & 858993459 AS ${o}3,
+         |    (${o}3 | (${o}3 << 1)) & 1431655765 AS $o""".stripMargin
+    s"""WITH ext AS (
+       |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+       |         min(l_suppkey) AS smin, max(l_suppkey) AS smax,
+       |         count(*)::BIGINT AS n
+       |  FROM lineitem),
+       |q AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |    CASE WHEN pmax = pmin THEN 0 ELSE ((l_partkey - pmin) * $m) // (pmax - pmin) END AS bx,
+       |    CASE WHEN smax = smin THEN 0 ELSE ((l_suppkey - smin) * $m) // (smax - smin) END AS by
+       |  FROM lineitem, ext),
+       |z AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |    ${spread("bx", "sx")},
+       |    ${spread("by", "sy")},
+       |    (sx << 1) | sy AS z
+       |  FROM q),
+       |r AS (
+       |  SELECT *, row_number() OVER (ORDER BY z, l_orderkey, l_linenumber, l_partkey, l_suppkey) - 1 AS rk
+       |  FROM z),
+       |f AS (
+       |  SELECT *, (rk * $ZFiles) // (SELECT n FROM ext) AS file_id FROM r)
+       |SELECT file_id, count(*)::BIGINT AS n_rows,
+       |  min(l_partkey) AS p_lo, max(l_partkey) AS p_hi,
+       |  min(l_suppkey) AS s_lo, max(l_suppkey) AS s_hi,
+       |  round(((max(l_partkey) - min(l_partkey) + 1) * (max(l_suppkey) - min(l_suppkey) + 1))::DOUBLE
+       |    / (SELECT ((pmax - pmin + 1) * (smax - smin + 1))::DOUBLE FROM ext), 6) AS coverage
+       |FROM f
+       |GROUP BY file_id
+       |ORDER BY file_id""".stripMargin
+  }
+}

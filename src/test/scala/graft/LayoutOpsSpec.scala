@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LayoutOps
+
+/** q92 Z-order layout: hand-checked corner geometry plus the layout
+  * properties that make min/max pruning work on the test corpus.
+  */
+class LayoutOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q92 orders the four extent corners along the z-curve with point boxes") {
+    // corners of a 101×101 extent: z must sort (0,0) < (0,100) < (100,0) < (100,100)
+    val rows = Seq(
+      (10L, 1, 0L, 0L), (11L, 1, 0L, 100L), (12L, 1, 100L, 0L), (13L, 1, 100L, 100L)
+    ).toDF("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val dir = java.nio.file.Files.createTempDirectory("q92spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    val got = LayoutOps.zorderLayout(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    // 4 rows into 16 balanced slots → files 0,4,8,12, one point box each;
+    // coverage = 1/(101·101) rounded to 6dp
+    val c = BigDecimal(1.0 / (101.0 * 101.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Seq(
+      (0L, 1L, 0L, 0L, 0L, 0L, c),
+      (4L, 1L, 0L, 0L, 100L, 100L, c),
+      (8L, 1L, 100L, 100L, 0L, 0L, c),
+      (12L, 1L, 100L, 100L, 100L, 100L, c)
+    )
+    assert(got == expected)
+  }
+
+  test("q92 on the test corpus: balanced files, boxes inside the extent, real skipping power") {
+    val li  = graft.core.Tables.lineitem(spark, Sf001)
+    val n   = li.count()
+    val ext = li.agg(min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey"))
+      .collect()(0)
+    val out = LayoutOps.zorderLayout(spark, Sf001).collect()
+    assert(out.length == LayoutOps.ZFiles)
+    assert(out.map(_.getLong(1)).sum == n, "every row lands in exactly one file")
+    val sizes = out.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1L, "rank-div assignment must balance within one row")
+    out.foreach { r =>
+      assert(r.getLong(2) >= ext.getLong(0) && r.getLong(3) <= ext.getLong(1))
+      assert(r.getLong(4) >= ext.getLong(2) && r.getLong(5) <= ext.getLong(3))
+    }
+    // the point of the layout: the mean bounding box covers a small
+    // fraction of the extent rectangle, so min/max stats prune most files
+    // for a predicate on either dimension
+    val meanCov = out.map(_.getDouble(6)).sum / out.length
+    assert(meanCov < 0.35, s"z-order boxes should be tight, got mean coverage $meanCov")
+  }
+}

@@ -171,7 +171,11 @@ class PlanGuardSpec extends SparkSpec {
       // trainer runs at construction; apply is one map-side codegen'd
       // BpeEncode projection (merge table as a reference object) + the
       // output sort — the q57/q66/q68 pure apply-pass shape
-      "q91_bpe_encode"      -> 1
+      "q91_bpe_encode"      -> 1,
+      // one strictlyLess pass on the z tuple (q88's shape: range
+      // repartition + pid window + broadcast offset join, partCounts
+      // subtree printed twice) + the per-file box aggregate + output sort
+      "q92_zorder_layout"   -> 10
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -261,7 +265,10 @@ class PlanGuardSpec extends SparkSpec {
         "q70_temperature_mix", "q71_source_drift", "q72_centroid_sim",
         "q73_tfidf_terms", "q74_threshold_sweep", "q79_quantile_normalize",
         "q82_heaps_law", "q83_mmr_diversify", "q84_lsh_quality", "q85_ann_recall",
-        "q88_curriculum_order", "q89_index_recall")
+        "q88_curriculum_order", "q89_index_recall",
+        // q92 crossJoins the 1-row extent aggregate twice (quantization
+        // inputs + coverage denominator) — the q42/q49 1-row stats shape
+        "q92_zorder_layout")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
