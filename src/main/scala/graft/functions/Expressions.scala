@@ -796,6 +796,57 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): LmXent = copy(child = c)
   }
 
+  /** Text normalization (the q93 hot path): Unicode NFC composition +
+    * control-char→space replacement + space-run collapse + trim, ONE
+    * compiled pass per document. Returns (clean, n_ctrl, changed_nfc).
+    *
+    * Op order is load-bearing for cross-engine exactness: controls
+    * (`< 0x20` and DEL) become ' ' FIRST, so the collapse step only ever
+    * sees runs of ASCII spaces — sidestepping the Java-`\s`-vs-RE2-`\s`
+    * class divergence (\x0B is whitespace to Java, not to RE2). The
+    * DuckDB oracle is `nfc_normalize` + the same two regex steps; NFC
+    * itself is UAX #15, deterministic and engine-identical.
+    */
+  case class NormalizeText(child: Expression) extends UnaryExpression {
+    import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
+    override def dataType: DataType = StructType(Seq(
+      StructField("clean", StringType, nullable = false),
+      StructField("n_ctrl", LongType, nullable = false),
+      StructField("changed_nfc", BooleanType, nullable = false)))
+    def compute(input: Any): Any = {
+      val raw = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val nfc = java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC)
+      var nCtrl = 0L
+      val sb = new java.lang.StringBuilder(nfc.length)
+      var pendingSpace = false
+      var i = 0
+      while (i < nfc.length) {
+        var c = nfc.charAt(i)
+        if (c < ' ' || c == '\u007f') { nCtrl += 1; c = ' ' }
+        if (c == ' ') {
+          if (sb.length > 0) pendingSpace = true // collapses runs, trims both ends
+        } else {
+          if (pendingSpace) { sb.append(' '); pendingSpace = false }
+          sb.append(c)
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString),
+        nCtrl,
+        nfc != raw)
+    }
+    override def nullSafeEval(input: Any): Any = compute(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("normalizeText", this, classOf[NormalizeText].getName)
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        c => s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $self.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): NormalizeText = copy(child = c)
+  }
+
   /** One symbol per UTF-16 code unit — the shared base segmentation for BPE
     * training (TokenizerOps' driver loop over the ≤V-word dictionary) and
     * apply ([[BpeEncode]]'s per-row path). One definition so the two sides
@@ -988,4 +1039,5 @@ object Expressions {
     toColumn(NBClassify(toExpression(c), classes, priors, weights, zeroWeights, buckets))
   def bpe_encode(c: Column, lefts: Array[String], rights: Array[String]): Column =
     toColumn(BpeEncode(toExpression(c), lefts, rights))
+  def normalize_text(c: Column): Column = toColumn(NormalizeText(toExpression(c)))
 }

@@ -919,4 +919,53 @@ object TextOps {
         |ORDER BY threshold""".stripMargin
     )
   }
+
+  // --- q93: text normalization pass ---------------------------------------
+
+  /** Corpus text normalization — the first pass of every real ingest
+    * pipeline: Unicode NFC composition, control-char→space replacement,
+    * space-run collapse + trim, with repair telemetry per document
+    * (control count, whether NFC changed anything, byte lengths before and
+    * after, md5 of the cleaned text).
+    *
+    * Scale shape: ONE codegen'd map-side pass
+    * ([[graft.functions.Expressions.NormalizeText]]) + the output sort —
+    * no shuffle touches the corpus. Lengths are `octet_length` (UTF-8
+    * bytes) on both engines; char-count semantics differ between engines
+    * (code points vs graphemes) and are deliberately avoided.
+    */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    val nt = graft.functions.Expressions.normalize_text(col("text"))
+    docs(spark, dir)
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("len_raw"), nt.as("nt"))
+      .select(
+        col("doc_id"),
+        col("len_raw"),
+        col("nt.n_ctrl").as("n_ctrl"),
+        col("nt.changed_nfc").as("changed_nfc"),
+        octet_length(col("nt.clean")).cast("long").as("len_clean"),
+        md5(col("nt.clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q93 oracle: `nfc_normalize` + the identical two regex steps (controls
+    * first, so the collapse only sees ASCII space runs — see the
+    * NormalizeText scaladoc for why the order is load-bearing).
+    */
+  lazy val normalizeTextSql: String =
+    raw"""WITH q93n AS (
+         |  SELECT doc_id, text, nfc_normalize(text) AS nfc FROM documents),
+         |q93s AS (
+         |  SELECT doc_id, text, nfc,
+         |    trim(regexp_replace(regexp_replace(nfc, '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS clean,
+         |    len(regexp_extract_all(nfc, '[\x00-\x1f\x7f]'))::BIGINT AS n_ctrl
+         |  FROM q93n)
+         |SELECT doc_id,
+         |  strlen(text)::BIGINT AS len_raw,
+         |  n_ctrl,
+         |  (nfc <> text) AS changed_nfc,
+         |  strlen(clean)::BIGINT AS len_clean,
+         |  md5(clean) AS clean_md5
+         |FROM q93s
+         |ORDER BY doc_id""".stripMargin
 }

@@ -77,7 +77,12 @@ object CodegenCheck {
         .bpe_encode(col("toks"), Array("t", "th"), Array("h", "e")).as("e"))
       .filter("size(e) = 3 AND e[2] <= e[1] AND e[0] <= e[2]")
       .count()
-    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector, $nc centroid, $nd dot/norm, $nm minhash, $nw winnow, $ng top2gram, $nq int8, $nj jlproj, $nl lmxent, $ne bpe")
+    val nn = spark.sql(
+      """SELECT text FROM parquet.`/root/testdata/sf0.001/documents.parquet`""")
+      .select(graft.functions.Expressions.normalize_text(col("text")).as("s"))
+      .filter("s.n_ctrl >= 0 AND s.clean IS NOT NULL")
+      .count()
+    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector, $nc centroid, $nd dot/norm, $nm minhash, $nw winnow, $ng top2gram, $nq int8, $nj jlproj, $nl lmxent, $ne bpe, $nn norm")
     spark.stop()
   }
 }

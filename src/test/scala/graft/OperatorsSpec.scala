@@ -516,4 +516,40 @@ class OperatorsSpec extends SparkSpec {
     val positions = texts.values.map(ts => math.max(ts.size - kk + 1, 0)).sum.toDouble
     assert(got.size > positions * 0.2 && got.size < positions * 0.7, s"${got.size} of $positions")
   }
+
+  test("q93: NFC composes, controls become spaces, runs collapse, ends trim") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (0L, "cafe\u0301 du  monde", "en", "s0", 10L), // decomposed e + combining acute + double space
+      (1L, "a\u0000b\tc\u007fd", "en", "s0", 10L), // NUL, TAB, DEL
+      (2L, "  leading and trailing  ", "en", "s0", 10L),
+      (3L, "\u000b\u000c mixed \u001f ctrl", "en", "s0", 10L),
+      (4L, "plain ascii", "en", "s0", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("q93spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = graft.operators.TextOps.normalizeText(spark, dir)
+    val got = out.select(col("doc_id"), col("n_ctrl"), col("changed_nfc"), col("len_clean"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3))).toSeq
+    // cleaned texts (md5 column hashes these): "café du monde" (é is 2
+    // UTF-8 bytes → 14), "a b c d" (7), "leading and trailing" (20),
+    // "mixed ctrl" (10), "plain ascii" (11)
+    val expected = Seq(
+      (0L, 0L, true, 14L),
+      (1L, 3L, false, 7L),
+      (2L, 0L, false, 20L),
+      (3L, 3L, false, 10L),
+      (4L, 0L, false, 11L)
+    )
+    assert(got == expected)
+    // the md5 is over the cleaned composed text, verifiable directly
+    val md5s = out.select("clean_md5").collect().map(_.getString(0)).toSeq
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md5s == Seq(
+      h("café du monde"), h("a b c d"), h("leading and trailing"),
+      h("mixed ctrl"), h("plain ascii")))
+  }
 }

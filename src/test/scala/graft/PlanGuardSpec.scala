@@ -175,7 +175,9 @@ class PlanGuardSpec extends SparkSpec {
       // one strictlyLess pass on the z tuple (q88's shape: range
       // repartition + pid window + broadcast offset join, partCounts
       // subtree printed twice) + the per-file box aggregate + output sort
-      "q92_zorder_layout"   -> 10
+      "q92_zorder_layout"   -> 10,
+      // one codegen'd NormalizeText projection; output sort only
+      "q93_normalize_text"  -> 1
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
