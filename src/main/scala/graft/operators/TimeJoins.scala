@@ -126,4 +126,86 @@ object TimeJoins {
        |SELECT w.w_id, count(*) AS n_events, min(e.event_id) AS min_eid, max(e.event_id) AS max_eid
        |FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
        |GROUP BY w.w_id ORDER BY w.w_id""".stripMargin
+
+  // --- q94: time-series gap-fill / resample --------------------------------
+
+  /** Per-user hourly resample with forward fill — the standard time-series
+    * regularization pass (sensor/metric pipelines): one row per (user,
+    * hour) over each user's own observed span, event count in the hour,
+    * the hour's last value carried forward through empty hours, and a gap
+    * flag.
+    *
+    * Spark-first shape: per-(user, hour) aggregate (ONE keyed shuffle of
+    * the events scan, map-side partial agg), per-user span aggregate whose
+    * `sequence()` explode generates the grid map-side (grid rows =
+    * Σ span-hours, never events × hours), a keyed left join grid←hourly,
+    * and the forward fill as `last(ignoreNulls)` over the user-keyed
+    * window — every operator keyed by user_id, nothing unpartitioned, no
+    * state proportional to anything but one user's span.
+    *
+    * Determinism: "last value in hour" = max_by on the (ts, event_id)
+    * struct — event_id is unique, so ties at equal µs cannot flip; the
+    * oracle truncates its ns timestamps to µs first, matching
+    * [[graft.core.Tables.events]]'s `DIV 1000` rebuild exactly. Hours
+    * render as strings (the q11 rule — never raw timestamps across
+    * engines).
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("hour", date_trunc("hour", col("ts")))
+
+    val hourly = ev
+      .groupBy(col("user_id"), col("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_in_hour"))
+
+    val grid = ev
+      .groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(hourly, Seq("user_id", "hour"), "left")
+      .select(
+        col("user_id"),
+        date_format(col("hour"), "yyyy-MM-dd HH").as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("last_in_hour"), ignoreNulls = true).over(w).as("value_ff"),
+        col("last_in_hour").isNull.as("is_gap"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  /** Oracle: identical grid + fill — µs-truncated row_number picks the
+    * hour's last value, `generate_series` builds each user's span,
+    * `last_value IGNORE NULLS` carries it forward.
+    */
+  val gapFillSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, ts, value, date_trunc('hour', ts) AS hour FROM events),
+      |hr AS (
+      |  SELECT user_id, hour, value,
+      |    row_number() OVER (PARTITION BY user_id, hour
+      |      ORDER BY date_trunc('microsecond', ts) DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id, hour) AS n_events
+      |  FROM e),
+      |hourly AS (
+      |  SELECT user_id, hour, value AS last_in_hour, n_events::BIGINT AS n_events
+      |  FROM hr WHERE rn = 1),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM e GROUP BY user_id)),
+      |j AS (
+      |  SELECT g.user_id, g.hour, coalesce(h.n_events, 0) AS n_events, h.last_in_hour
+      |  FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hour = g.hour)
+      |SELECT user_id, strftime(hour, '%Y-%m-%d %H') AS hour, n_events,
+      |  last_value(last_in_hour IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+      |  (last_in_hour IS NULL) AS is_gap
+      |FROM j
+      |ORDER BY user_id, hour""".stripMargin
 }

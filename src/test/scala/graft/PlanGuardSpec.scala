@@ -177,7 +177,10 @@ class PlanGuardSpec extends SparkSpec {
       // subtree printed twice) + the per-file box aggregate + output sort
       "q92_zorder_layout"   -> 10,
       // one codegen'd NormalizeText projection; output sort only
-      "q93_normalize_text"  -> 1
+      "q93_normalize_text"  -> 1,
+      // (user,hour) agg + per-user span agg (events subtree printed under
+      // both) + grid←hourly keyed join + user-keyed fill window + sort
+      "q94_gap_fill"        -> 8
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>

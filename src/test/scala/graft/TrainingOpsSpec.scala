@@ -267,4 +267,31 @@ class TrainingOpsSpec extends SparkSpec {
     assert(math.abs(r2.getAs[Double]("est_distinct") / 50.0 - 1) < 0.3,
       s"linear-counting est ${r2.getAs[Double]("est_distinct")}")
   }
+
+  test("q94: hourly grid covers each user's span, gaps forward-fill, µs ties break by event_id") {
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    // user 1: events in hours 00 and 03 → hours 01/02 are gaps carrying 2.0;
+    // user 2: two events at the SAME microsecond — event_id 11 must win
+    val rows = Seq(
+      (1L, t("2024-01-01 00:10:00"), 1L, "view", 1.0, "{}"),
+      (2L, t("2024-01-01 00:50:00"), 1L, "view", 2.0, "{}"),
+      (3L, t("2024-01-01 03:05:00"), 1L, "view", 3.0, "{}"),
+      (10L, t("2024-01-02 12:30:00.000001"), 2L, "view", 7.0, "{}"),
+      (11L, t("2024-01-02 12:30:00.000001"), 2L, "view", 9.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("q94spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = TimeJoins.gapFill(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toSeq
+    val expected = Seq(
+      (1L, "2024-01-01 00", 2L, 2.0, false),
+      (1L, "2024-01-01 01", 0L, 2.0, true),
+      (1L, "2024-01-01 02", 0L, 2.0, true),
+      (1L, "2024-01-01 03", 1L, 3.0, false),
+      (2L, "2024-01-02 12", 2L, 9.0, false)
+    )
+    assert(got == expected)
+  }
 }
