@@ -920,6 +920,96 @@ object TextOps {
     )
   }
 
+  // --- q95: exact set-similarity join via prefix filtering ------------------
+
+  /** Token-set Jaccard threshold for the prefix-filtered similarity join. */
+  val PrefixJoinThreshold = 0.9
+
+  /** Exact set-similarity self-join (prefix filtering, the PPJoin family —
+    * Chaudhuri et al. 2006 / Xiao et al. 2008): all pairs with DISTINCT
+    * token-set Jaccard ≥ t, with NO probabilistic recall loss — the
+    * deterministic complement to MinHash-LSH (q25, which trades recall for
+    * fewer candidates).
+    *
+    * Candidate generation is the prefix theorem: sort every doc's token
+    * set by one global (df asc, token asc) order; if J(x,y) ≥ t the first
+    * `|x| − ⌈t·|x|⌉ + 1` tokens of x and y must share an element. So docs
+    * only meet through an equi-join on their PREFIX tokens — which the
+    * rare-first order makes low-frequency by construction (the skew
+    * mitigation: a token appears in prefixes far less often than in docs).
+    * A symmetric length filter (`t·max(n_a,n_b) ≤ min(n_a,n_b)`) prunes
+    * size-incompatible pairs in the join itself.
+    *
+    * Scale shape: (doc, token) df agg + doc-keyed array rebuild (two keyed
+    * shuffles), prefix explode of ~(1−t)·n tokens per doc, one token-keyed
+    * equi-join carrying only (doc_id, n), pair distinct, then the q27
+    * verify shape (two doc-keyed array joins). Worst case is all-dups,
+    * where candidates = true output — output-bounded, never corpus².
+    *
+    * Exactness: sizes and intersections are integers; the threshold
+    * compares the same unrounded double division both engines compute from
+    * identical integers. The oracle is the brute-force all-pairs truth, so
+    * a green hash ALSO proves the prefix filter lossless at this corpus.
+    */
+  def prefixJoin(
+      spark: SparkSession,
+      dir: String,
+      minJaccard: Double = PrefixJoinThreshold
+  ): DataFrame = {
+    val dt = docs(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dfreq = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // persisted: read by the prefix self-join (twice) and both verify
+    // joins — the q27 shared-stage rule, one derivation not four
+    val arr = dt
+      .join(dfreq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("transform(sort_array(collect_list(struct(df, tok))), s -> s.tok)").as("ts"),
+        count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ⌈0.9·n⌉ = (9n + 9) div 10 — exact integer math (the q80 rule)
+    val pref = arr
+      .withColumn("plen", col("n") - expr("(9 * n + 9) div 10") + lit(1L))
+      .select(col("doc_id"), col("n"),
+        explode(expr("slice(ts, 1, CAST(plen AS INT))")).as("ptok"))
+    val cands = pref.select(col("ptok"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+      .join(pref.select(col("ptok"), col("doc_id").as("doc_b"), col("n").as("n_b")), "ptok")
+      .filter(col("doc_a") < col("doc_b") &&
+        greatest(col("n_a"), col("n_b")) * lit(minJaccard) <= least(col("n_a"), col("n_b")))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cands
+      .join(arr.select(col("doc_id").as("doc_a"), col("ts").as("t_a"), col("n").as("n_a")), "doc_a")
+      .join(arr.select(col("doc_id").as("doc_b"), col("ts").as("t_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("t_a"), col("t_b"))).cast("long"))
+      .withColumn("jacc",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jacc") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_inter"),
+        round(col("jacc"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q95 oracle: brute-force all-pairs token-set Jaccard — deliberately
+    * prefix-free, so the hash check proves the filter lossless.
+    */
+  lazy val prefixJoinSql: String =
+    s"""WITH q95d AS (
+       |  SELECT doc_id, list_filter(list_distinct($DuckToks), t -> t <> '') AS ts
+       |  FROM documents),
+       |q95p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(a.ts)::BIGINT AS n_a, len(b.ts)::BIGINT AS n_b,
+       |    len(list_intersect(a.ts, b.ts))::BIGINT AS n_inter
+       |  FROM q95d a JOIN q95d b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, n_a, n_b, n_inter,
+       |  round(n_inter::DOUBLE / (n_a + n_b - n_inter), 6) AS jaccard
+       |FROM q95p
+       |WHERE n_inter::DOUBLE / (n_a + n_b - n_inter) >= $PrefixJoinThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // --- q93: text normalization pass ---------------------------------------
 
   /** Corpus text normalization — the first pass of every real ingest

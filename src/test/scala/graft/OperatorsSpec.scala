@@ -517,6 +517,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got.size > positions * 0.2 && got.size < positions * 0.7, s"${got.size} of $positions")
   }
 
+  test("q95: prefix-filtered join equals brute-force token-set Jaccard (lossless)") {
+    import spark.implicits._
+    val t = TextOps.PrefixJoinThreshold
+    val docs = graft.core.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSet)
+    val expected = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      inter = (ta & tb).size
+      union = ta.size + tb.size - inter
+      if union > 0 && inter.toDouble / union >= t
+    } yield (a, b, ta.size.toLong, tb.size.toLong, inter.toLong,
+      BigDecimal(inter.toDouble / union).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy(p => (p._1, p._2)).toSeq
+    val got = TextOps.prefixJoin(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSeq
+    assert(got == expected, s"got ${got.length} pairs, brute force ${expected.length}")
+    assert(got.nonEmpty, "the planted near-dups must appear at this threshold")
+  }
+
   test("q93: NFC composes, controls become spaces, runs collapse, ends trim") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

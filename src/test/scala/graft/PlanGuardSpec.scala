@@ -180,7 +180,11 @@ class PlanGuardSpec extends SparkSpec {
       "q93_normalize_text"  -> 1,
       // (user,hour) agg + per-user span agg (events subtree printed under
       // both) + grid←hourly keyed join + user-keyed fill window + sort
-      "q94_gap_fill"        -> 8
+      "q94_gap_fill"        -> 8,
+      // (doc,token) df agg + token join-back + doc array rebuild (persisted,
+      // re-printed per InMemoryTableScan) + prefix token self-join + pair
+      // distinct + two doc-keyed verify joins + output sort
+      "q95_prefix_join"     -> 16
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
