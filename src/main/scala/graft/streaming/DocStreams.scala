@@ -298,6 +298,28 @@ object DocStreams {
           round(col("e")(1).cast("double") / col("e")(2), 6)).as("compression"))
       .withColumn("keep", coalesce(col("compression") >= minRatio, lit(false)))
 
+  /** §2.E streaming normalization gate (E20, twin: q93): the SAME codegen'd
+    * [[graft.functions.Expressions.NormalizeText]] pass applied per event —
+    * stateless, shuffle-free. Emits the cleaned text plus repair telemetry;
+    * `keep` rejects docs the cleaner had to rewrite heavily (control-char
+    * density above `maxCtrlFrac` of the raw byte length — binary junk
+    * masquerading as text), the standard ingest tripwire.
+    */
+  def normalizeGate(stream: DataFrame, maxCtrlFrac: Double = 0.05): DataFrame =
+    stream
+      .withColumn("nt", graft.functions.Expressions.normalize_text(col("text")))
+      .select(
+        col("doc_id"),
+        col("ts"),
+        col("nt.clean").as("clean"),
+        col("nt.n_ctrl").as("n_ctrl"),
+        col("nt.changed_nfc").as("changed_nfc"),
+        octet_length(col("text")).cast("long").as("len_raw"))
+      .withColumn(
+        "keep",
+        col("len_raw") === 0L ||
+          col("n_ctrl").cast("double") / col("len_raw") <= maxCtrlFrac)
+
   def dsirScoreGate(
       stream: DataFrame,
       model: Map[Long, Double],

@@ -362,6 +362,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("E20: streaming normalize gate shares q93's expression and trips on binary junk") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    val batch = graft.operators.TextOps.normalizeText(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+    val sample = graft.core.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").orderBy($"doc_id").limit(15).collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), ts(1)))
+    // one junk doc: >5% control bytes must fail the gate
+    val junk = Doc(99999L, "ab\u0001\u0002\u0003cd", ts(1))
+    val in = MemoryStream[Doc]
+    val q = DocStreams.normalizeGate(in.toDF())
+      .writeStream.format("memory").queryName("norm_gate").outputMode("append").start()
+    in.addData((sample :+ junk).toSeq: _*)
+    q.processAllAvailable()
+    val rows = spark.table("norm_gate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_ctrl"), r.getAs[Boolean]("changed_nfc"),
+          r.getAs[String]("clean"), r.getAs[Boolean]("keep")))).toMap
+    q.stop()
+    assert(rows.size == 16)
+    sample.foreach { d =>
+      val (nc, ch, lenClean) = batch(d.doc_id)
+      val (snc, sch, sclean, skeep) = rows(d.doc_id)
+      // identical expression → exact equality with the batch q93 columns
+      assert(snc == nc && sch == ch && sclean.getBytes("UTF-8").length == lenClean)
+      assert(skeep, s"clean corpus doc ${d.doc_id} must pass")
+    }
+    val (jnc, _, jclean, jkeep) = rows(99999L)
+    assert(jnc == 3L && jclean == "ab cd" && !jkeep, "binary junk must fail the gate")
+  }
+
   test("E17: streamed chunks EQUAL the batch q80 chunks (shared expression)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
