@@ -920,6 +920,51 @@ object TextOps {
     )
   }
 
+  // --- q96: edit-distance verification of LSH candidates --------------------
+
+  /** Tiered near-dup verification: for every MinHash-LSH candidate pair
+    * (q25's generator, shared verbatim), the EXACT character-level
+    * Levenshtein distance and its normalized similarity
+    * `1 − d / max(len_a, len_b)` — the expensive-but-exact final verify a
+    * fuzzy-dedup pipeline runs only on candidates, never the corpus.
+    *
+    * Scale shape: the O(len²)-per-pair DP runs strictly AFTER candidate
+    * pruning, so its cost is bounded by the LSH candidate count (linear in
+    * true dups, q25's cap rules) — the tiered-verify pattern. Two
+    * doc-keyed joins fetch the texts; `levenshtein` is Spark's codegen'd
+    * builtin. Distances are integers and both engines implement the
+    * classic unit-cost DP, so the oracle is exact.
+    */
+  def editVerify(spark: SparkSession, dir: String): DataFrame = {
+    val cands = minhashLshFrom(shingled(spark, dir))
+    cands
+      .join(docs(spark, dir).select(col("doc_id").as("doc_a"), col("text").as("txt_a")), "doc_a")
+      .join(docs(spark, dir).select(col("doc_id").as("doc_b"), col("text").as("txt_b")), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        levenshtein(col("txt_a"), col("txt_b")).cast("long").as("lev"),
+        round(
+          lit(1.0) - levenshtein(col("txt_a"), col("txt_b")).cast("double") /
+            greatest(length(col("txt_a")), length(col("txt_b"))).cast("double"),
+          6).as("sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q96 oracle: the bit-exact LSH candidate emulation + DuckDB's own
+    * levenshtein, identical normalization.
+    */
+  lazy val editVerifySql: String =
+    s"""WITH q96c AS (SELECT doc_a, doc_b FROM ($minhashLshSql))
+       |SELECT c.doc_a, c.doc_b,
+       |  levenshtein(a.text, b.text)::BIGINT AS lev,
+       |  round(1.0 - levenshtein(a.text, b.text)::DOUBLE
+       |    / greatest(length(a.text), length(b.text)), 6) AS sim
+       |FROM q96c c
+       |JOIN documents a ON a.doc_id = c.doc_a
+       |JOIN documents b ON b.doc_id = c.doc_b
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+
   // --- q95: exact set-similarity join via prefix filtering ------------------
 
   /** Token-set Jaccard threshold for the prefix-filtered similarity join. */

@@ -539,6 +539,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got.nonEmpty, "the planted near-dups must appear at this threshold")
   }
 
+  test("q96: candidate edit distances match an independent DP; pair set is q25's") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j => if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val texts = graft.core.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cands = TextOps.minhashLsh(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = TextOps.editVerify(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(p => (p._1, p._2)).toSet == cands, "pair set must be exactly q25's")
+    got.foreach { case (a, b, d, s) =>
+      assert(d == lev(texts(a), texts(b)).toLong, s"pair ($a,$b)")
+      assert(s >= 0.0 && s <= 1.0)
+      // planted near-dups are one-word tail edits → high char similarity
+      assert(s > 0.8, s"pair ($a,$b) sim $s")
+    }
+  }
+
   test("q93: NFC composes, controls become spaces, runs collapse, ends trim") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

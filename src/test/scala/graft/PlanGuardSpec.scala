@@ -184,7 +184,10 @@ class PlanGuardSpec extends SparkSpec {
       // (doc,token) df agg + token join-back + doc array rebuild (persisted,
       // re-printed per InMemoryTableScan) + prefix token self-join + pair
       // distinct + two doc-keyed verify joins + output sort
-      "q95_prefix_join"     -> 16
+      "q95_prefix_join"     -> 16,
+      // q25's candidate pipeline (3) + two doc-keyed text joins + sort;
+      // the O(len²) DP is map-side after pruning
+      "q96_edit_verify"     -> 8
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
