@@ -1414,4 +1414,85 @@ object CurationOps {
         |FROM documents d JOIN q66pred p ON p.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin)
   }
+
+  // --- q97: PageRank centrality over the near-dup graph ---------------------
+
+  /** Damping factor and fixed iteration count (fixed so the oracle unrolls
+    * exactly — the q32/q46 Lloyd-chain rule).
+    */
+  val PrDamping = 0.85
+  val PrRounds  = 5
+
+  /** PageRank over the undirected near-dup candidate graph (q78's edge
+    * set): which document is the CENTER of its duplication neighborhood —
+    * a canonical-selection signal complementing q56's quality rule (hubs
+    * of templated boilerplate rank high; peripheral one-off variants low).
+    *
+    * Scale shape: the graph is the LSH candidate edge list — bounded by
+    * the corpus dup rate, never corpus² (q25's cap rules) — checkpointed
+    * once with degrees attached; each of the K=5 power-iteration rounds is
+    * one node-keyed join + aggregate on that edge table (q47's per-round
+    * shape). The in-row fold is an interpreted lambda, but it runs on the
+    * bounded dup graph, never the corpus hot path.
+    *
+    * Exactness: contributions fold in ascending-src order (`array_sort`
+    * left fold — Spark's 0.0+c₁ prefix equals DuckDB's `list_reduce` seed
+    * by IEEE identity) and every round's rank is rounded to 6dp BEFORE the
+    * next round reads it (the q49/q66 round-before-reuse rule), so 5
+    * rounds cannot accumulate cross-engine drift.
+    */
+  def pagerankDups(spark: SparkSession, dir: String): DataFrame = {
+    val cand = TextOps.minhashCandidatePairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src").localCheckpoint()
+    val n = withDeg.select(countDistinct(col("src"))).head().getLong(0)
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+    var pr = deg.select(col("src").as("node"), lit(if (n > 0) r6(1.0 / n) else 0.0).as("pr"))
+    (1 to PrRounds).foreach { _ =>
+      pr = withDeg
+        .join(pr, withDeg("src") === pr("node"))
+        .select(col("dst"), col("src"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("dst"))
+        .agg(expr("aggregate(array_sort(collect_list(struct(src, c))), 0D, (a, x) -> a + x.c)")
+          .as("s"))
+        .select(
+          col("dst").as("node"),
+          round(lit((1 - PrDamping) / n) + lit(PrDamping) * col("s"), 6).as("pr"))
+    }
+    pr.join(deg.select(col("src").as("node"), col("deg")), "node")
+      .select(col("node").as("doc_id"), col("deg").as("degree"), col("pr").as("pagerank"))
+      .orderBy(col("pagerank").desc, col("doc_id"))
+  }
+
+  /** q97 oracle: the bit-exact LSH edge emulation + the same K unrolled
+    * power-iteration rounds — `list_reduce(list(c ORDER BY src))` is the
+    * identical ascending fold, every round rounded before the next.
+    */
+  lazy val pagerankDupsSql: String = {
+    val rounds = (1 to PrRounds).map { r =>
+      s"""q97c$r AS (
+         |  SELECT e.dst, e.src, p.pr / e.deg AS c
+         |  FROM q97e e JOIN q97p${r - 1} p ON p.node = e.src),
+         |q97p$r AS MATERIALIZED (
+         |  SELECT dst AS node,
+         |    round((1 - $PrDamping) / (SELECT n FROM q97n)
+         |      + $PrDamping * list_reduce(list(c ORDER BY src), (a, b) -> a + b), 6) AS pr
+         |  FROM q97c$r GROUP BY dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q97cand AS MATERIALIZED (SELECT doc_a, doc_b FROM (${TextOps.minhashLshSql})),
+       |q97ed AS (SELECT doc_a AS src, doc_b AS dst FROM q97cand
+       |          UNION ALL SELECT doc_b, doc_a FROM q97cand),
+       |q97d AS (SELECT src, count(*)::BIGINT AS deg FROM q97ed GROUP BY src),
+       |q97e AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM q97ed e JOIN q97d d ON d.src = e.src),
+       |q97n AS (SELECT count(*)::BIGINT AS n FROM q97d),
+       |q97p0 AS (SELECT src AS node, round(1.0 / n, 6) AS pr FROM q97d, q97n),
+       |$rounds
+       |SELECT p.node AS doc_id, d.deg AS degree, p.pr AS pagerank
+       |FROM q97p$PrRounds p JOIN q97d d ON d.src = p.node
+       |ORDER BY pagerank DESC, doc_id""".stripMargin
+  }
 }

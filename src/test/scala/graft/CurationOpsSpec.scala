@@ -635,4 +635,35 @@ class CurationOpsSpec extends SparkSpec {
     // docC: untouched
     assert(got(3L) == ((1L, 1L, 64L, 64L, 1.0)))
   }
+
+  // --- q97 ------------------------------------------------------------------
+
+  test("q97: pagerank equals an independent power iteration; ranks sum to ~1 per component mass") {
+    import graft.operators.{CurationOps, TextOps}
+    val cand = TextOps.minhashLsh(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (cand ++ cand.map(p => (p._2, p._1))).distinct
+    val deg   = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val nodes = deg.keys.toSeq.sorted
+    val n     = nodes.length
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var pr = nodes.map(_ -> r6(1.0 / n)).toMap
+    (1 to CurationOps.PrRounds).foreach { _ =>
+      val in = edges.groupBy(_._2)
+      pr = nodes.map { v =>
+        // ascending-src fold, the operator's contract
+        val s = in(v).map(_._1).sorted.foldLeft(0.0)((a, u) => a + pr(u) / deg(u))
+        v -> r6((1 - CurationOps.PrDamping) / n + CurationOps.PrDamping * s)
+      }.toMap
+    }
+    val got = CurationOps.pagerankDups(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == n)
+    got.foreach { case (id, d, p) =>
+      assert(d == deg(id))
+      assert(p == pr(id), s"node $id: operator $p vs independent ${pr(id)}")
+    }
+    // probability mass is conserved up to rounding (undirected graph, no dangling nodes)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-3)
+  }
 }

@@ -187,7 +187,11 @@ class PlanGuardSpec extends SparkSpec {
       "q95_prefix_join"     -> 16,
       // q25's candidate pipeline (3) + two doc-keyed text joins + sort;
       // the O(len²) DP is map-side after pruning
-      "q96_edit_verify"     -> 8
+      "q96_edit_verify"     -> 8,
+      // LSH edges checkpointed at construction (q47's rule); static plan is
+      // 5 power-iteration rounds of join+agg over the ExistingRDD + final
+      // degree join + output sort
+      "q97_pagerank_dups"   -> 18
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
