@@ -967,43 +967,51 @@ object TextOps {
 
   // --- q95: exact set-similarity join via prefix filtering ------------------
 
-  /** Token-set Jaccard threshold for the prefix-filtered similarity join. */
-  val PrefixJoinThreshold = 0.9
+  /** Shingle-set Jaccard threshold for the prefix-filtered similarity join
+    * — q25/q27's similarity space, so q95 is their EXACT counterpart.
+    */
+  val PrefixJoinThreshold = 0.5
 
   /** Exact set-similarity self-join (prefix filtering, the PPJoin family —
-    * Chaudhuri et al. 2006 / Xiao et al. 2008): all pairs with DISTINCT
-    * token-set Jaccard ≥ t, with NO probabilistic recall loss — the
-    * deterministic complement to MinHash-LSH (q25, which trades recall for
-    * fewer candidates).
+    * Chaudhuri et al. 2006 / Xiao et al. 2008): all pairs with 3-token
+    * SHINGLE-set Jaccard ≥ t, with NO probabilistic recall loss — the
+    * deterministic counterpart of the q25→q27 MinHash pipeline in the
+    * same similarity space (shingles, not unigram tokens: a shared small
+    * vocabulary makes unigram sets near-identical corpus-wide, while
+    * shingle sets stay discriminative).
     *
-    * Candidate generation is the prefix theorem: sort every doc's token
-    * set by one global (df asc, token asc) order; if J(x,y) ≥ t the first
-    * `|x| − ⌈t·|x|⌉ + 1` tokens of x and y must share an element. So docs
-    * only meet through an equi-join on their PREFIX tokens — which the
-    * rare-first order makes low-frequency by construction (the skew
-    * mitigation: a token appears in prefixes far less often than in docs).
-    * A symmetric length filter (`t·max(n_a,n_b) ≤ min(n_a,n_b)`) prunes
-    * size-incompatible pairs in the join itself.
+    * Candidate generation is the prefix theorem: sort every doc's shingle
+    * set by one global (df asc, shingle asc) order; if J(x,y) ≥ t the
+    * first `|x| − ⌈t·|x|⌉ + 1` shingles of x and y must share an element.
+    * So docs only meet through an equi-join on their PREFIX shingles —
+    * which the rare-first order makes low-frequency by construction (the
+    * skew mitigation: a shingle appears in prefixes far less often than
+    * in docs). A symmetric length filter (`t·max(n_a,n_b) ≤ min(n_a,n_b)`)
+    * prunes size-incompatible pairs in the join itself.
     *
-    * Scale shape: (doc, token) df agg + doc-keyed array rebuild (two keyed
-    * shuffles), prefix explode of ~(1−t)·n tokens per doc, one token-keyed
-    * equi-join carrying only (doc_id, n), pair distinct, then the q27
-    * verify shape (two doc-keyed array joins). Worst case is all-dups,
-    * where candidates = true output — output-bounded, never corpus².
+    * Scale shape: every shingle is hashed to its xxhash64 long IN-ROW
+    * first (the q51/q54 8-byte-key rule: the df agg, per-doc sort, prefix
+    * join and verify intersections all move longs, not ~25-byte strings —
+    * ~3× less exchange volume); then (doc, hash) df agg + doc-keyed array
+    * rebuild (two keyed shuffles), prefix explode of ~(1−t)·n hashes per
+    * doc, one hash-keyed equi-join carrying only (doc_id, n), pair
+    * distinct, then the q27 verify shape (two doc-keyed array joins).
+    * Worst case is all-dups, where candidates = true output —
+    * output-bounded, never corpus².
     *
-    * Exactness: sizes and intersections are integers; the threshold
-    * compares the same unrounded double division both engines compute from
-    * identical integers. The oracle is the brute-force all-pairs truth, so
-    * a green hash ALSO proves the prefix filter lossless at this corpus.
+    * Exactness: sizes and intersections are integers over the hashed sets;
+    * the oracle re-derives the identical hashes via the DuckHash xxhash64
+    * emulation, so this stays hard-verified (and a green hash also PROVES
+    * the prefix filter lossless at this corpus — the oracle is the
+    * brute-force all-pairs truth, deliberately prefix-free).
     */
   def prefixJoin(
       spark: SparkSession,
       dir: String,
       minJaccard: Double = PrefixJoinThreshold
   ): DataFrame = {
-    val dt = docs(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
-      .filter(length(col("tok")) > 0)
+    val dt = shingled(spark, dir)
+      .select(col("doc_id"), explode(expr("array_distinct(transform(shingles, s -> xxhash64(s)))")).as("tok"))
     val dfreq = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // persisted: read by the prefix self-join (twice) and both verify
     // joins — the q27 shared-stage rule, one derivation not four
@@ -1014,9 +1022,9 @@ object TextOps {
         expr("transform(sort_array(collect_list(struct(df, tok))), s -> s.tok)").as("ts"),
         count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ⌈0.9·n⌉ = (9n + 9) div 10 — exact integer math (the q80 rule)
+    // ⌈0.5·n⌉ = (n + 1) div 2 — exact integer math (the q80 rule)
     val pref = arr
-      .withColumn("plen", col("n") - expr("(9 * n + 9) div 10") + lit(1L))
+      .withColumn("plen", col("n") - expr("(n + 1) div 2") + lit(1L))
       .select(col("doc_id"), col("n"),
         explode(expr("slice(ts, 1, CAST(plen AS INT))")).as("ptok"))
     val cands = pref.select(col("ptok"), col("doc_id").as("doc_a"), col("n").as("n_a"))
@@ -1037,23 +1045,41 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** q95 oracle: brute-force all-pairs token-set Jaccard — deliberately
-    * prefix-free, so the hash check proves the filter lossless.
+  /** q95 oracle: brute-force all-pairs Jaccard over the SAME hashed
+    * shingle sets (emulated xxhash64 over distinct shingle strings) —
+    * deliberately prefix-free, so the hash check proves the filter
+    * lossless.
     */
-  lazy val prefixJoinSql: String =
-    s"""WITH q95d AS (
-       |  SELECT doc_id, list_filter(list_distinct($DuckToks), t -> t <> '') AS ts
-       |  FROM documents),
-       |q95p AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    len(a.ts)::BIGINT AS n_a, len(b.ts)::BIGINT AS n_b,
-       |    len(list_intersect(a.ts, b.ts))::BIGINT AS n_inter
-       |  FROM q95d a JOIN q95d b ON a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, n_a, n_b, n_inter,
-       |  round(n_inter::DOUBLE / (n_a + n_b - n_inter), 6) AS jaccard
-       |FROM q95p
-       |WHERE n_inter::DOUBLE / (n_a + n_b - n_inter) >= $PrefixJoinThreshold
-       |ORDER BY doc_a, doc_b""".stripMargin
+  lazy val prefixJoinSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q95sh" ->
+        s"""(SELECT doc_id,
+           |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+           |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+           |  WHERE len(toks) >= 3)""".stripMargin,
+      "q95i" -> "(SELECT doc_id, unnest(shingles) AS s FROM q95sh)",
+      "q95b" -> s"(SELECT s, ${bytesOf("s")} AS b FROM (SELECT DISTINCT s FROM q95i))"
+    )
+    val hb = hashBytesChain("q95hx", "q95b", Seq("s"), "42", "hb")
+    ctes ++= hb.ctes
+    ctes += ("q95d" ->
+      s"""(SELECT t.doc_id, list(DISTINCT ${toSigned("d.hb")}) AS hs
+         |  FROM q95i t JOIN ${hb.last} d ON d.s = t.s GROUP BY t.doc_id)""".stripMargin)
+    ctes += ("q95p" ->
+      """(SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(a.hs)::BIGINT AS n_a, len(b.hs)::BIGINT AS n_b,
+        |    len(list_intersect(a.hs, b.hs))::BIGINT AS n_inter
+        |  FROM q95d a JOIN q95d b ON a.doc_id < b.doc_id)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      s"""SELECT doc_a, doc_b, n_a, n_b, n_inter,
+         |  round(n_inter::DOUBLE / (n_a + n_b - n_inter), 6) AS jaccard
+         |FROM q95p
+         |WHERE n_inter::DOUBLE / (n_a + n_b - n_inter) >= $PrefixJoinThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  }
 
   // --- q93: text normalization pass ---------------------------------------
 

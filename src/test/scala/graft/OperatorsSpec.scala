@@ -517,13 +517,16 @@ class OperatorsSpec extends SparkSpec {
     assert(got.size > positions * 0.2 && got.size < positions * 0.7, s"${got.size} of $positions")
   }
 
-  test("q95: prefix-filtered join equals brute-force token-set Jaccard (lossless)") {
+  test("q95: prefix-filtered join equals brute-force shingle-set Jaccard (lossless)") {
     import spark.implicits._
     val t = TextOps.PrefixJoinThreshold
     val docs = graft.core.Tables.documents(spark, Sf0001)
       .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) ->
-        r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSet)
+      .map { r =>
+        val toks = r.getString(1).trim.split("\\s+")
+        r.getLong(0) -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }
+      .filter(_._2.nonEmpty) // docs shorter than 3 tokens drop out
     val expected = (for {
       (a, ta) <- docs; (b, tb) <- docs if a < b
       inter = (ta & tb).size
