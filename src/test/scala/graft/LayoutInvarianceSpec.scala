@@ -14,14 +14,20 @@ import org.apache.spark.sql.DataFrame
   * range-partition + partition-prefix rank machinery, where
   * `spark_partition_id` values CHANGE under re-layout and the counts must
   * not), q81 (chunk explode + owner aggregate), q82 (sort-free ranks
-  * feeding cumulative histograms). Caches are cleared between runs so the
-  * second pass genuinely re-derives everything under the new layout.
+  * feeding cumulative histograms), q92 (strictlyLess-ranked file
+  * assignment — every box would shift if the rank drifted by one), q95
+  * (prefix self-join + distinct whose pair set must be layout-free), q97
+  * (5 float power-iteration rounds over checkpointed edges — fold order
+  * is pinned per node, so re-layout must not move a single 6dp rank).
+  * Caches are cleared between runs so the second pass genuinely
+  * re-derives everything under the new layout.
   */
 class LayoutInvarianceSpec extends SparkSpec {
 
   private val Probes =
     Seq("q20_dedup_exact", "q24_fingerprint", "q79_quantile_normalize",
-      "q81_chunk_dedup", "q82_heaps_law")
+      "q81_chunk_dedup", "q82_heaps_law", "q92_zorder_layout",
+      "q95_prefix_join", "q97_pagerank_dups")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, Sf0001).collect().map(_.toString).toSeq
