@@ -79,6 +79,91 @@ object EventStreams {
       }
   }
 
+  case class FillState(
+      openHourMs: Long,
+      n: Long,
+      bestTsUs: Long,
+      bestEid: Long,
+      bestVal: Double)
+  case class FillOut(user_id: Long, hour: String, n_events: Long, value_ff: Double, is_gap: Boolean)
+
+  private val HourMs = 3600000L
+  private def hourStr(ms: Long): String =
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+  private def tsUs(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000 + t.getNanos / 1000
+
+  /** E21: stateful streaming gap-fill — the q94 twin. Per user, state
+    * carries the OPEN hour (count + the (ts, event_id)-max value, q94's
+    * exact tie rule); when an event lands in a later hour the open hour's
+    * row emits, synthetic gap rows emit for every empty hour between
+    * (forward-filling the carried value), and the new hour opens. The
+    * final open hour emits on event-time timeout, so an idle user's state
+    * is removed, not pinned — state is ONE small row per active user no
+    * matter the stream volume.
+    *
+    * In-order contract: events older than the open hour (late beyond the
+    * micro-batch sort) are dropped — the watermark bounds how late data
+    * can be, and the batch operator (q94) is the replay-correct authority.
+    * Within a micro-batch, events sort by (ts µs, event_id) before
+    * folding, so intra-batch order cannot affect output (E2's rule). The
+    * watermark is GLOBAL: if it passes a user's timeout before their next
+    * event, that span closes and the next event opens a NEW span — the
+    * stream is a union of per-span q94s, equal to batch q94 whenever no
+    * user lags the stream by more than the watermark (spec-pinned on an
+    * in-contract feed).
+    */
+  def gapFillStream(events: Dataset[Ev], watermarkDur: String = "2 hours"): Dataset[FillOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDur)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[FillState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(FillOut(uid, hourStr(st.openHourMs), st.n, st.bestVal, is_gap = false))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+            val out    = ListBuffer.empty[FillOut]
+            var st     = state.getOption.orNull
+            sorted.foreach { e =>
+              val h = e.ts.getTime - java.lang.Math.floorMod(e.ts.getTime, HourMs)
+              if (st == null) {
+                st = FillState(h, 1L, tsUs(e.ts), e.event_id, e.value)
+              } else if (h == st.openHourMs) {
+                val eUs = tsUs(e.ts)
+                val better =
+                  eUs > st.bestTsUs || (eUs == st.bestTsUs && e.event_id > st.bestEid)
+                st = FillState(
+                  st.openHourMs, st.n + 1,
+                  if (better) eUs else st.bestTsUs,
+                  if (better) e.event_id else st.bestEid,
+                  if (better) e.value else st.bestVal)
+              } else if (h > st.openHourMs) {
+                out += FillOut(uid, hourStr(st.openHourMs), st.n, st.bestVal, is_gap = false)
+                var g = st.openHourMs + HourMs
+                while (g < h) {
+                  out += FillOut(uid, hourStr(g), 0L, st.bestVal, is_gap = true)
+                  g += HourMs
+                }
+                st = FillState(h, 1L, tsUs(e.ts), e.event_id, e.value)
+              } // h < openHourMs: late beyond the open hour — dropped (see contract)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.openHourMs + 2 * HourMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** E3: streaming exact dedup on event_id within the watermark window.
     * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`) so the
     * watermark actually evicts dedup state — with a bare event_id key the

@@ -362,6 +362,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("E21: streaming gap-fill emits q94's rows — closed hours, gap rows, timeout finals") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val in = MemoryStream[Ev]
+    val q = EventStreams.gapFillStream(in.toDF().as[Ev])
+      .writeStream.format("memory").queryName("gap_fill").outputMode("update").start()
+    // user 1 spans hours 00→03 with gaps at 01/02; user 2 has two events at
+    // the SAME microsecond (event_id 11 wins). Users share one time
+    // neighborhood — the watermark is GLOBAL, so a user whose events lag
+    // another's by more than the watermark would see them dropped as late
+    // (the operator's documented contract).
+    in.addData(
+      Ev(1L, 1L, t("2024-01-01 00:10:00"), "view", 1.0),
+      Ev(2L, 1L, t("2024-01-01 00:50:00"), "view", 2.0),
+      Ev(10L, 2L, t("2024-01-01 00:30:00.000001"), "view", 7.0),
+      Ev(11L, 2L, t("2024-01-01 00:30:00.000001"), "view", 9.0))
+    q.processAllAvailable()
+    in.addData(Ev(3L, 1L, t("2024-01-01 03:05:00"), "view", 3.0))
+    q.processAllAvailable()
+    // advance the watermark past every open hour's timeout, in two steps so
+    // event-time timeouts fire and the final open hours emit
+    in.addData(Ev(900L, 999L, t("2024-01-01 06:00:00"), "view", 0.0))
+    q.processAllAvailable()
+    in.addData(Ev(901L, 999L, t("2024-01-01 10:00:00"), "view", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("gap_fill").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("hour"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("value_ff"), r.getAs[Boolean]("is_gap")))
+      .filter(_._1 != 999L).sortBy(p => (p._1, p._2)).toSeq
+    q.stop()
+    // identical to batch q94 on the same fixture
+    val expected = Seq(
+      (1L, "2024-01-01 00", 2L, 2.0, false),
+      (1L, "2024-01-01 01", 0L, 2.0, true),
+      (1L, "2024-01-01 02", 0L, 2.0, true),
+      (1L, "2024-01-01 03", 1L, 3.0, false),
+      (2L, "2024-01-01 00", 2L, 9.0, false)
+    )
+    assert(got == expected, s"got $got")
+  }
+
   test("E20: streaming normalize gate shares q93's expression and trips on binary junk") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
