@@ -76,6 +76,92 @@ object CleanPipeline {
     * the operators it composes; the LSH-vs-exact equivalence caveats are
     * documented at [[TextOps.ngramJaccardSql]].
     */
+  // --- q100: per-source funnel report over the cleaning pipeline ------------
+
+  /** The corpus-build funnel: per (source, stage), how many documents and
+    * tokens survive each stage of [[clean]] — the accounting table every
+    * corpus refresh publishes ("where did my data go?"). Stages share the
+    * EXACT semantics of q33 (same window rule, same gates, same
+    * keeper-aware victim set), so funnel stage 4 sums to q33's output by
+    * construction.
+    *
+    * Scale shape: one corpus scan computes every per-doc stat + flags (the
+    * md5 window is q33's single content-hash shuffle; victims ride the
+    * bounded pair set); each doc then EXPLODES into one row per stage it
+    * survives (≤ 4) and one aggregate produces the whole report —
+    * stage-at-a-time re-scans would cost 4 corpus passes for the same
+    * numbers.
+    */
+  def funnelReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = split(trim(col("text")), "\\s+")
+    val base = docs.select(
+      col("doc_id"),
+      col("source"),
+      size(toks).as("n_tokens"),
+      TextOps.stopCountExpr.as("n_stop"),
+      md5(col("text")).as("h"))
+    val wDedup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h"))
+      .orderBy(col("doc_id"))
+    val flagged = base
+      .withColumn("s2", row_number().over(wDedup) === 1)
+      .withColumn(
+        "s3",
+        col("s2") && col("n_tokens") >= MinTokens &&
+          (col("n_stop") / col("n_tokens")) <= MaxStopRatio)
+    val victims = TextOps
+      .ngramJaccardPairs(spark, dir, minJaccard = JaccardCut)
+      .join(flagged.filter(col("s3")).select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+      .withColumn("isv", lit(true))
+    flagged
+      .join(victims, Seq("doc_id"), "left")
+      .withColumn("s4", col("s3") && col("isv").isNull)
+      .select(
+        col("source"),
+        col("n_tokens"),
+        explode(expr(
+          """filter(array('1_raw',
+            |  IF(s2, '2_exact_dedup', NULL),
+            |  IF(s3, '3_quality', NULL),
+            |  IF(s4, '4_near_dup', NULL)), x -> x IS NOT NULL)""".stripMargin)).as("stage"))
+      .groupBy(col("source"), col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("source"), col("stage"))
+  }
+
+  /** q100 oracle: the q33 chain's own CTE fragments, one stage table per
+    * rung, unioned into the same (source, stage) rollup.
+    */
+  lazy val funnelReportSql: String =
+    s"""WITH q100b AS (
+       |  SELECT doc_id, source, len(${TextOps.DuckToks}) AS n_tokens,
+       |    ${TextOps.duckStopCount} AS n_stop
+       |  FROM documents),
+       |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |q100s2 AS (SELECT b.* FROM q100b b JOIN keep USING (doc_id)),
+       |q100s3 AS (SELECT * FROM q100s2
+       |  WHERE n_tokens >= $MinTokens AND n_stop / n_tokens <= $MaxStopRatio),
+       |${TextOps.DuckShingleCte},
+       |${TextOps.DuckJaccardPairsCte},
+       |victims AS (
+       |  SELECT DISTINCT p.doc_b AS doc_id
+       |  FROM pairs p JOIN q100s3 g ON p.doc_a = g.doc_id
+       |  WHERE p.jaccard >= $JaccardCut),
+       |q100s4 AS (
+       |  SELECT s.* FROM q100s3 s LEFT JOIN victims v USING (doc_id)
+       |  WHERE v.doc_id IS NULL)
+       |SELECT source, stage, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+       |FROM (
+       |  SELECT source, '1_raw' AS stage, n_tokens FROM q100b
+       |  UNION ALL SELECT source, '2_exact_dedup', n_tokens FROM q100s2
+       |  UNION ALL SELECT source, '3_quality', n_tokens FROM q100s3
+       |  UNION ALL SELECT source, '4_near_dup', n_tokens FROM q100s4)
+       |GROUP BY source, stage
+       |ORDER BY source, stage""".stripMargin
+
   val cleanSql: String =
     s"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
        |gated AS (

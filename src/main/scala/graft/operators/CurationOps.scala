@@ -330,10 +330,16 @@ object CurationOps {
     * because DuckDB replaces only the first match by default (Spark always
     * replaces all).
     */
-  val scrubPiiSql: String = {
-    val scrubbed = ScrubOrder.foldLeft("text") { case (c, (re, repl)) =>
+  /** DuckDB twin of [[scrubCol]] applied to the `text` column — shared by
+    * the q48 and q98 oracles so the emulated redaction cannot drift.
+    */
+  private[graft] lazy val duckScrubExpr: String =
+    ScrubOrder.foldLeft("text") { case (c, (re, repl)) =>
       s"regexp_replace($c, '$re', '$repl', 'g')"
     }
+
+  val scrubPiiSql: String = {
+    val scrubbed = duckScrubExpr
     def cnt(re: String) = s"len(regexp_extract_all(text, '$re'))"
     s"""SELECT doc_id,
        |  ${cnt(EmailRe)} AS n_email,
@@ -1414,6 +1420,75 @@ object CurationOps {
         |FROM documents d JOIN q66pred p ON p.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin)
   }
+
+  // --- q98: snapshot diff (SCD-style delta report) ---------------------------
+
+  /** Generic two-snapshot diff: full-outer join on doc_id, content compare
+    * by md5, and a per-(source, status) rollup — the
+    * added/removed/changed/unchanged accounting every incremental corpus
+    * refresh publishes. The doc_id-keyed join is the scale shape (both
+    * sides shuffle once on the key; AQE broadcasts if one snapshot is
+    * small); everything after the join is one aggregate of classified
+    * rows.
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(
+        col("doc_id"),
+        col("source").as(s"src_$tag"),
+        md5(col("text")).as(s"h_$tag"),
+        length(col("text")).cast("long").as(s"c_$tag"))
+    side(prev, "p")
+      .join(side(cur, "c"), Seq("doc_id"), "full_outer")
+      .withColumn(
+        "status",
+        when(col("h_p").isNull, "added")
+          .when(col("h_c").isNull, "removed")
+          .when(col("h_p") === col("h_c"), "unchanged")
+          .otherwise("changed"))
+      .groupBy(coalesce(col("src_c"), col("src_p")).as("source"), col("status"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("c_p"), lit(0L))).as("chars_prev"),
+        sum(coalesce(col("c_c"), lit(0L))).as("chars_cur"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  /** q98: [[snapshotDiff]] driven by two deterministic views of the test
+    * corpus — "previous" drops doc_id ≡ 0 (mod 7) (so those rows surface
+    * as `added`), "current" drops doc_id ≡ 0 (mod 11) (`removed`) and
+    * carries the q48-scrubbed text (PII hits surface as `changed`).
+    */
+  def snapshotDiffQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    snapshotDiff(
+      d.filter(col("doc_id") % 7 =!= 0),
+      d.filter(col("doc_id") % 11 =!= 0).withColumn("text", scrubCol(col("text"))))
+  }
+
+  /** q98 oracle: the same two views (scrub via the shared
+    * [[duckScrubExpr]]), full join, identical classification and rollup.
+    */
+  lazy val snapshotDiffSql: String =
+    s"""WITH q98p AS (
+       |  SELECT doc_id, source, md5(text) AS h, length(text)::BIGINT AS c
+       |  FROM documents WHERE doc_id % 7 <> 0),
+       |q98c AS (
+       |  SELECT doc_id, source, md5($duckScrubExpr) AS h, length($duckScrubExpr)::BIGINT AS c
+       |  FROM documents WHERE doc_id % 11 <> 0),
+       |q98j AS (
+       |  SELECT coalesce(c.source, p.source) AS source,
+       |    CASE WHEN p.h IS NULL THEN 'added'
+       |         WHEN c.h IS NULL THEN 'removed'
+       |         WHEN p.h = c.h THEN 'unchanged'
+       |         ELSE 'changed' END AS status,
+       |    coalesce(p.c, 0) AS c_p, coalesce(c.c, 0) AS c_c
+       |  FROM q98p p FULL OUTER JOIN q98c c USING (doc_id))
+       |SELECT source, status, count(*)::BIGINT AS n_docs,
+       |  sum(c_p)::BIGINT AS chars_prev, sum(c_c)::BIGINT AS chars_cur
+       |FROM q98j
+       |GROUP BY source, status
+       |ORDER BY source, status""".stripMargin
 
   // --- q97: PageRank centrality over the near-dup graph ---------------------
 

@@ -418,6 +418,114 @@ object TrainingOps {
     )
   }
 
+  // --- q99: per-source KMV distinct-token profile ---------------------------
+
+  /** Per-source sketch size (smaller than q42's global K: one sketch PER
+    * group rides through the aggregate, so the state budget is K·|sources|).
+    */
+  val KmvSrcK = 128
+
+  /** Per-source distinct-token cardinality via GROUPED KMV sketches, plus a
+    * merged `ALL` row that demonstrates the sketch's mergeability — the
+    * property that makes KMV work on a cluster: per-source sketches union
+    * into the exact global sketch (any global k-smallest hash is within
+    * its own source's k smallest), so cross-slice cardinality never needs
+    * a second corpus pass.
+    *
+    * Scale shape: one (source, hash) distinct (map-side partial), then the
+    * per-source k-min rides the bounded-heap `collect_topk` aggregate
+    * (state ≤ K per group — q61's heap rule, never a per-group sort of the
+    * corpus); the merge works on |sources|·K collected hashes. Exact
+    * counts ride the same aggregates for the reported relative error.
+    */
+  def kmvBySource(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Expressions.collect_topk
+    val hs = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0)
+      .select(col("source"), xxhash64(col("t")).as("h"))
+      .distinct()
+    val flipped = hs.select(col("source"), col("h").bitwiseXOR(lit(Long.MinValue)).as("hf"))
+    // k SMALLEST hf per source = k largest ~hf through the bounded heap
+    val perSrc = flipped
+      .groupBy(col("source"))
+      .agg(collect_topk(expr("~hf"), KmvSrcK).as("nh"), count(lit(1)).as("n_distinct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcRows = perSrc.select(
+      col("source"),
+      size(col("nh")).cast("long").as("k_used"),
+      expr("~array_min(nh)").as("hfk"),
+      col("n_distinct"))
+    val allSk = perSrc
+      .select(explode(col("nh")).as("nhv"))
+      .select(expr("~nhv").as("hf"))
+      .distinct() // same token in two sources = same hash
+      .orderBy(col("hf"))
+      .limit(KmvSrcK)
+      .agg(max(col("hf")).as("hfk"), count(lit(1)).as("k_used"))
+    val allEx  = hs.select(col("h")).distinct().agg(count(lit(1)).as("n_distinct"))
+    val allRow = allSk.crossJoin(allEx)
+      .select(lit("ALL").as("source"), col("k_used"), col("hfk"), col("n_distinct"))
+    val est =
+      (col("k_used") - 1).cast("double") *
+        (lit(1.8446744073709551616e19) / (col("hfk").cast("double") + lit(9.223372036854775808e18)))
+    srcRows
+      .unionByName(allRow)
+      .select(
+        col("source"),
+        col("k_used"),
+        col("hfk").bitwiseXOR(lit(Long.MinValue)).as("kth_hash"),
+        round(est, 2).as("est_distinct"),
+        col("n_distinct"),
+        round(est / col("n_distinct").cast("double") - 1, 4).as("rel_err"))
+      .orderBy(col("source"))
+  }
+
+  /** q99 oracle: emulated string xxhash64 over distinct tokens, per-source
+    * k-min via ranked rows, the identical merge (distinct union → k-min),
+    * and q42's exact estimator arithmetic.
+    */
+  lazy val kmvBySourceSql: String = {
+    import graft.functions.DuckHash._
+    val toks = raw"string_split_regex(trim(text), '\s+')"
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q99t" ->
+        s"""(SELECT DISTINCT source, t
+           |  FROM (SELECT source, unnest($toks) AS t FROM documents)
+           |  WHERE len(t) > 0)""".stripMargin,
+      "q99b" -> s"(SELECT t, ${bytesOf("t")} AS b FROM (SELECT DISTINCT t FROM q99t))"
+    )
+    val hb = hashBytesChain("q99h", "q99b", Seq("t"), "42", "hb")
+    ctes ++= hb.ctes
+    ctes += ("q99sh" ->
+      s"""(SELECT DISTINCT q99t.source, (d.hb - 9223372036854775808::HUGEINT)::BIGINT AS hf
+         |  FROM q99t JOIN ${hb.last} d ON d.t = q99t.t)""".stripMargin)
+    ctes += ("q99rn" ->
+      "(SELECT source, hf, row_number() OVER (PARTITION BY source ORDER BY hf) AS rn FROM q99sh)")
+    ctes += ("q99sk" ->
+      s"(SELECT source, max(hf) AS hfk, count(*)::BIGINT AS k_used FROM q99rn WHERE rn <= $KmvSrcK GROUP BY source)")
+    ctes += ("q99ex" -> "(SELECT source, count(*)::BIGINT AS n_distinct FROM q99sh GROUP BY source)")
+    ctes += ("q99ah" -> "(SELECT DISTINCT hf FROM q99sh)")
+    ctes += ("q99ask" ->
+      s"(SELECT max(hf) AS hfk, count(*)::BIGINT AS k_used FROM (SELECT hf FROM q99ah ORDER BY hf LIMIT $KmvSrcK))")
+    ctes += ("q99aex" -> "(SELECT count(*)::BIGINT AS n_distinct FROM q99ah)")
+    val est = "(k_used - 1)::DOUBLE * (18446744073709551616.0 / (hfk::DOUBLE + 9223372036854775808.0))"
+    assemble(
+      ctes.toSeq,
+      s"""SELECT source, k_used,
+         |  xor(hfk, (-9223372036854775808)::BIGINT) AS kth_hash,
+         |  round($est, 2) AS est_distinct,
+         |  n_distinct,
+         |  round($est / n_distinct::DOUBLE - 1, 4) AS rel_err
+         |FROM (
+         |  SELECT s.source, s.k_used, s.hfk, e.n_distinct
+         |  FROM q99sk s JOIN q99ex e USING (source)
+         |  UNION ALL
+         |  SELECT 'ALL', a.k_used, a.hfk, x.n_distinct FROM q99ask a, q99aex x)
+         |ORDER BY source""".stripMargin)
+  }
+
   // --- q43: exact grouped percentiles --------------------------------------
   private val Quartiles = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")
 

@@ -666,4 +666,51 @@ class CurationOpsSpec extends SparkSpec {
     // probability mass is conserved up to rounding (undirected graph, no dangling nodes)
     assert(math.abs(got.map(_._3).sum - 1.0) < 1e-3)
   }
+
+  // --- q98 ------------------------------------------------------------------
+
+  test("q98: snapshot diff classifies added/removed/changed/unchanged with char accounting") {
+    import spark.implicits._
+    import graft.operators.CurationOps
+    val prev = Seq((1L, "s0", "aaa"), (2L, "s0", "bbbb"), (3L, "s1", "ccc"))
+      .toDF("doc_id", "source", "text")
+    val cur = Seq((2L, "s0", "bbbb"), (3L, "s1", "CCCCC"), (4L, "s1", "dd"))
+      .toDF("doc_id", "source", "text")
+    val got = CurationOps.snapshotDiff(prev, cur).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val expected = Seq(
+      ("s0", "removed", 1L, 3L, 0L),
+      ("s0", "unchanged", 1L, 4L, 4L),
+      ("s1", "added", 1L, 0L, 2L),
+      ("s1", "changed", 1L, 3L, 5L)
+    )
+    assert(got == expected)
+  }
+
+  // --- q100 -----------------------------------------------------------------
+
+  test("q100: funnel stages are monotone per source and stage 4 equals q33's survivors") {
+    import graft.operators.{CleanPipeline, CurationOps}
+    val rows = CleanPipeline.funnelReport(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySrc = rows.groupBy(_._1)
+    bySrc.foreach { case (src, rs) =>
+      val byStage = rs.map(r => r._2 -> ((r._3, r._4))).toMap
+      val order   = Seq("1_raw", "2_exact_dedup", "3_quality", "4_near_dup")
+      val present = order.filter(byStage.contains)
+      assert(present.headOption.contains("1_raw"), s"$src lost its raw stage")
+      present.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(byStage(a)._1 >= byStage(b)._1 && byStage(a)._2 >= byStage(b)._2,
+            s"$src: stage $b grew vs $a")
+        case _ =>
+      }
+    }
+    val s4 = rows.filter(_._2 == "4_near_dup")
+    val clean = CleanPipeline.clean(spark, Sf0001).collect()
+    assert(s4.map(_._3).sum == clean.length.toLong,
+      "funnel stage 4 must count exactly q33's surviving docs")
+    assert(s4.map(_._4).sum == clean.map(_.getAs[Int]("n_tokens").toLong).sum)
+  }
 }

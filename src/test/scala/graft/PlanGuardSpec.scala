@@ -191,7 +191,17 @@ class PlanGuardSpec extends SparkSpec {
       // LSH edges checkpointed at construction (q47's rule); static plan is
       // 5 power-iteration rounds of join+agg over the ExistingRDD + final
       // degree join + output sort
-      "q97_pagerank_dups"   -> 18
+      "q97_pagerank_dups"   -> 18,
+      // two snapshot scans + the doc_id-keyed full-outer join + rollup +
+      // sort (AQE may broadcast a small snapshot at runtime)
+      "q98_snapshot_diff"   -> 6,
+      // (source,hash) distinct + per-source heap agg (persisted, re-printed
+      // per InMemoryTableScan) + merged explode/distinct/limit + global
+      // distinct + union + sort
+      "q99_kmv_by_source"   -> 14,
+      // q33's md5 window + the q27 pair pipeline + victim semi-join + stage
+      // explode rollup + sort
+      "q100_funnel_report"  -> 16
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -284,7 +294,9 @@ class PlanGuardSpec extends SparkSpec {
         "q88_curriculum_order", "q89_index_recall",
         // q92 crossJoins the 1-row extent aggregate twice (quantization
         // inputs + coverage denominator) — the q42/q49 1-row stats shape
-        "q92_zorder_layout")
+        "q92_zorder_layout",
+        // q99's merged row is q42's own 1-row sketch × 1-row exact join
+        "q99_kmv_by_source")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),

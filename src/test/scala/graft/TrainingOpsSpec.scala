@@ -268,6 +268,23 @@ class TrainingOpsSpec extends SparkSpec {
       s"linear-counting est ${r2.getAs[Double]("est_distinct")}")
   }
 
+  test("q99: grouped KMV sketches are k-bounded, mergeable, and near the exact counts") {
+    val rows = TrainingOps.kmvBySource(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    val (all, srcs) = rows.partition(_._1 == "ALL")
+    assert(all.length == 1 && srcs.nonEmpty)
+    rows.foreach { case (s, kUsed, est, exact, relErr) =>
+      assert(kUsed == math.min(TrainingOps.KmvSrcK.toLong, exact), s"$s k_used")
+      // sketch estimate within 50% of truth (k=128 → ~9% expected error)
+      assert(math.abs(relErr) < 0.5, s"$s rel_err $relErr")
+      assert(est > 0 && exact > 0)
+    }
+    // mergeability: the ALL row's exact count can't exceed the per-source sum
+    // and must be at least the largest single source (set union bounds)
+    val allExact = all.head._4
+    assert(allExact <= srcs.map(_._4).sum && allExact >= srcs.map(_._4).max)
+  }
+
   test("q94: hourly grid covers each user's span, gaps forward-fill, µs ties break by event_id") {
     def t(s: String): Timestamp = Timestamp.valueOf(s)
     // user 1: events in hours 00 and 03 → hours 01/02 are gaps carrying 2.0;
