@@ -404,6 +404,56 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, s"got $got")
   }
 
+  test("E21: fill state survives a checkpointed restart (recovery equals uninterrupted run)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_fill").toString
+    val in   = MemoryStream[Ev]
+    val out  = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, String, Long, Double, Boolean)]())
+    def start() = EventStreams.gapFillStream(in.toDF().as[Ev])
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[EventStreams.FillOut], _: Long) =>
+          batch.collect().foreach(f =>
+            out.add((f.user_id, f.hour, f.n_events, f.value_ff, f.is_gap)))
+      }
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+
+    // batch 1: hour 00 partially filled — the open-hour state (count 2,
+    // best value 2.0) is now in the state store, nothing emitted yet
+    val q1 = start()
+    in.addData(
+      Ev(1L, 1L, t("2024-01-01 00:10:00"), "view", 1.0),
+      Ev(2L, 1L, t("2024-01-01 00:50:00"), "view", 2.0))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(out.isEmpty, "open hour must not emit before a later event or timeout")
+
+    // restart from the checkpoint: the RECOVERED open hour must close with
+    // its pre-restart count and forward-fill the pre-restart value through
+    // the gap rows — then timeouts emit the final hour
+    val q2 = start()
+    in.addData(Ev(3L, 1L, t("2024-01-01 03:05:00"), "view", 3.0))
+    q2.processAllAvailable()
+    in.addData(Ev(900L, 999L, t("2024-01-01 06:00:00"), "view", 0.0))
+    q2.processAllAvailable()
+    in.addData(Ev(901L, 999L, t("2024-01-01 10:00:00"), "view", 0.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = out.toArray.map(_.asInstanceOf[(Long, String, Long, Double, Boolean)])
+      .filter(_._1 != 999L).sortBy(p => (p._1, p._2)).toSeq
+    // identical to the uninterrupted E21 run over the same events
+    assert(got == Seq(
+      (1L, "2024-01-01 00", 2L, 2.0, false),
+      (1L, "2024-01-01 01", 0L, 2.0, true),
+      (1L, "2024-01-01 02", 0L, 2.0, true),
+      (1L, "2024-01-01 03", 1L, 3.0, false)),
+      s"recovered fill state diverged: $got")
+  }
+
   test("E20: streaming normalize gate shares q93's expression and trips on binary junk") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
