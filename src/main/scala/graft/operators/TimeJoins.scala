@@ -127,6 +127,66 @@ object TimeJoins {
        |FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
        |GROUP BY w.w_id ORDER BY w.w_id""".stripMargin
 
+  // --- q101: retention cohort matrix ----------------------------------------
+
+  /** Weekly retention cohorts over events: users grouped by their FIRST
+    * active week, then per (cohort, week offset) the count still active
+    * and the retention fraction — the standard product-analytics matrix.
+    *
+    * Scale shape: dedupe to distinct (user, week) FIRST (map-side partial
+    * + one keyed shuffle — shrinks the fact table to at most
+    * users × weeks), per-user min for the cohort, one user-keyed join
+    * back, then a plain count per (cohort, offset) — each (user, week)
+    * row is already unique, so `count(*)` IS the distinct-user count and
+    * the plan never needs countDistinct's Expand (which would triple the
+    * aggregate input at 100 TB). Offset-0 size joins back for the
+    * retention denominator (|cohorts| rows, broadcast).
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val first = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    val act = uw
+      .join(first, "user_id")
+      .groupBy(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        expr("datediff(wk, cohort) div 7").cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      // persisted: the offset-0 denominator leg would otherwise re-run the
+      // corpus aggregates; the matrix itself is |cohorts|×|offsets| rows
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = act.filter(col("week_offset") === 0L)
+      .select(col("cohort"), col("n_active").as("cohort_size"))
+    act
+      .join(broadcast(sizes), "cohort")
+      .select(
+        col("cohort"),
+        col("week_offset"),
+        col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  /** q101 oracle: identical dedupe-first shape; ISO Monday week truncation
+    * agrees between engines, offsets are exact integer day diffs div 7.
+    */
+  val retentionCohortsSql: String =
+    """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id),
+      |a AS (
+      |  SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+      |    (date_diff('day', f.cohort, uw.wk) // 7)::BIGINT AS week_offset,
+      |    count(*)::BIGINT AS n_active
+      |  FROM uw JOIN f USING (user_id)
+      |  GROUP BY 1, 2),
+      |c AS (SELECT cohort, n_active AS cohort_size FROM a WHERE week_offset = 0)
+      |SELECT a.cohort, a.week_offset, a.n_active, c.cohort_size,
+      |  round(a.n_active::DOUBLE / c.cohort_size, 6) AS retention
+      |FROM a JOIN c USING (cohort)
+      |ORDER BY a.cohort, a.week_offset""".stripMargin
+
   // --- q94: time-series gap-fill / resample --------------------------------
 
   /** Per-user hourly resample with forward fill — the standard time-series

@@ -201,7 +201,11 @@ class PlanGuardSpec extends SparkSpec {
       "q99_kmv_by_source"   -> 14,
       // q33's md5 window + the q27 pair pipeline + victim semi-join + stage
       // explode rollup + sort
-      "q100_funnel_report"  -> 16
+      "q100_funnel_report"  -> 16,
+      // (user,week) distinct + cohort agg + user-keyed join + matrix agg
+      // (persisted, re-printed per InMemoryTableScan) + broadcast size
+      // join + sort
+      "q101_retention_cohorts" -> 10
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>

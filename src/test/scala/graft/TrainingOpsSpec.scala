@@ -285,6 +285,35 @@ class TrainingOpsSpec extends SparkSpec {
     assert(allExact <= srcs.map(_._4).sum && allExact >= srcs.map(_._4).max)
   }
 
+  test("q101: cohorts anchor to first active week; retention is offset-0-relative") {
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday. user1: weeks 0,1,3 of cohort W0; user2: weeks
+    // 0,1; user3 joins in W1: weeks 1,2 of cohort W1.
+    val rows = Seq(
+      (1L, t("2024-01-02 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, t("2024-01-09 10:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, t("2024-01-24 10:00:00"), 1L, "view", 1.0, "{}"),
+      (4L, t("2024-01-03 10:00:00"), 2L, "view", 1.0, "{}"),
+      (5L, t("2024-01-10 10:00:00"), 2L, "view", 1.0, "{}"),
+      (6L, t("2024-01-08 10:00:00"), 3L, "view", 1.0, "{}"),
+      (7L, t("2024-01-17 10:00:00"), 3L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("q101spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = TimeJoins.retentionCohorts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    val expected = Seq(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),
+      ("2024-01-01", 1L, 2L, 2L, 1.0),
+      ("2024-01-01", 3L, 1L, 2L, 0.5),
+      ("2024-01-08", 0L, 1L, 1L, 1.0),
+      ("2024-01-08", 1L, 1L, 1L, 1.0)
+    )
+    assert(got == expected)
+  }
+
   test("q94: hourly grid covers each user's span, gaps forward-fill, µs ties break by event_id") {
     def t(s: String): Timestamp = Timestamp.valueOf(s)
     // user 1: events in hours 00 and 03 → hours 01/02 are gaps carrying 2.0;
