@@ -597,6 +597,99 @@ object TrainingOps {
       |  quantile_cont(l_extendedprice, 0.75) AS p75
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --- q102: per-group MAD outlier detection --------------------------------
+
+  /** Robust per-group outlier report via the Median Absolute Deviation
+    * (the standard data-quality screen — mean/stddev break under the very
+    * outliers being hunted): per `l_returnflag`, the exact median of
+    * `l_quantity`, the exact MAD, and the count beyond the
+    * `3 · 1.4826 · MAD` consistency threshold.
+    *
+    * Scale shape: ONE corpus pass builds the (flag, value) count histogram
+    * (q43's rule — map-side combine to ≤ |flags|×|domain| rows); the
+    * deviation histogram is then DERIVED from it (`groupBy(flag,
+    * |v − med|) → sum(c)` over histogram rows, not corpus rows), so the
+    * second median and the outlier count cost tiny-table work only. Both
+    * medians use q43's cumulative-window type-7 interpolation — exact on
+    * this domain (small integers and their half-steps, all IEEE-exact).
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    def medianOf(hist: DataFrame): DataFrame = {
+      val byG  = Window.partitionBy(col("g"))
+      val cumW = byG.orderBy(col("v"))
+      val ranked = hist
+        .withColumn("cum", sum(col("c")).over(cumW))
+        .withColumn("n", sum(col("c")).over(byG))
+      val pos                   = lit(0.5) * (col("n") - 1).cast("double")
+      val (loRn, hiRn)          = (floor(pos) + 1, ceil(pos) + 1)
+      def covers(r: Column): Column = (col("cum") - col("c") < r) && (r <= col("cum"))
+      ranked
+        .filter(covers(loRn) || covers(hiRn))
+        .groupBy(col("g"))
+        .agg(
+          min(when(covers(loRn), col("v"))).as("lo"),
+          min(when(covers(hiRn), col("v"))).as("hi"),
+          first(col("n")).as("n"))
+        .select(
+          col("g"), col("n"),
+          when(col("lo") === col("hi"), col("lo"))
+            .otherwise(
+              col("lo") * (ceil(pos).cast("double") - pos) +
+                col("hi") * (pos - floor(pos).cast("double")))
+            .as("med"))
+    }
+
+    val hist = Tables
+      .lineitem(spark, dir)
+      .select(col("l_returnflag").as("g"), col("l_quantity").as("v"))
+      .groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = medianOf(hist)
+
+    // deviation histogram DERIVED from the value histogram (tiny-table work)
+    val devHist = hist
+      .join(med.select(col("g"), col("med")), "g")
+      .groupBy(col("g"), abs(col("v") - col("med")).as("v"))
+      .agg(sum(col("c")).as("c"))
+    val mad = medianOf(devHist).select(col("g"), col("med").as("mad"))
+
+    hist
+      .join(med.select(col("g"), col("n"), col("med")), "g")
+      .join(mad, "g")
+      .withColumn("thr", lit(3.0) * lit(1.4826) * col("mad"))
+      .groupBy(col("g"), col("n"), col("med"), col("mad"), col("thr"))
+      .agg(sum(when(abs(col("v") - col("med")) > col("thr"), col("c")).otherwise(lit(0L)))
+        .as("n_outliers"))
+      .select(
+        col("g").as("l_returnflag"),
+        col("n"),
+        col("med").as("median"),
+        col("mad"),
+        col("n_outliers"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q102 oracle: row-level `quantile_cont` medians (q43-proven type-7
+    * equivalence) + the same threshold arithmetic.
+    */
+  val madOutliersSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag AS g, count(*)::BIGINT AS n,
+      |    quantile_cont(l_quantity, 0.5) AS med
+      |  FROM lineitem GROUP BY l_returnflag),
+      |d AS (
+      |  SELECT m.g, quantile_cont(abs(l.l_quantity - m.med), 0.5) AS mad
+      |  FROM lineitem l JOIN m ON m.g = l.l_returnflag GROUP BY m.g)
+      |SELECT m.g AS l_returnflag, m.n, m.med AS median, d.mad,
+      |  CAST(sum(CASE WHEN abs(l.l_quantity - m.med) > 3.0 * 1.4826 * d.mad
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM lineitem l JOIN m ON m.g = l.l_returnflag JOIN d ON d.g = l.l_returnflag
+      |GROUP BY m.g, m.n, m.med, d.mad
+      |ORDER BY l_returnflag""".stripMargin
+
   // --- q69: fixed-width histogram approximate percentiles ------------------
 
   val ApproxBins = 1024

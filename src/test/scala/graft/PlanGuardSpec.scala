@@ -205,7 +205,11 @@ class PlanGuardSpec extends SparkSpec {
       // (user,week) distinct + cohort agg + user-keyed join + matrix agg
       // (persisted, re-printed per InMemoryTableScan) + broadcast size
       // join + sort
-      "q101_retention_cohorts" -> 10
+      "q101_retention_cohorts" -> 10,
+      // one corpus histogram agg (persisted, re-printed per
+      // InMemoryTableScan); both medians + the deviation histogram + the
+      // outlier count are tiny-table windows/joins over it
+      "q102_mad_outliers"   -> 16
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>

@@ -268,6 +268,22 @@ class TrainingOpsSpec extends SparkSpec {
       s"linear-counting est ${r2.getAs[Double]("est_distinct")}")
   }
 
+  test("q102: MAD medians and outlier counts match hand-computed robust stats") {
+    import org.apache.spark.sql.functions.col
+    // flag A (odd count): med 3, devs [2,1,0,1,97] → mad 1, thr 4.4478 → 1 outlier
+    // flag B (even count): med 2.5, devs [1.5,.5,.5,1.5] → mad 1.0 → 0 outliers
+    val rows = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("A", _)) ++
+      Seq(1.0, 2.0, 3.0, 4.0).map(("B", _))).zipWithIndex
+      .map { case ((f, q), i) => (i.toLong, i.toLong, q, f) }
+    val df = rows.toDF("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    val dir = java.nio.file.Files.createTempDirectory("q102spec").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = TrainingOps.madOutliers(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(("A", 5L, 3.0, 1.0, 1L), ("B", 4L, 2.5, 1.0, 0L)))
+  }
+
   test("q99: grouped KMV sketches are k-bounded, mergeable, and near the exact counts") {
     val rows = TrainingOps.kmvBySource(spark, Sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(4), r.getDouble(5)))
