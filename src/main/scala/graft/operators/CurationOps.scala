@@ -1421,6 +1421,52 @@ object CurationOps {
         |ORDER BY d.doc_id""".stripMargin)
   }
 
+  // --- q104: triangle counting on the near-dup graph --------------------------
+
+  /** Per-node triangle counts over the near-dup candidate graph — the
+    * local-clustering evidence that separates genuine duplicate CLIQUES
+    * (template families, mirror sites: triangle-dense) from chains of
+    * borderline pairs (hash-collision noise: triangle-free), complementing
+    * q47's components and q97's centrality.
+    *
+    * Node-iterator shape on canonical (a < b) edges: wedge join on the
+    * shared middle node + one closing-edge semi-check — two node-keyed
+    * joins over the dup-rate-bounded edge list (never the corpus), the
+    * standard distributed triangle plan. Each triangle a<b<c is counted
+    * once, then contributes to all three member nodes via one explode.
+    */
+  def dupTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = TextOps.minhashCandidatePairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+    tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("doc_id"))
+  }
+
+  /** q104 oracle: the bit-exact LSH edge emulation + the same wedge-close
+    * joins and per-node explode.
+    */
+  lazy val dupTrianglesSql: String =
+    s"""WITH q104e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM (${TextOps.minhashLshSql})),
+       |q104t AS (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM q104e e1
+       |  JOIN q104e e2 ON e2.a = e1.b
+       |  WHERE EXISTS (SELECT 1 FROM q104e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+       |q104n AS (
+       |  SELECT unnest([a, b, c]) AS doc_id FROM q104t)
+       |SELECT doc_id, count(*)::BIGINT AS n_triangles
+       |FROM q104n
+       |GROUP BY doc_id
+       |ORDER BY n_triangles DESC, doc_id""".stripMargin
+
   // --- q98: snapshot diff (SCD-style delta report) ---------------------------
 
   /** Generic two-snapshot diff: full-outer join on doc_id, content compare

@@ -187,6 +187,45 @@ object TimeJoins {
       |FROM a JOIN c USING (cohort)
       |ORDER BY a.cohort, a.week_offset""".stripMargin
 
+  // --- q103: Markov transition matrix over event sequences -------------------
+
+  /** First-order event-type transition matrix over per-user sequences:
+    * P(next = b | current = a) with counts — the clickstream path-analysis
+    * staple. One user-keyed `lead()` window (ordered by the unique
+    * (ts, event_id)) + one (cur, nxt) aggregate; per-row work and a
+    * ≤ |types|² result, so the corpus cost is exactly one keyed window
+    * pass at any scale. Probabilities are one exact integer division,
+    * denominators ride a window over the tiny matrix.
+    */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val m = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+    m.withColumn("p",
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("cur"))).cast("double"), 6))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
+  /** q103 oracle: same window — ns timestamps truncated to µs so ordering
+    * ties break identically to the loader's DIV 1000 rebuild.
+    */
+  val markovTransitionsSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS cur,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY date_trunc('microsecond', ts), event_id) AS nxt
+      |  FROM events),
+      |m AS (SELECT cur, nxt, count(*)::BIGINT AS n FROM s WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+      |SELECT cur, nxt, n,
+      |  round(n::DOUBLE / sum(n) OVER (PARTITION BY cur), 6) AS p
+      |FROM m
+      |ORDER BY cur, nxt""".stripMargin
+
   // --- q94: time-series gap-fill / resample --------------------------------
 
   /** Per-user hourly resample with forward fill — the standard time-series

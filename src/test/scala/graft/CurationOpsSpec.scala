@@ -667,6 +667,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(got.map(_._3).sum - 1.0) < 1e-3)
   }
 
+  // --- q104 -----------------------------------------------------------------
+
+  test("q104: per-node triangle counts equal an independent enumeration") {
+    import graft.operators.{CurationOps, TextOps}
+    val edges = TextOps.minhashLsh(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def conn(x: Long, y: Long) = edges((math.min(x, y), math.max(x, y)))
+    val expected = (for {
+      a <- nodes; b <- nodes if a < b && conn(a, b)
+      c <- nodes if b < c && conn(b, c) && conn(a, c)
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val got = CurationOps.dupTriangles(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"got $got vs $expected")
+  }
+
   // --- q98 ------------------------------------------------------------------
 
   test("q98: snapshot diff classifies added/removed/changed/unchanged with char accounting") {

@@ -209,7 +209,13 @@ class PlanGuardSpec extends SparkSpec {
       // one corpus histogram agg (persisted, re-printed per
       // InMemoryTableScan); both medians + the deviation histogram + the
       // outlier count are tiny-table windows/joins over it
-      "q102_mad_outliers"   -> 16
+      "q102_mad_outliers"   -> 16,
+      // one user-keyed lead window + (cur,nxt) agg + the tiny matrix
+      // window + output sort
+      "q103_markov_transitions" -> 5,
+      // LSH edges checkpointed at construction; wedge join + closing
+      // semi-join + explode agg + sort over the bounded edge list
+      "q104_dup_triangles"  -> 8
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>

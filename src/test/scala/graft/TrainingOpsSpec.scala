@@ -268,6 +268,24 @@ class TrainingOpsSpec extends SparkSpec {
       s"linear-counting est ${r2.getAs[Double]("est_distinct")}")
   }
 
+  test("q103: transition counts and probabilities match a hand-traced sequence") {
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    // user 1: a→b→a→c ; user 2: b→a. Transitions: a→b 1, b→a 2, a→c 1.
+    val rows = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, t("2024-01-01 10:01:00"), 1L, "b", 1.0, "{}"),
+      (3L, t("2024-01-01 10:02:00"), 1L, "a", 1.0, "{}"),
+      (4L, t("2024-01-01 10:03:00"), 1L, "c", 1.0, "{}"),
+      (5L, t("2024-01-01 10:00:00"), 2L, "b", 1.0, "{}"),
+      (6L, t("2024-01-01 10:01:00"), 2L, "a", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("q103spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TimeJoins.markovTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5), ("b", "a", 2L, 1.0)))
+  }
+
   test("q102: MAD medians and outlier counts match hand-computed robust stats") {
     import org.apache.spark.sql.functions.col
     // flag A (odd count): med 3, devs [2,1,0,1,97] → mad 1, thr 4.4478 → 1 outlier
