@@ -254,11 +254,17 @@ object TimeJoins {
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       .withColumn("hour", date_trunc("hour", col("ts")))
 
+    // max over the (ts, event_id, value) struct ≡ max_by on (ts, event_id)
+    // — (ts, event_id) is unique so the value field never decides — but a
+    // struct max keeps the aggregate HASH-aggregable where max_by's buffer
+    // forces SortAggregate (sorting every partition by group keys, the
+    // expensive shape at a billion (user, hour) groups)
     val hourly = ev
       .groupBy(col("user_id"), col("hour"))
       .agg(
         count(lit(1)).as("n_events"),
-        max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_in_hour"))
+        max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("hour"), col("n_events"), col("m.value").as("last_in_hour"))
 
     val grid = ev
       .groupBy(col("user_id"))
