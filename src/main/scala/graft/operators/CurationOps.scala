@@ -1421,6 +1421,88 @@ object CurationOps {
         |ORDER BY d.doc_id""".stripMargin)
   }
 
+  // --- q105: referential-integrity / data-quality audit -----------------------
+
+  /** Constraint audit over the star schema — the DQ suite every warehouse
+    * runs on ingest: orphan facts (lineitem → orders), childless parents
+    * (orders with no lineitems), dangling dimension keys (orders →
+    * customer), domain-range checks (quantity > 0, discount ∈ [0,1]), and
+    * the cross-table temporal invariant (shipdate ≥ its order's
+    * orderdate). One row per check: violations + population.
+    *
+    * Scale shape: key checks are LEFT ANTI joins on the join keys (the
+    * shuffle Spark would do for the production join anyway — AQE
+    * broadcasts small parents); domain checks are map-side predicates
+    * folded into one aggregate per table scan; the temporal check rides
+    * ONE orderkey-keyed join. Each check emits a 1-row aggregate and the
+    * report is their union — nothing wide ever collects.
+    */
+  def integrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li  = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cst = Tables.customer(spark, dir)
+
+    def report(name: String, viol: DataFrame, total: Long): DataFrame =
+      viol.agg(count(lit(1)).as("n_violations"))
+        .select(
+          lit(name).as("check"),
+          col("n_violations"),
+          lit(total).as("n_checked"))
+
+    val nLi  = li.count()
+    val nOrd = ord.count()
+    Seq(
+      report("1_orphan_lineitems",
+        li.select(col("l_orderkey"))
+          .join(ord.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti"),
+        nLi),
+      report("2_childless_orders",
+        ord.select(col("o_orderkey"))
+          .join(li.select(col("l_orderkey").as("o_orderkey")), Seq("o_orderkey"), "left_anti"),
+        nOrd),
+      report("3_dangling_custkey",
+        ord.select(col("o_custkey"))
+          .join(cst.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti"),
+        nOrd),
+      report("4_nonpositive_quantity", li.filter(col("l_quantity") <= 0), nLi),
+      report("5_discount_out_of_range",
+        li.filter(col("l_discount") < 0 || col("l_discount") > 1), nLi),
+      report("6_ship_before_order",
+        li.select(col("l_orderkey"), col("l_shipdate"))
+          .join(ord.select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")), "l_orderkey")
+          .filter(col("l_shipdate") < col("o_orderdate")),
+        nLi)
+    ).reduce(_.unionByName(_)).orderBy(col("check"))
+  }
+
+  /** q105 oracle: the same six constraint counts as scalar subqueries. */
+  val integrityAuditSql: String =
+    """SELECT * FROM (
+      |  SELECT '1_orphan_lineitems' AS "check",
+      |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT AS n_violations,
+      |    (SELECT count(*) FROM lineitem)::BIGINT AS n_checked
+      |  UNION ALL SELECT '2_childless_orders',
+      |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      |      (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))::BIGINT,
+      |    (SELECT count(*) FROM orders)::BIGINT
+      |  UNION ALL SELECT '3_dangling_custkey',
+      |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT,
+      |    (SELECT count(*) FROM orders)::BIGINT
+      |  UNION ALL SELECT '4_nonpositive_quantity',
+      |    (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)::BIGINT,
+      |    (SELECT count(*) FROM lineitem)::BIGINT
+      |  UNION ALL SELECT '5_discount_out_of_range',
+      |    (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)::BIGINT,
+      |    (SELECT count(*) FROM lineitem)::BIGINT
+      |  UNION ALL SELECT '6_ship_before_order',
+      |    (SELECT count(*) FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |     WHERE l.l_shipdate < o.o_orderdate)::BIGINT,
+      |    (SELECT count(*) FROM lineitem)::BIGINT)
+      |ORDER BY "check"""".stripMargin
+
   // --- q104: triangle counting on the near-dup graph --------------------------
 
   /** Per-node triangle counts over the near-dup candidate graph — the

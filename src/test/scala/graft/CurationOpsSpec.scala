@@ -685,6 +685,47 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == expected, s"got $got vs $expected")
   }
 
+  // --- q105 -----------------------------------------------------------------
+
+  test("q105: every planted constraint violation is counted exactly once") {
+    import spark.implicits._
+    import graft.operators.CurationOps
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("q105spec").toString
+    // orders: 10 ok (has lineitem), 11 childless, 12 dangling custkey
+    Seq(
+      (10L, 1L, "O", 10.0, d("2024-01-05"), "1-URGENT"),
+      (11L, 1L, "O", 10.0, d("2024-01-05"), "1-URGENT"),
+      (12L, 99L, "O", 10.0, d("2024-01-05"), "1-URGENT")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // lineitems: one ok, one orphan (order 77), one negative qty, one bad
+    // discount, one shipped before its order date
+    Seq(
+      (10L, 1L, 1L, 1, 5.0, 10.0, 0.1, 0.0, "N", "O", d("2024-01-06")),
+      (77L, 1L, 1L, 1, 5.0, 10.0, 0.1, 0.0, "N", "O", d("2024-01-06")),
+      (10L, 2L, 1L, 2, -3.0, 10.0, 0.1, 0.0, "N", "O", d("2024-01-06")),
+      (12L, 3L, 1L, 3, 5.0, 10.0, 1.5, 0.0, "N", "O", d("2024-01-06")),
+      (12L, 4L, 1L, 4, 5.0, 10.0, 0.1, 0.0, "N", "O", d("2024-01-02"))
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "Customer#1", "addr", 1L, "ph", 0.0, "BUILDING", "c"))
+      .toDF("c_custkey", "c_name", "c_address", "c_nationkey", "c_phone",
+        "c_acctbal", "c_mktsegment", "c_comment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+
+    val got = CurationOps.integrityAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("1_orphan_lineitems", 1L, 5L),
+      ("2_childless_orders", 1L, 3L),
+      ("3_dangling_custkey", 1L, 3L),
+      ("4_nonpositive_quantity", 1L, 5L),
+      ("5_discount_out_of_range", 1L, 5L),
+      ("6_ship_before_order", 1L, 5L)))
+  }
+
   // --- q98 ------------------------------------------------------------------
 
   test("q98: snapshot diff classifies added/removed/changed/unchanged with char accounting") {

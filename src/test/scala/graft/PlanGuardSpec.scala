@@ -215,7 +215,11 @@ class PlanGuardSpec extends SparkSpec {
       "q103_markov_transitions" -> 5,
       // LSH edges checkpointed at construction; wedge join + closing
       // semi-join + explode agg + sort over the bounded edge list
-      "q104_dup_triangles"  -> 8
+      "q104_dup_triangles"  -> 8,
+      // six 1-row check aggregates unioned: three key anti-joins (AQE
+      // broadcasts small parents at runtime), two map-side domain scans,
+      // one orderkey-keyed temporal join + the 6-row sort
+      "q105_integrity_audit" -> 14
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
