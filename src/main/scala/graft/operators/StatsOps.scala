@@ -563,6 +563,40 @@ object StatsOps {
       .drop("pid", "off")
   }
 
+  /** Inclusive running sum of `weightCol` (a long) in ascending
+    * lexicographic (`keyCols`) order — the distributed, sort-free
+    * `sum(w) OVER (ORDER BY keys ROWS UNBOUNDED PRECEDING)`. Same shape as
+    * [[strictlyLess]]: range-partition on the key tuple (each partition
+    * owns a contiguous key range), per-partition running sums via an
+    * ordinary KEYED window, partition-prefix weight offsets computed on
+    * the ≤P-row (pid → total) table and broadcast-joined back. `keyCols`
+    * must totally order the rows (append a unique tiebreaker) or the
+    * running sum is not well defined. Output: input columns + `out`.
+    */
+  private[operators] def prefixSum(
+      df: DataFrame,
+      keyCols: Seq[String],
+      weightCol: String,
+      out: String
+  ): DataFrame = {
+    val keyed = df
+      .repartitionByRange(RankPartitions, keyCols.map(col): _*)
+      .withColumn("pid", spark_partition_id())
+    val partTotals = keyed.groupBy(col("pid")).agg(sum(col(weightCol)).as("pw"))
+    val offsets = partTotals
+      .crossJoin(broadcast(
+        partTotals.agg(collect_list(struct(col("pid").as("p"), col("pw").as("w"))).as("pws"))))
+      .select(
+        col("pid"),
+        expr("aggregate(filter(pws, x -> x.p < pid), 0L, (a, x) -> a + x.w)").as("off"))
+    val w = Window.partitionBy(col("pid")).orderBy(keyCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn(out, col("off") + sum(col(weightCol)).over(w))
+      .drop("pid", "off")
+  }
+
   // --- q88: curriculum / epoch ordering --------------------------------------
 
   /** Deterministic curriculum order: every document given a unique global

@@ -313,4 +313,71 @@ object TimeJoins {
       |  (last_in_hour IS NULL) AS is_gap
       |FROM j
       |ORDER BY user_id, hour""".stripMargin
+
+  // --- q107: OHLC time-series downsample ------------------------------------
+
+  /** Per-(event_type, hour) OHLC downsample — the metric-rollup staple
+    * (monitoring dashboards, feature aggregation for time-windowed
+    * training examples): open = the hour's earliest value, close = the
+    * latest, high/low extremes, event count, and the hour's total as
+    * `volume`.
+    *
+    * Spark-first shape: ONE keyed aggregate of the events scan — open and
+    * close ride `min`/`max` over the (ts, event_id, value) struct, which
+    * stays HASH-aggregable (the q94 rule: max_by's buffer would force
+    * SortAggregate) and is deterministic because (ts, event_id) is unique,
+    * so the value field never decides. Volume sums exact DECIMAL(18,2) —
+    * decimal addition is associative-exact, so the result is independent
+    * of partial-aggregation order on any cluster layout (a double sum
+    * would not be), then renders as DOUBLE (2-dp decimals are IEEE-exact).
+    */
+  def ohlcResample(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("vol"))
+      .select(
+        col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH").as("hour"),
+        col("o.value").as("open"),
+        col("high"),
+        col("low"),
+        col("c.value").as("close"),
+        col("n_events"),
+        col("vol").cast("double").as("volume"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** q107 oracle: first/last via µs-truncated row_number windows (the q94
+    * tie rule), extremes and counts directly, volume as the same
+    * DECIMAL(18,2) sum rendered DOUBLE.
+    */
+  val ohlcResampleSql: String =
+    """WITH q107e AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |    date_trunc('microsecond', ts) AS uts, event_id, value
+      |  FROM events),
+      |q107r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type, hour ORDER BY uts, event_id) AS ra,
+      |    row_number() OVER (PARTITION BY event_type, hour ORDER BY uts DESC, event_id DESC) AS rd
+      |  FROM q107e)
+      |SELECT event_type, strftime(hour, '%Y-%m-%d %H') AS hour,
+      |  max(CASE WHEN ra = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rd = 1 THEN value END) AS close,
+      |  count(*)::BIGINT AS n_events,
+      |  (sum(CAST(value AS DECIMAL(18,2))))::DOUBLE AS volume
+      |FROM q107r GROUP BY event_type, hour
+      |ORDER BY event_type, hour""".stripMargin
 }

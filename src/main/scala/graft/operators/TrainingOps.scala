@@ -1193,4 +1193,63 @@ object TrainingOps {
          |  round($estExpr / n_distinct - 1, 4) AS rel_err
          |FROM q63sk, q63ex""".stripMargin)
   }
+
+  // --- q106: token-budget corpus selection ----------------------------------
+
+  val SelectBudget = 12000L
+
+  /** Greedy token-budget selection: rank the corpus quality-first (q22's
+    * stop-word-ratio score, the natural-language-ness signal, with doc_id
+    * tiebreak) and admit documents while the running token total still fits
+    * the budget — the "best documents until the compute budget is spent"
+    * pass every fixed-token pretraining run makes once per recipe. Output
+    * is the full audit: every doc's rank-order running total and its
+    * admit/reject verdict, so the cut is reproducible and inspectable.
+    *
+    * Scale shape: the running total is [[StatsOps.prefixSum]] — the
+    * sort-free distributed `sum() OVER (ORDER BY …)`: range-partition on
+    * the (−score, doc_id) key, per-partition keyed windows, ≤P-row
+    * partition totals broadcast back. No single-partition window at any
+    * corpus size; the admit decision is then one codegen'd comparison
+    * per row.
+    */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(TextOps.toks).cast("long").as("tokens"),
+        (TextOps.stopCountExpr / size(TextOps.toks)).as("score"))
+      .withColumn("nscore", -col("score"))
+    StatsOps
+      .prefixSum(scored, Seq("nscore", "doc_id"), "tokens", "cum_tokens")
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("tokens"),
+        col("score"),
+        col("cum_tokens"),
+        (col("cum_tokens") <= SelectBudget).as("selected"))
+      .orderBy(col("cum_tokens"))
+  }
+
+  /** q106 oracle: the textbook single-window spelling — running token sum
+    * over (score DESC, doc_id); tokens are integers so the prefix sums are
+    * exact, and `cum_tokens` is strictly increasing (every doc has ≥1
+    * token), making the output order unique.
+    */
+  lazy val tokenBudgetSelectSql: String = {
+    import graft.operators.TextOps.{duckStopCount, DuckToks}
+    s"""WITH q106s AS MATERIALIZED (
+       |  SELECT doc_id, source, nt::BIGINT AS tokens, ns / nt AS score
+       |  FROM (SELECT doc_id, source, $duckStopCount AS ns, len($DuckToks) AS nt
+       |        FROM documents)),
+       |q106c AS (
+       |  SELECT *, CAST(sum(tokens) OVER (ORDER BY score DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM q106s)
+       |SELECT doc_id, source, tokens, score, cum_tokens,
+       |  (cum_tokens <= $SelectBudget) AS selected
+       |FROM q106c ORDER BY cum_tokens""".stripMargin
+  }
 }

@@ -219,7 +219,13 @@ class PlanGuardSpec extends SparkSpec {
       // six 1-row check aggregates unioned: three key anti-joins (AQE
       // broadcasts small parents at runtime), two map-side domain scans,
       // one orderkey-keyed temporal join + the 6-row sort
-      "q105_integrity_audit" -> 14
+      "q105_integrity_audit" -> 14,
+      // one prefixSum pass (q88's strictlyLess shape: range repartition +
+      // pid window + broadcast offset join, partTotals subtree printed
+      // twice) + output sort
+      "q106_token_budget"   -> 7,
+      // ONE keyed hash aggregate + output sort
+      "q107_ohlc_resample"  -> 3
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -314,7 +320,10 @@ class PlanGuardSpec extends SparkSpec {
         // inputs + coverage denominator) — the q42/q49 1-row stats shape
         "q92_zorder_layout",
         // q99's merged row is q42's own 1-row sketch × 1-row exact join
-        "q99_kmv_by_source")
+        "q99_kmv_by_source",
+        // q106's prefixSum crossJoins the 1-row collected partition-totals
+        // aggregate onto the ≤P-row totals table — q88's offset-fold shape
+        "q106_token_budget")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),

@@ -348,6 +348,41 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q106: budget admits quality-first until the token budget is spent, running totals exact") {
+    // scores: A = 1.0 (all stop), B = 0.5 (half stop), C = 0.0 (no stop);
+    // tokens A 8000, B 8000, C 100 and budget 12000 → only A fits.
+    val rows = Seq(
+      (1L, Seq.fill(8000)("the").mkString(" "), "en", "sA", 1L),
+      (2L, Seq.fill(4000)("the xx").mkString(" "), "en", "sB", 1L),
+      (3L, Seq.fill(100)("zz").mkString(" "), "en", "sC", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("q106spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TrainingOps.tokenBudgetSelect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == Seq((1L, 8000L, 8000L, true), (2L, 8000L, 16000L, false), (3L, 100L, 16100L, false)))
+  }
+
+  test("q107: OHLC picks the hour's first/last by (µs ts, event_id), volume is an exact sum") {
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, t("2024-01-01 10:00:05"), 1L, "x", 5.0, "{}"),
+      (2L, t("2024-01-01 10:30:00"), 1L, "x", 1.0, "{}"),
+      (3L, t("2024-01-01 10:45:00"), 2L, "x", 3.0, "{}"),
+      // same-microsecond tie: event_id must decide open (10) and close (11)
+      (10L, t("2024-01-01 11:00:00.000001"), 3L, "y", 7.0, "{}"),
+      (11L, t("2024-01-01 11:00:00.000001"), 3L, "y", 9.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("q107spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TimeJoins.ohlcResample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7))).toSeq
+    assert(got == Seq(
+      ("x", "2024-01-01 10", 5.0, 5.0, 1.0, 3.0, 3L, 9.0),
+      ("y", "2024-01-01 11", 7.0, 9.0, 7.0, 9.0, 2L, 16.0)))
+  }
+
   test("q94: hourly grid covers each user's span, gaps forward-fill, µs ties break by event_id") {
     def t(s: String): Timestamp = Timestamp.valueOf(s)
     // user 1: events in hours 00 and 03 → hours 01/02 are gaps carrying 2.0;
