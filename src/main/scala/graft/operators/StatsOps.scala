@@ -914,4 +914,124 @@ object StatsOps {
        |            / ((count(*) OVER (PARTITION BY source)) - 1)::DOUBLE END AS pct_source
        |FROM q79s ORDER BY doc_id""".stripMargin
   }
+
+  // --- q108: chi-square independence audit -----------------------------------
+
+  /** Chi-square independence audit of event type × hour-of-day — the
+    * statistical tripwire that answers "does behavior depend on time of
+    * day, and WHICH cells drive it?" (seasonality checks, bot-traffic
+    * hunts — a scraper hammering one event type at 4am lights up exactly
+    * one cell). Emits the full contingency table over the (type × hour)
+    * UNIVERSE — including zero cells, whose contribution is their full
+    * expectation; dropping them understates the statistic.
+    *
+    * Scale shape: ONE corpus scan collapses map-side to the ≤|types|×24
+    * count matrix (persisted — marginals derive from it, nothing
+    * re-scans); the universe is the |types|×|hours| marginal cross join —
+    * bounded by construction — and expected/contrib are per-cell codegen'd
+    * arithmetic. Determinism: counts are exact integers; `expected` and
+    * `contrib` are fixed-order double expressions ((r·c)/N, d·d/e — no
+    * `pow`, whose libm vs JVM rounding could differ), so bits match.
+    */
+  def chisqIndependence(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables
+      .events(spark, dir)
+      .select(col("event_type"), hour(col("ts")).as("hod"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowTot = m.groupBy(col("event_type")).agg(sum(col("n")).as("n_type"))
+    val colTot = m.groupBy(col("hod")).agg(sum(col("n")).as("n_hod"))
+    val tot    = m.agg(sum(col("n")).as("n_all"))
+    val diff   = col("n").cast("double") - col("expected")
+    rowTot
+      .crossJoin(broadcast(colTot))
+      .join(m, Seq("event_type", "hod"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "expected",
+        col("n_type").cast("double") * col("n_hod").cast("double") / col("n_all").cast("double"))
+      .select(
+        col("event_type"),
+        col("hod"),
+        col("n"),
+        col("n_type"),
+        col("n_hod"),
+        col("expected"),
+        (diff * diff / col("expected")).as("contrib"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
+  /** q108 oracle: same universe build (marginal cross join ← left join
+    * counts), same fixed-order arithmetic — multiplication, never `pow`.
+    */
+  val chisqIndependenceSql: String =
+    """WITH q108m AS MATERIALIZED (
+      |  SELECT event_type, hour(ts)::INTEGER AS hod, count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |q108r AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type FROM q108m GROUP BY 1),
+      |q108c AS (SELECT hod, CAST(sum(n) AS BIGINT) AS n_hod FROM q108m GROUP BY 1),
+      |q108t AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM q108m)
+      |SELECT r.event_type, c.hod, coalesce(m.n, 0)::BIGINT AS n, r.n_type, c.n_hod,
+      |  r.n_type::DOUBLE * c.n_hod::DOUBLE / t.n_all::DOUBLE AS expected,
+      |  (coalesce(m.n, 0)::DOUBLE - r.n_type::DOUBLE * c.n_hod::DOUBLE / t.n_all::DOUBLE)
+      |    * (coalesce(m.n, 0)::DOUBLE - r.n_type::DOUBLE * c.n_hod::DOUBLE / t.n_all::DOUBLE)
+      |    / (r.n_type::DOUBLE * c.n_hod::DOUBLE / t.n_all::DOUBLE) AS contrib
+      |FROM q108r r CROSS JOIN q108c c CROSS JOIN q108t t
+      |LEFT JOIN q108m m ON m.event_type = r.event_type AND m.hod = c.hod
+      |ORDER BY r.event_type, c.hod""".stripMargin
+
+  // --- q109: Pareto frontier (multi-objective selection) ---------------------
+
+  /** Pareto frontier over (length, lexical diversity): the documents no
+    * other document beats on BOTH token count and distinct-token count —
+    * multi-objective corpus selection's non-dominated set (pick exemplars
+    * without collapsing two incomparable quality axes into one weighted
+    * score). A doc is dominated iff some other doc is ≥ on both axes and
+    * strictly > on at least one.
+    *
+    * Scale shape: domination against ALL docs needs only the per-token-
+    * count max-vocab table (≤ |token-count domain| rows out of one
+    * map-side aggregate): dominated ⇔ max vocab among strictly-longer
+    * docs ≥ own vocab, OR max vocab at equal length > own vocab. The
+    * suffix max is an ordered fold over the collected domain table (the
+    * q61 idiom — no single-partition Window.orderBy), and the corpus-side
+    * cost is one broadcast hash-join probe per row. Integers only — exact.
+    */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val m = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(TextOps.toks).cast("long").as("tokens"),
+        size(array_distinct(TextOps.toks)).cast("long").as("vocab"))
+    val byTok = m.groupBy(col("tokens")).agg(max(col("vocab")).as("maxv"))
+    val suffix = byTok
+      .crossJoin(broadcast(
+        byTok.agg(collect_list(struct(col("tokens").as("t"), col("maxv").as("v"))).as("tv"))))
+      .select(
+        col("tokens"),
+        col("maxv"),
+        expr("aggregate(filter(tv, x -> x.t > tokens), -1L, (a, x) -> CASE WHEN x.v > a THEN x.v ELSE a END)")
+          .as("maxv_gt"))
+    m.join(broadcast(suffix), "tokens")
+      .filter(!(col("maxv_gt") >= col("vocab") || col("maxv") > col("vocab")))
+      .select(col("doc_id"), col("tokens"), col("vocab"))
+      .orderBy(col("tokens").desc, col("vocab").desc, col("doc_id"))
+  }
+
+  /** q109 oracle: the textbook NOT EXISTS domination anti-join — quadratic,
+    * affordable at test scale; agreement PROVES the max-vocab suffix plan
+    * computes the same frontier.
+    */
+  val paretoFrontierSql: String =
+    s"""WITH q109m AS MATERIALIZED (
+       |  SELECT doc_id, len(toks)::BIGINT AS tokens, len(list_distinct(toks))::BIGINT AS vocab
+       |  FROM (SELECT doc_id, ${TextOps.DuckToks} AS toks FROM documents))
+       |SELECT doc_id, tokens, vocab FROM q109m d
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM q109m o
+       |  WHERE o.tokens >= d.tokens AND o.vocab >= d.vocab
+       |    AND (o.tokens > d.tokens OR o.vocab > d.vocab))
+       |ORDER BY tokens DESC, vocab DESC, doc_id""".stripMargin
 }

@@ -225,7 +225,13 @@ class PlanGuardSpec extends SparkSpec {
       // twice) + output sort
       "q106_token_budget"   -> 7,
       // ONE keyed hash aggregate + output sort
-      "q107_ohlc_resample"  -> 3
+      "q107_ohlc_resample"  -> 3,
+      // one corpus matrix agg (persisted, re-printed per InMemoryTableScan)
+      // + three tiny marginal aggs + universe joins + sort
+      "q108_chisq_cells"    -> 10,
+      // one map-side (tokens → max vocab) domain agg + its collected fold
+      // (domain subtree printed twice) + broadcast probe join + sort
+      "q109_pareto_frontier" -> 6
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -323,7 +329,13 @@ class PlanGuardSpec extends SparkSpec {
         "q99_kmv_by_source",
         // q106's prefixSum crossJoins the 1-row collected partition-totals
         // aggregate onto the ≤P-row totals table — q88's offset-fold shape
-        "q106_token_budget")
+        "q106_token_budget",
+        // q108's universe is the |types|×|hours| marginal cross join plus
+        // the 1-row grand total — bounded by construction, never the corpus
+        "q108_chisq_cells",
+        // q109 crossJoins the 1-row collected token-domain aggregate onto
+        // the ≤|domain|-row table — the q61 ordered-fold idiom
+        "q109_pareto_frontier")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),

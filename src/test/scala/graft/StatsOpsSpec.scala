@@ -7,6 +7,42 @@ import graft.operators.StatsOps
 class StatsOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q108: contingency cells match hand-computed chi-square, zero cells included") {
+    def t(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    // a@10h: 3, a@11h: 1, b@11h: 2, b@10h: ZERO (must still appear).
+    // marginals: a=4, b=2; 10h=3, 11h=3; N=6 → expected a10=2, a11=2, b10=1, b11=1
+    val rows = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, t("2024-01-01 10:10:00"), 1L, "a", 1.0, "{}"),
+      (3L, t("2024-01-02 10:20:00"), 2L, "a", 1.0, "{}"),
+      (4L, t("2024-01-01 11:00:00"), 1L, "a", 1.0, "{}"),
+      (5L, t("2024-01-01 11:10:00"), 2L, "b", 1.0, "{}"),
+      (6L, t("2024-01-03 11:20:00"), 3L, "b", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("q108spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StatsOps.chisqIndependence(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == Seq(
+      ("a", 10, 3L, 2.0, 0.5), ("a", 11, 1L, 2.0, 0.5),
+      ("b", 10, 0L, 1.0, 1.0), ("b", 11, 2L, 1.0, 1.0)))
+  }
+
+  test("q109: frontier keeps exactly the non-dominated docs; ties both survive") {
+    val rows = Seq(
+      (1L, "aa bb cc dd ee", "en", "s", 1L),      // 5 tokens, vocab 5 — frontier
+      (2L, "aa aa bb bb cc", "en", "s", 1L),      // 5 tokens, vocab 3 — dominated by d1
+      (3L, "aa aa aa bb bb bb", "en", "s", 1L),   // 6 tokens, vocab 2 — frontier (longest)
+      (4L, "xx yy zz", "en", "s", 1L),            // 3 tokens, vocab 3 — dominated by d1
+      (5L, "ff gg hh ii jj", "en", "s", 1L)       // ties d1 on both axes — both stay
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("q109spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = StatsOps.paretoFrontier(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((3L, 6L, 2L), (1L, 5L, 5L), (5L, 5L, 5L)))
+  }
+
   test("q79: range-partitioned ranks equal the textbook percent_rank window exactly") {
     import org.apache.spark.sql.expressions.Window
     // Ties galore (scores repeat across sources), a dominant source, and a
