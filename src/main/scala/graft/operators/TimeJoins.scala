@@ -380,4 +380,75 @@ object TimeJoins {
       |  (sum(CAST(value AS DECIMAL(18,2))))::DOUBLE AS volume
       |FROM q107r GROUP BY event_type, hour
       |ORDER BY event_type, hour""".stripMargin
+
+  // --- q110: session path mining ---------------------------------------------
+
+  val PathLen  = 3
+  val TopPaths = 20
+
+  /** Top session paths: the most common first-[[PathLen]] event-type
+    * sequences across 30-minute-gap sessions — path mining, the
+    * clickstream companion to q103's transition matrix (q103 says which
+    * single hops are likely; this says which multi-step journeys actually
+    * happen). Sessionization is q10's exact rule (gap > 30 min on the
+    * µs-unique (ts, event_id) order) so the two operators report on the
+    * same sessions.
+    *
+    * Scale shape: two user-keyed windows (lag-gap sessionize + per-session
+    * row_number — both partition by user, nothing unpartitioned), the
+    * prefix filter drops everything past position [[PathLen]] BEFORE the
+    * path aggregate, the path string builds from a sorted in-group struct
+    * array (deterministic — never collect_list order), and the final
+    * top-[[TopPaths]] is TakeOrdered, not a global sort.
+    */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum    = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bySess = Window
+      .partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn(
+        "new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(cum))
+      .withColumn("rn", row_number().over(bySess))
+      .filter(col("rn") <= PathLen)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(collect_list(struct(col("rn"), col("event_type"))).as("steps"))
+      .select(
+        expr("array_join(transform(array_sort(steps), x -> x.event_type), '>')").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(TopPaths)
+  }
+
+  /** q110 oracle: q10's exact sessionize SQL + `string_agg(… ORDER BY rn)`
+    * prefix paths; the top-20 tie at the boundary breaks on the unique
+    * path string in both engines.
+    */
+  val sessionPathsSql: String =
+    s"""WITH q110e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |  FROM events),
+       |q110s AS (
+       |  SELECT *, CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM q110e),
+       |q110r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+       |    ORDER BY us, event_id) AS rn
+       |  FROM q110s),
+       |q110p AS (
+       |  SELECT user_id, session_id, string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM q110r WHERE rn <= $PathLen GROUP BY user_id, session_id)
+       |SELECT path, count(*)::BIGINT AS n_sessions FROM q110p GROUP BY path
+       |ORDER BY n_sessions DESC, path LIMIT $TopPaths""".stripMargin
 }

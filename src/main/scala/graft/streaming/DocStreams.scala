@@ -103,6 +103,44 @@ object DocStreams {
       .drop("bin")
   }
 
+  /** §2.E streaming budget-admission gate (twin: q106) — each incoming
+    * document judged against the MARGINAL quality cut of a corpus
+    * snapshot's greedy token-budget selection: q106 admits quality-first
+    * until the budget is spent, and the score of its last admitted
+    * document is exactly the bar a new document must clear to have made
+    * that cut. The threshold is ONE collected double (the model-gate
+    * rule: [[budgetThreshold]] runs the batch selection and takes
+    * `min(score) WHERE selected`), so the stream side is a stateless
+    * map-side projection sharing q106's scoring expression verbatim — no
+    * state, no watermark, no shuffle.
+    *
+    * Note the semantics: a budget is inherently a GLOBAL, order-dependent
+    * constraint — a stream cannot know future arrivals, so the gate
+    * applies the snapshot's marginal bar (admit-if-you'd-have-beaten-the-
+    * cut), the same calibrate-on-snapshot / apply-on-stream contract as
+    * E18's quantile gate.
+    */
+  def budgetGate(docs: DataFrame, thr: Double): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    docs
+      .select(
+        col("doc_id"),
+        col("ts"),
+        size(toks).cast("long").as("tokens"),
+        (TextOps.stopCountExpr / size(toks)).as("score"))
+      .withColumn("keep", col("score") >= lit(thr))
+  }
+
+  /** The snapshot's marginal admitted score — q106's own selection, one
+    * collected row. */
+  def budgetThreshold(spark: org.apache.spark.sql.SparkSession, dir: String): Double =
+    graft.operators.TrainingOps
+      .tokenBudgetSelect(spark, dir)
+      .filter(col("selected"))
+      .agg(min(col("score")))
+      .collect()(0)
+      .getDouble(0)
+
   /** §2.E stream-static join: incoming documents deduped against a STATIC
     * already-ingested corpus snapshot — the streaming twin of q52's exact
     * leg, and the join modality (stream ⋈ static) the rest of §2.E doesn't

@@ -231,7 +231,10 @@ class PlanGuardSpec extends SparkSpec {
       "q108_chisq_cells"    -> 10,
       // one map-side (tokens → max vocab) domain agg + its collected fold
       // (domain subtree printed twice) + broadcast probe join + sort
-      "q109_pareto_frontier" -> 6
+      "q109_pareto_frontier" -> 6,
+      // two user-keyed windows (sessionize + per-session rank share the
+      // user exchange) + path agg + count agg + TakeOrdered
+      "q110_session_paths"  -> 6
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>

@@ -520,6 +520,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("E22: streaming budget gate applies the snapshot's marginal cut, stream ≡ batch scores") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    val thr = DocStreams.budgetThreshold(spark, Sf0001)
+    // batch truth: q106's own per-doc scores on the same corpus
+    val batchScores = graft.operators.TrainingOps.tokenBudgetSelect(spark, Sf0001)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val sample = graft.core.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").orderBy($"doc_id").limit(30).collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), ts(1)))
+    val in = MemoryStream[Doc]
+    val st = DocStreams.budgetGate(in.toDF(), thr)
+    assert(st.isStreaming)
+    val q = st.writeStream.format("memory").queryName("bgate").outputMode("append").start()
+    in.addData(sample.toSeq: _*)
+    q.processAllAvailable()
+    val rows = spark.table("bgate").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"), r.getAs[Boolean]("keep")))
+    q.stop()
+    assert(rows.length == 30)
+    rows.foreach { case (id, score, keep) =>
+      assert(score == batchScores(id), s"doc $id: stream score $score vs batch ${batchScores(id)}")
+      assert(keep == (score >= thr))
+    }
+    assert(rows.exists(_._3) && rows.exists(!_._3))
+  }
+
   test("E18: streaming quantile gate matches the pure-function CDF on every doc") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -383,6 +383,28 @@ class TrainingOpsSpec extends SparkSpec {
       ("y", "2024-01-01 11", 7.0, 9.0, 7.0, 9.0, 2L, 16.0)))
   }
 
+  test("q110: paths truncate at 3 steps, split at 30-min gaps, count across users") {
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    // user 1 session 1: a>b>c>d (4 events — path truncates to a>b>c);
+    // user 1 session 2 (after a 31-min gap): a>b; user 2: a>b>c.
+    val rows = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, t("2024-01-01 10:01:00"), 1L, "b", 1.0, "{}"),
+      (3L, t("2024-01-01 10:02:00"), 1L, "c", 1.0, "{}"),
+      (4L, t("2024-01-01 10:03:00"), 1L, "d", 1.0, "{}"),
+      (5L, t("2024-01-01 10:35:00"), 1L, "a", 1.0, "{}"),
+      (6L, t("2024-01-01 10:36:00"), 1L, "b", 1.0, "{}"),
+      (7L, t("2024-01-01 09:00:00"), 2L, "a", 1.0, "{}"),
+      (8L, t("2024-01-01 09:01:00"), 2L, "b", 1.0, "{}"),
+      (9L, t("2024-01-01 09:02:00"), 2L, "c", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("q110spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TimeJoins.sessionPaths(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a>b>c", 2L), ("a>b", 1L)))
+  }
+
   test("q94: hourly grid covers each user's span, gaps forward-fill, µs ties break by event_id") {
     def t(s: String): Timestamp = Timestamp.valueOf(s)
     // user 1: events in hours 00 and 03 → hours 01/02 are gaps carrying 2.0;
