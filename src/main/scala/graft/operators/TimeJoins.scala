@@ -451,4 +451,60 @@ object TimeJoins {
        |  FROM q110r WHERE rn <= $PathLen GROUP BY user_id, session_id)
        |SELECT path, count(*)::BIGINT AS n_sessions FROM q110p GROUP BY path
        |ORDER BY n_sessions DESC, path LIMIT $TopPaths""".stripMargin
+
+  // --- q112: rolling 7-day distinct active users -----------------------------
+
+  val ActiveWindowDays = 7
+
+  /** Daily + rolling-7-day distinct active users (DAU/WAU) — the product
+    * metric every event pipeline reports, and the one naive SQL gets
+    * catastrophically wrong at scale: `count(DISTINCT user) OVER (RANGE 6
+    * days)` re-deduplicates the raw event stream once per output day.
+    *
+    * Spark-first shape: dedupe ONCE to the (user, day) grain (one keyed
+    * shuffle of the corpus — day grain ≪ events), then each active day
+    * SCATTERS to the ≤[[ActiveWindowDays]] report days it can serve
+    * (map-side `sequence()` explode of the tiny grain table), dedupe
+    * (user, report_day), and count. Every stage after the first shuffle
+    * works on |users|×|days| rows, never on raw events; the window
+    * "contains" relation becomes an equi-key, so no range join and no
+    * per-day re-scan. Report days are clamped to observed days
+    * (broadcast semi join on the ≤|days| day list).
+    */
+  def rollingActives(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dau = daily.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val wau = daily
+      .select(
+        col("user_id"),
+        explode(expr(s"sequence(day, date_add(day, ${ActiveWindowDays - 1}))")).as("day"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active_7d"))
+    dau
+      .join(wau, Seq("day")) // inner: every observed day has both legs
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_active"),
+        col("n_active_7d"))
+      .orderBy(col("day"))
+  }
+
+  /** q112 oracle: the textbook range-join spelling — observed days × the
+    * deduped day grain with `BETWEEN d-6 AND d` — quadratic in days but
+    * independent of the scatter plan; agreement proves the equi-key
+    * rewrite computes the same windowed distinct counts.
+    */
+  val rollingActivesSql: String =
+    s"""WITH q112d AS MATERIALIZED (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+       |q112dau AS (SELECT day, count(*)::BIGINT AS n_active FROM q112d GROUP BY day)
+       |SELECT strftime(dd.day, '%Y-%m-%d') AS day, dd.n_active,
+       |  (SELECT count(DISTINCT da.user_id) FROM q112d da
+       |   WHERE da.day BETWEEN dd.day - ${ActiveWindowDays - 1} AND dd.day)::BIGINT AS n_active_7d
+       |FROM q112dau dd
+       |ORDER BY day""".stripMargin
 }

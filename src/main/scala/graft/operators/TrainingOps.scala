@@ -1252,4 +1252,94 @@ object TrainingOps {
        |  (cum_tokens <= $SelectBudget) AS selected
        |FROM q106c ORDER BY cum_tokens""".stripMargin
   }
+
+  // --- q111: AMS/F2 second-moment sketch (join-size estimation) -------------
+
+  val AmsS = 16
+
+  /** AMS (Alon–Matias–Szegedy) second-moment sketch over `l_orderkey`:
+    * [[AmsS]] ±1-signed counters whose squared sums estimate
+    * F2 = Σ f_v² — the self-join size, the quantity every cost-based
+    * optimizer wants before picking a join strategy and every dedup
+    * pipeline wants as a skew early-warning (F2 ≫ N means hot keys).
+    * Reported next to the EXACT F2 so the output doubles as a calibration
+    * table for the sketch itself (q42/q44/q63 report their sketches the
+    * same way).
+    *
+    * Signs come from bits 0..15 of one xxhash64 per row — one hash, not
+    * [[AmsS]] (the textbook trades a little cross-estimator independence
+    * for 16× less hashing; at 100 TB the hash IS the cost). Sketch state
+    * is [[AmsS]] longs regardless of corpus size, folded map-side in ONE
+    * scan with no shuffle; the exact-F2 leg is the only keyed shuffle and
+    * exists purely to grade the estimate.
+    *
+    * Determinism: counters and squares are exact integers (|z| ≤ N, z² ≤
+    * N² < 2⁶³ at any tested SF); the estimate divides by 16 — a power of
+    * two, exact in IEEE — and `rel_err` rounds at 6 dp.
+    */
+  def amsF2(spark: SparkSession, dir: String): DataFrame = {
+    val hs = Tables.lineitem(spark, dir).select(col("l_orderkey"), xxhash64(col("l_orderkey")).as("h"))
+    val signCols = (0 until AmsS).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, lit(-1L)).otherwise(lit(1L))).as(s"z$i")
+    }
+    val sketch = hs
+      .agg(signCols.head, signCols.tail :+ count(lit(1)).as("n_rows"): _*)
+      // the estimate folds on the 1-row sketch itself — integer sum of 16
+      // squares, then one exact ÷2⁴ — so no window ever touches the output
+      .withColumn(
+        "f2_est",
+        (0 until AmsS).map(i => col(s"z$i") * col(s"z$i")).reduce(_ + _).cast("double") / lit(AmsS.toDouble))
+    val exact = hs
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).as("f2_exact"))
+    // per-estimator rows out of the 1-row sketch: bounded explode, and the
+    // 1×1 crossJoin against the exact leg is two aggregates by construction
+    sketch
+      .select(
+        col("n_rows"),
+        col("f2_est"),
+        explode(array((0 until AmsS).map(i => struct(lit(i).as("est_id"), col(s"z$i").as("z"))): _*)).as("e"))
+      .crossJoin(exact)
+      .select(
+        col("e.est_id").as("est_id"),
+        col("e.z").as("z"),
+        (col("e.z") * col("e.z")).as("z2"),
+        col("n_rows"),
+        col("f2_exact"),
+        col("f2_est"),
+        round(col("f2_est") / col("f2_exact").cast("double") - 1, 6).as("rel_err"))
+      .orderBy(col("est_id"))
+  }
+
+  /** q111 oracle: [[graft.functions.DuckHash]] re-derives the per-row
+    * xxhash64 bit-exactly; bit i extracts as `(h // 2^i) % 2` on the
+    * unsigned HUGEINT (identical to the signed long's low bits).
+    */
+  lazy val amsF2Sql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q111in" -> "(SELECT l_orderkey, l_orderkey::HUGEINT AS l FROM lineitem)"
+    )
+    val ch = new SqlChain("q111h", "q111in", Seq("l_orderkey", "l"))
+    hashLongLevels(ch, toUnsigned("l"), "42", "h")
+    ctes ++= ch.ctes
+    val zs = (0 until AmsS)
+      .map(i =>
+        s"CAST(sum(CASE WHEN (h // ${java.math.BigInteger.TWO.pow(i)}) % 2 = 1 THEN -1 ELSE 1 END) AS BIGINT) AS z$i")
+      .mkString(", ")
+    val estRows = (0 until AmsS).map(i => s"SELECT $i AS est_id, z$i AS z FROM q111sk").mkString(" UNION ALL ")
+    val z2sum   = (0 until AmsS).map(i => s"z$i * z$i").mkString(" + ")
+    assemble(
+      ctes.toSeq ++ Seq(
+        "q111sk" -> s"(SELECT *, ($z2sum)::DOUBLE / $AmsS AS f2_est FROM (SELECT $zs, count(*)::BIGINT AS n_rows FROM ${ch.last}))",
+        "q111f2" -> "(SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM (SELECT count(*)::BIGINT AS f FROM lineitem GROUP BY l_orderkey))",
+        "q111e"  -> s"($estRows)"
+      ),
+      s"""SELECT est_id, z, z * z AS z2, n_rows, f2_exact, f2_est,
+         |  round(f2_est / f2_exact::DOUBLE - 1, 6) AS rel_err
+         |FROM q111e CROSS JOIN q111sk CROSS JOIN q111f2
+         |ORDER BY est_id""".stripMargin
+    )
+  }
 }

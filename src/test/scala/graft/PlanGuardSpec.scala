@@ -234,7 +234,13 @@ class PlanGuardSpec extends SparkSpec {
       "q109_pareto_frontier" -> 6,
       // two user-keyed windows (sessionize + per-session rank share the
       // user exchange) + path agg + count agg + TakeOrdered
-      "q110_session_paths"  -> 6
+      "q110_session_paths"  -> 6,
+      // map-side sign fold (1-row sketch, no shuffle beyond its single-
+      // partition agg) + the exact-F2 keyed groupBy leg + 1×1 cross join
+      "q111_ams_f2"         -> 6,
+      // (user, day) dedupe + DAU count + scatter dedupe + WAU count + the
+      // day-keyed join + sort — all on the day grain after one corpus pass
+      "q112_rolling_actives" -> 7
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -338,7 +344,10 @@ class PlanGuardSpec extends SparkSpec {
         "q108_chisq_cells",
         // q109 crossJoins the 1-row collected token-domain aggregate onto
         // the ≤|domain|-row table — the q61 ordered-fold idiom
-        "q109_pareto_frontier")
+        "q109_pareto_frontier",
+        // q111 joins the 16-row exploded sketch against the 1-row exact-F2
+        // aggregate — q42's sketch×exact shape
+        "q111_ams_f2")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),

@@ -119,6 +119,32 @@ class TrainingOpsSpec extends SparkSpec {
     assert(math.abs(est / exact - 1) < 0.2, s"est $est vs exact $exact")
   }
 
+  test("q111: AMS counters recompute from raw signs, estimate brackets exact F2") {
+    val rows = TrainingOps.amsF2(spark, Sf0001).collect()
+    assert(rows.length == TrainingOps.AmsS)
+    assert(rows.map(_.getAs[Int]("est_id")).toSeq == (0 until TrainingOps.AmsS))
+    val nRows   = rows.head.getAs[Long]("n_rows")
+    val f2Exact = rows.head.getAs[Long]("f2_exact")
+    val f2Est   = rows.head.getAs[Double]("f2_est")
+    // recompute every counter from the raw rows — the sketch must equal the
+    // brute-force fold, bit for bit
+    val hs = graft.core.Tables.lineitem(spark, Sf0001)
+      .select(org.apache.spark.sql.functions.xxhash64($"l_orderkey").as("h"))
+      .collect().map(_.getLong(0))
+    assert(nRows == hs.length)
+    rows.foreach { r =>
+      val i = r.getAs[Int]("est_id")
+      val z = hs.map(h => if ((h & (1L << i)) != 0L) -1L else 1L).sum
+      assert(r.getAs[Long]("z") == z, s"estimator $i")
+      assert(r.getAs[Long]("z2") == z * z)
+    }
+    assert(f2Est == rows.map(_.getAs[Long]("z2")).sum.toDouble / TrainingOps.AmsS)
+    // E[est] = F2; with 16 estimators the estimate should land well within
+    // 2/sqrt(16) = 50% relative error on this distribution
+    assert(math.abs(f2Est / f2Exact - 1) < 0.5, s"est $f2Est vs exact $f2Exact")
+    assert(f2Exact >= nRows) // F2 ≥ N always (Cauchy–Schwarz at f_v ≥ 1)
+  }
+
   test("q44: count-min estimates dominate exact counts and match on top terms") {
     val rows = TrainingOps.countMinTopTerms(spark, Sf0001).collect()
     assert(rows.length == graft.operators.TextOps.TopTerms)
@@ -403,6 +429,34 @@ class TrainingOpsSpec extends SparkSpec {
     val got = TimeJoins.sessionPaths(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("a>b>c", 2L), ("a>b", 1L)))
+  }
+
+  test("q112: rolling 7-day actives equal the brute-force window count on every day") {
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    // user 1 active days 1,2,9; user 2 active days 1,5; user 3 active day 8
+    // (duplicate events within a day must not double-count)
+    val rows = Seq(
+      (1L, t("2024-03-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, t("2024-03-01 11:00:00"), 1L, "b", 1.0, "{}"),
+      (3L, t("2024-03-02 10:00:00"), 1L, "a", 1.0, "{}"),
+      (4L, t("2024-03-09 10:00:00"), 1L, "a", 1.0, "{}"),
+      (5L, t("2024-03-01 09:00:00"), 2L, "a", 1.0, "{}"),
+      (6L, t("2024-03-05 09:00:00"), 2L, "a", 1.0, "{}"),
+      (7L, t("2024-03-08 09:00:00"), 3L, "a", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("q112spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TimeJoins.rollingActives(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val active = Map(1L -> Set(1, 2, 9), 2L -> Set(1, 5), 3L -> Set(8))
+    val days   = active.values.flatten.toSet.toSeq.sorted
+    val want = days.map { d =>
+      val win = (d - 6) to d
+      (f"2024-03-$d%02d",
+        active.count { case (_, ds) => ds.contains(d) }.toLong,
+        active.count { case (_, ds) => ds.exists(win.contains) }.toLong)
+    }
+    assert(got == want)
   }
 
   test("q94: hourly grid covers each user's span, gaps forward-fill, µs ties break by event_id") {
