@@ -507,4 +507,78 @@ object TimeJoins {
        |   WHERE da.day BETWEEN dd.day - ${ActiveWindowDays - 1} AND dd.day)::BIGINT AS n_active_7d
        |FROM q112dau dd
        |ORDER BY day""".stripMargin
+
+  // --- q113: EWMA trend smoothing over hourly volume -------------------------
+
+  val EwmaK = 8
+
+  /** Exponentially-weighted moving average of hourly event volume per
+    * type, with the per-bucket deviation — trend smoothing + drift
+    * flagging for pipeline telemetry (ingest-volume anomaly pages run on
+    * exactly this). The kernel is FINITE: weights ½^k over the last
+    * [[EwmaK]] observed buckets, renormalized over the lags that exist —
+    * the infinite-history recurrence is not expressible as a distributed
+    * one-pass without sequential state, and a ½⁸-tailed kernel is within
+    * 0.4 % of it while staying a pure window projection.
+    *
+    * Scale shape: ONE keyed aggregate to the (type, hour) grain (volume
+    * sums exact DECIMAL — q107's associativity rule), then [[EwmaK]]−1
+    * `lag`s over ONE type-keyed window pass; everything downstream of the
+    * first shuffle works on the bucket grain. Determinism: 2-dp decimal
+    * volumes are IEEE-exact doubles, weights are powers of two, and the
+    * weighted sum folds in one fixed textual order in both engines.
+    */
+  def ewmaTrend(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables
+      .events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"), col("value"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("vol"))
+      .select(col("event_type"), col("hour"), col("vol").cast("double").as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val lagged = (1 until EwmaK).foldLeft(hourly)((df, k) => df.withColumn(s"x$k", lag(col("x"), k).over(w)))
+    val terms = (0 until EwmaK).map { k =>
+      val xk = if (k == 0) col("x") else col(s"x$k")
+      val wk = lit(math.pow(0.5, k)) // exact powers of two
+      (when(xk.isNotNull, xk * wk).otherwise(lit(0.0)), when(xk.isNotNull, wk).otherwise(lit(0.0)))
+    }
+    val num  = terms.map(_._1).reduce(_ + _)
+    val den  = terms.map(_._2).reduce(_ + _)
+    val ewma = num / den
+    lagged
+      .select(
+        col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH").as("hour"),
+        col("x").as("volume"),
+        round(ewma, 6).as("ewma"),
+        round(col("x") - ewma, 6).as("dev"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** q113 oracle: identical lag spelling — the weighted sum is written in
+    * the same left-fold order (k = 0…7) so the IEEE additions match
+    * bitwise before the 6-dp round.
+    */
+  val ewmaTrendSql: String = {
+    val lags = (1 until EwmaK).map(k => s"lag(x, $k) OVER w AS x$k").mkString(", ")
+    def xk(k: Int) = if (k == 0) "x" else s"x$k"
+    val num = (0 until EwmaK)
+      .map(k => s"(CASE WHEN ${xk(k)} IS NOT NULL THEN ${xk(k)} * ${math.pow(0.5, k)} ELSE 0.0 END)")
+      .mkString(" + ")
+    val den = (0 until EwmaK)
+      .map(k => s"(CASE WHEN ${xk(k)} IS NOT NULL THEN ${math.pow(0.5, k)}::DOUBLE ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""WITH q113h AS MATERIALIZED (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour,
+       |    (sum(CAST(value AS DECIMAL(18,2))))::DOUBLE AS x
+       |  FROM events GROUP BY 1, 2),
+       |q113l AS (
+       |  SELECT *, $lags
+       |  FROM q113h WINDOW w AS (PARTITION BY event_type ORDER BY hour))
+       |SELECT event_type, strftime(hour, '%Y-%m-%d %H') AS hour, x AS volume,
+       |  round(($num) / ($den), 6) AS ewma,
+       |  round(x - ($num) / ($den), 6) AS dev
+       |FROM q113l
+       |ORDER BY event_type, hour""".stripMargin
+  }
 }

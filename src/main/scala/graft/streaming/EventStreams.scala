@@ -272,4 +272,54 @@ object EventStreams {
         col("col.v").as("value"),
         (col("pos") + 1).cast("int").as("rk"))
   }
+
+  case class TransState(lastTsUs: Long, lastEid: Long, lastType: String)
+  case class Transition(user_id: Long, cur: String, nxt: String)
+
+  /** E23: streaming transition emission — the q103 twin. Per-user state is
+    * ONE row (the last event's type + its (ts µs, event_id) order key);
+    * each arriving event emits the (previous → current) hop and replaces
+    * the state, so the downstream `groupBy(cur, nxt).count` IS q103's
+    * transition matrix, maintained incrementally instead of re-scanning
+    * history. Event-time timeout (2× the watermark past the last event,
+    * clamped above the watermark — E2's rule) evicts idle users, so state
+    * is bounded by ACTIVE users, not users ever seen.
+    *
+    * In-order contract (E21's): within a micro-batch events fold in
+    * (ts µs, event_id) order, so intra-batch arrival order can't affect
+    * the hops; an event older than the stored state's order key is late
+    * beyond the sort and drops (the watermark bounds how much can be) —
+    * batch q103 stays the replay-correct authority.
+    */
+  def transitionStream(events: Dataset[Ev], watermarkDur: String = "2 hours"): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDur)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[TransState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+            var st     = state.getOption
+            val out    = ListBuffer.empty[Transition]
+            sorted.foreach { e =>
+              val (us, eid) = (tsUs(e.ts), e.event_id)
+              val late = st.exists(s => s.lastTsUs > us || (s.lastTsUs == us && s.lastEid >= eid))
+              if (!late) {
+                st.foreach(s => out += Transition(uid, s.lastType, e.event_type))
+                st = Some(TransState(us, eid, e.event_type))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(s.lastTsUs / 1000 + 2 * 7200000L, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
 }

@@ -240,7 +240,10 @@ class PlanGuardSpec extends SparkSpec {
       "q111_ams_f2"         -> 6,
       // (user, day) dedupe + DAU count + scatter dedupe + WAU count + the
       // day-keyed join + sort — all on the day grain after one corpus pass
-      "q112_rolling_actives" -> 7
+      "q112_rolling_actives" -> 7,
+      // corpus agg keyed (type, hour) — wide on purpose; the type-keyed
+      // window re-shuffles only the bucket grain — + the output sort
+      "q113_ewma_trend"     -> 4
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>

@@ -161,6 +161,38 @@ class StreamingSpec extends SparkSpec {
     assert(finalBySession == Map(1L -> 3, 2L -> 1))
   }
 
+  test("E23: streaming transitions across batches equal batch q103's hop counts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // two users, events split across three micro-batches, second batch
+    // delivered out of order within the batch (the sort rule must fix it)
+    val evs = Seq(
+      Ev(1, 7, ts(0), "a", 0), Ev(2, 7, ts(10), "b", 0),
+      Ev(3, 8, ts(5), "a", 0),
+      Ev(5, 7, ts(30), "a", 0), Ev(4, 7, ts(20), "c", 0), // out of order in-batch
+      Ev(6, 8, ts(25), "b", 0),
+      Ev(7, 8, ts(40), "b", 0))
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .transitionStream(in.toDS())
+      .writeStream.format("memory").queryName("trans").outputMode("append").start()
+    in.addData(evs(0), evs(1), evs(2)); q.processAllAvailable()
+    in.addData(evs(3), evs(4), evs(5)); q.processAllAvailable()
+    in.addData(evs(6)); q.processAllAvailable()
+    val got = spark.table("trans").collect()
+      .map(r => (r.getAs[String]("cur"), r.getAs[String]("nxt")))
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    q.stop()
+    // batch truth: q103 on the same events written as a table
+    val dir = java.nio.file.Files.createTempDirectory("e23spec").toString
+    evs.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val want = graft.operators.TimeJoins.markovTransitions(spark, dir).collect()
+      .map(r => ((r.getAs[String]("cur"), r.getAs[String]("nxt")), r.getAs[Long]("n"))).toMap
+    assert(got == want, s"stream $got vs batch $want")
+  }
+
   test("E4: file-source stream over the events parquet (readStream path)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file source wants a directory; stage the single parquet file into one

@@ -459,6 +459,34 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q113: EWMA renormalizes over present lags and matches a brute-force kernel") {
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    // type "a": hourly volumes 1, 2, 4 in consecutive observed buckets
+    // (hour 2 skipped — lag semantics are over OBSERVED buckets);
+    // type "b": single bucket (EWMA of one point is the point itself)
+    val rows = Seq(
+      (1L, t("2024-01-01 00:10:00"), 1L, "a", 1.0, "{}"),
+      (2L, t("2024-01-01 01:10:00"), 1L, "a", 2.0, "{}"),
+      (3L, t("2024-01-01 03:10:00"), 1L, "a", 4.0, "{}"),
+      (4L, t("2024-01-01 00:30:00"), 2L, "b", 7.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("q113spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TimeJoins.ewmaTrend(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    def ew(xs: Seq[Double]): Double = { // xs newest-first
+      val num = xs.zipWithIndex.map { case (x, k) => x * math.pow(0.5, k) }.sum
+      val den = xs.indices.map(k => math.pow(0.5, k)).sum
+      math.rint(num / den * 1e6) / 1e6
+    }
+    val want = Seq(
+      ("a", "2024-01-01 00", 1.0, ew(Seq(1.0)), 0.0),
+      ("a", "2024-01-01 01", 2.0, ew(Seq(2.0, 1.0)), math.rint((2.0 - 5.0 / 3.0) * 1e6) / 1e6),
+      ("a", "2024-01-01 03", 4.0, ew(Seq(4.0, 2.0, 1.0)), math.rint((4.0 - 21.0 / 7.0) * 1e6) / 1e6),
+      ("b", "2024-01-01 00", 7.0, 7.0, 0.0))
+    assert(got == want)
+  }
+
   test("q94: hourly grid covers each user's span, gaps forward-fill, µs ties break by event_id") {
     def t(s: String): Timestamp = Timestamp.valueOf(s)
     // user 1: events in hours 00 and 03 → hours 01/02 are gaps carrying 2.0;
