@@ -1,0 +1,110 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.CacheScope
+
+/** Session-shared materialized stages for the dedup / dup-graph family.
+  *
+  * q25/q27/q33/q47/q52/q56/q78/q84/q87/q96/q97/q104 all derive from the
+  * same three intermediates — the shingle table, the MinHash-LSH candidate
+  * edge list, and the verified (exact-Jaccard ≥ 0.9) pair list — and the
+  * cluster queries additionally share the star-contraction labels. Spark
+  * does not reuse unshuffled common subplans across separate queries, so
+  * without sharing each query re-runs the whole LSH+verify pipeline
+  * (the r4 bench measured q56 at 5.4 s re-deriving what q47 had just
+  * computed). Each stage is built ONCE per (session, dir), eagerly
+  * `localCheckpoint`'d (truncated lineage, MEMORY_AND_DISK blocks), and
+  * pinned in [[CacheScope]] so per-query [[CacheScope.drain]] leaves it
+  * alive; [[release]] frees everything when the family is done.
+  *
+  * Scale posture: every pinned stage is at most corpus-LINEAR (shingle
+  * arrays) and the graph stages are bounded by the corpus dup rate —
+  * these are exactly the working sets a 100 TB dedup campaign would keep
+  * on cluster storage for its duration, with an explicit release at the
+  * end. Nothing here changes values: stages are the same expression
+  * trees the queries inlined before, so driver hashes are unchanged.
+  */
+object SharedStages {
+
+  /** (sessionUUID, dir, stage) → pinned checkpointed DataFrame. */
+  private val memo = mutable.Map[(String, String, String), DataFrame]()
+
+  /** stage name → build count, a spec hook proving single-build sharing. */
+  private val builds = mutable.Map[String, Int]().withDefaultValue(0)
+
+  private def stage(spark: SparkSession, dir: String, name: String)(
+      build: => DataFrame
+  ): DataFrame = synchronized {
+    memo.getOrElseUpdate(
+      (spark.sessionUUID, dir, name), {
+        builds(name) += 1
+        CacheScope.pinCheckpoint(build)
+      })
+  }
+
+  /** doc_id + distinct 3-token shingle arrays — the root working set of
+    * the whole fuzzy-dedup family (feeds signatures, candidate
+    * generation, and both exact-verify join sides).
+    */
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "shingles")(TextOps.shingledPlan(spark, dir))
+
+  /** q25's MinHash-LSH candidate pairs (doc_a < doc_b), unordered — the
+    * recall-oriented edge set consumed by q78's components, q97's
+    * PageRank, q104's triangles, and q96's edit-distance verify.
+    */
+  def minhashEdges(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "minhashEdges")(
+      TextOps.minhashLshFrom(shingles(spark, dir)))
+
+  /** Exact-Jaccard-verified near-dup pairs at the 0.9 cut
+    * (doc_a, doc_b, jaccard rounded to 4dp) — q27's pairs, consumed by
+    * q33/q100's victim sets, q47/q56's components, q52's verdicts and
+    * q87's leakage matrix.
+    */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "jaccardPairs")(
+      TextOps.verifyJaccard(
+        minhashEdges(spark, dir),
+        shingles(spark, dir),
+        TextOps.JaccardThreshold))
+
+  /** Star-contraction component labels (node, lbl) over the VERIFIED
+    * pair graph — q47/q56's cluster assignment.
+    */
+  def dupLabels(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "dupLabels") {
+      val edges = jaccardPairs(spark, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      CurationOps.starContract(edges)._1
+    }
+
+  /** Star-contraction component labels over the CANDIDATE edge graph —
+    * q78's recall-oriented cluster assignment.
+    */
+  def fuzzyLabels(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "fuzzyLabels") {
+      val edges = minhashEdges(spark, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      CurationOps.starContract(edges)._1
+    }
+
+  /** How many times `name` was built since JVM start — specs assert this
+    * stays at 1 across the queries that share the stage.
+    */
+  def buildCount(name: String): Int = synchronized(builds(name))
+
+  /** Drop every memoized stage and free its pinned blocks. After this,
+    * the next stage call re-derives from the source tables — required
+    * between layout-invariance probe runs, and the end-of-campaign hook
+    * for a production session.
+    */
+  def release(spark: SparkSession): Unit = synchronized {
+    memo.clear()
+    CacheScope.releasePinned(spark)
+  }
+}

@@ -501,8 +501,12 @@ object TextOps {
       "array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
     )
 
-  /** doc_id + distinct 3-token shingles (docs shorter than 3 tokens drop out). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  /** doc_id + distinct 3-token shingles (docs shorter than 3 tokens drop
+    * out) — the RAW plan. Operators consume the session-shared
+    * materialization [[SharedStages.shingles]] instead, so the corpus is
+    * tokenized+shingled once per session, not once per query.
+    */
+  private[operators] def shingledPlan(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -549,10 +553,10 @@ object TextOps {
     sh.withColumn("sigs", minhashSigsArray).select(col("doc_id") +: minhashSigCols: _*)
 
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    minhashSigsFrom(shingled(spark, dir))
+    minhashSigsFrom(SharedStages.shingles(spark, dir))
 
   /** LSH candidate pairs from a shingle DataFrame (unordered). */
-  private def minhashLshFrom(sh: DataFrame): DataFrame = {
+  private[operators] def minhashLshFrom(sh: DataFrame): DataFrame = {
     val bands = minhashSigsFrom(sh)
       .select(col("doc_id"), explode(bandArray).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
@@ -560,15 +564,15 @@ object TextOps {
   }
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    minhashLshFrom(shingled(spark, dir))
+    SharedStages.minhashEdges(spark, dir)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** q25's candidate pairs without the presentation sort — the edge feed
     * for q78's fuzzy-dedup components (the sort would be a wasted global
-    * exchange right before a `localCheckpoint`).
+    * exchange on an already-materialized shared stage).
     */
   private[operators] def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame =
-    minhashLshFrom(shingled(spark, dir))
+    SharedStages.minhashEdges(spark, dir)
 
   /** DuckDB oracle reproducing the ENTIRE MinHash-LSH pipeline bit-for-bit —
     * Spark's `xxhash64` (seed-42 string hash, int chaining for permutations,
@@ -740,14 +744,14 @@ object TextOps {
     */
   val JaccardThreshold = 0.9
 
-  /** Exact Jaccard over LSH candidates. The shingle stage is persisted and
-    * feeds candidate generation AND both verification join sides, so the
-    * corpus is tokenized+shingled ONCE per session (Spark does not reuse
-    * unshuffled common subplans on its own). The cache is (doc_id, distinct
-    * shingle arrays) — linear in corpus size, MEMORY_AND_DISK so executors
-    * spill rather than OOM at scale. Spark's CacheManager dedupes by
-    * canonicalized plan, so q27 and q33 (which composes this) share one
-    * materialization.
+  /** Exact Jaccard over LSH candidates. The shingle stage feeds candidate
+    * generation AND both verification join sides; at the production 0.9
+    * cut both it and the verified pair list are session-shared
+    * materializations ([[SharedStages]]) — the corpus is
+    * tokenized+shingled ONCE per session and the LSH+verify pipeline runs
+    * ONCE for q27/q33/q47/q52/q56/q87 combined. The shared blocks are
+    * (doc_id, distinct shingle arrays) — linear in corpus size,
+    * MEMORY_AND_DISK so executors spill rather than OOM at scale.
     */
   def ngramJaccard(
       spark: SparkSession,
@@ -756,19 +760,14 @@ object TextOps {
   ): DataFrame =
     ngramJaccardPairs(spark, dir, minJaccard).orderBy(col("doc_a"), col("doc_b"))
 
-  /** [[ngramJaccard]] without the presentation sort — for consumers that
-    * re-shuffle the pairs anyway (q33's victim join, q47's label
-    * propagation, q52's verdict classification): a range exchange feeding a
-    * hash exchange is pure waste.
+  /** The LSH-candidates → exact-Jaccard verify join, parameterized by the
+    * candidate and shingle inputs so the session-shared stages plug in.
     */
-  private[graft] def ngramJaccardPairs(
-      spark: SparkSession,
-      dir: String,
-      minJaccard: Double = JaccardThreshold
-  ): DataFrame = {
-    val sh = shingled(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = minhashLshFrom(sh)
+  private[operators] def verifyJaccard(
+      cands: DataFrame,
+      sh: DataFrame,
+      minJaccard: Double
+  ): DataFrame =
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -779,7 +778,24 @@ object TextOps {
       )
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
+
+  /** [[ngramJaccard]] without the presentation sort — for consumers that
+    * re-shuffle the pairs anyway (q33's victim join, q47's label
+    * propagation, q52's verdict classification): a range exchange feeding a
+    * hash exchange is pure waste. At the default threshold this IS the
+    * shared verified-pair stage; a non-default cut builds fresh with
+    * scope-tracked caching.
+    */
+  private[graft] def ngramJaccardPairs(
+      spark: SparkSession,
+      dir: String,
+      minJaccard: Double = JaccardThreshold
+  ): DataFrame =
+    if (minJaccard == JaccardThreshold) SharedStages.jaccardPairs(spark, dir)
+    else {
+      val sh = graft.core.CacheScope.persist(shingledPlan(spark, dir))
+      verifyJaccard(minhashLshFrom(sh), sh, minJaccard)
+    }
 
   /** DuckDB oracle: exact ALL-PAIRS 3-gram Jaccard at the 0.9 cut — no LSH,
     * no hashing — so a hash-match proves the LSH path loses nothing at the
@@ -824,7 +840,7 @@ object TextOps {
     * corpus-wide — it IS the system under test.
     */
   def lshQuality(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).persist()
+    val sh = SharedStages.shingles(spark, dir)
     val sample = sh
       .withColumn("h", xxhash64(col("doc_id")))
       .orderBy(col("h"), col("doc_id"))
@@ -840,15 +856,15 @@ object TextOps {
         size(array_intersect(col("sh_a"), col("sh_b"))) /
           size(array_union(col("sh_a"), col("sh_b"))))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    val cands = minhashLshFrom(sh).withColumn("in_cand", lit(true))
+    val cands = SharedStages.minhashEdges(spark, dir).withColumn("in_cand", lit(true))
     // bounded: ≤ sample²/2 pairs → ≤ that many distinct jaccard values
-    val byJac = truth
-      .join(cands, Seq("doc_a", "doc_b"), "left")
-      .groupBy(col("jaccard"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(when(col("in_cand"), 1L).otherwise(0L)).as("nc"))
-      .persist()
+    val byJac = graft.core.CacheScope.persist(
+      truth
+        .join(cands, Seq("doc_a", "doc_b"), "left")
+        .groupBy(col("jaccard"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("in_cand"), 1L).otherwise(0L)).as("nc")))
     val nCand = byJac.agg(sum(col("nc")).as("n_cand"))
     val th = spark.range(5).select((expr("array(0.5D, 0.6D, 0.7D, 0.8D, 0.9D)")(col("id"))).as("threshold"))
     th.join(broadcast(byJac), col("jaccard") >= col("threshold"), "left")
@@ -930,13 +946,21 @@ object TextOps {
     *
     * Scale shape: the O(len²)-per-pair DP runs strictly AFTER candidate
     * pruning, so its cost is bounded by the LSH candidate count (linear in
-    * true dups, q25's cap rules) — the tiered-verify pattern. Two
-    * doc-keyed joins fetch the texts; `levenshtein` is Spark's codegen'd
-    * builtin. Distances are integers and both engines implement the
-    * classic unit-cost DP, so the oracle is exact.
+    * true dups, q25's cap rules) — the tiered-verify pattern. The
+    * candidate set is the session-shared [[SharedStages.minhashEdges]]
+    * stage (r4's 4.1 s was dominated by re-deriving it); two doc-keyed
+    * joins fetch the texts; `levenshtein` is Spark's codegen'd builtin
+    * and the DP runs ONCE per pair (`lev` and `sim` both read the same
+    * projected distance — a naive twin expression would double the only
+    * quadratic term in the query). A length-difference gate would be free
+    * here but cannot fire without changing values: the output is every
+    * candidate pair WITH its exact distance, so any row the gate could
+    * skip is a row the operator must still emit — the DP cost is already
+    * output-bounded. Distances are integers and both engines implement
+    * the classic unit-cost DP, so the oracle is exact.
     */
   def editVerify(spark: SparkSession, dir: String): DataFrame = {
-    val cands = minhashLshFrom(shingled(spark, dir))
+    val cands = SharedStages.minhashEdges(spark, dir)
     cands
       .join(docs(spark, dir).select(col("doc_id").as("doc_a"), col("text").as("txt_a")), "doc_a")
       .join(docs(spark, dir).select(col("doc_id").as("doc_b"), col("text").as("txt_b")), "doc_b")
@@ -944,10 +968,12 @@ object TextOps {
         col("doc_a"),
         col("doc_b"),
         levenshtein(col("txt_a"), col("txt_b")).cast("long").as("lev"),
-        round(
-          lit(1.0) - levenshtein(col("txt_a"), col("txt_b")).cast("double") /
-            greatest(length(col("txt_a")), length(col("txt_b"))).cast("double"),
-          6).as("sim"))
+        greatest(length(col("txt_a")), length(col("txt_b"))).cast("double").as("mx"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("lev"),
+        round(lit(1.0) - col("lev").cast("double") / col("mx"), 6).as("sim"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1010,18 +1036,17 @@ object TextOps {
       dir: String,
       minJaccard: Double = PrefixJoinThreshold
   ): DataFrame = {
-    val dt = shingled(spark, dir)
+    val dt = SharedStages.shingles(spark, dir)
       .select(col("doc_id"), explode(expr("array_distinct(transform(shingles, s -> xxhash64(s)))")).as("tok"))
     val dfreq = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // persisted: read by the prefix self-join (twice) and both verify
+    // scope-cached: read by the prefix self-join (twice) and both verify
     // joins — the q27 shared-stage rule, one derivation not four
-    val arr = dt
-      .join(dfreq, "tok")
-      .groupBy(col("doc_id"))
-      .agg(
-        expr("transform(sort_array(collect_list(struct(df, tok))), s -> s.tok)").as("ts"),
-        count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val arr = graft.core.CacheScope.persist(
+      dt.join(dfreq, "tok")
+        .groupBy(col("doc_id"))
+        .agg(
+          expr("transform(sort_array(collect_list(struct(df, tok))), s -> s.tok)").as("ts"),
+          count(lit(1)).as("n")))
     // ⌈0.5·n⌉ = (n + 1) div 2 — exact integer math (the q80 rule)
     val pref = arr
       .withColumn("plen", col("n") - expr("(n + 1) div 2") + lit(1L))
