@@ -58,16 +58,33 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             None
+        } finally {
+          // Per-query cache lifecycle: free this query's persisted stages
+          // after every run (each timed run pays its own cache builds);
+          // pinned session-shared stages (SharedStages) survive.
+          graft.core.CacheScope.drain(spark)
         }
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    graft.operators.SharedStages.release(spark)
+    // The driver stores only the LAST 2000 chars of stdout (and sbt's own
+    // `[success]` epilogue eats ~90 of them), so the whole JSON line must
+    // fit in ~1900 chars or the per-query map gets front-truncated and the
+    // driver's parse fails (r3/r4 both shipped `parsed: null`). Shorten
+    // per-query keys to their unique `qNN` prefix (full names live in
+    // CORRECTNESS_r*.json) and print the full-name map to stderr for
+    // local runs.
     val total = results.map(_._2).filter(_ >= 0).sum
+    def fmt(v: Double): String = f"$v%.2f"
+    val short = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+    val qs = short
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    System.err.println(
+      results.map { case (k, v) => s"$k=${fmt(v)}" }.mkString("[bench-full] ", " ", ""))
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

@@ -71,14 +71,34 @@ object CacheScope {
   }
 
   /** Eager `localCheckpoint` pinned as a session-shared stage: [[drain]]
-    * leaves it alone; only [[releasePinned]] frees it. Callers own the
-    * bound (shared stages must be corpus-linear at most, and released
-    * when the query family is done).
+    * leaves it alone; only [[releasePinned]]/[[unpin]] frees it. Callers
+    * own the bound (shared stages must be corpus-linear at most, and
+    * released when the query family is done).
     */
   def pinCheckpoint(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint()
     cpRddId(cp).foreach(id => pinnedIds.add(id))
     cp
+  }
+
+  /** The pinned RDD id behind a [[pinCheckpoint]] result — callers that
+    * scope pins per session (SharedStages) record it for a later
+    * targeted [[unpin]].
+    */
+  private[graft] def pinnedIdOf(cp: Dataset[_]): Option[Int] = cpRddId(cp)
+
+  /** Unpin and free SPECIFIC pinned stages — the targeted counterpart of
+    * [[releasePinned]] for multi-session processes: sessions share one
+    * SparkContext, so a blanket sweep from one session would free
+    * another session's still-live pinned blocks.
+    */
+  private[graft] def unpin(spark: SparkSession, ids: Iterable[Int]): Unit = synchronized {
+    ids.foreach { id =>
+      pinnedIds.remove(Integer.valueOf(id))
+      spark.sparkContext.getPersistentRDDs
+        .get(id)
+        .foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Free one tracked checkpoint stage NOW — for iterative algorithms
@@ -96,7 +116,14 @@ object CacheScope {
   /** End-of-query cleanup: free every per-query stage registered since
     * the last drain, then sweep any remaining unpinned persistent RDDs
     * (belt and braces — catches blocks persisted outside this API).
-    * Pinned shared stages survive.
+    * Pinned shared stages survive (`localCheckpoint` persists the RDD
+    * directly, never through the CacheManager, so `clearCache` can't
+    * touch them).
+    *
+    * CONTRACT: drain assumes the runner executes ONE query at a time —
+    * the sweep would free another in-flight query's stages. That is the
+    * driver/Bench/Verify loop shape; a concurrent-query server must
+    * scope caching per query itself.
     */
   def drain(spark: SparkSession): Unit = synchronized {
     tracked.asScala.foreach { ds =>
@@ -105,6 +132,11 @@ object CacheScope {
     }
     tracked.clear()
     trackedCpIds.clear()
+    // Drop remaining cached-PLAN entries together with their blocks:
+    // unpersisting the RDD alone leaves a dangling CacheManager entry
+    // that later identical plans match but never re-cache.
+    try spark.catalog.clearCache()
+    catch { case _: Throwable => () }
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
       if (!pinnedIds.contains(Integer.valueOf(id))) rdd.unpersist(blocking = false)
     }

@@ -19,19 +19,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read nanos as long and rebuild the column as a µs timestamp
-    * with exact integer arithmetic (`DIV 1000` floors, which is exactly what
-    * DuckDB's ns→µs truncation does — keeps the oracle bit-identical).
+  /** events.ts has shipped in two parquet shapes: TIMESTAMP(NANOS), which
+    * Spark 4 rejects by default, and TIMESTAMP_MICROS(isAdjustedToUTC=0),
+    * which Spark 4 reads as TIMESTAMP_NTZ. Normalize both to a plain µs
+    * TimestampType: nanos are read as long and rebuilt with exact integer
+    * arithmetic (`DIV 1000` floors, exactly DuckDB's ns→µs truncation);
+    * NTZ is cast — the session tz is pinned to UTC, so the cast is a pure
+    * reinterpretation of the same µs value. Either way the oracle stays
+    * bit-identical.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
     import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.LongType
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

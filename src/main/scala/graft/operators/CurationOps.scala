@@ -51,11 +51,10 @@ object CurationOps {
     * diameter = 63.
     */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val edges = TextOps
-      .ngramJaccardPairs(spark, dir)
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
-    val (labels, _) = starContract(edges.toDF("src", "dst"))
+    // Labels come from the session-shared star contraction over the
+    // verified pair graph — built once, reused by q56/q87 and any other
+    // cluster consumer in the same session.
+    val labels = SharedStages.dupLabels(spark, dir)
     val wCl = Window.partitionBy(col("cluster_id"))
     labels
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
@@ -215,11 +214,8 @@ object CurationOps {
     * collects to the driver.
     */
   def fuzzyClusters(spark: SparkSession, dir: String): DataFrame = {
-    val edges = TextOps
-      .minhashCandidatePairs(spark, dir)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .localCheckpoint()
-    val (labels, _) = starContract(edges)
+    // Session-shared contraction over the CANDIDATE edge graph.
+    val labels = SharedStages.fuzzyLabels(spark, dir)
     val wCl = Window.partitionBy(col("cluster_id"))
     docs(spark, dir)
       .select(col("doc_id"))

@@ -30,20 +30,38 @@ import graft.core.CacheScope
   */
 object SharedStages {
 
-  /** (sessionUUID, dir, stage) → pinned checkpointed DataFrame. */
-  private val memo = mutable.Map[(String, String, String), DataFrame]()
+  /** session → (dir, stage) → pinned checkpointed DataFrame. Weak keys:
+    * a session that is stopped and dropped by its owner evicts its whole
+    * memo slice at the next GC, so dead sessions never pin handles.
+    */
+  private val memo =
+    new mutable.WeakHashMap[SparkSession, mutable.Map[(String, String), DataFrame]]()
 
-  /** stage name → build count, a spec hook proving single-build sharing. */
-  private val builds = mutable.Map[String, Int]().withDefaultValue(0)
+  /** session → pinned RDD ids of ITS stages. Sessions share a
+    * SparkContext, so releasing one session must free exactly its own
+    * pinned blocks, not every pinned block in the context.
+    */
+  private val pins = new mutable.WeakHashMap[SparkSession, mutable.Set[Int]]()
+
+  /** (dir, stage) → build count, a spec hook proving single-build sharing
+    * (scoped by dir: two dirs legitimately build the same stage once each).
+    */
+  private val builds = mutable.Map[(String, String), Int]().withDefaultValue(0)
 
   private def stage(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame
   ): DataFrame = synchronized {
-    memo.getOrElseUpdate(
-      (spark.sessionUUID, dir, name), {
-        builds(name) += 1
-        CacheScope.pinCheckpoint(build)
-      })
+    memo
+      .getOrElseUpdate(spark, mutable.Map.empty)
+      .getOrElseUpdate(
+        (dir, name), {
+          builds((dir, name)) += 1
+          val cp = CacheScope.pinCheckpoint(build)
+          CacheScope
+            .pinnedIdOf(cp)
+            .foreach(pins.getOrElseUpdate(spark, mutable.Set.empty).add)
+          cp
+        })
   }
 
   /** doc_id + distinct 3-token shingle arrays — the root working set of
@@ -93,18 +111,23 @@ object SharedStages {
       CurationOps.starContract(edges)._1
     }
 
-  /** How many times `name` was built since JVM start — specs assert this
-    * stays at 1 across the queries that share the stage.
+  /** How many times `name` was built for `dir` since JVM start — specs
+    * assert this stays at 1 across the queries that share the stage.
     */
-  def buildCount(name: String): Int = synchronized(builds(name))
+  def buildCount(dir: String, name: String): Int = synchronized(builds((dir, name)))
 
-  /** Drop every memoized stage and free its pinned blocks. After this,
-    * the next stage call re-derives from the source tables — required
-    * between layout-invariance probe runs, and the end-of-campaign hook
-    * for a production session.
+  /** Total builds of `name` across all dirs. */
+  def buildCount(name: String): Int =
+    synchronized(builds.collect { case ((_, n), c) if n == name => c }.sum)
+
+  /** Drop THIS session's memoized stages and free its pinned blocks.
+    * After this, the next stage call re-derives from the source tables —
+    * required between layout-invariance probe runs, and the
+    * end-of-campaign hook for a production session. Other sessions'
+    * memo slices are untouched.
     */
   def release(spark: SparkSession): Unit = synchronized {
-    memo.clear()
-    CacheScope.releasePinned(spark)
+    memo.remove(spark)
+    pins.remove(spark).foreach(ids => CacheScope.unpin(spark, ids))
   }
 }

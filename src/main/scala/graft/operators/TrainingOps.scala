@@ -918,10 +918,13 @@ object TrainingOps {
     * shuffle on the stratum.
     *
     * Cross-engine determinism: `u = ((h + 2^63) + 0.5) / 2^64` is written
-    * in the same IEEE op order in both engines; `pow` may differ by 1 ulp
-    * between Java and DuckDB, but keys only RANK — a flip needs two keys
-    * within an ulp of each other, which the 64-bit hash spread makes
-    * vanishing (and doc_id breaks exact ties).
+    * in the same IEEE op order in both engines, and the E-S key is ranked
+    * in its monotone-equivalent log form `ln(u)/w` (same order as
+    * `u^(1/w)` since ln is increasing and 1/w > 0) ROUNDED to 6 dp — no
+    * `pow` transcendental in the ranking key, so the only cross-engine
+    * wobble is `ln`'s ≤1 ulp, which a 6-dp round absorbs except on a
+    * measure-zero boundary; doc_id breaks the (deterministic, identical
+    * on both engines) rounding ties.
     */
   def weightedSample(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -933,8 +936,8 @@ object TrainingOps {
         col("doc_id"),
         col("n_chars"),
         expr(
-          "pow(((cast(xxhash64(doc_id) AS double) + 9.223372036854775808e18) + 0.5)" +
-            " / 1.8446744073709551616e19, 1.0D / n_chars)").as("key"))
+          "round(ln(((cast(xxhash64(doc_id) AS double) + 9.223372036854775808e18) + 0.5)" +
+            " / 1.8446744073709551616e19) / n_chars, 6)").as("key"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= WeightedSampleK)
       .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
@@ -951,8 +954,8 @@ object TrainingOps {
     ctes ++= ch.ctes
     ctes += ("q67k" ->
       s"""(SELECT source, doc_id, n_chars,
-         |    pow(((CAST(${toSigned("h")} AS DOUBLE) + 9.223372036854775808e18) + 0.5)
-         |        / 1.8446744073709551616e19, 1.0 / n_chars) AS key
+         |    round(ln(((CAST(${toSigned("h")} AS DOUBLE) + 9.223372036854775808e18) + 0.5)
+         |        / 1.8446744073709551616e19) / n_chars, 6) AS key
          |  FROM ${ch.last})""".stripMargin)
     assemble(
       ctes.toSeq,

@@ -26,7 +26,9 @@ object QBench {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.core.CacheScope.drain(spark)
+        dt
       }
       println(f"[qbench] $name: best ${times.min}%.3f s (runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
     }

@@ -239,6 +239,27 @@ class HealthKitXmlSpec extends SparkSpec {
     }
   }
 
+  test("CLI parity: --drop/--yes confirm flow drops and reloads to identical row counts") {
+    import graft.tools.HkToJdbc
+    val url = "jdbc:derby:memory:hkDropTest;create=true"
+    assert(!HkToJdbc.databaseExists(url), "fresh in-memory db must read as absent")
+    assert(HkToJdbc.preflight(url, drop = false, yes = false, quiet = true),
+      "absent database must load without any flag")
+    val first = HkToJdbc.run(spark, zipPath, url, lenient = true, quiet = true)
+    assert(HkToJdbc.databaseExists(url))
+
+    // exists + no --drop → refuse (reference main.rs:55-61 exits cleanly)
+    assert(!HkToJdbc.preflight(url, drop = false, yes = false, quiet = true))
+    // exists + --drop but the prompt is declined → refuse (default(false))
+    assert(!HkToJdbc.preflight(url, drop = true, yes = false, quiet = true, confirm = _ => false))
+    assert(HkToJdbc.databaseExists(url), "declined prompt must not drop")
+    // exists + --drop --yes → drop (no prompt), then a clean reload
+    assert(HkToJdbc.preflight(url, drop = true, yes = true, quiet = true))
+    assert(!HkToJdbc.databaseExists(url), "--drop --yes must leave an empty database")
+    val second = HkToJdbc.run(spark, zipPath, url, lenient = true, quiet = true)
+    assert(second == first, "reload after --drop must reproduce identical row counts")
+  }
+
   test("CLI parity: --first-seen maps to the A10 compat typing mode end-to-end") {
     // same mixed-type fixture as the A2/A3 spec: value column sees "100"
     // then "12.5" — lattice mode widens to REAL, first-seen pins INTEGER

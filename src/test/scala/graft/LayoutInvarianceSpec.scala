@@ -18,16 +18,22 @@ import org.apache.spark.sql.DataFrame
   * assignment — every box would shift if the rank drifted by one), q95
   * (prefix self-join + distinct whose pair set must be layout-free), q97
   * (5 float power-iteration rounds over checkpointed edges — fold order
-  * is pinned per node, so re-layout must not move a single 6dp rank).
-  * Caches are cleared between runs so the second pass genuinely
-  * re-derives everything under the new layout.
+  * is pinned per node, so re-layout must not move a single 6dp rank),
+  * q106 (greedy budget selection whose order comes from the
+  * partition-prefix rank — a layout-sensitive offset fold), q110
+  * (session path assembly from per-key sorted event folds), q112
+  * (rolling distinct-actives scatter over date offsets).
+  * Caches AND the session-shared checkpointed stages are cleared between
+  * runs so the second pass genuinely re-derives everything under the new
+  * layout.
   */
 class LayoutInvarianceSpec extends SparkSpec {
 
   private val Probes =
     Seq("q20_dedup_exact", "q24_fingerprint", "q79_quantile_normalize",
       "q81_chunk_dedup", "q82_heaps_law", "q92_zorder_layout",
-      "q95_prefix_join", "q97_pagerank_dups")
+      "q95_prefix_join", "q97_pagerank_dups", "q106_token_budget",
+      "q110_session_paths", "q112_rolling_actives")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, Sf0001).collect().map(_.toString).toSeq
@@ -37,11 +43,15 @@ class LayoutInvarianceSpec extends SparkSpec {
     val oldShuffle = conf.get("spark.sql.shuffle.partitions")
     val oldBytes   = conf.get("spark.sql.files.maxPartitionBytes")
     spark.catalog.clearCache()
+    operators.SharedStages.release(spark)
     val base = Probes.map(n => n -> run(n)).toMap
     try {
       conf.set("spark.sql.shuffle.partitions", "7")
       conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
-      spark.catalog.clearCache() // force full re-derivation under the new layout
+      // force full re-derivation under the new layout — including the
+      // session-shared checkpointed stages, which clearCache can't see
+      spark.catalog.clearCache()
+      operators.SharedStages.release(spark)
       Probes.foreach { n =>
         val again = run(n)
         assert(again == base(n), s"$n output changed under re-layout")
@@ -50,6 +60,7 @@ class LayoutInvarianceSpec extends SparkSpec {
       conf.set("spark.sql.shuffle.partitions", oldShuffle)
       conf.set("spark.sql.files.maxPartitionBytes", oldBytes)
       spark.catalog.clearCache()
+      operators.SharedStages.release(spark)
     }
   }
 }

@@ -385,14 +385,37 @@ class PlanGuardSpec extends SparkSpec {
       s"a rank-per-window formulation buffers every event until close:\n$analyzed")
   }
 
-  test("q27/q33 share one cached shingle stage (no corpus re-scan)") {
-    Seq(
+  test("dedup family shares single-build checkpointed stages (no corpus re-derivation)") {
+    // SharedStages materializes shingles/edges/pairs ONCE per (session, dir)
+    // as an eager localCheckpoint, whose plan is a single ExistingRDD leaf.
+    // Building the whole family must not rebuild any stage, and every
+    // consumer's plan must read the checkpointed leaf instead of
+    // re-deriving the corpus pipeline (no parquet re-scan of documents
+    // below the shared stage).
+    operators.SharedStages.release(spark)
+    val before = Seq("shingles", "minhashEdges", "jaccardPairs")
+      .map(st => st -> operators.SharedStages.buildCount(Sf001, st))
+      .toMap
+    val family = Seq(
+      "q25" -> operators.TextOps.minhashLsh(spark, Sf001),
       "q27" -> operators.TextOps.ngramJaccard(spark, Sf001),
-      "q33" -> operators.CleanPipeline.clean(spark, Sf001)
-    ).foreach { case (name, df) =>
+      "q33" -> operators.CleanPipeline.q33(spark, Sf001),
+      "q47" -> operators.CurationOps.dupClusters(spark, Sf001),
+      "q56" -> operators.CurationOps.clusterBest(spark, Sf001),
+      "q96" -> operators.TextOps.editVerify(spark, Sf001),
+      "q97" -> operators.CurationOps.pagerankDups(spark, Sf001),
+      "q104" -> operators.CurationOps.dupTriangles(spark, Sf001)
+    )
+    family.foreach { case (name, df) =>
       val p = plan(df)
-      assert(p.contains("InMemoryTableScan"),
-        s"$name must read shingles from the persisted stage, not re-derive them:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$name must read the shared checkpointed stage (ExistingRDD leaf), not re-derive it:\n$p")
     }
+    Seq("shingles", "minhashEdges", "jaccardPairs").foreach { st =>
+      val built = operators.SharedStages.buildCount(Sf001, st) - before(st)
+      assert(built == 1,
+        s"shared stage '$st' was built $built× across the family — sharing is broken")
+    }
+    operators.SharedStages.release(spark)
   }
 }

@@ -200,11 +200,19 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$Sf0001/events.parquet"),
       dir.resolve("events.parquet"))
-    val schema = spark.read.parquet(dir.toString).schema // ts as long nanos
-    val stream = spark.readStream
+    // ts arrives as long nanos (old testdata) or TIMESTAMP_NTZ (new) —
+    // normalize exactly as Tables.events does for the batch side.
+    val schema = spark.read.parquet(dir.toString).schema
+    val raw = spark.readStream
       .schema(schema)
       .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val stream = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
     val q = EventStreams
       .windowedCounts(stream)
       .writeStream.format("memory").queryName("file_win").outputMode("complete").start()
