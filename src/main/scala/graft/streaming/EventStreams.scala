@@ -322,4 +322,77 @@ object EventStreams {
           }
       }
   }
+
+  case class ActiveState(lastTsMs: Long, activeDays: Seq[Long], servedReach: Seq[Long])
+  case class ActiveOut(user_id: Long, day: String, kind: String)
+
+  private val DayMs = 86400000L
+  private def dayStr(epochDay: Long): String =
+    java.time.LocalDate.ofEpochDay(epochDay).toString
+
+  /** E24: streaming rolling-actives emission — the q112 twin. Per user,
+    * state is the bounded set of recently seen active days plus the
+    * report days already served; a NEW active day A emits one `active`
+    * row (day A — the DAU grain) and one `reach` row for every report day
+    * in A..A+6 not yet served (the WAU scatter, q112's exact rule:
+    * (user, R) is served iff some active day lies in R−6..R). Each
+    * (user, day, kind) pair emits EXACTLY once, so the downstream
+    * per-day `count` of `active` rows IS q112's n_active and of `reach`
+    * rows IS n_active_7d — the DAU/WAU board maintained incrementally,
+    * never re-deduplicating history.
+    *
+    * State is bounded two ways: both sets prune below the watermark day
+    * each batch (a day the watermark passed can neither dedupe an
+    * in-contract arrival nor be served by one — future days only serve
+    * report days ≥ themselves), so ≤ ~2×(watermark days + horizon)
+    * entries per user; and event-time timeout evicts fully idle users
+    * (state ∝ ACTIVE users). Events below the watermark drop (E23's
+    * rule) — batch q112 stays the replay-correct authority.
+    */
+  def rollingActivesStream(
+      events: Dataset[Ev],
+      watermarkDur: String = "2 days"): Dataset[ActiveOut] = {
+    import events.sparkSession.implicits._
+    val horizon = graft.operators.TimeJoins.ActiveWindowDays
+    events
+      .withWatermark("ts", watermarkDur)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[ActiveState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wmMs  = state.getCurrentWatermarkMs()
+            val wmDay = Math.floorDiv(wmMs, DayMs)
+            var active = state.getOption.map(_.activeDays.filter(_ >= wmDay).toSet)
+              .getOrElse(Set.empty[Long])
+            var served = state.getOption.map(_.servedReach.filter(_ >= wmDay).toSet)
+              .getOrElse(Set.empty[Long])
+            var lastTs = state.getOption.map(_.lastTsMs).getOrElse(Long.MinValue)
+            val out    = ListBuffer.empty[ActiveOut]
+            val tsList = batch.map(_.ts.getTime).filter(_ >= wmMs).toSeq
+            if (tsList.nonEmpty) lastTs = math.max(lastTs, tsList.max)
+            tsList.map(Math.floorDiv(_, DayMs)).distinct.sorted.foreach { d =>
+              if (!active(d)) {
+                active += d
+                out += ActiveOut(uid, dayStr(d), "active")
+                (d until d + horizon).foreach { r =>
+                  if (!served(r)) {
+                    served += r
+                    out += ActiveOut(uid, dayStr(r), "reach")
+                  }
+                }
+              }
+            }
+            if (active.nonEmpty || served.nonEmpty) {
+              state.update(ActiveState(lastTs, active.toSeq.sorted, served.toSeq.sorted))
+              // evict an idle user 2× the (2-day default) watermark past
+              // their last event, clamped above the watermark (E2's rule)
+              state.setTimeoutTimestamp(math.max(lastTs + 4 * DayMs, wmMs + 1))
+            }
+            out.iterator
+          }
+      }
+  }
 }

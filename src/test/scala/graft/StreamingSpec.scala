@@ -193,6 +193,43 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"stream $got vs batch $want")
   }
 
+  test("E24: streaming rolling actives equal batch q112's DAU/WAU counts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def dts(day: Int, hr: Int) = Timestamp.valueOf(f"2024-01-$day%02d $hr%02d:00:00")
+    val evs = Seq(
+      Ev(1, 7, dts(1, 1), "a", 0), Ev(2, 8, dts(1, 2), "a", 0),
+      Ev(3, 7, dts(2, 3), "a", 0), Ev(4, 7, dts(2, 9), "a", 0), // same-day dup
+      Ev(5, 9, dts(5, 1), "a", 0),
+      Ev(6, 7, dts(9, 1), "a", 0), // > 7 days after u7's first span: new reach run
+      Ev(7, 8, dts(10, 1), "a", 0))
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .rollingActivesStream(in.toDS())
+      .writeStream.format("memory").queryName("ractives").outputMode("append").start()
+    in.addData(evs(0), evs(1)); q.processAllAvailable()
+    in.addData(evs(2), evs(3), evs(4)); q.processAllAvailable()
+    in.addData(evs(5), evs(6)); q.processAllAvailable()
+    val rows = spark.table("ractives").collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[String]("kind"), r.getAs[Long]("user_id")))
+      .toSeq
+    q.stop()
+    assert(rows.distinct.length == rows.length,
+      "each (user, day, kind) must emit exactly once across batches")
+    val gotActive = rows.filter(_._2 == "active").groupBy(_._1).map { case (d, v) => d -> v.size.toLong }
+    val gotReach  = rows.filter(_._2 == "reach").groupBy(_._1).map { case (d, v) => d -> v.size.toLong }
+    // batch truth: q112 on the same events written as a table
+    val dir = java.nio.file.Files.createTempDirectory("e24spec").toString
+    evs.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    graft.operators.TimeJoins.rollingActives(spark, dir).collect().foreach { r =>
+      val (day, nA, n7) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(gotActive.getOrElse(day, 0L) == nA, s"DAU mismatch on $day")
+      assert(gotReach.getOrElse(day, 0L) == n7, s"WAU7 mismatch on $day")
+    }
+  }
+
   test("E4: file-source stream over the events parquet (readStream path)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file source wants a directory; stage the single parquet file into one
