@@ -79,6 +79,83 @@ object VectorOps {
        | WHERE q.vec_id <> c.vec_id)
        |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
 
+  // --- q115: hard-negative mining (contrastive training pairs) --------------
+  val HardK = 5
+
+  /** Hard-negative mining for contrastive/embedding training: per query
+    * vector, the [[HardK]] highest-cosine neighbors with a DIFFERENT label
+    * — the negatives nearest the decision boundary, which carry the most
+    * gradient signal (random negatives are trivially separable) — plus the
+    * margin against the best same-label positive (`pos_sim − neg_sim`),
+    * the per-query difficulty readout: a NEGATIVE margin means a
+    * wrong-label vector outranks every right-label one, i.e. a labeling
+    * or embedding-quality defect worth auditing before training.
+    *
+    * Scale shape: q28's broadcast idiom — the fixed [[QueryCount]] query
+    * set broadcasts against a linear corpus scan (no corpus shuffle); the
+    * positive bar is a per-query float `max` with map-side combine
+    * (max is order-free exact), and the negative rank window group-limits
+    * to [[HardK]] per query (WindowGroupLimit — map-side top-k, the q28
+    * plan). At 100 TB the exact scan swaps for a q29/q32 candidate pool;
+    * ranking, margin, and the output contract are unchanged.
+    * Determinism: q28's bit-exact left-fold cosine, (sim desc, n_id)
+    * ranking, 6-dp rounded outputs.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"),
+        col("label"))
+      .withColumn("nrm", l2_norm(col("v")))
+      .filter(col("nrm") > 0)
+    val q = e.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("label").as("ql"))
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"),
+      col("label").as("nl"))
+    val sims = c
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("sim", dot / (col("qn") * col("cn")))
+    val pos = sims
+      .filter(col("nl") === col("ql"))
+      .groupBy(col("q_id"))
+      .agg(max(col("sim")).as("pos_sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    sims
+      .filter(col("nl") =!= col("ql"))
+      .select(col("q_id"), col("n_id"), col("sim"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= HardK)
+      .join(pos, Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        col("rk"),
+        col("n_id"),
+        round(col("sim"), 6).as("neg_sim"),
+        round(col("pos_sim") - col("sim"), 6).as("margin"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** q115 oracle: q28's engine-exact cosine, the same other-label rank and
+    * same-label max bar, identical 6-dp rounding shapes.
+    */
+  lazy val hardNegativesSql: String =
+    s"""WITH q115e AS (SELECT vec_id, embedding::DOUBLE[] AS vd, label FROM embeddings
+       |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+       |q115s AS (SELECT q.vec_id AS q_id, q.label AS ql, c.vec_id AS n_id, c.label AS nl,
+       |    ${duckCosine("q.vd", "c.vd")} AS sim
+       |  FROM (SELECT * FROM q115e WHERE vec_id < $QueryCount) q, q115e c
+       |  WHERE q.vec_id <> c.vec_id),
+       |q115p AS (SELECT q_id, max(sim) AS pos_sim FROM q115s WHERE nl = ql GROUP BY q_id),
+       |q115n AS (SELECT q_id, n_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+       |  FROM q115s WHERE nl <> ql)
+       |SELECT n.q_id, n.rk::INTEGER AS rk, n.n_id, round(n.sim, 6) AS neg_sim,
+       |  round(p.pos_sim - n.sim, 6) AS margin
+       |FROM q115n n LEFT JOIN q115p p USING (q_id)
+       |WHERE n.rk <= $HardK ORDER BY n.q_id, n.rk""".stripMargin
+
   /** Ranked cosine neighbors of ONE query vector — the vector leg of the
     * hybrid RRF retrieval (q55). Single-row broadcast against the linear
     * corpus scan (the q28 shape), top-k via TakeOrdered, then ranks over
@@ -540,10 +617,13 @@ object VectorOps {
     * op is a left fold in the Scala evaluation order, so centroids, cells,
     * probe sets, similarities, and ranks are engine-identical.
     */
-  lazy val annIvfSql: String = {
-    import graft.functions.DuckHash.assemble
+  /** The Lloyd-training + full-corpus assignment CTE chain shared by q32
+    * and q114: normalized embeddings → systematic sample → [[IvfIters]]
+    * unrolled k-means rounds → `q32asg` (n_id, cv, cn, 1-based cell).
+    * Final centroid list lives in CTE `q32c<IvfIters>`.
+    */
+  private def ivfAssignCtes(D: Int): Seq[(String, String)] = {
     import scala.collection.mutable.ArrayBuffer
-    val D    = 64
     val ctes = ArrayBuffer.empty[(String, String)]
     ctes += ("q32ev" ->
       s"(SELECT vec_id, embedding::DOUBLE[] AS v, sqrt(${sqFoldSql("embedding::DOUBLE[]")}) AS nrm FROM embeddings)")
@@ -575,6 +655,15 @@ object VectorOps {
     ctes += ("q32asg" ->
       s"""(SELECT vec_id AS n_id, v AS cv, nrm AS cn, list_position(ds, list_max(ds)) AS cell FROM
          |  (SELECT vec_id, v, nrm, list_transform(cents, w -> ${dotFoldSql("v", "w", D)}) AS ds FROM q32ef, $cf))""".stripMargin)
+    ctes.toSeq
+  }
+
+  lazy val annIvfSql: String = {
+    import graft.functions.DuckHash.assemble
+    import scala.collection.mutable.ArrayBuffer
+    val D    = 64
+    val ctes = ArrayBuffer(ivfAssignCtes(D): _*)
+    val cf   = s"q32c$IvfIters"
     ctes += ("q32qd" ->
       s"""(SELECT vec_id AS q_id, v AS qv, qn, ds FROM
          |  (SELECT vec_id, v, nrm AS qn, list_transform(cents, w -> ${dotFoldSql("v", "w", D)}) AS ds
@@ -592,6 +681,87 @@ object VectorOps {
     assemble(
       ctes.toSeq,
       s"SELECT q_id, n_id, rk::INTEGER AS rk FROM q32rk WHERE rk <= $AnnTopK ORDER BY q_id, rk")
+  }
+
+  // --- q114: topic-cluster composition report -------------------------------
+
+  /** Topic-clustering composition report over the IVF coarse quantizer
+    * (q32's exact spherical-k-means trainer): every embedding is map-side
+    * assigned to its nearest of the [[IvfCells]] L2-normalized centroids
+    * (codegen'd argmax, zero shuffle), then ONE keyed aggregate emits the
+    * corpus composition — member count, mean and minimum cosine-to-centroid
+    * (cohesion / worst fit), and the exemplar member (closest to the
+    * centroid, vec_id tiebreak). This is the unsupervised "what IS in this
+    * corpus, and how tight is each mode" readout a training-mix audit
+    * runs before weighting sources — and because the centroids are the
+    * SAME quantizer q32 probes, the cohesion numbers double as IVF
+    * index-health telemetry (a low-cohesion cell is a cell whose probes
+    * recall poorly).
+    *
+    * Scale shape: trainer cost is bounded by the ≤[[IvfSampleCap]]-row
+    * systematic sample (the ANN-trainer rule), assignment is one codegen'd
+    * projection, the only shuffle is the ≤[[IvfCells]]-group aggregate
+    * with map-side combine, and the 16-row centroid join broadcasts.
+    * Determinism: per-member cosine quantizes to integer micro-units FIRST
+    * (q72's rule — integer sums are order-free), the mean is one
+    * fixed-shape division of exact integers, and the exemplar argmax is
+    * `min(struct(−ci, vec_id))` — first-by-(cos desc, vec_id) on both
+    * engines.
+    */
+  def topicClusters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Expressions.nearest_centroids
+    import spark.implicits._
+    val e      = emb(spark, dir)
+    val cents  = trainCentroids(collectSample(e), IvfCells)
+    val centDf = cents.toSeq.zipWithIndex.map { case (w, i) => (i, w.toSeq) }.toDF("cell", "w")
+    e.withColumn("cell", nearest_centroids(col("v"), cents, 1).getItem(0))
+      .join(broadcast(centDf), Seq("cell"))
+      .withColumn(
+        "ci",
+        round(dot_product(col("v"), col("w")) / col("nrm") * lit(1e6), 0).cast("long"))
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(col("ci")).as("sci"),
+        min(col("ci")).as("mci"),
+        min(struct((-col("ci")).as("nc"), col("vec_id").as("id"))).as("ex"))
+      .select(
+        (col("cell") + 1).as("cluster"),
+        col("n_members"),
+        round(col("sci").cast("double") / lit(1e6) / col("n_members").cast("double"), 6)
+          .as("cohesion"),
+        round(col("mci").cast("double") / lit(1e6), 6).as("min_cos"),
+        col("ex.id").as("exemplar_id"))
+      .orderBy(col("cluster"))
+  }
+
+  /** q114 oracle: the shared trainer/assignment chain, the identical
+    * `(dot / nrm) * 1e6` quantization, integer rollups, and a windowed
+    * first-by-(ci desc, n_id) exemplar.
+    */
+  lazy val topicClustersSql: String = {
+    import graft.functions.DuckHash.assemble
+    import scala.collection.mutable.ArrayBuffer
+    val D    = 64
+    val ctes = ArrayBuffer(ivfAssignCtes(D): _*)
+    val cf   = s"q32c$IvfIters"
+    ctes += ("q114ci" ->
+      s"""(SELECT cell, n_id,
+         |    CAST(round(${dotFoldSql("cv", "cents[cell]", D)} / cn * 1000000.0, 0) AS BIGINT) AS ci
+         |  FROM q32asg, $cf)""".stripMargin)
+    ctes += ("q114g" ->
+      "(SELECT cell, count(*) AS n, CAST(sum(ci) AS BIGINT) AS sci, min(ci) AS mci FROM q114ci GROUP BY cell)")
+    ctes += ("q114e" ->
+      """(SELECT cell, n_id FROM (
+        |  SELECT cell, n_id, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY ci DESC, n_id) AS rn
+        |  FROM q114ci) WHERE rn = 1)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      s"""SELECT g.cell::INTEGER AS cluster, g.n::BIGINT AS n_members,
+         |  round(g.sci::DOUBLE / 1000000.0 / g.n::DOUBLE, 6) AS cohesion,
+         |  round(g.mci::DOUBLE / 1000000.0, 6) AS min_cos,
+         |  e.n_id AS exemplar_id
+         |FROM q114g g JOIN q114e e USING (cell) ORDER BY cluster""".stripMargin)
   }
 
   // --- C24 q46: product-quantization ANN (ADC search) ----------------------

@@ -350,7 +350,10 @@ class PlanGuardSpec extends SparkSpec {
         "q109_pareto_frontier",
         // q111 joins the 16-row exploded sketch against the 1-row exact-F2
         // aggregate — q42's sketch×exact shape
-        "q111_ams_f2")
+        "q111_ams_f2",
+        // q115's non-equi self-exclusion broadcasts the fixed QueryCount
+        // query set — exactly q28's bounded shape
+        "q115_hard_negatives")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
