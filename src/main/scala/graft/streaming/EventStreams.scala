@@ -11,7 +11,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * transformations compose over `readStream` sources; watermarks bound
   * state so they run indefinitely at cluster scale.
   */
-object EventStreams {
+object EventStreams extends Serializable {
 
   case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   case class SessState(sessionId: Long, lastTsMs: Long, n: Int)
@@ -317,6 +317,94 @@ object EventStreams {
               state.update(s)
               state.setTimeoutTimestamp(
                 math.max(s.lastTsUs / 1000 + 2 * 7200000L, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
+  case class EwmaState(openHourMs: Long, volCents: Long, lastTsMs: Long, prev: Seq[Double])
+  case class EwmaOut(event_type: String, hour: String, volume: Double, ewma: Double, dev: Double)
+
+  /** E25: streaming EWMA trend — the q113 twin. Per event type, state is
+    * the OPEN hour's exact cents accumulator plus the last
+    * [[graft.operators.TimeJoins.EwmaK]]−1 CLOSED bucket volumes (q113
+    * lags over OBSERVED buckets, so gap hours create no entries and the
+    * buffer is exactly the lag window); an event in a later hour closes
+    * the open bucket — emitting q113's row (volume, 6-dp EWMA, deviation)
+    * with the identical ascending-k weighted fold — and pushes it onto
+    * the buffer. Event-time timeout closes an idle type's final bucket
+    * and evicts the state.
+    *
+    * Exactness: per-event values round to cents FIRST (the batch
+    * `CAST(value AS DECIMAL(18,2))` rule) so the bucket volume is an
+    * exact integer sum in any arrival order; the EWMA fold adds terms in
+    * the same k = 0…7 order as the batch expression, so closed-bucket
+    * rows equal batch q113 bit-for-bit (spec-pinned). Late events below
+    * the open hour drop (E23's rule) — batch q113 is the replay-correct
+    * authority.
+    */
+  def ewmaStream(events: Dataset[Ev], watermarkDur: String = "2 hours"): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    val K = graft.operators.TimeJoins.EwmaK
+    def cents(v: Double): Long =
+      new java.math.BigDecimal(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2)
+        .longValueExact()
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def closeRow(tpe: String, hourMs: Long, volCents: Long, prev: Seq[Double]): (EwmaOut, Double) = {
+      val x   = volCents / 100.0
+      var num = 0.0
+      var den = 0.0
+      var k   = 0
+      while (k < K) {
+        // identical term shape + ascending-k fold order as batch q113:
+        // absent lags contribute 0.0 to BOTH sums (renormalization)
+        val xk = if (k == 0) Some(x) else prev.lift(k - 1)
+        val wk = math.pow(0.5, k)
+        num += (if (xk.isDefined) xk.get * wk else 0.0)
+        den += (if (xk.isDefined) wk else 0.0)
+        k += 1
+      }
+      val e = num / den
+      (EwmaOut(tpe, hourStr(hourMs), x, round6(e), round6(x - e)), x)
+    }
+    events
+      .withWatermark("ts", watermarkDur)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (tpe: String, batch: Iterator[Ev], state: GroupState[EwmaState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(closeRow(tpe, st.openHourMs, st.volCents, st.prev)._1)
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+            var st     = state.getOption
+            val out    = ListBuffer.empty[EwmaOut]
+            sorted.foreach { e =>
+              val hMs = Math.floorDiv(e.ts.getTime, HourMs) * HourMs
+              st match {
+                case None =>
+                  st = Some(EwmaState(hMs, cents(e.value), e.ts.getTime, Nil))
+                case Some(s) if hMs == s.openHourMs =>
+                  st = Some(s.copy(
+                    volCents = s.volCents + cents(e.value),
+                    lastTsMs = math.max(s.lastTsMs, e.ts.getTime)))
+                case Some(s) if hMs > s.openHourMs =>
+                  val (row, x) = closeRow(tpe, s.openHourMs, s.volCents, s.prev)
+                  out += row
+                  st = Some(EwmaState(hMs, cents(e.value), e.ts.getTime,
+                    (x +: s.prev).take(K - 1)))
+                case _ => () // below the open hour: late beyond the sort, drop
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(s.lastTsMs + 2 * 7200000L, state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }

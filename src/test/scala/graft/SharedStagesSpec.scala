@@ -45,4 +45,31 @@ class SharedStagesSpec extends SparkSpec {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- preexisting
     assert(leaked.isEmpty, s"released sessions left persistent RDDs behind: $leaked")
   }
+
+  test("drain frees per-query stages WITH their cache entries; pinned stages survive") {
+    import graft.core.CacheScope
+    val s = spark.newSession()
+    SharedStages.release(s)
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+
+    // a per-query persisted stage and a pinned shared stage
+    val perQuery = CacheScope.persist(
+      graft.core.Tables.documents(s, Sf0001).select(org.apache.spark.sql.functions.col("doc_id")))
+    perQuery.count()
+    val pinned = SharedStages.shingles(s, Sf0001)
+    val nPinned = pinned.count()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- preexisting).nonEmpty)
+
+    CacheScope.drain(s)
+    // the pinned checkpoint still answers (its blocks were NOT swept)
+    assert(pinned.count() == nPinned)
+    // the per-query plan no longer matches a cached entry: a dangling
+    // CacheManager entry (unpersisted blocks, entry left behind) would
+    // report useCachedData with an InMemoryRelation that never re-caches
+    val again = graft.core.Tables.documents(s, Sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+    assert(!again.queryExecution.withCachedData.toString.contains("InMemoryRelation"),
+      "drain left a dangling CacheManager entry behind")
+    SharedStages.release(s)
+  }
 }

@@ -193,6 +193,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"stream $got vs batch $want")
   }
 
+  test("E25: streaming EWMA rows equal batch q113 bit-for-bit on closed buckets") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def hts(hr: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $hr%02d:$min%02d:00")
+    // two types, gap hours, same-hour accumulation, in-batch disorder
+    val base = Seq(
+      Ev(1, 1, hts(1, 0), "a", 10.25), Ev(2, 1, hts(1, 30), "a", 0.50),
+      Ev(3, 1, hts(1, 10), "b", 3.00),
+      Ev(5, 1, hts(2, 20), "a", 7.75), Ev(4, 1, hts(2, 5), "a", 1.00), // out of order
+      Ev(6, 1, hts(4, 0), "a", 2.25), // gap hour 3: no bucket (q113 lags observed)
+      Ev(7, 1, hts(3, 0), "b", 6.50),
+      Ev(8, 1, hts(5, 0), "a", 9.00), Ev(9, 1, hts(5, 30), "b", 1.75))
+    // far-future sentinels close each type's final real bucket; their own
+    // (sentinel-hour) buckets never emit and are excluded from the compare
+    val sentinels = Seq(
+      Ev(100, 1, Timestamp.valueOf("2024-06-01 00:00:00"), "a", 0.0),
+      Ev(101, 1, Timestamp.valueOf("2024-06-01 00:00:00"), "b", 0.0))
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .ewmaStream(in.toDS())
+      .writeStream.format("memory").queryName("ewma_s").outputMode("append").start()
+    in.addData(base(0), base(1), base(2)); q.processAllAvailable()
+    in.addData(base(3), base(4), base(5)); q.processAllAvailable()
+    in.addData(base(6), base(7), base(8)); q.processAllAvailable()
+    in.addData(sentinels: _*); q.processAllAvailable()
+    val got = spark.table("ewma_s").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .filter(!_._2.startsWith("2024-06")).toSet
+    q.stop()
+    val dir = java.nio.file.Files.createTempDirectory("e25spec").toString
+    base.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val want = graft.operators.TimeJoins.ewmaTrend(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(got == want, s"stream $got vs batch $want")
+  }
+
   test("E24: streaming rolling actives equal batch q112's DAU/WAU counts") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
