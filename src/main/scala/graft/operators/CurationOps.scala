@@ -644,6 +644,91 @@ object CurationOps {
        |FROM q81r GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // --- q116: stride-1 sliding-window substring dedup -------------------------
+
+  val SubW = 12
+
+  /** Exact substring-level dedup at sliding-window granularity — the
+    * stride-1 companion of q81's chunk dedup and the instance-level
+    * refinement of q51's distinct-gram coverage: EVERY [[SubW]]-token
+    * window (stride 1) is hashed, each window instance is owned by its
+    * lexicographically first (doc_id, widx) occurrence, and each document
+    * reports how many of its window instances are duplicates — split into
+    * SELF-repetition (owner is an earlier window of the same doc: chorus/
+    * boilerplate loops) vs FOREIGN overlap (owner is another doc: the
+    * Lee-et-al. cross-document repeated-substring signal at its native
+    * granularity, where a stride-48 chunker can straddle and miss).
+    *
+    * Scale shape: rows after the explode = Σ(len − W + 1) ≈ total corpus
+    * tokens — the linear cost every substring-dedup pass pays; ownership
+    * is the q81 groupBy-MIN-struct (map-side combine — a viral window
+    * shared by millions of docs collapses per-partition, never piles onto
+    * one window task), then one hash join back on the window hash and one
+    * doc-keyed rollup. Exact integer counts; the fraction is one guarded
+    * division. Docs shorter than [[SubW]] report zero windows.
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val wins = docs(spark, dir)
+      .select(col("doc_id"), TextOps.toks.as("toks"))
+      .filter(size(col("toks")) >= SubW)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(toks) - $SubW), i -> struct(i AS widx, md5(concat_ws(' ', slice(toks, i + 1, $SubW))) AS h))")).as("w"))
+      .select(col("doc_id"), col("w.widx").as("widx"), col("w.h").as("h"))
+    val owner = wins
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("widx"))).as("own"))
+    val stats = wins
+      .join(owner, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("own.doc_id") =!= col("doc_id") || col("own.widx") =!= col("widx"), 1L)
+          .otherwise(0L)).as("n_dup"),
+        sum(when(col("own.doc_id") =!= col("doc_id"), 1L).otherwise(0L)).as("n_foreign"))
+    docs(spark, dir)
+      .select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_foreign"), lit(0L)).as("n_foreign"),
+        when(col("n_windows").isNull, lit(0.0))
+          .otherwise(col("n_dup").cast("double") / col("n_windows").cast("double"))
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: q81's window spelling — unnest(generate_series) windows,
+    * ownership as the first row over (hash | doc_id, widx), HUGEINT sums
+    * pinned to BIGINT, same guarded division.
+    */
+  lazy val substringDedupSql: String =
+    s"""WITH q116t AS (SELECT doc_id, ${TextOps.DuckToks} AS toks FROM documents),
+       |q116x AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - $SubW)) AS i
+       |          FROM q116t WHERE len(toks) >= $SubW),
+       |q116w AS (SELECT doc_id, i AS widx,
+       |            md5(array_to_string(toks[i + 1 : i + $SubW], ' ')) AS h
+       |          FROM q116x),
+       |q116o AS (SELECT doc_id, widx,
+       |            (row_number() OVER (PARTITION BY h ORDER BY doc_id, widx) = 1) AS is_own,
+       |            first_value(doc_id) OVER (PARTITION BY h ORDER BY doc_id, widx) AS own_doc
+       |          FROM q116w),
+       |q116r AS (SELECT doc_id, count(*) AS n_windows,
+       |            CAST(sum(CASE WHEN NOT is_own THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |            CAST(sum(CASE WHEN own_doc <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_foreign
+       |          FROM q116o GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(r.n_windows, 0)::BIGINT AS n_windows,
+       |  coalesce(r.n_dup, 0)::BIGINT AS n_dup,
+       |  coalesce(r.n_foreign, 0)::BIGINT AS n_foreign,
+       |  CASE WHEN r.n_windows IS NULL THEN 0.0
+       |       ELSE r.n_dup::DOUBLE / r.n_windows::DOUBLE END AS dup_frac
+       |FROM documents d LEFT JOIN q116r r USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // --- q51: n-gram-coverage dedup ------------------------------------------
 
   val CovN      = 8

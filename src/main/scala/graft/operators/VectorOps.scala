@@ -1252,6 +1252,90 @@ object VectorOps {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  // --- q117: per-label embedding dispersion (pairwise without pairs) --------
+
+  /** Per-label embedding dispersion — the mean squared pairwise distance
+    * within each label, WITHOUT a pairwise join: for vectors x, y drawn
+    * uniformly from a class, `E‖x−y‖² = 2·(E‖x‖² − ‖E[x]‖²)`, so class
+    * spread comes from the same one-pass sums the centroid needs. High
+    * dispersion = a diffuse or mixed class (split candidate, or a label
+    * whose embedding model is failing); concentration (`‖centroid‖² /
+    * E‖x‖²`) near 1 = a collapsed/degenerate class. This is the
+    * embedding-space twin of q76's report card, and the diagnostic to
+    * read BEFORE trusting q65's semantic dedup or q114's cohesion at
+    * scale — an n² pair join over a 100 TB corpus is not an option, this
+    * identity is.
+    *
+    * Scale shape: ONE posexplode pass; the keyed shuffle carries
+    * |labels|×dim keys with map-side combine (q72's plan). Exactness:
+    * element values AND element squares quantize to integers FIRST (sums
+    * order-free), centroid elements and both mean norms are single
+    * divisions of exact integers, and the ‖centroid‖² fold runs in
+    * element-index order (q28's convention). At petabyte row counts the
+    * integer square-sums outgrow BIGINT — production swaps them to
+    * DECIMAL(38,0) sums, same arithmetic.
+    */
+  def labelDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val Q  = 1000000L
+    val Q2 = 100000000L
+    val sums = Tables
+      .embeddings(spark, dir)
+      .filter(col("label").isNotNull)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "ve")))
+      .select(col("label"), col("pos"),
+        expr(s"CAST(round(CAST(ve AS DOUBLE) * $Q, 0) AS BIGINT)").as("q"),
+        expr(s"CAST(round(CAST(ve AS DOUBLE) * CAST(ve AS DOUBLE) * $Q2, 0) AS BIGINT)").as("q2"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("s"), sum(col("q2")).as("s2"), count(lit(1)).as("n"))
+    sums
+      .withColumn("c", col("s").cast("double") / (col("n") * lit(Q)).cast("double"))
+      .groupBy(col("label"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cent"),
+        sum(col("s2")).as("ss2"),
+        max(col("n")).as("n_vecs"))
+      .withColumn("msn", col("ss2").cast("double") / (col("n_vecs") * lit(Q2)).cast("double"))
+      .withColumn("csn", expr("aggregate(cent, 0D, (a, x) -> a + x * x)"))
+      .select(
+        col("label"),
+        col("n_vecs"),
+        round(col("msn"), 6).as("mean_sq_norm"),
+        round(col("csn"), 6).as("centroid_sq_norm"),
+        round(lit(2.0) * (col("msn") - col("csn")), 6).as("dispersion"),
+        round(col("csn") / col("msn"), 6).as("concentration"))
+      .orderBy(col("label"))
+  }
+
+  /** q117 oracle: q72's quantized element sums extended with quantized
+    * element squares; identical division shapes and index-ordered folds.
+    */
+  val labelDispersionSql: String =
+    """WITH q117e AS MATERIALIZED (
+      |  SELECT label, unnest(range(1, len(embedding) + 1)) AS pos,
+      |         unnest(embedding) AS ve
+      |  FROM embeddings WHERE label IS NOT NULL),
+      |q117s AS MATERIALIZED (
+      |  SELECT label, pos,
+      |    CAST(sum(CAST(round(ve::DOUBLE * 1000000, 0) AS BIGINT)) AS BIGINT) AS s,
+      |    CAST(sum(CAST(round(ve::DOUBLE * ve::DOUBLE * 100000000, 0) AS BIGINT)) AS BIGINT) AS s2,
+      |    count(*) AS n
+      |  FROM q117e GROUP BY label, pos),
+      |q117c AS (
+      |  SELECT label, list(s::DOUBLE / (n * 1000000)::DOUBLE ORDER BY pos) AS cent,
+      |    CAST(sum(s2) AS BIGINT) AS ss2, CAST(max(n) AS BIGINT) AS n_vecs
+      |  FROM q117s GROUP BY label),
+      |q117f AS (
+      |  SELECT label, n_vecs,
+      |    ss2::DOUBLE / (n_vecs * 100000000)::DOUBLE AS msn,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(cent, x -> x * x)),
+      |      (a, b) -> a + b) AS csn
+      |  FROM q117c)
+      |SELECT label, n_vecs, round(msn, 6) AS mean_sq_norm,
+      |  round(csn, 6) AS centroid_sq_norm,
+      |  round(2.0 * (msn - csn), 6) AS dispersion,
+      |  round(csn / msn, 6) AS concentration
+      |FROM q117f ORDER BY label""".stripMargin
+
   /** Oracle: identical quantized integer sums (order-free), one-division
     * centroid elements, and index-ordered norm/dot folds — exact.
     */
