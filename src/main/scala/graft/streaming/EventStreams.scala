@@ -323,6 +323,38 @@ object EventStreams extends Serializable {
       }
   }
 
+  /** E26: streaming OHLC resample — the q107 twin, fully DECLARATIVE: a
+    * watermarked tumbling 1-hour window aggregate whose open/close ride
+    * `min`/`max` over the unique (ts, event_id, value) struct (the
+    * q94/q107 rule — stays hash-aggregable, deterministic because the
+    * key prefix is unique) and whose volume sums exact DECIMAL(18,2)
+    * (arrival-order-free by associativity). No custom state: Spark's
+    * windowed-aggregation store holds ONE row per (type, open window)
+    * and emits on watermark close (append mode) — the same expressions
+    * as batch q107, so closed windows match it column for column
+    * (spec-pinned ==).
+    */
+  def ohlcStream(events: DataFrame, watermarkDur: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDur)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("vol"))
+      .select(
+        col("event_type"),
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("o.value").as("open"),
+        col("high"),
+        col("low"),
+        col("c.value").as("close"),
+        col("n_events"),
+        col("vol").cast("double").as("volume"))
+
   case class EwmaState(openHourMs: Long, volCents: Long, lastTsMs: Long, prev: Seq[Double])
   case class EwmaOut(event_type: String, hour: String, volume: Double, ewma: Double, dev: Double)
 

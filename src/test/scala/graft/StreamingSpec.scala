@@ -193,6 +193,40 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"stream $got vs batch $want")
   }
 
+  test("E26: streaming OHLC closed windows equal batch q107 column for column") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def hts(hr: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $hr%02d:$min%02d:00")
+    val base = Seq(
+      Ev(1, 1, hts(1, 0), "a", 10.25), Ev(3, 1, hts(1, 45), "a", 4.00),
+      Ev(2, 1, hts(1, 30), "a", 0.50), // in-batch disorder: close must be ev 3
+      Ev(4, 1, hts(1, 10), "b", 3.00),
+      Ev(5, 1, hts(2, 5), "a", 1.00), Ev(6, 1, hts(2, 50), "b", 6.50))
+    val sentinel = Ev(100, 1, Timestamp.valueOf("2024-06-01 00:00:00"), "a", 0.0)
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .ohlcStream(in.toDF())
+      .writeStream.format("memory").queryName("ohlc_s").outputMode("append").start()
+    in.addData(base(0), base(1), base(2), base(3)); q.processAllAvailable()
+    in.addData(base(4), base(5)); q.processAllAvailable()
+    in.addData(sentinel); q.processAllAvailable() // watermark passes all real windows
+    in.addData(); q.processAllAvailable()
+    val got = spark.table("ohlc_s").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7)))
+      .filter(!_._2.startsWith("2024-06")).toSet
+    q.stop()
+    val dir = java.nio.file.Files.createTempDirectory("e26spec").toString
+    base.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val want = graft.operators.TimeJoins.ohlcResample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7)))
+      .toSet
+    assert(got == want, s"stream $got vs batch $want")
+  }
+
   test("E25: streaming EWMA rows equal batch q113 bit-for-bit on closed buckets") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
