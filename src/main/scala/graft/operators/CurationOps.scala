@@ -644,6 +644,90 @@ object CurationOps {
        |FROM q81r GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // --- q118: k-core of the near-dup candidate graph --------------------------
+
+  val CoreK      = 2
+  val CoreRounds = 8
+
+  /** Fixed-round [[CoreK]]-core peeling of the MinHash candidate graph —
+    * the density complement of q47's components and q104's triangles: a
+    * node in the 2-core lies on a CYCLE of near-dup relations (mutually
+    * corroborated duplication — genuine clone communities), while
+    * tree-like chains peel away (one-hop LSH coincidences and mosaic
+    * links that component labeling happily glues together). The
+    * (in_core, degree) pair per incident doc is the standard "is this
+    * cluster dense or stringy" triage before trusting cluster-level
+    * actions like q56's keep-best.
+    *
+    * Contract: the operator is defined as the survivor set after exactly
+    * [[CoreRounds]] peels (degree < [[CoreK]] nodes removed each round) —
+    * well-defined on any graph, and ≥ the true k-core always; on
+    * dup-rate-bounded graphs whose components are small, peeling
+    * converges long before 8 rounds, so survivors ARE the k-core.
+    *
+    * Scale shape: the edge list is the session-shared checkpointed stage
+    * (bounded by corpus dup rate, never corpus²); each round is one
+    * keyed degree aggregate (map-side combine) + two semi joins, each
+    * round checkpointed so the loop's lineage stays flat — q47's
+    * iterative-contraction discipline.
+    */
+  def kcoreDups(spark: SparkSession, dir: String): DataFrame = {
+    val cand = SharedStages
+      .minhashEdges(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val nodes = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id")))
+      .distinct()
+    var e = cand
+    for (_ <- 1 to CoreRounds) {
+      val keep = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= CoreK)
+        .select(col("node"))
+      val keep2 = keep.select(col("node").as("node2"))
+      e = graft.core.CacheScope.checkpoint(
+        e.join(keep, col("a") === col("node"), "left_semi")
+          .join(keep2, col("b") === col("node2"), "left_semi"))
+    }
+    val fin = e.select(col("a").as("doc_id")).union(e.select(col("b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nd"))
+    nodes
+      .join(fin, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("nd").isNotNull.as("in_core"),
+        coalesce(col("nd"), lit(0L)).as("degree"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the bit-exact LSH edge emulation + the same [[CoreRounds]]
+    * peels unrolled as CTEs (degree filter via IN-subqueries — the exact
+    * semi-join semantics), integer counts only.
+    */
+  lazy val kcoreDupsSql: String = {
+    // every e$r is MATERIALIZED: each round references its predecessor
+    // three times (two degree legs + the edge filter), so inlining would
+    // blow up 3^rounds
+    val rounds = (1 to CoreRounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT node, count(*) AS n FROM
+         |  (SELECT a AS node FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) GROUP BY node),
+         |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE n >= $CoreK),
+         |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+         |  WHERE a IN (SELECT node FROM k$r) AND b IN (SELECT node FROM k$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cand AS MATERIALIZED (SELECT doc_a, doc_b FROM (${TextOps.minhashLshSql})),
+       |e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand),
+       |$rounds,
+       |q118n AS (SELECT DISTINCT node AS doc_id FROM
+       |  (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)),
+       |q118f AS (SELECT node AS doc_id, count(*) AS nd FROM
+       |  (SELECT a AS node FROM e$CoreRounds UNION ALL SELECT b FROM e$CoreRounds) GROUP BY node)
+       |SELECT n.doc_id, (f.doc_id IS NOT NULL) AS in_core,
+       |  coalesce(f.nd, 0)::BIGINT AS degree
+       |FROM q118n n LEFT JOIN q118f f USING (doc_id)
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
   // --- q116: stride-1 sliding-window substring dedup -------------------------
 
   val SubW = 12
