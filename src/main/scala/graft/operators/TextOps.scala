@@ -779,6 +779,73 @@ object TextOps {
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
 
+  // --- q119: containment verify (asymmetric Jaccard) ------------------------
+
+  val ContainThreshold = 0.8
+
+  /** Broder CONTAINMENT verify over the LSH candidate pairs: per pair,
+    * `|A∩B|/|A|` and `|A∩B|/|B|` alongside symmetric Jaccard, keeping
+    * pairs where either containment ≥ [[ContainThreshold]] — the
+    * excerpt/quote relation (one doc substantially inside another) that
+    * symmetric dedup MISSES when the container is long: a 100-line doc
+    * quoted whole inside a 1000-line doc has j ≈ 0.1 but containment 1.0.
+    * `excerpt_only` marks exactly those pairs (contained but below the
+    * q27 dedup cut) — the curation queue for quote-chains and
+    * mosaic-inclusion cases.
+    *
+    * Scale shape: rides the session-shared stages end to end (candidate
+    * edges + shingle arrays — nothing rebuilt); two doc-keyed joins, the
+    * set arithmetic is per-row codegen. Honest recall caveat (q84's): the
+    * candidate generator is tuned for j ≥ 0.9, so low-j/high-containment
+    * pairs surface only when banding catches them — a containment-first
+    * campaign would band min-side signatures instead; the verify
+    * arithmetic here is unchanged under that swap. Exactness: intersection
+    * and sizes are integers over DISTINCT shingle arrays; the union is the
+    * arithmetic `|A|+|B|−|A∩B|` in both engines; divisions are single
+    * fixed-shape double ops, rounded at 4 dp.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = SharedStages.shingles(spark, dir)
+    SharedStages
+      .minhashEdges(spark, dir)
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("na", size(col("sh_a")))
+      .withColumn("nb", size(col("sh_b")))
+      .withColumn("c_ab", col("inter") / col("na"))
+      .withColumn("c_ba", col("inter") / col("nb"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= ContainThreshold)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(col("c_ab"), 4).as("contain_ab"),
+        round(col("c_ba"), 4).as("contain_ba"),
+        round(col("jaccard"), 4).as("jaccard"),
+        (col("jaccard") < JaccardThreshold).as("excerpt_only"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q119 oracle: bit-exact LSH candidates + the same integer set sizes,
+    * arithmetic union, and fixed division shapes.
+    */
+  lazy val containmentPairsSql: String =
+    s"""WITH cand AS MATERIALIZED (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+       |$DuckShingleCte,
+       |q119j AS (SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(a.shingles, b.shingles)) AS inter,
+       |    len(a.shingles) AS na, len(b.shingles) AS nb
+       |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b,
+       |  round(inter::DOUBLE / na, 4) AS contain_ab,
+       |  round(inter::DOUBLE / nb, 4) AS contain_ba,
+       |  round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard,
+       |  (inter::DOUBLE / (na + nb - inter) < $JaccardThreshold) AS excerpt_only
+       |FROM q119j
+       |WHERE greatest(inter::DOUBLE / na, inter::DOUBLE / nb) >= $ContainThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** [[ngramJaccard]] without the presentation sort — for consumers that
     * re-shuffle the pairs anyway (q33's victim join, q47's label
     * propagation, q52's verdict classification): a range exchange feeding a
