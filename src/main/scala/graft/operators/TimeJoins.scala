@@ -559,6 +559,66 @@ object TimeJoins {
     * the same left-fold order (k = 0…7) so the IEEE additions match
     * bitwise before the 6-dp round.
     */
+  // --- q120: volume anomaly flags (EWMA deviation × MAD screen) --------------
+
+  /** Hourly volume anomaly detection — the alerting op q113 + q102 exist
+    * to feed: per event type, the EWMA deviation of every hour is screened
+    * against the robust `3 · 1.4826 · MAD` threshold of that type's OWN
+    * deviation distribution (median/MAD, not mean/stddev — the anomalies
+    * being hunted would poison the gaussian screen). `is_anomaly` marks
+    * the hours an ingest-volume pager would fire on: sudden surges,
+    * stalls, and scraper bursts against a type's normal rhythm.
+    *
+    * Scale shape: everything downstream of q113's one keyed aggregate
+    * operates on the (type, hour) BUCKET table (≤ |types|×|hours| rows):
+    * the deviation medians run q43's cumulative-window interpolation over
+    * the (type, dev) histogram of that tiny table — corpus cost is q113's
+    * single shuffle, full stop. Determinism: devs are q113's 6-dp rounded
+    * outputs; both medians are the q102-proven type-7 interpolation
+    * (≡ DuckDB `quantile_cont` bitwise); the threshold arithmetic is one
+    * fixed shape.
+    */
+  def volumeAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val t = ewmaTrend(spark, dir)
+    val hist = t
+      .groupBy(col("event_type").as("g"), col("dev").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val med = TrainingOps.histMedian(hist).select(col("g"), col("med"))
+    val devHist = hist
+      .join(med, "g")
+      .groupBy(col("g"), abs(col("v") - col("med")).as("v"))
+      .agg(sum(col("c")).as("c"))
+    val mad = TrainingOps.histMedian(devHist).select(col("g"), col("med").as("mad"))
+    t.join(med.withColumnRenamed("g", "event_type"), "event_type")
+      .join(mad.withColumnRenamed("g", "event_type"), "event_type")
+      .select(
+        col("event_type"),
+        col("hour"),
+        col("volume"),
+        col("ewma"),
+        col("dev"),
+        round(col("med"), 6).as("med_dev"),
+        round(col("mad"), 6).as("mad"),
+        (abs(col("dev") - col("med")) > lit(3.0) * lit(1.4826) * col("mad")).as("is_anomaly"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** q120 oracle: q113's chain verbatim as the bucket table, row-level
+    * `quantile_cont` medians (q102-proven type-7 equivalence), identical
+    * threshold arithmetic.
+    */
+  lazy val volumeAnomaliesSql: String =
+    s"""WITH q120t AS MATERIALIZED (SELECT * FROM ($ewmaTrendSql)),
+       |q120m AS (SELECT event_type, quantile_cont(dev, 0.5) AS med
+       |  FROM q120t GROUP BY event_type),
+       |q120d AS (SELECT t.event_type, quantile_cont(abs(t.dev - m.med), 0.5) AS mad
+       |  FROM q120t t JOIN q120m m USING (event_type) GROUP BY t.event_type)
+       |SELECT t.event_type, t.hour, t.volume, t.ewma, t.dev,
+       |  round(m.med, 6) AS med_dev, round(d.mad, 6) AS mad,
+       |  (abs(t.dev - m.med) > 3.0 * 1.4826 * d.mad) AS is_anomaly
+       |FROM q120t t JOIN q120m m USING (event_type) JOIN q120d d USING (event_type)
+       |ORDER BY t.event_type, t.hour""".stripMargin
+
   val ewmaTrendSql: String = {
     val lags = (1 until EwmaK).map(k => s"lag(x, $k) OVER w AS x$k").mkString(", ")
     def xk(k: Int) = if (k == 0) "x" else s"x$k"

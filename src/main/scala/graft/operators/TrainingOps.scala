@@ -613,33 +613,40 @@ object TrainingOps {
     * medians use q43's cumulative-window type-7 interpolation — exact on
     * this domain (small integers and their half-steps, all IEEE-exact).
     */
-  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact type-7 median per group over a (g, v, c) count histogram —
+    * q43's cumulative-window interpolation, factored for every consumer
+    * that already holds its values as a histogram (q102's value +
+    * deviation medians, q120's per-type deviation MAD). Returns
+    * (g, n, med).
+    */
+  private[operators] def histMedian(hist: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val byG  = Window.partitionBy(col("g"))
+    val cumW = byG.orderBy(col("v"))
+    val ranked = hist
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n", sum(col("c")).over(byG))
+    val pos                   = lit(0.5) * (col("n") - 1).cast("double")
+    val (loRn, hiRn)          = (floor(pos) + 1, ceil(pos) + 1)
+    def covers(r: Column): Column = (col("cum") - col("c") < r) && (r <= col("cum"))
+    ranked
+      .filter(covers(loRn) || covers(hiRn))
+      .groupBy(col("g"))
+      .agg(
+        min(when(covers(loRn), col("v"))).as("lo"),
+        min(when(covers(hiRn), col("v"))).as("hi"),
+        first(col("n")).as("n"))
+      .select(
+        col("g"), col("n"),
+        when(col("lo") === col("hi"), col("lo"))
+          .otherwise(
+            col("lo") * (ceil(pos).cast("double") - pos) +
+              col("hi") * (pos - floor(pos).cast("double")))
+          .as("med"))
+  }
 
-    def medianOf(hist: DataFrame): DataFrame = {
-      val byG  = Window.partitionBy(col("g"))
-      val cumW = byG.orderBy(col("v"))
-      val ranked = hist
-        .withColumn("cum", sum(col("c")).over(cumW))
-        .withColumn("n", sum(col("c")).over(byG))
-      val pos                   = lit(0.5) * (col("n") - 1).cast("double")
-      val (loRn, hiRn)          = (floor(pos) + 1, ceil(pos) + 1)
-      def covers(r: Column): Column = (col("cum") - col("c") < r) && (r <= col("cum"))
-      ranked
-        .filter(covers(loRn) || covers(hiRn))
-        .groupBy(col("g"))
-        .agg(
-          min(when(covers(loRn), col("v"))).as("lo"),
-          min(when(covers(hiRn), col("v"))).as("hi"),
-          first(col("n")).as("n"))
-        .select(
-          col("g"), col("n"),
-          when(col("lo") === col("hi"), col("lo"))
-            .otherwise(
-              col("lo") * (ceil(pos).cast("double") - pos) +
-                col("hi") * (pos - floor(pos).cast("double")))
-            .as("med"))
-    }
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    def medianOf(hist: DataFrame): DataFrame = histMedian(hist)
 
     val hist = Tables
       .lineitem(spark, dir)
