@@ -603,6 +603,24 @@ object TimeJoins {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** The q120 screen as a pure function — shared verbatim by the E27
+    * streaming anomaly gate so stream and batch flag with IDENTICAL
+    * arithmetic (the E18 `cdfPct` pattern).
+    */
+  def anomalyFlag(dev: Double, medDev: Double, mad: Double): Boolean =
+    math.abs(dev - medDev) > 3.0 * 1.4826 * mad
+
+  /** Snapshot calibration for the E27 gate: per type (med_dev, mad) from
+    * the batch screen — ≤|types| rows collected (the model-gate rule).
+    */
+  def anomalyBars(spark: SparkSession, dir: String): Map[String, (Double, Double)] =
+    volumeAnomalies(spark, dir)
+      .select(col("event_type"), col("med_dev"), col("mad"))
+      .distinct()
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+
   /** q120 oracle: q113's chain verbatim as the bucket table, row-level
     * `quantile_cont` medians (q102-proven type-7 equivalence), identical
     * threshold arithmetic.

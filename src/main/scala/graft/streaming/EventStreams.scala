@@ -443,6 +443,46 @@ object EventStreams extends Serializable {
       }
   }
 
+  case class AnomOut(
+      event_type: String,
+      hour: String,
+      volume: Double,
+      ewma: Double,
+      dev: Double,
+      known_type: Boolean,
+      is_anomaly: Boolean)
+
+  /** E27: streaming volume-anomaly gate — the q120 twin in the
+    * calibrate-on-snapshot / apply-on-stream contract (E18's): the batch
+    * screen's per-type (median deviation, MAD) bars ride as a literal map
+    * (≤ |types| entries — the model-gate rule), and every bucket E25
+    * closes is flagged through the SAME pure threshold function the
+    * batch screen uses ([[graft.operators.TimeJoins.anomalyFlag]],
+    * spec-pinned ==). A robust threshold is inherently a property of the
+    * deviation DISTRIBUTION — a stream cannot know its own median ahead
+    * of time, so the gate applies the snapshot's bars, exactly like
+    * E18's percentile gate. Types absent from the snapshot emit
+    * `known_type = false` and never flag (an unseen type needs
+    * calibration, not a guessy page).
+    */
+  def anomalyGateStream(
+      events: Dataset[Ev],
+      bars: Map[String, (Double, Double)],
+      watermarkDur: String = "2 hours"): Dataset[AnomOut] = {
+    import events.sparkSession.implicits._
+    ewmaStream(events, watermarkDur).map { r =>
+      bars.get(r.event_type) match {
+        case Some((medDev, mad)) =>
+          AnomOut(r.event_type, r.hour, r.volume, r.ewma, r.dev,
+            known_type = true,
+            is_anomaly = graft.operators.TimeJoins.anomalyFlag(r.dev, medDev, mad))
+        case None =>
+          AnomOut(r.event_type, r.hour, r.volume, r.ewma, r.dev,
+            known_type = false, is_anomaly = false)
+      }
+    }
+  }
+
   case class ActiveState(lastTsMs: Long, activeDays: Seq[Long], servedReach: Seq[Long])
   case class ActiveOut(user_id: Long, day: String, kind: String)
 

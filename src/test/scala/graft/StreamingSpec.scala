@@ -227,6 +227,50 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"stream $got vs batch $want")
   }
 
+  test("E27: streaming anomaly gate applies the batch q120 bars through the shared function") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def hts(hr: Int) = Timestamp.valueOf(f"2024-01-01 $hr%02d:00:00")
+    // type a: steady rhythm then a planted 100x surge; type b: steady
+    val base = (1 to 8).map(h => Ev(h, 1, hts(h), "a", 10.0 + h * 0.25)) ++
+      Seq(Ev(9, 1, hts(9), "a", 1000.0)) ++
+      (1 to 5).map(h => Ev(20 + h, 1, hts(h), "b", 5.0))
+    val dir = java.nio.file.Files.createTempDirectory("e27spec").toString
+    base.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val bars = graft.operators.TimeJoins.anomalyBars(spark, dir)
+    assert(bars.keySet == Set("a", "b"))
+
+    // the stream also sees a type the snapshot never calibrated
+    val feed = base ++ Seq(Ev(90, 1, hts(3), "zz", 1.0)) ++ Seq(
+      Ev(100, 1, Timestamp.valueOf("2024-06-01 00:00:00"), "a", 0.0),
+      Ev(101, 1, Timestamp.valueOf("2024-06-01 00:00:00"), "b", 0.0),
+      Ev(102, 1, Timestamp.valueOf("2024-06-01 00:00:00"), "zz", 0.0))
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .anomalyGateStream(in.toDS(), bars)
+      .writeStream.format("memory").queryName("anom_s").outputMode("append").start()
+    in.addData(feed: _*); q.processAllAvailable()
+    in.addData(); q.processAllAvailable()
+    val rows = spark.table("anom_s").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(4), r.getBoolean(5), r.getBoolean(6)))
+      .filter(!_._2.startsWith("2024-06")).toSeq
+    q.stop()
+    assert(rows.nonEmpty)
+    rows.foreach { case (tpe, hour, dev, known, flag) =>
+      if (known) {
+        val (m, md) = bars(tpe)
+        assert(flag == graft.operators.TimeJoins.anomalyFlag(dev, m, md),
+          s"$tpe $hour: stream flag diverged from the shared threshold function")
+      } else {
+        assert(tpe == "zz" && !flag, "uncalibrated types must never flag")
+      }
+    }
+    assert(rows.exists(_._5), "the planted 100x surge must flag")
+    assert(rows.exists(r => r._1 == "zz" && !r._4), "the uncalibrated type must surface as unknown")
+  }
+
   test("E25: streaming EWMA rows equal batch q113 bit-for-bit on closed buckets") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
