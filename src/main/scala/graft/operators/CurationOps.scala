@@ -728,6 +728,85 @@ object CurationOps {
        |ORDER BY n.doc_id""".stripMargin
   }
 
+  // --- q122: Adamic-Adar link prediction over the candidate graph ------------
+
+  val AaTopK = 50
+
+  /** Adamic-Adar link analysis over the MinHash candidate graph: every
+    * pair (u, v) sharing ≥1 common neighbor scores
+    * `AA(u,v) = Σ_w 1/ln(deg(w))` over common neighbors w, flagged
+    * `is_edge` by whether LSH already proposed the pair directly. The
+    * `is_edge = false` slice is the classic "which near-dup links did LSH
+    * miss?" screen (two documents sharing duplication partners that never
+    * landed in one band — q85's recall frontier localized to actionable
+    * pairs); the `is_edge = true` slice ranks existing candidates by triad
+    * corroboration. Rare common neighbors (low degree) count more than
+    * promiscuous template hubs — exactly the weighting a template-flooded
+    * corpus needs.
+    *
+    * Scale shape: wedges enumerate per common NEIGHBOR (one equi-join of
+    * the symmetrized edge list with itself, keyed on the shared node), so
+    * cost is Σ_w deg(w)² — bounded by the dup-rate-bounded degree
+    * distribution, never corpus²; adjacency is one left join against the
+    * edge list; the degree table joins once. Determinism: per-term
+    * `round(1/ln(deg), 6)` (q73's round-the-log discipline),
+    * ascending-by-neighbor fold (SURVEY §4), final round to 6 dp; the
+    * top-[[AaTopK]] ties break on the unique (doc_a, doc_b).
+    */
+  def adamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    val e = SharedStages
+      .minhashEdges(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val s = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = s.groupBy(col("a").as("w")).agg(count(lit(1)).as("deg"))
+    val sd  = s.select(col("a").as("w"), col("b").as("n"))
+    val adj = e.select(col("a").as("u"), col("b").as("v"), lit(true).as("adj"))
+    sd.as("s1")
+      .join(sd.as("s2"), col("s1.w") === col("s2.w") && col("s1.n") < col("s2.n"))
+      .select(col("s1.w").as("w"), col("s1.n").as("u"), col("s2.n").as("v"))
+      .join(deg, "w")
+      .select(col("u"), col("v"), col("w"),
+        round(lit(1.0) / log(col("deg").cast("double")), 6).as("term"))
+      .groupBy(col("u"), col("v"))
+      .agg(
+        count(lit(1)).as("n_common"),
+        expr(
+          "round(aggregate(array_sort(collect_list(struct(w, term))), 0D, (acc, x) -> acc + x.term), 6)")
+          .as("aa_score"))
+      .join(adj, Seq("u", "v"), "left")
+      .select(
+        col("u").as("doc_a"),
+        col("v").as("doc_b"),
+        col("n_common"),
+        col("aa_score"),
+        coalesce(col("adj"), lit(false)).as("is_edge"))
+      .orderBy(col("aa_score").desc, col("doc_a"), col("doc_b"))
+      .limit(AaTopK)
+  }
+
+  /** Oracle: bit-exact LSH edges + the same wedge join, per-term rounded
+    * `1/ln(deg)`, and the ascending-by-neighbor `list_reduce` fold.
+    */
+  lazy val adamicAdarSql: String =
+    s"""WITH q122e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM (${TextOps.minhashLshSql})),
+       |q122s AS MATERIALIZED (SELECT a, b FROM q122e UNION ALL SELECT b, a FROM q122e),
+       |q122d AS (SELECT a AS w, count(*)::BIGINT AS deg FROM q122s GROUP BY a),
+       |q122w AS (
+       |  SELECT s1.a AS w, s1.b AS u, s2.b AS v
+       |  FROM q122s s1 JOIN q122s s2 ON s1.a = s2.a AND s1.b < s2.b),
+       |q122t AS (
+       |  SELECT w.u, w.v, w.w, round(1.0/ln(d.deg::DOUBLE), 6) AS term
+       |  FROM q122w w JOIN q122d d USING (w)),
+       |q122g AS (
+       |  SELECT u, v, count(*)::BIGINT AS n_common,
+       |    round(list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY w)),
+       |      (x, y) -> x + y), 6) AS aa_score
+       |  FROM q122t GROUP BY u, v)
+       |SELECT g.u AS doc_a, g.v AS doc_b, g.n_common, g.aa_score,
+       |  (e.a IS NOT NULL) AS is_edge
+       |FROM q122g g LEFT JOIN q122e e ON e.a = g.u AND e.b = g.v
+       |ORDER BY g.aa_score DESC, doc_a, doc_b LIMIT $AaTopK""".stripMargin
+
   // --- q116: stride-1 sliding-window substring dedup -------------------------
 
   val SubW = 12

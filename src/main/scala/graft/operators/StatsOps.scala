@@ -1034,4 +1034,117 @@ object StatsOps {
        |  WHERE o.tokens >= d.tokens AND o.vocab >= d.vocab
        |    AND (o.tokens > d.tokens OR o.vocab > d.vocab))
        |ORDER BY tokens DESC, vocab DESC, doc_id""".stripMargin
+
+  // --- q124: Poisson-bootstrap confidence intervals --------------------------
+
+  val BootReps = 32
+
+  /** Cumulative Poisson(1) CDF × 1e6, floored — the integer cut-offs that
+    * turn a uniform hash bucket into a bootstrap resample weight
+    * (P(w=0)=e⁻¹, P(w=1)=e⁻¹, …). One shared constant list generates BOTH
+    * engines' CASE chains, so the weights are identical by construction.
+    */
+  val PoissonCuts: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L)
+
+  /** Per-source bootstrap confidence interval on mean document length —
+    * the error bar that belongs on every q76-style dataset-card statistic:
+    * "src7 averages 412 chars" means nothing without "±how much". Classic
+    * resampling needs the corpus R times; the Poisson bootstrap
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    * Google 2012) observes that resampling N-of-N ≈ giving each row an
+    * independent Poisson(1) replicate weight — ONE scan computes all
+    * [[BootReps]] replicates, and the weight is a pure hash of
+    * (doc_id, rep): deterministic, shuffle-free, embarrassingly parallel.
+    * The interval is the (2nd, 31st) order statistic of the 32 replicate
+    * means — a ~94% percentile-bootstrap CI with NO distributional
+    * assumption and NO float quantile interpolation to disagree on.
+    *
+    * Scale shape: the ×[[BootReps]] expansion is map-side (broadcast
+    * nested-loop against a 32-row range — no shuffle); the only shuffle
+    * is the (source, rep) aggregate, ≤ |sources|·32 output rows;
+    * everything after is windowing over that bounded table. Determinism:
+    * weights are integer CASEs on a shared xxhash64 bucket, replicate
+    * means are one integer-sum division, order statistics replace
+    * quantile math.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    val reps = spark.range(BootReps).select(col("id").as("rep"))
+    val w = PoissonCuts.zipWithIndex.foldRight(
+      lit(PoissonCuts.length.toLong): org.apache.spark.sql.Column) { (ck, acc) =>
+      when(col("m") < lit(ck._1), lit(ck._2.toLong)).otherwise(acc)
+    }
+    val repMeans = base
+      .crossJoin(broadcast(reps))
+      .withColumn("m", pmod(xxhash64(col("doc_id") * lit(64L) + col("rep")), lit(1000000L)))
+      .withColumn("w", w)
+      .groupBy(col("source"), col("rep"))
+      .agg(sum(col("w") * col("n_chars")).as("sw"), sum(col("w")).as("n_w"))
+      .select(col("source"), col("rep"),
+        (col("sw").cast("double") / col("n_w").cast("double")).as("mean_r"))
+    val byMean = Window.partitionBy(col("source")).orderBy(col("mean_r"), col("rep"))
+    val ci = repMeans
+      .withColumn("rn", row_number().over(byMean))
+      .groupBy(col("source"))
+      .agg(
+        max(when(col("rn") === 2, col("mean_r"))).as("lo"),
+        max(when(col("rn") === BootReps - 1, col("mean_r"))).as("hi"))
+    base
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sc"))
+      .join(ci, "source")
+      .select(
+        col("source"),
+        col("n_docs"),
+        round(col("sc").cast("double") / col("n_docs").cast("double"), 6).as("mean_chars"),
+        round(col("lo"), 6).as("ci_lo"),
+        round(col("hi"), 6).as("ci_hi"))
+      .orderBy(col("source"))
+  }
+
+  /** q124 oracle: the [[graft.functions.DuckHash]] xxhash64 emulation on
+    * `doc_id·64 + rep`, the SAME [[PoissonCuts]]-generated CASE, and the
+    * same order-statistic pivot — integer arithmetic until the final
+    * divisions.
+    */
+  lazy val bootstrapCiSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = ArrayBuffer[(String, String)](
+      "q124in" ->
+        s"""(SELECT source, n_chars, r.rep, (doc_id * 64 + r.rep)::HUGEINT AS l
+           | FROM documents, (SELECT unnest(range(0, $BootReps))::BIGINT AS rep) r)""".stripMargin
+    )
+    val ch = new SqlChain("q124h", "q124in", Seq("source", "n_chars", "rep", "l"))
+    hashLongLevels(ch, toUnsigned("l"), "42", "h")
+    ctes ++= ch.ctes
+    val wCase = "CASE " +
+      PoissonCuts.zipWithIndex.map { case (c, k) => s"WHEN m < $c THEN $k" }.mkString(" ") +
+      s" ELSE ${PoissonCuts.length} END"
+    ctes += ("q124m" ->
+      s"""(SELECT source, n_chars, rep,
+         |    (((${toSigned("h")} % 1000000) + 1000000) % 1000000)::BIGINT AS m FROM ${ch.last})""".stripMargin)
+    ctes += ("q124w" -> s"(SELECT source, n_chars, rep, ($wCase)::BIGINT AS w FROM q124m)")
+    ctes += ("q124r" ->
+      """(SELECT source, rep, sum(w * n_chars)::DOUBLE / sum(w)::DOUBLE AS mean_r
+        |  FROM q124w GROUP BY source, rep)""".stripMargin)
+    ctes += ("q124k" ->
+      """(SELECT source, rep, mean_r,
+        |    row_number() OVER (PARTITION BY source ORDER BY mean_r, rep) AS rn FROM q124r)""".stripMargin)
+    ctes += ("q124c" ->
+      s"""(SELECT source,
+         |    max(CASE WHEN rn = 2 THEN mean_r END) AS lo,
+         |    max(CASE WHEN rn = ${BootReps - 1} THEN mean_r END) AS hi
+         |  FROM q124k GROUP BY source)""".stripMargin)
+    ctes += ("q124o" ->
+      "(SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sc FROM documents GROUP BY source)")
+    assemble(
+      ctes.toSeq,
+      """SELECT o.source, o.n_docs,
+        |  round(o.sc::DOUBLE / o.n_docs::DOUBLE, 6) AS mean_chars,
+        |  round(c.lo, 6) AS ci_lo, round(c.hi, 6) AS ci_hi
+        |FROM q124o o JOIN q124c c USING (source)
+        |ORDER BY o.source""".stripMargin
+    )
+  }
 }

@@ -637,6 +637,172 @@ object TimeJoins {
        |FROM q120t t JOIN q120m m USING (event_type) JOIN q120d d USING (event_type)
        |ORDER BY t.event_type, t.hour""".stripMargin
 
+  // --- q121: association rules over session baskets -------------------------
+
+  /** Market-basket association rules over q10's sessions: each 30-minute-gap
+    * session is a basket of the DISTINCT event types it contains, and every
+    * type pair (a < b) reports support `n_ab/N`, confidence `n_ab/n_a`, and
+    * lift `n_ab·N/(n_a·n_b)` — the classic co-occurrence screen ("do errors
+    * travel with purchases?") that turns raw clickstream into correlated-
+    * behavior evidence. Reference scope: jshrake/healthkit-to-sqlite stores
+    * each sample row independently (src/main.rs:131-210); pairwise behavior
+    * analysis is exactly the kind of query its SQLite users hand-write.
+    *
+    * Scale shape: sessionization is ONE user-keyed window shuffle (q10's
+    * exact rule, so baskets ≡ q10/q110 sessions); the distinct collapses to
+    * the (basket, type) grain before any join; the self-join is equi-keyed
+    * on the basket id and expands at most |types|² per basket (|types| is a
+    * bounded vocabulary, 5 here); both marginal tables and the 1-row basket
+    * count are broadcast back. Nothing after the first shuffle touches raw
+    * events. Determinism: all counts are exact longs; each ratio is one
+    * fixed multiply/divide shape rounded to 6 dp.
+    */
+  def cooccurrenceLift(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum    = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val items = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn(
+        "new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(cum))
+      .select(col("user_id"), col("session_id"), col("event_type"))
+      .distinct()
+    val itemsP = graft.core.CacheScope.persist(items)
+    val nBaskets = itemsP.select(col("user_id"), col("session_id")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val typeCounts = itemsP.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val pairs = itemsP
+      .select(col("user_id"), col("session_id"), col("event_type").as("type_a"))
+      .join(
+        itemsP.select(col("user_id"), col("session_id"), col("event_type").as("type_b")),
+        Seq("user_id", "session_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(
+        broadcast(typeCounts.select(col("event_type").as("type_a"), col("n_t").as("n_a"))),
+        "type_a")
+      .join(
+        broadcast(typeCounts.select(col("event_type").as("type_b"), col("n_t").as("n_b"))),
+        "type_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_baskets").cast("double"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6).as("confidence"),
+        round(
+          (col("n_ab").cast("double") * col("n_baskets").cast("double")) /
+            (col("n_a").cast("double") * col("n_b").cast("double")),
+          6).as("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** q121 oracle: q10's exact sessionize SQL, the same distinct basket
+    * grain, and the identical two-multiply-one-divide lift shape.
+    */
+  val cooccurrenceLiftSql: String =
+    """WITH q121e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |q121s AS (
+      |  SELECT *, CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM q121e),
+      |q121i AS MATERIALIZED (SELECT DISTINCT user_id, session_id, event_type FROM q121s),
+      |q121n AS (SELECT count(*)::BIGINT AS n_baskets
+      |  FROM (SELECT DISTINCT user_id, session_id FROM q121i)),
+      |q121t AS (SELECT event_type, count(*)::BIGINT AS n_t FROM q121i GROUP BY event_type),
+      |q121p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*)::BIGINT AS n_ab
+      |  FROM q121i a JOIN q121i b USING (user_id, session_id)
+      |  WHERE a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_ab,
+      |  round(n_ab::DOUBLE / n.n_baskets::DOUBLE, 6) AS support,
+      |  round(n_ab::DOUBLE / ta.n_t::DOUBLE, 6) AS confidence,
+      |  round((n_ab::DOUBLE * n.n_baskets::DOUBLE) / (ta.n_t::DOUBLE * tb.n_t::DOUBLE), 6) AS lift
+      |FROM q121p p, q121n n
+      |JOIN q121t ta ON p.type_a = ta.event_type
+      |JOIN q121t tb ON p.type_b = tb.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
+  // --- q123: seasonal (day-of-week × hour) profile ---------------------------
+
+  /** Seasonal traffic/value profile: per (event_type, day-of-week,
+    * hour-of-day) cell — event count, the type's traffic share landing in
+    * that cell, the cell's mean value, and its deviation from the type's
+    * overall mean. This is the seasonal-baseline table q120's anomaly
+    * screen implicitly assumes away (EWMA deviations conflate "Monday 9am
+    * is always big" with "this hour is anomalous"); dividing dev by the
+    * cell profile is how a production screen deseasonalizes.
+    *
+    * Scale shape: ONE map-side-combinable aggregate collapses the corpus
+    * to ≤ |types|·7·24 cells; everything downstream (per-type totals,
+    * the profile join) operates on that bounded table, totals broadcast
+    * back. Determinism: counts are longs, value sums ride DECIMAL(18,2)
+    * (exact, order-free — the q107 discipline), each ratio is one fixed
+    * divide/subtract shape rounded to 6 dp. Spark's `dayofweek` is
+    * 1=Sunday; minus 1 aligns it with DuckDB's 0=Sunday.
+    */
+  def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the per-type totals derive from the SAME ≤|types|·7·24
+    // cell table — without it the totals branch re-scans the corpus
+    val cells = graft.core.CacheScope.persist(
+      Tables
+        .events(spark, dir)
+        .select(
+          col("event_type"),
+          (dayofweek(col("ts")) - lit(1)).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hod"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy(col("event_type"), col("dow"), col("hod"))
+        .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sv")))
+    val types = cells
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("n_t"), sum(col("sv")).as("sv_t"))
+    cells
+      .join(broadcast(types), "event_type")
+      .select(
+        col("event_type"),
+        col("dow"),
+        col("hod"),
+        col("n_events"),
+        round(col("n_events").cast("double") / col("n_t").cast("double"), 6).as("share"),
+        round(col("sv").cast("double") / col("n_events").cast("double"), 6).as("avg_value"),
+        round(
+          col("sv").cast("double") / col("n_events").cast("double") -
+            col("sv_t").cast("double") / col("n_t").cast("double"),
+          6).as("dev_value"))
+      .orderBy(col("event_type"), col("dow"), col("hod"))
+  }
+
+  /** q123 oracle: identical cell grain, DECIMAL value sums, and divide/
+    * subtract shapes; DuckDB `dayofweek` is already 0=Sunday.
+    */
+  val seasonalProfileSql: String =
+    """WITH q123c AS MATERIALIZED (
+      |  SELECT event_type, dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hod,
+      |    count(*)::BIGINT AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sv
+      |  FROM events GROUP BY 1, 2, 3),
+      |q123t AS (
+      |  SELECT event_type, sum(n_events)::BIGINT AS n_t, sum(sv) AS sv_t
+      |  FROM q123c GROUP BY event_type)
+      |SELECT c.event_type, c.dow, c.hod, c.n_events,
+      |  round(c.n_events::DOUBLE / t.n_t::DOUBLE, 6) AS share,
+      |  round(c.sv::DOUBLE / c.n_events::DOUBLE, 6) AS avg_value,
+      |  round(c.sv::DOUBLE / c.n_events::DOUBLE - t.sv_t::DOUBLE / t.n_t::DOUBLE, 6) AS dev_value
+      |FROM q123c c JOIN q123t t USING (event_type)
+      |ORDER BY c.event_type, c.dow, c.hod""".stripMargin
+
   val ewmaTrendSql: String = {
     val lags = (1 until EwmaK).map(k => s"lag(x, $k) OVER w AS x$k").mkString(", ")
     def xk(k: Int) = if (k == 0) "x" else s"x$k"

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.InferType
-import graft.operators.{Multimodal, TextOps, VectorOps}
+import graft.operators.{Multimodal, StatsOps, TextOps, TimeJoins, VectorOps}
 import graft.queries.Relational
 
 /** §2.B/C/D operator specs. Ground truth established offline:
@@ -600,5 +600,54 @@ class OperatorsSpec extends SparkSpec {
     assert(md5s == Seq(
       h("café du monde"), h("a b c d"), h("leading and trailing"),
       h("mixed ctrl"), h("plain ascii")))
+  }
+
+  test("q121: association rules are count-consistent and symmetric in lift") {
+    val rows = TimeJoins.cooccurrenceLift(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nAb, support, confidence, lift) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(nAb > 0 && support > 0 && confidence >= support - 1e-9,
+        s"inconsistent row $r")
+      assert(lift > 0, s"non-positive lift in $r")
+    }
+    // each unordered pair appears exactly once, a < b
+    val pairs = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.distinct.length == pairs.length)
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("q123: seasonal cells partition each type's traffic; shares sum to 1") {
+    val rows = TimeJoins.seasonalProfile(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (t, cells) =>
+      val shareSum = cells.map(_.getDouble(4)).sum
+      assert(math.abs(shareSum - 1.0) < 1e-3, s"$t shares sum to $shareSum")
+      cells.foreach { c =>
+        val (dow, hod) = (c.getLong(1), c.getLong(2))
+        assert(dow >= 0 && dow <= 6 && hod >= 0 && hod <= 23, s"bad cell $c")
+      }
+    }
+    // counts reconcile with the raw table
+    val total = rows.map(_.getLong(3)).sum
+    val raw   = graft.core.Tables.events(spark, Sf0001).count()
+    assert(total == raw, s"cell counts $total != events $raw")
+  }
+
+  test("q124: bootstrap CI brackets the point estimate and is hash-deterministic") {
+    val a = StatsOps.bootstrapCi(spark, Sf0001).collect()
+    assert(a.length == 20)
+    a.foreach { r =>
+      val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= hi, s"inverted CI in $r")
+      assert(mean >= lo - 1e-9 && mean <= hi + 1e-9,
+        s"point estimate outside its own CI (possible but suspect at n=25+): $r")
+      assert(hi - lo > 0, s"degenerate CI in $r")
+    }
+    // same session, same inputs → bit-identical output (pure hash weights)
+    val b = StatsOps.bootstrapCi(spark, Sf0001).collect()
+    assert(a.toSeq == b.toSeq)
   }
 }

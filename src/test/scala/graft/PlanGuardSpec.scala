@@ -353,7 +353,13 @@ class PlanGuardSpec extends SparkSpec {
         "q111_ams_f2",
         // q115's non-equi self-exclusion broadcasts the fixed QueryCount
         // query set — exactly q28's bounded shape
-        "q115_hard_negatives")
+        "q115_hard_negatives",
+        // q121 crossJoins the 1-row basket-count aggregate onto the
+        // ≤|types|²-row pair table — the q42/q49 1-row stats shape
+        "q121_cooccurrence_lift",
+        // q124's replicate expansion broadcasts the fixed 32-row rep range
+        // (map-side ×32, no shuffle) — bounded by the BootReps constant
+        "q124_bootstrap_ci")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
