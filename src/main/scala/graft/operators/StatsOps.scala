@@ -1068,17 +1068,29 @@ object StatsOps {
     * means are one integer-sum division, order statistics replace
     * quantile math.
     */
+  /** Spark-side Poisson(1) weight from a [0, 1e6) hash bucket — the CASE
+    * chain over [[PoissonCuts]], shared by q124 and q126.
+    */
+  private[operators] def poissonWeight(
+      m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    PoissonCuts.zipWithIndex.foldRight(
+      lit(PoissonCuts.length.toLong): org.apache.spark.sql.Column) { (ck, acc) =>
+      when(m < lit(ck._1), lit(ck._2.toLong)).otherwise(acc)
+    }
+
+  /** DuckDB-side CASE over the same cuts (same operator, same order). */
+  private[operators] def poissonCaseSql(mExpr: String): String =
+    "CASE " +
+      PoissonCuts.zipWithIndex.map { case (c, k) => s"WHEN $mExpr < $c THEN $k" }.mkString(" ") +
+      s" ELSE ${PoissonCuts.length} END"
+
   def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     val base = docs(spark, dir).select(col("doc_id"), col("source"), col("n_chars"))
     val reps = spark.range(BootReps).select(col("id").as("rep"))
-    val w = PoissonCuts.zipWithIndex.foldRight(
-      lit(PoissonCuts.length.toLong): org.apache.spark.sql.Column) { (ck, acc) =>
-      when(col("m") < lit(ck._1), lit(ck._2.toLong)).otherwise(acc)
-    }
     val repMeans = base
       .crossJoin(broadcast(reps))
       .withColumn("m", pmod(xxhash64(col("doc_id") * lit(64L) + col("rep")), lit(1000000L)))
-      .withColumn("w", w)
+      .withColumn("w", poissonWeight(col("m")))
       .groupBy(col("source"), col("rep"))
       .agg(sum(col("w") * col("n_chars")).as("sw"), sum(col("w")).as("n_w"))
       .select(col("source"), col("rep"),
@@ -1118,9 +1130,7 @@ object StatsOps {
     val ch = new SqlChain("q124h", "q124in", Seq("source", "n_chars", "rep", "l"))
     hashLongLevels(ch, toUnsigned("l"), "42", "h")
     ctes ++= ch.ctes
-    val wCase = "CASE " +
-      PoissonCuts.zipWithIndex.map { case (c, k) => s"WHEN m < $c THEN $k" }.mkString(" ") +
-      s" ELSE ${PoissonCuts.length} END"
+    val wCase = poissonCaseSql("m")
     ctes += ("q124m" ->
       s"""(SELECT source, n_chars, rep,
          |    (((${toSigned("h")} % 1000000) + 1000000) % 1000000)::BIGINT AS m FROM ${ch.last})""".stripMargin)
@@ -1146,5 +1156,269 @@ object StatsOps {
         |FROM q124o o JOIN q124c c USING (source)
         |ORDER BY o.source""".stripMargin
     )
+  }
+
+  // --- q126: A/B uplift with cluster-bootstrap CI ----------------------------
+
+  /** Hash-randomized A/B uplift report: users split 50/50 into control/
+    * treatment arms by `xxhash64(user_id) mod 2` (the q40 assignment
+    * discipline — stable, content-blind, reproducible), and each event
+    * type reports both arms' mean event value, the uplift (treatment −
+    * control), and a cluster-bootstrap CI on that uplift. The bootstrap
+    * resamples USERS, not events (q124's Poisson-weight trick at the user
+    * grain): event values within a user are correlated, and an event-level
+    * resample would understate the variance — the classic A/B analysis
+    * mistake this operator is shaped to avoid.
+    *
+    * Scale shape: ONE keyed shuffle collapses events to the (user, type)
+    * grain; arm and replicate weights are pure in-row hash expressions of
+    * user_id (+rep) — no randomness state, no join; the ×[[BootReps]]
+    * expansion rides the bounded user grain (not raw events) map-side;
+    * the replicate aggregate is ≤ |types|·32 rows and everything after is
+    * windowing over it. Determinism: value sums ride DECIMAL, weights are
+    * integer CASEs, each replicate uplift is one fixed divide/subtract
+    * shape, and the CI is order statistics over (uplift, rep) — replicates
+    * where either arm drew total weight 0 are excluded, with rank bounds
+    * `(2, cnt−1)` degrading to `(1, cnt)` below 4 survivors.
+    */
+  def abUplift(spark: SparkSession, dir: String): DataFrame = {
+    val ug = graft.core.CacheScope.persist(
+      Tables
+        .events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("value").cast("decimal(18,2)").as("v"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_u"), sum(col("v")).as("sv_u")))
+    val arm  = pmod(xxhash64(col("user_id")), lit(2L))
+    val reps = spark.range(BootReps).select(col("id").as("rep"))
+    val point = ug
+      .withColumn("arm", arm)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("arm") === 0, col("n_u"))).as("n_c"),
+        sum(when(col("arm") === 1, col("n_u"))).as("n_t"),
+        sum(when(col("arm") === 0, col("sv_u"))).as("sv_c"),
+        sum(when(col("arm") === 1, col("sv_u"))).as("sv_t"))
+      .select(
+        col("event_type"), col("n_c"), col("n_t"),
+        (col("sv_c").cast("double") / col("n_c").cast("double")).as("mean_c"),
+        (col("sv_t").cast("double") / col("n_t").cast("double")).as("mean_t"))
+    val repUplift = ug
+      .crossJoin(broadcast(reps))
+      .withColumn("arm", arm)
+      .withColumn("m", pmod(xxhash64(col("user_id") * lit(64L) + col("rep")), lit(1000000L)))
+      .withColumn("w", poissonWeight(col("m")))
+      .groupBy(col("event_type"), col("rep"))
+      .agg(
+        sum(when(col("arm") === 1, col("w") * col("sv_u"))).as("svt"),
+        sum(when(col("arm") === 1, col("w") * col("n_u"))).as("nt"),
+        sum(when(col("arm") === 0, col("w") * col("sv_u"))).as("svc"),
+        sum(when(col("arm") === 0, col("w") * col("n_u"))).as("nc"))
+      .filter(col("nt") > 0 && col("nc") > 0)
+      .select(
+        col("event_type"), col("rep"),
+        (col("svt").cast("double") / col("nt").cast("double") -
+          col("svc").cast("double") / col("nc").cast("double")).as("uplift_r"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ci = repUplift
+      .withColumn("rn", row_number().over(byType.orderBy(col("uplift_r"), col("rep"))))
+      .withColumn("cnt", count(lit(1)).over(byType))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("rn") === when(col("cnt") >= 4, 2).otherwise(1), col("uplift_r"))).as("lo"),
+        max(when(col("rn") === when(col("cnt") >= 4, col("cnt") - 1).otherwise(col("cnt")),
+          col("uplift_r"))).as("hi"),
+        max(col("cnt")).cast("long").as("n_reps"))
+    point
+      .join(ci, "event_type")
+      .select(
+        col("event_type"), col("n_c"), col("n_t"),
+        round(col("mean_c"), 6).as("mean_c"),
+        round(col("mean_t"), 6).as("mean_t"),
+        round(col("mean_t") - col("mean_c"), 6).as("uplift"),
+        round(col("lo"), 6).as("ci_lo"),
+        round(col("hi"), 6).as("ci_hi"),
+        col("n_reps"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q126 oracle: both hash chains through [[graft.functions.DuckHash]]
+    * (arm on user_id, weights on user_id·64+rep), the shared Poisson CASE,
+    * and identical divide/subtract/order-statistic shapes.
+    */
+  lazy val abUpliftSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = ArrayBuffer[(String, String)](
+      "q126u" ->
+        """(SELECT user_id, event_type, count(*)::BIGINT AS n_u,
+          |  sum(CAST(value AS DECIMAL(18,2))) AS sv_u
+          | FROM events GROUP BY user_id, event_type)""".stripMargin,
+      "q126du" -> "(SELECT DISTINCT user_id, user_id::HUGEINT AS l FROM q126u)"
+    )
+    val chA = new SqlChain("q126ha", "q126du", Seq("user_id", "l"))
+    hashLongLevels(chA, toUnsigned("l"), "42", "ha")
+    ctes ++= chA.ctes
+    ctes += ("q126arm" ->
+      s"(SELECT user_id, (((${toSigned("ha")} % 2) + 2) % 2)::BIGINT AS arm FROM ${chA.last})")
+    ctes += ("q126g" ->
+      s"""(SELECT u.user_id, r.rep, (u.user_id * 64 + r.rep)::HUGEINT AS l2
+         | FROM (SELECT DISTINCT user_id FROM q126u) u,
+         |   (SELECT unnest(range(0, $BootReps))::BIGINT AS rep) r)""".stripMargin)
+    val chW = new SqlChain("q126hw", "q126g", Seq("user_id", "rep", "l2"))
+    hashLongLevels(chW, toUnsigned("l2"), "42", "hw")
+    ctes ++= chW.ctes
+    ctes += ("q126w" ->
+      s"""(SELECT user_id, rep, (${poissonCaseSql("m")})::BIGINT AS w FROM
+         |  (SELECT user_id, rep,
+         |    (((${toSigned("hw")} % 1000000) + 1000000) % 1000000)::BIGINT AS m FROM ${chW.last}))""".stripMargin)
+    ctes += ("q126r" ->
+      """(SELECT u.event_type, w.rep,
+        |    sum(CASE WHEN a.arm = 1 THEN w.w * u.sv_u END) AS svt,
+        |    sum(CASE WHEN a.arm = 1 THEN w.w * u.n_u END) AS nt,
+        |    sum(CASE WHEN a.arm = 0 THEN w.w * u.sv_u END) AS svc,
+        |    sum(CASE WHEN a.arm = 0 THEN w.w * u.n_u END) AS nc
+        |  FROM q126u u JOIN q126arm a USING (user_id) JOIN q126w w USING (user_id)
+        |  GROUP BY 1, 2)""".stripMargin)
+    ctes += ("q126v" ->
+      """(SELECT event_type, rep, svt::DOUBLE / nt::DOUBLE - svc::DOUBLE / nc::DOUBLE AS uplift_r
+        |  FROM q126r WHERE nt > 0 AND nc > 0)""".stripMargin)
+    ctes += ("q126k" ->
+      """(SELECT event_type, rep, uplift_r,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY uplift_r, rep) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt FROM q126v)""".stripMargin)
+    ctes += ("q126ci" ->
+      """(SELECT event_type,
+        |    max(CASE WHEN rn = (CASE WHEN cnt >= 4 THEN 2 ELSE 1 END) THEN uplift_r END) AS lo,
+        |    max(CASE WHEN rn = (CASE WHEN cnt >= 4 THEN cnt - 1 ELSE cnt END) THEN uplift_r END) AS hi,
+        |    max(cnt)::BIGINT AS n_reps
+        |  FROM q126k GROUP BY event_type)""".stripMargin)
+    ctes += ("q126p" ->
+      """(SELECT u.event_type,
+        |    sum(CASE WHEN a.arm = 0 THEN u.n_u END)::BIGINT AS n_c,
+        |    sum(CASE WHEN a.arm = 1 THEN u.n_u END)::BIGINT AS n_t,
+        |    sum(CASE WHEN a.arm = 0 THEN u.sv_u END)::DOUBLE /
+        |      sum(CASE WHEN a.arm = 0 THEN u.n_u END)::DOUBLE AS mean_c,
+        |    sum(CASE WHEN a.arm = 1 THEN u.sv_u END)::DOUBLE /
+        |      sum(CASE WHEN a.arm = 1 THEN u.n_u END)::DOUBLE AS mean_t
+        |  FROM q126u u JOIN q126arm a USING (user_id) GROUP BY 1)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT p.event_type, p.n_c, p.n_t,
+        |  round(p.mean_c, 6) AS mean_c, round(p.mean_t, 6) AS mean_t,
+        |  round(p.mean_t - p.mean_c, 6) AS uplift,
+        |  round(c.lo, 6) AS ci_lo, round(c.hi, 6) AS ci_hi, c.n_reps
+        |FROM q126p p JOIN q126ci c USING (event_type)
+        |ORDER BY p.event_type""".stripMargin
+    )
+  }
+
+  // --- q127: quality-signal calibration against dup ground truth -------------
+
+  val CalCuts: Seq[Double] = (1 to 9).map(_ / 10.0)
+
+  /** Calibration of a quality signal against duplication ground truth: docs
+    * decile-bucketed by q22's stop-word ratio (the naturalness signal),
+    * each decile reporting its verified-near-dup membership rate — the
+    * "is this filter actually predictive?" check a curation team runs
+    * before spending a threshold on a signal. A flat dup-rate curve means
+    * the signal is noise for this corpus; a monotone one justifies q74's
+    * threshold sweep on it.
+    *
+    * Scale shape: scores are one corpus scan; the dup set is the
+    * session-shared verified-pair stage (dup-rate-bounded); decile
+    * boundaries are ⌈p·N⌉ ORDER STATISTICS from the score histogram
+    * (q125's rank-based rule — the histogram is value-domain-bounded, and
+    * no global per-row window exists anywhere); the 9 cuts broadcast as
+    * one row and docs bucket map-side. Per-decile mean score is an
+    * ascending-by-doc fold (SURVEY §4).
+    */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextOps.ngramJaccardPairs(spark, dir)
+    val dups = pairs
+      .select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val flagged = graft.core.CacheScope.persist(
+      TextOps
+        .qualityScore(spark, dir)
+        .select(col("doc_id"), col("stop_ratio").as("v"))
+        .join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("v"), coalesce(col("is_dup"), lit(false)).as("is_dup")))
+    val g      = Window.partitionBy(lit("s"))
+    val ranked = flagged
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(g.orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(g))
+    val cuts = CalCuts
+      .map { p =>
+        ranked
+          .filter(col("cum") >= ceil(lit(p) * col("n").cast("double")))
+          .agg(min(col("v")).as("q"))
+          .withColumn("p", lit(p))
+      }
+      .reduce(_.unionByName(_))
+    val aggs = CalCuts.zipWithIndex.map { case (p, i) =>
+      max(when(col("p") === lit(p), col("q"))).as(s"c${i + 1}")
+    }
+    val wide = cuts.groupBy().agg(aggs.head, aggs.tail: _*)
+    val decile = CalCuts.indices
+      .map(i => when(col("v") > col(s"c${i + 1}"), 1L).otherwise(0L))
+      .foldLeft(lit(1L): org.apache.spark.sql.Column)(_ + _)
+    flagged
+      .crossJoin(broadcast(wide))
+      .withColumn("decile", decile)
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+        expr("aggregate(array_sort(collect_list(struct(doc_id, v))), 0D, (a, x) -> a + x.v)")
+          .as("sv"))
+      .select(
+        col("decile"),
+        col("n_docs"),
+        col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_docs").cast("double"), 6).as("dup_rate"),
+        round(col("sv") / col("n_docs").cast("double"), 6).as("mean_score"))
+      .orderBy(col("decile"))
+  }
+
+  /** q127 oracle: exact all-pairs Jaccard ground truth (q27's oracle),
+    * q22's stop-ratio SQL, the same ⌈p·N⌉ order-statistic cuts, and the
+    * ascending-by-doc `list_reduce` fold.
+    */
+  lazy val qualityCalibrationSql: String = {
+    val cutsList = CalCuts.mkString("[", ", ", "]")
+    val decileExpr = "(1 " +
+      CalCuts.indices.map(i => s"+ (CASE WHEN s.v > w.c${i + 1} THEN 1 ELSE 0 END)").mkString(" ") +
+      ")::BIGINT"
+    val wideCols = CalCuts.zipWithIndex
+      .map { case (p, i) => s"max(CASE WHEN p = $p THEN q END) AS c${i + 1}" }
+      .mkString(",\n    ")
+    s"""WITH ${TextOps.DuckShingleCte},
+       |${TextOps.DuckJaccardPairsCte},
+       |q127d AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM pairs WHERE jaccard >= ${TextOps.JaccardThreshold}
+       |    UNION ALL SELECT doc_b FROM pairs WHERE jaccard >= ${TextOps.JaccardThreshold})),
+       |q127s AS MATERIALIZED (
+       |  SELECT q.doc_id, q.stop_ratio AS v,
+       |    (q.doc_id IN (SELECT doc_id FROM q127d)) AS is_dup
+       |  FROM (${TextOps.qualityScoreSql}) q),
+       |q127h AS (SELECT v, count(*)::BIGINT AS c FROM q127s GROUP BY v),
+       |q127r AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM q127h),
+       |q127c AS (SELECT p, min(v) AS q
+       |  FROM q127r, (SELECT unnest($cutsList) AS p)
+       |  WHERE cum >= ceil(p * n::DOUBLE) GROUP BY p),
+       |q127w AS (SELECT
+       |    $wideCols
+       |  FROM q127c),
+       |q127b AS (SELECT s.doc_id, s.v, s.is_dup, $decileExpr AS decile
+       |  FROM q127s s, q127w w)
+       |SELECT decile, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+       |  round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS dup_rate,
+       |  round(list_reduce(list_prepend(0.0::DOUBLE, list(v ORDER BY doc_id)),
+       |    (a, b) -> a + b) / count(*)::DOUBLE, 6) AS mean_score
+       |FROM q127b GROUP BY decile
+       |ORDER BY decile""".stripMargin
   }
 }

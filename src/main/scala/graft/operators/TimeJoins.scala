@@ -803,6 +803,129 @@ object TimeJoins {
       |FROM q123c c JOIN q123t t USING (event_type)
       |ORDER BY c.event_type, c.dow, c.hod""".stripMargin
 
+  // --- q125: RFM user segmentation -------------------------------------------
+
+  val RfmCuts = Seq(0.2, 0.4, 0.6, 0.8)
+
+  /** RFM segmentation: every user scored 1–5 on Recency (days since last
+    * event), Frequency (event count) and Monetary (value sum) against the
+    * population's quintile cut-points, plus the composite `rfm` segment
+    * code — the standard behavioral-cohort table (511 = recent/frequent/
+    * high-value champions, 111 = churned) that marketing and retention
+    * pipelines key on.
+    *
+    * Scale shape: the corpus collapses to the user grain in ONE keyed
+    * aggregate; cut-points are ORDER STATISTICS (the ⌈p·N⌉-th smallest
+    * value, via cumulative counts over the per-metric value histogram —
+    * q43's machinery, but rank-based so the thresholds are exact values
+    * from the data, no float interpolation to disagree on); the 12
+    * thresholds pivot to one broadcast row and every user scores map-side.
+    * No global window anywhere — a 10⁹-user corpus segments with two
+    * bounded shuffles. Tile rule: score = 1 + #cuts passed (strictly
+    * below for recency where smaller is better, strictly above for
+    * frequency/monetary), so ties share the lower tile deterministically.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val u = graft.core.CacheScope.persist(
+      Tables
+        .events(spark, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy(col("user_id"))
+        .agg(max(col("us")).as("last_us"), count(lit(1)).as("n_events"), sum(col("v")).as("mon")))
+    val t = graft.core.CacheScope.persist(
+      u.crossJoin(broadcast(u.agg(max(col("last_us")).as("max_us"))))
+        .select(
+          col("user_id"),
+          expr("(max_us - last_us) DIV 86400000000").as("recency_days"),
+          col("n_events"),
+          col("mon").cast("double").as("mon_d")))
+    def histOf(metric: org.apache.spark.sql.Column, g: String) =
+      t.groupBy(lit(g).as("g"), metric.cast("double").as("v")).agg(count(lit(1)).as("c"))
+    val hist = histOf(col("recency_days"), "r")
+      .unionByName(histOf(col("n_events"), "f"))
+      .unionByName(histOf(col("mon_d"), "m"))
+    val byG = Window.partitionBy(col("g"))
+    val ranked = hist
+      .withColumn("cum", sum(col("c")).over(byG.orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(byG))
+    val cuts = RfmCuts
+      .map { p =>
+        ranked
+          .filter(col("cum") >= ceil(lit(p) * col("n").cast("double")))
+          .groupBy(col("g"))
+          .agg(min(col("v")).as("q"))
+          .withColumn("p", lit(p))
+      }
+      .reduce(_.unionByName(_))
+    val aggs = for {
+      g <- Seq("r", "f", "m"); (p, i) <- RfmCuts.zipWithIndex
+    } yield max(when(col("g") === g && col("p") === lit(p), col("q"))).as(s"$g${i + 1}")
+    val wide = cuts.groupBy().agg(aggs.head, aggs.tail: _*)
+    def tile(v: org.apache.spark.sql.Column, pfx: String, lowerIsBetter: Boolean) =
+      (1 to RfmCuts.length)
+        .map { i =>
+          val cut = col(s"$pfx$i")
+          when(if (lowerIsBetter) v < cut else v > cut, 1L).otherwise(0L)
+        }
+        .foldLeft(lit(1L): org.apache.spark.sql.Column)(_ + _)
+    t.crossJoin(broadcast(wide))
+      .select(
+        col("user_id"),
+        col("recency_days"),
+        col("n_events"),
+        round(col("mon_d"), 6).as("monetary"),
+        tile(col("recency_days").cast("double"), "r", lowerIsBetter = true).as("r_tile"),
+        tile(col("n_events").cast("double"), "f", lowerIsBetter = false).as("f_tile"),
+        tile(col("mon_d"), "m", lowerIsBetter = false).as("m_tile"))
+      .withColumn("segment", col("r_tile") * lit(100L) + col("f_tile") * lit(10L) + col("m_tile"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q125 oracle: the same user-grain metrics, the same ⌈p·N⌉ cumulative-
+    * count order statistics (identical `ceil(p * n::DOUBLE)` arithmetic),
+    * and the same strict-comparison tile rule.
+    */
+  lazy val rfmSegmentsSql: String = {
+    val cutsList = RfmCuts.mkString("[", ", ", "]")
+    val wideCols = (for {
+      g <- Seq("r", "f", "m"); (p, i) <- RfmCuts.zipWithIndex
+    } yield s"max(CASE WHEN g = '$g' AND p = $p THEN q END) AS $g${i + 1}").mkString(",\n    ")
+    def tileSql(v: String, pfx: String, op: String) =
+      "(1 " + (1 to RfmCuts.length).map(i => s"+ (CASE WHEN $v $op w.$pfx$i THEN 1 ELSE 0 END)").mkString(" ") + ")::BIGINT"
+    s"""WITH q125u AS MATERIALIZED (
+       |  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*)::BIGINT AS n_events,
+       |    sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS mon_d
+       |  FROM events GROUP BY user_id),
+       |q125t AS MATERIALIZED (
+       |  SELECT user_id, ((mx.max_us - u.last_us) // 86400000000)::BIGINT AS recency_days,
+       |    n_events, mon_d
+       |  FROM q125u u, (SELECT max(last_us) AS max_us FROM q125u) mx),
+       |q125h AS (SELECT g, v, count(*)::BIGINT AS c FROM (
+       |    SELECT 'r' AS g, recency_days::DOUBLE AS v FROM q125t
+       |    UNION ALL SELECT 'f', n_events::DOUBLE FROM q125t
+       |    UNION ALL SELECT 'm', mon_d FROM q125t) GROUP BY g, v),
+       |q125r AS (SELECT g, v,
+       |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+       |    sum(c) OVER (PARTITION BY g) AS n FROM q125h),
+       |q125c AS (
+       |  SELECT g, p, min(v) AS q
+       |  FROM q125r, (SELECT unnest($cutsList) AS p)
+       |  WHERE cum >= ceil(p * n::DOUBLE) GROUP BY g, p),
+       |q125w AS (SELECT
+       |    $wideCols
+       |  FROM q125c),
+       |q125s AS (
+       |  SELECT t.user_id, t.recency_days, t.n_events, round(t.mon_d, 6) AS monetary,
+       |    ${tileSql("t.recency_days::DOUBLE", "r", "<")} AS r_tile,
+       |    ${tileSql("t.n_events::DOUBLE", "f", ">")} AS f_tile,
+       |    ${tileSql("t.mon_d", "m", ">")} AS m_tile
+       |  FROM q125t t, q125w w)
+       |SELECT user_id, recency_days, n_events, monetary, r_tile, f_tile, m_tile,
+       |  (r_tile * 100 + f_tile * 10 + m_tile)::BIGINT AS segment
+       |FROM q125s ORDER BY user_id""".stripMargin
+  }
+
   val ewmaTrendSql: String = {
     val lags = (1 until EwmaK).map(k => s"lag(x, $k) OVER w AS x$k").mkString(", ")
     def xk(k: Int) = if (k == 0) "x" else s"x$k"

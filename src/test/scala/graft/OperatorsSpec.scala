@@ -650,4 +650,50 @@ class OperatorsSpec extends SparkSpec {
     val b = StatsOps.bootstrapCi(spark, Sf0001).collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("q125: RFM tiles are 1-5, quintile-balanced within one step, segment composes") {
+    val rows = TimeJoins.rfmSegments(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rt, ft, mt, seg) = (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(rt >= 1 && rt <= 5 && ft >= 1 && ft <= 5 && mt >= 1 && mt <= 5, s"tile range: $r")
+      assert(seg == rt * 100 + ft * 10 + mt, s"segment composition: $r")
+    }
+    // the ⌈p·N⌉ rule puts at most ⌈N/5⌉+ties users in any one f-tile for a
+    // tie-free metric; monetary (2dp sums) is effectively tie-free here
+    val mTiles = rows.groupBy(_.getLong(6)).view.mapValues(_.length)
+    assert(mTiles.values.max <= rows.length / 5 + 2, s"m-tile skew: ${mTiles.toMap}")
+  }
+
+  test("q126: arms partition events; uplift equals mean difference; CI ordered") {
+    val rows = StatsOps.abUplift(spark, Sf0001).collect()
+    assert(rows.length == 5)
+    val totalEvents = graft.core.Tables.events(spark, Sf0001).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == totalEvents)
+    rows.foreach { r =>
+      val (mc, mt, up, lo, hi, nReps) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+          r.getLong(8))
+      assert(math.abs(up - BigDecimal(mt - mc).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 2e-6, s"uplift != mean_t - mean_c: $r")
+      assert(lo <= hi, s"inverted CI: $r")
+      assert(nReps >= 28 && nReps <= 32, s"replicate survival: $r")
+    }
+  }
+
+  test("q127: deciles cover all docs; dup counts reconcile with the verified pair set") {
+    val rows = StatsOps.qualityCalibration(spark, Sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq.sorted == rows.map(_.getLong(0)).toSeq)
+    val nDocs = rows.map(_.getLong(1)).sum
+    assert(nDocs == 500, s"decile coverage: $nDocs")
+    val nDup = rows.map(_.getLong(2)).sum
+    // expected membership = distinct endpoints of the verified pair set
+    // (pairs share docs, so this is < 2 × pair count)
+    val pairs = TextOps.ngramJaccard(spark, Sf0001).collect()
+    val involved = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length
+    assert(nDup == involved, s"dup membership: $nDup != $involved")
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"dup_rate range: $r")
+    }
+  }
 }

@@ -359,7 +359,15 @@ class PlanGuardSpec extends SparkSpec {
         "q121_cooccurrence_lift",
         // q124's replicate expansion broadcasts the fixed 32-row rep range
         // (map-side ×32, no shuffle) — bounded by the BootReps constant
-        "q124_bootstrap_ci")
+        "q124_bootstrap_ci",
+        // q125 crossJoins the 1-row max-timestamp aggregate and the 1-row
+        // pivoted 12-threshold table — both 1-row by construction
+        "q125_rfm_segments",
+        // q126's replicate expansion is q124's fixed 32-row rep range,
+        // riding the bounded user grain
+        "q126_ab_uplift",
+        // q127 crossJoins the 1-row pivoted 9-threshold table
+        "q127_quality_calibration")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
