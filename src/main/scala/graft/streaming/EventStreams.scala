@@ -483,6 +483,38 @@ object EventStreams extends Serializable {
     }
   }
 
+  /** E28: streaming A/B experiment telemetry — the q126 twin's data
+    * layer. Every event is assigned its arm by the SAME in-row
+    * `xxhash64(user_id) mod 2` expression batch q126 uses (assignment is
+    * a pure hash, so stream and batch agree on every user by
+    * construction), and each closed (type, hour) window emits both arms'
+    * event counts and exact DECIMAL value sums. Per-hour rows are
+    * exactly-once (append on watermark close) and their per-type totals
+    * reconcile bit-exactly with the batch analysis: Σ n_c/n_t equal
+    * q126's n_c/n_t, and Σ sv_c / Σ n_c reproduces q126's mean_c through
+    * the identical cast-divide-round shape (spec-pinned). The hourly
+    * grain is what a live experiment dashboard plots; the CI stays a
+    * batch q126 job — a distribution property, not a running total
+    * (E18/E27's calibrate-on-snapshot boundary).
+    */
+  def abMonitorStream(events: DataFrame, watermarkDur: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDur)
+      .withColumn("arm", pmod(xxhash64(col("user_id")), lit(2L)))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 0, col("value").cast("decimal(18,2)"))).as("sv_c"),
+        sum(when(col("arm") === 1, col("value").cast("decimal(18,2)"))).as("sv_t"))
+      .select(
+        col("event_type"),
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("n_c"),
+        col("n_t"),
+        col("sv_c"),
+        col("sv_t"))
+
   case class ActiveState(lastTsMs: Long, activeDays: Seq[Long], servedReach: Seq[Long])
   case class ActiveOut(user_id: Long, day: String, kind: String)
 

@@ -990,4 +990,48 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(rows.toSet == Set((2L, 1L)))
   }
+
+  test("E28: streaming A/B telemetry totals reconcile with batch q126's arms") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def hts(hr: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $hr%02d:$min%02d:00")
+    // 6 users × 3 hours across two types; hash-arms are whatever
+    // xxhash64 says — the spec never assumes the split, only reconciles
+    val base = for {
+      u <- 1L to 6L; h <- 1 to 3
+    } yield Ev(u * 10 + h, u, hts(h, (u * 7 % 60).toInt),
+      if (h == 2) "beta" else "alpha", u * 1.25 + h)
+    val sentinel = Ev(999, 1, Timestamp.valueOf("2024-06-01 00:00:00"), "alpha", 0.0)
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .abMonitorStream(in.toDF())
+      .writeStream.format("memory").queryName("ab_s").outputMode("append").start()
+    val (first, second) = base.splitAt(base.length / 2)
+    in.addData(first: _*); q.processAllAvailable()
+    in.addData(second: _*); q.processAllAvailable()
+    in.addData(sentinel); q.processAllAvailable()
+    in.addData(); q.processAllAvailable()
+    val got = spark.table("ab_s").collect().filter(!_.getString(1).startsWith("2024-06"))
+    q.stop()
+    def dec(r: org.apache.spark.sql.Row, i: Int): BigDecimal =
+      Option(r.getDecimal(i)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+    val streamTot = got.groupBy(_.getString(0)).view.mapValues { rs =>
+      (rs.map(_.getLong(2)).sum, rs.map(_.getLong(3)).sum,
+        rs.map(dec(_, 4)).sum, rs.map(dec(_, 5)).sum)
+    }.toMap
+    val dir = java.nio.file.Files.createTempDirectory("e28spec").toString
+    base.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.StatsOps.abUplift(spark, dir).collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(streamTot.keySet == batch.map(_.getString(0)).toSet)
+    batch.foreach { r =>
+      val t               = r.getString(0)
+      val (nc, nt, svc, svt) = streamTot(t)
+      assert(nc == r.getLong(1) && nt == r.getLong(2), s"counts drift for $t: $r")
+      assert(r6(svc.toDouble / nc) == r.getDouble(3), s"mean_c drift for $t")
+      assert(r6(svt.toDouble / nt) == r.getDouble(4), s"mean_t drift for $t")
+    }
+  }
 }
