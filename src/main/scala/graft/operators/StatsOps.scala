@@ -1349,14 +1349,12 @@ object StatsOps {
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(g.orderBy(col("v"))))
       .withColumn("n", sum(col("c")).over(g))
-    val cuts = CalCuts
-      .map { p =>
-        ranked
-          .filter(col("cum") >= ceil(lit(p) * col("n").cast("double")))
-          .agg(min(col("v")).as("q"))
-          .withColumn("p", lit(p))
-      }
-      .reduce(_.unionByName(_))
+    // ONE pass computes all 9 cuts (q125's exploded-probabilities shape)
+    val cuts = ranked
+      .withColumn("p", explode(expr(CalCuts.map(p => s"${p}D").mkString("array(", ", ", ")"))))
+      .filter(col("cum") >= ceil(col("p") * col("n").cast("double")))
+      .groupBy(col("p"))
+      .agg(min(col("v")).as("q"))
     val aggs = CalCuts.zipWithIndex.map { case (p, i) =>
       max(when(col("p") === lit(p), col("q"))).as(s"c${i + 1}")
     }

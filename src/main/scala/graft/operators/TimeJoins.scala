@@ -840,24 +840,29 @@ object TimeJoins {
           expr("(max_us - last_us) DIV 86400000000").as("recency_days"),
           col("n_events"),
           col("mon").cast("double").as("mon_d")))
-    def histOf(metric: org.apache.spark.sql.Column, g: String) =
-      t.groupBy(lit(g).as("g"), metric.cast("double").as("v")).agg(count(lit(1)).as("c"))
-    val hist = histOf(col("recency_days"), "r")
-      .unionByName(histOf(col("n_events"), "f"))
-      .unionByName(histOf(col("mon_d"), "m"))
+    // ONE melt pass builds all three metric histograms (no per-metric
+    // re-scan of the user grain)
+    val hist = t
+      .select(explode(expr(
+        """array(
+          |  struct('r' AS g, CAST(recency_days AS DOUBLE) AS v),
+          |  struct('f' AS g, CAST(n_events AS DOUBLE) AS v),
+          |  struct('m' AS g, mon_d AS v))""".stripMargin)).as("x"))
+      .select(col("x.g").as("g"), col("x.v").as("v"))
+      .groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("c"))
     val byG = Window.partitionBy(col("g"))
     val ranked = hist
       .withColumn("cum", sum(col("c")).over(byG.orderBy(col("v"))))
       .withColumn("n", sum(col("c")).over(byG))
-    val cuts = RfmCuts
-      .map { p =>
-        ranked
-          .filter(col("cum") >= ceil(lit(p) * col("n").cast("double")))
-          .groupBy(col("g"))
-          .agg(min(col("v")).as("q"))
-          .withColumn("p", lit(p))
-      }
-      .reduce(_.unionByName(_))
+    // ONE pass computes every cut: explode the 4 probabilities onto the
+    // bounded histogram (map-side) instead of one filter branch per cut —
+    // the same unnest shape the oracle uses
+    val cuts = ranked
+      .withColumn("p", explode(expr(RfmCuts.map(p => s"${p}D").mkString("array(", ", ", ")"))))
+      .filter(col("cum") >= ceil(col("p") * col("n").cast("double")))
+      .groupBy(col("g"), col("p"))
+      .agg(min(col("v")).as("q"))
     val aggs = for {
       g <- Seq("r", "f", "m"); (p, i) <- RfmCuts.zipWithIndex
     } yield max(when(col("g") === g && col("p") === lit(p), col("q"))).as(s"$g${i + 1}")

@@ -243,7 +243,27 @@ class PlanGuardSpec extends SparkSpec {
       "q112_rolling_actives" -> 7,
       // corpus agg keyed (type, hour) — wide on purpose; the type-keyed
       // window re-shuffles only the bucket grain — + the output sort
-      "q113_ewma_trend"     -> 4
+      "q113_ewma_trend"     -> 4,
+      // one sessionize window (persisted item grain re-printed per
+      // consumer: pair legs, marginals, basket count) + pair agg + sort
+      "q121_cooccurrence_lift" -> 10,
+      // edges checkpointed at construction (q47's rule); wedge join +
+      // degree agg + pair agg ride the ExistingRDD, AQE broadcasts
+      "q122_adamic_adar"    -> 4,
+      // ONE cell aggregate (persisted, re-printed for the totals branch)
+      // + output sort
+      "q123_seasonal_profile" -> 4,
+      // replicate agg + per-source rank window + point-estimate agg + sort
+      "q124_bootstrap_ci"   -> 4,
+      // user-grain agg (persisted, re-printed per consumer) + one melt
+      // histogram agg + cut window/agg + output sort
+      "q125_rfm_segments"   -> 7,
+      // (user, type) agg (persisted, re-printed for point + replicate
+      // branches) + replicate agg + rank window + sort
+      "q126_ab_uplift"      -> 6,
+      // score+flag grain (persisted) + histogram agg + cut agg + decile
+      // rollup + sort
+      "q127_quality_calibration" -> 7
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
