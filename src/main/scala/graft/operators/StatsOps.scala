@@ -1419,4 +1419,65 @@ object StatsOps {
        |FROM q127b GROUP BY decile
        |ORDER BY decile""".stripMargin
   }
+
+  // --- q128: per-source n-gram novelty ---------------------------------------
+
+  /** Marginal n-gram contribution per source: with sources in a fixed
+    * (lexicographic) acquisition order, how many of each source's distinct
+    * 3-gram shingles are NEW — first contributed by that source — versus
+    * already covered by earlier sources. This is the "what does adding
+    * this source actually buy?" table a data-mixing team consults before
+    * paying for a crawl: a source whose novelty_rate ≈ 0 duplicates the
+    * mix's existing coverage regardless of its size (the acquisition-order
+    * view of q51's corpus-wide gram coverage and q54's pairwise overlap).
+    *
+    * Scale shape: the shingle explode collapses immediately to the
+    * (source, gram) grain (distinct — one keyed shuffle, map-side
+    * combinable); first-owners are a gram-keyed `min(source)` aggregate of
+    * that grain; both rollups are ≤|sources| rows and the cumulative sum
+    * windows over ≤|sources| rows. The gram universe never joins itself.
+    */
+  def sourceNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sg = graft.core.CacheScope.persist(
+      graft.operators.SharedStages
+        .shingles(spark, dir)
+        .select(col("doc_id"), explode(col("shingles")).as("gram"))
+        .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("gram"))
+        .distinct())
+    val tot = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val firsts = sg
+      .groupBy(col("gram"))
+      .agg(min(col("source")).as("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_new"))
+    tot
+      .join(firsts, Seq("source"), "left")
+      .select(col("source"), col("n_grams"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn(
+        "novelty_rate",
+        round(col("n_new").cast("double") / col("n_grams").cast("double"), 6))
+      .withColumn("cum_distinct", sum(col("n_new")).over(Window.orderBy(col("source"))))
+      .orderBy(col("source"))
+  }
+
+  /** q128 oracle: the shared shingle CTE, the same (source, gram) grain
+    * and min-source first-owner rule, integer counts throughout.
+    */
+  lazy val sourceNoveltySql: String =
+    s"""WITH ${TextOps.DuckShingleCte},
+       |q128sg AS MATERIALIZED (
+       |  SELECT DISTINCT d.source, g.gram
+       |  FROM sh, documents d, unnest(sh.shingles) AS g(gram)
+       |  WHERE sh.doc_id = d.doc_id),
+       |q128t AS (SELECT source, count(*)::BIGINT AS n_grams FROM q128sg GROUP BY source),
+       |q128f AS (
+       |  SELECT source, count(*)::BIGINT AS n_new FROM (
+       |    SELECT gram, min(source) AS source FROM q128sg GROUP BY gram)
+       |  GROUP BY source)
+       |SELECT t.source, t.n_grams, coalesce(f.n_new, 0)::BIGINT AS n_new,
+       |  round(coalesce(f.n_new, 0)::DOUBLE / t.n_grams::DOUBLE, 6) AS novelty_rate,
+       |  CAST(sum(coalesce(f.n_new, 0)) OVER (ORDER BY t.source) AS BIGINT) AS cum_distinct
+       |FROM q128t t LEFT JOIN q128f f USING (source)
+       |ORDER BY t.source""".stripMargin
 }

@@ -696,4 +696,19 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"dup_rate range: $r")
     }
   }
+
+  test("q128: novelty partitions the gram universe; first source is all-new") {
+    val rows = StatsOps.sourceNovelty(spark, Sf0001).collect()
+    assert(rows.length == 20)
+    // sources sort lexicographically; the first one owns everything it has
+    val first = rows.minBy(_.getString(0))
+    assert(first.getLong(1) == first.getLong(2), s"first source must be 100% novel: $first")
+    // Σ n_new = global distinct gram count = final cumulative value
+    val totalNew = rows.map(_.getLong(2)).sum
+    assert(totalNew == rows.map(_.getLong(4)).max, s"cumulative reconciliation")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"n_new > n_grams: $r")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"rate range: $r")
+    }
+  }
 }

@@ -263,7 +263,11 @@ class PlanGuardSpec extends SparkSpec {
       "q126_ab_uplift"      -> 6,
       // score+flag grain (persisted) + histogram agg + cut agg + decile
       // rollup + sort
-      "q127_quality_calibration" -> 7
+      "q127_quality_calibration" -> 7,
+      // (source, gram) distinct grain (persisted, re-printed for both
+      // rollups) + gram-keyed first-owner agg + two ≤|sources| rollups +
+      // the tiny cumulative window + sort
+      "q128_source_novelty" -> 8
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
