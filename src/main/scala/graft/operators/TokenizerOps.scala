@@ -248,4 +248,64 @@ object TokenizerOps {
        |FROM documents d LEFT JOIN q91doc q USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  // --- q129: tokenizer fertility by language ---------------------------------
+
+  /** Tokenizer fertility audit by language: per lang, BPE tokens per word
+    * (`fertility`), symbols per token (`compression`), and fertility
+    * relative to English — the "multilingual tax" table every tokenizer
+    * evaluation publishes: a vocabulary trained on an en-heavy mix
+    * fragments other scripts into more tokens per word, silently taxing
+    * their effective context length and training compute. Rides q91's
+    * exact encoder (same driver-collected merge model, so q91 and q129
+    * cannot disagree about what the tokenizer does).
+    *
+    * Scale shape: q91's per-doc counts collapse to ≤|langs| rows in one
+    * keyed aggregate of integer sums (map-side combinable); the English
+    * baseline is a 1-row broadcast back onto that bounded table. All
+    * ratios are fixed divide shapes over exact integer sums.
+    */
+  def fertilityByLang(spark: SparkSession, dir: String): DataFrame = {
+    val agg = graft.core.CacheScope.persist(
+      bpeEncode(spark, dir)
+        .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_raw_syms")).as("n_raw_syms"),
+          sum(col("n_bpe_toks")).as("n_bpe_toks"))
+        .withColumn("fert", col("n_bpe_toks").cast("double") / col("n_words").cast("double"))
+        .withColumn("comp", col("n_raw_syms").cast("double") / col("n_bpe_toks").cast("double")))
+    agg
+      .crossJoin(broadcast(agg.filter(col("lang") === "en").select(col("fert").as("fert_en"))))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_words"),
+        col("n_bpe_toks"),
+        round(col("fert"), 6).as("fertility"),
+        round(col("comp"), 6).as("compression"),
+        round(col("fert") / col("fert_en"), 6).as("fertility_vs_en"))
+      .orderBy(col("lang"))
+  }
+
+  /** q129 oracle: q91's full encode chain as a derived table + the same
+    * integer-sum rollup and divide shapes.
+    */
+  lazy val fertilityByLangSql: String =
+    s"""WITH q129a AS MATERIALIZED (
+       |  SELECT d.lang, count(*)::BIGINT AS n_docs, sum(e.n_words)::BIGINT AS n_words,
+       |    sum(e.n_raw_syms)::BIGINT AS n_raw_syms, sum(e.n_bpe_toks)::BIGINT AS n_bpe_toks
+       |  FROM ($bpeEncodeSql) e JOIN documents d USING (doc_id)
+       |  GROUP BY d.lang),
+       |q129f AS (SELECT lang, n_docs, n_words, n_bpe_toks,
+       |    n_bpe_toks::DOUBLE / n_words::DOUBLE AS fert,
+       |    n_raw_syms::DOUBLE / n_bpe_toks::DOUBLE AS comp
+       |  FROM q129a)
+       |SELECT f.lang, f.n_docs, f.n_words, f.n_bpe_toks,
+       |  round(f.fert, 6) AS fertility, round(f.comp, 6) AS compression,
+       |  round(f.fert / e.fert, 6) AS fertility_vs_en
+       |FROM q129f f, (SELECT fert FROM q129f WHERE lang = 'en') e
+       |ORDER BY f.lang""".stripMargin
 }

@@ -711,4 +711,22 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"rate range: $r")
     }
   }
+
+  test("q129: fertility reconciles with q91's per-doc counts; en baseline is 1.0") {
+    import graft.operators.TokenizerOps
+    val rows = TokenizerOps.fertilityByLang(spark, Sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("en", "fr", "es", "zh", "de"))
+    val en = rows.find(_.getString(0) == "en").get
+    assert(en.getDouble(6) == 1.0, s"en relative fertility must be 1: $en")
+    // independent reconciliation against the per-doc encoder output
+    val perDoc = TokenizerOps.bpeEncode(spark, Sf0001)
+      .join(graft.core.Tables.documents(spark, Sf0001).select(col("doc_id"), col("lang")), "doc_id")
+      .collect().groupBy(_.getAs[String]("lang"))
+    rows.foreach { r =>
+      val docs = perDoc(r.getString(0))
+      assert(r.getLong(1) == docs.length, s"doc count for $r")
+      assert(r.getLong(2) == docs.map(_.getAs[Long]("n_words")).sum, s"word sum for $r")
+      assert(r.getLong(3) == docs.map(_.getAs[Long]("n_bpe_toks")).sum, s"token sum for $r")
+    }
+  }
 }

@@ -267,7 +267,10 @@ class PlanGuardSpec extends SparkSpec {
       // (source, gram) distinct grain (persisted, re-printed for both
       // rollups) + gram-keyed first-owner agg + two ≤|sources| rollups +
       // the tiny cumulative window + sort
-      "q128_source_novelty" -> 8
+      "q128_source_novelty" -> 8,
+      // doc-keyed encode join + ≤|langs| rollup (persisted, re-printed
+      // for the en-baseline branch) + sort; encoding is map-side
+      "q129_fertility_by_lang" -> 3
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -391,7 +394,9 @@ class PlanGuardSpec extends SparkSpec {
         // riding the bounded user grain
         "q126_ab_uplift",
         // q127 crossJoins the 1-row pivoted 9-threshold table
-        "q127_quality_calibration")
+        "q127_quality_calibration",
+        // q129 crossJoins the 1-row English-fertility baseline
+        "q129_fertility_by_lang")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
