@@ -1339,6 +1339,114 @@ object VectorOps {
   /** Oracle: identical quantized integer sums (order-free), one-division
     * centroid elements, and index-ordered norm/dot folds — exact.
     */
+  // --- q130: per-label embedding outlier screen -------------------------------
+
+  val OutlierTopK = 50
+
+  /** Per-label embedding outliers: each vector's squared distance to its
+    * OWN label's centroid, z-scored against that label's distance
+    * distribution, top-[[OutlierTopK]] — the mislabel/contamination screen
+    * run before trusting labels for training or eval: a vector far from
+    * its own class in embedding space is a wrong label, a polysemous
+    * cluster, or poisoned data, and this surfaces exactly which rows to
+    * audit. Complements q117 (which scores LABELS by dispersion; this
+    * scores ROWS within a label).
+    *
+    * Scale shape & exactness: centroids are q72's quantized-element sums
+    * (|labels|×dim keys, map-side combine, order-free integer sums);
+    * distances fold per-vector in element-index order against the
+    * broadcast centroid table; the per-label moment statistics quantize
+    * d² to integers FIRST (×10⁶, the q72 trick) so mean/variance come
+    * from exact integer sums in any aggregation order (squares summed as
+    * DECIMAL — no silent long overflow at scale); the final z is one
+    * fixed subtract/divide/sqrt shape. Zero-variance labels (all rows
+    * equidistant) have no outliers by definition and drop out.
+    */
+  def labelOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val Q = 1000000L
+    val e = graft.core.CacheScope.persist(
+      Tables
+        .embeddings(spark, dir)
+        .select(
+          col("vec_id"),
+          col("label").cast("long").as("label"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v")))
+    val cents = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "ve")))
+      .select(col("label"), col("pos"),
+        expr(s"CAST(round(ve * $Q, 0) AS BIGINT)").as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", col("s").cast("double") / (col("n") * lit(Q)).cast("double"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cent"))
+    val d2 = graft.core.CacheScope.persist(
+      e.join(broadcast(cents), "label")
+        .select(col("vec_id"), col("label"),
+          expr(s"""CAST(round(aggregate(zip_with(v, cent, (x, y) -> (x - y) * (x - y)),
+                   0D, (a, x) -> a + x) * $Q, 0) AS BIGINT)""").as("d2q")))
+    val stats = d2
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("d2q")).as("sq"),
+        sum(col("d2q").cast("decimal(38,0)") * col("d2q").cast("decimal(38,0)")).as("sq2"))
+      .select(
+        col("label"),
+        (col("sq").cast("double") / col("n").cast("double")).as("mean_q"),
+        (col("sq2").cast("double") / col("n").cast("double")).as("m2_q"))
+      .withColumn("var_q", col("m2_q") - col("mean_q") * col("mean_q"))
+      .filter(col("var_q") > 0)
+    d2
+      .join(broadcast(stats), "label")
+      .select(
+        col("vec_id"),
+        col("label"),
+        round(col("d2q").cast("double") / lit(Q.toDouble), 6).as("dist_sq"),
+        round((col("d2q").cast("double") - col("mean_q")) / sqrt(col("var_q")), 6).as("z"))
+      .orderBy(col("z").desc, col("vec_id"))
+      .limit(OutlierTopK)
+  }
+
+  /** q130 oracle: q72's centroid CTEs verbatim + the same index-ordered
+    * distance fold, ×10⁶ quantization, integer moments, and z shape.
+    */
+  val labelOutliersSql: String =
+    s"""WITH q130e AS MATERIALIZED (
+       |  SELECT vec_id, label::BIGINT AS label, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |q130x AS (
+       |  SELECT label, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS ve
+       |  FROM q130e),
+       |q130s AS (
+       |  SELECT label, pos,
+       |    CAST(sum(CAST(round(ve * 1000000, 0) AS BIGINT)) AS BIGINT) AS s,
+       |    count(*) AS n
+       |  FROM q130x GROUP BY label, pos),
+       |q130c AS MATERIALIZED (
+       |  SELECT label, list(s::DOUBLE / (n * 1000000)::DOUBLE ORDER BY pos) AS cent
+       |  FROM q130s GROUP BY label),
+       |q130d AS MATERIALIZED (
+       |  SELECT e.vec_id, e.label,
+       |    CAST(round(list_reduce(list_prepend(0.0::DOUBLE,
+       |        list_transform(range(1, len(e.v) + 1),
+       |          i -> (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i]))),
+       |      (a, x) -> a + x) * 1000000, 0) AS BIGINT) AS d2q
+       |  FROM q130e e JOIN q130c c USING (label)),
+       |q130m AS (
+       |  SELECT label,
+       |    sum(d2q)::DOUBLE / count(*)::DOUBLE AS mean_q,
+       |    sum(d2q::HUGEINT * d2q)::DOUBLE / count(*)::DOUBLE AS m2_q
+       |  FROM q130d GROUP BY label),
+       |q130v AS (
+       |  SELECT label, mean_q, m2_q - mean_q * mean_q AS var_q FROM q130m)
+       |SELECT d.vec_id, d.label,
+       |  round(d.d2q::DOUBLE / 1000000.0, 6) AS dist_sq,
+       |  round((d.d2q::DOUBLE - v.mean_q) / sqrt(v.var_q), 6) AS z
+       |FROM q130d d JOIN q130v v USING (label)
+       |WHERE v.var_q > 0
+       |ORDER BY z DESC, d.vec_id LIMIT $OutlierTopK""".stripMargin
+
   val centroidSimSql: String =
     """WITH q72e AS MATERIALIZED (
       |  SELECT label, unnest(range(1, len(embedding) + 1)) AS pos,

@@ -729,4 +729,24 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getLong(3) == docs.map(_.getAs[Long]("n_bpe_toks")).sum, s"token sum for $r")
     }
   }
+
+  test("q130: a planted far-out vector tops its label's z ranking") {
+    import spark.implicits._
+    val dim = 4
+    // label 0: tight cluster + one vector far away; label 1: tight cluster
+    val vecs = (
+      (1 to 20).map(i => (i.toLong, Array.fill(dim)(1.0f + (i % 3) * 0.01f), 0)) ++
+        Seq((99L, Array.fill(dim)(25.0f), 0)) ++
+        (30 to 45).map(i => (i.toLong, Array.fill(dim)(-2.0f - (i % 2) * 0.01f), 1))
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("q130spec").toString
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = VectorOps.labelOutliers(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(0) == 99L, s"planted outlier must rank first: ${rows.head}")
+    assert(rows.head.getDouble(3) > 3.0, s"planted outlier must exceed 3 sigma: ${rows.head}")
+    // z must be non-increasing down the ranking
+    val zs = rows.map(_.getDouble(3))
+    assert(zs.zip(zs.tail).forall { case (a, b) => a >= b }, "ranking must be by z desc")
+  }
 }

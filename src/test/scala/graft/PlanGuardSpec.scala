@@ -270,7 +270,10 @@ class PlanGuardSpec extends SparkSpec {
       "q128_source_novelty" -> 8,
       // doc-keyed encode join + ≤|langs| rollup (persisted, re-printed
       // for the en-baseline branch) + sort; encoding is map-side
-      "q129_fertility_by_lang" -> 3
+      "q129_fertility_by_lang" -> 3,
+      // |labels|×dim centroid agg + label reassembly + d² grain
+      // (persisted, re-printed for the moments branch) + TakeOrdered
+      "q130_label_outliers" -> 5
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
