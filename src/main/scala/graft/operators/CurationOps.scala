@@ -807,6 +807,95 @@ object CurationOps {
        |FROM q122g g LEFT JOIN q122e e ON e.a = g.u AND e.b = g.v
        |ORDER BY g.aa_score DESC, doc_a, doc_b LIMIT $AaTopK""".stripMargin
 
+  // --- q132: dedup-threshold cost curve ---------------------------------------
+
+  val CurveCuts: Seq[Double] = Seq(0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95)
+
+  /** Dedup-threshold economics: for each candidate Jaccard cut, how many
+    * near-dup pairs exist, how many victim documents a "drop doc_b of any
+    * pair ≥ t" policy removes, and what fraction of corpus tokens that
+    * costs — the calibration curve consulted before committing to a
+    * threshold (q27 hard-codes 0.9; this shows what 0.8 or 0.95 would
+    * have done). Built on q95's LOSSLESS prefix-filtered exact-Jaccard
+    * join at its 0.5 floor, so every threshold's pair set is exact — no
+    * LSH recall falloff distorting the curve's low end.
+    *
+    * Scale shape: ONE exact pair derivation (q95's machinery, prefix-
+    * pruned, never all-pairs), exploded onto the 10-cut list map-side;
+    * victim sets are (t, doc_b) distincts of the dup-rate-bounded pair
+    * table; token costs join the ≤10×|victims| grain against per-doc
+    * counts; the corpus total is a 1-row broadcast. Determinism: the
+    * jaccard column is 6-dp rounded identically in both engines, cuts
+    * are shared literals, everything else integer.
+    */
+  def dedupCostCurve(spark: SparkSession, dir: String): DataFrame = {
+    val cutsArr = CurveCuts.map(c => s"${c}D").mkString("array(", ", ", ")")
+    val pairs = graft.core.CacheScope.persist(
+      TextOps
+        .prefixJoin(spark, dir)
+        .select(col("doc_b"), col("jaccard"))
+        .withColumn("t", explode(expr(cutsArr)))
+        .filter(col("jaccard") >= col("t")))
+    val cutsDf = spark.range(CurveCuts.length)
+      .select(expr(cutsArr)(col("id")).as("t"))
+    val toks = graft.core.CacheScope.persist(
+      Tables.documents(spark, dir)
+        .select(col("doc_id").as("doc_b"), size(TextOps.toks).cast("long").as("n_toks")))
+    val total      = toks.agg(sum(col("n_toks")).as("total_toks"))
+    val pairCounts = pairs.groupBy(col("t")).agg(count(lit(1)).as("n_pairs"))
+    val removed = pairs
+      .select(col("t"), col("doc_b"))
+      .distinct()
+      .join(toks, "doc_b")
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_victims"), sum(col("n_toks")).as("tokens_removed"))
+    cutsDf
+      .join(pairCounts, Seq("t"), "left")
+      .join(removed, Seq("t"), "left")
+      .crossJoin(broadcast(total))
+      .select(
+        col("t").as("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_victims"), lit(0L)).as("n_victims"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        round(
+          coalesce(col("tokens_removed"), lit(0L)).cast("double") /
+            col("total_toks").cast("double"),
+          6).as("pct_tokens_removed"))
+      .orderBy(col("threshold"))
+  }
+
+  /** q132 oracle: q95's brute-force exact-pair chain as a derived table +
+    * the same cut explode and integer rollups.
+    */
+  lazy val dedupCostCurveSql: String = {
+    val cutsList = CurveCuts.mkString("[", ", ", "]")
+    s"""WITH q132p AS MATERIALIZED (
+       |  SELECT doc_b, jaccard FROM (${TextOps.prefixJoinSql})),
+       |q132c AS (SELECT unnest($cutsList) AS t),
+       |q132tv AS MATERIALIZED (
+       |  SELECT c.t, p.doc_b FROM q132p p JOIN q132c c ON p.jaccard >= c.t),
+       |q132pc AS (SELECT t, count(*)::BIGINT AS n_pairs FROM q132tv GROUP BY t),
+       |q132tk AS (SELECT doc_id, len(${TextOps.DuckToks})::BIGINT AS n_toks FROM documents),
+       |q132tot AS (SELECT sum(n_toks)::BIGINT AS total_toks FROM q132tk),
+       |q132rm AS (
+       |  SELECT v.t, count(*)::BIGINT AS n_victims, sum(k.n_toks)::BIGINT AS tokens_removed
+       |  FROM (SELECT DISTINCT t, doc_b FROM q132tv) v
+       |  JOIN q132tk k ON k.doc_id = v.doc_b
+       |  GROUP BY v.t)
+       |SELECT c.t AS threshold,
+       |  coalesce(pc.n_pairs, 0)::BIGINT AS n_pairs,
+       |  coalesce(rm.n_victims, 0)::BIGINT AS n_victims,
+       |  coalesce(rm.tokens_removed, 0)::BIGINT AS tokens_removed,
+       |  round(coalesce(rm.tokens_removed, 0)::DOUBLE / tot.total_toks::DOUBLE, 6)
+       |    AS pct_tokens_removed
+       |FROM q132c c
+       |CROSS JOIN q132tot tot
+       |LEFT JOIN q132pc pc ON pc.t = c.t
+       |LEFT JOIN q132rm rm ON rm.t = c.t
+       |ORDER BY threshold""".stripMargin
+  }
+
   // --- q116: stride-1 sliding-window substring dedup -------------------------
 
   val SubW = 12

@@ -931,6 +931,82 @@ object TimeJoins {
        |FROM q125s ORDER BY user_id""".stripMargin
   }
 
+  // --- q131: traffic burstiness (Fano factor) --------------------------------
+
+  /** Per-type traffic burstiness over the corpus span: the Fano factor
+    * (index of dispersion, `var/mean` of hourly counts) plus the
+    * peak-to-mean ratio — the one-number answer to "is this event type
+    * Poisson-ish background or bursty?" that decides batch sizing,
+    * rate-limit budgets, and whether q120's EWMA screen needs a seasonal
+    * correction (bursty types false-positive under IID assumptions).
+    * Empty hours COUNT: the mean and variance are taken over the full
+    * corpus hour span, not just active buckets — computed WITHOUT
+    * zero-filling, since zero buckets contribute nothing to Σn and Σn²
+    * and the span enters only as the divisor.
+    *
+    * Scale shape: ONE keyed map-side-combinable aggregate to the
+    * (type, hour) grain (q113's bucket table, persisted); the span is a
+    * 1-row min/max broadcast; per-type moments are integer sums (squares
+    * as DECIMAL — exact at any count) over that bounded grain. All ratios
+    * fixed divide shapes rounded to 6 dp.
+    */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = graft.core.CacheScope.persist(
+      Tables
+        .events(spark, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("n")))
+    val span = hourly.agg(
+      ((max(col("hr")) - min(col("hr"))) + lit(1L)).as("span_hours"))
+    hourly
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_hours_active"),
+        sum(col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)")).as("sn2"),
+        max(col("n")).as("peak"))
+      .crossJoin(broadcast(span))
+      .withColumn("mean_h", col("n_events").cast("double") / col("span_hours").cast("double"))
+      .withColumn(
+        "var_h",
+        col("sn2").cast("double") / col("span_hours").cast("double") -
+          col("mean_h") * col("mean_h"))
+      .select(
+        col("event_type"),
+        col("n_events"),
+        col("n_hours_active"),
+        col("span_hours"),
+        round(col("mean_h"), 6).as("mean_per_hour"),
+        round(col("var_h") / col("mean_h"), 6).as("fano"),
+        round(col("peak").cast("double") / col("mean_h"), 6).as("peak_ratio"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q131 oracle: identical hour bucketing (`epoch_us // 3600e6`), integer
+    * moments with HUGEINT squares, and the same divide shapes.
+    */
+  val burstinessSql: String =
+    """WITH q131h AS MATERIALIZED (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |q131s AS (SELECT (max(hr) - min(hr) + 1)::BIGINT AS span_hours FROM q131h),
+      |q131t AS (
+      |  SELECT event_type, sum(n)::BIGINT AS n_events, count(*)::BIGINT AS n_hours_active,
+      |    sum(n::HUGEINT * n) AS sn2, max(n)::BIGINT AS peak
+      |  FROM q131h GROUP BY event_type),
+      |q131m AS (
+      |  SELECT t.event_type, t.n_events, t.n_hours_active, s.span_hours, t.peak,
+      |    t.n_events::DOUBLE / s.span_hours::DOUBLE AS mean_h,
+      |    t.sn2::DOUBLE / s.span_hours::DOUBLE -
+      |      (t.n_events::DOUBLE / s.span_hours::DOUBLE) * (t.n_events::DOUBLE / s.span_hours::DOUBLE) AS var_h
+      |  FROM q131t t, q131s s)
+      |SELECT event_type, n_events, n_hours_active, span_hours,
+      |  round(mean_h, 6) AS mean_per_hour,
+      |  round(var_h / mean_h, 6) AS fano,
+      |  round(peak::DOUBLE / mean_h, 6) AS peak_ratio
+      |FROM q131m ORDER BY event_type""".stripMargin
+
   val ewmaTrendSql: String = {
     val lags = (1 until EwmaK).map(k => s"lag(x, $k) OVER w AS x$k").mkString(", ")
     def xk(k: Int) = if (k == 0) "x" else s"x$k"

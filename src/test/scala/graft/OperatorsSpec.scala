@@ -749,4 +749,37 @@ class OperatorsSpec extends SparkSpec {
     val zs = rows.map(_.getDouble(3))
     assert(zs.zip(zs.tail).forall { case (a, b) => a >= b }, "ranking must be by z desc")
   }
+
+  test("q131: fano reconciles with a driver-side recomputation over hourly counts") {
+    val rows = TimeJoins.burstiness(spark, Sf0001).collect()
+    assert(rows.length == 5)
+    val hourly = graft.core.Tables.events(spark, Sf0001)
+      .groupBy(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n")).collect()
+    val span = hourly.map(_.getLong(1)).max - hourly.map(_.getLong(1)).min + 1
+    rows.foreach { r =>
+      val ns   = hourly.filter(_.getString(0) == r.getString(0)).map(_.getLong(2))
+      val mean = ns.sum.toDouble / span
+      val varh = ns.map(n => n.toDouble * n).sum / span - mean * mean
+      assert(r.getLong(3) == span, s"span for $r")
+      assert(math.abs(r.getDouble(5) - varh / mean) < 1e-5, s"fano for $r")
+      assert(r.getDouble(6) >= 1.0, s"peak ratio below mean: $r")
+    }
+  }
+
+  test("q132: the curve is monotone non-increasing and its 0.9 point matches q27's victims") {
+    import graft.operators.CurationOps
+    val rows = CurationOps.dedupCostCurve(spark, Sf0001).collect()
+    assert(rows.map(_.getDouble(0)).toSeq == CurationOps.CurveCuts)
+    // tightening the threshold can only shrink pairs/victims/cost
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) >= b.getLong(1) && a.getLong(2) >= b.getLong(2) &&
+        a.getLong(3) >= b.getLong(3), s"curve not monotone: $a -> $b")
+    }
+    // the 0.9 point's victim set equals the q27 rule's distinct doc_b
+    val at09 = rows.find(_.getDouble(0) == 0.9).get
+    val q27victims = TextOps.ngramJaccard(spark, Sf0001).collect()
+      .map(_.getLong(1)).distinct.length
+    assert(at09.getLong(2) == q27victims, s"0.9 victims ${at09.getLong(2)} != q27 $q27victims")
+  }
 }

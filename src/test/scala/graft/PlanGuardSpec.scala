@@ -273,7 +273,14 @@ class PlanGuardSpec extends SparkSpec {
       "q129_fertility_by_lang" -> 3,
       // |labels|×dim centroid agg + label reassembly + d² grain
       // (persisted, re-printed for the moments branch) + TakeOrdered
-      "q130_label_outliers" -> 5
+      "q130_label_outliers" -> 5,
+      // (type, hour) bucket agg (persisted, re-printed for the 1-row span
+      // branch) + per-type moments + sort
+      "q131_burstiness" -> 4,
+      // q95's exact-pair pipeline (its own 16 budget), persisted but
+      // re-printed under both the pair-count and victim branches + the
+      // token-count branches + output sort
+      "q132_dedup_cost_curve" -> 28
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -399,7 +406,11 @@ class PlanGuardSpec extends SparkSpec {
         // q127 crossJoins the 1-row pivoted 9-threshold table
         "q127_quality_calibration",
         // q129 crossJoins the 1-row English-fertility baseline
-        "q129_fertility_by_lang")
+        "q129_fertility_by_lang",
+        // q131 crossJoins the 1-row corpus hour-span aggregate
+        "q131_burstiness",
+        // q132 crossJoins the 1-row corpus token total
+        "q132_dedup_cost_curve")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
