@@ -1007,6 +1007,120 @@ object TimeJoins {
       |  round(peak::DOUBLE / mean_h, 6) AS peak_ratio
       |FROM q131m ORDER BY event_type""".stripMargin
 
+  // --- q133: conversion latency funnel ----------------------------------------
+
+  /** Session conversion latency: across q10's 30-minute sessions, how many
+    * sessions saw a `view`, how many of those converted (a `purchase` at
+    * or after the first view, same session), and the distribution of
+    * time-to-convert — the latency companion to q35's step funnel (q35
+    * counts who converts; this says how long conversion takes, the number
+    * a checkout-flow change is judged by).
+    *
+    * Scale shape: one user-keyed window pass sessionizes and carries each
+    * session's first-view timestamp (no self-join — the q37 carry trick);
+    * per-session reduction is one keyed aggregate; the latency
+    * distribution collapses to a value histogram and the reported median/
+    * p90 are ⌈p·N⌉ ORDER STATISTICS over exact integer seconds (the q125
+    * rank rule — no interpolation), so every output value is either an
+    * exact long or one rounded ratio.
+    */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum    = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn(
+        "new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(cum))
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+    val perSession = graft.core.CacheScope.persist(
+      sess
+        .withColumn("vu", min(when(col("event_type") === "view", col("us"))).over(bySess))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          max(col("vu")).as("vu"),
+          min(when(col("event_type") === "purchase" && col("us") >= col("vu"), col("us")))
+            .as("pu")))
+    val counts = perSession.agg(
+      count(lit(1)).as("n_sessions"),
+      sum(when(col("vu").isNotNull, 1L).otherwise(0L)).as("n_with_view"),
+      sum(when(col("pu").isNotNull, 1L).otherwise(0L)).as("n_converted"))
+    val deltas = perSession
+      .filter(col("pu").isNotNull)
+      .select(expr("(pu - vu) DIV 1000000").as("secs"))
+    val ranked = deltas
+      .groupBy(col("secs"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.partitionBy(lit(1)).orderBy(col("secs"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(lit(1))))
+    val quants = ranked
+      .withColumn("p", explode(expr("array(0.5D, 0.9D)")))
+      .filter(col("cum") >= ceil(col("p") * col("n").cast("double")))
+      .groupBy(col("p"))
+      .agg(min(col("secs")).as("q"))
+      .groupBy()
+      .agg(
+        max(when(col("p") === 0.5, col("q"))).as("median_secs"),
+        max(when(col("p") === 0.9, col("q"))).as("p90_secs"))
+    counts
+      .crossJoin(broadcast(quants))
+      .select(
+        col("n_sessions"),
+        col("n_with_view"),
+        col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_with_view").cast("double"), 6)
+          .as("conv_rate"),
+        col("median_secs"),
+        col("p90_secs"))
+  }
+
+  /** q133 oracle: q10's sessionize SQL, the same windowed first-view
+    * carry, and identical ⌈p·N⌉ order statistics on integer seconds.
+    */
+  val conversionLatencySql: String =
+    """WITH q133e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |q133s AS (
+      |  SELECT *, CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM q133e),
+      |q133v AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+      |      OVER (PARTITION BY user_id, session_id) AS vu
+      |  FROM q133s),
+      |q133p AS MATERIALIZED (
+      |  SELECT user_id, session_id, max(vu) AS vu,
+      |    min(CASE WHEN event_type = 'purchase' AND us >= vu THEN us END) AS pu
+      |  FROM q133v GROUP BY user_id, session_id),
+      |q133c AS (
+      |  SELECT count(*)::BIGINT AS n_sessions,
+      |    sum(CASE WHEN vu IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_with_view,
+      |    sum(CASE WHEN pu IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_converted
+      |  FROM q133p),
+      |q133h AS (
+      |  SELECT (pu - vu) // 1000000 AS secs, count(*)::BIGINT AS c
+      |  FROM q133p WHERE pu IS NOT NULL GROUP BY 1),
+      |q133r AS (
+      |  SELECT secs, sum(c) OVER (ORDER BY secs) AS cum, sum(c) OVER () AS n FROM q133h),
+      |q133q AS (
+      |  SELECT
+      |    max(CASE WHEN p = 0.5 THEN q END)::BIGINT AS median_secs,
+      |    max(CASE WHEN p = 0.9 THEN q END)::BIGINT AS p90_secs
+      |  FROM (SELECT p, min(secs) AS q
+      |        FROM q133r, (SELECT unnest([0.5, 0.9]) AS p)
+      |        WHERE cum >= ceil(p * n::DOUBLE) GROUP BY p))
+      |SELECT c.n_sessions, c.n_with_view, c.n_converted,
+      |  round(c.n_converted::DOUBLE / c.n_with_view::DOUBLE, 6) AS conv_rate,
+      |  q.median_secs, q.p90_secs
+      |FROM q133c c, q133q q""".stripMargin
+
   val ewmaTrendSql: String = {
     val lags = (1 until EwmaK).map(k => s"lag(x, $k) OVER w AS x$k").mkString(", ")
     def xk(k: Int) = if (k == 0) "x" else s"x$k"

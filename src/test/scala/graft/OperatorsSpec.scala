@@ -782,4 +782,13 @@ class OperatorsSpec extends SparkSpec {
       .map(_.getLong(1)).distinct.length
     assert(at09.getLong(2) == q27victims, s"0.9 victims ${at09.getLong(2)} != q27 $q27victims")
   }
+
+  test("q133: funnel counters nest and the order-stat quantiles bracket correctly") {
+    val r = TimeJoins.conversionLatency(spark, Sf0001).collect().head
+    val (nSess, nView, nConv) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nSess >= nView && nView >= nConv && nConv > 0, s"funnel nesting: $r")
+    assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0, s"conv rate: $r")
+    assert(r.getLong(4) <= r.getLong(5), s"median must not exceed p90: $r")
+    assert(r.getLong(4) >= 0, s"negative latency: $r")
+  }
 }

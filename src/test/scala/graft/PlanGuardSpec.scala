@@ -280,7 +280,10 @@ class PlanGuardSpec extends SparkSpec {
       // q95's exact-pair pipeline (its own 16 budget), persisted but
       // re-printed under both the pair-count and victim branches + the
       // token-count branches + output sort
-      "q132_dedup_cost_curve" -> 28
+      "q132_dedup_cost_curve" -> 28,
+      // one user-keyed sessionize+carry window chain + per-session agg
+      // (persisted, re-printed for counts + histogram branches)
+      "q133_conversion_latency" -> 4
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -410,7 +413,9 @@ class PlanGuardSpec extends SparkSpec {
         // q131 crossJoins the 1-row corpus hour-span aggregate
         "q131_burstiness",
         // q132 crossJoins the 1-row corpus token total
-        "q132_dedup_cost_curve")
+        "q132_dedup_cost_curve",
+        // q133 crossJoins its two 1-row aggregates (counts × quantiles)
+        "q133_conversion_latency")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
