@@ -1480,4 +1480,92 @@ object StatsOps {
        |  CAST(sum(coalesce(f.n_new, 0)) OVER (ORDER BY t.source) AS BIGINT) AS cum_distinct
        |FROM q128t t LEFT JOIN q128f f USING (source)
        |ORDER BY t.source""".stripMargin
+
+  // --- q134: lognormal length fit per source ---------------------------------
+
+  /** Per-source lognormal fit of document length: method-of-moments
+    * (μ, σ) of `ln n_chars` plus the ACTUAL median length — the
+    * distributional fingerprint a dataset card should carry instead of a
+    * bare mean (length distributions are famously lognormal-ish, and a
+    * source whose σ collapses is a template farm; comparing `e^μ` to the
+    * actual median is the one-glance lognormality check, left to the
+    * reader to exponentiate — `exp` is deliberately NOT computed here,
+    * since engine libm `exp` is not guaranteed bit-identical while
+    * everything emitted is).
+    *
+    * Determinism: logs are rounded to 6 dp then quantized to integers
+    * (the q73 round-the-log + q72 quantize disciplines composed), so
+    * moments come from exact integer sums in any aggregation order; the
+    * median is a ⌈N/2⌉ order statistic on integer chars. Scale shape:
+    * ONE map-side pass to (source, ln-bucket/char) grains, per-source
+    * moments and rank scans over bounded histograms.
+    */
+  def lognormalFit(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.core.CacheScope.persist(
+      docs(spark, dir)
+        .filter(col("n_chars") > 0)
+        .select(
+          col("source"),
+          col("n_chars"),
+          expr("CAST(round(round(ln(CAST(n_chars AS DOUBLE)), 6) * 1000000, 0) AS BIGINT)")
+            .as("lq")))
+    val moments = base
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("lq")).as("sl"),
+        sum(col("lq").cast("decimal(38,0)") * col("lq").cast("decimal(38,0)")).as("sl2"))
+      .select(
+        col("source"), col("n_docs"),
+        (col("sl").cast("double") / col("n_docs").cast("double")).as("mu_q"),
+        (col("sl2").cast("double") / col("n_docs").cast("double")).as("m2_q"))
+    val byS = Window.partitionBy(col("source"))
+    val med = base
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(byS.orderBy(col("n_chars"))))
+      .withColumn("n", sum(col("c")).over(byS))
+      .filter(col("cum") >= ceil(lit(0.5) * col("n").cast("double")))
+      .groupBy(col("source"))
+      .agg(min(col("n_chars")).as("median_chars"))
+    moments
+      .join(med, "source")
+      .select(
+        col("source"),
+        col("n_docs"),
+        round(col("mu_q") / lit(1000000.0), 6).as("mu"),
+        round(sqrt(col("m2_q") - col("mu_q") * col("mu_q")) / lit(1000000.0), 6).as("sigma"),
+        col("median_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** q134 oracle: identical round-then-quantize log buckets, HUGEINT
+    * moments, and the ⌈N/2⌉ rank median.
+    */
+  val lognormalFitSql: String =
+    """WITH q134b AS MATERIALIZED (
+      |  SELECT source, n_chars,
+      |    CAST(round(round(ln(n_chars::DOUBLE), 6) * 1000000, 0) AS BIGINT) AS lq
+      |  FROM documents WHERE n_chars > 0),
+      |q134m AS (
+      |  SELECT source, count(*)::BIGINT AS n_docs,
+      |    sum(lq)::DOUBLE / count(*)::DOUBLE AS mu_q,
+      |    sum(lq::HUGEINT * lq)::DOUBLE / count(*)::DOUBLE AS m2_q
+      |  FROM q134b GROUP BY source),
+      |q134h AS (
+      |  SELECT source, n_chars, count(*)::BIGINT AS c FROM q134b GROUP BY 1, 2),
+      |q134r AS (
+      |  SELECT source, n_chars,
+      |    sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+      |    sum(c) OVER (PARTITION BY source) AS n
+      |  FROM q134h),
+      |q134d AS (
+      |  SELECT source, min(n_chars)::BIGINT AS median_chars
+      |  FROM q134r WHERE cum >= ceil(0.5 * n::DOUBLE) GROUP BY source)
+      |SELECT m.source, m.n_docs,
+      |  round(m.mu_q / 1000000.0, 6) AS mu,
+      |  round(sqrt(m.m2_q - m.mu_q * m.mu_q) / 1000000.0, 6) AS sigma,
+      |  d.median_chars
+      |FROM q134m m JOIN q134d d USING (source)
+      |ORDER BY m.source""".stripMargin
 }

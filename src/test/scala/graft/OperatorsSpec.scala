@@ -791,4 +791,22 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getLong(4) <= r.getLong(5), s"median must not exceed p90: $r")
     assert(r.getLong(4) >= 0, s"negative latency: $r")
   }
+
+  test("q134: moments reconcile with a driver-side recomputation per source") {
+    val rows = StatsOps.lognormalFit(spark, Sf0001).collect()
+    assert(rows.length == 20)
+    val chars = graft.core.Tables.documents(spark, Sf0001)
+      .select(col("source"), col("n_chars")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).filter(_ > 0)).toMap
+    rows.foreach { r =>
+      val xs = chars(r.getString(0)).map(c =>
+        BigDecimal(math.log(c.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val mu = xs.sum / xs.length
+      assert(math.abs(r.getDouble(2) - mu) < 1e-5, s"mu for $r vs $mu")
+      val sg = math.sqrt(xs.map(x => x * x).sum / xs.length - mu * mu)
+      assert(math.abs(r.getDouble(3) - sg) < 1e-4, s"sigma for $r vs $sg")
+      // the reported median is an actual member of the length distribution
+      assert(chars(r.getString(0)).contains(r.getLong(4)), s"median not a data value: $r")
+    }
+  }
 }

@@ -283,7 +283,10 @@ class PlanGuardSpec extends SparkSpec {
       "q132_dedup_cost_curve" -> 28,
       // one user-keyed sessionize+carry window chain + per-session agg
       // (persisted, re-printed for counts + histogram branches)
-      "q133_conversion_latency" -> 4
+      "q133_conversion_latency" -> 4,
+      // (source, lq/char) grain (persisted, re-printed for moments +
+      // median branches) + two per-source rollups + sort
+      "q134_lognormal_fit" -> 4
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
