@@ -1121,6 +1121,110 @@ object TimeJoins {
       |  q.median_secs, q.p90_secs
       |FROM q133c c, q133q q""".stripMargin
 
+  // --- q135: stationary event mix ---------------------------------------------
+
+  val StatRounds = 12
+
+  /** Stationary distribution of q103's transition chain vs the actual
+    * event mix: [[StatRounds]] power-iteration rounds from a uniform
+    * start over the EXACT (unrounded) row-normalized transition matrix,
+    * each iterate rounded to 6 dp before reuse (q97's round-before-reuse
+    * rule — what makes an iterative float computation engine-exact). The
+    * drift column answers "is today's traffic mix what the observed
+    * dynamics converge to?" — a large gap means the mix is transient
+    * (ramp, incident, campaign) rather than steady-state, which changes
+    * how q53-style mixing weights should read it.
+    *
+    * Scale shape: the matrix is ≤|types|² rows after ONE corpus window
+    * pass (q103's); every iteration round is a keyed join + ordered-fold
+    * aggregate over that bounded table — 12 tiny stages, nothing
+    * corpus-proportional after the first shuffle. Types that never
+    * receive a transition surface with p_stationary = 0.
+    */
+  def stationaryMix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val m = graft.core.CacheScope.persist(
+      Tables
+        .events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("cur"))
+        .withColumn("nxt", lead(col("cur"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("cur"))).cast("double"))
+        .select(col("cur"), col("nxt"), col("p")))
+    val actual = graft.core.CacheScope.persist(
+      Tables.events(spark, dir).groupBy(col("event_type")).agg(count(lit(1)).as("n_events")))
+    val nTypes = actual.agg(count(lit(1)).as("c"))
+    var pi = actual
+      .crossJoin(broadcast(nTypes))
+      .select(col("event_type").as("t"), (lit(1.0) / col("c").cast("double")).as("pi"))
+    for (_ <- 1 to StatRounds) {
+      pi = m
+        .join(pi, col("cur") === col("t"))
+        .select(col("cur"), col("nxt"), (col("pi") * col("p")).as("term"))
+        .groupBy(col("nxt").as("t"))
+        .agg(
+          round(
+            expr("aggregate(array_sort(collect_list(struct(cur, term))), 0D, (a, x) -> a + x.term)"),
+            6).as("pi"))
+        .select(col("t"), col("pi"))
+    }
+    actual
+      .crossJoin(broadcast(actual.agg(sum(col("n_events")).as("total"))))
+      .join(pi, col("event_type") === col("t"), "left")
+      .select(
+        col("event_type"),
+        col("n_events"),
+        round(col("n_events").cast("double") / col("total").cast("double"), 6).as("p_actual"),
+        coalesce(col("pi"), lit(0.0)).as("p_stationary"),
+        round(
+          coalesce(col("pi"), lit(0.0)) -
+            col("n_events").cast("double") / col("total").cast("double"),
+          6).as("drift"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q135 oracle: q103's window + unrounded row-normalized matrix, the
+    * same [[StatRounds]] unrolled rounds with ascending-by-cur folds and
+    * round-before-reuse.
+    */
+  lazy val stationaryMixSql: String = {
+    val rounds = (1 to StatRounds).map { k =>
+      s"""q135pi$k AS MATERIALIZED (
+         |  SELECT m.nxt AS t,
+         |    round(list_reduce(list_prepend(0.0::DOUBLE, list(p.pi * m.p ORDER BY m.cur)),
+         |      (a, b) -> a + b), 6) AS pi
+         |  FROM q135m m JOIN q135pi${k - 1} p ON p.t = m.cur
+         |  GROUP BY m.nxt)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q135s AS (
+       |  SELECT event_type AS cur,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY date_trunc('microsecond', ts), event_id) AS nxt
+       |  FROM events),
+       |q135m AS MATERIALIZED (
+       |  SELECT cur, nxt, n::DOUBLE / sum(n) OVER (PARTITION BY cur) AS p FROM (
+       |    SELECT cur, nxt, count(*)::BIGINT AS n FROM q135s
+       |    WHERE nxt IS NOT NULL GROUP BY cur, nxt)),
+       |q135a AS MATERIALIZED (
+       |  SELECT event_type, count(*)::BIGINT AS n_events FROM events GROUP BY event_type),
+       |q135pi0 AS (
+       |  SELECT event_type AS t, 1.0::DOUBLE / (SELECT count(*) FROM q135a)::DOUBLE AS pi
+       |  FROM q135a),
+       |$rounds
+       |SELECT a.event_type, a.n_events,
+       |  round(a.n_events::DOUBLE / tot.total::DOUBLE, 6) AS p_actual,
+       |  coalesce(pk.pi, 0.0::DOUBLE) AS p_stationary,
+       |  round(coalesce(pk.pi, 0.0::DOUBLE) - a.n_events::DOUBLE / tot.total::DOUBLE, 6) AS drift
+       |FROM q135a a
+       |CROSS JOIN (SELECT sum(n_events)::BIGINT AS total FROM q135a) tot
+       |LEFT JOIN q135pi$StatRounds pk ON pk.t = a.event_type
+       |ORDER BY a.event_type""".stripMargin
+  }
+
   val ewmaTrendSql: String = {
     val lags = (1 until EwmaK).map(k => s"lag(x, $k) OVER w AS x$k").mkString(", ")
     def xk(k: Int) = if (k == 0) "x" else s"x$k"

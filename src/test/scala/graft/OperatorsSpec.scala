@@ -809,4 +809,18 @@ class OperatorsSpec extends SparkSpec {
       assert(chars(r.getString(0)).contains(r.getLong(4)), s"median not a data value: $r")
     }
   }
+
+  test("q135: stationary vector is a probability distribution near its own fixed point") {
+    val rows = TimeJoins.stationaryMix(spark, Sf0001).collect()
+    assert(rows.length == 5)
+    val piSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(piSum - 1.0) < 1e-3, s"stationary mass sums to $piSum")
+    val actSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(actSum - 1.0) < 1e-3, s"actual mass sums to $actSum")
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"pi range: $r")
+      assert(math.abs(r.getDouble(4) - (r.getDouble(3) - r.getDouble(2))) < 2e-6,
+        s"drift identity: $r")
+    }
+  }
 }

@@ -286,7 +286,11 @@ class PlanGuardSpec extends SparkSpec {
       "q133_conversion_latency" -> 4,
       // (source, lq/char) grain (persisted, re-printed for moments +
       // median branches) + two per-source rollups + sort
-      "q134_lognormal_fit" -> 4
+      "q134_lognormal_fit" -> 4,
+      // ONE corpus window pass to the ≤|types|² matrix; then 12 unrolled
+      // power-iteration rounds of join+fold over that bounded table
+      // (each round re-prints the persisted matrix subtree) + output sort
+      "q135_stationary_mix" -> 56
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -418,7 +422,9 @@ class PlanGuardSpec extends SparkSpec {
         // q132 crossJoins the 1-row corpus token total
         "q132_dedup_cost_curve",
         // q133 crossJoins its two 1-row aggregates (counts × quantiles)
-        "q133_conversion_latency")
+        "q133_conversion_latency",
+        // q135 crossJoins the 1-row type count and the 1-row event total
+        "q135_stationary_mix")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
