@@ -896,6 +896,106 @@ object CurationOps {
        |ORDER BY threshold""".stripMargin
   }
 
+  // --- q136: dup-graph health summary -----------------------------------------
+
+  /** One-row structural health summary of the near-dup candidate graph:
+    * node/edge/wedge/triangle counts, the global clustering coefficient
+    * `3·triangles / wedges`, and Newman's degree assortativity — the
+    * numbers that say what KIND of duplication a corpus has before any
+    * per-cluster action: high clustering = mutually-corroborated clone
+    * communities (q118's cycles), low clustering + many wedges = hub-and-
+    * spoke template pollution, negative assortativity = hubs attached to
+    * leaves (one template fanned into many one-off variants).
+    *
+    * Scale shape: everything derives from the session-shared edge stage —
+    * degrees are one keyed aggregate, wedges are `Σ deg·(deg−1)/2`
+    * (integer arithmetic on the degree table, no join), triangles reuse
+    * q104's ordered wedge-close join (bounded by the dup-rate-bounded
+    * edge list), and the assortativity moments are integer sums over
+    * edges joined twice against the degree table. All ratios fixed
+    * shapes; degenerate denominators surface as NULL rather than NaN.
+    */
+  def dupGraphHealth(spark: SparkSession, dir: String): DataFrame = {
+    val e = SharedStages
+      .minhashEdges(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val deg = graft.core.CacheScope.persist(
+      e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d")))
+    val counts = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e2.b").as("c"))
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val moments = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .agg(
+        sum(col("da") * col("db")).as("sxy"),
+        sum(col("da") + col("db")).as("sxpy"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("sx2y2"))
+    counts
+      .crossJoin(broadcast(nEdges))
+      .crossJoin(broadcast(tri))
+      .crossJoin(broadcast(moments))
+      .withColumn("mu", col("sxpy").cast("double") / (lit(2.0) * col("n_edges").cast("double")))
+      .select(
+        col("n_nodes"),
+        col("n_edges"),
+        col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles").cast("double") / col("n_wedges").cast("double"), 6))
+          .as("clustering"),
+        when(
+          col("sx2y2").cast("double") / (lit(2.0) * col("n_edges").cast("double")) -
+            col("mu") * col("mu") > 0,
+          round(
+            (col("sxy").cast("double") / col("n_edges").cast("double") - col("mu") * col("mu")) /
+              (col("sx2y2").cast("double") / (lit(2.0) * col("n_edges").cast("double")) -
+                col("mu") * col("mu")),
+            6)).as("assortativity"))
+  }
+
+  /** q136 oracle: the bit-exact LSH edge emulation + identical integer
+    * wedge/triangle/moment arithmetic and guard shapes.
+    */
+  lazy val dupGraphHealthSql: String =
+    s"""WITH q136e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM (${TextOps.minhashLshSql})),
+       |q136d AS MATERIALIZED (
+       |  SELECT n, count(*)::BIGINT AS d FROM (
+       |    SELECT a AS n FROM q136e UNION ALL SELECT b FROM q136e) GROUP BY n),
+       |q136c AS (
+       |  SELECT count(*)::BIGINT AS n_nodes,
+       |    CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+       |  FROM q136d),
+       |q136n AS (SELECT count(*)::BIGINT AS n_edges FROM q136e),
+       |q136t AS (
+       |  SELECT count(*)::BIGINT AS n_triangles
+       |  FROM q136e e1 JOIN q136e e2 ON e2.a = e1.b
+       |  WHERE EXISTS (SELECT 1 FROM q136e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+       |q136m AS (
+       |  SELECT CAST(sum(da.d * db.d) AS BIGINT) AS sxy,
+       |    CAST(sum(da.d + db.d) AS BIGINT) AS sxpy,
+       |    CAST(sum(da.d * da.d + db.d * db.d) AS BIGINT) AS sx2y2
+       |  FROM q136e e JOIN q136d da ON da.n = e.a JOIN q136d db ON db.n = e.b)
+       |SELECT c.n_nodes, n.n_edges, c.n_wedges, t.n_triangles,
+       |  CASE WHEN c.n_wedges > 0 THEN
+       |    round(3.0 * t.n_triangles::DOUBLE / c.n_wedges::DOUBLE, 6) END AS clustering,
+       |  CASE WHEN m.sx2y2::DOUBLE / (2.0 * n.n_edges::DOUBLE) -
+       |      (m.sxpy::DOUBLE / (2.0 * n.n_edges::DOUBLE)) * (m.sxpy::DOUBLE / (2.0 * n.n_edges::DOUBLE)) > 0
+       |  THEN round(
+       |    (m.sxy::DOUBLE / n.n_edges::DOUBLE -
+       |      (m.sxpy::DOUBLE / (2.0 * n.n_edges::DOUBLE)) * (m.sxpy::DOUBLE / (2.0 * n.n_edges::DOUBLE))) /
+       |    (m.sx2y2::DOUBLE / (2.0 * n.n_edges::DOUBLE) -
+       |      (m.sxpy::DOUBLE / (2.0 * n.n_edges::DOUBLE)) * (m.sxpy::DOUBLE / (2.0 * n.n_edges::DOUBLE))), 6)
+       |  END AS assortativity
+       |FROM q136c c, q136n n, q136t t, q136m m""".stripMargin
+
   // --- q116: stride-1 sliding-window substring dedup -------------------------
 
   val SubW = 12

@@ -823,4 +823,28 @@ class OperatorsSpec extends SparkSpec {
         s"drift identity: $r")
     }
   }
+
+  test("q136: graph invariants reconcile with the shared edge stage") {
+    import graft.operators.{CurationOps, SharedStages}
+    val r = CurationOps.dupGraphHealth(spark, Sf0001).collect().head
+    val edges = SharedStages.minhashEdges(spark, Sf0001).collect()
+      .map(e => (e.getLong(0), e.getLong(1)))
+    assert(r.getLong(1) == edges.length, s"edge count: $r")
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(r.getLong(0) == nodes.length, s"node count: $r")
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.length)
+    val wedges = deg.values.map(d => d.toLong * (d - 1) / 2).sum
+    assert(r.getLong(2) == wedges, s"wedge count: $r")
+    // triangles: brute force over the collected edge set
+    val eset = edges.toSet
+    val tris = (for {
+      (a, b) <- edges; (b2, c) <- edges if b2 == b && eset.contains((a, c))
+    } yield 1).size
+    assert(r.getLong(3) == tris, s"triangle count: $r")
+    if (!r.isNullAt(4))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, s"clustering range: $r")
+    if (!r.isNullAt(5))
+      assert(r.getDouble(5) >= -1.0 - 1e-9 && r.getDouble(5) <= 1.0 + 1e-9,
+        s"assortativity range: $r")
+  }
 }

@@ -290,7 +290,10 @@ class PlanGuardSpec extends SparkSpec {
       // ONE corpus window pass to the ≤|types|² matrix; then 12 unrolled
       // power-iteration rounds of join+fold over that bounded table
       // (each round re-prints the persisted matrix subtree) + output sort
-      "q135_stationary_mix" -> 56
+      "q135_stationary_mix" -> 56,
+      // edges checkpointed at construction; degree agg + wedge/triangle/
+      // moment branches over the bounded edge list, AQE broadcasts
+      "q136_dup_graph_health" -> 5
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -424,7 +427,9 @@ class PlanGuardSpec extends SparkSpec {
         // q133 crossJoins its two 1-row aggregates (counts × quantiles)
         "q133_conversion_latency",
         // q135 crossJoins the 1-row type count and the 1-row event total
-        "q135_stationary_mix")
+        "q135_stationary_mix",
+        // q136 crossJoins its four 1-row count/moment aggregates
+        "q136_dup_graph_health")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
