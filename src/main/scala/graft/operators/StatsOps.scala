@@ -1481,6 +1481,93 @@ object StatsOps {
        |FROM q128t t LEFT JOIN q128f f USING (source)
        |ORDER BY t.source""".stripMargin
 
+  // --- q137: KS drift of length distributions ---------------------------------
+
+  /** Per-source Kolmogorov–Smirnov drift on document length: the max
+    * absolute gap between each source's length CDF and the corpus CDF,
+    * plus the length at which it opens — the distribution-shape
+    * complement to q71's vocabulary KL (KL sees WHAT a source says, KS
+    * sees what SHAPE its documents are: a crawler that started truncating
+    * pages moves KS long before vocabulary drifts). Evaluated at every
+    * observed value, which is exactly sufficient for discrete two-sample
+    * KS with right-continuous step CDFs.
+    *
+    * Scale shape: the corpus collapses to (source, length) counts in ONE
+    * map-side-combinable aggregate; the evaluation grid is
+    * |sources| × |distinct lengths| (value-domain-bounded, never rows);
+    * both CDFs are cumulative-count windows over that grid; per-source
+    * totals broadcast. Determinism: cumulative counts are exact longs,
+    * each CDF value one division, the argmax location is `min(v)` among
+    * exact-equal maxima.
+    */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.core.CacheScope.persist(
+      docs(spark, dir)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c")))
+    val corp = h
+      .groupBy(col("v"))
+      .agg(sum(col("c")).as("cc"))
+      .withColumn("cumc", sum(col("cc")).over(Window.partitionBy(lit(1)).orderBy(col("v"))))
+      .select(col("v"), col("cumc"))
+    val nSrc = h.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val nTot = h.agg(sum(col("c")).as("n"))
+    val grid = corp
+      .crossJoin(h.select(col("source")).distinct())
+      .join(h, Seq("source", "v"), "left")
+      .withColumn(
+        "cums",
+        sum(coalesce(col("c"), lit(0L)))
+          .over(Window.partitionBy(col("source")).orderBy(col("v"))))
+    val diffs = graft.core.CacheScope.persist(
+      grid
+        .join(broadcast(nSrc), "source")
+        .crossJoin(broadcast(nTot))
+        .select(col("source"), col("v"), col("ns"),
+          abs(
+            col("cums").cast("double") / col("ns").cast("double") -
+              col("cumc").cast("double") / col("n").cast("double")).as("diff")))
+    diffs
+      .groupBy(col("source")).agg(max(col("diff")).as("ks_raw"))
+      .join(diffs, "source")
+      .filter(col("diff") === col("ks_raw"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("ns")).as("n_docs"),
+        round(max(col("ks_raw")), 6).as("ks"),
+        min(col("v")).as("ks_at"))
+      .orderBy(col("source"))
+  }
+
+  /** q137 oracle: same grid, cumulative windows, and min-among-equal-
+    * maxima location rule.
+    */
+  val ksDriftSql: String =
+    """WITH q137h AS MATERIALIZED (
+      |  SELECT source, n_chars AS v, count(*)::BIGINT AS c
+      |  FROM documents GROUP BY 1, 2),
+      |q137corp AS (
+      |  SELECT v, sum(cc) OVER (ORDER BY v) AS cumc FROM (
+      |    SELECT v, sum(c)::BIGINT AS cc FROM q137h GROUP BY v)),
+      |q137ns AS (SELECT source, sum(c)::BIGINT AS ns FROM q137h GROUP BY source),
+      |q137n AS (SELECT sum(c)::BIGINT AS n FROM q137h),
+      |q137g AS (
+      |  SELECT s.source, c.v, c.cumc,
+      |    sum(coalesce(h.c, 0)) OVER (PARTITION BY s.source ORDER BY c.v) AS cums
+      |  FROM q137corp c
+      |  CROSS JOIN (SELECT DISTINCT source FROM q137h) s
+      |  LEFT JOIN q137h h ON h.source = s.source AND h.v = c.v),
+      |q137d AS MATERIALIZED (
+      |  SELECT g.source, g.v, ns.ns,
+      |    abs(g.cums::DOUBLE / ns.ns::DOUBLE - g.cumc::DOUBLE / n.n::DOUBLE) AS diff
+      |  FROM q137g g JOIN q137ns ns USING (source) CROSS JOIN q137n n),
+      |q137m AS (SELECT source, max(diff) AS ks_raw FROM q137d GROUP BY source)
+      |SELECT d.source, max(d.ns)::BIGINT AS n_docs,
+      |  round(max(m.ks_raw), 6) AS ks, min(d.v)::BIGINT AS ks_at
+      |FROM q137d d JOIN q137m m ON m.source = d.source AND d.diff = m.ks_raw
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
+
   // --- q134: lognormal length fit per source ---------------------------------
 
   /** Per-source lognormal fit of document length: method-of-moments

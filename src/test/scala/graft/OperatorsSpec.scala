@@ -847,4 +847,23 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getDouble(5) >= -1.0 - 1e-9 && r.getDouble(5) <= 1.0 + 1e-9,
         s"assortativity range: $r")
   }
+
+  test("q137: KS reconciles with a driver-side two-sample recomputation") {
+    val rows = StatsOps.ksDrift(spark, Sf0001).collect()
+    assert(rows.length == 20)
+    val lens = graft.core.Tables.documents(spark, Sf0001)
+      .select(col("source"), col("n_chars")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    val all  = lens.values.flatten.toSeq.sorted
+    val grid = all.distinct
+    rows.foreach { r =>
+      val s  = lens(r.getString(0))
+      val ks = grid.map { v =>
+        math.abs(
+          s.count(_ <= v).toDouble / s.length - all.count(_ <= v).toDouble / all.length)
+      }.max
+      assert(math.abs(r.getDouble(2) - ks) < 1e-5, s"ks for $r vs $ks")
+      assert(r.getLong(1) == s.length, s"n_docs for $r")
+    }
+  }
 }

@@ -293,7 +293,10 @@ class PlanGuardSpec extends SparkSpec {
       "q135_stationary_mix" -> 56,
       // edges checkpointed at construction; degree agg + wedge/triangle/
       // moment branches over the bounded edge list, AQE broadcasts
-      "q136_dup_graph_health" -> 5
+      "q136_dup_graph_health" -> 5,
+      // (source, length) grain + grid windows (diffs persisted,
+      // re-printed under the max branch and the argmax join-back)
+      "q137_ks_drift" -> 22
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -429,7 +432,10 @@ class PlanGuardSpec extends SparkSpec {
         // q135 crossJoins the 1-row type count and the 1-row event total
         "q135_stationary_mix",
         // q136 crossJoins its four 1-row count/moment aggregates
-        "q136_dup_graph_health")
+        "q136_dup_graph_health",
+        // q137 crossJoins the 1-row corpus total and the bounded
+        // source-dimension grid expansion
+        "q137_ks_drift")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
