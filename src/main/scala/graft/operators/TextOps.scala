@@ -586,7 +586,11 @@ object TextOps {
     * DISTINCT base hashes only, and the band table is MATERIALIZED so the
     * three probes (two join sides + bucket-size filter) evaluate it once.
     */
-  lazy val minhashLshSql: String = {
+  /** The full MinHash pipeline CTE chain (shingles → signatures → band
+    * hashes → bounded buckets) — shared by [[minhashLshSql]] and the q138
+    * calibration oracle so the signature emulation cannot drift.
+    */
+  private def minhashPipelineCtes(): scala.collection.mutable.ArrayBuffer[(String, String)] = {
     import graft.functions.DuckHash._
     val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
       "q25sh" ->
@@ -629,12 +633,118 @@ object TextOps {
     }
     ctes += ("q25bl" -> s"(SELECT doc_id, band, h AS bh FROM $cur)")
     ctes += ("q25bk" -> s"(SELECT band, bh FROM q25bl GROUP BY band, bh HAVING count(*) BETWEEN 2 AND $MaxBucket)")
+    ctes
+  }
+
+  lazy val minhashLshSql: String = {
+    import graft.functions.DuckHash._
     assemble(
-      ctes.toSeq,
+      minhashPipelineCtes().toSeq,
       """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM q25bl a JOIN q25bl b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
         |JOIN q25bk k ON k.band = a.band AND k.bh = a.bh
         |ORDER BY doc_a, doc_b""".stripMargin
+    )
+  }
+
+  // --- q138: MinHash estimator calibration -----------------------------------
+
+  /** Calibration of the MinHash ESTIMATOR against exact Jaccard on the
+    * candidate pairs: per matching-component count (0..[[MinhashK]]),
+    * how many pairs, the estimator's implied similarity `k/32`, the mean
+    * exact Jaccard, and the mean absolute estimation error — the sketch-
+    * quality audit that says whether 32 permutations are enough for the
+    * corpus at hand (a fat error column at the 0.9 decision boundary
+    * means the dedup cut is being made by noise; q84 audits the BANDING's
+    * recall, this audits the SIGNATURE's fidelity).
+    *
+    * Scale shape: signatures are the same map-side codegen'd folds the
+    * LSH path uses (shared shingle stage, zero extra corpus passes); the
+    * component-match count is a 32-term in-row comparison after two
+    * doc-keyed joins of the dup-rate-bounded edge list; exact Jaccard is
+    * the standard verify join at cut 0. The rollup is ≤33 rows.
+    * Determinism: match counts are integers, est is an exact rational,
+    * exact Jaccard is 4-dp rounded identically, means are ascending-
+    * by-pair folds (SURVEY §4).
+    */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val sh    = SharedStages.shingles(spark, dir)
+    val edges = SharedStages.minhashEdges(spark, dir)
+    val sigs  = minhashSigsFrom(sh)
+    val sa = sigs.select(
+      col("doc_id").as("doc_a") +: (0 until MinhashK).map(i => col(s"s$i").as(s"a$i")): _*)
+    val sb = sigs.select(
+      col("doc_id").as("doc_b") +: (0 until MinhashK).map(i => col(s"s$i").as(s"b$i")): _*)
+    val matchExpr = (0 until MinhashK)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = edges
+      .join(sa, "doc_a")
+      .join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), matchExpr.as("n_match"))
+    est
+      .join(verifyJaccard(edges, sh, 0.0), Seq("doc_a", "doc_b"))
+      .withColumn("err",
+        abs(col("n_match").cast("double") / lit(MinhashK.toDouble) - col("jaccard")))
+      .groupBy(col("n_match"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        expr(
+          "aggregate(array_sort(collect_list(struct(doc_a, doc_b, jaccard))), 0D, (acc, x) -> acc + x.jaccard)")
+          .as("sj"),
+        expr(
+          "aggregate(array_sort(collect_list(struct(doc_a, doc_b, err))), 0D, (acc, x) -> acc + x.err)")
+          .as("se"))
+      .select(
+        col("n_match"),
+        round(col("n_match").cast("double") / lit(MinhashK.toDouble), 6).as("est_jaccard"),
+        col("n_pairs"),
+        round(col("sj") / col("n_pairs").cast("double"), 6).as("mean_exact"),
+        round(col("se") / col("n_pairs").cast("double"), 6).as("mean_abs_err"))
+      .orderBy(col("n_match"))
+  }
+
+  /** q138 oracle: the shared MinHash pipeline CTEs (bit-exact signatures
+    * and pairs), component-match counts from the emulated signature
+    * table, the same verify-at-0 exact Jaccard, and ascending-by-pair
+    * folds.
+    */
+  lazy val minhashCalibrationSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = minhashPipelineCtes()
+    ctes += ("q138pr" ->
+      """(SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM q25bl a JOIN q25bl b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |  JOIN q25bk k ON k.band = a.band AND k.bh = a.bh)""".stripMargin)
+    ctes += ("q138m" ->
+      """(SELECT p.doc_a, p.doc_b,
+        |    sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END)::BIGINT AS n_match
+        |  FROM q138pr p
+        |  JOIN q25sig a ON a.doc_id = p.doc_a
+        |  JOIN q25sig b ON b.doc_id = p.doc_b AND b.i = a.i
+        |  GROUP BY p.doc_a, p.doc_b)""".stripMargin)
+    ctes += ("q138x" ->
+      """(SELECT p.doc_a, p.doc_b,
+        |    round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+        |      / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+        |  FROM q138pr p
+        |  JOIN q25sh sa ON sa.doc_id = p.doc_a
+        |  JOIN q25sh sb ON sb.doc_id = p.doc_b)""".stripMargin)
+    ctes += ("q138j" ->
+      s"""(SELECT m.doc_a, m.doc_b, m.n_match, x.jaccard,
+         |    abs(m.n_match::DOUBLE / ${MinhashK}.0 - x.jaccard) AS err
+         |  FROM q138m m JOIN q138x x ON x.doc_a = m.doc_a AND x.doc_b = m.doc_b)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      s"""SELECT n_match,
+         |  round(n_match::DOUBLE / ${MinhashK}.0, 6) AS est_jaccard,
+         |  count(*)::BIGINT AS n_pairs,
+         |  round(list_reduce(list_prepend(0.0::DOUBLE, list(jaccard ORDER BY doc_a, doc_b)),
+         |    (a, b) -> a + b) / count(*)::DOUBLE, 6) AS mean_exact,
+         |  round(list_reduce(list_prepend(0.0::DOUBLE, list(err ORDER BY doc_a, doc_b)),
+         |    (a, b) -> a + b) / count(*)::DOUBLE, 6) AS mean_abs_err
+         |FROM q138j GROUP BY n_match
+         |ORDER BY n_match""".stripMargin
     )
   }
 

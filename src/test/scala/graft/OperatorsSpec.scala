@@ -866,4 +866,20 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getLong(1) == s.length, s"n_docs for $r")
     }
   }
+
+  test("q138: calibration covers every candidate pair; estimator tracks exact Jaccard") {
+    val rows = TextOps.minhashCalibration(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val nPairs = rows.map(_.getLong(2)).sum
+    val edges  = TextOps.minhashLsh(spark, Sf0001).count()
+    assert(nPairs == edges, s"calibration covers $nPairs of $edges candidate pairs")
+    rows.foreach { r =>
+      val (est, meanExact, mae) = (r.getDouble(1), r.getDouble(3), r.getDouble(4))
+      assert(est >= 0.0 && est <= 1.0 && meanExact >= 0.0 && meanExact <= 1.0, s"range: $r")
+      assert(mae >= math.abs(est - meanExact) - 1e-6, s"MAE below |bias|: $r")
+    }
+    // the candidate generator targets j>=0.9 — estimator buckets must
+    // concentrate high (LSH only surfaces high-match pairs)
+    assert(rows.map(_.getLong(0)).min >= 16, s"unexpected low-match candidates: ${rows.toSeq}")
+  }
 }

@@ -296,7 +296,10 @@ class PlanGuardSpec extends SparkSpec {
       "q136_dup_graph_health" -> 5,
       // (source, length) grain + grid windows (diffs persisted,
       // re-printed under the max branch and the argmax join-back)
-      "q137_ks_drift" -> 22
+      "q137_ks_drift" -> 22,
+      // shared checkpointed stages; two doc-keyed signature joins + the
+      // verify joins + the ≤33-row rollup + sort
+      "q138_minhash_calibration" -> 8
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
