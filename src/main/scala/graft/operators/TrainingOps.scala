@@ -141,6 +141,61 @@ object TrainingOps {
     )
   }
 
+  // --- q139: cluster-aware (leakage-free) split -------------------------------
+
+  /** Dup-cluster-aware train/val/test split: every document's split key is
+    * its q47 near-dup cluster label when it has one, its own doc_id
+    * otherwise, pushed through q40's exact `pmod(xxhash64, 100)` rule —
+    * so verified near-duplicates land in the SAME split by construction,
+    * closing the contamination channel q87 measures on the naive split
+    * (content-blind hashing puts ~1−Σp² of near-dup pairs across the
+    * boundary; this puts exactly zero). The q40/q87/q139 trio is the full
+    * story: assign naively, measure the leak, assign properly.
+    *
+    * Scale shape: cluster labels are the session-shared star-contraction
+    * stage (dup-rate-bounded); everything else is one doc-keyed left join
+    * plus map-side hash/bucket expressions — q40's scale posture with one
+    * bounded join in front.
+    */
+  def groupedSplit(spark: SparkSession, dir: String): DataFrame = {
+    val labels = graft.operators.SharedStages
+      .dupLabels(spark, dir)
+      .select(col("node").as("doc_id"), col("lbl").as("grp"))
+    docs(spark, dir)
+      .select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("grp"), col("doc_id")))
+      .withColumn("bucket", splitBucketCol(col("group_key")))
+      .withColumn("split", splitNameCol(col("bucket")))
+      .select(col("doc_id"), col("group_key"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q139 oracle: q47's recursive-CTE component labels + q40's exact
+    * xxhash64 emulation on the group key.
+    */
+  lazy val groupedSplitSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q139l" -> s"(SELECT doc_id, cluster_id FROM (${CurationOps.dupClustersSql}))",
+      "q139g" ->
+        """(SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id)::HUGEINT AS l
+          |  FROM documents d LEFT JOIN q139l l USING (doc_id))""".stripMargin
+    )
+    val ch = new SqlChain("q139h", "q139g", Seq("doc_id", "l"))
+    hashLongLevels(ch, toUnsigned("l"), "42", "h")
+    ctes ++= ch.ctes
+    assemble(
+      ctes.toSeq,
+      s"""SELECT doc_id, l::BIGINT AS group_key, bucket,
+         |  CASE WHEN bucket < $SplitTrainPct THEN 'train'
+         |       WHEN bucket < $SplitValPct THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, l, (((${toSigned("h")} % 100) + 100) % 100)::INTEGER AS bucket
+         |      FROM ${ch.last})
+         |ORDER BY doc_id""".stripMargin
+    )
+  }
+
   // --- q87: split-leakage audit ---------------------------------------------
 
   /** The leakage audit every eval pipeline needs: how many VERIFIED

@@ -882,4 +882,20 @@ class OperatorsSpec extends SparkSpec {
     // concentrate high (LSH only surfaces high-match pairs)
     assert(rows.map(_.getLong(0)).min >= 16, s"unexpected low-match candidates: ${rows.toSeq}")
   }
+
+  test("q139: verified near-dup pairs never straddle a split boundary") {
+    import graft.operators.TrainingOps
+    val split = TrainingOps.groupedSplit(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(split.size == 500)
+    val pairs = TextOps.ngramJaccard(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"leak: pair ($a, $b) split ${split(a)}/${split(b)}")
+    }
+    // the split is still roughly 80/10/10 at the group grain
+    val frac = split.values.groupBy(identity).view.mapValues(_.size / 500.0).toMap
+    assert(frac("train") > 0.6 && frac("train") < 0.95, s"train share drifted: $frac")
+  }
 }

@@ -299,7 +299,10 @@ class PlanGuardSpec extends SparkSpec {
       "q137_ks_drift" -> 22,
       // shared checkpointed stages; two doc-keyed signature joins + the
       // verify joins + the ≤33-row rollup + sort
-      "q138_minhash_calibration" -> 8
+      "q138_minhash_calibration" -> 8,
+      // shared label stage + one doc-keyed left join + map-side hashing
+      // + output sort
+      "q139_grouped_split" -> 3
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
