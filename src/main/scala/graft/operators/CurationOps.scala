@@ -996,6 +996,58 @@ object CurationOps {
        |  END AS assortativity
        |FROM q136c c, q136n n, q136t t, q136m m""".stripMargin
 
+  // --- q140: template hub documents -------------------------------------------
+
+  val HubTopK = 25
+
+  /** The corpus's template hubs: the documents with the most near-dup
+    * candidate partners, with how many distinct SOURCES those partners
+    * span and the hub's own metadata — the actionable doc-level output of
+    * q136's wedge statistics (q136 says "this corpus is hub-and-spoke";
+    * this hands curation the 25 actual hubs to inspect, and a hub whose
+    * partners span many sources is a boilerplate/license-text template
+    * rather than an intra-source mirror).
+    *
+    * Scale shape: degrees and neighbor-source counts are keyed aggregates
+    * of the session-shared symmetrized edge list joined once against doc
+    * metadata; top-[[HubTopK]] is TakeOrdered on (degree desc, doc_id).
+    */
+  def templateHubs(spark: SparkSession, dir: String): DataFrame = {
+    val e = SharedStages
+      .minhashEdges(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val s = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val meta = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val hubs = s
+      .join(meta.select(col("doc_id").as("b"), col("source").as("nbr_source")), "b")
+      .groupBy(col("a").as("doc_id"))
+      .agg(
+        count(lit(1)).as("degree"),
+        countDistinct(col("nbr_source")).as("n_nbr_sources"))
+    hubs
+      .join(meta, "doc_id")
+      .select(col("doc_id"), col("degree"), col("n_nbr_sources"),
+        col("source"), col("lang"), col("n_chars"))
+      .orderBy(col("degree").desc, col("doc_id"))
+      .limit(HubTopK)
+  }
+
+  /** q140 oracle: bit-exact LSH edges + the same symmetrize/aggregate/
+    * join shapes, integers throughout.
+    */
+  lazy val templateHubsSql: String =
+    s"""WITH q140e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM (${TextOps.minhashLshSql})),
+       |q140s AS (SELECT a, b FROM q140e UNION ALL SELECT b, a FROM q140e),
+       |q140h AS (
+       |  SELECT s.a AS doc_id, count(*)::BIGINT AS degree,
+       |    count(DISTINCT d.source)::BIGINT AS n_nbr_sources
+       |  FROM q140s s JOIN documents d ON d.doc_id = s.b
+       |  GROUP BY s.a)
+       |SELECT h.doc_id, h.degree, h.n_nbr_sources, d.source, d.lang, d.n_chars
+       |FROM q140h h JOIN documents d USING (doc_id)
+       |ORDER BY h.degree DESC, h.doc_id LIMIT $HubTopK""".stripMargin
+
   // --- q116: stride-1 sliding-window substring dedup -------------------------
 
   val SubW = 12

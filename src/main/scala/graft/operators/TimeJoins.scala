@@ -1225,6 +1225,100 @@ object TimeJoins {
        |ORDER BY a.event_type""".stripMargin
   }
 
+  // --- q141: winsorization impact report --------------------------------------
+
+  /** Per-type winsorization report: the p1/p99 ORDER-STATISTIC caps on
+    * event value, how many events each cap would clip, and the raw vs
+    * winsorized mean — the robust-preprocessing decision table ("does
+    * capping move the metric, and how many points does it touch?") that
+    * belongs in front of any mean-based dashboard q107/q113 feed, since a
+    * handful of fat-finger values can own an uncapped mean.
+    *
+    * Determinism: caps are ⌈p·N⌉ order statistics (actual data values, no
+    * interpolation); clip counts are integers; value sums ride
+    * DECIMAL(18,2) (the q107 discipline) with the winsorized sum clamping
+    * in the decimal domain. Scale shape: ONE (type, value) histogram
+    * aggregate; caps from cumulative windows over it; the impact rollup
+    * re-reads the persisted histogram, never the corpus.
+    */
+  def winsorizeReport(spark: SparkSession, dir: String): DataFrame = {
+    val hist = graft.core.CacheScope.persist(
+      Tables
+        .events(spark, dir)
+        .groupBy(col("event_type"), col("value").as("v"))
+        .agg(count(lit(1)).as("c")))
+    val byT = Window.partitionBy(col("event_type"))
+    val ranked = hist
+      .withColumn("cum", sum(col("c")).over(byT.orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(byT))
+    val caps = ranked
+      .withColumn("p", explode(expr("array(0.01D, 0.99D)")))
+      .filter(col("cum") >= ceil(col("p") * col("n").cast("double")))
+      .groupBy(col("event_type"), col("p"))
+      .agg(min(col("v")).as("q"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("p") === 0.01, col("q"))).as("lo"),
+        max(when(col("p") === 0.99, col("q"))).as("hi"))
+    hist
+      .join(caps, "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("c")).as("n_events"),
+        max(col("lo")).as("p01"),
+        max(col("hi")).as("p99"),
+        sum(when(col("v") < col("lo"), col("c")).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("v") > col("hi"), col("c")).otherwise(0L)).as("n_clipped_hi"),
+        sum(col("c") * col("v").cast("decimal(18,2)")).as("sv"),
+        sum(col("c") *
+          when(col("v") < col("lo"), col("lo"))
+            .when(col("v") > col("hi"), col("hi"))
+            .otherwise(col("v"))
+            .cast("decimal(18,2)")).as("sw"))
+      .select(
+        col("event_type"),
+        col("n_events"),
+        round(col("p01"), 6).as("p01"),
+        round(col("p99"), 6).as("p99"),
+        col("n_clipped_lo"),
+        col("n_clipped_hi"),
+        round(col("sv").cast("double") / col("n_events").cast("double"), 6).as("mean_raw"),
+        round(col("sw").cast("double") / col("n_events").cast("double"), 6)
+          .as("mean_winsorized"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q141 oracle: identical histogram, ⌈p·N⌉ caps, decimal-domain clamp. */
+  val winsorizeReportSql: String =
+    """WITH q141h AS MATERIALIZED (
+      |  SELECT event_type, value AS v, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |q141r AS (
+      |  SELECT event_type, v, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM q141h),
+      |q141c AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN p = 0.01 THEN q END) AS lo,
+      |    max(CASE WHEN p = 0.99 THEN q END) AS hi
+      |  FROM (SELECT event_type, p, min(v) AS q
+      |        FROM q141r, (SELECT unnest([0.01, 0.99]) AS p)
+      |        WHERE cum >= ceil(p * n::DOUBLE) GROUP BY event_type, p)
+      |  GROUP BY event_type)
+      |SELECT h.event_type,
+      |  sum(h.c)::BIGINT AS n_events,
+      |  round(max(c.lo), 6) AS p01, round(max(c.hi), 6) AS p99,
+      |  sum(CASE WHEN h.v < c.lo THEN h.c ELSE 0 END)::BIGINT AS n_clipped_lo,
+      |  sum(CASE WHEN h.v > c.hi THEN h.c ELSE 0 END)::BIGINT AS n_clipped_hi,
+      |  round(sum(h.c * CAST(h.v AS DECIMAL(18,2)))::DOUBLE / sum(h.c)::DOUBLE, 6) AS mean_raw,
+      |  round(sum(h.c * CAST(CASE WHEN h.v < c.lo THEN c.lo
+      |      WHEN h.v > c.hi THEN c.hi ELSE h.v END AS DECIMAL(18,2)))::DOUBLE
+      |    / sum(h.c)::DOUBLE, 6) AS mean_winsorized
+      |FROM q141h h JOIN q141c c USING (event_type)
+      |GROUP BY h.event_type
+      |ORDER BY h.event_type""".stripMargin
+
   val ewmaTrendSql: String = {
     val lags = (1 until EwmaK).map(k => s"lag(x, $k) OVER w AS x$k").mkString(", ")
     def xk(k: Int) = if (k == 0) "x" else s"x$k"

@@ -898,4 +898,32 @@ class OperatorsSpec extends SparkSpec {
     val frac = split.values.groupBy(identity).view.mapValues(_.size / 500.0).toMap
     assert(frac("train") > 0.6 && frac("train") < 0.95, s"train share drifted: $frac")
   }
+
+  test("q140: hub degrees reconcile with the edge list; output is degree-ranked") {
+    import graft.operators.{CurationOps, SharedStages}
+    val rows = CurationOps.templateHubs(spark, Sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= CurationOps.HubTopK)
+    val edges = SharedStages.minhashEdges(spark, Sf0001).collect()
+      .map(e => (e.getLong(0), e.getLong(1)))
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.length)
+    rows.foreach(r => assert(r.getLong(1) == deg(r.getLong(0)), s"degree for $r"))
+    val ds = rows.map(_.getLong(1))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, "must rank by degree desc")
+    rows.foreach(r => assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1), s"sources: $r"))
+  }
+
+  test("q141: caps are data values, clipping is bounded, winsorized mean moves toward center") {
+    val rows = TimeJoins.winsorizeReport(spark, Sf0001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, p01, p99, lo, hi) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5))
+      assert(p01 <= p99, s"cap order: $r")
+      // each tail clips at most ~1% + ties of the distribution
+      assert(lo <= n / 100 + 5 && hi <= n / 50 + 5, s"clip counts: $r")
+      // winsorization can only pull the mean into [p01, p99]
+      val mw = r.getDouble(7)
+      assert(mw >= p01 - 1e-6 && mw <= p99 + 1e-6, s"winsorized mean outside caps: $r")
+    }
+  }
 }

@@ -302,7 +302,13 @@ class PlanGuardSpec extends SparkSpec {
       "q138_minhash_calibration" -> 8,
       // shared label stage + one doc-keyed left join + map-side hashing
       // + output sort
-      "q139_grouped_split" -> 3
+      "q139_grouped_split" -> 3,
+      // shared edge stage + neighbor-source agg + metadata join +
+      // TakeOrdered
+      "q140_template_hubs" -> 2,
+      // (type, value) histogram (persisted, re-printed for the caps
+      // branch) + cap windows + impact rollup + sort
+      "q141_winsorize_report" -> 5
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
