@@ -1288,6 +1288,16 @@ object TimeJoins {
       .orderBy(col("event_type"))
   }
 
+  /** Snapshot calibration for the E29 gate: per type (p01, p99) caps from
+    * the batch report — ≤|types| rows collected (the model-gate rule).
+    */
+  def winsorizeCaps(spark: SparkSession, dir: String): Map[String, (Double, Double)] =
+    winsorizeReport(spark, dir)
+      .select(col("event_type"), col("p01"), col("p99"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+
   /** q141 oracle: identical histogram, ⌈p·N⌉ caps, decimal-domain clamp. */
   val winsorizeReportSql: String =
     """WITH q141h AS MATERIALIZED (

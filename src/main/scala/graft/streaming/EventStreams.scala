@@ -515,6 +515,48 @@ object EventStreams extends Serializable {
         col("sv_c"),
         col("sv_t"))
 
+  /** E29: streaming winsorized telemetry — the q141 twin under the E18/
+    * E27 calibrate-on-snapshot contract: the batch report's per-type
+    * (p01, p99) caps ride as a ≤|types|-entry literal map (an order
+    * statistic is a distribution property a stream cannot know ahead),
+    * and every event's value clamps through the SAME decimal-domain rule
+    * before the windowed sums. Closed (type, hour) windows emit counts
+    * plus RAW and WINSORIZED exact DECIMAL value sums exactly once, so a
+    * downstream dashboard can plot both means and their gap — the live
+    * view of q141's "does capping move the metric?" column. Types absent
+    * from the snapshot pass unclamped with `known_type = false` (an
+    * uncalibrated type needs a batch pass, not a guessy cap).
+    */
+  def winsorizeStream(
+      events: DataFrame,
+      caps: Map[String, (Double, Double)],
+      watermarkDur: String = "2 hours"): DataFrame = {
+    val known = caps.keys.foldLeft(lit(false)) { (acc, k) =>
+      when(col("event_type") === k, lit(true)).otherwise(acc)
+    }
+    val clamped = caps.foldLeft(col("value")) { case (acc, (k, (lo, hi))) =>
+      when(col("event_type") === k,
+        when(col("value") < lo, lit(lo)).when(col("value") > hi, lit(hi)).otherwise(col("value")))
+        .otherwise(acc)
+    }
+    events
+      .withWatermark("ts", watermarkDur)
+      .withColumn("known_type", known)
+      .withColumn("vw", clamped)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("known_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sv_raw"),
+        sum(col("vw").cast("decimal(18,2)")).as("sv_wins"))
+      .select(
+        col("event_type"),
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("known_type"),
+        col("n_events"),
+        col("sv_raw"),
+        col("sv_wins"))
+  }
+
   case class ActiveState(lastTsMs: Long, activeDays: Seq[Long], servedReach: Seq[Long])
   case class ActiveOut(user_id: Long, day: String, kind: String)
 

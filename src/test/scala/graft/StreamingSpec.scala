@@ -1034,4 +1034,47 @@ class StreamingSpec extends SparkSpec {
       assert(r6(svt.toDouble / nt) == r.getDouble(4), s"mean_t drift for $t")
     }
   }
+
+  test("E29: streaming winsorized sums reconcile with batch q141's means; unknown types pass raw") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def hts(hr: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $hr%02d:$min%02d:00")
+    // type a: steady 2dp values + one fat-finger outlier (>=150 events so
+    // the ceil(0.99*N) order statistic sits BELOW the outlier); type b: steady
+    val base = (1 to 150).map(i => Ev(i, 1, hts(1 + i % 3, i % 60), "a", 10.0 + (i % 7) * 0.25)) ++
+      Seq(Ev(999L * 2, 1, hts(2, 30), "a", 5000.0)) ++
+      (1 to 20).map(i => Ev(3000 + i, 2, hts(1 + i % 2, (i * 3) % 60), "b", 4.5))
+    val dir = java.nio.file.Files.createTempDirectory("e29spec").toString
+    base.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val caps  = graft.operators.TimeJoins.winsorizeCaps(spark, dir) - "b" // b left uncalibrated
+    val batch = graft.operators.TimeJoins.winsorizeReport(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .winsorizeStream(in.toDF(), caps)
+      .writeStream.format("memory").queryName("wz_s").outputMode("append").start()
+    in.addData(base: _*); q.processAllAvailable()
+    in.addData(Ev(999, 1, Timestamp.valueOf("2024-06-01 00:00:00"), "a", 0.0))
+    q.processAllAvailable()
+    in.addData(); q.processAllAvailable()
+    val got = spark.table("wz_s").collect().filter(!_.getString(1).startsWith("2024-06"))
+    q.stop()
+    def dec(r: org.apache.spark.sql.Row, i: Int): BigDecimal = BigDecimal(r.getDecimal(i))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // calibrated type: stream winsorized mean == batch q141 column
+    val aRows = got.filter(_.getString(0) == "a")
+    assert(aRows.forall(_.getBoolean(2)), "a must be known_type")
+    val aN  = aRows.map(_.getLong(3)).sum
+    val aSw = aRows.map(dec(_, 5)).sum
+    assert(aN == batch("a").getLong(1))
+    assert(r6(aSw.toDouble / aN) == batch("a").getDouble(7), "winsorized mean drift for a")
+    // the outlier was actually clamped: winsorized sum < raw sum
+    assert(aSw < aRows.map(dec(_, 4)).sum, "clamp must bite on the planted outlier")
+    // uncalibrated type: flagged, raw == winsorized
+    val bRows = got.filter(_.getString(0) == "b")
+    assert(bRows.nonEmpty && bRows.forall(!_.getBoolean(2)), "b must be unknown_type")
+    assert(bRows.forall(r => dec(r, 4) == dec(r, 5)), "unknown types must pass unclamped")
+  }
 }
