@@ -1048,6 +1048,64 @@ object CurationOps {
        |FROM q140h h JOIN documents d USING (doc_id)
        |ORDER BY h.degree DESC, h.doc_id LIMIT $HubTopK""".stripMargin
 
+  // --- q142: cross-source duplication flow matrix ------------------------------
+
+  /** The verified-duplication flow matrix: for every unordered source
+    * pair, how many VERIFIED near-dup pairs (q27's ≥0.9 evidence) connect
+    * them and the mean similarity of those links — q54 measures potential
+    * overlap at the gram level, this counts confirmed document-level
+    * duplication BETWEEN sources: the off-diagonal mass is syndication/
+    * mirroring across feeds, the diagonal is within-source templating,
+    * and a data-buying decision reads this table directly ("source X is
+    * 40% re-hosted source Y").
+    *
+    * Scale shape: the pair list is the session-shared verified stage
+    * (dup-rate-bounded); two doc-keyed metadata joins and one
+    * ≤|sources|²-row rollup with ascending-by-pair similarity folds.
+    */
+  def dupFlowMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = SharedStages.jaccardPairs(spark, dir)
+    val src   = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        expr(
+          "round(aggregate(array_sort(collect_list(struct(doc_a, doc_b, jaccard))), 0D, (a, x) -> a + x.jaccard) / count(1), 6)")
+          .as("mean_jaccard"))
+      .select(col("src_lo"), col("src_hi"), col("n_pairs"), col("mean_jaccard"),
+        (col("src_lo") === col("src_hi")).as("within_source"))
+      .orderBy(col("src_lo"), col("src_hi"))
+  }
+
+  /** q142 oracle: exact all-pairs verified pairs (q27's oracle) + the
+    * same least/greatest normalization and ascending-by-pair folds.
+    */
+  lazy val dupFlowMatrixSql: String =
+    s"""WITH ${TextOps.DuckShingleCte},
+       |${TextOps.DuckJaccardPairsCte},
+       |q142p AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+       |  FROM pairs WHERE jaccard >= ${TextOps.JaccardThreshold}),
+       |q142s AS (
+       |  SELECT p.doc_a, p.doc_b, p.jaccard,
+       |    least(da.source, db.source) AS src_lo,
+       |    greatest(da.source, db.source) AS src_hi
+       |  FROM q142p p
+       |  JOIN documents da ON da.doc_id = p.doc_a
+       |  JOIN documents db ON db.doc_id = p.doc_b)
+       |SELECT src_lo, src_hi, count(*)::BIGINT AS n_pairs,
+       |  round(list_reduce(list_prepend(0.0::DOUBLE, list(jaccard ORDER BY doc_a, doc_b)),
+       |    (a, b) -> a + b) / count(*)::DOUBLE, 6) AS mean_jaccard,
+       |  (src_lo = src_hi) AS within_source
+       |FROM q142s GROUP BY src_lo, src_hi
+       |ORDER BY src_lo, src_hi""".stripMargin
+
   // --- q116: stride-1 sliding-window substring dedup -------------------------
 
   val SubW = 12

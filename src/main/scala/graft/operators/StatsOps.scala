@@ -1481,6 +1481,60 @@ object StatsOps {
        |FROM q128t t LEFT JOIN q128f f USING (source)
        |ORDER BY t.source""".stripMargin
 
+  // --- q143: per-document novelty score ----------------------------------------
+
+  /** Per-document novelty: what fraction of a document's distinct 3-gram
+    * shingles appear in NO other document — the doc-level complement of
+    * q128's source-level novelty, and the practical "is this document
+    * new information or remix?" score: a high-uniq doc contributes
+    * genuinely novel n-grams to training, a near-zero one is assembled
+    * entirely from phrases the corpus already has (mosaic/boilerplate)
+    * even when no single near-dup pair catches it.
+    *
+    * Scale shape: document frequencies are ONE gram-keyed aggregate of
+    * the session-shared shingle stage (shingle lists are per-doc
+    * distinct, so df counts documents); the join-back is gram-keyed on
+    * the same grain; the per-doc rollup and metadata join are doc-keyed.
+    * Integers until the one rounded ratio. Docs under 3 tokens have no
+    * shingles and are absent, matching the shingle stage's contract.
+    */
+  def docNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sg = graft.core.CacheScope.persist(
+      graft.operators.SharedStages
+        .shingles(spark, dir)
+        .select(col("doc_id"), explode(col("shingles")).as("gram")))
+    val dfreq = sg.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    sg.join(dfreq, "gram")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_shingles"),
+        col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_shingles").cast("double"), 6)
+          .as("uniq_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q143 oracle: the shared shingle CTE + identical df/rollup shapes. */
+  lazy val docNoveltySql: String =
+    s"""WITH ${TextOps.DuckShingleCte},
+       |q143i AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+       |q143f AS (SELECT gram, count(*)::BIGINT AS df FROM q143i GROUP BY gram),
+       |q143d AS (
+       |  SELECT i.doc_id, count(*)::BIGINT AS n_shingles,
+       |    sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
+       |  FROM q143i i JOIN q143f f USING (gram)
+       |  GROUP BY i.doc_id)
+       |SELECT d.doc_id, doc.source, d.n_shingles, d.n_unique,
+       |  round(d.n_unique::DOUBLE / d.n_shingles::DOUBLE, 6) AS uniq_rate
+       |FROM q143d d JOIN documents doc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // --- q137: KS drift of length distributions ---------------------------------
 
   /** Per-source Kolmogorov–Smirnov drift on document length: the max

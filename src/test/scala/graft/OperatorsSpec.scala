@@ -926,4 +926,32 @@ class OperatorsSpec extends SparkSpec {
       assert(mw >= p01 - 1e-6 && mw <= p99 + 1e-6, s"winsorized mean outside caps: $r")
     }
   }
+
+  test("q142: flow matrix mass equals the verified pair count") {
+    import graft.operators.{CurationOps, SharedStages}
+    val rows = CurationOps.dupFlowMatrix(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == SharedStages.jaccardPairs(spark, Sf0001).count(), s"pair mass: $total")
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), s"pair order: $r")
+      assert(r.getBoolean(4) == (r.getString(0) == r.getString(1)), s"diagonal flag: $r")
+      assert(r.getDouble(3) >= 0.9 - 1e-9, s"verified links must be >= threshold: $r")
+    }
+  }
+
+  test("q143: novelty rates are consistent and unique grams reconcile globally") {
+    val rows = StatsOps.docNovelty(spark, Sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"unique > total: $r")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, s"rate range: $r")
+    }
+    // Σ n_unique over docs = number of df=1 grams in the corpus
+    val sg = graft.operators.SharedStages.shingles(spark, Sf0001)
+      .select(col("doc_id"), explode(col("shingles")).as("g")).collect()
+      .map(_.getString(1))
+    val dfOne = sg.groupBy(identity).count(_._2.length == 1)
+    assert(rows.map(_.getLong(3)).sum == dfOne, s"df=1 reconciliation")
+  }
 }

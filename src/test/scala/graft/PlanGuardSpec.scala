@@ -308,7 +308,13 @@ class PlanGuardSpec extends SparkSpec {
       "q140_template_hubs" -> 2,
       // (type, value) histogram (persisted, re-printed for the caps
       // branch) + cap windows + impact rollup + sort
-      "q141_winsorize_report" -> 5
+      "q141_winsorize_report" -> 5,
+      // shared verified-pair stage + two metadata joins + the
+      // ≤|sources|² rollup + sort
+      "q142_dup_flow_matrix" -> 3,
+      // shared shingle stage + gram df agg + join-back + doc rollup +
+      // metadata join + sort
+      "q143_doc_novelty" -> 4
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
