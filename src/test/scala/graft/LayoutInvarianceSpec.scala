@@ -22,7 +22,14 @@ import org.apache.spark.sql.DataFrame
   * q106 (greedy budget selection whose order comes from the
   * partition-prefix rank — a layout-sensitive offset fold), q110
   * (session path assembly from per-key sorted event folds), q112
-  * (rolling distinct-actives scatter over date offsets).
+  * (rolling distinct-actives scatter over date offsets), q124 (Poisson
+  * bootstrap whose CI is an order statistic over 32 float replicate
+  * means), q126 (cluster bootstrap + arm hashing at the user grain),
+  * q133 (session first-view carry + ⌈p·N⌉ order-stat quantiles), q135
+  * (12 rounded float power-iteration rounds), q138 (signature-component
+  * folds joined per pair), q139 (star-contraction labels feeding the
+  * hash split — a drifting label would silently re-split documents),
+  * q143 (gram df join-back over the exploded shingle grain).
   * Caches AND the session-shared checkpointed stages are cleared between
   * runs so the second pass genuinely re-derives everything under the new
   * layout.
@@ -33,7 +40,10 @@ class LayoutInvarianceSpec extends SparkSpec {
     Seq("q20_dedup_exact", "q24_fingerprint", "q79_quantile_normalize",
       "q81_chunk_dedup", "q82_heaps_law", "q92_zorder_layout",
       "q95_prefix_join", "q97_pagerank_dups", "q106_token_budget",
-      "q110_session_paths", "q112_rolling_actives")
+      "q110_session_paths", "q112_rolling_actives",
+      "q124_bootstrap_ci", "q126_ab_uplift", "q133_conversion_latency",
+      "q135_stationary_mix", "q138_minhash_calibration",
+      "q139_grouped_split", "q143_doc_novelty")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, Sf0001).collect().map(_.toString).toSeq
