@@ -1329,6 +1329,93 @@ object TimeJoins {
       |GROUP BY h.event_type
       |ORDER BY h.event_type""".stripMargin
 
+  // --- q144: Benford first-digit audit -----------------------------------------
+
+  /** First-significant-digit literals: Benford probabilities
+    * `log10(1 + 1/d)` computed ONCE in Scala and embedded verbatim in
+    * both engines' expressions — 17 significant digits round-trips a
+    * double exactly, so neither engine evaluates a log.
+    */
+  private val BenfordP: Seq[(Int, String)] =
+    (1 to 9).map(d => d -> f"${math.log10(1.0 + 1.0 / d)}%.17g")
+
+  /** Benford's-law audit of event values: the observed first-significant-
+    * digit distribution vs `log10(1+1/d)`, with per-digit chi-square
+    * contributions — the classic fabricated-/synthetic-data tripwire
+    * (organic transaction amounts follow Benford; generated, capped, or
+    * tampered streams don't, and the digit that breaks says how). Values
+    * ride the DECIMAL(18,2) cents grid, and the first digit comes from a
+    * pure integer magnitude CASE — no logs, no string formatting, nothing
+    * engine-dependent anywhere in the pipeline.
+    *
+    * Scale shape: ONE map-side projection to the 9-digit key + one tiny
+    * keyed aggregate; the total broadcasts back as a 1-row aggregate.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+    // first digit via descending magnitude thresholds — exact integer
+    // division (DIV), never a float divide
+    val digitCase = (17 to 1 by -1)
+      .map { k =>
+        val p = BigInt(10).pow(k)
+        s"WHEN c >= $p THEN CAST(c DIV $p AS BIGINT)"
+      }
+      .mkString("CASE ", " ", " ELSE c END")
+    val counts = Tables
+      .events(spark, dir)
+      .select(cents.as("c"))
+      .filter(col("c") > 0)
+      .select(expr(digitCase).as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val expected = BenfordP
+      .map { case (d, p) => s"WHEN digit = $d THEN CAST($p AS DOUBLE)" }
+      .mkString("CASE ", " ", " END")
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))
+      .withColumn("p", expr(expected))
+      .select(
+        col("digit"),
+        col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6).as("obs_share"),
+        round(col("p"), 6).as("benford_p"),
+        round(
+          (col("n").cast("double") - col("total").cast("double") * col("p")) *
+            (col("n").cast("double") - col("total").cast("double") * col("p")) /
+            (col("total").cast("double") * col("p")),
+          6).as("chi_contrib"))
+      .orderBy(col("digit"))
+  }
+
+  /** q144 oracle: the same cents grid, integer magnitude CASE, and the
+    * SAME embedded 17-digit Benford literals and chi shape.
+    */
+  lazy val benfordAuditSql: String = {
+    val digitCase = (17 to 1 by -1)
+      .map { k =>
+        val p = BigInt(10).pow(k)
+        s"WHEN c >= $p THEN (c // $p)::BIGINT"
+      }
+      .mkString("CASE ", " ", " ELSE c END")
+    val expected = BenfordP
+      .map { case (d, p) => s"WHEN digit = $d THEN CAST($p AS DOUBLE)" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH q144c AS (
+       |  SELECT (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS c FROM events),
+       |q144d AS MATERIALIZED (
+       |  SELECT ($digitCase) AS digit FROM q144c WHERE c > 0),
+       |q144n AS (SELECT digit, count(*)::BIGINT AS n FROM q144d GROUP BY digit),
+       |q144t AS (SELECT sum(n)::BIGINT AS total FROM q144n)
+       |SELECT n.digit, n.n,
+       |  round(n.n::DOUBLE / t.total::DOUBLE, 6) AS obs_share,
+       |  round(($expected), 6) AS benford_p,
+       |  round((n.n::DOUBLE - t.total::DOUBLE * ($expected)) *
+       |    (n.n::DOUBLE - t.total::DOUBLE * ($expected)) /
+       |    (t.total::DOUBLE * ($expected)), 6) AS chi_contrib
+       |FROM q144n n, q144t t
+       |ORDER BY n.digit""".stripMargin
+  }
+
   val ewmaTrendSql: String = {
     val lags = (1 until EwmaK).map(k => s"lag(x, $k) OVER w AS x$k").mkString(", ")
     def xk(k: Int) = if (k == 0) "x" else s"x$k"

@@ -954,4 +954,18 @@ class OperatorsSpec extends SparkSpec {
     val dfOne = sg.groupBy(identity).count(_._2.length == 1)
     assert(rows.map(_.getLong(3)).sum == dfOne, s"df=1 reconciliation")
   }
+
+  test("q144: digit extraction is exact and shares + Benford mass both sum to 1") {
+    val rows = TimeJoins.benfordAudit(spark, Sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L), s"digit domain: ${rows.toSeq}")
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-3, "observed mass")
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-6, "Benford mass")
+    // digit counts reconcile with a driver-side recomputation on cents
+    val cents = graft.core.Tables.events(spark, Sf0001)
+      .select((col("value").cast("decimal(18,2)") * lit(100)).cast("long")).collect()
+      .map(_.getLong(0)).filter(_ > 0)
+    val want = cents.map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach(r => assert(r.getLong(1) == want(r.getLong(0)), s"digit count: $r"))
+  }
 }

@@ -314,7 +314,10 @@ class PlanGuardSpec extends SparkSpec {
       "q142_dup_flow_matrix" -> 3,
       // shared shingle stage + gram df agg + join-back + doc rollup +
       // metadata join + sort
-      "q143_doc_novelty" -> 4
+      "q143_doc_novelty" -> 4,
+      // one map-side digit projection + the 9-row aggregate (persisted
+      // subtree re-printed for the 1-row total) + sort
+      "q144_benford_audit" -> 3
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -453,7 +456,9 @@ class PlanGuardSpec extends SparkSpec {
         "q136_dup_graph_health",
         // q137 crossJoins the 1-row corpus total and the bounded
         // source-dimension grid expansion
-        "q137_ks_drift")
+        "q137_ks_drift",
+        // q144 crossJoins the 1-row digit total
+        "q144_benford_audit")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
