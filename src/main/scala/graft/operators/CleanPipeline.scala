@@ -183,4 +183,72 @@ object CleanPipeline {
        |FROM gated g LEFT JOIN victims v ON g.doc_id = v.doc_id
        |WHERE v.doc_id IS NULL
        |ORDER BY g.doc_id""".stripMargin
+
+  // --- q145: gram-diversity survival through the clean pipeline ----------------
+
+  /** Diversity-survival audit of the cleaning chain: per source, how many
+    * distinct 3-gram shingles the RAW corpus had vs how many survive
+    * q33's full pipeline (exact dedup → quality gates → near-dup
+    * removal) — the check that cleaning removed REDUNDANCY, not
+    * DIVERSITY. Dedup is supposed to drop copies of things the corpus
+    * still has; a source whose retention collapses here lost unique
+    * content to an over-aggressive gate, which no survivor-count funnel
+    * (q100) can see because it counts documents, not information.
+    *
+    * Scale shape: the (doc, gram, source) grain is the session-shared
+    * shingle stage exploded once and persisted; both rollups are
+    * distinct-then-count on (source, gram); the survivor filter is one
+    * doc-keyed semi-join against q33's output. Integers until the one
+    * rounded ratio.
+    */
+  def gramSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val sg = graft.core.CacheScope.persist(
+      graft.operators.SharedStages
+        .shingles(spark, dir)
+        .select(col("doc_id"), explode(col("shingles")).as("gram"))
+        .join(
+          Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+          "doc_id"))
+    val raw = sg
+      .select(col("source"), col("gram")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_grams_raw"))
+    val kept = sg
+      .join(clean(spark, dir).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("source"), col("gram")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_grams_kept"))
+    raw
+      .join(kept, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_grams_raw"),
+        coalesce(col("n_grams_kept"), lit(0L)).as("n_grams_kept"),
+        round(
+          coalesce(col("n_grams_kept"), lit(0L)).cast("double") /
+            col("n_grams_raw").cast("double"),
+          6).as("retention"))
+      .orderBy(col("source"))
+  }
+
+  /** q145 oracle: the q33 survivor chain verbatim + the shared shingle
+    * CTE and identical distinct rollups.
+    */
+  lazy val gramSurvivalSql: String =
+    s"""WITH ${TextOps.DuckShingleCte},
+       |q145g AS MATERIALIZED (
+       |  SELECT s.doc_id, d.source, g.gram
+       |  FROM sh s JOIN documents d ON d.doc_id = s.doc_id,
+       |    unnest(s.shingles) AS g(gram)),
+       |q145k AS MATERIALIZED (SELECT doc_id FROM ($cleanSql)),
+       |q145r AS (
+       |  SELECT source, count(*)::BIGINT AS n_grams_raw FROM (
+       |    SELECT DISTINCT source, gram FROM q145g) GROUP BY source),
+       |q145s AS (
+       |  SELECT source, count(*)::BIGINT AS n_grams_kept FROM (
+       |    SELECT DISTINCT g.source, g.gram FROM q145g g
+       |    WHERE g.doc_id IN (SELECT doc_id FROM q145k)) GROUP BY source)
+       |SELECT r.source, r.n_grams_raw,
+       |  coalesce(s.n_grams_kept, 0)::BIGINT AS n_grams_kept,
+       |  round(coalesce(s.n_grams_kept, 0)::DOUBLE / r.n_grams_raw::DOUBLE, 6) AS retention
+       |FROM q145r r LEFT JOIN q145s s USING (source)
+       |ORDER BY r.source""".stripMargin
 }

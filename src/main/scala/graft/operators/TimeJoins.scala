@@ -1334,10 +1334,21 @@ object TimeJoins {
   /** First-significant-digit literals: Benford probabilities
     * `log10(1 + 1/d)` computed ONCE in Scala and embedded verbatim in
     * both engines' expressions — 17 significant digits round-trips a
-    * double exactly, so neither engine evaluates a log.
+    * double exactly, so neither engine evaluates a log. Shared with the
+    * E30 streaming tripwire.
     */
-  private val BenfordP: Seq[(Int, String)] =
+  private[graft] val BenfordP: Seq[(Int, String)] =
     (1 to 9).map(d => d -> f"${math.log10(1.0 + 1.0 / d)}%.17g")
+
+  /** The integer first-digit CASE over a positive cents column `c` —
+    * shared verbatim by batch q144 and the E30 stream.
+    */
+  private[graft] val BenfordDigitCase: String = (17 to 1 by -1)
+    .map { k =>
+      val p = BigInt(10).pow(k)
+      s"WHEN c >= $p THEN CAST(c DIV $p AS BIGINT)"
+    }
+    .mkString("CASE ", " ", " ELSE c END")
 
   /** Benford's-law audit of event values: the observed first-significant-
     * digit distribution vs `log10(1+1/d)`, with per-digit chi-square
@@ -1353,19 +1364,11 @@ object TimeJoins {
     */
   def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
     val cents = (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
-    // first digit via descending magnitude thresholds — exact integer
-    // division (DIV), never a float divide
-    val digitCase = (17 to 1 by -1)
-      .map { k =>
-        val p = BigInt(10).pow(k)
-        s"WHEN c >= $p THEN CAST(c DIV $p AS BIGINT)"
-      }
-      .mkString("CASE ", " ", " ELSE c END")
     val counts = Tables
       .events(spark, dir)
       .select(cents.as("c"))
       .filter(col("c") > 0)
-      .select(expr(digitCase).as("digit"))
+      .select(expr(BenfordDigitCase).as("digit"))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n"))
     val expected = BenfordP

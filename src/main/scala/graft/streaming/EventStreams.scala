@@ -557,6 +557,53 @@ object EventStreams extends Serializable {
         col("sv_wins"))
   }
 
+  /** χ² critical value at the 5% level for 8 degrees of freedom — the
+    * flag threshold for a 9-bucket digit test.
+    */
+  val BenfordChiCrit = 15.507
+
+  /** E30: streaming Benford tripwire — the q144 twin, and the one audit
+    * gate that needs NO snapshot calibration (unlike E18/E27/E29):
+    * Benford's expectation is a universal constant, so every closed
+    * 1-hour window can be judged on its own digit histogram. Each window
+    * emits its positive-cents event count, the per-window χ² against the
+    * SAME embedded 17-digit literals batch q144 uses, and a flag when
+    * the window has enough mass (`min_n`) and χ² exceeds the 5% critical
+    * value for 8 df — the live fabricated-/tampered-stream alarm. Digit
+    * extraction is the shared integer CASE, so Σ window digit counts
+    * reconcile exactly with batch q144 (spec-pinned).
+    */
+  def benfordStream(
+      events: DataFrame,
+      minN: Long = 100L,
+      watermarkDur: String = "2 hours"): DataFrame = {
+    import graft.operators.TimeJoins.{BenfordDigitCase, BenfordP}
+    val digitSums = (1 to 9).map(d =>
+      sum(when(col("digit") === d, 1L).otherwise(0L)).as(s"n$d"))
+    val chi = BenfordP
+      .map { case (d, p) =>
+        val e = col("n").cast("double") * expr(s"CAST($p AS DOUBLE)")
+        (col(s"n$d").cast("double") - e) * (col(s"n$d").cast("double") - e) / e
+      }
+      .reduce(_ + _)
+    events
+      .withWatermark("ts", watermarkDur)
+      .select(col("ts"), (col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("c"))
+      .filter(col("c") > 0)
+      .select(col("ts"), expr(BenfordDigitCase).as("digit"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), digitSums: _*)
+      .withColumn("chi", round(chi, 6))
+      .select(
+        Seq(
+          date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+          col("n")) ++
+          (1 to 9).map(d => col(s"n$d")) ++
+          Seq(
+            col("chi"),
+            (col("n") >= minN && col("chi") > BenfordChiCrit).as("is_suspect")): _*)
+  }
+
   case class ActiveState(lastTsMs: Long, activeDays: Seq[Long], servedReach: Seq[Long])
   case class ActiveOut(user_id: Long, day: String, kind: String)
 

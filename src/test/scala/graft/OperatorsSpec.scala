@@ -968,4 +968,18 @@ class OperatorsSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
     rows.foreach(r => assert(r.getLong(1) == want(r.getLong(0)), s"digit count: $r"))
   }
+
+  test("q145: retention is a fraction, kept grams never exceed raw, survivors explain kept") {
+    import graft.operators.CleanPipeline
+    val rows = CleanPipeline.gramSurvival(spark, Sf0001).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"kept > raw: $r")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"retention range: $r")
+    }
+    // with survivors present in every source, retention must be positive
+    val survivors = CleanPipeline.q33(spark, Sf0001).collect().map(_.getLong(0)).toSet
+    assert(survivors.nonEmpty)
+    assert(rows.forall(_.getDouble(3) > 0.0), s"zero retention with survivors present")
+  }
 }

@@ -317,7 +317,11 @@ class PlanGuardSpec extends SparkSpec {
       "q143_doc_novelty" -> 4,
       // one map-side digit projection + the 9-row aggregate (persisted
       // subtree re-printed for the 1-row total) + sort
-      "q144_benford_audit" -> 3
+      "q144_benford_audit" -> 3,
+      // shared shingle stage exploded (persisted, re-printed for both
+      // rollups) + the q33 survivor chain semi-join + two distinct
+      // rollups + sort
+      "q145_gram_survival" -> 14
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>

@@ -1077,4 +1077,42 @@ class StreamingSpec extends SparkSpec {
     assert(bRows.nonEmpty && bRows.forall(!_.getBoolean(2)), "b must be unknown_type")
     assert(bRows.forall(r => dec(r, 4) == dec(r, 5)), "unknown types must pass unclamped")
   }
+
+  test("E30: streaming Benford windows reconcile with batch q144; a planted surge flags") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def hts(hr: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $hr%02d:$min%02d:00")
+    // hour 1: Benford-ish organic mix (values spanning magnitudes);
+    // hour 2: a planted constant-digit surge (every value starts with 5)
+    val organic = (1 to 120).map { i =>
+      val mag = Seq(1.0, 10.0, 100.0)(i % 3)
+      Ev(i, 1, hts(1, i % 60), "click", (1.0 + (i % 89) * 0.1) * mag)
+    }
+    val surge = (1 to 120).map(i => Ev(1000 + i, 2, hts(2, i % 60), "click", 55.0 + (i % 9)))
+    val base  = organic ++ surge
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .benfordStream(in.toDF(), minN = 100L)
+      .writeStream.format("memory").queryName("bf_s").outputMode("append").start()
+    in.addData(base: _*); q.processAllAvailable()
+    in.addData(Ev(9999, 1, Timestamp.valueOf("2024-06-01 00:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    in.addData(); q.processAllAvailable()
+    val got = spark.table("bf_s").collect().filter(!_.getString(0).startsWith("2024-06"))
+    q.stop()
+    assert(got.length == 2, s"expected two closed windows: ${got.toSeq}")
+    val surgeRow = got.find(_.getString(0).endsWith("02")).get
+    assert(surgeRow.getBoolean(12), s"surge window must flag: $surgeRow")
+    // batch reconciliation: summed window digit counts == q144 counts
+    val dir = java.nio.file.Files.createTempDirectory("e30spec").toString
+    base.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.TimeJoins.benfordAudit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to 9).foreach { d =>
+      val streamed = got.map(_.getLong(1 + d)).sum
+      assert(streamed == batch.getOrElse(d.toLong, 0L), s"digit $d drift: $streamed")
+    }
+  }
 }
