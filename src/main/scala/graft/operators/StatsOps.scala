@@ -1535,6 +1535,74 @@ object StatsOps {
        |FROM q143d d JOIN documents doc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- q146: token-concentration Gini per source -------------------------------
+
+  /** Per-source Gini coefficient of token mass across documents — "does
+    * 1% of this source's documents hold half its tokens?" — the
+    * inequality statistic that separates a balanced corpus from one
+    * whose token budget is secretly a few mega-documents (which then
+    * dominate training mixes weighted by tokens, q53's exact failure
+    * mode). Uses the rank identity on the VALUE HISTOGRAM: documents
+    * with token count v and preceding cumulative count C occupy ranks
+    * C+1..C+c, so `Σ rank·v = v·(c·C + c(c+1)/2)` — the whole Gini
+    * computes from (source, token-count) counts with no per-row window,
+    * no sort of the corpus, and pure integer arithmetic until the final
+    * division (`G = (2·Σrank·v − (n+1)·Σv) / (n·Σv)`).
+    */
+  def tokenGini(spark: SparkSession, dir: String): DataFrame = {
+    val hist = docs(spark, dir)
+      .select(col("source"), size(TextOps.toks).cast("long").as("v"))
+      .groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val byS = Window.partitionBy(col("source"))
+    hist
+      .withColumn("cum", sum(col("c")).over(byS.orderBy(col("v"))))
+      .withColumn("cprev", col("cum") - col("c"))
+      .withColumn(
+        "term2", // v·(2·c·C + c·(c+1)) ≡ 2·Σ rank·v over the tie run — no halving
+        col("v").cast("decimal(38,0)") *
+          (lit(2).cast("decimal(38,0)") * col("c").cast("decimal(38,0)") *
+            col("cprev").cast("decimal(38,0)") +
+            col("c").cast("decimal(38,0)") * (col("c") + 1).cast("decimal(38,0)")))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_docs"),
+        sum(col("v").cast("decimal(38,0)") * col("c").cast("decimal(38,0)")).as("st"),
+        sum(col("term2")).as("srv2"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("st").cast("long").as("total_tokens"),
+        round(
+          (col("srv2").cast("double") -
+            (col("n_docs") + 1).cast("double") * col("st").cast("double")) /
+            (col("n_docs").cast("double") * col("st").cast("double")),
+          6).as("gini"))
+      .orderBy(col("source"))
+  }
+
+  /** q146 oracle: identical histogram rank identity with HUGEINT
+    * arithmetic and the same final divide shape.
+    */
+  val tokenGiniSql: String =
+    s"""WITH q146h AS MATERIALIZED (
+       |  SELECT source, len(${TextOps.DuckToks})::BIGINT AS v, count(*)::BIGINT AS c
+       |  FROM documents GROUP BY 1, 2),
+       |q146r AS (
+       |  SELECT source, v, c,
+       |    sum(c) OVER (PARTITION BY source ORDER BY v) - c AS cprev
+       |  FROM q146h),
+       |q146t AS (
+       |  SELECT source,
+       |    sum(c)::BIGINT AS n_docs,
+       |    sum(v::HUGEINT * c) AS st,
+       |    sum(v::HUGEINT * (2 * c::HUGEINT * cprev + c::HUGEINT * (c + 1))) AS srv2
+       |  FROM q146r GROUP BY source)
+       |SELECT source, n_docs, st::BIGINT AS total_tokens,
+       |  round((srv2::DOUBLE - (n_docs + 1)::DOUBLE * st::DOUBLE)
+       |    / (n_docs::DOUBLE * st::DOUBLE), 6) AS gini
+       |FROM q146t ORDER BY source""".stripMargin
+
   // --- q137: KS drift of length distributions ---------------------------------
 
   /** Per-source Kolmogorov–Smirnov drift on document length: the max

@@ -982,4 +982,22 @@ class OperatorsSpec extends SparkSpec {
     assert(survivors.nonEmpty)
     assert(rows.forall(_.getDouble(3) > 0.0), s"zero retention with survivors present")
   }
+
+  test("q146: Gini matches the textbook sorted-rank formula per source") {
+    val rows = StatsOps.tokenGini(spark, Sf0001).collect()
+    assert(rows.length == 20)
+    val toks = graft.core.Tables.documents(spark, Sf0001)
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    rows.foreach { r =>
+      val xs = toks(r.getString(0))
+      val n  = xs.length.toLong
+      val st = xs.sum
+      val srv = xs.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+      val g = (2.0 * srv - (n + 1).toDouble * st) / (n.toDouble * st)
+      assert(r.getLong(1) == n && r.getLong(2) == st, s"totals for $r")
+      assert(math.abs(r.getDouble(3) - g) < 1e-6, s"gini for $r vs $g")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0, s"gini range: $r")
+    }
+  }
 }

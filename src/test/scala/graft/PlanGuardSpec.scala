@@ -321,7 +321,10 @@ class PlanGuardSpec extends SparkSpec {
       // shared shingle stage exploded (persisted, re-printed for both
       // rollups) + the q33 survivor chain semi-join + two distinct
       // rollups + sort
-      "q145_gram_survival" -> 14
+      "q145_gram_survival" -> 14,
+      // ONE (source, token-count) histogram agg + the per-source rank
+      // window + rollup + sort — no per-row window anywhere
+      "q146_token_gini" -> 3
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
