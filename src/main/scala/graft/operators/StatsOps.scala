@@ -1603,6 +1603,61 @@ object StatsOps {
        |    / (n_docs::DOUBLE * st::DOUBLE), 6) AS gini
        |FROM q146t ORDER BY source""".stripMargin
 
+  // --- q147: column profile (Deequ-style data quality summary) -----------------
+
+  /** One-pass column profiler for the documents table — the Deequ/
+    * dbt-test-style data-quality summary every ingest publishes before
+    * anything downstream trusts the data: per column, row count, null
+    * count, exact distinct count, and min/max (as strings, so one output
+    * schema covers every column type). A column whose distinct count
+    * equals the row count is a key; one whose null rate jumped is a
+    * broken upstream field — this table is where both show up first.
+    *
+    * Scale shape: the table melts map-side to (column, value-string)
+    * pairs (×|columns| expansion, no shuffle) and ONE keyed aggregate
+    * computes every statistic; the distinct count is exact (per-column
+    * value domains here are row-bounded; swap in q42's KMV for columns
+    * whose domain explodes). String min/max compare in binary collation
+    * on both engines; numeric columns cast via plain CAST, identical
+    * text both sides.
+    */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val melted = Tables
+      .documents(spark, dir)
+      .select(explode(expr(
+        cols.map(c => s"struct('$c' AS c, CAST($c AS STRING) AS v)").mkString("array(", ", ", ")")))
+        .as("x"))
+      .select(col("x.c").as("column_name"), col("x.v").as("v"))
+    melted
+      .groupBy(col("column_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_val"),
+        max(col("v")).as("max_val"))
+      .orderBy(col("column_name"))
+  }
+
+  /** q147 oracle: the same melt + single aggregate (count(DISTINCT)
+    * ignores NULLs on both engines; min/max are binary-collation).
+    */
+  lazy val columnProfileSql: String = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val melt = cols
+      .map(c => s"SELECT '$c' AS column_name, CAST($c AS VARCHAR) AS v FROM documents")
+      .mkString("\n  UNION ALL ")
+    s"""WITH q147m AS MATERIALIZED (
+       |  $melt)
+       |SELECT column_name, count(*)::BIGINT AS n_rows,
+       |  sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       |  count(DISTINCT v)::BIGINT AS n_distinct,
+       |  min(v) AS min_val, max(v) AS max_val
+       |FROM q147m GROUP BY column_name
+       |ORDER BY column_name""".stripMargin
+  }
+
   // --- q137: KS drift of length distributions ---------------------------------
 
   /** Per-source Kolmogorov–Smirnov drift on document length: the max

@@ -1000,4 +1000,16 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0, s"gini range: $r")
     }
   }
+
+  test("q147: profile facts match the table (doc_id is a key, no nulls, domains)") {
+    val rows = StatsOps.columnProfile(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("doc_id", "text", "lang", "source", "n_chars"))
+    val id = rows("doc_id")
+    assert(id.getLong(1) == 500 && id.getLong(2) == 0 && id.getLong(3) == 500,
+      s"doc_id must profile as a null-free key: $id")
+    assert(rows("lang").getLong(3) == 5, s"lang domain: ${rows("lang")}")
+    assert(rows("source").getLong(3) == 20, s"source domain: ${rows("source")}")
+    rows.values.foreach(r => assert(r.getLong(1) == 500, s"row count drift: $r"))
+  }
 }

@@ -324,7 +324,10 @@ class PlanGuardSpec extends SparkSpec {
       "q145_gram_survival" -> 14,
       // ONE (source, token-count) histogram agg + the per-source rank
       // window + rollup + sort — no per-row window anywhere
-      "q146_token_gini" -> 3
+      "q146_token_gini" -> 3,
+      // map-side melt + one keyed aggregate (distinct expands to a
+      // two-phase agg) + sort
+      "q147_column_profile" -> 3
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
