@@ -1441,4 +1441,148 @@ object TimeJoins {
        |FROM q113l
        |ORDER BY event_type, hour""".stripMargin
   }
+
+  // --- q148: offline change-point localization (max-CUSUM contrast) ----------
+
+  /** Where did the level SHIFT? Per event type, the offline CUSUM
+    * change-point over hourly volumes: the split hour τ maximizing
+    * `|C_τ·n − τ·C_n|` (C = prefix sum of hourly cents) — the classic
+    * single-change-point statistic, algebraically `τ(n−τ)·|mean_before −
+    * mean_after|·n/…` so its argmax IS the strongest level break. q120
+    * flags which HOURS are abnormal against a stationary baseline; q148
+    * answers the orthogonal question "did the baseline itself move, and
+    * when?" — the deploy/incident/traffic-migration boundary an ingest
+    * campaign must know before trusting any whole-corpus statistic
+    * (mixing across an undetected shift poisons q113/q120/q123 alike).
+    *
+    * Scale shape: ONE keyed aggregate to the (type, hour) bucket grain;
+    * prefix sums, totals, and the argmax rank are three window passes
+    * over that ≤|types|×|hours| table sharing ONE type-keyed partitioning
+    * — corpus cost is the single bucket shuffle. Determinism: volumes
+    * ride the exact cents grid, the contrast key `|C_τ·n − τ·C_n|` is
+    * pure integer arithmetic carried as DECIMAL(38,0) (HUGEINT in the
+    * oracle — no float enters the argmax), ties break to the earliest τ,
+    * and the reported means are one fixed cast-divide-round shape.
+    * Sequential-alarm CUSUM (the S⁺/S⁻ recurrence) is deliberately NOT
+    * here: a max(0,·) recurrence has no one-pass distributed form — it is
+    * exactly what per-key streaming state is for, and [[graft.streaming.EventStreams.cusumGateStream]]
+    * (E31) runs it against this query's calibration.
+    */
+  def changePoint(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+    val hourly = Tables
+      .events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"), cents.as("c0"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(sum(col("c0")).as("v"))
+    val byHour = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val cum    = byHour.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole  = Window.partitionBy(col("event_type"))
+    val keyed = hourly
+      .withColumn("tau", row_number().over(byHour).cast("long"))
+      .withColumn("c", sum(col("v")).over(cum))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("cn", sum(col("v")).over(whole))
+      .filter(col("tau") < col("n")) // τ = n has no after-segment
+      .withColumn(
+        "key",
+        abs(
+          col("c").cast("decimal(38,0)") * col("n") -
+            col("tau").cast("decimal(38,0)") * col("cn")))
+    val best = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("key").desc, col("tau").asc)
+    val before = col("c").cast("double") / (lit(100.0) * col("tau").cast("double"))
+    val after = (col("cn") - col("c")).cast("double") /
+      (lit(100.0) * (col("n") - col("tau")).cast("double"))
+    keyed
+      .withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(
+        col("event_type"),
+        col("n").as("n_buckets"),
+        col("tau"),
+        date_format(col("hour"), "yyyy-MM-dd HH").as("cp_hour"),
+        round(before, 6).as("mean_before"),
+        round(after, 6).as("mean_after"),
+        round(after - before, 6).as("shift"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q148 oracle: the same cents buckets, HUGEINT contrast key, earliest-τ
+    * tie-break, and identical cast-divide-round mean shapes.
+    */
+  lazy val changePointSql: String =
+    s"""WITH q148h AS MATERIALIZED (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour,
+       |    sum((CAST(value AS DECIMAL(18,2)) * 100)::BIGINT) AS v
+       |  FROM events GROUP BY 1, 2),
+       |q148w AS (
+       |  SELECT event_type, hour, v,
+       |    row_number() OVER w AS tau,
+       |    sum(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+       |    count(*) OVER (PARTITION BY event_type) AS n,
+       |    sum(v) OVER (PARTITION BY event_type) AS cn
+       |  FROM q148h WINDOW w AS (PARTITION BY event_type ORDER BY hour)),
+       |q148k AS (
+       |  SELECT *, abs(c * n - tau * cn) AS key FROM q148w WHERE tau < n),
+       |q148r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY event_type ORDER BY key DESC, tau ASC) AS rk
+       |  FROM q148k)
+       |SELECT event_type, n AS n_buckets, tau,
+       |  strftime(hour, '%Y-%m-%d %H') AS cp_hour,
+       |  round(c::DOUBLE / (100.0 * tau::DOUBLE), 6) AS mean_before,
+       |  round((cn - c)::DOUBLE / (100.0 * (n - tau)::DOUBLE), 6) AS mean_after,
+       |  round((cn - c)::DOUBLE / (100.0 * (n - tau)::DOUBLE)
+       |    - c::DOUBLE / (100.0 * tau::DOUBLE), 6) AS shift
+       |FROM q148r WHERE rk = 1
+       |ORDER BY event_type""".stripMargin
+
+  /** One step of the sequential (tabular) CUSUM recurrence — shared
+    * verbatim by the E31 stream and its spec's reference fold:
+    * `S⁺ ← max(0, S⁺ + (x−μ−slack))`, `S⁻ ← max(0, S⁻ + (μ−slack−x))`,
+    * alarm when either side exceeds `h`. Pure arithmetic on doubles fed
+    * from the exact cents grid.
+    */
+  def cusumStep(
+      sPlus: Double,
+      sMinus: Double,
+      x: Double,
+      mu: Double,
+      slack: Double): (Double, Double) =
+    (
+      math.max(0.0, sPlus + (x - mu - slack)),
+      math.max(0.0, sMinus + (mu - slack - x)))
+
+  /** Snapshot calibration for the E31 CUSUM gate: per type
+    * `(μ, slack = σ/2, h = 4σ)` from the batch hourly-volume buckets —
+    * the textbook k = σ/2, h = 4σ tabular-CUSUM tuning. ≤|types| rows
+    * collected (the model-gate rule); σ uses the population variance of
+    * the observed buckets (a calibration constant, not an oracle-compared
+    * output, so libm sqrt is fine here).
+    */
+  def cusumBars(spark: SparkSession, dir: String): Map[String, (Double, Double, Double)] = {
+    val cents = (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+    Tables
+      .events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"), cents.as("c0"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(sum(col("c0")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(38,0)")).as("s1"),
+        sum((col("v").cast("decimal(38,0)") * col("v"))).as("s2"))
+      .collect()
+      .map { r =>
+        val n  = r.getLong(1).toDouble
+        val s1 = r.getDecimal(2).doubleValue() / 100.0
+        val s2 = r.getDecimal(3).doubleValue() / 10000.0
+        val mu = s1 / n
+        val sd = math.sqrt(math.max(0.0, s2 / n - mu * mu))
+        r.getString(0) -> ((mu, sd / 2.0, 4.0 * sd))
+      }
+      .toMap
+  }
 }

@@ -604,6 +604,105 @@ object EventStreams extends Serializable {
             (col("n") >= minN && col("chi") > BenfordChiCrit).as("is_suspect")): _*)
   }
 
+  case class CusumState(
+      openHourMs: Long,
+      volCents: Long,
+      lastTsMs: Long,
+      sPlus: Double,
+      sMinus: Double)
+  case class CusumOut(
+      event_type: String,
+      hour: String,
+      volume: Double,
+      s_plus: Double,
+      s_minus: Double,
+      known_type: Boolean,
+      is_alarm: Boolean)
+
+  /** E31: streaming sequential CUSUM gate — batch q148's complement, not
+    * its replay. q148 localizes the strongest PAST shift offline; the
+    * tabular `S⁺/S⁻` recurrence that ALERTS on a shift as it happens is a
+    * `max(0, ·)` fold with no one-pass distributed form — a batch scan
+    * cannot express it, and per-key streaming state is exactly what it
+    * is for. Per event type, state = the open hour's exact cents
+    * accumulator (E25's bucket rule) + both CUSUM sides over CLOSED
+    * buckets; each closed bucket steps through the SAME pure recurrence
+    * ([[graft.operators.TimeJoins.cusumStep]], spec-pinned against a
+    * reference fold) under snapshot-calibrated `(μ, slack = σ/2,
+    * h = 4σ)` bars ([[graft.operators.TimeJoins.cusumBars]] — the
+    * E18/E27/E29 calibrate-on-snapshot contract: a mean/σ is a
+    * distribution property a stream can't know ahead). Alarm when either
+    * side exceeds h; both sides reset to 0 after an alarm (the textbook
+    * restart, so repeated alarms mark sustained shifts). Uncalibrated
+    * types emit `known_type = false`, never alarm, and carry S ≡ 0.
+    * Event-time timeout closes an idle type's final bucket and evicts.
+    */
+  def cusumGateStream(
+      events: Dataset[Ev],
+      bars: Map[String, (Double, Double, Double)],
+      watermarkDur: String = "2 hours"): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def closeRow(tpe: String, st: CusumState): (CusumOut, Double, Double) = {
+      val x = st.volCents / 100.0
+      bars.get(tpe) match {
+        case Some((mu, slack, h)) =>
+          val (sp, sm) = graft.operators.TimeJoins.cusumStep(st.sPlus, st.sMinus, x, mu, slack)
+          val alarm    = sp > h || sm > h
+          val out = CusumOut(tpe, hourStr(st.openHourMs), x,
+            round6(sp), round6(sm), known_type = true, is_alarm = alarm)
+          // textbook restart: a fired chart re-arms from zero
+          if (alarm) (out, 0.0, 0.0) else (out, sp, sm)
+        case None =>
+          (CusumOut(tpe, hourStr(st.openHourMs), x, 0.0, 0.0,
+            known_type = false, is_alarm = false), 0.0, 0.0)
+      }
+    }
+    events
+      .withWatermark("ts", watermarkDur)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (tpe: String, batch: Iterator[Ev], state: GroupState[CusumState]) =>
+          def cents(v: Double): Long =
+            new java.math.BigDecimal(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2)
+              .longValueExact()
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(closeRow(tpe, st)._1)
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+            var st     = state.getOption
+            val out    = ListBuffer.empty[CusumOut]
+            sorted.foreach { e =>
+              val hMs = Math.floorDiv(e.ts.getTime, HourMs) * HourMs
+              st match {
+                case None =>
+                  st = Some(CusumState(hMs, cents(e.value), e.ts.getTime, 0.0, 0.0))
+                case Some(s) if hMs == s.openHourMs =>
+                  st = Some(s.copy(
+                    volCents = s.volCents + cents(e.value),
+                    lastTsMs = math.max(s.lastTsMs, e.ts.getTime)))
+                case Some(s) if hMs > s.openHourMs =>
+                  val (row, sp, sm) = closeRow(tpe, s)
+                  out += row
+                  st = Some(CusumState(hMs, cents(e.value), e.ts.getTime, sp, sm))
+                case _ => () // below the open hour: late beyond the sort, drop
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(s.lastTsMs + 2 * 7200000L, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   case class ActiveState(lastTsMs: Long, activeDays: Seq[Long], servedReach: Seq[Long])
   case class ActiveOut(user_id: Long, day: String, kind: String)
 

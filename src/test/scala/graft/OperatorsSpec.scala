@@ -1012,4 +1012,35 @@ class OperatorsSpec extends SparkSpec {
     assert(rows("source").getLong(3) == 20, s"source domain: ${rows("source")}")
     rows.values.foreach(r => assert(r.getLong(1) == 500, s"row count drift: $r"))
   }
+
+  test("q148: change-point matches a driver-side brute-force argmax per type") {
+    val rows = TimeJoins.changePoint(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    // recompute the hourly cents buckets and the |C_τ·n − τ·C_n| argmax
+    val buckets = graft.core.Tables.events(spark, Sf0001)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("c"))
+      .groupBy(col("event_type"), col("hour")).agg(sum(col("c")).as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    rows.foreach { r =>
+      val vs = buckets(r.getString(0)).map(BigInt(_))
+      val n  = vs.length
+      assert(r.getLong(1) == n.toLong, s"n_buckets: $r")
+      val cn   = vs.sum
+      val keys = vs.scanLeft(BigInt(0))(_ + _).drop(1).zipWithIndex
+        .init // τ = n excluded
+        .map { case (c, i) => ((c * n - BigInt(i + 1) * cn).abs, i + 1) }
+      val (bestKey, bestTau) = keys.maxBy { case (k, t) => (k, -t) }
+      assert(r.getLong(2) == bestTau.toLong, s"tau: $r want $bestTau (key $bestKey)")
+      val c = vs.take(bestTau).sum
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val before = c.toDouble / (100.0 * bestTau)
+      val after  = (cn - c).toDouble / (100.0 * (n - bestTau))
+      assert(math.abs(r.getDouble(4) - r6(before)) < 1e-9, s"mean_before: $r")
+      assert(math.abs(r.getDouble(5) - r6(after)) < 1e-9, s"mean_after: $r")
+      assert(math.abs(r.getDouble(6) - r6(after - before)) < 1e-9, s"shift: $r")
+    }
+  }
 }

@@ -327,7 +327,10 @@ class PlanGuardSpec extends SparkSpec {
       "q146_token_gini" -> 3,
       // map-side melt + one keyed aggregate (distinct expands to a
       // two-phase agg) + sort
-      "q147_column_profile" -> 3
+      "q147_column_profile" -> 3,
+      // ONE (type, hour) bucket agg + the type-keyed window passes
+      // (prefix/total/rank share the partitioning) + output sort
+      "q148_changepoint" -> 4
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>

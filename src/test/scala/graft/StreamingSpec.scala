@@ -1115,4 +1115,51 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch.getOrElse(d.toLong, 0L), s"digit $d drift: $streamed")
     }
   }
+
+  test("E31: streaming CUSUM alarms on a planted shift via the shared recurrence") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def hts(hr: Int) = Timestamp.valueOf(f"2024-01-01 $hr%02d:00:00")
+    // type a: three in-control hours at volume 10, then a shift to 16 —
+    // with (μ=10, slack=1, h=8) S⁺ walks 0,0,0,5,10(alarm→reset),5
+    val vols = Seq(10.0, 10.0, 10.0, 16.0, 16.0, 16.0)
+    val a    = vols.zipWithIndex.map { case (v, i) => Ev(i + 1, 1, hts(i + 1), "a", v) }
+    val b    = Seq(Ev(100, 2, hts(1), "b", 3.0))
+    val bars = Map("a" -> ((10.0, 1.0, 8.0)))
+    val in   = MemoryStream[Ev]
+    val q = EventStreams
+      .cusumGateStream(in.toDS(), bars)
+      .writeStream.format("memory").queryName("cusum_s").outputMode("append").start()
+    in.addData(a ++ b: _*); q.processAllAvailable()
+    in.addData(
+      Ev(9998, 1, Timestamp.valueOf("2024-06-01 00:00:00"), "a", 1.0),
+      Ev(9999, 2, Timestamp.valueOf("2024-06-01 00:00:00"), "b", 1.0))
+    q.processAllAvailable()
+    in.addData(); q.processAllAvailable()
+    val got = spark.table("cusum_s").collect().filter(!_.getString(1).startsWith("2024-06"))
+    q.stop()
+    val aRows = got.filter(_.getString(0) == "a").sortBy(_.getString(1))
+    assert(aRows.length == 6, s"expected 6 closed buckets: ${got.toSeq}")
+    // reference fold through the SAME pure recurrence
+    var (sp, sm) = (0.0, 0.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    vols.zip(aRows).foreach { case (x, r) =>
+      val (np, nm) = graft.operators.TimeJoins.cusumStep(sp, sm, x, 10.0, 1.0)
+      val alarm    = np > 8.0 || nm > 8.0
+      assert(r.getDouble(2) == x, s"volume: $r")
+      assert(r.getDouble(3) == r6(np) && r.getDouble(4) == r6(nm), s"S drift: $r vs ($np,$nm)")
+      assert(r.getBoolean(5), s"a must be known_type: $r")
+      assert(r.getBoolean(6) == alarm, s"alarm: $r")
+      if (alarm) { sp = 0.0; sm = 0.0 } else { sp = np; sm = nm }
+    }
+    assert(aRows.map(_.getBoolean(6)).toSeq == Seq(false, false, false, false, true, false))
+    // uncalibrated type: never alarms, S ≡ 0
+    val bRows = got.filter(_.getString(0) == "b")
+    assert(bRows.nonEmpty && bRows.forall(r =>
+      !r.getBoolean(5) && !r.getBoolean(6) && r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
+    // snapshot calibration produces one finite bar per observed type
+    val cal = graft.operators.TimeJoins.cusumBars(spark, Sf0001)
+    assert(cal.nonEmpty && cal.values.forall { case (mu, k, h) =>
+      !mu.isNaN && k >= 0.0 && h >= 0.0 })
+  }
 }
