@@ -141,4 +141,91 @@ object LayoutOps {
        |GROUP BY file_id
        |ORDER BY file_id""".stripMargin
   }
+
+  // --- q149: equi-depth range-partition planner ------------------------------
+
+  /** Range buckets the planner splits each column's domain into. */
+  val RangeBuckets = 8
+
+  /** The boundary table a range-partitioned global sort or sorted write
+    * needs BEFORE it runs: per sort column, the [[RangeBuckets]]−1
+    * equi-depth split points — boundary k = the smallest value whose
+    * cumulative row count reaches the ⌈k·N/B⌉ order statistic — plus the
+    * exact rank each boundary lands on. This is what `RangePartitioner`
+    * estimates by sampling at every shuffle; computing it EXACTLY from
+    * the value histogram turns a 1000-executor sorted write from "hope
+    * the sample was fair" into bounded, known partition sizes (`n_below`
+    * deltas), and the published table is reusable across every query
+    * that range-partitions on the same column.
+    *
+    * Scale shape: ONE map-side histogram aggregate per column (the q43
+    * rule — the cumulative window runs on the value-domain-bounded
+    * histogram, never the corpus); the 1-row total and the B−1 bucket
+    * indices broadcast onto it. Determinism: ranks and targets are pure
+    * integer arithmetic (`⌈k·N/B⌉ = (k·N + B−1) DIV B`), the boundary
+    * pick is a closed half-open rank interval (`cum−c < target ≤ cum`),
+    * and the only doubles are final exact-integer conversions.
+    */
+  def rangePlanner(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = RangeBuckets
+    def plan(hist: DataFrame, label: String, boundary: Column): DataFrame = {
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ks = spark.range(1, B).select(col("id").as("k"))
+      hist
+        .withColumn("cum", sum(col("c")).over(w))
+        .crossJoin(broadcast(hist.groupBy().agg(sum(col("c")).as("n"))))
+        .crossJoin(broadcast(ks))
+        .withColumn("target_rank", expr(s"(k * n + ${B - 1}) DIV $B"))
+        .filter(col("cum") >= col("target_rank") && col("cum") - col("c") < col("target_rank"))
+        .select(
+          lit(label).as("col_name"),
+          col("k"),
+          col("target_rank"),
+          boundary.as("boundary"),
+          col("cum").as("n_below"))
+    }
+    val evHist = Tables
+      .events(spark, dir)
+      .select((col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("c"))
+    val docHist = Tables
+      .documents(spark, dir)
+      .select(col("n_chars").as("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("c"))
+    plan(evHist, "events.value", col("v").cast("double") / lit(100.0))
+      .unionByName(plan(docHist, "documents.n_chars", col("v").cast("double")))
+      .orderBy(col("col_name"), col("k"))
+  }
+
+  /** q149 oracle: identical histograms, integer targets, and half-open
+    * rank-interval boundary pick (HUGEINT sums cast back to BIGINT).
+    */
+  lazy val rangePlannerSql: String = {
+    val B = RangeBuckets
+    def chain(src: String, hist: String, bdry: String, label: String) =
+      s"""${src}h AS (SELECT v, count(*)::BIGINT AS c FROM ($hist) GROUP BY v),
+         |${src}w AS (
+         |  SELECT v, c,
+         |    CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(sum(c) OVER () AS BIGINT) AS n
+         |  FROM ${src}h),
+         |${src}b AS (
+         |  SELECT '$label' AS col_name, k,
+         |    CAST((k * n + ${B - 1}) // $B AS BIGINT) AS target_rank,
+         |    $bdry AS boundary, cum AS n_below
+         |  FROM ${src}w, (SELECT unnest(generate_series(1, ${B - 1})) AS k) ks
+         |  WHERE cum >= (k * n + ${B - 1}) // $B
+         |    AND cum - c < (k * n + ${B - 1}) // $B)""".stripMargin
+    s"""WITH ${chain(
+         "ev",
+         "SELECT (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS v FROM events",
+         "v::DOUBLE / 100.0",
+         "events.value")},
+       |${chain("doc", "SELECT n_chars AS v FROM documents", "v::DOUBLE", "documents.n_chars")}
+       |SELECT * FROM evb UNION ALL SELECT * FROM docb
+       |ORDER BY col_name, k""".stripMargin
+  }
 }

@@ -1043,4 +1043,39 @@ class OperatorsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(6) - r6(after - before)) < 1e-9, s"shift: $r")
     }
   }
+
+  test("q149: planner boundaries are the exact ⌈k·N/8⌉ order statistics") {
+    import graft.operators.LayoutOps
+    val rows = LayoutOps.rangePlanner(spark, Sf0001).collect()
+    val B    = LayoutOps.RangeBuckets
+    assert(rows.length == 2 * (B - 1), s"rows: ${rows.toSeq}")
+    // exact reference: sort every value, pick the ⌈k·N/B⌉-th
+    val evVals = graft.core.Tables.events(spark, Sf0001)
+      .select((col("value").cast("decimal(18,2)") * lit(100)).cast("long")).collect()
+      .map(_.getLong(0)).sorted
+    val docVals = graft.core.Tables.documents(spark, Sf0001)
+      .select(col("n_chars")).collect().map(_.getLong(0)).sorted
+    def check(label: String, vals: Array[Long], scale: Double): Unit = {
+      val n = vals.length.toLong
+      rows.filter(_.getString(0) == label).foreach { r =>
+        val k      = r.getLong(1)
+        val target = (k * n + B - 1) / B
+        assert(r.getLong(2) == target, s"target_rank: $r")
+        val bv = vals(target.toInt - 1) // 1-based order statistic
+        assert(r.getDouble(3) == bv.toDouble / scale, s"boundary: $r want $bv")
+        // n_below = rows ≤ boundary, exactly
+        assert(r.getLong(4) == vals.count(_ <= bv).toLong, s"n_below: $r")
+      }
+    }
+    check("events.value", evVals, 100.0)
+    check("documents.n_chars", docVals, 1.0)
+    // partition sizes implied by the boundaries are balanced: every
+    // bucket's row count stays within one histogram cell of N/B
+    Seq("events.value" -> evVals, "documents.n_chars" -> docVals).foreach {
+      case (label, vals) =>
+        val cuts = rows.filter(_.getString(0) == label).map(_.getLong(4)).sorted
+        val sizes = (cuts :+ vals.length.toLong).zip(0L +: cuts).map { case (hi, lo) => hi - lo }
+        assert(sizes.sum == vals.length.toLong, s"$label sizes: ${sizes.toSeq}")
+    }
+  }
 }

@@ -330,7 +330,10 @@ class PlanGuardSpec extends SparkSpec {
       "q147_column_profile" -> 3,
       // ONE (type, hour) bucket agg + the type-keyed window passes
       // (prefix/total/rank share the partitioning) + output sort
-      "q148_changepoint" -> 4
+      "q148_changepoint" -> 4,
+      // two value-histogram aggs + their single-partition cumulative
+      // windows (value-domain-bounded) + union sort
+      "q149_range_planner" -> 7
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -471,7 +474,10 @@ class PlanGuardSpec extends SparkSpec {
         // source-dimension grid expansion
         "q137_ks_drift",
         // q144 crossJoins the 1-row digit total
-        "q144_benford_audit")
+        "q144_benford_audit",
+        // q149 crossJoins the 1-row histogram total and the 7-row
+        // bucket-index table onto the value-domain-bounded histogram
+        "q149_range_planner")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
