@@ -1069,6 +1069,13 @@ class OperatorsSpec extends SparkSpec {
     }
     check("events.value", evVals, 100.0)
     check("documents.n_chars", docVals, 1.0)
+    checkBalance(rows, evVals, docVals)
+  }
+
+  private def checkBalance(
+      rows: Array[org.apache.spark.sql.Row],
+      evVals: Array[Long],
+      docVals: Array[Long]): Unit =
     // partition sizes implied by the boundaries are balanced: every
     // bucket's row count stays within one histogram cell of N/B
     Seq("events.value" -> evVals, "documents.n_chars" -> docVals).foreach {
@@ -1076,6 +1083,23 @@ class OperatorsSpec extends SparkSpec {
         val cuts = rows.filter(_.getString(0) == label).map(_.getLong(4)).sorted
         val sizes = (cuts :+ vals.length.toLong).zip(0L +: cuts).map { case (hi, lo) => hi - lo }
         assert(sizes.sum == vals.length.toLong, s"$label sizes: ${sizes.toSeq}")
+    }
+
+  test("q150: advisor rows match a brute-force key census and ceiling math") {
+    import graft.operators.Skew
+    val rows = Skew.skewAdvisor(spark, Sf0001).collect()
+    assert(rows.length == Skew.AdvisorTopK, s"rows: ${rows.length}")
+    val census = graft.core.Tables.events(spark, Sf0001)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n      = census.map(_._2).sum
+    val target = (n + Skew.AdvisorTasks - 1) / Skew.AdvisorTasks
+    val want   = census.sortBy { case (uid, c) => (-c, uid) }.take(Skew.AdvisorTopK)
+    rows.zip(want).foreach { case (r, (uid, c)) =>
+      assert(r.getLong(0) == uid && r.getLong(1) == c, s"rank order: $r want ($uid,$c)")
+      assert(r.getLong(3) == target, s"target_rows: $r")
+      assert(r.getLong(4) == (c + target - 1) / target, s"salt_k: $r")
+      assert(r.getLong(4) >= 1, s"salt_k floor: $r")
     }
   }
 }

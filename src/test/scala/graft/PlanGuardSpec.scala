@@ -333,7 +333,10 @@ class PlanGuardSpec extends SparkSpec {
       "q148_changepoint" -> 4,
       // two value-histogram aggs + their single-partition cumulative
       // windows (value-domain-bounded) + union sort
-      "q149_range_planner" -> 7
+      "q149_range_planner" -> 7,
+      // ONE map-side-combined key count (persisted subtree re-printed
+      // for the 1-row total) + TakeOrdered + output sort
+      "q150_skew_advisor" -> 4
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -477,7 +480,9 @@ class PlanGuardSpec extends SparkSpec {
         "q144_benford_audit",
         // q149 crossJoins the 1-row histogram total and the 7-row
         // bucket-index table onto the value-domain-bounded histogram
-        "q149_range_planner")
+        "q149_range_planner",
+        // q150 crossJoins the 1-row key-count total onto the top-K rows
+        "q150_skew_advisor")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
