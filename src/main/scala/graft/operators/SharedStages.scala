@@ -91,6 +91,16 @@ object SharedStages {
         shingles(spark, dir),
         TextOps.JaccardThreshold))
 
+  /** q95's EXACT prefix-filtered similarity pairs at the 0.5 floor
+    * (doc_a, doc_b, sizes, intersection, 6-dp jaccard) — the lossless
+    * counterpart of [[jaccardPairs]], consumed by q95 itself and q132's
+    * threshold cost curve (which re-cuts the same pair table at 10
+    * thresholds). Bounded by the corpus dup rate at the floor.
+    */
+  def exactPairs(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "exactPairs")(
+      TextOps.prefixJoinPlan(spark, dir, TextOps.PrefixJoinThreshold))
+
   /** Star-contraction component labels (node, lbl) over the VERIFIED
     * pair graph — q47/q56's cluster assignment.
     */

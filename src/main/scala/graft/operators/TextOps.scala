@@ -1213,6 +1213,22 @@ object TextOps {
       dir: String,
       minJaccard: Double = PrefixJoinThreshold
   ): DataFrame = {
+    // default-threshold pairs are the session-shared stage (q95 + q132's
+    // cost curve both consume them — the q27/jaccardPairs rule)
+    val pairs =
+      if (minJaccard == PrefixJoinThreshold) SharedStages.exactPairs(spark, dir)
+      else prefixJoinPlan(spark, dir, minJaccard)
+    pairs.orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The raw q95 pipeline (unsorted) — materialized once per session via
+    * [[SharedStages.exactPairs]] at the default threshold.
+    */
+  private[graft] def prefixJoinPlan(
+      spark: SparkSession,
+      dir: String,
+      minJaccard: Double
+  ): DataFrame = {
     val dt = SharedStages.shingles(spark, dir)
       .select(col("doc_id"), explode(expr("array_distinct(transform(shingles, s -> xxhash64(s)))")).as("tok"))
     val dfreq = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -1244,7 +1260,6 @@ object TextOps {
       .filter(col("jacc") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_inter"),
         round(col("jacc"), 6).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** q95 oracle: brute-force all-pairs Jaccard over the SAME hashed

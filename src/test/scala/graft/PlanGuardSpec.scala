@@ -182,9 +182,8 @@ class PlanGuardSpec extends SparkSpec {
       // both) + grid←hourly keyed join + user-keyed fill window + sort
       "q94_gap_fill"        -> 8,
       // (doc,token) df agg + token join-back + doc array rebuild (persisted,
-      // re-printed per InMemoryTableScan) + prefix token self-join + pair
-      // distinct + two doc-keyed verify joins + output sort
-      "q95_prefix_join"     -> 16,
+      // session-shared exactPairs checkpoint leaf + output sort
+      "q95_prefix_join"     -> 2,
       // q25's candidate pipeline (3) + two doc-keyed text joins + sort;
       // the O(len²) DP is map-side after pruning
       "q96_edit_verify"     -> 8,
@@ -277,10 +276,10 @@ class PlanGuardSpec extends SparkSpec {
       // (type, hour) bucket agg (persisted, re-printed for the 1-row span
       // branch) + per-type moments + sort
       "q131_burstiness" -> 4,
-      // q95's exact-pair pipeline (its own 16 budget), persisted but
-      // re-printed under both the pair-count and victim branches + the
-      // token-count branches + output sort
-      "q132_dedup_cost_curve" -> 28,
+      // session-shared exactPairs checkpoint leaf exploded onto the cuts
+      // (persisted, re-printed under the pair-count and victim branches)
+      // + the token-count branches + output sort
+      "q132_dedup_cost_curve" -> 10,
       // one user-keyed sessionize+carry window chain + per-session agg
       // (persisted, re-printed for counts + histogram branches)
       "q133_conversion_latency" -> 4,
@@ -525,7 +524,7 @@ class PlanGuardSpec extends SparkSpec {
     // re-deriving the corpus pipeline (no parquet re-scan of documents
     // below the shared stage).
     operators.SharedStages.release(spark)
-    val before = Seq("shingles", "minhashEdges", "jaccardPairs")
+    val before = Seq("shingles", "minhashEdges", "jaccardPairs", "exactPairs")
       .map(st => st -> operators.SharedStages.buildCount(Sf001, st))
       .toMap
     val family = Seq(
@@ -534,16 +533,18 @@ class PlanGuardSpec extends SparkSpec {
       "q33" -> operators.CleanPipeline.q33(spark, Sf001),
       "q47" -> operators.CurationOps.dupClusters(spark, Sf001),
       "q56" -> operators.CurationOps.clusterBest(spark, Sf001),
+      "q95" -> operators.TextOps.prefixJoin(spark, Sf001),
       "q96" -> operators.TextOps.editVerify(spark, Sf001),
       "q97" -> operators.CurationOps.pagerankDups(spark, Sf001),
-      "q104" -> operators.CurationOps.dupTriangles(spark, Sf001)
+      "q104" -> operators.CurationOps.dupTriangles(spark, Sf001),
+      "q132" -> operators.CurationOps.dedupCostCurve(spark, Sf001)
     )
     family.foreach { case (name, df) =>
       val p = plan(df)
       assert(p.contains("Scan ExistingRDD"),
         s"$name must read the shared checkpointed stage (ExistingRDD leaf), not re-derive it:\n$p")
     }
-    Seq("shingles", "minhashEdges", "jaccardPairs").foreach { st =>
+    Seq("shingles", "minhashEdges", "jaccardPairs", "exactPairs").foreach { st =>
       val built = operators.SharedStages.buildCount(Sf001, st) - before(st)
       assert(built == 1,
         s"shared stage '$st' was built $built× across the family — sharing is broken")
