@@ -604,6 +604,55 @@ object EventStreams extends Serializable {
             (col("n") >= minN && col("chi") > BenfordChiCrit).as("is_suspect")): _*)
   }
 
+  /** E32: streaming range-partition drift gate — q149's live companion in
+    * the calibrate-on-snapshot contract (E18/E27/E29/E31): the planner's
+    * published equi-depth boundaries ride as a ≤B−1-element literal
+    * array, every event lands in its bucket via a pure broadcast
+    * comparison chain (no state, no lookup join), and each closed 1-hour
+    * window emits all bucket occupancies plus the max bucket share —
+    * flagged when one bucket absorbs more than `skewFactor×` its
+    * equi-depth target. This is how a 1000-executor campaign notices its
+    * RANGE LAYOUT went stale (drifting value distribution ⇒ the sorted
+    * write that was balanced at plan time now hot-spots one partition)
+    * without re-running the planner on the corpus. Fully DECLARATIVE:
+    * watermarked tumbling windows, one hash-aggregable projection —
+    * Σ window bucket counts reconcile exactly with a batch census over
+    * the same bucket expression (spec-pinned).
+    */
+  def rangeDriftStream(
+      events: DataFrame,
+      bounds: Seq[Double],
+      skewFactor: Double = 2.0,
+      watermarkDur: String = "2 hours"): DataFrame = {
+    val b = bounds.sorted
+    // bucket = #boundaries strictly below the value (boundary owns its
+    // left bucket — q149's `n_below` is an inclusive cumulative count)
+    val bucket = b.foldLeft(lit(0)) { (acc, cut) =>
+      acc + when(col("value") > lit(cut), 1).otherwise(0)
+    }
+    val nB = b.length + 1
+    val bucketSums = (0 until nB).map(i =>
+      sum(when(col("bucket") === i, 1L).otherwise(0L)).as(s"n$i"))
+    val maxShare = (0 until nB)
+      .map(i => col(s"n$i"))
+      .reduce((a, c) => greatest(a, c))
+      .cast("double") / col("n").cast("double")
+    events
+      .withWatermark("ts", watermarkDur)
+      .select(col("ts"), bucket.as("bucket"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), bucketSums: _*)
+      .withColumn("max_share", round(maxShare, 6))
+      .select(
+        Seq(
+          date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+          col("n")) ++
+          (0 until nB).map(i => col(s"n$i")) ++
+          Seq(
+            col("max_share"),
+            (col("max_share") > lit(skewFactor / nB)).as("is_skewed")): _*)
+  }
+
   case class CusumState(
       openHourMs: Long,
       volCents: Long,

@@ -1162,4 +1162,39 @@ class StreamingSpec extends SparkSpec {
     assert(cal.nonEmpty && cal.values.forall { case (mu, k, h) =>
       !mu.isNaN && k >= 0.0 && h >= 0.0 })
   }
+
+  test("E32: range-drift windows reconcile with a batch census; a hot bucket flags") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val bounds = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0)
+    def hts(hr: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $hr%02d:$min%02d:00")
+    // hour 1: balanced across all 8 buckets; hour 2: everything in one
+    val balanced = (0 until 80).map(i =>
+      Ev(i + 1, 1, hts(1, i % 60), "click", 5.0 + 10.0 * (i % 8)))
+    val hot  = (0 until 80).map(i => Ev(500 + i, 1, hts(2, i % 60), "click", 35.0))
+    val base = balanced ++ hot
+    val in   = MemoryStream[Ev]
+    val q = EventStreams
+      .rangeDriftStream(in.toDF(), bounds)
+      .writeStream.format("memory").queryName("rd_s").outputMode("append").start()
+    in.addData(base: _*); q.processAllAvailable()
+    in.addData(Ev(9999, 1, Timestamp.valueOf("2024-06-01 00:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    in.addData(); q.processAllAvailable()
+    val got = spark.table("rd_s").collect().filter(!_.getString(0).startsWith("2024-06"))
+    q.stop()
+    assert(got.length == 2, s"expected two closed windows: ${got.toSeq}")
+    val h1 = got.find(_.getString(0).endsWith("01")).get
+    val h2 = got.find(_.getString(0).endsWith("02")).get
+    assert(!h1.getBoolean(11), s"balanced hour must not flag: $h1")
+    assert(h2.getBoolean(11) && h2.getDouble(10) == 1.0, s"hot hour must flag: $h2")
+    // batch reconciliation: summed bucket occupancies == a driver census
+    // through the same boundary rule (count of cuts strictly below)
+    val census = base.groupBy(e => bounds.count(e.value > _)).view.mapValues(_.size.toLong)
+    (0 until 8).foreach { bkt =>
+      val streamed = got.map(_.getLong(2 + bkt)).sum
+      assert(streamed == census.getOrElse(bkt, 0L), s"bucket $bkt drift: $streamed")
+    }
+    assert(got.map(_.getLong(1)).sum == base.length.toLong)
+  }
 }
