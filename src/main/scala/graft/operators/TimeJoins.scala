@@ -1539,6 +1539,109 @@ object TimeJoins {
        |FROM q148r WHERE rk = 1
        |ORDER BY event_type""".stripMargin
 
+  // --- q151: first/last-touch revenue attribution ----------------------------
+
+  /** Marketing-style revenue attribution over q10's sessions: every
+    * purchase credits its value to a CHANNEL — the session's first
+    * non-purchase event type up to the purchase (first-touch: "what
+    * started the journey") and the last non-purchase type strictly
+    * before it (last-touch: "what closed it") — with purchases that open
+    * their session crediting 'direct'. The per-channel divergence
+    * between the two models is the classic attribution report; q35/q100
+    * count WHO converts, q133 times HOW LONG it takes, q151 says WHAT
+    * gets the credit.
+    *
+    * Scale shape: q10's exact sessionize rule (one user-keyed window
+    * shuffle), both touch carries ride the SAME (user, session) window
+    * partitioning, the purchase grain is persisted once and the two
+    * ≤|types|-row rollups join full-outer. Determinism: (us, event_id)
+    * total order, DECIMAL(18,2) value sums (exact, order-free), one
+    * fixed cast-round shape.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum    = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn(
+        "new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(cum))
+    val bySess = Window
+      .partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("us"), col("event_id"))
+    val chan = when(col("event_type") =!= "purchase", col("event_type"))
+    val touched = graft.core.CacheScope.persist(
+      sess
+        .withColumn(
+          "first_ch",
+          first(chan, ignoreNulls = true)
+            .over(bySess.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn(
+          "last_ch",
+          last(chan, ignoreNulls = true)
+            .over(bySess.rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("event_type") === "purchase")
+        .select(
+          coalesce(col("first_ch"), lit("direct")).as("first_ch"),
+          coalesce(col("last_ch"), lit("direct")).as("last_ch"),
+          col("value").cast("decimal(18,2)").as("v")))
+    val firsts = touched
+      .groupBy(col("first_ch").as("channel"))
+      .agg(count(lit(1)).as("n_first"), sum(col("v")).as("v_first"))
+    val lasts = touched
+      .groupBy(col("last_ch").as("channel"))
+      .agg(count(lit(1)).as("n_last"), sum(col("v")).as("v_last"))
+    firsts
+      .join(lasts, Seq("channel"), "full_outer")
+      .select(
+        col("channel"),
+        coalesce(col("n_first"), lit(0L)).as("n_first_touch"),
+        round(coalesce(col("v_first").cast("double"), lit(0.0)), 2).as("value_first_touch"),
+        coalesce(col("n_last"), lit(0L)).as("n_last_touch"),
+        round(coalesce(col("v_last").cast("double"), lit(0.0)), 2).as("value_last_touch"))
+      .orderBy(col("channel"))
+  }
+
+  /** q151 oracle: q10's sessionize chain, IGNORE NULLS window carries over
+    * the identical frames, DECIMAL sums, same coalesce/round shapes.
+    */
+  lazy val attributionSql: String =
+    """WITH q151e AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |q151s AS (
+      |  SELECT *, CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM q151e),
+      |q151t AS (
+      |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+      |    coalesce(first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |        IGNORE NULLS) OVER (PARTITION BY user_id, session_id ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 'direct') AS first_ch,
+      |    coalesce(last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |        IGNORE NULLS) OVER (PARTITION BY user_id, session_id ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'direct') AS last_ch
+      |  FROM q151s),
+      |q151p AS MATERIALIZED (
+      |  SELECT first_ch, last_ch, v FROM q151t WHERE event_type = 'purchase'),
+      |q151f AS (SELECT first_ch AS channel, count(*)::BIGINT AS n_first,
+      |  sum(v) AS v_first FROM q151p GROUP BY 1),
+      |q151l AS (SELECT last_ch AS channel, count(*)::BIGINT AS n_last,
+      |  sum(v) AS v_last FROM q151p GROUP BY 1)
+      |SELECT coalesce(f.channel, l.channel) AS channel,
+      |  coalesce(f.n_first, 0)::BIGINT AS n_first_touch,
+      |  round(coalesce(f.v_first::DOUBLE, 0.0), 2) AS value_first_touch,
+      |  coalesce(l.n_last, 0)::BIGINT AS n_last_touch,
+      |  round(coalesce(l.v_last::DOUBLE, 0.0), 2) AS value_last_touch
+      |FROM q151f f FULL OUTER JOIN q151l l ON f.channel = l.channel
+      |ORDER BY channel""".stripMargin
+
   /** One step of the sequential (tabular) CUSUM recurrence — shared
     * verbatim by the E31 stream and its spec's reference fold:
     * `S⁺ ← max(0, S⁺ + (x−μ−slack))`, `S⁻ ← max(0, S⁻ + (μ−slack−x))`,

@@ -1085,6 +1085,47 @@ class OperatorsSpec extends SparkSpec {
         assert(sizes.sum == vals.length.toLong, s"$label sizes: ${sizes.toSeq}")
     }
 
+  test("q151: attribution matches a driver-side session replay; totals reconcile") {
+    val rows = TimeJoins.attribution(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val evs = graft.core.Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value").cast("decimal(18,2)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), BigDecimal(r.getDecimal(4))))
+    val firstT = scala.collection.mutable.Map[String, (Long, BigDecimal)]()
+    val lastT  = scala.collection.mutable.Map[String, (Long, BigDecimal)]()
+    evs.groupBy(_._1).foreach { case (_, es) =>
+      var prevUs = Long.MinValue
+      var (firstCh, lastCh): (Option[String], Option[String]) = (None, None)
+      es.sortBy(e => (e._3, e._2)).foreach { case (_, _, us, tpe, v) =>
+        if (prevUs == Long.MinValue || us - prevUs > 1800000000L) { firstCh = None; lastCh = None }
+        prevUs = us
+        if (tpe == "purchase") {
+          val f = firstCh.getOrElse("direct")
+          val l = lastCh.getOrElse("direct")
+          val (fn, fv) = firstT.getOrElse(f, (0L, BigDecimal(0)))
+          firstT(f) = (fn + 1, fv + v)
+          val (ln, lv) = lastT.getOrElse(l, (0L, BigDecimal(0)))
+          lastT(l) = (ln + 1, lv + v)
+        } else {
+          if (firstCh.isEmpty) firstCh = Some(tpe)
+          lastCh = Some(tpe)
+        }
+      }
+    }
+    assert(rows.keySet == (firstT.keySet ++ lastT.keySet), s"channels: ${rows.keySet}")
+    rows.foreach { case (ch, r) =>
+      val (fn, fv) = firstT.getOrElse(ch, (0L, BigDecimal(0)))
+      val (ln, lv) = lastT.getOrElse(ch, (0L, BigDecimal(0)))
+      assert(r.getLong(1) == fn && r.getLong(3) == ln, s"counts for $ch: $r")
+      assert(r.getDouble(2) == fv.toDouble && r.getDouble(4) == lv.toDouble, s"values for $ch: $r")
+    }
+    // both models conserve conversions and revenue
+    assert(rows.values.map(_.getLong(1)).sum == rows.values.map(_.getLong(3)).sum)
+    assert(rows.values.map(_.getDouble(2)).sum == rows.values.map(_.getDouble(4)).sum)
+  }
+
   test("q150: advisor rows match a brute-force key census and ceiling math") {
     import graft.operators.Skew
     val rows = Skew.skewAdvisor(spark, Sf0001).collect()

@@ -335,7 +335,10 @@ class PlanGuardSpec extends SparkSpec {
       "q149_range_planner" -> 7,
       // ONE map-side-combined key count (persisted subtree re-printed
       // for the 1-row total) + TakeOrdered + output sort
-      "q150_skew_advisor" -> 4
+      "q150_skew_advisor" -> 4,
+      // one user-keyed sessionize+touch window chain (persisted purchase
+      // grain re-printed under both rollups) + full-outer join + sort
+      "q151_attribution" -> 8
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
