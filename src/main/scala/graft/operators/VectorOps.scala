@@ -441,6 +441,94 @@ object VectorOps {
        |FROM q85x x LEFT JOIN q85a a ON a.q_id = x.q_id AND a.n_id = x.n_id
        |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin
 
+  // --- q152: embedding-dimension truncation audit ----------------------------
+
+  /** Truncation prefix lengths audited (the full 64 included as the
+    * self-check row — its recall is 1 by construction).
+    */
+  val TruncDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** Matryoshka-style dimension-truncation audit: per (prefix length d,
+    * query), recall@[[TopK]] of the top-k under TRUNCATED-prefix cosine
+    * against the full-dimension exact top-k — the table that decides how
+    * many leading dimensions a 100 TB ANN index must actually store
+    * (embedding models trained with matryoshka losses keep most ranking
+    * signal in a short prefix; storing 64 dims when 16 rank identically
+    * is a 4× index-size and bandwidth tax). q85/q89 audit INDEX recall at
+    * full dimension; q152 audits the DIMENSION budget itself.
+    *
+    * Scale shape: q28's broadcast idiom — the fixed query set broadcasts
+    * against ONE linear corpus scan; all |TruncDims| sliced cosines are
+    * computed map-side per candidate row (codegen'd dot folds) and
+    * exploded to the (dim, q) grain, where a WindowGroupLimit top-k
+    * bounds everything downstream to |dims|×|queries|×k rows. Zero-norm
+    * truncated prefixes rank last via a shared −2 sentinel (cosine is
+    * bounded by ±1), never NaN.
+    */
+  def truncationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c    = e.select(col("vec_id").as("n_id"), col("v").as("cv"))
+    val sims = array(TruncDims.map { d =>
+      val qs = slice(col("qv"), 1, d)
+      val cs = slice(col("cv"), 1, d)
+      val ok = dot_product(qs, qs) > lit(0.0) && dot_product(cs, cs) > lit(0.0)
+      val cos = dot_product(qs, cs) /
+        (sqrt(dot_product(qs, qs)) * sqrt(dot_product(cs, cs)))
+      struct(
+        lit(d.toLong).as("dim"),
+        when(ok, cos).otherwise(lit(-2.0)).as("sim"))
+    }: _*)
+    val w = Window.partitionBy(col("dim"), col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val ranked = c
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), explode(sims).as("s"))
+      .select(col("q_id"), col("n_id"), col("s.dim").as("dim"), col("s.sim").as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+    val exact = cosineTopK(spark, dir)
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("n_id"), lit(true).as("in_exact"))
+    ranked
+      .join(exact, Seq("q_id", "n_id"), "left")
+      .groupBy(col("dim"), col("q_id"))
+      .agg(sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("recall", round(col("n_hit").cast("double") / lit(TopK.toDouble), 6))
+      .orderBy(col("dim"), col("q_id"))
+  }
+
+  /** q152 oracle: identical prefix slices, the explicit q28 cosine shape
+    * per slice, the same −2 sentinel, rank rule, and fixed-k division.
+    */
+  lazy val truncationAuditSql: String = {
+    val dimsList = TruncDims.mkString("[", ", ", "]")
+    def sdot(a: String, b: String) = s"list_dot_product($a[1:d.dim], $b[1:d.dim])"
+    s"""WITH q152e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
+       |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+       |q152x AS MATERIALIZED (
+       |  SELECT q_id, n_id FROM ($cosineTopKSql) WHERE rk <= $TopK),
+       |q152s AS (
+       |  SELECT d.dim, q.vec_id AS q_id, c.vec_id AS n_id,
+       |    CASE WHEN ${sdot("q.vd", "q.vd")} > 0.0 AND ${sdot("c.vd", "c.vd")} > 0.0
+       |      THEN ${sdot("q.vd", "c.vd")} /
+       |        (sqrt(${sdot("q.vd", "q.vd")}) * sqrt(${sdot("c.vd", "c.vd")}))
+       |      ELSE -2.0 END AS sim
+       |  FROM q152e q, q152e c, (SELECT unnest($dimsList) AS dim) d
+       |  WHERE q.vec_id < $QueryCount AND q.vec_id <> c.vec_id),
+       |q152r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY dim, q_id ORDER BY sim DESC, n_id) AS rk
+       |  FROM q152s),
+       |q152t AS (SELECT dim, q_id, n_id FROM q152r WHERE rk <= $TopK)
+       |SELECT t.dim, t.q_id,
+       |  CAST(sum(CASE WHEN x.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN x.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / ${TopK.toDouble}, 6) AS recall
+       |FROM q152t t LEFT JOIN q152x x ON x.q_id = t.q_id AND x.n_id = t.n_id
+       |GROUP BY t.dim, t.q_id ORDER BY t.dim, t.q_id""".stripMargin
+  }
+
   // --- q89: comparative index recall report ---------------------------------
 
   /** The index bake-off table: per query, recall@k of ALL THREE ANN

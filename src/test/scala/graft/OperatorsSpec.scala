@@ -1126,6 +1126,40 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.values.map(_.getDouble(2)).sum == rows.values.map(_.getDouble(4)).sum)
   }
 
+  test("q152: full-dim recall is 1; a truncated dim matches a driver brute force") {
+    import graft.operators.VectorOps
+    val rows = VectorOps.truncationAudit(spark, Sf0001).collect()
+    assert(rows.length == VectorOps.TruncDims.length * VectorOps.QueryCount, s"grain: ${rows.length}")
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"range: $r"))
+    // d = 64 IS the exact ranking — recall must be exactly 1 per query
+    rows.filter(_.getLong(0) == 64L).foreach(r =>
+      assert(r.getDouble(3) == 1.0, s"full-dim self-check: $r"))
+    // brute-force d = 8 for one query: top-5 by truncated cosine
+    val vecs = graft.core.Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .filter { case (_, v) => v.map(x => x * x).sum > 0 }
+      .toMap
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      val (as, bs) = (a.take(d), b.take(d))
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      val (na, nb) = (dot(as, as), dot(bs, bs))
+      if (na > 0 && nb > 0) dot(as, bs) / (math.sqrt(na) * math.sqrt(nb)) else -2.0
+    }
+    val q0     = vecs(0L)
+    val top8   = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q0, v, 8)) }
+      .sortBy { case (id, s) => (-s, id) }.take(VectorOps.TopK).map(_._1).toSet
+    val topFull = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q0, v, 64)) }
+      .sortBy { case (id, s) => (-s, id) }.take(VectorOps.TopK).map(_._1).toSet
+    val want = (top8 & topFull).size
+    val got  = rows.find(r => r.getLong(0) == 8L && r.getLong(1) == 0L).get
+    assert(got.getLong(2) == want.toLong, s"q0 d=8 hits: $got want $want")
+  }
+
   test("q150: advisor rows match a brute-force key census and ceiling math") {
     import graft.operators.Skew
     val rows = Skew.skewAdvisor(spark, Sf0001).collect()

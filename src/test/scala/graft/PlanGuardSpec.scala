@@ -338,7 +338,10 @@ class PlanGuardSpec extends SparkSpec {
       "q150_skew_advisor" -> 4,
       // one user-keyed sessionize+touch window chain (persisted purchase
       // grain re-printed under both rollups) + full-outer join + sort
-      "q151_attribution" -> 8
+      "q151_attribution" -> 8,
+      // broadcast-query corpus scan exploded onto the dims + the
+      // (dim, q) rank window + exact-top-k branch + rollup + sort
+      "q152_trunc_audit" -> 6
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -484,7 +487,10 @@ class PlanGuardSpec extends SparkSpec {
         // bucket-index table onto the value-domain-bounded histogram
         "q149_range_planner",
         // q150 crossJoins the 1-row key-count total onto the top-K rows
-        "q150_skew_advisor")
+        "q150_skew_advisor",
+        // q152 is q28's non-equi self-exclusion against the fixed
+        // QueryCount query set, exploded onto the fixed dim list
+        "q152_trunc_audit")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
