@@ -752,6 +752,83 @@ object EventStreams extends Serializable {
       }
   }
 
+  case class AttrState(lastUs: Long, lastTsMs: Long, firstCh: String, lastCh: String)
+  case class AttrOut(
+      user_id: Long,
+      event_id: Long,
+      first_ch: String,
+      last_ch: String,
+      value: Double)
+
+  /** E33: streaming revenue attribution — the q151 twin. Per user, state
+    * is just the OPEN session's attribution envelope (last event time for
+    * the 30-minute gap rule + the running first/last non-purchase
+    * channel — three fields, however long the session); every purchase
+    * emits its credit row (first-touch, last-touch, value) EXACTLY ONCE,
+    * at the moment it happens — the live revenue-attribution feed a
+    * dashboard sums, where batch q151 is the end-of-day replay-correct
+    * authority. The channel-carry rules are q151's verbatim: a
+    * session-opening purchase credits 'direct', purchases never update
+    * channels, the gap resets the envelope. Per-event values round to
+    * cents first (the E25 rule) so stream credits sum bit-equal to the
+    * batch DECIMAL(18,2) totals (spec-pinned across multi-batch feeds).
+    * Events below the session's last seen time drop (E23's rule);
+    * event-time timeout evicts idle users.
+    */
+  def attributionStream(
+      events: Dataset[Ev],
+      watermarkDur: String = "2 hours"): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    val GapUs = 1800000000L
+    events
+      .withWatermark("ts", watermarkDur)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[AttrState]) =>
+          def cents(v: Double): Long =
+            new java.math.BigDecimal(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2)
+              .longValueExact()
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+            var st     = state.getOption
+            val out    = ListBuffer.empty[AttrOut]
+            sorted.foreach { e =>
+              val us = tsUs(e.ts)
+              if (st.forall(s => us - s.lastUs > GapUs))
+                st = Some(AttrState(us, e.ts.getTime, "", ""))
+              if (st.exists(s => us >= s.lastUs)) {
+                val s = st.get
+                if (e.event_type == "purchase") {
+                  out += AttrOut(
+                    uid, e.event_id,
+                    if (s.firstCh.isEmpty) "direct" else s.firstCh,
+                    if (s.lastCh.isEmpty) "direct" else s.lastCh,
+                    cents(e.value) / 100.0)
+                  st = Some(s.copy(lastUs = us, lastTsMs = math.max(s.lastTsMs, e.ts.getTime)))
+                } else {
+                  st = Some(s.copy(
+                    lastUs = us,
+                    lastTsMs = math.max(s.lastTsMs, e.ts.getTime),
+                    firstCh = if (s.firstCh.isEmpty) e.event_type else s.firstCh,
+                    lastCh = e.event_type))
+                }
+              } // else: below the session frontier — late beyond the sort, drop
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(s.lastTsMs + 2 * 7200000L, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   case class ActiveState(lastTsMs: Long, activeDays: Seq[Long], servedReach: Seq[Long])
   case class ActiveOut(user_id: Long, day: String, kind: String)
 

@@ -1197,4 +1197,63 @@ class StreamingSpec extends SparkSpec {
     }
     assert(got.map(_.getLong(1)).sum == base.length.toLong)
   }
+
+  test("E33: streaming attribution credits purchases exactly once and reconciles with q151") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: click→view→purchase→purchase (one session), then a lone
+    // purchase in a fresh session; user 2: direct purchase, then
+    // error→purchase in the same session
+    val all = Seq(
+      Ev(1, 1, t("2024-01-01 10:00:00"), "click", 1.0),
+      Ev(2, 1, t("2024-01-01 10:10:00"), "view", 2.0),
+      Ev(3, 1, t("2024-01-01 10:20:00"), "purchase", 30.0),
+      Ev(4, 1, t("2024-01-01 10:30:00"), "purchase", 10.005), // cents-rounds to 10.01
+      Ev(5, 1, t("2024-01-01 12:00:00"), "purchase", 5.0),
+      Ev(6, 2, t("2024-01-01 09:00:00"), "purchase", 7.77),
+      Ev(7, 2, t("2024-01-01 09:10:00"), "error", 0.0),
+      Ev(8, 2, t("2024-01-01 09:15:00"), "purchase", 2.23))
+    val (b1, b2) = all.partition(_.ts.getTime <= t("2024-01-01 10:10:00").getTime)
+    val in       = MemoryStream[Ev]
+    val q = EventStreams
+      .attributionStream(in.toDS())
+      .writeStream.format("memory").queryName("attr_s").outputMode("append").start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(
+      Ev(9998, 1, t("2024-06-01 00:00:00"), "click", 1.0),
+      Ev(9999, 2, t("2024-06-01 00:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("attr_s").collect()
+    q.stop()
+    val byEid = got.map(r => r.getLong(1) -> r).toMap
+    assert(got.length == 5, s"one credit per purchase, exactly once: ${got.toSeq}")
+    def ck(eid: Long, first: String, last: String, v: Double): Unit = {
+      val r = byEid(eid)
+      assert(r.getString(2) == first && r.getString(3) == last && r.getDouble(4) == v,
+        s"credit for $eid: $r")
+    }
+    ck(3, "click", "view", 30.0)
+    ck(4, "click", "view", 10.01) // purchases never update channels
+    ck(5, "direct", "direct", 5.0)
+    ck(6, "direct", "direct", 7.77)
+    ck(8, "error", "error", 2.23)
+    // batch reconciliation: per-channel first/last totals equal q151
+    val dir = java.nio.file.Files.createTempDirectory("e33spec").toString
+    all.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.TimeJoins.attribution(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def r2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    batch.foreach { case (ch, b) =>
+      val f = got.filter(_.getString(2) == ch)
+      val l = got.filter(_.getString(3) == ch)
+      assert(f.length.toLong == b.getLong(1), s"n_first for $ch")
+      assert(r2(f.map(_.getDouble(4)).sum) == b.getDouble(2), s"v_first for $ch")
+      assert(l.length.toLong == b.getLong(3), s"n_last for $ch")
+      assert(r2(l.map(_.getDouble(4)).sum) == b.getDouble(4), s"v_last for $ch")
+    }
+  }
 }
