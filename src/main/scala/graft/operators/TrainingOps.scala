@@ -1407,4 +1407,123 @@ object TrainingOps {
          |ORDER BY est_id""".stripMargin
     )
   }
+
+  // --- q153: temporal train/test split with embargo --------------------------
+
+  /** Train fraction the boundary hour targets (⌈0.8·N⌉-th event). */
+  val TemporalTrainPct = 0.8
+
+  /** Embargo hours excluded after the boundary (label-horizon guard). */
+  val EmbargoHours = 24L
+
+  /** Time-based train/test split with an embargo — the TEMPORAL analog
+    * of the q40/q87/q139 content-split family: train = events up to the
+    * boundary hour T (the hour where cumulative volume first reaches
+    * ⌈0.8·N⌉ — an exact order statistic on the hour grain, not a
+    * wall-clock guess), embargo = the next [[EmbargoHours]] (events a
+    * label horizon could leak through — the López de Prado purging rule),
+    * test = everything after. Per event type the report carries the three
+    * split volumes plus the USER-overlap audit: users active in both
+    * train and test (`n_leak_users`, leak_rate) — fine for per-event
+    * models, fatal for per-user models (user2vec memorizes its training
+    * users), which is exactly the decision this table feeds: q139 when
+    * entities must be disjoint, q153 when time must be causal.
+    *
+    * Scale shape: ONE hourly histogram agg + a cumulative window on the
+    * bounded hour domain picks T (1-row broadcast); then ONE
+    * (type, user) aggregate with conditional counts and a ≤|types|·|users|
+    * rollup — two corpus passes, both keyed, no per-row global window.
+    * Determinism: the boundary is integer rank arithmetic on exact
+    * counts; every split rule is a micros comparison against T.
+    */
+  def temporalSplit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("event_type"), col("user_id"), unix_micros(col("ts")).as("us"),
+        unix_micros(date_trunc("hour", col("ts"))).as("h_us"))
+    val w = Window.orderBy(col("h_us")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = ev
+      .groupBy(col("h_us"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(
+        ev.groupBy().agg(count(lit(1)).as("n"))))
+      .filter(col("cum") >= expr("(4 * n + 4) DIV 5")) // ⌈0.8·N⌉
+      .groupBy()
+      .agg(min(col("h_us")).as("t_us"))
+    val hourUs    = 3600000000L
+    val embargoUs = EmbargoHours * hourUs
+    val tagged = ev
+      .crossJoin(broadcast(boundary))
+      .withColumn(
+        "split",
+        when(col("us") < col("t_us") + hourUs, "train")
+          .when(col("us") < col("t_us") + hourUs + embargoUs, "embargo")
+          .otherwise("test"))
+    val perUser = tagged
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_tr"),
+        sum(when(col("split") === "embargo", 1L).otherwise(0L)).as("n_em"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_te"))
+    perUser
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n_tr")).as("n_train"),
+        sum(col("n_em")).as("n_embargo"),
+        sum(col("n_te")).as("n_test"),
+        sum(when(col("n_tr") > 0, 1L).otherwise(0L)).as("n_users_train"),
+        sum(when(col("n_te") > 0, 1L).otherwise(0L)).as("n_users_test"),
+        sum(when(col("n_tr") > 0 && col("n_te") > 0, 1L).otherwise(0L)).as("n_leak_users"))
+      .withColumn(
+        "leak_rate",
+        round(
+          col("n_leak_users").cast("double") /
+            nullif(col("n_users_test"), lit(0L)).cast("double"),
+          6))
+      .orderBy(col("event_type"))
+  }
+
+  /** q153 oracle: identical hour histogram, rank target, micros split
+    * rules, and conditional rollups.
+    */
+  lazy val temporalSplitSql: String =
+    s"""WITH q153e AS MATERIALIZED (
+       |  SELECT event_type, user_id, epoch_us(ts) AS us,
+       |    epoch_us(date_trunc('hour', ts)) AS h_us
+       |  FROM events),
+       |q153h AS (
+       |  SELECT h_us, count(*)::BIGINT AS c FROM q153e GROUP BY h_us),
+       |q153n AS (SELECT count(*)::BIGINT AS n FROM q153e),
+       |q153w AS (
+       |  SELECT h_us, CAST(sum(c) OVER (ORDER BY h_us
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM q153h),
+       |q153t AS (
+       |  SELECT min(h_us) AS t_us FROM q153w, q153n
+       |  WHERE cum >= (4 * n + 4) // 5),
+       |q153s AS (
+       |  SELECT e.event_type, e.user_id,
+       |    CASE WHEN e.us < t.t_us + 3600000000 THEN 'train'
+       |         WHEN e.us < t.t_us + 3600000000 + ${EmbargoHours}*3600000000 THEN 'embargo'
+       |         ELSE 'test' END AS split
+       |  FROM q153e e, q153t t),
+       |q153u AS (
+       |  SELECT event_type, user_id,
+       |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+       |    CAST(sum(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END) AS BIGINT) AS n_em,
+       |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_te
+       |  FROM q153s GROUP BY 1, 2)
+       |SELECT event_type,
+       |  CAST(sum(n_tr) AS BIGINT) AS n_train,
+       |  CAST(sum(n_em) AS BIGINT) AS n_embargo,
+       |  CAST(sum(n_te) AS BIGINT) AS n_test,
+       |  CAST(sum(CASE WHEN n_tr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_train,
+       |  CAST(sum(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_test,
+       |  CAST(sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_leak_users,
+       |  round(CAST(sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / nullif(CAST(sum(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) AS BIGINT), 0)::DOUBLE, 6)
+       |    AS leak_rate
+       |FROM q153u GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -1160,6 +1160,42 @@ class OperatorsSpec extends SparkSpec {
     assert(got.getLong(2) == want.toLong, s"q0 d=8 hits: $got want $want")
   }
 
+  test("q153: temporal split reconciles with a driver replay of the boundary rule") {
+    import graft.operators.TrainingOps
+    val rows = TrainingOps.temporalSplit(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val evs = graft.core.Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("user_id"), unix_micros(col("ts")).as("us"),
+        unix_micros(date_trunc("hour", col("ts"))).as("h_us"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n      = evs.length.toLong
+    val target = (4 * n + 4) / 5
+    val tUs = evs.map(_._4).sorted.groupBy(identity).toSeq.sortBy(_._1)
+      .scanLeft((Long.MinValue, 0L)) { case ((_, cum), (h, g)) => (h, cum + g.length) }
+      .find(_._2 >= target).get._1
+    val hourUs = 3600000000L
+    def split(us: Long): String =
+      if (us < tUs + hourUs) "train"
+      else if (us < tUs + hourUs + TrainingOps.EmbargoHours * hourUs) "embargo"
+      else "test"
+    val byType = evs.groupBy(_._1)
+    rows.foreach { r =>
+      val es     = byType(r.getString(0))
+      val splits = es.map(e => (e._2, split(e._3)))
+      assert(r.getLong(1) == splits.count(_._2 == "train").toLong, s"n_train: $r")
+      assert(r.getLong(2) == splits.count(_._2 == "embargo").toLong, s"n_embargo: $r")
+      assert(r.getLong(3) == splits.count(_._2 == "test").toLong, s"n_test: $r")
+      val trainU = splits.filter(_._2 == "train").map(_._1).toSet
+      val testU  = splits.filter(_._2 == "test").map(_._1).toSet
+      assert(r.getLong(4) == trainU.size.toLong && r.getLong(5) == testU.size.toLong, s"users: $r")
+      assert(r.getLong(6) == (trainU & testU).size.toLong, s"leak: $r")
+    }
+    // the boundary actually lands ≥ 80% of events in or before its hour
+    val total = rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum
+    assert(rows.map(_.getLong(1)).sum * 5 >= total * 4, "train fraction below target")
+  }
+
   test("q150: advisor rows match a brute-force key census and ceiling math") {
     import graft.operators.Skew
     val rows = Skew.skewAdvisor(spark, Sf0001).collect()

@@ -341,7 +341,10 @@ class PlanGuardSpec extends SparkSpec {
       "q151_attribution" -> 8,
       // broadcast-query corpus scan exploded onto the dims + the
       // (dim, q) rank window + exact-top-k branch + rollup + sort
-      "q152_trunc_audit" -> 6
+      "q152_trunc_audit" -> 6,
+      // hourly histogram + bounded cumulative window picks T (1-row
+      // broadcast) + the (type, user) agg + rollup + sort
+      "q153_temporal_split" -> 7
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -490,7 +493,9 @@ class PlanGuardSpec extends SparkSpec {
         "q150_skew_advisor",
         // q152 is q28's non-equi self-exclusion against the fixed
         // QueryCount query set, exploded onto the fixed dim list
-        "q152_trunc_audit")
+        "q152_trunc_audit",
+        // q153 crossJoins the 1-row event total and the 1-row boundary
+        "q153_temporal_split")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
