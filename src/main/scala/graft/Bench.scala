@@ -77,7 +77,9 @@ object Bench {
     // local runs.
     val total = results.map(_._2).filter(_ >= 0).sum
     def fmt(v: Double): String = f"$v%.2f"
-    val short = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+    // key = the numeric id alone ("01".."153"): at 150+ queries the "q"
+    // prefix alone costs ~150 chars of the ~1900-char budget
+    val short = results.map { case (k, v) => k.takeWhile(_ != '_').drop(1) -> v }
     val qs = short
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

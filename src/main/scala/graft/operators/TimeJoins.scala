@@ -1642,6 +1642,92 @@ object TimeJoins {
       |FROM q151f f FULL OUTER JOIN q151l l ON f.channel = l.channel
       |ORDER BY channel""".stripMargin
 
+  // --- q154: incremental cube-upsert report ----------------------------------
+
+  /** Late-data share of the simulated delta batch (1-in-10 by event-id
+    * hash — deterministic, so both engines split identically).
+    */
+  val DeltaMod = 10L
+
+  /** The MERGE-INTO planning table for an incrementally-maintained hourly
+    * cube: treating a deterministic 1-in-[[DeltaMod]] hash slice of
+    * events as the late-arriving delta batch, emit ONLY the (type, hour)
+    * cube rows the delta touches, each with its before/after count and
+    * exact DECIMAL volume. This is the contract that keeps a 100 TB
+    * aggregate alive: late data updates the touched partitions
+    * (`n_after = n_before + n_delta`, spec-pinned), the other ~90% of
+    * the cube is never read, and a full recompute never happens. The
+    * report is what an upsert job would write and what its reviewer
+    * would diff.
+    *
+    * Scale shape: ONE corpus pass — a single (type, hour) keyed aggregate
+    * with conditional sums produces base and after side by side (the
+    * decomposable-aggregate property that makes the merge valid is the
+    * same one that makes the conditional split free), filtered to
+    * delta-touched rows. Determinism: the slice is `pmod(xxhash64(
+    * event_id), 10)`, volumes ride DECIMAL(18,2), one fixed
+    * coalesce-cast-round shape.
+    */
+  def incrementalCube(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+        col("value").cast("decimal(18,2)").as("v"),
+        (pmod(xxhash64(col("event_id")), lit(DeltaMod)) === 0L).as("is_delta"))
+    ev.groupBy(col("event_type"), col("hour"))
+      .agg(
+        sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_before"),
+        count(lit(1)).as("n_after"),
+        sum(when(!col("is_delta"), col("v"))).as("v_base"),
+        sum(col("v")).as("v_after"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"))
+      .filter(col("n_delta") > 0)
+      .select(
+        col("event_type"),
+        col("hour"),
+        col("n_before"),
+        col("n_delta"),
+        col("n_after"),
+        round(coalesce(col("v_base"), lit(0).cast("decimal(18,2)")).cast("double"), 2)
+          .as("vol_before"),
+        round(col("v_after").cast("double"), 2).as("vol_after"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** q154 oracle: the DuckHash xxhash64 emulation on event_id, identical
+    * conditional sums and coalesce-cast-round shapes.
+    */
+  lazy val incrementalCubeSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q154e" ->
+        """(SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+          |  CAST(value AS DECIMAL(18,2)) AS v, event_id::HUGEINT AS l
+          | FROM events)""".stripMargin
+    )
+    val ch = new SqlChain("q154h", "q154e", Seq("event_type", "hour", "v", "l"))
+    hashLongLevels(ch, toUnsigned("l"), "42", "hh")
+    ctes ++= ch.ctes
+    ctes += ("q154d" ->
+      s"""(SELECT event_type, hour, v,
+         |  ((((${toSigned("hh")}) % $DeltaMod) + $DeltaMod) % $DeltaMod = 0) AS is_delta
+         | FROM ${ch.last})""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      s"""SELECT event_type, hour,
+         |  CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+         |  CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+         |  count(*)::BIGINT AS n_after,
+         |  round(coalesce(sum(CASE WHEN NOT is_delta THEN v END), 0)::DOUBLE, 2) AS vol_before,
+         |  round(sum(v)::DOUBLE, 2) AS vol_after
+         |FROM q154d
+         |GROUP BY event_type, hour
+         |HAVING sum(CASE WHEN is_delta THEN 1 ELSE 0 END) > 0
+         |ORDER BY event_type, hour""".stripMargin)
+  }
+
   /** One step of the sequential (tabular) CUSUM recurrence — shared
     * verbatim by the E31 stream and its spec's reference fold:
     * `S⁺ ← max(0, S⁺ + (x−μ−slack))`, `S⁻ ← max(0, S⁻ + (μ−slack−x))`,

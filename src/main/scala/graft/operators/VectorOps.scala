@@ -467,15 +467,24 @@ object VectorOps {
     */
   def truncationAudit(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val q = e.filter(col("vec_id") < QueryCount)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val c    = e.select(col("vec_id").as("n_id"), col("v").as("cv"))
+    // prefix self-norms are per-VECTOR, not per-pair: hoist them to both
+    // join sides once (the pair projection would otherwise recompute the
+    // candidate norms |queries| times each)
+    def withNorms(df: DataFrame, vc: String): DataFrame =
+      TruncDims.foldLeft(df)((d0, d) =>
+        d0.withColumn(s"n$d", dot_product(slice(col(vc), 1, d), slice(col(vc), 1, d))))
+    val q = withNorms(
+      e.filter(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")),
+      "qv")
+      .select(col("q_id") +: col("qv") +: TruncDims.map(d => col(s"n$d").as(s"qn$d")): _*)
+    val c = withNorms(e.select(col("vec_id").as("n_id"), col("v").as("cv")), "cv")
+      .select(col("n_id") +: col("cv") +: TruncDims.map(d => col(s"n$d").as(s"cn$d")): _*)
     val sims = array(TruncDims.map { d =>
-      val qs = slice(col("qv"), 1, d)
-      val cs = slice(col("cv"), 1, d)
-      val ok = dot_product(qs, qs) > lit(0.0) && dot_product(cs, cs) > lit(0.0)
-      val cos = dot_product(qs, cs) /
-        (sqrt(dot_product(qs, qs)) * sqrt(dot_product(cs, cs)))
+      val qs  = slice(col("qv"), 1, d)
+      val cs  = slice(col("cv"), 1, d)
+      val ok  = col(s"qn$d") > lit(0.0) && col(s"cn$d") > lit(0.0)
+      val cos = dot_product(qs, cs) / (sqrt(col(s"qn$d")) * sqrt(col(s"cn$d")))
       struct(
         lit(d.toLong).as("dim"),
         when(ok, cos).otherwise(lit(-2.0)).as("sim"))

@@ -1196,6 +1196,33 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum * 5 >= total * 4, "train fraction below target")
   }
 
+  test("q154: upsert rows satisfy the merge contract and cover every delta event") {
+    val rows = TimeJoins.incrementalCube(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(4), s"n_before + n_delta != n_after: $r")
+      assert(r.getLong(3) > 0, s"untouched row leaked into the upsert set: $r")
+      assert(r.getDouble(6) >= r.getDouble(5) - 1e-9 || r.getLong(3) > 0, s"vols: $r")
+    }
+    // every delta event lands in exactly one emitted row; full recompute
+    // equals before+delta per touched cell
+    val ev = graft.core.Tables.events(spark, Sf0001)
+      .select(col("event_type"), date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH"),
+        col("value").cast("decimal(18,2)"),
+        pmod(xxhash64(col("event_id")), lit(TimeJoins.DeltaMod)) === 0L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), BigDecimal(r.getDecimal(2)), r.getBoolean(3)))
+    val deltaCells = ev.filter(_._4).groupBy(e => (e._1, e._2))
+    assert(rows.length == deltaCells.size, s"touched cells: ${rows.length} vs ${deltaCells.size}")
+    val fullCells = ev.groupBy(e => (e._1, e._2))
+    rows.foreach { r =>
+      val key  = (r.getString(0), r.getString(1))
+      val cell = fullCells(key)
+      assert(r.getLong(4) == cell.length.toLong, s"n_after vs full recompute: $r")
+      assert(r.getDouble(6) == cell.map(_._3).sum.toDouble, s"vol_after vs full: $r")
+    }
+  }
+
   test("q150: advisor rows match a brute-force key census and ceiling math") {
     import graft.operators.Skew
     val rows = Skew.skewAdvisor(spark, Sf0001).collect()

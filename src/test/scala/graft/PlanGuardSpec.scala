@@ -344,7 +344,9 @@ class PlanGuardSpec extends SparkSpec {
       "q152_trunc_audit" -> 6,
       // hourly histogram + bounded cumulative window picks T (1-row
       // broadcast) + the (type, user) agg + rollup + sort
-      "q153_temporal_split" -> 7
+      "q153_temporal_split" -> 7,
+      // ONE (type, hour) conditional agg + output sort
+      "q154_incremental_cube" -> 2
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
