@@ -1832,4 +1832,84 @@ object StatsOps {
       |  d.median_chars
       |FROM q134m m JOIN q134d d USING (source)
       |ORDER BY m.source""".stripMargin
+
+  // --- q155: order-invariant content manifest --------------------------------
+
+  /** The dataset checksum manifest a 100 TB snapshot publishes so any
+    * replica, migration, or re-partition can be verified WITHOUT a global
+    * sort: per table, the row count plus three ORDER-INVARIANT
+    * fingerprints of the canonical row rendering — `bit_xor` of the
+    * per-row xxhash64, and the min/max row hash. Two copies with equal
+    * manifests hold the same rows regardless of file layout, partition
+    * count, or row order — exactly what q92/q149-style re-layouts need to
+    * prove they changed ARRANGEMENT, not CONTENT (the XOR fold is blind
+    * to duplicated-pair insertion, which row count + min/max bracket in
+    * practice; a manifest mismatch always localizes to one table).
+    *
+    * Scale shape: one map-side hash projection per table and ONE
+    * all-combining aggregate each (count/xor/min/max all have map-side
+    * partials) — no shuffle beyond the 1-row combines, no sort anywhere.
+    * Determinism: the canonical rendering is integers (ids, micros,
+    * cents) and raw strings joined on the \\u001f unit separator —
+    * every field renders identically in both engines.
+    */
+  def contentManifest(spark: SparkSession, dir: String): DataFrame = {
+    val sep = "\u001f"
+    def leg(src: DataFrame, tbl: String, canon: org.apache.spark.sql.Column): DataFrame =
+      src
+        .select(xxhash64(canon).as("h"))
+        .groupBy()
+        .agg(
+          count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_fp"),
+          min(col("h")).as("min_h"),
+          max(col("h")).as("max_h"))
+        .select(lit(tbl).as("tbl"), col("n_rows"), col("xor_fp"), col("min_h"), col("max_h"))
+    val ev = Tables.events(spark, dir)
+    val evCanon = concat_ws(
+      sep,
+      col("event_id"),
+      unix_micros(col("ts")),
+      col("user_id"),
+      col("event_type"),
+      (col("value").cast("decimal(18,2)") * lit(100)).cast("long"),
+      col("props"))
+    val doc = Tables.documents(spark, dir)
+    val docCanon =
+      concat_ws(sep, col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+    leg(ev, "events", evCanon)
+      .unionByName(leg(doc, "documents", docCanon))
+      .orderBy(col("tbl"))
+  }
+
+  /** q155 oracle: the DuckHash byte-chain xxhash64 of the identical
+    * canonical rendering, same order-free combines.
+    */
+  lazy val contentManifestSql: String = {
+    import graft.functions.DuckHash._
+    def legSql(pfx: String, tbl: String, srcSel: String): (Seq[(String, String)], String) = {
+      val ctes = ArrayBuffer[(String, String)](s"${pfx}c" -> s"($srcSel)")
+      ctes += (s"${pfx}b" -> s"(SELECT ${bytesOf("s")} AS b FROM ${pfx}c)")
+      val ch = hashBytesChain(s"${pfx}h", s"${pfx}b", Seq.empty, "42", "hh")
+      ctes ++= ch.ctes
+      val fin =
+        s"""SELECT '$tbl' AS tbl, count(*)::BIGINT AS n_rows,
+           |  bit_xor(${toSigned("hh")})::BIGINT AS xor_fp,
+           |  CAST(min(${toSigned("hh")}) AS BIGINT) AS min_h,
+           |  CAST(max(${toSigned("hh")}) AS BIGINT) AS max_h
+           |FROM ${ch.last}""".stripMargin
+      (ctes.toSeq, fin)
+    }
+    val sep = "chr(31)"
+    val (evC, evF) = legSql(
+      "q155e",
+      "events",
+      s"""SELECT concat_ws($sep, event_id, epoch_us(ts), user_id, event_type,
+         |  (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT, props) AS s FROM events""".stripMargin)
+    val (docC, docF) = legSql(
+      "q155d",
+      "documents",
+      s"SELECT concat_ws($sep, doc_id, lang, source, n_chars, text) AS s FROM documents")
+    assemble(evC ++ docC, s"SELECT * FROM (($evF) UNION ALL ($docF)) ORDER BY tbl")
+  }
 }

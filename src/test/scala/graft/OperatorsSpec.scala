@@ -1223,6 +1223,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q155: manifest is layout-invariant and matches a driver xor-fold") {
+    import graft.operators.StatsOps
+    val rows = StatsOps.contentManifest(spark, Sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("documents", "events"))
+    // driver recomputation of the documents leg through the same rendering
+    val hs = graft.core.Tables.documents(spark, Sf0001)
+      .select(xxhash64(concat_ws("\u001f",
+        col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))))
+      .collect().map(_.getLong(0))
+    val doc = rows.find(_.getString(0) == "documents").get
+    assert(doc.getLong(1) == hs.length.toLong)
+    assert(doc.getLong(2) == hs.reduce(_ ^ _), s"xor_fp: $doc")
+    assert(doc.getLong(3) == hs.min && doc.getLong(4) == hs.max, s"min/max: $doc")
+    // layout invariance: a repartitioned, reordered copy fingerprints equal
+    val dir = java.nio.file.Files.createTempDirectory("q155spec").toString
+    graft.core.Tables.documents(spark, Sf0001).orderBy(col("text"))
+      .repartition(7).write.parquet(s"$dir/documents.parquet")
+    graft.core.Tables.events(spark, Sf0001).orderBy(col("value"))
+      .repartition(5).write.parquet(s"$dir/events.parquet")
+    val alt = StatsOps.contentManifest(spark, dir).collect()
+    assert(alt.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq,
+      s"manifest must not see layout: $alt vs $rows")
+  }
+
   test("q150: advisor rows match a brute-force key census and ceiling math") {
     import graft.operators.Skew
     val rows = Skew.skewAdvisor(spark, Sf0001).collect()

@@ -346,7 +346,9 @@ class PlanGuardSpec extends SparkSpec {
       // broadcast) + the (type, user) agg + rollup + sort
       "q153_temporal_split" -> 7,
       // ONE (type, hour) conditional agg + output sort
-      "q154_incremental_cube" -> 2
+      "q154_incremental_cube" -> 2,
+      // two map-side hash projections + their 1-row combines + union sort
+      "q155_content_manifest" -> 4
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
