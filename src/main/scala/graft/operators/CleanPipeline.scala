@@ -251,4 +251,112 @@ object CleanPipeline {
        |  round(coalesce(s.n_grams_kept, 0)::DOUBLE / r.n_grams_raw::DOUBLE, 6) AS retention
        |FROM q145r r LEFT JOIN q145s s USING (source)
        |ORDER BY r.source""".stripMargin
+
+  // --- q156: cleaning-gate ablation ------------------------------------------
+
+  /** Marginal attribution for the cleaning pipeline's gates: per gate,
+    * how many documents fail it when every gate is evaluated
+    * INDEPENDENTLY (`n_fail`), and how many fail ONLY it (`n_only`) — the
+    * number that would be saved by relaxing exactly that gate. q100's
+    * funnel reads the gates SEQUENTIALLY, so a doc dropped at stage 2
+    * never reaches stage 3 and the funnel can't say which single gate a
+    * tightening/loosening decision actually owns; the ablation view is
+    * the complement every threshold review asks for ("if we drop the
+    * stop-ratio gate, what do we get back — and is it just the dup pool
+    * again?"). The near-dup flag here is keeper-agnostic (victim of ANY
+    * verified pair), deliberately independent of the other gates.
+    *
+    * Scale shape: ONE corpus scan computes tokens/stopwords/md5, the
+    * keeper window is q33's single content-hash shuffle, victims ride the
+    * session-shared verified-pair stage, and each doc explodes onto the
+    * fixed 4-gate list before one ≤4-group aggregate; the 1-row total
+    * broadcasts. Determinism: integer counts, the q33 gate constants,
+    * fixed divide-round shapes.
+    */
+  def gateAblation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toks = split(trim(col("text")), "\\s+")
+    val base = docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      TextOps.stopCountExpr.as("n_stop"),
+      md5(col("text")).as("h"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val victims = TextOps
+      .ngramJaccardPairs(spark, dir, minJaccard = JaccardCut)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+      .withColumn("hit", lit(true))
+    val flags = base
+      .withColumn("f_dup", row_number().over(w) =!= 1)
+      .join(victims, Seq("doc_id"), "left")
+      .select(
+        col("f_dup"),
+        (col("n_tokens") < MinTokens).as("f_len"),
+        (col("n_stop") / col("n_tokens") > MaxStopRatio).as("f_stop"),
+        coalesce(col("hit"), lit(false)).as("f_near"))
+    def g(name: String, f: org.apache.spark.sql.Column, others: Seq[org.apache.spark.sql.Column]) =
+      struct(
+        lit(name).as("gate"),
+        f.as("f"),
+        others.foldLeft(f)((acc, o) => acc && !o).as("only"))
+    val gates = array(
+      g("1_exact_dup", col("f_dup"), Seq(col("f_len"), col("f_stop"), col("f_near"))),
+      g("2_min_length", col("f_len"), Seq(col("f_dup"), col("f_stop"), col("f_near"))),
+      g("3_stop_ratio", col("f_stop"), Seq(col("f_dup"), col("f_len"), col("f_near"))),
+      g("4_near_dup", col("f_near"), Seq(col("f_dup"), col("f_len"), col("f_stop"))))
+    flags
+      .select(explode(gates).as("x"))
+      .groupBy(col("x.gate").as("gate"))
+      .agg(
+        sum(when(col("x.f"), 1L).otherwise(0L)).as("n_fail"),
+        sum(when(col("x.only"), 1L).otherwise(0L)).as("n_only"))
+      .crossJoin(broadcast(docs.groupBy().agg(count(lit(1)).as("n"))))
+      .select(
+        col("gate"),
+        col("n_fail"),
+        col("n_only"),
+        round(col("n_fail").cast("double") / col("n").cast("double"), 6).as("pct_fail"),
+        round(col("n_only").cast("double") / col("n").cast("double"), 6).as("pct_only"))
+      .orderBy(col("gate"))
+  }
+
+  /** q156 oracle: q33's shared tokenize/stop/shingle/pair fragments, the
+    * identical independent flag definitions, and the same 4-way unpivot.
+    */
+  lazy val gateAblationSql: String =
+    s"""WITH q156b AS MATERIALIZED (
+       |  SELECT doc_id, len(${TextOps.DuckToks}) AS n_tokens,
+       |    ${TextOps.duckStopCount} AS n_stop, md5(text) AS h
+       |  FROM documents),
+       |q156k AS (SELECT h, MIN(doc_id) AS keeper FROM q156b GROUP BY h),
+       |${TextOps.DuckShingleCte},
+       |${TextOps.DuckJaccardPairsCte},
+       |q156v AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE jaccard >= $JaccardCut),
+       |q156f AS MATERIALIZED (
+       |  SELECT b.doc_id,
+       |    (b.doc_id <> k.keeper) AS f_dup,
+       |    (b.n_tokens < $MinTokens) AS f_len,
+       |    (b.n_stop / b.n_tokens > $MaxStopRatio) AS f_stop,
+       |    (v.doc_id IS NOT NULL) AS f_near
+       |  FROM q156b b JOIN q156k k USING (h) LEFT JOIN q156v v USING (doc_id)),
+       |q156n AS (SELECT count(*)::BIGINT AS n FROM q156b),
+       |q156g AS (
+       |  SELECT '1_exact_dup' AS gate, f_dup AS f,
+       |    (f_dup AND NOT f_len AND NOT f_stop AND NOT f_near) AS only_f FROM q156f
+       |  UNION ALL SELECT '2_min_length', f_len,
+       |    (f_len AND NOT f_dup AND NOT f_stop AND NOT f_near) FROM q156f
+       |  UNION ALL SELECT '3_stop_ratio', f_stop,
+       |    (f_stop AND NOT f_dup AND NOT f_len AND NOT f_near) FROM q156f
+       |  UNION ALL SELECT '4_near_dup', f_near,
+       |    (f_near AND NOT f_dup AND NOT f_len AND NOT f_stop) FROM q156f)
+       |SELECT gate,
+       |  CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+       |  CAST(sum(CASE WHEN only_f THEN 1 ELSE 0 END) AS BIGINT) AS n_only,
+       |  round(CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS DOUBLE) / n.n::DOUBLE, 6) AS pct_fail,
+       |  round(CAST(sum(CASE WHEN only_f THEN 1 ELSE 0 END) AS DOUBLE) / n.n::DOUBLE, 6) AS pct_only
+       |FROM q156g, q156n n
+       |GROUP BY gate, n.n
+       |ORDER BY gate""".stripMargin
 }

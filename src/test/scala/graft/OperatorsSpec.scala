@@ -1247,6 +1247,25 @@ class OperatorsSpec extends SparkSpec {
       s"manifest must not see layout: $alt vs $rows")
   }
 
+  test("q156: ablation counts reconcile with q100's funnel and each other") {
+    import graft.operators.CleanPipeline
+    val rows = CleanPipeline.gateAblation(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("1_exact_dup", "2_min_length", "3_stop_ratio", "4_near_dup"))
+    rows.values.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"n_only > n_fail: $r")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"pct range: $r")
+    }
+    // the independent dup count equals the funnel's stage-2 drop (same rule)
+    val funnel = CleanPipeline.funnelReport(spark, Sf0001).collect()
+    def stageDocs(st: String) =
+      funnel.filter(_.getString(1) == st).map(_.getLong(2)).sum
+    assert(rows("1_exact_dup").getLong(1) == stageDocs("1_raw") - stageDocs("2_exact_dedup"))
+    // a doc failing only one gate is recoverable by relaxing it: totals sane
+    val nDocs = stageDocs("1_raw")
+    rows.values.foreach(r => assert(r.getLong(1) <= nDocs))
+  }
+
   test("q150: advisor rows match a brute-force key census and ceiling math") {
     import graft.operators.Skew
     val rows = Skew.skewAdvisor(spark, Sf0001).collect()

@@ -348,7 +348,10 @@ class PlanGuardSpec extends SparkSpec {
       // ONE (type, hour) conditional agg + output sort
       "q154_incremental_cube" -> 2,
       // two map-side hash projections + their 1-row combines + union sort
-      "q155_content_manifest" -> 4
+      "q155_content_manifest" -> 4,
+      // md5 keeper window + shared-pair victim distinct + doc join +
+      // the 4-gate explode agg + 1-row total + sort
+      "q156_gate_ablation" -> 8
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -499,7 +502,9 @@ class PlanGuardSpec extends SparkSpec {
         // QueryCount query set, exploded onto the fixed dim list
         "q152_trunc_audit",
         // q153 crossJoins the 1-row event total and the 1-row boundary
-        "q153_temporal_split")
+        "q153_temporal_split",
+        // q156 crossJoins the 1-row document total onto the 4-gate rows
+        "q156_gate_ablation")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
