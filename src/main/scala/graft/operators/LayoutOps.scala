@@ -228,4 +228,77 @@ object LayoutOps {
        |SELECT * FROM evb UNION ALL SELECT * FROM docb
        |ORDER BY col_name, k""".stripMargin
   }
+
+  // --- q157: broadcast-vs-shuffle join planner -------------------------------
+
+  /** Broadcast threshold the planner advises against (bytes) — the same
+    * 64 MiB the bench session sets `autoBroadcastJoinThreshold` to.
+    */
+  val BroadcastBytes = 64L * 1024 * 1024
+
+  /** The join-strategy statistics table a cost-based planner consults
+    * before joining the fact table to each dimension: per dim — exact row
+    * count, exact in-memory data bytes under a canonical width model
+    * (8 per numeric, string lengths as stored), average row width, and
+    * the verdict `broadcast` (ships to every executor once, zero
+    * shuffle of the 100 TB fact side) vs `shuffle` (both sides hash-
+    * exchange). Spark's own `SizeInBytesOnlyStatsPlanVisitor` GUESSES
+    * this from file sizes and falls back to conservative defaults after
+    * any projection; computing it exactly once per snapshot and
+    * publishing it is how a campaign pins join strategies instead of
+    * re-deriving them per query — and the q150 salt advisor covers the
+    * keys this table routes to `shuffle`.
+    *
+    * Scale shape: one map-side width projection + ONE 1-row combine per
+    * dimension (count/sum both partial-aggregable); dims union to a
+    * 5-row table. Determinism: pure integer sums, one divide-round.
+    */
+  def joinPlanner(spark: SparkSession, dir: String): DataFrame = {
+    def leg(tbl: String, strCols: Seq[String], numCols: Int): DataFrame = {
+      val bytes = strCols
+        .map(c => length(col(c)).cast("long"))
+        .foldLeft(lit(8L * numCols))(_ + _)
+      Tables
+        .t(spark, dir, tbl)
+        .select(bytes.as("b"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_rows"), sum(col("b")).as("data_bytes"))
+        .select(
+          lit(tbl).as("tbl"),
+          col("n_rows"),
+          col("data_bytes"),
+          round(col("data_bytes").cast("double") / col("n_rows").cast("double"), 2)
+            .as("avg_row_bytes"),
+          when(col("data_bytes") <= BroadcastBytes, "broadcast")
+            .otherwise("shuffle")
+            .as("strategy"))
+    }
+    leg("region", Seq("r_name"), 1)
+      .unionByName(leg("nation", Seq("n_name"), 2))
+      .unionByName(leg("supplier", Seq("s_name"), 3))
+      .unionByName(leg("customer", Seq("c_name", "c_mktsegment"), 3))
+      .unionByName(leg("part", Seq("p_name", "p_brand", "p_type"), 3))
+      .orderBy(col("tbl"))
+  }
+
+  /** q157 oracle: identical width model, sums, and threshold verdict. */
+  lazy val joinPlannerSql: String = {
+    def leg(tbl: String, strCols: Seq[String], numCols: Int): String = {
+      val bytes = (strCols.map(c => s"length($c)::BIGINT") :+ s"${8L * numCols}")
+        .mkString(" + ")
+      s"""SELECT '$tbl' AS tbl, count(*)::BIGINT AS n_rows,
+         |  CAST(sum($bytes) AS BIGINT) AS data_bytes,
+         |  round(CAST(sum($bytes) AS DOUBLE) / count(*)::DOUBLE, 2) AS avg_row_bytes,
+         |  CASE WHEN CAST(sum($bytes) AS BIGINT) <= $BroadcastBytes
+         |    THEN 'broadcast' ELSE 'shuffle' END AS strategy
+         |FROM $tbl""".stripMargin
+    }
+    Seq(
+      leg("region", Seq("r_name"), 1),
+      leg("nation", Seq("n_name"), 2),
+      leg("supplier", Seq("s_name"), 3),
+      leg("customer", Seq("c_name", "c_mktsegment"), 3),
+      leg("part", Seq("p_name", "p_brand", "p_type"), 3)
+    ).map(l => s"($l)").mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tbl")
+  }
 }

@@ -1266,6 +1266,25 @@ class OperatorsSpec extends SparkSpec {
     rows.values.foreach(r => assert(r.getLong(1) <= nDocs))
   }
 
+  test("q157: planner stats match driver-side width sums; small dims broadcast") {
+    import graft.operators.LayoutOps
+    val rows = LayoutOps.joinPlanner(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("region", "nation", "supplier", "customer", "part"))
+    val region = graft.core.Tables.t(spark, Sf0001, "region")
+      .select(col("r_name")).collect().map(_.getString(0))
+    val want = region.map(_.length.toLong + 8L).sum
+    assert(rows("region").getLong(1) == region.length.toLong)
+    assert(rows("region").getLong(2) == want, s"region bytes: ${rows("region")}")
+    // at sf0.001 every dim is tiny — all must verdict broadcast, and the
+    // verdict must be consistent with the threshold
+    rows.values.foreach { r =>
+      val expect = if (r.getLong(2) <= LayoutOps.BroadcastBytes) "broadcast" else "shuffle"
+      assert(r.getString(4) == expect, s"verdict: $r")
+      assert(r.getString(4) == "broadcast", s"sf0.001 dims must broadcast: $r")
+    }
+  }
+
   test("q150: advisor rows match a brute-force key census and ceiling math") {
     import graft.operators.Skew
     val rows = Skew.skewAdvisor(spark, Sf0001).collect()

@@ -351,7 +351,9 @@ class PlanGuardSpec extends SparkSpec {
       "q155_content_manifest" -> 4,
       // md5 keeper window + shared-pair victim distinct + doc join +
       // the 4-gate explode agg + 1-row total + sort
-      "q156_gate_ablation" -> 8
+      "q156_gate_ablation" -> 8,
+      // five map-side width projections + their 1-row combines + union sort
+      "q157_join_planner" -> 6
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
