@@ -2241,4 +2241,77 @@ object CurationOps {
        |FROM q97p$PrRounds p JOIN q97d d ON d.src = p.node
        |ORDER BY pagerank DESC, doc_id""".stripMargin
   }
+
+  // --- q158: sequence-length economics ----------------------------------------
+
+  /** Budgets swept (tokens per training sequence). */
+  val SeqLenBudgets: Seq[Long] = Seq(64L, 128L, 256L, 512L)
+
+  /** The sequence-length decision table: for each candidate budget L, what
+    * the corpus pays in TRUNCATION (docs over L, tokens lost) versus
+    * PADDING (fill rate one-doc-per-sequence vs the q50-packed lower
+    * bound `⌈kept/L⌉` sequences) — the economics consulted before fixing
+    * a training context length: too small loses content, too large burns
+    * compute on pad tokens, and packing (q50) recovers the difference.
+    * Everything derives from the token-count distribution alone — no
+    * packing simulation, so the sweep costs one pass however many
+    * budgets are probed.
+    *
+    * Scale shape: one map-side token count exploded onto the fixed budget
+    * list + ONE ≤|budgets|-group aggregate with map-side combine.
+    * Determinism: pure integer min/max/ceiling arithmetic, two fixed
+    * divide-round shapes.
+    */
+  def seqLenEconomics(spark: SparkSession, dir: String): DataFrame = {
+    val budgets = SeqLenBudgets.map(l => s"${l}L").mkString("array(", ", ", ")")
+    docs(spark, dir)
+      .select(size(TextOps.toks).cast("long").as("n_tok"))
+      .withColumn("seq_len", explode(expr(budgets)))
+      .groupBy(col("seq_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tok") > col("seq_len"), 1L).otherwise(0L)).as("n_truncated"),
+        sum(least(col("n_tok"), col("seq_len"))).as("tokens_kept"),
+        sum(greatest(col("n_tok") - col("seq_len"), lit(0L))).as("tokens_lost"))
+      .select(
+        col("seq_len"),
+        col("n_docs"),
+        col("n_truncated"),
+        col("tokens_kept"),
+        col("tokens_lost"),
+        expr("(tokens_kept + seq_len - 1) DIV seq_len").as("n_seqs_packed"),
+        round(
+          col("tokens_kept").cast("double") /
+            (expr("(tokens_kept + seq_len - 1) DIV seq_len") * col("seq_len")).cast("double"),
+          6).as("fill_packed"),
+        round(
+          col("tokens_kept").cast("double") / (col("n_docs") * col("seq_len")).cast("double"),
+          6).as("fill_unpacked"))
+      .orderBy(col("seq_len"))
+  }
+
+  /** q158 oracle: identical budget explode, integer min/max/ceiling, and
+    * divide-round shapes.
+    */
+  lazy val seqLenEconomicsSql: String = {
+    val budgets = SeqLenBudgets.mkString("[", ", ", "]")
+    s"""WITH q158t AS (
+       |  SELECT len(${TextOps.DuckToks})::BIGINT AS n_tok FROM documents),
+       |q158e AS (
+       |  SELECT b.seq_len, t.n_tok
+       |  FROM q158t t, (SELECT unnest($budgets)::BIGINT AS seq_len) b),
+       |q158a AS (
+       |  SELECT seq_len, count(*)::BIGINT AS n_docs,
+       |    CAST(sum(CASE WHEN n_tok > seq_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+       |    CAST(sum(least(n_tok, seq_len)) AS BIGINT) AS tokens_kept,
+       |    CAST(sum(greatest(n_tok - seq_len, 0)) AS BIGINT) AS tokens_lost
+       |  FROM q158e GROUP BY seq_len)
+       |SELECT seq_len, n_docs, n_truncated, tokens_kept, tokens_lost,
+       |  CAST((tokens_kept + seq_len - 1) // seq_len AS BIGINT) AS n_seqs_packed,
+       |  round(tokens_kept::DOUBLE /
+       |    (((tokens_kept + seq_len - 1) // seq_len) * seq_len)::DOUBLE, 6) AS fill_packed,
+       |  round(tokens_kept::DOUBLE / (n_docs * seq_len)::DOUBLE, 6) AS fill_unpacked
+       |FROM q158a
+       |ORDER BY seq_len""".stripMargin
+  }
 }

@@ -1285,6 +1285,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q158: economics reconcile with the token distribution; monotone in L") {
+    import graft.operators.CurationOps
+    val rows = CurationOps.seqLenEconomics(spark, Sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == CurationOps.SeqLenBudgets)
+    val toks = graft.core.Tables.documents(spark, Sf0001)
+      .select(size(split(trim(col("text")), "\\s+")).cast("long")).collect().map(_.getLong(0))
+    rows.foreach { r =>
+      val l = r.getLong(0)
+      assert(r.getLong(1) == toks.length.toLong)
+      assert(r.getLong(2) == toks.count(_ > l).toLong, s"n_truncated: $r")
+      assert(r.getLong(3) == toks.map(math.min(_, l)).sum, s"kept: $r")
+      assert(r.getLong(4) == toks.map(t => math.max(t - l, 0L)).sum, s"lost: $r")
+      assert(r.getLong(3) + r.getLong(4) == toks.sum, s"kept + lost = total: $r")
+      val bins = (r.getLong(3) + l - 1) / l
+      assert(r.getLong(5) == bins, s"packed bins: $r")
+      assert(r.getDouble(6) >= r.getDouble(7) - 1e-12, s"packing can't hurt fill: $r")
+    }
+    // truncation loss shrinks as L grows; packed fill stays near 1
+    val lost = rows.map(_.getLong(4))
+    assert(lost.zip(lost.tail).forall { case (a, b) => b <= a }, s"monotone: ${lost.toSeq}")
+  }
+
   test("q150: advisor rows match a brute-force key census and ceiling math") {
     import graft.operators.Skew
     val rows = Skew.skewAdvisor(spark, Sf0001).collect()

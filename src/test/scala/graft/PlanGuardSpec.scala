@@ -353,7 +353,9 @@ class PlanGuardSpec extends SparkSpec {
       // the 4-gate explode agg + 1-row total + sort
       "q156_gate_ablation" -> 8,
       // five map-side width projections + their 1-row combines + union sort
-      "q157_join_planner" -> 6
+      "q157_join_planner" -> 6,
+      // one token-count explode onto the budgets + ≤|budgets| agg + sort
+      "q158_seqlen_economics" -> 2
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
