@@ -29,7 +29,15 @@ import org.apache.spark.sql.DataFrame
   * (12 rounded float power-iteration rounds), q138 (signature-component
   * folds joined per pair), q139 (star-contraction labels feeding the
   * hash split — a drifting label would silently re-split documents),
-  * q143 (gram df join-back over the exploded shingle grain).
+  * q143 (gram df join-back over the exploded shingle grain), q148 (the
+  * change-point argmax over prefix-sum windows — an exact-integer key,
+  * but the window itself re-partitions under re-layout), q149 (the
+  * equi-depth boundary pick from the cumulative histogram), q151
+  * (session-window channel carries + full-outer rollup join), q152
+  * (float cosine rank ties at four truncation dims), q153 (the boundary
+  * hour from the cumulative hour histogram + the (type, user) overlap
+  * rollup), q155 (the xor/min/max manifest — DESIGNED to be
+  * layout-blind, so a drift here is the clearest possible regression).
   * Caches AND the session-shared checkpointed stages are cleared between
   * runs so the second pass genuinely re-derives everything under the new
   * layout.
@@ -43,7 +51,9 @@ class LayoutInvarianceSpec extends SparkSpec {
       "q110_session_paths", "q112_rolling_actives",
       "q124_bootstrap_ci", "q126_ab_uplift", "q133_conversion_latency",
       "q135_stationary_mix", "q138_minhash_calibration",
-      "q139_grouped_split", "q143_doc_novelty")
+      "q139_grouped_split", "q143_doc_novelty",
+      "q148_changepoint", "q149_range_planner", "q151_attribution",
+      "q152_trunc_audit", "q153_temporal_split", "q155_content_manifest")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, Sf0001).collect().map(_.toString).toSeq
