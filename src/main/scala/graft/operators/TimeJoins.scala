@@ -259,14 +259,18 @@ object TimeJoins {
     // struct max keeps the aggregate HASH-aggregable where max_by's buffer
     // forces SortAggregate (sorting every partition by group keys, the
     // expensive shape at a billion (user, hour) groups)
-    val hourly = ev
-      .groupBy(col("user_id"), col("hour"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
-      .select(col("user_id"), col("hour"), col("n_events"), col("m.value").as("last_in_hour"))
+    // scope-persisted: the grid's per-user extent derives from this SAME
+    // (user, hour) bucket table — deriving it from raw events would scan
+    // the corpus twice for numbers the bucket grain already holds
+    val hourly = graft.core.CacheScope.persist(
+      ev
+        .groupBy(col("user_id"), col("hour"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("hour"), col("n_events"), col("m.value").as("last_in_hour")))
 
-    val grid = ev
+    val grid = hourly
       .groupBy(col("user_id"))
       .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
       .select(col("user_id"),
