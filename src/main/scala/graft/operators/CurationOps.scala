@@ -1130,14 +1130,18 @@ object CurationOps {
     * division. Docs shorter than [[SubW]] report zero windows.
     */
   def substringDedup(spark: SparkSession, dir: String): DataFrame = {
-    val wins = docs(spark, dir)
-      .select(col("doc_id"), TextOps.toks.as("toks"))
-      .filter(size(col("toks")) >= SubW)
-      .select(
-        col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, size(toks) - $SubW), i -> struct(i AS widx, md5(concat_ws(' ', slice(toks, i + 1, $SubW))) AS h))")).as("w"))
-      .select(col("doc_id"), col("w.widx").as("widx"), col("w.h").as("h"))
+    // scope-persisted: read by the owner aggregate AND the join side —
+    // without it the stride-1 explode + md5 (the dominant map cost) runs
+    // twice over the corpus
+    val wins = graft.core.CacheScope.persist(
+      docs(spark, dir)
+        .select(col("doc_id"), TextOps.toks.as("toks"))
+        .filter(size(col("toks")) >= SubW)
+        .select(
+          col("doc_id"),
+          explode(expr(
+            s"transform(sequence(0, size(toks) - $SubW), i -> struct(i AS widx, md5(concat_ws(' ', slice(toks, i + 1, $SubW))) AS h))")).as("w"))
+        .select(col("doc_id"), col("w.widx").as("widx"), col("w.h").as("h")))
     val owner = wins
       .groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("widx"))).as("own"))
