@@ -752,6 +752,44 @@ object EventStreams extends Serializable {
       }
   }
 
+  /** E34: streaming ingest manifest — q155's live twin, and the one
+    * integrity gate whose algebra makes the stream/batch reconciliation
+    * EXACT by construction: xor is associative, commutative, and
+    * self-inverse, so the xor of every closed window's `xor_fp` IS the
+    * batch manifest's events fingerprint (spec-pinned) — an ingest
+    * pipeline publishes per-hour manifest rows as it runs, and the
+    * end-of-day batch manifest must fold to the same value or data was
+    * dropped/duplicated in flight, localized to the hour. Fully
+    * declarative: the SAME canonical rendering + xxhash64 as batch q155,
+    * one watermarked tumbling-window aggregate (count/xor/min/max all
+    * have map-side partials), closed windows append exactly once.
+    */
+  def manifestStream(events: DataFrame, watermarkDur: String = "2 hours"): DataFrame = {
+    val canon = concat_ws(
+      "\u001f",
+      col("event_id"),
+      unix_micros(col("ts")),
+      col("user_id"),
+      col("event_type"),
+      (col("value").cast("decimal(18,2)") * lit(100)).cast("long"),
+      col("props"))
+    events
+      .withWatermark("ts", watermarkDur)
+      .select(col("ts"), xxhash64(canon).as("h"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_fp"),
+        min(col("h")).as("min_h"),
+        max(col("h")).as("max_h"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("n_rows"),
+        col("xor_fp"),
+        col("min_h"),
+        col("max_h"))
+  }
+
   case class AttrState(lastUs: Long, lastTsMs: Long, firstCh: String, lastCh: String)
   case class AttrOut(
       user_id: Long,

@@ -1256,4 +1256,39 @@ class StreamingSpec extends SparkSpec {
       assert(r2(l.map(_.getDouble(4)).sum) == b.getDouble(4), s"v_last for $ch")
     }
   }
+
+  test("E34: window manifests xor-fold to the batch events fingerprint") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def hts(hr: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $hr%02d:$min%02d:00")
+    val base = (1 to 90).map(i =>
+      Ev(i, i % 7, hts(1 + i % 3, i % 60), Seq("click", "view", "purchase")(i % 3),
+        1.0 + (i % 13) * 0.37))
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .manifestStream(in.toDF().withColumn("props", lit("{}")))
+      .writeStream.format("memory").queryName("mf_s").outputMode("append").start()
+    in.addData(base.take(40): _*); q.processAllAvailable()
+    in.addData(base.drop(40): _*); q.processAllAvailable()
+    in.addData(Ev(9999, 1, Timestamp.valueOf("2024-06-01 00:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("mf_s").collect().filter(!_.getString(0).startsWith("2024-06"))
+    q.stop()
+    assert(got.length == 3, s"three closed hour windows: ${got.toSeq}")
+    assert(got.map(_.getLong(1)).sum == base.length.toLong)
+    // batch reconciliation: the xor of window fingerprints IS the batch one
+    val dir = java.nio.file.Files.createTempDirectory("e34spec").toString
+    base.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // documents table required by the batch manifest: reuse the real one
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$Sf0001/documents.parquet"))
+    val batch = graft.operators.StatsOps.contentManifest(spark, dir).collect()
+      .find(_.getString(0) == "events").get
+    assert(got.map(_.getLong(2)).reduce(_ ^ _) == batch.getLong(2), "xor fold drift")
+    assert(got.map(_.getLong(3)).min == batch.getLong(3), "min_h drift")
+    assert(got.map(_.getLong(4)).max == batch.getLong(4), "max_h drift")
+  }
 }
