@@ -2294,6 +2294,77 @@ object CurationOps {
       .orderBy(col("seq_len"))
   }
 
+  // --- q159: k-anonymity audit -------------------------------------------------
+
+  /** k thresholds the audit reports against. */
+  val KThresholds: Seq[Long] = Seq(2L, 5L, 10L, 20L)
+
+  /** Re-identification audit over the quasi-identifier combination
+    * `(lang, source, n_chars DIV 100)`: for each k, how many equivalence
+    * classes fall below k members and how many documents sit in them —
+    * the k-anonymity readout. q48 scrubs DIRECT identifiers out of the
+    * text; this measures the orthogonal channel — metadata whose
+    * COMBINATION is rare enough to point at one document/author even
+    * with the text clean (the governance sign-off a published corpus
+    * needs: "no quasi-identifier class smaller than k"). A release
+    * pipeline acts on it by generalizing (coarser buckets) or
+    * suppressing the at-risk classes.
+    *
+    * Scale shape: ONE keyed aggregate collapses the corpus to the
+    * bounded quasi-identifier grain (|langs|×|sources|×|size buckets|);
+    * the k sweep explodes THAT tiny table, and the 1-row total derives
+    * from it too (persisted — no second corpus scan). Determinism: pure
+    * integer counts, one divide-round.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val ks = KThresholds.map(k => s"${k}L").mkString("array(", ", ", ")")
+    val groups = graft.core.CacheScope.persist(
+      Tables
+        .documents(spark, dir)
+        .groupBy(col("lang"), col("source"), expr("n_chars DIV 100").as("size_bucket"))
+        .agg(count(lit(1)).as("g")))
+    groups
+      .withColumn("k", explode(expr(ks)))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("g") < col("k"), 1L).otherwise(0L)).as("n_groups_below"),
+        sum(when(col("g") < col("k"), col("g")).otherwise(0L)).as("n_docs_at_risk"),
+        min(col("g")).as("min_group_size"))
+      .crossJoin(broadcast(groups.groupBy().agg(sum(col("g")).as("n_docs"))))
+      .select(
+        col("k"),
+        col("n_groups"),
+        col("n_groups_below"),
+        col("n_docs_at_risk"),
+        round(col("n_docs_at_risk").cast("double") / col("n_docs").cast("double"), 6)
+          .as("pct_at_risk"),
+        col("min_group_size"))
+      .orderBy(col("k"))
+  }
+
+  /** q159 oracle: identical quasi-identifier grain, k explode, and
+    * conditional rollups.
+    */
+  lazy val kAnonymitySql: String = {
+    val ks = KThresholds.mkString("[", ", ", "]")
+    s"""WITH q159g AS MATERIALIZED (
+       |  SELECT lang, source, n_chars // 100 AS size_bucket, count(*)::BIGINT AS g
+       |  FROM documents GROUP BY 1, 2, 3),
+       |q159n AS (SELECT CAST(sum(g) AS BIGINT) AS n_docs FROM q159g),
+       |q159k AS (SELECT unnest($ks)::BIGINT AS k)
+       |SELECT k.k,
+       |  count(*)::BIGINT AS n_groups,
+       |  CAST(sum(CASE WHEN g.g < k.k THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below,
+       |  CAST(sum(CASE WHEN g.g < k.k THEN g.g ELSE 0 END) AS BIGINT) AS n_docs_at_risk,
+       |  round(CAST(sum(CASE WHEN g.g < k.k THEN g.g ELSE 0 END) AS DOUBLE)
+       |    / n.n_docs::DOUBLE, 6) AS pct_at_risk,
+       |  CAST(min(g.g) AS BIGINT) AS min_group_size
+       |FROM q159g g, q159k k, q159n n
+       |GROUP BY k.k, n.n_docs
+       |ORDER BY k.k""".stripMargin
+  }
+
   /** q158 oracle: identical budget explode, integer min/max/ceiling, and
     * divide-round shapes.
     */

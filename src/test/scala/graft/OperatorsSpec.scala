@@ -1307,6 +1307,26 @@ class OperatorsSpec extends SparkSpec {
     assert(lost.zip(lost.tail).forall { case (a, b) => b <= a }, s"monotone: ${lost.toSeq}")
   }
 
+  test("q159: k-anonymity counts reconcile with a driver census of the QI grain") {
+    import graft.operators.CurationOps
+    val rows = CurationOps.kAnonymity(spark, Sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == CurationOps.KThresholds)
+    val sizes = graft.core.Tables.documents(spark, Sf0001)
+      .select(col("lang"), col("source"), expr("n_chars DIV 100")).collect()
+      .groupBy(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .values.map(_.length.toLong).toSeq
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getLong(1) == sizes.length.toLong, s"n_groups: $r")
+      assert(r.getLong(2) == sizes.count(_ < k).toLong, s"below: $r")
+      assert(r.getLong(3) == sizes.filter(_ < k).sum, s"at risk: $r")
+      assert(r.getLong(5) == sizes.min, s"min size: $r")
+    }
+    // risk is monotone in k
+    val risk = rows.map(_.getLong(3))
+    assert(risk.zip(risk.tail).forall { case (a, b) => a <= b }, s"monotone: ${risk.toSeq}")
+  }
+
   test("q150: advisor rows match a brute-force key census and ceiling math") {
     import graft.operators.Skew
     val rows = Skew.skewAdvisor(spark, Sf0001).collect()

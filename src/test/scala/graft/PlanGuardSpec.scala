@@ -355,7 +355,10 @@ class PlanGuardSpec extends SparkSpec {
       // five map-side width projections + their 1-row combines + union sort
       "q157_join_planner" -> 6,
       // one token-count explode onto the budgets + ≤|budgets| agg + sort
-      "q158_seqlen_economics" -> 2
+      "q158_seqlen_economics" -> 2,
+      // ONE quasi-identifier agg (persisted, re-printed for the 1-row
+      // total) + the k-sweep rollup of that bounded grain + sort
+      "q159_kanonymity" -> 4
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -508,7 +511,9 @@ class PlanGuardSpec extends SparkSpec {
         // q153 crossJoins the 1-row event total and the 1-row boundary
         "q153_temporal_split",
         // q156 crossJoins the 1-row document total onto the 4-gate rows
-        "q156_gate_ablation")
+        "q156_gate_ablation",
+        // q159 crossJoins the 1-row doc total onto the 4 k-threshold rows
+        "q159_kanonymity")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
