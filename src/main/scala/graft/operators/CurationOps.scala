@@ -2294,6 +2294,114 @@ object CurationOps {
       .orderBy(col("seq_len"))
   }
 
+  // --- q160: water-filling fair token allocation -------------------------------
+
+  /** Budget as a fraction of total corpus tokens (numerator/denominator —
+    * integer arithmetic, no float budget).
+    */
+  val FairBudgetNum = 1L
+  val FairBudgetDen = 2L
+
+  /** Max-min fair (water-filling) token allocation across sources under a
+    * global budget of half the corpus: every source receives
+    * `min(supply_i, L)` with the water level L chosen so allocations sum
+    * EXACTLY to the budget, integer remainder distributed one token each
+    * to the smallest unsaturated sources in (supply, name) order. This is
+    * the fairness-constrained complement of q53 (heuristic mix weights)
+    * and q106 (score-greedy doc admission): when a training mix must not
+    * let two mega-sources eat the whole budget, water-filling IS the
+    * allocation that maximizes the minimum share — and the closed-form
+    * segment search makes it exactly computable in one pass over the
+    * per-source supply table, no iteration.
+    *
+    * Scale shape: ONE corpus aggregate to the |sources| supply grain;
+    * the segment search (prefix sums + the `P_i + (n−i)·s_i ≤ B`
+    * boundary), level division, and remainder spread are windows over
+    * that tiny table; the 1-row level broadcasts back. Determinism: all
+    * integer, ties on (supply, source), fixed divide-round for shares.
+    */
+  def fairAllocation(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the |sources| supply grain feeds the rank chain AND the
+    // 1-row total — without it the corpus aggregates twice
+    val supplies = graft.core.CacheScope.persist(
+      docs(spark, dir)
+        .select(col("source"), size(TextOps.toks).cast("long").as("t"))
+        .groupBy(col("source"))
+        .agg(sum(col("t")).as("s")))
+    val tot = supplies
+      .groupBy()
+      .agg(sum(col("s")).as("n_total"), count(lit(1)).as("n"))
+      .withColumn("budget", expr(s"n_total * $FairBudgetNum DIV $FairBudgetDen"))
+    val byS = Window.orderBy(col("s"), col("source"))
+    val ranked = supplies
+      .withColumn("i", row_number().over(byS).cast("long"))
+      .withColumn("p", sum(col("s")).over(byS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+    val istar = ranked
+      .filter(col("p") + (col("n") - col("i")) * col("s") <= col("budget"))
+      .groupBy()
+      .agg(coalesce(max(col("i")), lit(0L)).as("istar0"))
+    val lvl = ranked
+      .crossJoin(broadcast(istar))
+      .groupBy(col("istar0"), col("budget"), col("n"))
+      .agg(coalesce(max(when(col("i") === col("istar0"), col("p"))), lit(0L)).as("p_star"))
+      .select(
+        col("istar0"),
+        col("budget"),
+        expr("(budget - p_star) DIV (n - istar0)").as("level"),
+        expr("(budget - p_star) % (n - istar0)").as("rem"))
+    ranked
+      .select(col("source"), col("s"), col("i"))
+      .crossJoin(broadcast(lvl))
+      .withColumn(
+        "allocation",
+        when(col("i") <= col("istar0"), col("s"))
+          .otherwise(
+            col("level") + when(col("i") - col("istar0") <= col("rem"), 1L).otherwise(0L)))
+      .select(
+        col("source"),
+        col("s").as("supply"),
+        col("allocation"),
+        (col("i") <= col("istar0")).as("saturated"),
+        round(col("allocation").cast("double") / col("budget").cast("double"), 6)
+          .as("share_of_budget"))
+      .orderBy(col("source"))
+  }
+
+  /** q160 oracle: identical supply grain, segment search, integer level
+    * and remainder-spread rules.
+    */
+  lazy val fairAllocationSql: String =
+    s"""WITH q160s AS MATERIALIZED (
+       |  SELECT source, CAST(sum(len(${TextOps.DuckToks})) AS BIGINT) AS s
+       |  FROM documents GROUP BY source),
+       |q160t AS (SELECT CAST(sum(s) AS BIGINT) AS n_total, count(*)::BIGINT AS n FROM q160s),
+       |q160b AS (SELECT n_total * $FairBudgetNum // $FairBudgetDen AS budget, n FROM q160t),
+       |q160r AS (
+       |  SELECT source, s, row_number() OVER w AS i,
+       |    CAST(sum(s) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+       |  FROM q160s WINDOW w AS (ORDER BY s, source)),
+       |q160i AS (
+       |  SELECT coalesce(max(r.i), 0) AS istar0
+       |  FROM q160r r, q160b b WHERE r.p + (b.n - r.i) * r.s <= b.budget),
+       |q160p AS (
+       |  SELECT coalesce(max(CASE WHEN r.i = i.istar0 THEN r.p END), 0) AS p_star, i.istar0
+       |  FROM q160r r, q160i i GROUP BY i.istar0),
+       |q160l AS (
+       |  SELECT p.istar0, (b.budget - p.p_star) // (b.n - p.istar0) AS level,
+       |    (b.budget - p.p_star) % (b.n - p.istar0) AS rem, b.budget
+       |  FROM q160p p, q160b b)
+       |SELECT r.source, r.s AS supply,
+       |  CAST(CASE WHEN r.i <= l.istar0 THEN r.s
+       |    ELSE l.level + (CASE WHEN r.i - l.istar0 <= l.rem THEN 1 ELSE 0 END) END
+       |    AS BIGINT) AS allocation,
+       |  (r.i <= l.istar0) AS saturated,
+       |  round(CAST(CASE WHEN r.i <= l.istar0 THEN r.s
+       |    ELSE l.level + (CASE WHEN r.i - l.istar0 <= l.rem THEN 1 ELSE 0 END) END
+       |    AS DOUBLE) / l.budget::DOUBLE, 6) AS share_of_budget
+       |FROM q160r r, q160l l
+       |ORDER BY r.source""".stripMargin
+
   // --- q159: k-anonymity audit -------------------------------------------------
 
   /** k thresholds the audit reports against. */

@@ -1327,6 +1327,28 @@ class OperatorsSpec extends SparkSpec {
     assert(risk.zip(risk.tail).forall { case (a, b) => a <= b }, s"monotone: ${risk.toSeq}")
   }
 
+  test("q160: allocations sum exactly to the budget and are max-min fair") {
+    import graft.operators.CurationOps
+    val rows = CurationOps.fairAllocation(spark, Sf0001).collect()
+    assert(rows.length == 20)
+    val supply = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val alloc  = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val budget = supply.values.sum * CurationOps.FairBudgetNum / CurationOps.FairBudgetDen
+    assert(alloc.values.sum == budget, s"sum ${alloc.values.sum} != budget $budget")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"allocation exceeds supply: $r")
+      if (r.getBoolean(3)) assert(r.getLong(2) == r.getLong(1), s"saturated ⇒ full: $r")
+    }
+    // max-min fairness: unsaturated allocations differ by at most one
+    // token, and every saturated supply is below the unsaturated level
+    val unsat = rows.filter(!_.getBoolean(3)).map(_.getLong(2))
+    if (unsat.nonEmpty) {
+      assert(unsat.max - unsat.min <= 1, s"levels: ${unsat.toSeq}")
+      rows.filter(_.getBoolean(3)).foreach(r =>
+        assert(r.getLong(1) <= unsat.max, s"saturated above level: $r"))
+    }
+  }
+
   test("q150: advisor rows match a brute-force key census and ceiling math") {
     import graft.operators.Skew
     val rows = Skew.skewAdvisor(spark, Sf0001).collect()

@@ -358,7 +358,10 @@ class PlanGuardSpec extends SparkSpec {
       "q158_seqlen_economics" -> 2,
       // ONE quasi-identifier agg (persisted, re-printed for the 1-row
       // total) + the k-sweep rollup of that bounded grain + sort
-      "q159_kanonymity" -> 4
+      "q159_kanonymity" -> 4,
+      // ONE supply agg (persisted, re-printed under the rank/total/
+      // level branches) + the |sources|-grain windows + output sort
+      "q160_fair_allocation" -> 10
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -513,7 +516,10 @@ class PlanGuardSpec extends SparkSpec {
         // q156 crossJoins the 1-row document total onto the 4-gate rows
         "q156_gate_ablation",
         // q159 crossJoins the 1-row doc total onto the 4 k-threshold rows
-        "q159_kanonymity")
+        "q159_kanonymity",
+        // q160 crossJoins its 1-row total/boundary/level aggregates onto
+        // the |sources|-row supply table
+        "q160_fair_allocation")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
