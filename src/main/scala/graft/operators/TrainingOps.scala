@@ -1240,7 +1240,7 @@ object TrainingOps {
     ctes += ("q63reg" -> "(SELECT j, max(rho) AS mj FROM q63r GROUP BY j)")
     ctes += ("q63full" ->
       s"""(SELECT list_transform(range(0, $m), k ->
-         |    CASE WHEN list_position(bs, k) IS NULL THEN 0 ELSE ms[list_position(bs, k)] END) AS fl FROM
+         |    CASE WHEN coalesce(list_position(bs, k), 0) = 0 THEN 0 ELSE ms[list_position(bs, k)] END) AS fl FROM
          |  (SELECT list(j ORDER BY j) AS bs, list(mj ORDER BY j) AS ms FROM q63reg))""".stripMargin)
     ctes += ("q63sk" ->
       """(SELECT list_reduce(list_prepend(0.0::DOUBLE, list_transform(fl, x -> pow(2.0, -x))), (acc, y) -> acc + y) AS s,
@@ -1257,6 +1257,139 @@ object TrainingOps {
          |  n_distinct,
          |  round($estExpr / n_distinct - 1, 4) AS rel_err
          |FROM q63sk, q63ex""".stripMargin)
+  }
+
+  // --- q161: HLL shard-merge audit -------------------------------------------
+
+  /** The sketch-MERGE audit — the property that makes HLL the 100 TB
+    * distinct counter: per event type, an independent [[HllRegisters]]-
+    * register HLL over that type's distinct users; then the union two
+    * ways — `_all_merged` (element-wise max of the per-type register
+    * vectors: how shards/days/regions union their sketches without
+    * touching raw data) and `_all_direct` (one sketch built from the raw
+    * union). Because max is associative and commutative, the two are
+    * IDENTICAL registers by construction — and this query PROVES it on
+    * real data (est, v_zero equal bit-for-bit; spec-pinned), next to
+    * each scope's exact count and relative error. q63 reports one HLL;
+    * q161 certifies the merge algebra a multi-shard deployment relies on.
+    *
+    * Scale shape: ONE (type, user) distinct, map-side rank projection,
+    * register aggregates whose shuffle is ≤|types|·256 rows, per-scope
+    * in-row array folds — the exact branches are the only real
+    * shuffles. Determinism: q63's integer `57 − bitlen` rank, register-
+    * order folds, exact-power-of-two terms, shared literal α.
+    */
+  def sketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val m = HllRegisters
+    val base = graft.core.CacheScope.persist(
+      Tables
+        .events(spark, dir)
+        .select(col("event_type"), col("user_id"))
+        .distinct()
+        .select(col("event_type"), xxhash64(col("user_id")).as("h")))
+    val rhos = base
+      .select(
+        col("event_type"),
+        expr("cast(shiftrightunsigned(h, 56) AS int)").as("j"),
+        expr(s"h & ${(1L << 56) - 1}").as("r"))
+      .select(
+        col("event_type"),
+        col("j"),
+        (lit(57) - length(expr("trim(LEADING '0' FROM bin(r))"))).as("rho"))
+    val perType = graft.core.CacheScope.persist(
+      rhos
+        .groupBy(col("event_type"), col("j"))
+        .agg(max(col("rho")).as("mj"))
+        .select(col("event_type").as("scope"), col("j"), col("mj")))
+    val merged = perType
+      .groupBy(col("j"))
+      .agg(max(col("mj")).as("mj"))
+      .select(lit("_all_merged").as("scope"), col("j"), col("mj"))
+    val direct = rhos
+      .groupBy(col("j"))
+      .agg(max(col("rho")).as("mj"))
+      .select(lit("_all_direct").as("scope"), col("j"), col("mj"))
+    val sketches = perType
+      .unionByName(merged)
+      .unionByName(direct)
+      .groupBy(col("scope"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("mj")))).as("mm"))
+      .select(
+        col("scope"),
+        expr(s"transform(sequence(0, ${m - 1}), j -> coalesce(element_at(mm, j), 0))").as("ms"))
+      .select(
+        col("scope"),
+        expr("aggregate(ms, 0D, (acc, x) -> acc + pow(2.0D, -x))").as("s"),
+        expr("size(filter(ms, x -> x = 0))").as("v_zero"))
+    val perTypeN = base.groupBy(col("event_type").as("scope")).agg(count(lit(1)).as("n_distinct"))
+    val allN     = base.select(col("h")).distinct().agg(count(lit(1)).as("n_distinct"))
+    val exact = perTypeN
+      .unionByName(allN.select(lit("_all_merged").as("scope"), col("n_distinct")))
+      .unionByName(allN.select(lit("_all_direct").as("scope"), col("n_distinct")))
+    val est =
+      s"CASE WHEN (0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 / s <= 2.5 * $m.0 AND v_zero > 0" +
+        s" THEN $m.0 * ln($m.0 / v_zero)" +
+        s" ELSE (0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 / s END"
+    sketches
+      .join(exact, "scope")
+      .select(
+        col("scope"),
+        col("v_zero"),
+        round(expr(est), 2).as("est_distinct"),
+        col("n_distinct"),
+        round(expr(s"$est / n_distinct - 1"), 4).as("rel_err"))
+      .orderBy(col("scope"))
+  }
+
+  /** q161 oracle: the emulated hash chain, identical integer ranks,
+    * per-scope register arrays, folds, and the shared α/linear-count CASE.
+    */
+  lazy val sketchMergeSql: String = {
+    import graft.functions.DuckHash._
+    val m = HllRegisters
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q161in" ->
+        """(SELECT event_type, user_id, user_id::HUGEINT AS lu
+          |  FROM (SELECT DISTINCT event_type, user_id FROM events))""".stripMargin
+    )
+    val ch = new SqlChain("q161h", "q161in", Seq("event_type", "user_id", "lu"))
+    hashLongLevels(ch, s"${toUnsigned("lu")}", "42", "h")
+    ctes ++= ch.ctes
+    ctes += ("q161r" ->
+      s"""(SELECT event_type, (h // 72057594037927936)::INTEGER AS j,
+         |    57 - length(ltrim(bin((h % 72057594037927936)::BIGINT), '0')) AS rho
+         |  FROM ${ch.last})""".stripMargin)
+    ctes += ("q161pt" ->
+      "(SELECT event_type AS scope, j, max(rho) AS mj FROM q161r GROUP BY 1, 2)")
+    ctes += ("q161regs" ->
+      """(SELECT * FROM q161pt
+        |  UNION ALL SELECT '_all_merged', j, max(mj) FROM q161pt GROUP BY j
+        |  UNION ALL SELECT '_all_direct', j, max(rho) FROM q161r GROUP BY j)""".stripMargin)
+    ctes += ("q161full" ->
+      s"""(SELECT scope, list_transform(range(0, $m), k ->
+         |    CASE WHEN coalesce(list_position(bs, k), 0) = 0 THEN 0 ELSE ms[list_position(bs, k)] END) AS fl FROM
+         |  (SELECT scope, list(j ORDER BY j) AS bs, list(mj ORDER BY j) AS ms
+         |   FROM q161regs GROUP BY scope))""".stripMargin)
+    ctes += ("q161sk" ->
+      """(SELECT scope,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(fl, x -> pow(2.0, -x))), (acc, y) -> acc + y) AS s,
+        |    len(list_filter(fl, x -> x = 0)) AS v_zero FROM q161full)""".stripMargin)
+    ctes += ("q161ex" ->
+      """(SELECT event_type AS scope, count(*)::BIGINT AS n_distinct FROM q161in GROUP BY 1
+        |  UNION ALL SELECT '_all_merged', count(DISTINCT user_id) FROM q161in
+        |  UNION ALL SELECT '_all_direct', count(DISTINCT user_id) FROM q161in)""".stripMargin)
+    val estExpr =
+      s"CASE WHEN (0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 / s <= 2.5 * $m.0 AND v_zero > 0" +
+        s" THEN $m.0 * ln($m.0 / v_zero)" +
+        s" ELSE (0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 / s END"
+    assemble(
+      ctes.toSeq,
+      s"""SELECT k.scope, k.v_zero::INTEGER AS v_zero,
+         |  round($estExpr, 2) AS est_distinct,
+         |  e.n_distinct,
+         |  round($estExpr / e.n_distinct - 1, 4) AS rel_err
+         |FROM q161sk k JOIN q161ex e ON k.scope = e.scope
+         |ORDER BY k.scope""".stripMargin)
   }
 
   // --- q106: token-budget corpus selection ----------------------------------

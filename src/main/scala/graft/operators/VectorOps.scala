@@ -745,7 +745,7 @@ object VectorOps {
            |    (SELECT best, sm, sqrt(${sqFoldSql("sm")}) AS nn FROM q32s$t)))""".stripMargin)
       ctes += (s"q32c$t" ->
         s"""(SELECT list_transform(range(1, ${IvfCells + 1}), k ->
-           |    CASE WHEN list_position(bs, k) IS NULL THEN cents[k] ELSE ncs[list_position(bs, k)] END) AS cents
+           |    CASE WHEN coalesce(list_position(bs, k), 0) = 0 THEN cents[k] ELSE ncs[list_position(bs, k)] END) AS cents
            |  FROM q32c${t - 1}, q32n$t)""".stripMargin)
     }
     val cf = s"q32c$IvfIters"
@@ -1010,7 +1010,7 @@ object VectorOps {
            |  (SELECT m, best, list_transform(sm, x -> x / cnt) AS nc FROM q46s$t) GROUP BY m)""".stripMargin)
       ctes += (s"q46c$t" ->
         s"""(SELECT c.m, list_transform(range(1, ${K + 1}), k ->
-           |    CASE WHEN list_position(bs, k) IS NULL THEN cents[k] ELSE ncs[list_position(bs, k)] END) AS cents
+           |    CASE WHEN coalesce(list_position(bs, k), 0) = 0 THEN cents[k] ELSE ncs[list_position(bs, k)] END) AS cents
            |  FROM q46c${t - 1} c JOIN q46n$t USING (m))""".stripMargin)
     }
     val cf = s"q46c$IvfIters"

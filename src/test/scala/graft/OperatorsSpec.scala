@@ -1349,6 +1349,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q161: merged and direct union sketches are identical; errors in band") {
+    import graft.operators.TrainingOps
+    val rows = TrainingOps.sketchMerge(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.contains("_all_merged") && rows.contains("_all_direct"))
+    val m = rows("_all_merged")
+    val d = rows("_all_direct")
+    // the merge algebra: element-max of shard registers == direct registers
+    assert(m.getInt(1) == d.getInt(1) && m.getDouble(2) == d.getDouble(2) &&
+      m.getLong(3) == d.getLong(3) && m.getDouble(4) == d.getDouble(4),
+      s"merged != direct: $m vs $d")
+    // per-scope estimates stay inside a generous 5σ band (σ ≈ 6.5%)
+    rows.values.foreach(r =>
+      assert(math.abs(r.getDouble(4)) < 0.33, s"HLL error out of band: $r"))
+  }
+
   test("q150: advisor rows match a brute-force key census and ceiling math") {
     import graft.operators.Skew
     val rows = Skew.skewAdvisor(spark, Sf0001).collect()

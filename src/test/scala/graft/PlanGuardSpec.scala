@@ -361,7 +361,12 @@ class PlanGuardSpec extends SparkSpec {
       "q159_kanonymity" -> 4,
       // ONE supply agg (persisted, re-printed under the rank/total/
       // level branches) + the |sources|-grain windows + output sort
-      "q160_fair_allocation" -> 10
+      "q160_fair_allocation" -> 10,
+      // (type, user) distinct (persisted, re-printed once per branch that
+      // reads it — register, direct, per-type exact, global exact) +
+      // ≤|types|·256-row register aggs + the per-scope fold +
+      // exact-count branches + scope join + sort
+      "q161_sketch_merge" -> 15
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
