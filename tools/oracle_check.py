@@ -14,6 +14,9 @@ import duckdb
 import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+# optional third arg: substring filter, for partial dumps (e.g. sf0.1
+# spot-checks where only cheap oracles are worth running in DuckDB)
+only = sys.argv[3] if len(sys.argv) > 3 else ""
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[:-len(".parquet")]
@@ -22,6 +25,8 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if only and only not in name:
+        continue
     spark_path = f"{out_dir}/{name}"
     if not os.path.isdir(spark_path):
         print(f"FAIL {name}: spark output missing")
