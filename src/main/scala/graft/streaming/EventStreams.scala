@@ -790,6 +790,74 @@ object EventStreams extends Serializable {
         col("max_h"))
   }
 
+  case class PathState(
+      lastUs: Long,
+      lastTsMs: Long,
+      sessionId: Long,
+      steps: Seq[String])
+  case class PathOut(user_id: Long, session_id: Long, path: String)
+
+  /** E35: streaming session-path emission — the q110 twin's data layer.
+    * Per user, state = the OPEN session's envelope (gap frontier + the
+    * first [[graft.operators.TimeJoins.PathLen]] event types in
+    * (µs, event_id) order — the buffer is capped at PathLen entries no
+    * matter how long the session runs); a session emits its path row
+    * EXACTLY ONCE, when the 30-minute gap closes it (or event-time
+    * timeout closes the last one). Grouping the emitted rows by path IS
+    * q110's per-path count (spec-pinned against a batch replay) — the
+    * top-20 cut stays a batch/downstream concern because "top" is a
+    * whole-distribution property (the E18/E27 boundary), but the
+    * per-session path feed is exactly what a live navigation dashboard
+    * consumes. Session ids are q10's 1-based per-user sequence.
+    */
+  def sessionPathStream(
+      events: Dataset[Ev],
+      watermarkDur: String = "2 hours"): Dataset[PathOut] = {
+    import events.sparkSession.implicits._
+    val GapUs = 1800000000L
+    val K     = graft.operators.TimeJoins.PathLen
+    def pathOf(uid: Long, s: PathState): PathOut =
+      PathOut(uid, s.sessionId, s.steps.mkString(">"))
+    events
+      .withWatermark("ts", watermarkDur)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[PathState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(pathOf(uid, st))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+            var st     = state.getOption
+            val out    = ListBuffer.empty[PathOut]
+            sorted.foreach { e =>
+              val us = tsUs(e.ts)
+              st match {
+                case None =>
+                  st = Some(PathState(us, e.ts.getTime, 1L, Seq(e.event_type)))
+                case Some(s) if us - s.lastUs > GapUs =>
+                  out += pathOf(uid, s)
+                  st = Some(PathState(us, math.max(s.lastTsMs, e.ts.getTime),
+                    s.sessionId + 1, Seq(e.event_type)))
+                case Some(s) if us >= s.lastUs =>
+                  st = Some(s.copy(
+                    lastUs = us,
+                    lastTsMs = math.max(s.lastTsMs, e.ts.getTime),
+                    steps = if (s.steps.length < K) s.steps :+ e.event_type else s.steps))
+                case _ => () // below the session frontier: late beyond the sort, drop
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(s.lastTsMs + 2 * 7200000L, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   case class AttrState(lastUs: Long, lastTsMs: Long, firstCh: String, lastCh: String)
   case class AttrOut(
       user_id: Long,

@@ -1291,4 +1291,51 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getLong(3)).min == batch.getLong(3), "min_h drift")
     assert(got.map(_.getLong(4)).max == batch.getLong(4), "max_h drift")
   }
+
+  test("E35: closed-session paths match a batch replay and emit exactly once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: click>view>purchase>error (4th event beyond PathLen=3),
+    // then a fresh session view; user 2: one lone signup session
+    val all = Seq(
+      Ev(1, 1, t("2024-01-01 10:00:00"), "click", 1.0),
+      Ev(2, 1, t("2024-01-01 10:05:00"), "view", 1.0),
+      Ev(3, 1, t("2024-01-01 10:10:00"), "purchase", 1.0),
+      Ev(4, 1, t("2024-01-01 10:15:00"), "error", 1.0),
+      Ev(5, 1, t("2024-01-01 12:00:00"), "view", 1.0),
+      Ev(6, 2, t("2024-01-01 09:00:00"), "signup", 1.0))
+    val (b1, b2) = all.partition(_.event_id <= 2)
+    val in       = MemoryStream[Ev]
+    val q = EventStreams
+      .sessionPathStream(in.toDS())
+      .writeStream.format("memory").queryName("sp_s").outputMode("append").start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(
+      Ev(9998, 1, t("2024-06-01 00:00:00"), "click", 1.0),
+      Ev(9999, 2, t("2024-06-01 00:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    in.addData(); q.processAllAvailable()
+    val got = spark.table("sp_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    q.stop()
+    // far-future closers each open their own session; drop those rows
+    val real = got.filter { case (u, sid, _) => !(sid == 3 && u == 1) && !(sid == 2 && u == 2) }
+    assert(real.toSet == Set(
+      (1L, 1L, "click>view>purchase"), // 4th event truncated at PathLen
+      (1L, 2L, "view"),
+      (2L, 1L, "signup")), s"paths: ${got.toSeq}")
+    assert(real.length == real.toSet.size, "exactly-once emission")
+    // batch reconciliation: the streamed paths grouped by path equal the
+    // q110 pre-top-k per-session paths on the same data
+    val dir = java.nio.file.Files.createTempDirectory("e35spec").toString
+    all.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.TimeJoins.sessionPaths(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamed = real.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    assert(streamed == batch, s"path counts: $streamed vs $batch")
+  }
 }
