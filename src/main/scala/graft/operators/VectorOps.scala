@@ -1544,6 +1544,109 @@ object VectorOps {
        |WHERE v.var_q > 0
        |ORDER BY z DESC, d.vec_id LIMIT $OutlierTopK""".stripMargin
 
+  // --- q162: embedding drift between corpus halves ---------------------------
+
+  /** Embedding drift audit: split the corpus deterministically in half
+    * (even/odd vec_id — the stand-in for "yesterday's snapshot vs
+    * today's"), and per label compare the two halves' centroid DIRECTIONS
+    * (cosine of the quantized element-sum vectors — counts cancel, so no
+    * division enters the comparison) plus each half's membership share.
+    * A label whose half-centroids decorrelate is a label whose MEANING
+    * moved — embedding-model version skew, annotation drift, or a
+    * distribution shift that q71/q137 (text/stats drift) cannot see
+    * because it lives in the embedding geometry. Run before trusting
+    * q65's semantic dedup or q114's topics across snapshot boundaries.
+    *
+    * Scale shape: ONE posexplode pass to the |labels|×2×dim integer-sum
+    * grain (map-side combine); everything downstream is tiny-table
+    * folds; the 2-row half totals broadcast. Exactness: q72's
+    * quantize-first integer sums, index-ordered folds, fixed
+    * divide-round shapes.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val Q = 1000000L
+    val sums = Tables
+      .embeddings(spark, dir)
+      .select(col("label"), (pmod(col("vec_id"), lit(2L)) === 0L).as("is_a"),
+        posexplode(col("embedding")).as(Seq("pos", "ve")))
+      .select(col("label"), col("is_a"), col("pos"),
+        expr(s"CAST(round(CAST(ve AS DOUBLE) * $Q, 0) AS BIGINT)").as("q"))
+      .groupBy(col("label"), col("is_a"), col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("c"))
+    val vecs = sums
+      .groupBy(col("label"), col("is_a"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, s))), x -> CAST(x.s AS DOUBLE))")
+          .as("sv"),
+        max(col("c")).as("n"))
+      .withColumn("nrm", sqrt(expr("aggregate(sv, 0D, (a, x) -> a + x * x)")))
+    val halves = vecs
+      .groupBy(col("is_a"))
+      .agg(sum(col("n")).as("n_half"))
+    val a = vecs.filter(col("is_a")).select(
+      col("label"), col("sv").as("sva"), col("n").as("n_a"), col("nrm").as("nrma"))
+    val b = vecs.filter(!col("is_a")).select(
+      col("label"), col("sv").as("svb"), col("n").as("n_b"), col("nrm").as("nrmb"))
+    a.join(b, "label")
+      .crossJoin(broadcast(
+        halves.agg(
+          max(when(col("is_a"), col("n_half"))).as("tot_a"),
+          max(when(!col("is_a"), col("n_half"))).as("tot_b"))))
+      .select(
+        col("label"),
+        col("n_a"),
+        col("n_b"),
+        when(col("nrma") > 0.0 && col("nrmb") > 0.0,
+          round(
+            expr("aggregate(zip_with(sva, svb, (x, y) -> x * y), 0D, (a2, x) -> a2 + x)") /
+              (col("nrma") * col("nrmb")),
+            6)).as("centroid_cos"),
+        round(col("n_a").cast("double") / col("tot_a").cast("double"), 6).as("share_a"),
+        round(col("n_b").cast("double") / col("tot_b").cast("double"), 6).as("share_b"),
+        round(
+          col("n_b").cast("double") / col("tot_b").cast("double") -
+            col("n_a").cast("double") / col("tot_a").cast("double"),
+          6).as("share_shift"))
+      .orderBy(col("label"))
+  }
+
+  /** q162 oracle: identical quantized sums, pos-ordered folds, and
+    * divide-round shapes over the same even/odd split.
+    */
+  val embeddingDriftSql: String =
+    """WITH q162e AS (
+      |  SELECT label, (vec_id % 2 = 0) AS is_a,
+      |    unnest(range(1, len(embedding) + 1)) AS pos, unnest(embedding) AS ve
+      |  FROM embeddings),
+      |q162s AS MATERIALIZED (
+      |  SELECT label, is_a, pos,
+      |    CAST(sum(CAST(round(ve::DOUBLE * 1000000, 0) AS BIGINT)) AS BIGINT) AS s,
+      |    count(*)::BIGINT AS c
+      |  FROM q162e GROUP BY 1, 2, 3),
+      |q162v AS MATERIALIZED (
+      |  SELECT label, is_a, list(s::DOUBLE ORDER BY pos) AS sv, max(c) AS n
+      |  FROM q162s GROUP BY 1, 2),
+      |q162n AS (
+      |  SELECT label, is_a, sv, n,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(sv, x -> x * x)),
+      |      (a, b) -> a + b)) AS nrm
+      |  FROM q162v),
+      |q162t AS (
+      |  SELECT CAST(max(CASE WHEN is_a THEN t END) AS BIGINT) AS tot_a,
+      |    CAST(max(CASE WHEN NOT is_a THEN t END) AS BIGINT) AS tot_b
+      |  FROM (SELECT is_a, sum(n) AS t FROM q162v GROUP BY is_a))
+      |SELECT a.label, a.n AS n_a, b.n AS n_b,
+      |  CASE WHEN a.nrm > 0.0 AND b.nrm > 0.0 THEN
+      |    round(list_reduce(list_prepend(0.0::DOUBLE,
+      |        list_transform(range(1, len(a.sv) + 1), i -> a.sv[i] * b.sv[i])),
+      |      (x, y) -> x + y) / (a.nrm * b.nrm), 6) END AS centroid_cos,
+      |  round(a.n::DOUBLE / t.tot_a::DOUBLE, 6) AS share_a,
+      |  round(b.n::DOUBLE / t.tot_b::DOUBLE, 6) AS share_b,
+      |  round(b.n::DOUBLE / t.tot_b::DOUBLE - a.n::DOUBLE / t.tot_a::DOUBLE, 6) AS share_shift
+      |FROM q162n a JOIN q162n b ON a.label = b.label AND a.is_a AND NOT b.is_a
+      |CROSS JOIN q162t t
+      |ORDER BY a.label""".stripMargin
+
   val centroidSimSql: String =
     """WITH q72e AS MATERIALIZED (
       |  SELECT label, unnest(range(1, len(embedding) + 1)) AS pos,

@@ -1365,6 +1365,36 @@ class OperatorsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4)) < 0.33, s"HLL error out of band: $r"))
   }
 
+  test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
+    import graft.operators.VectorOps
+    val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-3, "share_a mass")
+    assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-3, "share_b mass")
+    // driver recomputation for one label through the same quantized sums
+    val label0 = rows.head.getInt(0)
+    val vecs = graft.core.Tables.embeddings(spark, Sf0001)
+      .filter(col("label") === label0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def sumVec(half: Array[Array[Float]]): Array[Double] = {
+      val d  = half.head.length
+      val out = Array.fill(d)(0L)
+      half.foreach(v => (0 until d).foreach(i =>
+        out(i) += math.round(v(i).toDouble * 1000000)))
+      out.map(_.toDouble)
+    }
+    val sa = sumVec(vecs.filter(_._1 % 2 == 0).map(_._2))
+    val sb = sumVec(vecs.filter(_._1 % 2 != 0).map(_._2))
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+    val want = dot(sa, sb) / (math.sqrt(dot(sa, sa)) * math.sqrt(dot(sb, sb)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.head.getDouble(3) == r6(want), s"cos: ${rows.head} want $want")
+    assert(rows.head.getLong(1) == vecs.count(_._1 % 2 == 0).toLong)
+    assert(rows.head.getLong(2) == vecs.count(_._1 % 2 != 0).toLong)
+  }
+
   test("q150: advisor rows match a brute-force key census and ceiling math") {
     import graft.operators.Skew
     val rows = Skew.skewAdvisor(spark, Sf0001).collect()

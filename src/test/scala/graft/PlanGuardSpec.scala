@@ -366,7 +366,10 @@ class PlanGuardSpec extends SparkSpec {
       // reads it — register, direct, per-type exact, global exact) +
       // ≤|types|·256-row register aggs + the per-scope fold +
       // exact-count branches + scope join + sort
-      "q161_sketch_merge" -> 15
+      "q161_sketch_merge" -> 15,
+      // ONE posexplode pass to the |labels|×2×dim sum grain + the
+      // assembly/halves rollups + label join + sort (AQE broadcasts)
+      "q162_embedding_drift" -> 8
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -524,7 +527,9 @@ class PlanGuardSpec extends SparkSpec {
         "q159_kanonymity",
         // q160 crossJoins its 1-row total/boundary/level aggregates onto
         // the |sources|-row supply table
-        "q160_fair_allocation")
+        "q160_fair_allocation",
+        // q162 crossJoins the 1-row half-totals onto the |labels| rows
+        "q162_embedding_drift")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
