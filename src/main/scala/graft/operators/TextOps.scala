@@ -1346,4 +1346,109 @@ object TextOps {
          |  md5(clean) AS clean_md5
          |FROM q93s
          |ORDER BY doc_id""".stripMargin
+
+  // --- q163: LSH parameter planner -------------------------------------------
+
+  /** (bands, rows) configurations sharing the 32-permutation signature
+    * budget `b·r = 32` — the whole design space one signature admits.
+    */
+  val LshConfigs: Seq[(Int, Int)] = Seq((32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32))
+
+  /** Repeated-squaring power chain for power-of-two exponents — the SAME
+    * multiplication tree in both engines, so the S-curve floats match
+    * bitwise (no `pow`, whose libm differs across engines).
+    */
+  private def powChainSql(x: String, n: Int): String =
+    if (n == 1) s"($x)" else { val h = powChainSql(x, n / 2); s"($h * $h)" }
+
+  /** The LSH tuning table q25's banding hard-codes one row of: for every
+    * (b, r) with b·r = 32, the S-curve `P(candidate|J) = 1 − (1 − J^r)^b`
+    * evaluated at the fixed probes J ∈ {0.5, 0.7, 0.9} (computed
+    * in-engine by the shared power chain from the same short literals —
+    * a printed 17-digit constant can land one ulp apart across the two
+    * engines' literal paths; the chain cannot), PLUS
+    * the corpus-weighted consequences over the EXACT pair-similarity
+    * table (the session-shared q95 stage at its 0.5 floor): expected
+    * recall over true ≥ 0.9 pairs and the expected number of
+    * sub-threshold (0.5 ≤ J < 0.9) pairs the banding would surface as
+    * candidates — the recall-vs-verify-cost frontier that justifies (or
+    * indicts) the (8, 4) choice BEFORE a 100 TB dedup run commits to it.
+    * q84 audits the one deployed config empirically; q163 prices every
+    * config the signature budget admits. Pairs below the 0.5 floor are
+    * outside the table (their S-curve mass is negligible at r ≥ 2;
+    * documented, not silently dropped).
+    *
+    * Scale shape: rides the pinned exact-pair stage (dup-rate-bounded);
+    * per-pair probabilities are map-side multiplication chains quantized
+    * to integer micro-units BEFORE summing (order-free exact sums — the
+    * q72 rule), 6 config rows total. Determinism: identical power
+    * chains, shared literals, integer sums, fixed divide-round shapes.
+    */
+  def lshPlanner(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = SharedStages.exactPairs(spark, dir).select(col("jaccard"))
+    val probes = Seq("0.5", "0.7", "0.9")
+    // probe columns evaluate the SAME power chain in-engine from the same
+    // short literals — a Scala-printed 17-digit constant can land one ulp
+    // apart across the two engines' literal paths; the chain cannot
+    val rows = LshConfigs.map { case (b, r) =>
+      val curve = probes.map(j =>
+        s"1.0D - ${powChainSql(s"1.0D - ${powChainSql(s"CAST($j AS DOUBLE)", r)}", b)}")
+      val pExpr = s"1.0D - ${powChainSql(s"1.0D - ${powChainSql("jaccard", r)}", b)}"
+      (b, r, curve, pExpr)
+    }
+    val legs = rows.map { case (b, r, curve, pExpr) =>
+      pairs
+        .select(
+          expr(s"CAST(round(($pExpr) * 1000000, 0) AS BIGINT)").as("pq"),
+          (col("jaccard") >= lit(JaccardThreshold)).as("is_true"))
+        .groupBy()
+        .agg(
+          sum(when(col("is_true"), col("pq"))).as("s_true"),
+          sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
+          sum(when(!col("is_true"), col("pq"))).as("s_sub"),
+          sum(when(!col("is_true"), 1L).otherwise(0L)).as("n_sub"))
+        .select(
+          lit(b).as("bands"),
+          lit(r).as("rows_per_band"),
+          expr(curve(0)).as("p_at_05"),
+          expr(curve(1)).as("p_at_07"),
+          expr(curve(2)).as("p_at_09"),
+          round(col("s_true").cast("double") / (col("n_true") * lit(1000000L)).cast("double"), 6)
+            .as("exp_recall_true"),
+          col("n_true"),
+          round(col("s_sub").cast("double") / lit(1000000.0), 2).as("exp_sub_cands"),
+          col("n_sub"))
+    }
+    legs
+      .reduce(_ unionByName _)
+      .orderBy(col("bands").desc)
+  }
+
+  /** q163 oracle: the brute-force exact-pair chain + the IDENTICAL power
+    * chains, shared literals, and quantized integer sums.
+    */
+  lazy val lshPlannerSql: String = {
+    val probes = Seq("0.5", "0.7", "0.9")
+    val legs = LshConfigs.map { case (b, r) =>
+      val curve = probes.map(j =>
+        s"1.0 - ${powChainSql(s"1.0 - ${powChainSql(s"CAST($j AS DOUBLE)", r)}", b)}")
+      val pExpr = s"1.0 - ${powChainSql(s"1.0 - ${powChainSql("jaccard", r)}", b)}"
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |  (${curve(0)}) AS p_at_05,
+         |  (${curve(1)}) AS p_at_07,
+         |  (${curve(2)}) AS p_at_09,
+         |  round(CAST(sum(CASE WHEN jaccard >= $JaccardThreshold THEN pq END) AS DOUBLE)
+         |    / (CAST(sum(CASE WHEN jaccard >= $JaccardThreshold THEN 1 ELSE 0 END) AS BIGINT)
+         |       * 1000000)::DOUBLE, 6) AS exp_recall_true,
+         |  CAST(sum(CASE WHEN jaccard >= $JaccardThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |  round(CAST(sum(CASE WHEN jaccard < $JaccardThreshold THEN pq END) AS DOUBLE)
+         |    / 1000000.0, 2) AS exp_sub_cands,
+         |  CAST(sum(CASE WHEN jaccard < $JaccardThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_sub
+         |FROM (SELECT jaccard,
+         |    CAST(round(($pExpr) * 1000000, 0) AS BIGINT) AS pq FROM q163p)""".stripMargin
+    }
+    s"""WITH q163p AS MATERIALIZED (SELECT jaccard FROM ($prefixJoinSql))
+       |SELECT * FROM (${legs.map(l => s"($l)").mkString(" UNION ALL ")})
+       |ORDER BY bands DESC""".stripMargin
+  }
 }

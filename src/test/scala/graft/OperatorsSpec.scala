@@ -1395,6 +1395,36 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.head.getLong(2) == vecs.count(_._1 % 2 != 0).toLong)
   }
 
+  test("q163: S-curves behave and corpus-weighted columns match a driver fold") {
+    import graft.operators.TextOps
+    val rows = TextOps.lshPlanner(spark, Sf0001).collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq == TextOps.LshConfigs)
+    // more bands (shorter rows) = higher candidate probability everywhere
+    Seq(2, 3, 4).foreach { c =>
+      val ps = rows.map(_.getDouble(c))
+      assert(ps.zip(ps.tail).forall { case (hi, lo) => hi >= lo },
+        s"S-curve monotone in b at probe col $c: ${ps.toSeq}")
+    }
+    // driver fold over the exact pair table reproduces the weighted columns
+    val pairs = graft.operators.SharedStages.exactPairs(spark, Sf0001)
+      .select(col("jaccard")).collect().map(_.getDouble(0))
+    def powC(x: Double, n: Int): Double = if (n == 1) x else { val h = powC(x, n / 2); h * h }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val (b, rr) = (r.getInt(0), r.getInt(1))
+      def pq(j: Double) =
+        math.round((1.0 - powC(1.0 - powC(j, rr), b)) * 1000000).toLong
+      val tru = pairs.filter(_ >= 0.9)
+      val sub = pairs.filter(_ < 0.9)
+      assert(r.getLong(6) == tru.length.toLong && r.getLong(8) == sub.length.toLong)
+      assert(r.getDouble(5) == r6(tru.map(pq).sum.toDouble / (tru.length * 1000000.0)),
+        s"recall: $r")
+      val wantSub = BigDecimal(sub.map(pq).sum.toDouble / 1000000.0)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(7) == wantSub, s"sub load: $r")
+    }
+  }
+
   test("q150: advisor rows match a brute-force key census and ceiling math") {
     import graft.operators.Skew
     val rows = Skew.skewAdvisor(spark, Sf0001).collect()

@@ -369,7 +369,9 @@ class PlanGuardSpec extends SparkSpec {
       "q161_sketch_merge" -> 15,
       // ONE posexplode pass to the |labels|×2×dim sum grain + the
       // assembly/halves rollups + label join + sort (AQE broadcasts)
-      "q162_embedding_drift" -> 8
+      "q162_embedding_drift" -> 8,
+      // six 1-row combines over the pinned exact-pair leaf + union sort
+      "q163_lsh_planner" -> 8
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
