@@ -1476,6 +1476,104 @@ object CurationOps {
        |ORDER BY rrf DESC, doc_id
        |LIMIT $HybridTopK""".stripMargin
 
+  // --- q164: retrieval rank agreement ----------------------------------------
+
+  /** How much do the two retrieval legs q55 fuses actually AGREE? Over
+    * the documents ranked by BOTH the BM25 text leg and the embedding
+    * cosine leg (top-[[BmTopK]]/[[HybridK]] each), the exact Kendall
+    * tau-b (pairwise concordance — no ties by construction) and Spearman
+    * rho (dense re-ranks within the intersection) — the diagnostic RRF
+    * fusion assumes away: high agreement means one leg is redundant
+    * (drop the expensive one at 100 TB); low agreement with good end
+    * metrics means the legs carry COMPLEMENTARY signal and fusion is
+    * load-bearing. One row, exact integers until the two final divides.
+    *
+    * Scale shape: both legs are already top-k-bounded pipelines; the
+    * intersection re-ranks ride [[BoundedRank]] (no partitionless
+    * window), and the tau pair expansion is ≤k² rows of the persisted
+    * intersection — bounded by construction, never the corpus.
+    */
+  def rankAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val textRanks =
+      BoundedRank.byValueDesc(bm25(spark, dir), col("score"), col("doc_id"), "doc_id", "rt")
+    val vecRanks = VectorOps.cosineRanksForQuery(spark, dir, HybridVecId, HybridK)
+    val common = graft.core.CacheScope.persist {
+      val joined = textRanks.join(vecRanks, "doc_id")
+      val rtt = BoundedRank.byValueDesc(joined, -col("rt"), col("doc_id"), "doc_id", "rtt")
+      val rvv = BoundedRank.byValueDesc(joined, -col("rv"), col("doc_id"), "doc_id", "rvv")
+      joined.select(col("doc_id")).join(rtt, "doc_id").join(rvv, "doc_id")
+    }
+    val a = common.select(col("doc_id").as("ida"), col("rtt").as("ta"), col("rvv").as("va"))
+    val b = common.select(col("doc_id").as("idb"), col("rtt").as("tb"), col("rvv").as("vb"))
+    val pc = a
+      .join(b, col("ida") < col("idb"))
+      .select((((col("ta") - col("tb")) * (col("va") - col("vb"))) > 0).as("conc"))
+      .groupBy()
+      .agg(
+        sum(when(col("conc"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("conc"), 1L).otherwise(0L)).as("d"))
+    val sp = common
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n"),
+        sum(((col("rtt") - col("rvv")) * (col("rtt") - col("rvv"))).cast("long")).as("sd2"))
+    pc.crossJoin(broadcast(sp))
+      .select(
+        col("n").as("n_common"),
+        expr("CAST(n * (n - 1) DIV 2 AS BIGINT)").as("n_pairs"),
+        col("c").as("n_concordant"),
+        col("d").as("n_discordant"),
+        when(col("n") >= 2,
+          round(
+            (col("c") - col("d")).cast("double") /
+              expr("CAST(n * (n - 1) DIV 2 AS BIGINT)").cast("double"),
+            6)).as("kendall_tau"),
+        when(col("n") >= 2,
+          round(
+            lit(1.0) - lit(6.0) * col("sd2").cast("double") /
+              expr("CAST(n * (n * n - 1) AS BIGINT)").cast("double"),
+            6)).as("spearman_rho"))
+  }
+
+  /** q164 oracle: the q49/q28 leg statements, identical re-ranks, pair
+    * concordance, and divide-round shapes.
+    */
+  lazy val rankAgreementSql: String =
+    s"""WITH q164t AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rt
+       |  FROM ($bm25Sql) b),
+       |q164vtop AS (
+       |  SELECT c.vec_id AS doc_id, ${VectorOps.duckCosine("q.vd", "c.vd")} AS sim
+       |  FROM (SELECT embedding::DOUBLE[] AS vd FROM embeddings
+       |         WHERE vec_id = $HybridVecId
+       |           AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) q,
+       |       (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
+       |         WHERE vec_id <> $HybridVecId
+       |           AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) c
+       |  ORDER BY sim DESC, c.vec_id LIMIT $HybridK),
+       |q164v AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rv
+       |  FROM q164vtop),
+       |q164c AS MATERIALIZED (
+       |  SELECT t.doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY t.rt) AS rtt,
+       |    ROW_NUMBER() OVER (ORDER BY v.rv) AS rvv
+       |  FROM q164t t JOIN q164v v USING (doc_id)),
+       |q164p AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN (a.rtt - b.rtt) * (a.rvv - b.rvv) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN (a.rtt - b.rtt) * (a.rvv - b.rvv) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM q164c a JOIN q164c b ON a.doc_id < b.doc_id),
+       |q164s AS (SELECT count(*)::BIGINT AS n,
+       |  CAST(sum((rtt - rvv) * (rtt - rvv)) AS BIGINT) AS sd2 FROM q164c)
+       |SELECT s.n AS n_common,
+       |  CAST(s.n * (s.n - 1) // 2 AS BIGINT) AS n_pairs,
+       |  p.c AS n_concordant, p.d AS n_discordant,
+       |  CASE WHEN s.n >= 2 THEN round((p.c - p.d)::DOUBLE
+       |    / (CAST(s.n * (s.n - 1) // 2 AS BIGINT))::DOUBLE, 6) END AS kendall_tau,
+       |  CASE WHEN s.n >= 2 THEN round(1.0 - 6.0 * s.sd2::DOUBLE
+       |    / (CAST(s.n * (s.n * s.n - 1) AS BIGINT))::DOUBLE, 6) END AS spearman_rho
+       |FROM q164p p, q164s s""".stripMargin
+
   // --- q53: data-recipe mixture weights ------------------------------------
 
   val MixResolution = 1000000L

@@ -1425,6 +1425,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q164: agreement stats match a driver recomputation over both legs") {
+    import graft.operators.{BoundedRank, CurationOps, VectorOps}
+    val row = CurationOps.rankAgreement(spark, Sf0001).collect().head
+    val text = BoundedRank
+      .byValueDesc(CurationOps.bm25(spark, Sf0001), col("score"), col("doc_id"), "doc_id", "rt")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vec = VectorOps
+      .cosineRanksForQuery(spark, Sf0001, CurationOps.HybridVecId, CurationOps.HybridK)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val common = (text.keySet & vec.keySet).toSeq.sorted
+    val n      = common.length.toLong
+    assert(row.getLong(0) == n && row.getLong(1) == n * (n - 1) / 2, s"grain: $row")
+    if (n >= 2) {
+      val rtt = common.sortBy(text).zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      val rvv = common.sortBy(vec).zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      val pairs = for { i <- common.indices; j <- i + 1 until common.length }
+        yield (common(i), common(j))
+      val c = pairs.count { case (x, y) => (rtt(x) - rtt(y)) * (rvv(x) - rvv(y)) > 0 }.toLong
+      val d = pairs.length.toLong - c
+      assert(row.getLong(2) == c && row.getLong(3) == d, s"concordance: $row want ($c,$d)")
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getDouble(4) == r6((c - d).toDouble / (n * (n - 1) / 2)), s"tau: $row")
+      val sd2 = common.map(id => { val dd = rtt(id) - rvv(id); dd.toLong * dd }).sum
+      assert(row.getDouble(5) == r6(1.0 - 6.0 * sd2 / (n * (n * n - 1)).toDouble), s"rho: $row")
+      assert(math.abs(row.getDouble(4)) <= 1.0 && math.abs(row.getDouble(5)) <= 1.0 + 1e-9)
+    }
+  }
+
   test("q150: advisor rows match a brute-force key census and ceiling math") {
     import graft.operators.Skew
     val rows = Skew.skewAdvisor(spark, Sf0001).collect()

@@ -371,7 +371,10 @@ class PlanGuardSpec extends SparkSpec {
       // assembly/halves rollups + label join + sort (AQE broadcasts)
       "q162_embedding_drift" -> 8,
       // six 1-row combines over the pinned exact-pair leaf + union sort
-      "q163_lsh_planner" -> 8
+      "q163_lsh_planner" -> 8,
+      // two top-k legs + the ≤k² intersection pair expansion + two
+      // 1-row combines (persisted intersection re-printed per branch)
+      "q164_rank_agreement" -> 12
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -531,7 +534,10 @@ class PlanGuardSpec extends SparkSpec {
         // the |sources|-row supply table
         "q160_fair_allocation",
         // q162 crossJoins the 1-row half-totals onto the |labels| rows
-        "q162_embedding_drift")
+        "q162_embedding_drift",
+        // q164's non-equi pair expansion and 1-row combines are over the
+        // ≤k²-bounded top-k intersection (q28's bounded-side rule)
+        "q164_rank_agreement")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
