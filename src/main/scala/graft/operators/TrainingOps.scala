@@ -1259,6 +1259,85 @@ object TrainingOps {
          |FROM q63sk, q63ex""".stripMargin)
   }
 
+  // --- q165: split-balance audit ----------------------------------------------
+
+  /** Representativeness audit of q40's content-stable split: per
+    * (split, source), the document count, the source's share WITHIN the
+    * split vs its share of the whole corpus, and the deviation — "did
+    * the hash split stay representative?", the check run before anyone
+    * interprets a val/test metric per source. A content hash is
+    * uncorrelated with source by construction, so large deviations only
+    * appear when a stratum is SMALL (sampling noise the per-source eval
+    * must expect) — which is exactly what the table shows, per cell.
+    * q87 measures cross-split content leakage; q165 measures marginal
+    * composition; together they are the split's acceptance tests.
+    *
+    * Scale shape: ONE map-side split assignment + one (split, source)
+    * aggregate (≤3·|sources| cells); split totals and corpus shares are
+    * rollups of that grain (persisted — no second corpus scan), the
+    * tiny dimension joins broadcast. Determinism: exact counts, fixed
+    * divide-round shapes.
+    */
+  def splitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.core.CacheScope.persist(
+      docs(spark, dir)
+        .select(splitNameCol(splitBucketCol(col("doc_id"))).as("split"), col("source"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n")))
+    val splitTot  = cells.groupBy(col("split")).agg(sum(col("n")).as("n_split"))
+    val sourceTot = cells.groupBy(col("source")).agg(sum(col("n")).as("n_source"))
+    val corpusTot = cells.groupBy().agg(sum(col("n")).as("n_corpus"))
+    cells
+      .join(broadcast(splitTot), "split")
+      .join(broadcast(sourceTot), "source")
+      .crossJoin(broadcast(corpusTot))
+      .select(
+        col("split"),
+        col("source"),
+        col("n").as("n_docs"),
+        round(col("n").cast("double") / col("n_split").cast("double"), 6).as("split_share"),
+        round(col("n_source").cast("double") / col("n_corpus").cast("double"), 6)
+          .as("corpus_share"),
+        round(
+          col("n").cast("double") / col("n_split").cast("double") -
+            col("n_source").cast("double") / col("n_corpus").cast("double"),
+          6).as("share_dev"))
+      .orderBy(col("split"), col("source"))
+  }
+
+  /** q165 oracle: q40's DuckHash split rule + identical rollups and
+    * divide-round shapes.
+    */
+  lazy val splitBalanceSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q165in" -> "(SELECT doc_id, source, doc_id::HUGEINT AS l FROM documents)"
+    )
+    val ch = new SqlChain("q165h", "q165in", Seq("doc_id", "source", "l"))
+    hashLongLevels(ch, s"${toUnsigned("l")}", "42", "h")
+    ctes ++= ch.ctes
+    ctes += ("q165s" ->
+      s"""(SELECT source,
+         |  CASE WHEN b < $SplitTrainPct THEN 'train'
+         |       WHEN b < $SplitValPct THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT source, (((${toSigned("h")} % 100) + 100) % 100) AS b FROM ${ch.last}))""".stripMargin)
+    ctes += ("q165c" ->
+      "(SELECT split, source, count(*)::BIGINT AS n FROM q165s GROUP BY 1, 2)")
+    ctes += ("q165st" -> "(SELECT split, CAST(sum(n) AS BIGINT) AS n_split FROM q165c GROUP BY 1)")
+    ctes += ("q165so" -> "(SELECT source, CAST(sum(n) AS BIGINT) AS n_source FROM q165c GROUP BY 1)")
+    ctes += ("q165t" -> "(SELECT CAST(sum(n) AS BIGINT) AS n_corpus FROM q165c)")
+    assemble(
+      ctes.toSeq,
+      """SELECT c.split, c.source, c.n AS n_docs,
+        |  round(c.n::DOUBLE / st.n_split::DOUBLE, 6) AS split_share,
+        |  round(so.n_source::DOUBLE / t.n_corpus::DOUBLE, 6) AS corpus_share,
+        |  round(c.n::DOUBLE / st.n_split::DOUBLE
+        |    - so.n_source::DOUBLE / t.n_corpus::DOUBLE, 6) AS share_dev
+        |FROM q165c c
+        |JOIN q165st st USING (split) JOIN q165so so USING (source), q165t t
+        |ORDER BY c.split, c.source""".stripMargin)
+  }
+
   // --- q161: HLL shard-merge audit -------------------------------------------
 
   /** The sketch-MERGE audit — the property that makes HLL the 100 TB

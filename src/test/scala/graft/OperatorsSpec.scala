@@ -1453,6 +1453,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q165: balance cells reconcile with q40's splits; shares sum per split") {
+    import graft.operators.TrainingOps
+    val rows = TrainingOps.splitBalance(spark, Sf0001).collect()
+    // cells reconcile with the q40 assignment joined to sources
+    val splits = TrainingOps.splitHash(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val srcs = graft.core.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (splits(r.getLong(0)), r.getString(1)))
+    val census = srcs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.length == census.size, s"cells: ${rows.length}")
+    rows.foreach(r =>
+      assert(r.getLong(2) == census((r.getString(0), r.getString(1))), s"cell: $r"))
+    // within each split the shares sum to ~1; deviations are consistent
+    rows.groupBy(_.getString(0)).foreach { case (sp, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-3, s"share mass for $sp")
+    }
+    rows.foreach(r =>
+      assert(math.abs(r.getDouble(5) - (r.getDouble(3) - r.getDouble(4))) < 2e-6, s"dev: $r"))
+  }
+
   test("q150: advisor rows match a brute-force key census and ceiling math") {
     import graft.operators.Skew
     val rows = Skew.skewAdvisor(spark, Sf0001).collect()

@@ -374,7 +374,10 @@ class PlanGuardSpec extends SparkSpec {
       "q163_lsh_planner" -> 8,
       // two top-k legs + the ≤k² intersection pair expansion + two
       // 1-row combines (persisted intersection re-printed per branch)
-      "q164_rank_agreement" -> 12
+      "q164_rank_agreement" -> 12,
+      // ONE (split, source) cell agg (persisted, re-printed under its
+      // three rollup branches) + broadcast joins + sort
+      "q165_split_balance" -> 7
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
@@ -537,7 +540,9 @@ class PlanGuardSpec extends SparkSpec {
         "q162_embedding_drift",
         // q164's non-equi pair expansion and 1-row combines are over the
         // ≤k²-bounded top-k intersection (q28's bounded-side rule)
-        "q164_rank_agreement")
+        "q164_rank_agreement",
+        // q165 crossJoins the 1-row corpus total onto the ≤3·|sources| cells
+        "q165_split_balance")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
