@@ -807,6 +807,135 @@ object CurationOps {
        |FROM q122g g LEFT JOIN q122e e ON e.a = g.u AND e.b = g.v
        |ORDER BY g.aa_score DESC, doc_a, doc_b LIMIT $AaTopK""".stripMargin
 
+  // --- q166: HITS hubs/authorities over the dup-provenance digraph -----------
+
+  val HitsRounds = 5
+
+  /** HITS over the DIRECTED dup-provenance graph: every LSH candidate
+    * pair is oriented later-doc → earlier-doc (the "copy cites its
+    * original" convention — doc ids are ingest-ordered, so the earlier
+    * side is the presumptive original). Authorities are then the
+    * originals that many independent later copies point at (template
+    * masters, canonical sources); hubs are late documents drawing from
+    * MANY high-authority originals (mashups / aggregator pages). q97's
+    * PageRank scores undirected centrality — who sits centrally in a
+    * dup neighborhood; q166's directed mutual reinforcement separates
+    * the SOURCE side of duplication from the DERIVATIVE side, which is
+    * exactly the split a keep-the-original dedup policy (q56) wants
+    * corroborated before it trusts min-id as "original".
+    *
+    * Scale shape: the edge list is the session-shared checkpointed
+    * MinHash candidate stage (bounded by the corpus dup rate, never
+    * corpus²); each of the [[HitsRounds]] rounds is two node-keyed
+    * join+aggregates on that edge table plus a 1-row max broadcast —
+    * q47's iterative discipline, every half-round checkpointed so the
+    * loop's lineage stays flat and nothing is recomputed across rounds.
+    *
+    * Exactness: scores are max-normalized (not sum-normalized) each
+    * half-round — `max` over doubles is order-independent, so the
+    * normalizer needs no deterministic global fold — with contributions
+    * folded in ascending-neighbor order (SURVEY §4) and every score
+    * rounded to 6 dp BEFORE the next half-round reads it (the q97
+    * round-before-reuse rule), so [[HitsRounds]] rounds cannot
+    * accumulate cross-engine drift.
+    */
+  def hitsScores(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.CacheScope
+    val edges = SharedStages
+      .minhashEdges(spark, dir)
+      .select(col("doc_b").as("src"), col("doc_a").as("dst"))
+    var h = edges.select(col("src").as("node")).distinct().withColumn("h", lit(1.0))
+    var a: DataFrame = null
+    for (_ <- 1 to HitsRounds) {
+      val ar = CacheScope.checkpoint(
+        edges
+          .join(h, edges("src") === h("node"))
+          .select(col("dst"), col("src"), col("h").as("c"))
+          .groupBy(col("dst"))
+          .agg(expr(
+            "aggregate(array_sort(collect_list(struct(src, c))), 0D, (acc, x) -> acc + x.c)")
+            .as("s")))
+      val amax = ar.groupBy().agg(max(col("s")).as("m"))
+      a = ar
+        .crossJoin(broadcast(amax))
+        .select(col("dst").as("node"), round(col("s") / col("m"), 6).as("a"))
+      val hr = CacheScope.checkpoint(
+        edges
+          .join(a, edges("dst") === a("node"))
+          .select(col("src"), col("dst"), col("a").as("c"))
+          .groupBy(col("src"))
+          .agg(expr(
+            "aggregate(array_sort(collect_list(struct(dst, c))), 0D, (acc, x) -> acc + x.c)")
+            .as("s")))
+      val hmax = hr.groupBy().agg(max(col("s")).as("m"))
+      h = hr
+        .crossJoin(broadcast(hmax))
+        .select(col("src").as("node"), round(col("s") / col("m"), 6).as("h"))
+    }
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      .select(col("src").as("node"), col("out_deg"))
+    val inDeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
+      .select(col("dst").as("node"), col("in_deg"))
+    nodes
+      .join(h, Seq("node"), "left")
+      .join(a, Seq("node"), "left")
+      .join(outDeg, Seq("node"), "left")
+      .join(inDeg, Seq("node"), "left")
+      .select(
+        col("node").as("doc_id"),
+        coalesce(col("h"), lit(0.0)).as("hub"),
+        coalesce(col("a"), lit(0.0)).as("authority"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .orderBy(col("authority").desc, col("hub").desc, col("doc_id"))
+  }
+
+  /** Oracle: the bit-exact LSH edge emulation oriented doc_b → doc_a +
+    * the same [[HitsRounds]] unrolled half-rounds — seeded ascending
+    * `list_reduce` folds, max-normalize, round 6 dp before reuse.
+    */
+  lazy val hitsScoresSql: String = {
+    val rounds = (1 to HitsRounds).map { r =>
+      s"""q166ar$r AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(h.h ORDER BY e.src)),
+         |      (x, y) -> x + y) AS s
+         |  FROM q166e e JOIN q166h${r - 1} h ON h.node = e.src GROUP BY e.dst),
+         |q166a$r AS MATERIALIZED (
+         |  SELECT node, round(s / (SELECT max(s) FROM q166ar$r), 6) AS a FROM q166ar$r),
+         |q166hr$r AS MATERIALIZED (
+         |  SELECT e.src AS node,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(a.a ORDER BY e.dst)),
+         |      (x, y) -> x + y) AS s
+         |  FROM q166e e JOIN q166a$r a ON a.node = e.dst GROUP BY e.src),
+         |q166h$r AS MATERIALIZED (
+         |  SELECT node, round(s / (SELECT max(s) FROM q166hr$r), 6) AS h FROM q166hr$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q166cand AS MATERIALIZED (SELECT doc_a, doc_b FROM (${TextOps.minhashLshSql})),
+       |q166e AS MATERIALIZED (SELECT doc_b AS src, doc_a AS dst FROM q166cand),
+       |q166h0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0::DOUBLE AS h FROM q166e),
+       |$rounds,
+       |q166n AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM q166e UNION ALL SELECT dst FROM q166e)),
+       |q166od AS (SELECT src AS node, count(*)::BIGINT AS out_deg FROM q166e GROUP BY src),
+       |q166id AS (SELECT dst AS node, count(*)::BIGINT AS in_deg FROM q166e GROUP BY dst)
+       |SELECT n.node AS doc_id,
+       |  coalesce(h.h, 0.0) AS hub,
+       |  coalesce(a.a, 0.0) AS authority,
+       |  coalesce(od.out_deg, 0)::BIGINT AS out_deg,
+       |  coalesce(id.in_deg, 0)::BIGINT AS in_deg
+       |FROM q166n n
+       |LEFT JOIN q166h$HitsRounds h USING (node)
+       |LEFT JOIN q166a$HitsRounds a USING (node)
+       |LEFT JOIN q166od od USING (node)
+       |LEFT JOIN q166id id USING (node)
+       |ORDER BY authority DESC, hub DESC, doc_id""".stripMargin
+  }
+
   // --- q132: dedup-threshold cost curve ---------------------------------------
 
   val CurveCuts: Seq[Double] = Seq(0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95)

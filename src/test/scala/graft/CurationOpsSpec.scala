@@ -667,6 +667,47 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(got.map(_._3).sum - 1.0) < 1e-3)
   }
 
+  // --- q166 -----------------------------------------------------------------
+
+  test("q166: HITS equals an independent mutual-reinforcement iteration on the oriented graph") {
+    import graft.operators.{CurationOps, TextOps}
+    val cand = TextOps.minhashLsh(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // oriented later-doc → earlier-doc: src = doc_b, dst = doc_a
+    val edges = cand.map(p => (p._2, p._1)).distinct
+    val srcs  = edges.map(_._1).distinct
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var h = srcs.map(_ -> 1.0).toMap
+    var a = Map.empty[Long, Double]
+    val in  = edges.groupBy(_._2)
+    val out = edges.groupBy(_._1)
+    (1 to CurationOps.HitsRounds).foreach { _ =>
+      // ascending-neighbor folds, the operator's contract
+      val araw = in.map { case (v, es) =>
+        v -> es.map(_._1).sorted.foldLeft(0.0)((acc, u) => acc + h(u))
+      }
+      val amax = araw.values.max
+      a = araw.map { case (v, s) => v -> r6(s / amax) }
+      val hraw = out.map { case (u, es) =>
+        u -> es.map(_._2).sorted.foldLeft(0.0)((acc, v) => acc + a(v))
+      }
+      val hmax = hraw.values.max
+      h = hraw.map { case (u, s) => u -> r6(s / hmax) }
+    }
+    val got = CurationOps.hitsScores(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    assert(got.length == nodes.length)
+    got.foreach { case (id, hub, auth, od, idg) =>
+      assert(hub == h.getOrElse(id, 0.0), s"hub $id: $hub vs ${h.getOrElse(id, 0.0)}")
+      assert(auth == a.getOrElse(id, 0.0), s"auth $id: $auth vs ${a.getOrElse(id, 0.0)}")
+      assert(od == out.get(id).map(_.length.toLong).getOrElse(0L), s"out_deg $id")
+      assert(idg == in.get(id).map(_.length.toLong).getOrElse(0L), s"in_deg $id")
+    }
+    // max-normalization pins both score maxima at exactly 1.0
+    assert(got.map(_._2).max == 1.0 && got.map(_._3).max == 1.0)
+  }
+
   // --- q104 -----------------------------------------------------------------
 
   test("q104: per-node triangle counts equal an independent enumeration") {

@@ -377,7 +377,11 @@ class PlanGuardSpec extends SparkSpec {
       "q164_rank_agreement" -> 12,
       // ONE (split, source) cell agg (persisted, re-printed under its
       // three rollup branches) + broadcast joins + sort
-      "q165_split_balance" -> 7
+      "q165_split_balance" -> 7,
+      // rounds checkpoint eagerly at construction (q47's discipline), so
+      // the visible plan is the node-set distinct + the four score/degree
+      // joins (AQE broadcasts the bounded sides) + output sort
+      "q166_hits_scores" -> 8
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
