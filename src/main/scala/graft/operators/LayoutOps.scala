@@ -301,4 +301,82 @@ object LayoutOps {
       leg("part", Seq("p_name", "p_brand", "p_type"), 3)
     ).map(l => s"($l)").mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tbl")
   }
+
+  // --- q167: output compaction / shard-size planner ---------------------------
+
+  /** Target bytes per output shard. Production uses 256–1024 MiB (parquet
+    * row-group economics); 64 KiB keeps every verdict branch exercised at
+    * the test SFs. The planner math is scale-free.
+    */
+  val TargetShardBytes = 64L * 1024
+
+  /** The output-layout planner for writing the corpus back out: per
+    * source (the natural output partition), the exact file plan a writer
+    * should use — file count at [[TargetShardBytes]], rows and bytes per
+    * file — plus the small-files verdict: a source under HALF a shard
+    * ('coalesce') must be packed with its siblings rather than emitted
+    * as its own undersized file, the classic 100 TB writer failure mode
+    * (a million 2 MB files kills the namenode and the next reader's task
+    * scheduler; q92 plans WITHIN-file order, q149 plans range bounds —
+    * q167 plans the file COUNT). The `_ALL` row is the cross-source
+    * total: total shards if small sources are packed together, the
+    * number a post-write `repartition(n)` should target.
+    *
+    * Scale shape: ONE map-side-combinable (source) aggregate (persisted;
+    * its 1-row rollup is the only other pass), pure integer ceiling
+    * arithmetic after — `(b + T − 1) div T` on non-negative operands, so
+    * Spark's truncating `div` equals DuckDB's flooring `//` (the q80
+    * rule). No doubles anywhere.
+    */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val T = TargetShardBytes
+    val per = graft.core.CacheScope.persist(
+      Tables
+        .documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_bytes")))
+    val tot = per
+      .groupBy()
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_bytes")).as("n_bytes"))
+      .select(lit("_ALL").as("source"), col("n_docs"), col("n_bytes"))
+    def planned(df: DataFrame): DataFrame =
+      df.select(
+        col("source"),
+        col("n_docs"),
+        col("n_bytes"),
+        expr(s"greatest(1L, (n_bytes + ${T - 1}) div $T)").as("n_files"),
+        expr(s"(n_docs + greatest(1L, (n_bytes + ${T - 1}) div $T) - 1) div greatest(1L, (n_bytes + ${T - 1}) div $T)")
+          .as("rows_per_file"),
+        expr(s"(n_bytes + greatest(1L, (n_bytes + ${T - 1}) div $T) - 1) div greatest(1L, (n_bytes + ${T - 1}) div $T)")
+          .as("file_bytes"),
+        when(col("n_bytes") * 2 < T, lit("coalesce")).otherwise(lit("ok")).as("verdict"))
+    planned(per)
+      .unionByName(planned(tot))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: identical per-source aggregate, the same integer ceiling
+    * shapes with DuckDB's flooring `//`, shared [[TargetShardBytes]].
+    */
+  lazy val compactionPlanSql: String = {
+    val T = TargetShardBytes
+    val planned =
+      s"""SELECT source, n_docs, n_bytes,
+         |  greatest(1, (n_bytes + ${T - 1}) // $T)::BIGINT AS n_files,
+         |  ((n_docs + greatest(1, (n_bytes + ${T - 1}) // $T) - 1)
+         |    // greatest(1, (n_bytes + ${T - 1}) // $T))::BIGINT AS rows_per_file,
+         |  ((n_bytes + greatest(1, (n_bytes + ${T - 1}) // $T) - 1)
+         |    // greatest(1, (n_bytes + ${T - 1}) // $T))::BIGINT AS file_bytes,
+         |  CASE WHEN n_bytes * 2 < $T THEN 'coalesce' ELSE 'ok' END AS verdict"""
+        .stripMargin
+    s"""WITH q167p AS MATERIALIZED (
+       |  SELECT source, count(*)::BIGINT AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_bytes
+       |  FROM documents GROUP BY source),
+       |q167t AS (
+       |  SELECT '_ALL' AS source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_bytes) AS BIGINT) AS n_bytes FROM q167p)
+       |SELECT * FROM ($planned FROM q167p)
+       |UNION ALL SELECT * FROM ($planned FROM q167t)
+       |ORDER BY source""".stripMargin
+  }
 }

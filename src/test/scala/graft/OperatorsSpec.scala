@@ -1285,6 +1285,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q167: file plans match driver-side ceiling math; _ALL row totals the sources") {
+    import graft.operators.LayoutOps
+    val T = LayoutOps.TargetShardBytes
+    val rows = LayoutOps.compactionPlan(spark, Sf0001).collect()
+    val census = graft.core.Tables.documents(spark, Sf0001)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    assert(rows.map(_.getString(0)).toSet == census.keySet + "_ALL")
+    def ceilDiv(a: Long, b: Long) = (a + b - 1) / b
+    rows.foreach { r =>
+      val (nd, nb) =
+        if (r.getString(0) == "_ALL")
+          (census.values.map(_._1).sum, census.values.map(_._2).sum)
+        else census(r.getString(0))
+      assert(r.getLong(1) == nd && r.getLong(2) == nb, s"census: $r")
+      val files = math.max(1L, ceilDiv(nb, T))
+      assert(r.getLong(3) == files, s"n_files: $r")
+      assert(r.getLong(4) == ceilDiv(nd, files), s"rows_per_file: $r")
+      assert(r.getLong(5) == ceilDiv(nb, files), s"file_bytes: $r")
+      assert(r.getString(6) == (if (nb * 2 < T) "coalesce" else "ok"), s"verdict: $r")
+      // a planned file never exceeds the target by more than one row's worth
+      assert(r.getLong(5) <= T || files == 1L)
+    }
+  }
+
   test("q158: economics reconcile with the token distribution; monotone in L") {
     import graft.operators.CurationOps
     val rows = CurationOps.seqLenEconomics(spark, Sf0001).collect()

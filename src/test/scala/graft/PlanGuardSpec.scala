@@ -381,7 +381,10 @@ class PlanGuardSpec extends SparkSpec {
       // rounds checkpoint eagerly at construction (q47's discipline), so
       // the visible plan is the node-set distinct + the four score/degree
       // joins (AQE broadcasts the bounded sides) + output sort
-      "q166_hits_scores" -> 8
+      "q166_hits_scores" -> 8,
+      // ONE (source) agg (persisted, re-printed under its 1-row rollup)
+      // + union sort; planner math is map-side integer arithmetic
+      "q167_compaction_plan" -> 4
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
