@@ -858,6 +858,104 @@ object EventStreams extends Serializable {
       }
   }
 
+  case class ConvState(
+      lastUs: Long,
+      lastTsMs: Long,
+      sessionId: Long,
+      viewUs: Long,
+      purchUs: Long,
+      pendUs: Long)
+  case class ConvOut(
+      user_id: Long,
+      session_id: Long,
+      has_view: Boolean,
+      converted: Boolean,
+      latency_secs: Long)
+
+  /** E36: streaming conversion-envelope emission — the q133 twin's
+    * per-session grain. Per user, state = the OPEN session's conversion
+    * envelope (gap frontier, first-view µs, first qualifying-purchase µs
+    * — three longs however long the session runs); each session emits
+    * its (has_view, converted, latency) row EXACTLY ONCE when the
+    * 30-minute gap (or event-time timeout) closes it. Counting the feed
+    * IS q133's counters and its latency population (spec-pinned against
+    * the batch on the same events); the median/p90 order statistics stay
+    * downstream because a quantile is a whole-distribution property (the
+    * E18/E27 boundary) — the per-session row is what a live checkout
+    * dashboard windows over. Session ids are q10's 1-based per-user
+    * sequence; latency is the same integer `(pu − vu) div 1 s`.
+    *
+    * Replay-exactness subtlety: q133's rule is `pu = min purchase µs ≥
+    * first-view µs` over the WHOLE session, so a purchase carrying the
+    * first view's exact timestamp but a smaller event_id is processed
+    * BEFORE the view yet still qualifies. The envelope keeps the minimum
+    * pre-view purchase µs (`pendUs`); at close it qualifies iff it
+    * equals the first-view µs (sorted order bounds it ≤), making the
+    * stream bit-equal to the batch even on that tie.
+    */
+  def conversionStream(
+      events: Dataset[Ev],
+      watermarkDur: String = "2 hours"): Dataset[ConvOut] = {
+    import events.sparkSession.implicits._
+    val GapUs = 1800000000L
+    def outOf(uid: Long, s: ConvState): ConvOut = {
+      val vu = s.viewUs
+      val pu =
+        if (vu < 0) -1L
+        else if (s.pendUs == vu) vu
+        else s.purchUs
+      ConvOut(uid, s.sessionId, vu >= 0, pu >= 0, if (pu >= 0) (pu - vu) / 1000000L else -1L)
+    }
+    def absorb(s: ConvState, us: Long, tsMs: Long, typ: String): ConvState = {
+      val s1 = s.copy(lastUs = us, lastTsMs = math.max(s.lastTsMs, tsMs))
+      typ match {
+        case "view" if s1.viewUs < 0 => s1.copy(viewUs = us)
+        case "purchase" =>
+          if (s1.viewUs >= 0) { if (s1.purchUs < 0) s1.copy(purchUs = us) else s1 }
+          else if (s1.pendUs < 0) s1.copy(pendUs = us)
+          else s1
+        case _ => s1
+      }
+    }
+    events
+      .withWatermark("ts", watermarkDur)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(outOf(uid, st))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+            var st     = state.getOption
+            val out    = ListBuffer.empty[ConvOut]
+            sorted.foreach { e =>
+              val us = tsUs(e.ts)
+              st match {
+                case None =>
+                  st = Some(absorb(
+                    ConvState(us, e.ts.getTime, 1L, -1L, -1L, -1L), us, e.ts.getTime, e.event_type))
+                case Some(s) if us - s.lastUs > GapUs =>
+                  out += outOf(uid, s)
+                  st = Some(absorb(
+                    ConvState(us, math.max(s.lastTsMs, e.ts.getTime), s.sessionId + 1, -1L, -1L, -1L),
+                    us, e.ts.getTime, e.event_type))
+                case Some(s) if us >= s.lastUs =>
+                  st = Some(absorb(s, us, e.ts.getTime, e.event_type))
+                case _ => () // below the session frontier: late beyond the sort, drop
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(s.lastTsMs + 2 * 7200000L, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   case class AttrState(lastUs: Long, lastTsMs: Long, firstCh: String, lastCh: String)
   case class AttrOut(
       user_id: Long,

@@ -1338,4 +1338,59 @@ class StreamingSpec extends SparkSpec {
     val streamed = real.groupBy(_._3).view.mapValues(_.size.toLong).toMap
     assert(streamed == batch, s"path counts: $streamed vs $batch")
   }
+
+  test("E36: closed-session conversion envelopes match q133's counters on the same events") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1 s1: view→purchase (600 s); s2: purchase BEFORE view → no conversion
+    // user 2 s1: purchase and view at the SAME µs, purchase has the smaller
+    //            event_id (processed first) — q133's `us >= vu` still counts it
+    // user 3 s1: click only — no view
+    val all = Seq(
+      Ev(1, 1, t("2024-01-01 10:00:00"), "view", 1.0),
+      Ev(2, 1, t("2024-01-01 10:10:00"), "purchase", 1.0),
+      Ev(3, 1, t("2024-01-01 13:00:00"), "purchase", 1.0),
+      Ev(4, 1, t("2024-01-01 13:05:00"), "view", 1.0),
+      Ev(5, 2, t("2024-01-01 09:00:00"), "purchase", 1.0),
+      Ev(6, 2, t("2024-01-01 09:00:00"), "view", 1.0),
+      Ev(7, 3, t("2024-01-01 09:30:00"), "click", 1.0))
+    val (b1, b2) = all.partition(_.event_id <= 2)
+    val in       = MemoryStream[Ev]
+    val q = EventStreams
+      .conversionStream(in.toDS())
+      .writeStream.format("memory").queryName("conv_s").outputMode("append").start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(
+      Ev(9997, 1, t("2024-06-01 00:00:00"), "click", 1.0),
+      Ev(9998, 2, t("2024-06-01 00:00:00"), "click", 1.0),
+      Ev(9999, 3, t("2024-06-01 00:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    in.addData(); q.processAllAvailable()
+    val got = spark.table("conv_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3), r.getLong(4)))
+    q.stop()
+    // far-future closers each open their own (viewless) session; drop them
+    val real = got.filterNot { case (_, sid, _, _, _) => sid >= 2 } ++
+      got.filter { case (u, sid, _, _, _) => u == 1 && sid == 2 }
+    assert(real.toSet == Set(
+      (1L, 1L, true, true, 600L),
+      (1L, 2L, true, false, -1L),
+      (2L, 1L, true, true, 0L),
+      (3L, 1L, false, false, -1L)), s"envelopes: ${got.toSeq}")
+    assert(real.length == real.toSet.size, "exactly-once emission")
+    // batch reconciliation: aggregating the feed reproduces q133 exactly
+    val dir = java.nio.file.Files.createTempDirectory("e36spec").toString
+    all.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val b = graft.operators.TimeJoins.conversionLatency(spark, dir).collect().head
+    assert(b.getLong(0) == real.length.toLong, "n_sessions")
+    assert(b.getLong(1) == real.count(_._3).toLong, "n_with_view")
+    assert(b.getLong(2) == real.count(_._4).toLong, "n_converted")
+    val lat = real.filter(_._4).map(_._5).sorted
+    def ord(p: Double) = lat(math.ceil(p * lat.length).toInt - 1)
+    assert(b.getLong(4) == ord(0.5) && b.getLong(5) == ord(0.9), s"order stats: $b")
+  }
 }
