@@ -79,14 +79,18 @@ object Bench {
     def fmt(v: Double): String = f"$v%.2f"
     // key = the numeric id alone ("01".."153"): at 150+ queries the "q"
     // prefix alone costs ~150 chars of the ~1900-char budget
+    // per-query values at 1 dp (±0.05 s — plenty to flag a multi-second
+    // regression; exact times go to stderr) and sf as its basename: at
+    // 165+ queries the 2-dp map alone would overflow the 2000-char tail.
     val short = results.map { case (k, v) => k.takeWhile(_ != '_').drop(1) -> v }
     val qs = short
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
       .mkString("{", ",", "}")
     System.err.println(
       results.map { case (k, v) => s"$k=${fmt(v)}" }.mkString("[bench-full] ", " ", ""))
+    val sfName = new java.io.File(sfDir).getName
     println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     )
     spark.stop()
   }
