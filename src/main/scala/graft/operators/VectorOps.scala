@@ -1671,4 +1671,91 @@ object VectorOps {
       |        (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim
       |FROM q72n a JOIN q72n b ON a.label < b.label
       |ORDER BY label_a, label_b""".stripMargin
+
+  // --- q168: embedding-store integrity audit ----------------------------------
+
+  /** The vector-side counterpart of q105's referential audit — the gate
+    * run before ANY of the similarity/ANN/dedup machinery is trusted,
+    * because every one of those ops silently mis-ranks on the defects it
+    * counts: ragged dimensions (fold lengths disagree), non-finite
+    * elements (NaN cosine sorts above every real score), zero-norm
+    * vectors (cosine division by zero — the reason [[emb]] drops them;
+    * this audit REPORTS how many are dropped), duplicate vec_ids (joins
+    * fan out), and doc↔vec coverage holes in both directions (q115/q65
+    * silently skip unembedded docs; orphan vectors waste index space).
+    * One row per check: violations + population, q105's exact shape.
+    *
+    * Scale shape: checks 1-3 are map-side predicates folded into 1-row
+    * aggregates on one scan each; dup detection is a keyed aggregate;
+    * coverage is two LEFT ANTI joins on the id (the shuffle the
+    * production join pays anyway — AQE broadcasts the small side). The
+    * canonical dimension is the min-vec_id row's length (deterministic,
+    * one bounded lookup). Everything is an integer count.
+    */
+  def embeddingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val d = Tables.documents(spark, dir)
+    val nVec = e.count()
+    val nDoc = d.count()
+    val dim = e.orderBy(col("vec_id")).select(size(col("embedding"))).limit(1)
+      .head().getInt(0)
+
+    def report(name: String, viol: DataFrame, total: Long): DataFrame =
+      viol.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check"), col("n_violations"), lit(total).as("n_checked"))
+
+    Seq(
+      report("1_dim_mismatch", e.filter(size(col("embedding")) =!= dim), nVec),
+      report("2_nonfinite",
+        e.filter(expr(
+          "exists(embedding, x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))")),
+        nVec),
+      report("3_zero_norm",
+        e.filter(expr(
+          "aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) = 0D")),
+        nVec),
+      report("4_dup_vec_id",
+        e.groupBy(col("vec_id")).agg(count(lit(1)).as("n")).filter(col("n") > 1), nVec),
+      report("5_doc_without_vec",
+        d.select(col("doc_id"))
+          .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti"), nDoc),
+      report("6_vec_without_doc",
+        e.select(col("vec_id"))
+          .join(d.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti"), nVec)
+    ).reduce(_.unionByName(_)).orderBy(col("check"))
+  }
+
+  /** q168 oracle: the same six constraint counts as scalar subqueries —
+    * identical min-vec_id canonical dim, NaN/Inf predicates, and
+    * sum-of-squares zero-norm test.
+    */
+  val embeddingAuditSql: String =
+    """SELECT * FROM (
+      |  SELECT '1_dim_mismatch' AS "check",
+      |    (SELECT count(*) FROM embeddings WHERE len(embedding) <>
+      |      (SELECT len(embedding) FROM embeddings
+      |       WHERE vec_id = (SELECT min(vec_id) FROM embeddings)))::BIGINT AS n_violations,
+      |    (SELECT count(*) FROM embeddings)::BIGINT AS n_checked
+      |  UNION ALL SELECT '2_nonfinite',
+      |    (SELECT count(*) FROM embeddings WHERE len(list_filter(embedding,
+      |      x -> isnan(x::DOUBLE) OR isinf(x::DOUBLE))) > 0)::BIGINT,
+      |    (SELECT count(*) FROM embeddings)::BIGINT
+      |  UNION ALL SELECT '3_zero_norm',
+      |    (SELECT count(*) FROM embeddings WHERE list_reduce(
+      |      list_prepend(0.0::DOUBLE, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+      |      (a, b) -> a + b) = 0.0)::BIGINT,
+      |    (SELECT count(*) FROM embeddings)::BIGINT
+      |  UNION ALL SELECT '4_dup_vec_id',
+      |    (SELECT count(*) FROM
+      |      (SELECT vec_id FROM embeddings GROUP BY vec_id HAVING count(*) > 1))::BIGINT,
+      |    (SELECT count(*) FROM embeddings)::BIGINT
+      |  UNION ALL SELECT '5_doc_without_vec',
+      |    (SELECT count(*) FROM documents d WHERE NOT EXISTS
+      |      (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))::BIGINT,
+      |    (SELECT count(*) FROM documents)::BIGINT
+      |  UNION ALL SELECT '6_vec_without_doc',
+      |    (SELECT count(*) FROM embeddings e WHERE NOT EXISTS
+      |      (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))::BIGINT,
+      |    (SELECT count(*) FROM embeddings)::BIGINT
+      |) ORDER BY "check"""".stripMargin
 }

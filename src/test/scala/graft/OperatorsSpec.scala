@@ -1391,6 +1391,39 @@ class OperatorsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4)) < 0.33, s"HLL error out of band: $r"))
   }
 
+  test("q168: every planted embedding defect is counted exactly once; testdata is clean") {
+    import spark.implicits._
+    import graft.operators.VectorOps
+    val dir = java.nio.file.Files.createTempDirectory("q168spec").toString
+    // docs 0..4; doc 4 deliberately unembedded
+    (0L to 4L).map(i => (i, s"doc $i", "en", "s0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // vec 0 canonical (min id, dim 3); 1 ragged; 2 non-finite; 3 zero-norm
+    // AND duplicated; 9 orphan
+    Seq(
+      (0L, Seq(1f, 2f, 3f), 0),
+      (1L, Seq(1f, 2f), 0),
+      (2L, Seq(Float.NaN, Float.PositiveInfinity, 1f), 0),
+      (3L, Seq(0f, 0f, 0f), 0),
+      (3L, Seq(1f, 1f, 1f), 0),
+      (9L, Seq(1f, 0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.embeddingAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "1_dim_mismatch"    -> ((1L, 6L)),
+      "2_nonfinite"       -> ((1L, 6L)),
+      "3_zero_norm"       -> ((1L, 6L)),
+      "4_dup_vec_id"      -> ((1L, 6L)),
+      "5_doc_without_vec" -> ((1L, 5L)),
+      "6_vec_without_doc" -> ((1L, 6L))), s"audit: $got")
+    // the shipped testdata must audit clean — every downstream vector op relies on it
+    val clean = VectorOps.embeddingAudit(spark, Sf0001).collect()
+    clean.foreach(r => assert(r.getLong(1) == 0L, s"sf0.001 defect: $r"))
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()

@@ -384,7 +384,10 @@ class PlanGuardSpec extends SparkSpec {
       "q166_hits_scores" -> 8,
       // ONE (source) agg (persisted, re-printed under its 1-row rollup)
       // + union sort; planner math is map-side integer arithmetic
-      "q167_compaction_plan" -> 4
+      "q167_compaction_plan" -> 4,
+      // six 1-row constraint aggregates: three map-side predicates, one
+      // keyed dup agg, two anti joins (SMJ worst case) + union sort
+      "q168_embedding_audit" -> 9
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
