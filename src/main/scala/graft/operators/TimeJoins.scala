@@ -1125,6 +1125,79 @@ object TimeJoins {
       |  q.median_secs, q.p90_secs
       |FROM q133c c, q133q q""".stripMargin
 
+  // --- q169: SCD2 state-history compaction -------------------------------------
+
+  /** Slowly-changing-dimension (type 2) compaction of the event stream:
+    * per user, consecutive runs of the same event_type collapse into one
+    * versioned validity interval — (version, state, valid_from_us,
+    * valid_to_us, is_current), the temporal dimension table a warehouse
+    * MERGE builds from a changelog (q103 aggregates the transitions;
+    * q169 MATERIALIZES the history rows a point-in-time join consumes).
+    * valid_to is the next change's first µs (half-open intervals, −1 on
+    * the open current row), so `from ≤ t < to` lookups partition time
+    * exactly.
+    *
+    * Scale shape: ONE user-keyed shuffle serves everything — the
+    * change-flag window, the (user, version) run aggregate (user
+    * partitioning already clusters it), and the lead window over the
+    * compacted grain ride the same partitioning with no new exchange;
+    * the output sort is the only other shuffle. Determinism: (ts µs,
+    * event_id) total order (q10's rule), integer µs, run states are
+    * constant within a version by construction.
+    */
+  def scd2Compaction(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val cum    = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .withColumn(
+        "chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(cum))
+      .groupBy(col("user_id"), col("version"))
+      .agg(
+        max(col("event_type")).as("state"),
+        min(col("us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val byVersion = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    runs
+      .withColumn(
+        "valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(byVersion), lit(-1L)))
+      .withColumn("is_current", col("valid_to_us") === -1L)
+      .select(col("user_id"), col("version"), col("state"), col("valid_from_us"),
+        col("valid_to_us"), col("n_events"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** q169 oracle: the same change-flag window, run aggregate, and lead
+    * carry — integer µs end to end.
+    */
+  val scd2CompactionSql: String =
+    """WITH q169e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |q169v AS (
+      |  SELECT *, CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+      |  FROM q169e),
+      |q169r AS (
+      |  SELECT user_id, version, max(event_type) AS state,
+      |    min(us) AS valid_from_us, count(*)::BIGINT AS n_events
+      |  FROM q169v GROUP BY user_id, version)
+      |SELECT user_id, version, state, valid_from_us,
+      |  coalesce(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version), -1)
+      |    AS valid_to_us,
+      |  n_events,
+      |  (coalesce(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version), -1) = -1)
+      |    AS is_current
+      |FROM q169r ORDER BY user_id, version""".stripMargin
+
   // --- q135: stationary event mix ---------------------------------------------
 
   val StatRounds = 12

@@ -1424,6 +1424,48 @@ class OperatorsSpec extends SparkSpec {
     clean.foreach(r => assert(r.getLong(1) == 0L, s"sf0.001 defect: $r"))
   }
 
+  test("q169: planted runs compact exactly; history intervals tile per user on testdata") {
+    import spark.implicits._
+    import graft.operators.TimeJoins
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = t(s).getTime * 1000L
+    val dir = java.nio.file.Files.createTempDirectory("q169spec").toString
+    Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, t("2024-01-01 10:05:00"), 1L, "view", 1.0, "{}"),
+      (3L, t("2024-01-01 10:10:00"), 1L, "purchase", 1.0, "{}"),
+      (4L, t("2024-01-01 10:20:00"), 1L, "view", 1.0, "{}"),
+      (5L, t("2024-01-01 09:00:00"), 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TimeJoins.scd2Compaction(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, "view", us("2024-01-01 10:00:00"), us("2024-01-01 10:10:00"), 2L, false),
+      (1L, 2L, "purchase", us("2024-01-01 10:10:00"), us("2024-01-01 10:20:00"), 1L, false),
+      (1L, 3L, "view", us("2024-01-01 10:20:00"), -1L, 1L, true),
+      (2L, 1L, "click", us("2024-01-01 09:00:00"), -1L, 1L, true)), s"history: ${got.toSeq}")
+    // testdata invariants: versions contiguous, intervals tile, runs maximal
+    val hist = TimeJoins.scd2Compaction(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6)))
+    val evCounts = graft.core.Tables.events(spark, Sf0001)
+      .groupBy(col("user_id")).agg(count(lit(1))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    hist.groupBy(_._1).foreach { case (uid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"versions $uid")
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a._5 == b._4, s"tiling $uid: $a -> $b")
+        assert(a._3 != b._3, s"maximal runs $uid: $a -> $b")
+      }
+      assert(sorted.count(_._7) == 1 && sorted.last._7, s"one current row $uid")
+      assert(sorted.last._5 == -1L, s"open current interval $uid")
+      assert(sorted.map(_._6).sum == evCounts(uid), s"event conservation $uid")
+    }
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()

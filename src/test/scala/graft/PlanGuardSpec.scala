@@ -387,7 +387,10 @@ class PlanGuardSpec extends SparkSpec {
       "q167_compaction_plan" -> 4,
       // six 1-row constraint aggregates: three map-side predicates, one
       // keyed dup agg, two anti joins (SMJ worst case) + union sort
-      "q168_embedding_audit" -> 9
+      "q168_embedding_audit" -> 9,
+      // ONE user-keyed shuffle serves the change window, the run agg and
+      // the lead window (shared partitioning) + output sort
+      "q169_scd2_compaction" -> 2
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
