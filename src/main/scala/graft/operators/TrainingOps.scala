@@ -1338,6 +1338,76 @@ object TrainingOps {
         |ORDER BY c.split, c.source""".stripMargin)
   }
 
+  // --- q170: deterministic epoch reshuffle -------------------------------------
+
+  /** Epochs materialized (enough to prove per-epoch decorrelation). */
+  val ShuffleEpochs: Seq[Long] = Seq(0L, 1L)
+
+  /** Output shards per epoch. */
+  val ShuffleShards = 4
+
+  /** The training-order problem at 100 TB: every epoch must visit the
+    * corpus in a different "random" order, but a real global sort per
+    * epoch is a full-corpus shuffle you cannot afford twice, and RNG
+    * state is irreproducible across cluster sizes. The standard answer,
+    * materialized here: order by `xxhash64(epoch, doc_id)` — a
+    * deterministic per-epoch permutation (reproducible on any cluster,
+    * any partitioning, any retry — q40/q67's content-hash discipline).
+    * Each doc gets (epoch, shard, pos): shard = hash mod
+    * [[ShuffleShards]] (which output file), pos = hash rank within the
+    * shard (read order inside the file). Epochs decorrelate because
+    * chaining the epoch into the hash re-keys the whole permutation.
+    *
+    * Scale shape: map-side hash + ONE (epoch, shard)-keyed rank window —
+    * partitions are corpus/S and the writer's repartition anyway; no
+    * global sort, no RNG, nothing driver-side. Determinism: signed-long
+    * hash order with doc_id tiebreak; integer mod via the
+    * ((h % S) + S) % S non-negative form (q165's rule).
+    */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val S = ShuffleShards
+    val epochs = ShuffleEpochs.map(e => s"${e}L").mkString("array(", ", ", ")")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("epoch", explode(expr(epochs)))
+      .withColumn("h", xxhash64(col("epoch"), col("doc_id")))
+      .withColumn("shard", expr(s"((h % $S) + $S) % $S"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
+  /** q170 oracle: the chained two-long XXH64 emulation
+    * (`hashLong(doc_id, hashLong(epoch, 42))` — Spark's multi-column
+    * fold), signed order, identical mod/rank shapes.
+    */
+  lazy val epochShuffleSql: String = {
+    import graft.functions.DuckHash._
+    val S = ShuffleShards
+    val epochList = ShuffleEpochs.mkString("[", ", ", "]")
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q170in" ->
+        s"""(SELECT doc_id, e AS epoch, doc_id::HUGEINT AS l, e::HUGEINT AS ee
+           |  FROM documents, (SELECT unnest($epochList) AS e))""".stripMargin
+    )
+    val ch = new SqlChain("q170h", "q170in", Seq("doc_id", "epoch", "l", "ee"))
+    hashLongLevels(ch, "ee", "42", "h1")
+    hashLongLevels(ch, toUnsigned("l"), "h1", "h")
+    ctes ++= ch.ctes
+    ctes += ("q170s" ->
+      s"(SELECT epoch, doc_id, ${toSigned("h")} AS hs FROM ${ch.last})")
+    assemble(
+      ctes.toSeq,
+      s"""SELECT epoch::BIGINT AS epoch, doc_id,
+         |  (((hs % $S) + $S) % $S)::BIGINT AS shard,
+         |  (row_number() OVER (PARTITION BY epoch, (((hs % $S) + $S) % $S)
+         |     ORDER BY hs, doc_id))::BIGINT AS pos
+         |FROM q170s ORDER BY epoch, shard, pos""".stripMargin)
+  }
+
   // --- q161: HLL shard-merge audit -------------------------------------------
 
   /** The sketch-MERGE audit — the property that makes HLL the 100 TB

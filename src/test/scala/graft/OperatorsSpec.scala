@@ -1466,6 +1466,43 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q170: epoch permutations cover the corpus, match the hash ranks, and decorrelate") {
+    import graft.operators.TrainingOps
+    val S = TrainingOps.ShuffleShards
+    val rows = TrainingOps.epochShuffle(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ids = graft.core.Tables.documents(spark, Sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    TrainingOps.ShuffleEpochs.foreach { e =>
+      val ep = rows.filter(_._1 == e)
+      assert(ep.map(_._2).toSet == ids, s"epoch $e covers the corpus exactly once")
+      ep.groupBy(_._3).foreach { case (sh, g) =>
+        assert(g.map(_._4).sorted.toSeq == (1L to g.length).toSeq, s"pos contiguous e$e s$sh")
+      }
+    }
+    // shard/rank agree with an independent hash computation
+    val want = graft.core.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), explode(expr("array(0L, 1L)")).as("epoch"))
+      .select(col("epoch"), col("doc_id"), xxhash64(col("epoch"), col("doc_id")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wantShard = want.map { case (e, id, h) => (e, id) -> (((h % S) + S) % S) }.toMap
+    rows.foreach { case (e, id, sh, _) => assert(sh == wantShard((e, id)), s"shard ($e,$id)") }
+    val wantPos = want.groupBy { case (e, _, h) => (e, ((h % S) + S) % S) }
+      .flatMap { case ((e, sh), g) =>
+        g.toSeq.sortBy { case (_, id, h) => (h, id) }.zipWithIndex
+          .map { case ((_, id, _), i) => (e, sh, id) -> (i + 1L) }
+      }
+    rows.foreach { case (e, id, sh, pos) => assert(pos == wantPos((e, sh, id)), s"pos ($e,$id)") }
+    // the two epoch orders are decorrelated permutations (Spearman ~ 0)
+    def order(e: Long) = rows.filter(_._1 == e).sortBy(r => (r._3, r._4)).map(_._2)
+      .zipWithIndex.map { case (id, i) => id -> i.toDouble }.toMap
+    val (o0, o1) = (order(0L), order(1L))
+    val n = ids.size.toDouble
+    val d2 = ids.toSeq.map(id => { val d = o0(id) - o1(id); d * d }).sum
+    val rho = 1.0 - 6.0 * d2 / (n * (n * n - 1.0))
+    assert(math.abs(rho) < 0.2, s"epoch orders correlate: rho=$rho")
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()

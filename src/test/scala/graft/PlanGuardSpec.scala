@@ -390,7 +390,9 @@ class PlanGuardSpec extends SparkSpec {
       "q168_embedding_audit" -> 9,
       // ONE user-keyed shuffle serves the change window, the run agg and
       // the lead window (shared partitioning) + output sort
-      "q169_scd2_compaction" -> 2
+      "q169_scd2_compaction" -> 2,
+      // map-side hash + ONE (epoch, shard) rank window + output sort
+      "q170_epoch_shuffle" -> 2
     )
     plans.foreach { case (name, p) =>
       budgets.get(name).foreach { maxShuffles =>
