@@ -37,7 +37,12 @@ import org.apache.spark.sql.DataFrame
   * (float cosine rank ties at four truncation dims), q153 (the boundary
   * hour from the cumulative hour histogram + the (type, user) overlap
   * rollup), q155 (the xor/min/max manifest — DESIGNED to be
-  * layout-blind, so a drift here is the clearest possible regression).
+  * layout-blind, so a drift here is the clearest possible regression),
+  * q166 (10 max-normalized float HITS half-rounds over checkpointed
+  * directed edges), q169 (change-flag window + run aggregate + lead carry
+  * riding ONE shared partitioning), q170 (per-epoch hash-rank
+  * permutations — a training order that moved under re-layout would
+  * silently change what a run trains on).
   * Caches AND the session-shared checkpointed stages are cleared between
   * runs so the second pass genuinely re-derives everything under the new
   * layout.
@@ -53,7 +58,8 @@ class LayoutInvarianceSpec extends SparkSpec {
       "q135_stationary_mix", "q138_minhash_calibration",
       "q139_grouped_split", "q143_doc_novelty",
       "q148_changepoint", "q149_range_planner", "q151_attribution",
-      "q152_trunc_audit", "q153_temporal_split", "q155_content_manifest")
+      "q152_trunc_audit", "q153_temporal_split", "q155_content_manifest",
+      "q166_hits_scores", "q169_scd2_compaction", "q170_epoch_shuffle")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, Sf0001).collect().map(_.toString).toSeq
