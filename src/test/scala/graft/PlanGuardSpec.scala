@@ -557,7 +557,11 @@ class PlanGuardSpec extends SparkSpec {
         // ≤k²-bounded top-k intersection (q28's bounded-side rule)
         "q164_rank_agreement",
         // q165 crossJoins the 1-row corpus total onto the ≤3·|sources| cells
-        "q165_split_balance")
+        "q165_split_balance",
+        // q166's per-round normalizer crossJoins a 1-row max aggregate onto
+        // the ≤|nodes|-row score table — the q42/q49 1-row stats shape,
+        // bounded by construction (never the corpus)
+        "q166_hits_scores")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
