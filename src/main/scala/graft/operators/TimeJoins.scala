@@ -1851,4 +1851,128 @@ object TimeJoins {
       }
       .toMap
   }
+
+  // --- q171: autocorrelation of hourly volume per type -----------------------
+
+  val AcfMaxLag = 6
+
+  /** Autocorrelation function of hourly event volume per type at lags
+    * 1..[[AcfMaxLag]] — the periodicity diagnostic the q113/q120/q123
+    * family stops short of: EWMA smooths, the seasonal profile averages
+    * by cell, but only the ACF says whether volume at hour t PREDICTS
+    * hour t+k (bot traffic and cron-driven scrapers show near-1 lag
+    * spikes; organic traffic decays smoothly). Each (type, lag) row
+    * carries the Pearson r of the zero-filled hourly series against its
+    * k-shifted self, the ±2/√n white-noise band, and the significance
+    * flag — the inputs an alerting screen needs before trusting q120's
+    * "this hour is anomalous" on a series that is simply periodic.
+    *
+    * Scale shape: ONE map-side-combinable aggregate collapses the corpus
+    * to the ≤ |types|·|hours| hourly grain; the dense grid (per-type
+    * `sequence(min_hr, max_hr)` explode — gaps are real zeros, and a
+    * gappy series must not silently skip them) and the lag windows
+    * operate on that bounded table, partitioned by type — no global
+    * window, no corpus re-scan. Determinism: the series is integer
+    * counts, so all six moment sums are exact longs (order-free); r's
+    * numerator and both variance legs are exact integer expressions, and
+    * the only float ops are two correctly-rounded `sqrt`s, one multiply,
+    * one divide — bit-identical across engines — before the 6-dp round.
+    * Degenerate legs (zero variance) yield NULL r / false significance.
+    */
+  def acf(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        (unix_micros(date_trunc("hour", col("ts"))) / lit(3600000000L)).cast("long").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val grid = cells
+      .groupBy(col("event_type"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+    val dense = grid
+      .join(cells, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"), coalesce(col("n"), lit(0L)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val lagged = (1 to AcfMaxLag).foldLeft(dense)((df, k) =>
+      df.withColumn(s"y$k", lead(col("x"), k).over(w)))
+    val pairs = lagged
+      .selectExpr(
+        "event_type",
+        "x",
+        s"stack($AcfMaxLag, ${(1 to AcfMaxLag)
+            .map(k => s"cast($k as bigint), y$k")
+            .mkString(", ")}) as (lag, y)")
+      .where(col("y").isNotNull)
+    val stats = pairs
+      .groupBy(col("event_type"), col("lag"))
+      .agg(
+        count(lit(1)).as("np"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = (col("np") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx  = col("np") * col("sxx") - col("sx") * col("sx")
+    val vy  = col("np") * col("syy") - col("sy") * col("sy")
+    val ok  = vx > lit(0L) && vy > lit(0L)
+    val r   = num / (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))
+    val band = lit(2.0) / sqrt(col("np").cast("double"))
+    stats
+      .select(
+        col("event_type"),
+        col("lag"),
+        col("np").as("n_pairs"),
+        round(when(ok, r), 6).as("r"),
+        round(band, 6).as("wn_band"),
+        when(ok, abs(r) > band).otherwise(lit(false)).as("significant"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** q171 oracle: identical dense grid, lag windows, exact integer moment
+    * sums (DuckDB's HUGEINT sums cast back to BIGINT — the values are
+    * bounded by |hours|·max_cell² ≪ 2⁶³), and the same
+    * `num / (sqrt·sqrt)` float shape before the 6-dp round.
+    */
+  val acfSql: String = {
+    val leads = (1 to AcfMaxLag).map(k => s"lead(x, $k) OVER w AS y$k").mkString(", ")
+    val cases = (1 to AcfMaxLag - 1).map(k => s"WHEN $k THEN y$k").mkString(" ")
+    s"""WITH q171c AS MATERIALIZED (
+       |  SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+       |    count(*)::BIGINT AS n
+       |  FROM events GROUP BY 1, 2),
+       |q171g AS (
+       |  SELECT event_type, unnest(generate_series(min(hr), max(hr))) AS hr
+       |  FROM q171c GROUP BY event_type),
+       |q171d AS (
+       |  SELECT g.event_type, g.hr, coalesce(c.n, 0)::BIGINT AS x
+       |  FROM q171g g LEFT JOIN q171c c ON g.event_type = c.event_type AND g.hr = c.hr),
+       |q171l AS (
+       |  SELECT event_type, x, $leads
+       |  FROM q171d WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+       |q171p AS (
+       |  SELECT event_type, x, t.lag,
+       |    CASE t.lag $cases ELSE y$AcfMaxLag END AS y
+       |  FROM q171l CROSS JOIN (VALUES ${(1 to AcfMaxLag)
+        .map(k => s"(${k}::BIGINT)")
+        .mkString(",")}) t(lag)),
+       |q171s AS (
+       |  SELECT event_type, lag, count(*)::BIGINT AS np,
+       |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy,
+       |    sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy
+       |  FROM q171p WHERE y IS NOT NULL GROUP BY 1, 2)
+       |SELECT event_type, lag, np AS n_pairs,
+       |  round(CASE WHEN np*sxx - sx*sx > 0 AND np*syy - sy*sy > 0 THEN
+       |    (np*sxy - sx*sy)::DOUBLE
+       |      / (sqrt((np*sxx - sx*sx)::DOUBLE) * sqrt((np*syy - sy*sy)::DOUBLE)) END, 6) AS r,
+       |  round(2.0 / sqrt(np::DOUBLE), 6) AS wn_band,
+       |  CASE WHEN np*sxx - sx*sx > 0 AND np*syy - sy*sy > 0 THEN
+       |    abs((np*sxy - sx*sy)::DOUBLE
+       |      / (sqrt((np*sxx - sx*sx)::DOUBLE) * sqrt((np*syy - sy*sy)::DOUBLE)))
+       |      > 2.0 / sqrt(np::DOUBLE)
+       |  ELSE FALSE END AS significant
+       |FROM q171s ORDER BY event_type, lag""".stripMargin
+  }
 }

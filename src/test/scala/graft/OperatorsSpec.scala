@@ -1503,6 +1503,47 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(rho) < 0.2, s"epoch orders correlate: rho=$rho")
   }
 
+  test("q171: planted period-2 series hits ±1 at alternating lags; zero-variance legs go NULL") {
+    import spark.implicits._
+    import graft.operators.TimeJoins
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("q171spec").toString
+    // type "a": 2 events at every even hour 0..8 → dense series 2,0,2,…,2
+    // type "b": exactly 1 event every hour 0..7 → constant (zero variance)
+    val a = (0 to 8 by 2).flatMap(h =>
+      Seq((100L + h * 2, t(f"2024-01-01 $h%02d:00:00"), 1L, "a", 1.0, "{}"),
+          (101L + h * 2, t(f"2024-01-01 $h%02d:30:00"), 2L, "a", 1.0, "{}")))
+    val b = (0 to 7).map(h => (200L + h, t(f"2024-01-01 $h%02d:15:00"), 3L, "b", 1.0, "{}"))
+    (a ++ b).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TimeJoins.acf(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(5)))
+    val aRows = got.filter(_._1 == "a").map { case (_, l, np, r, s) => (l, np, r, s) }
+    assert(aRows.toSeq == Seq(
+      (1L, 8L, Some(-1.0), true), (2L, 7L, Some(1.0), true), (3L, 6L, Some(-1.0), true),
+      (4L, 5L, Some(1.0), true), (5L, 4L, Some(-1.0), false), (6L, 3L, Some(1.0), false)),
+      s"period-2 ACF: ${aRows.toSeq}")
+    val bRows = got.filter(_._1 == "b")
+    assert(bRows.length == 6 && bRows.forall(r => r._4.isEmpty && !r._5),
+      s"constant series: ${bRows.toSeq}")
+    // testdata invariants: every (type, lag) cell present, n_pairs = hours − lag,
+    // |r| ≤ 1, and the white-noise band is positive
+    val sf = TimeJoins.acf(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getDouble(4)))
+    val types = sf.map(_._1).distinct
+    assert(sf.length == types.length * TimeJoins.AcfMaxLag)
+    sf.groupBy(_._1).foreach { case (_, rows) =>
+      val n0 = rows.find(_._2 == 1L).get._3 + 1
+      rows.foreach { case (ty, l, np, r, band) =>
+        assert(np == n0 - l, s"pair count $ty lag $l")
+        r.foreach(v => assert(math.abs(v) <= 1.0, s"|r|>1 $ty lag $l"))
+        assert(band > 0.0)
+      }
+    }
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()
