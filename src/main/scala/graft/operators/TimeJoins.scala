@@ -1975,4 +1975,110 @@ object TimeJoins {
        |  ELSE FALSE END AS significant
        |FROM q171s ORDER BY event_type, lag""".stripMargin
   }
+
+  // --- q172: Kaplan–Meier user-lifetime survival ------------------------------
+
+  val SurvCensorDays = 7L
+
+  /** Kaplan–Meier survival curve over user lifetimes — the churn analysis
+    * q101's retention triangle approximates by cohort: lifetime = days
+    * between a user's first and last activity; a user still active within
+    * [[SurvCensorDays]] of the corpus frontier is CENSORED (we know their
+    * lifetime exceeds t, not where it ends), and KM is the estimator that
+    * uses that partial information instead of discarding it (naive "mean
+    * lifetime of churned users" is biased low exactly when the product is
+    * growing). Per distinct lifetime t: the at-risk count, churn and
+    * censor counts, and S(t) = Π_{t_i ≤ t} (1 − d_i/n_i).
+    *
+    * Scale shape: ONE user-keyed aggregate collapses the corpus to the
+    * user grain; the lifetime table collapses again to ≤ |days| distinct-t
+    * rows, and the KM product folds over THAT tiny table via a 1-row
+    * collected array crossJoin (the q61/q106 ordered-fold idiom — never a
+    * partitionless window, never a second corpus pass). Determinism:
+    * lifetimes/counts are exact longs; the survival fold is a left fold in
+    * t order whose only float ops are one divide, one subtract, one
+    * multiply per step, 6-dp rounded BEFORE the next step reads it (the
+    * round-before-reuse rule), mirrored element-for-element by the oracle.
+    */
+  def kmSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).cast("long").as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    val tot = users
+      .groupBy()
+      .agg(max(col("last_day")).as("max_day"), count(lit(1)).as("n_users"))
+    val byT = users
+      .crossJoin(broadcast(tot)) // 1-row frontier + population, bounded
+      .select(
+        (col("last_day") - col("first_day")).as("t"),
+        (col("last_day") > col("max_day") - lit(SurvCensorDays)).as("censored"))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+    val packed = byT
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("t"), col("d"), col("c")))).as("arr"))
+      .crossJoin(broadcast(tot.select(col("n_users")))) // 1×1
+    byT
+      .crossJoin(broadcast(packed))
+      .selectExpr("t", "d", "c", "arr", "n_users",
+        "size(filter(arr, e -> e.t < t)) AS i0")
+      .selectExpr(
+        "t",
+        "CAST(n_users - aggregate(slice(arr, 1, i0), 0L, (a, e) -> a + e.d + e.c) AS BIGINT) AS n_risk",
+        "d AS n_churn",
+        "c AS n_censored",
+        """aggregate(slice(arr, 1, i0 + 1),
+             named_struct('rem', CAST(n_users AS BIGINT), 's', CAST(1.0 AS DOUBLE)),
+             (a, e) -> named_struct(
+               'rem', a.rem - e.d - e.c,
+               's', round(a.s * (CAST(1.0 AS DOUBLE) - CAST(e.d AS DOUBLE) / CAST(a.rem AS DOUBLE)), 6)),
+             a -> a.s) AS survival""")
+      .orderBy(col("t"))
+  }
+
+  /** q172 oracle: identical user grain, censor rule, and the SAME left
+    * fold in t order, spelled as a RECURSIVE CTE over the ordered event-
+    * time list rather than `list_reduce` — DuckDB 1.0.0's list_reduce
+    * returns NULL for the row with the longest list when that row leads
+    * the vectorized batch (reproduced standalone; row order off parquet
+    * made q172's largest-t row first). The recursion computes the exact
+    * per-step (rem, s) sequence Spark's `aggregate` fold does — one
+    * divide/subtract/multiply per step, 6-dp rounded before the next step
+    * — and each output row joins its prefix length. Float literals pinned
+    * to DOUBLE (a bare 1.0 is DECIMAL in DuckDB and would change every
+    * product's rounding).
+    */
+  val kmSurvivalSql: String =
+    s"""WITH RECURSIVE q172u AS MATERIALIZED (
+       |  SELECT user_id, min(date_diff('day', DATE '1970-01-01', ts::DATE))::BIGINT AS first_day,
+       |    max(date_diff('day', DATE '1970-01-01', ts::DATE))::BIGINT AS last_day
+       |  FROM events GROUP BY user_id),
+       |q172t AS (SELECT max(last_day) AS max_day, count(*)::BIGINT AS n_users FROM q172u),
+       |q172b AS (
+       |  SELECT last_day - first_day AS t,
+       |    sum(CASE WHEN last_day > max_day - $SurvCensorDays THEN 0 ELSE 1 END)::BIGINT AS d,
+       |    sum(CASE WHEN last_day > max_day - $SurvCensorDays THEN 1 ELSE 0 END)::BIGINT AS c
+       |  FROM q172u CROSS JOIN q172t GROUP BY 1),
+       |q172a AS (
+       |  SELECT list(struct_pack(t := t, d := d, c := c) ORDER BY t) AS L,
+       |    any_value(n_users) AS n_users
+       |  FROM q172b CROSS JOIN q172t),
+       |q172r AS (
+       |  SELECT 0::BIGINT AS i, a.n_users AS rem, 1.0::DOUBLE AS s FROM q172a a
+       |  UNION ALL
+       |  SELECT r.i + 1, r.rem - a.L[(r.i + 1)::INT].d - a.L[(r.i + 1)::INT].c,
+       |    round(r.s * (1.0::DOUBLE - a.L[(r.i + 1)::INT].d::DOUBLE / r.rem::DOUBLE), 6)
+       |  FROM q172r r CROSS JOIN q172a a WHERE r.i < len(a.L))
+       |SELECT b.t, rpre.rem::BIGINT AS n_risk, b.d AS n_churn, b.c AS n_censored,
+       |  rcur.s AS survival
+       |FROM q172b b CROSS JOIN q172a a
+       |JOIN q172r rpre ON rpre.i = len(list_filter(a.L, x -> x.t < b.t))
+       |JOIN q172r rcur ON rcur.i = len(list_filter(a.L, x -> x.t < b.t)) + 1
+       |ORDER BY b.t""".stripMargin
 }

@@ -1544,6 +1544,42 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q172: planted lifetimes reproduce the textbook KM curve; testdata invariants hold") {
+    import spark.implicits._
+    import graft.operators.TimeJoins
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("q172spec").toString
+    // frontier = Jan 30; censored iff last_day > Jan 23.
+    // u1,u2: churn t=1; u3: censored t=2; u4: churn t=3; u5: censored t=3
+    // → KM: S(1)=1−2/5=0.6, S(2)=0.6 (censor only), S(3)=0.6·(1−1/2)=0.3
+    Seq(
+      (1L, t("2024-01-10 10:00:00"), 1L), (2L, t("2024-01-11 10:00:00"), 1L),
+      (3L, t("2024-01-12 10:00:00"), 2L), (4L, t("2024-01-13 10:00:00"), 2L),
+      (5L, t("2024-01-26 10:00:00"), 3L), (6L, t("2024-01-28 10:00:00"), 3L),
+      (7L, t("2024-01-10 10:00:00"), 4L), (8L, t("2024-01-13 10:00:00"), 4L),
+      (9L, t("2024-01-27 10:00:00"), 5L), (10L, t("2024-01-30 10:00:00"), 5L))
+      .map { case (id, ts, u) => (id, ts, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TimeJoins.kmSurvival(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, 2L, 0L, 0.6), (2L, 3L, 0L, 1L, 0.6), (3L, 2L, 1L, 1L, 0.3)),
+      s"KM curve: ${got.toSeq}")
+    // testdata invariants: S non-increasing in t, n_risk strictly decreasing,
+    // risk conservation (n_risk(t_i+1) = n_risk(t_i) − d_i − c_i), S ∈ (0, 1]
+    val sf = TimeJoins.kmSurvival(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(sf.nonEmpty)
+    sf.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+      assert(a._1 < b._1, "t ascending")
+      assert(b._5 <= a._5 + 1e-12, s"S must not increase: $a -> $b")
+      assert(b._2 == a._2 - a._3 - a._4, s"risk conservation: $a -> $b")
+    }
+    assert(sf.head._2 == sf.map(r => r._3 + r._4).sum, "everyone starts at risk")
+    sf.foreach(r => assert(r._5 > 0.0 && r._5 <= 1.0, s"S in (0,1]: $r"))
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()

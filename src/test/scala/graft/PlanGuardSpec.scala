@@ -561,7 +561,11 @@ class PlanGuardSpec extends SparkSpec {
         // q166's per-round normalizer crossJoins a 1-row max aggregate onto
         // the ≤|nodes|-row score table — the q42/q49 1-row stats shape,
         // bounded by construction (never the corpus)
-        "q166_hits_scores")
+        "q166_hits_scores",
+        // q172 crossJoins the 1-row frontier/population aggregate and the
+        // 1-row packed event-time array onto the ≤|days|-row lifetime
+        // table — the q61/q106 ordered-fold idiom, bounded by construction
+        "q172_km_survival")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
