@@ -1105,4 +1105,72 @@ object EventStreams extends Serializable {
           }
       }
   }
+
+  case class Scd2State(
+      version: Long,
+      stateType: String,
+      validFromUs: Long,
+      nEvents: Long,
+      lastUs: Long,
+      lastEventId: Long)
+  case class Scd2Out(
+      user_id: Long,
+      version: Long,
+      state: String,
+      valid_from_us: Long,
+      valid_to_us: Long,
+      n_events: Long,
+      is_current: Boolean)
+
+  /** E37: streaming SCD2 closed-interval emission — the q169 twin's data
+    * layer. Per user, state = the OPEN run's envelope (state, version,
+    * valid_from, event count, (µs, event_id) frontier); an event with a
+    * DIFFERENT event_type closes the run and emits its versioned validity
+    * interval EXACTLY ONCE — the closed rows are precisely batch q169's
+    * `is_current = false` rows (spec-pinned), i.e. the change-data feed a
+    * warehouse MERGE applies incrementally instead of recompacting
+    * history. The open run is deliberately NOT emitted: "current" is a
+    * point-in-time property of the whole table (the E18/E27 calibrate-on-
+    * snapshot boundary) and lives in the state store until a real change
+    * closes it.
+    *
+    * State is ONE fixed-size row per user and has NO timeout: evicting an
+    * idle user would forget their version counter and open interval, and
+    * a later event would restart numbering — the q169 semantics require
+    * the envelope to survive idle gaps. That bound (|users| small rows,
+    * the same user grain batch q169 shuffles) is the contract; events
+    * below the open run's (µs, event_id) frontier drop (E23's rule —
+    * batch replay stays the authority on out-of-contract feeds).
+    */
+  def scd2Stream(
+      events: Dataset[Ev],
+      watermarkDur: String = "2 hours"): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDur)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[Scd2State]) =>
+          val sorted = batch.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+          var st     = state.getOption
+          val out    = ListBuffer.empty[Scd2Out]
+          sorted.foreach { e =>
+            val us = tsUs(e.ts)
+            st match {
+              case None =>
+                st = Some(Scd2State(1L, e.event_type, us, 1L, us, e.event_id))
+              case Some(s) if us < s.lastUs || (us == s.lastUs && e.event_id < s.lastEventId) =>
+                () // below the run frontier: late beyond the sort, drop
+              case Some(s) if e.event_type == s.stateType =>
+                st = Some(s.copy(nEvents = s.nEvents + 1, lastUs = us, lastEventId = e.event_id))
+              case Some(s) =>
+                out += Scd2Out(uid, s.version, s.stateType, s.validFromUs, us, s.nEvents,
+                  is_current = false)
+                st = Some(Scd2State(s.version + 1, e.event_type, us, 1L, us, e.event_id))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
 }

@@ -1393,4 +1393,56 @@ class StreamingSpec extends SparkSpec {
     def ord(p: Double) = lat(math.ceil(p * lat.length).toInt - 1)
     assert(b.getLong(4) == ord(0.5) && b.getLong(5) == ord(0.9), s"order stats: $b")
   }
+
+  test("E37: closed SCD2 intervals equal batch q169's non-current rows and emit exactly once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(s: String)  = Timestamp.valueOf(s)
+    def us(s: String) = t(s).getTime * 1000L
+    // q169's planted history: u1 view,view → purchase → view; u2 lone click
+    val all = Seq(
+      Ev(1, 1, t("2024-01-01 10:00:00"), "view", 1.0),
+      Ev(2, 1, t("2024-01-01 10:05:00"), "view", 1.0),
+      Ev(3, 1, t("2024-01-01 10:10:00"), "purchase", 1.0),
+      Ev(4, 1, t("2024-01-01 10:20:00"), "view", 1.0),
+      Ev(5, 2, t("2024-01-01 09:00:00"), "click", 1.0))
+    val (b1, b2) = all.partition(_.event_id <= 2)
+    val in       = MemoryStream[Ev]
+    val q = EventStreams
+      .scd2Stream(in.toDS())
+      .writeStream.format("memory").queryName("scd2_s").outputMode("append").start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    val got = spark.table("scd2_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6)))
+    q.stop()
+    assert(got.toSet == Set(
+      (1L, 1L, "view", us("2024-01-01 10:00:00"), us("2024-01-01 10:10:00"), 2L, false),
+      (1L, 2L, "purchase", us("2024-01-01 10:10:00"), us("2024-01-01 10:20:00"), 1L, false)),
+      s"closed intervals: ${got.toSeq}")
+    assert(got.length == got.toSet.size, "exactly-once emission")
+    // sf0.001 replay in (ts, event_id) order across batches: the streamed
+    // closed intervals ARE batch q169 minus its is_current rows
+    val evs = graft.core.Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy(col("ts"), col("event_id")).collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3), r.getDouble(4)))
+    val in2 = MemoryStream[Ev]
+    val q2 = EventStreams
+      .scd2Stream(in2.toDS())
+      .writeStream.format("memory").queryName("scd2_sf").outputMode("append").start()
+    evs.grouped(400).foreach { chunk => in2.addData(chunk: _*); q2.processAllAvailable() }
+    val streamed = spark.table("scd2_sf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6))).toSet
+    q2.stop()
+    val batch = graft.operators.TimeJoins.scd2Compaction(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6)))
+      .filterNot(_._7).toSet
+    assert(streamed == batch,
+      s"stream≡batch: ${streamed.size} streamed vs ${batch.size} batch; " +
+        s"diff ${(streamed -- batch).take(3)} / ${(batch -- streamed).take(3)}")
+  }
 }
