@@ -2147,52 +2147,190 @@ object CurationOps {
       .orderBy(col("doc_id"))
   }
 
+  /** NB prediction CTE chain (hashed feature space → rounded-weight
+    * model → per-doc argmax), prefix-parameterized so q66's per-doc
+    * report and q173's aggregate eval share ONE spelling — scores fold
+    * ascending by feature from the prior, argmax via (score DESC, cls
+    * ASC) rank.
+    */
+  private def nbPredCtes(pfx: String): ArrayBuffer[(String, String)] = {
+    val B    = DsirBuckets
+    val ctes = dsirFeatureCtes(pfx)
+    ctes += (s"${pfx}cls" -> "(SELECT source AS cls, count(*) AS nd FROM documents GROUP BY source)")
+    ctes += (s"${pfx}n" -> "(SELECT count(*) AS n FROM documents)")
+    ctes += (s"${pfx}cf" -> s"(SELECT source AS cls, f, count(*) AS cnt FROM ${pfx}e GROUP BY source, f)")
+    ctes += (s"${pfx}tot" -> s"(SELECT cls, CAST(sum(cnt) AS BIGINT) AS tot FROM ${pfx}cf GROUP BY cls)")
+    ctes += (s"${pfx}w" ->
+      s"(SELECT cls, f, round(ln((cnt + 1)::DOUBLE / (tot + $B)::DOUBLE), 6) AS w FROM ${pfx}cf JOIN ${pfx}tot USING (cls))")
+    // ${pfx}k LEFT-joins ${pfx}tot (coalesce tot→0) and ${pfx}sc starts from
+    // documents, so a class with zero feature instances and a document with
+    // zero features both survive — mirroring NBClassify's tot.getOrElse /
+    // prior-only-score behavior instead of silently dropping rows if the
+    // tokenizer ever stops guaranteeing ≥1 token per doc.
+    ctes += (s"${pfx}k" ->
+      s"""(SELECT c.cls, round(ln(1::DOUBLE / (coalesce(t.tot, 0) + $B)::DOUBLE), 6) AS w0,
+         |    round(ln(nd::DOUBLE / n::DOUBLE), 6) AS prior
+         |  FROM ${pfx}cls c LEFT JOIN ${pfx}tot t ON t.cls = c.cls, ${pfx}n)""".stripMargin)
+    ctes += (s"${pfx}dc" -> s"(SELECT doc_id, f, count(*) AS c FROM ${pfx}e GROUP BY doc_id, f)")
+    ctes += (s"${pfx}sc" ->
+      s"""(SELECT dd.doc_id, k.cls,
+         |    list_reduce(list_prepend(k.prior,
+         |        coalesce(list(d.c::DOUBLE * coalesce(w.w, k.w0) ORDER BY d.f)
+         |                   FILTER (d.f IS NOT NULL), [])),
+         |      (a, b) -> a + b) AS score
+         |  FROM (SELECT doc_id FROM documents) dd
+         |  CROSS JOIN ${pfx}k k
+         |  LEFT JOIN ${pfx}dc d ON d.doc_id = dd.doc_id
+         |  LEFT JOIN ${pfx}w w ON w.cls = k.cls AND w.f = d.f
+         |  GROUP BY dd.doc_id, k.cls, k.prior)""".stripMargin)
+    ctes += (s"${pfx}pred" ->
+      s"""(SELECT doc_id, cls AS predicted FROM (
+         |    SELECT doc_id, cls,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rk
+         |    FROM ${pfx}sc)
+         |  WHERE rk = 1)""".stripMargin)
+    ctes
+  }
+
   /** Oracle: the q66-prefixed feature chain + the same rounded-weight
     * model in SQL, scores folded ascending by feature from the prior,
     * argmax via (score DESC, cls ASC) rank.
     */
   lazy val nbClassifySql: String = {
     import graft.functions.DuckHash._
-    val B    = DsirBuckets
-    val ctes = dsirFeatureCtes("q66")
-    ctes += ("q66cls" -> "(SELECT source AS cls, count(*) AS nd FROM documents GROUP BY source)")
-    ctes += ("q66n" -> "(SELECT count(*) AS n FROM documents)")
-    ctes += ("q66cf" -> "(SELECT source AS cls, f, count(*) AS cnt FROM q66e GROUP BY source, f)")
-    ctes += ("q66tot" -> "(SELECT cls, CAST(sum(cnt) AS BIGINT) AS tot FROM q66cf GROUP BY cls)")
-    ctes += ("q66w" ->
-      s"(SELECT cls, f, round(ln((cnt + 1)::DOUBLE / (tot + $B)::DOUBLE), 6) AS w FROM q66cf JOIN q66tot USING (cls))")
-    // q66k LEFT-joins q66tot (coalesce tot→0) and q66sc starts from
-    // documents, so a class with zero feature instances and a document with
-    // zero features both survive — mirroring NBClassify's tot.getOrElse /
-    // prior-only-score behavior instead of silently dropping rows if the
-    // tokenizer ever stops guaranteeing ≥1 token per doc.
-    ctes += ("q66k" ->
-      s"""(SELECT c.cls, round(ln(1::DOUBLE / (coalesce(t.tot, 0) + $B)::DOUBLE), 6) AS w0,
-         |    round(ln(nd::DOUBLE / n::DOUBLE), 6) AS prior
-         |  FROM q66cls c LEFT JOIN q66tot t ON t.cls = c.cls, q66n)""".stripMargin)
-    ctes += ("q66dc" -> "(SELECT doc_id, f, count(*) AS c FROM q66e GROUP BY doc_id, f)")
-    ctes += ("q66sc" ->
-      """(SELECT dd.doc_id, k.cls,
-        |    list_reduce(list_prepend(k.prior,
-        |        coalesce(list(d.c::DOUBLE * coalesce(w.w, k.w0) ORDER BY d.f)
-        |                   FILTER (d.f IS NOT NULL), [])),
-        |      (a, b) -> a + b) AS score
-        |  FROM (SELECT doc_id FROM documents) dd
-        |  CROSS JOIN q66k k
-        |  LEFT JOIN q66dc d ON d.doc_id = dd.doc_id
-        |  LEFT JOIN q66w w ON w.cls = k.cls AND w.f = d.f
-        |  GROUP BY dd.doc_id, k.cls, k.prior)""".stripMargin)
-    ctes += ("q66pred" ->
-      """(SELECT doc_id, cls AS predicted FROM (
-        |    SELECT doc_id, cls,
-        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rk
-        |    FROM q66sc)
-        |  WHERE rk = 1)""".stripMargin)
     assemble(
-      ctes.toSeq,
+      nbPredCtes("q66").toSeq,
       """SELECT d.doc_id, d.source, p.predicted, (d.source = p.predicted) AS correct
         |FROM documents d JOIN q66pred p ON p.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin)
+  }
+
+  // --- q173: classifier evaluation report (per-class P/R/F1 + kappa) ---------
+
+  /** Classifier-evaluation report over q66's NB predictions — the QA
+    * table a pseudo-labeling pipeline publishes before anyone trusts the
+    * router's tags: per class, support / prediction count / true
+    * positives and precision, recall, F1; plus the `_ALL` row with
+    * micro-averaged accuracy (= micro-P = micro-R = micro-F1) and
+    * Cohen's kappa — the chance-corrected agreement that exposes a
+    * classifier coasting on class imbalance (q86 reports the language-ID
+    * confusion CELLS; q173 reports the decision-grade summary metrics).
+    *
+    * Scale shape: the corpus collapses to the ≤ |classes|² confusion
+    * matrix in ONE aggregate over the scoring projection (training reuses
+    * q66's bounded model collect); every metric derives from that tiny
+    * table — marginals, rollups and 1-row broadcasts, never a second
+    * corpus pass. Determinism: counts are exact longs; F1 spells as the
+    * integer ratio 2·tp/(n_pred+support) (one divide, no p·r/(p+r)
+    * float chain), and kappa as the exact integer ratio
+    * (T·N − Σrᵢcᵢ)/(N² − Σrᵢcᵢ) in DECIMAL(38,0) (overflow-safe at
+    * 10¹⁰ docs) — each one correctly-rounded divide before the 6-dp
+    * round; a class never predicted gets NULL precision.
+    */
+  def classifierEval(spark: SparkSession, dir: String): DataFrame = {
+    val conf = graft.core.CacheScope.persist(
+      nbClassifyOf(docs(spark, dir))
+        .groupBy(col("source"), col("predicted"))
+        .agg(count(lit(1)).as("n")))
+    val act = conf.groupBy(col("source").as("cls")).agg(sum(col("n")).as("support"))
+    val prd = conf.groupBy(col("predicted").as("cls")).agg(sum(col("n")).as("n_pred"))
+    val tp  = conf
+      .filter(col("source") === col("predicted"))
+      .select(col("source").as("cls"), col("n").as("tp"))
+    val perClass = act
+      .join(prd, Seq("cls"), "left")
+      .join(tp, Seq("cls"), "left")
+      .select(
+        col("cls"),
+        col("support"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(
+        col("cls"),
+        col("support"),
+        col("n_pred"),
+        col("tp"),
+        when(col("n_pred") > 0,
+          round(col("tp").cast("double") / col("n_pred").cast("double"), 6)).as("precision"),
+        round(col("tp").cast("double") / col("support").cast("double"), 6).as("recall"),
+        round((col("tp") * lit(2L)).cast("double") /
+          (col("n_pred") + col("support")).cast("double"), 6).as("f1"),
+        lit(null).cast("double").as("kappa"))
+    val tot = conf
+      .groupBy()
+      .agg(
+        sum(col("n")).as("nn"),
+        coalesce(sum(when(col("source") === col("predicted"), col("n"))), lit(0L)).as("t"))
+    val agr = act
+      .join(prd, Seq("cls"), "left")
+      .groupBy()
+      .agg(sum(col("support").cast("decimal(38,0)") *
+        coalesce(col("n_pred"), lit(0L)).cast("decimal(38,0)")).as("agr"))
+    val nD = col("nn").cast("decimal(38,0)")
+    val tD = col("t").cast("decimal(38,0)")
+    val acc = round(col("t").cast("double") / col("nn").cast("double"), 6)
+    val allRow = tot
+      .crossJoin(broadcast(agr)) // 1×1: grand total × agreement expectation
+      .select(
+        lit("_ALL").as("cls"),
+        col("nn").as("support"),
+        col("nn").as("n_pred"),
+        col("t").as("tp"),
+        acc.as("precision"),
+        acc.as("recall"),
+        acc.as("f1"),
+        when((nD * nD - col("agr")) =!= 0,
+          round((tD * nD - col("agr")).cast("double") /
+            (nD * nD - col("agr")).cast("double"), 6)).as("kappa"))
+    perClass.unionByName(allRow).orderBy(col("cls"))
+  }
+
+  /** Oracle: the shared q173-prefixed NB prediction chain + identical
+    * confusion-marginal arithmetic (HUGEINT products mirror the
+    * DECIMAL(38,0) kappa legs; "precision" quoted — reserved word).
+    */
+  lazy val classifierEvalSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = nbPredCtes("q173")
+    ctes += ("q173conf" ->
+      """(SELECT d.source, p.predicted, count(*)::BIGINT AS n
+        |  FROM documents d JOIN q173pred p ON p.doc_id = d.doc_id
+        |  GROUP BY 1, 2)""".stripMargin)
+    ctes += ("q173act" ->
+      "(SELECT source AS cls, CAST(sum(n) AS BIGINT) AS support FROM q173conf GROUP BY 1)")
+    ctes += ("q173prd" ->
+      "(SELECT predicted AS cls, CAST(sum(n) AS BIGINT) AS n_pred FROM q173conf GROUP BY 1)")
+    ctes += ("q173tpc" ->
+      "(SELECT source AS cls, n AS tp FROM q173conf WHERE source = predicted)")
+    ctes += ("q173gt" ->
+      """(SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(coalesce(sum(n) FILTER (source = predicted), 0) AS BIGINT) AS t
+        |  FROM q173conf)""".stripMargin)
+    ctes += ("q173agr" ->
+      """(SELECT CAST(sum(a.support::HUGEINT * coalesce(p.n_pred, 0)) AS HUGEINT) AS agr
+        |  FROM q173act a LEFT JOIN q173prd p ON p.cls = a.cls)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT * FROM (
+        |  SELECT a.cls, a.support, coalesce(p.n_pred, 0)::BIGINT AS n_pred,
+        |    coalesce(t.tp, 0)::BIGINT AS tp,
+        |    CASE WHEN coalesce(p.n_pred, 0) > 0
+        |      THEN round(coalesce(t.tp, 0)::DOUBLE / p.n_pred::DOUBLE, 6) END AS "precision",
+        |    round(coalesce(t.tp, 0)::DOUBLE / a.support::DOUBLE, 6) AS recall,
+        |    round((coalesce(t.tp, 0) * 2)::DOUBLE / (coalesce(p.n_pred, 0) + a.support)::DOUBLE, 6) AS f1,
+        |    CAST(NULL AS DOUBLE) AS kappa
+        |  FROM q173act a LEFT JOIN q173prd p ON p.cls = a.cls
+        |    LEFT JOIN q173tpc t ON t.cls = a.cls
+        |  UNION ALL
+        |  SELECT '_ALL' AS cls, tt.nn AS support, tt.nn AS n_pred, tt.t AS tp,
+        |    round(tt.t::DOUBLE / tt.nn::DOUBLE, 6) AS "precision",
+        |    round(tt.t::DOUBLE / tt.nn::DOUBLE, 6) AS recall,
+        |    round(tt.t::DOUBLE / tt.nn::DOUBLE, 6) AS f1,
+        |    CASE WHEN (tt.nn::HUGEINT * tt.nn - g.agr) <> 0 THEN
+        |      round((tt.t::HUGEINT * tt.nn - g.agr)::DOUBLE
+        |        / (tt.nn::HUGEINT * tt.nn - g.agr)::DOUBLE, 6) END AS kappa
+        |  FROM q173gt tt CROSS JOIN q173agr g)
+        |ORDER BY cls""".stripMargin)
   }
 
   // --- q105: referential-integrity / data-quality audit -----------------------

@@ -1580,6 +1580,38 @@ class OperatorsSpec extends SparkSpec {
     sf.foreach(r => assert(r._5 > 0.0 && r._5 <= 1.0, s"S in (0,1]: $r"))
   }
 
+  test("q173: metrics agree with a driver-side confusion recomputation; _ALL row is micro-avg") {
+    import graft.operators.CurationOps
+    val rows = CurationOps.classifierEval(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getDouble(5), r.getDouble(6),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+    val (all, per) = rows.partition(_._1 == "_ALL")
+    assert(all.length == 1 && per.nonEmpty)
+    // recompute the confusion matrix from q66's own per-doc output
+    val pred = CurationOps.nbClassify(spark, Sf0001).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val n = pred.length.toLong
+    val support = pred.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val npred   = pred.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tp      = pred.filter(p => p._1 == p._2).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    per.foreach { case (cls, s, np, t, p, rec, f1, k) =>
+      assert(s == support(cls) && np == npred.getOrElse(cls, 0L) && t == tp.getOrElse(cls, 0L), cls)
+      assert(p == (if (np > 0) Some(r6(t.toDouble / np)) else None), s"precision $cls")
+      assert(rec == r6(t.toDouble / s) && f1 == r6(2.0 * t / (np + s)), s"recall/f1 $cls")
+      assert(k.isEmpty, s"kappa only on _ALL: $cls")
+    }
+    val t = tp.values.sum
+    val agr = support.map { case (c, s) => s * npred.getOrElse(c, 0L) }.sum
+    val (_, sAll, npAll, tAll, pAll, _, _, kAll) = all.head
+    assert(sAll == n && npAll == n && tAll == t)
+    assert(pAll.contains(r6(t.toDouble / n)), "micro accuracy")
+    assert(kAll.contains(r6((t * n - agr).toDouble / (n * n - agr).toDouble)), "kappa")
+    // kappa must sit below raw accuracy whenever the classifier beats chance
+    assert(kAll.get <= pAll.get + 1e-12, "chance correction lowers the score")
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()

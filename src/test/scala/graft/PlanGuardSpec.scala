@@ -565,7 +565,10 @@ class PlanGuardSpec extends SparkSpec {
         // q172 crossJoins the 1-row frontier/population aggregate and the
         // 1-row packed event-time array onto the ≤|days|-row lifetime
         // table — the q61/q106 ordered-fold idiom, bounded by construction
-        "q172_km_survival")
+        "q172_km_survival",
+        // q173's _ALL row is a 1×1 crossJoin (grand total × agreement
+        // expectation) over the ≤|classes|² confusion matrix — bounded
+        "q173_classifier_eval")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
