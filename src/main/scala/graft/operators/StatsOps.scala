@@ -1912,4 +1912,152 @@ object StatsOps {
       s"SELECT concat_ws($sep, doc_id, lang, source, n_chars, text) AS s FROM documents")
     assemble(evC ++ docC, s"SELECT * FROM (($evF) UNION ALL ($docF)) ORDER BY tbl")
   }
+
+  // --- q174: mergeable moments profile + variance decomposition ---------------
+
+  val MomentShards = 4L
+
+  /** Mergeable moments profile of `value` per event type — the
+    * sufficient-statistics pattern that makes distribution profiling a
+    * one-pass, arbitrarily-mergeable operation at 100 TB: per
+    * deterministic shard (event_id mod [[MomentShards]] — stand-in for
+    * files/days/regions) the exact integer power sums S₀..S₄ over
+    * cent-quantized values; shards merge by ADDITION (the algebra q161
+    * certifies for HLL's max-merge, trivial-but-load-bearing here), and
+    * mean/sd/skewness/excess-kurtosis all fall out of the merged vector
+    * by method of moments. The row also carries the law-of-total-variance
+    * decomposition (within-shard vs between-shard variance) — the table
+    * that catches the classic parallel-profiling bug of averaging
+    * per-shard variances (drops the between component exactly when
+    * shards are skewed, e.g. value drift by day).
+    *
+    * Scale shape: ONE map-side-combinable aggregate to the
+    * |types|×[[MomentShards]] grain; merge, decomposition, and stats are
+    * tiny-table folds and broadcasts. Determinism: power sums ride
+    * DECIMAL(38,0) (v⁴ overflows BIGINT; Σv⁴ < 10³⁰ at 10¹² rows);
+    * within/between terms are per-shard float shapes quantized to integer
+    * cents² BEFORE the order-free sum (the q163 rule); skew/kurt are
+    * scale-invariant so they evaluate in the cent domain with one pinned
+    * expression shape — divides, multiplies, and correctly-rounded
+    * sqrts only — before the 6-dp round; degenerate types (zero
+    * variance) yield NULL skew/kurt.
+    */
+  def momentsProfile(spark: SparkSession, dir: String): DataFrame = {
+    val v = (col("value").cast("decimal(18,2)") * lit(100)).cast("decimal(38,0)")
+    val cells = graft.core.CacheScope.persist(
+      Tables
+        .events(spark, dir)
+        .select(col("event_type"), pmod(col("event_id"), lit(MomentShards)).as("shard"),
+          v.as("v"))
+        .groupBy(col("event_type"), col("shard"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("v")).as("s1"),
+          sum(col("v") * col("v")).as("s2"),
+          sum(col("v") * col("v") * col("v")).as("s3"),
+          sum(col("v") * col("v") * col("v") * col("v")).as("s4")))
+    val merged = cells
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n")).as("mn"),
+        sum(col("s1")).as("m1"),
+        sum(col("s2")).as("m2s"),
+        sum(col("s3")).as("m3s"),
+        sum(col("s4")).as("m4s"))
+      .withColumn("mu", col("m1").cast("double") / col("mn").cast("double"))
+    val dec = cells
+      .join(broadcast(merged.select(col("event_type"), col("mu"))), "event_type")
+      .selectExpr(
+        "event_type",
+        // within: n_s·m2_s, quantized to integer cents² before the sum
+        """CAST(round(CAST(n AS DOUBLE) *
+             (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))),
+             0) AS BIGINT) AS wq""",
+        // between: n_s·(mu_s − mu)², same quantization
+        """CAST(round(CAST(n AS DOUBLE) *
+             (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - mu) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - mu),
+             0) AS BIGINT) AS bq""")
+      .groupBy(col("event_type"))
+      .agg(sum(col("wq")).as("w"), sum(col("bq")).as("b"))
+    merged
+      .join(broadcast(dec), "event_type")
+      .selectExpr(
+        "event_type",
+        "mn AS n",
+        "round(mu / 100.0, 6) AS mean",
+        """round(sqrt(CAST(m2s AS DOUBLE) / CAST(mn AS DOUBLE) - mu * mu) / 100.0, 6) AS sd""",
+        """CASE WHEN CAST(m2s AS DOUBLE) / CAST(mn AS DOUBLE) - mu * mu > 0.0 THEN
+             round((CAST(m3s AS DOUBLE) / CAST(mn AS DOUBLE) - 3.0 * mu * (CAST(m2s AS DOUBLE) / CAST(mn AS DOUBLE)) + 2.0 * mu * mu * mu)
+               / (sqrt(CAST(m2s AS DOUBLE) / CAST(mn AS DOUBLE) - mu * mu)
+                  * sqrt(CAST(m2s AS DOUBLE) / CAST(mn AS DOUBLE) - mu * mu)
+                  * sqrt(CAST(m2s AS DOUBLE) / CAST(mn AS DOUBLE) - mu * mu)), 6)
+           END AS skewness""",
+        """CASE WHEN CAST(m2s AS DOUBLE) / CAST(mn AS DOUBLE) - mu * mu > 0.0 THEN
+             round((CAST(m4s AS DOUBLE) / CAST(mn AS DOUBLE)
+                    - 4.0 * mu * (CAST(m3s AS DOUBLE) / CAST(mn AS DOUBLE))
+                    + 6.0 * mu * mu * (CAST(m2s AS DOUBLE) / CAST(mn AS DOUBLE))
+                    - 3.0 * mu * mu * mu * mu)
+               / ((CAST(m2s AS DOUBLE) / CAST(mn AS DOUBLE) - mu * mu)
+                  * (CAST(m2s AS DOUBLE) / CAST(mn AS DOUBLE) - mu * mu)) - 3.0, 6)
+           END AS kurt_excess""",
+        "round((CAST(w AS DOUBLE) / CAST(mn AS DOUBLE)) / 10000.0, 6) AS within_var",
+        "round((CAST(b AS DOUBLE) / CAST(mn AS DOUBLE)) / 10000.0, 6) AS between_var",
+        "round((CAST(m2s AS DOUBLE) / CAST(mn AS DOUBLE) - mu * mu) / 10000.0, 6) AS total_var")
+      .orderBy(col("event_type"))
+  }
+
+  /** q174 oracle: identical cent quantization, HUGEINT power sums, the
+    * same quantize-before-sum decomposition terms, and every float
+    * expression spelled in the same shape (left-assoc products, one
+    * divide per ratio) before the 6-dp rounds.
+    */
+  val momentsProfileSql: String = {
+    val S = MomentShards
+    s"""WITH q174c AS MATERIALIZED (
+       |  SELECT event_type, event_id % $S AS shard, count(*)::BIGINT AS n,
+       |    sum(v)::HUGEINT AS s1, sum(v*v)::HUGEINT AS s2,
+       |    sum(v*v*v)::HUGEINT AS s3, sum(v*v*v*v)::HUGEINT AS s4
+       |  FROM (SELECT event_type, event_id,
+       |          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS v FROM events)
+       |  GROUP BY 1, 2),
+       |q174m AS (
+       |  SELECT event_type, CAST(sum(n) AS BIGINT) AS mn,
+       |    CAST(sum(s1) AS HUGEINT) AS m1, CAST(sum(s2) AS HUGEINT) AS m2s,
+       |    CAST(sum(s3) AS HUGEINT) AS m3s, CAST(sum(s4) AS HUGEINT) AS m4s,
+       |    CAST(sum(s1) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS mu
+       |  FROM q174c GROUP BY 1),
+       |q174d AS (
+       |  SELECT c.event_type,
+       |    CAST(sum(CAST(round(CAST(c.n AS DOUBLE) *
+       |      (CAST(c.s2 AS DOUBLE) / CAST(c.n AS DOUBLE)
+       |       - (CAST(c.s1 AS DOUBLE) / CAST(c.n AS DOUBLE)) * (CAST(c.s1 AS DOUBLE) / CAST(c.n AS DOUBLE))),
+       |      0) AS BIGINT)) AS BIGINT) AS w,
+       |    CAST(sum(CAST(round(CAST(c.n AS DOUBLE) *
+       |      (CAST(c.s1 AS DOUBLE) / CAST(c.n AS DOUBLE) - m.mu) * (CAST(c.s1 AS DOUBLE) / CAST(c.n AS DOUBLE) - m.mu),
+       |      0) AS BIGINT)) AS BIGINT) AS b
+       |  FROM q174c c JOIN q174m m USING (event_type) GROUP BY 1)
+       |SELECT m.event_type, m.mn AS n,
+       |  round(m.mu / 100.0, 6) AS mean,
+       |  round(sqrt(CAST(m.m2s AS DOUBLE) / CAST(m.mn AS DOUBLE) - m.mu * m.mu) / 100.0, 6) AS sd,
+       |  CASE WHEN CAST(m.m2s AS DOUBLE) / CAST(m.mn AS DOUBLE) - m.mu * m.mu > 0.0 THEN
+       |    round((CAST(m.m3s AS DOUBLE) / CAST(m.mn AS DOUBLE) - 3.0 * m.mu * (CAST(m.m2s AS DOUBLE) / CAST(m.mn AS DOUBLE)) + 2.0 * m.mu * m.mu * m.mu)
+       |      / (sqrt(CAST(m.m2s AS DOUBLE) / CAST(m.mn AS DOUBLE) - m.mu * m.mu)
+       |         * sqrt(CAST(m.m2s AS DOUBLE) / CAST(m.mn AS DOUBLE) - m.mu * m.mu)
+       |         * sqrt(CAST(m.m2s AS DOUBLE) / CAST(m.mn AS DOUBLE) - m.mu * m.mu)), 6)
+       |  END AS skewness,
+       |  CASE WHEN CAST(m.m2s AS DOUBLE) / CAST(m.mn AS DOUBLE) - m.mu * m.mu > 0.0 THEN
+       |    round((CAST(m.m4s AS DOUBLE) / CAST(m.mn AS DOUBLE)
+       |           - 4.0 * m.mu * (CAST(m.m3s AS DOUBLE) / CAST(m.mn AS DOUBLE))
+       |           + 6.0 * m.mu * m.mu * (CAST(m.m2s AS DOUBLE) / CAST(m.mn AS DOUBLE))
+       |           - 3.0 * m.mu * m.mu * m.mu * m.mu)
+       |      / ((CAST(m.m2s AS DOUBLE) / CAST(m.mn AS DOUBLE) - m.mu * m.mu)
+       |         * (CAST(m.m2s AS DOUBLE) / CAST(m.mn AS DOUBLE) - m.mu * m.mu)) - 3.0, 6)
+       |  END AS kurt_excess,
+       |  round((CAST(d.w AS DOUBLE) / CAST(m.mn AS DOUBLE)) / 10000.0, 6) AS within_var,
+       |  round((CAST(d.b AS DOUBLE) / CAST(m.mn AS DOUBLE)) / 10000.0, 6) AS between_var,
+       |  round((CAST(m.m2s AS DOUBLE) / CAST(m.mn AS DOUBLE) - m.mu * m.mu) / 10000.0, 6) AS total_var
+       |FROM q174m m JOIN q174d d USING (event_type)
+       |ORDER BY m.event_type""".stripMargin
+  }
 }

@@ -1612,6 +1612,43 @@ class OperatorsSpec extends SparkSpec {
     assert(kAll.get <= pAll.get + 1e-12, "chance correction lowers the score")
   }
 
+  test("q174: planted moments land exactly; variance decomposes within+between on testdata") {
+    import spark.implicits._
+    import graft.operators.StatsOps
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("q174spec").toString
+    // type "a": every shard sees {1,2,3} → between = 0, skew 0, kurt −1.5
+    // type "b": shard0 = {1,1}, shard1 = {3,3} → within = 0, kurt −2
+    val a = (0 to 11).map(i => (100L + i, t("2024-01-01 00:00:00"), 1L, "a", (i / 4 + 1).toDouble, "{}"))
+    val b = Seq((200L, 1.0), (204L, 1.0), (201L, 3.0), (205L, 3.0))
+      .map { case (id, v) => (id, t("2024-01-01 00:00:00"), 2L, "b", v, "{}") }
+    (a ++ b).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StatsOps.momentsProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8))).toMap
+    def ~=(x: Double, y: Double) = math.abs(x - y) <= 1.5e-6
+    val (na, meanA, sdA, skA, kuA, wA, bA, tA) = got("a")
+    assert(na == 12 && ~=(meanA, 2.0) && ~=(sdA, 0.816497), s"a basic: ${got("a")}")
+    assert(~=(skA, 0.0) && ~=(kuA, -1.5), s"a shape: ${got("a")}")
+    assert(~=(bA, 0.0) && ~=(wA, tA) && ~=(tA, 0.666667), s"a decomposition: ${got("a")}")
+    val (nb, meanB, sdB, skB, kuB, wB, bB, tB) = got("b")
+    assert(nb == 4 && ~=(meanB, 2.0) && ~=(sdB, 1.0), s"b basic: ${got("b")}")
+    assert(~=(skB, 0.0) && ~=(kuB, -2.0), s"b shape: ${got("b")}")
+    assert(~=(wB, 0.0) && ~=(bB, 1.0) && ~=(tB, 1.0), s"b decomposition: ${got("b")}")
+    // testdata: counts conserve, sd² = total_var, and total = within + between
+    val sf = StatsOps.momentsProfile(spark, Sf0001).collect()
+    val nEvents = graft.core.Tables.events(spark, Sf0001).count()
+    assert(sf.map(_.getLong(1)).sum == nEvents, "population conserved")
+    sf.foreach { r =>
+      val (sd, w, b, tot) = (r.getDouble(3), r.getDouble(6), r.getDouble(7), r.getDouble(8))
+      // sd and the variance legs are independently 6-dp rounded: error
+      // bounds scale with the magnitudes (2·sd·½ulp₆ for the square)
+      assert(math.abs(sd * sd - tot) <= 2 * sd * 1e-6 + 2e-6, s"sd² vs total_var: $r")
+      assert(math.abs(w + b - tot) <= 1e-5 * math.max(1.0, tot), s"law of total variance: $r")
+    }
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()
