@@ -1106,6 +1106,41 @@ object EventStreams extends Serializable {
       }
   }
 
+  /** E38: streaming mergeable-moments emission — the q174 twin, and the
+    * second op (after E34's xor manifest) whose stream/batch
+    * reconciliation is EXACT by algebra: power sums are additive, so the
+    * element-wise sum of every closed window's (n, S₁..S₄) envelope IS
+    * the batch profile's merged vector (spec-pinned) — a profiling
+    * pipeline publishes per-hour moment envelopes as it ingests, and any
+    * downstream consumer merges whatever window span it needs (hour →
+    * day → corpus) without re-touching raw data, then derives
+    * mean/sd/skew/kurtosis exactly as q174 does. Fully declarative: the
+    * SAME cent quantization and DECIMAL(38,0) power products as batch,
+    * one watermarked tumbling-window aggregate (count/sums all map-side
+    * partial), closed windows append exactly once.
+    */
+  def momentsStream(events: DataFrame, watermarkDur: String = "2 hours"): DataFrame = {
+    val v = (col("value").cast("decimal(18,2)") * lit(100)).cast("decimal(38,0)")
+    events
+      .withWatermark("ts", watermarkDur)
+      .select(col("ts"), col("event_type"), v.as("v"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"),
+        sum(col("v") * col("v") * col("v")).as("s3"),
+        sum(col("v") * col("v") * col("v") * col("v")).as("s4"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"),
+        col("n"),
+        col("s1"),
+        col("s2"),
+        col("s3"),
+        col("s4"))
+  }
+
   case class Scd2State(
       version: Long,
       stateType: String,

@@ -1292,6 +1292,47 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getLong(4)).max == batch.getLong(4), "max_h drift")
   }
 
+  test("E38: window moment envelopes sum to the batch power-sum vector exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def hts(hr: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $hr%02d:$min%02d:00")
+    val base = (1 to 90).map(i =>
+      Ev(i, i % 7, hts(1 + i % 3, i % 60), Seq("click", "view", "purchase")(i % 3),
+        1.0 + (i % 13) * 0.37))
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .momentsStream(in.toDF())
+      .writeStream.format("memory").queryName("mom_s").outputMode("append").start()
+    in.addData(base.take(40): _*); q.processAllAvailable()
+    in.addData(base.drop(40): _*); q.processAllAvailable()
+    in.addData(Ev(9999, 1, Timestamp.valueOf("2024-06-01 00:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("mom_s").collect().filter(!_.getString(0).startsWith("2024-06"))
+    q.stop()
+    assert(got.map(r => (r.getString(0), r.getString(1))).distinct.length == got.length,
+      "exactly-once emission per (window, type)")
+    assert(got.map(_.getLong(2)).sum == base.length.toLong, "population conserved")
+    // batch reconciliation: element-wise sums of the envelopes ARE the
+    // one-pass batch power sums under the same cent quantization
+    val batch = base.toDF()
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("decimal(38,0)").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"), sum(col("v") * col("v") * col("v")).as("s3"),
+        sum(col("v") * col("v") * col("v") * col("v")).as("s4"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2), r.getDecimal(3),
+        r.getDecimal(4), r.getDecimal(5))).toMap
+    got.groupBy(_.getString(1)).foreach { case (ty, rows) =>
+      val (n, s1, s2, s3, s4) = batch(ty)
+      assert(rows.map(_.getLong(2)).sum == n, s"n $ty")
+      def fold(i: Int) = rows.map(r => BigDecimal(r.getDecimal(i))).sum
+      assert(fold(3) == BigDecimal(s1) && fold(4) == BigDecimal(s2) &&
+        fold(5) == BigDecimal(s3) && fold(6) == BigDecimal(s4), s"power sums $ty")
+    }
+  }
+
   test("E35: closed-session paths match a batch replay and emit exactly once") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
