@@ -2838,6 +2838,86 @@ object CurationOps {
        |ORDER BY k.k""".stripMargin
   }
 
+  // --- q175: l-diversity audit -------------------------------------------------
+
+  /** l thresholds the diversity audit reports against. */
+  val LThresholds: Seq[Long] = Seq(2L, 3L, 5L)
+
+  /** l-diversity audit over q159's quasi-identifier classes with the
+    * embedding label as the sensitive attribute: k-anonymity (q159) only
+    * bounds how many records share a metadata combination — if all k of
+    * them carry the SAME sensitive value, membership in the class still
+    * discloses it (the homogeneity attack l-diversity exists to catch).
+    * For each l: equivalence classes whose distinct-label count falls
+    * below l, the documents in them, and the count of fully HOMOGENEOUS
+    * classes (l = 1 — disclosure even at high k). Run beside q159 before
+    * release sign-off; the release pipeline generalizes or suppresses the
+    * failing classes.
+    *
+    * Scale shape: the doc↔vec equi-join is the shuffle the production
+    * pipeline pays anyway (q168 audits its integrity); ONE keyed
+    * aggregate collapses it to the bounded quasi-identifier grain with an
+    * exact distinct-label count (two-phase, grain ≤ |langs|·|sources|·
+    * |size buckets|); the l sweep explodes THAT tiny table. Pure integer
+    * counts, one divide-round.
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val ls = LThresholds.map(l => s"${l}L").mkString("array(", ", ", ")")
+    val groups = graft.core.CacheScope.persist(
+      Tables
+        .documents(spark, dir)
+        .join(
+          Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id"), col("label")),
+          Seq("doc_id"))
+        .groupBy(col("lang"), col("source"), expr("n_chars DIV 100").as("size_bucket"))
+        .agg(count(lit(1)).as("g"), countDistinct(col("label")).as("l")))
+    groups
+      .withColumn("lmin", explode(expr(ls)))
+      .groupBy(col("lmin"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("l") < col("lmin"), 1L).otherwise(0L)).as("n_groups_below"),
+        sum(when(col("l") < col("lmin"), col("g")).otherwise(0L)).as("n_docs_at_risk"),
+        sum(when(col("l") === 1L, 1L).otherwise(0L)).as("n_homogeneous"),
+        min(col("l")).as("min_diversity"))
+      .crossJoin(broadcast(groups.groupBy().agg(sum(col("g")).as("n_docs"))))
+      .select(
+        col("lmin"),
+        col("n_groups"),
+        col("n_groups_below"),
+        col("n_docs_at_risk"),
+        round(col("n_docs_at_risk").cast("double") / col("n_docs").cast("double"), 6)
+          .as("pct_at_risk"),
+        col("n_homogeneous"),
+        col("min_diversity"))
+      .orderBy(col("lmin"))
+  }
+
+  /** q175 oracle: identical join grain, exact distinct-label counts, l
+    * explode, and conditional rollups.
+    */
+  lazy val lDiversitySql: String = {
+    val ls = LThresholds.mkString("[", ", ", "]")
+    s"""WITH q175g AS MATERIALIZED (
+       |  SELECT d.lang, d.source, d.n_chars // 100 AS size_bucket,
+       |    count(*)::BIGINT AS g, count(DISTINCT e.label)::BIGINT AS l
+       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+       |  GROUP BY 1, 2, 3),
+       |q175n AS (SELECT CAST(sum(g) AS BIGINT) AS n_docs FROM q175g),
+       |q175l AS (SELECT unnest($ls)::BIGINT AS lmin)
+       |SELECT k.lmin,
+       |  count(*)::BIGINT AS n_groups,
+       |  CAST(sum(CASE WHEN g.l < k.lmin THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below,
+       |  CAST(sum(CASE WHEN g.l < k.lmin THEN g.g ELSE 0 END) AS BIGINT) AS n_docs_at_risk,
+       |  round(CAST(sum(CASE WHEN g.l < k.lmin THEN g.g ELSE 0 END) AS DOUBLE)
+       |    / n.n_docs::DOUBLE, 6) AS pct_at_risk,
+       |  CAST(sum(CASE WHEN g.l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_homogeneous,
+       |  CAST(min(g.l) AS BIGINT) AS min_diversity
+       |FROM q175g g, q175l k, q175n n
+       |GROUP BY k.lmin, n.n_docs
+       |ORDER BY k.lmin""".stripMargin
+  }
+
   /** q158 oracle: identical budget explode, integer min/max/ceiling, and
     * divide-round shapes.
     */

@@ -1649,6 +1649,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q175: a homogeneous class is flagged at every l; sweep is monotone on testdata") {
+    import spark.implicits._
+    import graft.operators.CurationOps
+    val dir = java.nio.file.Files.createTempDirectory("q175spec").toString
+    // class (en, s1, bucket 1): labels all 7 → l = 1 (homogeneous)
+    // class (en, s2, bucket 1): labels 1,2,3 → l = 3
+    Seq(
+      (1L, "t", "en", "s1", 110L), (2L, "t", "en", "s1", 120L), (3L, "t", "en", "s1", 130L),
+      (4L, "t", "en", "s2", 110L), (5L, "t", "en", "s2", 120L), (6L, "t", "en", "s2", 130L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1L, Seq(0.1f), 7), (2L, Seq(0.1f), 7), (3L, Seq(0.1f), 7),
+      (4L, Seq(0.1f), 1), (5L, Seq(0.1f), 2), (6L, Seq(0.1f), 3))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = CurationOps.lDiversity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      (2L, 2L, 1L, 3L, 0.5, 1L, 1L),
+      (3L, 2L, 1L, 3L, 0.5, 1L, 1L),
+      (5L, 2L, 2L, 6L, 1.0, 1L, 1L)), s"planted sweep: ${got.toSeq}")
+    // testdata: constants stay constant across the sweep; risk is monotone in l
+    val sf = CurationOps.lDiversity(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getLong(5), r.getLong(6)))
+    assert(sf.map(_._1).toSeq == CurationOps.LThresholds)
+    assert(sf.map(_._2).distinct.length == 1 && sf.map(_._6).distinct.length == 1)
+    sf.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3 && a._4 <= b._4, s"monotone sweep: $a -> $b")
+    }
+    sf.foreach(r => assert(r._5 >= 0.0 && r._5 <= 1.0 && r._7 >= 1L))
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()

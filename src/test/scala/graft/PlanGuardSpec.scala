@@ -568,7 +568,10 @@ class PlanGuardSpec extends SparkSpec {
         "q172_km_survival",
         // q173's _ALL row is a 1×1 crossJoin (grand total × agreement
         // expectation) over the ≤|classes|² confusion matrix — bounded
-        "q173_classifier_eval")
+        "q173_classifier_eval",
+        // q175 crossJoins the 1-row doc total onto the ≤|l-thresholds|-row
+        // sweep — q159's own shape
+        "q175_ldiversity")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
