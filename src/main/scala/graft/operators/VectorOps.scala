@@ -79,6 +79,102 @@ object VectorOps {
        | WHERE q.vec_id <> c.vec_id)
        |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
 
+  // --- q176: retrieval MRR against label ground truth ------------------------
+
+  val MrrK = 20L
+
+  /** Mean reciprocal rank of embedding retrieval against the label ground
+    * truth — the first-relevant-hit metric a RAG/search stack reports
+    * beside recall: per query vector, the rank of the first SAME-LABEL
+    * neighbor under exact cosine order (ties to the smaller id — q28's
+    * rule), capped at [[MrrK]]; the `q_id = -1` summary row carries
+    * MRR@[[MrrK]] over the query set. q85/q89 measure whether an index
+    * returns the true top-k; q152 whether truncated dimensions rank the
+    * same; q164 whether two legs agree; q176 asks the user-facing
+    * question — "how far down is the first RIGHT answer?" — the number
+    * that moves when labels are noisy even while index recall is perfect.
+    *
+    * Scale shape: q28's broadcast idiom — the fixed query set broadcasts
+    * against the corpus, ranks are per-query windows over the bounded
+    * candidate stream, and the summary folds ≤ [[QueryCount]] rows.
+    * Determinism: reciprocal ranks quantize to integer micro-units before
+    * the order-free sum (the q163 rule); misses contribute exactly 0.
+    */
+  def retrievalMrr(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"),
+        col("label"))
+      .withColumn("nrm", l2_norm(col("v")))
+      .filter(col("nrm") > 0)
+    val q = e.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("label").as("ql"))
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"),
+      col("label").as("cl"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val firstRel = c
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("sim", dot / (col("qn") * col("cn")))
+      .select(col("q_id"), col("ql"), col("cl"), row_number().over(w).as("rk"))
+      .filter(col("cl") === col("ql"))
+      .groupBy(col("q_id"))
+      .agg(min(col("rk")).as("r"))
+    val perQ = q
+      .select(col("q_id"), col("ql").as("label"))
+      .join(broadcast(firstRel), Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        col("label"),
+        when(col("r") <= MrrK, col("r").cast("long")).as("first_rel_rank"),
+        when(col("r") <= MrrK, expr("CAST(round(1000000.0 / r, 0) AS BIGINT)"))
+          .otherwise(0L).as("rrq"))
+    val summary = perQ
+      .groupBy()
+      .agg(count(lit(1)).as("nq"), sum(col("rrq")).as("srr"))
+      .select(
+        lit(-1L).as("q_id"),
+        lit(-1).as("label"),
+        lit(null).cast("long").as("first_rel_rank"),
+        round(col("srr").cast("double") / lit(1000000.0) / col("nq").cast("double"), 6)
+          .as("rr"))
+    perQ
+      .select(col("q_id"), col("label"), col("first_rel_rank"),
+        (col("rrq").cast("double") / lit(1000000.0)).as("rr"))
+      .unionByName(summary)
+      .orderBy(col("q_id"))
+  }
+
+  /** Oracle: q28's engine-exact cosine rank spelling with labels carried,
+    * identical micro-unit quantization and summary fold.
+    */
+  lazy val retrievalMrrSql: String =
+    s"""WITH q176e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS vd, label FROM embeddings
+       |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+       |q176k AS (
+       |  SELECT q.vec_id AS q_id, q.label AS ql, c.label AS cl,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckCosine("q.vd", "c.vd")} DESC, c.vec_id) AS rk
+       |  FROM (SELECT * FROM q176e WHERE vec_id < $QueryCount) q, q176e c
+       |  WHERE q.vec_id <> c.vec_id),
+       |q176r AS (SELECT q_id, min(rk) AS r FROM q176k WHERE cl = ql GROUP BY 1),
+       |q176p AS (
+       |  SELECT qq.vec_id AS q_id, qq.label AS label,
+       |    CASE WHEN r.r <= $MrrK THEN r.r::BIGINT END AS first_rel_rank,
+       |    CASE WHEN r.r <= $MrrK THEN CAST(round(1000000.0 / r.r, 0) AS BIGINT)
+       |         ELSE 0 END AS rrq
+       |  FROM (SELECT vec_id, label FROM q176e WHERE vec_id < $QueryCount) qq
+       |  LEFT JOIN q176r r ON r.q_id = qq.vec_id)
+       |SELECT q_id, label, first_rel_rank, CAST(rrq AS DOUBLE) / 1000000.0 AS rr FROM q176p
+       |UNION ALL
+       |SELECT -1::BIGINT, -1::INTEGER, NULL::BIGINT,
+       |  round(CAST(sum(rrq) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 6)
+       |FROM q176p
+       |ORDER BY q_id""".stripMargin
+
   // --- q115: hard-negative mining (contrastive training pairs) --------------
   val HardK = 5
 

@@ -1683,6 +1683,42 @@ class OperatorsSpec extends SparkSpec {
     sf.foreach(r => assert(r._5 >= 0.0 && r._5 <= 1.0 && r._7 >= 1L))
   }
 
+  test("q176: planted geometry ranks the first relevant hit; misses score zero in the MRR") {
+    import spark.implicits._
+    import graft.operators.VectorOps
+    val dir = java.nio.file.Files.createTempDirectory("q176spec").toString
+    // q0=(1,0) label 1: neighbors c8 (wrong label, rank 1), c9 (label 1, rank 2) → rr 0.5
+    // q1=(0,1) label 2: no label-2 candidate anywhere → miss, rr 0
+    Seq(
+      (0L, Seq(1.0f, 0.0f), 1), (1L, Seq(0.0f, 1.0f), 2),
+      (8L, Seq(1.0f, 0.1f), 3), (9L, Seq(1.0f, 0.2f), 1),
+      (10L, Seq(0.1f, 1.0f), 1), (11L, Seq(0.2f, 1.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.retrievalMrr(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (-1L, -1, None, 0.25),
+      (0L, 1, Some(2L), 0.5),
+      (1L, 2, None, 0.0)), s"mrr rows: ${got.toSeq}")
+    // testdata: QueryCount query rows + the summary; summary = mean of the
+    // micro-quantized reciprocal ranks; rr bounded by [0, 1]
+    val sf = VectorOps.retrievalMrr(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getDouble(3)))
+    val (sum8, per) = sf.partition(_._1 == -1L)
+    assert(per.length == VectorOps.QueryCount && sum8.length == 1)
+    per.foreach { case (_, rank, rr) =>
+      assert(rr >= 0.0 && rr <= 1.0)
+      rank.foreach(rk => assert(rk >= 1 && rk <= VectorOps.MrrK &&
+        math.abs(rr - math.rint(1e6 / rk) / 1e6) < 1e-12))
+      if (rank.isEmpty) assert(rr == 0.0)
+    }
+    val want = BigDecimal(per.map(p => math.rint(1e6 * p._3)).sum / 1e6 / per.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(sum8.head._3 == want, s"summary fold: ${sum8.head._3} vs $want")
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()

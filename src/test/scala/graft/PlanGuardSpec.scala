@@ -571,7 +571,10 @@ class PlanGuardSpec extends SparkSpec {
         "q173_classifier_eval",
         // q175 crossJoins the 1-row doc total onto the ≤|l-thresholds|-row
         // sweep — q159's own shape
-        "q175_ldiversity")
+        "q175_ldiversity",
+        // q176's non-equi self-exclusion broadcasts the fixed QueryCount
+        // query set — exactly q28's allowlisted shape
+        "q176_retrieval_mrr")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
