@@ -1451,4 +1451,80 @@ object TextOps {
        |SELECT * FROM (${legs.map(l => s"($l)").mkString(" UNION ALL ")})
        |ORDER BY bands DESC""".stripMargin
   }
+
+  // --- q177: dedup method-agreement audit -------------------------------------
+
+  /** Pairwise agreement between the three near-dup candidate generators —
+    * MinHash-LSH bands (q25), SimHash hamming buckets (q26), and the
+    * exact-Jaccard-verified set (q27): per method pair, both set sizes,
+    * the intersection, each side's exclusive pairs, and the set-level
+    * Jaccard. This is the audit that decides WHICH detector a 100 TB
+    * dedup actually runs: high LSH↔verified agreement says the bands are
+    * tight enough to skip the verify join; a large simhash-only tail says
+    * the two families see different duplicate classes (bag-of-shingles vs
+    * weighted-bit similarity) and dropping either loses recall — q84
+    * scores one method against truth, q132 prices the sweep, q177
+    * measures whether the methods are substitutes or complements.
+    *
+    * Scale shape: all three pair feeds are the session-shared /
+    * bucket-bounded stages (never corpus²); each agreement row is one
+    * full-outer join of two bounded pair tables + a 1-row fold.
+    * Determinism: pure set counts, one guarded divide-round.
+    */
+  def dedupAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val lsh  = minhashCandidatePairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sim  = simhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val ngram = ngramJaccardPairs(spark, dir, JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    def agree(na: String, da: DataFrame, nb: String, db: DataFrame): DataFrame =
+      da.select(col("doc_a"), col("doc_b"), lit(1L).as("ia"))
+        .join(
+          db.select(col("doc_a"), col("doc_b"), lit(1L).as("ib")),
+          Seq("doc_a", "doc_b"),
+          "full_outer")
+        .groupBy()
+        .agg(
+          coalesce(sum(col("ia")), lit(0L)).as("n_a"),
+          coalesce(sum(col("ib")), lit(0L)).as("n_b"),
+          coalesce(sum(col("ia") * col("ib")), lit(0L)).as("n_both"))
+        .select(
+          lit(na).as("method_a"),
+          lit(nb).as("method_b"),
+          col("n_a"),
+          col("n_b"),
+          col("n_both"),
+          (col("n_a") - col("n_both")).as("n_only_a"),
+          (col("n_b") - col("n_both")).as("n_only_b"),
+          when(col("n_a") + col("n_b") - col("n_both") > 0,
+            round(col("n_both").cast("double") /
+              (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6))
+            .as("set_jaccard"))
+    agree("minhash_lsh", lsh, "ngram_jaccard", ngram)
+      .unionByName(agree("minhash_lsh", lsh, "simhash", sim))
+      .unionByName(agree("simhash", sim, "ngram_jaccard", ngram))
+      .orderBy(col("method_a"), col("method_b"))
+  }
+
+  /** Oracle: the three engine-exact pair statements embedded verbatim,
+    * counted with the same set algebra.
+    */
+  lazy val dedupAgreementSql: String = {
+    def leg(na: String, ca: String, nb: String, cb: String): String =
+      s"""SELECT '$na' AS method_a, '$nb' AS method_b, n_a, n_b, n_both,
+         |  n_a - n_both AS n_only_a, n_b - n_both AS n_only_b,
+         |  CASE WHEN n_a + n_b - n_both > 0 THEN
+         |    round(n_both::DOUBLE / (n_a + n_b - n_both)::DOUBLE, 6) END AS set_jaccard
+         |FROM (SELECT
+         |  (SELECT count(*) FROM $ca)::BIGINT AS n_a,
+         |  (SELECT count(*) FROM $cb)::BIGINT AS n_b,
+         |  (SELECT count(*) FROM $ca JOIN $cb USING (doc_a, doc_b))::BIGINT AS n_both)""".stripMargin
+    s"""WITH q177a AS MATERIALIZED (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+       |q177b AS MATERIALIZED (SELECT doc_a, doc_b FROM ($simhashSql)),
+       |q177c AS MATERIALIZED (SELECT doc_a, doc_b FROM ($ngramJaccardSql))
+       |SELECT * FROM (
+       |  (${leg("minhash_lsh", "q177a", "ngram_jaccard", "q177c")})
+       |  UNION ALL (${leg("minhash_lsh", "q177a", "simhash", "q177b")})
+       |  UNION ALL (${leg("simhash", "q177b", "ngram_jaccard", "q177c")}))
+       |ORDER BY method_a, method_b""".stripMargin
+  }
 }

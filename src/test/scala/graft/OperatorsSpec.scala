@@ -1719,6 +1719,32 @@ class OperatorsSpec extends SparkSpec {
     assert(sum8.head._3 == want, s"summary fold: ${sum8.head._3} vs $want")
   }
 
+  test("q177: agreement rows match recomputed set algebra; verified pairs are a subset of LSH") {
+    import graft.operators.TextOps
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh   = pairs(TextOps.minhashLsh(spark, Sf0001))
+    val sim   = pairs(TextOps.simhashPairs(spark, Sf0001))
+    val ngram = pairs(TextOps.ngramJaccard(spark, Sf0001))
+    val sets  = Map("minhash_lsh" -> lsh, "simhash" -> sim, "ngram_jaccard" -> ngram)
+    val got = TextOps.dedupAgreement(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+    assert(got.length == 3)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (ma, mb, na, nb, nBoth, onlyA, onlyB, j) =>
+      val (sa, sb) = (sets(ma), sets(mb))
+      assert(na == sa.size && nb == sb.size && nBoth == (sa & sb).size, s"$ma/$mb sizes")
+      assert(onlyA == (sa -- sb).size && onlyB == (sb -- sa).size, s"$ma/$mb exclusives")
+      val u = (sa | sb).size
+      assert(j == (if (u > 0) Some(r6(nBoth.toDouble / u)) else None), s"$ma/$mb jaccard")
+    }
+    // the exact-verify stage only FILTERS the LSH candidates: q27 ⊆ q25,
+    // so the (minhash_lsh, ngram_jaccard) row has no right-exclusive pairs
+    val mn = got.find(r => r._1 == "minhash_lsh" && r._2 == "ngram_jaccard").get
+    assert(mn._7 == 0L, s"verified pairs escaped the candidate set: $mn")
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()
