@@ -1913,6 +1913,90 @@ object StatsOps {
     assemble(evC ++ docC, s"SELECT * FROM (($evF) UNION ALL ($docF)) ORDER BY tbl")
   }
 
+  // --- q178: A/B sample-ratio-mismatch gate -----------------------------------
+
+  /** χ²₁ critical value at α = 0.05 — the standard SRM alarm threshold. */
+  val SrmCritical = 3.841459
+
+  /** Sample-ratio-mismatch gate over q126's hash randomization — the
+    * FIRST check an experimentation pipeline runs, before any uplift
+    * number is read: under `xxhash64(user_id) mod 2` the two arms must
+    * split 50/50 up to sampling noise; a significant imbalance (per event
+    * type, or overall) means the assignment, logging, or filtering is
+    * broken and every downstream metric is biased — the classic silent
+    * A/B killer. Per type and `_ALL`: distinct users per arm, the
+    * two-cell χ² statistic ((n_c − n_t)²/N — exact integer numerator),
+    * and the alarm flag against [[SrmCritical]].
+    *
+    * Scale shape: ONE distinct to the (user, type) grain (persisted);
+    * both the per-type counts and the overall distinct-user fold derive
+    * from that bounded table; arms are in-row hash expressions (no join,
+    * no state). Determinism: pure integer counts, one divide-round, the
+    * flag compares the unrounded statistic to a shared literal.
+    */
+  def srmGate(spark: SparkSession, dir: String): DataFrame = {
+    val ut = graft.core.CacheScope.persist(
+      Tables.events(spark, dir).select(col("user_id"), col("event_type")).distinct())
+    val arm = pmod(xxhash64(col("user_id")), lit(2L))
+    def counts(df: DataFrame) = df
+      .withColumn("arm", arm)
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treatment"))
+    val perType = ut.groupBy(col("event_type"))
+      .agg(
+        sum(when(arm === 0, 1L).otherwise(0L)).as("n_control"),
+        sum(when(arm === 1, 1L).otherwise(0L)).as("n_treatment"))
+    val overall = counts(ut.select(col("user_id")).distinct())
+      .select(lit("_ALL").as("event_type"), col("n_control"), col("n_treatment"))
+    val d    = col("n_control") - col("n_treatment")
+    val stat = (d * d).cast("double") / (col("n_control") + col("n_treatment")).cast("double")
+    perType
+      .unionByName(overall)
+      .select(
+        col("event_type"),
+        col("n_control"),
+        col("n_treatment"),
+        round(stat, 6).as("chisq"),
+        (stat > lit(SrmCritical)).as("srm_alarm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q178 oracle: identical user-type grain, q126's exact xxhash64 arm
+    * emulation, integer χ² numerator, and the same literal threshold.
+    */
+  lazy val srmGateSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = ArrayBuffer[(String, String)](
+      "q178u" -> "(SELECT DISTINCT user_id, event_type FROM events)",
+      "q178du" -> "(SELECT DISTINCT user_id, user_id::HUGEINT AS l FROM q178u)")
+    val ch = new SqlChain("q178h", "q178du", Seq("user_id", "l"))
+    hashLongLevels(ch, toUnsigned("l"), "42", "ha")
+    ctes ++= ch.ctes
+    ctes += ("q178arm" ->
+      s"(SELECT user_id, (((${toSigned("ha")} % 2) + 2) % 2)::BIGINT AS arm FROM ${ch.last})")
+    ctes += ("q178a" ->
+      "(SELECT u.user_id, u.event_type, a.arm FROM q178u u JOIN q178arm a USING (user_id))")
+    assemble(
+      ctes.toSeq,
+      s"""SELECT event_type, n_control, n_treatment,
+         |  round(((n_control - n_treatment) * (n_control - n_treatment))::DOUBLE
+         |    / (n_control + n_treatment)::DOUBLE, 6) AS chisq,
+         |  ((n_control - n_treatment) * (n_control - n_treatment))::DOUBLE
+         |    / (n_control + n_treatment)::DOUBLE > $SrmCritical AS srm_alarm
+         |FROM (
+         |  SELECT event_type,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treatment
+         |  FROM q178a GROUP BY event_type
+         |  UNION ALL
+         |  SELECT '_ALL',
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM q178arm)
+         |ORDER BY event_type""".stripMargin)
+  }
+
   // --- q174: mergeable moments profile + variance decomposition ---------------
 
   val MomentShards = 4L

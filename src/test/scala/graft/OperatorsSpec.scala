@@ -1745,6 +1745,43 @@ class OperatorsSpec extends SparkSpec {
     assert(mn._7 == 0L, s"verified pairs escaped the candidate set: $mn")
   }
 
+  test("q178: planted imbalance alarms, a clean split doesn't; arms partition the users") {
+    import spark.implicits._
+    import graft.operators.StatsOps
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // find user ids landing in each arm under the real hash, then plant a
+    // wildly imbalanced type (40 control, 1 treatment) and a balanced one
+    val armOf = (1L to 200L).map { u =>
+      u -> spark.range(1).select(pmod(xxhash64(lit(u)), lit(2L))).head.getLong(0)
+    }.toMap
+    val ctrl = (1L to 200L).filter(armOf(_) == 0L).take(40)
+    val trt  = (1L to 200L).filter(armOf(_) == 1L).take(40)
+    val bad  = (ctrl.map(u => (u, "skewed")) ++ trt.take(1).map(u => (u, "skewed")))
+    val good = (ctrl.take(20).map(u => (u, "fair")) ++ trt.take(20).map(u => (u, "fair")))
+    val dir = java.nio.file.Files.createTempDirectory("q178spec").toString
+    (bad ++ good).zipWithIndex
+      .map { case ((u, ty), i) => (i.toLong, t("2024-01-01 10:00:00"), u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StatsOps.srmGate(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    val (nc, nt, chi, alarm) = got("skewed")
+    assert(nc == 40 && nt == 1 && alarm, s"skewed: ${got("skewed")}")
+    assert(math.abs(chi - 39.0 * 39.0 / 41.0) < 1e-6)
+    val f = got("fair")
+    assert(f._1 == 20 && f._2 == 20 && f._3 == 0.0 && !f._4, s"fair: $f")
+    // testdata: _ALL counts partition the distinct-user population; the
+    // hash split is clean there (no alarm at 5% on a healthy pipeline)
+    val sf = StatsOps.srmGate(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    val all = sf("_ALL")
+    val nUsers = graft.core.Tables.events(spark, Sf0001)
+      .select(col("user_id")).distinct().count()
+    assert(all._1 + all._2 == nUsers, "arms partition the population")
+    assert(!all._3, s"healthy assignment must not alarm: $all")
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()
