@@ -59,7 +59,16 @@ class LayoutInvarianceSpec extends SparkSpec {
       "q139_grouped_split", "q143_doc_novelty",
       "q148_changepoint", "q149_range_planner", "q151_attribution",
       "q152_trunc_audit", "q153_temporal_split", "q155_content_manifest",
-      "q166_hits_scores", "q169_scd2_compaction", "q170_epoch_shuffle")
+      "q166_hits_scores", "q169_scd2_compaction", "q170_epoch_shuffle",
+      // round-6 evaluation layer: q171 (integer moment sums + float r —
+      // an unpinned partial-sum order would move the 6dp correlations),
+      // q172 (the KM ordered product fold over a collected array — the
+      // array's sort_array order must not depend on collection order),
+      // q174 (quantized within/between terms summed order-free), q176
+      // (float cosine rank ties + the micro-quantized summary fold),
+      // q177 (three bucket-derived pair sets and their exact counts)
+      "q171_acf_volume", "q172_km_survival", "q174_moments_profile",
+      "q176_retrieval_mrr", "q177_dedup_agreement")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, Sf0001).collect().map(_.toString).toSeq
