@@ -2838,6 +2838,95 @@ object CurationOps {
        |ORDER BY k.k""".stripMargin
   }
 
+  // --- q179: dup-graph degree assortativity ------------------------------------
+
+  /** Degree assortativity of the undirected near-dup candidate graph —
+    * ONE number that says whether duplication is STARS or CLIQUES:
+    * strongly negative r (high-degree originals attached to degree-1
+    * copies) is the healthy boilerplate/mirror shape where q56's
+    * keep-the-center selection works cleanly; r near 0/positive says
+    * high-degree nodes attach to each other — template families chaining
+    * into one giant component, the input that makes q47's contraction
+    * produce mega-clusters and q118's k-core prune-worthy. q97/q166
+    * rank individual nodes; q136 counts components; q179 classifies the
+    * TOPOLOGY, the first number to read before choosing a canonical-
+    * selection policy. Also reports edge/node counts and the degree mean
+    * and max.
+    *
+    * Scale shape: edges are the session-shared bucket-bounded stage
+    * (never corpus²); degrees are one node-keyed aggregate; the Pearson
+    * legs are exact integer sums over both edge orientations (q171's
+    * moment discipline — symmetric, so sy=sx, syy=sxx), folded to ONE
+    * row. Determinism: integers until the single
+    * num/(sqrt·sqrt) float shape, 6-dp rounded; a degree-regular graph
+    * (zero variance) yields NULL r.
+    */
+  def dupAssortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityOf(graft.core.CacheScope.persist(
+      SharedStages.minhashEdges(spark, dir).select(col("doc_a"), col("doc_b"))))
+
+  private[graft] def assortativityOf(edges: DataFrame): DataFrame = {
+    val deg = edges
+      .select(col("doc_a").as("node"))
+      .unionAll(edges.select(col("doc_b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("d"))
+    val paired = edges
+      .join(deg.select(col("node").as("doc_a"), col("d").as("da")), Seq("doc_a"))
+      .join(deg.select(col("node").as("doc_b"), col("d").as("db")), Seq("doc_b"))
+    val stats = paired
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("da") + col("db")).as("sx"),
+        sum(col("da") * col("db") * lit(2L)).as("sxy"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("sxx"),
+        max(greatest(col("da"), col("db"))).as("max_degree"))
+      .crossJoin(broadcast(deg.groupBy().agg(
+        count(lit(1)).as("n_nodes"), sum(col("d")).as("sd"))))
+    val n   = stats("n_edges") * lit(2L)
+    val num = (n * col("sxy") - col("sx") * col("sx")).cast("double")
+    val v   = n * col("sxx") - col("sx") * col("sx")
+    stats.select(
+      col("n_edges"),
+      col("n_nodes"),
+      round(col("sd").cast("double") / col("n_nodes").cast("double"), 6).as("mean_degree"),
+      col("max_degree"),
+      when(v > 0, round(num / (sqrt(v.cast("double")) * sqrt(v.cast("double"))), 6))
+        .as("assortativity"))
+  }
+
+  /** q179 oracle: the engine-exact q25 pair statement + identical degree
+    * sums and the same num/(sqrt·sqrt) shape.
+    */
+  lazy val dupAssortativitySql: String =
+    s"""WITH q179e AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (${TextOps.minhashLshSql})),
+       |q179d AS (
+       |  SELECT node, count(*)::BIGINT AS d FROM (
+       |    SELECT doc_a AS node FROM q179e UNION ALL SELECT doc_b FROM q179e)
+       |  GROUP BY node),
+       |q179p AS (
+       |  SELECT e.doc_a, e.doc_b, a.d AS da, b.d AS db
+       |  FROM q179e e JOIN q179d a ON a.node = e.doc_a JOIN q179d b ON b.node = e.doc_b),
+       |q179s AS (
+       |  SELECT count(*)::BIGINT AS n_edges,
+       |    CAST(sum(da + db) AS BIGINT) AS sx,
+       |    CAST(sum(da * db * 2) AS BIGINT) AS sxy,
+       |    CAST(sum(da * da + db * db) AS BIGINT) AS sxx,
+       |    CAST(max(greatest(da, db)) AS BIGINT) AS max_degree
+       |  FROM q179p),
+       |q179n AS (SELECT count(*)::BIGINT AS n_nodes, CAST(sum(d) AS BIGINT) AS sd FROM q179d)
+       |SELECT s.n_edges, n.n_nodes,
+       |  round(n.sd::DOUBLE / n.n_nodes::DOUBLE, 6) AS mean_degree,
+       |  s.max_degree,
+       |  CASE WHEN s.n_edges * 2 * s.sxx - s.sx * s.sx > 0 THEN
+       |    round((s.n_edges * 2 * s.sxy - s.sx * s.sx)::DOUBLE
+       |      / (sqrt((s.n_edges * 2 * s.sxx - s.sx * s.sx)::DOUBLE)
+       |         * sqrt((s.n_edges * 2 * s.sxx - s.sx * s.sx)::DOUBLE)), 6)
+       |  END AS assortativity
+       |FROM q179s s CROSS JOIN q179n n""".stripMargin
+
   // --- q175: l-diversity audit -------------------------------------------------
 
   /** l thresholds the diversity audit reports against. */

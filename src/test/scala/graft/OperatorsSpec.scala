@@ -1782,6 +1782,35 @@ class OperatorsSpec extends SparkSpec {
     assert(!all._3, s"healthy assignment must not alarm: $all")
   }
 
+  test("q179: a star graph scores exactly −1; testdata statistic matches a driver recompute") {
+    import spark.implicits._
+    import graft.operators.{CurationOps, TextOps}
+    // K_{1,3}: the purest original-with-copies shape → assortativity −1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val s = CurationOps.assortativityOf(star).collect().head
+    assert(s.getLong(0) == 3 && s.getLong(1) == 4 && s.getLong(3) == 3)
+    assert(s.getDouble(2) == 1.5 && s.getDouble(4) == -1.0, s"star: $s")
+    // a 4-cycle is degree-regular → zero variance → NULL r
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("doc_a", "doc_b")
+    assert(CurationOps.assortativityOf(cyc).collect().head.isNullAt(4), "regular graph")
+    // testdata: recompute Newman's r from the actual pair set
+    val edges = TextOps.minhashLsh(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size.toLong)
+    val (sx, sxy, sxx) = edges.foldLeft((0L, 0L, 0L)) { case ((a, b, c), (u, v)) =>
+      val (du, dv) = (deg(u), deg(v))
+      (a + du + dv, b + 2 * du * dv, c + du * du + dv * dv)
+    }
+    val n    = 2L * edges.length
+    val want = BigDecimal((n * sxy - sx * sx).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * sxx - sx * sx).toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = CurationOps.dupAssortativity(spark, Sf0001).collect().head
+    assert(got.getLong(0) == edges.length && got.getLong(1) == deg.size)
+    assert(got.getDouble(4) == want, s"assortativity: ${got.getDouble(4)} vs $want")
+    assert(got.getDouble(4) >= -1.0 - 1e-9 && got.getDouble(4) <= 1.0 + 1e-9)
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()

@@ -574,7 +574,9 @@ class PlanGuardSpec extends SparkSpec {
         "q175_ldiversity",
         // q176's non-equi self-exclusion broadcasts the fixed QueryCount
         // query set — exactly q28's allowlisted shape
-        "q176_retrieval_mrr")
+        "q176_retrieval_mrr",
+        // q179's 1×1 crossJoin: edge-moment fold × node-count fold
+        "q179_assortativity")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
