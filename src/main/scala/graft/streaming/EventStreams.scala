@@ -1141,6 +1141,41 @@ object EventStreams extends Serializable {
         col("s4"))
   }
 
+  /** E39: streaming sample-ratio-mismatch monitor — the q178 twin: per
+    * closed hour window, distinct exposed users per arm (q126's
+    * `xxhash64(user_id) mod 2` assignment), the two-cell χ² statistic,
+    * and the alarm flag against the shared 3.841459 critical value — the
+    * live experiment-health pager that catches a broken assignment WHILE
+    * the experiment runs instead of at read-out. Two chained stateful
+    * operators, both declarative: `dropDuplicatesWithinWatermark` on
+    * (user, hour) bounds dedup state to the watermark horizon (a user's
+    * duplicate exposures within an hour all arrive within the hour by
+    * construction), then the windowed arm aggregate; closed windows
+    * append exactly once. Per-window counts are the hour-local exposure
+    * grain — batch q178's corpus-wide per-type gate stays the read-out
+    * authority; this is its leading indicator.
+    */
+  def srmStream(events: DataFrame, watermarkDur: String = "2 hours"): DataFrame = {
+    val d = col("n_control") - col("n_treatment")
+    val stat =
+      (d * d).cast("double") / (col("n_control") + col("n_treatment")).cast("double")
+    events
+      .withWatermark("ts", watermarkDur)
+      .select(col("ts"), col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .dropDuplicatesWithinWatermark("user_id", "hr")
+      .select(col("ts"), pmod(xxhash64(col("user_id")), lit(2L)).as("arm"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treatment"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("n_control"),
+        col("n_treatment"),
+        round(stat, 6).as("chisq"),
+        (stat > lit(graft.operators.StatsOps.SrmCritical)).as("srm_alarm"))
+  }
+
   case class Scd2State(
       version: Long,
       stateType: String,

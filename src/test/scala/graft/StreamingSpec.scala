@@ -1333,6 +1333,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("E39: per-window SRM counts dedupe exposures and match a batch recompute") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def hts(hr: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $hr%02d:$min%02d:00")
+    // users 1..60 active in hour 1 (each with a DUPLICATE exposure that the
+    // dedup must drop), users 1..20 again in hour 2
+    val h1 = (1L to 60L).flatMap(u =>
+      Seq(Ev(u * 10, u, hts(1, (u % 50).toInt), "view", 1.0),
+        Ev(u * 10 + 1, u, hts(1, ((u + 7) % 50).toInt), "click", 1.0)))
+    val h2 = (1L to 20L).map(u => Ev(u * 10 + 5, u, hts(2, (u % 50).toInt), "view", 1.0))
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .srmStream(in.toDF())
+      .writeStream.format("memory").queryName("srm_s").outputMode("append").start()
+    in.addData(h1: _*); q.processAllAvailable()
+    in.addData(h2: _*); q.processAllAvailable()
+    in.addData(Ev(9999, 999, Timestamp.valueOf("2024-06-01 00:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("srm_s").collect().filter(!_.getString(0).startsWith("2024-06"))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    q.stop()
+    assert(got.size == 2, s"two closed hours: $got")
+    // batch recompute: distinct users per hour split by the same hash arm
+    def arms(users: Seq[Long]) = {
+      val byArm = users.groupBy(u =>
+        spark.range(1).select(pmod(xxhash64(lit(u)), lit(2L))).head.getLong(0))
+      (byArm.getOrElse(0L, Nil).size.toLong, byArm.getOrElse(1L, Nil).size.toLong)
+    }
+    val Seq(w1, w2) = Seq((1L to 60L), (1L to 20L)).map(u => arms(u.toSeq))
+    assert(got("2024-01-01 01")._1 == w1._1 && got("2024-01-01 01")._2 == w1._2,
+      s"hour-1 dedup: ${got("2024-01-01 01")} vs $w1")
+    assert(got("2024-01-01 02")._1 == w2._1 && got("2024-01-01 02")._2 == w2._2)
+    got.values.foreach { case (nc, nt, chi, alarm) =>
+      val want = (nc - nt).toDouble * (nc - nt) / (nc + nt)
+      assert(math.abs(chi - want) <= 1e-6 && alarm == (want > 3.841459), s"chi: $chi vs $want")
+    }
+  }
+
   test("E35: closed-session paths match a batch replay and emit exactly once") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
