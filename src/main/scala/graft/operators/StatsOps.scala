@@ -1913,6 +1913,100 @@ object StatsOps {
     assemble(evC ++ docC, s"SELECT * FROM (($evF) UNION ALL ($docF)) ORDER BY tbl")
   }
 
+  // --- q180: manifest-diff backfill planner ------------------------------------
+
+  /** Deterministic simulated-loss modulus: the "replica" drops every
+    * event_id ≡ 0 (mod this) — a reproducible stand-in for a lossy copy. */
+  val BackfillDropMod = 997L
+
+  /** Manifest-diff backfill planner — the CONSUMER of the q155/E34
+    * fingerprint layer: given the per-hour (count, xor-fingerprint)
+    * manifests of the source of truth and a replica (here: a
+    * deterministic 1/[[BackfillDropMod]] event drop), find every hour
+    * whose envelope mismatches and compact them into CONSECUTIVE backfill
+    * ranges (the classic gaps-and-islands collapse) with the rows missing
+    * per range — exactly the work order a recovery job takes ("re-copy
+    * hours 07..09, 211 rows"), instead of a per-hour mismatch list that a
+    * scheduler would re-fragment. An hour missing from the replica
+    * entirely is a mismatch of its whole count.
+    *
+    * Scale shape: both manifests are ONE map-side-combinable aggregate to
+    * the |hours| grain (xor/count have partials); the diff join, island
+    * numbering (row_number over the ≤|hours| mismatch table — bounded, a
+    * deliberate exception to the no-global-window rule, like q149's
+    * boundary pick), and range rollup all ride that tiny table.
+    * Determinism: xor is order-free, counts are longs, island keys are
+    * integer hr − rank.
+    */
+  def backfillPlan(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(
+        (unix_micros(date_trunc("hour", col("ts"))) / lit(3600000000L)).cast("long").as("hr"),
+        col("event_id"),
+        xxhash64(col("event_id")).as("h"))
+    def manifest(df: DataFrame) =
+      df.groupBy(col("hr")).agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+    val full = manifest(ev)
+    val rep  = manifest(ev.filter(pmod(col("event_id"), lit(BackfillDropMod)) =!= 0))
+    val mism = full
+      .join(rep.select(col("hr"), col("n").as("n_r"), col("x").as("x_r")), Seq("hr"), "left")
+      .filter(col("n_r").isNull || col("n") =!= col("n_r") || col("x") =!= col("x_r"))
+      .select(col("hr"), (col("n") - coalesce(col("n_r"), lit(0L))).as("miss"))
+    val w = Window.orderBy(col("hr"))
+    mism
+      .withColumn("grp", col("hr") - row_number().over(w))
+      .groupBy(col("grp"))
+      .agg(
+        min(col("hr")).as("h0"),
+        max(col("hr")).as("h1"),
+        count(lit(1)).as("n_hours"),
+        sum(col("miss")).as("n_rows_missing"))
+      .select(
+        date_format(timestamp_micros(col("h0") * lit(3600000000L)), "yyyy-MM-dd HH")
+          .as("start_hour"),
+        date_format(timestamp_micros(col("h1") * lit(3600000000L)), "yyyy-MM-dd HH")
+          .as("end_hour"),
+        col("n_hours"),
+        col("n_rows_missing"))
+      .orderBy(col("start_hour"))
+  }
+
+  /** q180 oracle: the q126-style exact xxhash64(long) emulation feeding
+    * both manifests, the same left-join diff, and the identical
+    * hr − row_number island key.
+    */
+  lazy val backfillPlanSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = ArrayBuffer[(String, String)](
+      "q180e" ->
+        """(SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr, event_id,
+          |   event_id::HUGEINT AS l FROM events)""".stripMargin)
+    val ch = new SqlChain("q180h", "q180e", Seq("hr", "event_id", "l"))
+    hashLongLevels(ch, toUnsigned("l"), "42", "hh")
+    ctes ++= ch.ctes
+    ctes += ("q180x" ->
+      s"(SELECT hr, event_id, ${toSigned("hh")}::BIGINT AS h FROM ${ch.last})")
+    ctes += ("q180f" ->
+      "(SELECT hr, count(*)::BIGINT AS n, bit_xor(h)::BIGINT AS x FROM q180x GROUP BY hr)")
+    ctes += ("q180r" ->
+      s"""(SELECT hr, count(*)::BIGINT AS n, bit_xor(h)::BIGINT AS x FROM q180x
+         |  WHERE event_id % $BackfillDropMod <> 0 GROUP BY hr)""".stripMargin)
+    ctes += ("q180m" ->
+      """(SELECT f.hr, f.n - coalesce(r.n, 0) AS miss
+        |  FROM q180f f LEFT JOIN q180r r ON r.hr = f.hr
+        |  WHERE r.hr IS NULL OR f.n <> r.n OR f.x <> r.x)""".stripMargin)
+    ctes += ("q180g" ->
+      "(SELECT hr, miss, hr - ROW_NUMBER() OVER (ORDER BY hr) AS grp FROM q180m)")
+    assemble(
+      ctes.toSeq,
+      """SELECT strftime(make_timestamp(min(hr) * 3600000000), '%Y-%m-%d %H') AS start_hour,
+        |  strftime(make_timestamp(max(hr) * 3600000000), '%Y-%m-%d %H') AS end_hour,
+        |  count(*)::BIGINT AS n_hours,
+        |  CAST(sum(miss) AS BIGINT) AS n_rows_missing
+        |FROM q180g GROUP BY grp ORDER BY start_hour""".stripMargin)
+  }
+
   // --- q178: A/B sample-ratio-mismatch gate -----------------------------------
 
   /** χ²₁ critical value at α = 0.05 — the standard SRM alarm threshold. */

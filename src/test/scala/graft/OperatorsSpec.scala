@@ -1811,6 +1811,43 @@ class OperatorsSpec extends SparkSpec {
     assert(got.getDouble(4) >= -1.0 - 1e-9 && got.getDouble(4) <= 1.0 + 1e-9)
   }
 
+  test("q180: planted losses compact into maximal consecutive ranges; loss totals conserve") {
+    import spark.implicits._
+    import graft.operators.StatsOps
+    def hts(hr: Int, min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $hr%02d:$min%02d:00")
+    val M = StatsOps.BackfillDropMod
+    // hours 0..5 with clean filler rows; drops (id ≡ 0 mod M) land in
+    // hours 1, 2 (consecutive → ONE range) and hour 4 (singleton)
+    val filler = (0 to 5).flatMap(h => (1 to 3).map(i => (h * 100L + i, hts(h, 5 * i))))
+    val lost   = Seq((M, hts(1, 30)), (2 * M, hts(2, 30)), (3 * M, hts(4, 30)))
+    val dir    = java.nio.file.Files.createTempDirectory("q180spec").toString
+    (filler ++ lost).map { case (id, ts) => (id, ts, 1L, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StatsOps.backfillPlan(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01 01", "2024-01-01 02", 2L, 2L),
+      ("2024-01-01 04", "2024-01-01 04", 1L, 1L)), s"ranges: ${got.toSeq}")
+    // testdata: missing-row totals conserve against the drop rule, and the
+    // ranges are maximal (no two consecutive ranges touch)
+    val sf = StatsOps.backfillPlan(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expectLost = graft.core.Tables.events(spark, Sf0001)
+      .filter(pmod(col("event_id"), lit(M)) === 0).count()
+    assert(sf.map(_._4).sum == expectLost, "loss conservation")
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    sf.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+      val gap = (fmt.parse(b._1).getTime - fmt.parse(a._2).getTime) / 3600000L
+      assert(gap >= 2, s"ranges must be maximal: $a then $b")
+    }
+    sf.foreach { case (s, e, nh, miss) =>
+      assert((fmt.parse(e).getTime - fmt.parse(s).getTime) / 3600000L == nh - 1)
+      assert(miss >= nh, "every hour in a range misses at least one row")
+    }
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()
