@@ -1913,6 +1913,77 @@ object StatsOps {
     assemble(evC ++ docC, s"SELECT * FROM (($evF) UNION ALL ($docF)) ORDER BY tbl")
   }
 
+  // --- q181: mass-weighted length quantiles ------------------------------------
+
+  /** Mass-weighted document-length quantiles per source (+ `_ALL`): the
+    * smallest length L such that documents of length ≤ L hold ≥ p of the
+    * source's total CHARACTER MASS — "half the corpus bytes live in docs
+    * shorter than X", the number sequence-length budgeting (q158) and
+    * shard planning (q167) actually need. Doc-COUNT percentiles (q43)
+    * answer a different question and diverge badly under heavy tails:
+    * one 10 MB doc moves the mass median while the count median never
+    * sees it. Thresholds are the exact lower weighted quantile — pure
+    * integer rule `cumw·den ≥ W·num`, no interpolation, no division.
+    *
+    * Scale shape: ONE map-side-combinable aggregate to the
+    * (source, length) histogram grain; the `_ALL` rollup derives from
+    * the histogram itself; cumulative weights are per-source windows
+    * over that bounded table (≤ |sources|·|distinct lengths|).
+    * Determinism: longs end to end.
+    */
+  def weightedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val hist0 = graft.core.CacheScope.persist(
+      Tables
+        .documents(spark, dir)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(sum(col("n_chars")).as("w")))
+    val hist = hist0.unionByName(
+      hist0
+        .groupBy(col("v"))
+        .agg(sum(col("w")).as("w"))
+        .select(lit("_ALL").as("source"), col("v"), col("w")))
+    val win = Window
+      .partitionBy(col("source"))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cumw", sum(col("w")).over(win))
+    val tot = hist.groupBy(col("source")).agg(sum(col("w")).as("w_total"))
+    cum
+      .join(broadcast(tot), "source")
+      .groupBy(col("source"), col("w_total"))
+      .agg(
+        min(when(col("cumw") * 4 >= col("w_total"), col("v"))).as("p25"),
+        min(when(col("cumw") * 2 >= col("w_total"), col("v"))).as("p50"),
+        min(when(col("cumw") * 4 >= col("w_total") * 3, col("v"))).as("p75"),
+        min(when(col("cumw") * 10 >= col("w_total") * 9, col("v"))).as("p90"))
+      .select(col("source"), col("w_total"), col("p25"), col("p50"), col("p75"), col("p90"))
+      .orderBy(col("source"))
+  }
+
+  /** q181 oracle: identical histogram grain, `_ALL` rollup, cumulative
+    * windows, and the integer `cumw·den ≥ W·num` threshold rule.
+    */
+  val weightedQuantilesSql: String =
+    """WITH q181h AS MATERIALIZED (
+      |  SELECT source, n_chars AS v, CAST(sum(n_chars) AS BIGINT) AS w
+      |  FROM documents GROUP BY 1, 2),
+      |q181u AS (
+      |  SELECT * FROM q181h
+      |  UNION ALL
+      |  SELECT '_ALL', v, CAST(sum(w) AS BIGINT) FROM q181h GROUP BY v),
+      |q181c AS (
+      |  SELECT source, v, w,
+      |    CAST(sum(w) OVER (PARTITION BY source ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+      |    CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS w_total
+      |  FROM q181u)
+      |SELECT source, w_total,
+      |  CAST(min(CASE WHEN cumw * 4 >= w_total THEN v END) AS BIGINT) AS p25,
+      |  CAST(min(CASE WHEN cumw * 2 >= w_total THEN v END) AS BIGINT) AS p50,
+      |  CAST(min(CASE WHEN cumw * 4 >= w_total * 3 THEN v END) AS BIGINT) AS p75,
+      |  CAST(min(CASE WHEN cumw * 10 >= w_total * 9 THEN v END) AS BIGINT) AS p90
+      |FROM q181c GROUP BY source, w_total ORDER BY source""".stripMargin
+
   // --- q180: manifest-diff backfill planner ------------------------------------
 
   /** Deterministic simulated-loss modulus: the "replica" drops every

@@ -1848,6 +1848,45 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q181: a heavy tail moves the mass median but not the count median; thresholds exact") {
+    import spark.implicits._
+    import graft.operators.StatsOps
+    val dir = java.nio.file.Files.createTempDirectory("q181spec").toString
+    // nine 10-char docs + one 1000-char doc: count median is 10, but the
+    // single big doc holds 1000/1090 of the mass → every mass quantile ≥ p25
+    // lands on 1000
+    ((1 to 9).map(i => (i.toLong, "t", "en", "s", 10L)) :+ (10L, "t", "en", "s", 1000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = StatsOps.weightedQuantiles(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("_ALL", 1090L, 1000L, 1000L, 1000L, 1000L),
+      ("s", 1090L, 1000L, 1000L, 1000L, 1000L)), s"heavy tail: ${got.toSeq}")
+    // testdata: driver recompute of the integer threshold rule per source
+    val sf = StatsOps.weightedQuantiles(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), Seq(r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))))
+    val docs = graft.core.Tables.documents(spark, Sf0001)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def quantiles(vs: Seq[Long]): (Long, Seq[Long]) = {
+      val hist = vs.groupBy(identity).view.mapValues(_.map(identity).sum).toSeq.sortBy(_._1)
+      val wt   = hist.map(_._2).sum
+      val cum  = hist.scanLeft(0L)(_ + _._2).tail.zip(hist.map(_._1))
+      def pick(num: Long, den: Long) = cum.find { case (c, _) => c * den >= wt * num }.get._2
+      (wt, Seq(pick(1, 4), pick(1, 2), pick(3, 4), pick(9, 10)))
+    }
+    val bySrc = docs.groupBy(_._1).view.mapValues(g => quantiles(g.map(_._2).toSeq)).toMap +
+      ("_ALL" -> quantiles(docs.map(_._2).toSeq))
+    sf.foreach { case (src, wt, qs) =>
+      val (wWant, qWant) = bySrc(src)
+      assert(wt == wWant && qs == qWant, s"$src: ($wt, $qs) vs ($wWant, $qWant)")
+    }
+    assert(sf.map(_._1).contains("_ALL"))
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()
