@@ -1976,6 +1976,108 @@ object TimeJoins {
        |FROM q171s ORDER BY event_type, lag""".stripMargin
   }
 
+  // --- q182: forecast-baseline MASE table -------------------------------------
+
+  /** Forecast-baseline evaluation of hourly volume per type: the MAE of
+    * the three zero-parameter forecasters every capacity plan starts
+    * from — naive-1 (last hour), day-naive (t−24), week-naive (t−168) —
+    * plus each seasonal model's MASE (its MAE over naive-1's, the
+    * scale-free skill score; < 1 = the seasonal pattern is real signal,
+    * ≥ 1 = yesterday's shape adds nothing) and the winning baseline.
+    * This is the table that says whether q123's seasonal profile is
+    * worth operationalizing BEFORE anyone builds a real forecaster — and
+    * the yardstick that forecaster must beat.
+    *
+    * Scale shape: q171's dense zero-filled hourly grid (ONE corpus agg,
+    * per-type `sequence` explode), three lag windows partitioned by
+    * type, one fold to |types| rows. Determinism: volumes are integer
+    * counts so every |v_t − v_{t−k}| sum is an exact long; each MAE is
+    * one divide-round, each MASE one integer-derived ratio
+    * (Σ|d_k|·n₁)/(Σ|d₁|·n_k) spelled as a single divide of exact
+    * products; zero naive-1 error (constant series) yields NULL MASE.
+    */
+  def forecastBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        (unix_micros(date_trunc("hour", col("ts"))) / lit(3600000000L)).cast("long").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val grid = cells
+      .groupBy(col("event_type"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+    val dense = grid
+      .join(cells, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"), coalesce(col("n"), lit(0L)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val lagged = Seq(1, 24, 168).foldLeft(dense)((df, k) =>
+      df.withColumn(s"l$k", lag(col("x"), k).over(w)))
+    val agg = lagged
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(when(col("l1").isNotNull, abs(col("x") - col("l1")))).as("s1"),
+        sum(when(col("l1").isNotNull, 1L)).as("c1"),
+        sum(when(col("l24").isNotNull, abs(col("x") - col("l24")))).as("s24"),
+        sum(when(col("l24").isNotNull, 1L)).as("c24"),
+        sum(when(col("l168").isNotNull, abs(col("x") - col("l168")))).as("s168"),
+        sum(when(col("l168").isNotNull, 1L)).as("c168"))
+    def mae(s: String, c: String)  = round(col(s).cast("double") / col(c).cast("double"), 6)
+    def mase(s: String, c: String) = when(col("s1") > 0,
+      round((col(s) * col("c1")).cast("double") / (col("s1") * col(c)).cast("double"), 6))
+    agg
+      .select(
+        col("event_type"),
+        col("n_hours"),
+        mae("s1", "c1").as("mae_naive1"),
+        mae("s24", "c24").as("mae_day"),
+        mae("s168", "c168").as("mae_week"),
+        mase("s24", "c24").as("mase_day"),
+        mase("s168", "c168").as("mase_week"),
+        when(col("s168").isNull || col("s24") * col("c168") <= col("s168") * col("c24"),
+          lit("day")).otherwise(lit("week")).as("best_seasonal"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q182 oracle: q171's grid spelling, the same lag windows, exact
+    * integer |diff| sums, and identical ratio shapes.
+    */
+  val forecastBaselineSql: String =
+    """WITH q182c AS MATERIALIZED (
+      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+      |    count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |q182g AS (
+      |  SELECT event_type, unnest(generate_series(min(hr), max(hr))) AS hr
+      |  FROM q182c GROUP BY event_type),
+      |q182d AS (
+      |  SELECT g.event_type, g.hr, coalesce(c.n, 0)::BIGINT AS x
+      |  FROM q182g g LEFT JOIN q182c c ON g.event_type = c.event_type AND g.hr = c.hr),
+      |q182l AS (
+      |  SELECT event_type, x, lag(x, 1) OVER w AS l1, lag(x, 24) OVER w AS l24,
+      |    lag(x, 168) OVER w AS l168
+      |  FROM q182d WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+      |q182s AS (
+      |  SELECT event_type, count(*)::BIGINT AS n_hours,
+      |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN abs(x - l1) END) AS BIGINT) AS s1,
+      |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN 1 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN l24 IS NOT NULL THEN abs(x - l24) END) AS BIGINT) AS s24,
+      |    CAST(sum(CASE WHEN l24 IS NOT NULL THEN 1 END) AS BIGINT) AS c24,
+      |    CAST(sum(CASE WHEN l168 IS NOT NULL THEN abs(x - l168) END) AS BIGINT) AS s168,
+      |    CAST(sum(CASE WHEN l168 IS NOT NULL THEN 1 END) AS BIGINT) AS c168
+      |  FROM q182l GROUP BY event_type)
+      |SELECT event_type, n_hours,
+      |  round(s1::DOUBLE / c1::DOUBLE, 6) AS mae_naive1,
+      |  round(s24::DOUBLE / c24::DOUBLE, 6) AS mae_day,
+      |  round(s168::DOUBLE / c168::DOUBLE, 6) AS mae_week,
+      |  CASE WHEN s1 > 0 THEN round((s24 * c1)::DOUBLE / (s1 * c24)::DOUBLE, 6) END AS mase_day,
+      |  CASE WHEN s1 > 0 THEN round((s168 * c1)::DOUBLE / (s1 * c168)::DOUBLE, 6) END AS mase_week,
+      |  CASE WHEN s168 IS NULL OR s24 * c168 <= s168 * c24 THEN 'day' ELSE 'week' END
+      |    AS best_seasonal
+      |FROM q182s ORDER BY event_type""".stripMargin
+
   // --- q172: Kaplan–Meier user-lifetime survival ------------------------------
 
   val SurvCensorDays = 7L

@@ -1887,6 +1887,37 @@ class OperatorsSpec extends SparkSpec {
     assert(sf.map(_._1).contains("_ALL"))
   }
 
+  test("q182: a perfect daily period gives MASE 0; short series fall back to the day model") {
+    import spark.implicits._
+    import graft.operators.TimeJoins
+    val dir = java.nio.file.Files.createTempDirectory("q182spec").toString
+    // 72 hours of an exact period-24 pattern (hour-of-day h gets h%3+1
+    // events) → day-naive error is identically 0; no week lag exists
+    val evs = for {
+      day <- 0 to 2; h <- 0 to 23; i <- 1 to (h % 3 + 1)
+    } yield ((day * 100 + h * 4 + i).toLong,
+      java.sql.Timestamp.valueOf(f"2024-01-0${day + 1} $h%02d:${5 * i}%02d:00"),
+      1L, "a", 1.0, "{}")
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = TimeJoins.forecastBaseline(spark, dir).collect().head
+    assert(r.getString(0) == "a" && r.getLong(1) == 72)
+    assert(r.getDouble(2) > 0.0, "naive-1 must err on a periodic series")
+    assert(r.getDouble(3) == 0.0 && r.getDouble(5) == 0.0, s"perfect day period: $r")
+    assert(r.isNullAt(4) && r.isNullAt(6), "no week lag in 72 hours")
+    assert(r.getString(7) == "day")
+    // testdata: 720 h per type → week lag exists; best matches the exact
+    // integer cross-comparison of the two seasonal MAEs
+    val sf = TimeJoins.forecastBaseline(spark, Sf0001).collect()
+    assert(sf.nonEmpty)
+    sf.foreach { row =>
+      assert(row.getLong(1) > 168 && !row.isNullAt(4) && !row.isNullAt(6))
+      Seq(2, 3, 4).foreach(i => assert(row.getDouble(i) >= 0.0))
+      val best = if (row.getDouble(5) <= row.getDouble(6)) "day" else "week"
+      assert(row.getString(7) == best, s"best pick: $row")
+    }
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()
