@@ -158,4 +158,86 @@ object Multimodal {
       )
       .orderBy(col("source"))
   }
+
+  // --- D5: multimodal dedup (exact bytes + perceptual-hash bands) ------------
+
+  case class MediaSig(media_id: Long, exact_key: String, phash: Long)
+
+  /** Candidate pairs whose pHash hamming distance exceeds this are
+    * dropped after the band join. */
+  val PHashHammingMax = 8
+
+  /** Per-media dedup signatures, computed where a real pipeline computes
+    * them — executor-local `mapPartitions` beside the decode: the exact
+    * key is md5 over the RAW payload bytes (byte-identical copies across
+    * re-crawls/mirrors), and the perceptual hash packs the decoded
+    * feature vector's [[FeatureDim]] channels quantized to a byte each
+    * (STUB: real pHash would DCT the decoded image; the banding,
+    * bucketing, and hamming plumbing downstream is exactly what the real
+    * hash would ride).
+    */
+  def mediaSignatures(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { m =>
+          md.reset()
+          val ek = md.digest(m.payload).map(b => f"$b%02x").mkString
+          val f  = decodeStub(m.payload)
+          var ph = 0L
+          var i  = 0
+          while (i < FeatureDim) {
+            val q = math.min(255, math.max(0, math.round(f(i) * 255).toInt))
+            ph = (ph << 8) | q
+            i += 1
+          }
+          MediaSig(m.media_id, ek, ph)
+        }
+      }
+      .toDF()
+  }
+
+  /** D5: multimodal near-dup pairs — the q25/q26 machinery applied to the
+    * binary-column modality: 4×16-bit pHash bands block candidates
+    * (hamming ≤ 3 guarantees a shared band; wider radii are caught
+    * best-effort like q26), buckets are [[TextOps.MaxBucket]]-capped so a
+    * degenerate constant-payload corpus can't go quadratic, and the exact
+    * hamming + byte-identity verdicts ride the pair row. Output per pair:
+    * hamming distance and whether the pair is byte-identical — the
+    * dedup-policy input ("drop exact copies, review perceptual ones").
+    */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaDedupOf(mediaTable(spark, dir))
+
+  def mediaDedupOf(media: Dataset[MediaRecord]): DataFrame = {
+    val sig = mediaSignatures(media)
+    val bandStructs = (0 until 4).map { bIdx =>
+      struct(
+        lit(bIdx).as("band"),
+        (shiftrightunsigned(col("phash"), bIdx * 16).bitwiseAND(lit(0xffffL))).as("bh"))
+    }
+    val bands = sig.select(
+      col("media_id"),
+      col("exact_key"),
+      col("phash"),
+      explode(array(bandStructs: _*)).as("bd"))
+    bands
+      .select(col("bd.band").as("band"), col("bd.bh").as("bh"),
+        struct(col("media_id"), col("exact_key"), col("phash")).as("m"))
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")).between(2, TextOps.MaxBucket))
+      .select(array_sort(col("ms")).as("ms"))
+      .select(explode(expr(TextOps.pairExpansionSql(
+        "ms",
+        "a.media_id AS media_a, b.media_id AS media_b, " +
+          "a.phash AS pa, b.phash AS pb, " +
+          "CAST(a.exact_key = b.exact_key AS BOOLEAN) AS exact_dup"))).as("p"))
+      .select(col("p.media_a").as("media_a"), col("p.media_b").as("media_b"),
+        expr("bit_count(p.pa ^ p.pb)").cast("int").as("hamming"), col("p.exact_dup"))
+      .distinct()
+      .filter(col("hamming") <= PHashHammingMax)
+      .orderBy(col("media_a"), col("media_b"))
+  }
 }

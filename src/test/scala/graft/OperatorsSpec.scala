@@ -328,6 +328,37 @@ class OperatorsSpec extends SparkSpec {
     assert(resized.forall(r => r.payload.length == 64 && r.width == 8 && r.height == 8))
   }
 
+  test("D5: byte-identical media pair exactly; perceptual twin pairs with small hamming") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRecord
+    def rec(id: Long, text: String) =
+      MediaRecord(id, text.getBytes("UTF-8"), "image/fake", 64, 64, "s")
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val media = Seq(
+      rec(1, base),
+      rec(2, base), // byte-identical copy of 1
+      rec(3, base + "!"), // near-twin: one byte appended → features barely move
+      rec(4, (1 to 300).map(i => ('a' + i % 26).toChar).mkString) // unrelated
+    ).toDS()
+    val pairs = Multimodal.mediaDedupOf(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p).toMap
+    assert(byPair((1L, 2L))._3 == 0 && byPair((1L, 2L))._4, s"exact copy: ${pairs.toSeq}")
+    assert(byPair.contains((1L, 3L)) && !byPair((1L, 3L))._4 &&
+      byPair((1L, 3L))._3 <= Multimodal.PHashHammingMax, s"near twin: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated media must not pair")
+    // signatures are layout-stable (the decode runs per-partition)
+    val s1 = Multimodal.mediaSignatures(media).collect().map(_.toString).sorted.toSeq
+    val s2 = Multimodal.mediaSignatures(media.repartition(3)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(s1 == s2)
+    // real corpus: every pair verdict is consistent (exact ⇒ hamming 0)
+    val sf = Multimodal.mediaDedup(spark, Sf0001).collect()
+      .map(r => (r.getInt(2), r.getBoolean(3)))
+    sf.filter(_._2).foreach { case (h, _) => assert(h == 0, "exact dup with nonzero hamming") }
+  }
+
   test("B19: co-bucketed tables join with zero exchanges") {
     import graft.operators.Bucketing
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
