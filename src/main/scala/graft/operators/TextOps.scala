@@ -1452,6 +1452,84 @@ object TextOps {
        |ORDER BY bands DESC""".stripMargin
   }
 
+  // --- q183: LSH bucket balance / cap-loss audit -------------------------------
+
+  /** Bucket-balance and cap-loss audit of the deployed MinHash-LSH index
+    * (q25's band buckets): per band (+ the `_ALL` rollup, band = −1) the
+    * bucket count, the largest bucket, how many buckets exceed the
+    * [[MaxBucket]] pair-expansion cap, the candidate-pair slots the kept
+    * buckets generate (ΣC(n,2), n ≤ cap — the verify join's actual input
+    * workload, multi-band duplicates included), the slots the cap DROPS
+    * (ΣC(n,2) over capped buckets), and the dropped share. This is the
+    * "no silent caps" principle applied to q25 itself: the cap that keeps
+    * a template-flooded corpus from going quadratic also costs recall,
+    * and this table is the number that says how much — read it beside
+    * q84's empirical recall and q163's analytic S-curve before trusting
+    * a 100 TB dedup's config. A hot bucket here is also the task-skew
+    * early warning q150 gives for joins.
+    *
+    * Scale shape: ONE aggregate over the session-shared signature stage
+    * to the bucket grain (persisted); band rollups + the `_ALL` fold
+    * ride that bounded table. Determinism: pure integer counts and
+    * C(n,2) arithmetic (`DIV 2` exact — n(n−1) is even), one
+    * divide-round for the share.
+    */
+  def bucketBalance(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashSigsFrom(SharedStages.shingles(spark, dir))
+      .select(col("doc_id"), explode(bandArray).as("b"))
+      .select(col("b.band").cast("long").as("band"), col("b.bh").as("bh"))
+    val buckets = graft.core.CacheScope.persist(
+      bands.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n")))
+    def rollup(df: DataFrame, key: Column) = df
+      .groupBy(key.as("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_bucket"),
+        sum(when(col("n") > MaxBucket, 1L).otherwise(0L)).as("n_capped"),
+        sum(when(col("n").between(2, MaxBucket), expr("n * (n - 1) DIV 2"))
+          .otherwise(0L)).as("pairs_kept"),
+        sum(when(col("n") > MaxBucket, expr("n * (n - 1) DIV 2"))
+          .otherwise(0L)).as("pairs_dropped"))
+    rollup(buckets, col("band"))
+      .unionByName(rollup(buckets, lit(-1L)))
+      .select(
+        col("band"),
+        col("n_buckets"),
+        col("max_bucket"),
+        col("n_capped"),
+        col("pairs_kept"),
+        col("pairs_dropped"),
+        when(col("pairs_kept") + col("pairs_dropped") > 0,
+          round(col("pairs_dropped").cast("double") /
+            (col("pairs_kept") + col("pairs_dropped")).cast("double"), 6))
+          .as("drop_share"))
+      .orderBy(col("band"))
+  }
+
+  /** q183 oracle: the factored q25 signature/bucket chain + identical
+    * integer C(n,2) rollups.
+    */
+  lazy val bucketBalanceSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = minhashPipelineCtes()
+    ctes += ("q183n" -> "(SELECT band, bh, count(*)::BIGINT AS n FROM q25bl GROUP BY 1, 2)")
+    def leg(key: String) =
+      s"""SELECT $key AS band, count(*)::BIGINT AS n_buckets,
+         |  CAST(max(n) AS BIGINT) AS max_bucket,
+         |  CAST(sum(CASE WHEN n > $MaxBucket THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+         |  CAST(sum(CASE WHEN n BETWEEN 2 AND $MaxBucket THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT) AS pairs_kept,
+         |  CAST(sum(CASE WHEN n > $MaxBucket THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT) AS pairs_dropped
+         |FROM q183n ${if (key == "band") "GROUP BY band" else ""}""".stripMargin
+    assemble(
+      ctes.toSeq,
+      s"""SELECT band, n_buckets, max_bucket, n_capped, pairs_kept, pairs_dropped,
+         |  CASE WHEN pairs_kept + pairs_dropped > 0 THEN
+         |    round(pairs_dropped::DOUBLE / (pairs_kept + pairs_dropped)::DOUBLE, 6)
+         |  END AS drop_share
+         |FROM ((${leg("band")}) UNION ALL (${leg("-1::BIGINT")}))
+         |ORDER BY band""".stripMargin)
+  }
+
   // --- q177: dedup method-agreement audit -------------------------------------
 
   /** Pairwise agreement between the three near-dup candidate generators —

@@ -1949,6 +1949,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q183: _ALL aggregates the band rows; kept slots cover the distinct q25 pair set") {
+    import graft.operators.TextOps
+    val rows = TextOps.bucketBalance(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    val (all, per) = rows.partition(_._1 == -1L)
+    assert(all.length == 1 && per.map(_._1).toSeq == (0L until per.length).toSeq)
+    val a = all.head
+    assert(a._2 == per.map(_._2).sum, "bucket counts roll up")
+    assert(a._3 == per.map(_._3).max, "max bucket rolls up")
+    assert(a._4 == per.map(_._4).sum && a._5 == per.map(_._5).sum && a._6 == per.map(_._6).sum)
+    rows.foreach { r =>
+      val share = if (r._5 + r._6 > 0)
+        Some(BigDecimal(r._6.toDouble / (r._5 + r._6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+      assert(r._7 == share, s"drop share: $r")
+    }
+    // kept pair SLOTS (multi-band duplicates included) must cover the
+    // distinct candidate set q25 actually emits
+    val nPairs = TextOps.minhashLsh(spark, Sf0001).count()
+    assert(a._5 >= nPairs, s"slots ${a._5} < distinct pairs $nPairs")
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()
