@@ -1913,6 +1913,102 @@ object StatsOps {
     assemble(evC ++ docC, s"SELECT * FROM (($evF) UNION ALL ($docF)) ORDER BY tbl")
   }
 
+  // --- q184: FK fan-out / orphan profile ---------------------------------------
+
+  /** The star schema's FK relationships, as (name, parent table, pk,
+    * child table, fk). */
+  val FkRels: Seq[(String, String, String, String, String)] = Seq(
+    ("customer->orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("nation->customer", "nation", "n_nationkey", "customer", "c_nationkey"),
+    ("nation->supplier", "nation", "n_nationkey", "supplier", "s_nationkey"),
+    ("orders->lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"))
+
+  /** FK fan-out and orphan profile over the star schema — the join
+    * CARDINALITY facts q157's broadcast-vs-shuffle planner and any skew
+    * screen need as input, and the structural complement of q105 (q105
+    * counts constraint VIOLATIONS; q184 profiles the relationship SHAPE):
+    * per FK edge — parent and child populations, childless parents, the
+    * min/avg/max children per parent (min over ALL parents, so a 0 means
+    * sparse coverage), orphan child rows, and the hot-parent factor
+    * max/avg that predicts per-key join skew (q150's advisor exists
+    * because of exactly these keys). A fan-out profile that shifts
+    * between snapshots is also the first symptom of an upstream load
+    * bug.
+    *
+    * Scale shape: per relationship ONE child-side keyed aggregate to the
+    * parent-key grain + a full-outer join against the (distinct) parent
+    * keys — both sides bounded by the dimension's key domain; the four
+    * profile rows union. Determinism: longs + one divide-round each for
+    * avg and hot factor.
+    */
+  def fkProfile(spark: SparkSession, dir: String): DataFrame = {
+    def rel(name: String, pt: String, pk: String, ct: String, fk: String): DataFrame = {
+      val parents = Tables.t(spark, dir, pt).select(col(pk).as("k")).distinct()
+      val kids    = Tables.t(spark, dir, ct).groupBy(col(fk).as("k")).agg(count(lit(1)).as("c"))
+      parents
+        .withColumn("isp", lit(1L))
+        .join(kids, Seq("k"), "full_outer")
+        .groupBy()
+        .agg(
+          coalesce(sum(col("isp")), lit(0L)).as("n_parents"),
+          coalesce(sum(when(col("isp").isNotNull, col("c"))), lit(0L)).as("n_children"),
+          coalesce(sum(when(col("isp").isNotNull && col("c").isNull, 1L)), lit(0L))
+            .as("n_childless"),
+          coalesce(sum(when(col("isp").isNull, col("c"))), lit(0L)).as("n_orphan_rows"),
+          coalesce(min(when(col("isp").isNotNull, coalesce(col("c"), lit(0L)))), lit(0L))
+            .as("min_fanout"),
+          coalesce(max(when(col("isp").isNotNull, coalesce(col("c"), lit(0L)))), lit(0L))
+            .as("max_fanout"))
+        .select(
+          lit(name).as("rel"),
+          col("n_parents"),
+          col("n_children"),
+          col("n_childless"),
+          col("n_orphan_rows"),
+          col("min_fanout"),
+          round(col("n_children").cast("double") / col("n_parents").cast("double"), 6)
+            .as("avg_fanout"),
+          col("max_fanout"),
+          when(col("n_children") > 0,
+            round(col("max_fanout").cast("double") * col("n_parents").cast("double") /
+              col("n_children").cast("double"), 6)).as("hot_factor"))
+    }
+    FkRels
+      .map { case (n, pt, pk, ct, fk) => rel(n, pt, pk, ct, fk) }
+      .reduce(_ unionByName _)
+      .orderBy(col("rel"))
+  }
+
+  /** q184 oracle: identical per-relationship full-outer profile and
+    * divide shapes.
+    */
+  val fkProfileSql: String = {
+    def leg(name: String, pt: String, pk: String, ct: String, fk: String): String =
+      s"""SELECT '$name' AS rel, n_parents, n_children, n_childless, n_orphan_rows,
+         |  min_fanout,
+         |  round(n_children::DOUBLE / n_parents::DOUBLE, 6) AS avg_fanout,
+         |  max_fanout,
+         |  CASE WHEN n_children > 0 THEN
+         |    round(max_fanout::DOUBLE * n_parents::DOUBLE / n_children::DOUBLE, 6)
+         |  END AS hot_factor
+         |FROM (
+         |  SELECT coalesce(sum(isp), 0)::BIGINT AS n_parents,
+         |    coalesce(sum(CASE WHEN isp IS NOT NULL THEN c END), 0)::BIGINT AS n_children,
+         |    coalesce(sum(CASE WHEN isp IS NOT NULL AND c IS NULL THEN 1 END), 0)::BIGINT
+         |      AS n_childless,
+         |    coalesce(sum(CASE WHEN isp IS NULL THEN c END), 0)::BIGINT AS n_orphan_rows,
+         |    coalesce(min(CASE WHEN isp IS NOT NULL THEN coalesce(c, 0) END), 0)::BIGINT
+         |      AS min_fanout,
+         |    coalesce(max(CASE WHEN isp IS NOT NULL THEN coalesce(c, 0) END), 0)::BIGINT
+         |      AS max_fanout
+         |  FROM (SELECT DISTINCT $pk AS k, 1::BIGINT AS isp FROM $pt) p
+         |  FULL OUTER JOIN (SELECT $fk AS k, count(*)::BIGINT AS c FROM $ct GROUP BY 1) kk
+         |    USING (k))""".stripMargin
+    FkRels
+      .map { case (n, pt, pk, ct, fk) => s"(${leg(n, pt, pk, ct, fk)})" }
+      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY rel")
+  }
+
   // --- q181: mass-weighted length quantiles ------------------------------------
 
   /** Mass-weighted document-length quantiles per source (+ `_ALL`): the

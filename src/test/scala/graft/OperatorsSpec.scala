@@ -1973,6 +1973,34 @@ class OperatorsSpec extends SparkSpec {
     assert(a._5 >= nPairs, s"slots ${a._5} < distinct pairs $nPairs")
   }
 
+  test("q184: fan-out profile matches driver recomputation; populations conserve") {
+    import graft.operators.StatsOps
+    val rows = StatsOps.fkProfile(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6), r.getLong(7),
+        if (r.isNullAt(8)) None else Some(r.getDouble(8))))
+    assert(rows.map(_._1).toSeq == StatsOps.FkRels.map(_._1).sorted)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    StatsOps.FkRels.foreach { case (name, pt, pk, ct, fk) =>
+      val parents = graft.core.Tables.t(spark, Sf0001, pt)
+        .select(col(pk).cast("long")).distinct().collect().map(_.getLong(0)).toSet
+      val kids = graft.core.Tables.t(spark, Sf0001, ct)
+        .select(col(fk).cast("long")).collect().map(_.getLong(0))
+      val fanout = kids.filter(parents).groupBy(identity).view.mapValues(_.size.toLong)
+      val row = rows.find(_._1 == name).get
+      assert(row._2 == parents.size, s"$name parents")
+      assert(row._3 == fanout.values.sum, s"$name matched children")
+      assert(row._4 == parents.count(p => !fanout.contains(p)), s"$name childless")
+      assert(row._5 == kids.count(k => !parents(k)), s"$name orphans")
+      val mins = parents.toSeq.map(p => fanout.getOrElse(p, 0L))
+      assert(row._6 == mins.min && row._8 == mins.max, s"$name min/max")
+      assert(row._7 == r6(row._3.toDouble / row._2), s"$name avg")
+      assert(row._9 == (if (row._3 > 0) Some(r6(row._8.toDouble * row._2 / row._3)) else None))
+    }
+    // orders->lineitem: every lineitem must have an order (no orphans)
+    assert(rows.find(_._1 == "orders->lineitem").get._5 == 0L)
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()
