@@ -1176,6 +1176,34 @@ object EventStreams extends Serializable {
         (stat > lit(graft.operators.StatsOps.SrmCritical)).as("srm_alarm"))
   }
 
+  /** E40: watermark-drop accountant — the missing OBSERVABILITY leg of
+    * the late-data contract every stateful op here relies on ("events
+    * below the watermark drop; batch replay is the authority"): a silent
+    * drop policy is only safe if somebody WATCHES the drop counter, and
+    * Structured Streaming already meters it per stateful operator
+    * (`numRowsDroppedByWatermark` in each progress report). This helper
+    * folds a query's recent progress into the per-op totals an ingest
+    * pager alarms on — rows dropped, rows processed, and state size —
+    * deduplicated by (batch, operator) since `recentProgress` can expose
+    * a batch more than once. Pure driver-side accounting over metrics
+    * the engine publishes anyway; zero effect on the running plan.
+    */
+  def lateDataAudit(
+      query: org.apache.spark.sql.streaming.StreamingQuery): Seq[(String, Long, Long, Long)] = {
+    query.recentProgress.toSeq
+      .flatMap(p => p.stateOperators.toSeq.zipWithIndex.map { case (so, i) =>
+        ((p.batchId, i), (s"${so.operatorName}#$i", so.numRowsDroppedByWatermark,
+          so.numRowsUpdated, so.numRowsTotal))
+      })
+      .groupBy(_._1).map(_._2.head._2).toSeq // one sample per (batch, op)
+      .groupBy(_._1)
+      .map { case (op, rows) =>
+        (op, rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).max)
+      }
+      .toSeq
+      .sortBy(_._1)
+  }
+
   case class Scd2State(
       version: Long,
       stateType: String,

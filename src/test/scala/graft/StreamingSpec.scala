@@ -1372,6 +1372,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("E40: the drop accountant sees watermark-dropped rows; a clean feed audits zero") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("lda_s").outputMode("append").start()
+    // batch 1: hour-10 events; batch 2: far future (advances the watermark
+    // way past hour 10); batch 3: a straggler at hour 10 → DROPPED
+    in.addData(Ev(1, 1, t("2024-01-01 10:00:00"), "view", 1.0),
+      Ev(2, 2, t("2024-01-01 10:30:00"), "view", 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(3, 1, t("2024-06-01 00:00:00"), "view", 1.0)); q.processAllAvailable()
+    in.addData(Ev(4, 3, t("2024-01-01 10:45:00"), "view", 1.0)); q.processAllAvailable()
+    val audit = EventStreams.lateDataAudit(q)
+    q.stop()
+    assert(audit.nonEmpty, "at least one stateful operator metered")
+    assert(audit.map(_._2).sum == 1L, s"exactly the straggler drops: $audit")
+    assert(audit.forall(_._4 >= 0))
+    // clean in-order feed: zero drops
+    val in2 = MemoryStream[Ev]
+    val q2 = EventStreams
+      .windowedCounts(in2.toDF())
+      .writeStream.format("memory").queryName("lda_s2").outputMode("append").start()
+    in2.addData(Ev(1, 1, t("2024-01-01 10:00:00"), "view", 1.0)); q2.processAllAvailable()
+    in2.addData(Ev(2, 1, t("2024-01-01 11:00:00"), "view", 1.0)); q2.processAllAvailable()
+    val clean = EventStreams.lateDataAudit(q2)
+    q2.stop()
+    assert(clean.map(_._2).sum == 0L, s"clean feed must not drop: $clean")
+  }
+
   test("E35: closed-session paths match a batch replay and emit exactly once") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
