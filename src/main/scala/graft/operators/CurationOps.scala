@@ -2098,16 +2098,20 @@ object CurationOps {
     * feature from the prior, argmax ties break to the first class in
     * sorted order.
     */
-  def nbClassify(spark: SparkSession, dir: String): DataFrame =
-    nbClassifyOf(docs(spark, dir))
+  private[graft] case class NbModel(
+      classes: Array[String],
+      priors: Array[Double],
+      weights: Map[Long, Array[Double]],
+      w0: Array[Double])
 
-  private[graft] def nbClassifyOf(corpus: DataFrame): DataFrame = {
+  /** NB training: one (class, feature) aggregate + per-class doc counts,
+    * both bounded (≤ classes × B and ≤ classes rows) — driver jobs at
+    * construction, like the ANN trainers.
+    */
+  private def trainNb(corpus: DataFrame): NbModel = {
     val B = DsirBuckets
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // training: one (class, feature) aggregate + per-class doc counts,
-    // both bounded (≤ classes × B and ≤ classes rows) — driver jobs at
-    // construction, like the ANN trainers
     val cf = dsirExploded(corpus)
       .groupBy(col("source"), col("f"))
       .agg(count(lit(1)).as("cnt"))
@@ -2135,17 +2139,36 @@ object CurationOps {
         }
       }
     val priors = classes.map(c => r6(math.log(docCounts(c).toDouble / nDocs)))
+    NbModel(classes, priors, weights, w0)
+  }
+
+  private def applyNb(corpus: DataFrame, m: NbModel): DataFrame =
     corpus
       .select(col("doc_id"), col("source"), TextOps.toks.as("toks"))
       .select(
         col("doc_id"),
         col("source"),
         graft.functions.Expressions
-          .nb_classify(col("toks"), classes, priors, weights, w0, B)
+          .nb_classify(col("toks"), m.classes, m.priors, m.weights, m.w0, DsirBuckets)
           .as("predicted"))
       .withColumn("correct", col("source") === col("predicted"))
       .orderBy(col("doc_id"))
-  }
+
+  /** The session-shared scored projection: the model trains ONCE per
+    * (session, dir) via [[SharedStages.model]] and both q66 and q173
+    * reuse it (the train-once twin of the dedup family's stage sharing).
+    */
+  private def nbScored(spark: SparkSession, dir: String): DataFrame =
+    applyNb(
+      docs(spark, dir),
+      SharedStages.model(spark, dir, "nbModel")(trainNb(docs(spark, dir))))
+
+  def nbClassify(spark: SparkSession, dir: String): DataFrame =
+    nbScored(spark, dir)
+
+  /** Spec entry point: explicit corpus, untracked fresh training. */
+  private[graft] def nbClassifyOf(corpus: DataFrame): DataFrame =
+    applyNb(corpus, trainNb(corpus))
 
   /** NB prediction CTE chain (hashed feature space → rounded-weight
     * model → per-doc argmax), prefix-parameterized so q66's per-doc
@@ -2229,7 +2252,7 @@ object CurationOps {
     */
   def classifierEval(spark: SparkSession, dir: String): DataFrame = {
     val conf = graft.core.CacheScope.persist(
-      nbClassifyOf(docs(spark, dir))
+      nbScored(spark, dir)
         .groupBy(col("source"), col("predicted"))
         .agg(count(lit(1)).as("n")))
     val act = conf.groupBy(col("source").as("cls")).agg(sum(col("n")).as("support"))

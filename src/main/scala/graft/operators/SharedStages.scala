@@ -136,8 +136,30 @@ object SharedStages {
     * end-of-campaign hook for a production session. Other sessions'
     * memo slices are untouched.
     */
+  /** session → (dir, name) → driver-side trained model object (q66/q173's
+    * NB weight tables and the like). Same weak-key lifecycle as [[memo]];
+    * model objects pin no cluster resources, so [[release]] just drops
+    * the references. Counted in [[builds]] like any stage, so the
+    * single-build spec hook covers train-once sharing too.
+    */
+  private val objMemo =
+    new mutable.WeakHashMap[SparkSession, mutable.Map[(String, String), AnyRef]]()
+
+  /** Build-once memo for driver-side model objects (bounded collects —
+    * the ANN-trainer rule): the first caller trains, everyone else in the
+    * same (session, dir) reuses the object.
+    */
+  def model[T <: AnyRef](spark: SparkSession, dir: String, name: String)(build: => T): T =
+    synchronized {
+      objMemo
+        .getOrElseUpdate(spark, mutable.Map.empty)
+        .getOrElseUpdate((dir, name), { builds((dir, name)) += 1; build })
+        .asInstanceOf[T]
+    }
+
   def release(spark: SparkSession): Unit = synchronized {
     memo.remove(spark)
+    objMemo.remove(spark)
     pins.remove(spark).foreach(ids => CacheScope.unpin(spark, ids))
   }
 }

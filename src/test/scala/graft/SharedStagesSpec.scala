@@ -46,6 +46,21 @@ class SharedStagesSpec extends SparkSpec {
     assert(leaked.isEmpty, s"released sessions left persistent RDDs behind: $leaked")
   }
 
+  test("the NB model trains once per (session, dir): q66 and q173 share it; release evicts") {
+    val s1 = spark.newSession()
+    SharedStages.release(s1)
+    val before = SharedStages.buildCount(Sf0001, "nbModel")
+    graft.operators.CurationOps.nbClassify(s1, Sf0001).collect()
+    assert(SharedStages.buildCount(Sf0001, "nbModel") == before + 1, "first caller trains")
+    graft.operators.CurationOps.classifierEval(s1, Sf0001).collect()
+    assert(SharedStages.buildCount(Sf0001, "nbModel") == before + 1,
+      "q173 reuses q66's model in the same session")
+    SharedStages.release(s1)
+    graft.operators.CurationOps.nbClassify(s1, Sf0001).collect()
+    assert(SharedStages.buildCount(Sf0001, "nbModel") == before + 2, "release evicts the model")
+    SharedStages.release(s1)
+  }
+
   test("drain frees per-query stages WITH their cache entries; pinned stages survive") {
     import graft.core.CacheScope
     val s = spark.newSession()
