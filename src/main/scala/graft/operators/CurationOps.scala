@@ -2861,6 +2861,104 @@ object CurationOps {
        |ORDER BY k.k""".stripMargin
   }
 
+  // --- q185: dedup token-yield report ------------------------------------------
+
+  /** Dedup token-yield report — the headline table a dedup campaign
+    * publishes: per source (+ `_ALL`) the raw doc/token counts and what
+    * survives each keeper INDEPENDENTLY (q156's ablation discipline, not
+    * a sequential funnel): exact dedup (q20's min-doc-per-md5 rule) and
+    * fuzzy-cluster keep (q47's component labels, keeper = the min-id
+    * label itself — the convention q166's authority scores corroborate),
+    * plus each gate's token yield. Token counts, not doc counts, are the
+    * currency — a source whose doc yield looks fine can still lose half
+    * its TOKENS when its big documents are the duplicated ones, and
+    * (token_yield_exact − token_yield_fuzzy) prices what the fuzzy pass
+    * adds over hash dedup, per source.
+    *
+    * Scale shape: ONE corpus projection to (doc, source, md5, tokens)
+    * (persisted); the exact keeper is a keyed min, the fuzzy keeper
+    * joins the session-shared star-contraction labels (dup-rate
+    * bounded); both rollups ride the flagged table. Determinism: longs
+    * + two divide-rounds per row.
+    */
+  def dedupYield(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.core.CacheScope.persist(
+      docs(spark, dir).select(
+        col("doc_id"),
+        col("source"),
+        md5(col("text")).as("h"),
+        size(TextOps.toks).cast("long").as("t")))
+    val exactKeep = base.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val fuzzy = SharedStages
+      .dupLabels(spark, dir)
+      .select(col("node").as("doc_id"), col("lbl"))
+    val flagged = base
+      .join(exactKeep, Seq("h"))
+      .withColumn("ek", col("doc_id") === col("keep_id"))
+      .join(fuzzy, Seq("doc_id"), "left")
+      .withColumn("fk", col("lbl").isNull || col("doc_id") === col("lbl"))
+    def roll(key: Column) = flagged
+      .groupBy(key.as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("t")).as("n_tokens"),
+        sum(when(col("ek"), 1L).otherwise(0L)).as("n_docs_exact"),
+        coalesce(sum(when(col("ek"), col("t"))), lit(0L)).as("n_tokens_exact"),
+        sum(when(col("fk"), 1L).otherwise(0L)).as("n_docs_fuzzy"),
+        coalesce(sum(when(col("fk"), col("t"))), lit(0L)).as("n_tokens_fuzzy"))
+    roll(col("source"))
+      .unionByName(roll(lit("_ALL")))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tokens"),
+        col("n_docs_exact"),
+        col("n_tokens_exact"),
+        col("n_docs_fuzzy"),
+        col("n_tokens_fuzzy"),
+        when(col("n_tokens") > 0,
+          round(col("n_tokens_exact").cast("double") / col("n_tokens").cast("double"), 6))
+          .as("token_yield_exact"),
+        when(col("n_tokens") > 0,
+          round(col("n_tokens_fuzzy").cast("double") / col("n_tokens").cast("double"), 6))
+          .as("token_yield_fuzzy"))
+      .orderBy(col("source"))
+  }
+
+  /** q185 oracle: the engine-exact q47 label statement embedded, q20's
+    * md5 keeper, identical rollups and divide shapes.
+    */
+  lazy val dedupYieldSql: String = {
+    def leg(key: String) =
+      s"""SELECT $key AS source, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(t) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN ek THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_exact,
+         |  CAST(coalesce(sum(CASE WHEN ek THEN t END), 0) AS BIGINT) AS n_tokens_exact,
+         |  CAST(sum(CASE WHEN fk THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_fuzzy,
+         |  CAST(coalesce(sum(CASE WHEN fk THEN t END), 0) AS BIGINT) AS n_tokens_fuzzy,
+         |  CASE WHEN sum(t) > 0 THEN
+         |    round(coalesce(sum(CASE WHEN ek THEN t END), 0)::DOUBLE / sum(t)::DOUBLE, 6)
+         |  END AS token_yield_exact,
+         |  CASE WHEN sum(t) > 0 THEN
+         |    round(coalesce(sum(CASE WHEN fk THEN t END), 0)::DOUBLE / sum(t)::DOUBLE, 6)
+         |  END AS token_yield_fuzzy
+         |FROM q185x ${if (key == "source") "GROUP BY source" else ""}""".stripMargin
+    s"""WITH q185b AS MATERIALIZED (
+       |  SELECT doc_id, source, md5(text) AS h,
+       |    len(${TextOps.DuckToks})::BIGINT AS t
+       |  FROM documents),
+       |q185e AS (SELECT h, min(doc_id) AS keep_id FROM q185b GROUP BY h),
+       |q185f AS MATERIALIZED (SELECT doc_id, cluster_id AS lbl FROM ($dupClustersSql)),
+       |q185x AS (
+       |  SELECT b.doc_id, b.source, b.t,
+       |    b.doc_id = e.keep_id AS ek,
+       |    (f.lbl IS NULL OR b.doc_id = f.lbl) AS fk
+       |  FROM q185b b JOIN q185e e USING (h)
+       |  LEFT JOIN q185f f ON f.doc_id = b.doc_id)
+       |SELECT * FROM ((${leg("source")}) UNION ALL (${leg("'_ALL'")}))
+       |ORDER BY source""".stripMargin
+  }
+
   // --- q179: dup-graph degree assortativity ------------------------------------
 
   /** Degree assortativity of the undirected near-dup candidate graph —

@@ -2001,6 +2001,29 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.find(_._1 == "orders->lineitem").get._5 == 0L)
   }
 
+  test("q185: yield flags match q20/q47 keepers; _ALL conserves; yields bounded") {
+    import graft.operators.{CurationOps, TextOps}
+    val rows = CurationOps.dedupYield(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getDouble(7), r.getDouble(8)))
+    val (all, per) = rows.partition(_._1 == "_ALL")
+    assert(all.length == 1 && per.nonEmpty)
+    val a = all.head
+    Seq[((String, Long, Long, Long, Long, Long, Long, Double, Double)) => Long](
+      _._2, _._3, _._4, _._5, _._6, _._7).foreach(f => assert(f(a) == per.map(f).sum, "rollup"))
+    // exact keeper count == q20's distinct-hash group count
+    val nExactGroups = TextOps.dedupExact(spark, Sf0001).count()
+    assert(a._4 == nExactGroups, s"exact keepers ${a._4} vs q20 groups $nExactGroups")
+    // fuzzy keeper count == corpus − (clustered docs − clusters)
+    val cl = CurationOps.dupClusters(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a._6 == a._2 - (cl.length - cl.map(_._2).distinct.length), "fuzzy keepers")
+    rows.foreach { r =>
+      assert(r._4 <= r._2 && r._6 <= r._2 && r._5 <= r._3 && r._7 <= r._3, s"bounds: $r")
+      assert(r._8 > 0.0 && r._8 <= 1.0 && r._9 > 0.0 && r._9 <= 1.0)
+    }
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()
