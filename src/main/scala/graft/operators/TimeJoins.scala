@@ -1976,6 +1976,102 @@ object TimeJoins {
        |FROM q171s ORDER BY event_type, lag""".stripMargin
   }
 
+  // --- q186: bot-regularity screen ---------------------------------------------
+
+  val BotMinEvents = 20L
+  val BotMaxCv     = 0.1
+
+  /** Bot-regularity screen over per-user event cadence — the behavioral
+    * complement of q120's volume anomalies and q48's content scrubbing:
+    * humans are bursty (coefficient of variation of inter-event gaps near
+    * or above 1), schedulers and scrapers are metronomes (CV → 0), so per
+    * user the screen reports event count, mean gap, the gap CV, the
+    * distinct event-type count and top-type share (scripted traffic also
+    * repeats ONE action), and the `bot_like` verdict: ≥ [[BotMinEvents]]
+    * events with CV below [[BotMaxCv]]. Training-data pipelines run
+    * exactly this before trusting engagement signals (q125/q151) or
+    * sampling "real user" sessions.
+    *
+    * Scale shape: ONE user-keyed shuffle serves both the gap window and
+    * the type aggregate (same partitioning); everything is the user
+    * grain, no global window. Determinism: gaps truncate to integer
+    * seconds; Σg and Σg² ride DECIMAL(38,0) (a month-long gap squared
+    * overflows BIGINT at high counts); CV = sqrt(n·Σg² − (Σg)²)/Σg — one
+    * correctly-rounded sqrt over exact integers, one divide — compared
+    * UNROUNDED to the shared literal, then 6-dp rounded for display;
+    * single-event users have no gaps → NULL stats, never bot_like.
+    */
+  def botScreen(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gaps = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .withColumn("pus", lag(col("us"), 1).over(byUser))
+      .withColumn("g", expr("(us - pus) DIV 1000000"))
+    val agg = gaps
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("g")).as("n_gaps"),
+        sum(col("g").cast("decimal(38,0)")).as("sg"),
+        sum(col("g").cast("decimal(38,0)") * col("g")).as("sgg"),
+        countDistinct(col("event_type")).as("n_types"))
+    val top = gaps
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(max(col("c")).as("top_c"))
+    val nG  = col("n_gaps").cast("decimal(38,0)")
+    val varL = nG * col("sgg") - col("sg") * col("sg")
+    val cv  = sqrt(varL.cast("double")) / col("sg").cast("double")
+    agg
+      .join(top, Seq("user_id"))
+      .select(
+        col("user_id"),
+        col("n_events"),
+        when(col("n_gaps") > 0,
+          round(col("sg").cast("double") / col("n_gaps").cast("double"), 6)).as("mean_gap_s"),
+        when(col("n_gaps") > 0 && col("sg") > 0, round(cv, 6)).as("cv_gap"),
+        col("n_types"),
+        round(col("top_c").cast("double") / col("n_events").cast("double"), 6).as("top_share"),
+        (col("n_events") >= BotMinEvents && col("sg") > 0 &&
+          col("n_gaps") > 0 && cv < lit(BotMaxCv)).as("bot_like"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q186 oracle: identical gap window, DECIMAL/HUGEINT moment sums, the
+    * same sqrt/divide CV shape and literal compare.
+    */
+  val botScreenSql: String =
+    s"""WITH q186e AS MATERIALIZED (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pus
+       |  FROM events),
+       |q186g AS (
+       |  SELECT user_id, event_type, (us - pus) // 1000000 AS g FROM q186e),
+       |q186a AS (
+       |  SELECT user_id, count(*)::BIGINT AS n_events, count(g)::BIGINT AS n_gaps,
+       |    CAST(sum(g) AS HUGEINT) AS sg, CAST(sum(g::HUGEINT * g) AS HUGEINT) AS sgg,
+       |    count(DISTINCT event_type)::BIGINT AS n_types
+       |  FROM q186g GROUP BY user_id),
+       |q186t AS (
+       |  SELECT user_id, CAST(max(c) AS BIGINT) AS top_c FROM (
+       |    SELECT user_id, event_type, count(*)::BIGINT AS c FROM q186g GROUP BY 1, 2)
+       |  GROUP BY user_id)
+       |SELECT a.user_id, a.n_events,
+       |  CASE WHEN a.n_gaps > 0 THEN round(a.sg::DOUBLE / a.n_gaps::DOUBLE, 6) END AS mean_gap_s,
+       |  CASE WHEN a.n_gaps > 0 AND a.sg > 0 THEN
+       |    round(sqrt((a.n_gaps::HUGEINT * a.sgg - a.sg * a.sg)::DOUBLE) / a.sg::DOUBLE, 6)
+       |  END AS cv_gap,
+       |  a.n_types,
+       |  round(t.top_c::DOUBLE / a.n_events::DOUBLE, 6) AS top_share,
+       |  (a.n_events >= $BotMinEvents AND a.sg > 0 AND a.n_gaps > 0 AND
+       |   sqrt((a.n_gaps::HUGEINT * a.sgg - a.sg * a.sg)::DOUBLE) / a.sg::DOUBLE < $BotMaxCv)
+       |    AS bot_like
+       |FROM q186a a JOIN q186t t USING (user_id)
+       |ORDER BY a.user_id""".stripMargin
+
   // --- q182: forecast-baseline MASE table -------------------------------------
 
   /** Forecast-baseline evaluation of hourly volume per type: the MAE of

@@ -2024,6 +2024,48 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q186: a metronome user flags bot_like, a bursty human doesn't; singletons stay NULL") {
+    import spark.implicits._
+    import graft.operators.TimeJoins
+    val dir = java.nio.file.Files.createTempDirectory("q186spec").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // user 1: 25 events exactly 60 s apart, one event type → CV = 0, bot
+    // user 2: 25 events with wildly varying gaps, three types → human
+    // user 3: a single event → no gaps, NULL stats, not bot
+    val bot = (0 until 25).map(i =>
+      (100L + i, new java.sql.Timestamp(t0 + i * 60000L), 1L, "view", 1.0, "{}"))
+    val gaps = Seq(5L, 600L, 30L, 3600L, 12L, 7200L, 90L, 1L, 1800L, 45L, 300L, 8L,
+      5400L, 20L, 900L, 60L, 2L, 2400L, 33L, 150L, 75L, 10000L, 7L, 480L)
+    val humanTs = gaps.scanLeft(0L)(_ + _).map(s => new java.sql.Timestamp(t0 + s * 1000L))
+    val human = humanTs.zipWithIndex.map { case (ts, i) =>
+      (200L + i, ts, 2L, Seq("view", "click", "purchase")(i % 3), 1.0, "{}")
+    }
+    val lone = Seq((300L, new java.sql.Timestamp(t0), 3L, "signup", 1.0, "{}"))
+    (bot ++ human ++ lone)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TimeJoins.botScreen(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6))).toMap
+    val b = got(1L)
+    assert(b._1 == 25 && b._2.contains(60.0) && b._3.contains(0.0) && b._4 == 1 &&
+      b._5 == 1.0 && b._6, s"metronome: $b")
+    val h = got(2L)
+    assert(h._1 == 25 && h._3.get > 1.0 && h._4 == 3 && !h._6, s"human: $h")
+    val l = got(3L)
+    assert(l._1 == 1 && l._2.isEmpty && l._3.isEmpty && !l._6, s"singleton: $l")
+    // testdata: population conserved; verdict consistent with the screen rule
+    val sf = TimeJoins.botScreen(spark, Sf0001).collect()
+    assert(sf.map(_.getLong(1)).sum == graft.core.Tables.events(spark, Sf0001).count())
+    sf.foreach { r =>
+      val bot = !r.isNullAt(3) && r.getLong(1) >= TimeJoins.BotMinEvents &&
+        r.getDouble(3) < TimeJoins.BotMaxCv + 1e-12
+      if (r.getBoolean(6)) assert(bot, s"flag implies rule: $r")
+    }
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()
