@@ -1204,6 +1204,52 @@ object EventStreams extends Serializable {
       .sortBy(_._1)
   }
 
+  case class GapState(lastUs: Long, lastEventId: Long)
+  case class GapOut(user_id: Long, event_type: String, gap_s: Long)
+
+  /** E41: streaming inter-event gap emission — the q186 twin's data
+    * layer: per user, state = the (µs, event_id) cadence frontier (two
+    * longs); every in-contract event past the frontier emits ONE gap row
+    * (seconds, the batch `DIV 1000000` rule) tagged with the arriving
+    * event's type. Because q186's screen is built ENTIRELY from integer
+    * gap moments (n, Σg, Σg² — order-free exact sums), folding this feed
+    * equals the batch gap table EXACTLY (spec-pinned on a full sf0.001
+    * replay) — the live cadence feed a bot pager aggregates with E38's
+    * moment algebra instead of re-scanning history. Below-frontier
+    * events drop (E23's rule); state is two longs per user with NO
+    * timeout (E37's contract: evicting an idle user would lose the
+    * frontier and silently skip their comeback gap — the |users|×2-long
+    * bound IS the working set batch q186 shuffles anyway).
+    */
+  def gapStream(
+      events: Dataset[Ev],
+      watermarkDur: String = "2 hours"): Dataset[GapOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDur)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[GapState]) =>
+          val sorted = batch.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+          var st     = state.getOption
+          val out    = ListBuffer.empty[GapOut]
+          sorted.foreach { e =>
+            val us = tsUs(e.ts)
+            st match {
+              case None =>
+                st = Some(GapState(us, e.event_id))
+              case Some(s) if us < s.lastUs || (us == s.lastUs && e.event_id < s.lastEventId) =>
+                () // below the cadence frontier: late beyond the sort, drop
+              case Some(s) =>
+                out += GapOut(uid, e.event_type, Math.floorDiv(us - s.lastUs, 1000000L))
+                st = Some(GapState(us, e.event_id))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class Scd2State(
       version: Long,
       stateType: String,

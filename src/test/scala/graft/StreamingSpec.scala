@@ -1404,6 +1404,37 @@ class StreamingSpec extends SparkSpec {
     assert(clean.map(_._2).sum == 0L, s"clean feed must not drop: $clean")
   }
 
+  test("E41: streamed gaps fold to batch q186's exact integer moments on a full replay") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val evs = graft.core.Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy(col("ts"), col("event_id")).collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3), r.getDouble(4)))
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .gapStream(in.toDS())
+      .writeStream.format("memory").queryName("gap_s").outputMode("append").start()
+    evs.grouped(400).foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+    val streamed = spark.table("gap_s").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    q.stop()
+    // batch recompute of the SAME gap table (q186's window + DIV rule)
+    val batch = graft.core.Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("pus",
+        lag(col("us"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))))
+      .filter(col("pus").isNotNull)
+      .selectExpr("user_id", "(us - pus) DIV 1000000 AS g")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def moments(xs: Array[(Long, Long)]) = xs.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.map(_._2).sum, g.map(x => BigInt(x._2) * x._2).sum)
+    }.toMap
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length} gaps")
+    assert(moments(streamed) == moments(batch), "per-user gap moments diverge")
+  }
+
   test("E35: closed-session paths match a batch replay and emit exactly once") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
