@@ -2959,6 +2959,104 @@ object CurationOps {
        |ORDER BY source""".stripMargin
   }
 
+  // --- q187: dedup selection-bias audit ----------------------------------------
+
+  /** Dedup selection-bias audit — the distribution question q185's yield
+    * table doesn't answer: dedup never drops uniformly, and if the fuzzy
+    * keeper systematically removes LONGER documents (mirrored articles,
+    * templated boilerplate runs long) the surviving corpus drifts short
+    * even at healthy yield. Per source (+ `_ALL`), under q47's component
+    * keeper: kept/dropped doc counts, each side's mean chars and mean
+    * tokens, and the char/token deltas (kept − dropped) — a large
+    * negative delta says the pass is eating the long tail, the input to
+    * re-checking q181's mass quantiles AFTER dedup rather than before.
+    *
+    * Scale shape: q185's flagged projection (ONE corpus pass + the
+    * session-shared labels); both rollups ride it. Determinism: integer
+    * sums, one divide-round per mean, delta as one subtract of the two
+    * divides; sources with nothing dropped yield NULL dropped-side stats.
+    */
+  def dedupBias(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.core.CacheScope.persist(
+      docs(spark, dir).select(
+        col("doc_id"),
+        col("source"),
+        col("n_chars"),
+        size(TextOps.toks).cast("long").as("t")))
+    val fuzzy = SharedStages
+      .dupLabels(spark, dir)
+      .select(col("node").as("doc_id"), col("lbl"))
+    val flagged = base
+      .join(fuzzy, Seq("doc_id"), "left")
+      .withColumn("fk", col("lbl").isNull || col("doc_id") === col("lbl"))
+    def mean(s: Column, n: Column) =
+      when(n > 0, round(s.cast("double") / n.cast("double"), 6))
+    def roll(key: Column) = flagged
+      .groupBy(key.as("source"))
+      .agg(
+        sum(when(col("fk"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("fk"), 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(col("fk"), col("n_chars"))), lit(0L)).as("ck"),
+        coalesce(sum(when(!col("fk"), col("n_chars"))), lit(0L)).as("cd"),
+        coalesce(sum(when(col("fk"), col("t"))), lit(0L)).as("tk"),
+        coalesce(sum(when(!col("fk"), col("t"))), lit(0L)).as("td"))
+    roll(col("source"))
+      .unionByName(roll(lit("_ALL")))
+      .select(
+        col("source"),
+        col("n_kept"),
+        col("n_dropped"),
+        mean(col("ck"), col("n_kept")).as("mean_chars_kept"),
+        mean(col("cd"), col("n_dropped")).as("mean_chars_dropped"),
+        when(col("n_kept") > 0 && col("n_dropped") > 0,
+          round(col("ck").cast("double") / col("n_kept").cast("double") -
+            col("cd").cast("double") / col("n_dropped").cast("double"), 6))
+          .as("delta_chars"),
+        mean(col("tk"), col("n_kept")).as("mean_tokens_kept"),
+        mean(col("td"), col("n_dropped")).as("mean_tokens_dropped"),
+        when(col("n_kept") > 0 && col("n_dropped") > 0,
+          round(col("tk").cast("double") / col("n_kept").cast("double") -
+            col("td").cast("double") / col("n_dropped").cast("double"), 6))
+          .as("delta_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** q187 oracle: the embedded q47 label statement + identical rollups
+    * and divide/subtract shapes.
+    */
+  lazy val dedupBiasSql: String = {
+    def leg(key: String) =
+      s"""SELECT $key AS source,
+         |  CAST(sum(CASE WHEN fk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN fk THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+         |  CAST(coalesce(sum(CASE WHEN fk THEN n_chars END), 0) AS BIGINT) AS ck,
+         |  CAST(coalesce(sum(CASE WHEN NOT fk THEN n_chars END), 0) AS BIGINT) AS cd,
+         |  CAST(coalesce(sum(CASE WHEN fk THEN t END), 0) AS BIGINT) AS tk,
+         |  CAST(coalesce(sum(CASE WHEN NOT fk THEN t END), 0) AS BIGINT) AS td
+         |FROM q187x ${if (key == "source") "GROUP BY source" else ""}""".stripMargin
+    s"""WITH q187b AS MATERIALIZED (
+       |  SELECT doc_id, source, n_chars, len(${TextOps.DuckToks})::BIGINT AS t
+       |  FROM documents),
+       |q187f AS MATERIALIZED (SELECT doc_id, cluster_id AS lbl FROM ($dupClustersSql)),
+       |q187x AS (
+       |  SELECT b.doc_id, b.source, b.n_chars, b.t,
+       |    (f.lbl IS NULL OR b.doc_id = f.lbl) AS fk
+       |  FROM q187b b LEFT JOIN q187f f ON f.doc_id = b.doc_id),
+       |q187r AS ((${leg("source")}) UNION ALL (${leg("'_ALL'")}))
+       |SELECT source, n_kept, n_dropped,
+       |  CASE WHEN n_kept > 0 THEN round(ck::DOUBLE / n_kept::DOUBLE, 6) END AS mean_chars_kept,
+       |  CASE WHEN n_dropped > 0 THEN round(cd::DOUBLE / n_dropped::DOUBLE, 6) END AS mean_chars_dropped,
+       |  CASE WHEN n_kept > 0 AND n_dropped > 0 THEN
+       |    round(ck::DOUBLE / n_kept::DOUBLE - cd::DOUBLE / n_dropped::DOUBLE, 6)
+       |  END AS delta_chars,
+       |  CASE WHEN n_kept > 0 THEN round(tk::DOUBLE / n_kept::DOUBLE, 6) END AS mean_tokens_kept,
+       |  CASE WHEN n_dropped > 0 THEN round(td::DOUBLE / n_dropped::DOUBLE, 6) END AS mean_tokens_dropped,
+       |  CASE WHEN n_kept > 0 AND n_dropped > 0 THEN
+       |    round(tk::DOUBLE / n_kept::DOUBLE - td::DOUBLE / n_dropped::DOUBLE, 6)
+       |  END AS delta_tokens
+       |FROM q187r ORDER BY source""".stripMargin
+  }
+
   // --- q179: dup-graph degree assortativity ------------------------------------
 
   /** Degree assortativity of the undirected near-dup candidate graph —

@@ -2066,6 +2066,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q187: bias rows agree with q185's keepers and a driver mean recomputation") {
+    import graft.operators.{CurationOps, TimeJoins => _}
+    val rows = CurationOps.dedupBias(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(8)) None else Some(r.getDouble(8)))).toMap
+    val yieldRows = CurationOps.dedupYield(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(5))).toMap
+    // kept/dropped counts are q185's fuzzy keeper numbers, per source
+    rows.foreach { case (src, (k, d, _, _)) =>
+      val (n, fk) = yieldRows(src)
+      assert(k == fk && d == n - fk, s"$src keeper counts: ($k, $d) vs ($fk, ${n - fk})")
+    }
+    // _ALL deltas agree with a driver-side recomputation from the keeper rule
+    val cl = CurationOps.dupClusters(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = cl.filter { case (doc, lbl) => doc != lbl }.map(_._1).toSet
+    val docs = graft.core.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (dr, ke) = docs.partition(d => dropped(d._1))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = r6(ke.map(_._2).sum.toDouble / ke.length - dr.map(_._2).sum.toDouble / dr.length)
+    assert(rows("_ALL")._3.contains(want), s"delta_chars: ${rows("_ALL")._3} vs $want")
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()
