@@ -68,7 +68,14 @@ class LayoutInvarianceSpec extends SparkSpec {
       // (float cosine rank ties + the micro-quantized summary fold),
       // q177 (three bucket-derived pair sets and their exact counts)
       "q171_acf_volume", "q172_km_survival", "q174_moments_profile",
-      "q176_retrieval_mrr", "q177_dedup_agreement")
+      "q176_retrieval_mrr", "q177_dedup_agreement",
+      // q180 (the island row_number over the mismatch table — rank drift
+      // would re-fragment ranges), q183 (bucket counts off the shared
+      // signature stage), q185/q187 (keeper flags joining the shared
+      // star-contraction labels — a drifting label re-flags documents),
+      // q186 (per-user gap windows + DECIMAL moment sums)
+      "q180_backfill_plan", "q183_bucket_balance", "q185_dedup_yield",
+      "q186_bot_screen", "q187_dedup_bias")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, Sf0001).collect().map(_.toString).toSeq
