@@ -1204,6 +1204,41 @@ object EventStreams extends Serializable {
       .sortBy(_._1)
   }
 
+  /** E42: streaming referential-integrity gate — the live leg of
+    * q105/q184's orphan audits: incoming events join (stream-static
+    * left_anti, the E10 shape) against the KNOWN-KEY snapshot (here: the
+    * distinct user ids of a reference extract — in production, the
+    * dimension table's key column), and each closed hour window emits the
+    * orphan count beside the total — the "unknown FK rate" ingest pager
+    * that catches an upstream id-scheme change or a dimension-load lag
+    * within an hour instead of at the nightly q184 run. Fully
+    * declarative: one broadcastable static key set, one anti join, one
+    * watermarked windowed aggregate (both counts map-side partial),
+    * closed windows append exactly once; the snapshot refreshes by query
+    * restart (the E11/E12 broadcast-model contract).
+    */
+  def orphanStream(
+      events: DataFrame,
+      knownUsers: DataFrame,
+      watermarkDur: String = "2 hours"): DataFrame = {
+    val keys = knownUsers
+      .select(col("user_id"))
+      .distinct()
+      .withColumn("known", lit(true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    events
+      .withWatermark("ts", watermarkDur)
+      .join(keys, Seq("user_id"), "left") // stream-static: flags, drops nothing
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("n_events"),
+        col("n_orphans"))
+  }
+
   case class GapState(lastUs: Long, lastEventId: Long)
   case class GapOut(user_id: Long, event_type: String, gap_s: Long)
 

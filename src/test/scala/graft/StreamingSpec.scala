@@ -1435,6 +1435,51 @@ class StreamingSpec extends SparkSpec {
     assert(moments(streamed) == moments(batch), "per-user gap moments diverge")
   }
 
+  test("E42: per-window orphan counts flag only unknown users; totals conserve") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def hts(hr: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $hr%02d:$min%02d:00")
+    val known = Seq(1L, 2L, 3L).toDF("user_id")
+    // hour 1: users 1,2 + orphan 99; hour 2: user 3 twice + orphans 98, 99
+    val evs = Seq(
+      Ev(1, 1, hts(1, 5), "view", 1.0), Ev(2, 2, hts(1, 10), "view", 1.0),
+      Ev(3, 99, hts(1, 20), "view", 1.0),
+      Ev(4, 3, hts(2, 5), "view", 1.0), Ev(5, 3, hts(2, 6), "view", 1.0),
+      Ev(6, 98, hts(2, 10), "view", 1.0), Ev(7, 99, hts(2, 11), "view", 1.0))
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .orphanStream(in.toDF(), known)
+      .writeStream.format("memory").queryName("orph_s").outputMode("append").start()
+    in.addData(evs.take(4): _*); q.processAllAvailable()
+    in.addData(evs.drop(4): _*); q.processAllAvailable()
+    in.addData(Ev(9999, 1, Timestamp.valueOf("2024-06-01 00:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("orph_s").collect().filter(!_.getString(0).startsWith("2024-06"))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    q.stop()
+    assert(got == Map(
+      "2024-01-01 01" -> ((3L, 1L)),
+      "2024-01-01 02" -> ((4L, 2L))), s"orphan windows: $got")
+    assert(got.values.map(_._1).sum == evs.length.toLong, "totals conserve")
+    // against the real snapshot, the testdata feed has zero orphans
+    val users = graft.core.Tables.events(spark, Sf0001).select(col("user_id")).distinct()
+    val evs2 = graft.core.Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .limit(500).collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3), r.getDouble(4)))
+    val in2 = MemoryStream[Ev]
+    val q2 = EventStreams
+      .orphanStream(in2.toDF(), users)
+      .writeStream.format("memory").queryName("orph_s2").outputMode("append").start()
+    in2.addData(evs2: _*); q2.processAllAvailable()
+    in2.addData(Ev(99999, evs2.head.user_id,
+      Timestamp.valueOf("2030-01-01 00:00:00"), "view", 1.0))
+    q2.processAllAvailable()
+    val clean = spark.table("orph_s2").collect().filter(!_.getString(0).startsWith("2030"))
+    q2.stop()
+    assert(clean.map(_.getLong(2)).sum == 0L, "known-universe feed has no orphans")
+  }
+
   test("E35: closed-session paths match a batch replay and emit exactly once") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
