@@ -376,4 +376,32 @@ object DocStreams {
         col("dsir_score"),
         (col("dsir_score") >= threshold).as("keep"))
   }
+
+  /** E43: streaming mass-histogram emission — q181's data layer, and the
+    * third op (after E34's xor, E38's power sums) whose stream/batch
+    * reconciliation is EXACT BY ALGEBRA: per closed window × (source,
+    * length) cell the doc count and character MASS; histogram cells are
+    * additive, so element-wise summing any window span reproduces the
+    * batch (source, length) histogram bit-for-bit (spec-pinned), and
+    * q181's integer `cumw·den ≥ W·num` threshold rule then picks the
+    * mass quantiles WITHOUT re-touching raw data — how a live ingest
+    * keeps "half our bytes are in docs shorter than X" current. One
+    * watermarked tumbling-window aggregate, map-side partials, append
+    * exactly once.
+    */
+  def massHistStream(
+      docs: DataFrame,
+      windowDur: String = "1 hour",
+      watermarkDur: String = "2 hours"): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDur)
+      .select(col("ts"), col("source"), length(col("text")).cast("long").as("v"))
+      .groupBy(window(col("ts"), windowDur), col("source"), col("v"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("v")).as("mass"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("source"),
+        col("v"),
+        col("n_docs"),
+        col("mass"))
 }

@@ -1480,6 +1480,41 @@ class StreamingSpec extends SparkSpec {
     assert(clean.map(_.getLong(2)).sum == 0L, "known-universe feed has no orphans")
   }
 
+  test("E43: window mass-histogram cells sum to q181's batch histogram exactly") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.SrcDoc
+    implicit val ctx = spark.sqlContext
+    val corpus = graft.core.Tables.documents(spark, Sf0001)
+    // replay split across TWO event-time windows — the merge must still
+    // reproduce the one-pass batch histogram
+    val replay = corpus.select("doc_id", "text", "source").collect().zipWithIndex
+      .map { case (r, i) =>
+        SrcDoc(r.getLong(0), r.getString(1), r.getString(2),
+          Timestamp.valueOf(f"2024-01-01 ${10 + i % 2}%02d:15:00"))
+      }
+    val in = MemoryStream[SrcDoc]
+    val q = DocStreams.massHistStream(in.toDF())
+      .writeStream.format("memory").queryName("mh_s").outputMode("append").start()
+    in.addData(replay.toSeq: _*); q.processAllAvailable()
+    in.addData(SrcDoc(99999L, "late", "srcX", Timestamp.valueOf("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    val cells = spark.table("mh_s").collect()
+      .filter(_.getString(0).startsWith("2024-01-01 1"))
+      .map(r => (r.getString(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+    q.stop()
+    val folded = cells.groupBy(_._1).view
+      .mapValues(g => (g.map(_._2._1).sum, g.map(_._2._2).sum)).toMap
+    val batch = corpus
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("m"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(folded == batch, s"${folded.size} folded cells vs ${batch.size} batch cells")
+    // per-cell mass is n·v by construction — the histogram invariant q181 relies on
+    folded.foreach { case ((_, v), (n, m)) => assert(m == n * v) }
+  }
+
   test("E35: closed-session paths match a batch replay and emit exactly once") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
