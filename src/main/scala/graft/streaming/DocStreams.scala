@@ -389,6 +389,27 @@ object DocStreams {
     * watermarked tumbling-window aggregate, map-side partials, append
     * exactly once.
     */
+  /** E44: streaming training-shard router — the writer-side data layer of
+    * q170's epoch reshuffle: each incoming document is routed map-side to
+    * its deterministic shard (`xxhash64(epoch, doc_id) mod S` — the SAME
+    * chained-hash rule as batch, so the stream assignment is bit-equal to
+    * q170's epoch-0 shard column, spec-pinned) and carries the hash that
+    * defines its in-shard READ order; a live ingest can therefore append
+    * to the correct training shard immediately, and the final in-shard
+    * sort (by `h`, the batch rank order) happens at write/compaction —
+    * arrival order never matters. Stateless, shuffle-free, no watermark:
+    * pure routing.
+    */
+  def shardRouter(docs: DataFrame, epoch: Long = 0L): DataFrame = {
+    val h = xxhash64(lit(epoch), col("doc_id"))
+    docs.select(
+      col("doc_id"),
+      col("ts"),
+      lit(epoch).as("epoch"),
+      pmod(h, lit(graft.operators.TrainingOps.ShuffleShards)).as("shard"),
+      h.as("h"))
+  }
+
   def massHistStream(
       docs: DataFrame,
       windowDur: String = "1 hour",

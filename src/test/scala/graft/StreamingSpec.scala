@@ -1515,6 +1515,38 @@ class StreamingSpec extends SparkSpec {
     folded.foreach { case ((_, v), (n, m)) => assert(m == n * v) }
   }
 
+  test("E44: streamed shard routing is bit-equal to batch q170's epoch-0 assignment") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    implicit val ctx = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), Timestamp.valueOf("2024-01-01 10:00:00")))
+    val in = MemoryStream[Doc]
+    val q = DocStreams.shardRouter(in.toDF())
+      .writeStream.format("memory").queryName("route_s").outputMode("append").start()
+    in.addData(docs.toSeq: _*); q.processAllAvailable()
+    val routed = spark.table("route_s").collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    q.stop()
+    val batch = graft.operators.TrainingOps.epochShuffle(spark, Sf0001).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(routed.size == batch.size)
+    batch.foreach { case (doc, shard) =>
+      assert(routed(doc)._1 == shard, s"doc $doc routed to ${routed(doc)._1}, batch $shard")
+    }
+    // the carried hash defines the same in-shard order as batch pos
+    val posBatch = graft.operators.TrainingOps.epochShuffle(spark, Sf0001).collect()
+      .filter(_.getLong(0) == 0L).map(r => (r.getLong(2), r.getLong(1), r.getLong(3)))
+    posBatch.groupBy(_._1).foreach { case (shard, rows) =>
+      val byPos  = rows.sortBy(_._3).map(_._2).toSeq
+      val byHash = rows.map(_._2).sortBy(d => (routed(d)._2, d)).toSeq
+      assert(byPos == byHash, s"in-shard order diverges for shard $shard")
+    }
+  }
+
   test("E35: closed-session paths match a batch replay and emit exactly once") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
