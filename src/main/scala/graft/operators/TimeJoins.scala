@@ -1976,6 +1976,87 @@ object TimeJoins {
        |FROM q171s ORDER BY event_type, lag""".stripMargin
   }
 
+  // --- q188: event-time disorder / watermark profile --------------------------
+
+  /** Event-time disorder profile — the number every `withWatermark`
+    * duration in the streaming layer should come FROM instead of being
+    * guessed: treating event_id as ingest order (the feed's arrival
+    * proxy), each event's LATENESS is how far it arrived behind the
+    * event-time frontier (running max of ts so far); per type the report
+    * gives the in-order share and the exact p50/p90/p99/max lateness in
+    * seconds. A watermark below p99 silently drops ~1% of events (E40
+    * meters exactly that downstream); one far above max holds state for
+    * no reason — q188 is the calibration table between those failure
+    * modes, re-run per feed before deploying the E-section.
+    *
+    * Scale shape: ONE type-keyed shuffle serves the frontier window
+    * (running max over ingest order); the lateness HISTOGRAM collapses
+    * the corpus again to ≤ |types|·|distinct lateness| rows and the
+    * order statistics are q181's integer `cum·den ≥ N·num` rule over
+    * per-type cumulative windows on that bounded table — no global
+    * sort, no raw-value buffering. Longs end to end.
+    */
+  def watermarkProfile(spark: SparkSession, dir: String): DataFrame = {
+    val late = Tables
+      .events(spark, dir)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("lateness", expr("(max(us) OVER (PARTITION BY event_type ORDER BY event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us) DIV 1000000"))
+    val hist = graft.core.CacheScope.persist(
+      late.groupBy(col("event_type"), col("lateness")).agg(count(lit(1)).as("c")))
+    val wCum = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("lateness"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cumc", sum(col("c")).over(wCum))
+      .join(broadcast(hist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))), "event_type")
+    cum
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        coalesce(sum(when(col("lateness") === 0, col("c"))), lit(0L)).as("in_order"),
+        min(when(col("cumc") * 2 >= col("n"), col("lateness"))).as("p50_lateness_s"),
+        min(when(col("cumc") * 10 >= col("n") * 9, col("lateness"))).as("p90_lateness_s"),
+        min(when(col("cumc") * 100 >= col("n") * 99, col("lateness"))).as("p99_lateness_s"),
+        max(col("lateness")).as("max_lateness_s"))
+      .select(
+        col("event_type"),
+        col("n").as("n_events"),
+        round(col("in_order").cast("double") / col("n").cast("double"), 6).as("in_order_share"),
+        col("p50_lateness_s"),
+        col("p90_lateness_s"),
+        col("p99_lateness_s"),
+        col("max_lateness_s"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q188 oracle: identical frontier window over ingest order, lateness
+    * histogram, and the integer `cum·den ≥ N·num` order-statistic rule.
+    */
+  val watermarkProfileSql: String =
+    """WITH q188l AS MATERIALIZED (
+      |  SELECT event_type,
+      |    (max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - epoch_us(ts)) // 1000000
+      |      AS lateness
+      |  FROM events),
+      |q188h AS (
+      |  SELECT event_type, lateness, count(*)::BIGINT AS c FROM q188l GROUP BY 1, 2),
+      |q188c AS (
+      |  SELECT event_type, lateness, c,
+      |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY lateness
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc,
+      |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM q188h)
+      |SELECT event_type, n AS n_events,
+      |  round(coalesce(sum(CASE WHEN lateness = 0 THEN c END), 0)::DOUBLE / n::DOUBLE, 6)
+      |    AS in_order_share,
+      |  CAST(min(CASE WHEN cumc * 2 >= n THEN lateness END) AS BIGINT) AS p50_lateness_s,
+      |  CAST(min(CASE WHEN cumc * 10 >= n * 9 THEN lateness END) AS BIGINT) AS p90_lateness_s,
+      |  CAST(min(CASE WHEN cumc * 100 >= n * 99 THEN lateness END) AS BIGINT) AS p99_lateness_s,
+      |  CAST(max(lateness) AS BIGINT) AS max_lateness_s
+      |FROM q188c GROUP BY event_type, n ORDER BY event_type""".stripMargin
+
   // --- q186: bot-regularity screen ---------------------------------------------
 
   val BotMinEvents = 20L

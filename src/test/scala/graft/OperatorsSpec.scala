@@ -2092,6 +2092,40 @@ class OperatorsSpec extends SparkSpec {
     assert(rows("_ALL")._3.contains(want), s"delta_chars: ${rows("_ALL")._3} vs $want")
   }
 
+  test("q188: planted disorder lands exact order stats; in-order feeds profile to zero") {
+    import spark.implicits._
+    import graft.operators.TimeJoins
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("q188spec").toString
+    // type "a": ids 1..10 in ingest order; events 4 and 8 arrive 30 s and
+    // 120 s behind the frontier, the rest advance it (lateness 0)
+    val ts = Seq("10:00:00", "10:01:00", "10:02:00", "10:01:30", "10:04:00",
+      "10:05:00", "10:06:00", "10:04:00", "10:08:00", "10:09:00")
+    val a = ts.zipWithIndex.map { case (s, i) =>
+      ((i + 1).toLong, t(s"2024-01-01 $s"), 1L, "a", 1.0, "{}")
+    }
+    // type "b": perfectly in order
+    val b = (0 until 5).map(i =>
+      (100L + i, t(f"2024-01-01 11:0$i%01d:00"), 2L, "b", 1.0, "{}"))
+    (a ++ b).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TimeJoins.watermarkProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toMap
+    // lateness multiset for "a": eight 0s, one 30, one 120 → p50=0, p90=30
+    // (cum 9/10 at 30), p99=120, max=120
+    assert(got("a") == ((10L, 0.8, 0L, 30L, 120L, 120L)), s"disorder: ${got("a")}")
+    assert(got("b") == ((5L, 1.0, 0L, 0L, 0L, 0L)), s"in-order: ${got("b")}")
+    // testdata: order stats are monotone and bounded by max; share in (0,1]
+    val sf = TimeJoins.watermarkProfile(spark, Sf0001).collect()
+    assert(sf.nonEmpty)
+    sf.foreach { r =>
+      val (p50, p90, p99, mx) = (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(p50 <= p90 && p90 <= p99 && p99 <= mx, s"monotone: $r")
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   test("q162: half-centroid cosine matches a driver recomputation; shares sum to 1") {
     import graft.operators.VectorOps
     val rows = VectorOps.embeddingDrift(spark, Sf0001).collect()
