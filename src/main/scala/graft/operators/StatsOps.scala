@@ -597,6 +597,51 @@ object StatsOps {
       .drop("pid", "off")
   }
 
+  /** Grouped [[prefixSum]]: inclusive running sum of `weightCol` within
+    * each `parts` group (empty = whole input, ≤1 group column supported —
+    * [[strictlyLess]]'s contract) in ascending `orderCols` order, plus the
+    * group total `n_s` — the distributed replacement for
+    * `sum(w) OVER (PARTITION BY g ORDER BY v)` + `sum(w) OVER (PARTITION
+    * BY g)` when the group count is small but a group's row count is
+    * data-dependent (e.g. a value histogram whose cardinality grows with
+    * the corpus). Range-partitions on (group, order) so every window task
+    * holds one contiguous slice; per-(pid, group) weight offsets and group
+    * totals are folded on the ≤P×|groups| totals table and broadcast-
+    * joined back. Output: input columns + `out` + `n_s`.
+    */
+  private[operators] def groupedPrefixSum(
+      df: DataFrame,
+      parts: Seq[String],
+      orderCols: Seq[String],
+      weightCol: String,
+      out: String
+  ): DataFrame = {
+    require(parts.length <= 1, "groupedPrefixSum supports at most one group column")
+    val rangeCols = (parts ++ orderCols).map(col)
+    val keyed = df
+      .repartitionByRange(RankPartitions, rangeCols: _*)
+      .withColumn("pid", spark_partition_id())
+    val groupCols  = col("pid") +: parts.map(col)
+    val partTotals = keyed.groupBy(groupCols: _*).agg(sum(col(weightCol)).as("pw"))
+    val sKey = parts.headOption.map(p => col(p).as("g")).getOrElse(lit(0).as("g"))
+    val gRef = parts.headOption.map(col).getOrElse(lit(0))
+    val offsets = partTotals
+      .crossJoin(broadcast(
+        partTotals.agg(collect_list(struct(col("pid").as("p"), sKey, col("pw").as("w"))).as("pws"))))
+      .withColumn("g0", gRef)
+      .select(
+        (col("pid") +: parts.map(col)) ++ Seq(
+          expr("aggregate(filter(pws, x -> x.p < pid AND x.g = g0), 0L, (a, x) -> a + x.w)")
+            .as("off"),
+          expr("aggregate(filter(pws, x -> x.g = g0), 0L, (a, x) -> a + x.w)").as("n_s")): _*)
+    val w = Window.partitionBy(groupCols: _*).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .join(broadcast(offsets), "pid" +: parts, "inner")
+      .withColumn(out, col("off") + sum(col(weightCol)).over(w))
+      .drop("pid", "off")
+  }
+
   // --- q88: curriculum / epoch ordering --------------------------------------
 
   /** Deterministic curriculum order: every document given a unique global
@@ -1326,8 +1371,11 @@ object StatsOps {
     * Scale shape: scores are one corpus scan; the dup set is the
     * session-shared verified-pair stage (dup-rate-bounded); decile
     * boundaries are ⌈p·N⌉ ORDER STATISTICS from the score histogram
-    * (q125's rank-based rule — the histogram is value-domain-bounded, and
-    * no global per-row window exists anywhere); the 9 cuts broadcast as
+    * (q125's rank-based rule). stop_ratio is an unrounded double, so the
+    * histogram's cardinality grows with distinct (n_stop, n_tokens)
+    * pairs — data-dependent — and the cumulative counts therefore ride
+    * [[groupedPrefixSum]] (range-partitioned slices + broadcast prefix
+    * offsets), never a single-task window; the 9 cuts broadcast as
     * one row and docs bucket map-side. Per-decile mean score is an
     * ascending-by-doc fold (SURVEY §4).
     */
@@ -1343,12 +1391,10 @@ object StatsOps {
         .select(col("doc_id"), col("stop_ratio").as("v"))
         .join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
         .select(col("doc_id"), col("v"), coalesce(col("is_dup"), lit(false)).as("is_dup")))
-    val g      = Window.partitionBy(lit("s"))
-    val ranked = flagged
-      .groupBy(col("v"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(g.orderBy(col("v"))))
-      .withColumn("n", sum(col("c")).over(g))
+    val ranked = groupedPrefixSum(
+      flagged.groupBy(col("v")).agg(count(lit(1)).as("c")),
+      Nil, Seq("v"), "c", "cum")
+      .withColumnRenamed("n_s", "n")
     // ONE pass computes all 9 cuts (q125's exploded-probabilities shape)
     val cuts = ranked
       .withColumn("p", explode(expr(CalCuts.map(p => s"${p}D").mkString("array(", ", ", ")"))))

@@ -824,8 +824,12 @@ object TimeJoins {
     * q43's machinery, but rank-based so the thresholds are exact values
     * from the data, no float interpolation to disagree on); the 12
     * thresholds pivot to one broadcast row and every user scores map-side.
-    * No global window anywhere — a 10⁹-user corpus segments with two
-    * bounded shuffles. Tile rule: score = 1 + #cuts passed (strictly
+    * The monetary histogram's cardinality is data-dependent (~|users|
+    * distinct DECIMAL sums), so the cumulative counts ride
+    * [[StatsOps.groupedPrefixSum]] — range-partitioned per-metric slices
+    * with broadcast partition-prefix offsets — never a single-task
+    * `PARTITION BY g` window; a 10⁹-user corpus segments with bounded
+    * per-task state. Tile rule: score = 1 + #cuts passed (strictly
     * below for recency where smaller is better, strictly above for
     * frequency/monetary), so ties share the lower tile deterministically.
     */
@@ -846,19 +850,18 @@ object TimeJoins {
           col("mon").cast("double").as("mon_d")))
     // ONE melt pass builds all three metric histograms (no per-metric
     // re-scan of the user grain)
-    val hist = t
-      .select(explode(expr(
+    val hist = graft.core.CacheScope.persist(
+      t.select(explode(expr(
         """array(
           |  struct('r' AS g, CAST(recency_days AS DOUBLE) AS v),
           |  struct('f' AS g, CAST(n_events AS DOUBLE) AS v),
           |  struct('m' AS g, mon_d AS v))""".stripMargin)).as("x"))
-      .select(col("x.g").as("g"), col("x.v").as("v"))
-      .groupBy(col("g"), col("v"))
-      .agg(count(lit(1)).as("c"))
-    val byG = Window.partitionBy(col("g"))
-    val ranked = hist
-      .withColumn("cum", sum(col("c")).over(byG.orderBy(col("v"))))
-      .withColumn("n", sum(col("c")).over(byG))
+        .select(col("x.g").as("g"), col("x.v").as("v"))
+        .groupBy(col("g"), col("v"))
+        .agg(count(lit(1)).as("c")))
+    val ranked = StatsOps
+      .groupedPrefixSum(hist, Seq("g"), Seq("v"), "c", "cum")
+      .withColumnRenamed("n_s", "n")
     // ONE pass computes every cut: explode the 4 probabilities onto the
     // bounded histogram (map-side) instead of one filter branch per cut —
     // the same unnest shape the oracle uses

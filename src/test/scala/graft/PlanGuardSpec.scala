@@ -19,8 +19,13 @@ class PlanGuardSpec extends SparkSpec {
     * (label propagation / k-means) at construction time, so re-building per
     * test would triple the suite's most expensive pipelines.
     */
+  private lazy val execPlans: Map[String, org.apache.spark.sql.execution.SparkPlan] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, Sf001).queryExecution.executedPlan
+    }
+
   private lazy val plans: Map[String, String] =
-    SparkEntry.queries.map { case (name, fn) => name -> plan(fn(spark, Sf001)) }
+    execPlans.map { case (name, p) => name -> p.toString }
 
   test("every query's plan builds and stays within its shuffle budget") {
     val budgets = Map(
@@ -254,15 +259,20 @@ class PlanGuardSpec extends SparkSpec {
       "q123_seasonal_profile" -> 4,
       // replicate agg + per-source rank window + point-estimate agg + sort
       "q124_bootstrap_ci"   -> 4,
-      // user-grain agg (persisted, re-printed per consumer) + one melt
-      // histogram agg + cut window/agg + output sort
-      "q125_rfm_segments"   -> 7,
+      // user-grain agg + melt histogram agg (both persisted) +
+      // groupedPrefixSum (range exchange + pid-totals agg + keyed-window
+      // exchange; its two slice scans and the cut/output branches re-print
+      // the persisted subtrees per InMemoryTableScan occurrence — 19
+      // printed, ~8 execute) + cut agg + output sort
+      "q125_rfm_segments"   -> 19,
       // (user, type) agg (persisted, re-printed for point + replicate
       // branches) + replicate agg + rank window + sort
       "q126_ab_uplift"      -> 6,
-      // score+flag grain (persisted) + histogram agg + cut agg + decile
-      // rollup + sort
-      "q127_quality_calibration" -> 7,
+      // score+flag grain (persisted) + histogram agg + groupedPrefixSum
+      // (range exchange + pid-totals agg + keyed-window exchange; slice
+      // scans re-print the persisted flag-grain subtree per occurrence —
+      // 20 printed, ~8 execute) + cut agg + decile rollup + sort
+      "q127_quality_calibration" -> 20,
       // (source, gram) distinct grain (persisted, re-printed for both
       // rollups) + gram-keyed first-owner agg + two ≤|sources| rollups +
       // the tiny cumulative window + sort
@@ -583,6 +593,59 @@ class PlanGuardSpec extends SparkSpec {
           s"$name broadcasts an unbounded side via nested-loop join:\n$p")
       }
     }
+  }
+
+  test("no data-dependent single-task windows (empty or literal partition specs)") {
+    // A WindowExec whose partitionSpec is empty or all-literal plans an
+    // `Exchange SinglePartition` below it: ONE task absorbs the window's
+    // whole input. That is the 100 TB scale-killer this repo's
+    // prefix-offset machinery (StatsOps.prefixSum / groupedPrefixSum /
+    // strictlyLess) exists to avoid — the ONLY tolerable exceptions are
+    // windows whose input is a domain-bounded aggregate (a histogram over
+    // a finite value/time domain, a |sources|-row table), never a grain
+    // that grows with the corpus. q125/q127 regressed exactly this way in
+    // round 6 (data-dependent value histograms through lit-partitioned
+    // windows); this pins them — and every future query — to the
+    // allowlist + justification discipline.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec  => flatten(a.inputPlan)
+      case s: InMemoryTableScanExec  => flatten(s.relation.cachedPlan)
+      case other                     => other.children.flatMap(flatten)
+    })
+    val allowed = Map(
+      // |sources| is a bounded named set (the model-collection rule);
+      // cumulative folds over the per-source table are |sources| rows
+      "q128_source_novelty"      -> "|sources|-row cumulative fold",
+      "q160_fair_allocation"     -> "|sources|-row supply table",
+      // integer-valued domains: histogram rows bounded by the value/time
+      // domain (seconds-of-latency, n_chars, observed hours), not by the
+      // corpus row count — they compress, the corpus doesn't pass through
+      "q133_conversion_latency"  -> "integer-second latency histogram",
+      "q137_ks_drift"            -> "n_chars length-domain histogram",
+      "q149_range_planner"       -> "value-domain-bounded histogram",
+      "q153_temporal_split"      -> "span-bounded hourly histogram",
+      "q180_backfill_plan"       -> "span-bounded hourly series"
+    )
+    val hits = execPlans.map { case (name, p) =>
+      name -> flatten(p).collect {
+        case w: WindowExec if w.partitionSpec.forall(_.foldable) => w.verboseString(200)
+      }
+    }
+    val offenders = hits.toSeq.sortBy(_._1).collect {
+      case (name, bad) if bad.nonEmpty && !allowed.contains(name) =>
+        s"$name:\n  ${bad.mkString("\n  ")}"
+    }
+    assert(offenders.isEmpty,
+      s"single-task windows outside the bounded-histogram allowlist:\n${offenders.mkString("\n")}")
+    // the allowlist may not go stale either — an entry whose query no
+    // longer plans a single-task window must be removed (this also proves
+    // the detector sees through AQE / InMemoryTableScan wrappers)
+    val stale = allowed.keySet.filter(n => hits.getOrElse(n, Nil).isEmpty)
+    assert(stale.isEmpty, s"stale allowlist entries (no single-task window found): $stale")
   }
 
   test("PLANS.md covers every registered query (the plan-audit artifact can't go stale)") {
