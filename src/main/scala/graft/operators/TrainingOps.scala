@@ -1471,10 +1471,17 @@ object TrainingOps {
         expr("aggregate(ms, 0D, (acc, x) -> acc + pow(2.0D, -x))").as("s"),
         expr("size(filter(ms, x -> x = 0))").as("v_zero"))
     val perTypeN = base.groupBy(col("event_type").as("scope")).agg(count(lit(1)).as("n_distinct"))
-    val allN     = base.select(col("h")).distinct().agg(count(lit(1)).as("n_distinct"))
-    val exact = perTypeN
-      .unionByName(allN.select(lit("_all_merged").as("scope"), col("n_distinct")))
-      .unionByName(allN.select(lit("_all_direct").as("scope"), col("n_distinct")))
+    // the global exact leg is the expensive calibration scan — explode its
+    // ONE-row result onto both union scopes instead of unioning the
+    // subtree twice (which would execute the corpus-wide distinct twice)
+    val allN = base
+      .select(col("h"))
+      .distinct()
+      .agg(count(lit(1)).as("n_distinct"))
+      .select(
+        explode(array(lit("_all_merged"), lit("_all_direct"))).as("scope"),
+        col("n_distinct"))
+    val exact = perTypeN.unionByName(allN)
     val est =
       s"CASE WHEN (0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 / s <= 2.5 * $m.0 AND v_zero > 0" +
         s" THEN $m.0 * ln($m.0 / v_zero)" +
