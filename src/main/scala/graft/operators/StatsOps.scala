@@ -2333,8 +2333,26 @@ object StatsOps {
     * sqrts only — before the 6-dp round; degenerate types (zero
     * variance) yield NULL skew/kurt.
     */
+  /** Cent-quantized `value` for the moment envelopes, with a LOUD domain
+    * guard: under Spark's non-ANSI default an out-of-range DECIMAL(38,0)
+    * product returns NULL silently, which would zero a power sum while
+    * the DuckDB HUGEINT oracle errors — the documented `Σv⁴ < 10³⁸`
+    * envelope must fail loudly instead. |v| < 10⁷ cents (|value| <
+    * \$100k) keeps v⁴ < 10²⁸, so the per-cell sum stays inside
+    * DECIMAL(38,0) for 10¹⁰ rows; anything outside raises at the row
+    * that broke the contract. Shared by batch q174 and streaming E38 so
+    * the two cannot diverge on the domain rule.
+    */
+  private[graft] def centMomentValue: org.apache.spark.sql.Column = {
+    val raw = (col("value").cast("decimal(18,2)") * lit(100)).cast("decimal(38,0)")
+    when(abs(raw) < lit(10000000L), raw).otherwise(
+      raise_error(concat(
+        lit("moments: |value| outside the cent-quantized domain (>= 1e5): "),
+        col("value").cast("string"))))
+  }
+
   def momentsProfile(spark: SparkSession, dir: String): DataFrame = {
-    val v = (col("value").cast("decimal(18,2)") * lit(100)).cast("decimal(38,0)")
+    val v = centMomentValue
     val cells = graft.core.CacheScope.persist(
       Tables
         .events(spark, dir)

@@ -377,18 +377,6 @@ object DocStreams {
         (col("dsir_score") >= threshold).as("keep"))
   }
 
-  /** E43: streaming mass-histogram emission — q181's data layer, and the
-    * third op (after E34's xor, E38's power sums) whose stream/batch
-    * reconciliation is EXACT BY ALGEBRA: per closed window × (source,
-    * length) cell the doc count and character MASS; histogram cells are
-    * additive, so element-wise summing any window span reproduces the
-    * batch (source, length) histogram bit-for-bit (spec-pinned), and
-    * q181's integer `cumw·den ≥ W·num` threshold rule then picks the
-    * mass quantiles WITHOUT re-touching raw data — how a live ingest
-    * keeps "half our bytes are in docs shorter than X" current. One
-    * watermarked tumbling-window aggregate, map-side partials, append
-    * exactly once.
-    */
   /** E44: streaming training-shard router — the writer-side data layer of
     * q170's epoch reshuffle: each incoming document is routed map-side to
     * its deterministic shard (`xxhash64(epoch, doc_id) mod S` — the SAME
@@ -410,6 +398,26 @@ object DocStreams {
       h.as("h"))
   }
 
+  /** E43: streaming mass-histogram emission — q181's data layer, and the
+    * third op (after E34's xor, E38's power sums) whose stream/batch
+    * reconciliation is EXACT BY ALGEBRA: per closed window × (source,
+    * length) cell the doc count and character MASS; histogram cells are
+    * additive, so element-wise summing any window span reproduces the
+    * batch (source, length) histogram bit-for-bit (spec-pinned), and
+    * q181's integer `cumw·den ≥ W·num` threshold rule then picks the
+    * mass quantiles WITHOUT re-touching raw data — how a live ingest
+    * keeps "half our bytes are in docs shorter than X" current. One
+    * watermarked tumbling-window aggregate, map-side partials, append
+    * exactly once.
+    *
+    * Bit-for-bit reconciliation with batch q181 is CONDITIONED on the
+    * invariant `n_chars == length(text)`: the stream derives the length
+    * key from the text itself (`length`, codepoint count) while q181
+    * buckets on the stored `n_chars` column. The synthetic generator
+    * maintains the invariant; a production feed whose `n_chars` counts
+    * BYTES (or strips before storing) must either carry its own n_chars
+    * on the streaming record or accept cell-key drift between the two.
+    */
   def massHistStream(
       docs: DataFrame,
       windowDur: String = "1 hour",

@@ -1117,10 +1117,13 @@ object EventStreams extends Serializable {
     * mean/sd/skew/kurtosis exactly as q174 does. Fully declarative: the
     * SAME cent quantization and DECIMAL(38,0) power products as batch,
     * one watermarked tumbling-window aggregate (count/sums all map-side
-    * partial), closed windows append exactly once.
+    * partial), closed windows append exactly once. The cent quantization
+    * rides [[graft.operators.StatsOps.centMomentValue]] — the shared
+    * guarded expression that RAISES on |value| ≥ \$100k instead of
+    * letting a non-ANSI decimal overflow null the envelope silently.
     */
   def momentsStream(events: DataFrame, watermarkDur: String = "2 hours"): DataFrame = {
-    val v = (col("value").cast("decimal(18,2)") * lit(100)).cast("decimal(38,0)")
+    val v = graft.operators.StatsOps.centMomentValue
     events
       .withWatermark("ts", watermarkDur)
       .select(col("ts"), col("event_type"), v.as("v"))
@@ -1195,7 +1198,11 @@ object EventStreams extends Serializable {
         ((p.batchId, i), (s"${so.operatorName}#$i", so.numRowsDroppedByWatermark,
           so.numRowsUpdated, so.numRowsTotal))
       })
-      .groupBy(_._1).map(_._2.head._2).toSeq // one sample per (batch, op)
+      // one sample per (batch, op): the LAST progress entry in
+      // recentProgress order — if the engine re-exposes a batch with
+      // updated metric values, the latest report wins deterministically
+      // (a hash-map .head would retain an arbitrary sample)
+      .groupBy(_._1).toSeq.map(_._2.last._2)
       .groupBy(_._1)
       .map { case (op, rows) =>
         (op, rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).max)
@@ -1215,8 +1222,18 @@ object EventStreams extends Serializable {
     * declarative: one broadcastable static key set, one anti join, one
     * watermarked windowed aggregate (both counts map-side partial),
     * closed windows append exactly once; the snapshot refreshes by query
-    * restart (the E11/E12 broadcast-model contract).
+    * restart (the E11/E12 broadcast-model contract). Snapshot lifecycle:
+    * the persisted key set of the PREVIOUS orphanStream call in the same
+    * session is unpersisted on the next call — the refresh-by-restart
+    * contract means exactly one snapshot is live per session, so
+    * restarts cannot accumulate cached copies (the CacheScope-style
+    * tracking batch operators get from drain). A session running two
+    * CONCURRENT orphan streams must manage snapshots itself (pass
+    * already-persisted inputs).
     */
+  private val orphanSnapshots =
+    new scala.collection.mutable.WeakHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
+
   def orphanStream(
       events: DataFrame,
       knownUsers: DataFrame,
@@ -1226,6 +1243,9 @@ object EventStreams extends Serializable {
       .distinct()
       .withColumn("known", lit(true))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    orphanSnapshots.synchronized {
+      orphanSnapshots.put(keys.sparkSession, keys).foreach(_.unpersist(blocking = false))
+    }
     events
       .withWatermark("ts", watermarkDur)
       .join(keys, Seq("user_id"), "left") // stream-static: flags, drops nothing

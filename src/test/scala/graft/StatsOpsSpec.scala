@@ -381,4 +381,20 @@ class StatsOpsSpec extends SparkSpec {
     // drift of every source against the pooled corpus is finite and ≥ 0
     assert(out.collect().forall(r => r.getDouble(2) >= 0.0))
   }
+
+  test("q174/E38: the cent-quantized moment domain raises loudly instead of nulling") {
+    // Under the non-ANSI default a DECIMAL(38,0) v^4 overflow would NULL
+    // the power sum silently while the DuckDB HUGEINT oracle errors —
+    // the shared guard must fail at the offending row instead.
+    import spark.implicits._
+    val ok = Seq(0.0, 99999.99, -99999.99).toDF("value")
+      .select(StatsOps.centMomentValue.as("v")).collect().map(_.getDecimal(0).longValueExact())
+    assert(ok.toSeq == Seq(0L, 9999999L, -9999999L))
+    val e = intercept[Exception] {
+      Seq(100000.0).toDF("value").select(StatsOps.centMomentValue.as("v")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("cent-quantized domain")), s"unexpected failure: $e")
+  }
 }

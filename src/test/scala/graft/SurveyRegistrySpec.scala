@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2 is the coverage checklist the build is graded against — this
+  * pins it to the code so the two cannot drift (the round-5 defect:
+  * operators landed without §2 rows, and spec/registry counts were
+  * asserted only in prose).
+  */
+class SurveyRegistrySpec extends AnyFunSuite {
+
+  private lazy val section2: String = {
+    val md = Files.readString(Paths.get("SURVEY.md"))
+    md.substring(md.indexOf("\n## §2"), md.indexOf("\n## §3"))
+  }
+
+  private lazy val rows: Seq[String] =
+    section2.linesIterator.filter(_.matches("\\| [A-E]\\d+b? \\|.*")).toSeq
+
+  private lazy val surveyQueryKeys: Set[String] =
+    rows.flatMap(r => "q\\d+_\\w+".r.findAllIn(r.split("\\|")(2))).toSet
+
+  test("every registered query has a SURVEY §2 row, and every §2 query key is registered") {
+    val registered = SparkEntry.queries.keySet
+    val missingRow = registered -- surveyQueryKeys
+    assert(missingRow.isEmpty,
+      s"registered queries without a SURVEY §2 row: ${missingRow.toSeq.sorted}")
+    val ghost = surveyQueryKeys -- registered
+    assert(ghost.isEmpty,
+      s"SURVEY §2 operator cells name unregistered query keys: ${ghost.toSeq.sorted}")
+  }
+
+  test("every registered query carries an oracle (the driver's correctness gate)") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"queries without oracle SQL: ${noOracle.toSeq.sorted}")
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracle SQL without a query: ${dangling.toSeq.sorted}")
+  }
+
+  test("SURVEY §2's component inventory matches the registry (update the pin WITH the row)") {
+    // 188 oracle-backed queries + the spec-only components (HealthKit ETL
+    // A-surface, B17/B19/B20, multimodal D-surface minus the oracled q31,
+    // streaming E-surface). A new component must land with its §2 row —
+    // this pin fails when either side moves alone.
+    assert(SparkEntry.queries.size == 188,
+      s"registry moved to ${SparkEntry.queries.size} queries — update SURVEY §2 and this pin")
+    assert(rows.size == 250,
+      s"SURVEY §2 has ${rows.size} component rows — keep rows and registry moving together")
+    val ids = rows.map(_.split("\\|")(1).trim)
+    assert(ids.distinct.size == ids.size,
+      s"duplicate §2 row ids: ${ids.diff(ids.distinct).distinct}")
+  }
+}
