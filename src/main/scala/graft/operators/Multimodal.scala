@@ -167,14 +167,96 @@ object Multimodal {
     * dropped after the band join. */
   val PHashHammingMax = 8
 
+  /** pHash plane edge: the decoded image is downscaled to 32×32 before
+    * the DCT — the classic pHash recipe. */
+  val PHashN = 32
+
+  /** Low-frequency block edge: the top-left 8×8 DCT coefficients carry
+    * the hash. */
+  val PHashBlock = 8
+
+  /** DCT-II cosine basis, built once. StrictMath keeps the hash
+    * bit-identical across JVMs/platforms (Math.cos may differ by an ulp
+    * under intrinsics, which could flip a bit whose coefficient ties the
+    * median) — pHash values must be stable artifacts, like the text
+    * fingerprints.
+    */
+  private lazy val PHashCos: Array[Array[Double]] =
+    Array.tabulate(PHashN, PHashN)((k, x) =>
+      StrictMath.cos(StrictMath.PI * (2 * x + 1) * k / (2.0 * PHashN)))
+
+  /** REAL 32×32 DCT-II perceptual hash over a decoded grayscale plane —
+    * pure arithmetic, no imaging libraries: mean-center the plane, 2-D
+    * DCT via two separable 1-D passes against [[PHashCos]], keep the
+    * top-left [[PHashBlock]]² low-frequency block, and set bit i when
+    * the i-th of the 63 AC coefficients exceeds their median (the 32nd
+    * smallest of 63 — exact order statistic, no interpolation; the DC
+    * term is excluded). The hash is EXACTLY invariant to global
+    * brightness shifts — not only in the DCT algebra but in IEEE
+    * arithmetic: byte-plane pixel sums are exact integers in doubles, so
+    * `mean(p + c) = mean(p) + c` exactly and the centered plane is
+    * bit-identical under the shift (spec-pinned; without centering,
+    * float residue on near-zero coefficients clustered at the median
+    * flips bits). Bits pack into the low 63 bits of a Long, so the
+    * 4×16-bit band split in [[mediaDedupOf]] rides unchanged. Only the
+    * DECODE remains a stub; from the plane on, this is the production
+    * hash.
+    */
+  def dctPHash(plane: Array[Byte]): Long = {
+    val n = PHashN
+    require(plane.length == n * n, s"dctPHash expects a $n x $n plane, got ${plane.length}")
+    val cosT = PHashCos
+    var sum = 0.0
+    var pi  = 0
+    while (pi < plane.length) { sum += (plane(pi) & 0xff); pi += 1 }
+    val mean = sum / plane.length
+    // rows pass: r(y)(u) = Σ_x (p(y,x) − mean)·cos[u][x]  (only u < block needed)
+    val b = PHashBlock
+    val rows = Array.ofDim[Double](n, b)
+    var y = 0
+    while (y < n) {
+      var u = 0
+      while (u < b) {
+        var s = 0.0
+        var x = 0
+        while (x < n) { s += ((plane(y * n + x) & 0xff) - mean) * cosT(u)(x); x += 1 }
+        rows(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    // columns pass: c(v,u) = Σ_y r(y)(u)·cos[v][y]
+    val coefs = new Array[Double](b * b)
+    var v = 0
+    while (v < b) {
+      var u = 0
+      while (u < b) {
+        var s = 0.0
+        var yy = 0
+        while (yy < n) { s += rows(yy)(u) * cosT(v)(yy); yy += 1 }
+        coefs(v * b + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val ac  = java.util.Arrays.copyOfRange(coefs, 1, b * b) // 63 ACs, DC dropped
+    val med = { val srt = ac.clone(); java.util.Arrays.sort(srt); srt(31) }
+    var ph = 0L
+    var i  = 0
+    while (i < ac.length) {
+      if (ac(i) > med) ph |= 1L << i
+      i += 1
+    }
+    ph
+  }
+
   /** Per-media dedup signatures, computed where a real pipeline computes
     * them — executor-local `mapPartitions` beside the decode: the exact
     * key is md5 over the RAW payload bytes (byte-identical copies across
-    * re-crawls/mirrors), and the perceptual hash packs the decoded
-    * feature vector's [[FeatureDim]] channels quantized to a byte each
-    * (STUB: real pHash would DCT the decoded image; the banding,
-    * bucketing, and hamming plumbing downstream is exactly what the real
-    * hash would ride).
+    * re-crawls/mirrors), and the perceptual hash is the REAL
+    * [[dctPHash]] over the stub-decoded 32×32 plane ([[resizeStub]]
+    * stands in for decode+downscale; the DCT, median, and bit packing
+    * are the production arithmetic).
     */
   def mediaSignatures(media: Dataset[MediaRecord]): DataFrame = {
     import media.sparkSession.implicits._
@@ -184,15 +266,7 @@ object Multimodal {
         it.map { m =>
           md.reset()
           val ek = md.digest(m.payload).map(b => f"$b%02x").mkString
-          val f  = decodeStub(m.payload)
-          var ph = 0L
-          var i  = 0
-          while (i < FeatureDim) {
-            val q = math.min(255, math.max(0, math.round(f(i) * 255).toInt))
-            ph = (ph << 8) | q
-            i += 1
-          }
-          MediaSig(m.media_id, ek, ph)
+          MediaSig(m.media_id, ek, dctPHash(resizeStub(m.payload, PHashN, PHashN)))
         }
       }
       .toDF()

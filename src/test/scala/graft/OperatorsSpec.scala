@@ -332,21 +332,23 @@ class OperatorsSpec extends SparkSpec {
     import spark.implicits._
     import graft.operators.Multimodal
     import graft.operators.Multimodal.MediaRecord
-    def rec(id: Long, text: String) =
-      MediaRecord(id, text.getBytes("UTF-8"), "image/fake", 64, 64, "s")
-    val base = "the quick brown fox jumps over the lazy dog " * 8
+    def rec(id: Long, payload: Array[Byte]) =
+      MediaRecord(id, payload, "image/fake", 64, 64, "s")
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).getBytes("UTF-8")
     val media = Seq(
       rec(1, base),
-      rec(2, base), // byte-identical copy of 1
-      rec(3, base + "!"), // near-twin: one byte appended → features barely move
-      rec(4, (1 to 300).map(i => ('a' + i % 26).toChar).mkString) // unrelated
+      rec(2, base.clone()), // byte-identical copy of 1
+      // perceptual twin: every byte +1 — a global "brightness" shift on
+      // the fake decode plane; different md5, IDENTICAL DCT pHash
+      rec(3, base.map(b => (b + 1).toByte)),
+      rec(4, (1 to base.length).map(i => ('a' + i % 26).toByte).toArray) // unrelated
     ).toDS()
     val pairs = Multimodal.mediaDedupOf(media).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
     val byPair = pairs.map(p => (p._1, p._2) -> p).toMap
     assert(byPair((1L, 2L))._3 == 0 && byPair((1L, 2L))._4, s"exact copy: ${pairs.toSeq}")
     assert(byPair.contains((1L, 3L)) && !byPair((1L, 3L))._4 &&
-      byPair((1L, 3L))._3 <= Multimodal.PHashHammingMax, s"near twin: ${pairs.toSeq}")
+      byPair((1L, 3L))._3 == 0, s"brightness twin must pair at hamming 0: ${pairs.toSeq}")
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated media must not pair")
     // signatures are layout-stable (the decode runs per-partition)
     val s1 = Multimodal.mediaSignatures(media).collect().map(_.toString).sorted.toSeq
@@ -357,6 +359,31 @@ class OperatorsSpec extends SparkSpec {
     val sf = Multimodal.mediaDedup(spark, Sf0001).collect()
       .map(r => (r.getInt(2), r.getBoolean(3)))
     sf.filter(_._2).foreach { case (h, _) => assert(h == 0, "exact dup with nonzero hamming") }
+  }
+
+  test("D5: dctPHash is a real DCT — known-fixture bits, brightness identity, locality") {
+    import graft.operators.Multimodal._
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // smooth synthetic plane: diagonal ramp minus an L1 cone — enough
+    // low-frequency structure that the 8×8 block carries real signal
+    val p1 = Array.tabulate(PHashN * PHashN) { i =>
+      val y = i / PHashN; val x = i % PHashN
+      (90 + 3 * ((x + y) / 2) - (math.abs(x - 16) + math.abs(y - 16))).toByte
+    }
+    // the fixture hash is a pinned artifact (StrictMath basis → stable
+    // across JVMs); a change here means the DCT arithmetic changed
+    assert(dctPHash(p1) == 6287127825615380224L, s"fixture hash moved: ${dctPHash(p1)}L")
+    // EXACT brightness invariance: +5 on every pixel (no clamp) leaves
+    // the mean-centered plane bit-identical → identical hash
+    assert(ham(dctPHash(p1), dctPHash(p1.map(b => (b + 5).toByte))) == 0)
+    // locality: brightening one 8×8 block is a REAL content change the
+    // low-frequency coefficients see — far beyond the dup radius
+    val local = p1.clone()
+    for (y <- 8 until 16; x <- 8 until 16)
+      local(y * PHashN + x) = (local(y * PHashN + x) + 40).toByte
+    assert(ham(dctPHash(p1), dctPHash(local)) == 28,
+      s"local-block hamming moved: ${ham(dctPHash(p1), dctPHash(local))}")
+    assert(ham(dctPHash(p1), dctPHash(local)) > PHashHammingMax)
   }
 
   test("B19: co-bucketed tables join with zero exchanges") {
