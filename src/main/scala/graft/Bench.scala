@@ -67,6 +67,56 @@ object Bench {
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
+
+    // --- sf1 scale rehearsal -------------------------------------------------
+    // Validate the "fixed overhead dominates at test scale" extrapolation
+    // with data: build a deterministic 10× corpus (ScaleData — key-shifted
+    // replicas with vocabulary-substituted text / rotated embeddings so
+    // dup structure grows linearly like a real corpus) and time the
+    // TOP-10 most expensive queries of the main loop once each, recording
+    // the per-query scaling exponent log10(t_sf1/t_sf0.1) — ~0 means
+    // overhead-bound, 1 linear, >1 superlinear (a scale smell). The
+    // result is written to BENCH_SF1.json (the driver's 2000-char stdout
+    // tail can't carry it; the JSON line carries only the pointer).
+    // Skipped off the sf0.1 grain, when disabled, or when the main loop
+    // itself ran slow (shared box — don't compound a timeout).
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val sf1Note: String =
+      if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0" ||
+        new java.io.File(sfDir).getName != "sf0.1" || total > 300.0) ""
+      else
+        try {
+          val sf1Dir = tools.ScaleData.ensure(spark, sfDir, "/tmp/graft_sf1")
+          val top = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+          val lines = top.map { case (name, t01) =>
+            val t0 = System.nanoTime()
+            val t1 =
+              try {
+                SparkEntry.queries(name)(spark, sf1Dir)
+                  .write.format("noop").mode("overwrite").save()
+                (System.nanoTime() - t0) / 1e9
+              } catch {
+                case e: Throwable =>
+                  System.err.println(s"[bench-sf1] $name failed: ${e.getMessage}")
+                  -1.0
+              } finally graft.core.CacheScope.drain(spark)
+            val exp =
+              if (t01 > 0 && t1 > 0) f"${math.log10(t1 / t01)}%.2f" else "null"
+            f"""  "$name": {"sf01_s": $t01%.2f, "sf1_s": $t1%.2f, "scale_exp": $exp}"""
+          }
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get("/root/repo/BENCH_SF1.json"),
+            s"""{"replicas": ${tools.ScaleData.Replicas},
+               |"note": "top-10 queries of this bench re-timed on a deterministic 10x corpus; scale_exp = log10(t_sf1/t_sf0.1): 0=overhead-bound, 1=linear",
+               |"queries": {
+               |${lines.mkString(",\n")}
+               |}}
+               |""".stripMargin)
+          ""","sf1":"BENCH_SF1.json""""
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench-sf1] lane failed: ${e.getMessage}"); ""
+        }
     graft.operators.SharedStages.release(spark)
     // The driver stores only the LAST 2000 chars of stdout (and sbt's own
     // `[success]` epilogue eats ~90 of them), so the whole JSON line must
@@ -75,7 +125,6 @@ object Bench {
     // per-query keys to their unique `qNN` prefix (full names live in
     // CORRECTNESS_r*.json) and print the full-name map to stderr for
     // local runs.
-    val total = results.map(_._2).filter(_ >= 0).sum
     def fmt(v: Double): String = f"$v%.2f"
     // key = the numeric id alone ("01".."153"): at 150+ queries the "q"
     // prefix alone costs ~150 chars of the ~1900-char budget
@@ -90,7 +139,7 @@ object Bench {
       results.map { case (k, v) => s"$k=${fmt(v)}" }.mkString("[bench-full] ", " ", ""))
     val sfName = new java.io.File(sfDir).getName
     println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfName"$sf1Note}"""
     )
     spark.stop()
   }

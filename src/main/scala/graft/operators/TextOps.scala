@@ -125,7 +125,7 @@ object TextOps {
   /** Shared with CleanPipeline — one list, one tokenization, so the quality
     * metric and the pipeline that enforces it can't silently diverge.
     */
-  private[operators] val Stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+  private[graft] val Stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
 
   /** stop-word count over whitespace tokens of `text` (shared helper). */
   private[graft] def stopCountExpr: Column = {

@@ -1,0 +1,160 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Deterministic 10× scale-up of the sf0.1 corpus for the bench's sf1
+  * rehearsal lane — validates the "fixed overhead dominates at test
+  * scale" extrapolation (SURVEY §7.7) with measured scaling exponents
+  * instead of argument.
+  *
+  * Each table is unioned from [[Replicas]] key-shifted copies. Every
+  * BIGINT key family shifts by r·(family max + 1) — replicas TILE the
+  * key space contiguously, so a 10× corpus has 10× the key range (the
+  * density a real corpus growth gives; a fixed huge stride would
+  * inflate key extents ~450× and overflow range-area arithmetic like
+  * q92's box coverage that is perfectly safe at any real density).
+  * Columns that share an id space (c_custkey with events.user_id,
+  * doc_id with vec_id, l_partkey with p_partkey, …) share one stride so
+  * cross-table key relationships — including deliberate orphan rates —
+  * are preserved inside and across replicas. INTEGER dimension keys —
+  * nation / region — stay fixed, as a real 10× corpus shares its
+  * dimensions.
+  * Two perturbations keep the DERIVED workload shapes honest at 10×:
+  *
+  *   - document text: replica r ≥ 1 suffixes every non-stopword token
+  *     with `~r`. This is a per-replica vocabulary substitution: token
+  *     counts, doc lengths (modulo the suffix), stop-word counts — and
+  *     therefore the quality gates — are preserved, and WITHIN-replica
+  *     dup structure is exactly the base corpus's (both members of a
+  *     pair substitute identically), while CROSS-replica shingles are
+  *     disjoint — without this, every doc would have 10 verbatim copies
+  *     and the dup-pair tables would grow ×100 (quadratic in clone
+  *     count) instead of the ×10 a real corpus growth gives.
+  *   - embeddings: replica r rotates the vector by r positions — an
+  *     orthogonal transform, so norms and all within-replica pair
+  *     cosines are exactly preserved while cross-replica vectors
+  *     decorrelate (verbatim copies would inflate the near-dup ANN
+  *     families quadratically, same as text).
+  *
+  * n_chars is recomputed from the perturbed text (the stored-column
+  * invariant E43/q181 document). Output lands once under `outDir` with a
+  * done-marker; regeneration is skipped when the marker exists, so the
+  * driver's per-round bench pays the build exactly once per container.
+  */
+object ScaleData {
+
+  val Replicas = 10
+
+  private def withReplica(df: DataFrame): DataFrame =
+    df.withColumn("r", explode(expr(s"sequence(0L, ${Replicas - 1}L)")))
+
+  /** Build `outDir` from `srcDir` if not already present. Returns the
+    * outDir for chaining.
+    */
+  def ensure(spark: SparkSession, srcDir: String, outDir: String): String = {
+    val marker = new java.io.File(outDir, "_GRAFT_SCALE_DONE")
+    if (marker.exists()) return outDir
+    new java.io.File(outDir).mkdirs()
+
+    def write(df: DataFrame, name: String): Unit =
+      df.repartition(8).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    def colMax(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).head().getLong(0)
+
+    // one stride per id FAMILY (columns sharing a key space), = max+1
+    val custStride = math.max(
+      colMax(Tables.customer(spark, srcDir), "c_custkey"),
+      colMax(Tables.events(spark, srcDir), "user_id")) + 1
+    val suppStride = math.max(
+      colMax(Tables.supplier(spark, srcDir), "s_suppkey"),
+      colMax(Tables.lineitem(spark, srcDir), "l_suppkey")) + 1
+    val partStride = math.max(
+      colMax(Tables.part(spark, srcDir), "p_partkey"),
+      colMax(Tables.lineitem(spark, srcDir), "l_partkey")) + 1
+    val orderStride = math.max(
+      colMax(Tables.orders(spark, srcDir), "o_orderkey"),
+      colMax(Tables.lineitem(spark, srcDir), "l_orderkey")) + 1
+    val eventStride = colMax(Tables.events(spark, srcDir), "event_id") + 1
+    val docStride = math.max(
+      colMax(Tables.documents(spark, srcDir), "doc_id"),
+      colMax(Tables.embeddings(spark, srcDir), "vec_id")) + 1
+
+    def shift(c: String, stride: Long) = (col(c) + col("r") * lit(stride)).as(c)
+
+    // fixed dimensions: shared by all replicas
+    write(Tables.region(spark, srcDir), "region")
+    write(Tables.nation(spark, srcDir), "nation")
+
+    write(
+      withReplica(Tables.customer(spark, srcDir))
+        .select(shift("c_custkey", custStride), col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment")),
+      "customer")
+    write(
+      withReplica(Tables.supplier(spark, srcDir))
+        .select(shift("s_suppkey", suppStride), col("s_name"), col("s_nationkey"), col("s_acctbal")),
+      "supplier")
+    write(
+      withReplica(Tables.part(spark, srcDir))
+        .select(shift("p_partkey", partStride), col("p_name"), col("p_brand"), col("p_type"),
+          col("p_size"), col("p_retailprice")),
+      "part")
+    write(
+      withReplica(Tables.orders(spark, srcDir))
+        .select(shift("o_orderkey", orderStride), shift("o_custkey", custStride), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")),
+      "orders")
+    write(
+      withReplica(Tables.lineitem(spark, srcDir))
+        .select(shift("l_orderkey", orderStride), shift("l_partkey", partStride), shift("l_suppkey", suppStride),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate")),
+      "lineitem")
+    write(
+      withReplica(Tables.events(spark, srcDir))
+        .select(shift("event_id", eventStride), col("ts"), shift("user_id", custStride), col("event_type"),
+          col("value"), col("props")),
+      "events")
+
+    val stopList = graft.operators.TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+    val subbed = expr(
+      s"""IF(r = 0, text,
+         |   array_join(
+         |     transform(split(trim(text), '\\\\s+'),
+         |       t -> IF(t IN ($stopList), t, concat(t, '~', r))),
+         |     ' '))""".stripMargin)
+    write(
+      withReplica(Tables.documents(spark, srcDir))
+        .withColumn("text2", subbed)
+        .select(shift("doc_id", docStride), col("text2").as("text"), col("lang"), col("source"),
+          length(col("text2")).cast("long").as("n_chars")),
+      "documents")
+
+    val rotated = expr(
+      """IF(r = 0, embedding,
+        |   concat(slice(embedding, CAST(r AS INT) + 1, size(embedding) - CAST(r AS INT)),
+        |          slice(embedding, 1, CAST(r AS INT))))""".stripMargin)
+    write(
+      withReplica(Tables.embeddings(spark, srcDir))
+        .select(shift("vec_id", docStride), rotated.as("embedding"), col("label")),
+      "embeddings")
+
+    marker.createNewFile()
+    outDir
+  }
+
+  /** Standalone build: `runMain graft.tools.ScaleData [srcDir] [outDir]`. */
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val spark = graft.core.GraftSession.local(8)
+    val t0 = System.nanoTime()
+    ensure(spark, src, out)
+    println(f"[scale-data] $out ready in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.stop()
+  }
+}
