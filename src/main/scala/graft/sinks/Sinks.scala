@@ -36,6 +36,67 @@ object Sinks {
     */
   private def quoted(table: String): String = "\"" + table.replace("\"", "\"\"") + "\""
 
+  /** E45: generic JDBC UPSERT for `foreachBatch` — MERGE semantics on any
+    * JDBC target (update the matched key, insert the miss; works on
+    * engines without MERGE INTO, e.g. SQLite). Built for UPDATE-mode
+    * streaming aggregates, whose batches carry each touched key ONCE
+    * with its new ABSOLUTE total: the write is then idempotent — a
+    * replayed batch rewrites the same values instead of double-adding
+    * deltas, which is what makes checkpoint recovery exactly-once in
+    * EFFECT without a transaction log (the additive-delta alternative
+    * needs batch-id fencing). Each partition writes through its own
+    * connection in one transaction; `maxConnections` caps DB fan-in.
+    * Distinct keys never collide across partitions (one row per key per
+    * batch), so partition-parallel upserts are race-free.
+    */
+  def upsertJdbc(
+      batch: DataFrame,
+      url: String,
+      table: String,
+      keyCols: Seq[String],
+      valCols: Seq[String],
+      props: Map[String, String] = Map.empty,
+      maxConnections: Int = 8
+  ): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cols = keyCols ++ valCols
+    def qc(c: String) = "\"" + c.replace("\"", "\"\"") + "\""
+    val update =
+      s"UPDATE ${quoted(table)} SET ${valCols.map(c => s"${qc(c)} = ?").mkString(", ")}" +
+        s" WHERE ${keyCols.map(c => s"${qc(c)} = ?").mkString(" AND ")}"
+    val insert =
+      s"INSERT INTO ${quoted(table)} (${cols.map(qc).mkString(", ")})" +
+        s" VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val projected = batch.select(cols.map(col): _*)
+    val nKeys = keyCols.size
+    val nConn = math.max(1, math.min(maxConnections, projected.rdd.getNumPartitions))
+    projected.coalesce(nConn).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext) {
+          val p = new Properties()
+          props.foreach { case (k, v) => p.setProperty(k, v) }
+          val conn = java.sql.DriverManager.getConnection(url, p)
+          try {
+            conn.setAutoCommit(false)
+            val up  = conn.prepareStatement(update)
+            val ins = conn.prepareStatement(insert)
+            try {
+              rows.foreach { r =>
+                var i = 1
+                valCols.indices.foreach { vi => up.setObject(i, r.get(nKeys + vi)); i += 1 }
+                keyCols.indices.foreach { ki => up.setObject(i, r.get(ki)); i += 1 }
+                if (up.executeUpdate() == 0) {
+                  cols.indices.foreach(ci => ins.setObject(ci + 1, r.get(ci)))
+                  ins.executeUpdate()
+                }
+              }
+              conn.commit()
+            } finally { up.close(); ins.close() }
+          } finally conn.close()
+        }
+    }
+  }
+
   /** Parquet lake sink, optionally partitioned (the 100 TB path). */
   def writeParquet(
       df: DataFrame,

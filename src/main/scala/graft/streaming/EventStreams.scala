@@ -1144,6 +1144,34 @@ object EventStreams extends Serializable {
         col("s4"))
   }
 
+  /** E45: streaming incremental cube — the live writer leg of q154's
+    * MERGE-INTO contract: an UPDATE-mode watermarked hourly aggregate
+    * whose every batch emits the TOUCHED (hour, type) cells with their
+    * new ABSOLUTE totals (count + exact DECIMAL volume), paired with
+    * [[graft.sinks.Sinks.upsertJdbc]] in `foreachBatch` — late data
+    * updates exactly the cells it touches, the rest of the cube is never
+    * read, and a full recompute never happens (q154's report is the diff
+    * such a job would show; this op IS the job). Emitting absolute
+    * totals, not deltas, is what makes the sink idempotent: checkpoint
+    * recovery can replay a batch and the upsert rewrites the same
+    * values — exactly-once in effect without batch-id fencing. State:
+    * O(open hour-windows × types) under the watermark; cells past the
+    * watermark stop updating (their late rows drop — E40 meters that),
+    * which is the same contract the batch cube's delta-merge documents.
+    */
+  def cubeStream(events: DataFrame, watermarkDur: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDur)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("volume"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"),
+        col("n_events"),
+        col("volume"))
+
   /** E39: streaming sample-ratio-mismatch monitor — the q178 twin: per
     * closed hour window, distinct exposed users per arm (q126's
     * `xxhash64(user_id) mod 2` assignment), the two-cell χ² statistic,

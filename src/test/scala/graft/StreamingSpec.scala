@@ -398,6 +398,69 @@ class StreamingSpec extends SparkSpec {
     assert(back.count() == 3)
   }
 
+  test("E45: JDBC upsert cube maintains MERGE totals across batches and a restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val url  = "jdbc:derby:memory:cubeUpsert;create=true"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_cube").toString
+    // the upsert target with its natural key — created once, like a real
+    // warehouse table the stream maintains incrementally
+    locally {
+      val c = java.sql.DriverManager.getConnection(url)
+      try c.createStatement().execute(
+        """CREATE TABLE "cube_upsert" (
+          |  "hour" VARCHAR(13) NOT NULL, "event_type" VARCHAR(64) NOT NULL,
+          |  "n_events" BIGINT, "volume" DECIMAL(28,2),
+          |  PRIMARY KEY ("hour", "event_type"))""".stripMargin)
+      finally c.close()
+    }
+    val in = MemoryStream[Ev]
+    def start() = EventStreams
+      .cubeStream(in.toDF())
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sinks.Sinks.upsertJdbc(batch, url, "cube_upsert",
+          Seq("hour", "event_type"), Seq("n_events", "volume"))
+      }
+      .start()
+
+    def cubeNow(): Map[(String, String), (Long, BigDecimal)] =
+      spark.read.jdbc(url, "\"cube_upsert\"", new java.util.Properties())
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), BigDecimal(r.getDecimal(3)))))
+        .toMap
+
+    val q1 = start()
+    in.addData(Ev(1, 1, ts(0), "click", 1.5), Ev(2, 1, ts(10), "click", 2.0),
+      Ev(3, 2, ts(20), "view", 4.0))
+    q1.processAllAvailable()
+    assert(cubeNow()(("2024-01-01 10", "click")) == ((2L, BigDecimal("3.50"))))
+    // second batch touches the SAME cell: the upsert must UPDATE to the
+    // new absolute total, not insert a second row or double-add
+    in.addData(Ev(4, 3, ts(40), "click", 0.5))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(cubeNow()(("2024-01-01 10", "click")) == ((3L, BigDecimal("4.00"))))
+    assert(cubeNow().size == 2)
+
+    // restart from the checkpoint: recovered state must keep merging into
+    // the same cells, and the final table equals a batch recompute over
+    // every event fed (the q154 contract, end to end)
+    val q2 = start()
+    in.addData(Ev(5, 1, ts(50), "click", 1.0),
+      Ev(6, 2, Timestamp.valueOf("2024-01-01 11:05:00"), "view", 7.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val expected = Map(
+      ("2024-01-01 10", "click") -> ((4L, BigDecimal("5.00"))),
+      ("2024-01-01 10", "view")  -> ((1L, BigDecimal("4.00"))),
+      ("2024-01-01 11", "view")  -> ((1L, BigDecimal("7.00"))))
+    assert(cubeNow() == expected, s"cube diverged: ${cubeNow()}")
+  }
+
   test("E6: streaming minhash emits near-dup candidates when windows close") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
