@@ -3250,4 +3250,157 @@ object CurationOps {
        |FROM q158a
        |ORDER BY seq_len""".stripMargin
   }
+
+  // --- q189: content-defined chunk dedup (CDC) -------------------------------
+
+  /** Rolling window width (codepoints) of the CDC boundary hash. */
+  val CdcWindow = 8
+
+  /** Expected boundary rate: 1 in [[CdcMask]]+1 positions → mean chunk
+    * ≈ 64 chars. */
+  val CdcMask = 63L
+
+  /** Polynomial base; powers 31⁰..31⁷ stay exact in BIGINT. */
+  val CdcBase = 31L
+
+  private val CdcPows: Seq[Long] =
+    Seq.iterate(1L, CdcWindow)(_ * CdcBase)
+
+  /** Content-defined chunking dedup — the insertion-robust complement of
+    * q80/q81's fixed-width chunk dedup: chunk boundaries are a pure
+    * function of LOCAL CONTENT (a rolling polynomial hash over the last
+    * [[CdcWindow]] codepoints; boundary where the mixed hash's bits
+    * 20–25 are zero → 1-in-64 rate, ~64-char mean chunks), so inserting
+    * a sentence into a document shifts every fixed-width window but
+    * leaves all OTHER content-defined chunks byte-identical — the
+    * property that lets chunk-level dedup survive edits, the reason
+    * FastCDC-family chunking is the backbone of storage dedup and the
+    * right grain for catching re-posted-with-a-preamble training text.
+    * Per doc: chunk count and the share of its bytes living in chunks
+    * already OWNED by an earlier doc (q51's min-owner rule at the chunk
+    * grain).
+    *
+    * Scale shape: boundary detection and chunk extraction are per-row
+    * HOF folds over the codepoint array (map-side, no shuffle); the
+    * owner resolution is q51's groupBy-min on the chunk hash + one
+    * equi-join back — never a window over the hash partition, so a
+    * boilerplate chunk shared by millions of docs combines map-side.
+    * Determinism: the rolling sum, the 2654435761 multiplicative mix
+    * and the bit-slice test are exact 64-bit integer arithmetic on
+    * codepoints — identical in both engines; chunk identity is md5 over
+    * the chunk's UTF-8 bytes.
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(docs(spark, dir))
+
+  private[graft] def cdcChunksOf(corpus: DataFrame): DataFrame = {
+    val powsArr = CdcPows.map(p => s"${p}L").mkString("array(", ", ", ")")
+    val w       = CdcWindow
+    // boundary positions i (1-based, i ≥ W): mix(Σ_{j<W} cs[i−j]·31ʲ)
+    val chunksExpr = expr(
+      s"""CASE WHEN n < 1 THEN array()
+         |ELSE
+         |  transform(
+         |    sequence(1, size(cuts) - 1),
+         |    k -> substring(text, element_at(cuts, k) + 1,
+         |                   element_at(cuts, k + 1) - element_at(cuts, k)))
+         |END""".stripMargin)
+    // nested IF, not OR: Spark evaluates OR operands eagerly and ANSI
+    // element_at on an empty array throws — If() branches lazily
+    val cutsExpr = expr(
+      s"""concat(
+         |  array(0),
+         |  bnds,
+         |  IF(size(bnds) = 0, array(n),
+         |     IF(element_at(bnds, -1) <> n, array(n), array())))""".stripMargin)
+    val bndsExpr = expr(
+      s"""IF(n < $w, array(),
+         |  filter(
+         |    transform(sequence($w, n), i ->
+         |      IF(((aggregate(sequence(0, ${w - 1}), 0L,
+         |             (a, j) -> a + element_at(cs, i - j) * element_at($powsArr, j + 1))
+         |           % 1048576L) * 2654435761L % 4294967296L) DIV 1048576L % ${CdcMask + 1}L = 0L,
+         |        i, CAST(NULL AS INT))),
+         |    x -> x IS NOT NULL))""".stripMargin)
+    val chunks = corpus
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .withColumn("cs", expr("transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"))
+      .withColumn("bnds", bndsExpr)
+      .withColumn("cuts", cutsExpr)
+      .select(col("doc_id"), explode(chunksExpr).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk").cast("binary")).as("h"),
+        length(col("chunk")).cast("long").as("clen"))
+    val cached = graft.core.CacheScope.persist(chunks)
+    val owners = cached.groupBy(col("h")).agg(min(col("doc_id")).as("owner"))
+    cached
+      .join(owners, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("clen")).as("n_chars"),
+        sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("owner") < col("doc_id"), col("clen")).otherwise(0L)).as("dup_chars"))
+      .select(
+        col("doc_id"),
+        col("n_chunks"),
+        col("n_chars"),
+        col("dup_chunks"),
+        col("dup_chars"),
+        round(col("dup_chars").cast("double") / col("n_chars").cast("double"), 4)
+          .as("cdc_dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q189 oracle: the same codepoint array, the same exact integer
+    * rolling-sum → mix → bit-slice boundary rule (DuckDB BIGINT
+    * arithmetic is exact at these magnitudes), identical cut/chunk
+    * extraction, md5 chunk identity and min-owner rule.
+    */
+  lazy val cdcChunksSql: String = {
+    import graft.functions.DuckHash._
+    val w    = CdcWindow
+    val pows = CdcPows.mkString("[", ", ", "]")
+    val ctes = Seq(
+      "q189cs" ->
+        """(SELECT doc_id, text, length(text) AS n,
+          |   list_transform(string_split(text, ''), c -> ord(c)::BIGINT) AS cs
+          | FROM documents)""".stripMargin,
+      "q189b" ->
+        s"""(SELECT doc_id, text, n,
+           |   CASE WHEN n < $w THEN []
+           |   ELSE list_filter(
+           |     list_transform(generate_series($w, n), i ->
+           |       CASE WHEN ((list_reduce(list_prepend(0::BIGINT,
+           |                list_transform(range(0, $w), j -> cs[i - j] * ($pows)[j + 1])),
+           |              (a, b) -> a + b)
+           |            % 1048576) * 2654435761 % 4294967296) // 1048576 % ${CdcMask + 1} = 0
+           |         THEN i END),
+           |     x -> x IS NOT NULL)
+           |   END AS bnds
+           | FROM q189cs)""".stripMargin,
+      "q189c" ->
+        """(SELECT doc_id, text, n,
+          |   list_concat(list_concat([0::BIGINT], bnds),
+          |     CASE WHEN len(bnds) = 0 OR bnds[-1] <> n THEN [n] ELSE [] END) AS cuts
+          | FROM q189b)""".stripMargin,
+      "q189k" ->
+        """(SELECT doc_id, md5(chunk) AS h, length(chunk)::BIGINT AS clen
+          | FROM (SELECT doc_id,
+          |     unnest(list_transform(generate_series(1, len(cuts) - 1),
+          |       k -> text[cuts[k] + 1 : cuts[k + 1]])) AS chunk
+          |   FROM q189c WHERE n >= 1))""".stripMargin,
+      "q189o" ->
+        "(SELECT *, min(doc_id) OVER (PARTITION BY h) AS owner FROM q189k)"
+    )
+    assemble(
+      ctes,
+      """SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |  CAST(sum(clen) AS BIGINT) AS n_chars,
+        |  CAST(sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+        |  CAST(sum(CASE WHEN owner < doc_id THEN clen ELSE 0 END) AS BIGINT) AS dup_chars,
+        |  round(sum(CASE WHEN owner < doc_id THEN clen ELSE 0 END)::DOUBLE
+        |    / sum(clen)::DOUBLE, 4) AS cdc_dup_ratio
+        |FROM q189o GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin)
+  }
 }

@@ -1605,4 +1605,104 @@ object TextOps {
        |  UNION ALL (${leg("simhash", "q177b", "ngram_jaccard", "q177c")}))
        |ORDER BY method_a, method_b""".stripMargin
   }
+
+  // --- q190: idf-weighted Jaccard audit --------------------------------------
+
+  /** Idf-weighted Jaccard re-verification of the LSH candidate pairs:
+    * plain Jaccard counts a boilerplate shingle ("click here to read")
+    * exactly like a content shingle, so template-heavy corpora verify
+    * pairs as near-dups that share only furniture — the classic dedup
+    * false positive q140 hunts at the hub level. This audit re-scores
+    * every candidate pair with each shingle weighted by its smoothed
+    * idf `ln((N+1)/(df+1))` and reports both scores plus verdict-flip
+    * flags at the shared [[JaccardThreshold]] — the table that decides
+    * whether the corpus needs weighted verification before the dedup
+    * campaign commits.
+    *
+    * Scale shape: df is ONE map-side-combinable aggregate over the
+    * shared shingle stage; N broadcasts; the pair re-score melts each
+    * candidate pair onto its two members and equi-joins the exploded
+    * shingles — every grain is candidate-pair-bounded (never corpus²).
+    * Float determinism: idf is quantized to integer MICRO-idf
+    * (`round(idf·10⁶)` as BIGINT) before any aggregation, so the
+    * weighted sums are exact integers in both engines and the only
+    * float steps are one rounded ln per distinct shingle (the q73/q82
+    * one-rounded-ln rule) and the final one-division + round.
+    */
+  def idfJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh       = SharedStages.shingles(spark, dir)
+    val pairs    = SharedStages.minhashEdges(spark, dir)
+    val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val weights = graft.core.CacheScope.persist(
+      exploded
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(sh.agg(count(lit(1)).as("nd"))))
+        .select(col("g"),
+          expr("CAST(round(ln((nd + 1) / (df + 1.0)) * 1e6, 0) AS BIGINT)").as("w")))
+    val members = pairs
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(exploded, "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val j  = round(col("n_inter").cast("double") / col("n_union").cast("double"), 4)
+    val wj = when(col("wu") > 0L,
+      round(col("wi").cast("double") / col("wu").cast("double"), 4))
+    members
+      .join(weights, "g")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        count(lit(1)).as("n_union"),
+        sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("n_inter"),
+        sum(col("w")).as("wu"),
+        sum(when(col("cnt") === 2L, col("w")).otherwise(0L)).as("wi"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("n_union"),
+        j.as("jaccard"),
+        wj.as("w_jaccard"),
+        (j >= lit(JaccardThreshold)).as("is_dup"),
+        coalesce(wj >= lit(JaccardThreshold), lit(false)).as("is_dup_w"),
+        ((j >= lit(JaccardThreshold)) =!=
+          coalesce(wj >= lit(JaccardThreshold), lit(false))).as("flip"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q190 oracle: q25's emulated candidate set, the same shingle
+    * explode/df/micro-idf quantization, the same melt-join-aggregate
+    * pair grain, and identical verdict/flip shapes.
+    */
+  lazy val idfJaccardSql: String = {
+    val t = JaccardThreshold
+    s"""WITH cand AS MATERIALIZED (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+       |$DuckShingleCte,
+       |q190e AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS g FROM sh),
+       |q190n AS (SELECT count(*)::BIGINT AS nd FROM sh),
+       |q190w AS MATERIALIZED (
+       |  SELECT g, CAST(round(ln((nd + 1) / (count(*) + 1.0)) * 1e6, 0) AS BIGINT) AS w
+       |  FROM q190e, q190n GROUP BY g, nd),
+       |q190m AS (
+       |  SELECT doc_a, doc_b, g, count(*) AS cnt
+       |  FROM (SELECT doc_a, doc_b, doc_a AS doc_id FROM cand
+       |        UNION ALL SELECT doc_a, doc_b, doc_b FROM cand) pm
+       |  JOIN q190e USING (doc_id)
+       |  GROUP BY doc_a, doc_b, g),
+       |q190p AS (
+       |  SELECT doc_a, doc_b,
+       |    count(*)::BIGINT AS n_union,
+       |    round(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 4) AS j,
+       |    CASE WHEN sum(w) > 0 THEN
+       |      round(sum(CASE WHEN cnt = 2 THEN w ELSE 0 END)::DOUBLE / sum(w)::DOUBLE, 4)
+       |    END AS wj
+       |  FROM q190m JOIN q190w USING (g)
+       |  GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b, n_union, j AS jaccard, wj AS w_jaccard,
+       |  j >= $t AS is_dup,
+       |  coalesce(wj >= $t, false) AS is_dup_w,
+       |  (j >= $t) <> coalesce(wj >= $t, false) AS flip
+       |FROM q190p
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

@@ -813,4 +813,32 @@ class CurationOpsSpec extends SparkSpec {
       "funnel stage 4 must count exactly q33's surviving docs")
     assert(s4.map(_._4).sum == clean.map(_.getAs[Int]("n_tokens").toLong).sum)
   }
+
+  test("q189: CDC chunks survive a prefix insertion (the fixed-width failure mode)") {
+    import spark.implicits._
+    // content-defined boundaries are a pure function of local content, so
+    // prepending a preamble shifts every FIXED-width window but leaves the
+    // shared text's chunks byte-identical — the q80/q81 grain would see
+    // almost no overlap here, CDC must see most of the bytes as dup
+    val base   = ("spark shuffles partition the keyspace and combiners fold early " * 8).trim
+    val edited = "a loud preamble stitched onto the front of a repost " + base
+    val out = CurationOps
+      .cdcChunksOf(Seq(
+        (1L, base),
+        (2L, edited),
+        (3L, base), // verbatim copy: every chunk owned by doc 1
+        (4L, "abc") // shorter than the rolling window: one chunk, no crash
+      ).toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("dup_chars"), r.getAs[Double]("cdc_dup_ratio"))))
+      .toMap
+    assert(out(1L)._2 == base.length.toLong, "chunks must cover every char exactly once")
+    assert(out(1L)._3 == 0L, "first owner has no dup bytes")
+    assert(out(3L)._4 == 1.0, s"verbatim copy must be fully chunk-dup: ${out(3L)}")
+    assert(out(2L)._4 > 0.5,
+      s"prefix-edited doc must share most chunk bytes with the original: ${out(2L)}")
+    assert(out(4L) == ((1L, 3L, 0L, 0.0)), s"short doc: ${out(4L)}")
+  }
 }

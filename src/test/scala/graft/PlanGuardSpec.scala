@@ -586,7 +586,10 @@ class PlanGuardSpec extends SparkSpec {
         // query set — exactly q28's allowlisted shape
         "q176_retrieval_mrr",
         // q179's 1×1 crossJoin: edge-moment fold × node-count fold
-        "q179_assortativity")
+        "q179_assortativity",
+        // q190 crossJoins the 1-row corpus shingle-doc-count aggregate
+        // onto the df table — q73's idf shape, bounded by construction
+        "q190_idf_jaccard")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
