@@ -132,15 +132,21 @@ object Bench {
     // regression; exact times go to stderr) and sf as its basename: at
     // 165+ queries the 2-dp map alone would overflow the 2000-char tail.
     val short = results.map { case (k, v) => k.takeWhile(_ != '_').drop(1) -> v }
+    // "0.0" → "0": valid JSON numbers, same seconds, and the ~2 chars per
+    // sub-0.05s query keep the 190-entry map inside the ~1900-char tail
     val qs = short
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f".stripSuffix(".0") }
       .mkString("{", ",", "}")
     System.err.println(
       results.map { case (k, v) => s"$k=${fmt(v)}" }.mkString("[bench-full] ", " ", ""))
     val sfName = new java.io.File(sfDir).getName
-    println(
+    val line =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfName"$sf1Note}"""
-    )
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — the driver keeps " +
+        "only the last 2000 chars of stdout (minus sbt's epilogue); shorten the per-query map " +
+        "before it front-truncates")
+    println(line)
     spark.stop()
   }
 }

@@ -989,8 +989,78 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): L2Norm = copy(c)
   }
 
+  /** Content-defined chunks of a text column (q189's kernel) as ONE
+    * compiled call per row, replacing a doubly-nested higher-order
+    * formulation whose lambdas Spark evaluates INTERPRETED per codepoint
+    * (the same motivation as [[WinnowFps]]). Semantics are bit-identical
+    * to the DuckDB oracle: over the CODEPOINT array, boundary at 1-based
+    * position i ≥ 8 where `mix(Σ_{j<8} cp[i−j]·31ʲ)` has bits 20–25 zero
+    * (`mix(s) = (s mod 2²⁰)·2654435761 mod 2³²`), chunks are the
+    * codepoint slices between consecutive cuts 0, b₁, …, n. Exact 64-bit
+    * integer arithmetic; ~64-codepoint mean chunks at the 1-in-64 rate.
+    */
+  case class CdcChunks(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val cp = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString.codePoints().toArray
+      val n    = cp.length
+      val cuts = new Array[Int](n + 2)
+      var m    = 0
+      cuts(m) = 0; m += 1
+      var i = 8
+      while (i <= n) {
+        var h = 0L
+        var p = 1L
+        var j = 0
+        while (j < 8) { h += cp(i - 1 - j).toLong * p; p *= 31L; j += 1 }
+        val mix = ((h % 1048576L) * 2654435761L) % 4294967296L
+        if ((mix / 1048576L) % 64L == 0L) { cuts(m) = i; m += 1 }
+        i += 1
+      }
+      if (cuts(m - 1) != n) { cuts(m) = n; m += 1 }
+      val out = new Array[org.apache.spark.unsafe.types.UTF8String](m - 1)
+      var k = 0
+      while (k + 1 < m) {
+        out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(
+          new String(cp, cuts(k), cuts(k + 1) - cuts(k)))
+        k += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        out.asInstanceOf[Array[AnyRef]])
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val cp, n, cuts, m, i, h, p, j, mix, out, k = ctx.freshName("v")
+        val u8 = "org.apache.spark.unsafe.types.UTF8String"
+        s"""
+           |int[] $cp = $c.toString().codePoints().toArray();
+           |int $n = $cp.length;
+           |int[] $cuts = new int[$n + 2];
+           |int $m = 0;
+           |$cuts[$m++] = 0;
+           |for (int $i = 8; $i <= $n; $i++) {
+           |  long $h = 0L; long $p = 1L;
+           |  for (int $j = 0; $j < 8; $j++) { $h += (long) $cp[$i - 1 - $j] * $p; $p *= 31L; }
+           |  long $mix = (($h % 1048576L) * 2654435761L) % 4294967296L;
+           |  if (($mix / 1048576L) % 64L == 0L) $cuts[$m++] = $i;
+           |}
+           |if ($cuts[$m - 1] != $n) $cuts[$m++] = $n;
+           |$u8[] $out = new $u8[$m - 1];
+           |for (int $k = 0; $k + 1 < $m; $k++) {
+           |  $out[$k] = $u8.fromString(new String($cp, $cuts[$k], $cuts[$k + 1] - $cuts[$k]));
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |""".stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): CdcChunks = copy(c)
+  }
+
   // Column-facing wrappers
   import GraftColumnBridge.{toColumn, toExpression}
+
+  def cdc_chunks(c: Column): Column = toColumn(CdcChunks(toExpression(c)))
 
   /** Bounded-heap top-k aggregate (Spark's internal `CollectTopK`,
     * surfaced as a Column): keeps the k LARGEST values of the child under

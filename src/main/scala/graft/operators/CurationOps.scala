@@ -3294,40 +3294,13 @@ object CurationOps {
     cdcChunksOf(docs(spark, dir))
 
   private[graft] def cdcChunksOf(corpus: DataFrame): DataFrame = {
-    val powsArr = CdcPows.map(p => s"${p}L").mkString("array(", ", ", ")")
-    val w       = CdcWindow
-    // boundary positions i (1-based, i ≥ W): mix(Σ_{j<W} cs[i−j]·31ʲ)
-    val chunksExpr = expr(
-      s"""CASE WHEN n < 1 THEN array()
-         |ELSE
-         |  transform(
-         |    sequence(1, size(cuts) - 1),
-         |    k -> substring(text, element_at(cuts, k) + 1,
-         |                   element_at(cuts, k + 1) - element_at(cuts, k)))
-         |END""".stripMargin)
-    // nested IF, not OR: Spark evaluates OR operands eagerly and ANSI
-    // element_at on an empty array throws — If() branches lazily
-    val cutsExpr = expr(
-      s"""concat(
-         |  array(0),
-         |  bnds,
-         |  IF(size(bnds) = 0, array(n),
-         |     IF(element_at(bnds, -1) <> n, array(n), array())))""".stripMargin)
-    val bndsExpr = expr(
-      s"""IF(n < $w, array(),
-         |  filter(
-         |    transform(sequence($w, n), i ->
-         |      IF(((aggregate(sequence(0, ${w - 1}), 0L,
-         |             (a, j) -> a + element_at(cs, i - j) * element_at($powsArr, j + 1))
-         |           % 1048576L) * 2654435761L % 4294967296L) DIV 1048576L % ${CdcMask + 1}L = 0L,
-         |        i, CAST(NULL AS INT))),
-         |    x -> x IS NOT NULL))""".stripMargin)
+    // boundary scan + chunk slicing as ONE compiled call per row
+    // (graft.functions.Expressions.CdcChunks) — the higher-order
+    // formulation of the same arithmetic evaluated ~8 interpreted
+    // lambdas per codepoint (q60/q64's WinnowFps lesson)
     val chunks = corpus
-      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
-      .withColumn("cs", expr("transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"))
-      .withColumn("bnds", bndsExpr)
-      .withColumn("cuts", cutsExpr)
-      .select(col("doc_id"), explode(chunksExpr).as("chunk"))
+      .select(col("doc_id"),
+        explode(graft.functions.Expressions.cdc_chunks(col("text"))).as("chunk"))
       .select(col("doc_id"), md5(col("chunk").cast("binary")).as("h"),
         length(col("chunk")).cast("long").as("clen"))
     val cached = graft.core.CacheScope.persist(chunks)

@@ -82,7 +82,13 @@ object CodegenCheck {
       .select(graft.functions.Expressions.normalize_text(col("text")).as("s"))
       .filter("s.n_ctrl >= 0 AND s.clean IS NOT NULL")
       .count()
-    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector, $nc centroid, $nd dot/norm, $nm minhash, $nw winnow, $ng top2gram, $nq int8, $nj jlproj, $nl lmxent, $ne bpe, $nn norm")
+    // chunks must tile the text exactly: concat of slices == original
+    val nk = spark.sql(
+      """SELECT text FROM parquet.`/root/testdata/sf0.001/documents.parquet`""")
+      .select(col("text"), graft.functions.Expressions.cdc_chunks(col("text")).as("chs"))
+      .filter("size(chs) >= 1 AND array_join(chs, '') = text")
+      .count()
+    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector, $nc centroid, $nd dot/norm, $nm minhash, $nw winnow, $ng top2gram, $nq int8, $nj jlproj, $nl lmxent, $ne bpe, $nn norm, $nk cdc")
     spark.stop()
   }
 }
