@@ -62,6 +62,28 @@ object DocStreams {
     CurationOps.chunked(
       docs.select(col("doc_id"), col("ts"), split(trim(col("text")), "\\s+").as("toks")))
 
+  /** E46: streaming CDC chunker (twin: q189) — incoming documents split
+    * at the SAME content-defined boundaries the batch operator computes,
+    * via the same compiled kernel
+    * ([[graft.functions.Expressions.cdc_chunks]]), each chunk carrying
+    * its md5 identity and length — the writer-side feed of a chunk-level
+    * dedup store: because boundaries are a pure function of local
+    * content, a live ingest's chunk hashes can probe the SAME chunk
+    * ownership table batch q189 maintains (an E12-style Bloom/snapshot
+    * gate rides directly on `h`), and a re-posted document with a new
+    * preamble still hits the store on every unshifted chunk. Stateless:
+    * one compiled projection + one explode per micro-batch, no
+    * watermark, no shuffle, no state store; spec-pinned bit-equal to the
+    * batch chunk grain on the same feed.
+    */
+  def cdcChunkStream(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("ts"),
+        explode(graft.functions.Expressions.cdc_chunks(col("text"))).as("chunk"))
+      .select(col("doc_id"), col("ts"),
+        md5(col("chunk").cast("binary")).as("h"),
+        length(col("chunk")).cast("long").as("clen"))
+
   /** §2.E streaming quantile gate (twin: q79) — each incoming document's
     * quality score calibrated against a CORPUS SNAPSHOT's score CDF
     * ([[graft.operators.StatsOps.scoreCdfModel]]), gating on "is this doc

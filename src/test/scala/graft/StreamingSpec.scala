@@ -777,6 +777,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("E46: streamed CDC chunks EQUAL the batch q189 chunk grain (shared compiled kernel)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    val corpus = graft.core.Tables.documents(spark, Sf0001)
+    val sample = corpus
+      .select("doc_id", "text").orderBy($"doc_id").limit(25).collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), ts(1)))
+    // batch truth: the SAME kernel over the same docs — (doc_id, h, clen)
+    // multiset (CDC can legitimately repeat a chunk within one doc)
+    val batch = corpus
+      .filter($"doc_id".isin(sample.map(_.doc_id).toSeq: _*))
+      .select(col("doc_id"),
+        explode(graft.functions.Expressions.cdc_chunks(col("text"))).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk").cast("binary")).as("h"),
+        length(col("chunk")).cast("long").as("clen"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val in = MemoryStream[Doc]
+    val st = DocStreams.cdcChunkStream(in.toDF())
+    assert(st.isStreaming)
+    val q = st.writeStream.format("memory").queryName("cdc_chunker").outputMode("append").start()
+    in.addData(sample.toSeq: _*)
+    q.processAllAvailable()
+    val rows = spark.table("cdc_chunker").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("h"), r.getAs[Long]("clen")))
+      .sorted.toSeq
+    q.stop()
+    assert(rows == batch, s"streamed CDC chunk grain diverged (${rows.size} vs ${batch.size})")
+    // chunks tile each doc exactly: per-doc clen sums equal text lengths
+    val lens = corpus.filter($"doc_id".isin(sample.map(_.doc_id).toSeq: _*))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      assert(cs.map(_._3).sum == lens(id), s"doc $id chunks do not tile its text")
+    }
+  }
+
   test("E22: streaming budget gate applies the snapshot's marginal cut, stream ≡ batch scores") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
