@@ -1815,4 +1815,130 @@ object TrainingOps {
        |    / nullif(CAST(sum(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) AS BIGINT), 0)::DOUBLE, 6)
        |    AS leak_rate
        |FROM q153u GROUP BY event_type ORDER BY event_type""".stripMargin
+
+
+  // --- q191: training-shard homogeneity audit --------------------------------
+
+  /** "Is the epoch shuffle actually mixing?" — the read-side audit of
+    * q170's shard assignment: for the epoch-0 permutation, each shard's
+    * source composition versus the corpus mix. A correct content-hash
+    * shuffle gives every shard the same source proportions (low chi2,
+    * entropy near the corpus's); a broken one (sharding by file order, a
+    * biased hash, a source-correlated doc_id range) shows up as a shard
+    * chi2 spike long before a training run shows loss drift — the check
+    * a data-loading team runs once per materialized epoch.
+    *
+    * Scale shape: ONE map-side hash assignment + ONE (shard, source)
+    * aggregate; everything after operates on the S x |sources| cell
+    * grid (bounded by construction) with broadcast shard/source/corpus
+    * totals — the corpus is scanned once. Determinism: entropy uses the
+    * one-rounded-ln-of-exact-integers rule (H = rln(n_s) - sum
+    * c*rln(c)/n_s) and chi2 folds its per-source terms in source-sorted
+    * order with one fixed term shape; both round to 6 at the end.
+    */
+  def shardMix(spark: SparkSession, dir: String): DataFrame = {
+    val S = ShuffleShards
+    val cells = graft.core.CacheScope.persist(
+      docs(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("h", xxhash64(lit(0L), col("doc_id")))
+        .withColumn("shard", expr(s"((h % $S) + $S) % $S"))
+        .groupBy(col("shard"), col("source"))
+        .agg(count(lit(1)).as("c"), sum(col("n_chars")).as("sc")))
+    val shardTot = cells.groupBy(col("shard"))
+      .agg(sum(col("c")).as("n_s"), sum(col("sc")).as("nc_s"))
+    val srcTot = cells.groupBy(col("source")).agg(sum(col("c")).as("c_t"))
+    val nTot   = srcTot.agg(sum(col("c_t")).as("n"))
+    // full S x |sources| grid so absent sources contribute their e term
+    val grid = shardTot
+      .crossJoin(broadcast(srcTot))
+      .join(cells, Seq("shard", "source"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(
+        col("shard"), col("source"), col("n_s"), col("nc_s"), col("c_t"), col("n"),
+        coalesce(col("c"), lit(0L)).as("o"))
+      .withColumn("e",
+        col("n_s").cast("double") * col("c_t").cast("double") / col("n").cast("double"))
+      .withColumn("chi_term",
+        (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e")) / col("e"))
+      .withColumn("ent_term",
+        when(col("o") > 0L, col("o").cast("double") * round(log(col("o").cast("double")), 6))
+          .otherwise(lit(0.0)))
+    grid
+      .groupBy(col("shard"))
+      .agg(
+        max(col("n_s")).as("n_docs"),
+        max(col("nc_s")).as("n_chars"),
+        max(col("n")).as("n_corpus"),
+        sum(when(col("o") > 0L, 1L).otherwise(0L)).as("n_sources"),
+        max(col("o")).as("max_c"),
+        expr("aggregate(array_sort(collect_list(struct(source, ent_term))), 0D, (a, x) -> a + x.ent_term)")
+          .as("ent_sum"),
+        expr("aggregate(array_sort(collect_list(struct(source, chi_term))), 0D, (a, x) -> a + x.chi_term)")
+          .as("chisq_raw"))
+      .select(
+        col("shard"),
+        col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_corpus").cast("double"), 6).as("doc_share"),
+        col("n_sources"),
+        round(col("max_c").cast("double") / col("n_docs").cast("double"), 6).as("max_src_share"),
+        round(round(log(col("n_docs").cast("double")), 6) -
+          col("ent_sum") / col("n_docs").cast("double"), 6).as("src_entropy"),
+        round(col("chisq_raw"), 6).as("chisq"),
+        round(col("n_chars").cast("double") / col("n_docs").cast("double"), 6).as("mean_chars"))
+      .orderBy(col("shard"))
+  }
+
+  /** q191 oracle: q170's chained XXH64 emulation at epoch 0, the same
+    * bounded cell grid, the same rounded-ln entropy identity and
+    * source-sorted chi2/entropy folds.
+    */
+  lazy val shardMixSql: String = {
+    import graft.functions.DuckHash._
+    val S = ShuffleShards
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q191in" ->
+        """(SELECT doc_id, source, n_chars, doc_id::HUGEINT AS l, 0::HUGEINT AS ee
+          |  FROM documents)""".stripMargin
+    )
+    val ch = new SqlChain("q191h", "q191in", Seq("doc_id", "source", "n_chars", "l", "ee"))
+    hashLongLevels(ch, "ee", "42", "h1")
+    hashLongLevels(ch, toUnsigned("l"), "h1", "h")
+    ctes ++= ch.ctes
+    ctes += ("q191s" ->
+      s"""(SELECT source, n_chars,
+         |    (((${toSigned("h")} % $S) + $S) % $S)::BIGINT AS shard
+         |  FROM ${ch.last})""".stripMargin)
+    ctes += ("q191c" ->
+      """(SELECT shard, source, count(*)::BIGINT AS c, CAST(sum(n_chars) AS BIGINT) AS sc
+        |  FROM q191s GROUP BY 1, 2)""".stripMargin)
+    ctes += ("q191st" ->
+      "(SELECT shard, CAST(sum(c) AS BIGINT) AS n_s, CAST(sum(sc) AS BIGINT) AS nc_s FROM q191c GROUP BY 1)")
+    ctes += ("q191src" -> "(SELECT source, CAST(sum(c) AS BIGINT) AS c_t FROM q191c GROUP BY 1)")
+    ctes += ("q191n" -> "(SELECT CAST(sum(c_t) AS BIGINT) AS n FROM q191src)")
+    ctes += ("q191g" ->
+      """(SELECT st.shard, sr.source, st.n_s, st.nc_s, sr.c_t, q191n.n,
+        |    coalesce(c.c, 0)::BIGINT AS o,
+        |    st.n_s::DOUBLE * sr.c_t::DOUBLE / q191n.n::DOUBLE AS e
+        |  FROM q191st st CROSS JOIN q191src sr CROSS JOIN q191n
+        |  LEFT JOIN q191c c ON c.shard = st.shard AND c.source = sr.source)""".stripMargin)
+    ctes += ("q191t" ->
+      """(SELECT *,
+        |    (o::DOUBLE - e) * (o::DOUBLE - e) / e AS chi_term,
+        |    CASE WHEN o > 0 THEN o::DOUBLE * round(ln(o::DOUBLE), 6) ELSE 0.0 END AS ent_term
+        |  FROM q191g)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT shard, max(n_s)::BIGINT AS n_docs,
+        |  round(max(n_s)::DOUBLE / max(n)::DOUBLE, 6) AS doc_share,
+        |  CAST(sum(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sources,
+        |  round(max(o)::DOUBLE / max(n_s)::DOUBLE, 6) AS max_src_share,
+        |  round(round(ln(max(n_s)::DOUBLE), 6)
+        |    - list_reduce(list_prepend(0.0::DOUBLE, list(ent_term ORDER BY source)), (a, b) -> a + b)
+        |      / max(n_s)::DOUBLE, 6) AS src_entropy,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE, list(chi_term ORDER BY source)), (a, b) -> a + b), 6) AS chisq,
+        |  round(max(nc_s)::DOUBLE / max(n_s)::DOUBLE, 6) AS mean_chars
+        |FROM q191t GROUP BY shard
+        |ORDER BY shard""".stripMargin)
+  }
 }

@@ -589,7 +589,10 @@ class PlanGuardSpec extends SparkSpec {
         "q179_assortativity",
         // q190 crossJoins the 1-row corpus shingle-doc-count aggregate
         // onto the df table — q73's idf shape, bounded by construction
-        "q190_idf_jaccard")
+        "q190_idf_jaccard",
+        // q191's grid is the S-row shard totals x |sources|-row source
+        // totals x 1-row corpus count — every side a bounded aggregate
+        "q191_shard_mix")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
