@@ -126,27 +126,45 @@ object Bench {
     // CORRECTNESS_r*.json) and print the full-name map to stderr for
     // local runs.
     def fmt(v: Double): String = f"$v%.2f"
-    // key = the numeric id alone ("01".."153"): at 150+ queries the "q"
-    // prefix alone costs ~150 chars of the ~1900-char budget
-    // per-query values at 1 dp (±0.05 s — plenty to flag a multi-second
-    // regression; exact times go to stderr) and sf as its basename: at
-    // 165+ queries the 2-dp map alone would overflow the 2000-char tail.
-    val short = results.map { case (k, v) => k.takeWhile(_ != '_').drop(1) -> v }
-    // "0.0" → "0": valid JSON numbers, same seconds, and the ~2 chars per
-    // sub-0.05s query keep the 190-entry map inside the ~1900-char tail
-    val qs = short
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f".stripSuffix(".0") }
-      .mkString("{", ",", "}")
     System.err.println(
       results.map { case (k, v) => s"$k=${fmt(v)}" }.mkString("[bench-full] ", " ", ""))
     val sfName = new java.io.File(sfDir).getName
-    val line =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfName"$sf1Note}"""
-    if (line.length > 1900)
-      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — the driver keeps " +
-        "only the last 2000 chars of stdout (minus sbt's epilogue); shorten the per-query map " +
-        "before it front-truncates")
-    println(line)
+    // The COMPLETE per-query map (full names, 2 dp) goes to a repo artifact
+    // every run — the stdout line cannot carry 190+ entries (see below), and
+    // round-over-round comparisons need every query, not just the visible
+    // tail. Best-effort: a read-only working dir must not fail the bench.
+    try {
+      val full = results
+        .map { case (k, v) => s"""  "$k": ${fmt(v)}""" }
+        .mkString(",\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+        f"""{"sf": "$sfName", "total_s": $total%.2f, "queries": {%n$full%n}}%n""")
+    } catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL write failed: $e") }
+    // The driver stores only the LAST 2000 chars of stdout, and sbt's
+    // `[info] ` prefix + `[success]` epilogue eat ~90 of them — a JSON line
+    // over ~1900 chars gets front-truncated (r3/r4 shipped exactly that).
+    // Keys shrink to the numeric id ("01".."191"), values to 1 dp with
+    // "x.0"→"x", and the map is fitted to an explicit budget: slowest
+    // queries first (they are what a reader compares across rounds), plus
+    // every failure (-1), until the budget is spent; the rest are counted
+    // in "omitted" and live in BENCH_FULL.json / the stderr line above.
+    val budget = 1750
+    val entries = results
+      .map { case (k, v) =>
+        (k.takeWhile(_ != '_').drop(1), v, "\"" + k.takeWhile(_ != '_').drop(1) + "\":" +
+          f"$v%.1f".stripSuffix(".0"))
+      }
+      .sortBy { case (_, v, _) => if (v < 0) Double.MinValue else -v }
+    def assembleLine(qs: Seq[(String, Double, String)], omitted: Int): String = {
+      val m = qs.sortBy(_._1).map(_._3).mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","omitted":$omitted,"full":"BENCH_FULL.json"""" else ""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$m$om,"sf":"$sfName"$sf1Note}"""
+    }
+    var keep = entries
+    while (assembleLine(keep, entries.size - keep.size).length > budget && keep.nonEmpty)
+      keep = keep.dropRight(1)
+    println(assembleLine(keep, entries.size - keep.size))
     spark.stop()
   }
 }
