@@ -1941,4 +1941,65 @@ object TrainingOps {
         |FROM q191t GROUP BY shard
         |ORDER BY shard""".stripMargin)
   }
+
+
+  // --- q192: bounded-state per-stratum reservoir -----------------------------
+  val ReservoirK = 4
+
+  /** Fixed-k uniform reservoir per (source, lang) stratum — q45's
+    * content-stable sampling semantics (ascending `xxhash64(doc_id)` IS a
+    * uniform draw, reproducible on any cluster/partitioning/re-run) at the
+    * composite grain an eval-set builder actually samples, computed with
+    * the q61 plan upgrade: a bounded-heap `collect_topk` aggregate instead
+    * of a window rank. The window formulation shuffles EVERY doc row and
+    * sorts each stratum partition before discarding all but k; the heap
+    * keeps ≤ k rows per stratum inside each map task (partial
+    * ObjectHashAggregate), so the exchange carries at most k·strata rows
+    * per map partition and nothing ever sorts the corpus — at 100 TB the
+    * difference between resorting the corpus and a fixed-size merge.
+    *
+    * Heap key: k LARGEST under (~h, ~doc_id) ≡ k smallest under
+    * (h, doc_id) — bitwise NOT is the overflow-free order reversal
+    * (−x overflows at Long.MinValue); doc_id rides as a never-compared
+    * third field (the first two are unique). The final in-row
+    * `reverse(array_sort(...))` touches ≤ k elements per stratum and
+    * yields ascending (h, doc_id) — exactly the window's rank order.
+    */
+  def reservoirSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Expressions.collect_topk
+    val item = struct(
+      bitwise_not(xxhash64(col("doc_id"))).as("nh"),
+      bitwise_not(col("doc_id")).as("nd"),
+      col("doc_id").as("doc_id"))
+    docs(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(collect_topk(item, ReservoirK).as("top"))
+      .select(col("source"), col("lang"), posexplode(reverse(array_sort(col("top")))))
+      .select(
+        col("source"),
+        col("lang"),
+        (col("pos") + 1).cast("int").as("rk"),
+        col("col.doc_id").as("doc_id"))
+      .orderBy(col("source"), col("lang"), col("rk"))
+  }
+
+  /** Oracle: the window formulation — same semantics, the plan is the
+    * point (q61's rule). Hash via the q45 XXH64 emulation chain.
+    */
+  lazy val reservoirSampleSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q192in" -> "(SELECT source, lang, doc_id, doc_id::HUGEINT AS l FROM documents)"
+    )
+    val ch = new SqlChain("q192h", "q192in", Seq("source", "lang", "doc_id", "l"))
+    hashLongLevels(ch, s"${toUnsigned("l")}", "42", "h")
+    ctes ++= ch.ctes
+    assemble(
+      ctes.toSeq,
+      s"""SELECT source, lang, rk, doc_id FROM (
+         |  SELECT source, lang, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY ${toSigned("h")}, doc_id) AS rk
+         |  FROM ${ch.last})
+         |WHERE rk <= $ReservoirK ORDER BY source, lang, rk""".stripMargin)
+  }
 }
