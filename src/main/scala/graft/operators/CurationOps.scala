@@ -3376,4 +3376,89 @@ object CurationOps {
         |FROM q189o GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin)
   }
+
+  // --- q193: differentially-private histogram release -----------------------
+  val DpBucketWidth = 64L
+
+  /** DP noisy-count release of the (source, length-bucket) histogram — the
+    * privacy-preserving publication step after q48 (scrub), q159
+    * (k-anonymity) and q175 (l-diversity) have gated the rows themselves:
+    * unit-count cells get Laplace(Δ/ε) noise (Δ=1 for a disjoint
+    * histogram) at a strict ε=0.5 and a loose ε=2.0, released beside the
+    * true count and per-ε absolute error — the utility table a data-card
+    * publisher reads to pick the budget ("is ε=0.5 still useful at this
+    * cell mass?").
+    *
+    * The draw is DERIVED, not sampled: u = uniform from
+    * `xxhash64(source, len_bucket)` (the q67 bit-pattern trick), then the
+    * standard inverse-CDF Laplace `−b·sgn(u−½)·ln(1−2|u−½|)` — so the
+    * release is reproducible on any cluster/partitioning/re-run, and the
+    * oracle can replay it exactly (each ε-leg rounds ONCE from the raw ln
+    * — pre-rounding t to 6 dp would park t/2 exactly on a rounding
+    * half-point; the same u serves both ε's as a pure scale family). NOTE
+    * the derived
+    * draw is the AUDIT variant: a production release would use a sealed
+    * RNG so the noise is unpredictable — same plan, different u.
+    *
+    * Scale shape: ONE map-side-combined groupBy count; noise is a pure
+    * projection on the bounded |sources|·buckets cell grid. Nothing else
+    * touches the corpus.
+    */
+  def dpHistogram(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("source"), expr(s"n_chars div $DpBucketWidth").as("len_bucket"))
+      .agg(count(lit(1)).as("c_true"))
+      .withColumn("u",
+        expr("((cast(xxhash64(source, len_bucket) as double) + 9.223372036854775808e18) + 0.5)" +
+          " / 1.8446744073709551616e19"))
+      .withColumn("t", expr("ln(1 - 2 * abs(u - 0.5))"))
+      .withColumn("n05", expr("round(-signum(u - 0.5) * t / 0.5, 6)"))
+      .withColumn("n20", expr("round(-signum(u - 0.5) * t / 2.0, 6)"))
+      .select(
+        col("source"),
+        col("len_bucket"),
+        col("c_true"),
+        expr("round(c_true + n05, 6)").as("noisy_e05"),
+        expr("round(c_true + n20, 6)").as("noisy_e20"),
+        expr("round(abs(n05), 6)").as("abs_err_e05"),
+        expr("round(abs(n20), 6)").as("abs_err_e20"))
+      .orderBy(col("source"), col("len_bucket"))
+
+  /** Oracle: the same XXH64(string, long) chain (bytes chain seeded 42,
+    * then a long level seeded by it — Spark's multi-arg xxhash64 fold),
+    * same u bit-pattern, same rounded-ln Laplace inverse CDF. Spark `div`
+    * truncates where DuckDB `//` floors; n_chars is non-negative so they
+    * agree (the q80 rule).
+    */
+  lazy val dpHistogramSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = ArrayBuffer[(String, String)](
+      "q193c" ->
+        s"""(SELECT source, n_chars // $DpBucketWidth AS len_bucket, count(*)::BIGINT AS c_true
+           |  FROM documents GROUP BY 1, 2)""".stripMargin,
+      "q193b" -> s"(SELECT source, len_bucket, c_true, ${bytesOf("source")} AS b FROM q193c)"
+    )
+    val hb = hashBytesChain("q193hs", "q193b", Seq("source", "len_bucket", "c_true"), "42", "hs")
+    hashLongLevels(hb, "len_bucket::HUGEINT", "hs", "h")
+    ctes ++= hb.ctes
+    ctes += ("q193u" ->
+      s"""(SELECT source, len_bucket, c_true,
+         |    ((CAST(${toSigned("h")} AS DOUBLE) + 9.223372036854775808e18) + 0.5)
+         |      / 1.8446744073709551616e19 AS u
+         |  FROM ${hb.last})""".stripMargin)
+    ctes += ("q193n" ->
+      """(SELECT source, len_bucket, c_true,
+        |    round(-sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)) / 0.5, 6) AS n05,
+        |    round(-sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)) / 2.0, 6) AS n20
+        |  FROM q193u)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT source, len_bucket, c_true,
+        |  round(c_true + n05, 6) AS noisy_e05,
+        |  round(c_true + n20, 6) AS noisy_e20,
+        |  round(abs(n05), 6) AS abs_err_e05,
+        |  round(abs(n20), 6) AS abs_err_e20
+        |FROM q193n
+        |ORDER BY source, len_bucket""".stripMargin)
+  }
 }
