@@ -1854,4 +1854,179 @@ object VectorOps {
       |      (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))::BIGINT,
       |    (SELECT count(*) FROM embeddings)::BIGINT
       |) ORDER BY "check"""".stripMargin
+
+  // --- q194: embedding covariance spectrum audit -----------------------------
+  val SpecQ         = 10000L
+  val SpecSampleMod = 4L
+  val SpecRounds    = 6
+
+  /** Embedding-collapse audit: the covariance spectrum summary a training
+    * team reads before trusting cosine geometry at all — q168 audits
+    * normalization and q162 drift, but neither sees RANK COLLAPSE (all
+    * vectors crowding a low-dimensional cone), which silently breaks
+    * q28/q65/q83's cosine contrast and every downstream ANN recall number.
+    * One row: sampled count, total variance, top-eigenvalue share
+    * (pc1_share → 1 means one direction carries the mass), participation-
+    * ratio effective rank `trace²/‖C‖²_F` (= (Σλ)²/Σλ² without an
+    * eigendecomposition), and the dominant dimension of PC1.
+    *
+    * Scale shape: a deterministic `xxhash64(vec_id) % 4 = 0` audit sample
+    * (the q45 rule — content-stable on any cluster), ONE pass whose in-row
+    * upper-triangle outer product explodes to the d(d+1)/2+d+1 = 2145-cell
+    * grain and map-side-combines to exact integer sums (quantize-first,
+    * q72/q162 rule: elements → `round(e·10⁴)`, so S_ij/s_i/n are exact and
+    * order-free). Everything after runs on the COLLECTED 64×64 integer
+    * matrix (≤2145 values — the bounded-model collect the ANN trainers
+    * use): [[SpecRounds]] power-iteration rounds in index-ordered IEEE
+    * double arithmetic. sqrt/·/+ are correctly-rounded IEEE ops, so the
+    * driver loop and the oracle's unrolled list-fold rounds produce
+    * BIT-IDENTICAL iterates — no transcendentals anywhere.
+    */
+  def embedSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    // one explode: upper-triangle products + sentinel cells (i,-1)=q_i
+    // (linear sums) and (-1,-1)=1 (count), one aggregate for all three
+    val cells = Tables
+      .embeddings(spark, dir)
+      .filter(pmod(xxhash64(col("vec_id")), lit(SpecSampleMod)) === 0L)
+      .select(
+        expr(s"transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * $SpecQ, 0) AS BIGINT))")
+          .as("q"))
+      .select(explode(expr(
+        s"""concat(
+           |  flatten(transform(sequence(0, ${d - 1}), i ->
+           |    transform(sequence(i, ${d - 1}), j ->
+           |      named_struct('i', i, 'j', j, 'p', element_at(q, i + 1) * element_at(q, j + 1))))),
+           |  transform(sequence(0, ${d - 1}), i -> named_struct('i', i, 'j', -1, 'p', element_at(q, i + 1))),
+           |  array(named_struct('i', -1, 'j', -1, 'p', CAST(1 AS BIGINT))))""".stripMargin))
+        .as("x"))
+      .groupBy(col("x.i").as("i"), col("x.j").as("j"))
+      .agg(sum(col("x.p")).as("s"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+      .toMap
+    val n  = cells((-1, -1))
+    val sv = Array.tabulate(d)(i => cells((i, -1)))
+    val c  = Array.tabulate(d, d) { (i, j) =>
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      (n * cells((a, b)) - sv(i) * sv(j)).toDouble
+    }
+    // power iteration, index-ordered folds (the oracle mirrors these exactly)
+    var v = Array.fill(d)(0.125)
+    var w = new Array[Double](d)
+    for (_ <- 1 to SpecRounds) {
+      w = Array.tabulate(d) { i =>
+        var a = 0.0; var j = 0
+        while (j < d) { a += c(i)(j) * v(j); j += 1 }; a
+      }
+      var s2 = 0.0; var i = 0
+      while (i < d) { s2 += w(i) * w(i); i += 1 }
+      val nrm = math.sqrt(s2)
+      v = w.map(_ / nrm)
+    }
+    w = Array.tabulate(d) { i =>
+      var a = 0.0; var j = 0
+      while (j < d) { a += c(i)(j) * v(j); j += 1 }; a
+    }
+    var num = 0.0; var den = 0.0; var tr = 0.0; var f2 = 0.0
+    for (i <- 0 until d) { num += v(i) * w(i); den += v(i) * v(i); tr += c(i)(i) }
+    for (i <- 0 until d; j <- 0 until d) f2 += c(i)(j) * c(i)(j)
+    val lambda1 = num / den
+    // left-assoc like the oracle's n*n*Q*Q (all factors exactly
+    // representable, but keep the op order identical anyway)
+    val scale = n.toDouble * n.toDouble * SpecQ.toDouble * SpecQ.toDouble
+    val topDim  = (0 until d).maxBy(i => (math.abs(v(i)), -i.toDouble))
+    import spark.implicits._
+    Seq((n, tr / scale, lambda1 / scale, lambda1 / tr, tr * tr / f2,
+      topDim.toLong, v(topDim)))
+      .toDF("n_sample", "trace_var", "lambda1_var", "pc1_share", "erank", "top_dim", "top_loading")
+      .select(
+        col("n_sample"),
+        round(col("trace_var"), 6).as("trace_var"),
+        round(col("lambda1_var"), 6).as("lambda1_var"),
+        round(col("pc1_share"), 6).as("pc1_share"),
+        round(col("erank"), 6).as("erank"),
+        col("top_dim"),
+        round(col("top_loading"), 6).as("top_loading"))
+  }
+
+  /** Oracle: same sample gate (XXH64-long emulation), same quantized
+    * integer cell sums, then [[SpecRounds]] unrolled power-iteration CTE
+    * rounds whose `list_reduce` folds replay the driver's index-ordered
+    * IEEE arithmetic bit-for-bit (products, left-fold sums, one sqrt and
+    * one divide per round — no transcendentals, so no rounding wobble).
+    */
+  lazy val embedSpectrumSql: String = {
+    import graft.functions.DuckHash._
+    val d = 64
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q194in" -> "(SELECT vec_id, embedding, vec_id::HUGEINT AS l FROM embeddings)"
+    )
+    val ch = new SqlChain("q194h", "q194in", Seq("vec_id", "embedding", "l"))
+    hashLongLevels(ch, s"${toUnsigned("l")}", "42", "h")
+    ctes ++= ch.ctes
+    ctes += ("q194q" ->
+      s"""(SELECT list_transform(embedding, e ->
+         |      CAST(round(e::DOUBLE * $SpecQ, 0) AS BIGINT)) AS q
+         |  FROM ${ch.last}
+         |  WHERE ((${toSigned("h")} % $SpecSampleMod) + $SpecSampleMod) % $SpecSampleMod = 0)""".stripMargin)
+    ctes += ("q194n" -> "(SELECT count(*)::BIGINT AS n FROM q194q)")
+    ctes += ("q194s" ->
+      s"""(SELECT i.range::INT AS i, CAST(sum(q[i.range + 1]) AS BIGINT) AS s
+         |  FROM q194q, range(0, $d) i GROUP BY 1)""".stripMargin)
+    ctes += ("q194p" ->
+      s"""(SELECT i.range::INT AS i, j.range::INT AS j,
+         |    CAST(sum(q[i.range + 1] * q[j.range + 1]) AS BIGINT) AS p
+         |  FROM q194q, range(0, $d) i, range(0, $d) j
+         |  WHERE i.range <= j.range GROUP BY 1, 2)""".stripMargin)
+    ctes += ("q194m" ->
+      """(SELECT ij.i, ij.j,
+        |    CAST(n.n * p.p - si.s * sj.s AS DOUBLE) AS c
+        |  FROM (SELECT a.i, b.j, least(a.i, b.j) AS lo, greatest(a.i, b.j) AS hi
+        |        FROM (SELECT DISTINCT i FROM q194s) a(i), (SELECT DISTINCT i FROM q194s) b(j)) ij
+        |  JOIN q194p p ON p.i = ij.lo AND p.j = ij.hi
+        |  JOIN q194s si ON si.i = ij.i
+        |  JOIN q194s sj ON sj.i = ij.j
+        |  CROSS JOIN q194n n)""".stripMargin)
+    ctes += ("q194v0" -> s"(SELECT i.range::INT AS i, 0.125::DOUBLE AS v FROM range(0, $d) i)")
+    var prev = "q194v0"
+    for (r <- 1 to SpecRounds) {
+      ctes += (s"q194w$r" ->
+        s"""(SELECT m.i,
+           |    list_reduce(list_prepend(0.0::DOUBLE, list(m.c * v.v ORDER BY m.j)), (a, b) -> a + b) AS w
+           |  FROM q194m m JOIN $prev v ON v.i = m.j GROUP BY m.i)""".stripMargin)
+      ctes += (s"q194nr$r" ->
+        s"""(SELECT sqrt(list_reduce(list_prepend(0.0::DOUBLE, list(w * w ORDER BY i)), (a, b) -> a + b)) AS nrm
+           |  FROM q194w$r)""".stripMargin)
+      ctes += (s"q194v$r" -> s"(SELECT i, w / nrm AS v FROM q194w$r CROSS JOIN q194nr$r)")
+      prev = s"q194v$r"
+    }
+    ctes += ("q194wf" ->
+      s"""(SELECT m.i,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(m.c * v.v ORDER BY m.j)), (a, b) -> a + b) AS w
+         |  FROM q194m m JOIN $prev v ON v.i = m.j GROUP BY m.i)""".stripMargin)
+    ctes += ("q194ray" ->
+      s"""(SELECT
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(v.v * w.w ORDER BY v.i)), (a, b) -> a + b) AS num,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(v.v * v.v ORDER BY v.i)), (a, b) -> a + b) AS den
+         |  FROM $prev v JOIN q194wf w ON w.i = v.i)""".stripMargin)
+    ctes += ("q194tf" ->
+      """(SELECT
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(CASE WHEN i = j THEN c ELSE 0.0 END ORDER BY i, j)), (a, b) -> a + b) AS tr,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(c * c ORDER BY i, j)), (a, b) -> a + b) AS f2
+        |  FROM q194m)""".stripMargin)
+    ctes += ("q194top" ->
+      s"""(SELECT i::BIGINT AS top_dim, v AS top_loading
+         |  FROM $prev ORDER BY abs(v) DESC, i LIMIT 1)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      s"""SELECT n.n AS n_sample,
+         |  round(t.tr / (n.n::DOUBLE * n.n::DOUBLE * ${SpecQ}.0 * ${SpecQ}.0), 6) AS trace_var,
+         |  round((r.num / r.den) / (n.n::DOUBLE * n.n::DOUBLE * ${SpecQ}.0 * ${SpecQ}.0), 6) AS lambda1_var,
+         |  round((r.num / r.den) / t.tr, 6) AS pc1_share,
+         |  round(t.tr * t.tr / t.f2, 6) AS erank,
+         |  tp.top_dim,
+         |  round(tp.top_loading, 6) AS top_loading
+         |FROM q194n n CROSS JOIN q194ray r CROSS JOIN q194tf t CROSS JOIN q194top tp""".stripMargin)
+  }
 }
