@@ -2469,4 +2469,88 @@ object StatsOps {
        |FROM q174m m JOIN q174d d USING (event_type)
        |ORDER BY m.event_type""".stripMargin
   }
+
+  // --- q195: unseen-vocabulary mass (Good-Turing / Chao1) --------------------
+
+  /** "How much vocabulary have we NOT seen yet?" — the data-acquisition
+    * question q82's Heaps fit answers by extrapolating a growth CURVE;
+    * this answers it from the frequency SPECTRUM at the current corpus
+    * size, per source and for the pooled corpus: Good-Turing unseen mass
+    * `P₀ = N₁/N` (the probability the next token drawn is a new type —
+    * Good 1953), and the bias-corrected Chao1 richness floor
+    * `V + N₁(N₁−1)/(2(N₂+1))` (Chao 1984) with its implied vocabulary
+    * deficit. A source with high P₀ is under-sampled — more data from it
+    * buys new types, not repeats; the `_ALL` row prices the pooled
+    * corpus. Singletons/doubletons are exactly what fuzzy dedup and
+    * boilerplate stripping perturb, so re-reading this table after a q33
+    * pass shows whether cleaning ate the long tail (q145's gram-survival
+    * question at the vocabulary grain).
+    *
+    * Scale shape: ONE explode → (source, token) count (map-side combine,
+    * one shuffle); the per-source spectrum is a second keyed aggregate on
+    * the (source, token, c) grain, and the `_ALL` spectrum re-aggregates
+    * that same persisted grain by token (sum of per-source counts — no
+    * second corpus scan). Pure integer sums; one divide-round per ratio.
+    */
+  def unseenMass(spark: SparkSession, dir: String): DataFrame = {
+    val st = graft.core.CacheScope.persist(
+      docs(spark, dir)
+        .select(col("source"), explode(TextOps.toks).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c")))
+    val spectrum = (g: org.apache.spark.sql.RelationalGroupedDataset) =>
+      g.agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+    val per = spectrum(st.groupBy(col("source")))
+    val all = spectrum(
+      st.groupBy(col("tok")).agg(sum(col("c")).as("c")).withColumn("source", lit("_ALL"))
+        .groupBy(col("source")))
+    per
+      .unionByName(all)
+      .select(
+        col("source"), col("n_tokens"), col("vocab"), col("n1"), col("n2"),
+        round(col("n1").cast("double") / col("n_tokens").cast("double"), 6).as("p_unseen"),
+        round(
+          col("vocab").cast("double") +
+            (col("n1") * (col("n1") - lit(1L))).cast("double") /
+            (lit(2L) * (col("n2") + lit(1L))).cast("double"),
+          6).as("chao1"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: same spectrum algebra on the same token grain; integer
+    * numerators/denominators built before the single divide-round, so the
+    * only double op per ratio is one division (identical both engines).
+    */
+  lazy val unseenMassSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q195t" ->
+        s"""(SELECT source, tok, count(*)::BIGINT AS c
+           |  FROM (SELECT source, unnest(${TextOps.DuckToks}) AS tok FROM documents)
+           |  WHERE tok <> '' GROUP BY 1, 2)""".stripMargin,
+      "q195a" ->
+        """(SELECT '_ALL' AS source, tok, CAST(sum(c) AS BIGINT) AS c
+          |  FROM q195t GROUP BY 2)""".stripMargin,
+      "q195u" -> "(SELECT * FROM q195t UNION ALL SELECT * FROM q195a)",
+      "q195s" ->
+        """(SELECT source,
+          |    CAST(sum(c) AS BIGINT) AS n_tokens,
+          |    count(*)::BIGINT AS vocab,
+          |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          |  FROM q195u GROUP BY 1)""".stripMargin
+    )
+    assemble(
+      ctes.toSeq,
+      """SELECT source, n_tokens, vocab, n1, n2,
+        |  round(n1::DOUBLE / n_tokens::DOUBLE, 6) AS p_unseen,
+        |  round(vocab::DOUBLE + CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(2 * (n2 + 1) AS DOUBLE), 6) AS chao1
+        |FROM q195s
+        |ORDER BY source""".stripMargin)
+  }
 }
