@@ -1965,14 +1965,21 @@ object TrainingOps {
     * `reverse(array_sort(...))` touches ≤ k elements per stratum and
     * yields ascending (h, doc_id) — exactly the window's rank order.
     */
-  def reservoirSample(spark: SparkSession, dir: String): DataFrame = {
+  def reservoirSample(spark: SparkSession, dir: String): DataFrame =
+    reservoirOf(docs(spark, dir))
+
+  /** The reservoir kernel on any (source, lang, doc_id) frame — shared
+    * verbatim by streaming E47 (the CollectTopK buffer IS the reservoir
+    * state there: ≤ k rows per stratum in the state store, updated
+    * incrementally per micro-batch).
+    */
+  private[graft] def reservoirOf(in: DataFrame): DataFrame = {
     import graft.functions.Expressions.collect_topk
     val item = struct(
       bitwise_not(xxhash64(col("doc_id"))).as("nh"),
       bitwise_not(col("doc_id")).as("nd"),
       col("doc_id").as("doc_id"))
-    docs(spark, dir)
-      .groupBy(col("source"), col("lang"))
+    in.groupBy(col("source"), col("lang"))
       .agg(collect_topk(item, ReservoirK).as("top"))
       .select(col("source"), col("lang"), posexplode(reverse(array_sort(col("top")))))
       .select(

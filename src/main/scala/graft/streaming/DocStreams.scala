@@ -455,4 +455,23 @@ object DocStreams {
         col("v"),
         col("n_docs"),
         col("mass"))
+
+  case class StratDoc(doc_id: Long, lang: String, source: String, ts: java.sql.Timestamp)
+
+  /** E47: streaming per-stratum reservoir — the live twin of batch q192,
+    * sharing its kernel verbatim ([[graft.operators.TrainingOps
+    * .reservoirOf]]): per (source, lang) stratum the running k-sample
+    * under ascending `xxhash64(doc_id)`. Because the draw key is a pure
+    * content hash, the reservoir after ANY prefix of the stream equals
+    * the batch sample of exactly those documents (spec-pinned at the
+    * half-corpus and full-corpus points) — arrival order, batching, and
+    * restarts never change the sample. State is the CollectTopK buffer:
+    * ≤ k rows per stratum in the state store, no matter the stream
+    * volume — the same bounded-state argument as E13, here as an
+    * UNWINDOWED running aggregate (complete mode: strata are a bounded
+    * key space by contract, so the re-emitted result is bounded too;
+    * the final sort is legal exactly because the mode is complete).
+    */
+  def reservoirStream(docs: DataFrame): DataFrame =
+    graft.operators.TrainingOps.reservoirOf(docs)
 }

@@ -1801,4 +1801,33 @@ class StreamingSpec extends SparkSpec {
       s"stream≡batch: ${streamed.size} streamed vs ${batch.size} batch; " +
         s"diff ${(streamed -- batch).take(3)} / ${(batch -- streamed).take(3)}")
   }
+
+  test("E47: streaming reservoir equals batch q192 at every prefix (complete mode)") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.StratDoc
+    implicit val ctx = spark.sqlContext
+    val rows = graft.core.Tables.documents(spark, Sf0001)
+      .select("doc_id", "lang", "source").collect()
+      .map(r => StratDoc(r.getLong(0), r.getString(1), r.getString(2),
+        Timestamp.valueOf("2024-01-01 10:00:00")))
+    val (b1, b2) = rows.partition(_.doc_id % 2 == 0)
+    def shape(a: Array[org.apache.spark.sql.Row]) =
+      a.map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    val in = MemoryStream[StratDoc]
+    val q = DocStreams.reservoirStream(in.toDF())
+      .writeStream.format("memory").queryName("resv_s").outputMode("complete").start()
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    val half = shape(spark.table("resv_s").collect())
+    // content-stable draw: the prefix reservoir IS the batch sample of the prefix
+    val halfBatch = shape(graft.operators.TrainingOps.reservoirOf(b1.toSeq.toDF()).collect())
+    assert(half == halfBatch, "half-corpus stream reservoir != batch reservoir of the same docs")
+    in.addData(b2.toSeq: _*); q.processAllAvailable()
+    val full = shape(spark.table("resv_s").collect())
+    q.stop()
+    val fullBatch = shape(graft.operators.TrainingOps.reservoirSample(spark, Sf0001).collect())
+    assert(full == fullBatch, "full-corpus stream reservoir != batch q192")
+    // and the reservoir actually evolved between the two points
+    assert(half != full)
+  }
 }
