@@ -2553,4 +2553,120 @@ object StatsOps {
         |FROM q195s
         |ORDER BY source""".stripMargin)
   }
+
+  // --- q196: pairwise source distributional divergence -----------------------
+
+  /** Pairwise Jensen-Shannon divergence matrix over hashed unigram
+    * distributions — the redundancy question q71 (each source vs the
+    * pooled mix) and q54 (exact shingle overlap) leave open: WHICH PAIRS
+    * of sources say the same things in the same proportions? A near-zero
+    * JS pair is a candidate for collapsing in q53/q70's mixing weights
+    * (two crawls of the same site, a mirror, a re-crawl) long before
+    * shingle-level dedup would prove it document by document; JS is
+    * symmetric and bounded (≤ ln 2), so one number per pair ranks the
+    * whole |sources|² design space.
+    *
+    * Same scale machinery as q71: ONE corpus scan collapses map-side to
+    * the |sources|×[[DriftBuckets]] count grid; add-one smoothing over
+    * the FULL bucket universe makes both distributions sum to exactly 1
+    * (a true JS); the pair join runs on the bounded grid (never the
+    * corpus), |pairs|·B cells. Exactness: each bucket term uses ln of an
+    * EXACT INTEGER ratio — `2(c₁+1)(n₂+B)` over the shared mixed
+    * denominator — rounded once (q49/q57 rule), folded ascending by
+    * bucket; products stay < 2⁵³ at any n this library meets (the q71
+    * split-ln note applies beyond).
+    */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val B = DriftBuckets
+    val counts = graft.core.CacheScope.persist(
+      docs(spark, dir)
+        .select(col("source"), TextOps.toks.as("toks"))
+        .select(col("source"), explode(expr(s"transform(toks, t -> pmod(xxhash64(t), $B))")).as("f"))
+        .groupBy(col("source"), col("f"))
+        .agg(count(lit(1)).as("c")))
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    // full smoothed support: every source × every bucket 0..B-1 — an
+    // in-row sequence explode on the tiny totals table, no join
+    val universe = totals
+      .select(col("source"), col("n"), explode(expr(s"sequence(0L, ${B - 1}L)")).as("f"))
+    val grid = universe
+      .join(counts, Seq("source", "f"), "left")
+      .select(col("source"), col("f"), col("n"), coalesce(col("c"), lit(0L)).as("c"))
+    val a = grid.select(
+      col("source").as("source_a"), col("f"),
+      col("n").as("n_a"), col("c").as("c_a"))
+    val b = grid.select(
+      col("source").as("source_b"), col("f"),
+      col("n").as("n_b"), col("c").as("c_b"))
+    a.join(b, Seq("f"))
+      .filter(col("source_a") < col("source_b"))
+      .withColumn("den",
+        (col("c_a") + lit(1L)) * (col("n_b") + lit(B.toLong)) +
+          (col("c_b") + lit(1L)) * (col("n_a") + lit(B.toLong)))
+      .withColumn("term",
+        (col("c_a") + lit(1L)).cast("double") / (col("n_a") + lit(B.toLong)).cast("double") *
+          round(log(
+            (lit(2L) * (col("c_a") + lit(1L)) * (col("n_b") + lit(B.toLong))).cast("double") /
+              col("den").cast("double")), 6) +
+          (col("c_b") + lit(1L)).cast("double") / (col("n_b") + lit(B.toLong)).cast("double") *
+          round(log(
+            (lit(2L) * (col("c_b") + lit(1L)) * (col("n_a") + lit(B.toLong))).cast("double") /
+              col("den").cast("double")), 6))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        max(col("n_a")).as("n_a"),
+        max(col("n_b")).as("n_b"),
+        expr("aggregate(array_sort(collect_list(struct(f, term))), 0D, (a, x) -> a + x.term)")
+          .as("ts"))
+      .select(
+        col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        round(col("ts") * 0.5, 6).as("js_div"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Oracle: same grid, same exact-integer ln ratios rounded once, same
+    * bucket-ordered fold and final half-round.
+    */
+  lazy val sourceDivergenceSql: String = {
+    import graft.functions.DuckHash._
+    val B = DriftBuckets
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q196t" ->
+        s"""(SELECT source, tok FROM
+           |  (SELECT source, unnest(${TextOps.DuckToks}) AS tok FROM documents))""".stripMargin,
+      "q196d" -> s"(SELECT tok, ${bytesOf("tok")} AS b FROM (SELECT DISTINCT tok FROM q196t))"
+    )
+    val hb = hashBytesChain("q196hx", "q196d", Seq("tok"), "42", "hs")
+    ctes ++= hb.ctes
+    ctes += ("q196f" ->
+      s"(SELECT tok, ((${toSigned("hs")} % $B) + $B) % $B AS f FROM ${hb.last})")
+    ctes += ("q196c" ->
+      """(SELECT source, f, count(*)::BIGINT AS c
+        |  FROM q196t JOIN q196f USING (tok) GROUP BY 1, 2)""".stripMargin)
+    ctes += ("q196n" -> "(SELECT source, CAST(sum(c) AS BIGINT) AS n FROM q196c GROUP BY 1)")
+    ctes += ("q196u" ->
+      s"""(SELECT t.source, t.n, u.range::BIGINT AS f
+         |  FROM q196n t, range(0, $B) u)""".stripMargin)
+    ctes += ("q196g" ->
+      """(SELECT u.source, u.f, u.n, coalesce(c.c, 0)::BIGINT AS c
+        |  FROM q196u u LEFT JOIN q196c c ON c.source = u.source AND c.f = u.f)""".stripMargin)
+    ctes += ("q196p" ->
+      s"""(SELECT a.source AS source_a, b.source AS source_b, a.f,
+         |    a.n AS n_a, a.c AS c_a, b.n AS n_b, b.c AS c_b,
+         |    (a.c + 1) * (b.n + $B) + (b.c + 1) * (a.n + $B) AS den
+         |  FROM q196g a JOIN q196g b ON a.f = b.f AND a.source < b.source)""".stripMargin)
+    ctes += ("q196e" ->
+      s"""(SELECT source_a, source_b, f, n_a, n_b,
+         |    CAST(c_a + 1 AS DOUBLE) / CAST(n_a + $B AS DOUBLE)
+         |      * round(ln(CAST(2 * (c_a + 1) * (n_b + $B) AS DOUBLE) / CAST(den AS DOUBLE)), 6)
+         |    + CAST(c_b + 1 AS DOUBLE) / CAST(n_b + $B AS DOUBLE)
+         |      * round(ln(CAST(2 * (c_b + 1) * (n_a + $B) AS DOUBLE) / CAST(den AS DOUBLE)), 6) AS term
+         |  FROM q196p)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT source_a, source_b, max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY f)), (a, b) -> a + b) * 0.5, 6) AS js_div
+        |FROM q196e GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)
+  }
 }
