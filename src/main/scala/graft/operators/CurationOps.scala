@@ -3404,16 +3404,26 @@ object CurationOps {
     * projection on the bounded |sources|·buckets cell grid. Nothing else
     * touches the corpus.
     */
+  /** u ∈ (0,1) from a 64-bit hash column — the q67 bit-pattern trick,
+    * written in the exact op order the oracles replay.
+    */
+  private[graft] def hashUniform(h: String): Column =
+    expr(s"((cast($h as double) + 9.223372036854775808e18) + 0.5) / 1.8446744073709551616e19")
+
+  /** Laplace(1/ε) draw from uniform column `u` by inverse CDF — rounds
+    * ONCE from the raw ln per ε (pre-rounding the ln parks t/ε exactly on
+    * a rounding half-point). Shared by batch q193 and streaming E48.
+    */
+  private[graft] def lapNoise(u: String, eps: Double): Column =
+    expr(s"round(-signum($u - 0.5) * ln(1 - 2 * abs($u - 0.5)) / $eps, 6)")
+
   def dpHistogram(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .groupBy(col("source"), expr(s"n_chars div $DpBucketWidth").as("len_bucket"))
       .agg(count(lit(1)).as("c_true"))
-      .withColumn("u",
-        expr("((cast(xxhash64(source, len_bucket) as double) + 9.223372036854775808e18) + 0.5)" +
-          " / 1.8446744073709551616e19"))
-      .withColumn("t", expr("ln(1 - 2 * abs(u - 0.5))"))
-      .withColumn("n05", expr("round(-signum(u - 0.5) * t / 0.5, 6)"))
-      .withColumn("n20", expr("round(-signum(u - 0.5) * t / 2.0, 6)"))
+      .withColumn("u", hashUniform("xxhash64(source, len_bucket)"))
+      .withColumn("n05", lapNoise("u", 0.5))
+      .withColumn("n20", lapNoise("u", 2.0))
       .select(
         col("source"),
         col("len_bucket"),

@@ -1400,4 +1400,34 @@ object EventStreams extends Serializable {
           out.iterator
       }
   }
+
+  /** E48: streaming DP-release gate (twin: q193, noise kernel shared
+    * verbatim via [[graft.operators.CurationOps.lapNoise]] /
+    * `hashUniform`) — each closed event-time window publishes its
+    * per-type count WITH Laplace(1/ε) noise already applied, so a live
+    * dashboard fed from this stream never sees a raw small count. The
+    * draw's uniform comes from `xxhash64(event_type, window_start)`: the
+    * (type, window) cell identity, NOT the data — so a restart/replay
+    * re-publishes the identical noisy value (exactly-once releases even
+    * under recovery, spec-pinned equal to the batch recompute), and two
+    * windows never share noise. ε rides per release; sensitivity 1 per
+    * count cell (disjoint windows × types). State: the windowed count
+    * only (watermark-bounded); the noise is a stateless projection at
+    * emission — the E43 shape with q193's release algebra on top.
+    */
+  def dpReleaseStream(events: DataFrame, eps: Double = 1.0): DataFrame = {
+    import graft.operators.CurationOps
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c_true"))
+      .withColumn("u",
+        CurationOps.hashUniform("xxhash64(event_type, cast(window.start as long))"))
+      .withColumn("noise", CurationOps.lapNoise("u", eps))
+      .select(
+        col("window.start").as("w_start"),
+        col("event_type"),
+        col("c_true"),
+        round(col("c_true") + col("noise"), 6).as("noisy_c"))
+  }
 }

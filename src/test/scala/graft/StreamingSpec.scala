@@ -1830,4 +1830,44 @@ class StreamingSpec extends SparkSpec {
     // and the reservoir actually evolved between the two points
     assert(half != full)
   }
+
+  test("E48: DP release emits noisy counts exactly once, equal to the batch recompute") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(x: String) = Timestamp.valueOf(x)
+    val evs = Seq(
+      Ev(1, 1, t("2024-01-01 10:05:00"), "click", 1.0),
+      Ev(2, 2, t("2024-01-01 10:25:00"), "click", 1.0),
+      Ev(3, 1, t("2024-01-01 10:40:00"), "view", 1.0),
+      Ev(4, 3, t("2024-01-01 11:10:00"), "click", 1.0),
+      Ev(5, 2, t("2024-01-01 11:30:00"), "view", 1.0))
+    val (b1, b2) = evs.partition(_.event_id <= 3)
+    val in = MemoryStream[Ev]
+    val q = EventStreams.dpReleaseStream(in.toDF(), eps = 1.0)
+      .writeStream.format("memory").queryName("dp_s").outputMode("append").start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(Ev(99, 9, t("2024-06-01 00:00:00"), "click", 1.0)); q.processAllAvailable()
+    in.addData(); q.processAllAvailable()
+    val got = spark.table("dp_s").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    q.stop()
+    val closed = got.filter(_._1.before(t("2024-06-01 00:00:00")))
+    // exactly once per (window, type)
+    assert(closed.map(x => (x._1, x._2)).distinct.length == closed.length)
+    // equal to the batch recompute through the SAME shared noise kernel
+    import graft.operators.CurationOps
+    val batch = evs.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c_true"))
+      .withColumn("u", CurationOps.hashUniform("xxhash64(event_type, cast(window.start as long))"))
+      .withColumn("noise", CurationOps.lapNoise("u", 1.0))
+      .select(col("window.start"), col("event_type"), col("c_true"),
+        round(col("c_true") + col("noise"), 6))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(closed.toSet == batch, s"stream release != batch recompute")
+    // noise is real (some release differs from its true count) but bounded-sane
+    assert(closed.exists(x => x._4 != x._3.toDouble))
+  }
 }
