@@ -2029,4 +2029,104 @@ object VectorOps {
          |  round(tp.top_loading, 6) AS top_loading
          |FROM q194n n CROSS JOIN q194ray r CROSS JOIN q194tf t CROSS JOIN q194top tp""".stripMargin)
   }
+
+  // --- q197: cluster-quality silhouette audit --------------------------------
+
+  /** Simplified (centroid) silhouette audit of the IVF/topic quantizer —
+    * the "are these clusters REAL?" number q114's cohesion table cannot
+    * give: cohesion says members sit near their centroid, silhouette says
+    * they sit nearer their OWN centroid than the next-best one. Per
+    * member, with cosine distance d = 1 − cos and c₁/c₂ the two nearest
+    * centroids: s = (cos₁ − cos₂)/(1 − cos₂) ∈ [−1, 1]; per cluster the
+    * mean/min silhouette and the count of NEGATIVE members (vectors that
+    * sit closer to a neighbouring cell — misassigned mass that q32's
+    * probes must chase across cells, and the first thing to reconcile
+    * before trusting q114's composition or q65's semantic dedup radius).
+    *
+    * Scale shape: the shared bounded trainer (≤512-vector systematic
+    * sample), then ONE codegen'd top-2 assignment projection
+    * (`nearest_centroids(v, cents, 2)` — same argmax kernel, zero
+    * shuffle), two broadcast 16-row centroid joins, and ONE ≤|cells|
+    * -group aggregate. Exactness: cosines quantize to micro-ints first
+    * (q114's rule); the member silhouette re-quantizes the exact-integer
+    * ratio with FLOOR, not round — an integer ratio times 10⁶ can land
+    * EXACTLY on a rounding half-point (not measure-zero like a dot
+    * product), and floor has no tie rule to diverge on.
+    */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Expressions.nearest_centroids
+    import spark.implicits._
+    val e      = emb(spark, dir)
+    val cents  = trainCentroids(collectSample(e), IvfCells)
+    val centDf = cents.toSeq.zipWithIndex.map { case (w, i) => (i, w.toSeq) }.toDF("cell", "w")
+    e.withColumn("nc", nearest_centroids(col("v"), cents, 2))
+      .withColumn("c1", col("nc").getItem(0))
+      .withColumn("c2", col("nc").getItem(1))
+      .join(broadcast(centDf.select(col("cell").as("c1"), col("w").as("w1"))), Seq("c1"))
+      .join(broadcast(centDf.select(col("cell").as("c2"), col("w").as("w2"))), Seq("c2"))
+      .withColumn("ci1",
+        round(dot_product(col("v"), col("w1")) / col("nrm") * lit(1e6), 0).cast("long"))
+      .withColumn("ci2",
+        round(dot_product(col("v"), col("w2")) / col("nrm") * lit(1e6), 0).cast("long"))
+      .withColumn("sq",
+        when(col("ci2") === 1000000L, 0L).otherwise(
+          floor(
+            (col("ci1") - col("ci2")).cast("double") /
+              (lit(1000000L) - col("ci2")).cast("double") * lit(1000000.0)).cast("long")))
+      .groupBy(col("c1"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(col("sq")).as("ssq"),
+        min(col("sq")).as("msq"),
+        sum(when(col("sq") < 0L, 1L).otherwise(0L)).as("n_negative"))
+      .select(
+        (col("c1") + 1).as("cluster"),
+        col("n_members"),
+        round(col("ssq").cast("double") / (col("n_members").cast("double") * lit(1000000.0)), 6)
+          .as("mean_sil"),
+        round(col("msq").cast("double") / lit(1000000.0), 6).as("min_sil"),
+        col("n_negative"))
+      .orderBy(col("cluster"))
+  }
+
+  /** q197 oracle: the shared trainer chain, a rank-1/rank-2 window over
+    * the per-cell dot list with the kernel's exact tiebreak (dot DESC,
+    * cell ASC — `list_position(ds, list_max(ds))` picks the same first
+    * index), identical micro-int quantization and floor re-quantization.
+    */
+  lazy val silhouetteSql: String = {
+    import graft.functions.DuckHash.assemble
+    import scala.collection.mutable.ArrayBuffer
+    val D    = 64
+    val ctes = ArrayBuffer(ivfAssignCtes(D): _*)
+    val cf   = s"q32c$IvfIters"
+    ctes += ("q197ds" ->
+      s"""(SELECT vec_id AS n_id, nrm AS cn,
+         |    list_transform(cents, w -> ${dotFoldSql("v", "w", D)}) AS ds
+         |  FROM q32ef, $cf)""".stripMargin)
+    ctes += ("q197r" ->
+      s"""(SELECT n_id, cn, r.range::INT AS cell, ds[r.range] AS dot,
+         |    ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY ds[r.range] DESC, r.range) AS rn
+         |  FROM q197ds, range(1, ${IvfCells + 1}) r)""".stripMargin)
+    ctes += ("q197m" ->
+      """(SELECT a.n_id, a.cell AS c1,
+        |    CAST(round(a.dot / a.cn * 1000000.0, 0) AS BIGINT) AS ci1,
+        |    CAST(round(b.dot / b.cn * 1000000.0, 0) AS BIGINT) AS ci2
+        |  FROM (SELECT * FROM q197r WHERE rn = 1) a
+        |  JOIN (SELECT * FROM q197r WHERE rn = 2) b USING (n_id))""".stripMargin)
+    ctes += ("q197s" ->
+      """(SELECT n_id, c1,
+        |    CASE WHEN ci2 = 1000000 THEN 0
+        |         ELSE CAST(floor(CAST(ci1 - ci2 AS DOUBLE)
+        |           / CAST(1000000 - ci2 AS DOUBLE) * 1000000.0) AS BIGINT) END AS sq
+        |  FROM q197m)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT c1::INTEGER AS cluster, count(*)::BIGINT AS n_members,
+        |  round(CAST(sum(sq) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_sil,
+        |  round(min(sq)::DOUBLE / 1000000.0, 6) AS min_sil,
+        |  CAST(sum(CASE WHEN sq < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+        |FROM q197s GROUP BY c1
+        |ORDER BY cluster""".stripMargin)
+  }
 }
