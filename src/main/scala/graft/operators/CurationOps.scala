@@ -3329,17 +3329,21 @@ object CurationOps {
     * arithmetic is exact at these magnitudes), identical cut/chunk
     * extraction, md5 chunk identity and min-owner rule.
     */
-  lazy val cdcChunksSql: String = {
-    import graft.functions.DuckHash._
+  /** The q189 chunk-extraction CTE chain (codepoints → boundary scan →
+    * cuts → md5 chunk grain `q189k(keys..., h, clen)`), parameterized by
+    * the key columns carried through — shared by q189 and q198.
+    */
+  private def cdcChunkCtes(keys: Seq[String]): Seq[(String, String)] = {
     val w    = CdcWindow
     val pows = CdcPows.mkString("[", ", ", "]")
-    val ctes = Seq(
+    val ks   = keys.mkString(", ")
+    Seq(
       "q189cs" ->
-        """(SELECT doc_id, text, length(text) AS n,
-          |   list_transform(string_split(text, ''), c -> ord(c)::BIGINT) AS cs
-          | FROM documents)""".stripMargin,
+        s"""(SELECT $ks, text, length(text) AS n,
+           |   list_transform(string_split(text, ''), c -> ord(c)::BIGINT) AS cs
+           | FROM documents)""".stripMargin,
       "q189b" ->
-        s"""(SELECT doc_id, text, n,
+        s"""(SELECT $ks, text, n,
            |   CASE WHEN n < $w THEN []
            |   ELSE list_filter(
            |     list_transform(generate_series($w, n), i ->
@@ -3352,19 +3356,23 @@ object CurationOps {
            |   END AS bnds
            | FROM q189cs)""".stripMargin,
       "q189c" ->
-        """(SELECT doc_id, text, n,
-          |   list_concat(list_concat([0::BIGINT], bnds),
-          |     CASE WHEN len(bnds) = 0 OR bnds[-1] <> n THEN [n] ELSE [] END) AS cuts
-          | FROM q189b)""".stripMargin,
+        s"""(SELECT $ks, text, n,
+           |   list_concat(list_concat([0::BIGINT], bnds),
+           |     CASE WHEN len(bnds) = 0 OR bnds[-1] <> n THEN [n] ELSE [] END) AS cuts
+           | FROM q189b)""".stripMargin,
       "q189k" ->
-        """(SELECT doc_id, md5(chunk) AS h, length(chunk)::BIGINT AS clen
-          | FROM (SELECT doc_id,
-          |     unnest(list_transform(generate_series(1, len(cuts) - 1),
-          |       k -> text[cuts[k] + 1 : cuts[k + 1]])) AS chunk
-          |   FROM q189c WHERE n >= 1))""".stripMargin,
-      "q189o" ->
-        "(SELECT *, min(doc_id) OVER (PARTITION BY h) AS owner FROM q189k)"
+        s"""(SELECT $ks, md5(chunk) AS h, length(chunk)::BIGINT AS clen
+           | FROM (SELECT $ks,
+           |     unnest(list_transform(generate_series(1, len(cuts) - 1),
+           |       k -> text[cuts[k] + 1 : cuts[k + 1]])) AS chunk
+           |   FROM q189c WHERE n >= 1))""".stripMargin
     )
+  }
+
+  lazy val cdcChunksSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = cdcChunkCtes(Seq("doc_id")) :+ ("q189o" ->
+      "(SELECT *, min(doc_id) OVER (PARTITION BY h) AS owner FROM q189k)")
     assemble(
       ctes,
       """SELECT doc_id, count(*)::BIGINT AS n_chunks,
@@ -3470,5 +3478,116 @@ object CurationOps {
         |  round(abs(n20), 6) AS abs_err_e20
         |FROM q193n
         |ORDER BY source, len_bucket""".stripMargin)
+  }
+
+  // --- q198: CDC incremental-sync planner ------------------------------------
+
+  /** Incremental-transfer plan between corpus snapshots over the
+    * content-defined chunk store — the systems question q189's dup table
+    * sets up: yesterday's snapshot (the `xxhash64(doc_id)`-even half — a
+    * hash split, because raw doc_id parity correlates with source in the
+    * testdata and would make the halves source-disjoint) already sits on
+    * the replica chunk store; how many bytes does today's half ACTUALLY
+    * need to ship? Per source and `_ALL`:
+    * new-doc/byte volume, distinct chunks, chunks already present in the
+    * old store, bytes to send (distinct-new-chunk bytes — a chunk shared
+    * by two new docs ships once), and the send ratio. Because chunk
+    * boundaries are content-defined, an edited repost re-ships only its
+    * changed chunks — the rsync/restic economics, priced on real data
+    * before a 100 TB replication commits. Per-source rows attribute a
+    * cross-source shared chunk to EACH source (an upper bound, stated);
+    * the `_ALL` row is the true global plan at the global distinct grain.
+    *
+    * Scale shape: the same compiled boundary kernel
+    * (`Expressions.cdc_chunks`, one codegen'd call/row), ONE persisted
+    * chunk grain; the old-store membership is a distinct-hash equi-join
+    * (never doc×doc), all rollups keyed aggregates with map-side combine.
+    */
+  def syncPlan(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.core.CacheScope.persist(
+      docs(spark, dir)
+        .select(col("doc_id"), col("source"),
+          explode(graft.functions.Expressions.cdc_chunks(col("text"))).as("chunk"))
+        .select(
+          col("doc_id"), col("source"),
+          (pmod(xxhash64(col("doc_id")), lit(2L)) === 0L).as("is_old"),
+          md5(col("chunk").cast("binary")).as("h"),
+          length(col("chunk")).cast("long").as("clen")))
+    val oldSet = chunks.filter(col("is_old")).select(col("h")).distinct()
+      .withColumn("in_old", lit(true))
+    val newC = chunks.filter(!col("is_old"))
+    val occ = newC.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks_new"), sum(col("clen")).as("bytes_new"))
+    val occAll = newC.groupBy(lit("_ALL").as("source"))
+      .agg(count(lit(1)).as("n_chunks_new"), sum(col("clen")).as("bytes_new"))
+    val dist = newC.select(col("source"), col("h"), col("clen")).distinct()
+      .unionByName(newC.select(lit("_ALL").as("source"), col("h"), col("clen")).distinct())
+    val planned = dist
+      .join(oldSet, Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("chunks_distinct"),
+        sum(when(col("in_old"), 1L).otherwise(0L)).as("chunks_in_old"),
+        sum(when(col("in_old"), 0L).otherwise(col("clen"))).as("bytes_to_send"))
+    val newDocs = docs(spark, dir).filter(pmod(xxhash64(col("doc_id")), lit(2L)) === 1L)
+    val nd = newDocs
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs_new"))
+      .unionByName(
+        newDocs.groupBy(lit("_ALL").as("source")).agg(count(lit(1)).as("n_docs_new")))
+    nd.join(occ.unionByName(occAll), Seq("source"))
+      .join(planned, Seq("source"))
+      .select(
+        col("source"), col("n_docs_new"), col("bytes_new"), col("n_chunks_new"),
+        col("chunks_distinct"), col("chunks_in_old"), col("bytes_to_send"),
+        round(col("bytes_to_send").cast("double") / col("bytes_new").cast("double"), 4)
+          .as("send_ratio"))
+      .orderBy(col("source"))
+  }
+
+  /** q198 oracle: the shared chunk CTE chain with `source` carried, the
+    * same distinct/occurrence grains and membership join.
+    */
+  lazy val syncPlanSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      cdcChunkCtes(Seq("doc_id", "source")): _*)
+    ctes += ("q198hin" -> "(SELECT doc_id, doc_id::HUGEINT AS l FROM documents)")
+    val hc = new SqlChain("q198h", "q198hin", Seq("doc_id", "l"))
+    hashLongLevels(hc, s"${toUnsigned("l")}", "42", "hh")
+    ctes ++= hc.ctes
+    ctes += ("q198par" ->
+      s"(SELECT doc_id, ((${toSigned("hh")} % 2) + 2) % 2 = 0 AS is_old FROM ${hc.last})")
+    ctes += ("q198k" ->
+      "(SELECT k.doc_id, k.source, p.is_old, k.h, k.clen FROM q189k k JOIN q198par p ON p.doc_id = k.doc_id)")
+    ctes += ("q198old" -> "(SELECT DISTINCT h FROM q198k WHERE is_old)")
+    ctes += ("q198occ" ->
+      """(SELECT source, count(*)::BIGINT AS n_chunks_new, CAST(sum(clen) AS BIGINT) AS bytes_new
+        |  FROM q198k WHERE NOT is_old GROUP BY 1
+        |  UNION ALL
+        |  SELECT '_ALL', count(*)::BIGINT, CAST(sum(clen) AS BIGINT)
+        |  FROM q198k WHERE NOT is_old)""".stripMargin)
+    ctes += ("q198d" ->
+      """(SELECT DISTINCT source, h, clen FROM q198k WHERE NOT is_old
+        |  UNION ALL
+        |  SELECT DISTINCT '_ALL' AS source, h, clen FROM q198k WHERE NOT is_old)""".stripMargin)
+    ctes += ("q198p" ->
+      """(SELECT d.source,
+        |    count(*)::BIGINT AS chunks_distinct,
+        |    CAST(sum(CASE WHEN o.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS chunks_in_old,
+        |    CAST(sum(CASE WHEN o.h IS NULL THEN clen ELSE 0 END) AS BIGINT) AS bytes_to_send
+        |  FROM q198d d LEFT JOIN q198old o ON o.h = d.h GROUP BY 1)""".stripMargin)
+    ctes += ("q198n" ->
+      """(SELECT source, count(*)::BIGINT AS n_docs_new
+        |  FROM documents JOIN q198par USING (doc_id) WHERE NOT is_old GROUP BY 1
+        |  UNION ALL
+        |  SELECT '_ALL', count(*)::BIGINT
+        |  FROM documents JOIN q198par USING (doc_id) WHERE NOT is_old)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT n.source, n.n_docs_new, c.bytes_new, c.n_chunks_new,
+        |  p.chunks_distinct, p.chunks_in_old, p.bytes_to_send,
+        |  round(p.bytes_to_send::DOUBLE / c.bytes_new::DOUBLE, 4) AS send_ratio
+        |FROM q198n n JOIN q198occ c ON c.source = n.source JOIN q198p p ON p.source = n.source
+        |ORDER BY n.source""".stripMargin)
   }
 }
