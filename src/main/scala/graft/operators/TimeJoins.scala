@@ -2363,4 +2363,79 @@ object TimeJoins {
        |JOIN q172r rpre ON rpre.i = len(list_filter(a.L, x -> x.t < b.t))
        |JOIN q172r rcur ON rcur.i = len(list_filter(a.L, x -> x.t < b.t)) + 1
        |ORDER BY b.t""".stripMargin
+
+  // --- q199: transition-anomaly residuals ------------------------------------
+
+  /** Rare/forbidden-transition audit over q103's first-order Markov
+    * grain: for EVERY (cur, nxt) cell of the full |types|² grid —
+    * including never-observed ones — the observed count, the
+    * independence expectation `e = rowTot·colTot/N`, and the Pearson
+    * standardized residual `(o − e)/√e`. Large positive residuals are
+    * sticky machine-like paths, large negative ones transitions the
+    * product makes impossible (or a bot AVOIDS — the q186 screen reads
+    * both tails); q103 reports the observed matrix, this scores its
+    * STRUCTURE against the no-structure null, zero cells included
+    * (an anomalously ABSENT transition never appears in q103 at all).
+    *
+    * Scale shape: one user-keyed lead window (q103's pass) → the bounded
+    * (cur, nxt) count table (persisted); margins and the grid are
+    * aggregates OF that table (|types| rows each, broadcast) — the grid
+    * crossJoin multiplies two bounded dimension aggregates, never data.
+    * Exactness: e is one division of exact integer products; √ is
+    * IEEE-correctly-rounded, so the residual is one identical double
+    * composition, rounded at the end.
+    */
+  def transitionAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val m = graft.core.CacheScope.persist(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("cur"))
+        .withColumn("nxt", lead(col("cur"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("cur"), col("nxt"))
+        .agg(count(lit(1)).as("o")))
+    val rows = m.groupBy(col("cur")).agg(sum(col("o")).as("rt"))
+    val cols = m.groupBy(col("nxt")).agg(sum(col("o")).as("ct"))
+    val tot  = m.agg(sum(col("o")).as("nn"))
+    rows
+      .crossJoin(broadcast(cols))
+      .crossJoin(broadcast(tot))
+      .join(m, Seq("cur", "nxt"), "left")
+      .select(
+        col("cur"), col("nxt"),
+        coalesce(col("o"), lit(0L)).as("o"),
+        ((col("rt") * col("ct")).cast("double") / col("nn").cast("double")).as("e"))
+      .withColumn("resid",
+        round((col("o").cast("double") - col("e")) / sqrt(col("e")), 6))
+      .select(
+        col("cur"), col("nxt"), col("o"),
+        round(col("e"), 6).as("expected"),
+        col("resid"),
+        (abs(col("resid")) > 3.0).as("flagged"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
+  /** q199 oracle: q103's lead pass, same margins, same exact-integer
+    * expectation and residual composition.
+    */
+  val transitionAnomalySql: String =
+    """WITH s AS (
+      |  SELECT event_type AS cur,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY date_trunc('microsecond', ts), event_id) AS nxt
+      |  FROM events),
+      |m AS (SELECT cur, nxt, count(*)::BIGINT AS o FROM s WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+      |r AS (SELECT cur, CAST(sum(o) AS BIGINT) AS rt FROM m GROUP BY cur),
+      |c AS (SELECT nxt, CAST(sum(o) AS BIGINT) AS ct FROM m GROUP BY nxt),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM m),
+      |g AS (
+      |  SELECT r.cur, c.nxt, coalesce(m.o, 0)::BIGINT AS o,
+      |    CAST(r.rt * c.ct AS DOUBLE) / CAST(t.nn AS DOUBLE) AS e
+      |  FROM r CROSS JOIN c CROSS JOIN t
+      |  LEFT JOIN m ON m.cur = r.cur AND m.nxt = c.nxt)
+      |SELECT cur, nxt, o, round(e, 6) AS expected,
+      |  round((CAST(o AS DOUBLE) - e) / sqrt(e), 6) AS resid,
+      |  abs(round((CAST(o AS DOUBLE) - e) / sqrt(e), 6)) > 3.0 AS flagged
+      |FROM g
+      |ORDER BY cur, nxt""".stripMargin
 }

@@ -592,7 +592,10 @@ class PlanGuardSpec extends SparkSpec {
         "q190_idf_jaccard",
         // q191's grid is the S-row shard totals x |sources|-row source
         // totals x 1-row corpus count — every side a bounded aggregate
-        "q191_shard_mix")
+        "q191_shard_mix",
+        // q199's grid is |types|-row margins x 1-row total — bounded
+        // dimension aggregates, never data
+        "q199_transition_anomaly")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
