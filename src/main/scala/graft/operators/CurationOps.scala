@@ -3590,4 +3590,91 @@ object CurationOps {
         |FROM q198n n JOIN q198occ c ON c.source = n.source JOIN q198p p ON p.source = n.source
         |ORDER BY n.source""".stripMargin)
   }
+
+  // --- q200: data-constrained epoch-capacity planner -------------------------
+
+  /** "How many epochs can this mix run before it repeats data?" — the
+    * data-constrained-scaling planning table (Muennighoff et al. 2023's
+    * operational question) built from pieces this library already
+    * audits: per source, the exact-dedup surviving token supply (q20's
+    * md5 keeper), its natural share p, the τ=2 temperature sampling
+    * probability q = √p/Σ√p (q70's mix — √ keeps the power IEEE-exact),
+    * and the EPOCH CAPACITY p/q: running the temperature mix at a
+    * one-corpus-equivalent token budget per epoch, a source supplying
+    * share p but sampled at share q exhausts after p/q epochs —
+    * upsampled tails (q > p) hit repetition first, and the binding
+    * source (min capacity) caps the whole run; the flag marks it. Read
+    * beside q53/q70 before committing a mix: if the binding capacity is
+    * below the planned epoch count, the tail will repeat exactly when
+    * the loss curve is most sensitive to it.
+    *
+    * Scale shape: the keeper join is q20's hash-equi groupBy+join (never
+    * doc×doc), counts collapse to |sources| rows, and everything after
+    * is broadcast folds on that bounded table. Exactness: integer token
+    * sums, √/÷ correctly-rounded IEEE in identical op order, the Σ√p
+    * fold source-ordered (q70's rule), one round per output.
+    */
+  def epochPlanner(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(
+      col("source"), col("doc_id"),
+      md5(col("text").cast("binary")).as("h"),
+      size(TextOps.toks).cast("long").as("n"))
+    val owners = d.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val kept = d.join(owners, "h").filter(col("doc_id") === col("keeper"))
+    val counts = graft.core.CacheScope.persist(
+      d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(
+          kept.groupBy(col("source"))
+            .agg(count(lit(1)).as("kept_docs"), sum(col("n")).as("kept_tokens")),
+          Seq("source")))
+    val withP = counts
+      .crossJoin(broadcast(counts.agg(sum(col("kept_tokens")).as("tt"))))
+      .withColumn("p", col("kept_tokens").cast("double") / col("tt").cast("double"))
+      .withColumn("w", sqrt(col("p")))
+    val sumW = withP.agg(
+      expr("aggregate(array_sort(collect_list(struct(source, w))), 0D, (a, x) -> a + x.w)")
+        .as("sumw"))
+    val scored = withP
+      .crossJoin(broadcast(sumW))
+      .withColumn("prob", col("w") / col("sumw"))
+      .withColumn("cap", col("p") / col("prob"))
+    scored
+      .crossJoin(broadcast(scored.agg(min(col("cap")).as("mincap"))))
+      .select(
+        col("source"), col("n_docs"), col("kept_docs"), col("kept_tokens"),
+        round(col("p"), 6).as("p_natural"),
+        round(col("prob"), 6).as("prob_temp"),
+        round(col("cap"), 6).as("epochs_capacity"),
+        (col("cap") === col("mincap")).as("binding"))
+      .orderBy(col("source"))
+  }
+
+  /** q200 oracle: same keeper rule, integer sums, identical √/÷
+    * compositions and the source-ordered Σ√p fold.
+    */
+  val epochPlannerSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id, md5(text) AS h, len(${graft.operators.TextOps.DuckToks})::BIGINT AS n
+       |  FROM documents),
+       |o AS (SELECT h, min(doc_id) AS keeper FROM d GROUP BY h),
+       |k AS (SELECT d.* FROM d JOIN o ON o.h = d.h WHERE d.doc_id = o.keeper),
+       |c AS (
+       |  SELECT a.source, a.n_docs, b.kept_docs, b.kept_tokens FROM
+       |    (SELECT source, count(*)::BIGINT AS n_docs FROM d GROUP BY source) a
+       |    JOIN (SELECT source, count(*)::BIGINT AS kept_docs,
+       |            CAST(sum(n) AS BIGINT) AS kept_tokens FROM k GROUP BY source) b
+       |    USING (source)),
+       |t AS (SELECT CAST(sum(kept_tokens) AS BIGINT) AS tt FROM c),
+       |wp AS (SELECT c.*, kept_tokens::DOUBLE / tt::DOUBLE AS p,
+       |         sqrt(kept_tokens::DOUBLE / tt::DOUBLE) AS w FROM c, t),
+       |sw AS (SELECT list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY source)),
+       |         (a, b) -> a + b) AS sumw FROM wp),
+       |sc AS (SELECT wp.*, w / sumw AS prob, p / (w / sumw) AS cap FROM wp, sw),
+       |mc AS (SELECT min(cap) AS mincap FROM sc)
+       |SELECT source, n_docs, kept_docs, kept_tokens,
+       |  round(p, 6) AS p_natural,
+       |  round(prob, 6) AS prob_temp,
+       |  round(cap, 6) AS epochs_capacity,
+       |  cap = mincap AS binding
+       |FROM sc, mc ORDER BY source""".stripMargin
 }

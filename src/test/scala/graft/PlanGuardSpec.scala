@@ -595,7 +595,10 @@ class PlanGuardSpec extends SparkSpec {
         "q191_shard_mix",
         // q199's grid is |types|-row margins x 1-row total — bounded
         // dimension aggregates, never data
-        "q199_transition_anomaly")
+        "q199_transition_anomaly",
+        // q200 crossJoins its 1-row total/Σ√p/min-capacity aggregates onto
+        // the |sources|-row supply table — q160's exact shape
+        "q200_epoch_planner")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
