@@ -2279,4 +2279,63 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getLong(4) >= 1, s"salt_k floor: $r")
     }
   }
+
+  test("q193: the two DP releases are one scale family (n20 = n05/4 before rounding)") {
+    // same u serves both eps as a pure 1/eps scale: the e20 noise must be
+    // a quarter of the e05 noise up to the independent 6-dp rounds
+    val r = graft.operators.CurationOps.dpHistogram(spark, Sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val c   = row.getLong(2).toDouble
+      val n05 = row.getDouble(3) - c
+      val n20 = row.getDouble(4) - c
+      assert(math.abs(n20 - n05 / 4.0) < 1e-5, s"scale family broken: $row")
+    }
+    // noise is two-sided across the table (some cells above, some below)
+    assert(r.exists(row => row.getDouble(3) > row.getLong(2)) &&
+      r.exists(row => row.getDouble(3) < row.getLong(2)))
+  }
+
+  test("q197: silhouettes live in [-1,1] and negative counts match the rows") {
+    val r = graft.operators.VectorOps.silhouette(spark, Sf0001).collect()
+    assert(r.length == graft.operators.VectorOps.IvfCells)
+    r.foreach { row =>
+      val mean = row.getDouble(2); val mn = row.getDouble(3)
+      assert(mean >= -1.0 - 1e-9 && mean <= 1.0 + 1e-9, s"mean out of range: $row")
+      assert(mn <= mean + 1e-9, s"min above mean: $row")
+      assert(row.getLong(4) <= row.getLong(1), s"more negatives than members: $row")
+    }
+    // the quantizer is coherent: someone somewhere is positive
+    assert(r.exists(_.getDouble(2) > 0.0))
+  }
+
+  test("q198: sync plan conserves bytes and the _ALL row is the true global plan") {
+    val r = graft.operators.CurationOps.syncPlan(spark, Sf0001).collect()
+      .map(row => row.getString(0) -> row).toMap
+    val all = r("_ALL")
+    r.foreach { case (_, row) =>
+      assert(row.getLong(6) <= row.getLong(2), s"sends more than it has: $row")
+      assert(row.getLong(4) + 0 >= row.getLong(5), s"shared exceeds distinct: $row")
+    }
+    // global dedup can only shrink the plan vs summing per-source sends
+    val perSourceSend = r.filter(_._1 != "_ALL").values.map(_.getLong(6)).sum
+    assert(all.getLong(6) <= perSourceSend, "global plan exceeds per-source upper bounds")
+    assert(all.getLong(1) == r.filter(_._1 != "_ALL").values.map(_.getLong(1)).sum)
+  }
+
+  test("q200: shares sum to 1 and upsampled sources bind first") {
+    val r = graft.operators.CurationOps.epochPlanner(spark, Sf0001).collect()
+    assert(math.abs(r.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+    assert(math.abs(r.map(_.getDouble(5)).sum - 1.0) < 1e-4)
+    assert(r.count(_.getBoolean(7)) >= 1)
+    // capacity p/q < 1 exactly when the temperature mix upsamples (q > p)
+    r.foreach { row =>
+      val p = row.getDouble(4); val q = row.getDouble(5); val cap = row.getDouble(6)
+      if (q > p + 1e-9) assert(cap < 1.0 + 1e-6, s"upsampled but capacity >= 1: $row")
+      if (q < p - 1e-9) assert(cap > 1.0 - 1e-6, s"downsampled but capacity <= 1: $row")
+    }
+    // the binding source has the smallest capacity
+    val minCap = r.map(_.getDouble(6)).min
+    r.filter(_.getBoolean(7)).foreach(row => assert(row.getDouble(6) == minCap))
+  }
 }
