@@ -3615,10 +3615,13 @@ object CurationOps {
     * fold source-ordered (q70's rule), one round per output.
     */
   def epochPlanner(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(
-      col("source"), col("doc_id"),
-      md5(col("text").cast("binary")).as("h"),
-      size(TextOps.toks).cast("long").as("n"))
+    // the doc grain feeds three derivations (owners, the keeper join,
+    // per-source doc counts) — persist it so the md5+tokenize scan runs once
+    val d = graft.core.CacheScope.persist(
+      docs(spark, dir).select(
+        col("source"), col("doc_id"),
+        md5(col("text").cast("binary")).as("h"),
+        size(TextOps.toks).cast("long").as("n")))
     val owners = d.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
     val kept = d.join(owners, "h").filter(col("doc_id") === col("keeper"))
     val counts = graft.core.CacheScope.persist(
