@@ -75,7 +75,20 @@ class LayoutInvarianceSpec extends SparkSpec {
       // star-contraction labels — a drifting label re-flags documents),
       // q186 (per-user gap windows + DECIMAL moment sums)
       "q180_backfill_plan", "q183_bucket_balance", "q185_dedup_yield",
-      "q186_bot_screen", "q187_dedup_bias")
+      "q186_bot_screen", "q187_dedup_bias",
+      // round-7 layer: q189 (chunk ownership under the min-owner rule —
+      // a layout-dependent min would re-attribute dup bytes), q191
+      // (source-ordered entropy/chi2 folds over the shard grid), q192
+      // (the CollectTopK heap must equal the window rank regardless of
+      // which partition feeds the heap first), q194 (integer covariance
+      // cells + the driver's IEEE iteration — any partial-sum drift
+      // would move every spectral output), q196 (bucket-ordered JS
+      // folds), q197 (micro-int silhouette sums), q198 (distinct-chunk
+      // membership join), q200 (source-ordered Σ√p fold + min-capacity
+      // tie flag)
+      "q189_cdc_chunks", "q191_shard_mix", "q192_reservoir",
+      "q194_embed_spectrum", "q196_source_divergence", "q197_silhouette",
+      "q198_sync_plan", "q200_epoch_planner")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, Sf0001).collect().map(_.toString).toSeq
