@@ -314,4 +314,96 @@ object Multimodal {
       .filter(col("hamming") <= PHashHammingMax)
       .orderBy(col("media_a"), col("media_b"))
   }
+
+  // --- D6: binary-payload CDC chunk store ------------------------------------
+
+  case class MediaChunk(media_id: Long, chunk_idx: Int, h: String, clen: Int)
+
+  /** q189's content-defined boundary rule on RAW BYTES (same constants:
+    * 8-byte rolling polynomial sum, 2654435761 multiplicative mix, bits
+    * 20-25 zero → 1-in-64 rate, ~64-byte mean chunks) — the storage
+    * grain a media lake dedups and syncs on. Byte-domain chunking is
+    * exactly what restic/borg/LBFS do to images and video: a re-encoded
+    * header or prepended EXIF block shifts every FIXED window, but
+    * content-defined boundaries re-align immediately (spec-pinned:
+    * prefix-edited payload keeps > 0.5 of its bytes deduplicated).
+    */
+  val MmCdcWindow = 8
+  val MmCdcMask   = 63L
+
+  private[operators] def cdcCutsBytes(p: Array[Byte]): Array[Int] = {
+    val n = p.length
+    val w = MmCdcWindow
+    if (n == 0) return Array.empty[Int]
+    val cuts = scala.collection.mutable.ArrayBuffer[Int](0)
+    if (n >= w) {
+      var i = w
+      while (i <= n) {
+        var sum = 0L
+        var j   = 0
+        while (j < w) {
+          // same 31-power weights as the text kernel, byte-valued lanes
+          sum += (p(i - 1 - j) & 0xff).toLong * CdcBytePows(j)
+          j += 1
+        }
+        if ((((sum % 1048576L) * 2654435761L % 4294967296L) / 1048576L) % (MmCdcMask + 1L) == 0L)
+          cuts += i
+        i += 1
+      }
+    }
+    if (cuts.last != n) cuts += n
+    cuts.toArray
+  }
+
+  private val CdcBytePows: Array[Long] =
+    Iterator.iterate(1L)(_ * 31L).take(MmCdcWindow).toArray
+
+  /** Chunk grain over the media table: one mapPartitions pass, one md5
+    * per chunk — the executor-local kernel shape every D-op uses.
+    */
+  def mediaChunks(media: Dataset[MediaRecord]): Dataset[MediaChunk] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        val cuts = cdcCutsBytes(m.payload)
+        (0 until cuts.length - 1).iterator.map { k =>
+          md.reset()
+          val chunk = java.util.Arrays.copyOfRange(m.payload, cuts(k), cuts(k + 1))
+          MediaChunk(m.media_id, k,
+            md.digest(chunk).map(b => f"$b%02x").mkString, chunk.length)
+        }
+      }
+    }
+  }
+
+  /** D6: per-media chunk-level dedup statistics under q189's min-owner
+    * rule — the byte-exact complement of D5's perceptual pairs: D5 says
+    * "these two images LOOK the same", this says "this fraction of the
+    * lake's bytes is LITERALLY already stored". Hash-groupBy + join-back
+    * only (never payload×payload); the chunk store keyed by `h` is what
+    * an E12-style Bloom gate or q198's sync planner rides at the media
+    * grain.
+    */
+  def mediaChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaChunkDedupOf(mediaTable(spark, dir))
+
+  def mediaChunkDedupOf(media: Dataset[MediaRecord]): DataFrame = {
+    val chunks = mediaChunks(media).toDF()
+    val cached = graft.core.CacheScope.persist(chunks)
+    val owners = cached.groupBy(col("h")).agg(min(col("media_id")).as("owner"))
+    cached
+      .join(owners, "h")
+      .groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("clen")).as("n_bytes"),
+        sum(when(col("owner") < col("media_id"), 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("owner") < col("media_id"), col("clen")).otherwise(0L)).as("dup_bytes"))
+      .select(
+        col("media_id"), col("n_chunks"), col("n_bytes"), col("dup_chunks"), col("dup_bytes"),
+        round(col("dup_bytes").cast("double") / col("n_bytes").cast("double"), 4)
+          .as("dup_ratio"))
+      .orderBy(col("media_id"))
+  }
 }

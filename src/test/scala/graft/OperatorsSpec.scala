@@ -2338,4 +2338,32 @@ class OperatorsSpec extends SparkSpec {
     val minCap = r.map(_.getDouble(6)).min
     r.filter(_.getBoolean(7)).foreach(row => assert(row.getDouble(6) == minCap))
   }
+
+  test("D6: binary CDC chunks tile payloads and survive a prefix insertion") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRecord
+    val rng  = new scala.util.Random(7)
+    val base = Array.fill(4096)(rng.nextInt(256).toByte)
+    val pre  = Array.fill(37)(rng.nextInt(256).toByte)
+    val recs = Seq(
+      MediaRecord(1L, base, "image/fake", 64, 64, "src0"),
+      MediaRecord(2L, base.clone(), "image/fake", 64, 64, "src0"),   // verbatim copy
+      MediaRecord(3L, pre ++ base, "image/fake", 64, 64, "src1"),    // prefix-edited
+      MediaRecord(4L, Array.fill(4096)(rng.nextInt(256).toByte), "image/fake", 64, 64, "src2"))
+    val ds = spark.createDataset(recs)
+    // chunks tile each payload exactly
+    Multimodal.mediaChunks(ds).collect().groupBy(_.media_id).foreach { case (id, cs) =>
+      val tot = cs.map(_.clen).sum
+      val exp = recs.find(_.media_id == id).get.payload.length
+      assert(tot == exp, s"media $id: chunks cover $tot of $exp bytes")
+      assert(cs.map(_.chunk_idx).sorted.toSeq == (0 until cs.length), s"media $id: gap in idx")
+    }
+    val r = Multimodal.mediaChunkDedupOf(ds).collect()
+      .map(row => row.getLong(0) -> row).toMap
+    assert(r(2).getDouble(5) == 1.0, "verbatim copy must dedup every byte")
+    assert(r(3).getDouble(5) > 0.5,
+      s"prefix-edited payload kept only ${r(3).getDouble(5)} dup bytes — boundaries did not re-align")
+    assert(r(1).getDouble(5) == 0.0 && r(4).getDouble(5) == 0.0, "owners carry no dup bytes")
+  }
 }
