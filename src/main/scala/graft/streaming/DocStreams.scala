@@ -474,4 +474,18 @@ object DocStreams {
     */
   def reservoirStream(docs: DataFrame): DataFrame =
     graft.operators.TrainingOps.reservoirOf(docs)
+
+  /** E49: streaming binary chunker (twin: D6, kernel shared verbatim —
+    * [[graft.operators.Multimodal.mediaChunks]]): each incoming media
+    * payload splits at the SAME content-defined byte boundaries, so a
+    * live ingest appends to the media chunk store with identities
+    * bit-equal to the batch grain (spec-pinned) — the writer-side feed
+    * of D6's dedup statistics and q198's sync planning at the media
+    * grain, with an E12-style Bloom/snapshot gate riding directly on
+    * `h`. Stateless mapPartitions projection: no watermark, no shuffle,
+    * no state; throughput bounded by the source and one md5 per chunk.
+    */
+  def mediaChunkStream(
+      media: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord]): DataFrame =
+    graft.operators.Multimodal.mediaChunks(media).toDF()
 }

@@ -1870,4 +1870,29 @@ class StreamingSpec extends SparkSpec {
     // noise is real (some release differs from its true count) but bounded-sane
     assert(closed.exists(x => x._4 != x._3.toDouble))
   }
+
+  test("E49: streamed media chunks EQUAL the batch D6 chunk grain (shared byte kernel)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRecord
+    val rng  = new scala.util.Random(11)
+    val recs = (1L to 20L).map { id =>
+      MediaRecord(id, Array.fill(1024 + rng.nextInt(2048))(rng.nextInt(256).toByte),
+        "image/fake", 64, 64, s"src${id % 3}")
+    }
+    val batch = Multimodal.mediaChunks(spark.createDataset(recs)).collect()
+      .map(c => (c.media_id, c.chunk_idx, c.h, c.clen)).sorted.toSeq
+    val in = MemoryStream[MediaRecord]
+    val st = graft.streaming.DocStreams.mediaChunkStream(in.toDS())
+    assert(st.isStreaming)
+    val q = st.writeStream.format("memory").queryName("mm_chunker").outputMode("append").start()
+    val (b1, b2) = recs.partition(_.media_id <= 10)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    val rows = spark.table("mm_chunker").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3))).sorted.toSeq
+    q.stop()
+    assert(rows == batch, s"streamed media chunk grain diverged (${rows.size} vs ${batch.size})")
+  }
 }
