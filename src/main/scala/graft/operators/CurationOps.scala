@@ -3529,6 +3529,10 @@ object CurationOps {
         count(lit(1)).as("chunks_distinct"),
         sum(when(col("in_old"), 1L).otherwise(0L)).as("chunks_in_old"),
         sum(when(col("in_old"), 0L).otherwise(col("clen"))).as("bytes_to_send"))
+    // doc counts come off a second scan of documents, but a (doc_id,
+    // source)-pruned one — the text column (the expensive bytes) is
+    // never re-read, and counting from the chunk grain would silently
+    // drop empty-text docs
     val newDocs = docs(spark, dir).filter(pmod(xxhash64(col("doc_id")), lit(2L)) === 1L)
     val nd = newDocs
       .groupBy(col("source")).agg(count(lit(1)).as("n_docs_new"))
