@@ -1970,6 +1970,16 @@ object CurationOps {
 
   private[graft] def lmScoreOf(corpus: DataFrame): DataFrame = {
     val (cb, cu) = lmModelOf(corpus)
+    lmScoreWith(corpus, cb, cu)
+  }
+
+  /** Score `corpus` through an already-trained hashed bigram model —
+    * factored so q201 can train on one half and score everything.
+    */
+  private[graft] def lmScoreWith(
+      corpus: DataFrame,
+      cb: Map[Long, Long],
+      cu: Map[Long, Long]): DataFrame = {
     corpus
       .select(col("doc_id"), col("source"), TextOps.toks.as("toks"))
       .select(
@@ -3684,4 +3694,116 @@ object CurationOps {
        |  round(cap, 6) AS epochs_capacity,
        |  cap = mincap AS binding
        |FROM sc, mc ORDER BY source""".stripMargin
+
+  // --- q201: LM holdout generalization audit ---------------------------------
+
+  /** Is the fluency gate MEMORIZING? — q68 trains its hashed bigram LM on
+    * the same corpus it scores, so its cross-entropies flatter the
+    * training data by construction; before using such a score as a
+    * quality gate (or as a dedup-strength signal) a pipeline checks the
+    * GENERALIZATION GAP: train the identical model on the
+    * `xxhash64(doc_id)`-even half only, score BOTH halves, and compare
+    * mean per-doc cross-entropy in-sample vs held-out. A small gap says
+    * the hashed model is a genuine language statistic at this capacity;
+    * a large one says its scores are recall of seen bigrams — and docs
+    * near the gate threshold would flip on a retrain. One row:
+    * sampled-doc counts, both means, and the gap.
+    *
+    * Scale split: training is the q68 collect (≤2×[[LmBuckets]] rows,
+    * from HALF the corpus); scoring is the same codegen'd map-side
+    * projection over everything; the final rollup quantizes each
+    * already-6dp xent to exact micro-ints (order-free sums) and
+    * divides once per mean.
+    */
+  def lmHoldout(spark: SparkSession, dir: String): DataFrame = {
+    val corpus   = docs(spark, dir)
+    val (cb, cu) = lmModelOf(corpus.filter(pmod(xxhash64(col("doc_id")), lit(2L)) === 0L))
+    lmScoreWith(corpus, cb, cu)
+      .filter(col("n_pairs") > 0L)
+      .select(
+        (pmod(xxhash64(col("doc_id")), lit(2L)) === 1L).as("held"),
+        expr("CAST(round(lm_xent * 1000000.0, 0) AS BIGINT)").as("xq"))
+      .agg(
+        sum(when(!col("held"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("held"), 1L).otherwise(0L)).as("n_holdout"),
+        sum(when(!col("held"), col("xq")).otherwise(0L)).as("st"),
+        sum(when(col("held"), col("xq")).otherwise(0L)).as("sh"))
+      .select(
+        col("n_train"),
+        col("n_holdout"),
+        round(col("st").cast("double") / (col("n_train").cast("double") * lit(1000000.0)), 6)
+          .as("xent_train"),
+        round(col("sh").cast("double") / (col("n_holdout").cast("double") * lit(1000000.0)), 6)
+          .as("xent_holdout"),
+        round(
+          col("sh").cast("double") / (col("n_holdout").cast("double") * lit(1000000.0)) -
+            col("st").cast("double") / (col("n_train").cast("double") * lit(1000000.0)),
+          6).as("gap"))
+  }
+
+  /** q201 oracle: q68's chain with the count CTEs restricted to the
+    * hash-even half (XXH64 parity via the emulation chain) and the
+    * score join made LEFT + coalesce-0 — a held-out pair may hit a
+    * bucket the training half never filled (the expression's
+    * `getOrElse 0`); identical micro-int rollup.
+    */
+  lazy val lmHoldoutSql: String = {
+    import graft.functions.DuckHash._
+    val B = LmBuckets
+    val ctes = ArrayBuffer[(String, String)](
+      "q201pin" -> "(SELECT doc_id, doc_id::HUGEINT AS l FROM documents)"
+    )
+    val hp = new SqlChain("q201ph", "q201pin", Seq("doc_id", "l"))
+    hashLongLevels(hp, s"${toUnsigned("l")}", "42", "hh")
+    ctes ++= hp.ctes
+    ctes += ("q201par" ->
+      s"(SELECT doc_id, ((${toSigned("hh")} % 2) + 2) % 2 = 0 AS is_train FROM ${hp.last})")
+    ctes += ("q201t" -> s"(SELECT doc_id, ${graft.operators.TextOps.DuckToks} AS toks FROM documents)")
+    ctes += ("q201p" ->
+      """(SELECT doc_id, pos, toks[pos] AS w1, toks[pos] || ' ' || toks[pos + 1] AS bg
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS pos FROM q201t))""".stripMargin)
+    ctes += ("q201uw" -> "(SELECT doc_id, unnest(toks) AS w FROM q201t)")
+    ctes += ("q201ud" -> s"(SELECT w, ${bytesOf("w")} AS b FROM (SELECT DISTINCT w FROM q201uw))")
+    val hu = hashBytesChain("q201hu", "q201ud", Seq("w"), "42", "hs")
+    ctes ++= hu.ctes
+    ctes += ("q201uf" -> s"(SELECT w, (((${toSigned("hs")} % $B) + $B) % $B) AS f1 FROM ${hu.last})")
+    ctes += ("q201bd" -> s"(SELECT bg, ${bytesOf("bg")} AS b FROM (SELECT DISTINCT bg FROM q201p))")
+    val hb = hashBytesChain("q201hb", "q201bd", Seq("bg"), "42", "hs")
+    ctes ++= hb.ctes
+    ctes += ("q201bf" -> s"(SELECT bg, (((${toSigned("hs")} % $B) + $B) % $B) AS f2 FROM ${hb.last})")
+    ctes += ("q201cu" ->
+      """(SELECT f1, count(*) AS cu FROM q201uw JOIN q201uf USING (w)
+        |  JOIN q201par USING (doc_id) WHERE is_train GROUP BY f1)""".stripMargin)
+    ctes += ("q201cb" ->
+      """(SELECT f2, count(*) AS cb FROM q201p JOIN q201bf USING (bg)
+        |  JOIN q201par USING (doc_id) WHERE is_train GROUP BY f2)""".stripMargin)
+    ctes += ("q201w" ->
+      s"""(SELECT p.doc_id, p.pos,
+         |    round(ln((coalesce(cb, 0) + 1)::DOUBLE / (coalesce(cu, 0) + $B)::DOUBLE), 6) AS w
+         |  FROM q201p p JOIN q201uf u ON u.w = p.w1 JOIN q201bf g ON g.bg = p.bg
+         |  LEFT JOIN q201cu ON q201cu.f1 = u.f1 LEFT JOIN q201cb ON q201cb.f2 = g.f2)""".stripMargin)
+    ctes += ("q201s" ->
+      """(SELECT doc_id, count(*) AS n_pairs,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY pos)), (a, b) -> a + b) AS s
+        |  FROM q201w GROUP BY doc_id)""".stripMargin)
+    ctes += ("q201x" ->
+      """(SELECT q201s.doc_id, NOT is_train AS held,
+        |    CAST(round(round(-s / n_pairs, 6) * 1000000.0, 0) AS BIGINT) AS xq
+        |  FROM q201s JOIN q201par ON q201par.doc_id = q201s.doc_id
+        |  WHERE n_pairs > 0)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT
+        |  CAST(sum(CASE WHEN NOT held THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN held THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout,
+        |  round(CAST(sum(CASE WHEN NOT held THEN xq ELSE 0 END) AS DOUBLE)
+        |    / (CAST(sum(CASE WHEN NOT held THEN 1 ELSE 0 END) AS DOUBLE) * 1000000.0), 6) AS xent_train,
+        |  round(CAST(sum(CASE WHEN held THEN xq ELSE 0 END) AS DOUBLE)
+        |    / (CAST(sum(CASE WHEN held THEN 1 ELSE 0 END) AS DOUBLE) * 1000000.0), 6) AS xent_holdout,
+        |  round(CAST(sum(CASE WHEN held THEN xq ELSE 0 END) AS DOUBLE)
+        |    / (CAST(sum(CASE WHEN held THEN 1 ELSE 0 END) AS DOUBLE) * 1000000.0)
+        |    - CAST(sum(CASE WHEN NOT held THEN xq ELSE 0 END) AS DOUBLE)
+        |    / (CAST(sum(CASE WHEN NOT held THEN 1 ELSE 0 END) AS DOUBLE) * 1000000.0), 6) AS gap
+        |FROM q201x""".stripMargin)
+  }
 }
