@@ -1223,35 +1223,43 @@ object TimeJoins {
     */
   def stationaryMix(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val m = graft.core.CacheScope.persist(
-      Tables
-        .events(spark, dir)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("cur"))
-        .withColumn("nxt", lead(col("cur"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .groupBy(col("cur"), col("nxt"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("p",
-          col("n").cast("double") /
-            sum(col("n")).over(Window.partitionBy(col("cur"))).cast("double"))
-        .select(col("cur"), col("nxt"), col("p")))
+    val m = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("cur"))).cast("double"))
+      .select(col("cur"), col("nxt"), col("p"))
     val actual = graft.core.CacheScope.persist(
       Tables.events(spark, dir).groupBy(col("event_type")).agg(count(lit(1)).as("n_events")))
-    val nTypes = actual.agg(count(lit(1)).as("c"))
-    var pi = actual
-      .crossJoin(broadcast(nTypes))
-      .select(col("event_type").as("t"), (lit(1.0) / col("c").cast("double")).as("pi"))
+    // the transition matrix is bounded (≤|types|² rows by construction) —
+    // collect it ONCE and run the power iteration driver-side (the q194
+    // rule): the previous formulation chained StatRounds join+agg jobs
+    // whose fixed overhead dwarfed the bounded-table arithmetic. The
+    // driver loop replays the DF version's exact semantics: inner-join
+    // drop of cur-rows without a pi entry, ascending-by-cur left fold
+    // from 0.0, and a HALF_UP 6-dp round between rounds (Spark's
+    // `round` ≡ BigDecimal HALF_UP — same rule the oracle's unrolled
+    // CTE rounds apply).
+    val mRows = m.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val types = actual.select(col("event_type")).collect().map(_.getString(0))
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    var piM: Map[String, Double] = types.map(t => t -> 1.0 / types.length.toDouble).toMap
     for (_ <- 1 to StatRounds) {
-      pi = m
-        .join(pi, col("cur") === col("t"))
-        .select(col("cur"), col("nxt"), (col("pi") * col("p")).as("term"))
-        .groupBy(col("nxt").as("t"))
-        .agg(
-          round(
-            expr("aggregate(array_sort(collect_list(struct(cur, term))), 0D, (a, x) -> a + x.term)"),
-            6).as("pi"))
-        .select(col("t"), col("pi"))
+      piM = mRows
+        .filter(r => piM.contains(r._1))
+        .groupBy(_._2)
+        .map { case (nxt, rs) =>
+          nxt -> r6(rs.sortBy(_._1).foldLeft(0.0)((a, r) => a + piM(r._1) * r._3))
+        }
     }
+    import spark.implicits._
+    val pi = piM.toSeq.toDF("t", "pi")
     actual
       .crossJoin(broadcast(actual.agg(sum(col("n_events")).as("total"))))
       .join(pi, col("event_type") === col("t"), "left")
