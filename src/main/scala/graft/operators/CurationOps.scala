@@ -3806,4 +3806,96 @@ object CurationOps {
         |    / (CAST(sum(CASE WHEN NOT held THEN 1 ELSE 0 END) AS DOUBLE) * 1000000.0), 6) AS gap
         |FROM q201x""".stripMargin)
   }
+
+  // --- q202: feature-hash collision-load audit -------------------------------
+
+  /** Is B=[[LmBuckets]] big enough? — every hashed model in this library
+    * (q44's count-min, q57's DSIR, q66's NB, q68's LM, q201's holdout)
+    * rides the same trick: grams → `xxhash64 mod B` buckets. Collisions
+    * are the price, and this table prices them: the distribution of
+    * BUCKET LOAD over q68's 1+2-gram feature space — for each load
+    * value, how many buckets hold that many DISTINCT grams (load 0 =
+    * head-room) and what fraction of the corpus's gram INSTANCES lives
+    * there (mass tells whether collisions land on heavy or tail grams —
+    * a high-load bucket full of hapax grams is noise; one carrying a
+    * heavy gram biases every score that reads it). Capacity planning in
+    * one read: if most mass sits at load 1-2, B holds; if heavy buckets
+    * dominate, double B before trusting q68/q57 scores.
+    *
+    * Scale shape: ONE explode of the gram space → distinct-gram counts
+    * (map-side combine, one shuffle — the q68 training grain), bucket
+    * rollup collapses to ≤B rows, the load histogram to ≤max-load rows;
+    * the empty-bucket row derives from B minus a 1-row count. Integer
+    * counts; two divide-rounds per row.
+    */
+  def hashLoad(spark: SparkSession, dir: String): DataFrame = {
+    val B = LmBuckets
+    val grams = docs(spark, dir)
+      .select(TextOps.toks.as("toks"))
+      .select(explode(concat(
+        col("toks"),
+        expr(
+          "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
+            " (a, b) -> concat(a, ' ', b))"))).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("inst"))
+    val buckets = grams
+      .groupBy(pmod(xxhash64(col("gram")), lit(B.toLong)).as("f"))
+      .agg(count(lit(1)).as("load"), sum(col("inst")).as("mass"))
+    val hist = buckets
+      .groupBy(col("load"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("mass")).as("mass"))
+    val filled = buckets.agg(count(lit(1)).as("nf"))
+    val zero = filled
+      .filter(col("nf") < B)
+      .select(lit(0L).as("load"), (lit(B.toLong) - col("nf")).as("n_buckets"),
+        lit(0L).as("mass"))
+    hist
+      .unionByName(zero)
+      .crossJoin(broadcast(hist.agg(sum(col("mass")).as("tm"))))
+      .select(
+        col("load"), col("n_buckets"),
+        round(col("n_buckets").cast("double") / lit(B.toDouble), 6).as("bucket_share"),
+        col("mass"),
+        round(col("mass").cast("double") / col("tm").cast("double"), 6).as("mass_share"))
+      .orderBy(col("load"))
+  }
+
+  /** q202 oracle: distinct grams hashed once via the bytes chain, same
+    * bucket/histogram rollups and divide-round shapes.
+    */
+  lazy val hashLoadSql: String = {
+    import graft.functions.DuckHash._
+    val B = LmBuckets
+    val ctes = ArrayBuffer[(String, String)](
+      "q202g" ->
+        s"""(SELECT gram, count(*)::BIGINT AS inst FROM (
+           |  SELECT unnest(list_concat(toks,
+           |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS gram
+           |  FROM (SELECT ${graft.operators.TextOps.DuckToks} AS toks FROM documents))
+           |  GROUP BY gram)""".stripMargin,
+      "q202d" -> s"(SELECT gram, inst, ${bytesOf("gram")} AS b FROM q202g)"
+    )
+    val hb = hashBytesChain("q202hx", "q202d", Seq("gram", "inst"), "42", "hs")
+    ctes ++= hb.ctes
+    ctes += ("q202b" ->
+      s"""(SELECT (((${toSigned("hs")} % $B) + $B) % $B) AS f,
+         |    count(*)::BIGINT AS load, CAST(sum(inst) AS BIGINT) AS mass
+         |  FROM ${hb.last} GROUP BY 1)""".stripMargin)
+    ctes += ("q202h" ->
+      """(SELECT load, count(*)::BIGINT AS n_buckets, CAST(sum(mass) AS BIGINT) AS mass
+        |  FROM q202b GROUP BY 1)""".stripMargin)
+    ctes += ("q202z" ->
+      s"""(SELECT 0::BIGINT AS load, ($B - nf)::BIGINT AS n_buckets, 0::BIGINT AS mass
+         |  FROM (SELECT count(*)::BIGINT AS nf FROM q202b) WHERE nf < $B)""".stripMargin)
+    ctes += ("q202u" -> "(SELECT * FROM q202h UNION ALL SELECT * FROM q202z)")
+    assemble(
+      ctes.toSeq,
+      s"""SELECT load, n_buckets,
+         |  round(n_buckets::DOUBLE / $B.0, 6) AS bucket_share,
+         |  mass,
+         |  round(mass::DOUBLE / tm::DOUBLE, 6) AS mass_share
+         |FROM q202u CROSS JOIN (SELECT CAST(sum(mass) AS BIGINT) AS tm FROM q202h)
+         |ORDER BY load""".stripMargin)
+  }
 }

@@ -598,7 +598,10 @@ class PlanGuardSpec extends SparkSpec {
         "q199_transition_anomaly",
         // q200 crossJoins its 1-row total/Σ√p/min-capacity aggregates onto
         // the |sources|-row supply table — q160's exact shape
-        "q200_epoch_planner")
+        "q200_epoch_planner",
+        // q202 crossJoins the 1-row total-mass aggregate onto the
+        // ≤max-load histogram rows — bounded by construction
+        "q202_hash_load")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
