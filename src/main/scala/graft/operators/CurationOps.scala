@@ -3898,4 +3898,75 @@ object CurationOps {
          |FROM q202u CROSS JOIN (SELECT CAST(sum(mass) AS BIGINT) AS tm FROM q202h)
          |ORDER BY load""".stripMargin)
   }
+
+  // --- q203: CDC chunk-geometry audit ----------------------------------------
+
+  /** Is the boundary rule behaving? — q189/q198/D6 all assume the CDC
+    * cut fires at ~1/64 positions, giving ~64-char mean chunks; a
+    * content distribution that correlates with the rolling hash (long
+    * runs, low-entropy boilerplate, adversarial text) skews that
+    * geometry, and skewed geometry silently degrades both dedup recall
+    * (giant chunks dedup nothing) and store overhead (tiny chunks pay
+    * per-chunk metadata). This table audits the realized chunk-length
+    * distribution against the rule's nominal geometry: per 16-char
+    * length bucket the chunk count, byte mass and shares, plus each
+    * bucket's share under the IDEAL geometric(1/64) law — read the two
+    * share columns side by side; a fat tail beyond ~4× the mean is the
+    * trigger to add a max-chunk cap before a 100 TB store commits.
+    *
+    * Scale shape: the chunk grain (compiled kernel) collapses map-side
+    * to a ≤⌈maxlen/16⌉-row histogram; the geometric reference is a pure
+    * per-row expression on bounded rows. Exactness: integer counts and
+    * share divisions as usual; the ideal-share term
+    * `(63/64)^(16k) − (63/64)^(16(k+1))` evaluates `pow` on IDENTICAL
+    * inputs in both engines (the base literal parses to the same double,
+    * the exponent is an integer exact in double) — pow is within 1 ulp
+    * on both, and the 6-dp round absorbs it except on a measure-zero
+    * boundary (the q67 ln rule, applied to pow).
+    */
+  def chunkGeometry(spark: SparkSession, dir: String): DataFrame = {
+    val hist = docs(spark, dir)
+      .select(explode(graft.functions.Expressions.cdc_chunks(col("text"))).as("chunk"))
+      .select((length(col("chunk")).cast("long") / lit(16L)).cast("long").as("lb"),
+        length(col("chunk")).cast("long").as("clen"))
+      .groupBy(col("lb"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("bytes"))
+    hist
+      .crossJoin(broadcast(
+        hist.agg(sum(col("n_chunks")).as("tn"), sum(col("bytes")).as("tb"))))
+      .select(
+        (col("lb") * 16).as("len_lo"),
+        col("n_chunks"),
+        round(col("n_chunks").cast("double") / col("tn").cast("double"), 6).as("chunk_share"),
+        col("bytes"),
+        round(col("bytes").cast("double") / col("tb").cast("double"), 6).as("byte_share"),
+        round(
+          pow(lit(63.0 / 64.0), (col("lb") * 16).cast("double")) -
+            pow(lit(63.0 / 64.0), ((col("lb") + 1) * 16).cast("double")),
+          6).as("ideal_share"))
+      .orderBy(col("len_lo"))
+  }
+
+  /** q203 oracle: the shared chunk CTE chain, same 16-char buckets and
+    * the same two-pow geometric reference on identical integer inputs.
+    */
+  lazy val chunkGeometrySql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      cdcChunkCtes(Seq("doc_id")): _*)
+    ctes += ("q203h" ->
+      """(SELECT clen // 16 AS lb, count(*)::BIGINT AS n_chunks, CAST(sum(clen) AS BIGINT) AS bytes
+        |  FROM q189k GROUP BY 1)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT (lb * 16)::BIGINT AS len_lo, n_chunks,
+        |  round(n_chunks::DOUBLE / tn::DOUBLE, 6) AS chunk_share,
+        |  bytes,
+        |  round(bytes::DOUBLE / tb::DOUBLE, 6) AS byte_share,
+        |  round(pow(63.0 / 64.0, (lb * 16)::DOUBLE) - pow(63.0 / 64.0, ((lb + 1) * 16)::DOUBLE), 6)
+        |    AS ideal_share
+        |FROM q203h CROSS JOIN
+        |  (SELECT CAST(sum(n_chunks) AS BIGINT) AS tn, CAST(sum(bytes) AS BIGINT) AS tb FROM q203h)
+        |ORDER BY len_lo""".stripMargin)
+  }
 }

@@ -601,7 +601,10 @@ class PlanGuardSpec extends SparkSpec {
         "q200_epoch_planner",
         // q202 crossJoins the 1-row total-mass aggregate onto the
         // ≤max-load histogram rows — bounded by construction
-        "q202_hash_load")
+        "q202_hash_load",
+        // q203 crossJoins the 1-row totals onto the bounded length
+        // histogram — same shape
+        "q203_chunk_geometry")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
