@@ -2043,11 +2043,11 @@ object CurationOps {
     * relation `<pfx>e` (doc_id, source, f) — shared by the q57 and q66
     * oracles (both consume [[dsirFeats]]' feature space).
     */
-  private def dsirFeatureCtes(pfx: String): ArrayBuffer[(String, String)] = {
+  private def dsirFeatureCtes(pfx: String, whereSql: String = "TRUE"): ArrayBuffer[(String, String)] = {
     import graft.functions.DuckHash._
     val B = DsirBuckets
     val ctes = ArrayBuffer[(String, String)](
-      s"${pfx}t" -> s"(SELECT doc_id, source, ${TextOps.DuckToks} AS toks FROM documents)",
+      s"${pfx}t" -> s"(SELECT doc_id, source, ${TextOps.DuckToks} AS toks FROM documents WHERE $whereSql)",
       s"${pfx}g" -> (s"(SELECT doc_id, source, unnest(list_concat(toks, " +
         s"list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS gram FROM ${pfx}t)"),
       s"${pfx}d" -> s"(SELECT gram, ${bytesOf("gram")} AS b FROM (SELECT DISTINCT gram FROM ${pfx}g))"
@@ -3968,5 +3968,173 @@ object CurationOps {
         |FROM q203h CROSS JOIN
         |  (SELECT CAST(sum(n_chunks) AS BIGINT) AS tn, CAST(sum(bytes) AS BIGINT) AS tb FROM q203h)
         |ORDER BY len_lo""".stripMargin)
+  }
+
+  // --- q204: quality-gate disagreement audit ---------------------------------
+
+  /** q177's question asked of the QUALITY gates instead of the dedup
+    * detectors: at a matched budget (keep the top half of every source's
+    * docs — mix-preserving by construction), how much do the three
+    * quality signals this library ships actually AGREE on what to keep?
+    * Gates: the q22 heuristic (stop-word ratio — natural text reads
+    * high), the q68 bigram-LM (keep the LOW-xent half — gibberish reads
+    * high), and the q57 DSIR importance weight (keep the high-weight
+    * half). Per gate pair: both keep-set sizes, the intersection, each
+    * side's exclusive picks and the set Jaccard — high heuristic↔LM
+    * agreement says the cheap gate can front the expensive one; a large
+    * DSIR-only tail says importance weighting selects something the
+    * fluency gates cannot see (and dropping it changes the mix). Docs
+    * with < 2 tokens are excluded up front so every gate can score every
+    * audited doc (the LM needs a bigram).
+    *
+    * Scale shape: the three scoring passes are the gates' own map-side
+    * kernels (two bounded collected models + one heuristic projection);
+    * budget cuts are source-partitioned rank windows (never a global
+    * sort); the pair rollup is three conditional sums over ONE persisted
+    * flag join, collected as a single bounded row.
+    */
+  def gateAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = docs(spark, dir).filter(size(TextOps.toks) >= 2)
+    def keepFlags(scored: DataFrame, order: Seq[Column], flag: String): DataFrame = {
+      val w  = Window.partitionBy(col("source")).orderBy(order: _*)
+      val cw = Window.partitionBy(col("source"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .withColumn("ns", count(lit(1)).over(cw))
+        .select(col("doc_id"), (col("rn") <= expr("(ns + 1) div 2")).as(flag))
+    }
+    val heur = keepFlags(
+      corpus.select(col("doc_id"), col("source"),
+        (TextOps.stopCountExpr / size(TextOps.toks)).as("sr")),
+      Seq(col("sr").desc, col("doc_id").asc), "k_heur")
+    val lm = keepFlags(
+      lmScoreOf(corpus).select(col("doc_id"), col("source"), col("lm_xent")),
+      Seq(col("lm_xent").asc, col("doc_id").asc), "k_lm")
+    val dsir = keepFlags(
+      dsirWeightsOf(corpus).select(col("doc_id"), col("source"), col("dsir_score")),
+      Seq(col("dsir_score").desc, col("doc_id").asc), "k_dsir")
+    val flags = heur.join(lm, "doc_id").join(dsir, "doc_id")
+    val r = flags
+      .agg(
+        sum(when(col("k_heur"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("k_lm"), 1L).otherwise(0L)).as("nb"),
+        sum(when(col("k_dsir"), 1L).otherwise(0L)).as("nc"),
+        sum(when(col("k_heur") && col("k_lm"), 1L).otherwise(0L)).as("hl"),
+        sum(when(col("k_heur") && col("k_dsir"), 1L).otherwise(0L)).as("hd"),
+        sum(when(col("k_lm") && col("k_dsir"), 1L).otherwise(0L)).as("ld"))
+      .collect()(0)
+    val (na, nb, nc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (hl, hd, ld) = (r.getLong(3), r.getLong(4), r.getLong(5))
+    def jac(a: Long, b: Long, both: Long): Double =
+      java.math.BigDecimal.valueOf(both.toDouble / (a + b - both).toDouble)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    import spark.implicits._
+    Seq(
+      ("heuristic", "lm", na, nb, hl, na - hl, nb - hl, jac(na, nb, hl)),
+      ("heuristic", "dsir", na, nc, hd, na - hd, nc - hd, jac(na, nc, hd)),
+      ("lm", "dsir", nb, nc, ld, nb - ld, nc - ld, jac(nb, nc, ld)))
+      .toDF("gate_a", "gate_b", "n_a", "n_b", "n_both", "n_only_a", "n_only_b", "jaccard")
+      .orderBy(col("gate_a"), col("gate_b"))
+  }
+
+  /** q204 oracle: the q22/q68/q57 scoring chains on the ≥2-token corpus,
+    * identical source-partitioned rank cuts, the same conditional sums
+    * and Jaccard composition.
+    */
+  lazy val gateAgreementSql: String = {
+    import graft.functions.DuckHash._
+    val B     = LmBuckets
+    val where = s"len(${graft.operators.TextOps.DuckToks}) >= 2"
+    val ctes = ArrayBuffer[(String, String)](
+      "q204t" ->
+        s"(SELECT doc_id, source, text, ${graft.operators.TextOps.DuckToks} AS toks FROM documents WHERE $where)",
+      // heuristic: stop ratio (duckStopCount reads the carried raw text)
+      "q204h" ->
+        s"""(SELECT doc_id, source,
+           |    (${graft.operators.TextOps.duckStopCount})::DOUBLE / len(toks)::DOUBLE AS sr
+           |  FROM q204t)""".stripMargin,
+      // LM chain (q68's shape on the filtered corpus)
+      "q204p" ->
+        """(SELECT doc_id, pos, toks[pos] AS w1, toks[pos] || ' ' || toks[pos + 1] AS bg
+          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS pos FROM q204t))""".stripMargin,
+      "q204uw" -> "(SELECT doc_id, unnest(toks) AS w FROM q204t)",
+      "q204ud" -> s"(SELECT w, ${bytesOf("w")} AS b FROM (SELECT DISTINCT w FROM q204uw))"
+    )
+    val hu = hashBytesChain("q204hu", "q204ud", Seq("w"), "42", "hs")
+    ctes ++= hu.ctes
+    ctes += ("q204uf" -> s"(SELECT w, (((${toSigned("hs")} % $B) + $B) % $B) AS f1 FROM ${hu.last})")
+    ctes += ("q204bd" -> s"(SELECT bg, ${bytesOf("bg")} AS b FROM (SELECT DISTINCT bg FROM q204p))")
+    val hb = hashBytesChain("q204hb", "q204bd", Seq("bg"), "42", "hs")
+    ctes ++= hb.ctes
+    ctes += ("q204bf" -> s"(SELECT bg, (((${toSigned("hs")} % $B) + $B) % $B) AS f2 FROM ${hb.last})")
+    ctes += ("q204cu" -> "(SELECT f1, count(*) AS cu FROM q204uw JOIN q204uf USING (w) GROUP BY f1)")
+    ctes += ("q204cb" -> "(SELECT f2, count(*) AS cb FROM q204p JOIN q204bf USING (bg) GROUP BY f2)")
+    ctes += ("q204w" ->
+      s"""(SELECT p.doc_id, p.pos, round(ln((cb + 1)::DOUBLE / (cu + $B)::DOUBLE), 6) AS w
+         |  FROM q204p p JOIN q204uf u ON u.w = p.w1 JOIN q204bf g ON g.bg = p.bg
+         |  JOIN q204cu ON q204cu.f1 = u.f1 JOIN q204cb ON q204cb.f2 = g.f2)""".stripMargin)
+    ctes += ("q204x" ->
+      """(SELECT t.doc_id, t.source, round(-s.s / s.n_pairs, 6) AS lm_xent FROM q204t t JOIN (
+        |  SELECT doc_id, count(*) AS n_pairs,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY pos)), (a, b) -> a + b) AS s
+        |  FROM q204w GROUP BY doc_id) s ON s.doc_id = t.doc_id)""".stripMargin)
+    // DSIR chain on the filtered corpus
+    ctes ++= dsirFeatureCtes("q204d", where)
+    val BD = DsirBuckets
+    val tgt = DsirTarget.map(x => s"'$x'").mkString(", ")
+    ctes += ("q204ds" ->
+      s"""(SELECT f, count(*) AS cr,
+         |    CAST(sum(CASE WHEN source IN ($tgt) THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |    FROM q204de GROUP BY f)""".stripMargin)
+    ctes += ("q204do" ->
+      "(SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt FROM q204ds)")
+    ctes += ("q204dl" ->
+      s"""(SELECT f, ln(((ct + 1)::DOUBLE * (tr + $BD)::DOUBLE) /
+         |             ((cr + 1)::DOUBLE * (tt + $BD)::DOUBLE)) AS lr
+         |    FROM q204ds, q204do)""".stripMargin)
+    ctes += ("q204dc" ->
+      "(SELECT doc_id, source, f, count(*) AS c FROM q204de GROUP BY doc_id, source, f)")
+    ctes += ("q204dw" ->
+      "(SELECT doc_id, source, f, c, c::DOUBLE * lr AS w FROM q204dc JOIN q204dl USING (f))")
+    ctes += ("q204dx" ->
+      """(SELECT doc_id, source, round(s, 6) AS dsir_score FROM (
+        |  SELECT doc_id, source,
+        |    list_reduce(list(w ORDER BY f), (a, b) -> a + b) AS s
+        |  FROM q204dw GROUP BY doc_id, source))""".stripMargin)
+    // budget cuts: top half per source under each ordering
+    def cut(src: String, ord: String, flag: String): String =
+      s"""(SELECT doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY $ord, doc_id)
+         |      <= (count(*) OVER (PARTITION BY source) + 1) // 2 AS $flag
+         |  FROM $src)""".stripMargin
+    ctes += ("q204kh" -> cut("q204h", "sr DESC", "k_heur"))
+    ctes += ("q204kl" -> cut("q204x", "lm_xent ASC", "k_lm"))
+    ctes += ("q204kd" -> cut("q204dx", "dsir_score DESC", "k_dsir"))
+    ctes += ("q204f" ->
+      """(SELECT k_heur, k_lm, k_dsir
+        |  FROM q204kh JOIN q204kl USING (doc_id) JOIN q204kd USING (doc_id))""".stripMargin)
+    ctes += ("q204a" ->
+      """(SELECT
+        |    CAST(sum(CASE WHEN k_heur THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN k_lm THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN k_dsir THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN k_heur AND k_lm THEN 1 ELSE 0 END) AS BIGINT) AS hl,
+        |    CAST(sum(CASE WHEN k_heur AND k_dsir THEN 1 ELSE 0 END) AS BIGINT) AS hd,
+        |    CAST(sum(CASE WHEN k_lm AND k_dsir THEN 1 ELSE 0 END) AS BIGINT) AS ld
+        |  FROM q204f)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT * FROM (
+        |  SELECT 'heuristic' AS gate_a, 'lm' AS gate_b, na AS n_a, nb AS n_b, hl AS n_both,
+        |    na - hl AS n_only_a, nb - hl AS n_only_b,
+        |    round(hl::DOUBLE / (na + nb - hl)::DOUBLE, 6) AS jaccard FROM q204a
+        |  UNION ALL
+        |  SELECT 'heuristic', 'dsir', na, nc, hd, na - hd, nc - hd,
+        |    round(hd::DOUBLE / (na + nc - hd)::DOUBLE, 6) FROM q204a
+        |  UNION ALL
+        |  SELECT 'lm', 'dsir', nb, nc, ld, nb - ld, nc - ld,
+        |    round(ld::DOUBLE / (nb + nc - ld)::DOUBLE, 6) FROM q204a)
+        |ORDER BY gate_a, gate_b""".stripMargin)
   }
 }
