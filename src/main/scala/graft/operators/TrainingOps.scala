@@ -2009,4 +2009,133 @@ object TrainingOps {
          |  FROM ${ch.last})
          |WHERE rk <= $ReservoirK ORDER BY source, lang, rk""".stripMargin)
   }
+
+  // --- q205: contamination severity sweep ------------------------------------
+  val SweepNs = Seq(4, 8, 13)
+
+  /** The decontamination table a release review actually reads — q39
+    * flags pairs at one gram size; this sweeps the STANDARD severity
+    * grid (loose 4-gram, the house 8-gram, strict 13-gram — the
+    * Dolma/GPT-3-style ladder) and reports, per n: eligible corpus
+    * docs, how many are contaminated (≥1 shared ≤[[DecontamMaxDf]]-df
+    * gram with any benchmark doc), the contamination rate, benchmarks
+    * touched, pair count and the worst pair's shared-gram count. Read
+    * top to bottom: the 4-gram row is the paranoid upper bound (phrase
+    * reuse), the 13-gram row the smoking gun (verbatim leakage) — the
+    * gap between them is the judgement call every decontamination
+    * policy makes, priced here before it is made.
+    *
+    * Scale shape: ONE corpus scan — all three gram sets explode in-row
+    * tagged by n (the same compiled per-n hash kernels q39 uses), ONE
+    * (n, g)-keyed shuffle shared by the DF-cap window and the
+    * bench↔corpus equi-join (q39's ReusedExchange rule, now carrying n
+    * in the key); summaries are keyed aggregates of the bounded pair
+    * table, eligibility a 1-row conditional aggregate merged
+    * driver-side (the q204 rule).
+    */
+  def contaminationSweep(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = concat(SweepNs.map { n =>
+      transform(TextOps.distinctGramHashExpr(n), g => struct(lit(n).as("n"), g.as("g")))
+    }: _*)
+    val sh = docs(spark, dir)
+      .select(col("doc_id"), TextOps.toks.as("toks"))
+      .select(col("doc_id"), explode(tagged).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("n"), col("g"))
+    val pruned = sh
+      .withColumn("df", count(lit(1)).over(wg))
+      .filter(col("df") <= DecontamMaxDf)
+      .drop("df")
+    val bench  = pruned.filter(col("doc_id") % BenchEvery === 0)
+      .select(col("n"), col("g"), col("doc_id").as("bench_id"))
+    val corpus = pruned.filter(col("doc_id") % BenchEvery =!= 0)
+    val pairs = corpus
+      .join(bench, Seq("n", "g"))
+      .groupBy(col("n"), col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val summary = pairs
+      .groupBy(col("n"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_contaminated"),
+        countDistinct(col("bench_id")).as("n_bench_hit"),
+        count(lit(1)).as("n_pairs"),
+        max(col("n_shared")).as("max_shared"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val eligCols = SweepNs.map(n =>
+      sum(when(col("nt") >= n && col("doc_id") % BenchEvery =!= 0, 1L).otherwise(0L))
+        .as(s"e$n"))
+    val elig = docs(spark, dir)
+      .select(size(TextOps.toks).as("nt"), col("doc_id"))
+      .agg(eligCols.head, eligCols.tail: _*)
+      .collect()(0)
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    import spark.implicits._
+    SweepNs.zipWithIndex
+      .map { case (n, i) =>
+        val e               = elig.getLong(i)
+        val (c, b, p, mx)   = summary.getOrElse(n, (0L, 0L, 0L, 0L))
+        (n, e, c, r6(c.toDouble / e.toDouble), b, p, mx)
+      }
+      .toDF("n", "eligible_docs", "n_contaminated", "contamination_rate",
+        "n_bench_hit", "n_pairs", "max_shared")
+      .orderBy(col("n"))
+  }
+
+  /** q205 oracle: the three gram grains unioned with their n tag, ONE
+    * bytes-chain hash over the distinct gram strings, q39's DF cap and
+    * bench split per (n, g), identical rollups.
+    */
+  lazy val contaminationSweepSql: String = {
+    import graft.functions.DuckHash._
+    val grains = SweepNs
+      .map(n =>
+        s"""SELECT doc_id, $n AS n, unnest(${TextOps.duckDistinctGrams(n)}) AS gram
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+           |  WHERE len(toks) >= $n""".stripMargin)
+      .mkString("(", "\nUNION ALL\n", ")")
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q205g" -> grains,
+      "q205d" -> s"(SELECT gram, ${bytesOf("gram")} AS b FROM (SELECT DISTINCT gram FROM q205g))"
+    )
+    val hb = hashBytesChain("q205hx", "q205d", Seq("gram"), "42", "hs")
+    ctes ++= hb.ctes
+    ctes += ("q205f" -> s"(SELECT gram, CAST(${toSigned("hs")} AS BIGINT) AS g FROM ${hb.last})")
+    ctes += ("q205gh" -> "(SELECT DISTINCT doc_id, n, g FROM q205g JOIN q205f USING (gram))")
+    ctes += ("q205cap" ->
+      s"(SELECT n, g FROM q205gh GROUP BY n, g HAVING count(*) <= $DecontamMaxDf)")
+    ctes += ("q205pr" -> "(SELECT doc_id, n, g FROM q205gh JOIN q205cap USING (n, g))")
+    ctes += ("q205p" ->
+      s"""(SELECT c.n, c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+         |  FROM q205pr c JOIN q205pr b ON c.g = b.g AND c.n = b.n
+         |  WHERE b.doc_id % $BenchEvery = 0 AND c.doc_id % $BenchEvery <> 0
+         |  GROUP BY 1, 2, 3)""".stripMargin)
+    ctes += ("q205s" ->
+      """(SELECT n,
+        |    count(DISTINCT doc_id)::BIGINT AS n_contaminated,
+        |    count(DISTINCT bench_id)::BIGINT AS n_bench_hit,
+        |    count(*)::BIGINT AS n_pairs,
+        |    max(n_shared)::BIGINT AS max_shared
+        |  FROM q205p GROUP BY n)""".stripMargin)
+    val eligCols = SweepNs
+      .map(n =>
+        s"CAST(sum(CASE WHEN len(toks) >= $n AND doc_id % $BenchEvery <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS e$n")
+      .mkString(", ")
+    ctes += ("q205e" ->
+      s"""(SELECT $eligCols
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents))""".stripMargin)
+    val rows = SweepNs
+      .map(n =>
+        s"""SELECT $n AS n, e.e$n AS eligible_docs,
+           |  coalesce(s.n_contaminated, 0)::BIGINT AS n_contaminated,
+           |  round(coalesce(s.n_contaminated, 0)::DOUBLE / e.e$n::DOUBLE, 6) AS contamination_rate,
+           |  coalesce(s.n_bench_hit, 0)::BIGINT AS n_bench_hit,
+           |  coalesce(s.n_pairs, 0)::BIGINT AS n_pairs,
+           |  coalesce(s.max_shared, 0)::BIGINT AS max_shared
+           |FROM q205e e LEFT JOIN q205s s ON s.n = $n""".stripMargin)
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", ")\nORDER BY n")
+    assemble(ctes.toSeq, rows)
+  }
 }

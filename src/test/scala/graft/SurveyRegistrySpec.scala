@@ -40,13 +40,13 @@ class SurveyRegistrySpec extends AnyFunSuite {
   }
 
   test("SURVEY §2's component inventory matches the registry (update the pin WITH the row)") {
-    // 204 oracle-backed queries + the spec-only components (HealthKit ETL
+    // 205 oracle-backed queries + the spec-only components (HealthKit ETL
     // A-surface, B17/B19/B20, multimodal D-surface minus the oracled q31,
     // streaming E-surface incl. E45). A new component must land with its §2 row —
     // this pin fails when either side moves alone.
-    assert(SparkEntry.queries.size == 204,
+    assert(SparkEntry.queries.size == 205,
       s"registry moved to ${SparkEntry.queries.size} queries — update SURVEY §2 and this pin")
-    assert(rows.size == 272,
+    assert(rows.size == 273,
       s"SURVEY §2 has ${rows.size} component rows — keep rows and registry moving together")
     val ids = rows.map(_.split("\\|")(1).trim)
     assert(ids.distinct.size == ids.size,
