@@ -18,7 +18,7 @@ object TextOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
 
-  private[operators] val toks: Column = split(trim(col("text")), "\\s+")
+  private[graft] val toks: Column = split(trim(col("text")), "\\s+")
 
   // --- DuckDB-side fragments shared across oracles -------------------------
   // One definition per semantic (mirroring shingleCol / stopCountExpr on the
@@ -72,7 +72,7 @@ object TextOps {
     * long-vs-long join compares, same distinct set (the oracles re-derive
     * the identical hashes via DuckHash, so this stays hard-verified).
     */
-  private[operators] def distinctGramHashExpr(n: Int): Column =
+  private[graft] def distinctGramHashExpr(n: Int): Column =
     graft.functions.Expressions.hashed_grams(col("toks"), n)
 
   /** SQL for the one-pass in-bucket combination expansion over a sorted

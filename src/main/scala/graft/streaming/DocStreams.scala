@@ -488,4 +488,52 @@ object DocStreams {
   def mediaChunkStream(
       media: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord]): DataFrame =
     graft.operators.Multimodal.mediaChunks(media).toDF()
+
+  /** E50: streaming contamination gate (twin: q39/q205) — each incoming
+    * document is screened against the EVAL-SET gram store before it can
+    * enter a training shard: shared ≤df-capped 8-gram count + a
+    * contaminated flag, per doc, map-side. Unlike E12's Bloom (a sketch
+    * over an unbounded corpus), the benchmark side here is SMALL BY
+    * NATURE — an eval suite is thousands of docs, its capped distinct
+    * grams a bounded set — so the gate broadcasts the exact gram set as
+    * a literal (the E11/E14 model-gate shape) and owes nothing to a
+    * state store: stateless projection, no watermark, no shuffle, exact
+    * evidence (the gram hashes are q39's own kernel, so a flagged doc
+    * is exactly a doc q39 would pair). Refresh cadence = eval-set
+    * release cadence, the snapshot-refresh-by-restart contract.
+    */
+  def contaminationGate(docs: DataFrame, benchGrams: Set[Long]): DataFrame = {
+    import graft.operators.{TextOps, TrainingOps}
+    val n = TrainingOps.DecontamN
+    val granted = typedLit(benchGrams.toSeq.sorted)
+    docs
+      .select(col("doc_id"), col("ts"), TextOps.toks.as("toks"))
+      .select(
+        col("doc_id"),
+        col("ts"),
+        size(filter(
+          TextOps.distinctGramHashExpr(n),
+          g => array_contains(granted, g))).as("n_shared"))
+      .select(
+        col("doc_id"), col("ts"), col("n_shared"),
+        (col("n_shared") > 0).as("contaminated"))
+  }
+
+  /** The benchmark gram set E50 broadcasts: q39's bench split and DF cap
+    * on a corpus snapshot — bounded by the eval suite's size.
+    */
+  def benchGramSet(spark: org.apache.spark.sql.SparkSession, dir: String): Set[Long] = {
+    import graft.operators.{TextOps, TrainingOps}
+    val n = TrainingOps.DecontamN
+    val sh = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(TextOps.distinctGramHashExpr(n)).as("g"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    sh.withColumn("df", count(lit(1)).over(wg))
+      .filter(col("df") <= TrainingOps.DecontamMaxDf)
+      .filter(col("doc_id") % TrainingOps.BenchEvery === 0)
+      .select(col("g")).distinct()
+      .collect().map(_.getLong(0)).toSet
+  }
 }

@@ -1895,4 +1895,37 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(rows == batch, s"streamed media chunk grain diverged (${rows.size} vs ${batch.size})")
   }
+
+  test("E50: streaming contamination gate flags exactly q39's contaminated docs") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    import graft.operators.TrainingOps
+    val bench = DocStreams.benchGramSet(spark, Sf0001)
+    assert(bench.nonEmpty, "benchmark gram set is empty — the gate would be vacuous")
+    val feed = graft.core.Tables.documents(spark, Sf0001)
+      .filter(col("doc_id") % TrainingOps.BenchEvery =!= 0)
+      .select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), Timestamp.valueOf("2024-01-01 10:00:00")))
+    val in = MemoryStream[Doc]
+    val st = DocStreams.contaminationGate(in.toDF(), bench)
+    assert(st.isStreaming)
+    val q = st.writeStream.format("memory").queryName("contam_s").outputMode("append").start()
+    val (b1, b2) = feed.partition(_.doc_id % 3 == 0)
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    in.addData(b2.toSeq: _*); q.processAllAvailable()
+    val rows = spark.table("contam_s").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getBoolean(3)))
+    q.stop()
+    assert(rows.length == feed.length)
+    val flagged = rows.filter(_._3).map(_._1).toSet
+    // the batch evidence: q39's pair table, collapsed to its corpus docs
+    val batch = TrainingOps.decontaminate(spark, Sf0001).collect()
+      .map(_.getLong(0)).toSet
+    assert(flagged == batch,
+      s"gate flagged ${flagged.size} docs, batch q39 pairs ${batch.size}")
+    // evidence counts agree with the flag on every row
+    rows.foreach { case (id, ns, c) => assert((ns > 0) == c, s"doc $id: n_shared=$ns flag=$c") }
+  }
 }
