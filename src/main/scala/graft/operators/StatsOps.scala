@@ -2669,4 +2669,100 @@ object StatsOps {
         |FROM q196e GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin)
   }
+
+  // --- q207: A/B sample-size (power) planner ---------------------------------
+
+  /** Experiment-design planner — the PROSPECTIVE complement of q126's
+    * retrospective uplift test and q178's SRM gate: from each event type's
+    * observed mean/variance, the per-arm sample size a two-sided
+    * α=0.05 / power=0.80 two-arm t-test needs to detect a relative lift of
+    * {1,2,5,10}% of the mean (`n = 2·(z_{.975}+z_{.80})²·σ²/δ²`), and
+    * whether the CURRENT traffic could even feed two such arms. This is
+    * the "can we measure it before we ship it" table a 100 TB event lake
+    * answers from one scan.
+    *
+    * Scale shape: ONE map-side-combinable (type) aggregate of integer cent
+    * sums; the MDE grid is a 4-way literal explode of the bounded per-type
+    * table. Exactness: n/Σv/Σv² are exact integers (the q174 cent domain
+    * guard); every derived stat is a fixed-order expression over those
+    * integers with z-constants as literals, rounded once per leg; the
+    * ceil'd sample size is integer-exact on both engines.
+    */
+  val PowerMdeGrid: Seq[Int]   = Seq(1, 2, 5, 10)
+  val PowerZSum: Double        = 2.801585 // z_{0.975} + z_{0.80}
+
+  def powerPlanner(spark: SparkSession, dir: String): DataFrame = {
+    val grid = array(PowerMdeGrid.map(lit): _*)
+    Tables
+      .events(spark, dir)
+      .select(col("event_type"), centMomentValue.as("v"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+      .withColumn("mu", col("s1").cast("double") / col("n").cast("double"))
+      .withColumn(
+        "varc",
+        when(
+          col("n") > 1,
+          (col("s2").cast("double") - col("mu") * col("s1").cast("double")) /
+            (col("n") - 1).cast("double")).otherwise(lit(0.0)))
+      .withColumn("mde_pct", explode(grid))
+      .withColumn("delta", abs(col("mu")) * col("mde_pct").cast("double") / lit(100.0))
+      .select(
+        col("event_type"),
+        col("n"),
+        round(col("mu") / lit(100.0), 6).as("mean"),
+        round(sqrt(greatest(col("varc"), lit(0.0))) / lit(100.0), 6).as("sd"),
+        col("mde_pct"),
+        round(col("delta") / lit(100.0), 6).as("mde_abs"),
+        when(col("delta") <= 0.0 || col("varc") <= 0.0, lit(null).cast("long"))
+          .otherwise(
+            ceil(
+              lit(2.0) * lit(PowerZSum) * lit(PowerZSum) * col("varc") /
+                (col("delta") * col("delta"))).cast("long"))
+          .as("n_per_arm"))
+      .withColumn(
+        "feasible",
+        when(col("n_per_arm").isNull, lit(false))
+          .otherwise(col("n_per_arm") * 2 <= col("n")))
+      .orderBy(col("event_type"), col("mde_pct"))
+  }
+
+  /** q207 oracle: identical integer cent sums (HUGEINT → cast), the same
+    * fixed-order float expressions and z literals, the same ceil'd BIGINT.
+    */
+  val powerPlannerSql: String = {
+    val z = PowerZSum
+    val grid = PowerMdeGrid.map(p => s"($p)").mkString(", ")
+    s"""WITH q207a AS (
+       |  SELECT event_type, count(*)::BIGINT AS n,
+       |    sum(v)::HUGEINT AS s1, sum(v*v)::HUGEINT AS s2
+       |  FROM (SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS v FROM events)
+       |  GROUP BY 1),
+       |q207b AS (
+       |  SELECT event_type, n,
+       |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+       |    CASE WHEN n > 1 THEN
+       |      (CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s1 AS DOUBLE))
+       |        / CAST(n - 1 AS DOUBLE)
+       |    ELSE 0.0 END AS varc
+       |  FROM q207a),
+       |q207c AS (
+       |  SELECT b.*, g.mde_pct,
+       |    abs(b.mu) * CAST(g.mde_pct AS DOUBLE) / 100.0 AS delta
+       |  FROM q207b b CROSS JOIN (VALUES $grid) g(mde_pct))
+       |SELECT event_type, n,
+       |  round(mu / 100.0, 6) AS mean,
+       |  round(sqrt(greatest(varc, 0.0)) / 100.0, 6) AS sd,
+       |  mde_pct::INTEGER AS mde_pct,
+       |  round(delta / 100.0, 6) AS mde_abs,
+       |  CASE WHEN delta <= 0.0 OR varc <= 0.0 THEN NULL
+       |       ELSE CAST(ceil(2.0 * $z * $z * varc / (delta * delta)) AS BIGINT) END AS n_per_arm,
+       |  CASE WHEN delta <= 0.0 OR varc <= 0.0 THEN FALSE
+       |       ELSE CAST(ceil(2.0 * $z * $z * varc / (delta * delta)) AS BIGINT) * 2 <= n END AS feasible
+       |FROM q207c
+       |ORDER BY event_type, mde_pct""".stripMargin
+  }
 }

@@ -2129,4 +2129,169 @@ object VectorOps {
         |FROM q197s GROUP BY c1
         |ORDER BY cluster""".stripMargin)
   }
+
+  // --- q206: cluster-label purity / NMI audit --------------------------------
+
+  /** External validation of the shared IVF quantizer against the `label`
+    * column — the complement of q197's silhouette (internal geometry) and
+    * q114's cohesion: purity and normalized mutual information say whether
+    * the UNSUPERVISED cells recover the SUPERVISED classes, which is the
+    * go/no-go check before using cell ids as topic strata for q45-style
+    * sampling or q53 mixing. Per cluster: member count, majority label,
+    * purity (majority share), label entropy; plus the corpus-level NMI
+    * `I(C;L) / sqrt(H(C)·H(L))` repeated per row (1-row broadcast, the
+    * repo's stats-column idiom).
+    *
+    * Scale shape: the shared bounded trainer, ONE codegen'd assignment
+    * projection (zero shuffle), ONE (cell,label) count aggregate — output
+    * bounded by |cells|·|labels|, so every later leg is broadcast-sized
+    * algebra on a persisted bounded table.
+    *
+    * Exactness: counts are integers; each `c·ln c` is one product of an
+    * integer-exact double with a 1-ulp `ln`, folded in bounded
+    * index-ordered legs (the q58 rule); purity is an integer ratio and
+    * re-quantizes with FLOOR, not round (the q197 half-point rule); NMI
+    * divides the raw (unrounded) entropies and rounds once.
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Expressions.nearest_centroids
+    val e = Tables
+      .embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        col("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", l2_norm(col("v")))
+      .filter(col("nrm") > 0)
+    val cents = trainCentroids(collectSample(e), IvfCells)
+    val counts = graft.core.CacheScope.persist(
+      e.filter(col("label").isNotNull)
+        .withColumn("cell", nearest_centroids(col("v"), cents, 1).getItem(0) + 1)
+        .groupBy(col("cell"), col("label"))
+        .agg(count(lit(1)).as("c")))
+    val fold = "aggregate(array_sort(ts), cast(0 AS double), (a, x) -> a + x.t)"
+    val percell = counts
+      .select(
+        col("cell"), col("c"), col("label"),
+        struct(
+          col("label"),
+          (col("c").cast("double") * log(col("c").cast("double"))).as("t")).as("tc"))
+      .groupBy(col("cell"))
+      .agg(
+        sum(col("c")).as("n_members"),
+        min(struct((-col("c")).as("nc"), col("label").as("l"))).as("mj"),
+        collect_list(col("tc")).as("ts"))
+    val nl  = counts.groupBy(col("label")).agg(sum(col("c")).as("n_l"))
+    val tot = counts.agg(sum(col("c")).as("n"))
+    val mi = counts
+      .join(broadcast(percell.select(col("cell"), col("n_members").as("n_c"))), Seq("cell"))
+      .join(broadcast(nl), Seq("label"))
+      .crossJoin(broadcast(tot))
+      .select(
+        struct(
+          col("cell"), col("label"),
+          ((col("c").cast("double") / col("n").cast("double")) *
+            log(
+              (col("c").cast("double") * col("n").cast("double")) /
+                (col("n_c").cast("double") * col("n_l").cast("double")))).as("t")).as("tc"))
+      .agg(collect_list(col("tc")).as("ts"))
+      .select(expr(fold).as("mi"))
+    val hc = percell
+      .select(
+        struct(
+          col("cell"),
+          (col("n_members").cast("double") * log(col("n_members").cast("double"))).as("t"))
+          .as("tc"))
+      .agg(collect_list(col("tc")).as("ts"))
+      .select(expr(fold).as("snc"))
+    val hl = nl
+      .select(
+        struct(
+          col("label"),
+          (col("n_l").cast("double") * log(col("n_l").cast("double"))).as("t")).as("tc"))
+      .agg(collect_list(col("tc")).as("ts"))
+      .select(expr(fold).as("snl"))
+    val nmiRow = mi
+      .crossJoin(hc)
+      .crossJoin(hl)
+      .crossJoin(tot)
+      .withColumn("hcr", log(col("n").cast("double")) - col("snc") / col("n").cast("double"))
+      .withColumn("hlr", log(col("n").cast("double")) - col("snl") / col("n").cast("double"))
+      .select(
+        when(col("hcr") * col("hlr") <= 0, lit(0.0))
+          .otherwise(round(col("mi") / sqrt(col("hcr") * col("hlr")), 6))
+          .as("nmi"))
+    percell
+      .select(
+        col("cell").cast("int").as("cluster"),
+        col("n_members"),
+        col("mj.l").as("majority_label"),
+        round(
+          floor(
+            (-col("mj.nc")).cast("double") * lit(1000000.0) /
+              col("n_members").cast("double")).cast("long").cast("double") / lit(1000000.0),
+          6).as("purity"),
+        round(
+          log(col("n_members").cast("double")) -
+            expr(fold) / col("n_members").cast("double"),
+          6).as("label_entropy"))
+      .crossJoin(broadcast(nmiRow))
+      .orderBy(col("cluster"))
+  }
+
+  /** q206 oracle: the shared trainer/assignment chain, identical bounded
+    * index-ordered `c·ln c` folds, the FLOOR purity re-quantization, and
+    * raw-entropy NMI — every float term a function of integer counts.
+    */
+  lazy val clusterPuritySql: String = {
+    import graft.functions.DuckHash.assemble
+    import scala.collection.mutable.ArrayBuffer
+    val D    = 64
+    val ctes = ArrayBuffer(ivfAssignCtes(D): _*)
+    ctes += ("q206l" ->
+      """(SELECT a.cell, e.label, count(*)::BIGINT AS c
+        |  FROM q32asg a JOIN embeddings e ON e.vec_id = a.n_id
+        |  WHERE e.label IS NOT NULL GROUP BY 1, 2)""".stripMargin)
+    ctes += ("q206pc" ->
+      """(SELECT cell, CAST(sum(c) AS BIGINT) AS n_members,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(c::DOUBLE * ln(c::DOUBLE) ORDER BY label)), (a, b) -> a + b) AS snl
+        |  FROM q206l GROUP BY cell)""".stripMargin)
+    ctes += ("q206mj" ->
+      """(SELECT cell, label AS majority_label, c FROM (
+        |    SELECT cell, label, c,
+        |      ROW_NUMBER() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rn
+        |    FROM q206l) WHERE rn = 1)""".stripMargin)
+    ctes += ("q206nl" -> "(SELECT label, CAST(sum(c) AS BIGINT) AS n_l FROM q206l GROUP BY 1)")
+    ctes += ("q206n" -> "(SELECT CAST(sum(c) AS BIGINT) AS n FROM q206l)")
+    ctes += ("q206mi" ->
+      """(SELECT list_reduce(list_prepend(0.0::DOUBLE,
+        |    list((l.c::DOUBLE / n.n::DOUBLE)
+        |      * ln((l.c::DOUBLE * n.n::DOUBLE) / (pc.n_members::DOUBLE * nl.n_l::DOUBLE))
+        |      ORDER BY l.cell, l.label)), (a, b) -> a + b) AS mi
+        |  FROM q206l l JOIN q206pc pc USING (cell) JOIN q206nl nl USING (label), q206n n)""".stripMargin)
+    ctes += ("q206hc" ->
+      """(SELECT list_reduce(list_prepend(0.0::DOUBLE,
+        |    list(n_members::DOUBLE * ln(n_members::DOUBLE) ORDER BY cell)), (a, b) -> a + b) AS snc
+        |  FROM q206pc)""".stripMargin)
+    ctes += ("q206hl" ->
+      """(SELECT list_reduce(list_prepend(0.0::DOUBLE,
+        |    list(n_l::DOUBLE * ln(n_l::DOUBLE) ORDER BY label)), (a, b) -> a + b) AS snl
+        |  FROM q206nl)""".stripMargin)
+    ctes += ("q206z" ->
+      """(SELECT CASE WHEN hcr * hlr <= 0 THEN 0.0
+        |         ELSE round(mi / sqrt(hcr * hlr), 6) END AS nmi FROM (
+        |    SELECT mi.mi,
+        |      ln(n.n::DOUBLE) - hc.snc / n.n::DOUBLE AS hcr,
+        |      ln(n.n::DOUBLE) - hl.snl / n.n::DOUBLE AS hlr
+        |    FROM q206mi mi, q206hc hc, q206hl hl, q206n n))""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT pc.cell::INTEGER AS cluster, pc.n_members, mj.majority_label,
+        |  round(floor(mj.c::DOUBLE * 1000000.0 / pc.n_members::DOUBLE) / 1000000.0, 6) AS purity,
+        |  round(ln(pc.n_members::DOUBLE) - pc.snl / pc.n_members::DOUBLE, 6) AS label_entropy,
+        |  z.nmi
+        |FROM q206pc pc JOIN q206mj mj USING (cell), q206z z
+        |ORDER BY cluster""".stripMargin)
+  }
 }

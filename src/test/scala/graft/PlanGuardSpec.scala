@@ -604,7 +604,11 @@ class PlanGuardSpec extends SparkSpec {
         "q202_hash_load",
         // q203 crossJoins the 1-row totals onto the bounded length
         // histogram — same shape
-        "q203_chunk_geometry")
+        "q203_chunk_geometry",
+        // q206 crossJoins the 1-row NMI aggregate (itself three 1-row
+        // entropy folds × the 1-row total) onto the ≤|cells|-row purity
+        // table — every side a bounded aggregate, never the corpus
+        "q206_cluster_purity")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
