@@ -19,10 +19,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally graft.core.CacheScope.drain(spark)
     }
@@ -39,9 +41,32 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+    val oracles = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Tripwire (round-7 incident: the round's CORRECTNESS artifact landed
+    // as `{}` and only a judge rerun saved the round). A Verify run must be
+    // self-evidencing: every registered query has a readable parquet dump
+    // with a _SUCCESS marker, and the written oracle JSON is non-empty.
+    // Anything less exits nonzero so no downstream consumer can mistake a
+    // partial dump for a green gate.
+    val expected = SparkEntry.queries.keySet.filter(keep)
+    val dumped = expected.filter(n =>
+      Files.exists(Paths.get(s"$outDir/$n/_SUCCESS")))
+    val missing = (expected -- dumped).toSeq.sorted
+    if (json.length <= 2 && expected.nonEmpty) {
+      System.err.println("[verify] TRIPWIRE: oracle_sql.json is empty")
+      sys.exit(3)
+    }
+    if (failed.nonEmpty || missing.nonEmpty) {
+      System.err.println(
+        s"[verify] TRIPWIRE: ${dumped.size}/${expected.size} dumps present; " +
+          s"failed=${failed.sorted.mkString(",")} missing=${missing.mkString(",")}")
+      sys.exit(2)
+    }
+    println(s"[verify] DUMPED ${dumped.size}/${expected.size} queries, " +
+      s"${oracles.size} oracle entries — gate artifact complete")
   }
 }

@@ -2351,6 +2351,21 @@ object StatsOps {
         col("value").cast("string"))))
   }
 
+  /** Post-aggregation tripwire for the DECIMAL(38,0) power sums: under
+    * non-ANSI Spark an overflowing SUM returns NULL silently while the
+    * DuckDB HUGEINT oracle raises. [[centMomentValue]] never emits NULL,
+    * so a NULL sum over n > 0 input rows can ONLY be decimal overflow —
+    * the documented Σ|v|⁴ < 10³⁸ envelope (safe to 10¹⁰ rows per cell at
+    * |v| < 10⁷) failing. Raise at the aggregate instead of letting the
+    * envelope zero the profile; shared by batch q174 and streaming E38 so
+    * both legs enforce the same contract the oracle enforces.
+    */
+  private[graft] def guardedPowerSum(sumCol: String, nCol: String): org.apache.spark.sql.Column =
+    when(col(nCol) > 0L && col(sumCol).isNull,
+      raise_error(lit(s"moments: DECIMAL(38,0) overflow in $sumCol — " +
+        "the power-sum envelope was exceeded (shrink the cell grain or the value domain)")))
+      .otherwise(col(sumCol)).as(sumCol)
+
   def momentsProfile(spark: SparkSession, dir: String): DataFrame = {
     val v = centMomentValue
     val cells = graft.core.CacheScope.persist(
@@ -2364,7 +2379,10 @@ object StatsOps {
           sum(col("v")).as("s1"),
           sum(col("v") * col("v")).as("s2"),
           sum(col("v") * col("v") * col("v")).as("s3"),
-          sum(col("v") * col("v") * col("v") * col("v")).as("s4")))
+          sum(col("v") * col("v") * col("v") * col("v")).as("s4"))
+        .select(col("event_type"), col("shard"), col("n"),
+          guardedPowerSum("s1", "n"), guardedPowerSum("s2", "n"),
+          guardedPowerSum("s3", "n"), guardedPowerSum("s4", "n")))
     val merged = cells
       .groupBy(col("event_type"))
       .agg(
@@ -2373,6 +2391,9 @@ object StatsOps {
         sum(col("s2")).as("m2s"),
         sum(col("s3")).as("m3s"),
         sum(col("s4")).as("m4s"))
+      .select(col("event_type"), col("mn"),
+        guardedPowerSum("m1", "mn"), guardedPowerSum("m2s", "mn"),
+        guardedPowerSum("m3s", "mn"), guardedPowerSum("m4s", "mn"))
       .withColumn("mu", col("m1").cast("double") / col("mn").cast("double"))
     val dec = cells
       .join(broadcast(merged.select(col("event_type"), col("mu"))), "event_type")

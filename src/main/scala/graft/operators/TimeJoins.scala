@@ -2375,15 +2375,20 @@ object TimeJoins {
   // --- q199: transition-anomaly residuals ------------------------------------
 
   /** Rare/forbidden-transition audit over q103's first-order Markov
-    * grain: for EVERY (cur, nxt) cell of the full |types|² grid —
-    * including never-observed ones — the observed count, the
-    * independence expectation `e = rowTot·colTot/N`, and the Pearson
-    * standardized residual `(o − e)/√e`. Large positive residuals are
-    * sticky machine-like paths, large negative ones transitions the
-    * product makes impossible (or a bot AVOIDS — the q186 screen reads
-    * both tails); q103 reports the observed matrix, this scores its
-    * STRUCTURE against the no-structure null, zero cells included
-    * (an anomalously ABSENT transition never appears in q103 at all).
+    * grain: for every (cur, nxt) cell of the OBSERVED-MARGIN grid —
+    * types seen at least once as `cur` crossed with types seen at least
+    * once as `nxt` — the observed count, the independence expectation
+    * `e = rowTot·colTot/N`, and the Pearson standardized residual
+    * `(o − e)/√e`. Cells whose margins are both observed but whose
+    * transition never occurs get o = 0 and a real negative residual (an
+    * anomalously ABSENT transition never appears in q103 at all); a type
+    * absent from an entire axis is excluded — its margin total is 0, so
+    * e = 0 and the residual is undefined (0/0), carrying no signal.
+    * Large positive residuals are sticky machine-like paths, large
+    * negative ones transitions the product makes impossible (or a bot
+    * AVOIDS — the q186 screen reads both tails); q103 reports the
+    * observed matrix, this scores its STRUCTURE against the
+    * no-structure null.
     *
     * Scale shape: one user-keyed lead window (q103's pass) → the bounded
     * (cur, nxt) count table (persisted); margins and the grid are

@@ -1860,6 +1860,20 @@ object VectorOps {
   val SpecSampleMod = 4L
   val SpecRounds    = 6
 
+  /** q194 degenerate summary: empty sample (n = 0) or zero-trace
+    * covariance (all sampled vectors identical) — one explicit row with
+    * the sample count and NULL spectrum columns, instead of a driver
+    * exception / NaN propagation. The oracle emits the same row from a
+    * `n = 0 OR tr = 0` UNION branch.
+    */
+  private def spectrumDegenerate(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    Seq((n, Option.empty[Double], Option.empty[Double], Option.empty[Double],
+      Option.empty[Double], Option.empty[Long], Option.empty[Double]))
+      .toDF("n_sample", "trace_var", "lambda1_var", "pc1_share", "erank",
+        "top_dim", "top_loading")
+  }
+
   /** Embedding-collapse audit: the covariance spectrum summary a training
     * team reads before trusting cosine geometry at all — q168 audits
     * normalization and q162 drift, but neither sees RANK COLLAPSE (all
@@ -1905,12 +1919,35 @@ object VectorOps {
       .collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
       .toMap
+    // degenerate sample: nothing passed the audit gate — explicit summary
+    // row instead of a driver NoSuchElementException (oracle mirrors)
+    if (cells.isEmpty) return spectrumDegenerate(spark, 0L)
     val n  = cells((-1, -1))
     val sv = Array.tabulate(d)(i => cells((i, -1)))
     val c  = Array.tabulate(d, d) { (i, j) =>
       val (a, b) = (math.min(i, j), math.max(i, j))
-      (n * cells((a, b)) - sv(i) * sv(j)).toDouble
+      // LOUD envelope guard (the centMomentValue rule): the oracle's
+      // BIGINT products RAISE past 2^63, while plain Long arithmetic here
+      // would wrap silently into a wrong spectrum. Match the oracle's
+      // failure surface exactly: raise when any intermediate (n·S_ij,
+      // s_i·s_j) or the centered cell leaves the Long domain — reached
+      // around n ≈ 3·10⁵ sampled vectors at |q| ≤ 10⁴; shrink the sample
+      // gate (SpecSampleMod) before that, never widen the arithmetic.
+      val np = BigInt(n) * cells((a, b))
+      val ss = BigInt(sv(i)) * sv(j)
+      val cc = np - ss
+      if (!np.isValidLong || !ss.isValidLong || !cc.isValidLong)
+        throw new IllegalStateException(
+          s"q194: covariance cell ($i,$j) exceeds the exact Long envelope " +
+            s"(n=$n, n*S=$np, s_i*s_j=$ss) — raise SpecSampleMod before the " +
+            "spectrum silently wraps (the DuckDB oracle errors here)")
+      cc.toLong.toDouble
     }
+    // all-identical sample: zero covariance, power iteration would
+    // propagate NaN through every column — explicit summary row instead
+    var tr0 = 0.0
+    for (i <- 0 until d) tr0 += c(i)(i)
+    if (tr0 == 0.0) return spectrumDegenerate(spark, n)
     // power iteration, index-ordered folds (the oracle mirrors these exactly)
     var v = Array.fill(d)(0.125)
     var w = new Array[Double](d)
@@ -2027,7 +2064,13 @@ object VectorOps {
          |  round(t.tr * t.tr / t.f2, 6) AS erank,
          |  tp.top_dim,
          |  round(tp.top_loading, 6) AS top_loading
-         |FROM q194n n CROSS JOIN q194ray r CROSS JOIN q194tf t CROSS JOIN q194top tp""".stripMargin)
+         |FROM q194n n CROSS JOIN q194ray r CROSS JOIN q194tf t CROSS JOIN q194top tp
+         |WHERE n.n > 0 AND t.tr IS NOT NULL AND t.tr <> 0
+         |UNION ALL
+         |SELECT n.n, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+         |  NULL::BIGINT, NULL::DOUBLE
+         |FROM q194n n CROSS JOIN q194tf t
+         |WHERE n.n = 0 OR t.tr IS NULL OR t.tr = 0""".stripMargin)
   }
 
   // --- q197: cluster-quality silhouette audit --------------------------------

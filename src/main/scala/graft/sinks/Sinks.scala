@@ -47,7 +47,15 @@ object Sinks {
     * needs batch-id fencing). Each partition writes through its own
     * connection in one transaction; `maxConnections` caps DB fan-in.
     * Distinct keys never collide across partitions (one row per key per
-    * batch), so partition-parallel upserts are race-free.
+    * batch), so partition-parallel upserts are race-free — EXCEPT when a
+    * speculative or retried duplicate task attempt replays a partition
+    * concurrently with the original: both attempts can miss the UPDATE
+    * and both INSERT the same key. The target table MUST therefore carry
+    * a UNIQUE/PRIMARY KEY constraint on `keyCols`; the second INSERT then
+    * fails with a duplicate-key SQLException (SQLState 23xxx), which this
+    * sink catches and converts back into the UPDATE it raced — restoring
+    * exactly-once in effect. Without the constraint the race silently
+    * duplicates rows (alternatively disable `spark.speculation`).
     */
   def upsertJdbc(
       batch: DataFrame,
@@ -87,7 +95,18 @@ object Sinks {
                 keyCols.indices.foreach { ki => up.setObject(i, r.get(ki)); i += 1 }
                 if (up.executeUpdate() == 0) {
                   cols.indices.foreach(ci => ins.setObject(ci + 1, r.get(ci)))
-                  ins.executeUpdate()
+                  try ins.executeUpdate()
+                  catch {
+                    // duplicate-key (SQLState class 23: integrity
+                    // constraint violation) = a racing duplicate task
+                    // attempt inserted this key first — fall back to the
+                    // UPDATE we raced; absolute-total batches make the
+                    // rewrite idempotent
+                    case e: java.sql.SQLException
+                        if e.getSQLState != null && e.getSQLState.startsWith("23") =>
+                      // `up` still holds this row's parameters
+                      if (up.executeUpdate() == 0) throw e
+                  }
                 }
               }
               conn.commit()

@@ -1120,7 +1120,12 @@ object EventStreams extends Serializable {
     * partial), closed windows append exactly once. The cent quantization
     * rides [[graft.operators.StatsOps.centMomentValue]] — the shared
     * guarded expression that RAISES on |value| ≥ \$100k instead of
-    * letting a non-ANSI decimal overflow null the envelope silently.
+    * letting a non-ANSI decimal overflow null the envelope silently —
+    * and the emitted sums ride
+    * [[graft.operators.StatsOps.guardedPowerSum]], which raises if a
+    * window's Σvᵏ itself overflows DECIMAL(38,0) (a NULL sum over n > 0
+    * rows), matching the oracle's HUGEINT failure surface at the
+    * aggregate too.
     */
   def momentsStream(events: DataFrame, watermarkDur: String = "2 hours"): DataFrame = {
     val v = graft.operators.StatsOps.centMomentValue
@@ -1138,10 +1143,10 @@ object EventStreams extends Serializable {
         date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"),
         col("n"),
-        col("s1"),
-        col("s2"),
-        col("s3"),
-        col("s4"))
+        graft.operators.StatsOps.guardedPowerSum("s1", "n"),
+        graft.operators.StatsOps.guardedPowerSum("s2", "n"),
+        graft.operators.StatsOps.guardedPowerSum("s3", "n"),
+        graft.operators.StatsOps.guardedPowerSum("s4", "n"))
   }
 
   /** E45: streaming incremental cube — the live writer leg of q154's
@@ -1424,10 +1429,12 @@ object EventStreams extends Serializable {
       .withColumn("u",
         CurationOps.hashUniform("xxhash64(event_type, cast(window.start as long))"))
       .withColumn("noise", CurationOps.lapNoise("u", eps))
+      // release projection carries ONLY the noisy count — the raw c_true
+      // never leaves this operator (q193's batch audit table is where the
+      // true counts live, behind whatever access control guards raw data)
       .select(
         col("window.start").as("w_start"),
         col("event_type"),
-        col("c_true"),
         round(col("c_true") + col("noise"), 6).as("noisy_c"))
   }
 }

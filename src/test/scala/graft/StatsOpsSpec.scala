@@ -397,4 +397,26 @@ class StatsOpsSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("cent-quantized domain")), s"unexpected failure: $e")
   }
+
+  test("q174/E38: a power SUM that overflows to NULL raises at the aggregate, not silently") {
+    // The per-value guard bounds v^4 < 1e28; the SUM itself can still leave
+    // DECIMAL(38,0) past ~1e10 rows per cell. Under non-ANSI Spark that
+    // returns NULL while the HUGEINT oracle raises — guardedPowerSum must
+    // convert the NULL-over-nonempty-input case into a loud failure.
+    import spark.implicits._
+    val overflowed = Seq((5L, Option.empty[java.math.BigDecimal]))
+      .toDF("n", "s4").withColumn("s4", col("s4").cast("decimal(38,0)"))
+    val e = intercept[Exception] {
+      overflowed.select(col("n"), StatsOps.guardedPowerSum("s4", "n")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("DECIMAL(38,0) overflow")), s"unexpected failure: $e")
+    // pass-through on healthy sums, and n = 0 (empty cell) stays NULL-legal
+    val ok = Seq((5L, "123"), (0L, null)).toDF("n", "s4raw")
+      .withColumn("s4", col("s4raw").cast("decimal(38,0)"))
+      .select(col("n"), StatsOps.guardedPowerSum("s4", "n"))
+      .collect().map(r => (r.getLong(0), Option(r.getDecimal(1)).map(_.longValueExact())))
+    assert(ok.toSeq == Seq((5L, Some(123L)), (0L, None)))
+  }
 }

@@ -1849,26 +1849,31 @@ class StreamingSpec extends SparkSpec {
     in.addData(b2: _*); q.processAllAvailable()
     in.addData(Ev(99, 9, t("2024-06-01 00:00:00"), "click", 1.0)); q.processAllAvailable()
     in.addData(); q.processAllAvailable()
+    // release schema carries NO raw count column (the DP property the
+    // scaladoc claims: consumers only ever see noisy_c)
+    assert(spark.table("dp_s").columns.toSeq == Seq("w_start", "event_type", "noisy_c"))
     val got = spark.table("dp_s").collect()
-      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
     q.stop()
     val closed = got.filter(_._1.before(t("2024-06-01 00:00:00")))
     // exactly once per (window, type)
     assert(closed.map(x => (x._1, x._2)).distinct.length == closed.length)
     // equal to the batch recompute through the SAME shared noise kernel
     import graft.operators.CurationOps
-    val batch = evs.toDF()
+    val batchRows = evs.toDF()
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("c_true"))
       .withColumn("u", CurationOps.hashUniform("xxhash64(event_type, cast(window.start as long))"))
       .withColumn("noise", CurationOps.lapNoise("u", 1.0))
       .select(col("window.start"), col("event_type"), col("c_true"),
-        round(col("c_true") + col("noise"), 6))
+        round(col("c_true") + col("noise"), 6).as("noisy_c"))
       .collect()
-      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
-    assert(closed.toSet == batch, s"stream release != batch recompute")
-    // noise is real (some release differs from its true count) but bounded-sane
-    assert(closed.exists(x => x._4 != x._3.toDouble))
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(closed.toSet == batchRows.map(x => (x._1, x._2, x._4)).toSet,
+      s"stream release != batch recompute")
+    // noise is real (some release differs from its true count)
+    val trueByCell = batchRows.map(x => ((x._1, x._2), x._3)).toMap
+    assert(closed.exists(x => x._3 != trueByCell((x._1, x._2)).toDouble))
   }
 
   test("E49: streamed media chunks EQUAL the batch D6 chunk grain (shared byte kernel)") {

@@ -40,7 +40,7 @@ class SurveyRegistrySpec extends AnyFunSuite {
   }
 
   test("SURVEY §2's component inventory matches the registry (update the pin WITH the row)") {
-    // 205 oracle-backed queries + the spec-only components (HealthKit ETL
+    // The pinned count of oracle-backed queries + the spec-only components (HealthKit ETL
     // A-surface, B17/B19/B20, multimodal D-surface minus the oracled q31,
     // streaming E-surface incl. E45). A new component must land with its §2 row —
     // this pin fails when either side moves alone.
