@@ -18,10 +18,15 @@ import graft.functions.{Expressions, InferType}
   *   - `graft_simhash64(arr)`     — 64-bit SimHash over token-hash longs
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // rank-filter → bounded-heap rewrite (graft.plans.BoundedRankRewrite):
+    // injected into the operator-optimization batch, so the rewritten
+    // aggregate/generate subtree still gets column pruning etc.
+    ext.injectOptimizerRule(_ => graft.plans.BoundedRankRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -144,11 +149,19 @@ object GraftExtensions {
   )
 
   /** Register on an already-built session (extensions normally bind at
-    * builder time).
+    * builder time). The optimizer rule lands in
+    * `spark.experimental.extraOptimizations` here — a late batch, so the
+    * rewritten subtree skips column pruning (the builder-time
+    * `injectOptimizerRule` path doesn't); prefer `.withExtensions` for
+    * new sessions.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, inf, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BoundedRankRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BoundedRankRewrite
+  }
 }

@@ -58,6 +58,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,179 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.GraftAggBridge
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: `row_number().over(partitionBy p orderBy o) <= k`
+  * filters become a bounded-heap `CollectTopK` aggregate — the q61 plan —
+  * instead of the window plan that shuffles EVERY input row and fully
+  * sorts each partition before discarding all but k rows per group.
+  * After the rewrite each map task keeps ≤ k rows per group in a heap
+  * (partial ObjectHashAggregate, O(n log k) and no corpus sort), the
+  * exchange carries ≤ k·groups rows per map partition, and the rank is
+  * re-derived by exploding the per-group top-k array (CollectTopK.eval
+  * emits it largest-first — rank order — by construction). This is the
+  * plan that survives a 100× fact-table scale-up, applied automatically
+  * to the window formulation users actually write.
+  *
+  * Spark's own `InferWindowGroupLimit` (3.5+) already prunes these plans
+  * to ≤ k rows per group per map partition, but still fully sorts every
+  * map partition (O(n log n)) and runs the Window machinery; this rewrite
+  * removes the sort and the window entirely. Matched shape (anything else
+  * is left alone):
+  *
+  *   Filter((rn ≤ k | rn < k | rn = 1) [AND rest],
+  *     Window([row_number() AS rn], part, order, child))
+  *
+  * with 1 ≤ k ≤ [[MaxK]] (heap state per group is k rows — past that the
+  * window plan's spill behavior is the safer default), every partition
+  * key a plain attribute, and every order key encodable below. `rest`
+  * conjuncts (including ones over rn, e.g. pagination's `rn >= 2`) are
+  * re-applied above the rewritten subtree, which re-emits the window's
+  * exact output attributes. Order-key encoding (CollectTopK keeps the k
+  * LARGEST under the struct's lexicographic interpreted ordering, so
+  * "first k by the ORDER BY" must mean "largest k by the struct"):
+  *
+  *   - DESC NULLS LAST:  value as-is; when nullable, a leading
+  *     `isnull ? 0 : 1` flag makes nulls smallest (picked last — exactly
+  *     the window's desc null placement).
+  *   - ASC NULLS FIRST (numeric only): negated value; when nullable, a
+  *     leading `isnull ? 1 : 0` flag makes nulls largest (picked FIRST —
+  *     the window's default asc null placement). Negation is exact except
+  *     at the integral MinValue under non-ANSI mode (wraps to itself and
+  *     would rank as the largest ascending key — the BoundedRank caveat).
+  *
+  * Non-default null orderings, non-numeric ASC keys, rank()/dense_rank()
+  * (ties make their k-th row a non-constant row count), and multi-window
+  * nodes all fall through to the stock plan. Ties beyond the order keys
+  * are broken by the full row payload (the struct's trailing fields), so
+  * the rewrite is MORE deterministic than the window's partition-order
+  * tie behavior — both are within row_number's tie contract.
+  */
+object BoundedRankRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Heap rows per group above which the window plan is kept. */
+  val MaxK = 1024
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, w: Window) =>
+      rewrite(cond, w).getOrElse(f)
+  }
+
+  /** The single row_number alias of a one-expression window node. */
+  private def soleRowNumber(w: Window): Option[Alias] = w.windowExpressions match {
+    case Seq(a @ Alias(WindowExpression(_: RowNumber, _), _)) => Some(a)
+    case _ => None
+  }
+
+  /** k such that `cond` ≡ rank ≤ k, for the supported comparison shapes. */
+  private def rankLimit(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
+    case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k - 1)
+    case GreaterThan(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k - 1)
+    case EqualTo(a: Attribute, IntegerLiteral(1)) if a.semanticEquals(rn) => Some(1)
+    case EqualTo(IntegerLiteral(1), a: Attribute) if a.semanticEquals(rn) => Some(1)
+    case _ => None
+  }
+
+  /** Struct fields encoding one ORDER BY key for keep-largest semantics,
+    * or None when the key shape is unsupported.
+    */
+  private def encodeKey(s: SortOrder): Option[Seq[Expression]] = {
+    val e = s.child
+    (s.direction, s.nullOrdering) match {
+      case (Descending, NullsLast) =>
+        if (!RowOrdering.isOrderable(e.dataType)) None
+        else if (!e.nullable) Some(Seq(e))
+        else Some(Seq(
+          If(IsNull(e), Literal(0), Literal(1)),
+          Coalesce(Seq(e, Literal.default(e.dataType)))))
+      case (Ascending, NullsFirst) =>
+        e.dataType match {
+          case _: NumericType =>
+            if (!e.nullable) Some(Seq(UnaryMinus(e)))
+            else Some(Seq(
+              If(IsNull(e), Literal(1), Literal(0)),
+              If(IsNull(e), Literal.default(e.dataType), UnaryMinus(e))))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  private def rewrite(cond: Expression, w: Window): Option[LogicalPlan] = {
+    for {
+      rnAlias <- soleRowNumber(w)
+      rnAttr = rnAlias.toAttribute
+      // exactly one rank-limit conjunct defines k; other conjuncts (even
+      // over rn) re-apply above the rewrite, which preserves output attrs
+      conjuncts = splitConjunctivePredicates(cond)
+      limits = conjuncts.flatMap(c => rankLimit(c, rnAttr).map(k => (c, k)))
+      (rankPred, k) <- limits.headOption
+      if limits.size == 1 && k >= 1 && k <= MaxK
+      if w.orderSpec.nonEmpty
+      groupKeys <- someIfAll(w.partitionSpec) {
+        case a: AttributeReference => Some(a); case _ => None
+      }
+      sortFields <- someIfAll(w.orderSpec)(encodeKey)
+      // Spark may already have inserted its WindowGroupLimit below the
+      // window (same spec, limit ≥ k) — the rewrite subsumes it
+      child = w.child match {
+        case wgl: WindowGroupLimit
+            if wgl.partitionSpec == w.partitionSpec &&
+              wgl.orderSpec == w.orderSpec && wgl.limit >= k => wgl.child
+        case c => c
+      }
+      // the row payload rides the struct tail: it must be orderable (it
+      // participates in tie comparison past the sort keys)
+      if child.output.forall(a => RowOrdering.isOrderable(a.dataType))
+    } yield {
+      val payloadStart = sortFields.flatten.size
+      val fields = sortFields.flatten.zipWithIndex.flatMap { case (e, i) =>
+        Seq(Literal(s"_s$i"), e)
+      } ++ child.output.zipWithIndex.flatMap { case (a, i) =>
+        Seq(Literal(s"_p$i"), a: Expression)
+      }
+      val item = CreateNamedStruct(fields)
+      val topk = Alias(GraftAggBridge.collectTopK(item, k), "_graft_topk")()
+      val agg = Aggregate(w.partitionSpec, (groupKeys: Seq[NamedExpression]) :+ topk, child)
+
+      // CollectTopK.eval returns the heap sorted largest-first = rank order
+      val structType = item.dataType.asInstanceOf[StructType]
+      val posAttr = AttributeReference("_graft_pos", IntegerType, nullable = false)()
+      val rowAttr = AttributeReference("_graft_row", structType, nullable = false)()
+      val gen = Generate(
+        PosExplode(topk.toAttribute),
+        unrequiredChildIndex = Nil,
+        outer = false,
+        qualifier = None,
+        generatorOutput = Seq(posAttr, rowAttr),
+        child = agg)
+
+      // re-emit the window's exact output attributes (same exprIds) so the
+      // surrounding plan needs no adjustment; group keys come from the
+      // aggregate directly, everything else from the struct payload
+      val groupIds = groupKeys.map(_.exprId).toSet
+      val projRow: Seq[NamedExpression] = child.output.zipWithIndex.map { case (a, i) =>
+        if (groupIds.contains(a.exprId)) a
+        else Alias(
+          GetStructField(rowAttr, payloadStart + i, Some(s"_p$i")), a.name)(
+          exprId = a.exprId, qualifier = a.qualifier)
+      }
+      val rnOut = Alias(Add(posAttr, Literal(1)), rnAlias.name)(
+        exprId = rnAlias.exprId, qualifier = rnAlias.qualifier)
+      val proj = Project(projRow :+ rnOut, gen)
+      val rest = conjuncts.filterNot(_ eq rankPred)
+      if (rest.isEmpty) proj else Filter(rest.reduce(And), proj)
+    }
+  }
+
+  /** Traverse: Some(mapped) iff f is defined on every element. */
+  private def someIfAll[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
+    val mapped = xs.flatMap(x => f(x))
+    if (mapped.size == xs.size) Some(mapped) else None
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.{logical => L}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** graft.plans.BoundedRankRewrite: `row_number().over(...) <= k` filters
+  * must plan as the bounded-heap CollectTopK aggregate (q61's plan) with
+  * the window gone — and produce exactly the rows the window plan
+  * produces, including null placement and pagination conjuncts.
+  */
+class BoundedRankRewriteSpec extends SparkSpec {
+
+  private def optimizedHasWindow(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect { case w: L.Window => w }.nonEmpty
+
+  private def optimizedHasTopK(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.toString.contains("collect_top_k")
+
+  test("q08's window-rank plan rewrites to ObjectHashAggregate[collect_topk], window gone") {
+    val q08 = SparkEntry.queries("q08_topk_per_group")(spark, Sf0001)
+    assert(!optimizedHasWindow(q08), "Window survived the rewrite")
+    assert(optimizedHasTopK(q08), "collect_topk missing from the optimized plan")
+    val phys = q08.queryExecution.executedPlan.toString
+    assert(phys.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$phys")
+    assert(!phys.contains("WindowGroupLimit"), "window machinery still present")
+    // and the rewritten q08 still equals the oracle-pinned q61 heap twin
+    val a = q08.collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("q61_topk_agg")(spark, Sf0001).collect().map(_.toSeq).toSeq
+    assert(a == b, "rewritten q08 diverged from q61")
+  }
+
+  /** Driver-side reference: rank rows like row_number over (part, order). */
+  private def expectTop(
+      rows: Seq[(String, Option[Double], Long)],
+      k: Int,
+      asc: Boolean,
+      lo: Int = 1): Set[(String, Option[Double], Long, Int)] =
+    rows.groupBy(_._1).flatMap { case (_, g) =>
+      val sorted = g.sortWith { (x, y) =>
+        (x._2, y._2) match {
+          case (None, None)       => x._3 < y._3
+          case (None, _)          => asc  // nulls first when asc, last when desc
+          case (_, None)          => !asc
+          case (Some(a), Some(b)) =>
+            if (a != b) { if (asc) a < b else a > b } else x._3 < y._3
+        }
+      }
+      sorted.zipWithIndex.collect {
+        case (r, i) if i + 1 >= lo && i + 1 <= k => (r._1, r._2, r._3, i + 1)
+      }
+    }.toSet
+
+  private val mixed: Seq[(String, Option[Double], Long)] = Seq(
+    ("a", Some(3.0), 1L), ("a", Some(5.0), 2L), ("a", None, 3L),
+    ("a", Some(5.0), 4L), ("a", Some(1.0), 5L),
+    ("b", None, 6L), ("b", None, 7L), ("b", Some(2.0), 8L))
+
+  private def ranked(asc: Boolean, cond: org.apache.spark.sql.Column): DataFrame = {
+    import spark.implicits._
+    val key = if (asc) col("v").asc else col("v").desc
+    val w   = Window.partitionBy(col("g")).orderBy(key, col("id"))
+    mixed.toDF("g", "v", "id").withColumn("rn", row_number().over(w)).filter(cond)
+  }
+
+  test("nullable DESC key: nulls place last, ties break by id — window-exact rows") {
+    val df = ranked(asc = false, col("rn") <= 3)
+    assert(!optimizedHasWindow(df) && optimizedHasTopK(df))
+    val got = df.collect().map(r =>
+      (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2), r.getInt(3))).toSet
+    assert(got == expectTop(mixed, 3, asc = false), s"got $got")
+  }
+
+  test("nullable ASC key: nulls place FIRST (rank 1) — window-exact rows") {
+    val df = ranked(asc = true, col("rn") <= 2)
+    assert(!optimizedHasWindow(df) && optimizedHasTopK(df))
+    val got = df.collect().map(r =>
+      (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2), r.getInt(3))).toSet
+    assert(got == expectTop(mixed, 2, asc = true), s"got $got")
+  }
+
+  test("pagination conjunct (rn between 2 and 3) re-applies above the rewrite") {
+    val df = ranked(asc = false, col("rn") <= 3 && col("rn") >= 2)
+    assert(!optimizedHasWindow(df) && optimizedHasTopK(df))
+    val got = df.collect().map(r =>
+      (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2), r.getInt(3))).toSet
+    assert(got == expectTop(mixed, 3, asc = false, lo = 2), s"got $got")
+  }
+
+  test("guards: k beyond MaxK, dense_rank, and DESC NULLS FIRST keep the stock window plan") {
+    import spark.implicits._
+    val d = mixed.toDF("g", "v", "id")
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    val big = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= graft.plans.BoundedRankRewrite.MaxK + 1)
+    assert(optimizedHasWindow(big) && !optimizedHasTopK(big))
+    val dr = d.withColumn("rn", dense_rank().over(w)).filter(col("rn") <= 2)
+    assert(optimizedHasWindow(dr) && !optimizedHasTopK(dr))
+    val nf = Window.partitionBy(col("g")).orderBy(col("v").desc_nulls_first, col("id"))
+    val nfd = d.withColumn("rn", row_number().over(nf)).filter(col("rn") <= 2)
+    assert(optimizedHasWindow(nfd) && !optimizedHasTopK(nfd))
+  }
+}
