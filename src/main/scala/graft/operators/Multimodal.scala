@@ -13,10 +13,15 @@ import graft.core.Tables
   * `mapPartitions` over a typed Dataset: partition-preserving, no shuffle,
   * executor-local — exactly where a real JNI/FFmpeg/PIL decode would sit.
   *
-  * STUB: the container has no image/audio libraries, so `decodeStub`
-  * produces a deterministic fake feature vector from the raw bytes. The
-  * Spark-side plumbing (schema, batching, partitioning, typed encoders) is
-  * real and tested; swap `decodeStub` for a real decoder to productionize.
+  * Decode is REAL for the lossless formats the JDK itself ships decoders
+  * for — PNG/BMP/GIF via `javax.imageio`, zero new dependencies
+  * ([[decodeImage]]): payload bytes → deterministic grayscale plane
+  * (integer-luma), feeding the real box-filter [[resizePlane]] and the
+  * real DCT [[dctPHash]]. Payloads that are NOT a decodable image (the
+  * synthetic text-byte corpus, and lossy/video codecs the JDK lacks) fall
+  * back to the clearly-marked STUB kernels (`decodeStub`/`resizeStub`) —
+  * deterministic fakes that keep the Spark-side plumbing (schema,
+  * batching, partitioning, typed encoders) exercised end-to-end.
   */
 object Multimodal {
 
@@ -52,6 +57,124 @@ object Multimodal {
     f
   }
 
+  /** REAL bytes→plane decode via the JDK's own `javax.imageio` readers
+    * (PNG, BMP, GIF — lossless, deterministic; no external libraries).
+    * Returns the (width, height, row-major grayscale plane) of a
+    * decodable image payload, or None for anything the JDK cannot read
+    * (which routes to the STUB kernels). Grayscale conversion is integer
+    * ITU-R BT.601 luma `(299·r + 587·g + 114·b) / 1000` over the sRGB
+    * values `getRGB` returns — pure integer arithmetic, so the plane is
+    * bit-identical across JVMs and platforms, the property every dedup
+    * artifact downstream (pHash, md5 chunk keys) requires.
+    */
+  /** Magic-byte gate: only the LOSSLESS formats whose JDK decode is
+    * bit-deterministic (PNG, BMP, GIF). JPEG is deliberately excluded —
+    * ImageIO decodes it, but IDCT rounding may differ across JDK builds,
+    * and dedup artifacts (pHash, chunk keys) must be stable.
+    */
+  private def losslessMagic(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      ((p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        (p(0) == 'B' && p(1) == 'M') ||
+        (p(0) == 'G' && p(1) == 'I' && p(2) == 'F'))
+
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      if (!losslessMagic(payload)) return None
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) None
+        else {
+          val plane = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              plane(y * w + x) = lum.toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, plane))
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL plane resize: exact integer box-filter average — each output
+    * pixel is the floor-mean of its source rectangle (`[ox·w/outW,
+    * (ox+1)·w/outW)` per axis, never empty). Integer sums and one
+    * floor-divide per pixel: deterministic everywhere, no Graphics2D
+    * (whose interpolation is platform-dependent).
+    */
+  def resizePlane(plane: Array[Byte], w: Int, h: Int, outW: Int, outH: Int): Array[Byte] = {
+    require(plane.length == w * h, s"plane is ${plane.length} bytes, expected ${w * h}")
+    val out = new Array[Byte](outW * outH)
+    var oy = 0
+    while (oy < outH) {
+      val y0 = oy * h / outH
+      val y1 = math.max((oy + 1) * h / outH, y0 + 1)
+      var ox = 0
+      while (ox < outW) {
+        val x0 = ox * w / outW
+        val x1 = math.max((ox + 1) * w / outW, x0 + 1)
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += (plane(y * w + x) & 0xff); x += 1 }
+          y += 1
+        }
+        out(oy * outW + ox) = (s / ((y1 - y0).toLong * (x1 - x0))).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  /** [[FeatureDim]]-dim features of a REAL decoded plane: global mean and
+    * variance, the four quadrant means (all /255), plus mean horizontal
+    * and vertical absolute gradient — the plane statistics an image
+    * quality gate keys on. Integer sums, one float divide per feature:
+    * deterministic and partition-order-free.
+    */
+  def planeFeatures(w: Int, h: Int, plane: Array[Byte]): Array[Double] = {
+    val n = plane.length.toLong
+    var s = 0L; var s2 = 0L
+    val q = new Array[Long](4); val qn = new Array[Long](4)
+    var gx = 0L; var gy = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = plane(y * w + x) & 0xff
+        s += v; s2 += v.toLong * v
+        val qi = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+        q(qi) += v; qn(qi) += 1
+        if (x > 0) gx += math.abs(v - (plane(y * w + x - 1) & 0xff))
+        if (y > 0) gy += math.abs(v - (plane((y - 1) * w + x) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val mean = s.toDouble / n
+    Array(
+      mean / 255.0,
+      (s2.toDouble / n - mean * mean) / (255.0 * 255.0),
+      (if (qn(0) > 0) q(0).toDouble / qn(0) else 0.0) / 255.0,
+      (if (qn(1) > 0) q(1).toDouble / qn(1) else 0.0) / 255.0,
+      (if (qn(2) > 0) q(2).toDouble / qn(2) else 0.0) / 255.0,
+      (if (qn(3) > 0) q(3).toDouble / qn(3) else 0.0) / 255.0,
+      (if (w > 1) gx.toDouble / (h.toLong * (w - 1)) else 0.0) / 255.0,
+      (if (h > 1) gy.toDouble / (w.toLong * (h - 1)) else 0.0) / 255.0)
+  }
+
   /** Build a media table from `documents` (text bytes stand in for media
     * payloads — same binary-column plumbing).
     */
@@ -70,14 +193,21 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Batch decode: one `decodeStub` call per record, streamed per partition —
-    * the iterator shape a vectorized (batched) UDF would use.
+  /** D2 batch decode, streamed per partition — the iterator shape a
+    * vectorized (batched) UDF would use. REAL path first: a payload the
+    * JDK decodes ([[decodeImage]]) gets [[planeFeatures]] of its actual
+    * pixel plane; anything else (the synthetic text-byte corpus, formats
+    * without a JDK reader) falls back to the STUB byte-histogram features.
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        MediaFeatures(r.media_id, r.source, r.payload.length, decodeStub(r.payload))
+        val feats = decodeImage(r.payload) match {
+          case Some((w, h, plane)) => planeFeatures(w, h, plane)
+          case None                => decodeStub(r.payload)
+        }
+        MediaFeatures(r.media_id, r.source, r.payload.length, feats)
       }
     }
   }
@@ -99,11 +229,23 @@ object Multimodal {
     out
   }
 
-  /** Map-side resize over the media table (STUB kernel, real plumbing). */
+  /** D3b map-side resize over the media table. REAL path for decodable
+    * images: decode → integer box-filter [[resizePlane]] → raw grayscale
+    * plane payload (`modality = image/gray-raw`, the decoded working
+    * format downstream feature/hash stages consume). Non-decodable
+    * payloads keep the STUB byte-domain downscale.
+    */
   def resize(media: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(r =>
-      r.copy(payload = resizeStub(r.payload, outW, outH), width = outW, height = outH)))
+    media.mapPartitions(_.map { r =>
+      decodeImage(r.payload) match {
+        case Some((w, h, plane)) =>
+          r.copy(payload = resizePlane(plane, w, h, outW, outH),
+            modality = "image/gray-raw", width = outW, height = outH)
+        case None =>
+          r.copy(payload = resizeStub(r.payload, outW, outH), width = outW, height = outH)
+      }
+    })
   }
 
   /** Frame sampler for "video" payloads: every Nth fixed-size frame slice.
@@ -253,10 +395,12 @@ object Multimodal {
   /** Per-media dedup signatures, computed where a real pipeline computes
     * them — executor-local `mapPartitions` beside the decode: the exact
     * key is md5 over the RAW payload bytes (byte-identical copies across
-    * re-crawls/mirrors), and the perceptual hash is the REAL
-    * [[dctPHash]] over the stub-decoded 32×32 plane ([[resizeStub]]
-    * stands in for decode+downscale; the DCT, median, and bit packing
-    * are the production arithmetic).
+    * re-crawls/mirrors), and the perceptual hash is the REAL [[dctPHash]]
+    * over the 32×32 plane. For decodable images the plane is the REAL
+    * decode+downscale ([[decodeImage]] → [[resizePlane]] — the full
+    * production pHash pipeline, end to end); non-decodable payloads keep
+    * the stub byte-plane so the synthetic corpus still exercises the
+    * banding/verify machinery.
     */
   def mediaSignatures(media: Dataset[MediaRecord]): DataFrame = {
     import media.sparkSession.implicits._
@@ -266,7 +410,11 @@ object Multimodal {
         it.map { m =>
           md.reset()
           val ek = md.digest(m.payload).map(b => f"$b%02x").mkString
-          MediaSig(m.media_id, ek, dctPHash(resizeStub(m.payload, PHashN, PHashN)))
+          val plane = decodeImage(m.payload) match {
+            case Some((w, h, p)) => resizePlane(p, w, h, PHashN, PHashN)
+            case None            => resizeStub(m.payload, PHashN, PHashN)
+          }
+          MediaSig(m.media_id, ek, dctPHash(plane))
         }
       }
       .toDF()
