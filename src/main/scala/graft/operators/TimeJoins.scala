@@ -235,12 +235,15 @@ object TimeJoins {
     * flag.
     *
     * Spark-first shape: per-(user, hour) aggregate (ONE keyed shuffle of
-    * the events scan, map-side partial agg), per-user span aggregate whose
-    * `sequence()` explode generates the grid map-side (grid rows =
-    * Σ span-hours, never events × hours), a keyed left join grid←hourly,
-    * and the forward fill as `last(ignoreNulls)` over the user-keyed
-    * window — every operator keyed by user_id, nothing unpartitioned, no
-    * state proportional to anything but one user's span.
+    * the events scan, map-side partial agg), then one user-keyed `lead`
+    * window over the BUCKET grain and a map-side `sequence()` explode:
+    * each bucket owns the gap hours up to the next bucket, and its
+    * last-in-hour value IS the forward fill over that span — so the grid
+    * join and the `last(ignoreNulls)` carry window the textbook
+    * formulation needs never exist (grid rows = Σ span-hours, never
+    * events × hours; the corpus meets no join). Every operator keyed by
+    * user_id, nothing unpartitioned, no state proportional to anything
+    * but one user's bucket list.
     *
     * Determinism: "last value in hour" = max_by on the (ts, event_id)
     * struct — event_id is unique, so ties at equal µs cannot flip; the
@@ -259,33 +262,38 @@ object TimeJoins {
     // struct max keeps the aggregate HASH-aggregable where max_by's buffer
     // forces SortAggregate (sorting every partition by group keys, the
     // expensive shape at a billion (user, hour) groups)
-    // scope-persisted: the grid's per-user extent derives from this SAME
-    // (user, hour) bucket table — deriving it from raw events would scan
-    // the corpus twice for numbers the bucket grain already holds
-    val hourly = graft.core.CacheScope.persist(
-      ev
-        .groupBy(col("user_id"), col("hour"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
-        .select(col("user_id"), col("hour"), col("n_events"), col("m.value").as("last_in_hour")))
+    val hourly = ev
+      .groupBy(col("user_id"), col("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("hour"), col("n_events"), col("m.value").as("last_in_hour"))
 
-    val grid = hourly
-      .groupBy(col("user_id"))
-      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
-      .select(col("user_id"),
-        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
-
-    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid
-      .join(hourly, Seq("user_id", "hour"), "left")
+    // Gap fill WITHOUT a grid join or a second carry-forward window: each
+    // bucket OWNS the gap hours up to the next bucket (lead), and its
+    // last_in_hour IS the forward-filled value over that span — the
+    // grid × left-join × last(ignoreNulls) formulation collapses into one
+    // lead window plus a map-side sequence explode (two exchanges fewer,
+    // and the corpus never meets a join).
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+    hourly
+      .withColumn("next_hour", lead(col("hour"), 1).over(byUser))
       .select(
         col("user_id"),
-        date_format(col("hour"), "yyyy-MM-dd HH").as("hour"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        last(col("last_in_hour"), ignoreNulls = true).over(w).as("value_ff"),
-        col("last_in_hour").isNull.as("is_gap"))
+        col("n_events"),
+        col("last_in_hour"),
+        col("hour").as("bucket_hour"),
+        explode(sequence(
+          col("hour"),
+          coalesce(col("next_hour") - expr("INTERVAL 1 HOUR"), col("hour")),
+          expr("INTERVAL 1 HOUR"))).as("grid_hour"))
+      .select(
+        col("user_id"),
+        date_format(col("grid_hour"), "yyyy-MM-dd HH").as("hour"),
+        when(col("grid_hour") === col("bucket_hour"), col("n_events")).otherwise(lit(0L))
+          .as("n_events"),
+        col("last_in_hour").as("value_ff"),
+        (col("grid_hour") =!= col("bucket_hour")).as("is_gap"))
       .orderBy(col("user_id"), col("hour"))
   }
 
@@ -532,7 +540,7 @@ object TimeJoins {
     * volumes are IEEE-exact doubles, weights are powers of two, and the
     * weighted sum folds in one fixed textual order in both engines.
     */
-  def ewmaTrend(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ewmaBuckets(spark: SparkSession, dir: String): DataFrame = {
     val hourly = Tables
       .events(spark, dir)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"), col("value"))
@@ -556,8 +564,15 @@ object TimeJoins {
         col("x").as("volume"),
         round(ewma, 6).as("ewma"),
         round(col("x") - ewma, 6).as("dev"))
-      .orderBy(col("event_type"), col("hour"))
   }
+
+  /** q113 presentation shape: [[ewmaBuckets]] plus the output ordering.
+    * Internal consumers (q120) persist the UNSORTED buckets — caching this
+    * sorted form would materialize a global sort Catalyst otherwise
+    * eliminates under downstream aggregates/joins.
+    */
+  def ewmaTrend(spark: SparkSession, dir: String): DataFrame =
+    ewmaBuckets(spark, dir).orderBy(col("event_type"), col("hour"))
 
   /** q113 oracle: identical lag spelling — the weighted sum is written in
     * the same left-fold order (k = 0…7) so the IEEE additions match
@@ -583,7 +598,11 @@ object TimeJoins {
     * fixed shape.
     */
   def volumeAnomalies(spark: SparkSession, dir: String): DataFrame = {
-    val t = ewmaTrend(spark, dir)
+    // the EWMA bucket table feeds THREE consumers (the dev histogram, and
+    // the final join twice-removed) — persist it or the whole q113 chain
+    // (scan + keyed agg + 7-lag window) re-executes per consumer; the
+    // histogram likewise feeds both medians
+    val t = graft.core.CacheScope.persist(ewmaBuckets(spark, dir))
     val hist = t
       .groupBy(col("event_type").as("g"), col("dev").as("v"))
       .agg(count(lit(1)).as("c"))
