@@ -2786,4 +2786,106 @@ object StatsOps {
        |FROM q207c
        |ORDER BY event_type, mde_pct""".stripMargin
   }
+
+  // --- q208: pairwise source Wasserstein (earth-mover) drift ------------------
+
+  /** Exact pairwise 1-Wasserstein (earth-mover) distance between every two
+    * sources' document-length distributions — the drift metric that
+    * completes q71 (KL over hashed buckets), q137 (KS sup-gap), and q196
+    * (Jensen-Shannon): KL/JS saturate on disjoint supports and KS sees
+    * only the worst single point, while W₁ = ∫|F_a − F_b| measures HOW FAR
+    * mass must move in the metric itself (characters here) — the number a
+    * mixing planner can act on ("source X's docs run ~340 chars longer"),
+    * robust to binning because there are no bins.
+    *
+    * Exactness: W₁ between empirical CDFs is piecewise-constant between
+    * observed values, so the integral is the finite sum
+    * `Σ_i |cumA_i·n_b − cumB_i·n_a| · (v_{i+1} − v_i) / (n_a·n_b)` over
+    * the merged sorted support — ALL integer arithmetic (DECIMAL(38,0)
+    * sums; Σ ≤ n²·maxlen < 10³² even at 10¹² docs/source) with exactly
+    * one divide + 6-dp round at the end, replayed verbatim by the
+    * HUGEINT oracle.
+    *
+    * Scale shape: ONE keyed aggregate collapses the corpus to the
+    * (source, length) histogram (map-side combinable; cells bounded by
+    * |sources|·length-domain); the |S|² pair expansion, merged-support
+    * union, pair-keyed cumulative windows, and the final fold all run on
+    * that bounded table — broadcast equi-joins, no BNLJ, nothing
+    * data-proportional after the first shuffle.
+    */
+  def wassersteinDrift(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.core.CacheScope.persist(
+      Tables
+        .documents(spark, dir)
+        .groupBy(col("source"), col("n_chars").cast("long").as("v"))
+        .agg(count(lit(1)).as("c")))
+    val n = h.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val pairs = n
+      .select(col("source").as("sa"), col("n").as("na"))
+      .crossJoin(n.select(col("source").as("sb"), col("n").as("nb")))
+      .filter(col("sa") < col("sb"))
+    val ptsA = broadcast(pairs)
+      .join(h.select(col("source").as("sa"), col("v"), col("c")), "sa")
+      .select(col("sa"), col("sb"), col("na"), col("nb"), col("v"),
+        col("c").as("ca"), lit(0L).as("cb"))
+    val ptsB = broadcast(pairs)
+      .join(h.select(col("source").as("sb"), col("v"), col("c")), "sb")
+      .select(col("sa"), col("sb"), col("na"), col("nb"), col("v"),
+        lit(0L).as("ca"), col("c").as("cb"))
+    val w = Window.partitionBy(col("sa"), col("sb")).orderBy(col("v"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ptsA.unionAll(ptsB)
+      .groupBy(col("sa"), col("sb"), col("na"), col("nb"), col("v"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      .withColumn("cuma", sum(col("ca")).over(cum))
+      .withColumn("cumb", sum(col("cb")).over(cum))
+      .withColumn("gap", lead(col("v"), 1).over(w) - col("v"))
+      .groupBy(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(sum(when(col("gap").isNotNull,
+        (abs(col("cuma") * col("nb") - col("cumb") * col("na")) * col("gap"))
+          .cast("decimal(38,0)")).otherwise(lit(0L).cast("decimal(38,0)"))).as("num"))
+      .select(
+        col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        round(col("num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("w1"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** q208 oracle: identical merged-support construction, HUGEINT
+    * cumulative products, the same single divide + 6-dp round.
+    */
+  val wassersteinDriftSql: String =
+    """WITH q208h AS MATERIALIZED (
+      |  SELECT source, n_chars::BIGINT AS v, count(*)::BIGINT AS c
+      |  FROM documents GROUP BY 1, 2),
+      |q208n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM q208h GROUP BY 1),
+      |q208p AS (
+      |  SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+      |  FROM q208n a, q208n b WHERE a.source < b.source),
+      |q208u AS (
+      |  SELECT p.sa, p.sb, p.na, p.nb, h.v, h.c AS ca, 0::BIGINT AS cb
+      |  FROM q208p p JOIN q208h h ON h.source = p.sa
+      |  UNION ALL
+      |  SELECT p.sa, p.sb, p.na, p.nb, h.v, 0::BIGINT, h.c
+      |  FROM q208p p JOIN q208h h ON h.source = p.sb),
+      |q208g AS (
+      |  SELECT sa, sb, na, nb, v,
+      |    CAST(sum(ca) AS BIGINT) AS ca, CAST(sum(cb) AS BIGINT) AS cb
+      |  FROM q208u GROUP BY 1, 2, 3, 4, 5),
+      |q208c AS (
+      |  SELECT sa, sb, na, nb, v, ca, cb,
+      |    CAST(sum(ca) OVER (PARTITION BY sa, sb ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cuma,
+      |    CAST(sum(cb) OVER (PARTITION BY sa, sb ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cumb,
+      |    lead(v) OVER (PARTITION BY sa, sb ORDER BY v) - v AS gap
+      |  FROM q208g)
+      |SELECT sa AS source_a, sb AS source_b, na AS n_a, nb AS n_b,
+      |  round(CAST(sum(CASE WHEN gap IS NOT NULL
+      |      THEN abs(cuma * nb - cumb * na) * gap ELSE 0 END) AS DOUBLE)
+      |    / (na::DOUBLE * nb::DOUBLE), 6) AS w1
+      |FROM q208c
+      |GROUP BY sa, sb, na, nb
+      |ORDER BY source_a, source_b""".stripMargin
 }

@@ -2138,4 +2138,80 @@ object TrainingOps {
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n", ")\nORDER BY n")
     assemble(ctes.toSeq, rows)
   }
+
+  // --- q209: user-level DP contribution clipping audit -------------------------
+
+  /** Per-user contribution cap of [[DpUserCap]] events — the data-prep
+    * pass user-level differential privacy requires BEFORE any DP
+    * mechanism makes sense (q193/E48 add noise to counts; their ε
+    * guarantee is per-ROW unless each user's contribution is bounded
+    * first — one power user contributing 10⁶ rows voids a user-level
+    * budget). Each user keeps their FIRST cap events (ts, event_id order
+    * — deterministic, replayable); the audit reports, per event type and
+    * for the whole stream (`_ALL` rollup row), what clipping costs:
+    * event and value mass retained, the clip fraction, and how many
+    * users were actually clipped in that slice — the table that sets the
+    * cap (too low wastes signal, too high wastes ε).
+    *
+    * Scale shape: ONE user-keyed window pass ranks each user's events
+    * (the q10 sessionize shape — Spark's standard rank machinery, keyed,
+    * spill-safe), then ONE rollup aggregate to the |types|+1 grain; the
+    * distinct-user clip counts ride the same rollup (exact two-phase
+    * distinct — bounded by users×types). Determinism: (ts, event_id) is
+    * unique so ranks cannot tie; value sums ride exact DECIMAL(18,2);
+    * one divide + 6-dp round per ratio.
+    */
+  def dpContribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("value"))
+      .withColumn("kept", row_number().over(byUser) <= DpUserCap)
+      .rollup(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("value")).as("sr"),
+        sum(when(col("kept"), col("value")).otherwise(lit(0).cast("decimal(18,2)")))
+          .as("sk"),
+        countDistinct(when(!col("kept"), col("user_id"))).as("n_users_clipped"))
+      .select(
+        coalesce(col("event_type"), lit("_ALL")).as("event_type"),
+        col("n_raw"),
+        col("n_kept"),
+        round(lit(1.0) - col("n_kept").cast("double") / col("n_raw").cast("double"), 6)
+          .as("clip_frac"),
+        col("sr").cast("double").as("sum_raw"),
+        col("sk").cast("double").as("sum_kept"),
+        col("n_users_clipped"))
+      .orderBy(col("event_type"))
+  }
+
+  val DpUserCap = 32
+
+  /** q209 oracle: identical rank rule and rollup; DuckDB's ROLLUP emits
+    * the same NULL-keyed total row, coalesced to `_ALL`.
+    */
+  val dpContributionSql: String =
+    s"""WITH q209r AS (
+       |  SELECT event_type, user_id, value::DECIMAL(18,2) AS value,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY date_trunc('microsecond', ts), event_id) <= $DpUserCap AS kept
+       |  FROM events)
+       |SELECT coalesce(event_type, '_ALL') AS event_type,
+       |  count(*)::BIGINT AS n_raw,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  round(1.0 - CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*)::DOUBLE, 6) AS clip_frac,
+       |  CAST(sum(value) AS DOUBLE) AS sum_raw,
+       |  CAST(sum(CASE WHEN kept THEN value ELSE 0::DECIMAL(18,2) END) AS DOUBLE)
+       |    AS sum_kept,
+       |  count(DISTINCT CASE WHEN NOT kept THEN user_id END)::BIGINT
+       |    AS n_users_clipped
+       |FROM q209r
+       |GROUP BY ROLLUP (event_type)
+       |ORDER BY event_type""".stripMargin
 }

@@ -1437,4 +1437,60 @@ object EventStreams extends Serializable {
         col("event_type"),
         round(col("c_true") + col("noise"), 6).as("noisy_c"))
   }
+
+  // --- E51: streaming user-level contribution cap (q209's twin) --------------
+
+  case class CapState(n: Long, lastTsUs: Long, lastEid: Long)
+  case class CappedEv(
+      user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      event_type: String, value: Double, kept: Boolean)
+
+  /** E51: streaming user-level DP contribution cap — q209's live leg: each
+    * arriving event is tagged `kept` iff it is among its user's first
+    * `cap` events in (ts µs, event_id) order, so a DP ingest can clip
+    * contributions AS THEY ARRIVE instead of in a nightly pass (the
+    * bounding q193/E48's user-level ε accounting requires). Per-user
+    * state is ONE row — running count + the last order key; event-time
+    * timeout (2× the watermark past the last event, clamped above the
+    * watermark — E2's rule) evicts idle users, so state is bounded by
+    * ACTIVE users.
+    *
+    * In-order contract (E21/E23's): within a micro-batch events fold in
+    * (ts µs, event_id) order; an event older than the stored order key is
+    * late beyond the sort and drops (the watermark bounds how much can
+    * be). On an in-order replay the kept set is EXACTLY batch q209's
+    * rank ≤ cap set (spec-pinned) — batch stays the replay authority.
+    */
+  def contributionCapStream(
+      events: Dataset[Ev],
+      cap: Int = graft.operators.TrainingOps.DpUserCap,
+      watermarkDur: String = "2 hours"): Dataset[CappedEv] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDur)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[CapState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(CapState(0L, Long.MinValue, Long.MinValue))
+            val out = ListBuffer.empty[CappedEv]
+            sorted.foreach { e =>
+              val (us, eid) = (tsUs(e.ts), e.event_id)
+              val late = st.lastTsUs > us || (st.lastTsUs == us && st.lastEid >= eid)
+              if (!late) {
+                out += CappedEv(uid, e.event_id, e.ts, e.event_type, e.value, st.n < cap)
+                st = CapState(st.n + 1, us, eid)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastTsUs / 1000 + 2 * 7200000L, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
 }

@@ -516,6 +516,9 @@ class PlanGuardSpec extends SparkSpec {
         // q121 crossJoins the 1-row basket-count aggregate onto the
         // ≤|types|²-row pair table — the q42/q49 1-row stats shape
         "q121_cooccurrence_lift",
+        // q208's pair dim is the |sources|-row count table crossed with
+        // itself under sa < sb — ≤|S|² rows, bounded like q72's label pairs
+        "q208_wasserstein_drift",
         // q124's replicate expansion broadcasts the fixed 32-row rep range
         // (map-side ×32, no shuffle) — bounded by the BootReps constant
         "q124_bootstrap_ci",

@@ -193,6 +193,47 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"stream $got vs batch $want")
   }
 
+  test("E51: streaming contribution cap kept-set equals batch q209's rank rule") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // user 7 sends 5 events (cap 3 -> last two clipped), user 8 sends 2;
+    // second batch arrives out of order in-batch (the sort rule fixes it)
+    val evs = Seq(
+      Ev(1, 7, ts(0), "a", 1.0), Ev(2, 7, ts(10), "b", 2.0),
+      Ev(3, 8, ts(5), "a", 3.0),
+      Ev(5, 7, ts(30), "a", 4.0), Ev(4, 7, ts(20), "c", 5.0), // out of order in-batch
+      Ev(6, 7, ts(40), "b", 6.0),
+      Ev(7, 8, ts(45), "b", 7.0))
+    val in = MemoryStream[Ev]
+    val q = EventStreams
+      .contributionCapStream(in.toDS(), cap = 3)
+      .writeStream.format("memory").queryName("capped").outputMode("append").start()
+    in.addData(evs(0), evs(1), evs(2)); q.processAllAvailable()
+    in.addData(evs(3), evs(4)); q.processAllAvailable()
+    in.addData(evs(5), evs(6)); q.processAllAvailable()
+    val got = spark.table("capped").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Boolean]("kept"))).toMap
+    q.stop()
+    // every event emitted exactly once, kept = its user-rank <= cap
+    assert(got.keySet == evs.map(_.event_id).toSet)
+    val want = evs.groupBy(_.user_id).flatMap { case (_, g) =>
+      g.sortBy(e => (e.ts.getTime, e.event_id)).zipWithIndex
+        .map { case (e, i) => e.event_id -> (i < 3) }
+    }
+    assert(got == want, s"stream $got vs rank rule $want")
+    // and the batch q209 audit over the same rows agrees on the kept counts
+    val dir = java.nio.file.Files.createTempDirectory("e51spec").toString
+    evs.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val audit = graft.operators.TrainingOps.dpContribution(spark, dir)
+      .filter(col("event_type") === "_ALL").collect().head
+    // with cap 32 > 5 events/user nothing clips in batch; the stream's cap-3
+    // kept count is the rank-rule prefix of the same ordering
+    assert(audit.getAs[Long]("n_raw") == evs.size.toLong)
+    assert(got.values.count(identity) == 5) // 3 kept for user 7 + 2 for user 8
+  }
+
   test("E26: streaming OHLC closed windows equal batch q107 column for column") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
