@@ -2214,4 +2214,102 @@ object TrainingOps {
        |FROM q209r
        |GROUP BY ROLLUP (event_type)
        |ORDER BY event_type""".stripMargin
+
+  // --- q210: Horvitz-Thompson PPS sample estimator audit ----------------------
+
+  /** Characters-per-inclusion-unit for the PPS inclusion probability
+    * `p_i = min(1, n_chars / HtScale)` — docs at or above this length are
+    * always sampled. */
+  val HtScale = 2000.0
+
+  /** Sample-based corpus accounting with CORRECT standard errors — the
+    * estimator leg the sampling family (q45 stratified, q67 weighted,
+    * q192 reservoir) was missing: a deterministic Poisson/PPS sample
+    * (include doc i iff `u_i < p_i`, `u` the q193 hash-uniform of
+    * doc_id, `p ∝ n_chars` capped at 1) and the Horvitz-Thompson
+    * estimator of each source's TOKEN total `Σ_{i∈S} x_i/p_i` with its
+    * Poisson variance estimate `Σ_{i∈S} (1−p_i)·x_i²/p_i²` — unbiased
+    * no matter the weights, with a standard error a downstream consumer
+    * can actually trust. Sampling ∝ characters while estimating TOKENS
+    * is the size-proxy design: the proxy correlates with the target, so
+    * the SE collapses vs uniform sampling. The audit reports the exact
+    * truth beside the estimate (`rel_err`) — run it at a test scale,
+    * then ship the sampler at 100 TB where only the sample is affordable.
+    *
+    * Scale shape: ONE scan, everything map-side until a |sources|-grain
+    * aggregate. Determinism: inclusion is pure hash arithmetic;
+    * HT/variance terms are rounded ONCE to 6 dp and summed as integers
+    * (DECIMAL(38,0) / HUGEINT — the q163 quantize-before-sum rule), one
+    * divide + round per output.
+    */
+  def htEstimator(spark: SparkSession, dir: String): DataFrame = {
+    val q = (t: Column) => round(t * lit(1e6), 0).cast("decimal(38,0)")
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"),
+        size(TextOps.toks).cast("long").as("n_tok"))
+      .withColumn("p", least(lit(1.0), col("n_chars").cast("double") / lit(HtScale)))
+      .withColumn("in_s", CurationOps.hashUniform("xxhash64(doc_id)") < col("p"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok_true"),
+        sum(when(col("in_s"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("in_s"), q(col("n_tok").cast("double") / col("p")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("ht_q"),
+        sum(when(col("in_s"),
+          q((lit(1.0) - col("p")) * col("n_tok").cast("double") * col("n_tok").cast("double")
+            / (col("p") * col("p"))))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("var_q"))
+      .select(
+        col("source"), col("n_docs"), col("tok_true"), col("n_sampled"),
+        round(col("ht_q").cast("double") / lit(1e6), 6).as("tok_hat"),
+        round(sqrt(col("var_q").cast("double") / lit(1e6)), 6).as("se_hat"),
+        round(abs(col("ht_q").cast("double") / lit(1e6) - col("tok_true").cast("double"))
+          / col("tok_true").cast("double"), 6).as("rel_err"))
+      .orderBy(col("source"))
+  }
+
+  /** q210 oracle: identical hash-uniform inclusion, the same
+    * quantize-once HUGEINT term sums, same single divides.
+    */
+  lazy val htEstimatorSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q210in" ->
+        s"""(SELECT doc_id, source, n_chars::BIGINT AS n_chars,
+           |  len(${TextOps.DuckToks})::BIGINT AS n_tok, doc_id::HUGEINT AS l
+           |  FROM documents)""".stripMargin
+    )
+    val ch = new SqlChain("q210h", "q210in", Seq("doc_id", "source", "n_chars", "n_tok", "l"))
+    hashLongLevels(ch, toUnsigned("l"), "42", "h")
+    ctes ++= ch.ctes
+    ctes += ("q210u" ->
+      s"""(SELECT source, n_chars, n_tok,
+         |    ((CAST(${toSigned("h")} AS DOUBLE) + 9.223372036854775808e18) + 0.5)
+         |      / 1.8446744073709551616e19 AS u,
+         |    least(1.0, n_chars::DOUBLE / $HtScale) AS p
+         |  FROM ${ch.last})""".stripMargin)
+    ctes += ("q210a" ->
+      s"""(SELECT source,
+         |    count(*)::BIGINT AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS tok_true,
+         |    CAST(sum(CASE WHEN u < p THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |    CAST(sum(CASE WHEN u < p
+         |      THEN CAST(round(n_tok::DOUBLE / p * 1e6, 0) AS HUGEINT)
+         |      ELSE 0 END) AS HUGEINT) AS ht_q,
+         |    CAST(sum(CASE WHEN u < p
+         |      THEN CAST(round((1.0 - p) * n_tok::DOUBLE * n_tok::DOUBLE / (p * p) * 1e6, 0)
+         |        AS HUGEINT)
+         |      ELSE 0 END) AS HUGEINT) AS var_q
+         |  FROM q210u GROUP BY source)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT source, n_docs, tok_true, n_sampled,
+        |  round(CAST(ht_q AS DOUBLE) / 1e6, 6) AS tok_hat,
+        |  round(sqrt(CAST(var_q AS DOUBLE) / 1e6), 6) AS se_hat,
+        |  round(abs(CAST(ht_q AS DOUBLE) / 1e6 - tok_true::DOUBLE) / tok_true::DOUBLE, 6)
+        |    AS rel_err
+        |FROM q210a
+        |ORDER BY source""".stripMargin)
+  }
 }
