@@ -2242,24 +2242,38 @@ object TrainingOps {
     * (DECIMAL(38,0) / HUGEINT — the q163 quantize-before-sum rule), one
     * divide + round per output.
     */
+  /** Shared q210/E52 kernel columns over (n_chars, n_tok, doc_id) rows:
+    * inclusion probability, hash-uniform inclusion flag, and the
+    * quantize-once integer HT / variance terms (0 when not sampled) —
+    * one definition so the streaming envelopes reconcile with batch BY
+    * ALGEBRA, not by parallel maintenance.
+    */
+  private[graft] def htInclusionCols: Seq[Column] = Seq(
+    least(lit(1.0), col("n_chars").cast("double") / lit(HtScale)).as("p"),
+    (CurationOps.hashUniform("xxhash64(doc_id)") <
+      least(lit(1.0), col("n_chars").cast("double") / lit(HtScale))).as("in_s"))
+
+  private def htQuant(t: Column): Column = round(t * lit(1e6), 0).cast("decimal(38,0)")
+
+  private[graft] def htEnvelopeAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n_docs"),
+    sum(col("n_tok")).as("tok_true"),
+    sum(when(col("in_s"), 1L).otherwise(0L)).as("n_sampled"),
+    sum(when(col("in_s"), htQuant(col("n_tok").cast("double") / col("p")))
+      .otherwise(lit(0).cast("decimal(38,0)"))).as("ht_q"),
+    sum(when(col("in_s"),
+      htQuant((lit(1.0) - col("p")) * col("n_tok").cast("double") * col("n_tok").cast("double")
+        / (col("p") * col("p"))))
+      .otherwise(lit(0).cast("decimal(38,0)"))).as("var_q"))
+
   def htEstimator(spark: SparkSession, dir: String): DataFrame = {
-    val q = (t: Column) => round(t * lit(1e6), 0).cast("decimal(38,0)")
-    docs(spark, dir)
+    val base = docs(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"),
         size(TextOps.toks).cast("long").as("n_tok"))
-      .withColumn("p", least(lit(1.0), col("n_chars").cast("double") / lit(HtScale)))
-      .withColumn("in_s", CurationOps.hashUniform("xxhash64(doc_id)") < col("p"))
+    base
+      .select((base.columns.map(col) ++ htInclusionCols): _*)
       .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tok")).as("tok_true"),
-        sum(when(col("in_s"), 1L).otherwise(0L)).as("n_sampled"),
-        sum(when(col("in_s"), q(col("n_tok").cast("double") / col("p")))
-          .otherwise(lit(0).cast("decimal(38,0)"))).as("ht_q"),
-        sum(when(col("in_s"),
-          q((lit(1.0) - col("p")) * col("n_tok").cast("double") * col("n_tok").cast("double")
-            / (col("p") * col("p"))))
-          .otherwise(lit(0).cast("decimal(38,0)"))).as("var_q"))
+      .agg(htEnvelopeAggs.head, htEnvelopeAggs.tail: _*)
       .select(
         col("source"), col("n_docs"), col("tok_true"), col("n_sampled"),
         round(col("ht_q").cast("double") / lit(1e6), 6).as("tok_hat"),

@@ -536,4 +536,39 @@ object DocStreams {
       .select(col("g")).distinct()
       .collect().map(_.getLong(0)).toSet
   }
+
+  /** E52: streaming HT/PPS estimator envelopes — q210's live leg, and the
+    * fourth op (after E34 xor, E38 power sums, E43 mass cells) whose
+    * stream/batch reconciliation is EXACT BY ALGEBRA: per closed window ×
+    * source the count/true-token/sampled/HT/variance envelope, every
+    * component an integer (the HT and variance terms ride q210's own
+    * quantize-once kernel, [[graft.operators.TrainingOps.htEnvelopeAggs]],
+    * shared verbatim) — envelopes are ADDITIVE, so element-wise summing
+    * any window span reproduces batch q210's per-source sums bit-for-bit
+    * (spec-pinned) and the estimate/SE derive from the merged vector
+    * without re-touching raw documents: how a live ingest keeps "how many
+    * tokens are we collecting, ± what" current. One watermarked tumbling
+    * window aggregate, map-side partials, append exactly once. Stored-
+    * column invariant (E43's rule): the stream derives n_chars from the
+    * text itself; a feed whose stored n_chars differs must carry its own.
+    */
+  def htStream(
+      docs: DataFrame,
+      windowDur: String = "1 hour",
+      watermarkDur: String = "2 hours"): DataFrame = {
+    import graft.operators.TrainingOps
+    val base = docs
+      .withWatermark("ts", watermarkDur)
+      .select(col("ts"), col("source"), col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(TextOps.toks).cast("long").as("n_tok"))
+    base
+      .select((base.columns.map(col) ++ TrainingOps.htInclusionCols): _*)
+      .groupBy(window(col("ts"), windowDur), col("source"))
+      .agg(TrainingOps.htEnvelopeAggs.head, TrainingOps.htEnvelopeAggs.tail: _*)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("source"), col("n_docs"), col("tok_true"), col("n_sampled"),
+        col("ht_q"), col("var_q"))
+  }
 }

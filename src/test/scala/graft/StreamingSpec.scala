@@ -1657,6 +1657,56 @@ class StreamingSpec extends SparkSpec {
     folded.foreach { case ((_, v), (n, m)) => assert(m == n * v) }
   }
 
+  test("E52: window HT envelopes sum to batch q210's per-source sums exactly") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.SrcDoc
+    implicit val ctx = spark.sqlContext
+    val corpus = graft.core.Tables.documents(spark, Sf0001)
+    // replay split across TWO event-time windows — element-wise summing
+    // the closed-window envelopes must reproduce batch q210's integer
+    // sums exactly (the additive-envelope reconciliation contract)
+    val replay = corpus.select("doc_id", "text", "source").collect().zipWithIndex
+      .map { case (r, i) =>
+        SrcDoc(r.getLong(0), r.getString(1), r.getString(2),
+          Timestamp.valueOf(f"2024-01-01 ${10 + i % 2}%02d:15:00"))
+      }
+    val in = MemoryStream[SrcDoc]
+    val q = DocStreams.htStream(in.toDF())
+      .writeStream.format("memory").queryName("ht_s").outputMode("append").start()
+    in.addData(replay.toSeq: _*); q.processAllAvailable()
+    in.addData(SrcDoc(99999L, "late watermark pusher", "srcX",
+      Timestamp.valueOf("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("ht_s").collect()
+      .filter(_.getString(0).startsWith("2024-01-01 1"))
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        BigDecimal(r.getDecimal(5)), BigDecimal(r.getDecimal(6))))
+    q.stop()
+    val folded = rows.groupBy(_._1).view.mapValues { g =>
+      (g.map(_._2._1).sum, g.map(_._2._2).sum, g.map(_._2._3).sum,
+        g.map(_._2._4).sum, g.map(_._2._5).sum)
+    }.toMap
+    // batch truth through the SAME kernel (q210's aggregate, pre-derivation)
+    val batch = graft.operators.TrainingOps.htEstimator(spark, Sf0001)
+    // re-derive the raw integer sums from the batch op's own inputs
+    val base = corpus.select(col("doc_id"), col("source"),
+      col("n_chars").cast("long").as("n_chars"),
+      size(graft.operators.TextOps.toks).cast("long").as("n_tok"))
+    val want = base
+      .select((base.columns.map(col) ++ graft.operators.TrainingOps.htInclusionCols): _*)
+      .groupBy(col("source"))
+      .agg(graft.operators.TrainingOps.htEnvelopeAggs.head,
+        graft.operators.TrainingOps.htEnvelopeAggs.tail: _*)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        BigDecimal(r.getDecimal(4)), BigDecimal(r.getDecimal(5)))).toMap
+    assert(folded == want, s"${folded.size} folded sources vs ${want.size} batch")
+    // and the batch q210 derivation agrees on the sampled counts
+    val audit = batch.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    folded.foreach { case (src, (_, _, nSamp, _, _)) => assert(audit(src) == nSamp) }
+  }
+
   test("E44: streamed shard routing is bit-equal to batch q170's epoch-0 assignment") {
     import spark.implicits._
     import graft.streaming.DocStreams
