@@ -88,6 +88,32 @@ class BoundedRankRewriteSpec extends SparkSpec {
     assert(got == expectTop(mixed, 3, asc = false, lo = 2), s"got $got")
   }
 
+  test("randomized: rewrite matches the driver-side rank rule on 30 seeded corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(0xBADC0DEL)
+    for (round <- 1 to 30) {
+      val nGroups = 1 + rng.nextInt(4)
+      val rows: Seq[(String, Option[Double], Long)] = (1 to 20 + rng.nextInt(30)).map { i =>
+        val v =
+          if (rng.nextInt(5) == 0) None
+          // coarse values force ties; id breaks them
+          else Some(rng.nextInt(4).toDouble)
+        (s"g${rng.nextInt(nGroups)}", v, i.toLong)
+      }
+      val asc = rng.nextBoolean()
+      val k   = 1 + rng.nextInt(5)
+      val key = if (asc) col("v").asc else col("v").desc
+      val w   = Window.partitionBy(col("g")).orderBy(key, col("id"))
+      val df = rows.toDF("g", "v", "id")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      assert(!optimizedHasWindow(df) && optimizedHasTopK(df), s"round $round: no rewrite")
+      val got = df.collect().map(r =>
+        (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2), r.getInt(3))).toSet
+      val want = expectTop(rows, k, asc)
+      assert(got == want, s"round $round (asc=$asc k=$k): $got vs $want")
+    }
+  }
+
   test("guards: k beyond MaxK, dense_rank, and DESC NULLS FIRST keep the stock window plan") {
     import spark.implicits._
     val d = mixed.toDF("g", "v", "id")
