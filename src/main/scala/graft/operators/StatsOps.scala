@@ -2888,4 +2888,106 @@ object StatsOps {
       |FROM q208c
       |GROUP BY sa, sb, na, nb
       |ORDER BY source_a, source_b""".stripMargin
+
+  // --- q211: PSI (population stability index) drift monitor -------------------
+
+  val PsiBucketWidth = 256L
+  val PsiEps         = 1e-6
+
+  /** Population Stability Index per source — THE industry-standard drift
+    * number (credit scoring, ML monitoring: < 0.1 stable, 0.1–0.25
+    * moderate, > 0.25 drifted) completing the drift family: KL (q71) and
+    * JS (q196) are its information-theoretic cousins, KS (q137) the
+    * sup-gap, W₁ (q208) the metric-space cost — PSI is what the
+    * monitoring dashboard an operations team already reads expects.
+    * Baseline vs current is the deterministic doc_id hash split (q40's
+    * rule, arm = xxhash64 mod 2), so the audit measures the index's
+    * NOISE FLOOR on an i.i.d. split — the number to alarm above when the
+    * "current" side becomes tomorrow's snapshot. Distributions are
+    * [[PsiBucketWidth]]-char length buckets; zero cells clamp to
+    * [[PsiEps]] (the standard finite-PSI guard). Small-sample caveat the
+    * n_base/n_current columns make visible: with only dozens of docs per
+    * source (tiny test SFs) most cells are 0-or-1 and the eps clamp
+    * inflates PSI — the i.i.d. noise floor genuinely IS that high there;
+    * it collapses as per-source counts grow (sf0.1+).
+    *
+    * Scale shape: ONE keyed aggregate to the (source, bucket) grain with
+    * both halves counted map-side in the same pass; totals broadcast
+    * back; PSI terms quantized once to 1e-9 and summed as integers (the
+    * q163 rule), bands decided on the INTEGER sum against integer
+    * thresholds — no float comparison can flip a band between engines.
+    */
+  def psiStability(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .documents(spark, dir)
+      .select(col("source"), expr(s"n_chars div $PsiBucketWidth").as("bucket"),
+        pmod(xxhash64(col("doc_id")), lit(2L)).as("half"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(
+        sum(when(col("half") === 0L, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("half") === 1L, 1L).otherwise(0L)).as("cb"))
+    val tot = cells.groupBy(col("source"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val pa = greatest(col("ca").cast("double") / col("na").cast("double"), lit(PsiEps))
+    val pb = greatest(col("cb").cast("double") / col("nb").cast("double"), lit(PsiEps))
+    cells
+      .join(broadcast(tot), "source")
+      .select(col("source"), col("na"), col("nb"),
+        round((pa - pb) * log(pa / pb) * lit(1e9), 0).cast("decimal(38,0)").as("tq"))
+      .groupBy(col("source"), col("na"), col("nb"))
+      .agg(sum(col("tq")).as("psi_q"))
+      .select(
+        col("source"),
+        col("na").as("n_base"),
+        col("nb").as("n_current"),
+        round(col("psi_q").cast("double") / lit(1e9), 6).as("psi"),
+        when(col("psi_q") < lit(100000000L), "stable")
+          .when(col("psi_q") < lit(250000000L), "moderate")
+          .otherwise("drifted").as("band"))
+      .orderBy(col("source"))
+  }
+
+  /** q211 oracle: the emulated xxhash64 arm split, identical epsilon
+    * clamp and quantize-once HUGEINT term sums, integer band thresholds.
+    */
+  lazy val psiStabilitySql: String = {
+    import graft.functions.DuckHash._
+    val ctes = ArrayBuffer[(String, String)](
+      "q211in" ->
+        s"""(SELECT doc_id, source, n_chars // $PsiBucketWidth AS bucket,
+           |  doc_id::HUGEINT AS l FROM documents)""".stripMargin
+    )
+    val ch = new SqlChain("q211h", "q211in", Seq("doc_id", "source", "bucket", "l"))
+    hashLongLevels(ch, toUnsigned("l"), "42", "h")
+    ctes ++= ch.ctes
+    ctes += ("q211c" ->
+      s"""(SELECT source, bucket,
+         |    CAST(sum(CASE WHEN (((${toSigned("h")} % 2) + 2) % 2) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN (((${toSigned("h")} % 2) + 2) % 2) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM ${ch.last} GROUP BY 1, 2)""".stripMargin)
+    ctes += ("q211t" ->
+      """(SELECT source, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+        |  FROM q211c GROUP BY 1)""".stripMargin)
+    ctes += ("q211q" ->
+      s"""(SELECT c.source, t.na, t.nb,
+         |    CAST(round(
+         |      (greatest(c.ca::DOUBLE / t.na::DOUBLE, $PsiEps)
+         |        - greatest(c.cb::DOUBLE / t.nb::DOUBLE, $PsiEps))
+         |      * ln(greatest(c.ca::DOUBLE / t.na::DOUBLE, $PsiEps)
+         |           / greatest(c.cb::DOUBLE / t.nb::DOUBLE, $PsiEps)) * 1e9, 0)
+         |      AS HUGEINT) AS tq
+         |  FROM q211c c JOIN q211t t USING (source))""".stripMargin)
+    ctes += ("q211a" ->
+      """(SELECT source, na, nb, CAST(sum(tq) AS HUGEINT) AS psi_q
+        |  FROM q211q GROUP BY 1, 2, 3)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT source, na AS n_base, nb AS n_current,
+        |  round(CAST(psi_q AS DOUBLE) / 1e9, 6) AS psi,
+        |  CASE WHEN psi_q < 100000000 THEN 'stable'
+        |       WHEN psi_q < 250000000 THEN 'moderate'
+        |       ELSE 'drifted' END AS band
+        |FROM q211a
+        |ORDER BY source""".stripMargin)
+  }
 }
