@@ -39,11 +39,16 @@ import org.apache.spark.sql.types._
   *   - DESC NULLS LAST:  value as-is; when nullable, a leading
   *     `isnull ? 0 : 1` flag makes nulls smallest (picked last — exactly
   *     the window's desc null placement).
-  *   - ASC NULLS FIRST (numeric only): negated value; when nullable, a
-  *     leading `isnull ? 1 : 0` flag makes nulls largest (picked FIRST —
-  *     the window's default asc null placement). Negation is exact except
-  *     at the integral MinValue under non-ANSI mode (wraps to itself and
-  *     would rank as the largest ascending key — the BoundedRank caveat).
+  *   - ASC NULLS FIRST (numeric only): order-reversed value; when
+  *     nullable, a leading null flag makes nulls largest (picked FIRST —
+  *     the window's default asc null placement). Reversal must be an
+  *     exact anti-monotone bijection under the interpreted ordering:
+  *     integral types use bitwise NOT (`~x = -x-1`, total on the domain —
+  *     `-MinValue` would wrap to itself and rank the smallest key last),
+  *     Decimal uses negation (its range is symmetric), and Float/Double
+  *     use negation plus a NaN leg in the flag (`-NaN` is still NaN and
+  *     would rank first where the window ranks it last, so the flag
+  *     orders null > ordinary > NaN and NaN's value slot is neutralized).
   *
   * Non-default null orderings, non-numeric ASC keys, rank()/dense_rank()
   * (ties make their k-th row a non-constant row count), and multi-window
@@ -93,7 +98,23 @@ object BoundedRankRewrite extends Rule[LogicalPlan] with PredicateHelper {
           Coalesce(Seq(e, Literal.default(e.dataType)))))
       case (Ascending, NullsFirst) =>
         e.dataType match {
-          case _: NumericType =>
+          case ByteType | ShortType | IntegerType | LongType =>
+            // ~x = -x-1: exact anti-monotone bijection, no MinValue wrap
+            if (!e.nullable) Some(Seq(BitwiseNot(e)))
+            else Some(Seq(
+              If(IsNull(e), Literal(1), Literal(0)),
+              If(IsNull(e), Literal.default(e.dataType), BitwiseNot(e))))
+          case FloatType | DoubleType =>
+            // -NaN is still NaN (largest); route NaN through the flag so
+            // it is picked LAST, matching the window's asc NaN placement
+            val sick = If(IsNaN(e), Literal(0), Literal(1))
+            val safe = If(IsNaN(e), Literal.default(e.dataType), UnaryMinus(e))
+            if (!e.nullable) Some(Seq(sick, safe))
+            else Some(Seq(
+              If(IsNull(e), Literal(2), sick),
+              If(IsNull(e), Literal.default(e.dataType), safe)))
+          case _: DecimalType =>
+            // decimal range is symmetric: negation never overflows
             if (!e.nullable) Some(Seq(UnaryMinus(e)))
             else Some(Seq(
               If(IsNull(e), Literal(1), Literal(0)),

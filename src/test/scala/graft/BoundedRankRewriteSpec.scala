@@ -31,6 +31,12 @@ class BoundedRankRewriteSpec extends SparkSpec {
     assert(a == b, "rewritten q08 diverged from q61")
   }
 
+  /** Spark SQL's double comparison: -0.0 ties 0.0, NaN ties NaN and is
+    * the largest value (SQLOrderingUtil semantics).
+    */
+  private def sqlCompare(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
   /** Driver-side reference: rank rows like row_number over (part, order). */
   private def expectTop(
       rows: Seq[(String, Option[Double], Long)],
@@ -44,7 +50,8 @@ class BoundedRankRewriteSpec extends SparkSpec {
           case (None, _)          => asc  // nulls first when asc, last when desc
           case (_, None)          => !asc
           case (Some(a), Some(b)) =>
-            if (a != b) { if (asc) a < b else a > b } else x._3 < y._3
+            val c = sqlCompare(a, b)
+            if (c != 0) { if (asc) c < 0 else c > 0 } else x._3 < y._3
         }
       }
       sorted.zipWithIndex.collect {
@@ -88,14 +95,27 @@ class BoundedRankRewriteSpec extends SparkSpec {
     assert(got == expectTop(mixed, 3, asc = false, lo = 2), s"got $got")
   }
 
-  test("randomized: rewrite matches the driver-side rank rule on 30 seeded corpora") {
+  /** Scala `==` on boxed doubles is numeric (NaN != NaN); compare result
+    * sets on bit patterns so NaN rows can match.
+    */
+  private def bits(s: Set[(String, Option[Double], Long, Int)]): Set[(String, Option[Long], Long, Int)] =
+    s.map { case (g, v, id, rn) => (g, v.map(java.lang.Double.doubleToLongBits), id, rn) }
+
+  // the hostile corner of the double domain: every value whose ordering
+  // differs from naive arithmetic reversal (-NaN = NaN, -0.0 ties 0.0)
+  private val hostileDoubles = Array(
+    Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity, -0.0, 0.0,
+    Double.MaxValue, Double.MinValue)
+
+  test("randomized: rewrite matches the driver-side rank rule on 40 seeded corpora incl. NaN/Inf/-0.0") {
     import spark.implicits._
     val rng = new scala.util.Random(0xBADC0DEL)
-    for (round <- 1 to 30) {
+    for (round <- 1 to 40) {
       val nGroups = 1 + rng.nextInt(4)
       val rows: Seq[(String, Option[Double], Long)] = (1 to 20 + rng.nextInt(30)).map { i =>
         val v =
           if (rng.nextInt(5) == 0) None
+          else if (rng.nextInt(4) == 0) Some(hostileDoubles(rng.nextInt(hostileDoubles.length)))
           // coarse values force ties; id breaks them
           else Some(rng.nextInt(4).toDouble)
         (s"g${rng.nextInt(nGroups)}", v, i.toLong)
@@ -110,8 +130,46 @@ class BoundedRankRewriteSpec extends SparkSpec {
       val got = df.collect().map(r =>
         (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2), r.getInt(3))).toSet
       val want = expectTop(rows, k, asc)
-      assert(got == want, s"round $round (asc=$asc k=$k): $got vs $want")
+      assert(bits(got) == bits(want), s"round $round (asc=$asc k=$k): $got vs $want")
     }
+  }
+
+  test("ASC float key ranks NaN last (after +Inf), exactly like the window plan") {
+    import spark.implicits._
+    val rows: Seq[(String, Option[Double], Long)] = Seq(
+      ("a", Some(Double.NaN), 1L), ("a", Some(1.0), 2L), ("a", Some(2.0), 3L),
+      ("a", Some(Double.PositiveInfinity), 4L), ("a", None, 5L),
+      ("b", Some(Double.NaN), 6L), ("b", Some(Double.NegativeInfinity), 7L))
+    val w  = Window.partitionBy(col("g")).orderBy(col("v").asc, col("id"))
+    val df = rows.toDF("g", "v", "id")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    assert(!optimizedHasWindow(df) && optimizedHasTopK(df))
+    val got = df.collect().map(r =>
+      (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2), r.getInt(3))).toSet
+    assert(bits(got) == bits(expectTop(rows, 3, asc = true)), s"got $got")
+    // the defect this guards: {null, 1.0, 2.0} must win in group a — not NaN
+    assert(!got.exists { case (g, v, _, _) => g == "a" && v.exists(_.isNaN) })
+  }
+
+  test("ASC integral key ranks Long.MinValue first (bitwise-NOT reversal, no wrap)") {
+    import spark.implicits._
+    val rows = Seq(("a", Long.MinValue, 1L), ("a", 0L, 2L), ("a", 5L, 3L),
+      ("a", Long.MaxValue, 4L), ("b", Long.MinValue, 5L), ("b", -1L, 6L))
+    val w  = Window.partitionBy(col("g")).orderBy(col("v").asc, col("id"))
+    val df = rows.toDF("g", "v", "id")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    assert(!optimizedHasWindow(df) && optimizedHasTopK(df))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == Set(("a", Long.MinValue, 1), ("a", 0L, 2),
+      ("b", Long.MinValue, 1), ("b", -1L, 2)), s"got $got")
+  }
+
+  test("ASC string key falls through to the stock window plan") {
+    import spark.implicits._
+    val d = Seq(("a", "x", 1L), ("a", "y", 2L)).toDF("g", "v", "id")
+    val w = Window.partitionBy(col("g")).orderBy(col("v").asc, col("id"))
+    val df = d.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+    assert(optimizedHasWindow(df) && !optimizedHasTopK(df))
   }
 
   test("guards: k beyond MaxK, dense_rank, and DESC NULLS FIRST keep the stock window plan") {
