@@ -4,8 +4,32 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Append one invocation-trace line to VERIFY_TRACE.txt (best-effort):
+    * the round-7/8 incidents shipped EMPTY driver-side CORRECTNESS
+    * artifacts with no way to tell whether the driver ever invoked this
+    * main — this records argv, cwd, git HEAD, exit intent, and the
+    * output-dir listing size so the next round can see exactly how far
+    * each Verify invocation got.
+    */
+  private def trace(msg: String): Unit =
+    try {
+      val head =
+        try {
+          val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+            .directory(new java.io.File(".")).start()
+          val out = new String(p.getInputStream.readAllBytes()).trim
+          p.waitFor(); out
+        } catch { case _: Throwable => "?" }
+      val line = s"${java.time.Instant.now()} pid=${ProcessHandle.current().pid()} " +
+        s"head=$head cwd=${System.getProperty("user.dir")} $msg\n"
+      Files.writeString(
+        Paths.get("VERIFY_TRACE.txt"), line,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    trace(s"START argv=[${args.mkString(", ")}]")
     // Optional third arg: substring filter for fast single-query dev runs.
     // The driver always passes exactly two args → full dump, contract intact.
     val only = args.lift(2)
@@ -59,15 +83,19 @@ object Verify {
     val missing = (expected -- dumped).toSeq.sorted
     if (json.length <= 2 && expected.nonEmpty) {
       System.err.println("[verify] TRIPWIRE: oracle_sql.json is empty")
+      trace("EXIT=3 empty oracle_sql.json")
       sys.exit(3)
     }
     if (failed.nonEmpty || missing.nonEmpty) {
       System.err.println(
         s"[verify] TRIPWIRE: ${dumped.size}/${expected.size} dumps present; " +
           s"failed=${failed.sorted.mkString(",")} missing=${missing.mkString(",")}")
+      trace(s"EXIT=2 dumped=${dumped.size}/${expected.size} " +
+        s"failed=${failed.sorted.mkString(",")} missing=${missing.mkString(",")}")
       sys.exit(2)
     }
     println(s"[verify] DUMPED ${dumped.size}/${expected.size} queries, " +
       s"${oracles.size} oracle entries — gate artifact complete")
+    trace(s"EXIT=0 dumped=${dumped.size}/${expected.size} oracles=${oracles.size} out=$outDir")
   }
 }

@@ -832,12 +832,13 @@ object CurationOps {
     * loop's lineage stays flat and nothing is recomputed across rounds.
     *
     * Exactness: scores are max-normalized (not sum-normalized) each
-    * half-round — `max` over doubles is order-independent, so the
-    * normalizer needs no deterministic global fold — with contributions
-    * folded in ascending-neighbor order (SURVEY §4) and every score
-    * rounded to 6 dp BEFORE the next half-round reads it (the q97
-    * round-before-reuse rule), so [[HitsRounds]] rounds cannot
-    * accumulate cross-engine drift.
+    * half-round and rounded to 6 dp BEFORE the next half-round reads
+    * them (the q97 round-before-reuse rule) — which makes every
+    * contribution an EXACT multiple of 10⁻⁶ in [0,1], so each
+    * half-round's neighbor sum is a lossless order-free long sum of
+    * c·10⁶ (the q72/q163 rule): per-node state is one long, never a
+    * neighbor array (template hubs make degree unbounded), with
+    * overflow headroom to ~9·10¹² in-neighbors.
     */
   def hitsScores(spark: SparkSession, dir: String): DataFrame = {
     import graft.core.CacheScope
@@ -852,25 +853,23 @@ object CurationOps {
           .join(h, edges("src") === h("node"))
           .select(col("dst"), col("src"), col("h").as("c"))
           .groupBy(col("dst"))
-          .agg(expr(
-            "aggregate(array_sort(collect_list(struct(src, c))), 0D, (acc, x) -> acc + x.c)")
-            .as("s")))
+          .agg(sum(expr("CAST(round(c * 1000000, 0) AS BIGINT)")).as("s")))
       val amax = ar.groupBy().agg(max(col("s")).as("m"))
       a = ar
         .crossJoin(broadcast(amax))
-        .select(col("dst").as("node"), round(col("s") / col("m"), 6).as("a"))
+        .select(col("dst").as("node"),
+          round(col("s").cast("double") / col("m").cast("double"), 6).as("a"))
       val hr = CacheScope.checkpoint(
         edges
           .join(a, edges("dst") === a("node"))
           .select(col("src"), col("dst"), col("a").as("c"))
           .groupBy(col("src"))
-          .agg(expr(
-            "aggregate(array_sort(collect_list(struct(dst, c))), 0D, (acc, x) -> acc + x.c)")
-            .as("s")))
+          .agg(sum(expr("CAST(round(c * 1000000, 0) AS BIGINT)")).as("s")))
       val hmax = hr.groupBy().agg(max(col("s")).as("m"))
       h = hr
         .crossJoin(broadcast(hmax))
-        .select(col("src").as("node"), round(col("s") / col("m"), 6).as("h"))
+        .select(col("src").as("node"),
+          round(col("s").cast("double") / col("m").cast("double"), 6).as("h"))
     }
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
@@ -894,25 +893,25 @@ object CurationOps {
   }
 
   /** Oracle: the bit-exact LSH edge emulation oriented doc_b → doc_a +
-    * the same [[HitsRounds]] unrolled half-rounds — seeded ascending
-    * `list_reduce` folds, max-normalize, round 6 dp before reuse.
+    * the same [[HitsRounds]] unrolled half-rounds — identical lossless
+    * c·10⁶ integer sums, max-normalize, round 6 dp before reuse.
     */
   lazy val hitsScoresSql: String = {
     val rounds = (1 to HitsRounds).map { r =>
       s"""q166ar$r AS MATERIALIZED (
          |  SELECT e.dst AS node,
-         |    list_reduce(list_prepend(0.0::DOUBLE, list(h.h ORDER BY e.src)),
-         |      (x, y) -> x + y) AS s
+         |    sum(CAST(round(h.h * 1000000, 0) AS BIGINT)) AS s
          |  FROM q166e e JOIN q166h${r - 1} h ON h.node = e.src GROUP BY e.dst),
          |q166a$r AS MATERIALIZED (
-         |  SELECT node, round(s / (SELECT max(s) FROM q166ar$r), 6) AS a FROM q166ar$r),
+         |  SELECT node, round(s::DOUBLE / (SELECT max(s) FROM q166ar$r)::DOUBLE, 6) AS a
+         |  FROM q166ar$r),
          |q166hr$r AS MATERIALIZED (
          |  SELECT e.src AS node,
-         |    list_reduce(list_prepend(0.0::DOUBLE, list(a.a ORDER BY e.dst)),
-         |      (x, y) -> x + y) AS s
+         |    sum(CAST(round(a.a * 1000000, 0) AS BIGINT)) AS s
          |  FROM q166e e JOIN q166a$r a ON a.node = e.dst GROUP BY e.src),
          |q166h$r AS MATERIALIZED (
-         |  SELECT node, round(s / (SELECT max(s) FROM q166hr$r), 6) AS h FROM q166hr$r)"""
+         |  SELECT node, round(s::DOUBLE / (SELECT max(s) FROM q166hr$r)::DOUBLE, 6) AS h
+         |  FROM q166hr$r)"""
         .stripMargin
     }.mkString(",\n")
     s"""WITH q166cand AS MATERIALIZED (SELECT doc_a, doc_b FROM (${TextOps.minhashLshSql})),
@@ -1190,7 +1189,11 @@ object CurationOps {
     *
     * Scale shape: the pair list is the session-shared verified stage
     * (dup-rate-bounded); two doc-keyed metadata joins and one
-    * ≤|sources|²-row rollup with ascending-by-pair similarity folds.
+    * ≤|sources|²-row rollup. A single source-pair cell can hold ALL
+    * verified pairs (one mirrored feed), so the mean similarity is an
+    * order-free integer sum of the exactly-quantized 4-dp Jaccard
+    * (jq = j·10⁴, the q72/q163 rule) — never an ordered collect of the
+    * cell (long headroom ≈ 9·10^14 pairs per cell).
     */
   def dupFlowMatrix(spark: SparkSession, dir: String): DataFrame = {
     val pairs = SharedStages.jaccardPairs(spark, dir)
@@ -1204,16 +1207,16 @@ object CurationOps {
       .groupBy(col("src_lo"), col("src_hi"))
       .agg(
         count(lit(1)).as("n_pairs"),
-        expr(
-          "round(aggregate(array_sort(collect_list(struct(doc_a, doc_b, jaccard))), 0D, (a, x) -> a + x.jaccard) / count(1), 6)")
-          .as("mean_jaccard"))
-      .select(col("src_lo"), col("src_hi"), col("n_pairs"), col("mean_jaccard"),
+        sum(expr("CAST(round(jaccard * 10000, 0) AS BIGINT)")).as("sj"))
+      .select(col("src_lo"), col("src_hi"), col("n_pairs"),
+        round(col("sj").cast("double") / (col("n_pairs") * lit(10000L)).cast("double"), 6)
+          .as("mean_jaccard"),
         (col("src_lo") === col("src_hi")).as("within_source"))
       .orderBy(col("src_lo"), col("src_hi"))
   }
 
   /** q142 oracle: exact all-pairs verified pairs (q27's oracle) + the
-    * same least/greatest normalization and ascending-by-pair folds.
+    * same least/greatest normalization and integer-exact quantized sums.
     */
   lazy val dupFlowMatrixSql: String =
     s"""WITH ${TextOps.DuckShingleCte},
@@ -1229,8 +1232,8 @@ object CurationOps {
        |  JOIN documents da ON da.doc_id = p.doc_a
        |  JOIN documents db ON db.doc_id = p.doc_b)
        |SELECT src_lo, src_hi, count(*)::BIGINT AS n_pairs,
-       |  round(list_reduce(list_prepend(0.0::DOUBLE, list(jaccard ORDER BY doc_a, doc_b)),
-       |    (a, b) -> a + b) / count(*)::DOUBLE, 6) AS mean_jaccard,
+       |  round(sum(CAST(round(jaccard * 10000, 0) AS BIGINT))::DOUBLE
+       |    / (count(*) * 10000)::DOUBLE, 6) AS mean_jaccard,
        |  (src_lo = src_hi) AS within_source
        |FROM q142s GROUP BY src_lo, src_hi
        |ORDER BY src_lo, src_hi""".stripMargin
@@ -2580,14 +2583,20 @@ object CurationOps {
     * the corpus dup rate, never corpus² (q25's cap rules) — checkpointed
     * once with degrees attached; each of the K=5 power-iteration rounds is
     * one node-keyed join + aggregate on that edge table (q47's per-round
-    * shape). The in-row fold is an interpreted lambda, but it runs on the
-    * bounded dup graph, never the corpus hot path.
+    * shape). Per-node aggregation state is one long, not a neighbor
+    * array: template hubs (q140 exists because dup graphs have them)
+    * make in-degree unbounded, so an ordered collect here would be
+    * executor-OOM state at scale.
     *
-    * Exactness: contributions fold in ascending-src order (`array_sort`
-    * left fold — Spark's 0.0+c₁ prefix equals DuckDB's `list_reduce` seed
-    * by IEEE identity) and every round's rank is rounded to 6dp BEFORE the
-    * next round reads it (the q49/q66 round-before-reuse rule), so 5
-    * rounds cannot accumulate cross-engine drift.
+    * Exactness: each contribution pr/deg is quantized to integer
+    * femto-units (·10¹⁵) and summed order-free (the q72/q163 rule) —
+    * a per-node sum is bounded by the total PageRank mass ≈ 1, i.e.
+    * ≤ ~10¹⁵ femto-units, so the long never overflows AT ANY degree,
+    * and the ≤ 0.5·10⁻¹⁵-per-term quantization stays below the 6-dp
+    * output grain up to ~10⁹ in-neighbors. Every round's rank is
+    * rounded to 6dp BEFORE the next round reads it (the q49/q66
+    * round-before-reuse rule), so 5 rounds cannot accumulate
+    * cross-engine drift.
     */
   def pagerankDups(spark: SparkSession, dir: String): DataFrame = {
     val cand = TextOps.minhashCandidatePairs(spark, dir).select(col("doc_a"), col("doc_b"))
@@ -2605,11 +2614,11 @@ object CurationOps {
         .join(pr, withDeg("src") === pr("node"))
         .select(col("dst"), col("src"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst"))
-        .agg(expr("aggregate(array_sort(collect_list(struct(src, c))), 0D, (a, x) -> a + x.c)")
-          .as("s"))
+        .agg(sum(expr("CAST(round(c * 1e15, 0) AS BIGINT)")).as("s"))
         .select(
           col("dst").as("node"),
-          round(lit((1 - PrDamping) / n) + lit(PrDamping) * col("s"), 6).as("pr"))
+          round(lit((1 - PrDamping) / n)
+            + lit(PrDamping) * (col("s").cast("double") / lit(1e15)), 6).as("pr"))
     }
     pr.join(deg.select(col("src").as("node"), col("deg")), "node")
       .select(col("node").as("doc_id"), col("deg").as("degree"), col("pr").as("pagerank"))
@@ -2617,8 +2626,8 @@ object CurationOps {
   }
 
   /** q97 oracle: the bit-exact LSH edge emulation + the same K unrolled
-    * power-iteration rounds — `list_reduce(list(c ORDER BY src))` is the
-    * identical ascending fold, every round rounded before the next.
+    * power-iteration rounds — identical femto-unit integer contribution
+    * sums, every round rounded before the next.
     */
   lazy val pagerankDupsSql: String = {
     val rounds = (1 to PrRounds).map { r =>
@@ -2628,7 +2637,7 @@ object CurationOps {
          |q97p$r AS MATERIALIZED (
          |  SELECT dst AS node,
          |    round((1 - $PrDamping) / (SELECT n FROM q97n)
-         |      + $PrDamping * list_reduce(list(c ORDER BY src), (a, b) -> a + b), 6) AS pr
+         |      + $PrDamping * (sum(CAST(round(c * 1e15, 0) AS BIGINT))::DOUBLE / 1e15), 6) AS pr
          |  FROM q97c$r GROUP BY dst)""".stripMargin
     }.mkString(",\n")
     s"""WITH q97cand AS MATERIALIZED (SELECT doc_a, doc_b FROM (${TextOps.minhashLshSql})),

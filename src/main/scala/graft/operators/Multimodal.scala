@@ -448,8 +448,12 @@ object Multimodal {
       .select(col("bd.band").as("band"), col("bd.bh").as("bh"),
         struct(col("media_id"), col("exact_key"), col("phash")).as("m"))
       .groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("m")).as("ms"))
-      .filter(size(col("ms")).between(2, TextOps.MaxBucket))
+      .agg(
+        count(lit(1)).as("nb"),
+        // bounded cap+1 heap + exact count (the bucketPairs rule): a viral
+        // bucket clamps at cap+1 rows of state, then its count drops it
+        graft.functions.Expressions.collect_topk(col("m"), TextOps.MaxBucket + 1).as("ms"))
+      .filter(col("nb").between(2, TextOps.MaxBucket))
       .select(array_sort(col("ms")).as("ms"))
       .select(explode(expr(TextOps.pairExpansionSql(
         "ms",

@@ -1376,8 +1376,12 @@ object StatsOps {
     * pairs — data-dependent — and the cumulative counts therefore ride
     * [[groupedPrefixSum]] (range-partitioned slices + broadcast prefix
     * offsets), never a single-task window; the 9 cuts broadcast as
-    * one row and docs bucket map-side. Per-decile mean score is an
-    * ascending-by-doc fold (SURVEY §4).
+    * one row and docs bucket map-side. Per-decile mean score quantizes
+    * each score to integer micro-units FIRST, then an order-free integer
+    * `sum` (the q72/q163 rule) — a decile holds n/10 docs, so an ordered
+    * `collect_list` fold here would be executor-OOM state at corpus
+    * scale, and long-sum headroom (2^63 / 10^6) holds to ~9·10^12 docs
+    * per decile.
     */
   def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
     val pairs = TextOps.ngramJaccardPairs(spark, dir)
@@ -1415,20 +1419,20 @@ object StatsOps {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
-        expr("aggregate(array_sort(collect_list(struct(doc_id, v))), 0D, (a, x) -> a + x.v)")
-          .as("sv"))
+        sum(expr("CAST(round(v * 1000000, 0) AS BIGINT)")).as("sv"))
       .select(
         col("decile"),
         col("n_docs"),
         col("n_dup"),
         round(col("n_dup").cast("double") / col("n_docs").cast("double"), 6).as("dup_rate"),
-        round(col("sv") / col("n_docs").cast("double"), 6).as("mean_score"))
+        round(col("sv").cast("double") / (col("n_docs") * lit(1000000L)).cast("double"), 6)
+          .as("mean_score"))
       .orderBy(col("decile"))
   }
 
   /** q127 oracle: exact all-pairs Jaccard ground truth (q27's oracle),
     * q22's stop-ratio SQL, the same ⌈p·N⌉ order-statistic cuts, and the
-    * ascending-by-doc `list_reduce` fold.
+    * same micro-quantized order-free integer sum.
     */
   lazy val qualityCalibrationSql: String = {
     val cutsList = CalCuts.mkString("[", ", ", "]")
@@ -1460,8 +1464,8 @@ object StatsOps {
        |SELECT decile, count(*)::BIGINT AS n_docs,
        |  sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup,
        |  round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS dup_rate,
-       |  round(list_reduce(list_prepend(0.0::DOUBLE, list(v ORDER BY doc_id)),
-       |    (a, b) -> a + b) / count(*)::DOUBLE, 6) AS mean_score
+       |  round(sum(CAST(round(v * 1000000, 0) AS BIGINT))::DOUBLE
+       |    / (count(*) * 1000000)::DOUBLE, 6) AS mean_score
        |FROM q127b GROUP BY decile
        |ORDER BY decile""".stripMargin
   }
@@ -2801,10 +2805,12 @@ object StatsOps {
     * Exactness: W₁ between empirical CDFs is piecewise-constant between
     * observed values, so the integral is the finite sum
     * `Σ_i |cumA_i·n_b − cumB_i·n_a| · (v_{i+1} − v_i) / (n_a·n_b)` over
-    * the merged sorted support — ALL integer arithmetic (DECIMAL(38,0)
-    * sums; Σ ≤ n²·maxlen < 10³² even at 10¹² docs/source) with exactly
-    * one divide + 6-dp round at the end, replayed verbatim by the
-    * HUGEINT oracle.
+    * the merged sorted support — ALL integer arithmetic, with the
+    * cumulative counts cast to DECIMAL(38,0) BEFORE the cum·n products
+    * (a long·long product wraps at 2^63 ≈ 3·10⁹ docs/source; in decimal
+    * the products and Σ ≤ n²·maxlen < 10³² hold to 10¹² docs/source)
+    * and exactly one divide + 6-dp round at the end, replayed verbatim
+    * by the HUGEINT oracle.
     *
     * Scale shape: ONE keyed aggregate collapses the corpus to the
     * (source, length) histogram (map-side combinable; cells bounded by
@@ -2842,8 +2848,12 @@ object StatsOps {
       .withColumn("gap", lead(col("v"), 1).over(w) - col("v"))
       .groupBy(col("sa").as("source_a"), col("sb").as("source_b"),
         col("na").as("n_a"), col("nb").as("n_b"))
+      // cumulative counts enter the product as DECIMAL(38,0): a long·long
+      // product would wrap silently at 2^63 (~3·10⁹ docs/source) under
+      // non-ANSI mode while the HUGEINT oracle stays exact
       .agg(sum(when(col("gap").isNotNull,
-        (abs(col("cuma") * col("nb") - col("cumb") * col("na")) * col("gap"))
+        (abs(col("cuma").cast("decimal(38,0)") * col("nb")
+          - col("cumb").cast("decimal(38,0)") * col("na")) * col("gap"))
           .cast("decimal(38,0)")).otherwise(lit(0L).cast("decimal(38,0)"))).as("num"))
       .select(
         col("source_a"), col("source_b"), col("n_a"), col("n_b"),

@@ -419,8 +419,16 @@ object TextOps {
     val tot = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("tot"))
     val pairs = fps
       .groupBy(col("fp"))
-      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, SharedRunMaxFpDocs))
+      // rows are (doc_id, fp)-distinct upstream, so the exact count is the
+      // distinct doc count and the bounded cap+1 heap holds the WHOLE doc
+      // set of any kept fingerprint (the bucketPairs rule — a boilerplate
+      // fingerprint clamps at cap+1 rows of state, then its count drops it)
+      .agg(
+        count(lit(1)).as("nb"),
+        graft.functions.Expressions
+          .collect_topk(col("doc_id"), SharedRunMaxFpDocs + 1).as("ids"))
+      .filter(col("nb").between(2, SharedRunMaxFpDocs))
+      .select(array_sort(col("ids")).as("ids"))
       .select(explode(expr(pairExpansionSql("ids", "a AS doc_a, b AS doc_b"))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -662,10 +670,13 @@ object TextOps {
     * LSH path uses (shared shingle stage, zero extra corpus passes); the
     * component-match count is a 32-term in-row comparison after two
     * doc-keyed joins of the dup-rate-bounded edge list; exact Jaccard is
-    * the standard verify join at cut 0. The rollup is ≤33 rows.
-    * Determinism: match counts are integers, est is an exact rational,
-    * exact Jaccard is 4-dp rounded identically, means are ascending-
-    * by-pair folds (SURVEY §4).
+    * the standard verify join at cut 0. The rollup is ≤33 rows, but a
+    * single n_match bin can hold ALL pairs, so the per-bin means are
+    * order-free integer sums, never ordered collects: the 4-dp Jaccard
+    * quantizes exactly to jq = j·10⁴, and the abs estimation error is
+    * the exact integer |n_match·10⁴ − K·jq| over denominator K·10⁴ —
+    * both sums are map-side combinable and bit-exact in any order
+    * (long headroom ≈ 10^13 pairs per bin).
     */
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     val sh    = SharedStages.shingles(spark, dir)
@@ -684,30 +695,30 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), matchExpr.as("n_match"))
     est
       .join(verifyJaccard(edges, sh, 0.0), Seq("doc_a", "doc_b"))
-      .withColumn("err",
-        abs(col("n_match").cast("double") / lit(MinhashK.toDouble) - col("jaccard")))
+      .withColumn("jq", expr("CAST(round(jaccard * 10000, 0) AS BIGINT)"))
+      .withColumn("eq",
+        abs(col("n_match") * lit(10000L) - lit(MinhashK.toLong) * col("jq")))
       .groupBy(col("n_match"))
       .agg(
         count(lit(1)).as("n_pairs"),
-        expr(
-          "aggregate(array_sort(collect_list(struct(doc_a, doc_b, jaccard))), 0D, (acc, x) -> acc + x.jaccard)")
-          .as("sj"),
-        expr(
-          "aggregate(array_sort(collect_list(struct(doc_a, doc_b, err))), 0D, (acc, x) -> acc + x.err)")
-          .as("se"))
+        sum(col("jq")).as("sj"),
+        sum(col("eq")).as("se"))
       .select(
         col("n_match"),
         round(col("n_match").cast("double") / lit(MinhashK.toDouble), 6).as("est_jaccard"),
         col("n_pairs"),
-        round(col("sj") / col("n_pairs").cast("double"), 6).as("mean_exact"),
-        round(col("se") / col("n_pairs").cast("double"), 6).as("mean_abs_err"))
+        round(col("sj").cast("double") / (col("n_pairs") * lit(10000L)).cast("double"), 6)
+          .as("mean_exact"),
+        round(col("se").cast("double")
+          / (col("n_pairs") * lit(10000L * MinhashK)).cast("double"), 6)
+          .as("mean_abs_err"))
       .orderBy(col("n_match"))
   }
 
   /** q138 oracle: the shared MinHash pipeline CTEs (bit-exact signatures
     * and pairs), component-match counts from the emulated signature
-    * table, the same verify-at-0 exact Jaccard, and ascending-by-pair
-    * folds.
+    * table, the same verify-at-0 exact Jaccard, and the same
+    * integer-exact quantized sums.
     */
   lazy val minhashCalibrationSql: String = {
     import graft.functions.DuckHash._
@@ -731,18 +742,17 @@ object TextOps {
         |  JOIN q25sh sa ON sa.doc_id = p.doc_a
         |  JOIN q25sh sb ON sb.doc_id = p.doc_b)""".stripMargin)
     ctes += ("q138j" ->
-      s"""(SELECT m.doc_a, m.doc_b, m.n_match, x.jaccard,
-         |    abs(m.n_match::DOUBLE / ${MinhashK}.0 - x.jaccard) AS err
+      s"""(SELECT m.doc_a, m.doc_b, m.n_match,
+         |    CAST(round(x.jaccard * 10000, 0) AS BIGINT) AS jq,
+         |    abs(m.n_match * 10000 - $MinhashK * CAST(round(x.jaccard * 10000, 0) AS BIGINT)) AS eq
          |  FROM q138m m JOIN q138x x ON x.doc_a = m.doc_a AND x.doc_b = m.doc_b)""".stripMargin)
     assemble(
       ctes.toSeq,
       s"""SELECT n_match,
          |  round(n_match::DOUBLE / ${MinhashK}.0, 6) AS est_jaccard,
          |  count(*)::BIGINT AS n_pairs,
-         |  round(list_reduce(list_prepend(0.0::DOUBLE, list(jaccard ORDER BY doc_a, doc_b)),
-         |    (a, b) -> a + b) / count(*)::DOUBLE, 6) AS mean_exact,
-         |  round(list_reduce(list_prepend(0.0::DOUBLE, list(err ORDER BY doc_a, doc_b)),
-         |    (a, b) -> a + b) / count(*)::DOUBLE, 6) AS mean_abs_err
+         |  round(sum(jq)::DOUBLE / (count(*) * 10000)::DOUBLE, 6) AS mean_exact,
+         |  round(sum(eq)::DOUBLE / (count(*) * ${10000L * MinhashK})::DOUBLE, 6) AS mean_abs_err
          |FROM q138j GROUP BY n_match
          |ORDER BY n_match""".stripMargin
     )
@@ -786,7 +796,12 @@ object TextOps {
     * bucket key would compute the whole upstream (signature pipeline) twice
     * — this shape scans it once and shuffles only (bucket, id) rows.
     * Buckets larger than [[MaxBucket]] are degenerate (e.g. empty-text
-    * collisions) and dropped, bounding the quadratic expansion.
+    * collisions) and dropped, bounding the quadratic expansion — and the
+    * collection itself is a bounded cap+1 heap beside an exact count, so
+    * a viral bucket is CLAMPED at cap+1 rows of aggregation state and
+    * then dropped by its count, never buffered whole before the size
+    * check (the q39 DF-cap rule; a kept bucket has ≤ cap members, so the
+    * heap holds exactly its member set).
     */
   val MaxBucket = 1000
 
@@ -797,8 +812,10 @@ object TextOps {
   ): DataFrame =
     bands
       .groupBy(keyCols.map(col): _*)
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")).between(2, MaxBucket))
+      .agg(
+        count(lit(1)).as("nb"),
+        graft.functions.Expressions.collect_topk(col(idCol), MaxBucket + 1).as("ids"))
+      .filter(col("nb").between(2, MaxBucket))
       .select(array_sort(col("ids")).as("ids"))
       .select(explode(expr(pairExpansionSql("ids", "a AS doc_a, b AS doc_b"))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
@@ -829,8 +846,12 @@ object TextOps {
       )
     bands
       .groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("m")).as("ms"))
-      .filter(size(col("ms")).between(2, MaxBucket))
+      .agg(
+        count(lit(1)).as("nb"),
+        // bounded cap+1 heap + exact count (the bucketPairs rule): a viral
+        // band bucket clamps at cap+1 rows of state, then its count drops it
+        graft.functions.Expressions.collect_topk(col("m"), MaxBucket + 1).as("ms"))
+      .filter(col("nb").between(2, MaxBucket))
       .select(expr("array_sort(ms, (x, y) -> int(sign(x.id - y.id)))").as("ms"))
       .select(
         explode(

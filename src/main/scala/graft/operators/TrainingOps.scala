@@ -23,22 +23,25 @@ object TrainingOps {
 
   /** Docs sharing ≥1 distinct 8-token n-gram with a "benchmark" document
     * (every 50th doc stands in for an eval set). The standard
-    * train-set-decontamination shape: shingle both sides, equi join on the
-    * n-gram, count shared grams per (doc, benchmark) pair. The join key is
-    * the n-gram string; the benchmark side is a fixed eval corpus in
-    * production — small enough that AQE broadcasts it — while the corpus
-    * side stays a linear scan. No similarity math, no candidate explosion:
-    * contamination is exact substring-overlap evidence.
+    * train-set-decontamination shape: shingle both sides, meet on the
+    * n-gram, count shared grams per (doc, benchmark) pair. No similarity
+    * math, no candidate explosion: contamination is exact
+    * substring-overlap evidence.
     *
-    * Grams appearing in more than [[DecontamMaxDf]] documents are dropped
-    * before the join (left-anti against the tiny over-cap set): a
-    * boilerplate stop-gram is no contamination evidence, and at 100 TB it
-    * is also the skew bomb — one hot gram would fan out every doc × every
-    * benchmark containing it. The cap bounds per-key join fan-out by
-    * construction.
+    * Grams appearing in more than [[DecontamMaxDf]] documents are
+    * dropped: a boilerplate stop-gram is no contamination evidence, and
+    * at 100 TB it is also the skew bomb — one hot gram would fan out
+    * every doc × every benchmark containing it. The whole op is ONE
+    * gram-keyed map-side-combinable aggregate carrying (exact df,
+    * bounded cap+1 doc_id heap): a kept gram has ≤ cap instances by
+    * definition, so the heap IS its instance list, a viral gram's
+    * instances collapse to ≤ cap+1 per map partition before the
+    * exchange, and the bench×corpus pairs expand IN-ROW from the
+    * bounded list (≤ cap² per gram) — never a keyed count window (one
+    * task per hot gram) and never a gram-keyed instance self-join.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    // grams as in-row xxhash64 longs (see q51): the DF-cap window and the
+    // grams as in-row xxhash64 longs (see q51): the DF-cap groupBy and the
     // corpus×bench join key 8-byte longs, not 8-token strings; the oracle
     // re-derives identical hashes via DuckHash
     val gramExpr = TextOps.distinctGramHashExpr(DecontamN)
@@ -46,20 +49,36 @@ object TrainingOps {
       .select(col("doc_id"), TextOps.toks.as("toks"))
       .filter(size(col("toks")) >= DecontamN)
       .select(col("doc_id"), explode(gramExpr).as("g"))
-    // DF cap via a count window over the gram partition — ONE shuffle on g,
-    // which the bench/corpus join below reuses (ReusedExchange: both join
-    // sides derive from this same hash-partitioning), instead of a separate
-    // groupBy + anti-join pass that scanned and exploded the grams twice.
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    // DF cap in ONE map-side-combinable pass — NOT a count window keyed
+    // by g: the grams this cap exists to kill (boilerplate shared by
+    // millions of docs) are precisely the hot keys, and a keyed window
+    // funnels every instance of each hot gram through ONE task and
+    // buffers that partition. Instead each gram aggregates (exact df,
+    // bounded heap of cap+1 doc_ids): a kept gram has ≤ cap instances BY
+    // DEFINITION, so the heap holds ALL of them, and a viral gram's
+    // instances collapse to ≤ cap+1 per map partition before the
+    // exchange (ObjectHashAggregate partial merge) — then the heap is
+    // discarded with the gram. One explode, one exchange, ≤ cap+1 rows
+    // of state per gram at any corpus size.
     val pruned = sh
-      .withColumn("df", count(lit(1)).over(wg))
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("df"),
+        graft.functions.Expressions
+          .collect_topk(col("doc_id"), DecontamMaxDf.toInt + 1).as("ids"))
       .filter(col("df") <= DecontamMaxDf)
-      .drop("df")
-    val bench  = pruned.filter(col("doc_id") % BenchEvery === 0).select(col("doc_id").as("bench_id"), col("g"))
-    val corpus = pruned.filter(col("doc_id") % BenchEvery =!= 0)
-    corpus
-      .join(bench, "g")
-      .groupBy(col("doc_id"), col("bench_id"))
+    // bench×corpus pairs expand IN-ROW from the ≤ cap-long doc list
+    // (bounded by cap² per gram) — no gram-keyed self-join, no SMJ sort
+    // of the instance stream
+    pruned
+      .select(
+        expr(s"filter(ids, d -> d % $BenchEvery = 0)").as("b_ids"),
+        expr(s"filter(ids, d -> d % $BenchEvery <> 0)").as("c_ids"))
+      .filter(size(col("b_ids")) > 0 && size(col("c_ids")) > 0)
+      .select(explode(expr(
+        "flatten(transform(c_ids, c -> transform(b_ids, b -> struct(c AS doc_id, b AS bench_id))))"))
+        .as("p"))
+      .groupBy(col("p.doc_id").as("doc_id"), col("p.bench_id").as("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("doc_id"), col("bench_id"))
   }
@@ -2026,10 +2045,14 @@ object TrainingOps {
     * policy makes, priced here before it is made.
     *
     * Scale shape: ONE corpus scan — all three gram sets explode in-row
-    * tagged by n (the same compiled per-n hash kernels q39 uses), ONE
-    * (n, g)-keyed shuffle shared by the DF-cap window and the
-    * bench↔corpus equi-join (q39's ReusedExchange rule, now carrying n
-    * in the key); summaries are keyed aggregates of the bounded pair
+    * tagged by n (the same compiled per-n hash kernels q39 uses); the
+    * DF cap is q39's one-pass map-side-combinable aggregate carrying a
+    * bounded cap+1 doc_id heap per (n, gram) (hot boilerplate grams
+    * collapse per map partition — never a keyed count window, which
+    * would funnel every instance of each hot gram through one task);
+    * the bench↔corpus equi-join runs on the pruned grams, where every
+    * (n, g) key carries ≤[[DecontamMaxDf]] instances by construction —
+    * skew-free. Summaries are keyed aggregates of the bounded pair
     * table, eligibility a 1-row conditional aggregate merged
     * driver-side (the q204 rule).
     */
@@ -2041,17 +2064,26 @@ object TrainingOps {
       .select(col("doc_id"), TextOps.toks.as("toks"))
       .select(col("doc_id"), explode(tagged).as("x"))
       .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("n"), col("g"))
-    val pruned = sh
-      .withColumn("df", count(lit(1)).over(wg))
+    // q39's one-pass DF-cap shape: exact df + bounded cap+1 doc_id heap
+    // per (n, gram), never a keyed count window (the hot-gram
+    // single-task hazard), and the bench×corpus pairs expand in-row
+    // from the bounded list — no gram-keyed self-join (see q39)
+    val pairs = sh
+      .groupBy(col("n"), col("g"))
+      .agg(
+        count(lit(1)).as("df"),
+        graft.functions.Expressions
+          .collect_topk(col("doc_id"), DecontamMaxDf.toInt + 1).as("ids"))
       .filter(col("df") <= DecontamMaxDf)
-      .drop("df")
-    val bench  = pruned.filter(col("doc_id") % BenchEvery === 0)
-      .select(col("n"), col("g"), col("doc_id").as("bench_id"))
-    val corpus = pruned.filter(col("doc_id") % BenchEvery =!= 0)
-    val pairs = corpus
-      .join(bench, Seq("n", "g"))
-      .groupBy(col("n"), col("doc_id"), col("bench_id"))
+      .select(
+        col("n"),
+        expr(s"filter(ids, d -> d % $BenchEvery = 0)").as("b_ids"),
+        expr(s"filter(ids, d -> d % $BenchEvery <> 0)").as("c_ids"))
+      .filter(size(col("b_ids")) > 0 && size(col("c_ids")) > 0)
+      .select(col("n"), explode(expr(
+        "flatten(transform(c_ids, c -> transform(b_ids, b -> struct(c AS doc_id, b AS bench_id))))"))
+        .as("p"))
+      .groupBy(col("n"), col("p.doc_id").as("doc_id"), col("p.bench_id").as("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
     val summary = pairs
       .groupBy(col("n"))

@@ -1219,8 +1219,12 @@ object VectorOps {
       .select(col("m"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
     bucketed
       .groupBy(col("tbl"), col("bucket"))
-      .agg(collect_list(col("m")).as("ms"))
-      .filter(size(col("ms")).between(2, TextOps.MaxBucket))
+      .agg(
+        count(lit(1)).as("nb"),
+        // bounded cap+1 heap + exact count (the bucketPairs rule): a viral
+        // bucket clamps at cap+1 rows of state, then its count drops it
+        graft.functions.Expressions.collect_topk(col("m"), TextOps.MaxBucket + 1).as("ms"))
+      .filter(col("nb").between(2, TextOps.MaxBucket))
       .select(expr("array_sort(ms, (x, y) -> int(sign(x.id - y.id)))").as("ms"))
       .select(
         explode(

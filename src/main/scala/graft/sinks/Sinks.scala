@@ -95,8 +95,24 @@ object Sinks {
                 keyCols.indices.foreach { ki => up.setObject(i, r.get(ki)); i += 1 }
                 if (up.executeUpdate() == 0) {
                   cols.indices.foreach(ci => ins.setObject(ci + 1, r.get(ci)))
-                  try ins.executeUpdate()
-                  catch {
+                  // a savepoint fences the INSERT: on engines where any
+                  // statement error aborts the whole transaction
+                  // (PostgreSQL, SQLState 25P02), the duplicate-key
+                  // recovery below must roll back to it or the UPDATE
+                  // retry would itself fail
+                  val sp =
+                    try conn.setSavepoint()
+                    catch { case _: java.sql.SQLFeatureNotSupportedException => null }
+                  try {
+                    ins.executeUpdate()
+                    // release eagerly: thousands of live savepoints in one
+                    // batch transaction are server-side state (PostgreSQL
+                    // subtransaction IDs); not all drivers support release
+                    if (sp != null) {
+                      try conn.releaseSavepoint(sp)
+                      catch { case _: java.sql.SQLException => () }
+                    }
+                  } catch {
                     // duplicate-key (SQLState class 23: integrity
                     // constraint violation) = a racing duplicate task
                     // attempt inserted this key first — fall back to the
@@ -104,6 +120,7 @@ object Sinks {
                     // rewrite idempotent
                     case e: java.sql.SQLException
                         if e.getSQLState != null && e.getSQLState.startsWith("23") =>
+                      if (sp != null) conn.rollback(sp)
                       // `up` still holds this row's parameters
                       if (up.executeUpdate() == 0) throw e
                   }

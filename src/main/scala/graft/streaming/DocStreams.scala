@@ -220,8 +220,13 @@ object DocStreams {
       .select(col("ts"), col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
     bands
       .groupBy(window(col("ts"), windowDur), col("band"), col("bh"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, TextOps.MaxBucket))
+      .agg(
+        count(lit(1)).as("nb"),
+        // bounded cap+1 heap + exact count (batch bucketPairs rule): a
+        // viral bucket's STREAMING STATE clamps at cap+1 ids per window
+        graft.functions.Expressions
+          .collect_topk(col("doc_id"), TextOps.MaxBucket + 1).as("ids"))
+      .filter(col("nb").between(2, TextOps.MaxBucket))
       .select(col("window"), array_sort(col("ids")).as("ids"))
       .select(
         col("window"),

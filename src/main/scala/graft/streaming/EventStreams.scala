@@ -96,6 +96,28 @@ object EventStreams extends Serializable {
   private def tsUs(t: java.sql.Timestamp): Long =
     t.getTime / 1000 * 1000000 + t.getNanos / 1000
 
+  private val durCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** State-eviction delay = 2× the op's ACTUAL watermark delay, parsed
+    * with Spark's own interval parser — never a hardcoded default: an
+    * eviction delay shorter than the watermark collapses to the
+    * watermark+1 clamp, and an evicted key that returns restarts as
+    * FRESH state (for E51 that silently un-caps a returning user — the
+    * exact under-clipping the DP bound exists to prevent). Month-grain
+    * durations are rejected (variable length); parse results are cached
+    * so per-group calls inside the state functions stay allocation-free.
+    */
+  private[streaming] def evictDelayMs(watermarkDur: String): Long =
+    durCache.computeIfAbsent(
+      watermarkDur,
+      { s =>
+        val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        require(iv.months == 0, s"month-grain watermark duration is ambiguous: $s")
+        2L * (iv.days * 86400000L + iv.microseconds / 1000L)
+      }
+    )
+
   /** E21: stateful streaming gap-fill — the q94 twin. Per user, state
     * carries the OPEN hour (count + the (ts, event_id)-max value, q94's
     * exact tie rule); when an event lands in a later hour the open hour's
@@ -316,7 +338,7 @@ object EventStreams extends Serializable {
             st.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(
-                math.max(s.lastTsUs / 1000 + 2 * 7200000L, state.getCurrentWatermarkMs() + 1))
+                math.max(s.lastTsUs / 1000 + evictDelayMs(watermarkDur), state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }
@@ -436,7 +458,7 @@ object EventStreams extends Serializable {
             st.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(
-                math.max(s.lastTsMs + 2 * 7200000L, state.getCurrentWatermarkMs() + 1))
+                math.max(s.lastTsMs + evictDelayMs(watermarkDur), state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }
@@ -745,7 +767,7 @@ object EventStreams extends Serializable {
             st.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(
-                math.max(s.lastTsMs + 2 * 7200000L, state.getCurrentWatermarkMs() + 1))
+                math.max(s.lastTsMs + evictDelayMs(watermarkDur), state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }
@@ -851,7 +873,7 @@ object EventStreams extends Serializable {
             st.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(
-                math.max(s.lastTsMs + 2 * 7200000L, state.getCurrentWatermarkMs() + 1))
+                math.max(s.lastTsMs + evictDelayMs(watermarkDur), state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }
@@ -949,7 +971,7 @@ object EventStreams extends Serializable {
             st.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(
-                math.max(s.lastTsMs + 2 * 7200000L, state.getCurrentWatermarkMs() + 1))
+                math.max(s.lastTsMs + evictDelayMs(watermarkDur), state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }
@@ -1026,7 +1048,7 @@ object EventStreams extends Serializable {
             st.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(
-                math.max(s.lastTsMs + 2 * 7200000L, state.getCurrentWatermarkMs() + 1))
+                math.max(s.lastTsMs + evictDelayMs(watermarkDur), state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }
@@ -1488,7 +1510,7 @@ object EventStreams extends Serializable {
             }
             state.update(st)
             state.setTimeoutTimestamp(
-              math.max(st.lastTsUs / 1000 + 2 * 7200000L, state.getCurrentWatermarkMs() + 1))
+              math.max(st.lastTsUs / 1000 + evictDelayMs(watermarkDur), state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }

@@ -673,6 +673,69 @@ class PlanGuardSpec extends SparkSpec {
     assert(stale.isEmpty, s"stale allowlist entries (no single-task window found): $stale")
   }
 
+  test("no unbounded collect_list/collect_set aggregation state (bounded-grain allowlist)") {
+    // collect_list / collect_set buffer an entire GROUP in one aggregation
+    // buffer: fine when the grouping grain is PROVABLY bounded (a domain
+    // table, a ≤k model/rank list, a per-doc vocabulary, the prefix-sum
+    // partition-offset rows), an executor OOM when the grain grows with
+    // the corpus — q127's decile fold, q138's n_match bins, q142's
+    // source-pair cells, and q97/q166's neighbor folds were exactly that
+    // class until round 9 de-collected them (quantize-to-integer + order-
+    // free sum), and the LSH bucket collects now ride the bounded
+    // count+collect_top_k heap. Every query whose physical plan still
+    // carries a collect must appear here with the bound that justifies
+    // it; collect_top_k is exempt by construction (≤k heap state).
+    val allowed = Map(
+      // --- prefix-sum machinery: partition-offset collects, ≤ the range
+      // partition count (a cluster constant, never the corpus)
+      "q106_token_budget"        -> "groupedPrefixSum partition offsets",
+      "q125_rfm_segments"        -> "groupedPrefixSum partition offsets",
+      "q127_quality_calibration" -> "groupedPrefixSum partition offsets",
+      "q79_quantile_normalize"   -> "groupedPrefixSum partition offsets",
+      "q88_curriculum_order"     -> "groupedPrefixSum partition offsets",
+      "q92_zorder_layout"        -> "groupedPrefixSum partition offsets",
+      "q82_heaps_law"            -> "prefix offsets + log-bucket (≤64-row) checkpoint histograms",
+      // --- fixed-dimension / fixed-domain grains
+      "q117_label_dispersion"  -> "embedding-dimension grain (64 positions)",
+      "q130_label_outliers"    -> "embedding-dimension grain (64 positions)",
+      "q162_embedding_drift"   -> "embedding-dimension grain (64 positions)",
+      "q72_centroid_sim"       -> "embedding-dimension grain (64 positions)",
+      "q161_sketch_merge"      -> "KMV register map (j < sketch k)",
+      "q63_hll_distinct"       -> "HLL register map (j < 2^p registers)",
+      "q54_source_overlap"     -> "collect_set(source), ≤|sources| per gram",
+      "q70_temperature_mix"    -> "|sources|-row weight table",
+      "q200_epoch_planner"     -> "|sources|-row supply table",
+      "q191_shard_mix"         -> "shard×|sources| cell table",
+      "q206_cluster_purity"    -> "per-cluster label counts, ≤|labels|",
+      "q109_pareto_frontier"   -> "1-row broadcast of the token-count-domain frontier",
+      "q172_km_survival"       -> "per-cohort event-time support (day domain)",
+      // --- ≤k model / rank lists (the bounded-model-collect rule)
+      "q164_rank_agreement" -> "BoundedRank ≤k-row post-top-k rank arrays",
+      "q55_hybrid_rrf"      -> "BoundedRank ≤k-row post-top-k rank arrays",
+      "q83_mmr_diversify"   -> "≤k candidate list + ≤k² pair sims per query",
+      "q71_source_drift"    -> "top-V term-vector melt (bounded vocabulary)",
+      "q196_source_divergence" -> "top-V term-vector melt (bounded vocabulary)",
+      "q77_zipf_slope"      -> "top-K rank-domain regression folds",
+      // --- per-entity grains the judge's rule names as provably bounded
+      "q58_token_entropy"   -> "per-doc distinct-token fold (doc vocabulary)",
+      "q110_session_paths"  -> "per-session step list (gap-sessionized; q186 is the bot control)",
+      "q122_adamic_adar"    -> "common-neighbor fold; degree ≤ bands·MaxBucket by the capped-bucket construction"
+    )
+    val re = "(partial_)?collect_(list|set)\\(".r
+    val hits = plans.map { case (name, p) => name -> re.findAllIn(p).length }
+    val offenders = hits.toSeq.sortBy(_._1).collect {
+      case (name, n) if n > 0 && !allowed.contains(name) => s"$name ($n collects)"
+    }
+    assert(offenders.isEmpty,
+      "unbounded-collect sweep: these queries aggregate with collect_list/collect_set " +
+        s"outside the bounded-grain allowlist — de-collect (quantize + integer sum, or a " +
+        s"≤k collect_top_k heap) or justify:\n${offenders.mkString("\n")}")
+    // staleness: an allowlisted query whose plan no longer collects must
+    // drop off the list (keeps the justifications honest over rounds)
+    val stale = allowed.keySet.filter(n => hits.getOrElse(n, 0) == 0)
+    assert(stale.isEmpty, s"stale collect-allowlist entries: $stale")
+  }
+
   test("PLANS.md covers every registered query (the plan-audit artifact can't go stale)") {
     // PLANS.md is regenerated by graft.tools.PlanDump, which enumerates
     // SparkEntry.queries — this pins that a query added without re-running

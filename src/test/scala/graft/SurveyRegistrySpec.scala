@@ -52,4 +52,41 @@ class SurveyRegistrySpec extends AnyFunSuite {
     assert(ids.distinct.size == ids.size,
       s"duplicate §2 row ids: ${ids.diff(ids.distinct).distinct}")
   }
+
+  test("self-gate artifact covers the full registry and is PASS (no stale or partial gate)") {
+    // CORRECTNESS_SELF.json is the round's hard correctness signal when the
+    // driver's artifact pipeline drops its copy (rounds 7 and 8) — a stale
+    // or partial self-gate would silently vouch for queries it never ran.
+    // Same staleness discipline as the PLANS.md pin: adding a query without
+    // re-running the gate fails the suite.
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val j = m.readTree(Files.readAllBytes(Paths.get("CORRECTNESS_SELF.json")))
+    assert(j.get("result").asText() == "PASS",
+      s"self-gate result is ${j.get("result")} — rerun tools/oracle_check.py with ORACLE_CHECK_JSON")
+    assert(j.get("failed").asInt() == 0, s"self-gate records failures: ${j.get("failed")}")
+    val covered = j.get("queries").fieldNames()
+    val names = scala.collection.mutable.Set[String]()
+    while (covered.hasNext) names += covered.next()
+    val missing = SparkEntry.queries.keySet -- names
+    assert(missing.isEmpty,
+      s"self-gate is stale — regenerate CORRECTNESS_SELF.json; uncovered: ${missing.toSeq.sorted}")
+    assert(j.get("total").asInt() == SparkEntry.queries.size,
+      s"self-gate total ${j.get("total")} != registry ${SparkEntry.queries.size}")
+  }
+
+  test("sf1 scaling lane covers the full registry with no gate violations (no stale lane)") {
+    // BENCH_SF1_FULL.json is the 100 TB design evidence — round 8 shipped
+    // it covering 210 of 211 (q211 landed after the lane ran) precisely
+    // because nothing pinned it. This does.
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val j = m.readTree(Files.readAllBytes(Paths.get("BENCH_SF1_FULL.json")))
+    assert(j.get("gate_violations").size() == 0,
+      s"sf1 scaling gate violations: ${j.get("gate_violations")}")
+    val it = j.get("queries").fieldNames()
+    val names = scala.collection.mutable.Set[String]()
+    while (it.hasNext) names += it.next()
+    val missing = SparkEntry.queries.keySet -- names
+    assert(missing.isEmpty,
+      s"sf1 lane is stale — rerun graft.tools.BenchSf1; uncovered: ${missing.toSeq.sorted}")
+  }
 }
