@@ -11,15 +11,22 @@ object Verify {
     * output-dir listing size so the next round can see exactly how far
     * each Verify invocation got.
     */
+  // Resolved once per JVM, with a hard 2 s bound and merged stderr: a
+  // wedged git (index.lock contention during a concurrent commit) must
+  // not hang the gate main before any dump runs — that would recreate
+  // the empty-artifact failure mode this trace exists to diagnose.
+  private lazy val gitHead: String =
+    try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .directory(new java.io.File(".")).redirectErrorStream(true).start()
+      if (!p.waitFor(2, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly(); "?"
+      } else new String(p.getInputStream.readAllBytes()).trim.takeWhile(_ != '\n')
+    } catch { case _: Throwable => "?" }
+
   private def trace(msg: String): Unit =
     try {
-      val head =
-        try {
-          val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
-            .directory(new java.io.File(".")).start()
-          val out = new String(p.getInputStream.readAllBytes()).trim
-          p.waitFor(); out
-        } catch { case _: Throwable => "?" }
+      val head = gitHead
       val line = s"${java.time.Instant.now()} pid=${ProcessHandle.current().pid()} " +
         s"head=$head cwd=${System.getProperty("user.dir")} $msg\n"
       Files.writeString(

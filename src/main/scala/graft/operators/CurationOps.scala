@@ -1327,6 +1327,101 @@ object CurationOps {
        |FROM documents d LEFT JOIN q116r r USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- q214: memorization-span density -----------------------------------------
+
+  /** Verbatim-memorization gram width — the GPT-3/Dolma "strict" 13-token
+    * rule: a 13-gram shared across documents is treated as memorizable
+    * verbatim text, not coincidence. */
+  val MemN = 13
+
+  /** Per-source memorization-risk pricing: for every document, the
+    * fraction of its TOKEN POSITIONS covered by at least one 13-gram that
+    * also appears in ANOTHER document — the span-union view of repetition
+    * that neither q51 (distinct-gram ownership fraction) nor q116
+    * (window-instance dup fraction) reports: those count GRAMS, this
+    * measures how much of the doc's actual surface sits inside shared
+    * spans, which is what memorization-extraction risk scales with
+    * (Lee et al. 2022). Per source: docs priced, docs mostly-memorized
+    * (coverage ≥ 0.5), mean coverage — the table a release review reads
+    * next to q205's benchmark sweep.
+    *
+    * Scale shape: stride-1 gram hashes (q116's explode — the honest
+    * linear floor), distinct-doc df per gram as ONE map-side-combinable
+    * aggregate (distinct (h, doc) grain first — never a count window; the
+    * q51 hot-gram rule), join back keyed on the gram hash (1 df row per
+    * gram — no fan-out on viral grams), position coverage via a ×[[MemN]]
+    * in-row explode of QUALIFYING instances only, deduped at the (doc,
+    * pos) grain (bounded by doc length), rollup ≤|sources| rows of
+    * micro-quantized order-free integer sums. Risky verdict is an integer
+    * cross-multiplication — no float compare can flip it.
+    */
+  def memorizationSpans(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir)
+      .select(col("doc_id"), col("source"), TextOps.toks.as("toks"))
+      .filter(size(col("toks")) >= MemN)
+    val tc = graft.core.CacheScope.persist(t)
+    val wins = tc.select(
+      col("doc_id"),
+      explode(expr(
+        s"transform(sequence(0, size(toks) - $MemN), i -> struct(i AS widx, md5(concat_ws(' ', slice(toks, i + 1, $MemN))) AS h))")).as("w"))
+      .select(col("doc_id"), col("w.widx").as("widx"), col("w.h").as("h"))
+    val wc = graft.core.CacheScope.persist(wins)
+    val shared = wc
+      .select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("h"))
+    val covered = wc
+      .join(shared, "h")
+      .select(col("doc_id"), explode(expr(s"sequence(widx, widx + ${MemN - 1})")).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("covered"))
+    tc.select(col("doc_id"), col("source"), size(col("toks")).cast("long").as("n_toks"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("source"), col("n_toks"), coalesce(col("covered"), lit(0L)).as("covered"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("covered") * 2 >= col("n_toks"), 1L).otherwise(0L)).as("n_risky"),
+        sum(expr("CAST(round(1000000.0 * covered / n_toks, 0) AS BIGINT)")).as("cq"))
+      .select(
+        col("source"), col("n_docs"), col("n_risky"),
+        round(col("cq").cast("double") / (col("n_docs") * lit(1000000L)).cast("double"), 6)
+          .as("mean_coverage"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: q116's window spelling at [[MemN]], distinct-doc df, the
+    * same qualifying-position union, and the identical integer rollup.
+    */
+  lazy val memorizationSpansSql: String =
+    s"""WITH q214t AS (
+       |  SELECT doc_id, source, ${TextOps.DuckToks} AS toks FROM documents),
+       |q214f AS (SELECT * FROM q214t WHERE len(toks) >= $MemN),
+       |q214x AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - $MemN)) AS i
+       |          FROM q214f),
+       |q214w AS (SELECT doc_id, i AS widx,
+       |            md5(array_to_string(toks[i + 1 : i + $MemN], ' ')) AS h
+       |          FROM q214x),
+       |q214sh AS (SELECT h FROM (
+       |             SELECT h, count(DISTINCT doc_id) AS df FROM q214w GROUP BY h)
+       |           WHERE df >= 2),
+       |q214q AS (SELECT DISTINCT doc_id,
+       |            widx + unnest(generate_series(0, ${MemN - 1})) AS pos
+       |          FROM q214w JOIN q214sh USING (h)),
+       |q214c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered
+       |          FROM q214q GROUP BY doc_id),
+       |q214d AS (SELECT f.source, len(f.toks)::BIGINT AS n_toks,
+       |            coalesce(c.covered, 0)::BIGINT AS covered
+       |          FROM q214f f LEFT JOIN q214c c USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN covered * 2 >= n_toks THEN 1 ELSE 0 END) AS BIGINT) AS n_risky,
+       |  round(CAST(sum(CAST(round(1000000.0 * covered / n_toks, 0) AS BIGINT)) AS DOUBLE)
+       |    / (count(*) * 1000000)::DOUBLE, 6) AS mean_coverage
+       |FROM q214d GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // --- q51: n-gram-coverage dedup ------------------------------------------
 
   val CovN      = 8
@@ -2038,10 +2133,91 @@ object CurationOps {
         |ORDER BY d.doc_id""".stripMargin)
   }
 
-  /** Oracle: DISTINCT 1/2-grams hashed once via [[graft.functions.DuckHash]]
-    * (the q44 pattern), joined back to instances; same smoothed-ratio
-    * expression tree, same ascending-feature fold.
+  // --- q218: DoReMi-style excess-loss mixture reweighting -----------------------
+
+  /** DoReMi-lite mixture reweighting (Xie et al. 2023's signal, one
+    * round, η=1): per source, mean bigram-LM cross-entropy vs the corpus
+    * mean; sources with EXCESS loss (hard-for-the-proxy text) get their
+    * token share multiplied by `exp(excess)` and renormalized — the
+    * "upweight what the model hasn't absorbed" recipe step that sits
+    * between q53's static weights and q70's popularity temperature, fed
+    * by q68's own proxy model rather than a hand-picked prior. Output
+    * per source: docs scored, LM token mass, mean/excess xent, and the
+    * renormalized DoReMi weight a q53-style realizer would consume.
+    *
+    * Scale shape: scoring is q68's collected bounded model + codegen'd
+    * projection (zero shuffle); the rollup is ONE ≤|sources| keyed
+    * aggregate of integer sums (per-doc xent is already 6-dp quantized,
+    * so ×10⁶ is LOSSLESS and the sums are order-free); the two 1-row
+    * totals broadcast back (q70's shape). Determinism: exp differs ≤1
+    * ulp between engines, so each source's weight TERM quantizes to 1e9
+    * integer units immediately (the q211 rule) and the final weight is a
+    * ratio of integers with one 6-dp round.
     */
+  def doremiWeights(spark: SparkSession, dir: String): DataFrame = {
+    val per = lmScoreOf(docs(spark, dir))
+      .filter(col("n_pairs") >= 1)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_pairs")).as("lm_tokens"),
+        sum(expr("CAST(round(lm_xent * 1000000, 0) AS BIGINT)")).as("xq"))
+    val cached = graft.core.CacheScope.persist(per)
+    val tot = cached.agg(
+      sum(col("n_docs")).as("td"), sum(col("lm_tokens")).as("tt"), sum(col("xq")).as("txq"))
+    val termed = graft.core.CacheScope.persist(
+      cached
+        .crossJoin(broadcast(tot))
+        .withColumn("mean_xent",
+          col("xq").cast("double") / (col("n_docs") * lit(1000000L)).cast("double"))
+        .withColumn("corpus_xent",
+          col("txq").cast("double") / (col("td") * lit(1000000L)).cast("double"))
+        .withColumn("excess", greatest(lit(0.0), col("mean_xent") - col("corpus_xent")))
+        .withColumn("wq", expr(
+          "CAST(round(CAST(lm_tokens AS DOUBLE) / CAST(tt AS DOUBLE) * exp(excess) * 1000000000, 0) AS BIGINT)")))
+    val wtot = termed.agg(sum(col("wq")).as("swq"))
+    termed
+      .crossJoin(broadcast(wtot))
+      .select(
+        col("source"), col("n_docs"), col("lm_tokens"),
+        round(col("mean_xent"), 6).as("mean_xent"),
+        round(col("excess"), 6).as("excess_xent"),
+        round(col("wq").cast("double") / col("swq").cast("double"), 6).as("doremi_weight"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: q68's full scoring chain as a derived table, the identical
+    * lossless ×10⁶ sums, the same IEEE expression order for share·exp,
+    * and the integer-ratio weight.
+    */
+  lazy val doremiWeightsSql: String =
+    s"""WITH q218s AS MATERIALIZED (
+       |  SELECT source, n_pairs, lm_xent FROM ($lmScoreSql) WHERE n_pairs >= 1),
+       |q218p AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_pairs) AS BIGINT) AS lm_tokens,
+       |    CAST(sum(CAST(round(lm_xent * 1000000, 0) AS BIGINT)) AS BIGINT) AS xq
+       |  FROM q218s GROUP BY source),
+       |q218t AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS td, CAST(sum(lm_tokens) AS BIGINT) AS tt,
+       |    CAST(sum(xq) AS BIGINT) AS txq FROM q218p),
+       |q218w AS (
+       |  SELECT p.source, p.n_docs, p.lm_tokens,
+       |    p.xq::DOUBLE / (p.n_docs * 1000000)::DOUBLE AS mean_xent,
+       |    greatest(0.0, p.xq::DOUBLE / (p.n_docs * 1000000)::DOUBLE
+       |      - t.txq::DOUBLE / (t.td * 1000000)::DOUBLE) AS excess,
+       |    CAST(round(p.lm_tokens::DOUBLE / t.tt::DOUBLE
+       |      * exp(greatest(0.0, p.xq::DOUBLE / (p.n_docs * 1000000)::DOUBLE
+       |          - t.txq::DOUBLE / (t.td * 1000000)::DOUBLE)) * 1000000000, 0) AS BIGINT) AS wq
+       |  FROM q218p p, q218t t),
+       |q218z AS (SELECT CAST(sum(wq) AS BIGINT) AS swq FROM q218w)
+       |SELECT w.source, w.n_docs, w.lm_tokens,
+       |  round(w.mean_xent, 6) AS mean_xent,
+       |  round(w.excess, 6) AS excess_xent,
+       |  round(w.wq::DOUBLE / z.swq::DOUBLE, 6) AS doremi_weight
+       |FROM q218w w, q218z z
+       |ORDER BY w.source""".stripMargin
+
   /** CTE chain rebuilding the hashed 1/2-gram feature instances as
     * relation `<pfx>e` (doc_id, source, f) — shared by the q57 and q66
     * oracles (both consume [[dsirFeats]]' feature space).
@@ -2808,6 +2984,81 @@ object CurationOps {
        |    AS DOUBLE) / l.budget::DOUBLE, 6) AS share_of_budget
        |FROM q160r r, q160l l
        |ORDER BY r.source""".stripMargin
+
+  // --- q215: duplicate-aware loss weighting ------------------------------------
+
+  /** Soft-dedup accounting: every document in a verified near-dup cluster
+    * gets loss weight `1/|cluster|` (singletons weight 1), and per source
+    * the table reports raw vs EFFECTIVE document and token mass plus the
+    * discount ratio — the "train on everything, weight by duplication"
+    * alternative to q185's hard drop (down-weighting keeps coverage while
+    * removing the gradient multiplier on templated text; the effective
+    * token count is what the q106/q200 budget planners should consume
+    * when the pipeline weights instead of drops). Cross-source clusters
+    * split fractionally, so a source that is 40% re-hosted copies shows
+    * its effective mass collapsing while raw counts look healthy.
+    *
+    * Scale shape: cluster labels are the session-shared star-contraction
+    * stage (dup-rate-bounded edge list, checkpoint-truncated lineage);
+    * sizes are one keyed count of THAT bounded table; the corpus sees one
+    * left join on doc_id plus a ≤|sources| rollup. Weights quantize to
+    * integer micro-units before the order-free sums (the q72/q163 rule);
+    * long headroom: Σ round(1e6·n_tok/size) ≤ 1e6·total_tokens, safe to
+    * ~9·10¹² tokens per source.
+    */
+  def dupWeighting(spark: SparkSession, dir: String): DataFrame = {
+    val labels = graft.operators.SharedStages
+      .dupLabels(spark, dir)
+      .select(col("node").as("doc_id"), col("lbl"))
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
+    val withSize = labels.join(sizes, "lbl").select(col("doc_id"), col("csize"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), size(TextOps.toks).cast("long").as("n_tok"))
+      .join(withSize, Seq("doc_id"), "left")
+      .select(
+        col("source"), col("n_tok"),
+        coalesce(col("csize"), lit(1L)).as("csize"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("csize") >= 2, 1L).otherwise(0L)).as("n_dup_members"),
+        sum(expr("CAST(round(1000000.0 / csize, 0) AS BIGINT)")).as("wq"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(expr("CAST(round(1000000.0 * n_tok / csize, 0) AS BIGINT)")).as("tq"))
+      .select(
+        col("source"), col("n_docs"), col("n_dup_members"),
+        round(col("wq").cast("double") / 1000000.0, 6).as("effective_docs"),
+        col("total_tokens"),
+        round(col("tq").cast("double") / 1000000.0, 6).as("effective_tokens"),
+        when(col("total_tokens") === 0L, lit(0.0))
+          .otherwise(round(col("tq").cast("double")
+            / (col("total_tokens") * lit(1000000L)).cast("double"), 6))
+          .as("token_discount"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the recursive-CTE cluster labels (q47's truth), identical
+    * coalesce-to-singleton sizes and micro-quantized integer sums.
+    */
+  lazy val dupWeightingSql: String =
+    s"""WITH q215l AS MATERIALIZED (
+       |  SELECT doc_id, cluster_size FROM ($dupClustersSql)),
+       |q215d AS (
+       |  SELECT d.source, len(${TextOps.DuckToks})::BIGINT AS n_tok,
+       |    coalesce(l.cluster_size, 1)::BIGINT AS csize
+       |  FROM documents d LEFT JOIN q215l l USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN csize >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_members,
+       |  round(CAST(sum(CAST(round(1000000.0 / csize, 0) AS BIGINT)) AS DOUBLE)
+       |    / 1000000.0, 6) AS effective_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |  round(CAST(sum(CAST(round(1000000.0 * n_tok / csize, 0) AS BIGINT)) AS DOUBLE)
+       |    / 1000000.0, 6) AS effective_tokens,
+       |  CASE WHEN sum(n_tok) = 0 THEN 0.0
+       |    ELSE round(CAST(sum(CAST(round(1000000.0 * n_tok / csize, 0) AS BIGINT)) AS DOUBLE)
+       |      / (CAST(sum(n_tok) AS BIGINT) * 1000000)::DOUBLE, 6) END AS token_discount
+       |FROM q215d GROUP BY source
+       |ORDER BY source""".stripMargin
 
   // --- q159: k-anonymity audit -------------------------------------------------
 

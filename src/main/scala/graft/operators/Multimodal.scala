@@ -14,11 +14,13 @@ import graft.core.Tables
   * executor-local — exactly where a real JNI/FFmpeg/PIL decode would sit.
   *
   * Decode is REAL for the lossless formats the JDK itself ships decoders
-  * for — PNG/BMP/GIF via `javax.imageio`, zero new dependencies
-  * ([[decodeImage]]): payload bytes → deterministic grayscale plane
-  * (integer-luma), feeding the real box-filter [[resizePlane]] and the
-  * real DCT [[dctPHash]]. Payloads that are NOT a decodable image (the
-  * synthetic text-byte corpus, and lossy/video codecs the JDK lacks) fall
+  * for — PNG/BMP/GIF via `javax.imageio` ([[decodeImage]]: payload bytes →
+  * deterministic grayscale plane feeding the real box-filter
+  * [[resizePlane]] and the real DCT [[dctPHash]]) and WAV/PCM via
+  * `javax.sound.sampled` ([[decodeAudio]]: header parse + explicit
+  * integer frame unpacking → mono PCM feeding [[audioFeatures]]), zero
+  * new dependencies. Payloads that are NEITHER (the synthetic text-byte
+  * corpus, and the lossy codecs the JDK lacks — JPEG/MP3/AAC/video) fall
   * back to the clearly-marked STUB kernels (`decodeStub`/`resizeStub`) —
   * deterministic fakes that keep the Spark-side plumbing (schema,
   * batching, partitioning, typed encoders) exercised end-to-end.
@@ -175,6 +177,120 @@ object Multimodal {
       (if (h > 1) gy.toDouble / (w.toLong * (h - 1)) else 0.0) / 255.0)
   }
 
+  // --- REAL audio decode (WAV/PCM via the JDK's own javax.sound.sampled) ----
+
+  /** RIFF/WAVE magic gate — the lossless-container analogue of
+    * [[losslessMagic]]: WAV holds raw PCM frames, so "decode" is pure
+    * byte unpacking with no codec math, bit-deterministic everywhere.
+    * Lossy codecs (MP3/AAC/OGG) have no JDK decoder and stay on the
+    * honest stub path, exactly like JPEG on the image leg.
+    */
+  private def wavMagic(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** REAL bytes→PCM decode: `javax.sound.sampled` parses the WAV header
+    * (format, rate, channels, width), then the frames are unpacked HERE
+    * with explicit integer arithmetic — endianness, signedness, and the
+    * stereo→mono downmix (floor-mean over channels) are all integer ops,
+    * so the sample array is bit-identical across JVMs and platforms (the
+    * same property [[decodeImage]] guarantees for pixel planes). Output
+    * samples are normalized to signed 16-bit range regardless of source
+    * width (8→shift left 8, 24/32→shift right to 16) so downstream
+    * features see one domain. Returns (sampleRate, channels, monoSamples)
+    * or None for anything that is not plain PCM (routes to the stub).
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      if (!wavMagic(payload)) return None
+      val in  = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val signed =
+          if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) true
+          else if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) false
+          else return None
+        val bits = fmt.getSampleSizeInBits
+        val ch   = fmt.getChannels
+        if (!Set(8, 16, 24, 32).contains(bits) || ch < 1 || ch > 8) return None
+        val bytesPer = bits / 8
+        val frameLen = in.getFrameLength
+        if (frameLen <= 0 || frameLen > (1L << 24)) return None
+        val raw = in.readAllBytes()
+        val n   = (raw.length / (bytesPer * ch)).toInt
+        if (n == 0) return None
+        val big  = fmt.isBigEndian
+        val out  = new Array[Int](n)
+        val bias = if (signed) 0L else 1L << (bits - 1) // unsigned → centered
+        var f = 0
+        while (f < n) {
+          var acc = 0L
+          var c   = 0
+          while (c < ch) {
+            val off = (f * ch + c) * bytesPer
+            var v   = 0L
+            var b   = 0
+            while (b < bytesPer) {
+              val byteVal = raw(off + (if (big) b else bytesPer - 1 - b)) & 0xffL
+              v = (v << 8) | byteVal
+              b += 1
+            }
+            // sign-extend signed samples; center unsigned ones
+            val sv =
+              if (signed) (v << (64 - bits)) >> (64 - bits)
+              else v - bias
+            acc += sv
+            c += 1
+          }
+          val mono = if (ch == 1) acc else Math.floorDiv(acc, ch.toLong)
+          // normalize width to the signed-16 domain
+          out(f) =
+            (if (bits == 8) mono << 8
+             else if (bits == 16) mono
+             else mono >> (bits - 16)).toInt
+          f += 1
+        }
+        Some((fmt.getSampleRate.toInt, ch, out))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** [[FeatureDim]]-dim features of a REAL decoded PCM stream — the audio
+    * analogue of [[planeFeatures]], in the exact kernel shape a quality /
+    * silence / clipping gate consumes: mean |amplitude|, RMS, peak, zero-
+    * crossing rate, and the 4-quarter RMS envelope (all normalized to
+    * [0,1] against full-scale 32768). Integer sums throughout; the only
+    * float ops are one divide per feature and IEEE-exact `sqrt` — the
+    * same determinism argument as the image features.
+    */
+  def audioFeatures(samples: Array[Int]): Array[Double] = {
+    val n  = samples.length
+    val fs = 32768.0
+    var sAbs = 0L; var s2 = 0L; var peak = 0L; var zc = 0L
+    val q2 = new Array[Long](4); val qn = new Array[Long](4)
+    var i = 0
+    while (i < n) {
+      val v = samples(i)
+      val a = math.abs(v.toLong)
+      sAbs += a; s2 += v.toLong * v
+      if (a > peak) peak = a
+      if (i > 0 && ((samples(i - 1) >= 0) != (v >= 0))) zc += 1
+      val qi = (i.toLong * 4 / n).toInt.min(3)
+      q2(qi) += v.toLong * v; qn(qi) += 1
+      i += 1
+    }
+    def seg(k: Int): Double =
+      if (qn(k) == 0) 0.0 else math.sqrt(q2(k).toDouble / qn(k)) / fs
+    Array(
+      sAbs.toDouble / n / fs,
+      math.sqrt(s2.toDouble / n) / fs,
+      peak.toDouble / fs,
+      if (n > 1) zc.toDouble / (n - 1) else 0.0,
+      seg(0), seg(1), seg(2), seg(3))
+  }
+
   /** Build a media table from `documents` (text bytes stand in for media
     * payloads — same binary-column plumbing).
     */
@@ -205,7 +321,11 @@ object Multimodal {
       it.map { r =>
         val feats = decodeImage(r.payload) match {
           case Some((w, h, plane)) => planeFeatures(w, h, plane)
-          case None                => decodeStub(r.payload)
+          case None =>
+            decodeAudio(r.payload) match {
+              case Some((_, _, samples)) => audioFeatures(samples)
+              case None                  => decodeStub(r.payload)
+            }
         }
         MediaFeatures(r.media_id, r.source, r.payload.length, feats)
       }

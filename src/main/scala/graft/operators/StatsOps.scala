@@ -3000,4 +3000,211 @@ object StatsOps {
         |FROM q211a
         |ORDER BY source""".stripMargin)
   }
+
+  // --- q216: split-conformal quality-gate calibration --------------------------
+
+  /** Miscoverage levels the gate is calibrated at. */
+  val ConformalAlphas: Seq[Double] = Seq(0.01, 0.05, 0.10)
+
+  /** Split-conformal calibration of the q22 stop-ratio signal: on the
+    * held-out CALIBRATION split (q40's 'val'), the threshold
+    * `t_α = ⌈(n_cal+1)(1−α)⌉-th smallest score` carries the
+    * finite-sample guarantee `P(score ≤ t_α) ≥ 1−α` for exchangeable
+    * data (Vovk's split-conformal bound — no distributional assumption,
+    * no interpolation, an exact order statistic); the 'test' split then
+    * measures EMPIRICAL coverage against the target. q74 sweeps
+    * thresholds descriptively and q127 audits decile predictiveness —
+    * this is the one that ships a threshold with a guarantee attached,
+    * and the coverage column is the "is exchangeability actually
+    * holding?" tripwire (drift between splits shows up as coverage
+    * falling below target).
+    *
+    * Scale shape: scores are one map-side projection; the calibration
+    * order statistic rides the (value-histogram + [[groupedPrefixSum]])
+    * machinery — range-partitioned slices + broadcast offsets, never a
+    * global window; all three α-cuts come from ONE pass (q125's exploded
+    * shape); holdout coverage is a broadcast of the 3-row threshold
+    * table against the test scan. Determinism: `(n+1)(1−α)` is the same
+    * IEEE product in both engines, thresholds are exact data values,
+    * coverage counts are integers.
+    */
+  def conformalGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TrainingOps.{splitBucketCol, splitNameCol}
+    val scored = graft.core.CacheScope.persist(
+      TextOps.qualityScore(spark, dir)
+        .select(col("doc_id"), col("stop_ratio").as("v"))
+        .withColumn("split", splitNameCol(splitBucketCol(col("doc_id"))))
+        .filter(col("split").isin("val", "test")))
+    val alphasArr = ConformalAlphas.map(a => s"${a}D").mkString("array(", ", ", ")")
+    val ranked = groupedPrefixSum(
+      scored.filter(col("split") === "val").groupBy(col("v")).agg(count(lit(1)).as("c")),
+      Nil, Seq("v"), "c", "cum")
+      .withColumnRenamed("n_s", "n_cal")
+    val thresholds = ranked
+      .withColumn("alpha", explode(expr(alphasArr)))
+      .filter(col("cum") >=
+        least(col("n_cal"),
+          ceil((col("n_cal") + lit(1L)).cast("double") * (lit(1.0) - col("alpha")))))
+      .groupBy(col("alpha"))
+      .agg(min(col("v")).as("t"), max(col("n_cal")).as("n_cal"))
+    val test = scored.filter(col("split") === "test")
+    test
+      .crossJoin(broadcast(thresholds))
+      .groupBy(col("alpha"), col("t"), col("n_cal"))
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("v") <= col("t"), 1L).otherwise(0L)).as("n_covered"))
+      .select(
+        col("alpha"), col("n_cal"), col("n_test"),
+        round(col("t"), 6).as("threshold"),
+        col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_test").cast("double"), 6)
+          .as("coverage"),
+        (lit(1.0) - col("alpha")).as("target"))
+      .orderBy(col("alpha"))
+  }
+
+  // --- q217: padding-waste batching economics ----------------------------------
+
+  /** Batch sizes the padding audit prices. */
+  val PadBatchSizes: Seq[Int] = Seq(8, 16, 32)
+
+  /** Padding-waste economics of fixed-size batching: every document
+    * padded to its batch's longest member, under the two standard
+    * batching policies — 'hash' (content-stable shuffle order, the
+    * default dataloader) and 'length' (sorted bucketing, the classic
+    * mitigation) — for batch sizes {8, 16, 32}: docs, batches, real vs
+    * padded token mass, waste, and utilization. The gap between the two
+    * policies' waste IS the payoff of adding a length-bucketing stage to
+    * the loader, priced before anyone builds it (q50 packs sequences
+    * into fixed windows; this prices the NON-packing loader everyone
+    * actually starts with; q158 prices seq-len budgets).
+    *
+    * Scale shape: both global orders ride [[strictlyLess]] — the
+    * range-partition + keyed-window + broadcast-offset sort-free
+    * row_number, never a single-task global window; batch assignment is
+    * a map-side integer divide, per-batch stats are one keyed aggregate
+    * (≤n/8 groups, map-side combinable), and the final rollup is 6 rows.
+    * Pure integer arithmetic until one divide-round per row.
+    */
+  def paddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"), size(TextOps.toks).cast("long").as("n_tok"))
+    val byHash = strictlyLess(
+      base.withColumn("hk", xxhash64(col("doc_id"))),
+      Nil, Seq("hk", "doc_id"), "o")
+      .select(lit("hash").as("policy"), col("o"), col("n_tok"))
+    val byLen = strictlyLess(base, Nil, Seq("n_tok", "doc_id"), "o")
+      .select(lit("length").as("policy"), col("o"), col("n_tok"))
+    val bArr = PadBatchSizes.map(b => s"${b}L").mkString("array(", ", ", ")")
+    byHash
+      .unionAll(byLen)
+      .withColumn("b", explode(expr(bArr)))
+      .select(col("policy"), col("b"), expr("o div b").as("batch"), col("n_tok"))
+      .groupBy(col("policy"), col("b"), col("batch"))
+      .agg(count(lit(1)).as("nb"), max(col("n_tok")).as("mx"), sum(col("n_tok")).as("tot"))
+      .groupBy(col("policy"), col("b").as("batch_size"))
+      .agg(
+        sum(col("nb")).as("n_docs"),
+        count(lit(1)).as("n_batches"),
+        sum(col("tot")).as("total_tokens"),
+        sum(col("nb") * col("mx")).as("padded_tokens"))
+      .select(
+        col("policy"), col("batch_size"), col("n_docs"), col("n_batches"),
+        col("total_tokens"), col("padded_tokens"),
+        (col("padded_tokens") - col("total_tokens")).as("waste_tokens"),
+        round(col("total_tokens").cast("double") / col("padded_tokens").cast("double"), 6)
+          .as("utilization"))
+      .orderBy(col("policy"), col("batch_size"))
+  }
+
+  /** Oracle: emulated xxhash64 for the hash order, ROW_NUMBER−1 global
+    * ranks (windows are fine oracle-side), identical integer batch math.
+    */
+  lazy val paddingWasteSql: String = {
+    import graft.functions.DuckHash._
+    val bList = PadBatchSizes.mkString("[", ", ", "]")
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q217in" ->
+        s"(SELECT doc_id, doc_id::HUGEINT AS l, len(${TextOps.DuckToks})::BIGINT AS n_tok FROM documents)")
+    val ch = new SqlChain("q217h", "q217in", Seq("doc_id", "l", "n_tok"))
+    hashLongLevels(ch, toUnsigned("l"), "42", "h")
+    ctes ++= ch.ctes
+    ctes += ("q217r" ->
+      s"(SELECT doc_id, n_tok, CAST(${toSigned("h")} AS BIGINT) AS hk FROM ${ch.last})")
+    ctes += ("q217o" ->
+      """(SELECT 'hash' AS policy, ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1 AS o, n_tok
+        |  FROM q217r
+        | UNION ALL
+        | SELECT 'length', ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) - 1, n_tok
+        |  FROM q217r)""".stripMargin)
+    ctes += ("q217b" ->
+      s"""(SELECT policy, b, o // b AS batch, n_tok
+         | FROM q217o, (SELECT unnest($bList)::BIGINT AS b) bs)""".stripMargin)
+    ctes += ("q217pb" ->
+      """(SELECT policy, b, batch, count(*) AS nb, max(n_tok) AS mx,
+        |    CAST(sum(n_tok) AS BIGINT) AS tot
+        |  FROM q217b GROUP BY policy, b, batch)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT policy, b AS batch_size,
+        |  CAST(sum(nb) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_batches,
+        |  CAST(sum(tot) AS BIGINT) AS total_tokens,
+        |  CAST(sum(nb * mx) AS BIGINT) AS padded_tokens,
+        |  CAST(sum(nb * mx) - sum(tot) AS BIGINT) AS waste_tokens,
+        |  round(CAST(sum(tot) AS BIGINT)::DOUBLE
+        |    / CAST(sum(nb * mx) AS BIGINT)::DOUBLE, 6) AS utilization
+        |FROM q217pb GROUP BY policy, b
+        |ORDER BY policy, batch_size""".stripMargin)
+  }
+
+  /** Oracle: q40's emulated-hash split, q22's score SQL, the identical
+    * ⌈(n+1)(1−α)⌉ IEEE arithmetic, histogram-cumulative order statistic
+    * (windows are fine oracle-side), and integer coverage counts.
+    */
+  lazy val conformalGateSql: String = {
+    import graft.functions.DuckHash._
+    import graft.operators.TrainingOps.{SplitTrainPct, SplitValPct}
+    val alphasList = ConformalAlphas.mkString("[", ", ", "]")
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q216in" -> "(SELECT doc_id, doc_id::HUGEINT AS l FROM documents)")
+    val ch = new SqlChain("q216h", "q216in", Seq("doc_id", "l"))
+    hashLongLevels(ch, toUnsigned("l"), "42", "h")
+    ctes ++= ch.ctes
+    ctes += ("q216sp" ->
+      s"""(SELECT doc_id,
+         |   CASE WHEN bucket < $SplitTrainPct THEN 'train'
+         |        WHEN bucket < $SplitValPct THEN 'val' ELSE 'test' END AS split
+         | FROM (SELECT doc_id, (((${toSigned("h")} % 100) + 100) % 100)::INTEGER AS bucket
+         |       FROM ${ch.last}))""".stripMargin)
+    ctes += ("q216s" ->
+      s"""(SELECT q.doc_id, q.stop_ratio AS v, sp.split
+         | FROM (${TextOps.qualityScoreSql.replace("ORDER BY doc_id", "")}) q
+         | JOIN q216sp sp USING (doc_id)
+         | WHERE sp.split IN ('val', 'test'))""".stripMargin)
+    ctes += ("q216hist" ->
+      """(SELECT v, count(*) AS c,
+        |    sum(count(*)) OVER (ORDER BY v) AS cum,
+        |    sum(count(*)) OVER () AS n_cal
+        | FROM q216s WHERE split = 'val' GROUP BY v)""".stripMargin)
+    ctes += ("q216thr" ->
+      s"""(SELECT alpha, min(v) AS t, max(n_cal)::BIGINT AS n_cal FROM (
+         |   SELECT h.*, a.alpha FROM q216hist h, (SELECT unnest($alphasList) AS alpha) a)
+         | WHERE cum >= least(n_cal::DOUBLE,
+         |     ceil((n_cal + 1)::DOUBLE * (1.0 - alpha)))
+         | GROUP BY alpha)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT t.alpha, t.n_cal,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  round(t.t, 6) AS threshold,
+        |  CAST(sum(CASE WHEN s.v <= t.t THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  round(CAST(sum(CASE WHEN s.v <= t.t THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+        |    / count(*)::DOUBLE, 6) AS coverage,
+        |  1.0 - t.alpha AS target
+        |FROM (SELECT * FROM q216s WHERE split = 'test') s, q216thr t
+        |GROUP BY t.alpha, t.n_cal, t.t
+        |ORDER BY t.alpha""".stripMargin)
+  }
 }

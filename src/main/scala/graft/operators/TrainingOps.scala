@@ -417,6 +417,86 @@ object TrainingOps {
        |FROM q58p
        |ORDER BY doc_id""".stripMargin
 
+  // --- q219: sampled dup-rate pre-estimate -------------------------------------
+
+  /** Deterministic sample percentage the estimator reads. */
+  val DupEstPct = 10L
+
+  /** Price the dedup problem from a sample BEFORE paying for the full
+    * pass: a deterministic [[DupEstPct]]% hash sample of documents, the
+    * exact-duplicate pairs WITHIN the sample, and the Horvitz-Thompson
+    * extrapolation — a pair survives a p-sample with probability p², so
+    * `est = sample_pairs / p²` is unbiased for the corpus pair count
+    * (pure integer arithmetic at p = 10%: ×100). The exact corpus count
+    * runs alongside to report the estimator's realized error — q42's
+    * sketch-beside-exact audit pattern applied to the dedup-planning
+    * question ("is this corpus 2% or 40% duplicated?") that decides
+    * whether q20/q25's full machinery is worth its shuffles. Pair-count
+    * estimation is the honest target: removable-DOC extrapolation needs
+    * the cluster-size distribution, which a doc sample cannot see
+    * unbiasedly (documented, not faked).
+    *
+    * Scale shape: ONE md5-keyed map-side-combinable aggregate carrying
+    * (corpus copies, sampled copies) per content key, then a 1-row fold
+    * of C(k,2) sums — at 100 TB the production form filters to the
+    * sample FIRST (the flag is a pure doc_id hash, so the sample scan
+    * prunes 90% of bytes); the audit form keeps both legs to measure
+    * the estimator. Determinism: the sample is q40-family content-stable
+    * hashing; everything is integers until one guarded divide-round.
+    */
+  def dupRateEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val grouped = docs(spark, dir)
+      .select(
+        md5(col("text")).as("h"),
+        when(pmod(xxhash64(col("doc_id")), lit(100)) < DupEstPct, 1L).otherwise(0L).as("s"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("k"), sum(col("s")).as("ks"))
+    val scale = (100L / DupEstPct) * (100L / DupEstPct)
+    grouped
+      .agg(
+        sum(col("k")).as("n_docs"),
+        sum(col("ks")).as("n_sampled"),
+        sum(expr("k * (k - 1) div 2")).as("corpus_dup_pairs"),
+        sum(expr("ks * (ks - 1) div 2")).as("sample_dup_pairs"))
+      .select(
+        col("n_docs"), col("n_sampled"), col("corpus_dup_pairs"), col("sample_dup_pairs"),
+        (col("sample_dup_pairs") * lit(scale)).as("est_dup_pairs"),
+        when(col("corpus_dup_pairs") === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            (col("sample_dup_pairs") * lit(scale) - col("corpus_dup_pairs")).cast("double")
+              / col("corpus_dup_pairs").cast("double"), 6))
+          .as("rel_err"))
+  }
+
+  /** Oracle: emulated xxhash64 sample flag, identical integer C(k,2)
+    * folds and the same ×(1/p²) integer scale.
+    */
+  lazy val dupRateEstimateSql: String = {
+    import graft.functions.DuckHash._
+    val scale = (100L / DupEstPct) * (100L / DupEstPct)
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q219in" -> "(SELECT doc_id, md5(text) AS h, doc_id::HUGEINT AS l FROM documents)")
+    val ch = new SqlChain("q219h", "q219in", Seq("doc_id", "h", "l"))
+    hashLongLevels(ch, toUnsigned("l"), "42", "hh")
+    ctes ++= ch.ctes
+    ctes += ("q219g" ->
+      s"""(SELECT h, CAST(count(*) AS BIGINT) AS k,
+         |   CAST(sum(CASE WHEN (((${toSigned("hh")} % 100) + 100) % 100) < $DupEstPct
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS ks
+         | FROM ${ch.last} GROUP BY h)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      s"""SELECT CAST(sum(k) AS BIGINT) AS n_docs,
+         |  CAST(sum(ks) AS BIGINT) AS n_sampled,
+         |  CAST(sum(k * (k - 1) // 2) AS BIGINT) AS corpus_dup_pairs,
+         |  CAST(sum(ks * (ks - 1) // 2) AS BIGINT) AS sample_dup_pairs,
+         |  CAST(sum(ks * (ks - 1) // 2) * $scale AS BIGINT) AS est_dup_pairs,
+         |  CASE WHEN sum(k * (k - 1) // 2) = 0 THEN NULL
+         |    ELSE round((sum(ks * (ks - 1) // 2) * $scale - sum(k * (k - 1) // 2))::DOUBLE
+         |      / (sum(k * (k - 1) // 2))::DOUBLE, 6) END AS rel_err
+         |FROM q219g""".stripMargin)
+  }
+
   // --- q42: KMV distinct-count sketch --------------------------------------
   val KmvK = 256
 

@@ -2341,4 +2341,204 @@ object VectorOps {
         |FROM q206pc pc JOIN q206mj mj USING (cell), q206z z
         |ORDER BY cluster""".stripMargin)
   }
+
+  // --- q212: semantic (embedding-space) decontamination ----------------------
+
+  /** An eval vector whose best train-side cosine reaches this is a
+    * semantic leak — the SemDeDup-grade "same content, different words"
+    * threshold, deliberately above the 0.35 candidate gate so the verdict
+    * is a strict subset of the surfaced evidence.
+    */
+  val SemLeakThreshold = 0.45
+
+  /** Semantic decontamination of the eval splits — the embedding-space
+    * complement of q39/q87/q205's n-gram evidence: a paraphrased benchmark
+    * answer shares no 8-gram with its source, but its embedding still
+    * lands next to the training copy, and gram-based decontamination
+    * silently passes it. For every val/test vector with at least one
+    * train-split candidate at cosine ≥ the q30 gate: the candidate count,
+    * its BEST train neighbor (max cosine, ties to the smallest train id),
+    * and the leak verdict at [[SemLeakThreshold]] — the row an eval-set
+    * curator acts on ("replace these items before trusting the score").
+    *
+    * Scale shape: candidates are q30's multi-table LSH pipeline verbatim
+    * (bucket agg + capped in-bucket expansion — never corpus², recall is
+    * the table-count dial); split assignment is q40's map-side
+    * `pmod(xxhash64)` on both endpoints of the (dup-rate-bounded) pair
+    * list; best-neighbor is a keyed max + a keyed equi-join back on
+    * (eval_id, sim) — no windows, no collects. Determinism: the cosine is
+    * the shared codegen'd fold (bit-equal to the oracle), max/min are
+    * order-free, and the only round is the output's 4-dp display.
+    */
+  def semanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TrainingOps.{splitBucketCol, splitNameCol}
+    // persist the pair list BEFORE the two-branch orientation union — both
+    // branches (and the best/pick consumers) otherwise re-execute the
+    // whole LSH bucket pipeline per read (the sf1 lane measured exp 1.11
+    // from exactly that; pairs are dup-rate-bounded, cheap to pin)
+    val pairs = graft.core.CacheScope.persist(nearDupPairsRaw(spark, emb(spark, dir)))
+    val withSplits = pairs
+      .withColumn("sa", splitNameCol(splitBucketCol(col("a_id"))))
+      .withColumn("sb", splitNameCol(splitBucketCol(col("b_id"))))
+    // orient: exactly-one-endpoint-in-train pairs, eval side forward
+    val oriented = withSplits
+      .filter(col("sa") === "train" && col("sb") =!= "train")
+      .select(col("b_id").as("eval_id"), col("sb").as("split"),
+        col("a_id").as("train_id"), col("sim"))
+      .unionAll(withSplits
+        .filter(col("sb") === "train" && col("sa") =!= "train")
+        .select(col("a_id").as("eval_id"), col("sa").as("split"),
+          col("b_id").as("train_id"), col("sim")))
+    val cached = oriented
+    val best = cached
+      .groupBy(col("eval_id"), col("split"))
+      .agg(count(lit(1)).as("n_train_cands"), max(col("sim")).as("ms"))
+    val pick = cached
+      .join(best.select(col("eval_id"), col("ms")), Seq("eval_id"))
+      .filter(col("sim") === col("ms"))
+      .groupBy(col("eval_id"))
+      .agg(min(col("train_id")).as("best_train"))
+    best
+      .join(pick, Seq("eval_id"))
+      .select(
+        col("eval_id").as("vec_id"), col("split"), col("n_train_cands"),
+        col("best_train"), round(col("ms"), 4).as("best_sim"),
+        (col("ms") >= SemLeakThreshold).as("is_leak"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: the shared q30 CTE chain (bit-exact LSH candidates + fold
+    * cosines), q40's emulated-xxhash64 split on vec_id, and the identical
+    * orient → keyed-max → equi-join-back shapes.
+    */
+  lazy val semanticDecontaminateSql: String = {
+    import graft.functions.DuckHash._
+    import graft.operators.TrainingOps.{SplitTrainPct, SplitValPct}
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](nearDupCtes: _*)
+    ctes += ("q212in" -> "(SELECT vec_id, vec_id::HUGEINT AS l FROM embeddings)")
+    val ch = new SqlChain("q212h", "q212in", Seq("vec_id", "l"))
+    hashLongLevels(ch, toUnsigned("l"), "42", "h")
+    ctes ++= ch.ctes
+    ctes += ("q212sp" ->
+      s"""(SELECT vec_id,
+         |   CASE WHEN bucket < $SplitTrainPct THEN 'train'
+         |        WHEN bucket < $SplitValPct THEN 'val' ELSE 'test' END AS split
+         | FROM (SELECT vec_id, (((${toSigned("h")} % 100) + 100) % 100)::INTEGER AS bucket
+         |       FROM ${ch.last}))""".stripMargin)
+    ctes += ("q212pr" ->
+      s"(SELECT a_id, b_id, sim FROM q30sim WHERE sim >= $NearDupThreshold)")
+    ctes += ("q212or" ->
+      """(SELECT p.b_id AS eval_id, sb.split, p.a_id AS train_id, p.sim
+        |  FROM q212pr p JOIN q212sp sa ON sa.vec_id = p.a_id
+        |                JOIN q212sp sb ON sb.vec_id = p.b_id
+        |  WHERE sa.split = 'train' AND sb.split <> 'train'
+        | UNION ALL
+        | SELECT p.a_id, sa.split, p.b_id, p.sim
+        |  FROM q212pr p JOIN q212sp sa ON sa.vec_id = p.a_id
+        |                JOIN q212sp sb ON sb.vec_id = p.b_id
+        |  WHERE sb.split = 'train' AND sa.split <> 'train')""".stripMargin)
+    ctes += ("q212b" ->
+      """(SELECT eval_id, split, CAST(count(*) AS BIGINT) AS n_train_cands, max(sim) AS ms
+        |  FROM q212or GROUP BY eval_id, split)""".stripMargin)
+    ctes += ("q212p" ->
+      """(SELECT o.eval_id, min(o.train_id) AS best_train
+        |  FROM q212or o JOIN q212b b ON o.eval_id = b.eval_id AND o.sim = b.ms
+        |  GROUP BY o.eval_id)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      s"""SELECT b.eval_id AS vec_id, b.split, b.n_train_cands, p.best_train,
+         |  round(b.ms, 4) AS best_sim, b.ms >= $SemLeakThreshold AS is_leak
+         |FROM q212b b JOIN q212p p USING (eval_id)
+         |ORDER BY vec_id""".stripMargin)
+  }
+
+  // --- q213: k-NN label-agreement mislabel screen -----------------------------
+
+  val KnnK   = 10
+  val KnnMin = 3
+
+  /** Label-noise screen via candidate-k-NN agreement (the confident-
+    * learning signal, Northcutt et al. 2021, on LSH candidates): for every
+    * vector with at least [[KnnMin]] cosine candidates, the fraction of
+    * its top-[[KnnK]] neighbors sharing its label — per label: vectors
+    * audited, suspects (agreement < 0.3), and mean agreement. q130 flags
+    * rows FAR from their own centroid (geometry-only); this flags rows
+    * whose NEIGHBORHOOD voted for a different label — the mislabel pattern
+    * centroid distance misses when a row sits squarely inside another
+    * class's cluster. The audit before labels feed q45 strata or q66/q173
+    * training.
+    *
+    * Scale shape: neighbors come from the shared q30 LSH candidate pool
+    * (never corpus² — candidate-kNN is the honest asymptote, same argument
+    * as q115's hard negatives); top-k per focal is a `row_number ≤ k`
+    * filter the BoundedRankRewrite rule plans as a ≤k bounded heap; labels
+    * attach via two keyed joins; the rollup is ≤|labels| rows of integer
+    * sums (agreement micro-quantized — order-free, the q72/q163 rule).
+    */
+  def knnLabelAgreement(spark: SparkSession, dir: String): DataFrame = {
+    // persisted before the two-branch orientation union — q212's rule
+    val pairs = graft.core.CacheScope.persist(nearDupPairsRaw(spark, emb(spark, dir)))
+    val oriented = pairs
+      .select(col("a_id").as("focal"), col("b_id").as("nb"), col("sim"))
+      .unionAll(pairs.select(col("b_id").as("focal"), col("a_id").as("nb"), col("sim")))
+    val w = Window.partitionBy(col("focal")).orderBy(col("sim").desc, col("nb"))
+    val topk = oriented
+      .select(col("focal"), col("nb"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= KnnK)
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val perFocal = topk
+      .join(labels.select(col("vec_id").as("focal"), col("label").as("fl")), "focal")
+      .join(labels.select(col("vec_id").as("nb"), col("label").as("nl")), "nb")
+      .groupBy(col("focal"), col("fl"))
+      .agg(
+        count(lit(1)).as("n_nb"),
+        sum(when(col("fl") === col("nl"), 1L).otherwise(0L)).as("n_agree"))
+      .filter(col("n_nb") >= KnnMin)
+    perFocal
+      .groupBy(col("fl").as("label"))
+      .agg(
+        count(lit(1)).as("n_audited"),
+        sum(when(col("n_agree") * 10 < col("n_nb") * 3, 1L).otherwise(0L)).as("n_suspect"),
+        sum(expr("CAST(round(1000000.0 * n_agree / n_nb, 0) AS BIGINT)")).as("sq"))
+      .select(
+        col("label"), col("n_audited"), col("n_suspect"),
+        round(col("sq").cast("double") / (col("n_audited") * lit(1000000L)).cast("double"), 6)
+          .as("mean_agree"))
+      .orderBy(col("label"))
+  }
+
+  /** Oracle: shared q30 candidate CTEs, ROW_NUMBER top-k with the same
+    * (sim DESC, nb) tie rule, and the identical micro-quantized rollup.
+    */
+  lazy val knnLabelAgreementSql: String = {
+    import graft.functions.DuckHash.assemble
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](nearDupCtes: _*)
+    ctes += ("q213pr" ->
+      s"(SELECT a_id, b_id, sim FROM q30sim WHERE sim >= $NearDupThreshold)")
+    ctes += ("q213or" ->
+      """(SELECT a_id AS focal, b_id AS nb, sim FROM q213pr
+        | UNION ALL
+        | SELECT b_id, a_id, sim FROM q213pr)""".stripMargin)
+    ctes += ("q213tk" ->
+      s"""(SELECT focal, nb FROM (
+         |   SELECT focal, nb,
+         |     ROW_NUMBER() OVER (PARTITION BY focal ORDER BY sim DESC, nb) AS rk
+         |   FROM q213or) WHERE rk <= $KnnK)""".stripMargin)
+    ctes += ("q213pf" ->
+      s"""(SELECT t.focal, fe.label AS fl, CAST(count(*) AS BIGINT) AS n_nb,
+         |   CAST(sum(CASE WHEN fe.label = ne.label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+         | FROM q213tk t
+         | JOIN embeddings fe ON fe.vec_id = t.focal
+         | JOIN embeddings ne ON ne.vec_id = t.nb
+         | GROUP BY t.focal, fe.label
+         | HAVING count(*) >= $KnnMin)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT fl AS label, CAST(count(*) AS BIGINT) AS n_audited,
+        |  CAST(sum(CASE WHEN n_agree * 10 < n_nb * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+        |  round(CAST(sum(CAST(round(1000000.0 * n_agree / n_nb, 0) AS BIGINT)) AS DOUBLE)
+        |    / (count(*) * 1000000)::DOUBLE, 6) AS mean_agree
+        |FROM q213pf GROUP BY fl
+        |ORDER BY label""".stripMargin)
+  }
 }

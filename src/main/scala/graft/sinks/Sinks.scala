@@ -120,7 +120,16 @@ object Sinks {
                     // rewrite idempotent
                     case e: java.sql.SQLException
                         if e.getSQLState != null && e.getSQLState.startsWith("23") =>
-                      if (sp != null) conn.rollback(sp)
+                      if (sp != null) {
+                        conn.rollback(sp)
+                        // ROLLBACK TO keeps the savepoint alive (PostgreSQL):
+                        // release it too, or each conflicted row leaks one
+                        // server-side subtransaction ID for the rest of the
+                        // batch transaction — the accumulation the eager
+                        // release on the success path exists to avoid
+                        try conn.releaseSavepoint(sp)
+                        catch { case _: java.sql.SQLException => () }
+                      }
                       // `up` still holds this row's parameters
                       if (up.executeUpdate() == 0) throw e
                   }

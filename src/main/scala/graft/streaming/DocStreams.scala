@@ -534,11 +534,16 @@ object DocStreams {
       .select(col("doc_id"), TextOps.toks.as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(TextOps.distinctGramHashExpr(n)).as("g"))
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
-    sh.withColumn("df", count(lit(1)).over(wg))
-      .filter(col("df") <= TrainingOps.DecontamMaxDf)
-      .filter(col("doc_id") % TrainingOps.BenchEvery === 0)
-      .select(col("g")).distinct()
+    // q39's one-pass DF-cap shape: exact df + bench membership in ONE
+    // map-side-combinable gram-keyed aggregate — never a keyed count
+    // window (one task per hot gram; the round-8 verdict's hazard #4,
+    // which this helper kept after q39/q205 were reshaped)
+    sh.groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("df"),
+        max(when(col("doc_id") % TrainingOps.BenchEvery === 0, 1).otherwise(0)).as("hb"))
+      .filter(col("df") <= TrainingOps.DecontamMaxDf && col("hb") === 1)
+      .select(col("g"))
       .collect().map(_.getLong(0)).toSet
   }
 
@@ -576,4 +581,63 @@ object DocStreams {
         col("source"), col("n_docs"), col("tok_true"), col("n_sampled"),
         col("ht_q"), col("var_q"))
   }
+
+  /** E53: streaming conformal-coverage monitor — q216's live leg. The
+    * batch side CALIBRATES thresholds `t_α` on the held-out split with
+    * the finite-sample guarantee; this watches whether the LIVE stream
+    * still honors them: per closed window × α, docs scored (q22's shared
+    * stop-ratio expression — batch and stream cannot diverge), docs
+    * within threshold, and empirical coverage beside the target. Coverage
+    * decaying below `1−α` is THE distribution-shift tripwire conformal
+    * prediction gives for free — exchangeability broke, recalibrate
+    * before trusting the gate (the streaming complement of q216's
+    * holdout coverage column, sitting beside E16's PSI-style drift
+    * monitor with a guarantee attached instead of a heuristic band).
+    *
+    * Scale shape: thresholds arrive as a bounded (≤|alphas|) broadcast
+    * literal from the batch calibration — the model-collection rule;
+    * scoring is one map-side projection; the ×|alphas| expansion is
+    * in-row; state is ONE watermarked tumbling-window aggregate keyed by
+    * (window, α) with map-side partials, append exactly once. The
+    * (n_docs, n_within) counts are integers and ADDITIVE across windows,
+    * so summing any window span reproduces the batch coverage fraction
+    * on the same documents exactly (spec-pinned).
+    */
+  def conformalMonitor(
+      docs: DataFrame,
+      thresholds: Seq[(Double, Double)],
+      windowDur: String = "1 hour",
+      watermarkDur: String = "2 hours"): DataFrame = {
+    val thr = array(thresholds.map { case (a, t) =>
+      struct(lit(a).as("alpha"), lit(t).as("t"))
+    }: _*)
+    docs
+      .withWatermark("ts", watermarkDur)
+      .select(
+        col("ts"),
+        (TextOps.stopCountExpr / size(TextOps.toks)).as("v"),
+        explode(thr).as("th"))
+      .select(col("ts"), col("v"), col("th.alpha").as("alpha"), col("th.t").as("t"))
+      .groupBy(window(col("ts"), windowDur), col("alpha"), col("t"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("v") <= col("t"), 1L).otherwise(0L)).as("n_within"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("alpha"), col("t"), col("n_docs"), col("n_within"),
+        round(col("n_within").cast("double") / col("n_docs").cast("double"), 6)
+          .as("coverage"),
+        (lit(1.0) - col("alpha")).as("target"))
+  }
+
+  /** The calibrated (α, t_α) pairs E53 broadcasts: q216's 'val'-split
+    * PUBLISHED thresholds on a corpus snapshot — bounded by the α grid.
+    * The monitor consumes the 6-dp published value (the number the gate
+    * actually ships), so batch and stream gate on the identical literal.
+    */
+  def conformalThresholds(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[(Double, Double)] =
+    graft.operators.StatsOps.conformalGate(spark, dir)
+      .select(col("alpha"), col("threshold"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq.sortBy(_._1)
 }

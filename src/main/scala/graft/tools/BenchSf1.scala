@@ -32,7 +32,13 @@ object BenchSf1 {
       "pair count is linear in the corpus at constant dup rate; work is pair-dominated " +
       "past sf0.1, which is the honest asymptote for exact pair verification"),
     "q65_semdedup" -> ("SemDeDup verifies every within-bucket embedding pair: same " +
-      "linear pair-grain argument as q30 — candidate-bounded verification, not a scan blowup")
+      "linear pair-grain argument as q30 — candidate-bounded verification, not a scan blowup"),
+    "q212_semantic_decontam" -> ("processes every LSH-bucketed embedding pair (q30's " +
+      "pipeline verbatim) plus pair-keyed split joins — pair count is linear in the " +
+      "corpus at constant dup rate, q30's allowlisted asymptote"),
+    "q213_knn_label_agreement" -> ("candidate-kNN over the same LSH pair pool: both " +
+      "orientations of every pair flow through the top-k heap and label joins — " +
+      "pair-linear by construction, q30's asymptote")
   )
 
   val ExpGate    = 0.9

@@ -611,7 +611,17 @@ class PlanGuardSpec extends SparkSpec {
         // q206 crossJoins the 1-row NMI aggregate (itself three 1-row
         // entropy folds × the 1-row total) onto the ≤|cells|-row purity
         // table — every side a bounded aggregate, never the corpus
-        "q206_cluster_purity")
+        "q206_cluster_purity",
+        // q216's groupedPrefixSum crossJoins the 1-row collected pid-totals
+        // aggregate (q106/q125's offset-fold shape) and the final coverage
+        // pass broadcasts the 3-row α-threshold table — both bounded
+        "q216_conformal_gate",
+        // q217's two strictlyLess ranks each crossJoin the 1-row collected
+        // pid-counts aggregate onto the ≤P-row totals table — q88's shape
+        "q217_padding_waste",
+        // q218 crossJoins its two 1-row totals aggregates onto the
+        // ≤|sources|-row rollup — q70's exact shape
+        "q218_doremi_weights")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -689,6 +699,8 @@ class PlanGuardSpec extends SparkSpec {
       // --- prefix-sum machinery: partition-offset collects, ≤ the range
       // partition count (a cluster constant, never the corpus)
       "q106_token_budget"        -> "groupedPrefixSum partition offsets",
+      "q216_conformal_gate"      -> "groupedPrefixSum partition offsets",
+      "q217_padding_waste"       -> "strictlyLess partition-count offsets (≤P rows, twice)",
       "q125_rfm_segments"        -> "groupedPrefixSum partition offsets",
       "q127_quality_calibration" -> "groupedPrefixSum partition offsets",
       "q79_quantile_normalize"   -> "groupedPrefixSum partition offsets",

@@ -1657,6 +1657,50 @@ class StreamingSpec extends SparkSpec {
     folded.foreach { case ((_, v), (n, m)) => assert(m == n * v) }
   }
 
+  test("E53: conformal-coverage monitor reconciles with batch counts on the same docs") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    implicit val ctx = spark.sqlContext
+    // thresholds calibrated by batch q216 on the snapshot (the published 6-dp values)
+    val thr = DocStreams.conformalThresholds(spark, Sf0001)
+    assert(thr.map(_._1) == graft.operators.StatsOps.ConformalAlphas,
+      s"expected one threshold per alpha, got $thr")
+    // thresholds are monotone in alpha: smaller miscoverage → larger threshold
+    assert(thr.map(_._2) == thr.map(_._2).sorted.reverse)
+    val corpus = graft.core.Tables.documents(spark, Sf0001)
+    val replay = corpus.select("doc_id", "text").collect().zipWithIndex
+      .map { case (r, i) =>
+        Doc(r.getLong(0), r.getString(1),
+          Timestamp.valueOf(f"2024-01-01 ${10 + i % 2}%02d:15:00"))
+      }
+    val in = MemoryStream[Doc]
+    val q = DocStreams.conformalMonitor(in.toDF(), thr)
+      .writeStream.format("memory").queryName("conf_s").outputMode("append").start()
+    in.addData(replay.toSeq: _*); q.processAllAvailable()
+    in.addData(Doc(99999L, "late watermark pusher", Timestamp.valueOf("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("conf_s").collect()
+      .filter(_.getString(0).startsWith("2024-01-01 1"))
+      .map(r => (r.getDouble(1), (r.getLong(3), r.getLong(4))))
+    q.stop()
+    // two windows per alpha, integer counts ADDITIVE across windows
+    assert(rows.length == 2 * thr.size)
+    val folded = rows.groupBy(_._1).view
+      .mapValues(g => (g.map(_._2._1).sum, g.map(_._2._2).sum)).toMap
+    // batch truth: the same shared score expression against the same
+    // published thresholds over the same documents
+    val scores = corpus
+      .select((graft.operators.TextOps.stopCountExpr /
+        size(graft.operators.TextOps.toks)).as("v"))
+      .collect().map(_.getDouble(0))
+    thr.foreach { case (a, t) =>
+      val (nDocs, nWithin) = folded(a)
+      assert(nDocs == scores.length.toLong, s"alpha $a saw $nDocs docs")
+      assert(nWithin == scores.count(_ <= t).toLong, s"alpha $a within-count")
+    }
+  }
+
   test("E52: window HT envelopes sum to batch q210's per-source sums exactly") {
     import spark.implicits._
     import graft.streaming.DocStreams

@@ -44,9 +44,9 @@ class SurveyRegistrySpec extends AnyFunSuite {
     // A-surface, B17/B19/B20, multimodal D-surface minus the oracled q31,
     // streaming E-surface incl. E45). A new component must land with its §2 row —
     // this pin fails when either side moves alone.
-    assert(SparkEntry.queries.size == 211,
+    assert(SparkEntry.queries.size == 219,
       s"registry moved to ${SparkEntry.queries.size} queries — update SURVEY §2 and this pin")
-    assert(rows.size == 283,
+    assert(rows.size == 292,
       s"SURVEY §2 has ${rows.size} component rows — keep rows and registry moving together")
     val ids = rows.map(_.split("\\|")(1).trim)
     assert(ids.distinct.size == ids.size,
@@ -72,6 +72,45 @@ class SurveyRegistrySpec extends AnyFunSuite {
       s"self-gate is stale — regenerate CORRECTNESS_SELF.json; uncovered: ${missing.toSeq.sorted}")
     assert(j.get("total").asInt() == SparkEntry.queries.size,
       s"self-gate total ${j.get("total")} != registry ${SparkEntry.queries.size}")
+    // Source pin: the registry-size check catches ADDED queries, not edits
+    // to existing operators — a gate run before an operator edit would
+    // keep vouching PASS for behavior it never ran. oracle_check.py stamps
+    // the gate with a hash of the oracle-result surface; recompute it over
+    // the current tree and they must agree (the PLANS.md regeneration
+    // discipline applied to correctness).
+    val rec = Option(j.get("src_sha")).map(_.asText()).getOrElse("<absent>")
+    assert(rec == srcSha,
+      s"self-gate src_sha $rec != current tree $srcSha — operator sources " +
+        "changed since the gate ran; rerun graft.Verify + tools/oracle_check.py")
+  }
+
+  /** Hash of the oracle-result surface — mirrors oracle_check.py's
+    * src_sha() bit-for-bit (same file set, same sorted relpath + NUL +
+    * bytes framing, first 16 hex chars).
+    */
+  private lazy val srcSha: String = {
+    import scala.jdk.CollectionConverters._
+    val roots = Seq(
+      "src/main/scala/graft/operators", "src/main/scala/graft/queries",
+      "src/main/scala/graft/functions", "src/main/scala/graft/plans",
+      "src/main/scala/graft/core", "src/main/scala/org")
+    val fixed = Seq(
+      "src/main/scala/graft/SparkEntry.scala",
+      "src/main/scala/graft/GraftExtensions.scala")
+    val globbed = roots.flatMap { r =>
+      val p = Paths.get(r)
+      if (!Files.isDirectory(p)) Nil
+      else Files.walk(p).iterator().asScala
+        .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".scala"))
+        .map(_.toString).toSeq
+    }
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    (fixed ++ globbed).sorted.foreach { p =>
+      md.update(p.getBytes("UTF-8"))
+      md.update(0.toByte)
+      md.update(Files.readAllBytes(Paths.get(p)))
+    }
+    md.digest().map(b => f"$b%02x").mkString.take(16)
   }
 
   test("sf1 scaling lane covers the full registry with no gate violations (no stale lane)") {

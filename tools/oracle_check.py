@@ -9,9 +9,35 @@ row count, column names, and values (sorted by all columns, column order by
 name) — a stricter local approximation of the driver's hash compare.
 NOT part of the library; dev tooling only (mirrors driver-side duckdb usage).
 """
-import json, sys, glob, os
+import hashlib, json, sys, glob, os
 import duckdb
 import pandas as pd
+
+
+def src_sha():
+    """Hash of the oracle-result surface: every source file whose edit can
+    change a registered query's answer. A self-gate stamped with this hash
+    can be spec-checked against the CURRENT tree (SurveyRegistrySpec) — a
+    gate run before an operator edit stops vouching for code it never ran.
+    Mirrored bit-for-bit by SurveyRegistrySpec.srcSha; keep in sync."""
+    roots = [
+        "src/main/scala/graft/operators",
+        "src/main/scala/graft/queries",
+        "src/main/scala/graft/functions",
+        "src/main/scala/graft/plans",
+        "src/main/scala/graft/core",
+        "src/main/scala/org",
+    ]
+    files = ["src/main/scala/graft/SparkEntry.scala",
+             "src/main/scala/graft/GraftExtensions.scala"]
+    for r in roots:
+        files += glob.glob(f"{r}/**/*.scala", recursive=True)
+    h = hashlib.sha256()
+    for p in sorted(files):
+        h.update(p.encode())
+        h.update(b"\0")
+        h.update(open(p, "rb").read())
+    return h.hexdigest()[:16]
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 # optional third arg: substring filter, for partial dumps (e.g. sf0.1
@@ -88,6 +114,7 @@ if json_out:
         sys.exit("ORACLE_CHECK_JSON requires a full (unfiltered) run")
     payload = {
         "sf_dir": sf_dir,
+        "src_sha": src_sha(),
         "total": len(oracle),
         "passed": len(oracle) - fails,
         "failed": fails,
