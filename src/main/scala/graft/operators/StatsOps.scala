@@ -3064,6 +3064,90 @@ object StatsOps {
       .orderBy(col("alpha"))
   }
 
+  // --- q220: exact AUC of the quality signal vs near-dup ground truth -----------
+
+  /** Threshold-free discrimination audit: the exact Mann-Whitney AUC (with
+    * midrank tie handling) of q22's stop-ratio signal against verified
+    * near-dup membership, plus the Gini (2·AUC−1) — ONE number for "does
+    * this signal separate duplicated from clean text at all", upstream of
+    * q74's per-threshold operating points and q127's decile calibration
+    * (those answer "where to cut"; this answers "is there anything to
+    * cut on"; AUC ≈ 0.5 says spend elsewhere). The U statistic doubles to
+    * stay integer under ties: `U₂ = Σ_v np_v·(2·negBelow_v + nn_v)`,
+    * AUC = U₂ / (2·n⁺·n⁻) — EXACT, no sampling, no binning.
+    *
+    * Scale shape: dup membership is the session-shared verified-pair
+    * stage; the corpus collapses to the (value → pos/neg count) histogram
+    * in ONE keyed aggregate; the cumulative negative count rides
+    * [[groupedPrefixSum]] (range-partitioned slices + broadcast offsets,
+    * never a global window); the U fold is a 1-row DECIMAL(38,0) sum
+    * (n⁺·n⁻ products overflow a long past ~3·10⁹ docs). Integers until
+    * two guarded divide-rounds.
+    */
+  def signalAuc(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextOps.ngramJaccardPairs(spark, dir)
+    val dups = pairs
+      .select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val hist = TextOps
+      .qualityScore(spark, dir)
+      .select(col("doc_id"), col("stop_ratio").as("v"))
+      .join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+      .select(col("v"), coalesce(col("is_dup"), lit(false)).as("pos"))
+      .groupBy(col("v"))
+      .agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+    groupedPrefixSum(hist, Nil, Seq("v"), "nn", "cumn")
+      .withColumnRenamed("n_s", "tn")
+      .agg(
+        sum(col("np")).as("n_pos"),
+        max(col("tn")).as("n_neg"),
+        sum(expr("CAST(np AS DECIMAL(38,0)) * (2 * (cumn - nn) + nn)")).as("u2"))
+      .select(
+        col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("u2").cast("double")
+            / (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+          .as("auc"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            (col("u2").cast("double")
+              - col("n_pos").cast("double") * col("n_neg").cast("double"))
+              / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+          .as("gini"))
+  }
+
+  /** Oracle: exact all-pairs dup truth (q127's CTE), q22's score SQL, the
+    * identical doubled-U integer fold (HUGEINT) and IEEE ratio shapes.
+    */
+  lazy val signalAucSql: String =
+    s"""WITH ${TextOps.DuckShingleCte},
+       |${TextOps.DuckJaccardPairsCte},
+       |q220d AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM pairs WHERE jaccard >= ${TextOps.JaccardThreshold}
+       |    UNION ALL SELECT doc_b FROM pairs WHERE jaccard >= ${TextOps.JaccardThreshold})),
+       |q220s AS (SELECT q.stop_ratio AS v, (d.doc_id IS NOT NULL) AS pos
+       |          FROM (${TextOps.qualityScoreSql.replace("ORDER BY doc_id", "")}) q
+       |          LEFT JOIN q220d d USING (doc_id)),
+       |q220h AS (SELECT v,
+       |            CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |            CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+       |          FROM q220s GROUP BY v),
+       |q220c AS (SELECT np, nn, sum(nn) OVER (ORDER BY v) AS cumn FROM q220h),
+       |q220a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |            (SELECT CAST(sum(nn) AS BIGINT) FROM q220h) AS n_neg,
+       |            sum(np::HUGEINT * (2 * (cumn - nn) + nn)) AS u2
+       |          FROM q220c)
+       |SELECT n_pos, n_neg,
+       |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+       |    ELSE round(u2::DOUBLE / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE), 6) END AS auc,
+       |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+       |    ELSE round((u2::DOUBLE - n_pos::DOUBLE * n_neg::DOUBLE)
+       |      / (n_pos::DOUBLE * n_neg::DOUBLE), 6) END AS gini
+       |FROM q220a""".stripMargin
+
   // --- q217: padding-waste batching economics ----------------------------------
 
   /** Batch sizes the padding audit prices. */

@@ -361,35 +361,135 @@ object TextOps {
   /** CTE chain rebuilding the winnowing output as relation `q60fp`
     * (doc_id, pos, fp) — shared by the q60 and q64 oracles.
     */
-  private lazy val winnowCtes: Seq[(String, String)] = {
+  private lazy val winnowCtes: Seq[(String, String)] = winnowCtesFrom("q60", "documents")
+
+  /** The same chain over an arbitrary (doc_id, text) relation with a
+    * caller-chosen CTE prefix, ending at `<pfx>fp` — q221 runs it twice
+    * (original + perturbed twin).
+    */
+  private[operators] def winnowCtesFrom(pfx: String, srcRel: String): Seq[(String, String)] = {
     import graft.functions.DuckHash._
     val W = WinnowW
     val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
-      "q60t" -> s"(SELECT doc_id, $DuckToks AS toks FROM documents)",
-      "q60gl" ->
+      s"${pfx}t" -> s"(SELECT doc_id, $DuckToks AS toks FROM $srcRel)",
+      s"${pfx}gl" ->
         (s"(SELECT doc_id, list_transform(range(1, len(toks) - ${WinnowK - 1} + 1), " +
-          s"i -> array_to_string(toks[i:i + ${WinnowK - 1}], ' ')) AS gl FROM q60t)"),
-      "q60g" -> "(SELECT doc_id, unnest(range(1, len(gl) + 1)) AS i, unnest(gl) AS gram FROM q60gl)",
-      "q60d" -> s"(SELECT gram, ${bytesOf("gram")} AS b FROM (SELECT DISTINCT gram FROM q60g))"
+          s"i -> array_to_string(toks[i:i + ${WinnowK - 1}], ' ')) AS gl FROM ${pfx}t)"),
+      s"${pfx}g" -> s"(SELECT doc_id, unnest(range(1, len(gl) + 1)) AS i, unnest(gl) AS gram FROM ${pfx}gl)",
+      s"${pfx}d" -> s"(SELECT gram, ${bytesOf("gram")} AS b FROM (SELECT DISTINCT gram FROM ${pfx}g))"
     )
-    val hb = hashBytesChain("q60hx", "q60d", Seq("gram"), "42", "hs")
+    val hb = hashBytesChain(s"${pfx}hx", s"${pfx}d", Seq("gram"), "42", "hs")
     ctes ++= hb.ctes
-    ctes += ("q60f" -> s"(SELECT gram, CAST(${toSigned("hs")} AS BIGINT) AS h FROM ${hb.last})")
-    ctes += ("q60hs" ->
-      "(SELECT g.doc_id, list(f.h ORDER BY g.i) AS hs FROM q60g g JOIN q60f f USING (gram) GROUP BY g.doc_id)")
-    ctes += ("q60sel" ->
+    ctes += (s"${pfx}f" -> s"(SELECT gram, CAST(${toSigned("hs")} AS BIGINT) AS h FROM ${hb.last})")
+    ctes += (s"${pfx}hs" ->
+      s"(SELECT g.doc_id, list(f.h ORDER BY g.i) AS hs FROM ${pfx}g g JOIN ${pfx}f f USING (gram) GROUP BY g.doc_id)")
+    ctes += (s"${pfx}sel" ->
       s"""(SELECT doc_id, hs,
          |    unnest(list_distinct(list_transform(range(1, len(hs) - ${W - 1} + 1),
          |      w -> list_reduce(list_prepend(w, range(w + 1, w + $W)),
          |             (acc, j) -> CASE WHEN hs[j] <= hs[acc] THEN j ELSE acc END)))) AS pos
-         |  FROM q60hs)""".stripMargin)
-    ctes += ("q60fp" -> "(SELECT doc_id, pos::INTEGER AS pos, hs[pos] AS fp FROM q60sel)")
+         |  FROM ${pfx}hs)""".stripMargin)
+    ctes += (s"${pfx}fp" -> s"(SELECT doc_id, pos::INTEGER AS pos, hs[pos] AS fp FROM ${pfx}sel)")
     ctes.toSeq
   }
 
   lazy val winnowFingerprintsSql: String = {
     import graft.functions.DuckHash.assemble
     assemble(winnowCtes, "SELECT doc_id, pos, fp FROM q60fp ORDER BY doc_id, pos")
+  }
+
+  // --- q221: fingerprint robustness under perturbation ------------------------
+
+  /** Every [[PerturbEvery]]-th token is dropped in the perturbed twin —
+    * a 2% deletion, the "small edit" a fingerprint scheme must survive. */
+  val PerturbEvery = 50
+
+  /** Robustness audit of the q60 winnowing scheme: per source, how much
+    * of each document's fingerprint SET survives a deterministic 2% token
+    * deletion (every 50th token dropped) — set overlap `|F∩F'|/|F∪F'|`
+    * per doc, rolled up to mean overlap and a fragile-doc count
+    * (overlap < 0.5). Winnowing guarantees any ≥ W+K−1-token shared run
+    * yields a shared fingerprint, but the GUARANTEE is about runs, not
+    * sets: a scheme whose fingerprint set churns wholesale under small
+    * edits makes q64's pair evidence and q52-style incremental stores
+    * flap on re-crawls (the density/robustness trade the winnowing paper
+    * §5 prices) — this measures the churn on the corpus's own text
+    * before a 100 TB store commits to (K, W).
+    *
+    * Scale shape: two map-side codegen'd winnow passes (original +
+    * perturbed twin — the perturb filter is one interpreted HOF per doc,
+    * off the per-token hot path), ONE (doc, fp)-keyed aggregate with
+    * map-side combine folding both legs' membership flags, one doc-keyed
+    * rollup + one ≤|sources| rollup of micro-quantized order-free
+    * integer sums; the fragile verdict is an integer cross-multiply.
+    */
+  def fingerprintRobustness(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+    val pert = base.select(
+      col("doc_id"),
+      expr(s"array_join(filter(split(trim(text), '\\\\s+'), (t, i) -> (i + 1) % $PerturbEvery != 0), ' ')")
+        .as("text"))
+    val tagged = winnowFps(base)
+      .select(col("doc_id"), col("fp"), lit(0).as("leg"))
+      .unionAll(winnowFps(pert).select(col("doc_id"), col("fp"), lit(1).as("leg")))
+    val perDoc = tagged
+      .groupBy(col("doc_id"), col("fp"))
+      .agg(
+        max(when(col("leg") === 0, 1).otherwise(0)).as("ino"),
+        max(when(col("leg") === 1, 1).otherwise(0)).as("inp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_union"),
+        sum(when(col("ino") === 1 && col("inp") === 1, 1L).otherwise(0L)).as("n_both"))
+    base
+      .select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_both") * 2 < col("n_union"), 1L).otherwise(0L)).as("n_fragile"),
+        sum(expr("CAST(round(1000000.0 * n_both / n_union, 0) AS BIGINT)")).as("jq"))
+      .select(
+        col("source"), col("n_docs"), col("n_fragile"),
+        round(col("jq").cast("double") / (col("n_docs") * lit(1000000L)).cast("double"), 6)
+          .as("mean_overlap"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the winnow chain run twice — verbatim over `documents` and
+    * over the index-filtered perturbed twin — then the identical
+    * flag-fold, integer cross-multiply, and micro-quantized rollup.
+    */
+  lazy val fingerprintRobustnessSql: String = {
+    import graft.functions.DuckHash.assemble
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](winnowCtes: _*)
+    ctes += ("q221p" ->
+      s"""(SELECT doc_id, array_to_string(
+         |   list_filter($DuckToks, (t, i) -> i % $PerturbEvery != 0), ' ') AS text
+         | FROM documents)""".stripMargin)
+    ctes ++= winnowCtesFrom("q221w", "q221p")
+    ctes += ("q221u" ->
+      """(SELECT doc_id, fp, 0 AS leg FROM q60fp
+        | UNION ALL
+        | SELECT doc_id, fp, 1 AS leg FROM q221wfp)""".stripMargin)
+    ctes += ("q221m" ->
+      """(SELECT doc_id, fp,
+        |    max(CASE WHEN leg = 0 THEN 1 ELSE 0 END) AS ino,
+        |    max(CASE WHEN leg = 1 THEN 1 ELSE 0 END) AS inp
+        |  FROM q221u GROUP BY doc_id, fp)""".stripMargin)
+    ctes += ("q221d" ->
+      """(SELECT doc_id, CAST(count(*) AS BIGINT) AS n_union,
+        |    CAST(sum(CASE WHEN ino = 1 AND inp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+        |  FROM q221m GROUP BY doc_id)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN p.n_both * 2 < p.n_union THEN 1 ELSE 0 END) AS BIGINT) AS n_fragile,
+        |  round(CAST(sum(CAST(round(1000000.0 * p.n_both / p.n_union, 0) AS BIGINT)) AS DOUBLE)
+        |    / (count(*) * 1000000)::DOUBLE, 6) AS mean_overlap
+        |FROM q221d p JOIN documents d USING (doc_id)
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin)
   }
 
   // --- q64: cross-doc shared-run detection ----------------------------------

@@ -621,7 +621,10 @@ class PlanGuardSpec extends SparkSpec {
         "q217_padding_waste",
         // q218 crossJoins its two 1-row totals aggregates onto the
         // ≤|sources|-row rollup — q70's exact shape
-        "q218_doremi_weights")
+        "q218_doremi_weights",
+        // q220's groupedPrefixSum crossJoins the 1-row collected pid-totals
+        // aggregate — q216's exact shape
+        "q220_signal_auc")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -700,6 +703,7 @@ class PlanGuardSpec extends SparkSpec {
       // partition count (a cluster constant, never the corpus)
       "q106_token_budget"        -> "groupedPrefixSum partition offsets",
       "q216_conformal_gate"      -> "groupedPrefixSum partition offsets",
+      "q220_signal_auc"          -> "groupedPrefixSum partition offsets",
       "q217_padding_waste"       -> "strictlyLess partition-count offsets (≤P rows, twice)",
       "q125_rfm_segments"        -> "groupedPrefixSum partition offsets",
       "q127_quality_calibration" -> "groupedPrefixSum partition offsets",
