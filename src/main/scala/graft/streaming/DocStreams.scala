@@ -630,6 +630,61 @@ object DocStreams {
         (lit(1.0) - col("alpha")).as("target"))
   }
 
+  case class TsMedia(media_id: Long, payload: Array[Byte], source: String, ts: java.sql.Timestamp)
+
+  /** E54: streaming audio-quality monitor — the D2 audio kernel
+    * ([[graft.operators.Multimodal.decodeAudio]]/`audioFeatures`, shared
+    * verbatim so batch and stream cannot diverge) applied at ingest: per
+    * closed window × source, media seen, payloads that decode as WAV/PCM,
+    * silent count (RMS < 0.001 full-scale), clipped count (peak ≥ 0.999),
+    * and the mean RMS level — the "is this feed dead air / hot-mic
+    * garbage?" gate a live media ingest needs BEFORE paying storage
+    * (the audio complement of E49's chunker and E9's text gate).
+    *
+    * Scale shape: decode runs executor-local in `mapPartitions` (exactly
+    * where the batch kernel runs — no shuffle); per-row features quantize
+    * to integer micro-units immediately, so the ONE watermarked
+    * tumbling-window aggregate carries only integer sums with map-side
+    * partials, append exactly once. Counts and quantized sums are
+    * ADDITIVE: any window span sums to the batch kernel's per-source
+    * totals on the same records exactly (spec-pinned).
+    */
+  def audioMonitor(
+      media: org.apache.spark.sql.Dataset[TsMedia],
+      windowDur: String = "1 hour",
+      watermarkDur: String = "2 hours"): DataFrame = {
+    import media.sparkSession.implicits._
+    import graft.operators.Multimodal
+    val scored = media
+      .mapPartitions(_.map { m =>
+        Multimodal.decodeAudio(m.payload) match {
+          case Some((_, _, samples)) =>
+            val f = Multimodal.audioFeatures(samples)
+            (m.ts, m.source, 1,
+              Math.round(f(1) * 1000000), Math.round(f(2) * 1000000))
+          case None => (m.ts, m.source, 0, 0L, 0L)
+        }
+      })
+      .toDF("ts", "source", "decoded", "rq", "pq")
+    scored
+      .withWatermark("ts", watermarkDur)
+      .groupBy(window(col("ts"), windowDur), col("source"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("decoded")).as("n_audio"),
+        sum(when(col("decoded") === 1 && col("rq") < 1000L, 1L).otherwise(0L)).as("n_silent"),
+        sum(when(col("decoded") === 1 && col("pq") >= 999000L, 1L).otherwise(0L)).as("n_clipped"),
+        sum(col("rq")).as("rms_q"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("source"), col("n_media"), col("n_audio"), col("n_silent"), col("n_clipped"),
+        col("rms_q"),
+        when(col("n_audio") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("rms_q").cast("double")
+            / (col("n_audio") * lit(1000000L)).cast("double"), 6))
+          .as("mean_rms"))
+  }
+
   /** The calibrated (α, t_α) pairs E53 broadcasts: q216's 'val'-split
     * PUBLISHED thresholds on a corpus snapshot — bounded by the α grid.
     * The monitor consumes the 6-dp published value (the number the gate

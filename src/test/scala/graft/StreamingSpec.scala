@@ -1657,6 +1657,68 @@ class StreamingSpec extends SparkSpec {
     folded.foreach { case ((_, v), (n, m)) => assert(m == n * v) }
   }
 
+  test("E54: streaming audio monitor reconciles with the batch audio kernel exactly") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.TsMedia
+    import graft.operators.Multimodal
+    implicit val ctx = spark.sqlContext
+    // WAV fixtures through the JDK's own writer (the audio-spec recipe):
+    // quiet square (silent), loud square, near-full-scale (clipped), text
+    def wav(samples: Array[Int]): Array[Byte] = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+      val raw = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val quiet   = wav(Array.tabulate(128)(i => if (i % 2 == 0) 16 else -16))      // rms 16/32768 < 0.001
+    val loud    = wav(Array.tabulate(128)(i => if (i % 2 == 0) 8192 else -8192))
+    val clipped = wav(Array.tabulate(128)(i => if (i % 2 == 0) 32760 else -32760))
+    val text    = "not audio".getBytes("UTF-8")
+    val t1 = Timestamp.valueOf("2024-01-01 10:15:00")
+    val t2 = Timestamp.valueOf("2024-01-01 11:15:00")
+    val recs = Seq(
+      TsMedia(1L, quiet, "feedA", t1), TsMedia(2L, loud, "feedA", t1),
+      TsMedia(3L, clipped, "feedA", t2), TsMedia(4L, text, "feedA", t2),
+      TsMedia(5L, loud, "feedB", t1))
+    val in = MemoryStream[TsMedia]
+    val q = DocStreams.audioMonitor(in.toDS())
+      .writeStream.format("memory").queryName("audio_s").outputMode("append").start()
+    in.addData(recs: _*); q.processAllAvailable()
+    in.addData(TsMedia(99L, text, "feedA", Timestamp.valueOf("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("audio_s").collect()
+      .filter(_.getString(0).startsWith("2024-01-01 1"))
+      .map(r => (r.getString(1), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+    q.stop()
+    // fold windows per source — counts and quantized sums are additive
+    val folded = rows.groupBy(_._1).view.mapValues { g =>
+      (g.map(_._2._1).sum, g.map(_._2._2).sum, g.map(_._2._3).sum,
+        g.map(_._2._4).sum, g.map(_._2._5).sum)
+    }.toMap
+    // batch truth through the SAME kernel
+    val want = recs.groupBy(_.source).view.mapValues { ms =>
+      val feats = ms.map(m => Multimodal.decodeAudio(m.payload).map(d => Multimodal.audioFeatures(d._3)))
+      val dec = feats.flatten
+      (ms.size.toLong, dec.size.toLong,
+        dec.count(f => Math.round(f(1) * 1000000) < 1000L).toLong,
+        dec.count(f => Math.round(f(2) * 1000000) >= 999000L).toLong,
+        dec.map(f => Math.round(f(1) * 1000000)).sum)
+    }.toMap
+    assert(folded == want, s"stream $folded vs batch $want")
+    // and the fixtures hit the intended verdicts: 1 silent + 1 clipped on feedA
+    assert(folded("feedA")._3 == 1L && folded("feedA")._4 == 1L)
+    assert(folded("feedA")._2 == 3L && folded("feedA")._1 == 4L) // text payload not decoded
+  }
+
   test("E53: conformal-coverage monitor reconciles with batch counts on the same docs") {
     import spark.implicits._
     import graft.streaming.DocStreams
