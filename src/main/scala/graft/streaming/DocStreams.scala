@@ -630,6 +630,45 @@ object DocStreams {
         (lit(1.0) - col("alpha")).as("target"))
   }
 
+  /** E55: streaming within-window duplicate-pair meter — q219's live leg,
+    * and the suite's demonstration of CHAINED stateful window aggregates
+    * (Spark's multiple-stateful-operator support): stage 1 collapses each
+    * window to (content-hash → copies, sampled copies) — map-side
+    * combinable, the only corpus-sized state; stage 2 re-windows the
+    * BOUNDED per-hash table via `window_time` and folds the exact
+    * `Σ C(k,2)` within-window dup pairs, the sampled pairs, and q219's
+    * ×(1/p²) Horvitz-Thompson estimate. A feed whose estimated pair rate
+    * jumps is re-crawling itself — caught per window, before the batch
+    * dedup pass ever runs. Counts are integers and the window is the
+    * reconciliation grain: batch-grouping the same records by the same
+    * windows reproduces every column exactly (spec-pinned).
+    */
+  def dupPairsStream(
+      docs: DataFrame,
+      windowDur: String = "1 hour",
+      watermarkDur: String = "2 hours"): DataFrame = {
+    import graft.operators.TrainingOps.DupEstPct
+    val scale = (100L / DupEstPct) * (100L / DupEstPct)
+    val perKey = docs
+      .withWatermark("ts", watermarkDur)
+      .select(
+        col("ts"), md5(col("text")).as("h"),
+        when(pmod(xxhash64(col("doc_id")), lit(100)) < DupEstPct, 1L).otherwise(0L).as("s"))
+      .groupBy(window(col("ts"), windowDur), col("h"))
+      .agg(count(lit(1)).as("k"), sum(col("s")).as("ks"))
+    perKey
+      .groupBy(window(window_time(col("window")), windowDur))
+      .agg(
+        sum(col("k")).as("n_docs"),
+        sum(col("ks")).as("n_sampled"),
+        sum(expr("k * (k - 1) div 2")).as("dup_pairs"),
+        sum(expr("ks * (ks - 1) div 2")).as("sample_dup_pairs"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("n_docs"), col("n_sampled"), col("dup_pairs"), col("sample_dup_pairs"),
+        (col("sample_dup_pairs") * lit(scale)).as("est_dup_pairs"))
+  }
+
   case class TsMedia(media_id: Long, payload: Array[Byte], source: String, ts: java.sql.Timestamp)
 
   /** E54: streaming audio-quality monitor — the D2 audio kernel

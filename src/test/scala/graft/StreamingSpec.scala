@@ -1657,6 +1657,59 @@ class StreamingSpec extends SparkSpec {
     folded.foreach { case ((_, v), (n, m)) => assert(m == n * v) }
   }
 
+  test("E55: chained-window dup-pair meter reconciles with batch per-window truth exactly") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    implicit val ctx = spark.sqlContext
+    val corpus = graft.core.Tables.documents(spark, Sf0001)
+    // two event-time windows; window = the reconciliation grain
+    val replay = corpus.select("doc_id", "text").collect().zipWithIndex
+      .map { case (r, i) =>
+        Doc(r.getLong(0), r.getString(1),
+          Timestamp.valueOf(f"2024-01-01 ${10 + i % 2}%02d:15:00"))
+      } ++ Seq(
+      // planted same-window duplicate groups: C(3,2)+C(2,2) = 4 known pairs
+      Doc(500001L, "planted duplicate alpha", Timestamp.valueOf("2024-01-01 10:20:00")),
+      Doc(500002L, "planted duplicate alpha", Timestamp.valueOf("2024-01-01 10:40:00")),
+      Doc(500003L, "planted duplicate alpha", Timestamp.valueOf("2024-01-01 10:50:00")),
+      Doc(500004L, "planted duplicate beta", Timestamp.valueOf("2024-01-01 11:20:00")),
+      Doc(500005L, "planted duplicate beta", Timestamp.valueOf("2024-01-01 11:40:00")))
+    val in = MemoryStream[Doc]
+    val q = DocStreams.dupPairsStream(in.toDF())
+      .writeStream.format("memory").queryName("dp_s").outputMode("append").start()
+    in.addData(replay.toSeq: _*); q.processAllAvailable()
+    in.addData(Doc(99999L, "late watermark pusher", Timestamp.valueOf("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("dp_s").collect()
+      .filter(_.getString(0).startsWith("2024-01-01 1"))
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    q.stop()
+    assert(rows.size == 2, s"expected both windows closed, got ${rows.keySet}")
+    // batch truth: same records grouped by the same windows, q219's math
+    import graft.operators.TrainingOps.DupEstPct
+    val scale = (100L / DupEstPct) * (100L / DupEstPct)
+    val want = replay.groupBy(d => f"2024-01-01 ${d.ts.toLocalDateTime.getHour}%02d").view
+      .mapValues { ds =>
+        val byHash = ds.groupBy(d => java.security.MessageDigest.getInstance("MD5")
+          .digest(d.text.getBytes("UTF-8")).toSeq)
+        val flags = spark.createDataset(ds.map(_.doc_id).toSeq).toDF("doc_id")
+          .select(col("doc_id"),
+            when(pmod(xxhash64(col("doc_id")), lit(100)) < DupEstPct, 1L).otherwise(0L).as("s"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val ks = byHash.values.map { g =>
+          (g.size.toLong, g.map(d => flags(d.doc_id)).sum)
+        }
+        val dp  = ks.map { case (k, _) => k * (k - 1) / 2 }.sum
+        val sdp = ks.map { case (_, s) => s * (s - 1) / 2 }.sum
+        (ds.size.toLong, ks.map(_._2).sum, dp, sdp, sdp * scale)
+      }.toMap
+    assert(rows == want, s"stream $rows vs batch $want")
+    // the planted groups guarantee visible pairs: C(3,2) in hour 10 + C(2,2) in hour 11
+    assert(rows.values.map(_._3).sum >= 4, "expected at least the 4 planted dup pairs")
+  }
+
   test("E54: streaming audio monitor reconciles with the batch audio kernel exactly") {
     import spark.implicits._
     import graft.streaming.DocStreams
