@@ -17,8 +17,12 @@ object Verify {
   // the empty-artifact failure mode this trace exists to diagnose.
   private lazy val gitHead: String =
     try {
+      // stdout only — a merged stderr would put git warnings (dubious
+      // ownership etc.) in front of the hash; stderr is discarded so a
+      // chatty git can neither pollute the value nor fill a pipe
       val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
-        .directory(new java.io.File(".")).redirectErrorStream(true).start()
+        .directory(new java.io.File("."))
+        .redirectError(ProcessBuilder.Redirect.DISCARD).start()
       if (!p.waitFor(2, java.util.concurrent.TimeUnit.SECONDS)) {
         p.destroyForcibly(); "?"
       } else new String(p.getInputStream.readAllBytes()).trim.takeWhile(_ != '\n')
@@ -51,6 +55,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Stamp the oracle-result-surface hash at DUMP time: the checker
+    // (tools/oracle_check.py) re-derives it over the tree it sees and
+    // refuses to publish a gate on mismatch — so a gate can never vouch
+    // for operator code that was edited after this dump ran.
+    try Files.writeString(Paths.get(outDir, "src_sha.txt"), graft.core.SrcSha.compute())
+    catch { case e: Throwable => System.err.println(s"[verify] src_sha stamp failed: $e") }
     var failed = List.empty[String]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -215,7 +215,8 @@ object Multimodal {
           else return None
         val bits = fmt.getSampleSizeInBits
         val ch   = fmt.getChannels
-        if (!Set(8, 16, 24, 32).contains(bits) || ch < 1 || ch > 8) return None
+        if ((bits != 8 && bits != 16 && bits != 24 && bits != 32) || ch < 1 || ch > 8)
+          return None
         val bytesPer = bits / 8
         val frameLen = in.getFrameLength
         if (frameLen <= 0 || frameLen > (1L << 24)) return None

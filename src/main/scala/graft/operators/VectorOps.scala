@@ -2389,11 +2389,10 @@ object VectorOps {
         .filter(col("sb") === "train" && col("sa") =!= "train")
         .select(col("a_id").as("eval_id"), col("sa").as("split"),
           col("b_id").as("train_id"), col("sim")))
-    val cached = oriented
-    val best = cached
+    val best = oriented
       .groupBy(col("eval_id"), col("split"))
       .agg(count(lit(1)).as("n_train_cands"), max(col("sim")).as("ms"))
-    val pick = cached
+    val pick = oriented
       .join(best.select(col("eval_id"), col("ms")), Seq("eval_id"))
       .filter(col("sim") === col("ms"))
       .groupBy(col("eval_id"))

@@ -1716,25 +1716,12 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.DocStreams.TsMedia
     import graft.operators.Multimodal
     implicit val ctx = spark.sqlContext
-    // WAV fixtures through the JDK's own writer (the audio-spec recipe):
+    // shared WAV fixtures (WavFixtures — same bytes MultimodalAudioSpec tests):
     // quiet square (silent), loud square, near-full-scale (clipped), text
-    def wav(samples: Array[Int]): Array[Byte] = {
-      import javax.sound.sampled._
-      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
-      val raw = new Array[Byte](samples.length * 2)
-      samples.indices.foreach { i =>
-        raw(2 * i) = (samples(i) & 0xff).toByte
-        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      AudioSystem.write(
-        new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong),
-        AudioFileFormat.Type.WAVE, bos)
-      bos.toByteArray
-    }
-    val quiet   = wav(Array.tabulate(128)(i => if (i % 2 == 0) 16 else -16))      // rms 16/32768 < 0.001
-    val loud    = wav(Array.tabulate(128)(i => if (i % 2 == 0) 8192 else -8192))
-    val clipped = wav(Array.tabulate(128)(i => if (i % 2 == 0) 32760 else -32760))
+    import WavFixtures.wav16
+    val quiet   = wav16(Array.tabulate(128)(i => if (i % 2 == 0) 16 else -16)) // rms 16/32768 < 0.001
+    val loud    = wav16(Array.tabulate(128)(i => if (i % 2 == 0) 8192 else -8192))
+    val clipped = wav16(Array.tabulate(128)(i => if (i % 2 == 0) 32760 else -32760))
     val text    = "not audio".getBytes("UTF-8")
     val t1 = Timestamp.valueOf("2024-01-01 10:15:00")
     val t2 = Timestamp.valueOf("2024-01-01 11:15:00")

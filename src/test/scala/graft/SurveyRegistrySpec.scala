@@ -84,34 +84,11 @@ class SurveyRegistrySpec extends AnyFunSuite {
         "changed since the gate ran; rerun graft.Verify + tools/oracle_check.py")
   }
 
-  /** Hash of the oracle-result surface — mirrors oracle_check.py's
-    * src_sha() bit-for-bit (same file set, same sorted relpath + NUL +
-    * bytes framing, first 16 hex chars).
+  /** Hash of the oracle-result surface — the shared [[graft.core.SrcSha]]
+    * kernel (mirrored bit-for-bit by oracle_check.py's src_sha(); Verify
+    * stamps the same value into the dump at dump time).
     */
-  private lazy val srcSha: String = {
-    import scala.jdk.CollectionConverters._
-    val roots = Seq(
-      "src/main/scala/graft/operators", "src/main/scala/graft/queries",
-      "src/main/scala/graft/functions", "src/main/scala/graft/plans",
-      "src/main/scala/graft/core", "src/main/scala/org")
-    val fixed = Seq(
-      "src/main/scala/graft/SparkEntry.scala",
-      "src/main/scala/graft/GraftExtensions.scala")
-    val globbed = roots.flatMap { r =>
-      val p = Paths.get(r)
-      if (!Files.isDirectory(p)) Nil
-      else Files.walk(p).iterator().asScala
-        .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".scala"))
-        .map(_.toString).toSeq
-    }
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    (fixed ++ globbed).sorted.foreach { p =>
-      md.update(p.getBytes("UTF-8"))
-      md.update(0.toByte)
-      md.update(Files.readAllBytes(Paths.get(p)))
-    }
-    md.digest().map(b => f"$b%02x").mkString.take(16)
-  }
+  private lazy val srcSha: String = graft.core.SrcSha.compute()
 
   test("sf1 scaling lane covers the full registry with no gate violations (no stale lane)") {
     // BENCH_SF1_FULL.json is the 100 TB design evidence — round 8 shipped

@@ -16,10 +16,13 @@ import pandas as pd
 
 def src_sha():
     """Hash of the oracle-result surface: every source file whose edit can
-    change a registered query's answer. A self-gate stamped with this hash
-    can be spec-checked against the CURRENT tree (SurveyRegistrySpec) — a
-    gate run before an operator edit stops vouching for code it never ran.
-    Mirrored bit-for-bit by SurveyRegistrySpec.srcSha; keep in sync."""
+    change a registered query's answer. graft.Verify stamps the same hash
+    into the dump at DUMP time (src_sha.txt); this checker re-derives it
+    over the tree it sees and refuses to publish a gate on mismatch — so a
+    gate can never vouch for operator code edited after the dump ran, and
+    SurveyRegistrySpec then pins the published gate to the current tree.
+    Mirrored bit-for-bit by graft.core.SrcSha; keep in sync (glob's '*'
+    never matches leading dots, so hidden files are excluded both sides)."""
     roots = [
         "src/main/scala/graft/operators",
         "src/main/scala/graft/queries",
@@ -112,9 +115,18 @@ json_out = os.environ.get("ORACLE_CHECK_JSON")
 if json_out:
     if only:
         sys.exit("ORACLE_CHECK_JSON requires a full (unfiltered) run")
+    sha_now = src_sha()
+    stamp_path = f"{out_dir}/src_sha.txt"
+    if os.path.isfile(stamp_path):
+        stamped = open(stamp_path).read().strip()
+        if stamped != sha_now:
+            sys.exit(
+                f"refusing to publish gate: dump was produced from source tree "
+                f"{stamped} but the current tree is {sha_now} — operator sources "
+                f"changed after the Verify dump ran; rerun graft.Verify")
     payload = {
         "sf_dir": sf_dir,
-        "src_sha": src_sha(),
+        "src_sha": sha_now,
         "total": len(oracle),
         "passed": len(oracle) - fails,
         "failed": fails,
