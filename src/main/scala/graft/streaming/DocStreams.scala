@@ -669,6 +669,46 @@ object DocStreams {
         (col("sample_dup_pairs") * lit(scale)).as("est_dup_pairs"))
   }
 
+  /** E56: streaming k-anonymity tripwire — q159's live leg, the second
+    * chained-stateful-window pipeline (E55's shape): stage 1 collapses
+    * each window to the quasi-identifier grain `(source, n_chars DIV
+    * 100)` — counts, map-side combinable, the QI set is a deployment
+    * choice — and stage 2 re-windows that bounded class table via
+    * `window_time` to report, per closed window, equivalence classes
+    * seen, classes below k = 5, and documents sitting in them. A batch
+    * q159 audit certifies the CORPUS; this catches the re-identification
+    * risk ARRIVING (a niche feed whose rare (source, size) combination
+    * points at individuals) while the window is still quarantinable.
+    * Window = the reconciliation grain: batch-grouping the same records
+    * by the same windows reproduces every column exactly (spec-pinned).
+    * E43's stored-column rule: length derives from the text itself.
+    */
+  val StreamKanonK = 5L
+
+  def kanonTripwire(
+      docs: DataFrame,
+      windowDur: String = "1 hour",
+      watermarkDur: String = "2 hours"): DataFrame = {
+    val classes = docs
+      .withWatermark("ts", watermarkDur)
+      .select(col("ts"), col("source"),
+        expr("CAST(length(text) AS BIGINT) div 100").as("szb"))
+      .groupBy(window(col("ts"), windowDur), col("source"), col("szb"))
+      .agg(count(lit(1)).as("k"))
+    classes
+      .groupBy(window(window_time(col("window")), windowDur))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("k") < StreamKanonK, 1L).otherwise(0L)).as("n_below_k"),
+        sum(when(col("k") < StreamKanonK, col("k")).otherwise(0L)).as("n_docs_at_risk"),
+        sum(col("k")).as("n_docs"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("n_docs"), col("n_classes"), col("n_below_k"), col("n_docs_at_risk"),
+        round(col("n_docs_at_risk").cast("double") / col("n_docs").cast("double"), 6)
+          .as("at_risk_share"))
+  }
+
   case class TsMedia(media_id: Long, payload: Array[Byte], source: String, ts: java.sql.Timestamp)
 
   /** E54: streaming audio-quality monitor — the D2 audio kernel

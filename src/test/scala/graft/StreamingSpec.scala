@@ -1657,6 +1657,44 @@ class StreamingSpec extends SparkSpec {
     folded.foreach { case ((_, v), (n, m)) => assert(m == n * v) }
   }
 
+  test("E56: chained-window k-anonymity tripwire reconciles with batch per-window truth") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.SrcDoc
+    implicit val ctx = spark.sqlContext
+    val corpus = graft.core.Tables.documents(spark, Sf0001)
+    val replay = corpus.select("doc_id", "text", "source").collect().zipWithIndex
+      .map { case (r, i) =>
+        SrcDoc(r.getLong(0), r.getString(1), r.getString(2),
+          Timestamp.valueOf(f"2024-01-01 ${10 + i % 2}%02d:15:00"))
+      } :+ SrcDoc(600001L, "x" * 5000, "nicheFeed", // singleton QI class → at risk
+        Timestamp.valueOf("2024-01-01 10:30:00"))
+    val in = MemoryStream[SrcDoc]
+    val q = DocStreams.kanonTripwire(in.toDF())
+      .writeStream.format("memory").queryName("kanon_s").outputMode("append").start()
+    in.addData(replay.toSeq: _*); q.processAllAvailable()
+    in.addData(SrcDoc(99999L, "late", "srcX", Timestamp.valueOf("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("kanon_s").collect()
+      .filter(_.getString(0).startsWith("2024-01-01 1"))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    q.stop()
+    assert(rows.size == 2)
+    // batch truth: same records, same windows, same QI grain and k rule
+    val want = replay.groupBy(d => f"2024-01-01 ${d.ts.toLocalDateTime.getHour}%02d").view
+      .mapValues { ds =>
+        val classes = ds.groupBy(d => (d.source, d.text.length.toLong / 100))
+          .values.map(_.size.toLong)
+        (ds.size.toLong, classes.size.toLong,
+          classes.count(_ < DocStreams.StreamKanonK).toLong,
+          classes.filter(_ < DocStreams.StreamKanonK).sum)
+      }.toMap
+    assert(rows == want, s"stream $rows vs batch $want")
+    // the planted niche doc is a singleton class — hour 10 must show risk
+    assert(rows("2024-01-01 10")._3 >= 1L)
+  }
+
   test("E55: chained-window dup-pair meter reconciles with batch per-window truth exactly") {
     import spark.implicits._
     import graft.streaming.DocStreams
