@@ -634,6 +634,97 @@ object VectorOps {
        |GROUP BY t.dim, t.q_id ORDER BY t.dim, t.q_id""".stripMargin
   }
 
+  // --- q222: int8-quantization retrieval-fidelity audit -----------------------
+
+  /** Storage-quantization fidelity audit — q152's question asked of the
+    * BIT budget instead of the dimension budget: per query, recall@k of
+    * the top-k under int8-quantized cosine against the full-float exact
+    * top-k, plus the mean |Δcosine| over those k rows. Per-vector scaling
+    * cancels in cosine, so q36's symmetric `round(x·127/amax)` codes rank
+    * DIRECTLY — integer-valued dots, no dequantization — and the audit
+    * prices exactly what a 4×-smaller int8 index costs in ranking
+    * fidelity before a 100 TB store commits to it (q36 audits the CODES'
+    * moments; q152 the dimension budget; q85/q89 index recall at full
+    * precision — this closes the compression axis).
+    *
+    * Scale shape: q28's broadcast idiom — the fixed query set broadcasts
+    * against ONE linear corpus scan; both cosines are map-side codegen'd
+    * dot folds per candidate row; the `row_number ≤ k` filter plans as
+    * the bounded heap (BoundedRankRewrite), so everything downstream is
+    * |queries|×k rows. Determinism: quantized values are integer-valued
+    * doubles (exact dots), sqrt/divide are IEEE-exact, and the Δ terms
+    * micro-quantize before the order-free sum (the q72/q163 rule).
+    */
+  def quantRetrievalAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir) // nrm > 0 ⇒ amax > 0 ⇒ the max element codes to ±127
+      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("v8", expr("transform(v, x -> CAST(round(x * 127 / amax, 0) AS DOUBLE))"))
+      .withColumn("nf", dot_product(col("v"), col("v")))
+      .withColumn("n8", dot_product(col("v8"), col("v8")))
+    val q = e.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("v8").as("q8"),
+        col("nf").as("qnf"), col("n8").as("qn8"))
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("cv"), col("v8").as("c8"),
+      col("nf").as("cnf"), col("n8").as("cn8"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim8").desc, col("n_id"))
+    val ranked = c
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(
+        col("q_id"), col("n_id"),
+        (dot_product(col("qv"), col("cv")) / (sqrt(col("qnf")) * sqrt(col("cnf")))).as("simf"),
+        (dot_product(col("q8"), col("c8")) / (sqrt(col("qn8")) * sqrt(col("cn8")))).as("sim8"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+    val exact = cosineTopK(spark, dir)
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("n_id"), lit(true).as("in_exact"))
+    ranked
+      .join(exact, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_hit"),
+        sum(expr("CAST(round(abs(sim8 - simf) * 1000000, 0) AS BIGINT)")).as("dq"))
+      .select(
+        col("q_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / lit(TopK.toDouble), 6).as("recall"),
+        round(col("dq").cast("double") / lit(TopK * 1000000.0), 6).as("mean_abs_dev"))
+      .orderBy(col("q_id"))
+  }
+
+  /** q222 oracle: q36's quantization spelling, the explicit q28 cosine
+    * shape on both legs, the same rank/tie rule, and the identical
+    * micro-quantized Δ fold.
+    */
+  lazy val quantRetrievalAuditSql: String = {
+    def ldp(a: String, b: String) = s"list_dot_product($a, $b)"
+    s"""WITH q222e AS (
+       |  SELECT vec_id, vd, list_transform(vd, x -> round(x * 127 / amax, 0)::DOUBLE) AS v8
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS vd,
+       |          list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+       |        FROM embeddings
+       |        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)),
+       |q222x AS MATERIALIZED (
+       |  SELECT q_id, n_id FROM ($cosineTopKSql) WHERE rk <= $TopK),
+       |q222s AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${ldp("q.vd", "c.vd")} / (sqrt(${ldp("q.vd", "q.vd")}) * sqrt(${ldp("c.vd", "c.vd")})) AS simf,
+       |    ${ldp("q.v8", "c.v8")} / (sqrt(${ldp("q.v8", "q.v8")}) * sqrt(${ldp("c.v8", "c.v8")})) AS sim8
+       |  FROM q222e q, q222e c
+       |  WHERE q.vec_id < $QueryCount AND q.vec_id <> c.vec_id),
+       |q222r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim8 DESC, n_id) AS rk
+       |  FROM q222s),
+       |q222t AS (SELECT q_id, n_id, simf, sim8 FROM q222r WHERE rk <= $TopK)
+       |SELECT t.q_id,
+       |  CAST(sum(CASE WHEN x.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN x.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / ${TopK.toDouble}, 6) AS recall,
+       |  round(CAST(sum(CAST(round(abs(t.sim8 - t.simf) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+       |    / ${TopK * 1000000.0}, 6) AS mean_abs_dev
+       |FROM q222t t LEFT JOIN q222x x ON x.q_id = t.q_id AND x.n_id = t.n_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+  }
+
   // --- q89: comparative index recall report ---------------------------------
 
   /** The index bake-off table: per query, recall@k of ALL THREE ANN

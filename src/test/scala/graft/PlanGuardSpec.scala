@@ -624,7 +624,10 @@ class PlanGuardSpec extends SparkSpec {
         "q218_doremi_weights",
         // q220's groupedPrefixSum crossJoins the 1-row collected pid-totals
         // aggregate — q216's exact shape
-        "q220_signal_auc")
+        "q220_signal_auc",
+        // q222's non-equi self-exclusion broadcasts the fixed QueryCount
+        // query set — exactly q28/q152's allowlisted shape
+        "q222_quant_retrieval")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
