@@ -55,6 +55,34 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Stale-bytecode tripwire: the tree hash below vouches for SOURCES,
+    // but this JVM executes CLASSES — an edit-without-recompile run would
+    // stamp the new tree while running old operator bytecode, and the
+    // gate would vouch for code that never ran. Refuse to dump when any
+    // surface source is newer than the newest compiled classfile. (A run
+    // launched via `sbt runMain` recompiles first and always passes; this
+    // guards direct `java -cp` invocations against stale target/ state.)
+    val classesDir = Paths.get("target/scala-2.13/classes/graft")
+    if (Files.isDirectory(classesDir)) {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(classesDir)
+      val newestClass =
+        try s.iterator().asScala
+          .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".class"))
+          .map(Files.getLastModifiedTime(_).toMillis).foldLeft(0L)(math.max)
+        finally s.close()
+      val staleSrcs = graft.core.SrcSha.surfaceFiles().filter { p =>
+        Files.getLastModifiedTime(Paths.get(p)).toMillis > newestClass
+      }
+      if (staleSrcs.nonEmpty) {
+        System.err.println(
+          s"[verify] TRIPWIRE: ${staleSrcs.size} surface source(s) newer than " +
+            s"the compiled classes (e.g. ${staleSrcs.head}) — recompile before " +
+            "dumping, or the gate would vouch for code that never ran")
+        trace(s"EXIT=4 stale_sources=${staleSrcs.size} first=${staleSrcs.head}")
+        sys.exit(4)
+      }
+    }
     // Stamp the oracle-result-surface hash at DUMP time: the checker
     // (tools/oracle_check.py) re-derives it over the tree it sees and
     // refuses to publish a gate on mismatch — so a gate can never vouch

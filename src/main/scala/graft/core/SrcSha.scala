@@ -36,7 +36,12 @@ object SrcSha {
     false
   }
 
-  def compute(repoRoot: String = "."): String = {
+  /** Sorted repo-relative paths of every file in the oracle-result
+    * surface — the exact set [[compute]] hashes. Exposed so
+    * [[graft.Verify]] can compare source mtimes against compiled
+    * bytecode and refuse a dump whose classes predate an edit.
+    */
+  def surfaceFiles(repoRoot: String = "."): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val root = Paths.get(repoRoot)
     val globbed = Roots.flatMap { r =>
@@ -52,7 +57,12 @@ object SrcSha {
         finally s.close()
       }
     }
-    val files = (Fixed.filter(f => Files.isRegularFile(root.resolve(f))) ++ globbed).sorted
+    (Fixed.filter(f => Files.isRegularFile(root.resolve(f))) ++ globbed).sorted
+  }
+
+  def compute(repoRoot: String = "."): String = {
+    val root = Paths.get(repoRoot)
+    val files = surfaceFiles(repoRoot)
     val md = java.security.MessageDigest.getInstance("SHA-256")
     files.foreach { p =>
       md.update(p.getBytes("UTF-8"))

@@ -3056,7 +3056,12 @@ object StatsOps {
         sum(when(col("v") <= col("t"), 1L).otherwise(0L)).as("n_covered"))
       .select(
         col("alpha"), col("n_cal"), col("n_test"),
-        round(col("t"), 6).as("threshold"),
+        // published EXACTLY (an order statistic is a data value — the
+        // stop-ratio divide is IEEE-exact in both engines), so the E53
+        // stream monitor gating on the published column is bit-identical
+        // to the batch guarantee leg; a 6-dp display round here once made
+        // boundary scores disagree between the two legs
+        col("t").as("threshold"),
         col("n_covered"),
         round(col("n_covered").cast("double") / col("n_test").cast("double"), 6)
           .as("coverage"),
@@ -3282,7 +3287,7 @@ object StatsOps {
       ctes.toSeq,
       """SELECT t.alpha, t.n_cal,
         |  CAST(count(*) AS BIGINT) AS n_test,
-        |  round(t.t, 6) AS threshold,
+        |  t.t AS threshold,
         |  CAST(sum(CASE WHEN s.v <= t.t THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
         |  round(CAST(sum(CASE WHEN s.v <= t.t THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
         |    / count(*)::DOUBLE, 6) AS coverage,

@@ -683,11 +683,15 @@ object VectorOps {
       .groupBy(col("q_id"))
       .agg(
         sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_hit"),
+        // denominator = rows this query actually ranked (== TopK whenever
+        // the corpus has ≥ TopK+1 vectors; honest at tiny scale otherwise)
+        count(lit(1)).as("n_rk"),
         sum(expr("CAST(round(abs(sim8 - simf) * 1000000, 0) AS BIGINT)")).as("dq"))
       .select(
         col("q_id"), col("n_hit"),
-        round(col("n_hit").cast("double") / lit(TopK.toDouble), 6).as("recall"),
-        round(col("dq").cast("double") / lit(TopK * 1000000.0), 6).as("mean_abs_dev"))
+        round(col("n_hit").cast("double") / col("n_rk").cast("double"), 6).as("recall"),
+        round(col("dq").cast("double") / (col("n_rk").cast("double") * lit(1000000.0)), 6)
+          .as("mean_abs_dev"))
       .orderBy(col("q_id"))
   }
 
@@ -718,9 +722,9 @@ object VectorOps {
        |SELECT t.q_id,
        |  CAST(sum(CASE WHEN x.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
        |  round(CAST(sum(CASE WHEN x.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / ${TopK.toDouble}, 6) AS recall,
+       |    / count(*)::DOUBLE, 6) AS recall,
        |  round(CAST(sum(CAST(round(abs(t.sim8 - t.simf) * 1000000, 0) AS BIGINT)) AS DOUBLE)
-       |    / ${TopK * 1000000.0}, 6) AS mean_abs_dev
+       |    / (count(*)::DOUBLE * 1000000.0), 6) AS mean_abs_dev
        |FROM q222t t LEFT JOIN q222x x ON x.q_id = t.q_id AND x.n_id = t.n_id
        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
   }

@@ -709,6 +709,91 @@ object DocStreams {
           .as("at_risk_share"))
   }
 
+  case class LangDoc(doc_id: Long, text: String, lang: String, source: String,
+      ts: java.sql.Timestamp)
+
+  /** E57: streaming t-closeness tripwire — the third leg of the privacy
+    * trio's live side (E56 watches class SIZE / k-anonymity; this watches
+    * class COMPOSITION): per closed window, quasi-identifier classes
+    * `(source, length(text) DIV 100)` whose SENSITIVE-attribute (lang)
+    * distribution diverges from the corpus baseline by more than `t` in
+    * total variation — the t-closeness breach l-diversity misses when a
+    * class has many distinct values but a heavily skewed mix (a niche
+    * feed whose rare-language concentration points at a community even
+    * though k and l both pass). Batch q223 certifies the corpus; this
+    * catches a skewed class ARRIVING while the window is still
+    * quarantinable.
+    *
+    * Scale shape (E55/E56's chained-stateful-window pipeline): stage 1
+    * collapses each window to the QI grain with ONE bounded column per
+    * baseline language (conditional integer sums — the lang domain
+    * arrives as a ≤|langs| broadcast literal from the batch snapshot,
+    * the model-collection rule; unseen languages fold into an `other`
+    * bucket with zero baseline mass, maximally conservative). The TVD
+    * numerator `Σ_v |k_v·N − g_v·n_c|` is computed IN-ROW on the bounded
+    * class row as DECIMAL(38,0) cross-multiplication (a long overflows
+    * once window-class counts × corpus size pass ~10¹⁸), then stage 2
+    * re-windows the bounded class table via `window_time`. Counts are
+    * integers and additive; window = the reconciliation grain —
+    * batch-grouping the same records reproduces every column exactly
+    * (spec-pinned incl. a planted skewed class).
+    */
+  val StreamTclosenessT = 0.3
+
+  def tclosenessTripwire(
+      docs: DataFrame,
+      langDist: Seq[(String, Long)],
+      windowDur: String = "1 hour",
+      watermarkDur: String = "2 hours"): DataFrame = {
+    val bigN = langDist.map(_._2).sum
+    val langCounts = langDist.map { case (l, _) =>
+      sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"k_$l")
+    } :+ sum(when(col("lang").isInCollection(langDist.map(_._1)), 0L).otherwise(1L))
+      .as("k_other") :+ count(lit(1)).as("n_c")
+    val classes = docs
+      .withWatermark("ts", watermarkDur)
+      .select(col("ts"), col("source"), col("lang"),
+        expr("CAST(length(text) AS BIGINT) div 100").as("szb"))
+      .groupBy(window(col("ts"), windowDur), col("source"), col("szb"))
+      .agg(langCounts.head, langCounts.tail: _*)
+    // |k_v·N − g_v·n_c| per baseline language, plus the other-bucket term
+    // |k_other·N − 0| — all integer-valued DECIMAL(38,0) arithmetic
+    val numer = (langDist.map { case (l, g) =>
+      abs(col(s"k_$l").cast("decimal(38,0)") * lit(bigN)
+        - lit(g) * col("n_c").cast("decimal(38,0)"))
+    } :+ abs(col("k_other").cast("decimal(38,0)") * lit(bigN)))
+      .reduce(_ + _)
+    val scored = classes
+      .withColumn("tvd_num", numer)
+      .withColumn("tvd",
+        col("tvd_num").cast("double")
+          / (lit(2.0) * col("n_c").cast("double") * lit(bigN.toDouble)))
+    scored
+      .groupBy(window(window_time(col("window")), windowDur))
+      .agg(
+        sum(col("n_c")).as("n_docs"),
+        count(lit(1)).as("n_classes"),
+        sum(when(col("tvd") > StreamTclosenessT, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("tvd") > StreamTclosenessT, col("n_c")).otherwise(0L))
+          .as("n_docs_at_risk"),
+        max(col("tvd")).as("max_tvd"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("n_docs"), col("n_classes"), col("n_violating"), col("n_docs_at_risk"),
+        round(col("max_tvd"), 6).as("max_tvd"))
+  }
+
+  /** Bounded (≤|langs|) corpus language baseline for [[tclosenessTripwire]]
+    * — collected from the batch snapshot (the model-collection rule), so
+    * batch q223 and the stream tripwire measure against the identical
+    * distribution.
+    */
+  def langDistFrom(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, Long)] =
+    graft.core.Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+
   case class TsMedia(media_id: Long, payload: Array[Byte], source: String, ts: java.sql.Timestamp)
 
   /** E54: streaming audio-quality monitor — the D2 audio kernel

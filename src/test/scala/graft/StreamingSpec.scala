@@ -1695,6 +1695,62 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 10")._3 >= 1L)
   }
 
+  test("E57: chained-window t-closeness tripwire reconciles with batch per-window truth") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.LangDoc
+    implicit val ctx = spark.sqlContext
+    val corpus = graft.core.Tables.documents(spark, Sf0001)
+    val langDist = DocStreams.langDistFrom(spark, Sf0001)
+    val bigN = langDist.map(_._2).sum
+    val replay = corpus.select("doc_id", "text", "lang", "source").collect().zipWithIndex
+      .map { case (r, i) =>
+        LangDoc(r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+          Timestamp.valueOf(f"2024-01-01 ${10 + i % 2}%02d:15:00"))
+      } ++ Seq(
+      // planted skewed class: 6 docs, one QI class, ALL in one language →
+      // TVD vs the ~uniform corpus baseline far exceeds the 0.3 trip level
+      // (also an unseen-language doc exercising the other-bucket term)
+      (1 to 5).map(j => LangDoc(700000L + j, "y" * 5000, langDist.head._1, "nicheFeed",
+        Timestamp.valueOf("2024-01-01 10:30:00"))),
+      Seq(LangDoc(700006L, "y" * 5000, "zz-unseen", "nicheFeed",
+        Timestamp.valueOf("2024-01-01 10:30:00")))).flatten
+    val in = MemoryStream[LangDoc]
+    val q = DocStreams.tclosenessTripwire(in.toDF(), langDist)
+      .writeStream.format("memory").queryName("tclose_s").outputMode("append").start()
+    in.addData(replay.toSeq: _*); q.processAllAvailable()
+    in.addData(LangDoc(99999L, "late", "en", "srcX", Timestamp.valueOf("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("tclose_s").collect()
+      .filter(_.getString(0).startsWith("2024-01-01 1"))
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    q.stop()
+    assert(rows.size == 2)
+    // batch truth: same records, same windows, same QI grain, same integer
+    // cross-multiplied TVD — stream must reproduce every column
+    val baseline = langDist.toMap
+    val want = replay.groupBy(d => f"2024-01-01 ${d.ts.toLocalDateTime.getHour}%02d").view
+      .mapValues { ds =>
+        val classes = ds.groupBy(d => (d.source, d.text.length.toLong / 100)).values.map { cs =>
+          val nc = cs.size.toLong
+          val numer = langDist.map { case (l, g) =>
+            (BigInt(cs.count(_.lang == l)) * bigN - BigInt(g) * nc).abs
+          }.sum + BigInt(cs.count(d => !baseline.contains(d.lang))) * bigN
+          (nc, numer.toDouble / (2.0 * nc.toDouble * bigN.toDouble))
+        }.toSeq
+        (classes.map(_._1).sum, classes.size.toLong,
+          classes.count(_._2 > DocStreams.StreamTclosenessT).toLong,
+          classes.filter(_._2 > DocStreams.StreamTclosenessT).map(_._1).sum,
+          BigDecimal(classes.map(_._2).max).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }.toMap
+    assert(rows == want, s"stream $rows vs batch $want")
+    // the planted one-language class must trip in hour 10
+    assert(rows("2024-01-01 10")._3 >= 1L, s"planted skew not flagged: $rows")
+  }
+
   test("E55: chained-window dup-pair meter reconciles with batch per-window truth exactly") {
     import spark.implicits._
     import graft.streaming.DocStreams
@@ -1802,7 +1858,9 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.DocStreams
     import graft.streaming.DocStreams.Doc
     implicit val ctx = spark.sqlContext
-    // thresholds calibrated by batch q216 on the snapshot (the published 6-dp values)
+    // thresholds calibrated by batch q216 on the snapshot (published exactly —
+    // the order statistic is a data value, so stream and batch gate on the
+    // identical double)
     val thr = DocStreams.conformalThresholds(spark, Sf0001)
     assert(thr.map(_._1) == graft.operators.StatsOps.ConformalAlphas,
       s"expected one threshold per alpha, got $thr")

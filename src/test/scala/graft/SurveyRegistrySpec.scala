@@ -46,7 +46,7 @@ class SurveyRegistrySpec extends AnyFunSuite {
     // this pin fails when either side moves alone.
     assert(SparkEntry.queries.size == 222,
       s"registry moved to ${SparkEntry.queries.size} queries — update SURVEY §2 and this pin")
-    assert(rows.size == 298,
+    assert(rows.size == 299,
       s"SURVEY §2 has ${rows.size} component rows — keep rows and registry moving together")
     val ids = rows.map(_.split("\\|")(1).trim)
     assert(ids.distinct.size == ids.size,
@@ -89,6 +89,26 @@ class SurveyRegistrySpec extends AnyFunSuite {
     * stamps the same value into the dump at dump time).
     */
   private lazy val srcSha: String = graft.core.SrcSha.compute()
+
+  test("oracle_check.py's src_sha mirror agrees with graft.core.SrcSha (no silent drift)") {
+    // The stamp/check contract only works if the Scala and Python hashes
+    // are bit-identical over the same file set — drift was previously
+    // comment-enforced only, and a divergence would surface as a permanent,
+    // confusing stamp≠tree refusal instead of this direct message.
+    val pb = new ProcessBuilder("python3", "tools/oracle_check.py", "--src-sha-only")
+      .redirectErrorStream(true)
+    val p =
+      try pb.start()
+      catch { case _: java.io.IOException => cancel("python3 not on PATH") }
+    assume(p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS), "python probe timed out")
+    val out = new String(p.getInputStream.readAllBytes()).trim
+    if (p.exitValue() != 0 && out.contains("No module named"))
+      cancel(s"oracle_check.py deps unavailable: $out")
+    assert(p.exitValue() == 0, s"--src-sha-only failed: $out")
+    assert(out.linesIterator.toSeq.last == srcSha,
+      s"oracle_check.py src_sha ${out.linesIterator.toSeq.last} != SrcSha.compute() $srcSha " +
+        "— the two mirrors drifted; fix whichever side changed")
+  }
 
   test("sf1 scaling lane covers the full registry with no gate violations (no stale lane)") {
     // BENCH_SF1_FULL.json is the 100 TB design evidence — round 8 shipped

@@ -31,8 +31,9 @@ def src_sha():
         "src/main/scala/graft/core",
         "src/main/scala/org",
     ]
-    files = ["src/main/scala/graft/SparkEntry.scala",
-             "src/main/scala/graft/GraftExtensions.scala"]
+    files = [f for f in ["src/main/scala/graft/SparkEntry.scala",
+                         "src/main/scala/graft/GraftExtensions.scala"]
+             if os.path.isfile(f)]  # mirrors SrcSha's Fixed existence filter
     for r in roots:
         files += glob.glob(f"{r}/**/*.scala", recursive=True)
     h = hashlib.sha256()
@@ -41,6 +42,14 @@ def src_sha():
         h.update(b"\0")
         h.update(open(p, "rb").read())
     return h.hexdigest()[:16]
+
+if len(sys.argv) == 2 and sys.argv[1] == "--src-sha-only":
+    # mirror-drift probe: print the hash and exit — SurveyRegistrySpec
+    # compares this against graft.core.SrcSha.compute() so a divergence
+    # between the two implementations fails loudly in CI instead of
+    # producing a permanent stamp/check mismatch
+    print(src_sha())
+    sys.exit(0)
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 # optional third arg: substring filter, for partial dumps (e.g. sf0.1
@@ -117,13 +126,19 @@ if json_out:
         sys.exit("ORACLE_CHECK_JSON requires a full (unfiltered) run")
     sha_now = src_sha()
     stamp_path = f"{out_dir}/src_sha.txt"
-    if os.path.isfile(stamp_path):
-        stamped = open(stamp_path).read().strip()
-        if stamped != sha_now:
-            sys.exit(
-                f"refusing to publish gate: dump was produced from source tree "
-                f"{stamped} but the current tree is {sha_now} — operator sources "
-                f"changed after the Verify dump ran; rerun graft.Verify")
+    if not os.path.isfile(stamp_path):
+        # an unstamped dump predates (or lost) the dump-time stamp; publishing
+        # with the CHECK-time tree hash would defeat the dump-time guarantee —
+        # a stale dump could silently vouch for the current tree
+        sys.exit(
+            "refusing to publish gate: dump carries no src_sha.txt stamp — "
+            "rerun graft.Verify (it stamps at dump time) before publishing")
+    stamped = open(stamp_path).read().strip()
+    if stamped != sha_now:
+        sys.exit(
+            f"refusing to publish gate: dump was produced from source tree "
+            f"{stamped} but the current tree is {sha_now} — operator sources "
+            f"changed after the Verify dump ran; rerun graft.Verify")
     payload = {
         "sf_dir": sf_dir,
         "src_sha": sha_now,
