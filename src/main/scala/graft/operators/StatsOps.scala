@@ -3153,6 +3153,91 @@ object StatsOps {
        |      / (n_pos::DOUBLE * n_neg::DOUBLE), 6) END AS gini
        |FROM q220a""".stripMargin
 
+  // --- q224: average precision of the quality signal vs dup truth --------------
+
+  /** Average precision (the exact area under the precision-recall curve,
+    * `AP = (1/n⁺) Σ_{positives} P@k`) of q22's stop-ratio signal against
+    * verified near-dup membership, plus the prevalence baseline a random
+    * ranker scores. q220's AUC weights every negative equally — on a
+    * rare-positive corpus (dups are usually <10%) AUC can read 0.9 while
+    * the top of the ranked list is still junk; AP is the rank metric that
+    * only looks at the top, which is what a "review the K most suspect
+    * docs" triage queue actually consumes. AP ≫ prevalence says the
+    * signal concentrates dups at the head; AP ≈ prevalence says the
+    * pretty AUC is all tail.
+    *
+    * Scale shape: both global ranks ride [[strictlyLess]] (range-partition
+    * + keyed window + broadcast offsets — never a single-task global
+    * window): once over the corpus for the running rank k, once over the
+    * positives alone for the running positive count j (P@k = j/k exactly,
+    * no prefix-sum pass needed). Determinism: the per-positive P@k terms
+    * micro-quantize to integers before the order-free sum; one
+    * divide-round per output leg.
+    */
+  def avgPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextOps.ngramJaccardPairs(spark, dir)
+    val dups = pairs
+      .select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val scored = TextOps
+      .qualityScore(spark, dir)
+      .select(col("doc_id"), col("stop_ratio").as("v"))
+      .join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        (-col("v")).as("nv"),
+        coalesce(col("is_dup"), lit(false)).as("pos"))
+    val ranked = graft.core.CacheScope.persist(
+      strictlyLess(scored, Nil, Seq("nv", "doc_id"), "lt")
+        .select(col("doc_id"), col("nv"), col("pos"), (col("lt") + 1L).as("k")))
+    val totals = ranked
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+    val apAgg = strictlyLess(
+      ranked.filter(col("pos")).select(col("nv"), col("doc_id"), col("k")),
+      Nil, Seq("nv", "doc_id"), "plt")
+      .select((col("plt") + 1L).as("j"), col("k"))
+      .groupBy()
+      .agg(sum(expr("CAST(round(1000000.0 * j / k, 0) AS BIGINT)")).as("s"))
+    totals
+      .crossJoin(apAgg)
+      .selectExpr(
+        "n", "n_pos",
+        "CASE WHEN n_pos > 0 THEN round(CAST(s AS DOUBLE) / 1000000.0" +
+          " / CAST(n_pos AS DOUBLE), 6) END AS avg_precision",
+        "round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS prevalence")
+  }
+
+  /** Oracle: q220's dup truth and score CTEs, ROW_NUMBER ranks with the
+    * identical (−v, doc_id) order, and the same micro-quantized P@k fold.
+    */
+  lazy val avgPrecisionSql: String =
+    s"""WITH ${TextOps.DuckShingleCte},
+       |${TextOps.DuckJaccardPairsCte},
+       |q224d AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM pairs WHERE jaccard >= ${TextOps.JaccardThreshold}
+       |    UNION ALL SELECT doc_b FROM pairs WHERE jaccard >= ${TextOps.JaccardThreshold})),
+       |q224s AS (SELECT q.doc_id, -q.stop_ratio AS nv, (d.doc_id IS NOT NULL) AS pos
+       |          FROM (${TextOps.qualityScoreSql.replace("ORDER BY doc_id", "")}) q
+       |          LEFT JOIN q224d d USING (doc_id)),
+       |q224r AS (SELECT doc_id, nv, pos,
+       |            ROW_NUMBER() OVER (ORDER BY nv, doc_id) AS k FROM q224s),
+       |q224p AS (SELECT ROW_NUMBER() OVER (ORDER BY nv, doc_id) AS j, k
+       |          FROM q224r WHERE pos),
+       |q224t AS (SELECT count(*)::BIGINT AS n,
+       |            CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |          FROM q224s),
+       |q224a AS (SELECT CAST(sum(CAST(round(1000000.0 * j / k, 0) AS BIGINT)) AS BIGINT) AS s
+       |          FROM q224p)
+       |SELECT n, n_pos,
+       |  CASE WHEN n_pos > 0 THEN round(CAST(s AS DOUBLE) / 1000000.0
+       |    / CAST(n_pos AS DOUBLE), 6) END AS avg_precision,
+       |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS prevalence
+       |FROM q224t, q224a""".stripMargin
+
   // --- q217: padding-waste batching economics ----------------------------------
 
   /** Batch sizes the padding audit prices. */

@@ -2635,4 +2635,385 @@ object VectorOps {
         |FROM q213pf GROUP BY fl
         |ORDER BY label""".stripMargin)
   }
+
+  // --- shared candidate-kNN graph (q213's top-k stage, factored) --------------
+
+  /** The candidate-kNN edge list (focal → nb, top-[[KnnK]] by cosine over
+    * the shared q30 LSH candidate pool) — q213's graph, factored so the
+    * hubness and rater-agreement audits rank the SAME neighborhoods.
+    */
+  private def knnTopK(spark: SparkSession, dir: String): DataFrame = {
+    // persisted before the two-branch orientation union — q212's rule
+    val pairs = graft.core.CacheScope.persist(nearDupPairsRaw(spark, emb(spark, dir)))
+    val oriented = pairs
+      .select(col("a_id").as("focal"), col("b_id").as("nb"), col("sim"))
+      .unionAll(pairs.select(col("b_id").as("focal"), col("a_id").as("nb"), col("sim")))
+    val w = Window.partitionBy(col("focal")).orderBy(col("sim").desc, col("nb"))
+    oriented
+      .select(col("focal"), col("nb"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= KnnK)
+      .select(col("focal"), col("nb"))
+  }
+
+  /** DuckDB mirror of [[knnTopK]]: the shared q30 candidate CTEs plus
+    * `pfx`-prefixed pair/orient/top-k stages ending in `<pfx>tk(focal, nb)`.
+    */
+  private def knnTopKCtes(pfx: String): Seq[(String, String)] =
+    nearDupCtes ++ Seq(
+      s"${pfx}pr" ->
+        s"(SELECT a_id, b_id, sim FROM q30sim WHERE sim >= $NearDupThreshold)",
+      s"${pfx}or" ->
+        s"""(SELECT a_id AS focal, b_id AS nb, sim FROM ${pfx}pr
+           | UNION ALL
+           | SELECT b_id, a_id, sim FROM ${pfx}pr)""".stripMargin,
+      s"${pfx}tk" ->
+        s"""(SELECT focal, nb FROM (
+           |   SELECT focal, nb,
+           |     ROW_NUMBER() OVER (PARTITION BY focal ORDER BY sim DESC, nb) AS rk
+           |   FROM ${pfx}or) WHERE rk <= $KnnK)""".stripMargin)
+
+  // --- q223: nDCG@K retrieval-quality eval ------------------------------------
+
+  /** Rank cutoff for the nDCG audit — q176's first-hit horizon. */
+  val NdcgK = 20
+
+  /** Discounted-gain weights 10⁶/log₂(i+1) for ranks 1..[[NdcgK]],
+    * micro-quantized ONCE here in the JVM and inlined as integer literals
+    * into BOTH legs — the only transcendental (log₂) never evaluates
+    * inside either engine, so rank weights are bit-identical by
+    * construction.
+    */
+  private[graft] val NdcgGains: Seq[Long] =
+    (1 to NdcgK).map(i => math.round(1000000.0 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** Cumulative gains — `NdcgGainCums(j-1)` is the ideal DCG of j
+    * relevant documents, `j ≤` [[NdcgK]].
+    */
+  private[graft] val NdcgGainCums: Seq[Long] =
+    NdcgGains.scanLeft(0L)(_ + _).tail
+
+  /** nDCG@[[NdcgK]] of exact cosine retrieval against label ground truth:
+    * per query vector, the position-discounted gain of its same-label
+    * neighbors normalized by the best achievable ordering
+    * (`IDCG = Σ_{i≤min(K,n_rel)} g(i)`), plus a `q_id = -1` mean-nDCG
+    * summary row. q176's MRR scores only the FIRST right answer; nDCG
+    * prices the whole page — a retriever that puts one good hit at rank 1
+    * and garbage below it ties q176 but loses here, which is the metric
+    * gap that matters when top-k context windows consume ALL k results.
+    *
+    * Scale shape: q28's broadcast idiom — the fixed query set broadcasts
+    * against one linear corpus scan; ranks are per-query windows over the
+    * bounded candidate stream; the summary folds ≤ [[QueryCount]] rows.
+    * Determinism: integer gain literals (above), integer DCG/IDCG sums,
+    * one divide-round per query and a micro-quantized order-free mean
+    * (the q176 rule).
+    */
+  def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val gArr = NdcgGains.mkString("array(", "L, ", "L)")
+    val cArr = NdcgGainCums.mkString("array(", "L, ", "L)")
+    val e = Tables
+      .embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"),
+        col("label"))
+      .withColumn("nrm", l2_norm(col("v")))
+      .filter(col("nrm") > 0)
+    val q = e.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("label").as("ql"))
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"),
+      col("label").as("cl"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val perQ = c
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("sim", dot / (col("qn") * col("cn")))
+      .select(col("q_id"), col("ql"), col("cl"), row_number().over(w).as("rk"))
+      .groupBy(col("q_id"), col("ql"))
+      .agg(
+        sum(when(col("cl") === col("ql"), 1L).otherwise(0L)).as("n_rel"),
+        sum(when(col("cl") === col("ql") && col("rk") <= NdcgK,
+          expr(s"element_at($gArr, rk)")).otherwise(0L)).as("dcg_u"))
+      .withColumn("idcg_u",
+        when(col("n_rel") > 0,
+          expr(s"element_at($cArr, CAST(least(n_rel, ${NdcgK}L) AS INT))"))
+          .otherwise(0L))
+      .withColumn("mq",
+        when(col("idcg_u") > 0,
+          expr("CAST(round(1000000.0 * dcg_u / idcg_u, 0) AS BIGINT)")).otherwise(0L))
+    val persisted = graft.core.CacheScope.persist(perQ)
+    val summary = persisted
+      .groupBy()
+      .agg(count(lit(1)).as("nq"), sum(col("mq")).as("smq"))
+      .select(
+        lit(-1L).as("q_id"),
+        lit(-1).as("label"),
+        lit(null).cast("long").as("n_rel"),
+        round(col("smq").cast("double") / lit(1000000.0) / col("nq").cast("double"), 6)
+          .as("ndcg"))
+    persisted
+      .select(
+        col("q_id"), col("ql").as("label"), col("n_rel"),
+        when(col("idcg_u") > 0,
+          round(col("dcg_u").cast("double") / col("idcg_u").cast("double"), 6))
+          .otherwise(0.0).as("ndcg"))
+      .unionByName(summary)
+      .orderBy(col("q_id"))
+  }
+
+  /** Oracle: q28's engine-exact cosine rank spelling, the SAME inlined
+    * integer gain literals, and the identical divide-round / micro-mean
+    * shapes.
+    */
+  lazy val ndcgEvalSql: String = {
+    val gArr = NdcgGains.mkString("[", ", ", "]::BIGINT[]")
+    val cArr = NdcgGainCums.mkString("[", ", ", "]::BIGINT[]")
+    s"""WITH q223e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS vd, label FROM embeddings
+       |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+       |q223k AS (
+       |  SELECT q.vec_id AS q_id, q.label AS ql, c.label AS cl,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckCosine("q.vd", "c.vd")} DESC, c.vec_id) AS rk
+       |  FROM (SELECT * FROM q223e WHERE vec_id < $QueryCount) q, q223e c
+       |  WHERE q.vec_id <> c.vec_id),
+       |q223g AS (
+       |  SELECT q_id, ql,
+       |    CAST(sum(CASE WHEN cl = ql THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+       |    CAST(sum(CASE WHEN cl = ql AND rk <= $NdcgK
+       |      THEN list_extract($gArr, rk) ELSE 0 END) AS BIGINT) AS dcg_u
+       |  FROM q223k GROUP BY 1, 2),
+       |q223p AS (
+       |  SELECT q_id, ql, n_rel, dcg_u,
+       |    CASE WHEN n_rel > 0
+       |      THEN list_extract($cArr, CAST(least(n_rel, $NdcgK) AS INT))
+       |      ELSE 0 END AS idcg_u
+       |  FROM q223g),
+       |q223m AS (
+       |  SELECT q_id, ql, n_rel, dcg_u, idcg_u,
+       |    CASE WHEN idcg_u > 0
+       |      THEN CAST(round(1000000.0 * dcg_u / idcg_u, 0) AS BIGINT)
+       |      ELSE 0 END AS mq
+       |  FROM q223p)
+       |SELECT q_id, ql AS label, n_rel,
+       |  CASE WHEN idcg_u > 0
+       |    THEN round(CAST(dcg_u AS DOUBLE) / CAST(idcg_u AS DOUBLE), 6)
+       |    ELSE 0.0 END AS ndcg
+       |FROM q223m
+       |UNION ALL
+       |SELECT -1::BIGINT, -1::INTEGER, NULL::BIGINT,
+       |  round(CAST(sum(mq) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 6)
+       |FROM q223m
+       |ORDER BY q_id""".stripMargin
+  }
+
+  // --- q227: kNN-graph hubness audit ------------------------------------------
+
+  /** Hubness audit of the candidate-kNN graph (Radovanović et al. 2010):
+    * the in-degree ("k-occurrence") distribution of [[knnTopK]] —
+    * how often each vector appears in OTHER vectors' top-[[KnnK]] lists —
+    * summarized as mean, max, anti-hub count (in-degree 0), and the
+    * standardized skewness `S_{N_k} = m₃/m₂^{3/2}`, THE standard hubness
+    * statistic. High positive skew means a few "hub" vectors dominate
+    * every neighbor list — retrieval (q176/q223), kNN label screens
+    * (q213), and semantic dedup (q30/q65) all silently degrade in that
+    * regime, and the fix (norm-centering the embeddings) is cheap once
+    * the audit says it's needed. q194's spectrum flags anisotropy of the
+    * SPACE; this flags the neighbor-GRAPH pathology that anisotropy
+    * causes.
+    *
+    * Scale shape: the edge list is the shared candidate top-k stage
+    * (never corpus²); in-degree is ONE keyed count; the moment fold is a
+    * 1-row aggregate with `Σd³` in DECIMAL(38,0) (hub degrees can reach
+    * the corpus count, so the cube overflows a long past ~2·10⁶ on one
+    * hub). Anti-hubs come from the corpus count minus hit count — no
+    * anti-join materialized. Determinism: integer sums until the
+    * (identically-shaped) IEEE moment arithmetic; `m₂^{3/2}` is spelled
+    * `m2 * sqrt(m2)` in BOTH legs (sqrt and * are correctly rounded —
+    * `pow(x, 1.5)` is not).
+    */
+  def knnHubness(spark: SparkSession, dir: String): DataFrame = {
+    val indeg = knnTopK(spark, dir)
+      .groupBy(col("nb"))
+      .agg(count(lit(1)).as("d"))
+    val sums = indeg
+      .groupBy()
+      .agg(
+        coalesce(sum(col("d")), lit(0L)).as("s1"),
+        coalesce(sum(col("d") * col("d")), lit(0L)).as("s2"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d * d")).as("s3"),
+        coalesce(max(col("d")), lit(0L)).as("max_indeg"),
+        count(lit(1)).as("n_hit"))
+    val universe = emb(spark, dir).agg(count(lit(1)).as("n_nodes"))
+    sums
+      .crossJoin(broadcast(universe))
+      .selectExpr(
+        "n_nodes", "s1 AS n_edges", "max_indeg",
+        "n_nodes - n_hit AS n_antihubs",
+        "CAST(s1 AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS mu",
+        "CAST(s2 AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS r2",
+        "CAST(s3 AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS r3")
+      .selectExpr(
+        "n_nodes", "n_edges", "max_indeg", "n_antihubs", "mu",
+        "r2 - mu * mu AS m2",
+        "r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3")
+      .selectExpr(
+        "n_nodes", "n_edges", "max_indeg", "n_antihubs",
+        "round(mu, 6) AS mean_indeg",
+        "CASE WHEN m2 > 0 THEN round(m3 / (m2 * sqrt(m2)), 6) END AS skewness")
+  }
+
+  /** Oracle: shared q30 candidate CTEs, identical in-degree fold (`Σd³`
+    * in HUGEINT), and the textually identical moment/skewness arithmetic.
+    */
+  lazy val knnHubnessSql: String = {
+    import graft.functions.DuckHash.assemble
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      knnTopKCtes("q227"): _*)
+    ctes += ("q227d" ->
+      "(SELECT nb, count(*)::BIGINT AS d FROM q227tk GROUP BY 1)")
+    ctes += ("q227s" ->
+      """(SELECT CAST(coalesce(sum(d), 0) AS BIGINT) AS s1,
+        |   CAST(coalesce(sum(d * d), 0) AS BIGINT) AS s2,
+        |   sum(d::HUGEINT * d * d) AS s3,
+        |   CAST(coalesce(max(d), 0) AS BIGINT) AS max_indeg,
+        |   count(*)::BIGINT AS n_hit
+        | FROM q227d)""".stripMargin)
+    ctes += ("q227n" ->
+      """(SELECT count(*)::BIGINT AS n_nodes FROM embeddings
+        | WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)""".stripMargin)
+    ctes += ("q227r" ->
+      """(SELECT n_nodes, s1 AS n_edges, max_indeg, n_nodes - n_hit AS n_antihubs,
+        |   CAST(s1 AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS mu,
+        |   CAST(s2 AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS r2,
+        |   CAST(s3 AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS r3
+        | FROM q227s, q227n)""".stripMargin)
+    ctes += ("q227m" ->
+      """(SELECT n_nodes, n_edges, max_indeg, n_antihubs, mu,
+        |   r2 - mu * mu AS m2,
+        |   r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3
+        | FROM q227r)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT n_nodes, n_edges, max_indeg, n_antihubs,
+        |  round(mu, 6) AS mean_indeg,
+        |  CASE WHEN m2 > 0 THEN round(m3 / (m2 * sqrt(m2)), 6) END AS skewness
+        |FROM q227m""".stripMargin)
+  }
+
+  // --- q228: Fleiss-kappa rater agreement of kNN label votes ------------------
+
+  /** Fleiss' κ (1971; varying-panel generalization) treating each
+    * vector's candidate-kNN neighbors as independent raters voting a
+    * category (their label): over items with at least 2 raters, the
+    * per-item agreement `P_i = Σ_j n_ij(n_ij−1) / (n_i(n_i−1))`, the
+    * chance agreement `P_e = Σ_j p_j²` from pooled category marginals
+    * (`p_j = C_j / Σ n_i`), and `κ = (P̄ − P_e)/(1 − P_e)` — agreement
+    * CORRECTED for the label skew that makes q213's raw agreement
+    * fraction look healthy on an imbalanced corpus (a 90%-one-class
+    * corpus gets 0.81 raw agreement by chance alone; κ reports ~0
+    * there). One number for "do embedding neighborhoods and labels tell
+    * the same story", comparable across corpora with different class
+    * balance. The varying-n form (not the fixed-panel original) because
+    * candidate panels are whatever the LSH pool yields — demanding a
+    * full [[KnnK]] panel throws away most items at low density.
+    *
+    * Scale shape: votes are ONE keyed count over the shared candidate
+    * top-k edges (≤ |labels| rows per focal); per-item P_i is exact
+    * rational with denominator ≤ K(K−1), micro-quantized before the
+    * order-free mean (the q176 rule); `Σ C_j²` rides DECIMAL(38,0)
+    * (category marginals scale with the corpus, so the square overflows
+    * a long past ~3·10⁹ votes). Integer sums until the
+    * identically-shaped IEEE κ arithmetic; round once per output leg.
+    */
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val votes = graft.core.CacheScope.persist(
+      knnTopK(spark, dir)
+        .join(labels.select(col("vec_id").as("nb"), col("label").as("nl")), "nb")
+        .groupBy(col("focal"), col("nl"))
+        .agg(count(lit(1)).as("nij")))
+    val items = graft.core.CacheScope.persist(
+      votes
+        .groupBy(col("focal"))
+        .agg(sum(col("nij")).as("n_nb"),
+          sum(col("nij") * (col("nij") - 1L)).as("a2i"))
+        .filter(col("n_nb") >= 2L)
+        .select(
+          col("focal"), col("n_nb"),
+          expr("CAST(round(1000000.0 * a2i / (n_nb * (n_nb - 1)), 0) AS BIGINT)")
+            .as("pim")))
+    val itemAgg = items
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_items"),
+        coalesce(sum(col("n_nb")), lit(0L)).as("t"),
+        coalesce(sum(col("pim")), lit(0L)).as("spm"))
+    val catAgg = votes
+      .join(items.select(col("focal")), "focal")
+      .groupBy(col("nl"))
+      .agg(sum(col("nij")).as("cj"))
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_categories"),
+        sum(expr("CAST(cj AS DECIMAL(38,0)) * cj")).as("sc2"))
+    itemAgg
+      .crossJoin(broadcast(catAgg))
+      .selectExpr(
+        "n_items", "t AS n_votes", "n_categories",
+        "CASE WHEN n_items > 0 THEN CAST(spm AS DOUBLE) / 1000000.0" +
+          " / CAST(n_items AS DOUBLE) END AS pbar",
+        "CASE WHEN t > 0 THEN CAST(sc2 AS DOUBLE)" +
+          " / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) END AS pe")
+      .selectExpr(
+        "n_items", "n_votes", "n_categories",
+        "round(pbar, 6) AS p_bar",
+        "round(pe, 6) AS p_e",
+        "CASE WHEN 1.0 - pe <> 0 THEN round((pbar - pe) / (1.0 - pe), 6) END AS kappa")
+  }
+
+  /** Oracle: shared candidate CTEs, identical ≥2-rater filter, the same
+    * micro-quantized per-item agreement, integer vote folds (`Σ C_j²` in
+    * HUGEINT), and textually identical κ arithmetic.
+    */
+  lazy val fleissKappaSql: String = {
+    import graft.functions.DuckHash.assemble
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      knnTopKCtes("q228"): _*)
+    ctes += ("q228v" ->
+      """(SELECT t.focal, ne.label AS nl, count(*)::BIGINT AS nij
+        | FROM q228tk t JOIN embeddings ne ON ne.vec_id = t.nb
+        | GROUP BY 1, 2)""".stripMargin)
+    ctes += ("q228i" ->
+      """(SELECT focal, n_nb,
+        |   CAST(round(1000000.0 * a2i / (n_nb * (n_nb - 1)), 0) AS BIGINT) AS pim
+        | FROM (SELECT focal, CAST(sum(nij) AS BIGINT) AS n_nb,
+        |         CAST(sum(nij * (nij - 1)) AS BIGINT) AS a2i
+        |       FROM q228v GROUP BY focal)
+        | WHERE n_nb >= 2)""".stripMargin)
+    ctes += ("q228a" ->
+      """(SELECT count(*)::BIGINT AS n_items,
+        |   CAST(coalesce(sum(n_nb), 0) AS BIGINT) AS t,
+        |   CAST(coalesce(sum(pim), 0) AS BIGINT) AS spm FROM q228i)""".stripMargin)
+    ctes += ("q228c" ->
+      """(SELECT v.nl, CAST(sum(v.nij) AS BIGINT) AS cj
+        | FROM q228v v JOIN q228i i USING (focal) GROUP BY 1)""".stripMargin)
+    ctes += ("q228e" ->
+      """(SELECT count(*)::BIGINT AS n_categories, sum(cj::HUGEINT * cj) AS sc2
+        | FROM q228c)""".stripMargin)
+    ctes += ("q228p" ->
+      """(SELECT n_items, t AS n_votes, n_categories,
+        |   CASE WHEN n_items > 0 THEN CAST(spm AS DOUBLE) / 1000000.0
+        |     / CAST(n_items AS DOUBLE) END AS pbar,
+        |   CASE WHEN t > 0 THEN CAST(sc2 AS DOUBLE)
+        |     / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) END AS pe
+        | FROM q228a, q228e)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT n_items, n_votes, n_categories,
+        |  round(pbar, 6) AS p_bar,
+        |  round(pe, 6) AS p_e,
+        |  CASE WHEN 1.0 - pe <> 0 THEN round((pbar - pe) / (1.0 - pe), 6) END AS kappa
+        |FROM q228p""".stripMargin)
+  }
 }

@@ -720,7 +720,7 @@ object DocStreams {
     * total variation — the t-closeness breach l-diversity misses when a
     * class has many distinct values but a heavily skewed mix (a niche
     * feed whose rare-language concentration points at a community even
-    * though k and l both pass). Batch q223 certifies the corpus; this
+    * though k and l both pass). Batch q229 certifies the corpus; this
     * catches a skewed class ARRIVING while the window is still
     * quarantinable.
     *
@@ -783,9 +783,60 @@ object DocStreams {
         round(col("max_tvd"), 6).as("max_tvd"))
   }
 
+  /** E58: streaming l-diversity tripwire — q175's live leg, completing
+    * the privacy trio's stream side (E56 watches class SIZE, E57 class
+    * COMPOSITION vs a baseline; this watches class VALUE DIVERSITY): per
+    * closed window, quasi-identifier classes `(source, length(text) DIV
+    * 100)` whose sensitive attribute (lang) takes fewer than
+    * [[StreamLdivL]] distinct values — including the fully homogeneous
+    * classes (one value) where membership alone discloses the attribute,
+    * the leak k-anonymity misses when a class is big but uniform.
+    *
+    * Scale shape: THREE chained stateful window aggregates (one past
+    * E55/E56's two — Spark's multiple-stateful-operator chaining via
+    * `window_time` carries it): stage 1 collapses to the (QI, lang) cell
+    * grain (counts, map-side combinable); stage 2 re-windows the bounded
+    * cell table to the QI class grain, where the distinct-value count is
+    * an ordinary `count(1)` over cells — never a `countDistinct` holding
+    * a value set in stream state; stage 3 re-windows the class table to
+    * the per-window report. All counts integer and additive within the
+    * window; window = the reconciliation grain — batch-grouping the same
+    * records reproduces every column exactly (spec-pinned incl. a
+    * planted homogeneous class).
+    */
+  val StreamLdivL = 3L
+
+  def ldiversityTripwire(
+      docs: DataFrame,
+      windowDur: String = "1 hour",
+      watermarkDur: String = "2 hours"): DataFrame = {
+    val cells = docs
+      .withWatermark("ts", watermarkDur)
+      .select(col("ts"), col("source"), col("lang"),
+        expr("CAST(length(text) AS BIGINT) div 100").as("szb"))
+      .groupBy(window(col("ts"), windowDur), col("source"), col("szb"), col("lang"))
+      .agg(count(lit(1)).as("k"))
+    val classes = cells
+      .groupBy(window(window_time(col("window")), windowDur), col("source"), col("szb"))
+      .agg(count(lit(1)).as("l"), sum(col("k")).as("n_c"))
+    classes
+      .groupBy(window(window_time(col("window")), windowDur))
+      .agg(
+        sum(col("n_c")).as("n_docs"),
+        count(lit(1)).as("n_classes"),
+        sum(when(col("l") < StreamLdivL, 1L).otherwise(0L)).as("n_below_l"),
+        sum(when(col("l") < StreamLdivL, col("n_c")).otherwise(0L)).as("n_docs_at_risk"),
+        sum(when(col("l") === 1L, 1L).otherwise(0L)).as("n_homogeneous"),
+        min(col("l")).as("min_diversity"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("n_docs"), col("n_classes"), col("n_below_l"), col("n_docs_at_risk"),
+        col("n_homogeneous"), col("min_diversity"))
+  }
+
   /** Bounded (≤|langs|) corpus language baseline for [[tclosenessTripwire]]
     * — collected from the batch snapshot (the model-collection rule), so
-    * batch q223 and the stream tripwire measure against the identical
+    * batch q229 and the stream tripwire measure against the identical
     * distribution.
     */
   def langDistFrom(

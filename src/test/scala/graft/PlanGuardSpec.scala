@@ -627,7 +627,19 @@ class PlanGuardSpec extends SparkSpec {
         "q220_signal_auc",
         // q222's non-equi self-exclusion broadcasts the fixed QueryCount
         // query set — exactly q28/q152's allowlisted shape
-        "q222_quant_retrieval")
+        "q222_quant_retrieval",
+        // q223's non-equi self-exclusion broadcasts the fixed QueryCount
+        // query set — exactly q28/q176's allowlisted shape
+        "q223_ndcg_eval",
+        // q224 crossJoins its two 1-row aggregates (totals × AP fold) and
+        // rides strictlyLess's 1-row collected pid-offset joins — q42 + q217
+        "q224_avg_precision",
+        // q227 crossJoins the 1-row moment fold with the 1-row corpus count
+        // — q42's sketch×exact shape
+        "q227_knn_hubness",
+        // q228 crossJoins its two 1-row aggregates (item fold × category
+        // marginals) — q42's shape
+        "q228_fleiss_kappa")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -708,6 +720,7 @@ class PlanGuardSpec extends SparkSpec {
       "q216_conformal_gate"      -> "groupedPrefixSum partition offsets",
       "q220_signal_auc"          -> "groupedPrefixSum partition offsets",
       "q217_padding_waste"       -> "strictlyLess partition-count offsets (≤P rows, twice)",
+      "q224_avg_precision"       -> "strictlyLess partition-count offsets (≤P rows, twice)",
       "q125_rfm_segments"        -> "groupedPrefixSum partition offsets",
       "q127_quality_calibration" -> "groupedPrefixSum partition offsets",
       "q79_quantile_normalize"   -> "groupedPrefixSum partition offsets",

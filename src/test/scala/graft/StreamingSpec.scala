@@ -1751,6 +1751,49 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 10")._3 >= 1L, s"planted skew not flagged: $rows")
   }
 
+  test("E58: triple-chained-window l-diversity tripwire reconciles with batch per-window truth") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.LangDoc
+    implicit val ctx = spark.sqlContext
+    val corpus = graft.core.Tables.documents(spark, Sf0001)
+    val replay = corpus.select("doc_id", "text", "lang", "source").collect().zipWithIndex
+      .map { case (r, i) =>
+        LangDoc(r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+          Timestamp.valueOf(f"2024-01-01 ${10 + i % 2}%02d:15:00"))
+      } ++ // planted homogeneous class: 5 docs, one QI class, ONE language →
+      // l = 1 (membership discloses the attribute), must flag in hour 10
+      (1 to 5).map(j => LangDoc(800000L + j, "z" * 5000, "en", "nicheFeed",
+        Timestamp.valueOf("2024-01-01 10:30:00")))
+    val in = MemoryStream[LangDoc]
+    val q = DocStreams.ldiversityTripwire(in.toDF())
+      .writeStream.format("memory").queryName("ldiv_s").outputMode("append").start()
+    in.addData(replay.toSeq: _*); q.processAllAvailable()
+    in.addData(LangDoc(99999L, "late", "en", "srcX", Timestamp.valueOf("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("ldiv_s").collect()
+      .filter(_.getString(0).startsWith("2024-01-01 1"))
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    q.stop()
+    assert(rows.size == 2)
+    // batch truth: same records, same windows, same QI grain and l rule
+    val want = replay.groupBy(d => f"2024-01-01 ${d.ts.toLocalDateTime.getHour}%02d").view
+      .mapValues { ds =>
+        val classes = ds.groupBy(d => (d.source, d.text.length.toLong / 100)).values
+          .map(cs => (cs.map(_.lang).distinct.size.toLong, cs.size.toLong)).toSeq
+        (ds.size.toLong, classes.size.toLong,
+          classes.count(_._1 < DocStreams.StreamLdivL).toLong,
+          classes.filter(_._1 < DocStreams.StreamLdivL).map(_._2).sum,
+          classes.count(_._1 == 1L).toLong,
+          classes.map(_._1).min)
+      }.toMap
+    assert(rows == want, s"stream $rows vs batch $want")
+    // the planted one-language class is homogeneous — hour 10 must show it
+    assert(rows("2024-01-01 10")._5 >= 1L, s"planted homogeneous class not flagged: $rows")
+  }
+
   test("E55: chained-window dup-pair meter reconciles with batch per-window truth exactly") {
     import spark.implicits._
     import graft.streaming.DocStreams
