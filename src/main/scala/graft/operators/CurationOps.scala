@@ -3131,6 +3131,89 @@ object CurationOps {
        |ORDER BY k.k""".stripMargin
   }
 
+  // --- q229: t-closeness audit ---------------------------------------------------
+
+  /** Total-variation trip level — shared with the E57 stream tripwire. */
+  val TclosenessT = 0.3
+
+  /** t-closeness audit (Li et al. 2007), completing the batch privacy
+    * trio (q159 k-anonymity watches class SIZE, q175 l-diversity class
+    * VALUE COUNT, this class COMPOSITION): for every quasi-identifier
+    * class `(source, n_chars DIV 100)`, the total-variation distance
+    * between its sensitive-attribute (lang) distribution and the corpus
+    * baseline, plus the exact `tvd > t = 0.3` verdict — the breach
+    * l-diversity misses when a class has many distinct values but a
+    * heavily skewed mix (a rare-language concentration points at a
+    * community even though k and l both pass). E57 is this audit's live
+    * leg on arriving windows; this is the corpus certificate a release
+    * sign-off cites.
+    *
+    * Scale shape: ONE corpus scan collapses to the (QI, lang) cell grain
+    * (bounded: |sources| × size-buckets × |langs|); the baseline, class
+    * totals, and the zero-fill grid all derive from that persisted cell
+    * table (no second scan); the TVD numerator `Σ_v |k_v·N − g_v·n_c|`
+    * folds per class in DECIMAL(38,0) (cross-products overflow a long
+    * once class counts × corpus size pass ~10¹⁸), and the verdict is the
+    * EXACT integer cross-multiplication `10·numer > 2·3·n_c·N` — no
+    * float ever decides it. One display divide-round for the tvd column.
+    */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.core.CacheScope.persist(
+      Tables
+        .documents(spark, dir)
+        .groupBy(col("source"), expr("n_chars DIV 100").as("size_bucket"), col("lang"))
+        .agg(count(lit(1)).as("k")))
+    val baseline = cells.groupBy(col("lang")).agg(sum(col("k")).as("g"))
+    val total = baseline.groupBy().agg(sum(col("g")).as("bign"))
+    val classes = cells
+      .groupBy(col("source"), col("size_bucket"))
+      .agg(sum(col("k")).as("n_c"))
+    classes
+      .crossJoin(broadcast(baseline))
+      .join(cells, Seq("source", "size_bucket", "lang"), "left")
+      .crossJoin(broadcast(total))
+      .select(
+        col("source"), col("size_bucket"), col("n_c"), col("bign"),
+        col("g"), coalesce(col("k"), lit(0L)).as("kv"))
+      .groupBy(col("source"), col("size_bucket"), col("n_c"), col("bign"))
+      .agg(sum(expr("abs(CAST(kv AS DECIMAL(38,0)) * bign - CAST(g AS DECIMAL(38,0)) * n_c)"))
+        .as("numer"))
+      .select(
+        col("source"), col("size_bucket"), col("n_c"),
+        round(col("numer").cast("double")
+          / (lit(2.0) * col("n_c").cast("double") * col("bign").cast("double")), 6)
+          .as("tvd"),
+        expr("10 * numer > CAST(2 * 3 * n_c AS DECIMAL(38,0)) * bign").as("violates"))
+      .orderBy(col("source"), col("size_bucket"))
+  }
+
+  /** q229 oracle: identical cell/baseline/grid derivation, HUGEINT
+    * cross-multiplied numerator, and the same exact integer verdict.
+    */
+  lazy val tClosenessSql: String =
+    """WITH q229c AS MATERIALIZED (
+      |  SELECT source, n_chars // 100 AS size_bucket, lang, count(*)::BIGINT AS k
+      |  FROM documents GROUP BY 1, 2, 3),
+      |q229b AS (SELECT lang, CAST(sum(k) AS BIGINT) AS g FROM q229c GROUP BY 1),
+      |q229n AS (SELECT CAST(sum(g) AS BIGINT) AS bign FROM q229b),
+      |q229g AS (SELECT source, size_bucket, CAST(sum(k) AS BIGINT) AS n_c
+      |          FROM q229c GROUP BY 1, 2),
+      |q229t AS (
+      |  SELECT cl.source, cl.size_bucket, cl.n_c, n.bign,
+      |    sum(abs(coalesce(ce.k, 0)::HUGEINT * n.bign - b.g::HUGEINT * cl.n_c)) AS numer
+      |  FROM q229g cl
+      |  CROSS JOIN q229b b
+      |  LEFT JOIN q229c ce ON ce.source = cl.source
+      |    AND ce.size_bucket = cl.size_bucket AND ce.lang = b.lang
+      |  CROSS JOIN q229n n
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT source, size_bucket, n_c,
+      |  round(CAST(numer AS DOUBLE)
+      |    / (2.0 * CAST(n_c AS DOUBLE) * CAST(bign AS DOUBLE)), 6) AS tvd,
+      |  10 * numer > (2 * 3 * n_c)::HUGEINT * bign AS violates
+      |FROM q229t
+      |ORDER BY source, size_bucket""".stripMargin
+
   // --- q185: dedup token-yield report ------------------------------------------
 
   /** Dedup token-yield report — the headline table a dedup campaign

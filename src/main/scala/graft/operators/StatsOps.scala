@@ -3238,6 +3238,443 @@ object StatsOps {
        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS prevalence
        |FROM q224t, q224a""".stripMargin
 
+  // --- q225: permutation p-values + Benjamini-Hochberg FDR gate -----------------
+
+  /** Permutation replicates per metric. */
+  val FdrPerms = 100L
+
+  /** BH target FDR as an integer percent (α = 0.10) — kept integral so the
+    * step-up comparison is exact cross-multiplied arithmetic.
+    */
+  val FdrAlphaPct = 10L
+
+  /** Multiple-testing-controlled experiment screening: per event-type
+    * metric, a PERMUTATION p-value of the q126 arm uplift (re-randomize
+    * the user→arm coin [[FdrPerms]] times via a rep-indexed hash;
+    * `p = (1 + #{|u_b| ≥ |u_obs|})/(B_valid + 1)`, the add-one
+    * Monte-Carlo estimator), then the Benjamini-Hochberg step-up at
+    * α = [[FdrAlphaPct]]% across the metric family — rank p ascending,
+    * reject through the largest r with `p_(r) ≤ r·α/m`. q126 reports
+    * each metric's CI in isolation; screening five metrics at α = 0.1
+    * each inflates the family false-positive rate toward 40%, which is
+    * how experiment dashboards end up shipping noise — BH is the
+    * standard correction, and the permutation p needs NO normal-CDF
+    * (the engines share no erf, and the u statistics are heavy-tailed
+    * user sums anyway).
+    *
+    * Scale shape: q126's bootstrap skeleton — the user×type table
+    * persists once, the ×[[FdrPerms]] expansion is a map-side broadcast
+    * crossJoin with hash-derived arms (no extra shuffle), per-(type,rep)
+    * sums are ONE keyed map-side-combinable aggregate; the hypothesis
+    * table is ≤|event types| rows, so the BH rank is an exact integer
+    * cross-multiplied self-join on a broadcast-tiny table (p-values with
+    * DIFFERENT valid-rep denominators compare as a·b' vs a'·b — no
+    * float ordering), and the step-up threshold `a·100·m ≤ r·α%·b` is
+    * pure integers. Doubles appear ONLY in the (identically-shaped) u
+    * comparisons and the final display rounds.
+    */
+  def fdrGate(spark: SparkSession, dir: String): DataFrame = {
+    val ug = graft.core.CacheScope.persist(
+      Tables
+        .events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("value").cast("decimal(18,2)").as("v"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_u"), sum(col("v")).as("sv_u")))
+    val obs = ug
+      .withColumn("arm", pmod(xxhash64(col("user_id")), lit(2L)))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("arm") === 0, col("n_u"))).as("nc"),
+        sum(when(col("arm") === 1, col("n_u"))).as("nt"),
+        sum(when(col("arm") === 0, col("sv_u"))).as("svc"),
+        sum(when(col("arm") === 1, col("sv_u"))).as("svt"))
+      .filter(col("nt") > 0 && col("nc") > 0)
+      .select(
+        col("event_type"),
+        (col("svt").cast("double") / col("nt").cast("double")
+          - col("svc").cast("double") / col("nc").cast("double")).as("u_obs"))
+    val reps = spark.range(FdrPerms).select(col("id").as("rep"))
+    val perm = ug
+      .crossJoin(broadcast(reps))
+      .withColumn("parm",
+        pmod(xxhash64(col("user_id") * lit(1024L) + col("rep")), lit(2L)))
+      .groupBy(col("event_type"), col("rep"))
+      .agg(
+        sum(when(col("parm") === 0, col("n_u"))).as("nc"),
+        sum(when(col("parm") === 1, col("n_u"))).as("nt"),
+        sum(when(col("parm") === 0, col("sv_u"))).as("svc"),
+        sum(when(col("parm") === 1, col("sv_u"))).as("svt"))
+      .filter(col("nt") > 0 && col("nc") > 0)
+      .select(
+        col("event_type"),
+        (col("svt").cast("double") / col("nt").cast("double")
+          - col("svc").cast("double") / col("nc").cast("double")).as("u_r"))
+    val pvals = perm
+      .join(broadcast(obs), "event_type")
+      .groupBy(col("event_type"), col("u_obs"))
+      .agg(
+        count(lit(1)).as("n_valid"),
+        sum(when(abs(col("u_r")) >= abs(col("u_obs")), 1L).otherwise(0L)).as("n_ge"))
+      .select(
+        col("event_type"), col("u_obs"), col("n_valid"),
+        (col("n_ge") + 1L).as("a"), (col("n_valid") + 1L).as("b"))
+    val hyp = graft.core.CacheScope.persist(pvals)
+    val ranked = hyp
+      .selectExpr("event_type AS et_s", "u_obs", "n_valid", "a AS a_s", "b AS b_s")
+      .join(
+        broadcast(hyp.selectExpr("event_type AS et_x", "a AS a_x", "b AS b_x")),
+        expr("a_x * b_s < a_s * b_x OR (a_x * b_s = a_s * b_x AND et_x <= et_s)"))
+      .groupBy(col("et_s"), col("u_obs"), col("n_valid"), col("a_s"), col("b_s"))
+      .agg(count(lit(1)).as("r"))
+      .crossJoin(broadcast(hyp.groupBy().agg(count(lit(1)).as("m"))))
+    val kstar = ranked
+      .groupBy()
+      .agg(max(when(expr(s"a_s * 100 * m <= r * $FdrAlphaPct * b_s"), col("r")))
+        .as("kstar"))
+    ranked
+      .crossJoin(broadcast(kstar))
+      .selectExpr(
+        "et_s AS event_type",
+        "round(u_obs, 6) AS uplift_obs",
+        "n_valid AS n_perms",
+        "round(CAST(a_s AS DOUBLE) / CAST(b_s AS DOUBLE), 6) AS p_value",
+        "r AS bh_rank",
+        "CASE WHEN kstar IS NOT NULL AND r <= kstar THEN true ELSE false END AS rejected")
+      .orderBy(col("event_type"))
+  }
+
+  /** q225 oracle: both hash chains through [[graft.functions.DuckHash]]
+    * (observed arm on user_id, permuted arm on user_id·1024+rep), the
+    * identical IEEE u shapes, and the same integer cross-multiplied BH
+    * rank/step-up.
+    */
+  lazy val fdrGateSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = ArrayBuffer[(String, String)](
+      "q225u" ->
+        """(SELECT user_id, event_type, count(*)::BIGINT AS n_u,
+          |  sum(CAST(value AS DECIMAL(18,2))) AS sv_u
+          | FROM events GROUP BY user_id, event_type)""".stripMargin,
+      "q225du" -> "(SELECT DISTINCT user_id, user_id::HUGEINT AS l FROM q225u)"
+    )
+    val chA = new SqlChain("q225ha", "q225du", Seq("user_id", "l"))
+    hashLongLevels(chA, toUnsigned("l"), "42", "ha")
+    ctes ++= chA.ctes
+    ctes += ("q225arm" ->
+      s"(SELECT user_id, (((${toSigned("ha")} % 2) + 2) % 2)::BIGINT AS arm FROM ${chA.last})")
+    ctes += ("q225g" ->
+      s"""(SELECT u.user_id, r.rep, (u.user_id * 1024 + r.rep)::HUGEINT AS l2
+         | FROM (SELECT DISTINCT user_id FROM q225u) u,
+         |   (SELECT unnest(range(0, $FdrPerms))::BIGINT AS rep) r)""".stripMargin)
+    val chP = new SqlChain("q225hp", "q225g", Seq("user_id", "rep", "l2"))
+    hashLongLevels(chP, toUnsigned("l2"), "42", "hp")
+    ctes ++= chP.ctes
+    ctes += ("q225parm" ->
+      s"""(SELECT user_id, rep, (((${toSigned("hp")} % 2) + 2) % 2)::BIGINT AS parm
+         | FROM ${chP.last})""".stripMargin)
+    ctes += ("q225o" ->
+      """(SELECT event_type,
+        |    svt::DOUBLE / nt::DOUBLE - svc::DOUBLE / nc::DOUBLE AS u_obs
+        |  FROM (SELECT u.event_type,
+        |      sum(CASE WHEN a.arm = 0 THEN u.n_u END)::BIGINT AS nc,
+        |      sum(CASE WHEN a.arm = 1 THEN u.n_u END)::BIGINT AS nt,
+        |      sum(CASE WHEN a.arm = 0 THEN u.sv_u END) AS svc,
+        |      sum(CASE WHEN a.arm = 1 THEN u.sv_u END) AS svt
+        |    FROM q225u u JOIN q225arm a USING (user_id) GROUP BY 1)
+        |  WHERE nt > 0 AND nc > 0)""".stripMargin)
+    ctes += ("q225r" ->
+      """(SELECT event_type, rep,
+        |    svt::DOUBLE / nt::DOUBLE - svc::DOUBLE / nc::DOUBLE AS u_r
+        |  FROM (SELECT u.event_type, p.rep,
+        |      sum(CASE WHEN p.parm = 0 THEN u.n_u END)::BIGINT AS nc,
+        |      sum(CASE WHEN p.parm = 1 THEN u.n_u END)::BIGINT AS nt,
+        |      sum(CASE WHEN p.parm = 0 THEN u.sv_u END) AS svc,
+        |      sum(CASE WHEN p.parm = 1 THEN u.sv_u END) AS svt
+        |    FROM q225u u JOIN q225parm p USING (user_id) GROUP BY 1, 2)
+        |  WHERE nt > 0 AND nc > 0)""".stripMargin)
+    ctes += ("q225p" ->
+      """(SELECT r.event_type, o.u_obs, count(*)::BIGINT AS n_valid,
+        |    (CAST(sum(CASE WHEN abs(r.u_r) >= abs(o.u_obs) THEN 1 ELSE 0 END) AS BIGINT)
+        |      + 1) AS a,
+        |    (count(*)::BIGINT + 1) AS b
+        |  FROM q225r r JOIN q225o o USING (event_type)
+        |  GROUP BY 1, 2)""".stripMargin)
+    ctes += ("q225k" ->
+      """(SELECT s.event_type AS et_s, s.u_obs, s.n_valid, s.a AS a_s, s.b AS b_s,
+        |    count(*)::BIGINT AS r
+        |  FROM q225p s JOIN q225p x
+        |    ON x.a * s.b < s.a * x.b
+        |    OR (x.a * s.b = s.a * x.b AND x.event_type <= s.event_type)
+        |  GROUP BY 1, 2, 3, 4, 5)""".stripMargin)
+    ctes += ("q225m" -> "(SELECT count(*)::BIGINT AS m FROM q225p)")
+    ctes += ("q225s" ->
+      s"""(SELECT max(CASE WHEN a_s * 100 * m <= r * $FdrAlphaPct * b_s THEN r END) AS kstar
+         | FROM q225k, q225m)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT et_s AS event_type,
+        |  round(u_obs, 6) AS uplift_obs,
+        |  n_valid AS n_perms,
+        |  round(CAST(a_s AS DOUBLE) / CAST(b_s AS DOUBLE), 6) AS p_value,
+        |  r AS bh_rank,
+        |  CASE WHEN kstar IS NOT NULL AND r <= kstar THEN true ELSE false END AS rejected
+        |FROM q225k, q225s
+        |ORDER BY et_s""".stripMargin)
+  }
+
+  // --- q226: CUPED variance-reduced uplift --------------------------------------
+
+  /** CUPED (Deng et al. 2013) variance-reduced experiment readout: per
+    * event-type metric, each user's PRE-period activity (days 1–15, the
+    * calendar first half — a fixed rule, never a data-dependent scalar)
+    * is the covariate X for their POST-period metric Y (days 16+);
+    * `θ = cov(X,Y)/var(X)` pooled across arms, the adjusted uplift
+    * `Δ_cuped = Δ_raw − θ·(X̄_t − X̄_c)`, and the theoretical variance
+    * reduction `ρ² = cov²/(var_x·var_y)` — the standard trick that makes
+    * a fixed-traffic experiment read like one 1/(1−ρ²) times larger,
+    * because pre-period behavior explains away between-user variance the
+    * randomization has to average over. q126's bootstrap CI prices the
+    * noise; this REMOVES the predictable part of it.
+    *
+    * Scale shape: ONE keyed (user, type) aggregate pivots pre/post into
+    * integer cent sums (DECIMAL(18,2)·100 → BIGINT, lossless); the per-
+    * type moment fold is ONE keyed aggregate with cross-products in
+    * DECIMAL(38,0) (cent-sum products overflow a long past ~10⁹ users ×
+    * 10⁶ cents); θ/ρ²/uplift arithmetic runs on the ≤|types|-row table
+    * in identically-shaped IEEE doubles, one display round per column.
+    */
+  def cupedUplift(spark: SparkSession, dir: String): DataFrame = {
+    val ux = Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"), col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"),
+        (dayofmonth(col("ts")) <= 15).as("pre"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        sum(when(col("pre"), col("c")).otherwise(0L)).as("x"),
+        sum(when(col("pre"), 0L).otherwise(col("c"))).as("y"))
+      .withColumn("arm", pmod(xxhash64(col("user_id")), lit(2L)))
+    ux
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sxt"),
+        sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sxc"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("syt"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("syc"))
+      .filter(col("nt") > 0 && col("nc") > 0)
+      .selectExpr(
+        "event_type", "n", "nt", "nc",
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv",
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx",
+        "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy",
+        "CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE) AS dx",
+        "CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE) AS dy")
+      .selectExpr(
+        "event_type", "n AS n_users", "nt AS n_treat", "nc AS n_control",
+        "CASE WHEN vx > 0 THEN round(cv / vx, 6) END AS theta",
+        "round(dy / 100.0, 6) AS uplift_raw",
+        "CASE WHEN vx > 0 THEN round((dy - cv / vx * dx) / 100.0, 6) END AS uplift_cuped",
+        "CASE WHEN vx > 0 AND vy > 0 THEN round(cv * cv / (vx * vy), 6) END" +
+          " AS var_reduction")
+      .orderBy(col("event_type"))
+  }
+
+  /** q226 oracle: the arm hash through [[graft.functions.DuckHash]], the
+    * identical lossless cent pivot, HUGEINT cross-products, and textually
+    * identical θ/ρ²/uplift arithmetic.
+    */
+  lazy val cupedUpliftSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = ArrayBuffer[(String, String)](
+      "q226x" ->
+        """(SELECT user_id, event_type,
+          |    CAST(sum(CASE WHEN EXTRACT(day FROM ts) <= 15
+          |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END)
+          |      AS BIGINT) AS x,
+          |    CAST(sum(CASE WHEN EXTRACT(day FROM ts) <= 15
+          |      THEN 0 ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END)
+          |      AS BIGINT) AS y
+          |  FROM events GROUP BY 1, 2)""".stripMargin,
+      "q226du" -> "(SELECT DISTINCT user_id, user_id::HUGEINT AS l FROM q226x)"
+    )
+    val chA = new SqlChain("q226ha", "q226du", Seq("user_id", "l"))
+    hashLongLevels(chA, toUnsigned("l"), "42", "ha")
+    ctes ++= chA.ctes
+    ctes += ("q226arm" ->
+      s"(SELECT user_id, (((${toSigned("ha")} % 2) + 2) % 2)::BIGINT AS arm FROM ${chA.last})")
+    ctes += ("q226a" ->
+      """(SELECT u.event_type,
+        |    count(*)::BIGINT AS n,
+        |    CAST(sum(u.x) AS BIGINT) AS sx, CAST(sum(u.y) AS BIGINT) AS sy,
+        |    sum(u.x::HUGEINT * u.x) AS sxx, sum(u.x::HUGEINT * u.y) AS sxy,
+        |    sum(u.y::HUGEINT * u.y) AS syy,
+        |    CAST(sum(CASE WHEN a.arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN a.arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN a.arm = 1 THEN u.x ELSE 0 END) AS BIGINT) AS sxt,
+        |    CAST(sum(CASE WHEN a.arm = 0 THEN u.x ELSE 0 END) AS BIGINT) AS sxc,
+        |    CAST(sum(CASE WHEN a.arm = 1 THEN u.y ELSE 0 END) AS BIGINT) AS syt,
+        |    CAST(sum(CASE WHEN a.arm = 0 THEN u.y ELSE 0 END) AS BIGINT) AS syc
+        |  FROM q226x u JOIN q226arm a USING (user_id)
+        |  GROUP BY 1)""".stripMargin)
+    ctes += ("q226d" ->
+      """(SELECT event_type, n, nt, nc,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+        |    CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE) AS dx,
+        |    CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE) AS dy
+        |  FROM q226a WHERE nt > 0 AND nc > 0)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT event_type, n AS n_users, nt AS n_treat, nc AS n_control,
+        |  CASE WHEN vx > 0 THEN round(cv / vx, 6) END AS theta,
+        |  round(dy / 100.0, 6) AS uplift_raw,
+        |  CASE WHEN vx > 0 THEN round((dy - cv / vx * dx) / 100.0, 6) END AS uplift_cuped,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN round(cv * cv / (vx * vy), 6) END AS var_reduction
+        |FROM q226d
+        |ORDER BY event_type""".stripMargin)
+  }
+
+  // --- q230: Neyman optimal stratified-sample allocation -------------------------
+
+  /** Total sample budget the allocation plan spends. */
+  val NeymanBudget = 1000L
+
+  /** Neyman-optimal stratified sampling plan (Neyman 1934): allocate a
+    * fixed audit budget of [[NeymanBudget]] draws across source strata
+    * proportional to `N_h·S_h` (stratum size × stratum stddev of
+    * n_chars), beside the proportional allocation q45 implements — plus
+    * the _ALL summary row pricing both designs' estimator variance
+    * (`V_prop = ΣW_h·S_h²/n`, `V_ney = (ΣW_h·S_h)²/n`) and the variance
+    * gain `1 − V_ney/V_prop`. The planner a QA/labeling campaign runs
+    * BEFORE q45 draws anything: when strata differ in spread (a wild
+    * crawl source vs a uniform template source), proportional sampling
+    * wastes budget on the homogeneous strata; the gain column says
+    * exactly how much a Neyman re-weighting buys. Singleton strata
+    * (n < 2, no variance estimate) are excluded from the plan and
+    * reported via the count gap.
+    *
+    * Scale shape: ONE keyed aggregate collapses the corpus to ≤|sources|
+    * strata rows (integer Σy/Σy² with the square in DECIMAL(38,0) — q174's
+    * overflow rule); S_h is IEEE sqrt of an identically-shaped variance;
+    * the cross-strata folds `ΣN_h·S_h` / `ΣN_h·S_h²` ride index-ordered
+    * array folds on the collected ≤|sources|-row table (the SURVEY §4
+    * ordered-fold rule — float sums are order-sensitive, so both engines
+    * fold in source order), and every allocation/variance column derives
+    * from those two scalars with one divide-round per output.
+    */
+  def neymanAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val strata = graft.core.CacheScope.persist(
+      docs(spark, dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("nh"),
+          sum(col("n_chars").cast("long")).as("sy"),
+          sum(expr("CAST(n_chars AS DECIMAL(38,0)) * n_chars")).as("syy"))
+        .filter(col("nh") >= 2L)
+        .selectExpr(
+          "source", "nh",
+          "(CAST(nh AS DOUBLE) * CAST(syy AS DOUBLE)" +
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))" +
+            " / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE)) AS s2h")
+        .selectExpr("source", "nh", "s2h", "sqrt(s2h) AS sh")
+        .selectExpr("*",
+          "CAST(nh AS DOUBLE) * sh AS nsh",
+          "CAST(nh AS DOUBLE) * s2h AS ns2h"))
+    val folds = strata
+      .groupBy()
+      .agg(
+        sum(col("nh")).as("nbig"),
+        count(lit(1)).as("n_strata"),
+        expr("aggregate(array_sort(collect_list(struct(source, nsh))), " +
+          "CAST(0.0 AS DOUBLE), (a, x) -> a + x.nsh)").as("d"),
+        expr("aggregate(array_sort(collect_list(struct(source, ns2h))), " +
+          "CAST(0.0 AS DOUBLE), (a, x) -> a + x.ns2h)").as("d2"))
+    val perStratum = strata
+      .crossJoin(broadcast(folds))
+      .selectExpr(
+        "source",
+        "nh AS n_rows",
+        "round(sh, 6) AS stddev",
+        s"CASE WHEN d > 0 THEN CAST(round($NeymanBudget.0" +
+          " * (CAST(nh AS DOUBLE) * sh) / d, 0) AS BIGINT) END AS alloc_neyman",
+        s"CAST(round($NeymanBudget.0 * CAST(nh AS DOUBLE) / CAST(nbig AS DOUBLE), 0)" +
+          " AS BIGINT) AS alloc_prop",
+        "CAST(NULL AS DOUBLE) AS v_prop",
+        "CAST(NULL AS DOUBLE) AS v_neyman",
+        "CAST(NULL AS DOUBLE) AS variance_gain")
+    val summary = folds
+      .selectExpr(
+        "'_ALL' AS source",
+        "nbig AS n_rows",
+        "CAST(NULL AS DOUBLE) AS stddev",
+        "CAST(NULL AS BIGINT) AS alloc_neyman",
+        "CAST(NULL AS BIGINT) AS alloc_prop",
+        s"round((d2 / CAST(nbig AS DOUBLE)) / $NeymanBudget.0, 6) AS v_prop",
+        s"round((d / CAST(nbig AS DOUBLE)) * (d / CAST(nbig AS DOUBLE))" +
+          s" / $NeymanBudget.0, 6) AS v_neyman",
+        "CASE WHEN d2 > 0 THEN round(1.0 - ((d / CAST(nbig AS DOUBLE))" +
+          " * (d / CAST(nbig AS DOUBLE))) / (d2 / CAST(nbig AS DOUBLE)), 6) END" +
+          " AS variance_gain")
+    perStratum.unionByName(summary).orderBy(col("source"))
+  }
+
+  /** q230 oracle: identical strata moments, the same source-ordered
+    * `list_reduce` folds, and textually identical allocation/variance
+    * arithmetic.
+    */
+  lazy val neymanAllocSql: String =
+    s"""WITH q230s AS MATERIALIZED (
+       |  SELECT source, nh, s2h, sqrt(s2h) AS sh FROM (
+       |    SELECT source, nh,
+       |      (CAST(nh AS DOUBLE) * CAST(syy AS DOUBLE)
+       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+       |        / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE)) AS s2h
+       |    FROM (
+       |      SELECT source, count(*)::BIGINT AS nh,
+       |        CAST(sum(n_chars::BIGINT) AS BIGINT) AS sy,
+       |        sum(n_chars::HUGEINT * n_chars) AS syy
+       |      FROM documents GROUP BY 1)
+       |    WHERE nh >= 2)),
+       |q230f AS (
+       |  SELECT CAST(sum(nh) AS BIGINT) AS nbig, count(*)::BIGINT AS n_strata,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(CAST(nh AS DOUBLE) * sh ORDER BY source)), (a, b) -> a + b) AS d,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(CAST(nh AS DOUBLE) * s2h ORDER BY source)), (a, b) -> a + b) AS d2
+       |  FROM q230s)
+       |SELECT source, n_rows, stddev, alloc_neyman, alloc_prop, v_prop, v_neyman,
+       |  variance_gain
+       |FROM (
+       |  SELECT s.source, s.nh AS n_rows, round(s.sh, 6) AS stddev,
+       |    CASE WHEN f.d > 0 THEN CAST(round($NeymanBudget.0
+       |      * (CAST(s.nh AS DOUBLE) * s.sh) / f.d, 0) AS BIGINT) END AS alloc_neyman,
+       |    CAST(round($NeymanBudget.0 * CAST(s.nh AS DOUBLE)
+       |      / CAST(f.nbig AS DOUBLE), 0) AS BIGINT) AS alloc_prop,
+       |    CAST(NULL AS DOUBLE) AS v_prop,
+       |    CAST(NULL AS DOUBLE) AS v_neyman,
+       |    CAST(NULL AS DOUBLE) AS variance_gain
+       |  FROM q230s s, q230f f
+       |  UNION ALL
+       |  SELECT '_ALL', f.nbig, CAST(NULL AS DOUBLE),
+       |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |    round((f.d2 / CAST(f.nbig AS DOUBLE)) / $NeymanBudget.0, 6),
+       |    round((f.d / CAST(f.nbig AS DOUBLE)) * (f.d / CAST(f.nbig AS DOUBLE))
+       |      / $NeymanBudget.0, 6),
+       |    CASE WHEN f.d2 > 0 THEN round(1.0 - ((f.d / CAST(f.nbig AS DOUBLE))
+       |      * (f.d / CAST(f.nbig AS DOUBLE))) / (f.d2 / CAST(f.nbig AS DOUBLE)), 6) END
+       |  FROM q230f f)
+       |ORDER BY source""".stripMargin
+
   // --- q217: padding-waste batching economics ----------------------------------
 
   /** Batch sizes the padding audit prices. */

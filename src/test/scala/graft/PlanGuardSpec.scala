@@ -639,7 +639,17 @@ class PlanGuardSpec extends SparkSpec {
         "q227_knn_hubness",
         // q228 crossJoins its two 1-row aggregates (item fold × category
         // marginals) — q42's shape
-        "q228_fleiss_kappa")
+        "q228_fleiss_kappa",
+        // q225's BH machinery is a ≤|event-types| hypothesis table: an
+        // integer cross-multiplied rank self-join plus 1-row m/k* joins —
+        // q74's bounded-theta-join shape
+        "q225_fdr_gate",
+        // q229 grids the bounded QI-class table against the ≤|langs|
+        // baseline and the 1-row total — q71's bucket-universe shape
+        "q229_tcloseness",
+        // q230 crossJoins the 1-row ordered-fold aggregate onto the
+        // ≤|sources| strata table — q70's shape
+        "q230_neyman_alloc")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -721,6 +731,7 @@ class PlanGuardSpec extends SparkSpec {
       "q220_signal_auc"          -> "groupedPrefixSum partition offsets",
       "q217_padding_waste"       -> "strictlyLess partition-count offsets (≤P rows, twice)",
       "q224_avg_precision"       -> "strictlyLess partition-count offsets (≤P rows, twice)",
+      "q230_neyman_alloc"        -> "source-ordered variance folds, ≤|sources| rows",
       "q125_rfm_segments"        -> "groupedPrefixSum partition offsets",
       "q127_quality_calibration" -> "groupedPrefixSum partition offsets",
       "q79_quantile_normalize"   -> "groupedPrefixSum partition offsets",
