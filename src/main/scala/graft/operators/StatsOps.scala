@@ -3675,6 +3675,221 @@ object StatsOps {
        |  FROM q230f f)
        |ORDER BY source""".stripMargin
 
+  // --- q231: covariate-balance SMD audit ----------------------------------------
+
+  /** The conventional imbalance trip level (Austin 2009). */
+  val SmdTrip = 0.1
+
+  /** Covariate-balance audit of the experiment assignment: per event-type
+    * metric, the standardized mean difference
+    * `SMD = (X̄_t − X̄_c) / √((s²_t + s²_c)/2)` of the PRE-period
+    * covariate (q226's X — calendar days 1–15 activity, fixed before any
+    * treatment effect can exist) between the two hash arms, with the
+    * conventional `|SMD| ≤ 0.1` verdict. q178's SRM gate catches broken
+    * assignment by COUNT; this catches it by COMPOSITION — a coin that
+    * passes SRM can still land the heavy users on one side, which biases
+    * Δ and silently breaks q226's θ (CUPED assumes the covariate is
+    * balanced). The pre-experiment health check every readout should
+    * gate on.
+    *
+    * Scale shape: q226's ONE keyed (user, type) pivot to integer cents,
+    * then ONE ≤|types|-row moment aggregate (squares in DECIMAL(38,0));
+    * means/variances/SMD in identically-shaped IEEE doubles on exact
+    * integer inputs; the verdict compares the RAW double (bit-identical
+    * both legs) so no rounded value ever decides it.
+    */
+  def smdBalance(spark: SparkSession, dir: String): DataFrame = {
+    val ux = Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"), col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"),
+        (dayofmonth(col("ts")) <= 15).as("pre"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(when(col("pre"), col("c")).otherwise(0L)).as("x"))
+      .withColumn("arm", pmod(xxhash64(col("user_id")), lit(2L)))
+    ux
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sxt"),
+        sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sxc"),
+        sum(when(col("arm") === 1, expr("CAST(x AS DECIMAL(38,0)) * x"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("sxxt"),
+        sum(when(col("arm") === 0, expr("CAST(x AS DECIMAL(38,0)) * x"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("sxxc"))
+      .filter(col("nt") >= 2L && col("nc") >= 2L)
+      .selectExpr(
+        "event_type", "nt", "nc",
+        "CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE) AS mt",
+        "CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE) AS mc",
+        "(CAST(nt AS DOUBLE) * CAST(sxxt AS DOUBLE)" +
+          " - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE))" +
+          " / (CAST(nt AS DOUBLE) * CAST(nt - 1 AS DOUBLE)) AS vt",
+        "(CAST(nc AS DOUBLE) * CAST(sxxc AS DOUBLE)" +
+          " - CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE))" +
+          " / (CAST(nc AS DOUBLE) * CAST(nc - 1 AS DOUBLE)) AS vc")
+      .selectExpr(
+        "event_type", "nt AS n_treat", "nc AS n_control",
+        "round(mt / 100.0, 6) AS mean_treat",
+        "round(mc / 100.0, 6) AS mean_control",
+        "CASE WHEN sqrt((vt + vc) / 2.0) > 0" +
+          " THEN round((mt - mc) / sqrt((vt + vc) / 2.0), 6) END AS smd",
+        s"CASE WHEN sqrt((vt + vc) / 2.0) > 0" +
+          s" THEN abs((mt - mc) / sqrt((vt + vc) / 2.0)) <= $SmdTrip END AS balanced")
+      .orderBy(col("event_type"))
+  }
+
+  /** q231 oracle: the arm hash through [[graft.functions.DuckHash]], the
+    * identical cent pivot, HUGEINT squares, and textually identical
+    * SMD arithmetic (verdict on the raw double both legs).
+    */
+  lazy val smdBalanceSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = ArrayBuffer[(String, String)](
+      "q231x" ->
+        """(SELECT user_id, event_type,
+          |    CAST(sum(CASE WHEN EXTRACT(day FROM ts) <= 15
+          |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END)
+          |      AS BIGINT) AS x
+          |  FROM events GROUP BY 1, 2)""".stripMargin,
+      "q231du" -> "(SELECT DISTINCT user_id, user_id::HUGEINT AS l FROM q231x)"
+    )
+    val chA = new SqlChain("q231ha", "q231du", Seq("user_id", "l"))
+    hashLongLevels(chA, toUnsigned("l"), "42", "ha")
+    ctes ++= chA.ctes
+    ctes += ("q231arm" ->
+      s"(SELECT user_id, (((${toSigned("ha")} % 2) + 2) % 2)::BIGINT AS arm FROM ${chA.last})")
+    ctes += ("q231a" ->
+      """(SELECT u.event_type,
+        |    CAST(sum(CASE WHEN a.arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN a.arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN a.arm = 1 THEN u.x ELSE 0 END) AS BIGINT) AS sxt,
+        |    CAST(sum(CASE WHEN a.arm = 0 THEN u.x ELSE 0 END) AS BIGINT) AS sxc,
+        |    sum(CASE WHEN a.arm = 1 THEN u.x::HUGEINT * u.x ELSE 0 END) AS sxxt,
+        |    sum(CASE WHEN a.arm = 0 THEN u.x::HUGEINT * u.x ELSE 0 END) AS sxxc
+        |  FROM q231x u JOIN q231arm a USING (user_id)
+        |  GROUP BY 1)""".stripMargin)
+    ctes += ("q231d" ->
+      """(SELECT event_type, nt, nc,
+        |    CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE) AS mt,
+        |    CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE) AS mc,
+        |    (CAST(nt AS DOUBLE) * CAST(sxxt AS DOUBLE)
+        |      - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE))
+        |      / (CAST(nt AS DOUBLE) * CAST(nt - 1 AS DOUBLE)) AS vt,
+        |    (CAST(nc AS DOUBLE) * CAST(sxxc AS DOUBLE)
+        |      - CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE))
+        |      / (CAST(nc AS DOUBLE) * CAST(nc - 1 AS DOUBLE)) AS vc
+        |  FROM q231a WHERE nt >= 2 AND nc >= 2)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      s"""SELECT event_type, nt AS n_treat, nc AS n_control,
+         |  round(mt / 100.0, 6) AS mean_treat,
+         |  round(mc / 100.0, 6) AS mean_control,
+         |  CASE WHEN sqrt((vt + vc) / 2.0) > 0
+         |    THEN round((mt - mc) / sqrt((vt + vc) / 2.0), 6) END AS smd,
+         |  CASE WHEN sqrt((vt + vc) / 2.0) > 0
+         |    THEN abs((mt - mc) / sqrt((vt + vc) / 2.0)) <= $SmdTrip END AS balanced
+         |FROM q231d
+         |ORDER BY event_type""".stripMargin)
+  }
+
+  // --- q232: deterministic Neyman stratified draw -------------------------------
+
+  /** Executes q230's allocation plan: per stratum, the `alloc_neyman`
+    * documents with the SMALLEST draw hash (xxhash64 of doc_id — the
+    * deterministic, seedable uniform draw q45/q67 use), plus the
+    * representativeness audit a drawn sample ships with — sample mean
+    * n_chars vs the stratum mean and the relative deviation. q230 PLANS
+    * the budget; this SPENDS it, reproducibly (re-running on the same
+    * snapshot draws the identical sample — the property audits need).
+    *
+    * Scale shape: the per-stratum draw is [[graft.functions.Expressions.collect_topk]]
+    * over `(~hash, ~doc_id)` structs — a bounded ≤[[NeymanBudget]]-element
+    * map-side heap per stratum, NEVER a per-stratum sort or global
+    * window (the q61/q192 plan); the allocation table joins back as a
+    * ≤|sources| broadcast; the audit is one keyed integer aggregate per
+    * stratum. Bitwise NOT (never unary minus — Long.MinValue wraps)
+    * order-reverses both heap keys.
+    */
+  def neymanDraw(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Expressions.collect_topk
+    val alloc = neymanAlloc(spark, dir)
+      .filter(col("source") =!= "_ALL")
+      .select(col("source"), coalesce(col("alloc_neyman"), lit(0L)).as("alloc"))
+    val pop = docs(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pop"), sum(col("n_chars").cast("long")).as("sy_pop"))
+    val drawn = docs(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("nch"),
+        xxhash64(col("doc_id")).as("h"))
+      .groupBy(col("source"))
+      .agg(collect_topk(
+        struct(expr("~h").as("ih"), expr("~doc_id").as("iid"), col("nch")),
+        NeymanBudget.toInt).as("top"))
+      .select(col("source"), posexplode(reverse(array_sort(col("top")))))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.nch").as("nch"))
+    drawn
+      .join(broadcast(alloc), "source")
+      .filter(col("rk") <= col("alloc"))
+      .groupBy(col("source"), col("alloc"))
+      .agg(count(lit(1)).as("n_drawn"), sum(col("nch")).as("sy_s"))
+      .join(broadcast(pop), "source")
+      .selectExpr(
+        "source", "alloc AS alloc_target", "n_drawn",
+        "round(CAST(sy_s AS DOUBLE) / CAST(n_drawn AS DOUBLE), 6) AS mean_sample",
+        "round(CAST(sy_pop AS DOUBLE) / CAST(n_pop AS DOUBLE), 6) AS mean_stratum",
+        "CASE WHEN sy_pop > 0 THEN round((CAST(sy_s AS DOUBLE) / CAST(n_drawn AS DOUBLE)" +
+          " - CAST(sy_pop AS DOUBLE) / CAST(n_pop AS DOUBLE))" +
+          " / (CAST(sy_pop AS DOUBLE) / CAST(n_pop AS DOUBLE)), 6) END AS rel_dev")
+      .orderBy(col("source"))
+  }
+
+  /** q232 oracle: q230's plan as a derived table, the draw hash through
+    * [[graft.functions.DuckHash]], ROW_NUMBER in the identical
+    * (signed hash, doc_id) order, and the same audit arithmetic.
+    */
+  lazy val neymanDrawSql: String = {
+    import graft.functions.DuckHash._
+    val allocSql = neymanAllocSql.stripSuffix("ORDER BY source")
+    val ctes = ArrayBuffer[(String, String)](
+      "q232dd" -> "(SELECT doc_id, source, n_chars, doc_id::HUGEINT AS l FROM documents)"
+    )
+    val chH = new SqlChain("q232hh", "q232dd", Seq("doc_id", "source", "n_chars", "l"))
+    hashLongLevels(chH, toUnsigned("l"), "42", "hh")
+    ctes ++= chH.ctes
+    ctes += ("q232rk" ->
+      s"""(SELECT source, n_chars::BIGINT AS nch,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY ${toSigned("hh")}, doc_id) AS rk
+         |  FROM ${chH.last})""".stripMargin)
+    ctes += ("q232al" ->
+      s"""(SELECT source, coalesce(alloc_neyman, 0) AS alloc
+         | FROM ($allocSql) WHERE source <> '_ALL')""".stripMargin)
+    ctes += ("q232p" ->
+      """(SELECT source, count(*)::BIGINT AS n_pop,
+        |    CAST(sum(n_chars::BIGINT) AS BIGINT) AS sy_pop
+        |  FROM documents GROUP BY 1)""".stripMargin)
+    ctes += ("q232s" ->
+      """(SELECT r.source, a.alloc, count(*)::BIGINT AS n_drawn,
+        |    CAST(sum(r.nch) AS BIGINT) AS sy_s
+        |  FROM q232rk r JOIN q232al a USING (source)
+        |  WHERE r.rk <= a.alloc
+        |  GROUP BY 1, 2)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT s.source, s.alloc AS alloc_target, s.n_drawn,
+        |  round(CAST(s.sy_s AS DOUBLE) / CAST(s.n_drawn AS DOUBLE), 6) AS mean_sample,
+        |  round(CAST(p.sy_pop AS DOUBLE) / CAST(p.n_pop AS DOUBLE), 6) AS mean_stratum,
+        |  CASE WHEN p.sy_pop > 0 THEN round((CAST(s.sy_s AS DOUBLE) / CAST(s.n_drawn AS DOUBLE)
+        |    - CAST(p.sy_pop AS DOUBLE) / CAST(p.n_pop AS DOUBLE))
+        |    / (CAST(p.sy_pop AS DOUBLE) / CAST(p.n_pop AS DOUBLE)), 6) END AS rel_dev
+        |FROM q232s s JOIN q232p p USING (source)
+        |ORDER BY s.source""".stripMargin)
+  }
+
   // --- q217: padding-waste batching economics ----------------------------------
 
   /** Batch sizes the padding audit prices. */

@@ -1234,6 +1234,70 @@ object EventStreams extends Serializable {
         (stat > lit(graft.operators.StatsOps.SrmCritical)).as("srm_alarm"))
   }
 
+  /** E59: streaming covariate-balance (SMD) tripwire — q231's live leg,
+    * completing the experiment-health pair beside E39 (SRM watches the
+    * assignment coin by COUNT; this watches it by COMPOSITION): per
+    * closed window × event-type metric, the standardized mean difference
+    * of per-user window activity between the two hash arms, with the
+    * conventional `|SMD| > 0.1` trip. A rollout whose heavy users drift
+    * into one arm mid-flight biases every uplift readout downstream
+    * (and silently breaks q226's CUPED θ) — caught here while the
+    * window is still quarantinable, not at the post-hoc q231 audit.
+    *
+    * Scale shape (E55's chained-stateful-window pipeline): stage 1
+    * collapses each window to the (user, metric) grain — lossless
+    * integer cents (q226's pivot), map-side combinable — stage 2
+    * re-windows the per-user table via `window_time` into per-arm
+    * moment sums (squares in DECIMAL(38,0)); the SMD arithmetic is
+    * q231's exact shapes on those integer sums, so batch-grouping the
+    * same records reproduces every column exactly (spec-pinned).
+    */
+  val StreamSmdTrip = 0.1
+
+  def smdStream(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      watermarkDur: String = "2 hours"): DataFrame = {
+    val perUser = events
+      .withWatermark("ts", watermarkDur)
+      .select(col("ts"), col("event_type"), col("user_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .groupBy(window(col("ts"), windowDur), col("event_type"), col("user_id"))
+      .agg(sum(col("c")).as("x"))
+      .withColumn("arm", pmod(xxhash64(col("user_id")), lit(2L)))
+    perUser
+      .groupBy(window(window_time(col("window")), windowDur), col("event_type"))
+      .agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sxt"),
+        sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sxc"),
+        sum(when(col("arm") === 1, expr("CAST(x AS DECIMAL(38,0)) * x"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("sxxt"),
+        sum(when(col("arm") === 0, expr("CAST(x AS DECIMAL(38,0)) * x"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("sxxc"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("nt"), col("nc"),
+        col("sxt"), col("sxc"), col("sxxt"), col("sxxc"))
+      .selectExpr(
+        "hour", "event_type", "nt AS n_treat", "nc AS n_control",
+        "CASE WHEN nt >= 2 THEN (CAST(nt AS DOUBLE) * CAST(sxxt AS DOUBLE)" +
+          " - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE))" +
+          " / (CAST(nt AS DOUBLE) * CAST(nt - 1 AS DOUBLE)) END AS vt",
+        "CASE WHEN nc >= 2 THEN (CAST(nc AS DOUBLE) * CAST(sxxc AS DOUBLE)" +
+          " - CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE))" +
+          " / (CAST(nc AS DOUBLE) * CAST(nc - 1 AS DOUBLE)) END AS vc",
+        "CASE WHEN nt > 0 THEN CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE) END AS mt",
+        "CASE WHEN nc > 0 THEN CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE) END AS mc")
+      .selectExpr(
+        "hour", "event_type", "n_treat", "n_control",
+        "CASE WHEN vt IS NOT NULL AND vc IS NOT NULL AND sqrt((vt + vc) / 2.0) > 0" +
+          " THEN round((mt - mc) / sqrt((vt + vc) / 2.0), 6) END AS smd",
+        s"CASE WHEN vt IS NOT NULL AND vc IS NOT NULL AND sqrt((vt + vc) / 2.0) > 0" +
+          s" THEN abs((mt - mc) / sqrt((vt + vc) / 2.0)) > $StreamSmdTrip END AS tripped")
+  }
+
   /** E40: watermark-drop accountant — the missing OBSERVABILITY leg of
     * the late-data contract every stateful op here relies on ("events
     * below the watermark drop; batch replay is the authority"): a silent

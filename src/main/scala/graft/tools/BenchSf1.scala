@@ -38,7 +38,10 @@ object BenchSf1 {
       "corpus at constant dup rate, q30's allowlisted asymptote"),
     "q213_knn_label_agreement" -> ("candidate-kNN over the same LSH pair pool: both " +
       "orientations of every pair flow through the top-k heap and label joins — " +
-      "pair-linear by construction, q30's asymptote")
+      "pair-linear by construction, q30's asymptote"),
+    "q227_knn_hubness" -> ("in-degree fold over the same candidate-kNN edge list as " +
+      "q213: both orientations of every LSH pair flow through the top-k heap before " +
+      "the bounded moment fold — pair-linear by construction, q30's asymptote")
   )
 
   val ExpGate    = 0.9

@@ -649,7 +649,10 @@ class PlanGuardSpec extends SparkSpec {
         "q229_tcloseness",
         // q230 crossJoins the 1-row ordered-fold aggregate onto the
         // ≤|sources| strata table — q70's shape
-        "q230_neyman_alloc")
+        "q230_neyman_alloc",
+        // q232 embeds q230's plan (the same 1-row fold crossJoins) to
+        // derive its allocation table
+        "q232_neyman_draw")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -732,6 +735,7 @@ class PlanGuardSpec extends SparkSpec {
       "q217_padding_waste"       -> "strictlyLess partition-count offsets (≤P rows, twice)",
       "q224_avg_precision"       -> "strictlyLess partition-count offsets (≤P rows, twice)",
       "q230_neyman_alloc"        -> "source-ordered variance folds, ≤|sources| rows",
+      "q232_neyman_draw"         -> "embedded q230 source-ordered folds, ≤|sources| rows",
       "q125_rfm_segments"        -> "groupedPrefixSum partition offsets",
       "q127_quality_calibration" -> "groupedPrefixSum partition offsets",
       "q79_quantile_normalize"   -> "groupedPrefixSum partition offsets",

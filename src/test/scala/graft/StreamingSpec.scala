@@ -1794,6 +1794,75 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 10")._5 >= 1L, s"planted homogeneous class not flagged: $rows")
   }
 
+  test("E59: chained-window SMD balance tripwire reconciles with batch per-window truth") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.Ev
+    implicit val ctx = spark.sqlContext
+    def hts(hr: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $hr%02d:$min%02d:00")
+    val users = (1L to 40L)
+    // arm of each user under the SAME hash the stream applies
+    val arms = users.toDF("u")
+      .select(col("u"), pmod(xxhash64(col("u")), lit(2L)).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 'view' is organically spread; 'bonus' plants a 10x treatment-arm
+    // concentration in hour 10 — the composition break E39's SRM cannot
+    // see (counts stay balanced) but the SMD trip must
+    val replay = users.flatMap { u =>
+      Seq(
+        Ev(u * 100, u, hts(10, (u % 50).toInt), "view", 3.0 + (u % 7)),
+        Ev(u * 100 + 1, u, hts(11, ((u + 5) % 50).toInt), "view", 2.0 + (u % 5)),
+        Ev(u * 100 + 2, u, hts(10, ((u + 3) % 50).toInt), "bonus",
+          if (arms(u) == 1L) 40.0 + u else 4.0 + (u % 3)))
+    }
+    val in = MemoryStream[Ev]
+    val q = EventStreams.smdStream(in.toDF())
+      .writeStream.format("memory").queryName("smd_s").outputMode("append").start()
+    in.addData(replay.toSeq: _*); q.processAllAvailable()
+    in.addData(Ev(9999, 999, Timestamp.valueOf("2024-06-01 00:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("smd_s").collect()
+      .filter(_.getString(0).startsWith("2024-01-01 1"))
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Boolean])))
+      .toMap
+    q.stop()
+    assert(rows.size == 3, s"(hour 10 view, hour 10 bonus, hour 11 view): $rows")
+    // batch truth: same records, same windows, same integer-cent pivot and
+    // the operator's exact IEEE shapes
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = replay
+      .groupBy(e => (f"2024-01-01 ${e.ts.toLocalDateTime.getHour}%02d", e.event_type))
+      .view.mapValues { es =>
+        val perUser = es.groupBy(_.user_id).view
+          .mapValues(_.map(e => math.round(e.value * 100)).sum).toMap
+        val (t, c) = perUser.partition { case (u, _) => arms(u) == 1L }
+        val (nt, nc) = (t.size.toLong, c.size.toLong)
+        val (sxt, sxc) = (t.values.sum, c.values.sum)
+        val sxxt = t.values.map(v => BigInt(v) * v).sum
+        val sxxc = c.values.map(v => BigInt(v) * v).sum
+        val vt = if (nt >= 2)
+          Some((nt.toDouble * sxxt.toDouble - sxt.toDouble * sxt.toDouble)
+            / (nt.toDouble * (nt - 1).toDouble)) else None
+        val vc = if (nc >= 2)
+          Some((nc.toDouble * sxxc.toDouble - sxc.toDouble * sxc.toDouble)
+            / (nc.toDouble * (nc - 1).toDouble)) else None
+        val sd = for (a <- vt; b <- vc) yield math.sqrt((a + b) / 2.0)
+        val smdRaw = sd.filter(_ > 0).map(s =>
+          (sxt.toDouble / nt.toDouble - sxc.toDouble / nc.toDouble) / s)
+        (nt, nc, smdRaw.map(r6), smdRaw.map(s => math.abs(s) > EventStreams.StreamSmdTrip))
+      }.toMap
+    assert(rows == want, s"stream $rows vs batch $want")
+    // the planted treatment-arm concentration must trip in hour 10
+    assert(rows(("2024-01-01 10", "bonus"))._4.contains(true),
+      s"planted imbalance not tripped: $rows")
+    // and the organic metric must carry a real (non-null) SMD readout
+    assert(rows(("2024-01-01 10", "view"))._3.nonEmpty)
+  }
+
   test("E55: chained-window dup-pair meter reconciles with batch per-window truth exactly") {
     import spark.implicits._
     import graft.streaming.DocStreams
