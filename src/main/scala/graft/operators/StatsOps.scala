@@ -4033,4 +4033,786 @@ object StatsOps {
         |GROUP BY t.alpha, t.n_cal, t.t
         |ORDER BY t.alpha""".stripMargin)
   }
+
+  // --- q233/q234 shared: score-vs-dup-truth calibration bins --------------------
+
+  val CalibBins = 10
+
+  /** Shared q233/q234 stage: every document scored with q22's stop-ratio
+    * signal, labeled with verified near-dup membership (q220's truth), the
+    * score micro-quantized to an integer (the §4 quantize-then-integer-sum
+    * rule) and binned into [[CalibBins]] equal-width score bins. Doc grain —
+    * ONE corpus-scan join against the session-shared verified-pair stage.
+    */
+  private[graft] def calibScored(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextOps.ngramJaccardPairs(spark, dir)
+    val dups = pairs
+      .select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    TextOps
+      .qualityScore(spark, dir)
+      .select(col("doc_id"), col("stop_ratio").as("v"))
+      .join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+      .select(
+        col("v"),
+        coalesce(col("is_dup"), lit(false)).as("pos"),
+        expr("CAST(round(v * 1000000.0, 0) AS BIGINT)").as("s_micro"),
+        least(floor(col("v") * lit(CalibBins.toDouble)), lit((CalibBins - 1).toLong)).as("bin"))
+  }
+
+  /** [[calibScored]] collapsed to the ≤[[CalibBins]]-row bin table: docs,
+    * positives, and micro-quantized score mass per bin — every calibration
+    * statistic below derives from these three integer columns.
+    */
+  private def calibBins(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("d"),
+        sum(col("s_micro")).as("s"))
+
+  // --- q233: reliability diagram + expected calibration error -------------------
+
+  /** Reliability diagram + expected calibration error of q22's stop-ratio
+    * signal against verified near-dup truth: per equal-width score bin the
+    * doc count, observed dup rate, mean score, and |accuracy − confidence|
+    * gap, plus the n-weighted ECE — the audit that answers "can this
+    * signal's VALUE be read as a dup probability, or only its RANK?"
+    * (q220's AUC is rank-only; a score can order perfectly and still be
+    * wildly miscalibrated — thresholding it as if it were a probability
+    * then buys the wrong corpus cut; a big ECE says recalibrate before any
+    * probability-shaped use).
+    *
+    * Scale shape: dup truth is the session-shared verified-pair stage; the
+    * corpus collapses map-side to the ≤[[CalibBins]]-row bin table in ONE
+    * keyed aggregate. Determinism: scores micro-quantize per doc BEFORE
+    * summing (order-free integer sums); each bin's ECE numerator
+    * |10⁶·d_b − s_b| is an exact integer (≤ 10⁶·n_b — longs to ~9·10¹²
+    * docs per bin; the cross-bin fold rides DECIMAL(38,0) past that), so
+    * ECE = Σ|…| / 10⁶ / N is integers until two guarded divide-rounds.
+    */
+  def calibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    val bins = graft.core.CacheScope.persist(calibBins(calibScored(spark, dir)))
+    val tot = bins
+      .select(col("n"), abs(col("d") * lit(1000000L) - col("s")).as("ad"))
+      .agg(
+        sum(col("n")).as("n_all"),
+        sum(col("ad").cast("decimal(38,0)")).as("ece_num"))
+    bins
+      .crossJoin(broadcast(tot))
+      .select(
+        col("bin"),
+        col("n").as("n_docs"),
+        col("d").as("n_dup"),
+        round(col("d").cast("double") / col("n").cast("double"), 6).as("dup_rate"),
+        round(col("s").cast("double") / lit(1000000.0) / col("n").cast("double"), 6)
+          .as("avg_score"),
+        round(abs(col("d") * lit(1000000L) - col("s")).cast("double") / lit(1000000.0)
+          / col("n").cast("double"), 6).as("gap"),
+        round(col("ece_num").cast("double") / lit(1000000.0) / col("n_all").cast("double"), 6)
+          .as("ece"))
+      .orderBy(col("bin"))
+  }
+
+  /** Oracle: q220's dup-truth and score CTEs, identical micro-quantization
+    * and bin rule, HUGEINT ECE numerator, same divide-round shapes.
+    */
+  lazy val calibrationBinsSql: String =
+    s"""WITH ${TextOps.DuckShingleCte},
+       |${TextOps.DuckJaccardPairsCte},
+       |q233d AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM pairs WHERE jaccard >= ${TextOps.JaccardThreshold}
+       |    UNION ALL SELECT doc_b FROM pairs WHERE jaccard >= ${TextOps.JaccardThreshold})),
+       |q233s AS (SELECT q.stop_ratio AS v, (d.doc_id IS NOT NULL) AS pos
+       |          FROM (${TextOps.qualityScoreSql.replace("ORDER BY doc_id", "")}) q
+       |          LEFT JOIN q233d d USING (doc_id)),
+       |q233b AS (SELECT CAST(least(floor(v * ${CalibBins}.0), ${CalibBins - 1}) AS BIGINT) AS bin,
+       |            count(*)::BIGINT AS n,
+       |            CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |            CAST(sum(CAST(round(v * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS s
+       |          FROM q233s GROUP BY 1),
+       |q233t AS (SELECT CAST(sum(n) AS BIGINT) AS n_all,
+       |            sum(abs(d * 1000000 - s)::HUGEINT) AS ece_num FROM q233b)
+       |SELECT bin, n AS n_docs, d AS n_dup,
+       |  round(d::DOUBLE / n::DOUBLE, 6) AS dup_rate,
+       |  round(s::DOUBLE / 1000000.0 / n::DOUBLE, 6) AS avg_score,
+       |  round(abs(d * 1000000 - s)::DOUBLE / 1000000.0 / n::DOUBLE, 6) AS gap,
+       |  round(t.ece_num::DOUBLE / 1000000.0 / t.n_all::DOUBLE, 6) AS ece
+       |FROM q233b, q233t t ORDER BY bin""".stripMargin
+
+  // --- q234: Brier score + Murphy decomposition ----------------------------------
+
+  /** Brier score of q22's stop-ratio signal against dup truth, with
+    * Murphy's (1973) decomposition over [[CalibBins]] bins:
+    * `Brier ≈ reliability − resolution + uncertainty` — the proper-score
+    * complement to q233's diagram (ECE says HOW miscalibrated; this splits
+    * the total loss into the part recalibration can remove — reliability —
+    * the part only a better signal can earn — resolution — and the floor
+    * set by base-rate entropy — uncertainty; reliability ≫ 0 with healthy
+    * resolution says "recalibrate, don't retrain").
+    *
+    * Scale shape: the doc grain contributes only integer sums (squared
+    * micro-errors ≤ 10¹² per doc, folded in DECIMAL(38,0)); the
+    * decomposition is arithmetic over the ≤[[CalibBins]]-row bin table with
+    * per-bin terms micro-quantized before the bounded cross-bin fold.
+    * Determinism: per-doc error (s_micro − 10⁶·y) is an exact integer;
+    * bin terms are identically-shaped IEEE divides both legs; 6-dp rounds
+    * absorb the last ulp.
+    */
+  def brierDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.core.CacheScope.persist(calibScored(spark, dir))
+    val moments = scored.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+      sum(expr(
+        """CAST((s_micro - (CASE WHEN pos THEN 1000000 ELSE 0 END))
+          |  * (s_micro - (CASE WHEN pos THEN 1000000 ELSE 0 END)) AS DECIMAL(38,0))"""
+          .stripMargin)).as("ssq"))
+    val bins = calibBins(scored)
+    val tot = bins.agg(sum(col("n")).as("nn"), sum(col("d")).as("dd"))
+    val relres = bins
+      .crossJoin(broadcast(tot))
+      .select(
+        expr(
+          """CAST(round((CAST(s AS DOUBLE) - 1000000.0 * CAST(d AS DOUBLE))
+            |  * (CAST(s AS DOUBLE) - 1000000.0 * CAST(d AS DOUBLE))
+            |  / 1.0e12 / CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) * 1000000.0, 0) AS BIGINT)"""
+            .stripMargin).as("rel_micro"),
+        expr(
+          """CAST(round((CAST(d AS DOUBLE) * CAST(nn AS DOUBLE)
+            |    - CAST(dd AS DOUBLE) * CAST(n AS DOUBLE))
+            |  * (CAST(d AS DOUBLE) * CAST(nn AS DOUBLE)
+            |    - CAST(dd AS DOUBLE) * CAST(n AS DOUBLE))
+            |  / CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)
+            |  / CAST(nn AS DOUBLE) * 1000000.0, 0) AS BIGINT)""".stripMargin).as("res_micro"))
+      .agg(sum(col("rel_micro")).as("rel_s"), sum(col("res_micro")).as("res_s"))
+    moments
+      .crossJoin(relres)
+      .crossJoin(tot)
+      .select(
+        col("n"),
+        col("n_pos"),
+        round(col("ssq").cast("double") / lit(1.0e12) / col("n").cast("double"), 6).as("brier"),
+        round(col("rel_s").cast("double") / lit(1000000.0), 6).as("reliability"),
+        round(col("res_s").cast("double") / lit(1000000.0), 6).as("resolution"),
+        round(col("dd").cast("double") * (col("nn") - col("dd")).cast("double")
+          / col("nn").cast("double") / col("nn").cast("double"), 6).as("uncertainty"))
+  }
+
+  /** Oracle: q233's scored/bin CTEs, HUGEINT squared-error fold, and the
+    * textually identical per-bin decomposition arithmetic.
+    */
+  lazy val brierDecompositionSql: String =
+    s"""WITH ${TextOps.DuckShingleCte},
+       |${TextOps.DuckJaccardPairsCte},
+       |q234d AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM pairs WHERE jaccard >= ${TextOps.JaccardThreshold}
+       |    UNION ALL SELECT doc_b FROM pairs WHERE jaccard >= ${TextOps.JaccardThreshold})),
+       |q234s AS (SELECT q.stop_ratio AS v, (d.doc_id IS NOT NULL) AS pos,
+       |            CAST(round(q.stop_ratio * 1000000.0, 0) AS BIGINT) AS s_micro,
+       |            CAST(least(floor(q.stop_ratio * ${CalibBins}.0), ${CalibBins - 1}) AS BIGINT) AS bin
+       |          FROM (${TextOps.qualityScoreSql.replace("ORDER BY doc_id", "")}) q
+       |          LEFT JOIN q234d d USING (doc_id)),
+       |q234m AS (SELECT count(*)::BIGINT AS n,
+       |            CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |            sum(((s_micro - (CASE WHEN pos THEN 1000000 ELSE 0 END))
+       |              * (s_micro - (CASE WHEN pos THEN 1000000 ELSE 0 END)))::HUGEINT) AS ssq
+       |          FROM q234s),
+       |q234b AS (SELECT bin, count(*)::BIGINT AS n,
+       |            CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |            CAST(sum(s_micro) AS BIGINT) AS s
+       |          FROM q234s GROUP BY bin),
+       |q234t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(d) AS BIGINT) AS dd FROM q234b),
+       |q234rr AS (SELECT
+       |    CAST(sum(CAST(round((s::DOUBLE - 1000000.0 * d::DOUBLE)
+       |      * (s::DOUBLE - 1000000.0 * d::DOUBLE)
+       |      / 1.0e12 / n::DOUBLE / t.nn::DOUBLE * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS rel_s,
+       |    CAST(sum(CAST(round((d::DOUBLE * t.nn::DOUBLE - t.dd::DOUBLE * n::DOUBLE)
+       |      * (d::DOUBLE * t.nn::DOUBLE - t.dd::DOUBLE * n::DOUBLE)
+       |      / n::DOUBLE / t.nn::DOUBLE / t.nn::DOUBLE
+       |      / t.nn::DOUBLE * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS res_s
+       |  FROM q234b, q234t t)
+       |SELECT m.n, m.n_pos,
+       |  round(m.ssq::DOUBLE / 1.0e12 / m.n::DOUBLE, 6) AS brier,
+       |  round(rr.rel_s::DOUBLE / 1000000.0, 6) AS reliability,
+       |  round(rr.res_s::DOUBLE / 1000000.0, 6) AS resolution,
+       |  round(t.dd::DOUBLE * (t.nn - t.dd)::DOUBLE / t.nn::DOUBLE / t.nn::DOUBLE, 6)
+       |    AS uncertainty
+       |FROM q234m m, q234rr rr, q234t t""".stripMargin
+
+  // --- q235: mutual information of source × lang ---------------------------------
+
+  /** Mutual information (nats) between `source` and `lang`, with both
+    * marginal entropies and the normalized MI — the association audit a
+    * training-mix recipe reads before treating source and language as
+    * independent sampling axes (q218's DoReMi weights and q45's stratified
+    * draws both assume the grid is roughly a product measure; NMI → 1 says
+    * one axis is a proxy for the other and the mix table is really
+    * one-dimensional; NMI ≈ 0 licenses the factored design). The exact
+    * discrete plug-in estimator: `MI = Σᵢⱼ (nᵢⱼ/N)·ln(nᵢⱼ·N/(rᵢ·cⱼ))`.
+    *
+    * Scale shape: ONE corpus scan collapses map-side to the
+    * ≤|sources|×|langs| contingency table (persisted — marginals and total
+    * derive from it); margins broadcast back onto the cells; every term is
+    * per-cell codegen'd arithmetic micro-quantized before the bounded fold
+    * (the §4 rule). Below 2⁵³ docs the integer products are exact doubles;
+    * past that, split the ln into per-factor lns (the q71 note). NMI is
+    * computed from the ROUNDED MI and entropies so both legs read the same
+    * published values.
+    */
+  def mutualInformation(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.core.CacheScope.persist(
+      docs(spark, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c")))
+    val r = cells.groupBy(col("source")).agg(sum(col("c")).as("nr"))
+    val cm = cells.groupBy(col("lang")).agg(sum(col("c")).as("nc"))
+    val t = cells.agg(sum(col("c")).as("nn"), count(lit(1)).as("n_cells"))
+    val mi = cells
+      .join(broadcast(r), "source")
+      .join(broadcast(cm), "lang")
+      .crossJoin(broadcast(t))
+      .select(expr(
+        """CAST(round((CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+          |  * ln(CAST(c AS DOUBLE) * CAST(nn AS DOUBLE)
+          |      / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)))
+          |  * 1000000.0, 0) AS BIGINT)""".stripMargin).as("m"))
+      .agg(sum(col("m")).as("mi_s"))
+    def entropyOf(margin: DataFrame, cnt: String, out: String) =
+      margin
+        .crossJoin(broadcast(t))
+        .select(expr(
+          s"""CAST(round(-(CAST($cnt AS DOUBLE) / CAST(nn AS DOUBLE))
+             |  * ln(CAST($cnt AS DOUBLE) / CAST(nn AS DOUBLE))
+             |  * 1000000.0, 0) AS BIGINT)""".stripMargin).as("e"))
+        .agg(sum(col("e")).as(out))
+    mi
+      .crossJoin(entropyOf(r, "nr", "hs_s"))
+      .crossJoin(entropyOf(cm, "nc", "hl_s"))
+      .crossJoin(t)
+      .select(
+        col("nn").as("n_docs"),
+        col("n_cells"),
+        round(col("mi_s").cast("double") / lit(1000000.0), 6).as("mi_nats"),
+        round(col("hs_s").cast("double") / lit(1000000.0), 6).as("h_source"),
+        round(col("hl_s").cast("double") / lit(1000000.0), 6).as("h_lang"),
+        when(col("hs_s") > 0L && col("hl_s") > 0L,
+          round(
+            (round(col("mi_s").cast("double") / lit(1000000.0), 6))
+              / sqrt(round(col("hs_s").cast("double") / lit(1000000.0), 6)
+                * round(col("hl_s").cast("double") / lit(1000000.0), 6)), 6))
+          .as("nmi"))
+  }
+
+  /** Oracle: identical contingency/margin CTEs, micro-quantized per-cell
+    * terms, and NMI from the same rounded published values.
+    */
+  lazy val mutualInformationSql: String =
+    """WITH q235m AS MATERIALIZED (
+      |  SELECT source, lang, count(*)::BIGINT AS c FROM documents GROUP BY 1, 2),
+      |q235r AS (SELECT source, CAST(sum(c) AS BIGINT) AS nr FROM q235m GROUP BY 1),
+      |q235c AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nc FROM q235m GROUP BY 1),
+      |q235t AS (SELECT CAST(sum(c) AS BIGINT) AS nn, count(*)::BIGINT AS n_cells FROM q235m),
+      |q235mi AS (SELECT CAST(sum(CAST(round((c::DOUBLE / t.nn::DOUBLE)
+      |      * ln(c::DOUBLE * t.nn::DOUBLE / (r.nr::DOUBLE * cc.nc::DOUBLE))
+      |      * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS mi_s
+      |  FROM q235m m JOIN q235r r USING (source) JOIN q235c cc USING (lang), q235t t),
+      |q235hs AS (SELECT CAST(sum(CAST(round(-(nr::DOUBLE / t.nn::DOUBLE)
+      |      * ln(nr::DOUBLE / t.nn::DOUBLE) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS hs_s
+      |  FROM q235r, q235t t),
+      |q235hl AS (SELECT CAST(sum(CAST(round(-(nc::DOUBLE / t.nn::DOUBLE)
+      |      * ln(nc::DOUBLE / t.nn::DOUBLE) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS hl_s
+      |  FROM q235c, q235t t)
+      |SELECT t.nn AS n_docs, t.n_cells,
+      |  round(mi.mi_s::DOUBLE / 1000000.0, 6) AS mi_nats,
+      |  round(hs.hs_s::DOUBLE / 1000000.0, 6) AS h_source,
+      |  round(hl.hl_s::DOUBLE / 1000000.0, 6) AS h_lang,
+      |  CASE WHEN hs.hs_s > 0 AND hl.hl_s > 0 THEN
+      |    round(round(mi.mi_s::DOUBLE / 1000000.0, 6)
+      |      / sqrt(round(hs.hs_s::DOUBLE / 1000000.0, 6)
+      |        * round(hl.hl_s::DOUBLE / 1000000.0, 6)), 6) END AS nmi
+      |FROM q235mi mi, q235hs hs, q235hl hl, q235t t""".stripMargin
+
+  // --- q236: Cramér's V effect size of source × lang ------------------------------
+
+  /** Chi-square independence test of `source` × `lang` with Cramér's V —
+    * the EFFECT-SIZE companion to q108's per-cell audit and q235's MI
+    * (χ² grows with N, so at corpus scale "significant" is vacuous; V
+    * rescales to [0,1] and answers "how strongly does language depend on
+    * source", comparable across corpora of any size). Computed over the
+    * full |sources|×|langs| universe — zero cells contribute their whole
+    * expectation (q108's rule; dropping them understates the statistic).
+    *
+    * Scale shape: the same persisted contingency table as q235; the
+    * universe is the bounded marginal cross join; per-cell (n−e)²/e terms
+    * micro-quantize before the bounded fold; V reads the published χ²
+    * (one IEEE sqrt, correctly rounded both engines).
+    */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.core.CacheScope.persist(
+      docs(spark, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c")))
+    val r  = cells.groupBy(col("source")).agg(sum(col("c")).as("nr"))
+    val cm = cells.groupBy(col("lang")).agg(sum(col("c")).as("nc"))
+    val t = cells.agg(
+      sum(col("c")).as("nn"),
+      countDistinct(col("source")).as("n_src"),
+      countDistinct(col("lang")).as("n_lang"))
+    val chi = r
+      .crossJoin(broadcast(cm))
+      .join(cells, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(t))
+      .select(expr(
+        """CAST(round((CAST(c AS DOUBLE) - CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(nn AS DOUBLE))
+          |  * (CAST(c AS DOUBLE) - CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(nn AS DOUBLE))
+          |  / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(nn AS DOUBLE))
+          |  * 1000000.0, 0) AS BIGINT)""".stripMargin).as("x"))
+      .agg(sum(col("x")).as("chi_s"))
+    chi
+      .crossJoin(t)
+      .select(
+        col("nn").as("n_docs"),
+        col("n_src"),
+        col("n_lang"),
+        ((col("n_src") - 1L) * (col("n_lang") - 1L)).as("dof"),
+        round(col("chi_s").cast("double") / lit(1000000.0), 6).as("chi2"),
+        when(col("n_src") > 1L && col("n_lang") > 1L,
+          round(sqrt(round(col("chi_s").cast("double") / lit(1000000.0), 6)
+            / col("nn").cast("double")
+            / least(col("n_src") - 1L, col("n_lang") - 1L).cast("double")), 6))
+          .as("cramers_v"))
+  }
+
+  /** Oracle: q235's contingency CTEs, q108's zero-cell universe rule, the
+    * identical micro-quantized per-cell terms and published-χ² V.
+    */
+  lazy val cramersVSql: String =
+    """WITH q236m AS MATERIALIZED (
+      |  SELECT source, lang, count(*)::BIGINT AS c FROM documents GROUP BY 1, 2),
+      |q236r AS (SELECT source, CAST(sum(c) AS BIGINT) AS nr FROM q236m GROUP BY 1),
+      |q236c AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nc FROM q236m GROUP BY 1),
+      |q236t AS (SELECT CAST(sum(c) AS BIGINT) AS nn,
+      |    count(DISTINCT source)::BIGINT AS n_src,
+      |    count(DISTINCT lang)::BIGINT AS n_lang
+      |  FROM q236m),
+      |q236x AS (SELECT CAST(sum(CAST(round(
+      |      (coalesce(m.c, 0)::DOUBLE - r.nr::DOUBLE * cc.nc::DOUBLE / t.nn::DOUBLE)
+      |      * (coalesce(m.c, 0)::DOUBLE - r.nr::DOUBLE * cc.nc::DOUBLE / t.nn::DOUBLE)
+      |      / (r.nr::DOUBLE * cc.nc::DOUBLE / t.nn::DOUBLE)
+      |      * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS chi_s
+      |  FROM q236r r CROSS JOIN q236c cc CROSS JOIN q236t t
+      |  LEFT JOIN q236m m ON m.source = r.source AND m.lang = cc.lang)
+      |SELECT t.nn AS n_docs, t.n_src, t.n_lang,
+      |  (t.n_src - 1) * (t.n_lang - 1) AS dof,
+      |  round(x.chi_s::DOUBLE / 1000000.0, 6) AS chi2,
+      |  CASE WHEN t.n_src > 1 AND t.n_lang > 1 THEN
+      |    round(sqrt(round(x.chi_s::DOUBLE / 1000000.0, 6) / t.nn::DOUBLE
+      |      / least(t.n_src - 1, t.n_lang - 1)::DOUBLE), 6) END AS cramers_v
+      |FROM q236x x, q236t t""".stripMargin
+
+  // --- q238: minimum-detectable-effect / power planner ---------------------------
+
+  /** Φ⁻¹(0.975) and Φ⁻¹(0.8): the two-sided α = 0.05, power = 0.8 normal
+    * quantiles — fixed design constants, embedded as the same decimal
+    * literal in both legs (a 16-digit decimal string parses to the
+    * identical IEEE double in Spark and DuckDB).
+    */
+  val ZAlphaTwoSided = 1.959963984540054
+  val ZPower80       = 0.8416212335729143
+
+  /** Minimum-detectable-effect planner: per event-type metric, the
+    * smallest true uplift the CURRENT traffic split could detect at
+    * two-sided α = 0.05 with 80 % power —
+    * `MDE = (z_{α/2}+z_β)·√(s²·(1/n_t+1/n_c))` — in absolute value units
+    * and relative to the control mean. The question every experiment
+    * design starts with ("is this metric even powered?"), sitting BEFORE
+    * q226's CUPED readout and q225's FDR gate: an MDE_rel of 40 % says
+    * don't bother shipping the test; q230 plans label budget, this plans
+    * traffic.
+    *
+    * Scale shape: ONE keyed (user, type) aggregate pivots the corpus to
+    * integer cent sums (lossless DECIMAL(18,2)·100 → BIGINT); per-type
+    * moments are ONE ≤|types|-row aggregate with squares in
+    * DECIMAL(38,0) (cent-sum squares overflow a long past ~10⁹ users ×
+    * 10⁶ cents); all planner arithmetic runs on that bounded table in
+    * identically-shaped IEEE doubles, one display round per column.
+    */
+  def mdePower(spark: SparkSession, dir: String): DataFrame = {
+    val ux = Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"), col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("c")).as("y"))
+      .withColumn("arm", pmod(xxhash64(col("user_id")), lit(2L)))
+    ux
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("sy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("arm") === 0L, col("y")).otherwise(0L)).as("syc"))
+      .filter(col("nt") > 0 && col("nc") > 0 && col("n") > 1)
+      .selectExpr(
+        "event_type", "n", "nt", "nc", "syc",
+        """(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+           / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0) AS s2""",
+        "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mu")
+      .selectExpr(
+        "event_type", "n", "nt", "nc", "syc", "s2", "mu",
+        s"""(CAST($ZAlphaTwoSided AS DOUBLE) + CAST($ZPower80 AS DOUBLE))
+            * sqrt(s2 * (1.0 / CAST(nt AS DOUBLE) + 1.0 / CAST(nc AS DOUBLE))) AS mde_c""")
+      .selectExpr(
+        "event_type", "n AS n_users", "nt AS n_treat", "nc AS n_control",
+        "round(mu / 100.0, 6) AS mean_value",
+        "CASE WHEN s2 >= 0.0 THEN round(sqrt(s2) / 100.0, 6) END AS sd_value",
+        "round(mde_c / 100.0, 6) AS mde_abs",
+        """CASE WHEN syc > 0 THEN
+             round(mde_c / (CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE)), 6) END AS mde_rel""")
+      .orderBy(col("event_type"))
+  }
+
+  /** q238 oracle: q226's cent pivot and DuckHash arm, HUGEINT squares,
+    * and textually identical planner arithmetic incl. the z literals.
+    */
+  lazy val mdePowerSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = ArrayBuffer[(String, String)](
+      "q238x" ->
+        """(SELECT user_id, event_type,
+          |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+          |  FROM events GROUP BY 1, 2)""".stripMargin,
+      "q238du" -> "(SELECT DISTINCT user_id, user_id::HUGEINT AS l FROM q238x)"
+    )
+    val ch = new SqlChain("q238h", "q238du", Seq("user_id", "l"))
+    hashLongLevels(ch, toUnsigned("l"), "42", "h")
+    ctes ++= ch.ctes
+    ctes += ("q238arm" ->
+      s"(SELECT user_id, (((${toSigned("h")} % 2) + 2) % 2)::BIGINT AS arm FROM ${ch.last})")
+    ctes += ("q238a" ->
+      """(SELECT x.event_type,
+        |    count(*)::BIGINT AS n,
+        |    CAST(sum(x.y) AS BIGINT) AS sy,
+        |    sum(x.y::HUGEINT * x.y) AS syy,
+        |    CAST(sum(CASE WHEN a.arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN a.arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN a.arm = 0 THEN x.y ELSE 0 END) AS BIGINT) AS syc
+        |  FROM q238x x JOIN q238arm a USING (user_id)
+        |  GROUP BY 1)""".stripMargin)
+    ctes += ("q238p" ->
+      """(SELECT event_type, n, nt, nc, syc,
+        |    (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+        |      / n::DOUBLE / (n::DOUBLE - 1.0) AS s2,
+        |    sy::DOUBLE / n::DOUBLE AS mu
+        |  FROM q238a WHERE nt > 0 AND nc > 0 AND n > 1)""".stripMargin)
+    ctes += ("q238m" ->
+      s"""(SELECT *,
+         |    (CAST($ZAlphaTwoSided AS DOUBLE) + CAST($ZPower80 AS DOUBLE))
+         |      * sqrt(s2 * (1.0 / nt::DOUBLE + 1.0 / nc::DOUBLE)) AS mde_c
+         |  FROM q238p)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT event_type, n AS n_users, nt AS n_treat, nc AS n_control,
+        |  round(mu / 100.0, 6) AS mean_value,
+        |  CASE WHEN s2 >= 0.0 THEN round(sqrt(s2) / 100.0, 6) END AS sd_value,
+        |  round(mde_c / 100.0, 6) AS mde_abs,
+        |  CASE WHEN syc > 0 THEN
+        |    round(mde_c / (syc::DOUBLE / nc::DOUBLE), 6) END AS mde_rel
+        |FROM q238m ORDER BY event_type""".stripMargin)
+  }
+
+  // --- q239: distinct-n lexical diversity per source -----------------------------
+
+  /** Distinct-n diversity (the self-BLEU complement): per source, the
+    * distinct-unigram and distinct-bigram ratios — the template/boilerplate
+    * detector that catches a source whose documents are individually clean
+    * but collectively repetitive (low distinct-2 with normal distinct-1 is
+    * the signature of templated text: same phrases, shuffled slots) —
+    * upstream of dedup (q25/q27 catch near-identical DOCS; this catches a
+    * corpus-level diversity collapse no pair is responsible for).
+    *
+    * Scale shape: gram tables shuffle once on (source, gram) for the exact
+    * distinct counts — the honest cost of exact vocabulary statistics
+    * (q82's Heaps-law lane prices how that vocabulary grows; hashing would
+    * undercount collisions) — then collapse to ≤|sources| rows. Integers
+    * until the two guarded divide-rounds.
+    */
+  def distinctNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.core.CacheScope.persist(
+      docs(spark, dir).select(col("source"), TextOps.toks.as("toks")))
+    def perSource(grams: DataFrame) =
+      grams
+        .groupBy(col("source"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("total"), count(lit(1)).as("dist"))
+    val uni = perSource(base.select(col("source"), explode(col("toks")).as("g")))
+    val big = perSource(base.select(col("source"), explode(expr(
+      """CASE WHEN size(toks) >= 2 THEN
+           transform(sequence(1, size(toks) - 1),
+             i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+         ELSE array() END""")).as("g")))
+    val nDocs = base.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    nDocs
+      .join(uni, Seq("source"), "left")
+      .join(big.withColumnRenamed("total", "total2").withColumnRenamed("dist", "dist2"),
+        Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("total").as("n_tokens"),
+        col("dist").as("distinct_1"),
+        round(col("dist").cast("double") / col("total").cast("double"), 6).as("ratio_1"),
+        col("total2").as("n_bigrams"),
+        col("dist2").as("distinct_2"),
+        when(col("total2") > 0L,
+          round(col("dist2").cast("double") / col("total2").cast("double"), 6)).as("ratio_2"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the same regex token split, `list_transform` bigrams
+    * (1-based on both sides via `element_at`), exact distinct counts.
+    */
+  lazy val distinctNgramsSql: String =
+    s"""WITH q239d AS MATERIALIZED (
+       |  SELECT source, ${TextOps.DuckToks} AS toks FROM documents),
+       |q239u AS (SELECT source, CAST(count(*) AS BIGINT) AS total,
+       |    count(DISTINCT g)::BIGINT AS dist
+       |  FROM (SELECT source, unnest(toks) AS g FROM q239d) GROUP BY source),
+       |q239b AS (SELECT source, CAST(count(*) AS BIGINT) AS total2,
+       |    count(DISTINCT g)::BIGINT AS dist2
+       |  FROM (SELECT source, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i + 1])) AS g FROM q239d) GROUP BY source),
+       |q239n AS (SELECT source, count(*)::BIGINT AS n_docs FROM q239d GROUP BY source)
+       |SELECT n.source, n.n_docs, u.total AS n_tokens, u.dist AS distinct_1,
+       |  round(u.dist::DOUBLE / u.total::DOUBLE, 6) AS ratio_1,
+       |  b.total2 AS n_bigrams, b.dist2 AS distinct_2,
+       |  CASE WHEN b.total2 > 0 THEN round(b.dist2::DOUBLE / b.total2::DOUBLE, 6) END AS ratio_2
+       |FROM q239n n LEFT JOIN q239u u USING (source) LEFT JOIN q239b b USING (source)
+       |ORDER BY n.source""".stripMargin
+
+  // --- q240: Theil index decomposition of token mass ------------------------------
+
+  /** Theil T inequality of token mass across documents, DECOMPOSED into
+    * between-source and within-source components — the additive
+    * complement to q146's per-source Gini (Gini says each source's
+    * inequality; Theil is the index whose total EXACTLY splits
+    * `T = T_between + Σ_s share_s·T_s`, so it answers "is corpus
+    * inequality a mix problem or an inside-the-source problem?" —
+    * T_between dominating says rebalance the recipe, within dominating
+    * says filter inside sources). Per source: its within index and
+    * share-weighted contribution; the `_ALL` row carries the between,
+    * summed-within, and total indices.
+    *
+    * Scale shape: the corpus collapses to the doc grain's token counts in
+    * one pass (persisted); source totals are ONE keyed aggregate; per-doc
+    * `(x/X_s)·ln(x·n_s/X_s)` terms micro-quantize before their per-source
+    * integer sum (the §4 rule — same shape as q146's lq fold), and the
+    * between/total folds reuse the identical machinery at the
+    * ≤|sources|-row and doc grains. `0·ln 0 = 0` by the x > 0 guard.
+    */
+  def theilDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = graft.core.CacheScope.persist(
+      docs(spark, dir).select(col("source"), size(TextOps.toks).cast("long").as("x")))
+    val src = graft.core.CacheScope.persist(
+      perDoc.groupBy(col("source")).agg(count(lit(1)).as("n_s"), sum(col("x")).as("xs")))
+    val tot = src
+      .agg(sum(col("n_s")).as("nn"), sum(col("xs")).as("xx"), count(lit(1)).as("g"))
+    val within = perDoc
+      .join(broadcast(src), "source")
+      .select(col("source"), expr(
+        """CASE WHEN x > 0 THEN
+             CAST(round((CAST(x AS DOUBLE) / CAST(xs AS DOUBLE))
+               * ln(CAST(x AS DOUBLE) * CAST(n_s AS DOUBLE) / CAST(xs AS DOUBLE))
+               * 1000000.0, 0) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END""").as("tm"))
+      .groupBy(col("source"))
+      .agg(sum(col("tm")).as("tw"))
+    val perSrc = src
+      .join(within, Seq("source"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("n_s"), col("xs"), col("nn"), col("xx"), col("tw"),
+        expr(
+          """CASE WHEN xs > 0 THEN
+               CAST(round((CAST(xs AS DOUBLE) / CAST(xx AS DOUBLE))
+                 * ln(CAST(xs AS DOUBLE) * CAST(nn AS DOUBLE)
+                     / (CAST(xx AS DOUBLE) * CAST(n_s AS DOUBLE)))
+                 * 1000000.0, 0) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END""").as("tbm"),
+        expr(
+          """CAST(round((CAST(xs AS DOUBLE) / CAST(xx AS DOUBLE))
+               * (CAST(tw AS DOUBLE) / 1000000.0) * 1000000.0, 0) AS BIGINT)""").as("cw"))
+    val persisted = graft.core.CacheScope.persist(perSrc)
+    val totalT = perDoc
+      .crossJoin(broadcast(tot))
+      .select(expr(
+        """CASE WHEN x > 0 THEN
+             CAST(round((CAST(x AS DOUBLE) / CAST(xx AS DOUBLE))
+               * ln(CAST(x AS DOUBLE) * CAST(nn AS DOUBLE) / CAST(xx AS DOUBLE))
+               * 1000000.0, 0) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END""").as("tm"))
+      .agg(sum(col("tm")).as("tt"))
+    val rows = persisted.select(
+      col("source"),
+      col("n_s").as("n_docs"),
+      col("xs").as("n_tokens"),
+      round(col("xs").cast("double") / col("xx").cast("double"), 6).as("share"),
+      round(col("tw").cast("double") / lit(1000000.0), 6).as("theil_within"),
+      round(col("cw").cast("double") / lit(1000000.0), 6).as("within_contrib"),
+      lit(null).cast("double").as("theil_between"),
+      lit(null).cast("double").as("theil_total"))
+    val allRow = persisted
+      .agg(
+        sum(col("n_s")).as("nd"), sum(col("xs")).as("xt"),
+        sum(col("tbm")).as("tb"), sum(col("cw")).as("cws"))
+      .crossJoin(totalT)
+      .select(
+        lit("_ALL").as("source"),
+        col("nd").as("n_docs"),
+        col("xt").as("n_tokens"),
+        lit(1.0).as("share"),
+        lit(null).cast("double").as("theil_within"),
+        round(col("cws").cast("double") / lit(1000000.0), 6).as("within_contrib"),
+        round(col("tb").cast("double") / lit(1000000.0), 6).as("theil_between"),
+        round(col("tt").cast("double") / lit(1000000.0), 6).as("theil_total"))
+    rows.unionByName(allRow).orderBy(col("source"))
+  }
+
+  /** Oracle: same doc/source grains, the identical micro-quantized term
+    * shapes at all three grains, NULL-columned per-source vs `_ALL` rows.
+    */
+  lazy val theilDecompositionSql: String =
+    s"""WITH q240d AS MATERIALIZED (
+       |  SELECT source, len(${TextOps.DuckToks})::BIGINT AS x FROM documents),
+       |q240s AS MATERIALIZED (
+       |  SELECT source, count(*)::BIGINT AS n_s, CAST(sum(x) AS BIGINT) AS xs
+       |  FROM q240d GROUP BY source),
+       |q240t AS (SELECT CAST(sum(n_s) AS BIGINT) AS nn, CAST(sum(xs) AS BIGINT) AS xx,
+       |    count(*)::BIGINT AS g FROM q240s),
+       |q240w AS (SELECT d.source,
+       |    CAST(sum(CASE WHEN d.x > 0 THEN
+       |      CAST(round((d.x::DOUBLE / s.xs::DOUBLE)
+       |        * ln(d.x::DOUBLE * s.n_s::DOUBLE / s.xs::DOUBLE) * 1000000.0, 0) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS tw
+       |  FROM q240d d JOIN q240s s USING (source) GROUP BY d.source),
+       |q240p AS MATERIALIZED (SELECT s.source, s.n_s, s.xs, t.nn, t.xx, w.tw,
+       |    CASE WHEN s.xs > 0 THEN
+       |      CAST(round((s.xs::DOUBLE / t.xx::DOUBLE)
+       |        * ln(s.xs::DOUBLE * t.nn::DOUBLE / (t.xx::DOUBLE * s.n_s::DOUBLE))
+       |        * 1000000.0, 0) AS BIGINT)
+       |    ELSE 0 END AS tbm,
+       |    CAST(round((s.xs::DOUBLE / t.xx::DOUBLE)
+       |      * (w.tw::DOUBLE / 1000000.0) * 1000000.0, 0) AS BIGINT) AS cw
+       |  FROM q240s s LEFT JOIN q240w w USING (source), q240t t),
+       |q240tt AS (SELECT CAST(sum(CASE WHEN d.x > 0 THEN
+       |      CAST(round((d.x::DOUBLE / t.xx::DOUBLE)
+       |        * ln(d.x::DOUBLE * t.nn::DOUBLE / t.xx::DOUBLE) * 1000000.0, 0) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS tt
+       |  FROM q240d d, q240t t)
+       |SELECT source, n_s AS n_docs, xs AS n_tokens,
+       |  round(xs::DOUBLE / xx::DOUBLE, 6) AS share,
+       |  round(tw::DOUBLE / 1000000.0, 6) AS theil_within,
+       |  round(cw::DOUBLE / 1000000.0, 6) AS within_contrib,
+       |  CAST(NULL AS DOUBLE) AS theil_between,
+       |  CAST(NULL AS DOUBLE) AS theil_total
+       |FROM q240p
+       |UNION ALL
+       |SELECT '_ALL', p.nd, p.xt, 1.0::DOUBLE,
+       |  CAST(NULL AS DOUBLE),
+       |  round(p.cws::DOUBLE / 1000000.0, 6),
+       |  round(p.tb::DOUBLE / 1000000.0, 6),
+       |  round(tt.tt::DOUBLE / 1000000.0, 6)
+       |FROM (SELECT CAST(sum(n_s) AS BIGINT) AS nd, CAST(sum(xs) AS BIGINT) AS xt,
+       |    CAST(sum(tbm) AS BIGINT) AS tb, CAST(sum(cw) AS BIGINT) AS cws FROM q240p) p,
+       |q240tt tt
+       |ORDER BY source""".stripMargin
+
+  // --- q241: delete-one-source jackknife of the tokens-per-doc ratio ---------------
+
+  /** Delete-one-group jackknife standard error of the corpus
+    * tokens-per-doc ratio — the CI machinery for RATIO metrics, where
+    * per-doc variance formulas are wrong because numerator and
+    * denominator are random together (Efron 1982; the same reason ratio
+    * experiment metrics use delta-method/jackknife): each source is held
+    * out once, the ratio recomputed from the REMAINING totals, and the
+    * spread of those leave-one-out ratios prices how much any single
+    * source steers the corpus average. A CI that jumps when one source
+    * drops says the "corpus average" is really that source's average.
+    *
+    * Scale shape: everything derives from the ≤|sources| totals table —
+    * leave-one-out ratios are arithmetic against the broadcast grand
+    * totals (never a re-scan per group), micro-quantized before the
+    * bounded moment fold; SE and CI read the published sums in
+    * identically-shaped IEEE doubles.
+    */
+  def jackknifeRatio(spark: SparkSession, dir: String): DataFrame = {
+    val src = docs(spark, dir)
+      .select(col("source"), size(TextOps.toks).cast("long").as("x"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"), sum(col("x")).as("xs"))
+    val persisted = graft.core.CacheScope.persist(src)
+    val tot = persisted
+      .agg(sum(col("n_s")).as("nn"), sum(col("xs")).as("xx"), count(lit(1)).as("g"))
+    val loo = persisted
+      .crossJoin(broadcast(tot))
+      .filter(col("nn") > col("n_s"))
+      .select(expr(
+        """CAST(round(CAST(xx - xs AS DOUBLE) / CAST(nn - n_s AS DOUBLE)
+             * 1000000.0, 0) AS BIGINT)""").as("m"))
+      .agg(
+        count(lit(1)).as("gg"),
+        sum(col("m")).as("sm"),
+        sum(expr("CAST(m AS DECIMAL(38,0)) * m")).as("smm"))
+    loo
+      .crossJoin(tot)
+      .selectExpr(
+        "g AS n_sources", "gg AS n_used", "nn AS n_docs", "xx AS n_tokens",
+        "CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE) AS r",
+        """CASE WHEN gg > 1 THEN
+             sqrt(greatest((CAST(smm AS DOUBLE)
+                 - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(gg AS DOUBLE)) / 1.0e12
+               * (CAST(gg AS DOUBLE) - 1.0) / CAST(gg AS DOUBLE), 0.0)) END AS se""")
+      .selectExpr(
+        "n_sources", "n_used", "n_docs", "n_tokens",
+        "round(r, 6) AS ratio",
+        "round(se, 6) AS jack_se",
+        s"round(r - CAST($ZAlphaTwoSided AS DOUBLE) * se, 6) AS ci_lo",
+        s"round(r + CAST($ZAlphaTwoSided AS DOUBLE) * se, 6) AS ci_hi")
+  }
+
+  /** Oracle: identical totals table, micro-quantized leave-one-out
+    * ratios, HUGEINT moment fold, and the same published-sum SE/CI.
+    */
+  lazy val jackknifeRatioSql: String =
+    s"""WITH q241s AS MATERIALIZED (
+       |  SELECT source, count(*)::BIGINT AS n_s,
+       |    CAST(sum(len(${TextOps.DuckToks})) AS BIGINT) AS xs
+       |  FROM documents GROUP BY source),
+       |q241t AS (SELECT CAST(sum(n_s) AS BIGINT) AS nn, CAST(sum(xs) AS BIGINT) AS xx,
+       |    count(*)::BIGINT AS g FROM q241s),
+       |q241l AS (SELECT CAST(round((t.xx - s.xs)::DOUBLE / (t.nn - s.n_s)::DOUBLE
+       |      * 1000000.0, 0) AS BIGINT) AS m
+       |  FROM q241s s, q241t t WHERE t.nn > s.n_s),
+       |q241a AS (SELECT count(*)::BIGINT AS gg, CAST(sum(m) AS BIGINT) AS sm,
+       |    sum(m::HUGEINT * m) AS smm FROM q241l),
+       |q241f AS (SELECT t.g AS n_sources, a.gg AS n_used, t.nn AS n_docs, t.xx AS n_tokens,
+       |    t.xx::DOUBLE / t.nn::DOUBLE AS r,
+       |    CASE WHEN a.gg > 1 THEN
+       |      sqrt(greatest((a.smm::DOUBLE - a.sm::DOUBLE * a.sm::DOUBLE / a.gg::DOUBLE) / 1.0e12
+       |        * (a.gg::DOUBLE - 1.0) / a.gg::DOUBLE, 0.0)) END AS se
+       |  FROM q241a a, q241t t)
+       |SELECT n_sources, n_used, n_docs, n_tokens,
+       |  round(r, 6) AS ratio,
+       |  round(se, 6) AS jack_se,
+       |  round(r - CAST($ZAlphaTwoSided AS DOUBLE) * se, 6) AS ci_lo,
+       |  round(r + CAST($ZAlphaTwoSided AS DOUBLE) * se, 6) AS ci_hi
+       |FROM q241f""".stripMargin
 }

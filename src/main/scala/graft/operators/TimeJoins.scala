@@ -2391,6 +2391,164 @@ object TimeJoins {
        |JOIN q172r rcur ON rcur.i = len(list_filter(a.L, x -> x.t < b.t)) + 1
        |ORDER BY b.t""".stripMargin
 
+  // --- q237: two-sample log-rank test over user lifetimes ---------------------
+
+  /** Two-sample log-rank test (Mantel 1966) of user lifetimes between the
+    * hash-assigned experiment arms — the survival-curve companion to
+    * q226's mean-uplift readout: "did the treatment change WHEN users
+    * churn, not just how much they spend?" Uses q172's exact lifetime and
+    * censoring semantics (a user active within [[SurvCensorDays]] of the
+    * corpus frontier is censored, their partial information still moves
+    * the at-risk denominators), q226's deterministic
+    * `pmod(xxhash64(user_id), 2)` arm coin. Per distinct lifetime t:
+    * arm-1 observed deaths `O₁ = Σ d₁ₜ`, hypergeometric expectation
+    * `E₁ = Σ dₜ·n₁ₜ/nₜ`, variance
+    * `V = Σ dₜ·(n₁ₜ/nₜ)·(n₀ₜ/nₜ)·(nₜ−dₜ)/(nₜ−1)`, and the z / χ²
+    * statistics.
+    *
+    * Scale shape: ONE user-keyed aggregate collapses the corpus; the
+    * lifetime table is ≤|days| distinct-t rows and the at-risk suffix
+    * counts ride the q172 collected-array fold (bounded by the day
+    * domain — never a second corpus pass, never a partitionless window).
+    * Determinism: counts are exact longs; per-t E/V terms are
+    * identically-shaped IEEE doubles micro-quantized before the bounded
+    * fold (§4 rule); z/χ² read the published integer-micro sums.
+    */
+  def logrankTest(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).cast("long").as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .withColumn("arm", pmod(xxhash64(col("user_id")), lit(2L)))
+    val tot = users
+      .groupBy()
+      .agg(
+        max(col("last_day")).as("max_day"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"))
+    val byT = users
+      .crossJoin(broadcast(tot))
+      .select(
+        (col("last_day") - col("first_day")).as("t"),
+        col("arm"),
+        (col("last_day") > col("max_day") - lit(SurvCensorDays)).as("censored"))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(!col("censored") && col("arm") === 1L, 1L).otherwise(0L)).as("d1"),
+        sum(when(!col("censored") && col("arm") === 0L, 1L).otherwise(0L)).as("d0"),
+        sum(when(col("censored") && col("arm") === 1L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("censored") && col("arm") === 0L, 1L).otherwise(0L)).as("c0"))
+    val packed = byT
+      .groupBy()
+      .agg(sort_array(collect_list(struct(
+        col("t"), col("d1"), col("d0"), col("c1"), col("c0")))).as("arr"))
+      .crossJoin(broadcast(tot))
+    val sums = byT
+      .crossJoin(broadcast(packed))
+      .selectExpr("t", "d1", "d0", "arr", "n1", "n0",
+        "size(filter(arr, e -> e.t < t)) AS i0")
+      .selectExpr(
+        "d1",
+        "CAST(n1 - aggregate(slice(arr, 1, i0), 0L, (a, e) -> a + e.d1 + e.c1) AS DOUBLE) AS r1",
+        "CAST(n0 - aggregate(slice(arr, 1, i0), 0L, (a, e) -> a + e.d0 + e.c0) AS DOUBLE) AS r0",
+        "CAST(d1 + d0 AS DOUBLE) AS dt")
+      .selectExpr(
+        "d1",
+        """CASE WHEN dt > 0.0 THEN
+             CAST(round(dt * (r1 / (r1 + r0)) * 1000000.0, 0) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS e1m""",
+        """CASE WHEN dt > 0.0 AND r1 + r0 > 1.0 THEN
+             CAST(round(dt * (r1 / (r1 + r0)) * (r0 / (r1 + r0))
+               * ((r1 + r0 - dt) / (r1 + r0 - 1.0)) * 1000000.0, 0) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS vm""")
+      .agg(sum(col("d1")).as("o1"), sum(col("e1m")).as("e1s"), sum(col("vm")).as("vs"))
+    sums
+      .crossJoin(tot)
+      .selectExpr(
+        "n1 + n0 AS n_users", "n1 AS n_treat", "n0 AS n_control",
+        "o1 AS obs_treat",
+        "round(CAST(e1s AS DOUBLE) / 1000000.0, 6) AS exp_treat",
+        "round(CAST(vs AS DOUBLE) / 1000000.0, 6) AS variance",
+        """CASE WHEN vs > 0 THEN
+             round((CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE) / 1000000.0)
+               / sqrt(CAST(vs AS DOUBLE) / 1000000.0), 6) END AS z""",
+        """CASE WHEN vs > 0 THEN
+             round((CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE) / 1000000.0)
+               * (CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE) / 1000000.0)
+               / (CAST(vs AS DOUBLE) / 1000000.0), 6) END AS chi2""")
+  }
+
+  /** q237 oracle: the arm hash through [[graft.functions.DuckHash]], q172's
+    * lifetime/censor CTEs, window prefix sums for the at-risk counts
+    * (windows are fine oracle-side), and textually identical micro-
+    * quantized E/V terms and z/χ² shapes.
+    */
+  lazy val logrankTestSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q237u" ->
+        """(SELECT user_id, min(date_diff('day', DATE '1970-01-01', ts::DATE))::BIGINT AS first_day,
+          |    max(date_diff('day', DATE '1970-01-01', ts::DATE))::BIGINT AS last_day
+          |  FROM events GROUP BY user_id)""".stripMargin,
+      "q237du" -> "(SELECT user_id, user_id::HUGEINT AS l, first_day, last_day FROM q237u)"
+    )
+    val ch = new SqlChain("q237h", "q237du", Seq("user_id", "l", "first_day", "last_day"))
+    hashLongLevels(ch, toUnsigned("l"), "42", "h")
+    ctes ++= ch.ctes
+    ctes += ("q237a" ->
+      s"""(SELECT user_id, first_day, last_day,
+         |    (((${toSigned("h")} % 2) + 2) % 2)::BIGINT AS arm FROM ${ch.last})""".stripMargin)
+    ctes += ("q237t" ->
+      """(SELECT max(last_day) AS max_day,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+        |  FROM q237a)""".stripMargin)
+    ctes += ("q237b" ->
+      s"""(SELECT last_day - first_day AS t,
+         |    CAST(sum(CASE WHEN last_day <= max_day - $SurvCensorDays AND arm = 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         |    CAST(sum(CASE WHEN last_day <= max_day - $SurvCensorDays AND arm = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+         |    CAST(sum(CASE WHEN last_day > max_day - $SurvCensorDays AND arm = 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN last_day > max_day - $SurvCensorDays AND arm = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS c0
+         |  FROM q237a CROSS JOIN q237t GROUP BY 1)""".stripMargin)
+    ctes += ("q237r" ->
+      """(SELECT d1, d0,
+        |    CAST(n1 - (sum(d1 + c1) OVER (ORDER BY t) - (d1 + c1)) AS DOUBLE) AS r1,
+        |    CAST(n0 - (sum(d0 + c0) OVER (ORDER BY t) - (d0 + c0)) AS DOUBLE) AS r0,
+        |    CAST(d1 + d0 AS DOUBLE) AS dt
+        |  FROM q237b CROSS JOIN q237t)""".stripMargin)
+    ctes += ("q237s" ->
+      """(SELECT CAST(sum(d1) AS BIGINT) AS o1,
+        |    CAST(sum(CASE WHEN dt > 0.0 THEN
+        |      CAST(round(dt * (r1 / (r1 + r0)) * 1000000.0, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS e1s,
+        |    CAST(sum(CASE WHEN dt > 0.0 AND r1 + r0 > 1.0 THEN
+        |      CAST(round(dt * (r1 / (r1 + r0)) * (r0 / (r1 + r0))
+        |        * ((r1 + r0 - dt) / (r1 + r0 - 1.0)) * 1000000.0, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS vs
+        |  FROM q237r)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT n1 + n0 AS n_users, n1 AS n_treat, n0 AS n_control,
+        |  o1 AS obs_treat,
+        |  round(e1s::DOUBLE / 1000000.0, 6) AS exp_treat,
+        |  round(vs::DOUBLE / 1000000.0, 6) AS variance,
+        |  CASE WHEN vs > 0 THEN
+        |    round((o1::DOUBLE - e1s::DOUBLE / 1000000.0)
+        |      / sqrt(vs::DOUBLE / 1000000.0), 6) END AS z,
+        |  CASE WHEN vs > 0 THEN
+        |    round((o1::DOUBLE - e1s::DOUBLE / 1000000.0)
+        |      * (o1::DOUBLE - e1s::DOUBLE / 1000000.0)
+        |      / (vs::DOUBLE / 1000000.0), 6) END AS chi2
+        |FROM q237s, q237t""".stripMargin)
+  }
+
   // --- q199: transition-anomaly residuals ------------------------------------
 
   /** Rare/forbidden-transition audit over q103's first-order Markov

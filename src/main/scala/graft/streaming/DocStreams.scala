@@ -910,4 +910,61 @@ object DocStreams {
     graft.operators.StatsOps.conformalGate(spark, dir)
       .select(col("alpha"), col("threshold"))
       .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq.sortBy(_._1)
+
+  /** E60: streaming calibration-reliability tripwire — q233's live leg,
+    * on the E55 chained-stateful-window shape. The batch q233 calibrates
+    * q22's stop-ratio signal against VERIFIED near-dup truth; a stream
+    * can't run pair verification, so the live leg uses the within-window
+    * EXACT-copy truth E55 already maintains (same content hash appearing
+    * ≥ 2 times in the window) — the strict subset of dup truth that is
+    * windowable, and precisely the label a re-crawling feed trips first.
+    * Per closed window × score bin: docs, exact-copy docs, observed dup
+    * rate, mean score, and the |accuracy − confidence| gap — a bin whose
+    * gap blows out live says the batch-calibrated signal no longer means
+    * what the reliability diagram certified, before the next batch audit
+    * would notice.
+    *
+    * Scale shape: stage 1 collapses each window to the content-hash grain
+    * (map-side combinable; same text ⇒ same score ⇒ same bin, so the
+    * bin/s_micro columns are hash-functional and ride the SAME aggregate
+    * — no extra state); stage 2 re-windows the bounded per-hash table via
+    * `window_time` to the ≤[[graft.operators.StatsOps.CalibBins]]-per-
+    * window bin grain. Counts and micro-sums are integers; window = the
+    * reconciliation grain — batch-grouping the same records by the same
+    * windows with the same within-window copy rule reproduces every
+    * column exactly (spec-pinned).
+    */
+  def calibBinsTripwire(
+      docs: DataFrame,
+      windowDur: String = "1 hour",
+      watermarkDur: String = "2 hours"): DataFrame = {
+    val bins = graft.operators.StatsOps.CalibBins
+    val perHash = docs
+      .withWatermark("ts", watermarkDur)
+      .select(
+        col("ts"), md5(col("text")).as("h"),
+        (TextOps.stopCountExpr / size(TextOps.toks)).as("v"))
+      .select(
+        col("ts"), col("h"),
+        expr("CAST(round(v * 1000000.0, 0) AS BIGINT)").as("s_micro"),
+        least(floor(col("v") * lit(bins.toDouble)), lit((bins - 1).toLong)).as("bin"))
+      .groupBy(window(col("ts"), windowDur), col("h"), col("bin"), col("s_micro"))
+      .agg(count(lit(1)).as("k"))
+    perHash
+      .groupBy(window(window_time(col("window")), windowDur), col("bin"))
+      .agg(
+        sum(col("k")).as("n_docs"),
+        sum(when(col("k") >= 2L, col("k")).otherwise(0L)).as("n_dup"),
+        sum(col("k") * col("s_micro")).as("s"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("bin"),
+        col("n_docs"),
+        col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_docs").cast("double"), 6).as("dup_rate"),
+        round(col("s").cast("double") / lit(1000000.0) / col("n_docs").cast("double"), 6)
+          .as("avg_score"),
+        round(abs(col("n_dup") * lit(1000000L) - col("s")).cast("double") / lit(1000000.0)
+          / col("n_docs").cast("double"), 6).as("gap"))
+  }
 }

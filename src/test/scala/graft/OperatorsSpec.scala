@@ -1638,6 +1638,78 @@ class OperatorsSpec extends SparkSpec {
     sf.foreach(r => assert(r._5 > 0.0 && r._5 <= 1.0, s"S in (0,1]: $r"))
   }
 
+  test("q237: log-rank statistic equals a driver-side reference on planted lifetimes") {
+    import spark.implicits._
+    import graft.operators.TimeJoins
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("q237spec").toString
+    // 12 users, lifetimes 0..5 days, some active at the frontier (censored);
+    // arms come from the hash coin — the reference recomputes them below
+    // user 13 pins the frontier at Jan 28 → censor cutoff Jan 21, so users
+    // 1..12 (last activity ≤ Jan 18) are all observed deaths and u13 is the
+    // lone censored subject — both legs of the statistic exercised
+    val users = (1L to 12L).map { u =>
+      val first = s"2024-01-${10 + (u % 4)} 10:00:00"
+      val last  = s"2024-01-${10 + (u % 4) + (u % 6)} 10:00:00"
+      Seq((u * 2 - 1, t(first), u), (u * 2, t(last), u))
+    } :+ Seq((25L, t("2024-01-10 10:00:00"), 13L), (26L, t("2024-01-28 10:00:00"), 13L))
+    users.flatten
+      .map { case (id, ts, u) => (id, ts, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val row = TimeJoins.logrankTest(spark, dir).collect().head
+
+    // driver-side reference: same arm coin, censor rule, and micro terms
+    val arms = spark.range(1, 14).select(col("id"),
+      pmod(xxhash64(col("id")), lit(2L)).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lives = (1L to 12L).map { u =>
+      val fd = 10 + (u % 4); val ld = fd + (u % 6)
+      (u, ld - fd, ld) // (user, lifetime t, last_day offset within Jan)
+    } :+ ((13L, 18L, 28L))
+    val maxDay = lives.map(_._3).max
+    val cens   = lives.map { case (u, tt, ld) => (u, tt, ld > maxDay - 7) }
+    val n1 = cens.count(c => arms(c._1) == 1L).toLong
+    val n0 = cens.size.toLong - n1
+    val byT = cens.groupBy(_._2).toSeq.sortBy(_._1).map { case (tt, g) =>
+      (tt,
+        g.count(c => !c._3 && arms(c._1) == 1L).toLong,
+        g.count(c => !c._3 && arms(c._1) == 0L).toLong,
+        g.count(c => c._3 && arms(c._1) == 1L).toLong,
+        g.count(c => c._3 && arms(c._1) == 0L).toLong)
+    }
+    def micro(x: Double) = BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    var rem1 = n1; var rem0 = n0
+    var o1 = 0L; var e1s = 0L; var vs = 0L
+    byT.foreach { case (_, d1, d0, c1, c0) =>
+      val (r1, r0) = (rem1.toDouble, rem0.toDouble)
+      val dt = (d1 + d0).toDouble
+      o1 += d1
+      if (dt > 0.0) e1s += micro(dt * (r1 / (r1 + r0)) * 1000000.0)
+      if (dt > 0.0 && r1 + r0 > 1.0)
+        vs += micro(dt * (r1 / (r1 + r0)) * (r0 / (r1 + r0))
+          * ((r1 + r0 - dt) / (r1 + r0 - 1.0)) * 1000000.0)
+      rem1 -= d1 + c1; rem0 -= d0 + c0
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getLong(0) == 13L && row.getLong(1) == n1 && row.getLong(2) == n0)
+    assert(row.getLong(3) == o1, "observed arm-1 deaths")
+    assert(row.getDouble(4) == r6(e1s.toDouble / 1000000.0), "E1")
+    assert(row.getDouble(5) == r6(vs.toDouble / 1000000.0), "V")
+    if (vs > 0) {
+      val z = r6((o1.toDouble - e1s.toDouble / 1000000.0) / math.sqrt(vs.toDouble / 1000000.0))
+      assert(row.getDouble(6) == z, "z")
+    }
+    // testdata invariants: the synthetic corpora keep every user active at
+    // the frontier (all censored, zero deaths), so the statistic must
+    // degenerate HONESTLY — V = 0 and z/χ² NULL, not a fabricated number
+    val sf = TimeJoins.logrankTest(spark, Sf0001).collect().head
+    assert(sf.getLong(1) + sf.getLong(2) == sf.getLong(0))
+    assert(sf.getDouble(5) >= 0.0, "variance non-negative")
+    if (sf.getDouble(5) == 0.0)
+      assert(sf.isNullAt(6) && sf.isNullAt(7), "z/chi2 must be NULL when V = 0")
+  }
+
   test("q173: metrics agree with a driver-side confusion recomputation; _ALL row is micro-avg") {
     import graft.operators.CurationOps
     val rows = CurationOps.classifierEval(spark, Sf0001).collect()

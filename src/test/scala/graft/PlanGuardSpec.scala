@@ -652,7 +652,28 @@ class PlanGuardSpec extends SparkSpec {
         "q230_neyman_alloc",
         // q232 embeds q230's plan (the same 1-row fold crossJoins) to
         // derive its allocation table
-        "q232_neyman_draw")
+        "q232_neyman_draw",
+        // q233 crossJoins the 1-row ECE-numerator/total aggregate onto the
+        // ≤10-row bin table — q159's 1-row-total-onto-bounded-sweep shape
+        "q233_calibration_bins",
+        // q234 crossJoins its 1-row folds (doc moments × rel/res micro sums
+        // × bin totals) — q42's sketch×exact 1-row shape, three times
+        "q234_brier_decomposition",
+        // q235 crossJoins the 1-row corpus total onto the bounded
+        // contingency/margin tables and 1×1-joins the MI/entropy folds
+        "q235_mutual_information",
+        // q236 is q108's marginal cross-join universe (|sources|×|langs|)
+        // plus the 1-row total and a final 1×1 χ²×total join — all bounded
+        "q236_cramers_v",
+        // q237 is q172's 1-row frontier/packed-array crossJoins with arm
+        // columns — the same ordered-fold idiom, bounded by construction
+        "q237_logrank_test",
+        // q240 crossJoins the 1-row corpus totals onto the doc grain
+        // (q132's 1-row-token-total shape) and onto the ≤|sources| rows
+        "q240_theil_decomposition",
+        // q241 crossJoins the 1-row grand totals onto the ≤|sources| table
+        // and 1×1-joins the LOO moment fold — q42's shape
+        "q241_jackknife_ratio")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -756,6 +777,7 @@ class PlanGuardSpec extends SparkSpec {
       "q206_cluster_purity"    -> "per-cluster label counts, ≤|labels|",
       "q109_pareto_frontier"   -> "1-row broadcast of the token-count-domain frontier",
       "q172_km_survival"       -> "per-cohort event-time support (day domain)",
+      "q237_logrank_test"      -> "per-corpus lifetime support (day domain) — q172's fold with arm columns",
       // --- ≤k model / rank lists (the bounded-model-collect rule)
       "q164_rank_agreement" -> "BoundedRank ≤k-row post-top-k rank arrays",
       "q55_hybrid_rrf"      -> "BoundedRank ≤k-row post-top-k rank arrays",

@@ -419,4 +419,242 @@ class StatsOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.getDecimal(1)).map(_.longValueExact())))
     assert(ok.toSeq == Seq((5L, Some(123L)), (0L, None)))
   }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Calibration fixture: two exact-dup pairs (3-gram Jaccard = 1) plus
+    * unique docs spanning the score range, incl. an all-stopword doc whose
+    * stop_ratio = 1.0 must land in the LAST bin (the least() cap), not a
+    * phantom 11th.
+    */
+  private def calibDir(): String = {
+    val docs = Seq(
+      (1L, "the cat runs to the house quickly today now"),
+      (2L, "the cat runs to the house quickly today now"), // dup of 1
+      (3L, "dog walks yard slowly tonight yes cat house"),
+      (4L, "dog walks yard slowly tonight yes cat house"), // dup of 3
+      (5L, "the a an and of to in is"),                    // stop_ratio 1.0
+      (6L, "cat dog house yard walks runs slowly quickly"),// stop_ratio 0.0
+      (7L, "the dog of yard walks cat runs house"),
+      (8L, "a cat and dog in house to yard is near"),
+      (9L, "the the cat cat dog dog walks walks now"),
+      (10L, "of the and a cat dog house walk")
+    ).map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("calibspec").toString
+    import spark.implicits._
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q233: bins, gaps, and ECE equal a driver-side integer recomputation") {
+    val dir = calibDir()
+    // the operator's own doc-grain stage supplies (bin, pos, s_micro); the
+    // reference below redoes ALL downstream arithmetic in exact integers
+    val scored = StatsOps.calibScored(spark, dir)
+      .collect().map(r => (r.getLong(3), r.getBoolean(1), r.getLong(2))).toSeq
+    assert(scored.size == 10 && scored.map(_._1).max == 9L,
+      "stop_ratio=1.0 must cap into bin 9")
+    assert(scored.count(_._2) == 4, "both exact-dup pairs must be dup-labeled")
+    val ref = scored.groupBy(_._1).map { case (bin, rs) =>
+      val n = rs.size.toLong
+      val d = rs.count(_._2).toLong
+      val s = rs.map(_._3).sum
+      bin -> (n, d, s)
+    }
+    val nAll   = ref.values.map(_._1).sum
+    val eceNum = ref.values.map { case (_, d, s) => math.abs(d * 1000000L - s) }.sum
+    val got = StatsOps.calibrationBins(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSeq == ref.keys.toSeq.sorted)
+    got.foreach { r =>
+      val (n, d, s) = ref(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == d)
+      assert(r.getDouble(3) == r6(d.toDouble / n))
+      assert(r.getDouble(4) == r6(s.toDouble / 1000000.0 / n))
+      assert(r.getDouble(5) == r6(math.abs(d * 1000000L - s).toDouble / 1000000.0 / n))
+      assert(r.getDouble(6) == r6(eceNum.toDouble / 1000000.0 / nAll))
+    }
+  }
+
+  test("q234: Brier + Murphy terms equal a driver-side recomputation; identity holds within quantization") {
+    val dir = calibDir()
+    val scored = StatsOps.calibScored(spark, dir)
+      .collect().map(r => (r.getLong(3), r.getBoolean(1), r.getLong(2))).toSeq
+    val n   = scored.size.toLong
+    val dd  = scored.count(_._2).toLong
+    val ssq = scored.map { case (_, pos, s) =>
+      val e = s - (if (pos) 1000000L else 0L); e * e
+    }.sum
+    val bins = scored.groupBy(_._1).values.map { rs =>
+      (rs.size.toLong, rs.count(_._2).toLong, rs.map(_._3).sum)
+    }.toSeq
+    def micro(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val relS = bins.map { case (nb, db, sb) =>
+      micro((sb.toDouble - 1000000.0 * db) * (sb.toDouble - 1000000.0 * db)
+        / 1.0e12 / nb / n * 1000000.0)
+    }.sum
+    val resS = bins.map { case (nb, db, sb) =>
+      micro((db.toDouble * n - dd.toDouble * nb) * (db.toDouble * n - dd.toDouble * nb)
+        / nb / n / n / n * 1000000.0)
+    }.sum
+    val row = StatsOps.brierDecomposition(spark, dir).collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == dd)
+    assert(row.getDouble(2) == r6(ssq.toDouble / 1.0e12 / n), "brier")
+    assert(row.getDouble(3) == r6(relS.toDouble / 1000000.0), "reliability")
+    assert(row.getDouble(4) == r6(resS.toDouble / 1000000.0), "resolution")
+    assert(row.getDouble(5) == r6(dd.toDouble * (n - dd) / n / n), "uncertainty")
+    // Murphy's identity is exact for bin-constant forecasts; with real
+    // within-bin score spread it holds up to the within-bin variance term,
+    // which this 10-doc fixture bounds well under 0.05
+    val approx = row.getDouble(3) - row.getDouble(4) + row.getDouble(5)
+    assert(math.abs(row.getDouble(2) - approx) < 0.05,
+      s"brier ${row.getDouble(2)} vs rel-res+unc $approx")
+  }
+
+  test("q235: perfectly dependent 2x2 grid scores MI = ln 2 and NMI = 1; independence scores 0") {
+    import spark.implicits._
+    def write(rows: Seq[(Long, String, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("q235spec").toString
+      rows.map { case (id, src, lang) => (id, s"text $id", lang, src, 7L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // diagonal: source determines lang exactly, balanced 2+2
+    val dep = write(Seq((1L, "s1", "en"), (2L, "s1", "en"), (3L, "s2", "fr"), (4L, "s2", "fr")))
+    val r1 = StatsOps.mutualInformation(spark, dep).collect().head
+    val ln2q = 2 * micro6(0.5 * math.log(2.0)) // two cells, each (1/2)·ln2 (math.log = Spark's ln)
+    assert(r1.getLong(0) == 4L && r1.getLong(1) == 2L)
+    assert(r1.getDouble(2) == ln2q / 1.0e6, "MI = ln 2 (micro-quantized)")
+    assert(r1.getDouble(3) == r1.getDouble(2) && r1.getDouble(4) == r1.getDouble(2))
+    assert(r1.getDouble(5) == 1.0, "NMI = 1 under perfect dependence")
+    // product grid: every (source, lang) cell equal → MI = 0
+    val ind = write(Seq((1L, "s1", "en"), (2L, "s1", "fr"), (3L, "s2", "en"), (4L, "s2", "fr")))
+    val r2 = StatsOps.mutualInformation(spark, ind).collect().head
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(5) == 0.0)
+  }
+
+  private def micro6(x: Double): Long =
+    BigDecimal(x * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  test("q236: perfect association scores V = 1, independence scores V = 0, zero cells counted") {
+    import spark.implicits._
+    def write(rows: Seq[(Long, String, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("q236spec").toString
+      rows.map { case (id, src, lang) => (id, s"text $id", lang, src, 7L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val dep = write(Seq((1L, "s1", "en"), (2L, "s1", "en"), (3L, "s2", "fr"), (4L, "s2", "fr")))
+    val r1 = StatsOps.cramersV(spark, dep).collect().head
+    // every universe cell contributes (|n−1|)²/1 = 1 (two observed, two ZERO
+    // cells) → χ² = 4 = N → V = 1; dof = 1
+    assert(r1.getLong(0) == 4L && r1.getLong(3) == 1L)
+    assert(r1.getDouble(4) == 4.0 && r1.getDouble(5) == 1.0)
+    val ind = write(Seq((1L, "s1", "en"), (2L, "s1", "fr"), (3L, "s2", "en"), (4L, "s2", "fr")))
+    val r2 = StatsOps.cramersV(spark, ind).collect().head
+    assert(r2.getDouble(4) == 0.0 && r2.getDouble(5) == 0.0)
+  }
+
+  test("q238: MDE equals a driver-side recomputation with the same z constants") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("q238spec").toString
+    // 8 users, one metric; per-user totals 1.00..8.00 → known moments
+    val rows = (1L to 8L).map(u => (u, t(s"2024-01-0${(u % 7) + 1} 10:00:00"), u, "buy", u.toDouble, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StatsOps.mdePower(spark, dir).collect().head
+    val arms = spark.range(1, 9).select(col("id"), pmod(xxhash64(col("id")), lit(2L)).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ys = (1L to 8L).map(u => u -> u * 100L).toMap // cents
+    val n = 8.0
+    val sy = ys.values.sum
+    val syy = ys.values.map(y => y * y).sum
+    val nt = arms.count(_._2 == 1L).toLong
+    val nc = 8L - nt
+    val syc = ys.filter(kv => arms(kv._1) == 0L).values.sum
+    val s2 = (n * syy.toDouble - sy.toDouble * sy.toDouble) / n / (n - 1.0)
+    val mdeC = (StatsOps.ZAlphaTwoSided + StatsOps.ZPower80) *
+      math.sqrt(s2 * (1.0 / nt + 1.0 / nc))
+    assert(got.getLong(1) == 8L && got.getLong(2) == nt && got.getLong(3) == nc)
+    assert(got.getDouble(4) == r6(sy.toDouble / n / 100.0), "mean")
+    assert(got.getDouble(5) == r6(math.sqrt(s2) / 100.0), "sd")
+    assert(got.getDouble(6) == r6(mdeC / 100.0), "mde_abs")
+    assert(got.getDouble(7) == r6(mdeC / (syc.toDouble / nc)), "mde_rel")
+  }
+
+  test("q239: distinct-n ratios count planted template repetition exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q239spec").toString
+    // 'tpl' repeats one bigram pattern (low distinct-2); 'var' is all-fresh
+    Seq(
+      (1L, "x y x y x y", "en", "tpl", 11L),   // 6 tokens: uni {x,y}, bigrams: "x y"×3, "y x"×2
+      (2L, "x y x y", "en", "tpl", 7L),        // 4 tokens: "x y"×2, "y x"×1
+      (3L, "a b c d e", "en", "var", 9L),      // all distinct
+      (4L, "f", "en", "var", 1L)               // single token → zero bigrams
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = StatsOps.distinctNgrams(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val tpl = got("tpl")
+    assert(tpl.getLong(1) == 2L && tpl.getLong(2) == 10L && tpl.getLong(3) == 2L)
+    assert(tpl.getDouble(4) == r6(2.0 / 10.0))
+    assert(tpl.getLong(5) == 8L && tpl.getLong(6) == 2L, "bigrams: x y / y x only")
+    assert(tpl.getDouble(7) == r6(2.0 / 8.0))
+    val vr = got("var")
+    assert(vr.getLong(2) == 6L && vr.getLong(3) == 6L && vr.getDouble(4) == 1.0)
+    assert(vr.getLong(5) == 4L && vr.getLong(6) == 4L && vr.getDouble(7) == 1.0)
+  }
+
+  test("q240: within-equal corpora put ALL inequality between sources; identity holds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q240spec").toString
+    // source A: 3 docs × 4 tokens; source B: 2 docs × 8 tokens — zero
+    // within-source inequality, so T_total must equal T_between exactly
+    // (same micro-quantized fold shapes on both)
+    val mk = (n: Int, w: String) => (1 to n).map(_ => Seq.fill(4)(w).mkString(" "))
+    val docs = mk(3, "aa").zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "A", 11L) } ++
+      Seq.tabulate(2)(i => ((10 + i).toLong, Seq.fill(8)("bb").mkString(" "), "en", "B", 23L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = StatsOps.theilDecomposition(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("A", "B", "_ALL"))
+    assert(rows("A").getDouble(4) == 0.0 && rows("B").getDouble(4) == 0.0,
+      "equal within-source masses → zero within index")
+    val all = rows("_ALL")
+    assert(all.getDouble(5) == 0.0, "summed within contribution")
+    // T_between = Σ share·ln(share·N/n_s): A share 12/28, B share 16/28
+    def term(xs: Double, ns: Double, xx: Double, nn: Double) =
+      micro6((xs / xx) * math.log(xs * nn / (xx * ns)))
+    val tb = term(12, 3, 28, 5) + term(16, 2, 28, 5)
+    assert(all.getDouble(6) == r6(tb.toDouble / 1000000.0), "between index")
+    // identity: with zero within, total == between up to per-doc quantization
+    assert(math.abs(all.getDouble(7) - all.getDouble(6)) < 1e-5,
+      s"total ${all.getDouble(7)} vs between ${all.getDouble(6)}")
+  }
+
+  test("q241: jackknife SE equals the hand formula on two known sources") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q241spec").toString
+    // A: 2 docs × 3 tokens; B: 1 doc × 9 tokens → R = 15/3 = 5,
+    // LOO: drop A → 9/1 = 9, drop B → 6/2 = 3
+    Seq(
+      (1L, "t t t", "en", "A", 5L), (2L, "t t t", "en", "A", 5L),
+      (3L, "t t t t t t t t t", "en", "B", 17L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = StatsOps.jackknifeRatio(spark, dir).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 3L && r.getLong(3) == 15L)
+    assert(r.getDouble(4) == 5.0, "ratio")
+    // m ∈ {9e6, 3e6}; v = (smm − sm²/g)/1e12 · (g−1)/g = (90e12−72e12)/1e12 · 0.5 = 9
+    val se = math.sqrt(9.0)
+    assert(r.getDouble(5) == r6(se), "jackknife SE")
+    assert(r.getDouble(6) == r6(5.0 - StatsOps.ZAlphaTwoSided * se), "ci_lo")
+    assert(r.getDouble(7) == r6(5.0 + StatsOps.ZAlphaTwoSided * se), "ci_hi")
+  }
 }

@@ -2378,4 +2378,65 @@ class StreamingSpec extends SparkSpec {
     // evidence counts agree with the flag on every row
     rows.foreach { case (id, ns, c) => assert((ns > 0) == c, s"doc $id: n_shared=$ns flag=$c") }
   }
+
+  test("E60: chained-window calibration bins reconcile with batch per-window truth exactly") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    implicit val ctx = spark.sqlContext
+    val corpus = graft.core.Tables.documents(spark, Sf0001)
+    // two event-time windows; a planted exact-copy group in each (the
+    // within-window dup truth), one stopword-saturated copy group to hit
+    // the top bin, and the corpus spread across both hours
+    val replay = corpus.select("doc_id", "text").collect().zipWithIndex
+      .map { case (r, i) =>
+        Doc(r.getLong(0), r.getString(1),
+          Timestamp.valueOf(f"2024-01-01 ${10 + i % 2}%02d:15:00"))
+      } ++ Seq(
+      Doc(600001L, "planted calibration copy alpha beta", Timestamp.valueOf("2024-01-01 10:20:00")),
+      Doc(600002L, "planted calibration copy alpha beta", Timestamp.valueOf("2024-01-01 10:40:00")),
+      Doc(600003L, "the a an and of to in is", Timestamp.valueOf("2024-01-01 11:20:00")),
+      Doc(600004L, "the a an and of to in is", Timestamp.valueOf("2024-01-01 11:40:00")))
+    val in = MemoryStream[Doc]
+    val q = DocStreams.calibBinsTripwire(in.toDF())
+      .writeStream.format("memory").queryName("cb_s").outputMode("append").start()
+    in.addData(replay.toSeq: _*); q.processAllAvailable()
+    in.addData(Doc(99999L, "late watermark pusher", Timestamp.valueOf("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("cb_s").collect()
+      .filter(_.getString(0).startsWith("2024-01-01 1"))
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    q.stop()
+    assert(rows.nonEmpty)
+    // batch truth: same records, same windows, same within-window copy rule,
+    // same micro-quantization (q233's doc-grain arithmetic in plain Scala)
+    val stops = Set("the", "a", "an", "and", "of", "to", "in", "is")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def micro(x: Double) = BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val want = replay
+      .groupBy(d => f"2024-01-01 ${d.ts.toLocalDateTime.getHour}%02d")
+      .flatMap { case (hour, ds) =>
+        val copies = ds.groupBy(_.text).view.mapValues(_.size.toLong).toMap
+        ds.map { d =>
+          val toks = d.text.trim.split("\\s+")
+          val v = toks.count(stops) .toDouble / toks.length
+          val sMicro = micro(v * 1000000.0)
+          val bin = math.min(math.floor(v * 10.0).toLong, 9L)
+          (hour, bin, copies(d.text), sMicro)
+        }.groupBy(t => (t._1, t._2)).map { case (key, docs) =>
+          val n = docs.size.toLong
+          val dups = docs.count(_._3 >= 2L).toLong
+          val s = docs.map(_._4).sum
+          key -> (n, dups,
+            r6(dups.toDouble / n),
+            r6(s.toDouble / 1000000.0 / n),
+            r6(math.abs(dups * 1000000L - s).toDouble / 1000000.0 / n))
+        }
+      }.toMap
+    assert(rows == want, s"stream ${rows.toSeq.sortBy(_._1)} vs batch ${want.toSeq.sortBy(_._1)}")
+    // the stopword-saturated copies land in the top bin with dup_rate 1
+    val top = rows(("2024-01-01 11", 9L))
+    assert(top._1 >= 2L && top._2 >= 2L, s"planted top-bin copies visible: $top")
+  }
 }
