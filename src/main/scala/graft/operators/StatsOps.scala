@@ -4815,4 +4815,223 @@ object StatsOps {
        |  round(r - CAST($ZAlphaTwoSided AS DOUBLE) * se, 6) AS ci_lo,
        |  round(r + CAST($ZAlphaTwoSided AS DOUBLE) * se, 6) AS ci_hi
        |FROM q241f""".stripMargin
+
+  // --- q242: isotonic (PAV) recalibration of the reliability diagram -------------
+
+  /** Isotonic recalibration of q233's reliability diagram: the
+    * non-decreasing dup-rate curve closest (weighted least squares) to
+    * the observed per-bin rates — pool-adjacent-violators, computed by
+    * the interval-minimax identity `iso_i = max_{j≤i} min_{k≥i} rate(j,k)`
+    * over the bin table (Ayer et al. 1955; Robertson–Wright–Dykstra 1988,
+    * Thm 1.4.4) — the recalibration MAP q234's reliability term says you
+    * need: read a score, answer the isotonic dup-rate. Bins where iso
+    * differs from raw are exactly the monotonicity violations.
+    *
+    * Scale shape: the corpus collapses once (q233's shared doc-grain
+    * stage) to the ≤[[CalibBins]]-row bin table; the minimax is ≤|bins|³
+    * arithmetic over bounded broadcast self-joins — no corpus-sized work
+    * after the first aggregate, which is why the minimax identity beats
+    * porting the sequential PAV stack here. Determinism: interval rates
+    * are single divides of exact integer sums; min/max over identical
+    * IEEE doubles agree bit-for-bit.
+    */
+  def isotonicBins(spark: SparkSession, dir: String): DataFrame = {
+    val bins = graft.core.CacheScope.persist(
+      calibBins(calibScored(spark, dir)).select(col("bin"), col("n"), col("d")))
+    val ivals = bins
+      .select(col("bin").as("j"))
+      .join(broadcast(bins.select(col("bin").as("k"))), col("j") <= col("k"))
+      .join(broadcast(bins), col("bin").between(col("j"), col("k")))
+      .groupBy(col("j"), col("k"))
+      .agg((sum(col("d")).cast("double") / sum(col("n")).cast("double")).as("rate"))
+    val iso = bins
+      .select(col("bin"))
+      .join(broadcast(ivals), col("j") <= col("bin") && col("k") >= col("bin"))
+      .groupBy(col("bin"), col("j"))
+      .agg(min(col("rate")).as("mn"))
+      .groupBy(col("bin"))
+      .agg(max(col("mn")).as("iso"))
+    bins
+      .join(iso, "bin")
+      .select(
+        col("bin"),
+        col("n").as("n_docs"),
+        col("d").as("n_dup"),
+        round(col("d").cast("double") / col("n").cast("double"), 6).as("raw_rate"),
+        round(col("iso"), 6).as("iso_rate"))
+      .orderBy(col("bin"))
+  }
+
+  /** Oracle: q233's scored/bin CTEs and the identical bounded interval
+    * minimax — same single-divide rates, same min-then-max order.
+    */
+  lazy val isotonicBinsSql: String =
+    s"""WITH ${TextOps.DuckShingleCte},
+       |${TextOps.DuckJaccardPairsCte},
+       |q242d AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM pairs WHERE jaccard >= ${TextOps.JaccardThreshold}
+       |    UNION ALL SELECT doc_b FROM pairs WHERE jaccard >= ${TextOps.JaccardThreshold})),
+       |q242s AS (SELECT q.stop_ratio AS v, (d.doc_id IS NOT NULL) AS pos
+       |          FROM (${TextOps.qualityScoreSql.replace("ORDER BY doc_id", "")}) q
+       |          LEFT JOIN q242d d USING (doc_id)),
+       |q242b AS (SELECT CAST(least(floor(v * ${CalibBins}.0), ${CalibBins - 1}) AS BIGINT) AS bin,
+       |            count(*)::BIGINT AS n,
+       |            CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |          FROM q242s GROUP BY 1),
+       |q242i AS (SELECT j.bin AS j, k.bin AS k,
+       |            CAST(sum(b.d) AS BIGINT)::DOUBLE / CAST(sum(b.n) AS BIGINT)::DOUBLE AS rate
+       |          FROM (SELECT bin FROM q242b) j
+       |          JOIN (SELECT bin FROM q242b) k ON j.bin <= k.bin
+       |          JOIN q242b b ON b.bin BETWEEN j.bin AND k.bin
+       |          GROUP BY 1, 2),
+       |q242m AS (SELECT b.bin, i.j, min(i.rate) AS mn
+       |          FROM (SELECT bin FROM q242b) b
+       |          JOIN q242i i ON i.j <= b.bin AND i.k >= b.bin
+       |          GROUP BY 1, 2),
+       |q242o AS (SELECT bin, max(mn) AS iso FROM q242m GROUP BY bin)
+       |SELECT b.bin, b.n AS n_docs, b.d AS n_dup,
+       |  round(b.d::DOUBLE / b.n::DOUBLE, 6) AS raw_rate,
+       |  round(o.iso, 6) AS iso_rate
+       |FROM q242b b JOIN q242o o USING (bin) ORDER BY b.bin""".stripMargin
+
+  // --- q243: group-sequential monitoring looks (O'Brien–Fleming shape) ------------
+
+  /** Group-sequential experiment monitor: one interim "look" per calendar
+    * day, per event-type metric — cumulative per-arm event moments, the
+    * two-sample z at that look, the information fraction
+    * `f = n_cum/n_final`, the O'Brien–Fleming-shaped boundary
+    * `z_b = z_{α/2}/√f` (the Lan–DeMets spending approximation —
+    * conservative early, nominal at full information), and the crossed
+    * flag. The "can I peek?" table: naive repeated z > 1.96 testing
+    * inflates false positives roughly 5× over 20 looks; the OBF boundary
+    * is what makes daily peeking honest. q238 plans the experiment, THIS
+    * monitors it, q226/q225 read it out.
+    *
+    * Scale shape: ONE keyed (type, day) aggregate collapses the corpus to
+    * ≤|types|×31 pivoted per-arm integer moment rows (cents; squares in
+    * DECIMAL(38,0)); cumulative looks ride a per-type sorted-array fold
+    * over ≤31 elements (the q172 idiom — bounded by the calendar-day
+    * domain, never a window over an unbounded partition); z/boundary
+    * arithmetic is identically-shaped IEEE doubles on the exact integer
+    * cumulative sums, and the crossed verdict compares RAW doubles on
+    * both legs (q231's rule).
+    */
+  def sequentialLooks(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        dayofmonth(col("ts")).cast("long").as("day"),
+        pmod(xxhash64(col("user_id")), lit(2L)).as("arm"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1L, col("c")).otherwise(0L)).as("s1"),
+        sum(when(col("arm") === 1L, expr("CAST(c AS DECIMAL(38,0)) * c"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("ss1"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0L, col("c")).otherwise(0L)).as("s0"),
+        sum(when(col("arm") === 0L, expr("CAST(c AS DECIMAL(38,0)) * c"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("ss0"))
+    val packed = byDay
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(
+        col("day"), col("n1"), col("s1"), col("ss1"),
+        col("n0"), col("s0"), col("ss0")))).as("arr"))
+    byDay
+      .join(broadcast(packed), "event_type")
+      .selectExpr("event_type", "day", "arr",
+        "size(filter(arr, e -> e.day <= day)) AS i1")
+      .selectExpr("event_type", "day",
+        """aggregate(slice(arr, 1, i1),
+             named_struct(
+               'n1', 0L, 's1', 0L, 'ss1', CAST(0 AS DECIMAL(38,0)),
+               'n0', 0L, 's0', 0L, 'ss0', CAST(0 AS DECIMAL(38,0))),
+             (a, e) -> named_struct(
+               'n1', a.n1 + e.n1, 's1', a.s1 + e.s1, 'ss1', a.ss1 + e.ss1,
+               'n0', a.n0 + e.n0, 's0', a.s0 + e.s0, 'ss0', a.ss0 + e.ss0)) AS cum""",
+        "aggregate(arr, 0L, (a, e) -> a + e.n1 + e.n0) AS n_final")
+      .selectExpr("event_type", "day",
+        "cum.n1 AS n1", "cum.n0 AS n0", "n_final",
+        "CAST(cum.s1 AS DOUBLE) AS s1d", "CAST(cum.s0 AS DOUBLE) AS s0d",
+        "CAST(cum.ss1 AS DOUBLE) AS ss1d", "CAST(cum.ss0 AS DOUBLE) AS ss0d")
+      .filter(col("n1") > 1L && col("n0") > 1L)
+      .selectExpr("event_type", "day", "n1", "n0", "n_final",
+        "s1d / CAST(n1 AS DOUBLE) - s0d / CAST(n0 AS DOUBLE) AS delta",
+        """(CAST(n1 AS DOUBLE) * ss1d - s1d * s1d)
+           / CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+           + (CAST(n0 AS DOUBLE) * ss0d - s0d * s0d)
+           / CAST(n0 AS DOUBLE) / (CAST(n0 AS DOUBLE) - 1.0) / CAST(n0 AS DOUBLE) AS se2""",
+        "CAST(n1 + n0 AS DOUBLE) / CAST(n_final AS DOUBLE) AS f")
+      .selectExpr(
+        "event_type", "day AS look_day",
+        "n1 AS n_treat", "n0 AS n_control",
+        "round(delta / 100.0, 6) AS uplift",
+        "round(f, 6) AS info_frac",
+        "CASE WHEN se2 > 0.0 THEN round(delta / sqrt(se2), 6) END AS z",
+        s"round(CAST($ZAlphaTwoSided AS DOUBLE) / sqrt(f), 6) AS obf_boundary",
+        s"""CASE WHEN se2 > 0.0 THEN
+             abs(delta / sqrt(se2)) > CAST($ZAlphaTwoSided AS DOUBLE) / sqrt(f)
+           ELSE false END AS crossed""")
+      .orderBy(col("event_type"), col("look_day"))
+  }
+
+  /** q243 oracle: the DuckHash arm, identical pivoted day moments
+    * (HUGEINT squares), window cumulative sums (windows are fine
+    * oracle-side), and textually identical z / boundary / crossed shapes.
+    */
+  lazy val sequentialLooksSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = ArrayBuffer[(String, String)](
+      "q243e" ->
+        """(SELECT event_type, EXTRACT(day FROM ts)::BIGINT AS day, user_id,
+          |    user_id::HUGEINT AS l,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          |  FROM events)""".stripMargin
+    )
+    val ch = new SqlChain("q243h", "q243e", Seq("event_type", "day", "user_id", "l", "c"))
+    hashLongLevels(ch, toUnsigned("l"), "42", "h")
+    ctes ++= ch.ctes
+    ctes += ("q243a" ->
+      s"""(SELECT event_type, day, c,
+         |    (((${toSigned("h")} % 2) + 2) % 2)::BIGINT AS arm FROM ${ch.last})""".stripMargin)
+    ctes += ("q243d" ->
+      """(SELECT event_type, day,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS s1,
+        |    sum(CASE WHEN arm = 1 THEN c::HUGEINT * c ELSE 0::HUGEINT END) AS ss1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS s0,
+        |    sum(CASE WHEN arm = 0 THEN c::HUGEINT * c ELSE 0::HUGEINT END) AS ss0
+        |  FROM q243a GROUP BY 1, 2)""".stripMargin)
+    ctes += ("q243c" ->
+      """(SELECT event_type, day,
+        |    CAST(sum(n1) OVER w AS BIGINT) AS n1, CAST(sum(s1) OVER w AS DOUBLE) AS s1d,
+        |    CAST(sum(ss1) OVER w AS DOUBLE) AS ss1d,
+        |    CAST(sum(n0) OVER w AS BIGINT) AS n0, CAST(sum(s0) OVER w AS DOUBLE) AS s0d,
+        |    CAST(sum(ss0) OVER w AS DOUBLE) AS ss0d,
+        |    CAST(sum(n1 + n0) OVER (PARTITION BY event_type) AS BIGINT) AS n_final
+        |  FROM q243d WINDOW w AS (PARTITION BY event_type ORDER BY day))""".stripMargin)
+    ctes += ("q243z" ->
+      """(SELECT event_type, day, n1, n0, n_final,
+        |    s1d / CAST(n1 AS DOUBLE) - s0d / CAST(n0 AS DOUBLE) AS delta,
+        |    (CAST(n1 AS DOUBLE) * ss1d - s1d * s1d)
+        |      / CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+        |      + (CAST(n0 AS DOUBLE) * ss0d - s0d * s0d)
+        |      / CAST(n0 AS DOUBLE) / (CAST(n0 AS DOUBLE) - 1.0) / CAST(n0 AS DOUBLE) AS se2,
+        |    CAST(n1 + n0 AS DOUBLE) / CAST(n_final AS DOUBLE) AS f
+        |  FROM q243c WHERE n1 > 1 AND n0 > 1)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      s"""SELECT event_type, day AS look_day, n1 AS n_treat, n0 AS n_control,
+         |  round(delta / 100.0, 6) AS uplift,
+         |  round(f, 6) AS info_frac,
+         |  CASE WHEN se2 > 0.0 THEN round(delta / sqrt(se2), 6) END AS z,
+         |  round(CAST($ZAlphaTwoSided AS DOUBLE) / sqrt(f), 6) AS obf_boundary,
+         |  CASE WHEN se2 > 0.0 THEN
+         |    abs(delta / sqrt(se2)) > CAST($ZAlphaTwoSided AS DOUBLE) / sqrt(f)
+         |  ELSE false END AS crossed
+         |FROM q243z ORDER BY event_type, look_day""".stripMargin)
+  }
 }

@@ -2549,6 +2549,116 @@ object TimeJoins {
         |FROM q237s, q237t""".stripMargin)
   }
 
+  // --- q244: Kaplan–Meier with Greenwood variance bands ----------------------
+
+  /** q172's Kaplan–Meier curve with Greenwood (1926) standard errors and
+    * the 95 % plain-scale confidence band — the uncertainty q172's point
+    * estimate hides: a cohort's S(t) = 0.3 read off 10 at-risk users and
+    * off 10,000 are different facts, and the band is what makes the churn
+    * curve decision-grade (clamped to [0,1]; the log-log transform is the
+    * usual refinement, the plain band is the published-constant one).
+    * `Var(S) = S²·Σ_{tᵢ≤t} dᵢ/(nᵢ(nᵢ−dᵢ))`, accumulated in the SAME
+    * ordered fold that builds S itself.
+    *
+    * Scale shape: identical to q172 — one user-keyed collapse, a ≤|days|
+    * bounded lifetime table, the collected-array left fold; the fold just
+    * carries one more accumulator (the Greenwood sum, 12-dp rounded
+    * before the next step reads it — the round-before-reuse rule at a
+    * scale fine enough that the 6-dp published SE absorbs it). Steps with
+    * nᵢ = dᵢ (everyone at risk dies) push S to 0 and the Greenwood sum is
+    * left unchanged (its term is undefined there; SE honestly 0 at S=0).
+    */
+  def kmGreenwood(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).cast("long").as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    val tot = users
+      .groupBy()
+      .agg(max(col("last_day")).as("max_day"), count(lit(1)).as("n_users"))
+    val byT = users
+      .crossJoin(broadcast(tot))
+      .select(
+        (col("last_day") - col("first_day")).as("t"),
+        (col("last_day") > col("max_day") - lit(SurvCensorDays)).as("censored"))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+    val packed = byT
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("t"), col("d"), col("c")))).as("arr"))
+      .crossJoin(broadcast(tot.select(col("n_users"))))
+    byT
+      .crossJoin(broadcast(packed))
+      .selectExpr("t", "d", "c", "arr", "n_users",
+        "size(filter(arr, e -> e.t < t)) AS i0")
+      .selectExpr(
+        "t",
+        "CAST(n_users - aggregate(slice(arr, 1, i0), 0L, (a, e) -> a + e.d + e.c) AS BIGINT) AS n_risk",
+        "d AS n_churn",
+        "c AS n_censored",
+        """aggregate(slice(arr, 1, i0 + 1),
+             named_struct('rem', CAST(n_users AS BIGINT),
+               's', CAST(1.0 AS DOUBLE), 'g', CAST(0.0 AS DOUBLE)),
+             (a, e) -> named_struct(
+               'rem', a.rem - e.d - e.c,
+               's', round(a.s * (CAST(1.0 AS DOUBLE) - CAST(e.d AS DOUBLE) / CAST(a.rem AS DOUBLE)), 6),
+               'g', CASE WHEN a.rem > e.d THEN
+                 round(a.g + CAST(e.d AS DOUBLE)
+                   / (CAST(a.rem AS DOUBLE) * CAST(a.rem - e.d AS DOUBLE)), 12)
+                 ELSE a.g END),
+             a -> named_struct('s', a.s, 'g', a.g)) AS fin""")
+      .selectExpr("t", "n_risk", "n_churn", "n_censored",
+        "fin.s AS survival",
+        "round(fin.s * sqrt(fin.g), 6) AS se",
+        "greatest(round(fin.s - CAST(" + StatsOps.ZAlphaTwoSided + " AS DOUBLE) * fin.s * sqrt(fin.g), 6), CAST(0.0 AS DOUBLE)) AS ci_lo",
+        "least(round(fin.s + CAST(" + StatsOps.ZAlphaTwoSided + " AS DOUBLE) * fin.s * sqrt(fin.g), 6), CAST(1.0 AS DOUBLE)) AS ci_hi")
+      .orderBy(col("t"))
+  }
+
+  /** q244 oracle: q172's recursive-CTE fold extended with the Greenwood
+    * accumulator — same per-step round-before-reuse (6 dp on S, 12 dp on
+    * the Greenwood sum), same n=d guard, same published-constant band.
+    */
+  val kmGreenwoodSql: String =
+    s"""WITH RECURSIVE q244u AS MATERIALIZED (
+       |  SELECT user_id, min(date_diff('day', DATE '1970-01-01', ts::DATE))::BIGINT AS first_day,
+       |    max(date_diff('day', DATE '1970-01-01', ts::DATE))::BIGINT AS last_day
+       |  FROM events GROUP BY user_id),
+       |q244t AS (SELECT max(last_day) AS max_day, count(*)::BIGINT AS n_users FROM q244u),
+       |q244b AS (
+       |  SELECT last_day - first_day AS t,
+       |    sum(CASE WHEN last_day > max_day - $SurvCensorDays THEN 0 ELSE 1 END)::BIGINT AS d,
+       |    sum(CASE WHEN last_day > max_day - $SurvCensorDays THEN 1 ELSE 0 END)::BIGINT AS c
+       |  FROM q244u CROSS JOIN q244t GROUP BY 1),
+       |q244a AS (
+       |  SELECT list(struct_pack(t := t, d := d, c := c) ORDER BY t) AS L,
+       |    any_value(n_users) AS n_users
+       |  FROM q244b CROSS JOIN q244t),
+       |q244r AS (
+       |  SELECT 0::BIGINT AS i, a.n_users AS rem, 1.0::DOUBLE AS s, 0.0::DOUBLE AS g FROM q244a a
+       |  UNION ALL
+       |  SELECT r.i + 1, r.rem - a.L[(r.i + 1)::INT].d - a.L[(r.i + 1)::INT].c,
+       |    round(r.s * (1.0::DOUBLE - a.L[(r.i + 1)::INT].d::DOUBLE / r.rem::DOUBLE), 6),
+       |    CASE WHEN r.rem > a.L[(r.i + 1)::INT].d THEN
+       |      round(r.g + a.L[(r.i + 1)::INT].d::DOUBLE
+       |        / (r.rem::DOUBLE * (r.rem - a.L[(r.i + 1)::INT].d)::DOUBLE), 12)
+       |    ELSE r.g END
+       |  FROM q244r r CROSS JOIN q244a a WHERE r.i < len(a.L))
+       |SELECT b.t, rpre.rem::BIGINT AS n_risk, b.d AS n_churn, b.c AS n_censored,
+       |  rcur.s AS survival,
+       |  round(rcur.s * sqrt(rcur.g), 6) AS se,
+       |  greatest(round(rcur.s - CAST(${StatsOps.ZAlphaTwoSided} AS DOUBLE) * rcur.s * sqrt(rcur.g), 6), 0.0::DOUBLE) AS ci_lo,
+       |  least(round(rcur.s + CAST(${StatsOps.ZAlphaTwoSided} AS DOUBLE) * rcur.s * sqrt(rcur.g), 6), 1.0::DOUBLE) AS ci_hi
+       |FROM q244b b CROSS JOIN q244a a
+       |JOIN q244r rpre ON rpre.i = len(list_filter(a.L, x -> x.t < b.t))
+       |JOIN q244r rcur ON rcur.i = len(list_filter(a.L, x -> x.t < b.t)) + 1
+       |ORDER BY b.t""".stripMargin
+
   // --- q199: transition-anomaly residuals ------------------------------------
 
   /** Rare/forbidden-transition audit over q103's first-order Markov

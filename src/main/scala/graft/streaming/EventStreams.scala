@@ -1234,6 +1234,70 @@ object EventStreams extends Serializable {
         (stat > lit(graft.operators.StatsOps.SrmCritical)).as("srm_alarm"))
   }
 
+  /** E61: streaming MDE/power monitor — q238's live leg, on E59's
+    * chained-stateful-window pipeline: per closed window × event-type
+    * metric, the minimum detectable effect the WINDOW's own traffic could
+    * power at two-sided α = 0.05 / 80 % — the live answer to "is this
+    * experiment's traffic still worth the runtime?" (a feed mix shift
+    * that silently doubles metric variance doubles the MDE; the batch
+    * q238 planner won't see it until read-out, this pages while the
+    * window is still quarantinable).
+    *
+    * Scale shape: stage 1 collapses each window to the (user, metric)
+    * grain — lossless integer cents (q226's pivot), map-side combinable —
+    * stage 2 re-windows the per-user table via `window_time` into per-arm
+    * counts / cent sums / DECIMAL(38,0) squares; the planner arithmetic is
+    * q238's exact shapes on those integer sums (same z literals), so
+    * batch-grouping the same records by the same windows reproduces every
+    * column exactly (spec-pinned).
+    */
+  def mdeStream(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      watermarkDur: String = "2 hours"): DataFrame = {
+    val zsum = graft.operators.StatsOps.ZAlphaTwoSided + graft.operators.StatsOps.ZPower80
+    val perUser = events
+      .withWatermark("ts", watermarkDur)
+      .select(
+        col("ts"), col("user_id"), col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .groupBy(window(col("ts"), windowDur), col("user_id"), col("event_type"))
+      .agg(sum(col("c")).as("y"))
+      .select(col("window"), col("event_type"), col("y"),
+        pmod(xxhash64(col("user_id")), lit(2L)).as("arm"))
+    perUser
+      .groupBy(window(window_time(col("window")), windowDur), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("sy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("arm") === 0L, col("y")).otherwise(0L)).as("syc"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n").as("n_users"), col("nt").as("n_treat"),
+        col("nc").as("n_control"),
+        expr(
+          """CASE WHEN nt > 0 AND nc > 0 AND n > 1 THEN
+               (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+               / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0) END""").as("s2"),
+        col("syc"))
+      .select(
+        col("hour"), col("event_type"), col("n_users"), col("n_treat"), col("n_control"),
+        when(col("s2").isNotNull && col("s2") >= 0.0,
+          round(sqrt(col("s2")) / lit(100.0), 6)).as("sd_value"),
+        when(col("s2").isNotNull,
+          round(lit(zsum)
+            * sqrt(col("s2") * (lit(1.0) / col("n_treat").cast("double")
+              + lit(1.0) / col("n_control").cast("double"))) / lit(100.0), 6)).as("mde_abs"),
+        when(col("s2").isNotNull && col("syc") > 0L,
+          round(lit(zsum)
+            * sqrt(col("s2") * (lit(1.0) / col("n_treat").cast("double")
+              + lit(1.0) / col("n_control").cast("double")))
+            / (col("syc").cast("double") / col("n_control").cast("double")), 6)).as("mde_rel"))
+  }
+
   /** E59: streaming covariate-balance (SMD) tripwire — q231's live leg,
     * completing the experiment-health pair beside E39 (SRM watches the
     * assignment coin by COUNT; this watches it by COMPOSITION): per

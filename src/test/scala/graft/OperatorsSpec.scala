@@ -1638,6 +1638,43 @@ class OperatorsSpec extends SparkSpec {
     sf.foreach(r => assert(r._5 > 0.0 && r._5 <= 1.0, s"S in (0,1]: $r"))
   }
 
+  test("q244: Greenwood bands wrap q172's curve; hand case matches") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("q244spec").toString
+    Seq(
+      (1L, t("2024-01-10 10:00:00"), 1L), (2L, t("2024-01-11 10:00:00"), 1L),
+      (3L, t("2024-01-12 10:00:00"), 2L), (4L, t("2024-01-13 10:00:00"), 2L),
+      (5L, t("2024-01-26 10:00:00"), 3L), (6L, t("2024-01-28 10:00:00"), 3L),
+      (7L, t("2024-01-10 10:00:00"), 4L), (8L, t("2024-01-13 10:00:00"), 4L),
+      (9L, t("2024-01-27 10:00:00"), 5L), (10L, t("2024-01-30 10:00:00"), 5L))
+      .map { case (id, ts, u) => (id, ts, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TimeJoins.kmGreenwood(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7)))
+    // q172's fixture: t=1 S=0.6 g=2/(5·3); t=2 censor only; t=3 S=0.3 g+=1/(2·1)
+    val g1 = r12(0.0 + 2.0 / (5.0 * 3.0))
+    val g3 = r12(g1 + 1.0 / (2.0 * 1.0))
+    val exp = Seq(
+      (1L, 5L, 0.6, r6(0.6 * math.sqrt(g1))),
+      (2L, 3L, 0.6, r6(0.6 * math.sqrt(g1))),
+      (3L, 2L, 0.3, r6(0.3 * math.sqrt(g3))))
+    assert(got.map(x => (x._1, x._2, x._3, x._4)).toSeq == exp, s"got ${got.toSeq}")
+    got.foreach { case (_, _, s, se, lo, hi) =>
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= s && s <= hi, s"band wraps: $s [$lo,$hi] se=$se")
+    }
+    // q172 agreement: survival column identical on the shared fixture AND testdata
+    val km = TimeJoins.kmSurvival(spark, dir).collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    got.foreach { case (tt, _, s, _, _, _) => assert(km(tt) == s, s"q172 agreement at t=$tt") }
+    val sfG = TimeJoins.kmGreenwood(spark, Sf0001).collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val sfK = TimeJoins.kmSurvival(spark, Sf0001).collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(sfG == sfK, "testdata survival columns identical")
+  }
+
   test("q237: log-rank statistic equals a driver-side reference on planted lifetimes") {
     import spark.implicits._
     import graft.operators.TimeJoins

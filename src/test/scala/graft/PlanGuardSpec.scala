@@ -673,7 +673,16 @@ class PlanGuardSpec extends SparkSpec {
         "q240_theil_decomposition",
         // q241 crossJoins the 1-row grand totals onto the ≤|sources| table
         // and 1×1-joins the LOO moment fold — q42's shape
-        "q241_jackknife_ratio")
+        "q241_jackknife_ratio",
+        // q242's minimax is non-equi joins of ≤10-row bin projections —
+        // every side bounded by the CalibBins constant, never the corpus
+        "q242_isotonic_bins",
+        // q243 broadcast-joins the ≤|types|-row packed look arrays onto
+        // the ≤|types|×31 look table — bounded by the calendar domain
+        "q243_sequential_looks",
+        // q244 is q172's 1-row frontier/packed-array crossJoins with the
+        // Greenwood accumulator — the same bounded ordered-fold idiom
+        "q244_km_greenwood")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -778,6 +787,8 @@ class PlanGuardSpec extends SparkSpec {
       "q109_pareto_frontier"   -> "1-row broadcast of the token-count-domain frontier",
       "q172_km_survival"       -> "per-cohort event-time support (day domain)",
       "q237_logrank_test"      -> "per-corpus lifetime support (day domain) — q172's fold with arm columns",
+      "q243_sequential_looks"  -> "per-type calendar-day look table (≤31 rows)",
+      "q244_km_greenwood"      -> "per-corpus lifetime support (day domain) — q172's fold + Greenwood accumulator",
       // --- ≤k model / rank lists (the bounded-model-collect rule)
       "q164_rank_agreement" -> "BoundedRank ≤k-row post-top-k rank arrays",
       "q55_hybrid_rrf"      -> "BoundedRank ≤k-row post-top-k rank arrays",

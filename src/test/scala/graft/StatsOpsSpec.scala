@@ -657,4 +657,86 @@ class StatsOpsSpec extends SparkSpec {
     assert(r.getDouble(6) == r6(5.0 - StatsOps.ZAlphaTwoSided * se), "ci_lo")
     assert(r.getDouble(7) == r6(5.0 + StatsOps.ZAlphaTwoSided * se), "ci_hi")
   }
+
+  test("q242: isotonic fit equals the PAV stack algorithm and is monotone") {
+    val dir = calibDir()
+    val bins = StatsOps.calibScored(spark, dir)
+      .collect().map(r => (r.getLong(3), r.getBoolean(1))).toSeq
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, rs) => (b, rs.size.toLong, rs.count(_._2).toLong) }
+    // driver-side PAV: pool adjacent blocks while the left mean exceeds
+    // the right (strict violation; equal means pool or not — same fit)
+    case class Blk(n: Long, d: Long, upto: Int)
+    val stack = scala.collection.mutable.ArrayBuffer[Blk]()
+    bins.zipWithIndex.foreach { case ((_, n, d), i) =>
+      stack += Blk(n, d, i)
+      while (stack.size > 1 && {
+        val a = stack(stack.size - 2); val b = stack.last
+        a.d * b.n > b.d * a.n
+      }) {
+        val b = stack.remove(stack.size - 1); val a = stack.remove(stack.size - 1)
+        stack += Blk(a.n + b.n, a.d + b.d, b.upto)
+      }
+    }
+    val pav = Array.ofDim[Double](bins.size)
+    var lo = 0
+    stack.foreach { blk =>
+      (lo to blk.upto).foreach(i => pav(i) = blk.d.toDouble / blk.n)
+      lo = blk.upto + 1
+    }
+    val got = StatsOps.isotonicBins(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq == bins.map(_._1))
+    got.zipWithIndex.foreach { case ((b, _, iso), i) =>
+      assert(math.abs(iso - pav(i)) < 2e-6, s"bin $b: iso $iso vs PAV ${pav(i)}")
+    }
+    got.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3 + 1e-12, s"isotonic must be non-decreasing: $a -> $b")
+    }
+    // mass preservation: Σ n·iso == Σ d (PAV preserves the weighted mean)
+    val mass = got.zip(bins).map { case ((_, _, iso), (_, n, _)) => iso * n }.sum
+    assert(math.abs(mass - bins.map(_._3).sum) < 1e-3, s"mass $mass vs ${bins.map(_._3).sum}")
+  }
+
+  test("q243: cumulative looks equal a driver-side recomputation; boundary decays as 1/sqrt(f)") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("q243spec").toString
+    // 3 looks (days 1..3), 4 events/day, one metric
+    val rows = (0 until 12).map { i =>
+      (i.toLong, t(s"2024-01-0${i / 4 + 1} 10:0${i % 4}:00"), (i % 6).toLong + 1L, "buy",
+        (i + 1).toDouble, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StatsOps.sequentialLooks(spark, dir).collect()
+    val arms = spark.range(1, 7).select(col("id"), pmod(xxhash64(col("id")), lit(2L)).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evs = (0 until 12).map { i =>
+      (i / 4 + 1, arms((i % 6).toLong + 1L), (i + 1).toLong * 100L)
+    }
+    val nFinal = 12.0
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val day = r.getLong(1)
+      val cum = evs.filter(_._1 <= day)
+      val a1 = cum.filter(_._2 == 1L).map(_._3); val a0 = cum.filter(_._2 == 0L).map(_._3)
+      val (n1, n0) = (a1.size.toDouble, a0.size.toDouble)
+      assert(n1 > 1 && n0 > 1, "operator must only emit powered looks")
+      val delta = a1.sum / n1 - a0.sum / n0
+      val se2 =
+        (n1 * a1.map(x => x.toDouble * x).sum - a1.sum.toDouble * a1.sum) / n1 / (n1 - 1.0) / n1 +
+        (n0 * a0.map(x => x.toDouble * x).sum - a0.sum.toDouble * a0.sum) / n0 / (n0 - 1.0) / n0
+      val f = (n1 + n0) / nFinal
+      assert(r.getLong(2) == n1.toLong && r.getLong(3) == n0.toLong)
+      assert(r.getDouble(4) == r6(delta / 100.0), s"uplift day $day")
+      assert(r.getDouble(5) == r6(f), "info frac")
+      if (se2 > 0) assert(r.getDouble(6) == r6(delta / math.sqrt(se2)), "z")
+      assert(r.getDouble(7) == r6(StatsOps.ZAlphaTwoSided / math.sqrt(f)), "boundary")
+    }
+    // boundary strictly decays with information
+    val bs = got.map(r => (r.getLong(1), r.getDouble(7))).sortBy(_._1)
+    bs.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+      assert(b._2 < a._2, s"OBF boundary must shrink: $a -> $b") }
+  }
 }

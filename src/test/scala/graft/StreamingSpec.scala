@@ -2379,6 +2379,49 @@ class StreamingSpec extends SparkSpec {
     rows.foreach { case (id, ns, c) => assert((ns > 0) == c, s"doc $id: n_shared=$ns flag=$c") }
   }
 
+  test("E61: chained-window MDE monitor reconciles with batch per-window truth exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // two windows; 6 users with repeat events, one metric
+    val evs = (0 until 24).map { i =>
+      Ev(i.toLong, (i % 6).toLong + 1L,
+        Timestamp.valueOf(f"2024-01-01 ${10 + i % 2}%02d:${10 + i % 40}%02d:00"),
+        "buy", (i % 7 + 1).toDouble)
+    }
+    val in = MemoryStream[Ev]
+    val q = EventStreams.mdeStream(in.toDF())
+      .writeStream.format("memory").queryName("mde_s").outputMode("append").start()
+    in.addData(evs: _*); q.processAllAvailable()
+    in.addData(Ev(999L, 1L, Timestamp.valueOf("2024-01-01 20:00:00"), "buy", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("mde_s").collect()
+      .filter(_.getString(0).startsWith("2024-01-01 1"))
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+    q.stop()
+    assert(rows.nonEmpty)
+    val arms = spark.range(1, 7).select(col("id"), pmod(xxhash64(col("id")), lit(2L)).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val zsum = graft.operators.StatsOps.ZAlphaTwoSided + graft.operators.StatsOps.ZPower80
+    val want = evs.groupBy(e => f"2024-01-01 ${e.ts.toLocalDateTime.getHour}%02d")
+      .map { case (hour, es) =>
+        val byUser = es.groupBy(_.user_id).view
+          .mapValues(_.map(e => math.round(e.value * 100)).sum).toMap
+        val n = byUser.size.toDouble
+        val sy = byUser.values.sum.toDouble
+        val syy = byUser.values.map(y => y.toDouble * y).sum
+        val nt = byUser.keys.count(u => arms(u) == 1L).toLong
+        val nc = byUser.size.toLong - nt
+        val s2 = if (n > 1 && nt > 0 && nc > 0)
+          Some((n * syy - sy * sy) / n / (n - 1.0)) else None
+        val mde = s2.map(v => r6(zsum * math.sqrt(v * (1.0 / nt + 1.0 / nc)) / 100.0))
+        (hour, "buy") -> (byUser.size.toLong, nt, nc, mde)
+      }
+    assert(rows == want, s"stream $rows vs batch $want")
+  }
+
   test("E60: chained-window calibration bins reconcile with batch per-window truth exactly") {
     import spark.implicits._
     import graft.streaming.DocStreams
