@@ -5034,4 +5034,201 @@ object StatsOps {
          |  ELSE false END AS crossed
          |FROM q243z ORDER BY event_type, look_day""".stripMargin)
   }
+
+  // --- q245: training-mix concentration (HHI / effective sources) ----------------
+
+  /** Herfindahl–Hirschman concentration of the training mix: per language,
+    * the HHI of source shares and its reciprocal — the "effective number
+    * of sources" (Laakso–Taagepera 1979) — plus the `_ALL` corpus row.
+    * The one-number companion to q235's NMI: NMI says whether language and
+    * source are entangled; this says how CONCENTRATED each language's
+    * supply is (eff_sources ≈ 1 means a language is really a single-source
+    * corpus — its dedup, drift, and contamination risk all collapse to
+    * that source's; q218's DoReMi weights and q160's fair allocation both
+    * read supply diversity before trusting a mix).
+    *
+    * Scale shape: ONE corpus scan collapses map-side to the
+    * ≤|langs|×|sources| contingency table; per-lang totals broadcast
+    * back; per-cell share² terms micro-quantize before the bounded fold
+    * (§4 rule); the effective count reads the published integer sum.
+    */
+  def hhiMix(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.core.CacheScope.persist(
+      docs(spark, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("c")))
+    def conc(grain: DataFrame, label: org.apache.spark.sql.Column) = {
+      val t = grain.groupBy(col("g")).agg(sum(col("c")).as("t"), count(lit(1)).as("ns"))
+      grain
+        .join(broadcast(t), "g")
+        .select(col("g"), col("t"), col("ns"), expr(
+          """CAST(round((CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+               * (CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0, 0) AS BIGINT)""").as("h"))
+        .groupBy(col("g"))
+        .agg(max(col("t")).as("n_docs"), max(col("ns")).as("n_sources"), sum(col("h")).as("hs"))
+        .select(
+          label.as("lang"),
+          col("n_docs"),
+          col("n_sources"),
+          round(col("hs").cast("double") / lit(1000000.0), 6).as("hhi"),
+          when(col("hs") > 0L,
+            round(lit(1.0) / (col("hs").cast("double") / lit(1000000.0)), 6))
+            .as("eff_sources"))
+    }
+    val perLang = conc(cells.select(col("lang").as("g"), col("source"), col("c")), col("g"))
+    val allRow = conc(
+      cells.groupBy(col("source")).agg(sum(col("c")).as("c")).select(lit("_ALL").as("g"), col("source"), col("c")),
+      lit("_ALL"))
+    perLang.unionByName(allRow).orderBy(col("lang"))
+  }
+
+  /** Oracle: identical contingency grains, micro-quantized share² folds,
+    * and the published-sum effective count, `_ALL` via the source rollup.
+    */
+  lazy val hhiMixSql: String =
+    """WITH q245m AS MATERIALIZED (
+      |  SELECT lang, source, count(*)::BIGINT AS c FROM documents GROUP BY 1, 2),
+      |q245g AS (SELECT lang AS g, source, c FROM q245m
+      |          UNION ALL
+      |          SELECT '_ALL', source, CAST(sum(c) AS BIGINT) FROM q245m GROUP BY 2),
+      |q245t AS (SELECT g, CAST(sum(c) AS BIGINT) AS t, count(*)::BIGINT AS ns
+      |          FROM q245g GROUP BY g),
+      |q245h AS (SELECT x.g, max(x.t) AS n_docs, max(x.ns) AS n_sources,
+      |            CAST(sum(CAST(round((c::DOUBLE / x.t::DOUBLE)
+      |              * (c::DOUBLE / x.t::DOUBLE) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS hs
+      |          FROM (SELECT m.g, m.c, t.t, t.ns FROM q245g m JOIN q245t t USING (g)) x
+      |          GROUP BY x.g)
+      |SELECT g AS lang, n_docs, n_sources,
+      |  round(hs::DOUBLE / 1000000.0, 6) AS hhi,
+      |  CASE WHEN hs > 0 THEN round(1.0 / (hs::DOUBLE / 1000000.0), 6) END AS eff_sources
+      |FROM q245h ORDER BY lang""".stripMargin
+
+  // --- q246: capture–recapture dup-population estimate ----------------------------
+
+  /** Capture–recapture (Lincoln–Petersen, Chapman-corrected) estimate of
+    * the TOTAL near-dup pair population from two independent detectors:
+    * the MinHash-LSH verified Jaccard pairs (capture 1) and the SimHash
+    * hamming ≤ 3 pairs (capture 2). Each detector has blind spots; the
+    * overlap between their catches prices what BOTH miss —
+    * `N̂ = (n₁+1)(n₂+1)/(m+1) − 1` with Chapman's variance — turning "we
+    * found 40k dup pairs" into "we found 40k of an estimated 46k ± 2k",
+    * the honest denominator a dedup-coverage SLA needs (the wildlife
+    * estimator applied to corpus dark matter; q219 estimates the dup RATE
+    * by sampling, this estimates the undetected remainder).
+    *
+    * Scale shape: both pair lists are existing bounded pipelines (the
+    * session-shared verified-pair stage; q26's banded SimHash); the
+    * intersection is ONE equi-join on the canonical (a,b) key; three
+    * integer counts feed closed-form arithmetic. Determinism: counts are
+    * exact; the estimator is identically-shaped IEEE doubles, one round
+    * per published column.
+    */
+  def captureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    val c1 = graft.core.CacheScope.persist(
+      TextOps.ngramJaccardPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+    val c2 = graft.core.CacheScope.persist(
+      TextOps.simhashPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+    val n1 = c1.agg(count(lit(1)).as("n1"))
+    val n2 = c2.agg(count(lit(1)).as("n2"))
+    val m  = c1.join(c2, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("m"))
+    n1.crossJoin(n2).crossJoin(m)
+      .selectExpr("n1", "n2", "m",
+        """(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+           / CAST(m + 1 AS DOUBLE)) - 1.0 AS est""",
+        """(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+           * CAST(n1 - m AS DOUBLE) * CAST(n2 - m AS DOUBLE))
+           / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE) * CAST(m + 2 AS DOUBLE)) AS var""")
+      .selectExpr(
+        "n1 AS n_lsh", "n2 AS n_simhash", "m AS n_both",
+        "round(est, 6) AS est_total_pairs",
+        "round(sqrt(var), 6) AS se",
+        "CASE WHEN est > 0.0 THEN round(CAST(n1 AS DOUBLE) / est, 6) END AS capture_rate_lsh",
+        "CASE WHEN est > 0.0 THEN round(CAST(n2 AS DOUBLE) / est, 6) END AS capture_rate_simhash")
+  }
+
+  /** Oracle: the exact all-pairs Jaccard CTEs (capture 1) and q26's exact
+    * SimHash identity (capture 2, embedded as a derived table), the same
+    * canonical-pair intersection and Chapman arithmetic.
+    */
+  lazy val captureRecaptureSql: String =
+    s"""WITH ${TextOps.DuckShingleCte},
+       |${TextOps.DuckJaccardPairsCte},
+       |q246a AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= ${TextOps.JaccardThreshold}),
+       |q246b AS (SELECT doc_a, doc_b FROM (${TextOps.simhashSql.replace("ORDER BY doc_a, doc_b", "")})),
+       |q246n AS (SELECT
+       |    (SELECT count(*)::BIGINT FROM q246a) AS n1,
+       |    (SELECT count(*)::BIGINT FROM q246b) AS n2,
+       |    (SELECT count(*)::BIGINT FROM q246a JOIN q246b USING (doc_a, doc_b)) AS m),
+       |q246e AS (SELECT n1, n2, m,
+       |    (CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE) / CAST(m + 1 AS DOUBLE)) - 1.0 AS est,
+       |    (CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+       |      * CAST(n1 - m AS DOUBLE) * CAST(n2 - m AS DOUBLE))
+       |      / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE) * CAST(m + 2 AS DOUBLE)) AS var
+       |  FROM q246n)
+       |SELECT n1 AS n_lsh, n2 AS n_simhash, m AS n_both,
+       |  round(est, 6) AS est_total_pairs,
+       |  round(sqrt(var), 6) AS se,
+       |  CASE WHEN est > 0.0 THEN round(CAST(n1 AS DOUBLE) / est, 6) END AS capture_rate_lsh,
+       |  CASE WHEN est > 0.0 THEN round(CAST(n2 AS DOUBLE) / est, 6) END AS capture_rate_simhash
+       |FROM q246e""".stripMargin
+
+  // --- q247: Lorenz curve of token mass --------------------------------------------
+
+  /** Decile Lorenz curve of token mass across documents — the table behind
+    * q146's Gini and q240's Theil (those publish one number; this publishes
+    * the curve an allocation decision actually reads: "the top decile holds
+    * X% of tokens, the bottom three hold Y%"). Docs rank ascending by
+    * token count (doc_id tiebreak), decile = ⌊10·rank/N⌋ — exact integer
+    * arithmetic, no float binning.
+    *
+    * Scale shape: the global rank rides [[strictlyLess]] (range-partition
+    * + keyed windows + broadcast offsets — never a single-task window);
+    * everything after is a ≤10-row table whose cumulative column folds
+    * over a 1-row collected array (the q172 idiom). Integers until the
+    * two guarded share divides.
+    */
+  def lorenzDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"), size(TextOps.toks).cast("long").as("x"))
+    val ranked = strictlyLess(base, Nil, Seq("x", "doc_id"), "r")
+    val tot = ranked.agg(count(lit(1)).as("nn"), sum(col("x")).as("xx"))
+    val dec = ranked
+      .crossJoin(broadcast(tot))
+      .select(expr("(10 * r) div nn").as("decile"), col("x"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("sx"))
+    val packed = dec
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("decile"), col("sx")))).as("arr"))
+    dec
+      .crossJoin(broadcast(packed))
+      .crossJoin(broadcast(tot))
+      .selectExpr("decile", "n_docs", "sx", "xx",
+        """aggregate(filter(arr, e -> e.decile <= decile), 0L, (a, e) -> a + e.sx) AS cum""")
+      .select(
+        col("decile"),
+        col("n_docs"),
+        col("sx").as("n_tokens"),
+        round(col("sx").cast("double") / col("xx").cast("double"), 6).as("token_share"),
+        round(col("cum").cast("double") / col("xx").cast("double"), 6).as("cum_token_share"))
+      .orderBy(col("decile"))
+  }
+
+  /** Oracle: ROW_NUMBER−1 global ranks (windows are fine oracle-side),
+    * the identical integer decile rule, and window cumulative shares.
+    */
+  lazy val lorenzDecilesSql: String =
+    s"""WITH q247d AS MATERIALIZED (
+       |  SELECT doc_id, len(${TextOps.DuckToks})::BIGINT AS x FROM documents),
+       |q247r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, doc_id) - 1 AS r FROM q247d),
+       |q247t AS (SELECT count(*)::BIGINT AS nn, CAST(sum(x) AS BIGINT) AS xx FROM q247d),
+       |q247g AS (SELECT (10 * r) // nn AS decile, count(*)::BIGINT AS n_docs,
+       |    CAST(sum(x) AS BIGINT) AS sx
+       |  FROM q247r, q247t GROUP BY 1),
+       |q247c AS (SELECT decile, n_docs, sx,
+       |    CAST(sum(sx) OVER (ORDER BY decile) AS BIGINT) AS cum FROM q247g)
+       |SELECT c.decile, c.n_docs, c.sx AS n_tokens,
+       |  round(c.sx::DOUBLE / t.xx::DOUBLE, 6) AS token_share,
+       |  round(c.cum::DOUBLE / t.xx::DOUBLE, 6) AS cum_token_share
+       |FROM q247c c, q247t t ORDER BY c.decile""".stripMargin
 }

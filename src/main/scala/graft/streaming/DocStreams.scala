@@ -911,6 +911,57 @@ object DocStreams {
       .select(col("alpha"), col("threshold"))
       .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq.sortBy(_._1)
 
+  /** E62: streaming Brier monitor — q234's live leg beside E60 (E60 bins
+    * the gap; this folds the single proper-score number a pager
+    * thresholds): per closed window, the Brier score of q22's stop-ratio
+    * signal against the within-window EXACT-copy truth (E55/E60's
+    * windowable dup label), plus the window base rate. A Brier step-change
+    * is the one-number alarm that the score/truth relationship moved —
+    * cheaper to page on than E60's per-bin table, with E60 as the
+    * drill-down.
+    *
+    * Scale shape: stage 1 is E60's content-hash window grain (k copies +
+    * the hash-functional micro score); the per-hash squared error
+    * `k·(s_micro − 10⁶·y)²` (y = 1 iff k ≥ 2) is a projection between
+    * the two stateful aggregates — DECIMAL(38,0), integer-exact; stage 2
+    * re-windows via `window_time` and folds three integer sums. Window =
+    * reconciliation grain: batch-grouping the same records by the same
+    * windows with the same copy rule reproduces every column exactly
+    * (spec-pinned).
+    */
+  def brierTripwire(
+      docs: DataFrame,
+      windowDur: String = "1 hour",
+      watermarkDur: String = "2 hours"): DataFrame = {
+    val perHash = docs
+      .withWatermark("ts", watermarkDur)
+      .select(
+        col("ts"), md5(col("text")).as("h"),
+        (TextOps.stopCountExpr / size(TextOps.toks)).as("v"))
+      .select(col("ts"), col("h"),
+        expr("CAST(round(v * 1000000.0, 0) AS BIGINT)").as("s_micro"))
+      .groupBy(window(col("ts"), windowDur), col("h"), col("s_micro"))
+      .agg(count(lit(1)).as("k"))
+      .select(col("window"), col("k"), col("s_micro"),
+        expr(
+          """CAST(k AS DECIMAL(38,0))
+             * (s_micro - (CASE WHEN k >= 2 THEN 1000000 ELSE 0 END))
+             * (s_micro - (CASE WHEN k >= 2 THEN 1000000 ELSE 0 END))""").as("sq"))
+    perHash
+      .groupBy(window(window_time(col("window")), windowDur))
+      .agg(
+        sum(col("k")).as("n_docs"),
+        sum(when(col("k") >= 2L, col("k")).otherwise(0L)).as("n_dup"),
+        sum(col("sq")).as("serr"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("n_docs"),
+        col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_docs").cast("double"), 6).as("base_rate"),
+        round(col("serr").cast("double") / lit(1.0e12) / col("n_docs").cast("double"), 6)
+          .as("brier"))
+  }
+
   /** E60: streaming calibration-reliability tripwire — q233's live leg,
     * on the E55 chained-stateful-window shape. The batch q233 calibrates
     * q22's stop-ratio signal against VERIFIED near-dup truth; a stream

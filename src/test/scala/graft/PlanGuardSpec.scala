@@ -682,7 +682,18 @@ class PlanGuardSpec extends SparkSpec {
         "q243_sequential_looks",
         // q244 is q172's 1-row frontier/packed-array crossJoins with the
         // Greenwood accumulator — the same bounded ordered-fold idiom
-        "q244_km_greenwood")
+        "q244_km_greenwood",
+        // q245's `_ALL` leg equi-joins on a LITERAL group key ('_ALL'),
+        // which constant-folds to a nested-loop of two bounded aggregates
+        // (≤|sources|-row rollup × its 1-row total) — never the corpus
+        "q245_hhi_mix",
+        // q246 crossJoins its three 1-row pair-count aggregates — q42's
+        // sketch×exact 1-row shape
+        "q246_capture_recapture",
+        // q247 crossJoins the 1-row totals and the 1-row packed decile
+        // array onto the ≤10-row decile table, plus strictlyLess's 1-row
+        // collected pid-offset joins — q217's shape
+        "q247_lorenz_deciles")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -789,6 +800,7 @@ class PlanGuardSpec extends SparkSpec {
       "q237_logrank_test"      -> "per-corpus lifetime support (day domain) — q172's fold with arm columns",
       "q243_sequential_looks"  -> "per-type calendar-day look table (≤31 rows)",
       "q244_km_greenwood"      -> "per-corpus lifetime support (day domain) — q172's fold + Greenwood accumulator",
+      "q247_lorenz_deciles"    -> "10-row decile table (+ strictlyLess partition offsets)",
       // --- ≤k model / rank lists (the bounded-model-collect rule)
       "q164_rank_agreement" -> "BoundedRank ≤k-row post-top-k rank arrays",
       "q55_hybrid_rrf"      -> "BoundedRank ≤k-row post-top-k rank arrays",

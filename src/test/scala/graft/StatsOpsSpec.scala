@@ -658,6 +658,80 @@ class StatsOpsSpec extends SparkSpec {
     assert(r.getDouble(7) == r6(5.0 + StatsOps.ZAlphaTwoSided * se), "ci_hi")
   }
 
+  test("q245: planted single-source language scores HHI 1 / eff 1; uniform scores 1/k") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q245spec").toString
+    // 'mono': all docs one source → HHI 1, eff 1
+    // 'quad': 4 sources × 2 docs → HHI 4·(1/4)² = 0.25, eff 4
+    val docs = (1 to 4).map(i => (i.toLong, s"m $i", "mono", "sA")) ++
+      (5 to 12).map(i => (i.toLong, s"q $i", "quad", s"s${(i - 5) % 4}"))
+    docs.map { case (id, t, lang, src) => (id, t, lang, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = StatsOps.hhiMix(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    assert(rows("mono") == ((4L, 1L, 1.0, 1.0)))
+    assert(rows("quad") == ((8L, 4L, 0.25, 4.0)))
+    // _ALL: sA has 4+2=6 docs, s0..s3 have 2 each... wait: quad sources are
+    // s0..s3 (2 docs each), mono is sA (4 docs): 5 sources, N=12
+    val all = rows("_ALL")
+    assert(all._1 == 12L && all._2 == 5L)
+    def micro6(x: Double) = BigDecimal(x * 1000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hs = micro6((4.0 / 12) * (4.0 / 12)) + 4 * micro6((2.0 / 12) * (2.0 / 12))
+    assert(all._3 == r6(hs.toDouble / 1000000.0))
+    assert(all._4 == r6(1.0 / (hs.toDouble / 1000000.0)))
+  }
+
+  test("q246: Chapman estimator matches hand-computed counts on planted dup structure") {
+    // sf0.001 ground truth: both detectors see dup pairs; hand-verify the
+    // arithmetic from the operator's own reported counts (the counts
+    // themselves are pinned by the q25/q26/q27 oracles)
+    val r = StatsOps.captureRecapture(spark, Sf0001).collect().head
+    val (n1, n2, m) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n1 > 0 && n2 > 0 && m > 0, s"both detectors and their overlap non-empty: $n1 $n2 $m")
+    assert(m <= math.min(n1, n2), "overlap bounded by both catches")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val est = ((n1 + 1).toDouble * (n2 + 1).toDouble / (m + 1).toDouble) - 1.0
+    val v = ((n1 + 1).toDouble * (n2 + 1).toDouble * (n1 - m).toDouble * (n2 - m).toDouble) /
+      ((m + 1).toDouble * (m + 1).toDouble * (m + 2).toDouble)
+    assert(r.getDouble(3) == r6(est), "Chapman estimate")
+    assert(r.getDouble(4) == r6(math.sqrt(v)), "Chapman SE")
+    assert(r.getDouble(5) == r6(n1.toDouble / est) && r.getDouble(6) == r6(n2.toDouble / est))
+    // the estimate can never undercut the union lower bound
+    assert(est >= m.toDouble, "estimate at least the overlap")
+  }
+
+  test("q247: deciles partition the corpus; shares sum to 1; curve is convex-ish (sorted ascending)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q247spec").toString
+    // 20 docs with token counts 1..20 → decile i holds docs 2i+1, 2i+2
+    val docs = (1 to 20).map(i => (i.toLong, Seq.fill(i)("t").mkString(" "), "en", "s", i.toLong))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = StatsOps.lorenzDeciles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq == (0L to 9L), s"all deciles present: ${got.toSeq}")
+    assert(got.forall(_._2 == 2L), "2 docs per decile")
+    val total = 210.0
+    got.zipWithIndex.foreach { case ((_, _, sx, share, cum), i) =>
+      val want = (4 * i + 3).toLong // (2i+1) + (2i+2)
+      assert(sx == want, s"decile $i mass")
+      assert(share == r6(want / total))
+      val cumWant = (1 to 2 * i + 2).sum.toLong
+      assert(cum == r6(cumWant / total))
+    }
+    // shares ascend (ranked ascending) and the curve ends at 1
+    got.map(_._4).sliding(2).filter(_.length == 2).foreach { case Array(a, b) => assert(a <= b) }
+    assert(got.last._5 == 1.0)
+    // testdata sanity: top decile holds more than 10% of mass
+    val sf = StatsOps.lorenzDeciles(spark, Sf0001).collect()
+    assert(sf.last.getDouble(3) > 0.1, "top decile over-weighted on real data")
+  }
+
   test("q242: isotonic fit equals the PAV stack algorithm and is monotone") {
     val dir = calibDir()
     val bins = StatsOps.calibScored(spark, dir)

@@ -2379,6 +2379,55 @@ class StreamingSpec extends SparkSpec {
     rows.foreach { case (id, ns, c) => assert((ns > 0) == c, s"doc $id: n_shared=$ns flag=$c") }
   }
 
+  test("E62: chained-window Brier monitor reconciles with batch per-window truth exactly") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    implicit val ctx = spark.sqlContext
+    val corpus = graft.core.Tables.documents(spark, Sf0001)
+    val replay = corpus.select("doc_id", "text").collect().zipWithIndex
+      .map { case (r, i) =>
+        Doc(r.getLong(0), r.getString(1),
+          Timestamp.valueOf(f"2024-01-01 ${10 + i % 2}%02d:15:00"))
+      } ++ Seq(
+      Doc(700001L, "brier copy gamma delta", Timestamp.valueOf("2024-01-01 10:20:00")),
+      Doc(700002L, "brier copy gamma delta", Timestamp.valueOf("2024-01-01 10:40:00")),
+      Doc(700003L, "the a an and of to in is", Timestamp.valueOf("2024-01-01 11:20:00")),
+      Doc(700004L, "the a an and of to in is", Timestamp.valueOf("2024-01-01 11:40:00")))
+    val in = MemoryStream[Doc]
+    val q = DocStreams.brierTripwire(in.toDF())
+      .writeStream.format("memory").queryName("br_s").outputMode("append").start()
+    in.addData(replay.toSeq: _*); q.processAllAvailable()
+    in.addData(Doc(99998L, "late watermark pusher", Timestamp.valueOf("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("br_s").collect()
+      .filter(_.getString(0).startsWith("2024-01-01 1"))
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    q.stop()
+    assert(rows.size == 2)
+    val stops = Set("the", "a", "an", "and", "of", "to", "in", "is")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def micro(x: Double) = BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val want = replay
+      .groupBy(d => f"2024-01-01 ${d.ts.toLocalDateTime.getHour}%02d")
+      .map { case (hour, ds) =>
+        val copies = ds.groupBy(_.text).view.mapValues(_.size.toLong).toMap
+        val per = ds.map { d =>
+          val toks = d.text.trim.split("\\s+")
+          val v = toks.count(stops).toDouble / toks.length
+          val s = micro(v * 1000000.0)
+          val y = if (copies(d.text) >= 2L) 1000000L else 0L
+          (copies(d.text), (s - y) * (s - y))
+        }
+        val n = per.size.toLong
+        val d = per.count(_._1 >= 2L).toLong
+        val serr = per.map(x => BigInt(x._2)).sum
+        hour -> (n, d, r6(d.toDouble / n), r6(serr.toDouble / 1.0e12 / n))
+      }
+    assert(rows == want, s"stream $rows vs batch $want")
+  }
+
   test("E61: chained-window MDE monitor reconciles with batch per-window truth exactly") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
