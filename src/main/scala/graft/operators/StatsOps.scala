@@ -5231,4 +5231,148 @@ object StatsOps {
        |  round(c.sx::DOUBLE / t.xx::DOUBLE, 6) AS token_share,
        |  round(c.cum::DOUBLE / t.xx::DOUBLE, 6) AS cum_token_share
        |FROM q247c c, q247t t ORDER BY c.decile""".stripMargin
+
+  // --- q248: McNemar detector-disagreement test ------------------------------------
+
+  /** McNemar's paired test (1947) on the two dup detectors' catches — the
+    * significance companion to q246's population estimate: of the pairs
+    * caught by EXACTLY ONE detector (the discordant cells b = LSH-only,
+    * c = SimHash-only), is the asymmetry real or coin-flip noise?
+    * `χ² = (b−c)²/(b+c)` against the 1-df critical value — a significant
+    * asymmetry says one detector systematically reaches dup structure the
+    * other misses (so keep both); a non-significant one says they're
+    * interchangeable and the cheaper detector can own the pipeline.
+    *
+    * Scale shape: the same two bounded pair pipelines and ONE canonical-
+    * key equi-join as q246 — the statistic needs only (n₁, n₂, m), three
+    * integer counts into closed-form arithmetic with the shared
+    * [[SrmCritical]] 1-df cut (q178's rule: the flag compares RAW
+    * doubles on both legs).
+    */
+  def mcnemarDetectors(spark: SparkSession, dir: String): DataFrame = {
+    val c1 = graft.core.CacheScope.persist(
+      TextOps.ngramJaccardPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+    val c2 = graft.core.CacheScope.persist(
+      TextOps.simhashPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+    val n1 = c1.agg(count(lit(1)).as("n1"))
+    val n2 = c2.agg(count(lit(1)).as("n2"))
+    val m  = c1.join(c2, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("m"))
+    n1.crossJoin(n2).crossJoin(m)
+      .selectExpr("n1 - m AS b", "n2 - m AS c", "m")
+      .selectExpr(
+        "m AS n_both", "b AS n_lsh_only", "c AS n_simhash_only",
+        """CASE WHEN b + c > 0 THEN
+             round(CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE), 6)
+           END AS mcnemar_chi2""",
+        s"""CASE WHEN b + c > 0 THEN
+             CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE) > $SrmCritical
+           ELSE false END AS asymmetric""")
+  }
+
+  /** Oracle: q246's pair CTEs and the identical (b, c) discordant-cell
+    * arithmetic with the same critical-value literal on the RAW double.
+    */
+  lazy val mcnemarDetectorsSql: String =
+    s"""WITH ${TextOps.DuckShingleCte},
+       |${TextOps.DuckJaccardPairsCte},
+       |q248a AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= ${TextOps.JaccardThreshold}),
+       |q248b AS (SELECT doc_a, doc_b FROM (${TextOps.simhashSql.replace("ORDER BY doc_a, doc_b", "")})),
+       |q248n AS (SELECT
+       |    (SELECT count(*)::BIGINT FROM q248a) AS n1,
+       |    (SELECT count(*)::BIGINT FROM q248b) AS n2,
+       |    (SELECT count(*)::BIGINT FROM q248a JOIN q248b USING (doc_a, doc_b)) AS m),
+       |q248d AS (SELECT n1 - m AS b, n2 - m AS c, m FROM q248n)
+       |SELECT m AS n_both, b AS n_lsh_only, c AS n_simhash_only,
+       |  CASE WHEN b + c > 0 THEN
+       |    round(CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE), 6)
+       |  END AS mcnemar_chi2,
+       |  CASE WHEN b + c > 0 THEN
+       |    CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE) > $SrmCritical
+       |  ELSE false END AS asymmetric
+       |FROM q248d""".stripMargin
+
+  // --- q249: cumulative-gain (lift) deciles of the dup signal ----------------------
+
+  /** Cumulative-gain table of q22's stop-ratio signal against verified
+    * near-dup truth: docs ranked by score DESCENDING in deciles, each row
+    * the decile's dup count, the CUMULATIVE capture rate ("review the top
+    * k×10 % and catch this fraction of all dups"), and the lift over
+    * random — the triage-queue planning table behind q224's single AP
+    * number (AP says the ranking is good; this says where to CUT the
+    * review budget: lift collapsing to 1 marks the decile where the
+    * signal stops paying).
+    *
+    * Scale shape: the global rank rides [[strictlyLess]] on
+    * (−score, doc_id) (range-partition + keyed windows + broadcast
+    * offsets); decile = ⌊10·rank/N⌋ in exact integer arithmetic;
+    * everything after is a ≤10-row table with a 1-row collected-array
+    * cumulative fold (q247's shape on the calibration family's truth).
+    */
+  def liftDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextOps.ngramJaccardPairs(spark, dir)
+    val dups = pairs
+      .select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val scored = TextOps
+      .qualityScore(spark, dir)
+      .select(col("doc_id"), (-col("stop_ratio")).as("nv"))
+      .join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nv"), coalesce(col("is_dup"), lit(false)).as("pos"))
+    val ranked = strictlyLess(scored, Nil, Seq("nv", "doc_id"), "r")
+    val tot = ranked.agg(
+      count(lit(1)).as("nn"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("dd"))
+    val dec = ranked
+      .crossJoin(broadcast(tot))
+      .select(expr("(10 * r) div nn").as("decile"), col("pos"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(when(col("pos"), 1L).otherwise(0L)).as("d"))
+    val packed = dec
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("decile"), col("n_docs"), col("d")))).as("arr"))
+    dec
+      .crossJoin(broadcast(packed))
+      .crossJoin(broadcast(tot))
+      .selectExpr("decile", "n_docs", "d", "nn", "dd",
+        "aggregate(filter(arr, e -> e.decile <= decile), 0L, (a, e) -> a + e.d) AS cum_d",
+        "aggregate(filter(arr, e -> e.decile <= decile), 0L, (a, e) -> a + e.n_docs) AS cum_n")
+      .selectExpr(
+        "decile", "n_docs", "d AS n_dup",
+        "CASE WHEN dd > 0 THEN round(CAST(cum_d AS DOUBLE) / CAST(dd AS DOUBLE), 6) END" +
+          " AS cum_capture",
+        """CASE WHEN dd > 0 THEN
+             round((CAST(cum_d AS DOUBLE) / CAST(dd AS DOUBLE))
+               / (CAST(cum_n AS DOUBLE) / CAST(nn AS DOUBLE)), 6) END AS lift""")
+      .orderBy(col("decile"))
+  }
+
+  /** Oracle: q220's dup-truth/score CTEs, ROW_NUMBER−1 descending ranks,
+    * the identical integer decile rule and window cumulative gain.
+    */
+  lazy val liftDecilesSql: String =
+    s"""WITH ${TextOps.DuckShingleCte},
+       |${TextOps.DuckJaccardPairsCte},
+       |q249d AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM pairs WHERE jaccard >= ${TextOps.JaccardThreshold}
+       |    UNION ALL SELECT doc_b FROM pairs WHERE jaccard >= ${TextOps.JaccardThreshold})),
+       |q249s AS (SELECT q.doc_id, -q.stop_ratio AS nv, (d.doc_id IS NOT NULL) AS pos
+       |          FROM (${TextOps.qualityScoreSql.replace("ORDER BY doc_id", "")}) q
+       |          LEFT JOIN q249d d USING (doc_id)),
+       |q249r AS (SELECT pos, ROW_NUMBER() OVER (ORDER BY nv, doc_id) - 1 AS r FROM q249s),
+       |q249t AS (SELECT count(*)::BIGINT AS nn,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS dd FROM q249s),
+       |q249g AS (SELECT (10 * r) // nn AS decile, count(*)::BIGINT AS n_docs,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM q249r, q249t GROUP BY 1),
+       |q249c AS (SELECT decile, n_docs, d,
+       |    CAST(sum(d) OVER (ORDER BY decile) AS BIGINT) AS cum_d,
+       |    CAST(sum(n_docs) OVER (ORDER BY decile) AS BIGINT) AS cum_n FROM q249g)
+       |SELECT c.decile, c.n_docs, c.d AS n_dup,
+       |  CASE WHEN t.dd > 0 THEN round(CAST(c.cum_d AS DOUBLE) / CAST(t.dd AS DOUBLE), 6)
+       |  END AS cum_capture,
+       |  CASE WHEN t.dd > 0 THEN
+       |    round((CAST(c.cum_d AS DOUBLE) / CAST(t.dd AS DOUBLE))
+       |      / (CAST(c.cum_n AS DOUBLE) / CAST(t.nn AS DOUBLE)), 6) END AS lift
+       |FROM q249c c, q249t t ORDER BY c.decile""".stripMargin
 }

@@ -911,6 +911,52 @@ object DocStreams {
       .select(col("alpha"), col("threshold"))
       .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq.sortBy(_._1)
 
+  /** E63: streaming source-concentration tripwire — q245's live leg: per
+    * closed window, the HHI of source shares, the effective source count,
+    * and the dominant source with its share. A healthy multi-source feed
+    * whose window HHI spikes toward 1 is one upstream crawler flooding
+    * the pipe (or the others silently dying) — the supply-diversity
+    * failure q245 certifies per corpus, caught while the window is still
+    * quarantinable.
+    *
+    * Scale shape (E55's chained pipeline): stage 1 collapses each window
+    * to the (source → count) grain — map-side combinable, bounded by
+    * |sources| per window; stage 2 re-windows via `window_time` and
+    * folds Σc, Σc² (DECIMAL(38,0)), and the max-count source via ONE
+    * ordered struct max. The identity `HHI = Σc²/(Σc)²` keeps the whole
+    * statistic in exact integers until one divide — no per-source share
+    * column ever materializes. Window = reconciliation grain
+    * (spec-pinned exact batch reproduction).
+    */
+  def hhiTripwire(
+      docs: DataFrame,
+      windowDur: String = "1 hour",
+      watermarkDur: String = "2 hours"): DataFrame = {
+    val perSrc = docs
+      .withWatermark("ts", watermarkDur)
+      .select(col("ts"), col("source"))
+      .groupBy(window(col("ts"), windowDur), col("source"))
+      .agg(count(lit(1)).as("c"))
+    perSrc
+      .groupBy(window(window_time(col("window")), windowDur))
+      .agg(
+        sum(col("c")).as("t"),
+        count(lit(1)).as("n_sources"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"),
+        max(struct(col("c"), col("source"))).as("top"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("t").as("n_docs"),
+        col("n_sources"),
+        round(col("s2").cast("double")
+          / (col("t").cast("double") * col("t").cast("double")), 6).as("hhi"),
+        when(col("s2").cast("double") > 0.0,
+          round((col("t").cast("double") * col("t").cast("double"))
+            / col("s2").cast("double"), 6)).as("eff_sources"),
+        col("top.source").as("top_source"),
+        round(col("top.c").cast("double") / col("t").cast("double"), 6).as("top_share"))
+  }
+
   /** E62: streaming Brier monitor — q234's live leg beside E60 (E60 bins
     * the gap; this folds the single proper-score number a pager
     * thresholds): per closed window, the Brier score of q22's stop-ratio

@@ -693,7 +693,13 @@ class PlanGuardSpec extends SparkSpec {
         // q247 crossJoins the 1-row totals and the 1-row packed decile
         // array onto the ≤10-row decile table, plus strictlyLess's 1-row
         // collected pid-offset joins — q217's shape
-        "q247_lorenz_deciles")
+        "q247_lorenz_deciles",
+        // q248 crossJoins its three 1-row pair-count aggregates — q246's
+        // exact shape
+        "q248_mcnemar_detectors",
+        // q249 is q247's decile shape on the dup-truth corpus: 1-row
+        // totals + 1-row packed array + strictlyLess offsets
+        "q249_lift_deciles")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -801,6 +807,7 @@ class PlanGuardSpec extends SparkSpec {
       "q243_sequential_looks"  -> "per-type calendar-day look table (≤31 rows)",
       "q244_km_greenwood"      -> "per-corpus lifetime support (day domain) — q172's fold + Greenwood accumulator",
       "q247_lorenz_deciles"    -> "10-row decile table (+ strictlyLess partition offsets)",
+      "q249_lift_deciles"      -> "10-row decile table (+ strictlyLess partition offsets)",
       // --- ≤k model / rank lists (the bounded-model-collect rule)
       "q164_rank_agreement" -> "BoundedRank ≤k-row post-top-k rank arrays",
       "q55_hybrid_rrf"      -> "BoundedRank ≤k-row post-top-k rank arrays",

@@ -658,6 +658,47 @@ class StatsOpsSpec extends SparkSpec {
     assert(r.getDouble(7) == r6(5.0 + StatsOps.ZAlphaTwoSided * se), "ci_hi")
   }
 
+  test("q248: McNemar cells reconcile with q246's counts; arithmetic matches by hand") {
+    val cr = StatsOps.captureRecapture(spark, Sf0001).collect().head
+    val (n1, n2, m) = (cr.getLong(0), cr.getLong(1), cr.getLong(2))
+    val r = StatsOps.mcnemarDetectors(spark, Sf0001).collect().head
+    assert(r.getLong(0) == m && r.getLong(1) == n1 - m && r.getLong(2) == n2 - m,
+      "discordant cells derive from the same three counts as q246")
+    val (b, c) = (n1 - m, n2 - m)
+    if (b + c > 0) {
+      val chi = ((b - c) * (b - c)).toDouble / (b + c).toDouble
+      assert(r.getDouble(3) == r6(chi), "chi2")
+      assert(r.getBoolean(4) == (chi > StatsOps.SrmCritical), "flag on the raw double")
+    } else assert(r.isNullAt(3) && !r.getBoolean(4))
+  }
+
+  test("q249: gain curve equals a driver-side recomputation; capture ends at 1 and lift starts high") {
+    import graft.operators.TextOps
+    val pairs = TextOps.ngramJaccardPairs(spark, Sf0001)
+      .select("doc_a", "doc_b").collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val scored = TextOps.qualityScore(spark, Sf0001)
+      .select(col("doc_id"), col("stop_ratio")).collect()
+      .map(r => (r.getLong(0), -r.getDouble(1), pairs(r.getLong(0))))
+      .sortBy(x => (x._2, x._1))
+    val nn = scored.length.toLong
+    val dd = scored.count(_._3).toLong
+    val byDec = scored.zipWithIndex
+      .groupBy { case (_, r) => 10L * r / nn }
+      .toSeq.sortBy(_._1)
+      .map { case (dec, rs) => (dec, rs.length.toLong, rs.count(_._1._3).toLong) }
+    val got = StatsOps.liftDeciles(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(x => (x._1, x._2, x._3)).toSeq == byDec, s"decile grains: ${got.toSeq}")
+    var cumD = 0L; var cumN = 0L
+    got.zip(byDec).foreach { case ((_, _, _, cap, lift), (_, n, d)) =>
+      cumD += d; cumN += n
+      assert(cap == r6(cumD.toDouble / dd), "cumulative capture")
+      assert(lift == r6((cumD.toDouble / dd) / (cumN.toDouble / nn)), "lift")
+    }
+    assert(got.last._4 == 1.0, "full review catches everything")
+    assert(got.last._5 == 1.0, "lift collapses to exactly 1 at full coverage")
+  }
+
   test("q245: planted single-source language scores HHI 1 / eff 1; uniform scores 1/k") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q245spec").toString

@@ -2379,6 +2379,44 @@ class StreamingSpec extends SparkSpec {
     rows.foreach { case (id, ns, c) => assert((ns > 0) == c, s"doc $id: n_shared=$ns flag=$c") }
   }
 
+  test("E63: chained-window HHI tripwire reconciles with batch per-window truth exactly") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.SrcDoc
+    implicit val ctx = spark.sqlContext
+    // hour 10: balanced 3 sources; hour 11: one source floods (the trip)
+    val replay = (0 until 12).map(i =>
+      SrcDoc(i.toLong, s"doc $i", s"s${i % 3}", Timestamp.valueOf("2024-01-01 10:15:00"))) ++
+      (12 until 24).map(i =>
+        SrcDoc(i.toLong, s"doc $i", if (i < 22) "flood" else s"s${i % 2}",
+          Timestamp.valueOf("2024-01-01 11:15:00")))
+    val in = MemoryStream[SrcDoc]
+    val q = DocStreams.hhiTripwire(in.toDF())
+      .writeStream.format("memory").queryName("hhi_s").outputMode("append").start()
+    in.addData(replay: _*); q.processAllAvailable()
+    in.addData(SrcDoc(999L, "late", "s0", Timestamp.valueOf("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("hhi_s").collect()
+      .filter(_.getString(0).startsWith("2024-01-01 1"))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getString(5), r.getDouble(6))).toMap
+    q.stop()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = replay.groupBy(d => f"2024-01-01 ${d.ts.toLocalDateTime.getHour}%02d")
+      .map { case (hour, ds) =>
+        val cs = ds.groupBy(_.source).view.mapValues(_.size.toLong).toMap
+        val t = cs.values.sum
+        val s2 = cs.values.map(c => c.toDouble * c).sum
+        val (topSrc, topC) = cs.toSeq.map(_.swap).max.swap
+        hour -> (t, cs.size.toLong, r6(s2 / (t.toDouble * t)),
+          r6((t.toDouble * t) / s2), topSrc, r6(topC.toDouble / t))
+      }
+    assert(rows == want, s"stream $rows vs batch $want")
+    // the flood window trips: HHI jumps and the flooding source dominates
+    assert(rows("2024-01-01 11")._3 > rows("2024-01-01 10")._3 + 0.3)
+    assert(rows("2024-01-01 11")._5 == "flood" && rows("2024-01-01 11")._6 > 0.8)
+  }
+
   test("E62: chained-window Brier monitor reconciles with batch per-window truth exactly") {
     import spark.implicits._
     import graft.streaming.DocStreams
