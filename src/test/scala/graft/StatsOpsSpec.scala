@@ -658,6 +658,49 @@ class StatsOpsSpec extends SparkSpec {
     assert(r.getDouble(7) == r6(5.0 + StatsOps.ZAlphaTwoSided * se), "ci_hi")
   }
 
+  test("round-11 statistics: structural invariants hold on the real corpus") {
+    // q233: bins partition the corpus; ECE and every gap are probabilities
+    val bins = StatsOps.calibrationBins(spark, Sf0001).collect()
+    val nDocs = graft.core.Tables.documents(spark, Sf0001).count()
+    assert(bins.map(_.getLong(1)).sum == nDocs, "bins partition the corpus")
+    bins.foreach { r =>
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0, "ECE in [0,1]")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0, "gap in [0,1]")
+    }
+    // q235: MI non-negative, NMI a correlation-like [0,1] (quantization slack)
+    val mi = StatsOps.mutualInformation(spark, Sf0001).collect().head
+    assert(mi.getDouble(2) >= -1e-5, "MI >= 0 up to micro-quantization")
+    if (!mi.isNullAt(5))
+      assert(mi.getDouble(5) >= -1e-5 && mi.getDouble(5) <= 1.0 + 1e-5, "NMI in [0,1]")
+    // q236: chi-square and V in range
+    val cv = StatsOps.cramersV(spark, Sf0001).collect().head
+    assert(cv.getDouble(4) >= 0.0 && cv.getLong(3) >= 1L)
+    if (!cv.isNullAt(5)) assert(cv.getDouble(5) >= 0.0 && cv.getDouble(5) <= 1.0 + 1e-6)
+    // q240: the Theil decomposition identity survives micro-quantization
+    val th = StatsOps.theilDecomposition(spark, Sf0001).collect()
+      .find(_.getString(0) == "_ALL").get
+    assert(math.abs(th.getDouble(7) - (th.getDouble(6) + th.getDouble(5))) < 1e-4,
+      s"T_total ${th.getDouble(7)} vs between ${th.getDouble(6)} + within ${th.getDouble(5)}")
+    // q242: isotonic curve monotone, mass preserved vs the raw bins
+    val iso = StatsOps.isotonicBins(spark, Sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(4)))
+    iso.map(_._3).sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+      assert(a <= b + 1e-12, "monotone") }
+    val mass = iso.map { case (n, _, v) => v * n }.sum
+    assert(math.abs(mass - iso.map(_._2).sum) < 1e-3, "PAV mass preservation")
+    // q245: HHI a probability, effective count bounded by observed sources
+    StatsOps.hhiMix(spark, Sf0001).collect().foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0 + 1e-6, "HHI in (0,1]")
+      if (!r.isNullAt(4))
+        assert(r.getDouble(4) <= r.getLong(2).toDouble + 1e-6, "eff <= seen sources")
+    }
+    // q247: Lorenz curve ends at 1 with ascending shares
+    val lz = StatsOps.lorenzDeciles(spark, Sf0001).collect()
+    assert(lz.last.getDouble(4) == 1.0)
+    lz.map(_.getDouble(3)).sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+      assert(a <= b + 1e-12, "shares ascend under ascending rank") }
+  }
+
   test("q248: McNemar cells reconcile with q246's counts; arithmetic matches by hand") {
     val cr = StatsOps.captureRecapture(spark, Sf0001).collect().head
     val (n1, n2, m) = (cr.getLong(0), cr.getLong(1), cr.getLong(2))
