@@ -46,6 +46,25 @@ object Bench {
       }
     } catch { case _: Throwable => () }
 
+    // Session-shared stages (the LSH/verify pipeline, component labels,
+    // NB/BPE models) build ONCE per session — timed loops must not charge
+    // that one-time cost to whichever query alphabetically touches the
+    // stage first (r11's bench showed q129 at 9 s in-suite vs 0.8 s
+    // isolated purely from this attribution). Materialize them up front,
+    // each on its own labeled line; the query loop below then measures
+    // every query's own marginal plan.
+    val shared: Seq[(String, Double)] =
+      graft.operators.SharedStages.prewarm(spark, sfDir).map { case (name, build) =>
+        val t0 = System.nanoTime()
+        try { build(); name -> (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] shared:$name failed: ${e.getMessage}")
+            name -> -1.0
+        }
+      }
+    val sharedTotal = shared.map(_._2).filter(_ >= 0).sum
+
     // best-of-2 per query: single local runs are GC/scheduling-noisy.
     // Failed runs must not contribute a (fast) bogus time — a query with no
     // successful run reports -1 and is excluded from the total.
@@ -66,6 +85,12 @@ object Bench {
           graft.core.CacheScope.drain(spark)
         }
       }
+      // Untimed GC between queries: a heap-churning query otherwise taxes
+      // the NEXT several queries' timings with its garbage (r11 showed a
+      // decaying 3-10× slowdown over the ~10 queries after the widest
+      // shuffles) — collection here keeps each timing attributable to its
+      // own query.
+      System.gc()
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
 
@@ -81,7 +106,11 @@ object Bench {
     // tail can't carry it; the JSON line carries only the pointer).
     // Skipped off the sf0.1 grain, when disabled, or when the main loop
     // itself ran slow (shared box — don't compound a timeout).
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val queriesTotal = results.map(_._2).filter(_ >= 0).sum
+    // headline total stays the whole suite cost (shared-stage builds
+    // included) so round-over-round totals remain comparable — only the
+    // ATTRIBUTION moved to the labeled shared lines
+    val total = queriesTotal + sharedTotal
     val sf1Note: String =
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0" ||
         new java.io.File(sfDir).getName != "sf0.1" || total > 300.0) ""
@@ -138,9 +167,19 @@ object Bench {
       val full = results
         .map { case (k, v) => s"""  "$k": ${fmt(v)}""" }
         .mkString(",\n")
+      val sharedFull = shared
+        .map { case (k, v) => s"""  "$k": ${fmt(v)}""" }
+        .mkString(",\n")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
-        f"""{"sf": "$sfName", "total_s": $total%.2f, "queries": {%n$full%n}}%n""")
+        f"""{"sf": "$sfName", "total_s": $total%.2f, "queries_s": $queriesTotal%.2f, "shared_s": $sharedTotal%.2f,
+           |"shared": {
+           |$sharedFull
+           |},
+           |"queries": {
+           |$full
+           |}}
+           |""".stripMargin)
     } catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL write failed: $e") }
     // The driver stores only the LAST 2000 chars of stdout, and sbt's
     // `[info] ` prefix + `[success]` epilogue eat ~90 of them — a JSON line
@@ -160,7 +199,7 @@ object Bench {
     def assembleLine(qs: Seq[(String, Double, String)], omitted: Int): String = {
       val m = qs.sortBy(_._1).map(_._3).mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted,"full":"BENCH_FULL.json"""" else ""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$m$om,"sf":"$sfName"$sf1Note}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","shared_s":$sharedTotal%.2f,"queries":$m$om,"sf":"$sfName"$sf1Note}"""
     }
     var keep = entries
     while (assembleLine(keep, entries.size - keep.size).length > budget && keep.nonEmpty)

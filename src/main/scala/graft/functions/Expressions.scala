@@ -553,6 +553,45 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): HashedGrams = copy(child = c)
   }
 
+  /** POSITIONAL stride-1 window hashes: element i is the `xxhash64` of the
+    * space-joined n-token window starting at token i (no distinct — the
+    * instance-grain twin of [[HashedGrams]] for q116/q214, whose
+    * ownership/coverage semantics need every window occurrence WITH its
+    * position). Replaces the `transform(sequence, md5(concat_ws(slice)))`
+    * spelling: the downstream shuffle/join key is an 8-byte long instead
+    * of a 32-char md5 hex string (~5× less exchange volume at the
+    * corpus-token grain, the suite's widest shuffle), and the slice-copy
+    * per window is gone. Oracles re-derive the identical hashes via
+    * [[graft.functions.DuckHash]], so the operators stay hard-verified.
+    */
+  case class WindowGramHashes(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    def compute(arr: ArrayData): ArrayData = {
+      val len = arr.numElements()
+      val m   = len - n + 1
+      if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+      val out = new Array[Long](m)
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var i = 0
+      while (i < m) {
+        var j = 0
+        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        out(i) = XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*), 42L)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("windowGramHashes", this, classOf[WindowGramHashes].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): WindowGramHashes =
+      copy(child = c)
+  }
+
   /** The hashed 1/2-gram DSIR feature sequence (unigrams then bigrams, in
     * token order) as one compiled call — the feature-extraction half of
     * [[DsirScore]], for paths that need the exploded features themselves
@@ -1099,6 +1138,8 @@ object Expressions {
   def hashed_ngram_feats(c: Column, buckets: Int): Column =
     toColumn(HashedNgramFeats(toExpression(c), buckets))
   def hashed_grams(c: Column, n: Int): Column = toColumn(HashedGrams(toExpression(c), n))
+  def window_gram_hashes(c: Column, n: Int): Column =
+    toColumn(WindowGramHashes(toExpression(c), n))
   def nb_classify(
       c: Column,
       classes: Array[String],

@@ -1263,17 +1263,19 @@ object CurationOps {
     */
   def substringDedup(spark: SparkSession, dir: String): DataFrame = {
     // scope-persisted: read by the owner aggregate AND the join side —
-    // without it the stride-1 explode + md5 (the dominant map cost) runs
-    // twice over the corpus
+    // without it the stride-1 explode + hash (the dominant map cost) runs
+    // twice over the corpus. Window identity is an 8-byte xxhash64 long
+    // (WindowGramHashes), not a 32-char md5 hex string: this explode is
+    // ≈ one row per corpus token — the suite's widest shuffle — so key
+    // width is the exchange volume (the q39/q51/q54 gram-hash rule).
     val wins = graft.core.CacheScope.persist(
       docs(spark, dir)
         .select(col("doc_id"), TextOps.toks.as("toks"))
         .filter(size(col("toks")) >= SubW)
         .select(
           col("doc_id"),
-          explode(expr(
-            s"transform(sequence(0, size(toks) - $SubW), i -> struct(i AS widx, md5(concat_ws(' ', slice(toks, i + 1, $SubW))) AS h))")).as("w"))
-        .select(col("doc_id"), col("w.widx").as("widx"), col("w.h").as("h")))
+          posexplode(graft.functions.Expressions.window_gram_hashes(col("toks"), SubW))
+            .as(Seq("widx", "h"))))
     val owner = wins
       .groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("widx"))).as("own"))
@@ -1300,32 +1302,49 @@ object CurationOps {
   }
 
   /** Oracle: q81's window spelling — unnest(generate_series) windows,
-    * ownership as the first row over (hash | doc_id, widx), HUGEINT sums
-    * pinned to BIGINT, same guarded division.
+    * DISTINCT window strings mapped through the emulated xxhash64
+    * ([[graft.functions.DuckHash]], exactly the Spark side's
+    * WindowGramHashes) and joined back positionally, ownership as the
+    * first row over (hash | doc_id, widx), HUGEINT sums pinned to BIGINT,
+    * same guarded division.
     */
-  lazy val substringDedupSql: String =
-    s"""WITH q116t AS (SELECT doc_id, ${TextOps.DuckToks} AS toks FROM documents),
-       |q116x AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - $SubW)) AS i
-       |          FROM q116t WHERE len(toks) >= $SubW),
-       |q116w AS (SELECT doc_id, i AS widx,
-       |            md5(array_to_string(toks[i + 1 : i + $SubW], ' ')) AS h
-       |          FROM q116x),
-       |q116o AS (SELECT doc_id, widx,
-       |            (row_number() OVER (PARTITION BY h ORDER BY doc_id, widx) = 1) AS is_own,
-       |            first_value(doc_id) OVER (PARTITION BY h ORDER BY doc_id, widx) AS own_doc
-       |          FROM q116w),
-       |q116r AS (SELECT doc_id, count(*) AS n_windows,
-       |            CAST(sum(CASE WHEN NOT is_own THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-       |            CAST(sum(CASE WHEN own_doc <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_foreign
-       |          FROM q116o GROUP BY doc_id)
-       |SELECT d.doc_id,
-       |  coalesce(r.n_windows, 0)::BIGINT AS n_windows,
-       |  coalesce(r.n_dup, 0)::BIGINT AS n_dup,
-       |  coalesce(r.n_foreign, 0)::BIGINT AS n_foreign,
-       |  CASE WHEN r.n_windows IS NULL THEN 0.0
-       |       ELSE r.n_dup::DOUBLE / r.n_windows::DOUBLE END AS dup_frac
-       |FROM documents d LEFT JOIN q116r r USING (doc_id)
-       |ORDER BY d.doc_id""".stripMargin
+  lazy val substringDedupSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q116t" -> s"(SELECT doc_id, ${TextOps.DuckToks} AS toks FROM documents)",
+      "q116x" ->
+        s"""(SELECT doc_id, toks, unnest(generate_series(0, len(toks) - $SubW)) AS i
+           |  FROM q116t WHERE len(toks) >= $SubW)""".stripMargin,
+      "q116w0" ->
+        s"""(SELECT doc_id, i AS widx, array_to_string(toks[i + 1 : i + $SubW], ' ') AS gram
+           |  FROM q116x)""".stripMargin,
+      "q116d" -> s"(SELECT gram, ${bytesOf("gram")} AS b FROM (SELECT DISTINCT gram FROM q116w0))"
+    )
+    val hb = hashBytesChain("q116hx", "q116d", Seq("gram"), "42", "hs")
+    ctes ++= hb.ctes
+    ctes += ("q116f" -> s"(SELECT gram, CAST(${toSigned("hs")} AS BIGINT) AS h FROM ${hb.last})")
+    ctes += ("q116w" -> "(SELECT doc_id, widx, h FROM q116w0 JOIN q116f USING (gram))")
+    ctes += ("q116o" ->
+      """(SELECT doc_id, widx,
+        |    (row_number() OVER (PARTITION BY h ORDER BY doc_id, widx) = 1) AS is_own,
+        |    first_value(doc_id) OVER (PARTITION BY h ORDER BY doc_id, widx) AS own_doc
+        |  FROM q116w)""".stripMargin)
+    ctes += ("q116r" ->
+      """(SELECT doc_id, count(*) AS n_windows,
+        |    CAST(sum(CASE WHEN NOT is_own THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |    CAST(sum(CASE WHEN own_doc <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_foreign
+        |  FROM q116o GROUP BY doc_id)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT d.doc_id,
+        |  coalesce(r.n_windows, 0)::BIGINT AS n_windows,
+        |  coalesce(r.n_dup, 0)::BIGINT AS n_dup,
+        |  coalesce(r.n_foreign, 0)::BIGINT AS n_foreign,
+        |  CASE WHEN r.n_windows IS NULL THEN 0.0
+        |       ELSE r.n_dup::DOUBLE / r.n_windows::DOUBLE END AS dup_frac
+        |FROM documents d LEFT JOIN q116r r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)
+  }
 
   // --- q214: memorization-span density -----------------------------------------
 
@@ -1360,11 +1379,12 @@ object CurationOps {
       .select(col("doc_id"), col("source"), TextOps.toks.as("toks"))
       .filter(size(col("toks")) >= MemN)
     val tc = graft.core.CacheScope.persist(t)
+    // q116's positional window-hash kernel: 8-byte xxhash64 keys on the
+    // corpus-token-grain explode (not md5 hex — same exchange-volume rule)
     val wins = tc.select(
       col("doc_id"),
-      explode(expr(
-        s"transform(sequence(0, size(toks) - $MemN), i -> struct(i AS widx, md5(concat_ws(' ', slice(toks, i + 1, $MemN))) AS h))")).as("w"))
-      .select(col("doc_id"), col("w.widx").as("widx"), col("w.h").as("h"))
+      posexplode(graft.functions.Expressions.window_gram_hashes(col("toks"), MemN))
+        .as(Seq("widx", "h")))
     val wc = graft.core.CacheScope.persist(wins)
     val shared = wc
       .select(col("h"), col("doc_id")).distinct()
@@ -1395,32 +1415,44 @@ object CurationOps {
   /** Oracle: q116's window spelling at [[MemN]], distinct-doc df, the
     * same qualifying-position union, and the identical integer rollup.
     */
-  lazy val memorizationSpansSql: String =
-    s"""WITH q214t AS (
-       |  SELECT doc_id, source, ${TextOps.DuckToks} AS toks FROM documents),
-       |q214f AS (SELECT * FROM q214t WHERE len(toks) >= $MemN),
-       |q214x AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - $MemN)) AS i
-       |          FROM q214f),
-       |q214w AS (SELECT doc_id, i AS widx,
-       |            md5(array_to_string(toks[i + 1 : i + $MemN], ' ')) AS h
-       |          FROM q214x),
-       |q214sh AS (SELECT h FROM (
-       |             SELECT h, count(DISTINCT doc_id) AS df FROM q214w GROUP BY h)
-       |           WHERE df >= 2),
-       |q214q AS (SELECT DISTINCT doc_id,
-       |            widx + unnest(generate_series(0, ${MemN - 1})) AS pos
-       |          FROM q214w JOIN q214sh USING (h)),
-       |q214c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered
-       |          FROM q214q GROUP BY doc_id),
-       |q214d AS (SELECT f.source, len(f.toks)::BIGINT AS n_toks,
-       |            coalesce(c.covered, 0)::BIGINT AS covered
-       |          FROM q214f f LEFT JOIN q214c c USING (doc_id))
-       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       |  CAST(sum(CASE WHEN covered * 2 >= n_toks THEN 1 ELSE 0 END) AS BIGINT) AS n_risky,
-       |  round(CAST(sum(CAST(round(1000000.0 * covered / n_toks, 0) AS BIGINT)) AS DOUBLE)
-       |    / (count(*) * 1000000)::DOUBLE, 6) AS mean_coverage
-       |FROM q214d GROUP BY source
-       |ORDER BY source""".stripMargin
+  lazy val memorizationSpansSql: String = {
+    import graft.functions.DuckHash._
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
+      "q214t" -> s"(SELECT doc_id, source, ${TextOps.DuckToks} AS toks FROM documents)",
+      "q214f" -> s"(SELECT * FROM q214t WHERE len(toks) >= $MemN)",
+      "q214x" ->
+        s"""(SELECT doc_id, toks, unnest(generate_series(0, len(toks) - $MemN)) AS i
+           |  FROM q214f)""".stripMargin,
+      "q214w0" ->
+        s"""(SELECT doc_id, i AS widx, array_to_string(toks[i + 1 : i + $MemN], ' ') AS gram
+           |  FROM q214x)""".stripMargin,
+      "q214d0" -> s"(SELECT gram, ${bytesOf("gram")} AS b FROM (SELECT DISTINCT gram FROM q214w0))"
+    )
+    val hb = hashBytesChain("q214hx", "q214d0", Seq("gram"), "42", "hs")
+    ctes ++= hb.ctes
+    ctes += ("q214g" -> s"(SELECT gram, CAST(${toSigned("hs")} AS BIGINT) AS h FROM ${hb.last})")
+    ctes += ("q214w" -> "(SELECT doc_id, widx, h FROM q214w0 JOIN q214g USING (gram))")
+    ctes += ("q214sh" ->
+      """(SELECT h FROM (
+        |    SELECT h, count(DISTINCT doc_id) AS df FROM q214w GROUP BY h)
+        |  WHERE df >= 2)""".stripMargin)
+    ctes += ("q214q" ->
+      s"""(SELECT DISTINCT doc_id, widx + unnest(generate_series(0, ${MemN - 1})) AS pos
+         |  FROM q214w JOIN q214sh USING (h))""".stripMargin)
+    ctes += ("q214c" -> "(SELECT doc_id, CAST(count(*) AS BIGINT) AS covered FROM q214q GROUP BY doc_id)")
+    ctes += ("q214d" ->
+      """(SELECT f.source, len(f.toks)::BIGINT AS n_toks,
+        |    coalesce(c.covered, 0)::BIGINT AS covered
+        |  FROM q214f f LEFT JOIN q214c c USING (doc_id))""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN covered * 2 >= n_toks THEN 1 ELSE 0 END) AS BIGINT) AS n_risky,
+        |  round(CAST(sum(CAST(round(1000000.0 * covered / n_toks, 0) AS BIGINT)) AS DOUBLE)
+        |    / (count(*) * 1000000)::DOUBLE, 6) AS mean_coverage
+        |FROM q214d GROUP BY source
+        |ORDER BY source""".stripMargin)
+  }
 
   // --- q51: n-gram-coverage dedup ------------------------------------------
 
@@ -2348,9 +2380,13 @@ object CurationOps {
     * reuse it (the train-once twin of the dedup family's stage sharing).
     */
   private def nbScored(spark: SparkSession, dir: String): DataFrame =
-    applyNb(
-      docs(spark, dir),
-      SharedStages.model(spark, dir, "nbModel")(trainNb(docs(spark, dir))))
+    applyNb(docs(spark, dir), nbModelFor(spark, dir))
+
+  /** The memoized NB model itself — exposed so runners can prewarm the
+    * train pass up front ([[SharedStages.prewarm]]).
+    */
+  private[graft] def nbModelFor(spark: SparkSession, dir: String): NbModel =
+    SharedStages.model(spark, dir, "nbModel")(trainNb(docs(spark, dir)))
 
   def nbClassify(spark: SparkSession, dir: String): DataFrame =
     nbScored(spark, dir)

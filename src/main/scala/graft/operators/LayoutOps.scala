@@ -229,6 +229,57 @@ object LayoutOps {
        |ORDER BY col_name, k""".stripMargin
   }
 
+  /** WRITE-SIDE executor for [[rangePlanner]] — the layout family's
+    * missing last mile: actually lay `documents` out range-partitioned on
+    * `n_chars` by the planner's EXACT equi-depth boundaries, one parquet
+    * file per bucket, and report the measured layout (rows + bytes per
+    * bucket file) for assertion against the plan.
+    *
+    * Why not `repartitionByRange(B, col)`: that samples
+    * (`RangePartitioner`) — partition sizes are only approximately
+    * equi-depth and change with the sample seed, which is exactly what
+    * q149 computes the histogram to avoid. Here each row's bucket is the
+    * COUNT OF PLANNED BOUNDARIES STRICTLY BELOW its value (ties land
+    * left, matching `n_below`'s `v ≤ boundary` cumulative), a broadcast
+    * map-side projection; one hash exchange on the B-value bucket key
+    * routes rows, and `partitionBy("bucket")` gives each bucket its own
+    * directory/file. At 1000 executors the same plan holds: B output
+    * files of KNOWN row counts, no sampling variance, boundary table
+    * reusable across every write on the same column.
+    *
+    * The bucket rows come back from the FILESYSTEM (file bytes + parquet
+    * row counts), so the spec asserts the plan→layout contract end to
+    * end: bucket row counts equal the planner's `n_below` deltas, and
+    * every bucket landed in exactly one file.
+    */
+  def rangeWriteDocs(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    import spark.implicits._
+    val B = RangeBuckets
+    val bounds = rangePlanner(spark, dir)
+      .filter(col("col_name") === "documents.n_chars")
+      .orderBy(col("k"))
+      .select(col("boundary"))
+      .collect()
+      .map(_.getDouble(0)) // B−1 planned split points, a model-sized object
+    val boundsArr = array(bounds.map(lit(_)): _*)
+    val bucket =
+      size(filter(boundsArr, b => b < col("n_chars").cast("double"))).as("bucket")
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"), bucket)
+      .repartition(B, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+    // measured layout, read back from disk
+    val buckets = new java.io.File(outDir).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map { d =>
+        val files = d.listFiles().toSeq.filter(f => f.getName.endsWith(".parquet"))
+        val rows  = spark.read.parquet(d.getPath).count()
+        (d.getName.stripPrefix("bucket=").toInt, files.size, files.map(_.length()).sum, rows)
+      }
+    buckets.toDF("bucket", "n_files", "bytes", "n_rows").orderBy(col("bucket"))
+  }
+
   // --- q157: broadcast-vs-shuffle join planner -------------------------------
 
   /** Broadcast threshold the planner advises against (bytes) — the same

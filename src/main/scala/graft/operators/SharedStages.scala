@@ -162,4 +162,26 @@ object SharedStages {
     objMemo.remove(spark)
     pins.remove(spark).foreach(ids => CacheScope.unpin(spark, ids))
   }
+
+  /** The canonical build order of every session-shared stage and model,
+    * for runners that want to MATERIALIZE the shared working set up front
+    * and attribute its cost explicitly (graft.Bench / tools.BenchSf1):
+    * without this, each stage's one-time build lands on whichever query
+    * happens to touch it first, making per-query timings order-dependent.
+    * Later entries reuse earlier ones (minhashEdges builds FROM shingles),
+    * so timing each call in sequence yields honest incremental costs.
+    * Building a stage that a session never uses only wastes its build —
+    * results are unaffected (stages are the exact expression trees the
+    * queries would inline).
+    */
+  def prewarm(spark: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
+    "shingles"     -> (() => { shingles(spark, dir); () }),
+    "minhashEdges" -> (() => { minhashEdges(spark, dir); () }),
+    "jaccardPairs" -> (() => { jaccardPairs(spark, dir); () }),
+    "exactPairs"   -> (() => { exactPairs(spark, dir); () }),
+    "dupLabels"    -> (() => { dupLabels(spark, dir); () }),
+    "fuzzyLabels"  -> (() => { fuzzyLabels(spark, dir); () }),
+    "nbModel"      -> (() => { CurationOps.nbModelFor(spark, dir); () }),
+    "bpeMerges"    -> (() => { TokenizerOps.merges(spark, dir); () })
+  )
 }

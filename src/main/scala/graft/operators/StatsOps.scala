@@ -4146,11 +4146,20 @@ object StatsOps {
 
   /** Brier score of q22's stop-ratio signal against dup truth, with
     * Murphy's (1973) decomposition over [[CalibBins]] bins:
-    * `Brier ≈ reliability − resolution + uncertainty` — the proper-score
-    * complement to q233's diagram (ECE says HOW miscalibrated; this splits
-    * the total loss into the part recalibration can remove — reliability —
-    * the part only a better signal can earn — resolution — and the floor
-    * set by base-rate entropy — uncertainty; reliability ≫ 0 with healthy
+    * `Brier = reliability − resolution + uncertainty + within_bin` — the
+    * proper-score complement to q233's diagram (ECE says HOW miscalibrated;
+    * this splits the total loss into the part recalibration can remove —
+    * reliability — the part only a better signal can earn — resolution —
+    * and the floor set by base-rate entropy — uncertainty). The 3-term
+    * Murphy identity is exact only when every forecast equals its bin
+    * mean; for binned CONTINUOUS scores the generalized decomposition
+    * (Stephenson et al. 2008) adds within-bin terms (score variance minus
+    * twice the score–outcome covariance inside each bin). `within_bin`
+    * publishes that residual computed from the same published components,
+    * so the 4-term identity closes exactly on the emitted values — a
+    * consumer treating the decomposition as exact reads zero residual
+    * error, and a LARGE within_bin is itself a signal the bins are too
+    * coarse for the score's spread (reliability ≫ 0 with healthy
     * resolution says "recalibrate, don't retrain").
     *
     * Scale shape: the doc grain contributes only integer sums (squared
@@ -4199,6 +4208,11 @@ object StatsOps {
         round(col("res_s").cast("double") / lit(1000000.0), 6).as("resolution"),
         round(col("dd").cast("double") * (col("nn") - col("dd")).cast("double")
           / col("nn").cast("double") / col("nn").cast("double"), 6).as("uncertainty"))
+      // residual from the PUBLISHED 6-dp components: the 4-term identity
+      // brier = reliability − resolution + uncertainty + within_bin closes
+      // exactly on emitted values (identical IEEE ops both legs)
+      .withColumn("within_bin",
+        round(col("brier") - col("reliability") + col("resolution") - col("uncertainty"), 6))
   }
 
   /** Oracle: q233's scored/bin CTEs, HUGEINT squared-error fold, and the
@@ -4234,13 +4248,16 @@ object StatsOps {
        |      / n::DOUBLE / t.nn::DOUBLE / t.nn::DOUBLE
        |      / t.nn::DOUBLE * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS res_s
        |  FROM q234b, q234t t)
-       |SELECT m.n, m.n_pos,
-       |  round(m.ssq::DOUBLE / 1.0e12 / m.n::DOUBLE, 6) AS brier,
-       |  round(rr.rel_s::DOUBLE / 1000000.0, 6) AS reliability,
-       |  round(rr.res_s::DOUBLE / 1000000.0, 6) AS resolution,
-       |  round(t.dd::DOUBLE * (t.nn - t.dd)::DOUBLE / t.nn::DOUBLE / t.nn::DOUBLE, 6)
-       |    AS uncertainty
-       |FROM q234m m, q234rr rr, q234t t""".stripMargin
+       |SELECT n, n_pos, brier, reliability, resolution, uncertainty,
+       |  round(brier - reliability + resolution - uncertainty, 6) AS within_bin
+       |FROM (
+       |  SELECT m.n, m.n_pos,
+       |    round(m.ssq::DOUBLE / 1.0e12 / m.n::DOUBLE, 6) AS brier,
+       |    round(rr.rel_s::DOUBLE / 1000000.0, 6) AS reliability,
+       |    round(rr.res_s::DOUBLE / 1000000.0, 6) AS resolution,
+       |    round(t.dd::DOUBLE * (t.nn - t.dd)::DOUBLE / t.nn::DOUBLE / t.nn::DOUBLE, 6)
+       |      AS uncertainty
+       |  FROM q234m m, q234rr rr, q234t t)""".stripMargin
 
   // --- q235: mutual information of source × lang ---------------------------------
 
@@ -4467,8 +4484,11 @@ object StatsOps {
         "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mu")
       .selectExpr(
         "event_type", "n", "nt", "nc", "syc", "s2", "mu",
+        // greatest(s2, 0.0): floating-point cancellation on a near-constant
+        // metric can drive the variance identity epsilon-negative — sqrt
+        // would then publish NaN mde columns while sd_value is NULL
         s"""(CAST($ZAlphaTwoSided AS DOUBLE) + CAST($ZPower80 AS DOUBLE))
-            * sqrt(s2 * (1.0 / CAST(nt AS DOUBLE) + 1.0 / CAST(nc AS DOUBLE))) AS mde_c""")
+            * sqrt(greatest(s2, 0.0) * (1.0 / CAST(nt AS DOUBLE) + 1.0 / CAST(nc AS DOUBLE))) AS mde_c""")
       .selectExpr(
         "event_type", "n AS n_users", "nt AS n_treat", "nc AS n_control",
         "round(mu / 100.0, 6) AS mean_value",
@@ -4515,7 +4535,7 @@ object StatsOps {
     ctes += ("q238m" ->
       s"""(SELECT *,
          |    (CAST($ZAlphaTwoSided AS DOUBLE) + CAST($ZPower80 AS DOUBLE))
-         |      * sqrt(s2 * (1.0 / nt::DOUBLE + 1.0 / nc::DOUBLE)) AS mde_c
+         |      * sqrt(greatest(s2, 0.0) * (1.0 / nt::DOUBLE + 1.0 / nc::DOUBLE)) AS mde_c
          |  FROM q238p)""".stripMargin)
     assemble(
       ctes.toSeq,
@@ -4908,10 +4928,13 @@ object StatsOps {
     * monitors it, q226/q225 read it out.
     *
     * Scale shape: ONE keyed (type, day) aggregate collapses the corpus to
-    * ≤|types|×31 pivoted per-arm integer moment rows (cents; squares in
-    * DECIMAL(38,0)); cumulative looks ride a per-type sorted-array fold
-    * over ≤31 elements (the q172 idiom — bounded by the calendar-day
-    * domain, never a window over an unbounded partition); z/boundary
+    * ≤|types|×D pivoted per-arm integer moment rows (D = the monitored
+    * window's ABSOLUTE epoch-day span — days key on datediff-from-epoch
+    * like q172/q237/q244, so the same day-of-month in different months
+    * never folds into one look; cents; squares in DECIMAL(38,0));
+    * cumulative looks ride a per-type sorted-array fold over those ≤D
+    * elements (the q172 idiom — bounded by the campaign calendar, never
+    * a window over an unbounded partition); z/boundary
     * arithmetic is identically-shaped IEEE doubles on the exact integer
     * cumulative sums, and the crossed verdict compares RAW doubles on
     * both legs (q231's rule).
@@ -4921,7 +4944,9 @@ object StatsOps {
       .events(spark, dir)
       .select(
         col("event_type"),
-        dayofmonth(col("ts")).cast("long").as("day"),
+        // absolute epoch-day key (the q172/q237/q244 idiom) — dayofmonth
+        // would fold the same day-of-month across months into one look
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).cast("long").as("day"),
         pmod(xxhash64(col("user_id")), lit(2L)).as("arm"),
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
       .groupBy(col("event_type"), col("day"))
@@ -4985,7 +5010,7 @@ object StatsOps {
     import graft.functions.DuckHash._
     val ctes = ArrayBuffer[(String, String)](
       "q243e" ->
-        """(SELECT event_type, EXTRACT(day FROM ts)::BIGINT AS day, user_id,
+        """(SELECT event_type, date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS day, user_id,
           |    user_id::HUGEINT AS l,
           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
           |  FROM events)""".stripMargin

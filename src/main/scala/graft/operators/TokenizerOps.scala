@@ -84,6 +84,16 @@ object TokenizerOps {
 
   // --- q90: BPE merge-rule training ----------------------------------------
 
+  /** Session-shared merge table: the corpus word-count scan + driver merge
+    * loop runs ONCE per (session, dir) ([[SharedStages.model]], the q66
+    * train-once rule) — q90, q91 and q129 all read the same model instead
+    * of re-training per query. Deterministic (exact integer counts, fixed
+    * tie-breaks), so sharing cannot change any result.
+    */
+  private[graft] def merges(
+      spark: SparkSession, dir: String): Seq[(Int, String, String, String, Long)] =
+    SharedStages.model(spark, dir, "bpeMerges")(trainMerges(trainDict(spark, dir)))
+
   /** Byte-pair-encoding merge-rule training (Sennrich et al. 2016, the
     * public BPE algorithm): start from characters, repeatedly count
     * adjacent symbol pairs over the word-frequency dictionary and merge the
@@ -108,7 +118,7 @@ object TokenizerOps {
     */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    trainMerges(trainDict(spark, dir))
+    merges(spark, dir)
       .toDF("rank", "lft", "rgt", "merged", "pair_count")
       .orderBy(col("rank"))
   }
@@ -127,9 +137,9 @@ object TokenizerOps {
     * touches the corpus.
     */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val merges = trainMerges(trainDict(spark, dir))
+    val m = merges(spark, dir)
     val enc = Expressions.bpe_encode(
-      TextOps.toks, merges.map(_._2).toArray, merges.map(_._3).toArray)
+      TextOps.toks, m.map(_._2).toArray, m.map(_._3).toArray)
     docs(spark, dir)
       .select(col("doc_id"), enc.as("e"))
       .select(

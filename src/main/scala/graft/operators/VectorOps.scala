@@ -26,7 +26,7 @@ object VectorOps {
     * cosine is NaN — which Spark sorts ABOVE all real values, so one zero
     * vector would otherwise claim rank 1 of every query's top-k.
     */
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(spark: SparkSession, dir: String): DataFrame =
     Tables
       .embeddings(spark, dir)
       .select(

@@ -25,7 +25,13 @@ import org.apache.spark.sql.types._
   * is left alone):
   *
   *   Filter((rn ≤ k | rn < k | rn = 1) [AND rest],
-  *     Window([row_number() AS rn], part, order, child))
+  *     Window([row_number() AS rn | rank() AS rn], part, order, child))
+  *
+  * `rank()` rides the same shape through [[CollectTopKRank]]: ties share
+  * places and the k-th place can be shared, so the heap keeps k plus the
+  * boundary tie-group (state bounded by the query's own output, not the
+  * corpus) and emits the rank next to each row — the filter's ties-kept
+  * semantics, without the full partition sort.
   *
   * with 1 ≤ k ≤ [[MaxK]] (heap state per group is k rows — past that the
   * window plan's spill behavior is the safer default), every partition
@@ -50,8 +56,8 @@ import org.apache.spark.sql.types._
   *     would rank first where the window ranks it last, so the flag
   *     orders null > ordinary > NaN and NaN's value slot is neutralized).
   *
-  * Non-default null orderings, non-numeric ASC keys, rank()/dense_rank()
-  * (ties make their k-th row a non-constant row count), and multi-window
+  * Non-default null orderings, non-numeric ASC keys, dense_rank() (its
+  * k-th DISTINCT place has no row-count bound at all), and multi-window
   * nodes all fall through to the stock plan. Ties beyond the order keys
   * are broken by the full row payload (the struct's trailing fields), so
   * the rewrite is MORE deterministic than the window's partition-order
@@ -67,9 +73,12 @@ object BoundedRankRewrite extends Rule[LogicalPlan] with PredicateHelper {
       rewrite(cond, w).getOrElse(f)
   }
 
-  /** The single row_number alias of a one-expression window node. */
-  private def soleRowNumber(w: Window): Option[Alias] = w.windowExpressions match {
-    case Seq(a @ Alias(WindowExpression(_: RowNumber, _), _)) => Some(a)
+  /** The single row_number/rank alias of a one-expression window node
+    * (isRank = true for `rank()`, whose k-th place keeps ties).
+    */
+  private def soleRankLike(w: Window): Option[(Alias, Boolean)] = w.windowExpressions match {
+    case Seq(a @ Alias(WindowExpression(_: RowNumber, _), _)) => Some((a, false))
+    case Seq(a @ Alias(WindowExpression(_: Rank, _), _))      => Some((a, true))
     case _ => None
   }
 
@@ -127,7 +136,7 @@ object BoundedRankRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(cond: Expression, w: Window): Option[LogicalPlan] = {
     for {
-      rnAlias <- soleRowNumber(w)
+      (rnAlias, isRank) <- soleRankLike(w)
       rnAttr = rnAlias.toAttribute
       // exactly one rank-limit conjunct defines k; other conjuncts (even
       // over rn) re-apply above the rewrite, which preserves output attrs
@@ -141,11 +150,14 @@ object BoundedRankRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
       sortFields <- someIfAll(w.orderSpec)(encodeKey)
       // Spark may already have inserted its WindowGroupLimit below the
-      // window (same spec, limit ≥ k) — the rewrite subsumes it
+      // window (same spec, limit ≥ k) — the rewrite subsumes it. The rank
+      // path only strips a ties-keeping (Rank) limit: a RowNumber limit of
+      // exactly k could have dropped boundary ties the rank filter keeps.
       child = w.child match {
         case wgl: WindowGroupLimit
             if wgl.partitionSpec == w.partitionSpec &&
-              wgl.orderSpec == w.orderSpec && wgl.limit >= k => wgl.child
+              wgl.orderSpec == w.orderSpec && wgl.limit >= k &&
+              (!isRank || wgl.rankLikeFunction.isInstanceOf[Rank]) => wgl.child
         case c => c
       }
       // the row payload rides the struct tail: it must be orderable (it
@@ -158,33 +170,54 @@ object BoundedRankRewrite extends Rule[LogicalPlan] with PredicateHelper {
       } ++ child.output.zipWithIndex.flatMap { case (a, i) =>
         Seq(Literal(s"_p$i"), a: Expression)
       }
-      val item = CreateNamedStruct(fields)
-      val topk = Alias(GraftAggBridge.collectTopK(item, k), "_graft_topk")()
-      val agg = Aggregate(w.partitionSpec, (groupKeys: Seq[NamedExpression]) :+ topk, child)
-
-      // CollectTopK.eval returns the heap sorted largest-first = rank order
+      val item       = CreateNamedStruct(fields)
       val structType = item.dataType.asInstanceOf[StructType]
-      val posAttr = AttributeReference("_graft_pos", IntegerType, nullable = false)()
-      val rowAttr = AttributeReference("_graft_row", structType, nullable = false)()
-      val gen = Generate(
-        PosExplode(topk.toAttribute),
-        unrequiredChildIndex = Nil,
-        outer = false,
-        qualifier = None,
-        generatorOutput = Seq(posAttr, rowAttr),
-        child = agg)
+      val groupIds   = groupKeys.map(_.exprId).toSet
+
+      // (generate node, struct holding the row payload, rank expression)
+      val (gen, valRef, rankExpr): (Generate, Expression, Expression) =
+        if (!isRank) {
+          val topk = Alias(GraftAggBridge.collectTopK(item, k), "_graft_topk")()
+          val agg = Aggregate(w.partitionSpec, (groupKeys: Seq[NamedExpression]) :+ topk, child)
+          // CollectTopK.eval returns the heap sorted largest-first = rank order
+          val posAttr = AttributeReference("_graft_pos", IntegerType, nullable = false)()
+          val rowAttr = AttributeReference("_graft_row", structType, nullable = false)()
+          val g = Generate(
+            PosExplode(topk.toAttribute),
+            unrequiredChildIndex = Nil,
+            outer = false,
+            qualifier = None,
+            generatorOutput = Seq(posAttr, rowAttr),
+            child = agg)
+          (g, rowAttr, Add(posAttr, Literal(1)))
+        } else {
+          // rank(): ties share places and the k-th place can be shared, so
+          // the heap keeps k plus the boundary tie-group and eval emits the
+          // rank alongside each row (struct<r int, v struct>)
+          val ctr  = CollectTopKRank(item, k, payloadStart)
+          val topk = Alias(ctr.toAggregateExpression(), "_graft_topk")()
+          val agg = Aggregate(w.partitionSpec, (groupKeys: Seq[NamedExpression]) :+ topk, child)
+          val rowAttr = AttributeReference("_graft_row", ctr.entryType, nullable = false)()
+          val g = Generate(
+            Explode(topk.toAttribute),
+            unrequiredChildIndex = Nil,
+            outer = false,
+            qualifier = None,
+            generatorOutput = Seq(rowAttr),
+            child = agg)
+          (g, GetStructField(rowAttr, 1, Some("v")), GetStructField(rowAttr, 0, Some("r")))
+        }
 
       // re-emit the window's exact output attributes (same exprIds) so the
       // surrounding plan needs no adjustment; group keys come from the
       // aggregate directly, everything else from the struct payload
-      val groupIds = groupKeys.map(_.exprId).toSet
       val projRow: Seq[NamedExpression] = child.output.zipWithIndex.map { case (a, i) =>
         if (groupIds.contains(a.exprId)) a
         else Alias(
-          GetStructField(rowAttr, payloadStart + i, Some(s"_p$i")), a.name)(
+          GetStructField(valRef, payloadStart + i, Some(s"_p$i")), a.name)(
           exprId = a.exprId, qualifier = a.qualifier)
       }
-      val rnOut = Alias(Add(posAttr, Literal(1)), rnAlias.name)(
+      val rnOut = Alias(rankExpr, rnAlias.name)(
         exprId = rnAlias.exprId, qualifier = rnAlias.qualifier)
       val proj = Project(projRow :+ rnOut, gen)
       val rest = conjuncts.filterNot(_ eq rankPred)

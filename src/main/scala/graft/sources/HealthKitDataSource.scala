@@ -1,0 +1,202 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 front door for HealthKit export archives:
+  * `spark.read.format("healthkit").load(pathOrDir)` — the Spark-native
+  * packaging of [[HealthKitXml.parseArchive]] (which remains the shared
+  * parser; semantics ≙ jshrake/healthkit-to-sqlite `core.rs:43-76`).
+  *
+  * Scale posture, vs the `mapPartitions`-over-paths ingest it fronts:
+  *
+  *   - **One input partition per archive member.** The planner sees the
+  *     file inventory (a directory expands to its `*.zip` members), so
+  *     scheduling, retries, and speculative execution work at the archive
+  *     grain — a 100 TB corpus of exports is exactly a long list of these
+  *     partitions, and a corrupt archive retries alone instead of
+  *     restarting a shared task.
+  *   - **Column pruning reaches the PARSER.** Projecting `jsonCols` away
+  *     (most Record-only pipelines do) makes the reader run the pruned
+  *     parse: workout JSON is never rendered and GPX route files are never
+  *     opened — I/O the row-based ingest always pays.
+  *   - **Leniency is a scan metric.** `option("lenient", true)` skips
+  *     corrupt archives and reports the count as the `badArchives` custom
+  *     metric on the scan node (visible in the Spark UI / SQL metrics),
+  *     instead of a side accumulator a user has to know about.
+  *
+  * Schema (fixed, so `inferSchema` never triggers a job):
+  * `kind string, tableName string, attrs map<string,string>,
+  * jsonCols map<string,string>, ordinal long` — [[HealthKitXml.HkElement]]
+  * verbatim; `HealthKitXml.inferSchemas`/`table` consume it unchanged.
+  * Ordinals keep the `(archiveIdx << 40) | elementIdx` document-order
+  * contract: archiveIdx is the partition's position in the SORTED member
+  * list, stable across runs and plans.
+  */
+class HealthKitDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "healthkit"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HealthKitTable.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new HealthKitTable(new CaseInsensitiveStringMap(properties))
+}
+
+object HealthKitTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("tableName", StringType, nullable = false),
+    StructField("attrs", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
+    StructField("jsonCols", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
+    StructField("ordinal", LongType, nullable = false)))
+
+  /** Expand the load path(s) to the sorted archive member list: a
+    * directory contributes its `*.zip` files, a file contributes itself.
+    * Sorted so partition → archiveIdx → ordinal is run-stable.
+    */
+  def expandPaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val raw: Seq[String] = {
+      val multi = Option(options.get("paths")).toSeq.flatMap { js =>
+        // the "paths" option is a JSON string array (DataFrameReader.load(paths*))
+        js.stripPrefix("[").stripSuffix("]").split(",").toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      }
+      multi ++ Option(options.get("path")).toSeq
+    }
+    raw.flatMap { p =>
+      val f = new java.io.File(p)
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten
+          .filter(x => x.isFile && x.getName.endsWith(".zip"))
+          .map(_.getPath)
+      else Seq(p)
+      // duplicates are deliberate re-reads (file-source semantics); sorted
+      // so partition -> archiveIdx -> ordinal is run-stable
+    }.sorted
+  }
+}
+
+class HealthKitTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String =
+    s"healthkit(${HealthKitTable.expandPaths(options).mkString(",")})"
+  override def schema(): StructType = HealthKitTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // getTable receives the session-merged properties; load-time options
+    // arrive here — merge with load-time winning
+    val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
+    new HealthKitScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+class HealthKitScanBuilder(options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = HealthKitTable.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan =
+    new HealthKitScan(
+      HealthKitTable.expandPaths(options),
+      required,
+      options.getBoolean("lenient", false))
+}
+
+/** Sum-over-tasks count of archives the lenient reader skipped. */
+class BadArchivesMetric extends CustomSumMetric {
+  override def name(): String        = "badArchives"
+  override def description(): String = "corrupt export archives skipped (lenient mode)"
+}
+
+case class BadArchivesTaskMetric(value: Long) extends CustomTaskMetric {
+  override def name(): String = "badArchives"
+}
+
+class HealthKitScan(paths: Seq[String], required: StructType, lenient: Boolean)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch           = this
+  override def description(): String =
+    s"healthkit[${paths.size} archives, cols=${required.fieldNames.mkString(",")}, lenient=$lenient]"
+  override def supportedCustomMetrics(): Array[CustomMetric] = Array(new BadArchivesMetric)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.zipWithIndex.map { case (p, i) =>
+      HealthKitInputPartition(p, i.toLong): InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    HealthKitReaderFactory(required.fieldNames.toSeq, lenient)
+}
+
+case class HealthKitInputPartition(path: String, archiveIdx: Long) extends InputPartition
+
+case class HealthKitReaderFactory(fieldNames: Seq[String], lenient: Boolean)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[HealthKitInputPartition]
+    new HealthKitPartitionReader(p.path, p.archiveIdx, fieldNames, lenient)
+  }
+}
+
+class HealthKitPartitionReader(
+    path: String,
+    archiveIdx: Long,
+    fieldNames: Seq[String],
+    lenient: Boolean)
+  extends PartitionReader[InternalRow] {
+
+  private var badCount = 0L
+  private val wantJson = fieldNames.contains("jsonCols")
+  private val iter: Iterator[(HealthKitXml.HkElement, Int)] = {
+    val base =
+      if (lenient) HealthKitXml.lenientIterator(path, () => badCount += 1, wantJson)
+      else HealthKitXml.parseArchive(path, wantJson)
+    base.zipWithIndex
+  }
+  private var current: InternalRow = _
+
+  private def mapData(m: Map[String, String]) =
+    ArrayBasedMapData(
+      m,
+      (k: Any) => UTF8String.fromString(k.asInstanceOf[String]),
+      (v: Any) => UTF8String.fromString(v.asInstanceOf[String]))
+
+  override def next(): Boolean =
+    if (!iter.hasNext) false
+    else {
+      val (e, i) = iter.next()
+      val values = fieldNames.map {
+        case "kind"      => UTF8String.fromString(e.kind)
+        case "tableName" => UTF8String.fromString(e.tableName)
+        case "attrs"     => mapData(e.attrs)
+        case "jsonCols"  => mapData(e.jsonCols)
+        case "ordinal"   => (archiveIdx << 40) | i.toLong
+        case other       => throw new IllegalArgumentException(s"unknown column $other")
+      }
+      current = new GenericInternalRow(values.toArray[Any])
+      true
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit      = () // parseArchive closes at EOF/task end
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(BadArchivesTaskMetric(badCount))
+}

@@ -54,26 +54,28 @@ object HealthKitXml {
 
   // ---------------------------------------------------------------- parsing
 
-  /** Parse one or more export.zip archives into a Dataset of elements.
-    * One PARSE task per archive: zip + StAX is an inherently serial stream
-    * per archive (the reference is fully serial too, `core.rs` single
-    * pass), so a single multi-GB export parses on one task — but the
-    * output is immediately round-robin repartitioned to the session's
-    * default parallelism, so every DOWNSTREAM stage (schema inference,
-    * per-type pivots, sinks) fans out across the cluster even when there
-    * is only one archive. Order-sensitive consumers are unaffected: each
-    * element carries its document [[HkElement.ordinal]], assigned before
-    * the shuffle, and first-seen-wins inference reduces over it
-    * (`min_by`), deterministic under any partitioning.
-    * (Paths must be visible from executors — local FS here; at cluster
-    * scale the open would go through `org.apache.hadoop.fs.FileSystem`.)
+  /** Parse one or more export.zip archives into a Dataset of elements —
+    * since round 12 a thin front on the `healthkit` DataSourceV2 format
+    * ([[HealthKitDataSource]]): the scan plans ONE INPUT PARTITION per
+    * archive member (zip + StAX is an inherently serial stream per
+    * archive, like the reference's single pass), prunes the parse when
+    * `jsonCols` is projected away, and surfaces lenient skips as the
+    * scan's `badArchives` metric. The output is round-robin repartitioned
+    * to the session's default parallelism, so every DOWNSTREAM stage
+    * (schema inference, per-type pivots, sinks) fans out across the
+    * cluster even when there is only one archive. Order-sensitive
+    * consumers are unaffected: each element carries its document
+    * [[HkElement.ordinal]], assigned inside the scan, and first-seen-wins
+    * inference reduces over it (`min_by`), deterministic under any
+    * partitioning. (Paths must be visible from executors — local FS here;
+    * at cluster scale the open would go through
+    * `org.apache.hadoop.fs.FileSystem`.)
     *
     * `lenient = true` is the large-fleet posture: a corrupt archive is
-    * logged and counted (accumulator "hk_bad_archives") instead of failing
-    * the whole job — at 100 TB some archive in the corpus WILL be broken.
-    * Caveat: the accumulator updates inside a transformation, so task
-    * retries/speculation can double-count — treat it as a diagnostic floor,
-    * not an exact tally (count a materialized bad-archive table for exact).
+    * logged, counted, and skipped instead of failing the whole job — at
+    * 100 TB some archive in the corpus WILL be broken. Task retries/
+    * speculation can re-run a reader, so treat the metric as a diagnostic
+    * floor, not an exact tally.
     */
   def elements(
       spark: SparkSession,
@@ -81,21 +83,12 @@ object HealthKitXml {
       lenient: Boolean = false
   ): Dataset[HkElement] = {
     import spark.implicits._
-    val badArchives = spark.sparkContext.longAccumulator("hk_bad_archives")
     if (zipPaths.isEmpty) return spark.emptyDataset[HkElement]
-    spark
-      .createDataset(zipPaths.zipWithIndex.map { case (p, i) => (p, i.toLong) })
-      .repartition(zipPaths.size)
-      .mapPartitions { paths =>
-        paths.flatMap { case (p, archiveIdx) =>
-          val it =
-            if (!lenient) parseArchive(p)
-            else lenientIterator(p, badArchives)
-          it.zipWithIndex.map { case (e, i) =>
-            e.copy(ordinal = (archiveIdx << 40) | i.toLong)
-          }
-        }
-      }
+    spark.read
+      .format("healthkit")
+      .option("lenient", lenient.toString)
+      .load(zipPaths: _*)
+      .as[HkElement]
       // intra-archive parallelism for everything AFTER the parse: without
       // this, one archive = one partition = serial schema inference and
       // table writes no matter how big the cluster
@@ -103,18 +96,21 @@ object HealthKitXml {
   }
 
   /** Lenient wrapper: failures at open OR mid-iteration truncate the
-    * archive's element stream (counted) instead of failing the task.
+    * archive's element stream (counted via `onBad` — the DSv2 reader
+    * reports the count as its `badArchives` custom task metric) instead
+    * of failing the task.
     */
-  private def lenientIterator(
+  private[sources] def lenientIterator(
       path: String,
-      bad: org.apache.spark.util.LongAccumulator
+      onBad: () => Unit,
+      wantJson: Boolean
   ): Iterator[HkElement] = {
     def skip(e: Exception): Unit = {
       System.err.println(s"[graft] skipping unreadable archive $path: ${e.getMessage}")
-      bad.add(1L)
+      onBad()
     }
     val underlying =
-      try parseArchive(path)
+      try parseArchive(path, wantJson)
       catch { case e: Exception => skip(e); return Iterator.empty }
     new Iterator[HkElement] {
       private var pending: HkElement = null
@@ -139,7 +135,15 @@ object HealthKitXml {
     * handle on the same archive, mirroring the reference's dual zip
     * readers (`core.rs:48-51`). Resources close at EOF or on error.
     */
-  def parseArchive(zipPath: String): Iterator[HkElement] = {
+  def parseArchive(zipPath: String): Iterator[HkElement] = parseArchive(zipPath, wantJson = true)
+
+  /** `wantJson = false` is the column-pruned parse the DSv2 scan uses when
+    * the `jsonCols` column is projected away: workout event/statistics
+    * JSON is not rendered and — the real saving — GPX route files are
+    * never opened or parsed (a second decompression stream per workout
+    * otherwise).
+    */
+  def parseArchive(zipPath: String, wantJson: Boolean): Iterator[HkElement] = {
     val archive = new java.util.zip.ZipFile(zipPath)
     val entry   = archive.getEntry("apple_health_export/export.xml")
     if (entry == null) {
@@ -174,7 +178,7 @@ object HealthKitXml {
               case START_ELEMENT =>
                 reader.getLocalName match {
                   case "Record"  => pending = parseRecord(reader)
-                  case "Workout" => pending = parseWorkout(reader, archive)
+                  case "Workout" => pending = parseWorkout(reader, archive, wantJson)
                   case "ActivitySummary" =>
                     pending =
                       HkElement("ActivitySummary", ActivitySummaryTable, attrsOf(reader), Map.empty)
@@ -241,7 +245,8 @@ object HealthKitXml {
     */
   private def parseWorkout(
       r: javax.xml.stream.XMLStreamReader,
-      zip: java.util.zip.ZipFile
+      zip: java.util.zip.ZipFile,
+      wantJson: Boolean = true
   ): HkElement = {
     val attrs  = mutable.LinkedHashMap.empty[String, String]
     attrs ++= attrsOf(r)
@@ -264,7 +269,7 @@ object HealthKitXml {
               val m = attrsOf(r)
               m.get("type").foreach(t => stats(t) = jsonObject(m))
             case "FileReference" =>
-              attrsOf(r).get("path").foreach { p =>
+              if (wantJson) attrsOf(r).get("path").foreach { p =>
                 geometry = gpxToGeoJson(zip, s"apple_health_export$p")
               }
             case _ => () // WorkoutRoute wrapper, HeartRate lists, …
@@ -273,11 +278,13 @@ object HealthKitXml {
         case _           => ()
       }
     }
-    val stateJson = Map(
-      "workoutEvents"     -> events.mkString("[", ",", "]"),
-      "workoutStatistics" -> stats.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonString(k)}:$v" }.mkString("{", ",", "}"),
-      "geometry"          -> geometry
-    )
+    val stateJson =
+      if (!wantJson) Map.empty[String, String]
+      else Map(
+        "workoutEvents"     -> events.mkString("[", ",", "]"),
+        "workoutStatistics" -> stats.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonString(k)}:$v" }.mkString("{", ",", "}"),
+        "geometry"          -> geometry
+      )
     HkElement("Workout", WorkoutTable, attrs.toMap, stateJson)
   }
 

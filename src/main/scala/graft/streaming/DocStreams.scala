@@ -524,12 +524,52 @@ object DocStreams {
         (col("n_shared") > 0).as("contaminated"))
   }
 
+  /** E64: streaming contamination SEVERITY sweep — q205's live leg at all
+    * three gram grains (E50 screens the 8-gram grain alone): per incoming
+    * doc, the shared capped-gram count at n = 4 / 8 / 13 against the
+    * broadcast per-grain eval-set gram stores, and the graded verdict —
+    * `verbatim` (13-gram evidence, the GPT-3/Dolma strict rule), `strong`
+    * (8-gram, q39's grain), `weak` (4-gram only — phrase-level,
+    * paraphrase-adjacent), `clean`. Same stateless broadcast-literal
+    * shape as E50 (an eval suite's capped gram stores are bounded by
+    * nature): no state store, no watermark, no shuffle; the hashes are
+    * q205's own kernel, so a doc graded at grain n is exactly a doc q205
+    * counts as contaminated at n (spec-reconciled).
+    */
+  def contaminationSweepGate(docs: DataFrame, benchByN: Map[Int, Set[Long]]): DataFrame = {
+    import graft.operators.{TextOps, TrainingOps}
+    require(TrainingOps.SweepNs == Seq(4, 8, 13), "severity tiers assume the 4/8/13 sweep")
+    val shares = TrainingOps.SweepNs.map { n =>
+      val granted = typedLit(benchByN.getOrElse(n, Set.empty[Long]).toSeq.sorted)
+      size(filter(
+        TextOps.distinctGramHashExpr(n),
+        g => array_contains(granted, g))).as(s"n_shared_$n")
+    }
+    docs
+      .select(col("doc_id"), col("ts"), TextOps.toks.as("toks"))
+      .select(Seq(col("doc_id"), col("ts")) ++ shares: _*)
+      .withColumn("severity",
+        when(col("n_shared_13") > 0, "verbatim")
+          .when(col("n_shared_8") > 0, "strong")
+          .when(col("n_shared_4") > 0, "weak")
+          .otherwise("clean"))
+  }
+
+  /** The per-grain eval gram stores E64 broadcasts. */
+  def benchGramSets(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Map[Int, Set[Long]] =
+    graft.operators.TrainingOps.SweepNs.map(n => n -> benchGramSetAt(spark, dir, n)).toMap
+
   /** The benchmark gram set E50 broadcasts: q39's bench split and DF cap
     * on a corpus snapshot — bounded by the eval suite's size.
     */
-  def benchGramSet(spark: org.apache.spark.sql.SparkSession, dir: String): Set[Long] = {
+  def benchGramSet(spark: org.apache.spark.sql.SparkSession, dir: String): Set[Long] =
+    benchGramSetAt(spark, dir, graft.operators.TrainingOps.DecontamN)
+
+  /** [[benchGramSet]] at an explicit gram grain (the E64 sweep). */
+  def benchGramSetAt(
+      spark: org.apache.spark.sql.SparkSession, dir: String, n: Int): Set[Long] = {
     import graft.operators.{TextOps, TrainingOps}
-    val n = TrainingOps.DecontamN
     val sh = graft.core.Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.toks.as("toks"))
       .filter(size(col("toks")) >= n)

@@ -1287,13 +1287,15 @@ object EventStreams extends Serializable {
         col("hour"), col("event_type"), col("n_users"), col("n_treat"), col("n_control"),
         when(col("s2").isNotNull && col("s2") >= 0.0,
           round(sqrt(col("s2")) / lit(100.0), 6)).as("sd_value"),
+        // greatest(s2, 0): q238's cancellation guard — an epsilon-negative
+        // variance must not page NaN mde while sd_value is NULL
         when(col("s2").isNotNull,
           round(lit(zsum)
-            * sqrt(col("s2") * (lit(1.0) / col("n_treat").cast("double")
+            * sqrt(greatest(col("s2"), lit(0.0)) * (lit(1.0) / col("n_treat").cast("double")
               + lit(1.0) / col("n_control").cast("double"))) / lit(100.0), 6)).as("mde_abs"),
         when(col("s2").isNotNull && col("syc") > 0L,
           round(lit(zsum)
-            * sqrt(col("s2") * (lit(1.0) / col("n_treat").cast("double")
+            * sqrt(greatest(col("s2"), lit(0.0)) * (lit(1.0) / col("n_treat").cast("double")
               + lit(1.0) / col("n_control").cast("double")))
             / (col("syc").cast("double") / col("n_control").cast("double")), 6)).as("mde_rel"))
   }

@@ -88,7 +88,18 @@ object CodegenCheck {
       .select(col("text"), graft.functions.Expressions.cdc_chunks(col("text")).as("chs"))
       .filter("size(chs) >= 1 AND array_join(chs, '') = text")
       .count()
-    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector, $nc centroid, $nd dot/norm, $nm minhash, $nw winnow, $ng top2gram, $nq int8, $nj jlproj, $nl lmxent, $ne bpe, $nn norm, $nk cdc")
+    // positional window hashes: exactly len−n+1 entries, and each equals the
+    // xxhash64 of the space-joined window (cross-checked in-plan)
+    val nwh = spark.sql(
+      """SELECT split(text, ' ') AS toks
+        |FROM parquet.`/root/testdata/sf0.001/documents.parquet`""".stripMargin)
+      .select(col("toks"),
+        graft.functions.Expressions.window_gram_hashes(col("toks"), 3).as("ws"))
+      .filter(
+        """size(ws) = greatest(0, size(toks) - 2) AND (size(ws) = 0 OR
+          |ws[0] = xxhash64(concat_ws(' ', toks[0], toks[1], toks[2])))""".stripMargin)
+      .count()
+    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector, $nc centroid, $nd dot/norm, $nm minhash, $nw winnow, $ng top2gram, $nq int8, $nj jlproj, $nl lmxent, $ne bpe, $nn norm, $nk cdc, $nwh winhash")
     spark.stop()
   }
 }

@@ -172,6 +172,93 @@ class BoundedRankRewriteSpec extends SparkSpec {
     assert(optimizedHasWindow(df) && !optimizedHasTopK(df))
   }
 
+  private def optimizedHasTopKRank(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.toString.contains("collect_top_k_rank")
+
+  /** Driver-side rank() rule: ties (on the KEY only — no id tiebreak)
+    * share a place, next distinct key jumps to position+1; keep rank ≤ k
+    * (the boundary tie-group survives whole).
+    */
+  private def expectRankTop(
+      rows: Seq[(String, Option[Double], Long)],
+      k: Int,
+      asc: Boolean): Set[(String, Option[Double], Long, Int)] = {
+    def lt(x: Option[Double], y: Option[Double]): Boolean = (x, y) match {
+      case (None, None)       => false
+      case (None, _)          => asc
+      case (_, None)          => !asc
+      case (Some(a), Some(b)) =>
+        val c = sqlCompare(a, b); if (asc) c < 0 else c > 0
+    }
+    def tie(x: Option[Double], y: Option[Double]): Boolean = !lt(x, y) && !lt(y, x)
+    rows.groupBy(_._1).flatMap { case (_, g) =>
+      val sorted = g.sortWith((x, y) => lt(x._2, y._2))
+      val ranks  = new Array[Int](sorted.length)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        ranks(i) = if (i > 0 && tie(r._2, sorted(i - 1)._2)) ranks(i - 1) else i + 1
+      }
+      sorted.zipWithIndex.collect {
+        case (r, i) if ranks(i) <= k => (r._1, r._2, r._3, ranks(i))
+      }
+    }.toSet
+  }
+
+  test("rank() <= k: window gone, boundary tie-group survives whole (output > k rows)") {
+    import spark.implicits._
+    // group a desc: 5,5,3,3,3,1 — rank()<=3 keeps 5,5 (rank 1) AND all
+    // three 3s (shared rank 3): five rows, more than k
+    val rows: Seq[(String, Option[Double], Long)] = Seq(
+      ("a", Some(5.0), 1L), ("a", Some(5.0), 2L), ("a", Some(3.0), 3L),
+      ("a", Some(3.0), 4L), ("a", Some(3.0), 5L), ("a", Some(1.0), 6L),
+      ("b", None, 7L), ("b", None, 8L), ("b", Some(9.0), 9L))
+    val w  = Window.partitionBy(col("g")).orderBy(col("v").desc)
+    val df = rows.toDF("g", "v", "id")
+      .withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+    assert(!optimizedHasWindow(df) && optimizedHasTopKRank(df), "rank rewrite missing")
+    val got = df.collect().map(r =>
+      (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2), r.getInt(3))).toSet
+    assert(got == expectRankTop(rows, 3, asc = false), s"got $got")
+    assert(got.count(_._1 == "a") == 5, "boundary ties must survive")
+  }
+
+  test("randomized rank(): ties-kept rewrite matches the driver rank rule on 40 seeded corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(0x5EEDED12L)
+    for (round <- 1 to 40) {
+      val nGroups = 1 + rng.nextInt(4)
+      val rows: Seq[(String, Option[Double], Long)] = (1 to 20 + rng.nextInt(30)).map { i =>
+        val v =
+          if (rng.nextInt(5) == 0) None
+          else if (rng.nextInt(4) == 0) Some(hostileDoubles(rng.nextInt(hostileDoubles.length)))
+          // coarse values force heavy KEY ties — the rank-specific surface
+          else Some(rng.nextInt(3).toDouble)
+        (s"g${rng.nextInt(nGroups)}", v, i.toLong)
+      }
+      val asc = rng.nextBoolean()
+      val k   = 1 + rng.nextInt(5)
+      val key = if (asc) col("v").asc else col("v").desc
+      val w   = Window.partitionBy(col("g")).orderBy(key)
+      val df = rows.toDF("g", "v", "id")
+        .withColumn("rn", rank().over(w)).filter(col("rn") <= k)
+      assert(!optimizedHasWindow(df) && optimizedHasTopKRank(df), s"round $round: no rewrite")
+      val got = df.collect().map(r =>
+        (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2), r.getInt(3))).toSet
+      val want = expectRankTop(rows, k, asc)
+      assert(bits(got) == bits(want), s"round $round (asc=$asc k=$k): $got vs $want")
+    }
+  }
+
+  test("rank() = 1 keeps ALL tied-first rows") {
+    import spark.implicits._
+    val rows = Seq(("a", 7.0, 1L), ("a", 7.0, 2L), ("a", 2.0, 3L), ("b", 1.0, 4L))
+    val w  = Window.partitionBy(col("g")).orderBy(col("v").desc)
+    val df = rows.toDF("g", "v", "id")
+      .withColumn("rn", rank().over(w)).filter(col("rn") === 1)
+    assert(!optimizedHasWindow(df) && optimizedHasTopKRank(df))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(got == Set(("a", 1L), ("a", 2L), ("b", 4L)), s"got $got")
+  }
+
   test("guards: k beyond MaxK, dense_rank, and DESC NULLS FIRST keep the stock window plan") {
     import spark.implicits._
     val d = mixed.toDF("g", "v", "id")

@@ -101,6 +101,40 @@ class HealthKitXmlSpec extends SparkSpec {
     assert(back.columns.sorted.sameElements(a.columns.sorted))
   }
 
+  test("A7: HOSTILE metadata identifiers (quotes/backticks/spaces) land in Derby intact") {
+    // the reference sanitizes identifiers (core.rs:81-83); the Spark side
+    // must survive a metadata KEY that becomes a column name containing a
+    // double quote, a backtick, and spaces — through A4 parse → typed
+    // table → A7 JDBC write → read-back, value intact
+    val hostileKey = """we"ird `key name"""
+    val xml =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<HealthData locale="en_US">
+         | <ExportDate value="2024-01-01 10:00:00 -0800"/>
+         | <Workout workoutActivityType="HKWorkoutActivityTypeWalking" duration="10.5" durationUnit="min" sourceName="t" startDate="2024-01-01 09:00:00 -0800" endDate="2024-01-01 09:10:30 -0800" creationDate="2024-01-01 09:11:00 -0800">
+         |   <MetadataEntry key="we&quot;ird `key name" value="FooBar"/>
+         | </Workout>
+         |</HealthData>""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("hk_hostile")
+    val zp  = dir.resolve("export.zip")
+    val zos = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(zp))
+    zos.putNextEntry(new java.util.zip.ZipEntry("apple_health_export/export.xml"))
+    zos.write(xml.getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    val t = HealthKitXml.tables(spark, Seq(zp.toString))
+    val w = t(HealthKitXml.WorkoutTable)
+    val colName = s"metadata_$hostileKey"
+    val quotedCol = "`" + colName.replace("`", "``") + "`"
+    assert(w.columns.contains(colName), s"columns: ${w.columns.mkString("|")}")
+    assert(w.select(col(quotedCol)).collect().head.getString(0) == "FooBar")
+    val url = "jdbc:derby:memory:hkHostileTest;create=true"
+    Sinks.writeJdbc(w, url, "Workout")
+    val back = spark.read.jdbc(url, "\"Workout\"", new java.util.Properties())
+    assert(back.columns.contains(colName),
+      s"hostile column must survive the JDBC round-trip: ${back.columns.mkString("|")}")
+    assert(back.select(col(quotedCol)).collect().head.getString(0) == "FooBar")
+  }
+
   test("A7: parquet sink writes partitioned output") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
     val a   = tables(HealthKitXml.ActivitySummaryTable)
@@ -321,5 +355,68 @@ class HealthKitXmlSpec extends SparkSpec {
         |from
         |  workout""".stripMargin).collect().head.getDouble(0)
     assert(miles > 0)
+  }
+
+  test("A1-DSv2: spark.read.format(\"healthkit\") matches the parser element-for-element") {
+    import spark.implicits._
+    val viaFormat = spark.read.format("healthkit").load(zipPath)
+      .as[HealthKitXml.HkElement].collect().sortBy(_.ordinal)
+    val direct = HealthKitXml.parseArchive(zipPath).toArray.zipWithIndex
+      .map { case (e, i) => e.copy(ordinal = i.toLong) }
+    assert(viaFormat.length == direct.length && viaFormat.length == 12)
+    viaFormat.zip(direct).foreach { case (a, b) => assert(a == b, s"mismatch at ${a.ordinal}") }
+    // the A-surface front door: elements() itself rides the format
+    val plan = HealthKitXml.elements(spark, Seq(zipPath)).queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan healthkit"), s"elements() must plan a healthkit BatchScan:\n$plan")
+  }
+
+  test("A1-DSv2: column pruning reaches the scan (jsonCols projected away)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val pruned = spark.read.format("healthkit").load(zipPath).select("tableName", "ordinal")
+    val scans = pruned.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.size == 1, "expected exactly one healthkit BatchScan")
+    val readCols = scans.head.scan.readSchema().fieldNames.toSet
+    assert(readCols == Set("tableName", "ordinal"),
+      s"scan must read only the projected columns, got $readCols")
+    assert(pruned.count() == 12)
+    // full-width scan for contrast: all five columns read
+    val full = spark.read.format("healthkit").load(zipPath)
+    val fullScan = full.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.head
+    assert(fullScan.scan.readSchema().fieldNames.toSet ==
+      Set("kind", "tableName", "attrs", "jsonCols", "ordinal"))
+  }
+
+  test("A1-DSv2: one input partition per archive member; directory expands to zip members") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = java.nio.file.Files.createTempDirectory("hk_multi")
+    val p1  = dir.resolve("a.zip"); val p2 = dir.resolve("b.zip")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(zipPath), p1)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(zipPath), p2)
+    val df = spark.read.format("healthkit").load(dir.toString)
+    val scan = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+    assert(scan.inputRDD.getNumPartitions == 2, "one partition per archive member")
+    assert(df.count() == 24)
+    // ordinals tile per archive: (archiveIdx << 40) | elementIdx
+    val ords = df.select("ordinal").as[Long](spark.implicits.newLongEncoder).collect().sorted
+    assert(ords.count(_ < (1L << 40)) == 12 && ords.count(_ >= (1L << 40)) == 12)
+  }
+
+  test("A1-DSv2: lenient option skips corrupt archives and exposes the badArchives metric") {
+    val dir = java.nio.file.Files.createTempDirectory("hk_bad2")
+    val bad = dir.resolve("broken.zip")
+    java.nio.file.Files.write(bad, "this is not a zip".getBytes)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(zipPath), dir.resolve("good.zip"))
+    // strict: fails
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("healthkit").load(dir.toString).count()
+    }
+    // lenient: good archive survives; the scan advertises the metric
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = spark.read.format("healthkit").option("lenient", "true").load(dir.toString)
+    assert(df.count() == 12)
+    val scan = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+    assert(scan.scan.supportedCustomMetrics().map(_.name()).contains("badArchives"))
+    assert(scan.metrics.contains("badArchives"), "metric must surface on the scan node")
   }
 }

@@ -53,4 +53,28 @@ class LayoutOpsSpec extends SparkSpec {
     val meanCov = out.map(_.getDouble(6)).sum / out.length
     assert(meanCov < 0.35, s"z-order boxes should be tight, got mean coverage $meanCov")
   }
+
+  test("q149 write executor: rangeWriteDocs lays out EXACTLY the planned buckets") {
+    import org.apache.spark.sql.functions.col
+    val outDir = java.nio.file.Files.createTempDirectory("graft_rangewrite").toString
+    val layout = LayoutOps.rangeWriteDocs(spark, Sf001, outDir).collect()
+    val nDocs  = graft.core.Tables.documents(spark, Sf001).count()
+    // every bucket present, one parquet file each, all rows accounted for
+    assert(layout.map(_.getInt(0)).toSeq == (0 until LayoutOps.RangeBuckets),
+      s"buckets: ${layout.map(_.getInt(0)).mkString(",")}")
+    layout.foreach(r => assert(r.getInt(1) == 1, s"bucket ${r.getInt(0)}: ${r.getInt(1)} files"))
+    assert(layout.map(_.getLong(3)).sum == nDocs)
+    // the plan→layout contract: bucket row counts equal the planner's
+    // n_below deltas (cumulative rows at each boundary)
+    val plan = LayoutOps.rangePlanner(spark, Sf001)
+      .filter(col("col_name") === "documents.n_chars")
+      .orderBy(col("k")).collect().map(_.getLong(4))
+    val wantDeltas = (plan :+ nDocs).zip(0L +: plan).map { case (hi, lo) => hi - lo }
+    assert(layout.map(_.getLong(3)).toSeq == wantDeltas.toSeq,
+      s"layout ${layout.map(_.getLong(3)).mkString(",")} vs plan ${wantDeltas.mkString(",")}")
+    // equi-depth bytes: no file more than 3x the smallest (docs are
+    // near-constant width; the bound is loose on purpose)
+    val bytes = layout.map(_.getLong(2))
+    assert(bytes.max <= 3 * bytes.min, s"file sizes ${bytes.mkString(",")}")
+  }
 }

@@ -804,7 +804,7 @@ class PlanGuardSpec extends SparkSpec {
       "q109_pareto_frontier"   -> "1-row broadcast of the token-count-domain frontier",
       "q172_km_survival"       -> "per-cohort event-time support (day domain)",
       "q237_logrank_test"      -> "per-corpus lifetime support (day domain) — q172's fold with arm columns",
-      "q243_sequential_looks"  -> "per-type calendar-day look table (≤31 rows)",
+      "q243_sequential_looks"  -> "per-type absolute-day look table (campaign day span)",
       "q244_km_greenwood"      -> "per-corpus lifetime support (day domain) — q172's fold + Greenwood accumulator",
       "q247_lorenz_deciles"    -> "10-row decile table (+ strictlyLess partition offsets)",
       "q249_lift_deciles"      -> "10-row decile table (+ strictlyLess partition offsets)",

@@ -505,12 +505,18 @@ class StatsOpsSpec extends SparkSpec {
     assert(row.getDouble(3) == r6(relS.toDouble / 1000000.0), "reliability")
     assert(row.getDouble(4) == r6(resS.toDouble / 1000000.0), "resolution")
     assert(row.getDouble(5) == r6(dd.toDouble * (n - dd) / n / n), "uncertainty")
-    // Murphy's identity is exact for bin-constant forecasts; with real
-    // within-bin score spread it holds up to the within-bin variance term,
-    // which this 10-doc fixture bounds well under 0.05
-    val approx = row.getDouble(3) - row.getDouble(4) + row.getDouble(5)
-    assert(math.abs(row.getDouble(2) - approx) < 0.05,
-      s"brier ${row.getDouble(2)} vs rel-res+unc $approx")
+    // the published within_bin residual closes the 4-term identity
+    // EXACTLY on emitted values (it is defined from the published 6-dp
+    // components, so closure is by construction — the assertion pins the
+    // definition, the tiny tolerance absorbs the final re-round ulp)
+    val residual = row.getDouble(2) - row.getDouble(3) + row.getDouble(4) - row.getDouble(5)
+    assert(row.getDouble(6) == r6(residual), "within_bin definition")
+    assert(math.abs(
+      row.getDouble(2) -
+        (row.getDouble(3) - row.getDouble(4) + row.getDouble(5) + row.getDouble(6))) < 1e-9,
+      "4-term identity must close on published values")
+    // with real within-bin score spread the residual is small but nonzero
+    assert(math.abs(row.getDouble(6)) < 0.05, s"residual ${row.getDouble(6)}")
   }
 
   test("q235: perfectly dependent 2x2 grid scores MI = ln 2 and NMI = 1; independence scores 0") {
@@ -860,20 +866,30 @@ class StatsOpsSpec extends SparkSpec {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val dir = java.nio.file.Files.createTempDirectory("q243spec").toString
-    // 3 looks (days 1..3), 4 events/day, one metric
-    val rows = (0 until 12).map { i =>
-      (i.toLong, t(s"2024-01-0${i / 4 + 1} 10:0${i % 4}:00"), (i % 6).toLong + 1L, "buy",
+    // 4 looks — Jan 1..3 plus Feb 1 (same day-of-month as Jan 1: looks key
+    // on the ABSOLUTE epoch day, so it must stay a separate look) — 4
+    // events/day, one metric
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-02-01")
+    val rows = (0 until 16).map { i =>
+      (i.toLong, t(s"${days(i / 4)} 10:0${i % 4}:00"), (i % 6).toLong + 1L, "buy",
         (i + 1).toDouble, "{}")
     }
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = StatsOps.sequentialLooks(spark, dir).collect()
+    val dayKey = days.map(d => java.time.LocalDate.parse(d).toEpochDay)
+    val gotDays = got.map(_.getLong(1)).distinct.sorted.toSeq
+    // looks key on the ABSOLUTE epoch day (underpowered looks may drop —
+    // n>1 per arm — but no day outside the calendar may appear, and Feb 1
+    // must be its own look rather than folding into Jan 1's day-of-month)
+    assert(gotDays.forall(dayKey.contains), s"unexpected look days $gotDays")
+    assert(gotDays.contains(dayKey.last), "Feb 1 must be a separate look, not folded into Jan 1")
     val arms = spark.range(1, 7).select(col("id"), pmod(xxhash64(col("id")), lit(2L)).as("a"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val evs = (0 until 12).map { i =>
-      (i / 4 + 1, arms((i % 6).toLong + 1L), (i + 1).toLong * 100L)
+    val evs = (0 until 16).map { i =>
+      (dayKey(i / 4), arms((i % 6).toLong + 1L), (i + 1).toLong * 100L)
     }
-    val nFinal = 12.0
+    val nFinal = 16.0
     assert(got.nonEmpty)
     got.foreach { r =>
       val day = r.getLong(1)

@@ -2379,6 +2379,41 @@ class StreamingSpec extends SparkSpec {
     rows.foreach { case (id, ns, c) => assert((ns > 0) == c, s"doc $id: n_shared=$ns flag=$c") }
   }
 
+  test("E64: contamination severity sweep grades exactly q205's per-grain contaminated docs") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    import graft.operators.TrainingOps
+    val benchByN = DocStreams.benchGramSets(spark, Sf0001)
+    assert(TrainingOps.SweepNs.forall(n => benchByN(n).nonEmpty), "empty grain store")
+    val feed = graft.core.Tables.documents(spark, Sf0001)
+      .filter(col("doc_id") % TrainingOps.BenchEvery =!= 0)
+      .select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), Timestamp.valueOf("2024-01-01 10:00:00")))
+    val in = MemoryStream[Doc]
+    val st = DocStreams.contaminationSweepGate(in.toDF(), benchByN)
+    assert(st.isStreaming)
+    val q = st.writeStream.format("memory").queryName("sweep_s").outputMode("append").start()
+    in.addData(feed.toSeq: _*); q.processAllAvailable()
+    val rows = spark.table("sweep_s").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5)))
+    q.stop()
+    assert(rows.length == feed.length)
+    // severity is exactly the longest grain with evidence
+    rows.foreach { case (id, n4, n8, n13, sev) =>
+      val want =
+        if (n13 > 0) "verbatim" else if (n8 > 0) "strong" else if (n4 > 0) "weak" else "clean"
+      assert(sev == want, s"doc $id: ($n4,$n8,$n13) -> $sev")
+    }
+    // per-grain flagged counts equal batch q205's n_contaminated
+    val sweep = TrainingOps.contaminationSweep(spark, Sf0001).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(rows.count(_._2 > 0).toLong == sweep(4), "4-gram grain")
+    assert(rows.count(_._3 > 0).toLong == sweep(8), "8-gram grain")
+    assert(rows.count(_._4 > 0).toLong == sweep(13), "13-gram grain")
+  }
+
   test("E63: chained-window HHI tripwire reconciles with batch per-window truth exactly") {
     import spark.implicits._
     import graft.streaming.DocStreams
@@ -2503,7 +2538,7 @@ class StreamingSpec extends SparkSpec {
         val nc = byUser.size.toLong - nt
         val s2 = if (n > 1 && nt > 0 && nc > 0)
           Some((n * syy - sy * sy) / n / (n - 1.0)) else None
-        val mde = s2.map(v => r6(zsum * math.sqrt(v * (1.0 / nt + 1.0 / nc)) / 100.0))
+        val mde = s2.map(v => r6(zsum * math.sqrt(math.max(v, 0.0) * (1.0 / nt + 1.0 / nc)) / 100.0))
         (hour, "buy") -> (byUser.size.toLong, nt, nc, mde)
       }
     assert(rows == want, s"stream $rows vs batch $want")
