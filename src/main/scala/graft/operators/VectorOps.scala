@@ -1280,6 +1280,19 @@ object VectorOps {
   // ~40 % recall at cos≥0.35 on random data (recall/cost dial: raise tables
   // for more), while candidate volume stays a fraction of n². Exact cosine
   // filter afterwards.
+  //
+  // Scale note (measured by the r12 pair-density gate): at FIXED planes
+  // the 6×2⁵ (table, bucket) cells are a constant-size space, so on
+  // independent data per-bucket occupancy — and the within-bucket pair
+  // expansion — grows quadratically until TextOps.MaxBucket clamps every
+  // cell; past that, candidate work is a CONSTANT ceiling (cells×cap²/2).
+  // The bench's sf0.1→sf1 window sits in that transition (per-doc pair
+  // density ×10.1): a 0.35 threshold at dim 64 admits correlated-noise
+  // pairs. A 100 TB campaign keeps the linear asymptote by the standard
+  // LSH prescription — planes ∝ log n so expected occupancy stays
+  // constant and bucket count scales with the corpus; these constants are
+  // the TEST-SCALE setting of that dial, pinned so the DuckDB oracles
+  // (which unroll the planes) stay exact.
   val NearDupTables    = 6
   val NearDupPlanes    = 5
   val NearDupThreshold = 0.35

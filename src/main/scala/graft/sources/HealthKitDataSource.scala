@@ -109,14 +109,39 @@ class HealthKitTable(options: CaseInsensitiveStringMap) extends Table with Suppo
 }
 
 class HealthKitScanBuilder(options: CaseInsensitiveStringMap)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = HealthKitTable.Schema
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
+
+  private var required: StructType  = HealthKitTable.Schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** `kind`/`tableName` equality and IN filters evaluate INSIDE the
+    * reader, before row conversion — `HealthKitXml.table`'s per-table
+    * extraction filters on `tableName`, so every extraction skips the
+    * other element kinds at the source (a Record-only pipeline never
+    * materializes Workout rows at all). Both columns are non-null, so
+    * IsNotNull is absorbed for free. Everything else stays Spark-side.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def handled(f: Filter): Boolean = f match {
+      case EqualTo("kind" | "tableName", _: String) => true
+      case In("kind" | "tableName", vs)             => vs.forall(_.isInstanceOf[String])
+      case IsNotNull("kind" | "tableName")          => true
+      case _                                        => false
+    }
+    pushed = filters.filter(handled)
+    filters.filterNot(handled)
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan =
     new HealthKitScan(
       HealthKitTable.expandPaths(options),
       required,
-      options.getBoolean("lenient", false))
+      options.getBoolean("lenient", false),
+      pushed)
 }
 
 /** Sum-over-tasks count of archives the lenient reader skipped. */
@@ -129,12 +154,17 @@ case class BadArchivesTaskMetric(value: Long) extends CustomTaskMetric {
   override def name(): String = "badArchives"
 }
 
-class HealthKitScan(paths: Seq[String], required: StructType, lenient: Boolean)
+class HealthKitScan(
+    paths: Seq[String],
+    required: StructType,
+    lenient: Boolean,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch           = this
   override def description(): String =
-    s"healthkit[${paths.size} archives, cols=${required.fieldNames.mkString(",")}, lenient=$lenient]"
+    s"healthkit[${paths.size} archives, cols=${required.fieldNames.mkString(",")}, " +
+      s"lenient=$lenient, PushedFilters: [${filters.mkString(", ")}]]"
   override def supportedCustomMetrics(): Array[CustomMetric] = Array(new BadArchivesMetric)
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -142,17 +172,27 @@ class HealthKitScan(paths: Seq[String], required: StructType, lenient: Boolean)
       HealthKitInputPartition(p, i.toLong): InputPartition
     }.toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    HealthKitReaderFactory(required.fieldNames.toSeq, lenient)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // serialize the pushed filters as (column, allowed-values) pairs —
+    // plain case classes, cheap to ship per task
+    val preds: Seq[(String, Set[String])] = filters.toSeq.collect {
+      case org.apache.spark.sql.sources.EqualTo(c, v: String) => c -> Set(v)
+      case org.apache.spark.sql.sources.In(c, vs)             => c -> vs.map(_.asInstanceOf[String]).toSet
+    }
+    HealthKitReaderFactory(required.fieldNames.toSeq, lenient, preds)
+  }
 }
 
 case class HealthKitInputPartition(path: String, archiveIdx: Long) extends InputPartition
 
-case class HealthKitReaderFactory(fieldNames: Seq[String], lenient: Boolean)
+case class HealthKitReaderFactory(
+    fieldNames: Seq[String],
+    lenient: Boolean,
+    preds: Seq[(String, Set[String])] = Nil)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HealthKitInputPartition]
-    new HealthKitPartitionReader(p.path, p.archiveIdx, fieldNames, lenient)
+    new HealthKitPartitionReader(p.path, p.archiveIdx, fieldNames, lenient, preds)
   }
 }
 
@@ -160,16 +200,24 @@ class HealthKitPartitionReader(
     path: String,
     archiveIdx: Long,
     fieldNames: Seq[String],
-    lenient: Boolean)
+    lenient: Boolean,
+    preds: Seq[(String, Set[String])] = Nil)
   extends PartitionReader[InternalRow] {
 
   private var badCount = 0L
   private val wantJson = fieldNames.contains("jsonCols")
+  private def keep(e: HealthKitXml.HkElement): Boolean = preds.forall {
+    case ("kind", vs)      => vs.contains(e.kind)
+    case ("tableName", vs) => vs.contains(e.tableName)
+    case _                 => true
+  }
+  // ordinals index the FULL element stream (assigned before the filter),
+  // so a filtered scan sees the same ordinals an unfiltered scan would
   private val iter: Iterator[(HealthKitXml.HkElement, Int)] = {
     val base =
       if (lenient) HealthKitXml.lenientIterator(path, () => badCount += 1, wantJson)
       else HealthKitXml.parseArchive(path, wantJson)
-    base.zipWithIndex
+    base.zipWithIndex.filter { case (e, _) => keep(e) }
   }
   private var current: InternalRow = _
 

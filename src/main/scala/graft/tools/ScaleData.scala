@@ -33,11 +33,13 @@ import graft.core.Tables
   *     disjoint — without this, every doc would have 10 verbatim copies
   *     and the dup-pair tables would grow ×100 (quadratic in clone
   *     count) instead of the ×10 a real corpus growth gives.
-  *   - embeddings: replica r rotates the vector by r positions — an
-  *     orthogonal transform, so norms and all within-replica pair
-  *     cosines are exactly preserved while cross-replica vectors
-  *     decorrelate (verbatim copies would inflate the near-dup ANN
-  *     families quadratically, same as text).
+  *   - embeddings: replica r applies a deterministic diagonal ±1
+  *     orthogonal transform (sign flips keyed by (r, dim)) — norms and
+  *     all within-replica pair cosines are exactly preserved while
+  *     cross-replica inner products sign-randomize and cancel, even for
+  *     embeddings with a shared mean component (a plain rotation left
+  *     that component intact and cross-replica pairs grew quadratically
+  *     — measured by the r12 pair-density gate before the fix).
   *
   * n_chars is recomputed from the perturbed text (the stored-column
   * invariant E43/q181 document). Output lands once under `outDir` with a
@@ -134,10 +136,19 @@ object ScaleData {
           length(col("text2")).cast("long").as("n_chars")),
       "documents")
 
+    // Per-replica DIAGONAL orthogonal transform (deterministic ±1 sign
+    // flips keyed by (replica, dim)): within-replica cosines and norms are
+    // EXACTLY preserved (both pair members get identical flips), while
+    // cross-replica inner products become sign-randomized sums that cancel
+    // even when embeddings share structure. The previous rotation failed
+    // that second property — real-ish embeddings have a large shared mean
+    // component that survives any rotation, so cross-replica pairs grew
+    // ~quadratically (the r12 pair-density gate measured 9.9× per-doc
+    // growth); sign flips kill the shared component's contribution.
     val rotated = expr(
       """IF(r = 0, embedding,
-        |   concat(slice(embedding, CAST(r AS INT) + 1, size(embedding) - CAST(r AS INT)),
-        |          slice(embedding, 1, CAST(r AS INT))))""".stripMargin)
+        |   transform(embedding, (x, i) ->
+        |     IF(pmod(xxhash64(r * 4096 + i), 2) = 0, x, -x)))""".stripMargin)
     write(
       withReplica(Tables.embeddings(spark, srcDir))
         .select(shift("vec_id", docStride), rotated.as("embedding"), col("label")),

@@ -387,6 +387,30 @@ class HealthKitXmlSpec extends SparkSpec {
       Set("kind", "tableName", "attrs", "jsonCols", "ordinal"))
   }
 
+  test("A1-DSv2: tableName/kind filters push into the scan; rows filter at the source") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = spark.read.format("healthkit").load(zipPath)
+      .filter(col("tableName") === HealthKitXml.ActivitySummaryTable)
+    val scan = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+    assert(scan.scan.description().contains("EqualTo(tableName,ActivitySummary)"),
+      s"filter must reach the scan: ${scan.scan.description()}")
+    assert(df.count() == 10)
+    // scan emits ONLY the matching rows (the filter ran in the reader,
+    // not in a post-scan Filter node)
+    val scanRows = scan.execute().count()
+    assert(scanRows == 10, s"reader must emit 10 rows, emitted $scanRows")
+    // ordinals still index the FULL stream: the fixture's 10 summaries
+    // lead the document (ordinals 0..9), Record/Workout follow — and a
+    // Record-filtered scan must see ordinal 10, not 0
+    val ords = df.select("ordinal").collect().map(_.getLong(0)).sorted
+    assert(ords.toSeq == (0L to 9L).toSeq, s"got ${ords.mkString(",")}")
+    val recOrd = spark.read.format("healthkit").load(zipPath)
+      .filter(col("kind") === "Record")
+      .select("ordinal").collect().map(_.getLong(0))
+    assert(recOrd.sameElements(Array(10L)),
+      s"filtered scan must keep full-stream ordinals, got ${recOrd.mkString(",")}")
+  }
+
   test("A1-DSv2: one input partition per archive member; directory expands to zip members") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val dir = java.nio.file.Files.createTempDirectory("hk_multi")

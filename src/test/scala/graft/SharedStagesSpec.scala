@@ -61,6 +61,34 @@ class SharedStagesSpec extends SparkSpec {
     SharedStages.release(s1)
   }
 
+  test("BPE merges train once per (session, dir): q90/q91/q129 share one word-count scan") {
+    val s1 = spark.newSession()
+    SharedStages.release(s1)
+    val before = SharedStages.buildCount(Sf0001, "bpeMerges")
+    graft.operators.TokenizerOps.bpeTrain(s1, Sf0001).collect()
+    assert(SharedStages.buildCount(Sf0001, "bpeMerges") == before + 1, "first caller trains")
+    graft.operators.TokenizerOps.bpeEncode(s1, Sf0001).collect()
+    graft.operators.TokenizerOps.fertilityByLang(s1, Sf0001).collect()
+    assert(SharedStages.buildCount(Sf0001, "bpeMerges") == before + 1,
+      "q91 and q129 reuse q90's merge table in the same session")
+    SharedStages.release(s1)
+  }
+
+  test("prewarm builds every canonical stage exactly once; reruns are free") {
+    val s1 = spark.newSession()
+    SharedStages.release(s1)
+    val names  = SharedStages.prewarm(s1, Sf0001).map(_._1)
+    val before = names.map(n => n -> SharedStages.buildCount(Sf0001, n)).toMap
+    SharedStages.prewarm(s1, Sf0001).foreach { case (_, build) => build() }
+    names.foreach(n =>
+      assert(SharedStages.buildCount(Sf0001, n) == before(n) + 1, s"stage $n"))
+    // second sweep hits the memo — no stage builds again
+    SharedStages.prewarm(s1, Sf0001).foreach { case (_, build) => build() }
+    names.foreach(n =>
+      assert(SharedStages.buildCount(Sf0001, n) == before(n) + 1, s"stage $n rebuilt"))
+    SharedStages.release(s1)
+  }
+
   test("drain frees per-query stages WITH their cache entries; pinned stages survive") {
     import graft.core.CacheScope
     val s = spark.newSession()
