@@ -252,6 +252,43 @@ object Relational {
     */
   val q61Sql: String = q08Sql
 
+  // --- B25 q250: ties-kept rank() top-k through the bounded-heap rewrite ---
+  /** Top-2 RANKED quantities per return flag, ties kept — the query shape
+    * `rank().over(...) <= k` that [[graft.plans.BoundedRankRewrite]]'s
+    * round-12 extension rewrites to the [[graft.plans.CollectTopKRank]]
+    * ties-aware heap: l_quantity is a 1..50 integer domain, so the top-2
+    * places per flag hold ~2·N/50 rows (1,175 at sf0.01, vs 6 for
+    * row_number) — exactly the ties-kept contract, oracled end-to-end
+    * with DuckDB's own `rank()`. Plan shape after the rewrite: partial
+    * ObjectHashAggregate heaps (k + the boundary tie-group per group per
+    * map task), one exchange on the 3-value flag key, NO corpus sort —
+    * the stock window plan shuffles and fully sorts all 6 M·SF rows.
+    * A spec pins that this registered query's optimized plan contains
+    * `collect_top_k_rank` and no Window.
+    */
+  def q250(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("qty").desc)
+    Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_returnflag"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 2)
+      .orderBy(col("l_returnflag"), col("rnk"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q250Sql: String =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, qty, rnk FROM (
+      | SELECT l_returnflag, l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+      |  RANK() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT) DESC) AS rnk
+      | FROM lineitem)
+      |WHERE rnk <= 2 ORDER BY l_returnflag, rnk, l_orderkey, l_linenumber""".stripMargin
+
   // --- B9: anti + semi join (orders with/without lineitems) ----------------
   def q09(spark: SparkSession, dir: String): DataFrame = {
     val o  = Tables.orders(spark, dir)

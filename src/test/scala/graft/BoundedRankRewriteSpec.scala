@@ -248,6 +248,18 @@ class BoundedRankRewriteSpec extends SparkSpec {
     }
   }
 
+  test("q250 (registered): plans as the ties-kept heap — no Window, no corpus sort") {
+    val df = SparkEntry.queries("q250_rank_topk_ties")(spark, Sf0001)
+    assert(!optimizedHasWindow(df) && optimizedHasTopKRank(df), "rank rewrite missing")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$phys")
+    assert(!phys.contains("WindowGroupLimit"), "window machinery still present")
+    // ties-kept contract on real data: far more than k rows per group
+    val got = df.collect()
+    val perGroup = got.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perGroup.values.forall(_ > 2), s"expected tie-groups beyond k=2: $perGroup")
+  }
+
   test("rank() = 1 keeps ALL tied-first rows") {
     import spark.implicits._
     val rows = Seq(("a", 7.0, 1L), ("a", 7.0, 2L), ("a", 2.0, 3L), ("b", 1.0, 4L))

@@ -72,6 +72,9 @@ class PlanGuardSpec extends SparkSpec {
       "q59_pmi_collocations" -> 3,
       "q60_winnow_fingerprints" -> 1, // in-row hash + window fold; sort only
       "q61_topk_agg"      -> 2, // heap agg (partial → final) + output sort; NO window
+      // B25 rewrite: ties-kept rank heap agg (partial → final) + output
+      // sort; NO window, NO corpus sort — rank() <= 2 over 60k·SF rows
+      "q250_rank_topk_ties" -> 2,
       // fixed 128-word bit_or agg (broadcast back) + per-doc min agg +
       // snapshot-key distinct + exact-truth key join + sort
       "q62_bloom_gate"    -> 6,
