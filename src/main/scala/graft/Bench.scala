@@ -65,19 +65,25 @@ object Bench {
       }
     val sharedTotal = shared.map(_._2).filter(_ >= 0).sum
 
-    // best-of-2 per query: single local runs are GC/scheduling-noisy.
-    // Failed runs must not contribute a (fast) bogus time — a query with no
-    // successful run reports -1 and is excluded from the total.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+    // Three runs per query, MEDIAN reported: the host has measured ±20%
+    // RUN-LEVEL neighbor noise (r12 post-mortem: three identical suite
+    // runs at 217.5/264.4/240.3 s), so a single run — or a best-of-2 —
+    // makes round-over-round comparison need out-of-band context. The
+    // median of 3 is noise-robust in the artifact itself; the per-run
+    // totals land on the BENCH_FULL total line as the measured spread.
+    // Failed runs must not contribute a (fast) bogus time — a query with
+    // no successful run reports -1 and is excluded from the total.
+    val BenchRuns = 3
+    val raw = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to BenchRuns).map { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            None
+            -1.0
         } finally {
           // Per-query cache lifecycle: free this query's persisted stages
           // after every run (each timed run pays its own cache builds);
@@ -91,7 +97,20 @@ object Bench {
       // shuffles) — collection here keeps each timing attributable to its
       // own query.
       System.gc()
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      name -> times
+    }
+    def medianOf(ts: Seq[Double]): Double = {
+      val ok = ts.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.size >= 3) ok(ok.size / 2)
+      else ok.min // degraded runs: conservative, the old best-of-N rule
+    }
+    val results = raw.map { case (name, ts) => name -> medianOf(ts) }
+    // run-level totals (run k = sum of every query's k-th time): the
+    // spread a reader needs to judge whether a round-over-round delta is
+    // signal or host noise, recorded in the artifact itself
+    val runTotals = (0 until BenchRuns).map { k =>
+      raw.map(_._2(k)).filter(_ >= 0).sum
     }
 
     // --- sf1 scale rehearsal -------------------------------------------------
@@ -170,9 +189,14 @@ object Bench {
       val sharedFull = shared
         .map { case (k, v) => s"""  "$k": ${fmt(v)}""" }
         .mkString(",\n")
+      val spreadPct =
+        if (runTotals.nonEmpty && runTotals.min > 0)
+          (runTotals.max - runTotals.min) / medianOf(runTotals) * 100.0
+        else -1.0
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
         f"""{"sf": "$sfName", "total_s": $total%.2f, "queries_s": $queriesTotal%.2f, "shared_s": $sharedTotal%.2f,
+           |"runs": 3, "per_query": "median of 3", "run_totals_s": [${runTotals.map(t => f"$t%.2f").mkString(", ")}], "run_spread_pct": $spreadPct%.1f,
            |"shared": {
            |$sharedFull
            |},

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Custom Catalyst expressions for operators Spark's built-ins can't
   * express directly. All are deterministic pure functions of their input so
@@ -551,6 +551,79 @@ object Expressions {
       nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
     }
     override protected def withNewChildInternal(c: Expression): HashedGrams = copy(child = c)
+  }
+
+  /** Distinct hashed token n-grams at SEVERAL grain sizes in ONE compiled
+    * pass — the multi-grain twin of [[HashedGrams]] for q205's severity
+    * sweep (which otherwise runs the single-grain kernel once per grain:
+    * 3 separate array walks and Σn token copies per position). One shared
+    * row buffer (all tokens space-joined, built once per row with
+    * cumulative byte offsets) makes every (position, n) gram a zero-copy
+    * byte slice; `XXH64.hashUnsafeBytes` over the slice hashes the exact
+    * bytes `hashUTF8String(concatWs(" ", parts))` would — same hashes,
+    * same per-grain distinct sets, so downstream values (and the DuckDB
+    * oracles) are unchanged. Output: array of (n, g) structs, all grains
+    * of a row in one array (first-occurrence order per grain, grains in
+    * the given order — irrelevant post-explode, deterministic anyway).
+    */
+  case class MultiGramHashes(child: Expression, ns: Seq[Int]) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("n", IntegerType, nullable = false),
+        StructField("g", LongType, nullable = false))),
+      containsNull = false)
+    def compute(arr: ArrayData): ArrayData = {
+      val len = arr.numElements()
+      val toks = new Array[org.apache.spark.unsafe.types.UTF8String](len)
+      var total = 0L
+      var i     = 0
+      while (i < len) {
+        toks(i) = arr.getUTF8String(i)
+        total += toks(i).numBytes
+        i += 1
+      }
+      // offs(i) = byte start of token i in the joined buffer; offs(len) = end
+      val bufLen = (total + math.max(0, len - 1)).toInt
+      val buf    = new Array[Byte](bufLen)
+      val offs   = new Array[Int](len + 1)
+      var pos    = 0
+      i = 0
+      while (i < len) {
+        if (i > 0) { buf(pos) = ' '.toByte; pos += 1 }
+        offs(i) = pos
+        val t = toks(i)
+        org.apache.spark.unsafe.Platform.copyMemory(
+          t.getBaseObject, t.getBaseOffset,
+          buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos, t.numBytes)
+        pos += t.numBytes
+        i += 1
+      }
+      offs(len) = pos + 1 // virtual separator past the end, so slice math is uniform
+      val out = new scala.collection.mutable.ArrayBuffer[Any]()
+      ns.foreach { n =>
+        val m = len - n + 1
+        if (m > 0) {
+          val seen = new java.util.HashSet[java.lang.Long]()
+          var j    = 0
+          while (j < m) {
+            val start = offs(j)
+            val glen  = offs(j + n) - 1 - start // drop the trailing separator
+            val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+              buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, glen, 42L)
+            if (seen.add(h)) out += org.apache.spark.sql.catalyst.InternalRow(n, h)
+            j += 1
+          }
+        }
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("multiGramHashes", this, classOf[MultiGramHashes].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): MultiGramHashes =
+      copy(child = c)
   }
 
   /** POSITIONAL stride-1 window hashes: element i is the `xxhash64` of the
@@ -1137,6 +1210,8 @@ object Expressions {
     toColumn(LmXent(toExpression(c), bigram, unigram, buckets))
   def hashed_ngram_feats(c: Column, buckets: Int): Column =
     toColumn(HashedNgramFeats(toExpression(c), buckets))
+  def multi_gram_hashes(c: Column, ns: Seq[Int]): Column =
+    toColumn(MultiGramHashes(toExpression(c), ns))
   def hashed_grams(c: Column, n: Int): Column = toColumn(HashedGrams(toExpression(c), n))
   def window_gram_hashes(c: Column, n: Int): Column =
     toColumn(WindowGramHashes(toExpression(c), n))

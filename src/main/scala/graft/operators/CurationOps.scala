@@ -1268,6 +1268,17 @@ object CurationOps {
     // (WindowGramHashes), not a 32-char md5 hex string: this explode is
     // ≈ one row per corpus token — the suite's widest shuffle — so key
     // width is the exchange volume (the q39/q51/q54 gram-hash rule).
+    //
+    // Collision semantics of the 64-bit identity (here and q214, which
+    // shares the kernel): two DISTINCT windows colliding makes a false
+    // dup/coverage match; expected collisions ≈ w²/2⁶⁵ for w distinct
+    // windows, so ~0 at bench scale and ~2.7 expected false pairs per
+    // 10¹⁰ distinct windows (≈ a 10-TB-token campaign) — noise against
+    // the dup counts these reports aggregate, and the DuckDB oracle
+    // re-derives the same hashes so the check is of the pipeline, not
+    // the identity width. A campaign that needs certainty dials the
+    // identity back to a 128-bit key (md5 of the window, the pre-r12
+    // spelling) at ~5× the exchange volume of this stage.
     val wins = graft.core.CacheScope.persist(
       docs(spark, dir)
         .select(col("doc_id"), TextOps.toks.as("toks"))

@@ -406,6 +406,75 @@ object LayoutOps {
       .orderBy(col("source"))
   }
 
+  /** WRITE-SIDE executor for [[compactionPlan]] (the C228/rangeWriteDocs
+    * pattern for the file-COUNT axis): actually lay `documents` out by the
+    * planner's verdicts — each `ok` source gets its OWN directory with
+    * exactly its planned `n_files` parquet files (balanced row split:
+    * file k = ranks [⌊k·n/f⌋, ⌊(k+1)·n/f⌋) — every planned file nonempty,
+    * sizes within ±1 row); every `coalesce` source is PACKED with its
+    * siblings into one shared `_PACKED` directory of
+    * `ceil(Σbytes / TargetShardBytes)` files — the planner's whole point:
+    * undersized sources must not each emit their own small file.
+    *
+    * Routing is one map-side projection (verdicts and file counts are a
+    * broadcast |sources|-bounded map literal) over a per-directory rank
+    * window (keyed, spill-safe), then ONE hash exchange on the
+    * (directory, file) key; `partitionBy(out_src, file_idx)` writes each
+    * planned file from exactly one task. At 1000 executors the same plan
+    * holds: known file counts, no sampling variance. The report comes
+    * back from the FILESYSTEM (directories, file counts, parquet row
+    * counts), so the spec asserts the plan→layout contract end to end.
+    */
+  def compactionWriteDocs(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val T = TargetShardBytes
+    val plan = compactionPlan(spark, dir)
+      .filter(col("source") =!= "_ALL")
+      .select("source", "n_docs", "n_bytes", "n_files", "verdict")
+      .collect() // |sources|-bounded — the planner table itself
+    val coalesceSrcs = plan.filter(_.getString(4) == "coalesce").map(_.getString(0)).toSet
+    val packedDocs   = plan.filter(r => coalesceSrcs(r.getString(0))).map(_.getLong(1)).sum
+    val packedBytes  = plan.filter(r => coalesceSrcs(r.getString(0))).map(_.getLong(2)).sum
+    val packedFiles  = math.max(1L, math.min(packedDocs, (packedBytes + T - 1) / T))
+    // out-directory → (rows, planned files); file count never exceeds rows
+    val dirPlan: Map[String, (Long, Long)] =
+      plan.filterNot(r => coalesceSrcs(r.getString(0)))
+        .map(r => r.getString(0) -> ((r.getLong(1), math.min(r.getLong(1), r.getLong(3)))))
+        .toMap ++ (if (coalesceSrcs.nonEmpty) Map("_PACKED" -> ((packedDocs, packedFiles)))
+                   else Map.empty)
+    val rowsMap  = typedLit(dirPlan.map { case (k, v) => k -> v._1 })
+    val filesMap = typedLit(dirPlan.map { case (k, v) => k -> v._2 })
+    val w = Window.partitionBy(col("out_src")).orderBy(col("source"), col("doc_id"))
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("out_src",
+        when(col("source").isInCollection(coalesceSrcs.toSeq :+ ""), lit("_PACKED"))
+          .otherwise(col("source")))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("nf", element_at(filesMap, col("out_src")))
+      .withColumn("nr", element_at(rowsMap, col("out_src")))
+      // integer div (Spark's `/` is double division; `div` stays exact)
+      .withColumn("file_idx", expr("(CAST(rk - 1 AS BIGINT) * nf) div nr"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("out_src"), col("file_idx"))
+      .repartition(col("out_src"), col("file_idx"))
+      .write.mode("overwrite").partitionBy("out_src", "file_idx").parquet(outDir)
+    // measured layout, read back from disk
+    val dirs = new java.io.File(outDir).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("out_src="))
+      .map { d =>
+        val buckets = d.listFiles().toSeq.filter(f => f.isDirectory && f.getName.startsWith("file_idx="))
+        val parts   = buckets.map(_.listFiles().count(f => f.getName.endsWith(".parquet")))
+        val rows    = spark.read.parquet(d.getPath).count()
+        val name    = d.getName.stripPrefix("out_src=")
+        (name, dirPlan.get(name).map(_._2).getOrElse(-1L), buckets.size.toLong,
+          if (parts.isEmpty) 0 else parts.max, rows)
+      }
+    dirs.toDF("out_src", "planned_files", "actual_files", "max_parts_per_file", "n_rows")
+      .orderBy(col("out_src"))
+  }
+
   /** Oracle: identical per-source aggregate, the same integer ceiling
     * shapes with DuckDB's flooring `//`, shared [[TargetShardBytes]].
     */

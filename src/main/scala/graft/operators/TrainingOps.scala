@@ -2137,12 +2137,16 @@ object TrainingOps {
     * driver-side (the q204 rule).
     */
   def contaminationSweep(spark: SparkSession, dir: String): DataFrame = {
-    val tagged = concat(SweepNs.map { n =>
-      transform(TextOps.distinctGramHashExpr(n), g => struct(lit(n).as("n"), g.as("g")))
-    }: _*)
+    // all three grains in ONE compiled pass over one shared row buffer
+    // (MultiGramHashes): same hashes and per-grain distinct sets as the
+    // per-grain HashedGrams kernels this replaces, but the 13-gram's
+    // token bytes are copied once per row instead of Σn ≈ 25 copies per
+    // position, and the three interpreted transform/concat lambdas are
+    // gone — the corpus-scan stage was the query's dominant cost at sf1
     val sh = docs(spark, dir)
       .select(col("doc_id"), TextOps.toks.as("toks"))
-      .select(col("doc_id"), explode(tagged).as("x"))
+      .select(col("doc_id"),
+        explode(graft.functions.Expressions.multi_gram_hashes(col("toks"), SweepNs)).as("x"))
       .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
     // q39's one-pass DF-cap shape: exact df + bounded cap+1 doc_id heap
     // per (n, gram), never a keyed count window (the hot-gram

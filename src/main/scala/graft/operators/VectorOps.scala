@@ -21,6 +21,81 @@ import graft.functions.Expressions.{dot_product, hyperplane_bucket, l2_norm}
   */
 object VectorOps {
 
+  // --- corpus-sized LSH hyperplane counts -------------------------------------
+  //
+  // A FIXED plane count is a fixed bucket universe: on growing data the
+  // per-bucket occupancy — and the within-bucket pair expansion — grows
+  // quadratically until the bucket cap clamps it (the r12 density gate
+  // measured exactly that: ×10.1 per-doc pair density at 10× docs). The
+  // standard LSH prescription is planes ∝ log n, which keeps EXPECTED
+  // occupancy at a constant target so bucket count scales with the corpus
+  // and candidate work stays linear (pairs ≈ tables · n · occupancy/2).
+  // The count is derived from ONE cheap metadata count of the raw
+  // `embeddings` table, memoized per (session, dir), and the DuckDB
+  // oracles re-derive the SAME value from the same count in pure integer
+  // arithmetic (below) — no float log2 whose ulp could make the engines
+  // disagree on a power-of-two boundary.
+
+  /** Target expected bucket occupancy. Larger = fewer planes = higher
+    * recall but more candidate pairs per doc (pairs/doc ≈ tables·occ/2);
+    * q251's recall probe measures what the setting costs on live data.
+    */
+  val LshTargetOccupancy = 32L
+
+  /** Floor for the near-dup tables (the test-scale setting rounds 1–12
+    * pinned; 500-vector corpora derive exactly this, so tiny-SF results
+    * are unchanged by the sizing).
+    */
+  val NearDupMinPlanes = 5
+
+  /** Floor for the single-table ANN index (its recall dial is multi-probe
+    * volume, not table count, so it tolerates one more plane).
+    */
+  val AnnMinPlanes = 6
+
+  /** `max(minPlanes, ceil(log2(ceil(n / occupancy))))` in pure integer
+    * arithmetic: the smallest p with `2^p ≥ ceil(n/occ)`, clamped to 31
+    * (bucket ids stay positive ints).
+    */
+  private[graft] def lshPlanesFor(n: Long, minPlanes: Int): Int = {
+    val m = (n + LshTargetOccupancy - 1) / LshTargetOccupancy
+    var p = 0
+    while (p < 31 && (1L << p) < m) p += 1
+    math.max(minPlanes, p)
+  }
+
+  /** Raw `embeddings` row count for `dir` — parquet footer metadata only
+    * (no column scan), memoized per (session, dir) via the SharedStages
+    * model memo so a session pays it once.
+    */
+  private[graft] def corpusN(spark: SparkSession, dir: String): Long =
+    SharedStages
+      .model(spark, dir, "embCount")(java.lang.Long.valueOf(Tables.embeddings(spark, dir).count()))
+      .longValue()
+
+  /** The derived plane count for the multi-table near-dup family
+    * (q30/q65/q212/q213/q227/q228).
+    */
+  def nearDupPlanesFor(spark: SparkSession, dir: String): Int =
+    lshPlanesFor(corpusN(spark, dir), NearDupMinPlanes)
+
+  /** The derived plane count for the ANN index family (q29/q85/q89). */
+  def annPlanesFor(spark: SparkSession, dir: String): Int =
+    lshPlanesFor(corpusN(spark, dir), AnnMinPlanes)
+
+  /** DuckDB CTE pair `(<pfx>cnt, <pfx>np)` deriving the identical plane
+    * count: same raw count, same ceil-div, same smallest-power-of-two
+    * scan, same floor — integer-exact on both engines. `<pfx>np` has one
+    * row, column `planes`.
+    */
+  private def planesCtes(pfx: String, minPlanes: Int): Seq[(String, String)] = Seq(
+    s"${pfx}cnt" -> "(SELECT count(*)::BIGINT AS n FROM embeddings)",
+    s"${pfx}np" ->
+      (s"(SELECT GREATEST($minPlanes, COALESCE(min(p), 31))::INTEGER AS planes " +
+        s"FROM range(0, 32) r(p), ${pfx}cnt " +
+        s"WHERE (1::BIGINT << p) >= (n + ${LshTargetOccupancy - 1}) // $LshTargetOccupancy)")
+  )
+
   /** embeddings with the float vector upcast to double + precomputed norm.
     * Zero-norm vectors are dropped: they carry no direction, and their
     * cosine is NaN — which Spark sorts ABOVE all real values, so one zero
@@ -404,19 +479,21 @@ object VectorOps {
        |ORDER BY q_id, mmr_rank""".stripMargin
 
   // --- C10 q29: hyperplane-LSH bucketed ANN top-k (rows-only) --------------
-  // 6 planes → 64 buckets: at this corpus size each bucket holds a handful
-  // of vectors; at 100 TB raise planes so bucket size stays bounded — the
-  // join below shuffles on bucket only. Multi-probe (default on): a query
-  // also probes every bucket at hamming distance 1 — a near neighbor that
+  // Corpus-sized plane count ([[annPlanesFor]]: planes ∝ log n, expected
+  // occupancy ≈ [[LshTargetOccupancy]]) → bucket count grows WITH the
+  // corpus, so per-query candidate volume stays ≈ (planes+1) × occupancy
+  // instead of growing linearly at a fixed bucket universe — the join
+  // below shuffles on bucket only. Multi-probe (default on): a query also
+  // probes every bucket at hamming distance 1 — a near neighbor that
   // falls just on the other side of ONE hyperplane is still found. This is
   // the standard recall/cost dial that lets plane count grow with the
   // corpus without recall collapsing; probe volume stays (planes+1) ×
   // QueryCount, bounded by construction.
-  val AnnPlanes = 6
-  val AnnTopK   = 3
+  val AnnTopK = 3
 
   def annLsh(spark: SparkSession, dir: String, multiProbe: Boolean = true): DataFrame = {
-    val e = emb(spark, dir).withColumn("bucket", hyperplane_bucket(col("v"), 0, AnnPlanes))
+    val planes = annPlanesFor(spark, dir)
+    val e = emb(spark, dir).withColumn("bucket", hyperplane_bucket(col("v"), 0, planes))
     val q0 = e.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
     val q =
@@ -429,7 +506,7 @@ object VectorOps {
           explode(
             expr(
               s"""array_union(array(bucket),
-                 |  transform(sequence(0, ${AnnPlanes - 1}),
+                 |  transform(sequence(0, ${planes - 1}),
                  |            p -> cast(bucket ^ shiftleft(1, p) AS int)))""".stripMargin)
           ).as("bucket")
         )
@@ -454,10 +531,10 @@ object VectorOps {
     */
   lazy val annLshSql: String = {
     import graft.functions.DuckHash._
-    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
-      "q29pd" ->
-        s"(SELECT p, d, ((0 * 64 + p) * 64 + d)::HUGEINT AS idx FROM range(0, $AnnPlanes) r(p), range(0, 64) s(d))"
-    )
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](planesCtes("q29", AnnMinPlanes): _*)
+    ctes += ("q29pd" ->
+      ("(SELECT p, d, ((0 * 64 + p) * 64 + d)::HUGEINT AS idx " +
+        "FROM range(0, 32) r(p), range(0, 64) s(d), q29np WHERE p < planes)"))
     val ch = new SqlChain("q29h", "q29pd", Seq("p", "d", "idx"))
     hashLongLevels(ch, "idx", "42", "hw")
     ctes ++= ch.ctes
@@ -481,9 +558,9 @@ object VectorOps {
     ctes += ("q29q" ->
       s"""(SELECT DISTINCT q_id, qv, qn, unnest(probes) AS bucket FROM (
          |    SELECT f.vec_id AS q_id, f.v AS qv, f.nrm AS qn,
-         |      list_prepend(b.bucket, list_transform(range(0, $AnnPlanes),
+         |      list_prepend(b.bucket, list_transform(range(0, np.planes),
          |        p -> xor(b.bucket::BIGINT, (1 << p)::BIGINT)::INTEGER)) AS probes
-         |    FROM q29ef f JOIN q29bkt b USING (vec_id) WHERE f.vec_id < $QueryCount))""".stripMargin)
+         |    FROM q29ef f JOIN q29bkt b USING (vec_id), q29np np WHERE f.vec_id < $QueryCount))""".stripMargin)
     ctes += ("q29rk" ->
       """(SELECT q_id, n_id,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
@@ -1276,52 +1353,55 @@ object VectorOps {
       |ORDER BY vec_id""".stripMargin
 
   // --- C11 q30: embedding-cosine near-dup pairs via multi-table LSH --------
-  // 6 independent 5-plane tables: P(candidate | cos θ) = 1-(1-(1-θ/π)^5)^6 —
-  // ~40 % recall at cos≥0.35 on random data (recall/cost dial: raise tables
-  // for more), while candidate volume stays a fraction of n². Exact cosine
-  // filter afterwards.
-  //
-  // Scale note (measured by the r12 pair-density gate): at FIXED planes
-  // the 6×2⁵ (table, bucket) cells are a constant-size space, so on
-  // independent data per-bucket occupancy — and the within-bucket pair
-  // expansion — grows quadratically until TextOps.MaxBucket clamps every
-  // cell; past that, candidate work is a CONSTANT ceiling (cells×cap²/2).
-  // The bench's sf0.1→sf1 window sits in that transition (per-doc pair
-  // density ×10.1): a 0.35 threshold at dim 64 admits correlated-noise
-  // pairs. A 100 TB campaign keeps the linear asymptote by the standard
-  // LSH prescription — planes ∝ log n so expected occupancy stays
-  // constant and bucket count scales with the corpus; these constants are
-  // the TEST-SCALE setting of that dial, pinned so the DuckDB oracles
-  // (which unroll the planes) stay exact.
+  // 6 independent hyperplane tables at the CORPUS-SIZED plane count
+  // ([[nearDupPlanesFor]]): P(candidate | cos θ) = 1-(1-(1-θ/π)^p)^6, with
+  // p = max(5, ceil(log2(n/32))) so expected occupancy — and the per-doc
+  // candidate-pair density — stays ≈ constant as the corpus grows (the
+  // linear asymptote; the r12 density gate measured the old fixed p=5
+  // quadratic-until-cap, ×10.1 per-doc density at 10× docs). Recall is the
+  // table-count dial; q251's probe MEASURES it per threshold. Exact cosine
+  // filter afterwards. Over-cap buckets are deterministically SAMPLED to
+  // [[TextOps.MaxBucket]] members (content-stable xxhash64 order, the q45
+  // rule) instead of dropped, so a pathological cluster degrades recall
+  // smoothly rather than silently vanishing from the pair pool.
   val NearDupTables    = 6
-  val NearDupPlanes    = 5
   val NearDupThreshold = 0.35
 
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
-    nearDupPairsRaw(spark, emb(spark, dir))
+    nearDupPairsRaw(spark, emb(spark, dir), nearDupPlanesFor(spark, dir))
       .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
       .orderBy(col("a_id"), col("b_id"))
 
   /** The multi-table LSH near-dup pair pipeline with UNROUNDED sims —
     * shared by q30 (which rounds for output) and q65's semantic dedup
-    * (which thresholds the raw sim like the 0.35 gate does).
+    * (which thresholds the raw sim like the 0.35 gate does). `planes` is
+    * the corpus-sized hyperplane count ([[nearDupPlanesFor]] for dir-based
+    * callers; explicit for spec frames).
     */
-  private[graft] def nearDupPairsRaw(spark: SparkSession, e: DataFrame): DataFrame = {
+  private[graft] def nearDupPairsRaw(spark: SparkSession, e: DataFrame, planes: Int): DataFrame = {
     graft.GraftExtensions.register(spark) // graft_dot inside the pair-expansion SQL
     val tables = (0 until NearDupTables).map { t =>
-      struct(lit(t).as("tbl"), hyperplane_bucket(col("v"), t, NearDupPlanes).as("bucket"))
+      struct(lit(t).as("tbl"), hyperplane_bucket(col("v"), t, planes).as("bucket"))
     }
     // Carry (v, nrm) through the bucket structs (the way simhashPairs
     // carries `sim`) so the exact cosine runs INSIDE the pair expansion —
     // no corpus re-join afterwards. The sub-threshold filter then drops
     // non-dups before the cross-table dedup, so the distinct shuffles only
-    // (a_id, b_id, sim) scalars for true near-dups. Bucket size is capped
-    // ([[TextOps.MaxBucket]]) so the quadratic expansion — and the struct
-    // memory per group — stays bounded. Two data shuffles total: the
-    // bucket agg (keyed on table × bucket) and the pair distinct.
+    // (a_id, b_id, sim) scalars for true near-dups. The member heap leads
+    // with `h = xxhash64(vec_id)`: collect_topk keeps the MaxBucket
+    // LARGEST (h, id, …) structs, so a bucket at or under the cap keeps
+    // its full member set (values unchanged) and an over-cap bucket keeps
+    // a content-stable uniform SAMPLE of exactly MaxBucket members —
+    // graceful recall degradation with the same bounded aggregation state
+    // as the old cap+1 heap. Two data shuffles total: the bucket agg
+    // (keyed on table × bucket) and the pair distinct.
     val bucketed = e
       .select(
-        struct(col("vec_id").as("id"), col("v").as("v"), col("nrm").as("nrm")).as("m"),
+        struct(
+          xxhash64(col("vec_id")).as("h"),
+          col("vec_id").as("id"),
+          col("v").as("v"),
+          col("nrm").as("nrm")).as("m"),
         explode(array(tables: _*)).as("b")
       )
       .select(col("m"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
@@ -1329,10 +1409,8 @@ object VectorOps {
       .groupBy(col("tbl"), col("bucket"))
       .agg(
         count(lit(1)).as("nb"),
-        // bounded cap+1 heap + exact count (the bucketPairs rule): a viral
-        // bucket clamps at cap+1 rows of state, then its count drops it
-        graft.functions.Expressions.collect_topk(col("m"), TextOps.MaxBucket + 1).as("ms"))
-      .filter(col("nb").between(2, TextOps.MaxBucket))
+        graft.functions.Expressions.collect_topk(col("m"), TextOps.MaxBucket).as("ms"))
+      .filter(col("nb") >= 2) // singleton buckets have no pairs — prune early
       .select(expr("array_sort(ms, (x, y) -> int(sign(x.id - y.id)))").as("ms"))
       .select(
         explode(
@@ -1348,12 +1426,14 @@ object VectorOps {
   }
 
   /** DuckDB oracle reproducing [[embedNearDup]] bit-for-bit — the
-    * [[annLshSql]] plane emulation generalized to [[NearDupTables]] tables:
-    * same `XXH64.hashLong((t·64+p)·64+d, 42)` Rademacher signs, same
-    * left-fold dots/norms, same [2, MaxBucket] bucket gate, pairs joined
-    * within (table, bucket) and deduped BEFORE the one cosine per distinct
-    * pair (the Spark side computes per-table and dedupes after — identical
-    * output because the cosine is a pure function of the pair).
+    * [[annLshSql]] plane emulation generalized to [[NearDupTables]] tables
+    * at the SAME count-derived plane number (`q30np`): same
+    * `XXH64.hashLong((t·64+p)·64+d, 42)` Rademacher signs, same left-fold
+    * dots/norms, the same xxhash64-ordered top-MaxBucket member sample per
+    * (table, bucket), pairs joined within (table, bucket) and deduped
+    * BEFORE the one cosine per distinct pair (the Spark side computes
+    * per-table and dedupes after — identical output because the cosine is
+    * a pure function of the pair).
     */
   lazy val embedNearDupSql: String = {
     import graft.functions.DuckHash.assemble
@@ -1369,11 +1449,10 @@ object VectorOps {
     */
   private lazy val nearDupCtes: Seq[(String, String)] = {
     import graft.functions.DuckHash._
-    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
-      "q30pd" ->
-        (s"(SELECT t, p, d, ((t * 64 + p) * 64 + d)::HUGEINT AS idx " +
-          s"FROM range(0, $NearDupTables) r(t), range(0, $NearDupPlanes) q(p), range(0, 64) s(d))")
-    )
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](planesCtes("q30", NearDupMinPlanes): _*)
+    ctes += ("q30pd" ->
+      (s"(SELECT t, p, d, ((t * 64 + p) * 64 + d)::HUGEINT AS idx " +
+        s"FROM range(0, $NearDupTables) r(t), range(0, 32) q(p), range(0, 64) s(d), q30np WHERE p < planes)"))
     val ch = new SqlChain("q30h", "q30pd", Seq("t", "p", "d", "idx"))
     hashLongLevels(ch, "idx", "42", "hw")
     ctes ++= ch.ctes
@@ -1392,13 +1471,27 @@ object VectorOps {
         |  FROM q30ef, q30sgn)""".stripMargin)
     ctes += ("q30bkt" ->
       "(SELECT vec_id, t, sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END)::INTEGER AS bucket FROM q30dots GROUP BY vec_id, t)")
-    ctes += ("q30ok" ->
-      s"(SELECT t, bucket FROM q30bkt GROUP BY t, bucket HAVING count(*) BETWEEN 2 AND ${TextOps.MaxBucket})")
+    // the member-sampling hash: Spark's SIGNED xxhash64(vec_id)
+    // re-derived once per corpus vector (q30vh is also q251's probe key)
+    ctes += ("q30min" -> "(SELECT vec_id, vec_id::HUGEINT AS l FROM q30ef)")
+    val mh = new SqlChain("q30mh", "q30min", Seq("vec_id", "l"))
+    hashLongLevels(mh, toUnsigned("l"), "42", "vh")
+    ctes ++= mh.ctes
+    ctes += ("q30vh" -> s"(SELECT vec_id, ${toSigned("vh")} AS h FROM ${mh.last})")
+    // kept member set per (t, bucket): ALL members at or under the cap,
+    // else the MaxBucket members LARGEST by (signed hash, vec_id) — the
+    // exact keep-set of the Spark side's (h, id, …) collect_topk heap
+    ctes += ("q30mem" ->
+      s"""(SELECT t, bucket, vec_id FROM (
+         |    SELECT b.t, b.bucket, b.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY b.t, b.bucket
+         |        ORDER BY h.h DESC, b.vec_id DESC) AS rn
+         |    FROM q30bkt b JOIN q30vh h USING (vec_id))
+         |  WHERE rn <= ${TextOps.MaxBucket})""".stripMargin)
     ctes += ("q30pairs" ->
       """(SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-        |  FROM q30bkt a
-        |  JOIN q30ok k ON k.t = a.t AND k.bucket = a.bucket
-        |  JOIN q30bkt b ON b.t = a.t AND b.bucket = a.bucket AND a.vec_id < b.vec_id)""".stripMargin)
+        |  FROM q30mem a
+        |  JOIN q30mem b ON b.t = a.t AND b.bucket = a.bucket AND a.vec_id < b.vec_id)""".stripMargin)
     ctes += ("q30sim" ->
       """(SELECT a_id, b_id,
         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> av[i] * bv[i])),
@@ -1423,10 +1516,10 @@ object VectorOps {
     * broadcasts. The threshold gates the RAW cosine, like q30's 0.35 gate.
     */
   def semDedup(spark: SparkSession, dir: String): DataFrame =
-    semDedupOf(spark, emb(spark, dir))
+    semDedupOf(spark, emb(spark, dir), nearDupPlanesFor(spark, dir))
 
-  private[graft] def semDedupOf(spark: SparkSession, e: DataFrame): DataFrame = {
-    val victims = nearDupPairsRaw(spark, e)
+  private[graft] def semDedupOf(spark: SparkSession, e: DataFrame, planes: Int): DataFrame = {
+    val victims = nearDupPairsRaw(spark, e, planes)
       .filter(col("sim") >= SemDedupThreshold)
       .groupBy(col("b_id").as("vec_id"))
       .agg(min(col("a_id")).as("keeper"))
@@ -1452,6 +1545,135 @@ object VectorOps {
         |  coalesce(v.keeper, e.vec_id) AS keeper
         |FROM q30ef e LEFT JOIN q65v v ON v.vec_id = e.vec_id
         |ORDER BY e.vec_id""".stripMargin)
+  }
+
+  // --- q251: embedding-LSH recall probe ---------------------------------------
+
+  /** Probe-sample size: content-stable (smallest xxhash64(vec_id)), so the
+    * probe set is a uniform corpus sample that is reproducible on any
+    * cluster size or re-run, and the probe truth scan stays
+    * |probes| × n — bounded, never corpus².
+    */
+  val EmbedRecallProbes = 64
+
+  /** The severity grid recall is reported at — from the candidate gate
+    * itself (0.35) up through the SemDeDup/leak threshold (0.45) to
+    * near-verbatim similarity.
+    */
+  val EmbedRecallThresholds: Seq[Double] = Seq(0.35, 0.45, 0.6, 0.8)
+
+  /** The embedding-side recall probe (q84's role for the q30 family): per
+    * similarity threshold, how many EXACT cosine pairs touching a
+    * deterministic probe sample exist, how many of them the multi-table
+    * LSH candidate pipeline actually surfaced, and the recall — plus the
+    * corpus-derived plane count, so the planes/recall trade-off
+    * ([[nearDupPlanesFor]]'s occupancy dial) is MEASURED on live data
+    * every time the corpus grows, not asserted. This is the monitor that
+    * tells a 100 TB campaign when to raise [[NearDupTables]] (recall
+    * dial) as `planes ∝ log n` climbs.
+    *
+    * Scale shape: the probe truth is q28's broadcast idiom — the fixed
+    * probe set (TakeOrdered by content hash) broadcasts against ONE
+    * linear corpus scan; the candidate side is the shared q30 pipeline;
+    * the comparison is a pair-keyed left join on the (probe-bounded)
+    * truth set and a ≤|thresholds|-row rollup. Determinism: probe pick
+    * is (signed xxhash64, id)-ordered; cosines are the shared codegen'd
+    * fold; recall is one integer divide + 6-dp round, NULL when a
+    * threshold has no truth pairs.
+    */
+  def embedRecallProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planes = nearDupPlanesFor(spark, dir)
+    val e      = emb(spark, dir)
+    val probes = e
+      .select(
+        col("vec_id").as("p_id"), col("v").as("pv"), col("nrm").as("pn"),
+        xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("p_id"))
+      .limit(EmbedRecallProbes)
+      .drop("h")
+    // exact truth: every ≥-gate cosine pair with at least one probe
+    // endpoint (a probe-probe pair arrives once from each side with the
+    // bitwise-same sim — products commute termwise — so distinct collapses)
+    val truth = e
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(probes), col("p_id") =!= col("c_id"))
+      .select(
+        least(col("p_id"), col("c_id")).as("a_id"),
+        greatest(col("p_id"), col("c_id")).as("b_id"),
+        (dot_product(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("sim"))
+      .filter(col("sim") >= NearDupThreshold)
+      .distinct()
+    val cands = nearDupPairsRaw(spark, e, planes)
+      .select(col("a_id"), col("b_id"), lit(true).as("caught"))
+    val perPair = truth
+      .join(cands, Seq("a_id", "b_id"), "left")
+      .select(col("sim"), coalesce(col("caught"), lit(false)).as("caught"))
+    val agg = perPair
+      .select(
+        col("sim"), col("caught"),
+        explode(array(EmbedRecallThresholds.map(lit(_)): _*)).as("threshold"))
+      .filter(col("sim") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum(when(col("caught"), 1L).otherwise(0L)).as("n_caught"))
+    EmbedRecallThresholds
+      .toDF("threshold")
+      .join(agg, Seq("threshold"), "left")
+      .select(
+        col("threshold"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        when(col("n_true") > 0,
+          round(col("n_caught").cast("double") / col("n_true").cast("double"), 6))
+          .as("recall"),
+        lit(planes).as("planes"))
+      .orderBy(col("threshold"))
+  }
+
+  /** q251 oracle: the shared q30 chain (planes, buckets, sampled members,
+    * candidate sims) plus the probe pick off the SAME signed-hash CTE,
+    * the identical fold cosine on the truth leg, and the same
+    * left-join/rollup — threshold literals cast to DOUBLE so schemas
+    * agree.
+    */
+  lazy val embedRecallProbeSql: String = {
+    import graft.functions.DuckHash.assemble
+    val thList = EmbedRecallThresholds.map(t => s"$t::DOUBLE").mkString("[", ", ", "]")
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](nearDupCtes: _*)
+    ctes += ("q251pb" ->
+      s"""(SELECT f.vec_id, f.v, f.nrm FROM q30ef f JOIN q30vh h USING (vec_id)
+         |  ORDER BY h.h, f.vec_id LIMIT $EmbedRecallProbes)""".stripMargin)
+    ctes += ("q251tr" ->
+      s"""(SELECT DISTINCT least(s.p_id, s.c_id) AS a_id,
+         |    greatest(s.p_id, s.c_id) AS b_id, s.sim
+         |  FROM (SELECT p.vec_id AS p_id, c.vec_id AS c_id,
+         |          list_reduce(list_prepend(0.0::DOUBLE,
+         |              list_transform(range(1, 65), i -> p.v[i] * c.v[i])),
+         |            (a, x) -> a + x) / (p.nrm * c.nrm) AS sim
+         |        FROM q251pb p JOIN q30ef c ON p.vec_id <> c.vec_id) s
+         |  WHERE s.sim >= $NearDupThreshold)""".stripMargin)
+    ctes += ("q251cd" ->
+      s"(SELECT a_id, b_id FROM q30sim WHERE sim >= $NearDupThreshold)")
+    ctes += ("q251pp" ->
+      """(SELECT t.sim, (c.a_id IS NOT NULL) AS caught
+        |  FROM q251tr t LEFT JOIN q251cd c USING (a_id, b_id))""".stripMargin)
+    ctes += ("q251th" -> s"(SELECT unnest($thList) AS threshold)")
+    ctes += ("q251ag" ->
+      """(SELECT threshold, count(*)::BIGINT AS n_true,
+        |    CAST(sum(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+        |  FROM q251pp, q251th WHERE sim >= threshold GROUP BY threshold)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT th.threshold,
+        |  coalesce(a.n_true, 0)::BIGINT AS n_true,
+        |  coalesce(a.n_caught, 0)::BIGINT AS n_caught,
+        |  CASE WHEN coalesce(a.n_true, 0) > 0
+        |    THEN round(a.n_caught::DOUBLE / a.n_true::DOUBLE, 6) END AS recall,
+        |  np.planes
+        |FROM q251th th LEFT JOIN q251ag a USING (threshold), q30np np
+        |ORDER BY th.threshold""".stripMargin)
   }
 
   // --- q75: Johnson–Lindenstrauss random projection --------------------------
@@ -2484,7 +2706,8 @@ object VectorOps {
     // branches (and the best/pick consumers) otherwise re-execute the
     // whole LSH bucket pipeline per read (the sf1 lane measured exp 1.11
     // from exactly that; pairs are dup-rate-bounded, cheap to pin)
-    val pairs = graft.core.CacheScope.persist(nearDupPairsRaw(spark, emb(spark, dir)))
+    val pairs = graft.core.CacheScope.persist(
+      nearDupPairsRaw(spark, emb(spark, dir), nearDupPlanesFor(spark, dir)))
     val withSplits = pairs
       .withColumn("sa", splitNameCol(splitBucketCol(col("a_id"))))
       .withColumn("sb", splitNameCol(splitBucketCol(col("b_id"))))
@@ -2584,7 +2807,8 @@ object VectorOps {
     */
   def knnLabelAgreement(spark: SparkSession, dir: String): DataFrame = {
     // persisted before the two-branch orientation union — q212's rule
-    val pairs = graft.core.CacheScope.persist(nearDupPairsRaw(spark, emb(spark, dir)))
+    val pairs = graft.core.CacheScope.persist(
+      nearDupPairsRaw(spark, emb(spark, dir), nearDupPlanesFor(spark, dir)))
     val oriented = pairs
       .select(col("a_id").as("focal"), col("b_id").as("nb"), col("sim"))
       .unionAll(pairs.select(col("b_id").as("focal"), col("a_id").as("nb"), col("sim")))
@@ -2657,7 +2881,8 @@ object VectorOps {
     */
   private def knnTopK(spark: SparkSession, dir: String): DataFrame = {
     // persisted before the two-branch orientation union — q212's rule
-    val pairs = graft.core.CacheScope.persist(nearDupPairsRaw(spark, emb(spark, dir)))
+    val pairs = graft.core.CacheScope.persist(
+      nearDupPairsRaw(spark, emb(spark, dir), nearDupPlanesFor(spark, dir)))
     val oriented = pairs
       .select(col("a_id").as("focal"), col("b_id").as("nb"), col("sim"))
       .unionAll(pairs.select(col("b_id").as("focal"), col("a_id").as("nb"), col("sim")))

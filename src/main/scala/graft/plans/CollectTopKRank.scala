@@ -123,11 +123,18 @@ case class CollectTopKRank(
   }
 
   // the Collect-family serialization idiom: each kept struct as one
-  // UnsafeRow wrapped in a single-field row
+  // UnsafeRow wrapped in a single-field row. The projection is hoisted to
+  // a lazy val on the aggregate instance (as Spark's Collect aggregates
+  // do): serialize() runs once per GROUP at partial-agg output, and
+  // creating the projection there put a codegen-cache lookup +
+  // instantiation on the hot shuffle-write path.
+  @transient private lazy val serializeProjection: UnsafeProjection =
+    UnsafeProjection.create(Array[DataType](structType))
+
   override def serialize(buf: RankTopKBuffer): Array[Byte] = {
     val bos  = new ByteArrayOutputStream()
     val dos  = new DataOutputStream(bos)
-    val proj = UnsafeProjection.create(Array[DataType](structType))
+    val proj = serializeProjection
     dos.writeInt(buf.rows.length)
     buf.rows.foreach { r =>
       val bytes = proj(InternalRow(r)).getBytes

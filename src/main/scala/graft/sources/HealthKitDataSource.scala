@@ -68,25 +68,52 @@ object HealthKitTable {
     StructField("ordinal", LongType, nullable = false)))
 
   /** Expand the load path(s) to the sorted archive member list: a
-    * directory contributes its `*.zip` files, a file contributes itself.
-    * Sorted so partition → archiveIdx → ordinal is run-stable.
+    * directory contributes its `*.zip` files, a file contributes itself,
+    * and a path carrying a URI scheme (or glob characters) resolves
+    * through `org.apache.hadoop.fs.FileSystem.globStatus` — the cluster
+    * listing path; scheme-less paths keep the local `java.io.File` fast
+    * path. Sorted so partition → archiveIdx → ordinal is run-stable.
     */
   def expandPaths(options: CaseInsensitiveStringMap): Seq[String] = {
     val raw: Seq[String] = {
       val multi = Option(options.get("paths")).toSeq.flatMap { js =>
-        // the "paths" option is a JSON string array (DataFrameReader.load(paths*))
-        js.stripPrefix("[").stripSuffix("]").split(",").toSeq
-          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+        // the "paths" option is a JSON string array (DataFrameReader
+        // .load(paths*)) — parse it as JSON (Jackson ships with Spark), not
+        // by splitting on commas: a path containing a comma, quote, or
+        // escape must survive intact. A value that is not a JSON array is
+        // treated as one literal path.
+        try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+          if (node.isArray)
+            (0 until node.size()).map(node.get(_).asText()).filter(_.nonEmpty)
+          else Seq(js).filter(_.nonEmpty)
+        } catch { case _: Exception => Seq(js).filter(_.nonEmpty) }
       }
       multi ++ Option(options.get("path")).toSeq
     }
     raw.flatMap { p =>
-      val f = new java.io.File(p)
-      if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten
-          .filter(x => x.isFile && x.getName.endsWith(".zip"))
-          .map(_.getPath)
-      else Seq(p)
+      val hasScheme = new org.apache.hadoop.fs.Path(p).toUri.getScheme != null
+      val hasGlob   = p.exists("*?[{".contains(_))
+      if (hasScheme || hasGlob) {
+        // Hadoop resolution: glob (a literal path globs to itself), then
+        // expand directories to their *.zip members
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs   = path.getFileSystem(HealthKitXml.hadoopConf())
+        Option(fs.globStatus(path)).toSeq.flatten.flatMap { st =>
+          if (st.isDirectory)
+            fs.listStatus(st.getPath).toSeq
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".zip"))
+              .map(_.getPath.toString)
+          else Seq(st.getPath.toString)
+        }
+      } else {
+        val f = new java.io.File(p)
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten
+            .filter(x => x.isFile && x.getName.endsWith(".zip"))
+            .map(_.getPath)
+        else Seq(p)
+      }
       // duplicates are deliberate re-reads (file-source semantics); sorted
       // so partition -> archiveIdx -> ordinal is run-stable
     }.sorted
@@ -212,12 +239,14 @@ class HealthKitPartitionReader(
     case _                 => true
   }
   // ordinals index the FULL element stream (assigned before the filter),
-  // so a filtered scan sees the same ordinals an unfiltered scan would
-  private val iter: Iterator[(HealthKitXml.HkElement, Int)] = {
-    val base =
+  // so a filtered scan sees the same ordinals an unfiltered scan would.
+  // The archive/StAX closer is kept so close() can dispose the handles of
+  // an early-terminated scan (LIMIT, task kill) immediately.
+  private val (iter, closer): (Iterator[(HealthKitXml.HkElement, Int)], () => Unit) = {
+    val (base, c) =
       if (lenient) HealthKitXml.lenientIterator(path, () => badCount += 1, wantJson)
-      else HealthKitXml.parseArchive(path, wantJson)
-    base.zipWithIndex.filter { case (e, _) => keep(e) }
+      else HealthKitXml.parseArchiveWithCloser(path, wantJson)
+    (base.zipWithIndex.filter { case (e, _) => keep(e) }, c)
   }
   private var current: InternalRow = _
 
@@ -244,7 +273,7 @@ class HealthKitPartitionReader(
     }
 
   override def get(): InternalRow = current
-  override def close(): Unit      = () // parseArchive closes at EOF/task end
+  override def close(): Unit      = closer() // idempotent; task-end listener is the backstop
   override def currentMetricsValues(): Array[CustomTaskMetric] =
     Array(BadArchivesTaskMetric(badCount))
 }

@@ -52,6 +52,70 @@ object HealthKitXml {
   val WorkoutTable         = "Workout"
   val ActivitySummaryTable = "ActivitySummary"
 
+  // ------------------------------------------------------------ archive I/O
+
+  /** Hadoop configuration for path resolution/opens: the active session's
+    * (carries `fs.*`/credential settings) when one exists on this JVM —
+    * always true on the driver and in local mode — else a fresh default
+    * (an executor-side open of a plain `file:` path needs nothing more;
+    * a cluster deployment ships the session conf via the usual
+    * spark.hadoop.* mechanism, which `new Configuration(true)` loads).
+    */
+  private[sources] def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** Archive access with two implementations: the LOCAL fast path wraps
+    * [[java.util.zip.ZipFile]] (random access via the central directory —
+    * the GPX second handle is a free `getEntry`); any path carrying a URI
+    * scheme (`file://`, `hdfs://`, `s3a://`, …) routes through
+    * `org.apache.hadoop.fs.FileSystem.open` + a streaming
+    * [[java.util.zip.ZipInputStream]] scan per member read (zip central
+    * directories aren't random-access over a remote stream without range
+    * reads; a member open is one forward scan, and the GPX second handle
+    * simply re-opens the stream — mirroring the reference's dual zip
+    * readers, core.rs:48-51).
+    */
+  private[sources] sealed trait ArchiveHandle {
+    /** Open `member` as a fresh stream (caller closes), None if absent. */
+    def open(member: String): Option[java.io.InputStream]
+
+    /** Release the handle itself (member streams close independently). */
+    def close(): Unit
+  }
+
+  private[sources] final class LocalZipHandle(path: String) extends ArchiveHandle {
+    private val zip = new java.util.zip.ZipFile(path)
+    override def open(member: String): Option[java.io.InputStream] =
+      Option(zip.getEntry(member)).map(zip.getInputStream)
+    override def close(): Unit = zip.close()
+  }
+
+  private[sources] final class HadoopZipHandle(path: String) extends ArchiveHandle {
+    private val hPath = new org.apache.hadoop.fs.Path(path)
+    private val fs    = hPath.getFileSystem(hadoopConf())
+    override def open(member: String): Option[java.io.InputStream] = {
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.BufferedInputStream(fs.open(hPath)))
+      try {
+        var e = zin.getNextEntry
+        while (e != null && e.getName != member) e = zin.getNextEntry
+        if (e == null) { zin.close(); None } else Some(zin)
+      } catch { case t: Throwable => zin.close(); throw t }
+    }
+    override def close(): Unit = ()
+  }
+
+  /** Scheme-less paths take the ZipFile fast path; everything else goes
+    * through the Hadoop filesystem (incl. explicit `file://` — that is
+    * the spec's end-to-end cluster-path rehearsal).
+    */
+  private[sources] def openArchive(path: String): ArchiveHandle =
+    if (new org.apache.hadoop.fs.Path(path).toUri.getScheme == null)
+      new LocalZipHandle(path)
+    else new HadoopZipHandle(path)
+
   // ---------------------------------------------------------------- parsing
 
   /** Parse one or more export.zip archives into a Dataset of elements —
@@ -67,9 +131,11 @@ object HealthKitXml {
     * consumers are unaffected: each element carries its document
     * [[HkElement.ordinal]], assigned inside the scan, and first-seen-wins
     * inference reduces over it (`min_by`), deterministic under any
-    * partitioning. (Paths must be visible from executors — local FS here;
-    * at cluster scale the open would go through
-    * `org.apache.hadoop.fs.FileSystem`.)
+    * partitioning. Paths resolve through `org.apache.hadoop.fs.FileSystem`
+    * whenever they carry a scheme (`file://`, `hdfs://`, `s3a://`, …) —
+    * listing via `globStatus`, opens via `FileSystem.open` + a streaming
+    * `ZipInputStream` ([[ArchiveHandle]]) — with scheme-less local paths
+    * keeping the `java.util.zip.ZipFile` fast path.
     *
     * `lenient = true` is the large-fleet posture: a corrupt archive is
     * logged, counted, and skipped instead of failing the whole job — at
@@ -104,15 +170,15 @@ object HealthKitXml {
       path: String,
       onBad: () => Unit,
       wantJson: Boolean
-  ): Iterator[HkElement] = {
+  ): (Iterator[HkElement], () => Unit) = {
     def skip(e: Exception): Unit = {
       System.err.println(s"[graft] skipping unreadable archive $path: ${e.getMessage}")
       onBad()
     }
-    val underlying =
-      try parseArchive(path, wantJson)
-      catch { case e: Exception => skip(e); return Iterator.empty }
-    new Iterator[HkElement] {
+    val (underlying, closer) =
+      try parseArchiveWithCloser(path, wantJson)
+      catch { case e: Exception => skip(e); return (Iterator.empty, () => ()) }
+    val it = new Iterator[HkElement] {
       private var pending: HkElement = null
       private var broken             = false
       override def hasNext: Boolean =
@@ -127,6 +193,7 @@ object HealthKitXml {
         val e = pending; pending = null; e
       }
     }
+    (it, closer)
   }
 
   /** Streaming-parse a single archive as a LAZY iterator — elements are
@@ -143,14 +210,24 @@ object HealthKitXml {
     * never opened or parsed (a second decompression stream per workout
     * otherwise).
     */
-  def parseArchive(zipPath: String, wantJson: Boolean): Iterator[HkElement] = {
-    val archive = new java.util.zip.ZipFile(zipPath)
-    val entry   = archive.getEntry("apple_health_export/export.xml")
-    if (entry == null) {
+  def parseArchive(zipPath: String, wantJson: Boolean): Iterator[HkElement] =
+    parseArchiveWithCloser(zipPath, wantJson)._1
+
+  /** [[parseArchive]] plus an idempotent closer: the DSv2 partition reader
+    * disposes the archive/StAX handles in its own `close()` — an
+    * early-terminated scan (LIMIT, task kill, downstream failure) frees
+    * resources immediately instead of waiting for GC or the task-end
+    * listener (which stays registered as the backstop).
+    */
+  def parseArchiveWithCloser(
+      zipPath: String,
+      wantJson: Boolean): (Iterator[HkElement], () => Unit) = {
+    val archive = openArchive(zipPath)
+    val in = archive.open("apple_health_export/export.xml").getOrElse {
       archive.close()
       throw new IllegalArgumentException(s"no apple_health_export/export.xml in $zipPath")
     }
-    val reader = xmlReader(archive.getInputStream(entry))
+    val reader = xmlReader(in)
     import javax.xml.stream.XMLStreamConstants._
 
     var closed = false
@@ -158,14 +235,17 @@ object HealthKitXml {
       if (!closed) {
         closed = true
         try reader.close()
-        finally archive.close()
+        finally {
+          try in.close()
+          finally archive.close()
+        }
       }
     // a downstream limit()/take() may stop pulling before EOF — close with
     // the task rather than leaking the handle until GC
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => closeResources()))
 
-    new Iterator[HkElement] {
+    val it = new Iterator[HkElement] {
       private var pending: HkElement = null
 
       private def close(): Unit = closeResources()
@@ -200,6 +280,7 @@ object HealthKitXml {
         val e = pending; pending = null; e
       }
     }
+    (it, () => closeResources())
   }
 
   /** JDK StAX reader with DTD processing off: Apple's export DTD is
@@ -245,7 +326,7 @@ object HealthKitXml {
     */
   private def parseWorkout(
       r: javax.xml.stream.XMLStreamReader,
-      zip: java.util.zip.ZipFile,
+      zip: ArchiveHandle,
       wantJson: Boolean = true
   ): HkElement = {
     val attrs  = mutable.LinkedHashMap.empty[String, String]
@@ -290,24 +371,28 @@ object HealthKitXml {
 
   /** GPX track points → GeoJSON LineString, [lon, lat] pairs (core.rs:588-628).
     * Coordinates go through f32 like the reference (f32 parse → f64 print).
+    * The member stream is the archive's SECOND handle (free `getEntry` on
+    * the local fast path; a re-opened `ZipInputStream` scan on Hadoop
+    * paths) and closes with this call.
     */
-  def gpxToGeoJson(zip: java.util.zip.ZipFile, entryName: String): String = {
-    val entry = zip.getEntry(entryName)
-    if (entry == null) return "{}"
-    val r      = xmlReader(zip.getInputStream(entry))
-    val coords = mutable.ArrayBuffer.empty[String]
-    import javax.xml.stream.XMLStreamConstants._
-    while (r.hasNext) {
-      r.next() match {
-        case START_ELEMENT if r.getLocalName == "trkpt" =>
-          val m = attrsOf(r)
-          for (lon <- m.get("lon"); lat <- m.get("lat"))
-            coords += s"[${jsonF32(lon)},${jsonF32(lat)}]"
-        case _ => ()
+  private[sources] def gpxToGeoJson(zip: ArchiveHandle, entryName: String): String = {
+    val in = zip.open(entryName).getOrElse(return "{}")
+    try {
+      val r      = xmlReader(in)
+      val coords = mutable.ArrayBuffer.empty[String]
+      import javax.xml.stream.XMLStreamConstants._
+      while (r.hasNext) {
+        r.next() match {
+          case START_ELEMENT if r.getLocalName == "trkpt" =>
+            val m = attrsOf(r)
+            for (lon <- m.get("lon"); lat <- m.get("lat"))
+              coords += s"[${jsonF32(lon)},${jsonF32(lat)}]"
+          case _ => ()
+        }
       }
-    }
-    r.close()
-    s"""{"coordinates":${coords.mkString("[", ",", "]")},"type":"LineString"}"""
+      r.close()
+      s"""{"coordinates":${coords.mkString("[", ",", "]")},"type":"LineString"}"""
+    } finally in.close()
   }
 
   // Minimal JSON rendering (no deps): numbers follow the reference's

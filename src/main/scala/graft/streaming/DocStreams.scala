@@ -19,6 +19,7 @@ object DocStreams {
 
   case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
   case class SrcDoc(doc_id: Long, text: String, source: String, ts: java.sql.Timestamp)
+  case class Vec(vec_id: Long, v: Seq[Double], ts: java.sql.Timestamp)
 
   /** §2.E streaming ingest gate — the stateless front of the batch clean
     * pipeline applied to a live document stream in ONE map-side pass:
@@ -553,6 +554,98 @@ object DocStreams {
           .when(col("n_shared_8") > 0, "strong")
           .when(col("n_shared_4") > 0, "weak")
           .otherwise("clean"))
+  }
+
+  /** One eval-set vector in E65's broadcast LSH store: its id, its
+    * (table, bucket) cells flattened to unique longs
+    * (`t · 2^planes + bucket` — bucket ids collide ACROSS tables, the
+    * flattening keeps cells distinct), the double vector, and its norm.
+    */
+  case class EvalVec(vec_id: Long, cells: Seq[Long], v: Seq[Double], nrm: Double)
+
+  /** E65: streaming semantic-decontamination gate (twin: q212 — the
+    * embedding-space complement of E50/E64's gram gates): each incoming
+    * TRAIN-candidate vector is screened against the broadcast EVAL-SET
+    * LSH store before it can enter a training shard — a paraphrased
+    * benchmark answer shares no 8-gram with its source (E50/E64 pass it)
+    * but its embedding still lands in an eval vector's bucket. Per
+    * incoming vector: the eval candidates sharing ≥ 1 LSH cell at cosine
+    * ≥ the q30 candidate gate, the best one (max cosine, ties to the
+    * smallest eval id), and the leak verdict at
+    * [[graft.operators.VectorOps.SemLeakThreshold]].
+    *
+    * Same stateless broadcast-literal shape as E50 (an eval suite is
+    * SMALL BY NATURE — its vectors are a bounded set): no state store, no
+    * watermark, no shuffle. The store's cells and the incoming buckets
+    * use the SAME corpus-derived plane count and hyperplane family
+    * ([[graft.functions.Expressions.hyperplane_bucket]]), and the cosine
+    * is the same termwise fold — so a flagged vector is exactly a vector
+    * batch q212 would pair (spec-reconciled; the one divergence is the
+    * batch side's over-cap bucket SAMPLING, which at eval-suite bucket
+    * sizes never engages). Zero-norm vectors carry no direction and pass
+    * clean, q30's rule. Refresh cadence = eval-set release cadence, the
+    * snapshot-refresh-by-restart contract.
+    */
+  def semanticLeakGate(vecs: DataFrame, evalStore: Seq[EvalVec], planes: Int): DataFrame = {
+    import graft.functions.Expressions.{dot_product, hyperplane_bucket, l2_norm}
+    import graft.operators.VectorOps
+    val store = typedLit(evalStore)
+    val cells = array((0 until VectorOps.NearDupTables).map { t =>
+      (lit(t.toLong) * lit(1L << planes) +
+        hyperplane_bucket(col("v"), t, planes).cast("long")).as(s"c$t")
+    }: _*)
+    vecs
+      .withColumn("nrm", l2_norm(col("v")))
+      .withColumn("cells", cells)
+      .withColumn("hits",
+        when(col("nrm") > 0,
+          filter(
+            transform(
+              filter(store, e => arrays_overlap(e.getField("cells"), col("cells"))),
+              e => struct(
+                e.getField("vec_id").as("eval_id"),
+                (dot_product(e.getField("v"), col("v")) / (e.getField("nrm") * col("nrm")))
+                  .as("sim"))),
+            s => s.getField("sim") >= VectorOps.NearDupThreshold))
+          .otherwise(expr("CAST(array() AS array<struct<eval_id:bigint,sim:double>>)")))
+      .withColumn("n_eval_cands", size(col("hits")).cast("long"))
+      .withColumn("best_sim_raw", array_max(expr("transform(hits, s -> s.sim)")))
+      .withColumn("best_eval",
+        array_min(expr("transform(filter(hits, s -> s.sim = best_sim_raw), s -> s.eval_id)")))
+      .select(
+        col("vec_id"), col("ts"),
+        col("n_eval_cands"),
+        col("best_eval"),
+        round(col("best_sim_raw"), 4).as("best_sim"),
+        coalesce(col("best_sim_raw") >= VectorOps.SemLeakThreshold, lit(false)).as("is_leak"))
+  }
+
+  /** The eval-side LSH store E65 broadcasts, with the plane count derived
+    * from the SAME corpus count batch q212 uses: every non-train-split
+    * vector (q40's content-stable split rule on vec_id) with its
+    * flattened LSH cells — bounded by the eval suite's size.
+    */
+  def evalLshStore(
+      spark: org.apache.spark.sql.SparkSession, dir: String): (Seq[EvalVec], Int) = {
+    import graft.functions.Expressions.hyperplane_bucket
+    import graft.operators.{TrainingOps, VectorOps}
+    val planes = VectorOps.nearDupPlanesFor(spark, dir)
+    val cells = array((0 until VectorOps.NearDupTables).map { t =>
+      lit(t.toLong) * lit(1L << planes) + hyperplane_bucket(col("v"), t, planes).cast("long")
+    }: _*)
+    val rows = VectorOps.emb(spark, dir)
+      .withColumn("split",
+        TrainingOps.splitNameCol(TrainingOps.splitBucketCol(col("vec_id"))))
+      .filter(col("split") =!= "train")
+      .select(col("vec_id"), cells.as("cells"), col("v"), col("nrm"))
+      .collect() // eval-suite-bounded by construction
+      .map(r => EvalVec(
+        r.getLong(0),
+        r.getSeq[Long](1),
+        r.getSeq[Double](2),
+        r.getDouble(3)))
+      .toSeq
+    (rows, planes)
   }
 
   /** The per-grain eval gram stores E64 broadcasts. */

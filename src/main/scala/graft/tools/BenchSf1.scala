@@ -22,27 +22,23 @@ object BenchSf1 {
     * with the reason recorded — anything here still appears in the
     * artifact, it just doesn't fail the gate.
     */
-  /** The honest cap-bounded story for the q30 embed-pair family, written
-    * to match the r12 MEASUREMENT (not the other way round): at fixed
-    * planes the 6×2⁵ = 192 (table, bucket) cells are a constant-size
-    * space, so as independent data grows, per-bucket occupancy — and the
-    * within-bucket pair expansion — grows QUADRATICALLY until the
-    * [[graft.operators.TextOps.MaxBucket]] cap clamps every cell, after
-    * which candidate work is a CONSTANT ceiling (cells × cap²/2; the
-    * gate asserts it). The sf0.1 → sf1 window sits squarely in that
-    * pre-saturation transition — measured per-doc pair density ×10.1 —
-    * which is what a 0.35-cosine threshold at dim 64 admits from
-    * correlated-noise pairs (the corpus has no cos ≥ 0.7 structure at
-    * all). A 100 TB campaign keeps the linear asymptote by the standard
-    * LSH prescription: planes ∝ log n so expected bucket occupancy stays
-    * constant — buckets then scale with the corpus and candidate pairs
-    * stay linear; at the bench's fixed test-scale planes the ceiling
-    * check is the invariant that holds instead.
+  /** The embed-pair family's story since r13: the plane count is derived
+    * from the corpus ([[graft.operators.VectorOps.nearDupPlanesFor]] —
+    * planes = max(5, ceil(log2(n/32)))), so expected bucket occupancy —
+    * and the per-doc candidate-pair density — is constant BY CONSTRUCTION
+    * as the corpus grows; over-cap buckets deterministically SAMPLE to
+    * [[graft.operators.TextOps.MaxBucket]] members instead of dropping.
+    * The claim is measured, not asserted: the gate records per-doc pair
+    * density at both SFs and revokes the exemption past
+    * [[PairDensityGate]]× (the r12 run measured the old fixed-plane
+    * setting at ×10.1 and caught the stale justification; this text and
+    * the sizing both answer that measurement).
     */
-  private val CapBoundedWhy =
-    "cap-bounded LSH pair family: candidate work <= cells x cap^2 (constant ceiling at " +
-      "fixed planes; gate-asserted), pre-saturation transition measured ~x10 per-doc " +
-      "density across sf0.1->sf1 — production sizes planes ~ log n for the linear asymptote"
+  private val EmbedLshWhy =
+    "embed-LSH pair family at corpus-sized planes (max(5, ceil(log2(n/32))), r13): expected " +
+      "per-doc candidate density constant by construction -> pair-linear cost; over-cap " +
+      "buckets sample to the cap (content-stable xxhash64 order) instead of dropping; " +
+      "density ratio measured below and revocable"
 
   val LinearAllowlist: Map[String, String] = Map(
     "q94_gap_fill" -> ("resampling emits the full (user, hour) grid — output itself grows " +
@@ -51,28 +47,14 @@ object BenchSf1 {
       "pairs grow linearly with the corpus (dup structure is linear by construction — " +
       "measured density ratio 1.0 at r12), per-pair cost is constant — candidate-bounded, " +
       "never corpus^2"),
-    "q30_embed_neardup"        -> CapBoundedWhy,
-    "q65_semdedup"             -> (CapBoundedWhy + "; SemDeDup keeper rule on the same pairs"),
-    "q212_semantic_decontam"   -> (CapBoundedWhy + "; plus pair-keyed split joins"),
-    "q213_knn_label_agreement" -> (CapBoundedWhy + "; both pair orientations through the top-k heap"),
-    "q227_knn_hubness"         -> (CapBoundedWhy + "; in-degree fold over the q213 edge list"),
-    "q228_fleiss_kappa"        -> (CapBoundedWhy + "; per-item vote table over the q213 kNN panel")
+    "q30_embed_neardup"        -> EmbedLshWhy,
+    "q65_semdedup"             -> (EmbedLshWhy + "; SemDeDup keeper rule on the same pairs"),
+    "q212_semantic_decontam"   -> (EmbedLshWhy + "; plus pair-keyed split joins"),
+    "q213_knn_label_agreement" -> (EmbedLshWhy + "; both pair orientations through the top-k heap"),
+    "q227_knn_hubness"         -> (EmbedLshWhy + "; in-degree fold over the q213 edge list"),
+    "q228_fleiss_kappa"        -> (EmbedLshWhy + "; per-item vote table over the q213 kNN panel"),
+    "q251_embed_recall"        -> (EmbedLshWhy + "; plus a probe-bounded exact truth scan")
   )
-
-  /** Entries whose exemption rests on the cap ceiling rather than pair
-    * linearity: the density check publishes but does not revoke; the
-    * structural ceiling check (pairs ≤ cells × cap²/2) revokes instead.
-    */
-  val CapBounded: Set[String] = Set(
-    "q30_embed_neardup", "q65_semdedup", "q212_semantic_decontam",
-    "q213_knn_label_agreement", "q227_knn_hubness", "q228_fleiss_kappa")
-
-  def embedPairCeiling: Long = {
-    val cells = graft.operators.VectorOps.NearDupTables.toLong *
-      (1L << graft.operators.VectorOps.NearDupPlanes)
-    val cap = graft.operators.TextOps.MaxBucket.toLong
-    cells * cap * (cap - 1) / 2
-  }
 
   val ExpGate    = 0.9
   val MinSf1Secs = 1.0
@@ -91,6 +73,7 @@ object BenchSf1 {
     "q213_knn_label_agreement" -> "embed_neardup_pairs",
     "q227_knn_hubness"        -> "embed_neardup_pairs",
     "q228_fleiss_kappa"       -> "embed_neardup_pairs",
+    "q251_embed_recall"       -> "embed_neardup_pairs",
     "q94_gap_fill"            -> "output_rows"
   )
   val PairDensityGate = 2.0
@@ -150,17 +133,22 @@ object BenchSf1 {
       }
     }
 
-    // the allowlist's own evidence: per-doc pair densities at both SFs
+    // the allowlist's own evidence: per-doc pair densities at both SFs.
+    // A FAILED measurement is not a free pass: missing stats for a gated
+    // entry are treated as a gate violation below (the r12 advisory —
+    // an empty map must not make every density check vacuously hold).
     def pairStats(dir: String): Map[String, Long] =
       try {
+        val vo    = graft.operators.VectorOps
         val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
         val textPairs = graft.operators.SharedStages.minhashEdges(spark, dir).count()
-        val embPairs = graft.operators.VectorOps
-          .nearDupPairsRaw(spark, graft.operators.VectorOps.emb(spark, dir)).count()
+        val embPairs =
+          vo.nearDupPairsRaw(spark, vo.emb(spark, dir), vo.nearDupPlanesFor(spark, dir)).count()
         val gapRows = SparkEntry.queries("q94_gap_fill")(spark, dir).count()
         graft.core.CacheScope.drain(spark)
         Map(
           "docs"                 -> nDocs,
+          "planes"               -> vo.nearDupPlanesFor(spark, dir).toLong,
           "text_candidate_pairs" -> textPairs,
           "embed_neardup_pairs"  -> embPairs,
           "output_rows"          -> gapRows)
@@ -182,9 +170,9 @@ object BenchSf1 {
     graft.operators.SharedStages.release(spark)
 
     // an allowlisted query whose measured per-doc density grew past the
-    // gate loses its exemption: its justification is measured false.
-    // Cap-bounded entries are instead held to their structural ceiling
-    // (pairs ≤ cells × cap²/2 — the invariant their exemption rests on).
+    // gate loses its exemption: its justification is measured false. A
+    // query whose measurement is MISSING (pairStats threw) also loses it —
+    // an empty stats map must not make the check vacuously pass.
     val densityRatio: Map[String, Double] = AllowlistMetric.flatMap { case (q, metric) =>
       for {
         d01 <- stats01.get("docs"); d1 <- stats1.get("docs")
@@ -193,9 +181,7 @@ object BenchSf1 {
       } yield q -> (p1.toDouble / d1) / (p01.toDouble / d01)
     }
     val brokenJustification = AllowlistMetric.keySet.filter { q =>
-      if (CapBounded(q))
-        stats1.get(AllowlistMetric(q)).exists(_ > embedPairCeiling)
-      else densityRatio.get(q).exists(_ > PairDensityGate)
+      densityRatio.get(q).forall(_ > PairDensityGate) // forall: missing measurement ⇒ broken
     }
 
     val violations = rows.collect {
@@ -217,12 +203,13 @@ object BenchSf1 {
         val p01   = stats01.getOrElse(m, -1L)
         val p1    = stats1.getOrElse(m, -1L)
         val ratio = densityRatio.get(k).map(r => f"$r%.3f").getOrElse("null")
-        val cls =
-          if (CapBounded(k)) s""", "class": "cap-bounded", "pair_ceiling": $embedPairCeiling"""
-          else ""
+        // null ratio = measurement failed; justification_holds is then
+        // null in the artifact AND the entry counts as a gate violation
+        val holds =
+          if (densityRatio.contains(k)) (!brokenJustification.contains(k)).toString else "null"
         s""", "metric": "$m", "pairs_sf01": $p01, "pairs_sf1": $p1,""" +
-          s""" "per_doc_density_ratio": $ratio$cls,""" +
-          s""" "justification_holds": ${!brokenJustification.contains(k)}"""
+          s""" "per_doc_density_ratio": $ratio,""" +
+          s""" "justification_holds": $holds"""
       }.getOrElse("")
       s"""  "$k": {"why": "$why"$measured}"""
     }
@@ -235,6 +222,7 @@ object BenchSf1 {
       s"""{"replicas": ${ScaleData.Replicas},
          |"note": "ALL registered queries re-timed on the deterministic 10x corpus; scale_exp = log10(t_sf1/t_sf0.1): 0=overhead-bound, 1=linear; gate: exp > $ExpGate AND sf1_s > $MinSf1Secs s outside the allowlist fails; allowlist entries carry their MEASURED pair densities and lose the exemption when per-doc density grows > ${PairDensityGate}x",
          |"docs": {"sf01": ${stats01.getOrElse("docs", -1L)}, "sf1": ${stats1.getOrElse("docs", -1L)}},
+         |"neardup_planes": {"sf01": ${stats01.getOrElse("planes", -1L)}, "sf1": ${stats1.getOrElse("planes", -1L)}},
          |"shared_prewarm_s": {${sharedJson.mkString(", ")}},
          |"gate_violations": $vio,
          |"allowlist": {

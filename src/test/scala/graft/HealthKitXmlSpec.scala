@@ -443,4 +443,56 @@ class HealthKitXmlSpec extends SparkSpec {
     assert(scan.scan.supportedCustomMetrics().map(_.name()).contains("badArchives"))
     assert(scan.metrics.contains("badArchives"), "metric must surface on the scan node")
   }
+
+  test("A12: file://-scheme Hadoop path is byte-identical to the local fast path (both doors)") {
+    // the cluster-path rehearsal: an explicit scheme routes listing through
+    // FileSystem.globStatus and opens through FileSystem.open+ZipInputStream
+    val local = HealthKitXml.elements(spark, Seq(zipPath)).collect().sortBy(_.ordinal).toSeq
+    val had = HealthKitXml.elements(spark, Seq(s"file://$zipPath"))
+      .collect().sortBy(_.ordinal).toSeq
+    assert(local == had, "Hadoop-routed parse must be element-for-element identical")
+    assert(local.nonEmpty && local.exists(_.jsonCols.get("geometry").exists(_.length > 2)),
+      "the GPX second handle must be exercised (non-empty geometry)")
+    // DSv2 front door on the scheme'd path
+    val df = spark.read.format("healthkit").load(s"file://$zipPath")
+    assert(df.count() == local.size.toLong)
+  }
+
+  test("A12: glob patterns list through the Hadoop filesystem") {
+    val dir = java.nio.file.Files.createTempDirectory("hk_glob")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(zipPath), dir.resolve("a.zip"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(zipPath), dir.resolve("b.zip"))
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "not an archive".getBytes)
+    val df = spark.read.format("healthkit").load(s"$dir/*.zip")
+    assert(df.count() == 24, "glob must match exactly the two archives")
+    val df2 = spark.read.format("healthkit").load(s"file://$dir")
+    assert(df2.count() == 24, "scheme'd directory listing must keep the *.zip filter")
+  }
+
+  test("A12: the DSv2 paths option survives a comma in a path (real JSON parse)") {
+    val dir = java.nio.file.Files.createTempDirectory("hk, comma")
+    val p   = dir.resolve("a.zip")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(zipPath), p)
+    // two-path load → DataFrameReader encodes the "paths" option as a JSON
+    // string array; the comma inside the first path must survive
+    val df = spark.read.format("healthkit").load(p.toString, zipPath)
+    assert(df.count() == 24, "comma-bearing path mangled by the paths-option parse")
+    // unit-level: expandPaths on a crafted option map
+    val m = new java.util.HashMap[String, String]()
+    m.put("paths", s"""["${p.toString}"]""")
+    val got = graft.sources.HealthKitTable.expandPaths(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(m))
+    assert(got == Seq(p.toString), s"got $got")
+  }
+
+  test("A12: partition reader close() disposes the archive handles (idempotent, early)") {
+    val reader = graft.sources
+      .HealthKitReaderFactory(graft.sources.HealthKitTable.Schema.fieldNames.toSeq, lenient = false)
+      .createReader(graft.sources.HealthKitInputPartition(zipPath, 0L))
+    assert(reader.next(), "fixture has elements")
+    reader.close() // early termination: handles released here, not at GC
+    reader.close() // idempotent
+    // the LIMIT path end-to-end (early-terminated scan through the format)
+    assert(spark.read.format("healthkit").load(zipPath).limit(1).collect().length == 1)
+  }
 }

@@ -77,4 +77,40 @@ class LayoutOpsSpec extends SparkSpec {
     val bytes = layout.map(_.getLong(2))
     assert(bytes.max <= 3 * bytes.min, s"file sizes ${bytes.mkString(",")}")
   }
+
+  test("q167 write executor: compactionWriteDocs materializes EXACTLY the planned file counts") {
+    import org.apache.spark.sql.functions.col
+    val outDir = java.nio.file.Files.createTempDirectory("graft_compactwrite").toString
+    val layout = LayoutOps.compactionWriteDocs(spark, Sf001, outDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    val plan = LayoutOps.compactionPlan(spark, Sf001)
+      .filter(col("source") =!= "_ALL").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(6)))
+    val coalesceSrcs = plan.filter(_._5 == "coalesce").map(_._1).toSet
+    val okPlan       = plan.filterNot(p => coalesceSrcs(p._1))
+    // every ok source has its own directory with EXACTLY the planned file
+    // count, one parquet part per planned file
+    okPlan.foreach { case (src, nDocs, _, nFiles, _) =>
+      val got = layout.find(_._1 == src).getOrElse(fail(s"no output dir for $src"))
+      assert(got._3 == math.min(nDocs, nFiles), s"$src: ${got._3} files, planned $nFiles")
+      assert(got._2 == got._3, s"$src: planned_files column disagrees")
+      assert(got._4 == 1, s"$src: a planned file split across ${got._4} parts")
+      assert(got._5 == nDocs, s"$src: rows")
+    }
+    // coalesce sources pack together: ONE shared directory at the ceiling
+    // file count — never one undersized file per source
+    if (coalesceSrcs.nonEmpty) {
+      val packedDocs  = plan.filter(p => coalesceSrcs(p._1)).map(_._2).sum
+      val packedBytes = plan.filter(p => coalesceSrcs(p._1)).map(_._3).sum
+      val T           = LayoutOps.TargetShardBytes
+      val wantFiles   = math.max(1L, math.min(packedDocs, (packedBytes + T - 1) / T))
+      val got = layout.find(_._1 == "_PACKED").getOrElse(fail("no _PACKED dir"))
+      assert(got._3 == wantFiles, s"_PACKED: ${got._3} files, want $wantFiles")
+      assert(got._5 == packedDocs, "_PACKED rows")
+      assert(layout.count(l => coalesceSrcs(l._1)) == 0,
+        "a coalesce source leaked its own directory")
+    }
+    // total rows conserved
+    assert(layout.map(_._5).sum == graft.core.Tables.documents(spark, Sf001).count())
+  }
 }

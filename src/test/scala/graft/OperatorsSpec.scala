@@ -538,12 +538,90 @@ class OperatorsSpec extends SparkSpec {
       .select(col("vec_id"), col("v"))
       .withColumn("nrm", l2_norm(col("v")))
       .filter(col("nrm") > 0)
-    val got = VectorOps.semDedupOf(spark, e).collect()
+    val got = VectorOps.semDedupOf(spark, e, VectorOps.NearDupMinPlanes).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(got(1L) == (("keep", 1L)))
     assert(got(2L) == (("drop", 1L)))
     assert(got(5L) == (("drop", 1L)))
     assert(got(3L) == (("keep", 3L)))
+  }
+
+  test("r13: lshPlanesFor sizes planes from the corpus in pure integer arithmetic") {
+    import VectorOps.lshPlanesFor
+    assert(lshPlanesFor(1L, 5) == 5)
+    assert(lshPlanesFor(500L, 5) == 5) // the test corpora: ceil(500/32)=16 → p=4 → floor 5
+    assert(lshPlanesFor(2000L, 5) == 6)
+    assert(lshPlanesFor(20000L, 5) == 10)
+    // exact power-of-two boundary — the case a float log2 could misround
+    assert(lshPlanesFor(32L << 20, 5) == 20)
+    assert(lshPlanesFor((32L << 20) + 1L, 5) == 21)
+    assert(lshPlanesFor(1L << 40, 5) == 31) // int-bucket ceiling: clamped
+    for (n <- Seq(1L, 31L, 32L, 33L, 1000L, 123457L, 1L << 30)) {
+      val p = lshPlanesFor(n, 5)
+      assert(p >= 5 && p <= 31)
+      val m = (n + 31) / 32
+      if (p > 5 && p < 31) { // occupancy-bounded and minimal (below the clamp)
+        assert((1L << p) >= m, s"n=$n p=$p under-sized")
+        assert((1L << (p - 1)) < m, s"n=$n p=$p over-sized")
+      }
+    }
+  }
+
+  test("r13: over-cap LSH buckets SAMPLE to the cap (content-stable) instead of dropping") {
+    import spark.implicits._
+    import graft.functions.Expressions.l2_norm
+    // cap+100 copies of one direction: a viral bucket in every table —
+    // pre-r13 this bucket was DROPPED outright (zero pairs)
+    val n = TextOps.MaxBucket + 100
+    val e = (0 until n).map(i => (i.toLong, Seq(1.0, 2.0, 3.0, 4.0)))
+      .toDF("vec_id", "v")
+      .withColumn("nrm", l2_norm(col("v")))
+    val pairs = VectorOps.nearDupPairsRaw(spark, e, VectorOps.NearDupMinPlanes)
+      .select("a_id", "b_id")
+    val cap = TextOps.MaxBucket.toLong
+    assert(pairs.count() == cap * (cap - 1) / 2,
+      "the sampled bucket must contribute exactly C(cap, 2) pairs")
+    // the keep-set is the cap LARGEST by (signed xxhash64(id), id) — the
+    // q45 content-stable rule, reproducible on any partitioning
+    val keptIds = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val wantKept = (0 until n).map(_.toLong).toDF("id")
+      .select(col("id"), xxhash64(col("id")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, h) => (-h, -id) }
+      .take(TextOps.MaxBucket).map(_._1).toSet
+    assert(keptIds == wantKept, "sample must be the hash-largest member set")
+    // at-or-under-cap buckets keep their FULL member set (values unchanged)
+    val small = (0 until 10).map(i => (i.toLong, Seq(1.0, 2.0, 3.0, 4.0)))
+      .toDF("vec_id", "v").withColumn("nrm", l2_norm(col("v")))
+    assert(VectorOps.nearDupPairsRaw(spark, small, VectorOps.NearDupMinPlanes).count() == 45L)
+  }
+
+  test("r13: multi_gram_hashes equals the per-grain hashed_grams kernels exactly") {
+    import graft.functions.Expressions.{hashed_grams, multi_gram_hashes}
+    import spark.implicits._
+    val ns = graft.operators.TrainingOps.SweepNs
+    // the real corpus plus edge rows: short docs, empty tokens, unicode,
+    // repeated grams (the distinct rule), single-token rows
+    val corpus = graft.core.Tables.documents(spark, Sf0001)
+      .select(split(trim(col("text")), "\\s+").as("toks"))
+    val edges = Seq(
+      Seq("a"), Seq("a", "b", "c", "d"), Seq.fill(20)("same"),
+      Seq("ναι", "Ω", "", "x", "héllo", "a,b", "\"q\"", "tab\tin", "z"),
+      Seq.empty[String]
+    ).toDF("toks")
+    val frames = corpus.unionByName(edges)
+    val viaMulti = frames
+      .select(explode(multi_gram_hashes(col("toks"), ns)).as("x"))
+      .select(col("x.n"), col("x.g"))
+      .groupBy("n", "g").count()
+    val viaSingle = ns.map { n =>
+      frames.select(explode(hashed_grams(col("toks"), n)).as("g"))
+        .select(lit(n).as("n"), col("g"))
+    }.reduce(_ unionByName _).groupBy("n", "g").count()
+    assert(viaMulti.exceptAll(viaSingle).isEmpty && viaSingle.exceptAll(viaMulti).isEmpty,
+      "fused kernel must produce the identical (n, g) multiset")
   }
 
   test("C38 q60: winnowed fingerprints are the rightmost window minima") {

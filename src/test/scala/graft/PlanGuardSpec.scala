@@ -702,7 +702,10 @@ class PlanGuardSpec extends SparkSpec {
         "q248_mcnemar_detectors",
         // q249 is q247's decile shape on the dup-truth corpus: 1-row
         // totals + 1-row packed array + strictlyLess offsets
-        "q249_lift_deciles")
+        "q249_lift_deciles",
+        // q251's truth leg non-equi-broadcasts the fixed EmbedRecallProbes
+        // probe set against one corpus scan — exactly q28's bounded shape
+        "q251_embed_recall")
     plans.foreach { case (name, p) =>
       if (!allowed(name)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),

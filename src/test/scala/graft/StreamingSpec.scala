@@ -2414,6 +2414,68 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count(_._4 > 0).toLong == sweep(13), "13-gram grain")
   }
 
+  test("E65: semantic gate flags exactly the batch pair pool's train-side candidates") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Vec
+    import graft.operators.{TrainingOps, VectorOps}
+    val (store, planes) = DocStreams.evalLshStore(spark, Sf0001)
+    assert(store.nonEmpty, "eval store empty")
+    assert(planes == VectorOps.nearDupPlanesFor(spark, Sf0001))
+    // the incoming stream: every TRAIN-split corpus vector
+    val splits = graft.core.Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"),
+        TrainingOps.splitNameCol(TrainingOps.splitBucketCol(col("vec_id"))).as("split"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val feed = splits.filter(col("split") === "train")
+      .select("vec_id", "v").collect()
+      .map(r => Vec(r.getLong(0), r.getSeq[Double](1),
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+    val in = MemoryStream[Vec]
+    val st = DocStreams.semanticLeakGate(in.toDF(), store, planes)
+    assert(st.isStreaming)
+    val q = st.writeStream.format("memory").queryName("sem_s").outputMode("append").start()
+    in.addData(feed.toSeq: _*); q.processAllAvailable()
+    val rows = spark.table("sem_s").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
+        r.getBoolean(5)))).toMap
+    q.stop()
+    assert(rows.size == feed.length)
+    // batch ground truth: the SAME pair pool q212 consumes, oriented to
+    // the train side (bucket sampling never engages at this corpus size)
+    val splitOf = splits.select("vec_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = VectorOps
+      .nearDupPairsRaw(spark, VectorOps.emb(spark, Sf0001), planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byTrain = pairs.flatMap { case (a, b, s) =>
+      Seq((a, b, s), (b, a, s)).collect {
+        case (t, e, sim) if splitOf(t) == "train" && splitOf(e) != "train" => t -> ((e, sim))
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    feed.foreach { vec =>
+      val got = rows(vec.vec_id)
+      byTrain.get(vec.vec_id) match {
+        case None =>
+          assert(got._1 == 0L && got._2 == -1L && got._3.isNaN && !got._4,
+            s"vec ${vec.vec_id}: expected clean, got $got")
+        case Some(cands) =>
+          val ms   = cands.map(_._2).max
+          val best = cands.filter(_._2 == ms).map(_._1).min
+          assert(got._1 == cands.length.toLong, s"vec ${vec.vec_id}: cand count")
+          assert(got._2 == best, s"vec ${vec.vec_id}: best eval")
+          assert(got._3 == r4(ms), s"vec ${vec.vec_id}: best sim")
+          assert(got._4 == (ms >= VectorOps.SemLeakThreshold), s"vec ${vec.vec_id}: verdict")
+      }
+    }
+    // the reconciliation is non-vacuous: some vector is actually flagged
+    assert(rows.values.exists(_._1 > 0), "no train-side candidates at all — dead spec")
+  }
+
   test("E63: chained-window HHI tripwire reconciles with batch per-window truth exactly") {
     import spark.implicits._
     import graft.streaming.DocStreams
