@@ -1676,6 +1676,80 @@ object VectorOps {
         |ORDER BY th.threshold""".stripMargin)
   }
 
+  // --- q252: LSH bucket-occupancy audit ----------------------------------------
+
+  /** The occupancy audit for the multi-table LSH index — q251 measures
+    * what the geometry RECALLS; this measures what the geometry COSTS and
+    * when the over-cap sampler actually engages: per table, live bucket
+    * count, member total, the largest bucket, mean occupancy against the
+    * [[LshTargetOccupancy]] design point, how many buckets run past
+    * [[TextOps.MaxBucket]], and the member mass the sampler would exclude
+    * from pair generation (`overflow_members`). At 100 TB this is the
+    * table that says "occupancy drifted off the design point — the corpus
+    * count the planes were derived from is stale" or "one cluster holds
+    * 4% of the corpus: sampling is costing real recall there" BEFORE
+    * either shows up as a bad dedup. The derived plane count rides in the
+    * output row, like q251.
+    *
+    * Scale shape: one map-side bucket projection (the q30 kernel), one
+    * (table, bucket)-keyed count — map-side combinable, never holding
+    * members — then a ≤[[NearDupTables]]-row rollup. Pure integer counts;
+    * one divide + 6-dp round for the mean.
+    */
+  def lshOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    val planes = nearDupPlanesFor(spark, dir)
+    val tables = (0 until NearDupTables).map { t =>
+      struct(lit(t).as("tbl"), hyperplane_bucket(col("v"), t, planes).as("bucket"))
+    }
+    emb(spark, dir)
+      .select(explode(array(tables: _*)).as("b"))
+      .groupBy(col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+      .agg(count(lit(1)).as("nb"))
+      .groupBy(col("tbl"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("nb")).as("n_members"),
+        max(col("nb")).as("max_bucket"),
+        sum(when(col("nb") > TextOps.MaxBucket, 1L).otherwise(0L)).as("n_overcap"),
+        sum(when(col("nb") > TextOps.MaxBucket, col("nb") - TextOps.MaxBucket).otherwise(0L))
+          .as("overflow_members"))
+      .select(
+        col("tbl"),
+        lit(planes).as("planes"),
+        col("n_buckets"),
+        col("n_members"),
+        col("max_bucket"),
+        round(col("n_members").cast("double") / col("n_buckets").cast("double"), 6)
+          .as("mean_occupancy"),
+        col("n_overcap"),
+        col("overflow_members"))
+      .orderBy(col("tbl"))
+  }
+
+  /** q252 oracle: the shared q30 bucket CTEs (same planes derivation,
+    * same Rademacher family), the identical two keyed aggregates and the
+    * one rounded divide.
+    */
+  lazy val lshOccupancySql: String = {
+    import graft.functions.DuckHash.assemble
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](nearDupCtes: _*)
+    ctes += ("q252b" ->
+      "(SELECT t, bucket, count(*)::BIGINT AS nb FROM q30bkt GROUP BY t, bucket)")
+    assemble(
+      ctes.toSeq,
+      s"""SELECT t::INTEGER AS tbl, np.planes,
+         |  count(*)::BIGINT AS n_buckets,
+         |  CAST(sum(nb) AS BIGINT) AS n_members,
+         |  CAST(max(nb) AS BIGINT) AS max_bucket,
+         |  round(CAST(sum(nb) AS DOUBLE) / count(*)::DOUBLE, 6) AS mean_occupancy,
+         |  CAST(sum(CASE WHEN nb > ${TextOps.MaxBucket} THEN 1 ELSE 0 END) AS BIGINT) AS n_overcap,
+         |  CAST(sum(CASE WHEN nb > ${TextOps.MaxBucket} THEN nb - ${TextOps.MaxBucket} ELSE 0 END) AS BIGINT)
+         |    AS overflow_members
+         |FROM q252b, q30np np
+         |GROUP BY t, np.planes
+         |ORDER BY tbl""".stripMargin)
+  }
+
   // --- q75: Johnson–Lindenstrauss random projection --------------------------
   val JlDims  = 16
   val JlTable = 97 // hash-index offset decorrelating from the LSH tables

@@ -99,7 +99,23 @@ object CodegenCheck {
         """size(ws) = greatest(0, size(toks) - 2) AND (size(ws) = 0 OR
           |ws[0] = xxhash64(concat_ws(' ', toks[0], toks[1], toks[2])))""".stripMargin)
       .count()
-    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector, $nc centroid, $nd dot/norm, $nm minhash, $nw winnow, $ng top2gram, $nq int8, $nj jlproj, $nl lmxent, $ne bpe, $nn norm, $nk cdc, $nwh winhash")
+    // multi-grain gram hashes: the n=3 slice of the fused kernel equals the
+    // single-grain window hash of the first position (cross-checked in-plan)
+    val nmg = spark.sql(
+      """SELECT split(text, ' ') AS toks
+        |FROM parquet.`/root/testdata/sf0.001/documents.parquet`""".stripMargin)
+      .select(col("toks"),
+        graft.functions.Expressions.multi_gram_hashes(col("toks"), Seq(3, 5)).as("mg"))
+      .filter(
+        """(CASE WHEN size(toks) >= 3 THEN
+          |  size(filter(mg, x -> x.n = 3)) = size(array_distinct(transform(
+          |    sequence(0, size(toks) - 3),
+          |    i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))))
+          | ELSE size(filter(mg, x -> x.n = 3)) = 0 END) AND
+          |(size(toks) < 3 OR filter(mg, x -> x.n = 3)[0].g =
+          |  xxhash64(concat_ws(' ', toks[0], toks[1], toks[2])))""".stripMargin)
+      .count()
+    println(s"CODEGEN_ONLY evaluated rows: $n text, $nb vector, $nc centroid, $nd dot/norm, $nm minhash, $nw winnow, $ng top2gram, $nq int8, $nj jlproj, $nl lmxent, $ne bpe, $nn norm, $nk cdc, $nwh winhash, $nmg multigram")
     spark.stop()
   }
 }
