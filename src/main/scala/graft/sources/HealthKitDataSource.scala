@@ -99,13 +99,20 @@ object HealthKitTable {
         // expand directories to their *.zip members
         val path = new org.apache.hadoop.fs.Path(p)
         val fs   = path.getFileSystem(HealthKitXml.hadoopConf())
-        Option(fs.globStatus(path)).toSeq.flatten.flatMap { st =>
-          if (st.isDirectory)
-            fs.listStatus(st.getPath).toSeq
-              .filter(s => s.isFile && s.getPath.getName.endsWith(".zip"))
-              .map(_.getPath.toString)
-          else Seq(st.getPath.toString)
-        }
+        val matched = Option(fs.globStatus(path)).toSeq.flatten
+        // a literal (non-glob) path that matches nothing must stay in the
+        // list so the open fails LOUDLY downstream — silently planning
+        // zero partitions for a typo'd archive path is data loss; an
+        // empty GLOB result is legitimately empty (file-source semantics)
+        if (matched.isEmpty && !hasGlob) Seq(p)
+        else
+          matched.flatMap { st =>
+            if (st.isDirectory)
+              fs.listStatus(st.getPath).toSeq
+                .filter(s => s.isFile && s.getPath.getName.endsWith(".zip"))
+                .map(_.getPath.toString)
+            else Seq(st.getPath.toString)
+          }
       } else {
         val f = new java.io.File(p)
         if (f.isDirectory)
@@ -201,12 +208,17 @@ class HealthKitScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // serialize the pushed filters as (column, allowed-values) pairs —
-    // plain case classes, cheap to ship per task
+    // plain case classes, cheap to ship per task. The DRIVER session's
+    // Hadoop conf is captured here (planning time) and ships with the
+    // factory so executor-side scheme'd opens see the session's fs.*
+    // settings (spark.hadoop.* overrides included).
     val preds: Seq[(String, Set[String])] = filters.toSeq.collect {
       case org.apache.spark.sql.sources.EqualTo(c, v: String) => c -> Set(v)
       case org.apache.spark.sql.sources.In(c, vs)             => c -> vs.map(_.asInstanceOf[String]).toSet
     }
-    HealthKitReaderFactory(required.fieldNames.toSeq, lenient, preds)
+    HealthKitReaderFactory(
+      required.fieldNames.toSeq, lenient, preds,
+      new HealthKitXml.SerializableHadoopConf(HealthKitXml.hadoopConf()))
   }
 }
 
@@ -215,11 +227,13 @@ case class HealthKitInputPartition(path: String, archiveIdx: Long) extends Input
 case class HealthKitReaderFactory(
     fieldNames: Seq[String],
     lenient: Boolean,
-    preds: Seq[(String, Set[String])] = Nil)
+    preds: Seq[(String, Set[String])] = Nil,
+    conf: HealthKitXml.SerializableHadoopConf =
+      new HealthKitXml.SerializableHadoopConf(HealthKitXml.hadoopConf()))
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HealthKitInputPartition]
-    new HealthKitPartitionReader(p.path, p.archiveIdx, fieldNames, lenient, preds)
+    new HealthKitPartitionReader(p.path, p.archiveIdx, fieldNames, lenient, preds, conf)
   }
 }
 
@@ -228,7 +242,9 @@ class HealthKitPartitionReader(
     archiveIdx: Long,
     fieldNames: Seq[String],
     lenient: Boolean,
-    preds: Seq[(String, Set[String])] = Nil)
+    preds: Seq[(String, Set[String])] = Nil,
+    conf: HealthKitXml.SerializableHadoopConf =
+      new HealthKitXml.SerializableHadoopConf(HealthKitXml.hadoopConf()))
   extends PartitionReader[InternalRow] {
 
   private var badCount = 0L
@@ -244,8 +260,8 @@ class HealthKitPartitionReader(
   // an early-terminated scan (LIMIT, task kill) immediately.
   private val (iter, closer): (Iterator[(HealthKitXml.HkElement, Int)], () => Unit) = {
     val (base, c) =
-      if (lenient) HealthKitXml.lenientIterator(path, () => badCount += 1, wantJson)
-      else HealthKitXml.parseArchiveWithCloser(path, wantJson)
+      if (lenient) HealthKitXml.lenientIterator(path, () => badCount += 1, wantJson, conf.value)
+      else HealthKitXml.parseArchiveWithCloser(path, wantJson, conf.value)
     (base.zipWithIndex.filter { case (e, _) => keep(e) }, c)
   }
   private var current: InternalRow = _

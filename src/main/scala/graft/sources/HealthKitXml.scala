@@ -66,6 +66,31 @@ object HealthKitXml {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new org.apache.hadoop.conf.Configuration())
 
+  /** Serializable Hadoop-configuration carrier (the standard
+    * SerializableConfiguration idiom, spelled with public API only —
+    * `Configuration` is `Writable`): the DSv2 scan captures the DRIVER
+    * session's conf at planning time and ships it inside the reader
+    * factory, so EXECUTOR-side archive opens see the session's
+    * `fs.*`/credential settings (`spark.hadoop.*` overrides included)
+    * instead of reconstructing a default Configuration that never saw
+    * them. Local mode can't tell the difference; a 1000-executor cluster
+    * reading `s3a://` can.
+    */
+  final class SerializableHadoopConf(
+      @transient private var conf: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
   /** Archive access with two implementations: the LOCAL fast path wraps
     * [[java.util.zip.ZipFile]] (random access via the central directory —
     * the GPX second handle is a free `getEntry`); any path carrying a URI
@@ -92,9 +117,11 @@ object HealthKitXml {
     override def close(): Unit = zip.close()
   }
 
-  private[sources] final class HadoopZipHandle(path: String) extends ArchiveHandle {
+  private[sources] final class HadoopZipHandle(
+      path: String,
+      conf: org.apache.hadoop.conf.Configuration) extends ArchiveHandle {
     private val hPath = new org.apache.hadoop.fs.Path(path)
-    private val fs    = hPath.getFileSystem(hadoopConf())
+    private val fs    = hPath.getFileSystem(conf)
     override def open(member: String): Option[java.io.InputStream] = {
       val zin = new java.util.zip.ZipInputStream(
         new java.io.BufferedInputStream(fs.open(hPath)))
@@ -109,12 +136,16 @@ object HealthKitXml {
 
   /** Scheme-less paths take the ZipFile fast path; everything else goes
     * through the Hadoop filesystem (incl. explicit `file://` — that is
-    * the spec's end-to-end cluster-path rehearsal).
+    * the spec's end-to-end cluster-path rehearsal). `conf` is the
+    * task-shipped session configuration on the DSv2 path and the active
+    * session's on driver-side calls.
     */
-  private[sources] def openArchive(path: String): ArchiveHandle =
+  private[sources] def openArchive(
+      path: String,
+      conf: org.apache.hadoop.conf.Configuration): ArchiveHandle =
     if (new org.apache.hadoop.fs.Path(path).toUri.getScheme == null)
       new LocalZipHandle(path)
-    else new HadoopZipHandle(path)
+    else new HadoopZipHandle(path, conf)
 
   // ---------------------------------------------------------------- parsing
 
@@ -169,14 +200,15 @@ object HealthKitXml {
   private[sources] def lenientIterator(
       path: String,
       onBad: () => Unit,
-      wantJson: Boolean
+      wantJson: Boolean,
+      conf: org.apache.hadoop.conf.Configuration
   ): (Iterator[HkElement], () => Unit) = {
     def skip(e: Exception): Unit = {
       System.err.println(s"[graft] skipping unreadable archive $path: ${e.getMessage}")
       onBad()
     }
     val (underlying, closer) =
-      try parseArchiveWithCloser(path, wantJson)
+      try parseArchiveWithCloser(path, wantJson, conf)
       catch { case e: Exception => skip(e); return (Iterator.empty, () => ()) }
     val it = new Iterator[HkElement] {
       private var pending: HkElement = null
@@ -211,7 +243,7 @@ object HealthKitXml {
     * otherwise).
     */
   def parseArchive(zipPath: String, wantJson: Boolean): Iterator[HkElement] =
-    parseArchiveWithCloser(zipPath, wantJson)._1
+    parseArchiveWithCloser(zipPath, wantJson, hadoopConf())._1
 
   /** [[parseArchive]] plus an idempotent closer: the DSv2 partition reader
     * disposes the archive/StAX handles in its own `close()` — an
@@ -221,8 +253,9 @@ object HealthKitXml {
     */
   def parseArchiveWithCloser(
       zipPath: String,
-      wantJson: Boolean): (Iterator[HkElement], () => Unit) = {
-    val archive = openArchive(zipPath)
+      wantJson: Boolean,
+      conf: org.apache.hadoop.conf.Configuration): (Iterator[HkElement], () => Unit) = {
+    val archive = openArchive(zipPath, conf)
     val in = archive.open("apple_health_export/export.xml").getOrElse {
       archive.close()
       throw new IllegalArgumentException(s"no apple_health_export/export.xml in $zipPath")

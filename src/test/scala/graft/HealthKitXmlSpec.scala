@@ -485,6 +485,38 @@ class HealthKitXmlSpec extends SparkSpec {
     assert(got == Seq(p.toString), s"got $got")
   }
 
+  test("A12: the session Hadoop conf ships with the reader factory (executor-side opens)") {
+    // spark.hadoop.* overrides must reach executor-side archive opens: the
+    // factory captures the driver session's conf and it must SURVIVE task
+    // serialization (Configuration itself is not java-serializable)
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set("graft.test.marker", "r13")
+    val factory = graft.sources.HealthKitReaderFactory(
+      graft.sources.HealthKitTable.Schema.fieldNames.toSeq, lenient = false,
+      conf = new HealthKitXml.SerializableHadoopConf(conf))
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos); oos.writeObject(factory); oos.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[graft.sources.HealthKitReaderFactory]
+    assert(back.conf.value.get("graft.test.marker") == "r13",
+      "session conf lost across task serialization")
+    // the deserialized factory still drives a scheme'd parse end-to-end
+    val reader = back.createReader(
+      graft.sources.HealthKitInputPartition(s"file://$zipPath", 0L))
+    assert(reader.next(), "post-round-trip reader must parse the archive")
+    reader.close()
+  }
+
+  test("A12: a missing scheme'd literal path fails LOUDLY, never zero silent partitions") {
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("healthkit").load("file:///nonexistent/graft_r13_missing.zip").count()
+    }
+    // an empty GLOB is legitimately empty (file-source semantics)
+    val dir = java.nio.file.Files.createTempDirectory("hk_emptyglob")
+    assert(spark.read.format("healthkit").load(s"$dir/*.zip").count() == 0)
+  }
+
   test("A12: partition reader close() disposes the archive handles (idempotent, early)") {
     val reader = graft.sources
       .HealthKitReaderFactory(graft.sources.HealthKitTable.Schema.fieldNames.toSeq, lenient = false)
