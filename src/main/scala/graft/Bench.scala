@@ -106,12 +106,12 @@ object Bench {
       else ok.min // degraded runs: conservative, the old best-of-N rule
     }
     val results = raw.map { case (name, ts) => name -> medianOf(ts) }
-    // run-level totals (run k = sum of every query's k-th time): the
-    // spread a reader needs to judge whether a round-over-round delta is
-    // signal or host noise, recorded in the artifact itself
-    val runTotals = (0 until BenchRuns).map { k =>
-      raw.map(_._2(k)).filter(_ >= 0).sum
-    }
+    // run-level totals (run k = sum of every query's k-th time) over the
+    // queries that succeeded in ALL runs — a query failing in only some
+    // runs must not make the runs sum different subsets (that would read
+    // as host noise); the subset size is recorded beside the totals
+    val allOk     = raw.filter(_._2.forall(_ >= 0))
+    val runTotals = (0 until BenchRuns).map(k => allOk.map(_._2(k)).sum)
 
     // --- sf1 scale rehearsal -------------------------------------------------
     // Validate the "fixed overhead dominates at test scale" extrapolation
@@ -196,7 +196,8 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
         f"""{"sf": "$sfName", "total_s": $total%.2f, "queries_s": $queriesTotal%.2f, "shared_s": $sharedTotal%.2f,
-           |"runs": 3, "per_query": "median of 3", "run_totals_s": [${runTotals.map(t => f"$t%.2f").mkString(", ")}], "run_spread_pct": $spreadPct%.1f,
+           |"runs": $BenchRuns, "per_query": "median of $BenchRuns successful runs (min when < 3 succeed)",
+           |"run_totals_s": [${runTotals.map(t => f"$t%.2f").mkString(", ")}], "run_totals_queries": ${allOk.size}, "run_spread_pct": $spreadPct%.1f,
            |"shared": {
            |$sharedFull
            |},

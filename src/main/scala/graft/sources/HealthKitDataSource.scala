@@ -94,26 +94,9 @@ object HealthKitTable {
     raw.flatMap { p =>
       val hasScheme = new org.apache.hadoop.fs.Path(p).toUri.getScheme != null
       val hasGlob   = p.exists("*?[{".contains(_))
-      if (hasScheme || hasGlob) {
-        // Hadoop resolution: glob (a literal path globs to itself), then
-        // expand directories to their *.zip members
-        val path = new org.apache.hadoop.fs.Path(p)
-        val fs   = path.getFileSystem(HealthKitXml.hadoopConf())
-        val matched = Option(fs.globStatus(path)).toSeq.flatten
-        // a literal (non-glob) path that matches nothing must stay in the
-        // list so the open fails LOUDLY downstream — silently planning
-        // zero partitions for a typo'd archive path is data loss; an
-        // empty GLOB result is legitimately empty (file-source semantics)
-        if (matched.isEmpty && !hasGlob) Seq(p)
-        else
-          matched.flatMap { st =>
-            if (st.isDirectory)
-              fs.listStatus(st.getPath).toSeq
-                .filter(s => s.isFile && s.getPath.getName.endsWith(".zip"))
-                .map(_.getPath.toString)
-            else Seq(st.getPath.toString)
-          }
-      } else {
+      // the pre-DSv2 local resolution: directory → its *.zip members,
+      // file → itself (a missing file fails loudly at open)
+      def localExpand: Seq[String] = {
         val f = new java.io.File(p)
         if (f.isDirectory)
           Option(f.listFiles()).toSeq.flatten
@@ -121,6 +104,33 @@ object HealthKitTable {
             .map(_.getPath)
         else Seq(p)
       }
+      if (hasScheme || hasGlob) {
+        // Hadoop resolution: glob (a literal path globs to itself), then
+        // expand directories to their *.zip members
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs   = path.getFileSystem(HealthKitXml.hadoopConf())
+        val matched = Option(fs.globStatus(path)).toSeq.flatten
+        if (matched.nonEmpty)
+          matched.flatMap { st =>
+            if (st.isDirectory)
+              fs.listStatus(st.getPath).toSeq
+                .filter(s => s.isFile && s.getPath.getName.endsWith(".zip"))
+                .map(_.getPath.toString)
+            else Seq(st.getPath.toString)
+          }
+        // nothing matched. A scheme-LESS path that merely LOOKS like a
+        // glob may be a literal local file named e.g. export[1].zip —
+        // if that literal exists, take the literal fast path rather than
+        // silently planning zero partitions for it; otherwise the glob
+        // semantics stand (legitimately empty).
+        else if (!hasScheme && new java.io.File(p).exists()) localExpand
+        // a scheme'd LITERAL path must stay in the list so the open
+        // fails LOUDLY downstream — zero silent partitions for a typo'd
+        // archive path is data loss; a scheme'd GLOB that matches
+        // nothing is legitimately empty (file-source semantics)
+        else if (!hasGlob) Seq(p)
+        else Seq.empty
+      } else localExpand
       // duplicates are deliberate re-reads (file-source semantics); sorted
       // so partition -> archiveIdx -> ordinal is run-stable
     }.sorted
@@ -218,7 +228,7 @@ class HealthKitScan(
     }
     HealthKitReaderFactory(
       required.fieldNames.toSeq, lenient, preds,
-      new HealthKitXml.SerializableHadoopConf(HealthKitXml.hadoopConf()))
+      new org.apache.spark.util.SerializableConfiguration(HealthKitXml.hadoopConf()))
   }
 }
 
@@ -228,8 +238,8 @@ case class HealthKitReaderFactory(
     fieldNames: Seq[String],
     lenient: Boolean,
     preds: Seq[(String, Set[String])] = Nil,
-    conf: HealthKitXml.SerializableHadoopConf =
-      new HealthKitXml.SerializableHadoopConf(HealthKitXml.hadoopConf()))
+    conf: HealthKitXml.ShippedConf =
+      new org.apache.spark.util.SerializableConfiguration(HealthKitXml.hadoopConf()))
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HealthKitInputPartition]
@@ -243,8 +253,8 @@ class HealthKitPartitionReader(
     fieldNames: Seq[String],
     lenient: Boolean,
     preds: Seq[(String, Set[String])] = Nil,
-    conf: HealthKitXml.SerializableHadoopConf =
-      new HealthKitXml.SerializableHadoopConf(HealthKitXml.hadoopConf()))
+    conf: HealthKitXml.ShippedConf =
+      new org.apache.spark.util.SerializableConfiguration(HealthKitXml.hadoopConf()))
   extends PartitionReader[InternalRow] {
 
   private var badCount = 0L

@@ -66,30 +66,15 @@ object HealthKitXml {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new org.apache.hadoop.conf.Configuration())
 
-  /** Serializable Hadoop-configuration carrier (the standard
-    * SerializableConfiguration idiom, spelled with public API only —
-    * `Configuration` is `Writable`): the DSv2 scan captures the DRIVER
-    * session's conf at planning time and ships it inside the reader
-    * factory, so EXECUTOR-side archive opens see the session's
-    * `fs.*`/credential settings (`spark.hadoop.*` overrides included)
-    * instead of reconstructing a default Configuration that never saw
-    * them. Local mode can't tell the difference; a 1000-executor cluster
-    * reading `s3a://` can.
+  /** The DSv2 scan captures the DRIVER session's conf at planning time
+    * and ships it inside the reader factory (Spark's own @DeveloperApi
+    * `org.apache.spark.util.SerializableConfiguration`), so EXECUTOR-side
+    * archive opens see the session's `fs.*`/credential settings
+    * (`spark.hadoop.*` overrides included) instead of reconstructing a
+    * default Configuration that never saw them. Local mode can't tell
+    * the difference; a 1000-executor cluster reading `s3a://` can.
     */
-  final class SerializableHadoopConf(
-      @transient private var conf: org.apache.hadoop.conf.Configuration)
-    extends Serializable {
-    def value: org.apache.hadoop.conf.Configuration = conf
-    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-      out.defaultWriteObject()
-      conf.write(out)
-    }
-    private def readObject(in: java.io.ObjectInputStream): Unit = {
-      in.defaultReadObject()
-      conf = new org.apache.hadoop.conf.Configuration(false)
-      conf.readFields(in)
-    }
-  }
+  type ShippedConf = org.apache.spark.util.SerializableConfiguration
 
   /** Archive access with two implementations: the LOCAL fast path wraps
     * [[java.util.zip.ZipFile]] (random access via the central directory —

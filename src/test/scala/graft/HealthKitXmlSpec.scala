@@ -493,7 +493,7 @@ class HealthKitXmlSpec extends SparkSpec {
     conf.set("graft.test.marker", "r13")
     val factory = graft.sources.HealthKitReaderFactory(
       graft.sources.HealthKitTable.Schema.fieldNames.toSeq, lenient = false,
-      conf = new HealthKitXml.SerializableHadoopConf(conf))
+      conf = new org.apache.spark.util.SerializableConfiguration(conf))
     val bos = new java.io.ByteArrayOutputStream()
     val oos = new java.io.ObjectOutputStream(bos); oos.writeObject(factory); oos.close()
     val back = new java.io.ObjectInputStream(
@@ -515,6 +515,16 @@ class HealthKitXmlSpec extends SparkSpec {
     // an empty GLOB is legitimately empty (file-source semantics)
     val dir = java.nio.file.Files.createTempDirectory("hk_emptyglob")
     assert(spark.read.format("healthkit").load(s"$dir/*.zip").count() == 0)
+  }
+
+  test("A12: a literal local file whose NAME contains glob metacharacters still opens") {
+    // export[1].zip looks like a character-class glob; globStatus matches
+    // nothing, and the resolver must fall back to the existing literal
+    // file instead of silently planning zero partitions
+    val dir = java.nio.file.Files.createTempDirectory("hk_globname")
+    val p   = dir.resolve("export[1].zip")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(zipPath), p)
+    assert(spark.read.format("healthkit").load(p.toString).count() == 12)
   }
 
   test("A12: partition reader close() disposes the archive handles (idempotent, early)") {
