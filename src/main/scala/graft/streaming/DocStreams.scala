@@ -648,6 +648,65 @@ object DocStreams {
     (rows, planes)
   }
 
+  /** E66: streaming LSH occupancy tripwire (twin: q252 — the live side of
+    * the q251/q252 monitoring pair): per closed window × LSH table, the
+    * bucket count, member total, largest bucket, mean occupancy against
+    * the [[graft.operators.VectorOps.LshTargetOccupancy]] design point,
+    * and the over-cap bucket count — the tripwire that says "this feed's
+    * occupancy has drifted off the design point: the corpus count the
+    * planes were derived from is stale, re-derive before the next dedup
+    * campaign" (or "one cluster is flooding a single bucket") while the
+    * window is quarantinable, instead of at the next batch audit.
+    *
+    * Scale shape: E55/E63's chained stateful windows — stage 1 collapses
+    * each window to the (table, bucket) grain (map-side hyperplane
+    * projection + an integer count, state bounded by watermark × live
+    * cells), stage 2 re-windows via `window_time` and folds four integer
+    * sums to ≤[[graft.operators.VectorOps.NearDupTables]] rows per
+    * window; the distinct-bucket count is an ordinary `count(1)` over
+    * stage-1 cells, never a distinct over stream state. Zero-norm
+    * vectors are dropped (q30's corpus rule). Window = reconciliation
+    * grain: batch-grouping the same records by the same windows
+    * reproduces every column exactly (spec-pinned against q252's own
+    * aggregate shapes).
+    */
+  def occupancyTripwire(
+      vecs: DataFrame,
+      planes: Int,
+      windowDur: String = "1 hour",
+      watermarkDur: String = "2 hours"): DataFrame = {
+    import graft.functions.Expressions.{hyperplane_bucket, l2_norm}
+    import graft.operators.{TextOps, VectorOps}
+    val tables = (0 until VectorOps.NearDupTables).map { t =>
+      struct(lit(t).as("tbl"), hyperplane_bucket(col("v"), t, planes).as("bucket"))
+    }
+    val cells = vecs
+      .withColumn("nrm", l2_norm(col("v")))
+      .filter(col("nrm") > 0)
+      .withWatermark("ts", watermarkDur)
+      .select(col("ts"), explode(array(tables: _*)).as("b"))
+      .select(col("ts"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+      .groupBy(window(col("ts"), windowDur), col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("nb"))
+    cells
+      .groupBy(window(window_time(col("window")), windowDur), col("tbl"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("nb")).as("n_members"),
+        max(col("nb")).as("max_bucket"),
+        sum(when(col("nb") > TextOps.MaxBucket, 1L).otherwise(0L)).as("n_overcap"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("tbl"),
+        lit(planes).as("planes"),
+        col("n_buckets"),
+        col("n_members"),
+        col("max_bucket"),
+        round(col("n_members").cast("double") / col("n_buckets").cast("double"), 6)
+          .as("mean_occupancy"),
+        col("n_overcap"))
+  }
+
   /** The per-grain eval gram stores E64 broadcasts. */
   def benchGramSets(
       spark: org.apache.spark.sql.SparkSession, dir: String): Map[Int, Set[Long]] =

@@ -2476,6 +2476,66 @@ class StreamingSpec extends SparkSpec {
     assert(rows.values.exists(_._1 > 0), "no train-side candidates at all — dead spec")
   }
 
+  test("E66: chained-window occupancy tripwire reconciles with batch per-window truth exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Vec
+    import graft.operators.{TextOps, VectorOps}
+    val planes = VectorOps.nearDupPlanesFor(spark, Sf0001)
+    val base = graft.core.Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // hour 10: even ids + a planted 1100-copy flood (trips the over-cap
+    // counter in every table) + a zero vector (must be dropped);
+    // hour 11: odd ids
+    val h10 = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")
+    val h11 = java.sql.Timestamp.valueOf("2024-01-01 11:15:00")
+    val flood = (0 until TextOps.MaxBucket + 100).map(i =>
+      Vec(1000000L + i, Seq.tabulate(64)(d => (d + 1).toDouble), h10))
+    val replay = base.map { case (id, v) => Vec(id, v, if (id % 2 == 0) h10 else h11) } ++
+      flood :+ Vec(999999L, Seq.fill(64)(0.0), h10)
+    val in = MemoryStream[Vec]
+    val q = DocStreams.occupancyTripwire(in.toDF(), planes)
+      .writeStream.format("memory").queryName("occ_s").outputMode("append").start()
+    in.addData(replay: _*); q.processAllAvailable()
+    in.addData(Vec(999998L, Seq.fill(64)(0.5), java.sql.Timestamp.valueOf("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("occ_s").collect()
+      .filter(_.getString(0).startsWith("2024-01-01 1"))
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6), r.getLong(7))))
+      .toMap
+    q.stop()
+    // batch truth: buckets from the SHARED kernel (one batch projection),
+    // window grouping and the rollup arithmetic recomputed driver-side
+    import graft.functions.Expressions.{hyperplane_bucket, l2_norm}
+    val tblCols = (0 until VectorOps.NearDupTables)
+      .map(t => hyperplane_bucket(col("v"), t, planes).as(s"b$t"))
+    val live = replay.filter(v => v.ts.toString.startsWith("2024-01-01 1")).toSeq
+    val bkts = live.toDF()
+      .withColumn("nrm", l2_norm(col("v"))).filter(col("nrm") > 0)
+      .select(Seq(col("vec_id"), date_format(col("ts"), "yyyy-MM-dd HH").as("hour")) ++ tblCols: _*)
+      .collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (for {
+      r <- bkts.toSeq
+      t <- 0 until VectorOps.NearDupTables
+    } yield ((r.getString(1), t), r.getInt(2 + t)))
+      .groupBy(_._1)
+      .flatMap { case ((hour, t), cells) =>
+        val nbs = cells.groupBy(_._2).values.map(_.size.toLong).toSeq
+        Some((hour, t) -> ((planes, nbs.size.toLong, nbs.sum, nbs.max,
+          r6(nbs.sum.toDouble / nbs.size.toDouble),
+          nbs.count(_ > TextOps.MaxBucket).toLong)))
+      }
+    assert(rows == want, s"stream $rows vs batch $want")
+    // the flood trips the over-cap counter in every hour-10 table row
+    (0 until VectorOps.NearDupTables).foreach { t =>
+      assert(rows(("2024-01-01 10", t))._6 >= 1L, s"table $t: flood not flagged")
+    }
+  }
+
   test("E63: chained-window HHI tripwire reconciles with batch per-window truth exactly") {
     import spark.implicits._
     import graft.streaming.DocStreams
