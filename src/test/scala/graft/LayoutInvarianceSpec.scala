@@ -88,7 +88,13 @@ class LayoutInvarianceSpec extends SparkSpec {
       // tie flag)
       "q189_cdc_chunks", "q191_shard_mix", "q192_reservoir",
       "q194_embed_spectrum", "q196_source_divergence", "q197_silhouette",
-      "q198_sync_plan", "q200_epoch_planner")
+      "q198_sync_plan", "q200_epoch_planner",
+      // round-13 layer: q30 (the derived-planes bucket pipeline and the
+      // xxhash64-ordered over-cap sample must not depend on which
+      // partition feeds a bucket's heap first), q251 (the TakeOrdered
+      // probe pick + the candidate left join), q252 (bucket occupancy
+      // counts under re-layout)
+      "q30_embed_neardup", "q251_embed_recall", "q252_lsh_occupancy")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, Sf0001).collect().map(_.toString).toSeq

@@ -592,6 +592,13 @@ class OperatorsSpec extends SparkSpec {
       .sortBy { case (id, h) => (-h, -id) }
       .take(TextOps.MaxBucket).map(_._1).toSet
     assert(keptIds == wantKept, "sample must be the hash-largest member set")
+    // the keep-set is LAYOUT-INVARIANT: re-partitioning the corpus feeds
+    // the bucket heaps in a different order and must not change the sample
+    val relaid = VectorOps
+      .nearDupPairsRaw(spark, e.repartition(13), VectorOps.NearDupMinPlanes)
+      .select(explode(array(col("a_id"), col("b_id"))).as("id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(relaid == wantKept, "over-cap sample changed under re-layout")
     // at-or-under-cap buckets keep their FULL member set (values unchanged)
     val small = (0 until 10).map(i => (i.toLong, Seq(1.0, 2.0, 3.0, 4.0)))
       .toDF("vec_id", "v").withColumn("nrm", l2_norm(col("v")))
