@@ -575,13 +575,19 @@ object Expressions {
     def compute(arr: ArrayData): ArrayData = {
       val len = arr.numElements()
       val toks = new Array[org.apache.spark.unsafe.types.UTF8String](len)
-      var total = 0L
-      var i     = 0
+      var total   = 0L
+      var i       = 0
+      var anyNull = false
       while (i < len) {
         toks(i) = arr.getUTF8String(i)
-        total += toks(i).numBytes
+        if (toks(i) == null) anyNull = true else total += toks(i).numBytes
         i += 1
       }
+      // a null ELEMENT (the declared type is containsNull-tolerant) breaks
+      // the contiguous-buffer slice math — fall back to the per-window
+      // concatWs spelling, whose null-SKIPPING is exactly the HashedGrams
+      // semantics this kernel must stay hash-identical to
+      if (anyNull) return computeWithNulls(toks)
       // offs(i) = byte start of token i in the joined buffer; offs(len) = end
       val bufLen = (total + math.max(0, len - 1)).toInt
       val buf    = new Array[Byte](bufLen)
@@ -610,6 +616,33 @@ object Expressions {
             val glen  = offs(j + n) - 1 - start // drop the trailing separator
             val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
               buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, glen, 42L)
+            if (seen.add(h)) out += org.apache.spark.sql.catalyst.InternalRow(n, h)
+            j += 1
+          }
+        }
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+    /** Slow path for arrays carrying null elements: per window,
+      * `concatWs(" ", parts…)` (which SKIPS nulls — UTF8String semantics,
+      * so "a", null, "b" joins to "a b") hashed whole — byte-identical to
+      * the HashedGrams kernel on the same input.
+      */
+    private def computeWithNulls(
+        toks: Array[org.apache.spark.unsafe.types.UTF8String]): ArrayData = {
+      val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+      val out = new scala.collection.mutable.ArrayBuffer[Any]()
+      ns.foreach { n =>
+        val m = toks.length - n + 1
+        if (m > 0) {
+          val seen  = new java.util.HashSet[java.lang.Long]()
+          val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+          var j     = 0
+          while (j < m) {
+            var k = 0
+            while (k < n) { parts(k) = toks(j + k); k += 1 }
+            val h = XXH64.hashUTF8String(
+              org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*), 42L)
             if (seen.add(h)) out += org.apache.spark.sql.catalyst.InternalRow(n, h)
             j += 1
           }

@@ -269,15 +269,30 @@ object LayoutOps {
       .select(col("doc_id"), col("source"), col("n_chars"), bucket)
       .repartition(B, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
-    // measured layout, read back from disk
-    val buckets = new java.io.File(outDir).listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-      .map { d =>
-        val files = d.listFiles().toSeq.filter(f => f.getName.endsWith(".parquet"))
-        val rows  = spark.read.parquet(d.getPath).count()
-        (d.getName.stripPrefix("bucket=").toInt, files.size, files.map(_.length()).sum, rows)
-      }
+    // measured layout, read back through the Hadoop FileSystem — the
+    // write path is FS-agnostic (partitionBy to any scheme), so the
+    // report must be too (file://, hdfs://, s3a:// — the A12 posture;
+    // java.io.File here returned null → NPE for any scheme'd outDir)
+    val buckets = partitionDirs(spark, outDir, "bucket=").map { case (fs, st, name) =>
+      val files = fs.listStatus(st.getPath).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val rows = spark.read.parquet(st.getPath.toString).count()
+      (name.toInt, files.size, files.map(_.getLen).sum, rows)
+    }
     buckets.toDF("bucket", "n_files", "bytes", "n_rows").orderBy(col("bucket"))
+  }
+
+  /** `outDir`'s child partition directories with the given prefix, listed
+    * through the session Hadoop `FileSystem` (any scheme — the same
+    * resolution the A12 ingest uses), with the prefix stripped.
+    */
+  private def partitionDirs(spark: SparkSession, outDir: String, prefix: String)
+      : Seq[(org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.FileStatus, String)] = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs   = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(st => (fs, st, st.getPath.getName.stripPrefix(prefix)))
   }
 
   // --- q157: broadcast-vs-shuffle join planner -------------------------------
@@ -449,9 +464,16 @@ object LayoutOps {
     Tables
       .documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
+      // guard the empty-collection case with a plain passthrough rather
+      // than an "" sentinel in the IN-list: the sentinel routed a
+      // genuinely empty-string source to _PACKED even when its verdict
+      // was ok, where the missing nf/nr map entries then yielded null
+      // file_idx rows silently written to the Hive default partition
       .withColumn("out_src",
-        when(col("source").isInCollection(coalesceSrcs.toSeq :+ ""), lit("_PACKED"))
-          .otherwise(col("source")))
+        if (coalesceSrcs.isEmpty) col("source")
+        else
+          when(col("source").isInCollection(coalesceSrcs.toSeq), lit("_PACKED"))
+            .otherwise(col("source")))
       .withColumn("rk", row_number().over(w))
       .withColumn("nf", element_at(filesMap, col("out_src")))
       .withColumn("nr", element_at(rowsMap, col("out_src")))
@@ -460,17 +482,17 @@ object LayoutOps {
       .select(col("doc_id"), col("source"), col("n_chars"), col("out_src"), col("file_idx"))
       .repartition(col("out_src"), col("file_idx"))
       .write.mode("overwrite").partitionBy("out_src", "file_idx").parquet(outDir)
-    // measured layout, read back from disk
-    val dirs = new java.io.File(outDir).listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("out_src="))
-      .map { d =>
-        val buckets = d.listFiles().toSeq.filter(f => f.isDirectory && f.getName.startsWith("file_idx="))
-        val parts   = buckets.map(_.listFiles().count(f => f.getName.endsWith(".parquet")))
-        val rows    = spark.read.parquet(d.getPath).count()
-        val name    = d.getName.stripPrefix("out_src=")
-        (name, dirPlan.get(name).map(_._2).getOrElse(-1L), buckets.size.toLong,
-          if (parts.isEmpty) 0 else parts.max, rows)
-      }
+    // measured layout, read back through the Hadoop FileSystem (the A12
+    // posture — any scheme'd outDir works, like the write side)
+    val dirs = partitionDirs(spark, outDir, "out_src=").map { case (fs, st, name) =>
+      val buckets = fs.listStatus(st.getPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("file_idx="))
+      val parts = buckets.map(b =>
+        fs.listStatus(b.getPath).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+      val rows = spark.read.parquet(st.getPath.toString).count()
+      (name, dirPlan.get(name).map(_._2).getOrElse(-1L), buckets.size.toLong,
+        if (parts.isEmpty) 0 else parts.max, rows)
+    }
     dirs.toDF("out_src", "planned_files", "actual_files", "max_parts_per_file", "n_rows")
       .orderBy(col("out_src"))
   }

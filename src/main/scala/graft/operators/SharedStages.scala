@@ -101,6 +101,34 @@ object SharedStages {
     stage(spark, dir, "exactPairs")(
       TextOps.prefixJoinPlan(spark, dir, TextOps.PrefixJoinThreshold))
 
+  /** The embedding near-dup pair table (a_id, b_id, raw sim ≥ 0.35) from
+    * the multi-table hamming-1 LSH pipeline at the corpus-derived plane
+    * AND table counts — the candidate stage the whole embed family
+    * (q30/q65/q212/q213/q227/q228/q251) consumes. r14: the recall-held
+    * table count makes this the family's dominant cost, so it is built
+    * once per (session, dir) like [[minhashEdges]]; the pinned frame is
+    * the SURFACED pair table (corpus dup-rate-bounded), never the
+    * candidate volume.
+    */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "nearDupPairs")(
+      VectorOps.nearDupPairsRaw(
+        spark,
+        VectorOps.emb(spark, dir),
+        VectorOps.nearDupPlanesFor(spark, dir)))
+
+  /** The corpus-side (n, gram)-keyed DF-cap aggregate at every
+    * [[TrainingOps.SweepNs]] grain — kept grams only (df ≤ the cap, with
+    * the complete ≤cap doc_id list each kept gram has BY DEFINITION):
+    * the decontamination family's dominant corpus scan, shared by q39
+    * (the 8-gram slice), q205 (all grains) and the E50/E64 broadcast
+    * stores — r13's q205 kernel fix halved the scan, this stops the
+    * suite running it four times. Corpus-token-linear, the SharedStages
+    * size contract.
+    */
+  def dfCapGrams(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "dfCapGrams")(TrainingOps.dfCapGramsPlan(spark, dir))
+
   /** Star-contraction component labels (node, lbl) over the VERIFIED
     * pair graph — q47/q56's cluster assignment.
     */
@@ -179,6 +207,8 @@ object SharedStages {
     "minhashEdges" -> (() => { minhashEdges(spark, dir); () }),
     "jaccardPairs" -> (() => { jaccardPairs(spark, dir); () }),
     "exactPairs"   -> (() => { exactPairs(spark, dir); () }),
+    "nearDupPairs" -> (() => { nearDupPairs(spark, dir); () }),
+    "dfCapGrams"   -> (() => { dfCapGrams(spark, dir); () }),
     "dupLabels"    -> (() => { dupLabels(spark, dir); () }),
     "fuzzyLabels"  -> (() => { fuzzyLabels(spark, dir); () }),
     "nbModel"      -> (() => { CurationOps.nbModelFor(spark, dir); () }),

@@ -43,30 +43,13 @@ object TrainingOps {
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     // grams as in-row xxhash64 longs (see q51): the DF-cap groupBy and the
     // corpus×bench join key 8-byte longs, not 8-token strings; the oracle
-    // re-derives identical hashes via DuckHash
-    val gramExpr = TextOps.distinctGramHashExpr(DecontamN)
-    val sh = docs(spark, dir)
-      .select(col("doc_id"), TextOps.toks.as("toks"))
-      .filter(size(col("toks")) >= DecontamN)
-      .select(col("doc_id"), explode(gramExpr).as("g"))
-    // DF cap in ONE map-side-combinable pass — NOT a count window keyed
-    // by g: the grams this cap exists to kill (boilerplate shared by
-    // millions of docs) are precisely the hot keys, and a keyed window
-    // funnels every instance of each hot gram through ONE task and
-    // buffers that partition. Instead each gram aggregates (exact df,
-    // bounded heap of cap+1 doc_ids): a kept gram has ≤ cap instances BY
-    // DEFINITION, so the heap holds ALL of them, and a viral gram's
-    // instances collapse to ≤ cap+1 per map partition before the
-    // exchange (ObjectHashAggregate partial merge) — then the heap is
-    // discarded with the gram. One explode, one exchange, ≤ cap+1 rows
-    // of state per gram at any corpus size.
-    val pruned = sh
-      .groupBy(col("g"))
-      .agg(
-        count(lit(1)).as("df"),
-        graft.functions.Expressions
-          .collect_topk(col("doc_id"), DecontamMaxDf.toInt + 1).as("ids"))
-      .filter(col("df") <= DecontamMaxDf)
+    // re-derives identical hashes via DuckHash. r14: the DF-capped gram
+    // table is the session-shared [[SharedStages.dfCapGrams]] stage
+    // (q39 consumes its [[DecontamN]]-grain slice — identical rows to the
+    // single-grain aggregate it replaces), built once for
+    // q39/q205/E50/E64 instead of four times.
+    val pruned = SharedStages.dfCapGrams(spark, dir)
+      .filter(col("n") === DecontamN)
     // bench×corpus pairs expand IN-ROW from the ≤ cap-long doc list
     // (bounded by cap² per gram) — no gram-keyed self-join, no SMJ sort
     // of the instance stream
@@ -2112,6 +2095,33 @@ object TrainingOps {
   // --- q205: contamination severity sweep ------------------------------------
   val SweepNs = Seq(4, 8, 13)
 
+  /** The corpus-side DF-cap gram table at every [[SweepNs]] grain —
+    * (n, g, exact df, the COMPLETE ≤[[DecontamMaxDf]] doc_id list), kept
+    * grams only. One corpus scan (the [[graft.functions.Expressions.MultiGramHashes]]
+    * kernel: all grains off one shared row buffer), one
+    * map-side-combinable exchange with a bounded cap+1 heap per (n, gram)
+    * — NEVER a count window keyed by g: the grams the cap exists to kill
+    * (boilerplate shared by millions of docs) are precisely the hot keys,
+    * and a keyed window funnels every instance of each hot gram through
+    * ONE task; here a viral gram's instances collapse to ≤ cap+1 per map
+    * partition before the exchange, then the heap is discarded with the
+    * gram. Materialized once per (session, dir) as
+    * [[SharedStages.dfCapGrams]]; consumed by q39 (n = [[DecontamN]]),
+    * q205 (all grains), and the E50/E64 broadcast gram stores.
+    */
+  private[graft] def dfCapGramsPlan(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), TextOps.toks.as("toks"))
+      .select(col("doc_id"),
+        explode(graft.functions.Expressions.multi_gram_hashes(col("toks"), SweepNs)).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy(col("n"), col("g"))
+      .agg(
+        count(lit(1)).as("df"),
+        graft.functions.Expressions
+          .collect_topk(col("doc_id"), DecontamMaxDf.toInt + 1).as("ids"))
+      .filter(col("df") <= DecontamMaxDf)
+
   /** The decontamination table a release review actually reads — q39
     * flags pairs at one gram size; this sweeps the STANDARD severity
     * grid (loose 4-gram, the house 8-gram, strict 13-gram — the
@@ -2138,27 +2148,13 @@ object TrainingOps {
     */
   def contaminationSweep(spark: SparkSession, dir: String): DataFrame = {
     // all three grains in ONE compiled pass over one shared row buffer
-    // (MultiGramHashes): same hashes and per-grain distinct sets as the
-    // per-grain HashedGrams kernels this replaces, but the 13-gram's
-    // token bytes are copied once per row instead of Σn ≈ 25 copies per
-    // position, and the three interpreted transform/concat lambdas are
-    // gone — the corpus-scan stage was the query's dominant cost at sf1
-    val sh = docs(spark, dir)
-      .select(col("doc_id"), TextOps.toks.as("toks"))
-      .select(col("doc_id"),
-        explode(graft.functions.Expressions.multi_gram_hashes(col("toks"), SweepNs)).as("x"))
-      .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
-    // q39's one-pass DF-cap shape: exact df + bounded cap+1 doc_id heap
-    // per (n, gram), never a keyed count window (the hot-gram
-    // single-task hazard), and the bench×corpus pairs expand in-row
-    // from the bounded list — no gram-keyed self-join (see q39)
-    val pairs = sh
-      .groupBy(col("n"), col("g"))
-      .agg(
-        count(lit(1)).as("df"),
-        graft.functions.Expressions
-          .collect_topk(col("doc_id"), DecontamMaxDf.toInt + 1).as("ids"))
-      .filter(col("df") <= DecontamMaxDf)
+    // (MultiGramHashes, the r13 kernel), aggregated to the (n, gram)
+    // DF-cap table ONCE PER SESSION ([[SharedStages.dfCapGrams]], r14):
+    // the corpus-scan stage was the query's dominant cost at sf1 and is
+    // now shared with q39 and the E50/E64 broadcast stores. The
+    // bench×corpus pairs expand in-row from the bounded ≤cap doc list —
+    // no gram-keyed self-join (see q39)
+    val pairs = SharedStages.dfCapGrams(spark, dir)
       .select(
         col("n"),
         expr(s"filter(ids, d -> d % $BenchEvery = 0)").as("b_ids"),

@@ -79,6 +79,75 @@ object VectorOps {
   def nearDupPlanesFor(spark: SparkSession, dir: String): Int =
     lshPlanesFor(corpusN(spark, dir), NearDupMinPlanes)
 
+  // ---- r14: the recall dial, TURNED ---------------------------------------
+  // r13 made the plane count corpus-derived (linear candidate cost) but held
+  // the table count at 6 — and hyperplane-LSH recall at a fixed table count
+  // decays exponentially in the plane count: the builder's own q251 probe
+  // measured recall@0.45 collapsing 0.50 → 0.43 → 0.072 as planes grew
+  // 5 → 6 → 10. The standard amplification bound says what the dial must
+  // do: with per-table candidate probability c₁(p) for a pair AT the action
+  // threshold, L(p) = ceil(ln(1−R) / ln(1−c₁(p))) tables hold recall ≥ R at
+  // every scale. Two dials turn together:
+  //   - hamming-1 probing (q29's ANN idiom, now on the PAIR side): each
+  //     vector also lands — flagged non-home — in the `planes` buckets one
+  //     bit away, and a candidate pair is any in-bucket pair with ≥ 1 home
+  //     member, i.e. hamming(bucket_a, bucket_b) ≤ 1 in some table. This
+  //     raises c₁(p) from s^p to s^p + p·s^(p−1)·(1−s) — ~4× at p = 10 —
+  //     where s = 1 − θ/π is the per-plane agreement probability at the
+  //     action threshold (cos θ = SemDedupThreshold).
+  //   - the table count grows with the derived plane count per the bound.
+  // The honest price (documented, SURVEY §5): holding recall costs
+  // L(p)·(p+1) ∝ n^ρ·log n candidate volume with ρ = ln(1/s)/ln 2 ≈ 0.62 —
+  // the data-independent LSH frontier; no table/probe schedule beats it.
+  // What stays LINEAR is the SURFACED pair table (the data's true dup
+  // structure); the BenchSf1 gate measures both: surfaced per-doc density
+  // (≤ 2× across SFs) and q251 recall@0.45 (≥ [[NearDupRecallFloor]]) at
+  // sf1. Past [[MaxNearDupTables]] the derivation CAPS and q251/the gate
+  // surface the measured shortfall loudly instead of thinning silently —
+  // the 100 TB remedies are a higher action threshold (s grows, L falls)
+  // or a raised occupancy target, both corpus decisions, not engine ones.
+
+  /** Recall target the table count is derived for, at the q65/q212 action
+    * threshold ([[SemDedupThreshold]]); the BenchSf1 gate floor sits below
+    * it ([[NearDupRecallFloor]]) to absorb probe-sample noise.
+    */
+  val NearDupRecallTarget = 0.9
+
+  /** The recall floor the sf1 lane FAILS under (q251's measured recall at
+    * the 0.45 action threshold).
+    */
+  val NearDupRecallFloor = 0.8
+
+  /** Table-count ceiling: keeps the hash-index family below
+    * [[JlTable]] = 97's decorrelation offset and bounds a mis-sized run;
+    * the amplification bound first exceeds it at p = 14 (n ≈ 262k at the
+    * 32-occupancy design point), where derived recall degrades MEASURED
+    * (q251) rather than silently.
+    */
+  val MaxNearDupTables = 96
+
+  /** `L(p) = ceil(ln(1−R) / ln(1−c₁(p)))` for R = [[NearDupRecallTarget]],
+    * `c₁(p) = s^p + p·s^(p−1)·(1−s)`, `s = 1 − arccos(0.45)/π ≈ 0.6486`
+    * (hamming-1 probing) — precomputed so the DuckDB oracles re-derive the
+    * IDENTICAL integer from the same literal table ([[tablesCaseSql]]),
+    * with no float whose ulp could split the engines on a ceil boundary.
+    * `NearDupTableCountsSpec` re-derives every entry from the closed form.
+    */
+  private[graft] val NearDupTableCounts: Map[Int, Int] =
+    Map(5 -> 5, 6 -> 7, 7 -> 9, 8 -> 13, 9 -> 19, 10 -> 27, 11 -> 38, 12 -> 55, 13 -> 79)
+
+  /** The derived table count for the near-dup family at `planes` planes. */
+  def nearDupTablesFor(planes: Int): Int =
+    NearDupTableCounts.getOrElse(planes, MaxNearDupTables)
+
+  /** DuckDB CASE re-deriving [[nearDupTablesFor]] from a `planes` column —
+    * the same literal lookup, integer-exact on both engines.
+    */
+  private def tablesCaseSql(planesCol: String): String =
+    NearDupTableCounts.toSeq.sorted
+      .map { case (p, l) => s"WHEN $planesCol = $p THEN $l" }
+      .mkString("CASE ", " ", s" ELSE $MaxNearDupTables END")
+
   /** The derived plane count for the ANN index family (q29/q85/q89). */
   def annPlanesFor(spark: SparkSession, dir: String): Int =
     lshPlanesFor(corpusN(spark, dir), AnnMinPlanes)
@@ -1353,22 +1422,26 @@ object VectorOps {
       |ORDER BY vec_id""".stripMargin
 
   // --- C11 q30: embedding-cosine near-dup pairs via multi-table LSH --------
-  // 6 independent hyperplane tables at the CORPUS-SIZED plane count
-  // ([[nearDupPlanesFor]]): P(candidate | cos θ) = 1-(1-(1-θ/π)^p)^6, with
-  // p = max(5, ceil(log2(n/32))) so expected occupancy — and the per-doc
-  // candidate-pair density — stays ≈ constant as the corpus grows (the
-  // linear asymptote; the r12 density gate measured the old fixed p=5
-  // quadratic-until-cap, ×10.1 per-doc density at 10× docs). Recall is the
-  // table-count dial; q251's probe MEASURES it per threshold. Exact cosine
-  // filter afterwards. Over-cap buckets are deterministically SAMPLED to
-  // [[TextOps.MaxBucket]] members (content-stable xxhash64 order, the q45
-  // rule) instead of dropped, so a pathological cluster degrades recall
-  // smoothly rather than silently vanishing from the pair pool.
-  val NearDupTables    = 6
+  // L(p) = [[nearDupTablesFor]] independent hyperplane tables at the
+  // CORPUS-SIZED plane count ([[nearDupPlanesFor]]) with hamming-1
+  // probing: P(candidate | cos θ) = 1−(1−c₁(p))^L(p) with
+  // c₁(p) = s^p + p·s^(p−1)·(1−s), s = 1−θ/π — held ≥
+  // [[NearDupRecallTarget]] at the 0.45 action threshold BY DERIVATION
+  // (the r13 fixed-L=6 setting measured recall 0.50 → 0.43 → 0.072 as the
+  // derived planes grew 5 → 6 → 10; q251 measures the held value every
+  // round, the BenchSf1 sf1 lane gates it). Candidate cost is
+  // L(p)·(p+1)·occupancy per doc — the n^ρ (ρ ≈ 0.62) data-independent
+  // LSH frontier, the honest price of scale-invariant recall; the
+  // SURFACED pair table stays the corpus's true (linear) dup structure.
+  // Exact cosine filter inside the expansion. Over-cap buckets are
+  // deterministically SAMPLED to [[TextOps.MaxBucket]] members
+  // (content-stable xxhash64 order, the q45 rule) instead of dropped, so
+  // a pathological cluster degrades recall smoothly rather than silently
+  // vanishing from the pair pool.
   val NearDupThreshold = 0.35
 
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
-    nearDupPairsRaw(spark, emb(spark, dir), nearDupPlanesFor(spark, dir))
+    SharedStages.nearDupPairs(spark, dir)
       .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
       .orderBy(col("a_id"), col("b_id"))
 
@@ -1376,48 +1449,67 @@ object VectorOps {
     * shared by q30 (which rounds for output) and q65's semantic dedup
     * (which thresholds the raw sim like the 0.35 gate does). `planes` is
     * the corpus-sized hyperplane count ([[nearDupPlanesFor]] for dir-based
-    * callers; explicit for spec frames).
+    * callers — who should reach it through [[SharedStages.nearDupPairs]];
+    * explicit for spec frames). The table count derives from `planes`
+    * ([[nearDupTablesFor]]).
     */
   private[graft] def nearDupPairsRaw(spark: SparkSession, e: DataFrame, planes: Int): DataFrame = {
     graft.GraftExtensions.register(spark) // graft_dot inside the pair-expansion SQL
-    val tables = (0 until NearDupTables).map { t =>
-      struct(lit(t).as("tbl"), hyperplane_bucket(col("v"), t, planes).as("bucket"))
-    }
-    // Carry (v, nrm) through the bucket structs (the way simhashPairs
+    val tables = nearDupTablesFor(planes)
+    // Carry (v, nrm) through the member structs (the way simhashPairs
     // carries `sim`) so the exact cosine runs INSIDE the pair expansion —
-    // no corpus re-join afterwards. The sub-threshold filter then drops
-    // non-dups before the cross-table dedup, so the distinct shuffles only
+    // no corpus re-join afterwards. Each vector lands in its HOME bucket
+    // plus the `planes` hamming-1 probe buckets per table (flagged), and a
+    // candidate pair is any in-bucket pair with ≥ 1 home member — i.e.
+    // hamming(bucket_a, bucket_b) ≤ 1 in some table, q29's multi-probe
+    // idiom on the pair side. The sub-threshold filter drops non-dups
+    // before the cross-table dedup, so the distinct shuffles only
     // (a_id, b_id, sim) scalars for true near-dups. The member heap leads
     // with `h = xxhash64(vec_id)`: collect_topk keeps the MaxBucket
-    // LARGEST (h, id, …) structs, so a bucket at or under the cap keeps
-    // its full member set (values unchanged) and an over-cap bucket keeps
-    // a content-stable uniform SAMPLE of exactly MaxBucket members —
-    // graceful recall degradation with the same bounded aggregation state
-    // as the old cap+1 heap. Two data shuffles total: the bucket agg
-    // (keyed on table × bucket) and the pair distinct.
-    val bucketed = e
+    // LARGEST (h, id, …) structs over the COMBINED (home + probe)
+    // membership, so a bucket at or under the cap keeps its full member
+    // set (values unchanged) and an over-cap bucket keeps a
+    // content-stable uniform SAMPLE of exactly MaxBucket members —
+    // graceful recall degradation with bounded aggregation state. Two
+    // data shuffles total: the bucket agg (keyed on table × bucket) and
+    // the pair distinct.
+    val emitted = e
       .select(
-        struct(
-          xxhash64(col("vec_id")).as("h"),
-          col("vec_id").as("id"),
-          col("v").as("v"),
-          col("nrm").as("nrm")).as("m"),
-        explode(array(tables: _*)).as("b")
+        xxhash64(col("vec_id")).as("h"),
+        col("vec_id").as("id"),
+        col("v"),
+        col("nrm"),
+        posexplode(array((0 until tables).map(t => hyperplane_bucket(col("v"), t, planes)): _*))
+          .as(Seq("tbl", "hb"))
       )
-      .select(col("m"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
-    bucketed
+      .select(
+        col("h"), col("id"), col("v"), col("nrm"), col("tbl"),
+        explode(
+          expr(
+            s"""concat(
+               |  array(named_struct('bucket', hb, 'home', true)),
+               |  transform(sequence(0, ${planes - 1}),
+               |            p -> named_struct('bucket', cast(hb ^ shiftleft(1, p) AS int),
+               |                              'home', false)))""".stripMargin)).as("be"))
+      .select(
+        struct(col("h"), col("id"), col("be.home").as("home"), col("v"), col("nrm")).as("m"),
+        col("tbl"),
+        col("be.bucket").as("bucket"))
+    emitted
       .groupBy(col("tbl"), col("bucket"))
       .agg(
         count(lit(1)).as("nb"),
         graft.functions.Expressions.collect_topk(col("m"), TextOps.MaxBucket).as("ms"))
-      .filter(col("nb") >= 2) // singleton buckets have no pairs — prune early
-      .select(expr("array_sort(ms, (x, y) -> int(sign(x.id - y.id)))").as("ms"))
+      // singleton and probe-only buckets contribute no pairs — prune early
+      .filter(col("nb") >= 2 && expr("exists(ms, x -> x.home)"))
+      .select(col("ms"))
       .select(
         explode(
           expr(
-            TextOps.pairExpansionSql(
-              "ms",
-              "a.id AS a_id, b.id AS b_id, graft_dot(a.v, b.v) / (a.nrm * b.nrm) AS sim"))
+            """flatten(transform(filter(ms, a -> a.home), a ->
+              |  transform(filter(ms, b -> b.id > a.id OR (NOT b.home AND b.id < a.id)), b ->
+              |    struct(least(a.id, b.id) AS a_id, greatest(a.id, b.id) AS b_id,
+              |           graft_dot(a.v, b.v) / (a.nrm * b.nrm) AS sim))))""".stripMargin)
         ).as("p")
       )
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"), col("p.sim").as("sim"))
@@ -1425,15 +1517,72 @@ object VectorOps {
       .distinct()
   }
 
+  /** EXACT count of (a, b) cosine evaluations the pair expansion performs
+    * at `dir`'s derived geometry — the family's COST, as opposed to its
+    * surfaced OUTPUT (which is the data's own dup structure and therefore
+    * not a cost signal: on a corpus with quadratic near-threshold
+    * background — any low-dimensional one — honest recall makes the
+    * output quadratic too). The BenchSf1 scale gate compares this,
+    * normalized by the amplification model `L(p)·(p+1/2)·occupancy`,
+    * across SFs: growth past 2× the model's own predicted growth means
+    * the geometry drifted off the derivation, independent of what the
+    * data contains. Counting pass only: members carry (hash, id, home) —
+    * no vectors shuffle — and the per-bucket closed form
+    * `nh·(nb−1) − C(nh,2)` over the SAME capped heap counts exactly the
+    * pairs [[nearDupPairsRaw]] expands.
+    */
+  def candidateVolume(spark: SparkSession, dir: String): Long = {
+    val planes = nearDupPlanesFor(spark, dir)
+    val tables = nearDupTablesFor(planes)
+    emb(spark, dir)
+      .select(
+        xxhash64(col("vec_id")).as("h"),
+        col("vec_id").as("id"),
+        posexplode(array((0 until tables).map(t => hyperplane_bucket(col("v"), t, planes)): _*))
+          .as(Seq("tbl", "hb")))
+      .select(
+        col("h"), col("id"), col("tbl"),
+        explode(
+          expr(
+            s"""concat(
+               |  array(named_struct('bucket', hb, 'home', true)),
+               |  transform(sequence(0, ${planes - 1}),
+               |            p -> named_struct('bucket', cast(hb ^ shiftleft(1, p) AS int),
+               |                              'home', false)))""".stripMargin)).as("be"))
+      .select(
+        struct(col("h"), col("id"), col("be.home").as("home")).as("m"),
+        col("tbl"),
+        col("be.bucket").as("bucket"))
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(graft.functions.Expressions.collect_topk(col("m"), TextOps.MaxBucket).as("ms"))
+      .select(
+        size(col("ms")).cast("long").as("nb"),
+        expr("size(filter(ms, x -> x.home))").cast("long").as("nh"))
+      .agg(
+        coalesce(
+          sum(col("nh") * (col("nb") - 1) - col("nh") * (col("nh") - 1) / 2),
+          lit(0L)).as("vol"))
+      .head().getLong(0)
+  }
+
+  /** The amplification model's predicted per-doc candidate volume at the
+    * derived geometry for a corpus of `n` vectors — the normalizer for
+    * the [[candidateVolume]] scale gate.
+    */
+  def candidateModelPerDoc(n: Long, planes: Int): Double =
+    nearDupTablesFor(planes).toDouble * (planes + 0.5) * (n.toDouble / (1L << planes))
+
   /** DuckDB oracle reproducing [[embedNearDup]] bit-for-bit — the
-    * [[annLshSql]] plane emulation generalized to [[NearDupTables]] tables
-    * at the SAME count-derived plane number (`q30np`): same
-    * `XXH64.hashLong((t·64+p)·64+d, 42)` Rademacher signs, same left-fold
-    * dots/norms, the same xxhash64-ordered top-MaxBucket member sample per
-    * (table, bucket), pairs joined within (table, bucket) and deduped
-    * BEFORE the one cosine per distinct pair (the Spark side computes
-    * per-table and dedupes after — identical output because the cosine is
-    * a pure function of the pair).
+    * [[annLshSql]] plane emulation generalized to the count-derived
+    * `q30nt` table count at the count-derived plane number (`q30np`):
+    * same `XXH64.hashLong((t·64+p)·64+d, 42)` Rademacher signs, same
+    * left-fold dots/norms, the same home + hamming-1 probe emission per
+    * table, the same xxhash64-ordered top-MaxBucket member sample over
+    * the COMBINED (table, bucket) membership, pairs joined within
+    * (table, bucket) under the ≥-1-home rule and deduped BEFORE the one
+    * cosine per distinct pair (the Spark side computes per-leg and
+    * dedupes after — identical output because the cosine is a pure
+    * function of the pair).
     */
   lazy val embedNearDupSql: String = {
     import graft.functions.DuckHash.assemble
@@ -1450,9 +1599,12 @@ object VectorOps {
   private lazy val nearDupCtes: Seq[(String, String)] = {
     import graft.functions.DuckHash._
     val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](planesCtes("q30", NearDupMinPlanes): _*)
+    ctes += ("q30nt" ->
+      s"(SELECT planes, (${tablesCaseSql("planes")})::INTEGER AS tables FROM q30np)")
     ctes += ("q30pd" ->
       (s"(SELECT t, p, d, ((t * 64 + p) * 64 + d)::HUGEINT AS idx " +
-        s"FROM range(0, $NearDupTables) r(t), range(0, 32) q(p), range(0, 64) s(d), q30np WHERE p < planes)"))
+        s"FROM range(0, $MaxNearDupTables) r(t), range(0, 32) q(p), range(0, 64) s(d), q30nt " +
+        "WHERE p < planes AND t < tables)"))
     val ch = new SqlChain("q30h", "q30pd", Seq("t", "p", "d", "idx"))
     hashLongLevels(ch, "idx", "42", "hw")
     ctes ++= ch.ctes
@@ -1478,20 +1630,30 @@ object VectorOps {
     hashLongLevels(mh, toUnsigned("l"), "42", "vh")
     ctes ++= mh.ctes
     ctes += ("q30vh" -> s"(SELECT vec_id, ${toSigned("vh")} AS h FROM ${mh.last})")
+    // home + hamming-1 probe emissions per table — the r14 multi-probe
+    // dial: a candidate pair is any in-bucket pair with >= 1 home member
+    ctes += ("q30em" ->
+      """(SELECT vec_id, t, bucket, TRUE AS home FROM q30bkt
+        | UNION ALL
+        | SELECT b.vec_id, b.t,
+        |   xor(b.bucket::BIGINT, (1::BIGINT << pp.p))::INTEGER AS bucket, FALSE AS home
+        | FROM q30bkt b, (SELECT p FROM range(0, 32) r(p), q30np WHERE p < planes) pp)""".stripMargin)
     // kept member set per (t, bucket): ALL members at or under the cap,
     // else the MaxBucket members LARGEST by (signed hash, vec_id) — the
     // exact keep-set of the Spark side's (h, id, …) collect_topk heap
+    // over the COMBINED (home + probe) membership
     ctes += ("q30mem" ->
-      s"""(SELECT t, bucket, vec_id FROM (
-         |    SELECT b.t, b.bucket, b.vec_id,
-         |      ROW_NUMBER() OVER (PARTITION BY b.t, b.bucket
-         |        ORDER BY h.h DESC, b.vec_id DESC) AS rn
-         |    FROM q30bkt b JOIN q30vh h USING (vec_id))
+      s"""(SELECT t, bucket, vec_id, home FROM (
+         |    SELECT e.t, e.bucket, e.vec_id, e.home,
+         |      ROW_NUMBER() OVER (PARTITION BY e.t, e.bucket
+         |        ORDER BY h.h DESC, e.vec_id DESC) AS rn
+         |    FROM q30em e JOIN q30vh h USING (vec_id))
          |  WHERE rn <= ${TextOps.MaxBucket})""".stripMargin)
     ctes += ("q30pairs" ->
       """(SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
         |  FROM q30mem a
-        |  JOIN q30mem b ON b.t = a.t AND b.bucket = a.bucket AND a.vec_id < b.vec_id)""".stripMargin)
+        |  JOIN q30mem b ON b.t = a.t AND b.bucket = a.bucket
+        |    AND a.vec_id < b.vec_id AND (a.home OR b.home))""".stripMargin)
     ctes += ("q30sim" ->
       """(SELECT a_id, b_id,
         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> av[i] * bv[i])),
@@ -1516,10 +1678,13 @@ object VectorOps {
     * broadcasts. The threshold gates the RAW cosine, like q30's 0.35 gate.
     */
   def semDedup(spark: SparkSession, dir: String): DataFrame =
-    semDedupOf(spark, emb(spark, dir), nearDupPlanesFor(spark, dir))
+    semDedupFrom(emb(spark, dir), SharedStages.nearDupPairs(spark, dir))
 
-  private[graft] def semDedupOf(spark: SparkSession, e: DataFrame, planes: Int): DataFrame = {
-    val victims = nearDupPairsRaw(spark, e, planes)
+  private[graft] def semDedupOf(spark: SparkSession, e: DataFrame, planes: Int): DataFrame =
+    semDedupFrom(e, nearDupPairsRaw(spark, e, planes))
+
+  private def semDedupFrom(e: DataFrame, pairs: DataFrame): DataFrame = {
+    val victims = pairs
       .filter(col("sim") >= SemDedupThreshold)
       .groupBy(col("b_id").as("vec_id"))
       .agg(min(col("a_id")).as("keeper"))
@@ -1566,11 +1731,13 @@ object VectorOps {
     * similarity threshold, how many EXACT cosine pairs touching a
     * deterministic probe sample exist, how many of them the multi-table
     * LSH candidate pipeline actually surfaced, and the recall — plus the
-    * corpus-derived plane count, so the planes/recall trade-off
-    * ([[nearDupPlanesFor]]'s occupancy dial) is MEASURED on live data
-    * every time the corpus grows, not asserted. This is the monitor that
-    * tells a 100 TB campaign when to raise [[NearDupTables]] (recall
-    * dial) as `planes ∝ log n` climbs.
+    * corpus-derived plane AND table counts, so the amplification bound
+    * [[nearDupTablesFor]] derives the dial from is MEASURED on live data
+    * every time the corpus grows, not asserted. This is the monitor the
+    * BenchSf1 sf1 lane GATES at [[NearDupRecallFloor]] — the r13 lesson
+    * was that cost gates alone green-light recall collapse — and the
+    * table that tells a 100 TB campaign the derivation has hit
+    * [[MaxNearDupTables]] and the action threshold must rise.
     *
     * Scale shape: the probe truth is q28's broadcast idiom — the fixed
     * probe set (TakeOrdered by content hash) broadcasts against ONE
@@ -1604,7 +1771,7 @@ object VectorOps {
         (dot_product(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("sim"))
       .filter(col("sim") >= NearDupThreshold)
       .distinct()
-    val cands = nearDupPairsRaw(spark, e, planes)
+    val cands = SharedStages.nearDupPairs(spark, dir)
       .select(col("a_id"), col("b_id"), lit(true).as("caught"))
     val perPair = truth
       .join(cands, Seq("a_id", "b_id"), "left")
@@ -1628,7 +1795,8 @@ object VectorOps {
         when(col("n_true") > 0,
           round(col("n_caught").cast("double") / col("n_true").cast("double"), 6))
           .as("recall"),
-        lit(planes).as("planes"))
+        lit(planes).as("planes"),
+        lit(nearDupTablesFor(planes)).as("tables"))
       .orderBy(col("threshold"))
   }
 
@@ -1671,8 +1839,8 @@ object VectorOps {
         |  coalesce(a.n_caught, 0)::BIGINT AS n_caught,
         |  CASE WHEN coalesce(a.n_true, 0) > 0
         |    THEN round(a.n_caught::DOUBLE / a.n_true::DOUBLE, 6) END AS recall,
-        |  np.planes
-        |FROM q251th th LEFT JOIN q251ag a USING (threshold), q30np np
+        |  np.planes, nt.tables
+        |FROM q251th th LEFT JOIN q251ag a USING (threshold), q30np np, q30nt nt
         |ORDER BY th.threshold""".stripMargin)
   }
 
@@ -1691,24 +1859,39 @@ object VectorOps {
     * either shows up as a bad dedup. The derived plane count rides in the
     * output row, like q251.
     *
-    * Scale shape: one map-side bucket projection (the q30 kernel), one
-    * (table, bucket)-keyed count — map-side combinable, never holding
-    * members — then a ≤[[NearDupTables]]-row rollup. Pure integer counts;
-    * one divide + 6-dp round for the mean.
+    * Scale shape: one map-side bucket projection + hamming-1 emission
+    * (the q30 kernel — the audit counts the COMBINED home + probe
+    * membership the pair expansion actually runs over, with the home
+    * count alongside so occupancy drift is attributable to geometry vs
+    * probe volume), one (table, bucket)-keyed count — map-side
+    * combinable, never holding members — then a ≤[[nearDupTablesFor]]-row
+    * rollup. Pure integer counts; one divide + 6-dp round for the mean.
     */
   def lshOccupancy(spark: SparkSession, dir: String): DataFrame = {
     val planes = nearDupPlanesFor(spark, dir)
-    val tables = (0 until NearDupTables).map { t =>
-      struct(lit(t).as("tbl"), hyperplane_bucket(col("v"), t, planes).as("bucket"))
-    }
+    val tables = nearDupTablesFor(planes)
     emb(spark, dir)
-      .select(explode(array(tables: _*)).as("b"))
-      .groupBy(col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
-      .agg(count(lit(1)).as("nb"))
+      .select(
+        posexplode(array((0 until tables).map(t => hyperplane_bucket(col("v"), t, planes)): _*))
+          .as(Seq("tbl", "hb")))
+      .select(
+        col("tbl"),
+        explode(
+          expr(
+            s"""concat(
+               |  array(named_struct('bucket', hb, 'home', true)),
+               |  transform(sequence(0, ${planes - 1}),
+               |            p -> named_struct('bucket', cast(hb ^ shiftleft(1, p) AS int),
+               |                              'home', false)))""".stripMargin)).as("be"))
+      .groupBy(col("tbl"), col("be.bucket").as("bucket"))
+      .agg(
+        count(lit(1)).as("nb"),
+        sum(when(col("be.home"), 1L).otherwise(0L)).as("nh"))
       .groupBy(col("tbl"))
       .agg(
         count(lit(1)).as("n_buckets"),
         sum(col("nb")).as("n_members"),
+        sum(col("nh")).as("n_home_members"),
         max(col("nb")).as("max_bucket"),
         sum(when(col("nb") > TextOps.MaxBucket, 1L).otherwise(0L)).as("n_overcap"),
         sum(when(col("nb") > TextOps.MaxBucket, col("nb") - TextOps.MaxBucket).otherwise(0L))
@@ -1718,6 +1901,7 @@ object VectorOps {
         lit(planes).as("planes"),
         col("n_buckets"),
         col("n_members"),
+        col("n_home_members"),
         col("max_bucket"),
         round(col("n_members").cast("double") / col("n_buckets").cast("double"), 6)
           .as("mean_occupancy"),
@@ -1726,20 +1910,23 @@ object VectorOps {
       .orderBy(col("tbl"))
   }
 
-  /** q252 oracle: the shared q30 bucket CTEs (same planes derivation,
-    * same Rademacher family), the identical two keyed aggregates and the
-    * one rounded divide.
+  /** q252 oracle: the shared q30 emission CTEs (same planes/tables
+    * derivation, same Rademacher family, same home + probe emission), the
+    * identical two keyed aggregates and the one rounded divide.
     */
   lazy val lshOccupancySql: String = {
     import graft.functions.DuckHash.assemble
     val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](nearDupCtes: _*)
     ctes += ("q252b" ->
-      "(SELECT t, bucket, count(*)::BIGINT AS nb FROM q30bkt GROUP BY t, bucket)")
+      ("(SELECT t, bucket, count(*)::BIGINT AS nb, " +
+        "CAST(sum(CASE WHEN home THEN 1 ELSE 0 END) AS BIGINT) AS nh " +
+        "FROM q30em GROUP BY t, bucket)"))
     assemble(
       ctes.toSeq,
       s"""SELECT t::INTEGER AS tbl, np.planes,
          |  count(*)::BIGINT AS n_buckets,
          |  CAST(sum(nb) AS BIGINT) AS n_members,
+         |  CAST(sum(nh) AS BIGINT) AS n_home_members,
          |  CAST(max(nb) AS BIGINT) AS max_bucket,
          |  round(CAST(sum(nb) AS DOUBLE) / count(*)::DOUBLE, 6) AS mean_occupancy,
          |  CAST(sum(CASE WHEN nb > ${TextOps.MaxBucket} THEN 1 ELSE 0 END) AS BIGINT) AS n_overcap,
@@ -2780,8 +2967,7 @@ object VectorOps {
     // branches (and the best/pick consumers) otherwise re-execute the
     // whole LSH bucket pipeline per read (the sf1 lane measured exp 1.11
     // from exactly that; pairs are dup-rate-bounded, cheap to pin)
-    val pairs = graft.core.CacheScope.persist(
-      nearDupPairsRaw(spark, emb(spark, dir), nearDupPlanesFor(spark, dir)))
+    val pairs = SharedStages.nearDupPairs(spark, dir)
     val withSplits = pairs
       .withColumn("sa", splitNameCol(splitBucketCol(col("a_id"))))
       .withColumn("sb", splitNameCol(splitBucketCol(col("b_id"))))
@@ -2881,8 +3067,7 @@ object VectorOps {
     */
   def knnLabelAgreement(spark: SparkSession, dir: String): DataFrame = {
     // persisted before the two-branch orientation union — q212's rule
-    val pairs = graft.core.CacheScope.persist(
-      nearDupPairsRaw(spark, emb(spark, dir), nearDupPlanesFor(spark, dir)))
+    val pairs = SharedStages.nearDupPairs(spark, dir)
     val oriented = pairs
       .select(col("a_id").as("focal"), col("b_id").as("nb"), col("sim"))
       .unionAll(pairs.select(col("b_id").as("focal"), col("a_id").as("nb"), col("sim")))
@@ -2955,8 +3140,7 @@ object VectorOps {
     */
   private def knnTopK(spark: SparkSession, dir: String): DataFrame = {
     // persisted before the two-branch orientation union — q212's rule
-    val pairs = graft.core.CacheScope.persist(
-      nearDupPairsRaw(spark, emb(spark, dir), nearDupPlanesFor(spark, dir)))
+    val pairs = SharedStages.nearDupPairs(spark, dir)
     val oriented = pairs
       .select(col("a_id").as("focal"), col("b_id").as("nb"), col("sim"))
       .unionAll(pairs.select(col("b_id").as("focal"), col("a_id").as("nb"), col("sim")))

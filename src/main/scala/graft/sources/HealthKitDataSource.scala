@@ -106,9 +106,16 @@ object HealthKitTable {
       }
       if (hasScheme || hasGlob) {
         // Hadoop resolution: glob (a literal path globs to itself), then
-        // expand directories to their *.zip members
+        // expand directories to their *.zip members. A SCHEME-LESS glob
+        // resolves against the LOCAL filesystem explicitly — the literal
+        // branch below uses java.io.File, and with a non-local
+        // fs.defaultFS the same relative path must not resolve against
+        // two different filesystems depending on whether it contains a
+        // glob metacharacter
         val path = new org.apache.hadoop.fs.Path(p)
-        val fs   = path.getFileSystem(HealthKitXml.hadoopConf())
+        val fs =
+          if (hasScheme) path.getFileSystem(HealthKitXml.hadoopConf())
+          else org.apache.hadoop.fs.FileSystem.getLocal(HealthKitXml.hadoopConf())
         val matched = Option(fs.globStatus(path)).toSeq.flatten
         if (matched.nonEmpty)
           matched.flatMap { st =>

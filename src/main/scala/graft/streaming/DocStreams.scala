@@ -574,29 +574,40 @@ object DocStreams {
     * smallest eval id), and the leak verdict at
     * [[graft.operators.VectorOps.SemLeakThreshold]].
     *
-    * Same stateless broadcast-literal shape as E50 (an eval suite is
-    * SMALL BY NATURE — its vectors are a bounded set): no state store, no
+    * Same stateless broadcast-literal shape as E50 (enforced, not
+    * assumed — see [[evalLshStore]]'s cap): no state store, no
     * watermark, no shuffle. The store's cells and the incoming buckets
-    * use the SAME corpus-derived plane count and hyperplane family
-    * ([[graft.functions.Expressions.hyperplane_bucket]]), and the cosine
-    * is the same termwise fold — so a flagged vector is exactly a vector
-    * batch q212 would pair (spec-reconciled; the one divergence is the
-    * batch side's over-cap bucket SAMPLING, which at eval-suite bucket
-    * sizes never engages). Zero-norm vectors carry no direction and pass
-    * clean, q30's rule. Refresh cadence = eval-set release cadence, the
-    * snapshot-refresh-by-restart contract.
+    * use the SAME corpus-derived plane AND table counts and hyperplane
+    * family ([[graft.functions.Expressions.hyperplane_bucket]]); the
+    * incoming side expands its cells to the hamming-1 probe set (r14's
+    * pair-side multi-probe), so store-overlap is EXACTLY the batch
+    * candidate rule `hamming(bucket_eval, bucket_in) ≤ 1 in some table`;
+    * the cosine is the same termwise fold — so a flagged vector is
+    * exactly a vector batch q212 would pair (spec-reconciled; the one
+    * divergence is the batch side's over-cap bucket SAMPLING, which at
+    * eval-suite bucket sizes never engages). Zero-norm vectors carry no
+    * direction and pass clean, q30's rule. Refresh cadence = eval-set
+    * release cadence, the snapshot-refresh-by-restart contract.
     */
   def semanticLeakGate(vecs: DataFrame, evalStore: Seq[EvalVec], planes: Int): DataFrame = {
     import graft.functions.Expressions.{dot_product, hyperplane_bucket, l2_norm}
     import graft.operators.VectorOps
     val store = typedLit(evalStore)
-    val cells = array((0 until VectorOps.NearDupTables).map { t =>
+    val cells = array((0 until VectorOps.nearDupTablesFor(planes)).map { t =>
       (lit(t.toLong) * lit(1L << planes) +
         hyperplane_bucket(col("v"), t, planes).cast("long")).as(s"c$t")
     }: _*)
     vecs
       .withColumn("nrm", l2_norm(col("v")))
-      .withColumn("cells", cells)
+      // home cells, then the hamming-1 probe expansion: the bucket part
+      // occupies the low `planes` bits of a cell id, so flipping bit
+      // p < planes stays inside the same table's cell range
+      .withColumn("hcells", cells)
+      .withColumn("cells",
+        expr(s"""flatten(transform(hcells, c ->
+                |  concat(array(c),
+                |         transform(sequence(0, ${planes - 1}),
+                |                   p -> c ^ shiftleft(cast(1 AS bigint), p)))))""".stripMargin))
       .withColumn("hits",
         when(col("nrm") > 0,
           filter(
@@ -620,17 +631,32 @@ object DocStreams {
         coalesce(col("best_sim_raw") >= VectorOps.SemLeakThreshold, lit(false)).as("is_leak"))
   }
 
-  /** The eval-side LSH store E65 broadcasts, with the plane count derived
-    * from the SAME corpus count batch q212 uses: every non-train-split
-    * vector (q40's content-stable split rule on vec_id) with its
-    * flattened LSH cells — bounded by the eval suite's size.
+  /** Hard ceiling on the broadcast eval store: the gate inlines the store
+    * into the plan (a Catalyst literal), so its size must be ENFORCED,
+    * not assumed.
+    */
+  val MaxEvalStore = 8192
+
+  /** The eval-side LSH store E65 broadcasts, with the plane and table
+    * counts derived from the SAME corpus count batch q212 uses: every
+    * non-train-split vector (q40's content-stable split rule on vec_id)
+    * with its flattened HOME LSH cells (the incoming side carries the
+    * hamming-1 probe expansion).
+    *
+    * Boundedness is ENFORCED, not assumed: the q40 split makes the
+    * non-train side ~(100 − SplitTrainPct)% OF THE CORPUS — a fraction,
+    * not a constant — so this demo source only stays broadcastable while
+    * the corpus is small. The collect asserts [[MaxEvalStore]] and fails
+    * LOUDLY past it; a production deployment sources this store from a
+    * genuinely bounded eval-suite table (the released benchmark itself),
+    * for which the E50/E64 broadcast shape is the honest contract.
     */
   def evalLshStore(
       spark: org.apache.spark.sql.SparkSession, dir: String): (Seq[EvalVec], Int) = {
     import graft.functions.Expressions.hyperplane_bucket
     import graft.operators.{TrainingOps, VectorOps}
     val planes = VectorOps.nearDupPlanesFor(spark, dir)
-    val cells = array((0 until VectorOps.NearDupTables).map { t =>
+    val cells = array((0 until VectorOps.nearDupTablesFor(planes)).map { t =>
       lit(t.toLong) * lit(1L << planes) + hyperplane_bucket(col("v"), t, planes).cast("long")
     }: _*)
     val rows = VectorOps.emb(spark, dir)
@@ -638,14 +664,18 @@ object DocStreams {
         TrainingOps.splitNameCol(TrainingOps.splitBucketCol(col("vec_id"))))
       .filter(col("split") =!= "train")
       .select(col("vec_id"), cells.as("cells"), col("v"), col("nrm"))
-      .collect() // eval-suite-bounded by construction
-      .map(r => EvalVec(
-        r.getLong(0),
-        r.getSeq[Long](1),
-        r.getSeq[Double](2),
-        r.getDouble(3)))
+      .limit(MaxEvalStore + 1)
+      .collect()
+    require(rows.length <= MaxEvalStore,
+      s"eval LSH store exceeds MaxEvalStore=$MaxEvalStore vectors — the q40-split demo " +
+        "source scales with the corpus; source the store from a bounded eval-suite table")
+    val store = rows.map(r => EvalVec(
+      r.getLong(0),
+      r.getSeq[Long](1),
+      r.getSeq[Double](2),
+      r.getDouble(3)))
       .toSeq
-    (rows, planes)
+    (store, planes)
   }
 
   /** E66: streaming LSH occupancy tripwire (twin: q252 — the live side of
@@ -659,16 +689,18 @@ object DocStreams {
     * window is quarantinable, instead of at the next batch audit.
     *
     * Scale shape: E55/E63's chained stateful windows — stage 1 collapses
-    * each window to the (table, bucket) grain (map-side hyperplane
-    * projection + an integer count, state bounded by watermark × live
-    * cells), stage 2 re-windows via `window_time` and folds four integer
-    * sums to ≤[[graft.operators.VectorOps.NearDupTables]] rows per
-    * window; the distinct-bucket count is an ordinary `count(1)` over
-    * stage-1 cells, never a distinct over stream state. Zero-norm
-    * vectors are dropped (q30's corpus rule). Window = reconciliation
-    * grain: batch-grouping the same records by the same windows
-    * reproduces every column exactly (spec-pinned against q252's own
-    * aggregate shapes).
+    * each window to the (table, bucket) grain over the COMBINED home +
+    * hamming-1 probe emission (q252's r14 grain — the membership the
+    * pair expansion actually runs over), map-side hyperplane projection
+    * + two integer counts, state bounded by watermark × live cells;
+    * stage 2 re-windows via `window_time` and folds five integer sums to
+    * ≤[[graft.operators.VectorOps.nearDupTablesFor]] rows per window;
+    * the distinct-bucket count is an ordinary `count(1)` over stage-1
+    * cells, never a distinct over stream state. Zero-norm vectors are
+    * dropped (q30's corpus rule). Window = reconciliation grain:
+    * batch-grouping the same records by the same windows reproduces
+    * every column exactly (spec-pinned against q252's own aggregate
+    * shapes).
     */
   def occupancyTripwire(
       vecs: DataFrame,
@@ -677,22 +709,34 @@ object DocStreams {
       watermarkDur: String = "2 hours"): DataFrame = {
     import graft.functions.Expressions.{hyperplane_bucket, l2_norm}
     import graft.operators.{TextOps, VectorOps}
-    val tables = (0 until VectorOps.NearDupTables).map { t =>
-      struct(lit(t).as("tbl"), hyperplane_bucket(col("v"), t, planes).as("bucket"))
-    }
+    val tables = VectorOps.nearDupTablesFor(planes)
     val cells = vecs
       .withColumn("nrm", l2_norm(col("v")))
       .filter(col("nrm") > 0)
       .withWatermark("ts", watermarkDur)
-      .select(col("ts"), explode(array(tables: _*)).as("b"))
-      .select(col("ts"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
-      .groupBy(window(col("ts"), windowDur), col("tbl"), col("bucket"))
-      .agg(count(lit(1)).as("nb"))
+      .select(
+        col("ts"),
+        posexplode(array((0 until tables).map(t => hyperplane_bucket(col("v"), t, planes)): _*))
+          .as(Seq("tbl", "hb")))
+      .select(
+        col("ts"), col("tbl"),
+        explode(
+          expr(
+            s"""concat(
+               |  array(named_struct('bucket', hb, 'home', true)),
+               |  transform(sequence(0, ${planes - 1}),
+               |            p -> named_struct('bucket', cast(hb ^ shiftleft(1, p) AS int),
+               |                              'home', false)))""".stripMargin)).as("be"))
+      .groupBy(window(col("ts"), windowDur), col("tbl"), col("be.bucket").as("bucket"))
+      .agg(
+        count(lit(1)).as("nb"),
+        sum(when(col("be.home"), 1L).otherwise(0L)).as("nh"))
     cells
       .groupBy(window(window_time(col("window")), windowDur), col("tbl"))
       .agg(
         count(lit(1)).as("n_buckets"),
         sum(col("nb")).as("n_members"),
+        sum(col("nh")).as("n_home_members"),
         max(col("nb")).as("max_bucket"),
         sum(when(col("nb") > TextOps.MaxBucket, 1L).otherwise(0L)).as("n_overcap"))
       .select(
@@ -701,10 +745,126 @@ object DocStreams {
         lit(planes).as("planes"),
         col("n_buckets"),
         col("n_members"),
+        col("n_home_members"),
         col("max_bucket"),
         round(col("n_members").cast("double") / col("n_buckets").cast("double"), 6)
           .as("mean_occupancy"),
         col("n_overcap"))
+  }
+
+  /** A q251 probe vector with its per-table HOME buckets — the broadcast
+    * store of the E67 recall canary.
+    */
+  case class ProbeVec(p_id: Long, v: Seq[Double], nrm: Double, bks: Seq[Int])
+
+  /** E67: streaming recall canary (twin: q251 — the live leg of the
+    * q251/q252 monitoring pair; E66 watches the geometry's COST, this
+    * watches its RECALL): the [[graft.operators.VectorOps.EmbedRecallProbes]]-bounded
+    * probe set broadcasts with its exact vectors and per-table home
+    * buckets; every arriving vector that is a TRUE near-threshold partner
+    * of a probe (exact cosine ≥ the q30 gate — computed in-row against
+    * the 64-vector store) is checked against the geometry: would the
+    * multi-table hamming-1 pipeline have caught the pair
+    * (`hamming(bucket_probe, bucket_in) ≤ 1` in some table)? Per closed
+    * window × severity threshold: true pairs seen, pairs the geometry
+    * catches, live recall — the tripwire that says "the corpus drifted
+    * (or grew) past the plane/table derivation: re-derive before the
+    * next dedup campaign" BEFORE a batch q251 audit would.
+    *
+    * Pair-once rule (q251's distinct-pair semantics): an arriving vector
+    * that is ITSELF a probe only pairs against smaller probe ids, so a
+    * probe-probe pair counts exactly once across the replay; every other
+    * arrival pairs against all probes. Zero-norm arrivals pass clean
+    * (q30's rule). Stateless per-row screen + one windowed integer
+    * rollup (≤ |thresholds| rows per window, the full grid like q251's —
+    * a no-truth window reports n_true = 0 with NULL recall). Probe-less
+    * arrivals flow to the rollup as a null hit (`explode_outer`) rather
+    * than being dropped: a row filtered out before the stateful operator
+    * never advances the watermark (measured — a quiet feed would
+    * otherwise never close its windows). The one divergence from batch
+    * q251 is the batch side's over-cap bucket SAMPLING, which at
+    * probe-store bucket sizes never engages (spec-pinned equality on the
+    * same records).
+    */
+  def recallCanary(
+      vecs: DataFrame,
+      store: Seq[ProbeVec],
+      planes: Int,
+      windowDur: String = "1 hour",
+      watermarkDur: String = "2 hours"): DataFrame = {
+    import graft.functions.Expressions.{dot_product, hyperplane_bucket, l2_norm}
+    import graft.operators.VectorOps
+    val tables   = VectorOps.nearDupTablesFor(planes)
+    val probeIds = store.map(_.p_id)
+    val probes   = typedLit(store)
+    val thGrid   = array(VectorOps.EmbedRecallThresholds.map(lit(_)): _*)
+    vecs
+      .withColumn("nrm", l2_norm(col("v")))
+      .filter(col("nrm") > 0)
+      .withWatermark("ts", watermarkDur)
+      .withColumn("bks",
+        array((0 until tables).map(t => hyperplane_bucket(col("v"), t, planes)): _*))
+      .withColumn("is_probe", col("vec_id").isInCollection(probeIds))
+      .withColumn("hits",
+        filter(
+          transform(probes, p => struct(
+            p.getField("p_id").as("p_id"),
+            (dot_product(p.getField("v"), col("v")) / (p.getField("nrm") * col("nrm")))
+              .as("sim"),
+            exists(
+              zip_with(p.getField("bks"), col("bks"),
+                (a, b) => bit_count(a.bitwiseXOR(b)) <= lit(1)),
+              x => x).as("caught"))),
+          h =>
+            h.getField("p_id") =!= col("vec_id") &&
+              (!col("is_probe") || h.getField("p_id") < col("vec_id")) &&
+              h.getField("sim") >= VectorOps.NearDupThreshold))
+      .select(col("ts"), explode_outer(col("hits")).as("h"))
+      .select(col("ts"), col("h.sim").as("sim"), col("h.caught").as("caught"),
+        explode(thGrid).as("threshold"))
+      .filter(col("sim").isNull || col("sim") >= col("threshold"))
+      .groupBy(window(col("ts"), windowDur), col("threshold"))
+      .agg(
+        sum(when(col("sim").isNotNull, 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("caught"), 1L).otherwise(0L)).as("n_caught"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("threshold"),
+        col("n_true"),
+        col("n_caught"),
+        when(col("n_true") > 0,
+          round(col("n_caught").cast("double") / col("n_true").cast("double"), 6))
+          .as("recall"),
+        lit(planes).as("planes"),
+        lit(tables).as("tables"))
+  }
+
+  /** The probe store E67 broadcasts: q251's exact probe pick (smallest
+    * signed xxhash64, then id — content-stable) with each probe's vector,
+    * norm, and per-table home buckets at the corpus-derived geometry.
+    * [[graft.operators.VectorOps.EmbedRecallProbes]]-bounded by
+    * construction.
+    */
+  def recallProbeStore(
+      spark: org.apache.spark.sql.SparkSession, dir: String): (Seq[ProbeVec], Int) = {
+    import graft.functions.Expressions.hyperplane_bucket
+    import graft.operators.VectorOps
+    val planes = VectorOps.nearDupPlanesFor(spark, dir)
+    val tables = VectorOps.nearDupTablesFor(planes)
+    val bks = array((0 until tables).map(t => hyperplane_bucket(col("v"), t, planes)): _*)
+    val rows = VectorOps.emb(spark, dir)
+      .select(col("vec_id"), col("v"), col("nrm"), bks.as("bks"),
+        xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(VectorOps.EmbedRecallProbes)
+      .collect()
+      .map(r => ProbeVec(
+        r.getLong(0),
+        r.getSeq[Double](1),
+        r.getDouble(2),
+        r.getSeq[Int](3)))
+      .toSeq
+    (rows, planes)
   }
 
   /** The per-grain eval gram stores E64 broadcasts. */
@@ -718,25 +878,39 @@ object DocStreams {
   def benchGramSet(spark: org.apache.spark.sql.SparkSession, dir: String): Set[Long] =
     benchGramSetAt(spark, dir, graft.operators.TrainingOps.DecontamN)
 
-  /** [[benchGramSet]] at an explicit gram grain (the E64 sweep). */
+  /** [[benchGramSet]] at an explicit gram grain (the E64 sweep). r14: a
+    * [[graft.operators.TrainingOps.SweepNs]] grain reads the session-shared
+    * [[graft.operators.SharedStages.dfCapGrams]] stage (a kept gram's ids
+    * list is COMPLETE by the cap, so bench membership is an in-row
+    * exists) — the store build stops re-scanning the corpus q39/q205
+    * already aggregated; any other grain falls back to the bespoke
+    * one-pass aggregate.
+    */
   def benchGramSetAt(
       spark: org.apache.spark.sql.SparkSession, dir: String, n: Int): Set[Long] = {
-    import graft.operators.{TextOps, TrainingOps}
-    val sh = graft.core.Tables.documents(spark, dir)
-      .select(col("doc_id"), TextOps.toks.as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(TextOps.distinctGramHashExpr(n)).as("g"))
-    // q39's one-pass DF-cap shape: exact df + bench membership in ONE
-    // map-side-combinable gram-keyed aggregate — never a keyed count
-    // window (one task per hot gram; the round-8 verdict's hazard #4,
-    // which this helper kept after q39/q205 were reshaped)
-    sh.groupBy(col("g"))
-      .agg(
-        count(lit(1)).as("df"),
-        max(when(col("doc_id") % TrainingOps.BenchEvery === 0, 1).otherwise(0)).as("hb"))
-      .filter(col("df") <= TrainingOps.DecontamMaxDf && col("hb") === 1)
-      .select(col("g"))
-      .collect().map(_.getLong(0)).toSet
+    import graft.operators.{SharedStages, TextOps, TrainingOps}
+    if (TrainingOps.SweepNs.contains(n))
+      SharedStages.dfCapGrams(spark, dir)
+        .filter(col("n") === n &&
+          expr(s"exists(ids, d -> d % ${TrainingOps.BenchEvery} = 0)"))
+        .select(col("g"))
+        .collect().map(_.getLong(0)).toSet
+    else {
+      val sh = graft.core.Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.toks.as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col("doc_id"), explode(TextOps.distinctGramHashExpr(n)).as("g"))
+      // q39's one-pass DF-cap shape: exact df + bench membership in ONE
+      // map-side-combinable gram-keyed aggregate — never a keyed count
+      // window (one task per hot gram; the round-8 verdict's hazard #4)
+      sh.groupBy(col("g"))
+        .agg(
+          count(lit(1)).as("df"),
+          max(when(col("doc_id") % TrainingOps.BenchEvery === 0, 1).otherwise(0)).as("hb"))
+        .filter(col("df") <= TrainingOps.DecontamMaxDf && col("hb") === 1)
+        .select(col("g"))
+        .collect().map(_.getLong(0)).toSet
+    }
   }
 
   /** E52: streaming HT/PPS estimator envelopes — q210's live leg, and the

@@ -22,23 +22,37 @@ object BenchSf1 {
     * with the reason recorded — anything here still appears in the
     * artifact, it just doesn't fail the gate.
     */
-  /** The embed-pair family's story since r13: the plane count is derived
-    * from the corpus ([[graft.operators.VectorOps.nearDupPlanesFor]] —
-    * planes = max(5, ceil(log2(n/32)))), so expected bucket occupancy —
-    * and the per-doc candidate-pair density — is constant BY CONSTRUCTION
-    * as the corpus grows; over-cap buckets deterministically SAMPLE to
+  /** The embed-pair family's story since r14 (the recall dial, turned):
+    * planes stay corpus-derived
+    * ([[graft.operators.VectorOps.nearDupPlanesFor]] — max(5,
+    * ceil(log2(n/32)))) and the TABLE count now grows with them per the
+    * amplification bound ([[graft.operators.VectorOps.nearDupTablesFor]],
+    * hamming-1 probing included), holding recall@0.45 ≥ the derivation
+    * target — r13's fixed L = 6 measured recall collapsing 0.50 → 0.43 →
+    * 0.072 as planes grew 5 → 6 → 10, a quality failure the cost gates
+    * green-lit. The honest cost of held recall is the data-independent
+    * LSH frontier, candidate volume ∝ n^0.62·log n — so the gate for this
+    * family watches BOTH dials it can watch honestly: (1) q251's measured
+    * recall@0.45 at sf1 against [[graft.operators.VectorOps.NearDupRecallFloor]]
+    * (`recall_violations`), and (2) the measured candidate volume against
+    * the amplification MODEL's own predicted growth
+    * ([[graft.operators.VectorOps.candidateModelPerDoc]], ratio ≤
+    * [[PairDensityGate]]). The SURFACED pair table is the data's answer,
+    * not a cost: on this 64-dim synthetic corpus the ≥0.35 background is
+    * genuinely quadratic (brute-force truth: 271 pairs at 500 vecs, 4137
+    * at 2000 — the engine's 249/3706 is ~0.9 recall of each), so gating
+    * surfaced output would just re-demand the recall collapse; it is
+    * REPORTED (`pairs_sf01`/`pairs_sf1`) with this explanation instead.
+    * Over-cap buckets still deterministically SAMPLE to
     * [[graft.operators.TextOps.MaxBucket]] members instead of dropping.
-    * The claim is measured, not asserted: the gate records per-doc pair
-    * density at both SFs and revokes the exemption past
-    * [[PairDensityGate]]× (the r12 run measured the old fixed-plane
-    * setting at ×10.1 and caught the stale justification; this text and
-    * the sizing both answer that measurement).
     */
   private val EmbedLshWhy =
-    "embed-LSH pair family at corpus-sized planes (max(5, ceil(log2(n/32))), r13): expected " +
-      "per-doc candidate density constant by construction -> pair-linear cost; over-cap " +
-      "buckets sample to the cap (content-stable xxhash64 order) instead of dropping; " +
-      "density ratio measured below and revocable"
+    "embed-LSH pair family at corpus-derived planes AND tables (r14: L(p) from the " +
+      "amplification bound + hamming-1 probing, recall@0.45 held >= 0.9 by derivation and " +
+      "gated at sf1 via q251): candidate volume follows the n^0.62*log n LSH frontier — " +
+      "measured against the model's own predicted growth below; surfaced pairs mirror the " +
+      "corpus's true (quadratic-background) structure at ~0.9 recall and are reported, " +
+      "not gated; over-cap buckets sample to the cap (content-stable xxhash64 order)"
 
   val LinearAllowlist: Map[String, String] = Map(
     "q94_gap_fill" -> ("resampling emits the full (user, hour) grid — output itself grows " +
@@ -67,16 +81,32 @@ object BenchSf1 {
     */
   val AllowlistMetric: Map[String, String] = Map(
     "q96_edit_verify"         -> "text_candidate_pairs",
-    "q30_embed_neardup"       -> "embed_neardup_pairs",
-    "q65_semdedup"            -> "embed_neardup_pairs",
-    "q212_semantic_decontam"  -> "embed_neardup_pairs",
-    "q213_knn_label_agreement" -> "embed_neardup_pairs",
-    "q227_knn_hubness"        -> "embed_neardup_pairs",
-    "q228_fleiss_kappa"       -> "embed_neardup_pairs",
-    "q251_embed_recall"       -> "embed_neardup_pairs",
+    "q30_embed_neardup"       -> "embed_candidate_volume",
+    "q65_semdedup"            -> "embed_candidate_volume",
+    "q212_semantic_decontam"  -> "embed_candidate_volume",
+    "q213_knn_label_agreement" -> "embed_candidate_volume",
+    "q227_knn_hubness"        -> "embed_candidate_volume",
+    "q228_fleiss_kappa"       -> "embed_candidate_volume",
+    "q251_embed_recall"       -> "embed_candidate_volume",
     "q94_gap_fill"            -> "output_rows"
   )
   val PairDensityGate = 2.0
+
+  /** The recall floor the sf1 lane fails under — q251's measured
+    * recall@0.45, the r13 lesson's missing gate.
+    */
+  val RecallFloor: Double = graft.operators.VectorOps.NearDupRecallFloor
+
+  /** Bound on the TEXT LSH families' cap loss — q25/q26/q64 ride the
+    * fixed [[graft.operators.TextOps.MaxBucket]] cap, and q183 measures
+    * the candidate-pair share the cap actually DROPS (its band = −1
+    * overall row). The r14 rule: that share is GATED at both SFs instead
+    * of asserted away — a corpus whose hot buckets outgrow the cap
+    * surfaces here (as the embed side's occupancy does via q251/q252)
+    * before it silently costs text-dedup recall. Missing measurement =
+    * violation (the failure-marker rule).
+    */
+  val TextDropShareGate = 0.02
 
   def main(args: Array[String]): Unit = {
     val sf01Dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -139,19 +169,23 @@ object BenchSf1 {
     // an empty map must not make every density check vacuously hold).
     def pairStats(dir: String): Map[String, Long] =
       try {
-        val vo    = graft.operators.VectorOps
-        val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+        val vo     = graft.operators.VectorOps
+        val nDocs  = spark.read.parquet(s"$dir/documents.parquet").count()
+        val planes = vo.nearDupPlanesFor(spark, dir)
         val textPairs = graft.operators.SharedStages.minhashEdges(spark, dir).count()
-        val embPairs =
-          vo.nearDupPairsRaw(spark, vo.emb(spark, dir), vo.nearDupPlanesFor(spark, dir)).count()
-        val gapRows = SparkEntry.queries("q94_gap_fill")(spark, dir).count()
+        val embPairs  = graft.operators.SharedStages.nearDupPairs(spark, dir).count()
+        val candVol   = vo.candidateVolume(spark, dir)
+        val gapRows   = SparkEntry.queries("q94_gap_fill")(spark, dir).count()
         graft.core.CacheScope.drain(spark)
         Map(
-          "docs"                 -> nDocs,
-          "planes"               -> vo.nearDupPlanesFor(spark, dir).toLong,
-          "text_candidate_pairs" -> textPairs,
-          "embed_neardup_pairs"  -> embPairs,
-          "output_rows"          -> gapRows)
+          "docs"                   -> nDocs,
+          "n_embs"                 -> spark.read.parquet(s"$dir/embeddings.parquet").count(),
+          "planes"                 -> planes.toLong,
+          "tables"                 -> vo.nearDupTablesFor(planes).toLong,
+          "text_candidate_pairs"   -> textPairs,
+          "embed_neardup_pairs"    -> embPairs,
+          "embed_candidate_volume" -> candVol,
+          "output_rows"            -> gapRows)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench-sf1-full] pairStats@$dir failed: ${e.getMessage}")
@@ -159,6 +193,52 @@ object BenchSf1 {
       }
     val stats01 = pairStats(sf01Dir)
     val stats1  = pairStats(sf1Dir)
+
+    // q251's measured recall@0.45 per dir — the sf1 value is the gate the
+    // r13 round was missing (cost gates alone green-lit recall collapse).
+    // A missing or NULL measurement is a VIOLATION, not a pass (the
+    // failure-marker rule).
+    def recallAt045(dir: String): Option[Double] =
+      try {
+        SparkEntry.queries("q251_embed_recall")(spark, dir).collect()
+          .find(r => math.abs(r.getAs[Double]("threshold") - 0.45) < 1e-9)
+          .flatMap { r =>
+            val i = r.fieldIndex("recall")
+            if (r.isNullAt(i)) None else Some(r.getDouble(i))
+          }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench-sf1-full] recall@$dir failed: ${e.getMessage}")
+          None
+      } finally graft.core.CacheScope.drain(spark)
+    val recall01 = recallAt045(sf01Dir)
+    val recall1  = recallAt045(sf1Dir)
+    val recallViolations: Seq[(String, Option[Double])] =
+      Seq("sf01" -> recall01, "sf1" -> recall1).filter { case (_, r) =>
+        r.forall(_ < RecallFloor) // forall: missing measurement ⇒ violation
+      }
+
+    // q183's overall (band = -1) cap-dropped candidate-pair share per dir
+    // — the text LSH families' counterpart of the recall gate
+    def dropShareAt(dir: String): Option[Double] =
+      try {
+        SparkEntry.queries("q183_bucket_balance")(spark, dir).collect()
+          .find(_.getAs[Long]("band") == -1L)
+          .map { r =>
+            val i = r.fieldIndex("drop_share")
+            if (r.isNullAt(i)) 0.0 else r.getDouble(i) // no pairs at all ⇒ nothing dropped
+          }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench-sf1-full] drop_share@$dir failed: ${e.getMessage}")
+          None
+      } finally graft.core.CacheScope.drain(spark)
+    val drop01 = dropShareAt(sf01Dir)
+    val drop1  = dropShareAt(sf1Dir)
+    val dropShareViolations: Seq[(String, Option[Double])] =
+      Seq("sf01" -> drop01, "sf1" -> drop1).filter { case (_, d) =>
+        d.forall(_ > TextDropShareGate) // forall: missing measurement ⇒ violation
+      }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val rows = names.map { name =>
@@ -173,12 +253,28 @@ object BenchSf1 {
     // gate loses its exemption: its justification is measured false. A
     // query whose measurement is MISSING (pairStats threw) also loses it —
     // an empty stats map must not make the check vacuously pass.
+    // Per-doc growth ratio for text/output metrics; for the embed family
+    // the measured CANDIDATE volume is normalized by the amplification
+    // model's own predicted per-vec volume at each SF's derived geometry
+    // (recall-held LSH cost grows ∝ n^0.62·log n BY DESIGN — the gate
+    // checks the measurement tracks the design, not that cost is flat).
     val densityRatio: Map[String, Double] = AllowlistMetric.flatMap { case (q, metric) =>
-      for {
-        d01 <- stats01.get("docs"); d1 <- stats1.get("docs")
-        p01 <- stats01.get(metric); p1 <- stats1.get(metric)
-        if d01 > 0 && d1 > 0 && p01 > 0
-      } yield q -> (p1.toDouble / d1) / (p01.toDouble / d01)
+      if (metric == "embed_candidate_volume")
+        for {
+          n01 <- stats01.get("n_embs"); n1 <- stats1.get("n_embs")
+          pl01 <- stats01.get("planes"); pl1 <- stats1.get("planes")
+          v01 <- stats01.get(metric); v1 <- stats1.get(metric)
+          if n01 > 0 && n1 > 0 && v01 > 0
+          m01 = graft.operators.VectorOps.candidateModelPerDoc(n01, pl01.toInt)
+          m1  = graft.operators.VectorOps.candidateModelPerDoc(n1, pl1.toInt)
+          if m01 > 0 && m1 > 0
+        } yield q -> ((v1.toDouble / n1) / m1) / ((v01.toDouble / n01) / m01)
+      else
+        for {
+          d01 <- stats01.get("docs"); d1 <- stats1.get("docs")
+          p01 <- stats01.get(metric); p1 <- stats1.get(metric)
+          if d01 > 0 && d1 > 0 && p01 > 0
+        } yield q -> (p1.toDouble / d1) / (p01.toDouble / d01)
     }
     val brokenJustification = AllowlistMetric.keySet.filter { q =>
       densityRatio.get(q).forall(_ > PairDensityGate) // forall: missing measurement ⇒ broken
@@ -207,7 +303,14 @@ object BenchSf1 {
         // null in the artifact AND the entry counts as a gate violation
         val holds =
           if (densityRatio.contains(k)) (!brokenJustification.contains(k)).toString else "null"
-        s""", "metric": "$m", "pairs_sf01": $p01, "pairs_sf1": $p1,""" +
+        // the embed family additionally reports its SURFACED pair table
+        // (the data's answer — explained in the why, measured, not gated)
+        val surfaced =
+          if (m == "embed_candidate_volume")
+            s""" "surfaced_pairs_sf01": ${stats01.getOrElse("embed_neardup_pairs", -1L)},""" +
+              s""" "surfaced_pairs_sf1": ${stats1.getOrElse("embed_neardup_pairs", -1L)},"""
+          else ""
+        s""", "metric": "$m", "pairs_sf01": $p01, "pairs_sf1": $p1,$surfaced""" +
           s""" "per_doc_density_ratio": $ratio,""" +
           s""" "justification_holds": $holds"""
       }.getOrElse("")
@@ -220,9 +323,18 @@ object BenchSf1 {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath),
       s"""{"replicas": ${ScaleData.Replicas},
-         |"note": "ALL registered queries re-timed on the deterministic 10x corpus; scale_exp = log10(t_sf1/t_sf0.1): 0=overhead-bound, 1=linear; gate: exp > $ExpGate AND sf1_s > $MinSf1Secs s outside the allowlist fails; allowlist entries carry their MEASURED pair densities and lose the exemption when per-doc density grows > ${PairDensityGate}x",
+         |"note": "ALL registered queries re-timed on the deterministic 10x corpus; scale_exp = log10(t_sf1/t_sf0.1): 0=overhead-bound, 1=linear; gate: exp > $ExpGate AND sf1_s > $MinSf1Secs s outside the allowlist fails; allowlist entries carry their MEASURED densities (embed family: candidate volume vs the amplification model) and lose the exemption past ${PairDensityGate}x; q251 recall@0.45 below $RecallFloor at either SF fails (recall_violations)",
          |"docs": {"sf01": ${stats01.getOrElse("docs", -1L)}, "sf1": ${stats1.getOrElse("docs", -1L)}},
          |"neardup_planes": {"sf01": ${stats01.getOrElse("planes", -1L)}, "sf1": ${stats1.getOrElse("planes", -1L)}},
+         |"neardup_tables": {"sf01": ${stats01.getOrElse("tables", -1L)}, "sf1": ${stats1.getOrElse("tables", -1L)}},
+         |"recall_at_045": {"sf01": ${recall01.map(r => f"$r%.4f").getOrElse("null")}, "sf1": ${recall1.map(r => f"$r%.4f").getOrElse("null")}, "floor": $RecallFloor},
+         |"recall_violations": [${recallViolations.map { case (d, r) =>
+        s"""{"sf": "$d", "recall": ${r.map(v => f"$v%.4f").getOrElse("null")}}"""
+      }.mkString(", ")}],
+         |"text_drop_share": {"sf01": ${drop01.map(v => f"$v%.6f").getOrElse("null")}, "sf1": ${drop1.map(v => f"$v%.6f").getOrElse("null")}, "bound": $TextDropShareGate},
+         |"drop_share_violations": [${dropShareViolations.map { case (d, v) =>
+        s"""{"sf": "$d", "drop_share": ${v.map(x => f"$x%.6f").getOrElse("null")}}"""
+      }.mkString(", ")}],
          |"shared_prewarm_s": {${sharedJson.mkString(", ")}},
          |"gate_violations": $vio,
          |"allowlist": {
@@ -233,11 +345,21 @@ object BenchSf1 {
          |}}
          |""".stripMargin)
     println(s"[bench-sf1-full] wrote $outPath; ${rows.size} queries, " +
-      s"${violations.size} gate violations")
+      s"${violations.size} gate violations, ${recallViolations.size} recall violations, " +
+      s"${dropShareViolations.size} drop-share violations")
     violations.foreach { case (n, t1, e) =>
       System.err.println(f"[bench-sf1-full] GATE: $n sf1=$t1%.2fs exp=$e%.2f")
     }
+    recallViolations.foreach { case (d, r) =>
+      System.err.println(s"[bench-sf1-full] RECALL GATE: $d recall@0.45=" +
+        s"${r.map(v => f"$v%.4f").getOrElse("UNMEASURED")} < $RecallFloor")
+    }
+    dropShareViolations.foreach { case (d, v) =>
+      System.err.println(s"[bench-sf1-full] DROP-SHARE GATE: $d drop_share=" +
+        s"${v.map(x => f"$x%.6f").getOrElse("UNMEASURED")} > $TextDropShareGate")
+    }
     spark.stop()
-    if (violations.nonEmpty) sys.exit(4)
+    if (violations.nonEmpty || recallViolations.nonEmpty || dropShareViolations.nonEmpty)
+      sys.exit(4)
   }
 }

@@ -567,6 +567,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("r14: nearDupTablesFor equals the amplification bound at the action threshold") {
+    // L(p) = ceil(ln(1−R) / ln(1−c₁(p))), c₁(p) = s^p + p·s^(p−1)·(1−s),
+    // s = 1 − arccos(0.45)/π, R = NearDupRecallTarget — the hardcoded
+    // lookup (shared verbatim with the DuckDB oracles) must BE the bound
+    val s = 1.0 - math.acos(VectorOps.SemDedupThreshold) / math.Pi
+    val r = VectorOps.NearDupRecallTarget
+    VectorOps.NearDupTableCounts.foreach { case (p, l) =>
+      val c1 = math.pow(s, p) + p * math.pow(s, p - 1) * (1 - s)
+      val want = math.ceil(math.log(1 - r) / math.log(1 - c1)).toLong
+      assert(l.toLong == want, s"p=$p: lookup $l vs bound $want")
+      assert(l <= VectorOps.MaxNearDupTables)
+      // the derived setting actually delivers the target at the threshold
+      assert(1 - math.pow(1 - c1, l.toDouble) >= r - 1e-9, s"p=$p under target")
+    }
+    // contiguous coverage from the plane floor up to the cap boundary:
+    // the first derived count past the lookup exceeds the cap, so the
+    // ELSE branch (cap) is the honest continuation, measured by q251
+    val ps = VectorOps.NearDupTableCounts.keySet
+    assert(ps.min == VectorOps.NearDupMinPlanes)
+    assert(ps == (ps.min to ps.max).toSet, "gap in the lookup")
+    val pNext = ps.max + 1
+    val cNext = math.pow(s, pNext) + pNext * math.pow(s, pNext - 1) * (1 - s)
+    assert(math.ceil(math.log(1 - r) / math.log(1 - cNext)) > VectorOps.MaxNearDupTables)
+    assert(VectorOps.nearDupTablesFor(pNext) == VectorOps.MaxNearDupTables)
+    // the table-index family stays below the JL decorrelation offset
+    assert(VectorOps.MaxNearDupTables < VectorOps.JlTable)
+  }
+
   test("r13: over-cap LSH buckets SAMPLE to the cap (content-stable) instead of dropping") {
     import spark.implicits._
     import graft.functions.Expressions.l2_norm
@@ -616,6 +644,10 @@ class OperatorsSpec extends SparkSpec {
     val edges = Seq(
       Seq("a"), Seq("a", "b", "c", "d"), Seq.fill(20)("same"),
       Seq("ναι", "Ω", "", "x", "héllo", "a,b", "\"q\"", "tab\tin", "z"),
+      // null ELEMENTS (the declared type tolerates them): both kernels
+      // must share concatWs's null-skipping — r14's NPE-parity fix
+      Seq("a", null, "b", "c", null, "d", "e", "f", "g", "h"),
+      Seq[String](null, null, null, null, null),
       Seq.empty[String]
     ).toDF("toks")
     val frames = corpus.unionByName(edges)

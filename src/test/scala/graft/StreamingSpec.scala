@@ -2504,13 +2504,16 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.table("occ_s").collect()
       .filter(_.getString(0).startsWith("2024-01-01 1"))
       .map(r => (r.getString(0), r.getInt(1)) ->
-        ((r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6), r.getLong(7))))
+        ((r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getDouble(7), r.getLong(8))))
       .toMap
     q.stop()
     // batch truth: buckets from the SHARED kernel (one batch projection),
-    // window grouping and the rollup arithmetic recomputed driver-side
+    // the home + hamming-1 probe emission, window grouping, and the
+    // rollup arithmetic recomputed driver-side
     import graft.functions.Expressions.{hyperplane_bucket, l2_norm}
-    val tblCols = (0 until VectorOps.NearDupTables)
+    val tables = VectorOps.nearDupTablesFor(planes)
+    val tblCols = (0 until tables)
       .map(t => hyperplane_bucket(col("v"), t, planes).as(s"b$t"))
     val live = replay.filter(v => v.ts.toString.startsWith("2024-01-01 1")).toSeq
     val bkts = live.toDF()
@@ -2520,20 +2523,74 @@ class StreamingSpec extends SparkSpec {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val want = (for {
       r <- bkts.toSeq
-      t <- 0 until VectorOps.NearDupTables
-    } yield ((r.getString(1), t), r.getInt(2 + t)))
+      t <- 0 until tables
+      (bkt, home) <- {
+        val hb = r.getInt(2 + t)
+        (hb, true) +: (0 until planes).map(p => (hb ^ (1 << p), false))
+      }
+    } yield ((r.getString(1), t), (bkt, home)))
       .groupBy(_._1)
-      .flatMap { case ((hour, t), cells) =>
-        val nbs = cells.groupBy(_._2).values.map(_.size.toLong).toSeq
-        Some((hour, t) -> ((planes, nbs.size.toLong, nbs.sum, nbs.max,
+      .map { case ((hour, t), cells) =>
+        val byB = cells.map(_._2).groupBy(_._1).values
+        val nbs = byB.map(_.size.toLong).toSeq
+        val nh  = byB.map(_.count(_._2).toLong).sum
+        (hour, t) -> ((planes, nbs.size.toLong, nbs.sum, nh, nbs.max,
           r6(nbs.sum.toDouble / nbs.size.toDouble),
-          nbs.count(_ > TextOps.MaxBucket).toLong)))
+          nbs.count(_ > TextOps.MaxBucket).toLong))
       }
     assert(rows == want, s"stream $rows vs batch $want")
     // the flood trips the over-cap counter in every hour-10 table row
-    (0 until VectorOps.NearDupTables).foreach { t =>
-      assert(rows(("2024-01-01 10", t))._6 >= 1L, s"table $t: flood not flagged")
+    (0 until tables).foreach { t =>
+      assert(rows(("2024-01-01 10", t))._7 >= 1L, s"table $t: flood not flagged")
     }
+  }
+
+  test("E67: streaming recall canary reconciles with batch q251 exactly on the same records") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Vec
+    import graft.operators.VectorOps
+    val (store, planes) = DocStreams.recallProbeStore(spark, Sf0001)
+    assert(store.size <= VectorOps.EmbedRecallProbes && store.nonEmpty)
+    assert(planes == VectorOps.nearDupPlanesFor(spark, Sf0001))
+    // replay the WHOLE corpus into one window (+ a zero vector that must
+    // pass clean and a late row to close the window)
+    val h10 = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")
+    val feed = graft.core.Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .collect().map(r => Vec(r.getLong(0), r.getSeq[Double](1), h10)) :+
+      Vec(999999L, Seq.fill(64)(0.0), h10)
+    val in = MemoryStream[Vec]
+    val q = DocStreams.recallCanary(in.toDF(), store, planes)
+      .writeStream.format("memory").queryName("recall_s").outputMode("append").start()
+    in.addData(feed.toSeq: _*); q.processAllAvailable()
+    in.addData(Vec(999998L, Seq.fill(64)(0.5), java.sql.Timestamp.valueOf("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("recall_s").collect()
+      .filter(_.getString(0) == "2024-01-01 10")
+      .map(r => r.getDouble(1) -> ((r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
+        r.getInt(5), r.getInt(6)))).toMap
+    q.stop()
+    // batch q251 on the same corpus: every grid threshold's n_true /
+    // n_caught must agree EXACTLY (the probe-store buckets never hit the
+    // batch side's over-cap sampling at this corpus size); a no-truth
+    // threshold emits the same (0, 0, NULL-recall) row q251 does
+    val batch = VectorOps.embedRecallProbe(spark, Sf0001).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.keySet == batch.keySet, s"threshold grids differ: ${rows.keySet}")
+    batch.foreach { case (th, (nTrue, nCaught)) =>
+      val got = rows(th)
+      assert(got._1 == nTrue, s"threshold $th: n_true ${got._1} vs batch $nTrue")
+      assert(got._2 == nCaught, s"threshold $th: n_caught ${got._2} vs batch $nCaught")
+      if (nTrue == 0L) assert(got._3.isNaN, s"threshold $th: recall must be NULL")
+      else assert(got._3 == r6(nCaught.toDouble / nTrue.toDouble), s"threshold $th: recall")
+      assert(got._4 == planes && got._5 == VectorOps.nearDupTablesFor(planes))
+    }
+    // non-vacuous: the gate threshold has live truth pairs and catches
+    assert(rows.values.exists(_._2 > 0), "dead canary")
   }
 
   test("E63: chained-window HHI tripwire reconciles with batch per-window truth exactly") {

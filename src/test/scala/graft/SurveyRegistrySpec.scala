@@ -124,5 +124,22 @@ class SurveyRegistrySpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet -- names
     assert(missing.isEmpty,
       s"sf1 lane is stale — rerun graft.tools.BenchSf1; uncovered: ${missing.toSeq.sorted}")
+    // r14: the recall gate must be PRESENT and green — cost gates alone
+    // green-lit the r13 recall collapse. An artifact without the recall
+    // fields is a stale lane, not a pass (the failure-marker rule).
+    assert(j.has("recall_violations"),
+      "sf1 lane predates the recall gate — rerun graft.tools.BenchSf1")
+    assert(j.get("recall_violations").size() == 0,
+      s"sf1 recall violations: ${j.get("recall_violations")}")
+    val rec = j.get("recall_at_045")
+    assert(rec != null && !rec.get("sf1").isNull,
+      "sf1 recall@0.45 unmeasured — the gate the r13 round was missing")
+    assert(rec.get("sf1").asDouble() >= graft.operators.VectorOps.NearDupRecallFloor,
+      s"sf1 recall@0.45 ${rec.get("sf1")} under the floor")
+    // r14: the text families' cap-loss gate (q183's measured drop share)
+    assert(j.has("drop_share_violations"),
+      "sf1 lane predates the drop-share gate — rerun graft.tools.BenchSf1")
+    assert(j.get("drop_share_violations").size() == 0,
+      s"text cap-loss violations: ${j.get("drop_share_violations")}")
   }
 }
