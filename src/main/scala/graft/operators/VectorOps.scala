@@ -1559,8 +1559,10 @@ object VectorOps {
         size(col("ms")).cast("long").as("nb"),
         expr("size(filter(ms, x -> x.home))").cast("long").as("nh"))
       .agg(
+        // nh·(nh−1) is always even, so the integer `div` is exact —
+        // Spark's `/` is DOUBLE division and would break the long sum
         coalesce(
-          sum(col("nh") * (col("nb") - 1) - col("nh") * (col("nh") - 1) / 2),
+          sum(expr("nh * (nb - 1) - (nh * (nh - 1)) div 2")),
           lit(0L)).as("vol"))
       .head().getLong(0)
   }

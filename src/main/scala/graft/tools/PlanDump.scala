@@ -38,6 +38,23 @@ object PlanDump {
         catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
       sb.append(s"\n## $name\n\n```\n$plan```\n")
     }
+    // SharedStages consumers plan as `Scan ExistingRDD` (checkpointed
+    // stage) — the heavy pipelines live in the stage BUILD plans, dumped
+    // here so the scale audit still sees them (r14: the embed-LSH pair
+    // pipeline moved into a stage).
+    val vo = graft.operators.VectorOps
+    val sharedPlans: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "shared:nearDupPairs" ->
+        (() => vo.nearDupPairsRaw(spark, vo.emb(spark, sfDir), vo.nearDupPlanesFor(spark, sfDir))),
+      "shared:dfCapGrams" ->
+        (() => graft.operators.TrainingOps.dfCapGramsPlan(spark, sfDir)))
+    sharedPlans.foreach { case (name, mk) =>
+      val plan =
+        try mk().queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
+      sb.append(s"\n## $name\n\n```\n$plan```\n")
+    }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")
     spark.stop()

@@ -595,6 +595,32 @@ class OperatorsSpec extends SparkSpec {
     assert(VectorOps.MaxNearDupTables < VectorOps.JlTable)
   }
 
+  test("r14: candidateVolume equals the driver-side closed form over the emission grain") {
+    import graft.functions.Expressions.hyperplane_bucket
+    val planes = VectorOps.nearDupPlanesFor(spark, Sf0001)
+    val tables = VectorOps.nearDupTablesFor(planes)
+    val bCols  = (0 until tables).map(t => hyperplane_bucket(col("v"), t, planes).as(s"b$t"))
+    val rows   = VectorOps.emb(spark, Sf0001).select(col("vec_id") +: bCols: _*).collect()
+    val cells = for {
+      r <- rows.toSeq
+      t <- 0 until tables
+      hb = r.getInt(1 + t)
+      cell <- (hb, true) +: (0 until planes).map(p => (hb ^ (1 << p), false))
+    } yield ((t, cell._1), cell._2)
+    val want = cells.groupBy(_._1).values.map { ms =>
+      // cap never binds at this corpus size — assert so the closed form
+      // (which ignores the heap) stays the honest mirror
+      assert(ms.size <= TextOps.MaxBucket)
+      val nb = ms.size.toLong
+      val nh = ms.count(_._2).toLong
+      nh * (nb - 1) - nh * (nh - 1) / 2
+    }.sum
+    assert(want > 0L)
+    assert(VectorOps.candidateVolume(spark, Sf0001) == want)
+    // and the model normalizer is finite/positive at the derived geometry
+    assert(VectorOps.candidateModelPerDoc(rows.length.toLong, planes) > 0.0)
+  }
+
   test("r13: over-cap LSH buckets SAMPLE to the cap (content-stable) instead of dropping") {
     import spark.implicits._
     import graft.functions.Expressions.l2_norm

@@ -46,7 +46,7 @@ class SurveyRegistrySpec extends AnyFunSuite {
     // this pin fails when either side moves alone.
     assert(SparkEntry.queries.size == 252,
       s"registry moved to ${SparkEntry.queries.size} queries — update SURVEY §2 and this pin")
-    assert(rows.size == 343,
+    assert(rows.size == 344,
       s"SURVEY §2 has ${rows.size} component rows — keep rows and registry moving together")
     val ids = rows.map(_.split("\\|")(1).trim)
     assert(ids.distinct.size == ids.size,
