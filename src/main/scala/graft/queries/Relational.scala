@@ -291,16 +291,30 @@ object Relational {
 
   // --- B9: anti + semi join (orders with/without lineitems) ----------------
   def q09(spark: SparkSession, dir: String): DataFrame = {
-    val o  = Tables.orders(spark, dir)
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
-    val anti = o
-      .join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
-      .select(col("o_orderkey"), lit("no_items").as("tag"))
-    val semi = o
-      .join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
-      .filter(col("o_orderstatus") === "F")
-      .select(col("o_orderkey"), lit("filled_with_items").as("tag"))
-    anti.unionAll(semi).orderBy(col("tag"), col("o_orderkey"))
+    // Both verdicts (anti + semi) from ONE pass: a left join against the
+    // distinct lineitem key set, tags derived in the projection. The
+    // two-legged anti/semi spelling scanned each table twice and built
+    // the lineitem key set as a BROADCAST hash relation twice — a
+    // fact-table broadcast that is driver-bound at bench scale (the r14
+    // sf1 lane measured 4.6 s, nearly all broadcast build) and impossible
+    // at 100 TB; here the distinct is map-side partial-aggregated and the
+    // single equi-join shuffles on the key (AQE may still broadcast the
+    // key set when it is genuinely small). Output identical: tag order is
+    // normalized by the final sort.
+    val o = Tables.orders(spark, dir)
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"))
+      .distinct()
+      .withColumn("present", lit(1))
+    o.join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(
+        col("o_orderkey"),
+        when(col("present").isNull, "no_items")
+          .when(col("o_orderstatus") === "F", "filled_with_items")
+          .as("tag"))
+      .filter(col("tag").isNotNull)
+      .orderBy(col("tag"), col("o_orderkey"))
   }
 
   val q09Sql: String =
