@@ -1939,6 +1939,142 @@ object VectorOps {
          |ORDER BY tbl""".stripMargin)
   }
 
+  // --- q253: semantic dup clusters (q47's analog on the embed side) --------
+
+  /** Connected components over the SemDeDup-threshold pair graph: q65
+    * gives per-vector keep/drop verdicts against a pairwise keeper; this
+    * turns the same recall-held edge set (raw sim ≥
+    * [[SemDedupThreshold]], the shared [[SharedStages.nearDupPairs]]
+    * stage) into CLUSTER labels (component min id) + sizes — the table a
+    * curation pass needs to keep the BEST member per semantic group
+    * (q56's role) or to weight by multiplicity (q215's role) instead of
+    * blindly keeping the smallest id. Same large-star/small-star
+    * contraction as the text side (q47) — O(log n) rounds, each one hash
+    * shuffle + distinct, state bounded by the edge set; vectors in no
+    * pair are absent (q47's rule: singleton rows carry no information the
+    * corpus table doesn't already have).
+    */
+  def embedClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = SharedStages.nearDupPairs(spark, dir)
+      .filter(col("sim") >= SemDedupThreshold)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val (labels, _) = CurationOps.starContract(edges)
+    val wCl = Window.partitionBy(col("cluster_id"))
+    labels
+      .select(col("node").as("vec_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wCl))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: the shared q30 chain's edge set at the q65 threshold,
+    * transitive closure via a recursive CTE (q47's oracle pattern),
+    * cluster = min reachable id.
+    */
+  lazy val embedClustersSql: String = {
+    import graft.functions.DuckHash.assemble
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](nearDupCtes: _*)
+    ctes += ("q253e" ->
+      s"(SELECT a_id AS src, b_id AS dst FROM q30sim WHERE sim >= $SemDedupThreshold)")
+    ctes += ("q253g" ->
+      "(SELECT src, dst FROM q253e UNION ALL SELECT dst, src FROM q253e)")
+    ctes += ("q253r" ->
+      """(SELECT src AS node, dst AS r FROM q253g
+        |  UNION
+        |  SELECT w.node, e2.dst FROM q253r w JOIN q253g e2 ON w.r = e2.src)""".stripMargin)
+    assemble(
+      ctes.toSeq,
+      """SELECT node AS vec_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM (SELECT node, least(node, min(r)) AS cluster_id FROM q253r GROUP BY node)
+        |ORDER BY vec_id""".stripMargin,
+      notMaterialized = Set("q253r")
+    ).replaceFirst("WITH ", "WITH RECURSIVE ")
+  }
+
+  // --- q254: LSH recall/cost planner ----------------------------------------
+
+  /** Projection decades the planner prices alongside the measured corpus. */
+  private[graft] val PlannerDecades: Seq[Long] =
+    (3 to 12).map(d => math.pow(10, d.toDouble).toLong)
+
+  /** The campaign-planning table for the r14 recall derivation (q163's
+    * role for the embed side): for the MEASURED corpus count and each
+    * projection decade up to 10^12 vectors — the derived plane count,
+    * the derived (possibly capped) table count, whether the
+    * amplification bound has SATURATED the [[MaxNearDupTables]] cap, the
+    * per-table candidate probability `c₁(p)` at the
+    * [[SemDedupThreshold]] action threshold, the predicted recall
+    * `1−(1−c₁)^L`, the UNCLAMPED amplification bound
+    * `ln(1−R)/ln(1−c₁)` (what L would need to be), and the model's
+    * candidate volume per doc — the one table that shows where the
+    * current geometry stops holding [[NearDupRecallTarget]] and what the
+    * remedy costs, BEFORE a 100 TB campaign finds out from a thinned
+    * dedup. Integer derivations (planes, tables, the cap flag) are
+    * mirrored exactly in the oracle's SQL off its own `count(*)`; float
+    * columns are 6-dp rounded libm arithmetic (the q134/q207 rule).
+    *
+    * Scale shape: an 11-row driver-literal table off the memoized
+    * metadata count — the planner is a model, not a scan.
+    */
+  def recallPlanner(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nCorpus = corpusN(spark, dir)
+    val maxKey  = NearDupTableCounts.keys.max
+    val rows = (("corpus", nCorpus) +: PlannerDecades.map(d => (s"1e${math.log10(d.toDouble).round}", d)))
+      .map { case (scale, n) =>
+        val p = lshPlanesFor(n, NearDupMinPlanes)
+        (scale, n, p, nearDupTablesFor(p), p > maxKey)
+      }
+    rows
+      .toDF("scale", "n", "planes", "tables", "at_cap")
+      .withColumn("s", expr(s"1.0 - acos($SemDedupThreshold) / pi()"))
+      .withColumn("c1",
+        expr("pow(s, planes) + planes * pow(s, planes - 1) * (1.0 - s)"))
+      .select(
+        col("scale"), col("n"), col("planes"), col("tables"), col("at_cap"),
+        round(col("c1"), 6).as("c1"),
+        round(expr("1.0 - pow(1.0 - c1, tables)"), 6).as("pred_recall"),
+        round(expr(s"ln(1.0 - $NearDupRecallTarget) / ln(1.0 - c1)"), 6).as("l_bound"),
+        round(
+          expr("tables * (planes + 0.5) * (cast(n AS double) / cast(shiftleft(1L, planes) AS double))"),
+          6).as("cand_per_doc"))
+      .orderBy(col("n"), col("scale"))
+  }
+
+  /** Oracle: the same integer derivations re-run in SQL from DuckDB's own
+    * `count(*)` (the planesCtes trick applied per row) + the identical
+    * 6-dp float formulas.
+    */
+  lazy val recallPlannerSql: String = {
+    val decades = PlannerDecades
+      .map(d => s"SELECT '1e${math.round(math.log10(d.toDouble))}' AS scale, ${d}::BIGINT AS n")
+      .mkString(" UNION ALL ")
+    val maxKey = NearDupTableCounts.keys.max
+    s"""WITH q254n AS (
+       |  SELECT 'corpus' AS scale, count(*)::BIGINT AS n FROM embeddings
+       |  UNION ALL $decades),
+       |q254p AS (
+       |  SELECT scale, n,
+       |    GREATEST($NearDupMinPlanes,
+       |      COALESCE(MIN(CASE WHEN (1::BIGINT << p) >= (n + ${LshTargetOccupancy - 1}) // $LshTargetOccupancy
+       |                        THEN p END), 31))::INTEGER AS planes
+       |  FROM q254n CROSS JOIN range(0, 32) r(p) GROUP BY scale, n),
+       |q254t AS (
+       |  SELECT scale, n, planes, (${tablesCaseSql("planes")})::INTEGER AS tables,
+       |    planes > $maxKey AS at_cap,
+       |    1.0 - acos($SemDedupThreshold) / pi() AS s
+       |  FROM q254p),
+       |q254c AS (
+       |  SELECT *, pow(s, planes) + planes * pow(s, planes - 1) * (1.0 - s) AS c1 FROM q254t)
+       |SELECT scale, n, planes, tables, at_cap,
+       |  round(c1, 6) AS c1,
+       |  round(1.0 - pow(1.0 - c1, tables), 6) AS pred_recall,
+       |  round(ln(1.0 - $NearDupRecallTarget) / ln(1.0 - c1), 6) AS l_bound,
+       |  round(tables * (planes + 0.5) * (n::DOUBLE / (1::BIGINT << planes)::DOUBLE), 6) AS cand_per_doc
+       |FROM q254c
+       |ORDER BY n, scale""".stripMargin
+  }
+
   // --- q75: Johnson–Lindenstrauss random projection --------------------------
   val JlDims  = 16
   val JlTable = 97 // hash-index offset decorrelating from the LSH tables

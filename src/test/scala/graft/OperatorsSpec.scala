@@ -595,6 +595,50 @@ class OperatorsSpec extends SparkSpec {
     assert(VectorOps.MaxNearDupTables < VectorOps.JlTable)
   }
 
+  test("r14: embed clusters label every SemDeDup pair endpoint consistently") {
+    val labels = VectorOps.embedClusters(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    // every >= 0.45 pair's endpoints share a cluster, and the label is a
+    // member id no larger than either endpoint (component-min rule)
+    val pairs = VectorOps.embedNearDup(spark, Sf0001)
+      .filter(col("sim") >= VectorOps.SemDedupThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no pairs at the q65 threshold — dead spec")
+    pairs.foreach { case (a, b) =>
+      assert(labels.contains(a) && labels.contains(b), s"pair ($a,$b) unlabeled")
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+      assert(labels(a) <= math.min(a, b))
+    }
+    // labels are cluster members (the min id IS in the cluster)
+    labels.values.toSet.foreach((l: Long) => assert(labels(l) == l))
+  }
+
+  test("r14: the recall planner's corpus row matches the derivation and the cap saturates honestly") {
+    val rows = VectorOps.recallPlanner(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val c = rows("corpus")
+    val p = VectorOps.nearDupPlanesFor(spark, Sf0001)
+    assert(c.getAs[Int]("planes") == p)
+    assert(c.getAs[Int]("tables") == VectorOps.nearDupTablesFor(p))
+    assert(!c.getAs[Boolean]("at_cap"))
+    rows.values.foreach { r =>
+      val atCap = r.getAs[Boolean]("at_cap")
+      val pred  = r.getAs[Double]("pred_recall")
+      if (!atCap)
+        // the derivation delivers the target wherever it is not capped
+        assert(pred >= VectorOps.NearDupRecallTarget - 1e-6, s"$r under target uncapped")
+      else {
+        // capped rows tell the truth: the bound exceeds the cap and the
+        // prediction falls below the target — the planner's whole point
+        assert(r.getAs[Double]("l_bound") > VectorOps.MaxNearDupTables.toDouble, s"$r")
+        assert(r.getAs[Int]("tables") == VectorOps.MaxNearDupTables)
+      }
+    }
+    // the projection ladder actually reaches saturation
+    assert(rows.values.exists(_.getAs[Boolean]("at_cap")))
+  }
+
   test("r14: candidateVolume equals the driver-side closed form over the emission grain") {
     import graft.functions.Expressions.hyperplane_bucket
     val planes = VectorOps.nearDupPlanesFor(spark, Sf0001)

@@ -44,9 +44,9 @@ class SurveyRegistrySpec extends AnyFunSuite {
     // A-surface, B17/B19/B20, multimodal D-surface minus the oracled q31,
     // streaming E-surface incl. E45). A new component must land with its §2 row —
     // this pin fails when either side moves alone.
-    assert(SparkEntry.queries.size == 252,
+    assert(SparkEntry.queries.size == 254,
       s"registry moved to ${SparkEntry.queries.size} queries — update SURVEY §2 and this pin")
-    assert(rows.size == 344,
+    assert(rows.size == 346,
       s"SURVEY §2 has ${rows.size} component rows — keep rows and registry moving together")
     val ids = rows.map(_.split("\\|")(1).trim)
     assert(ids.distinct.size == ids.size,
