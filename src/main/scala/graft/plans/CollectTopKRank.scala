@@ -14,9 +14,17 @@ import org.apache.spark.sql.types._
 /** Tie-aware top-k collection buffer: the kept rows plus the prune
   * trigger (re-sorting on every insert would be O(n² log n); the
   * threshold doubles past the kept set so pruning amortizes to
-  * O(n log n) worst-case even when ties keep everything).
+  * O(n log n) worst-case even when ties keep everything), plus the
+  * current rank-k boundary key (`null` until a prune actually cut):
+  * once the buffer provably holds ranks 1..k in full, any arriving row
+  * whose key prefix sorts strictly below the boundary can never reach
+  * rank ≤ k and is rejected with ONE prefix compare — no struct copy,
+  * no append, no part in any later sort.
   */
-final class RankTopKBuffer(val rows: ArrayBuffer[InternalRow], var threshold: Int)
+final class RankTopKBuffer(
+    val rows: ArrayBuffer[InternalRow],
+    var threshold: Int,
+    var boundary: InternalRow = null)
 
 /** Bounded-heap aggregate for `rank() <= k` filters — the ties-kept twin
   * of Spark's `CollectTopK` used by [[BoundedRankRewrite]]'s row_number
@@ -74,8 +82,17 @@ case class CollectTopKRank(
   override def update(buf: RankTopKBuffer, input: InternalRow): RankTopKBuffer = {
     val v = child.eval(input)
     if (v != null) {
-      buf.rows += v.asInstanceOf[InternalRow].copy()
-      if (buf.rows.length >= buf.threshold) prune(buf)
+      val row = v.asInstanceOf[InternalRow]
+      // Boundary fast path: with ranks 1..k provably complete in `rows`,
+      // a key prefix strictly below the rank-k boundary can only rank
+      // > k — reject before the copy/append (ties with the boundary must
+      // stay: rank k can be shared). This is what keeps the heap cheap on
+      // heavy-tie domains, where the kept set is large and the naive
+      // append-then-prune path re-sorts it over and over.
+      if (buf.boundary == null || prefixOrd.compare(row, buf.boundary) >= 0) {
+        buf.rows += row.copy()
+        if (buf.rows.length >= buf.threshold) prune(buf)
+      }
     }
     buf
   }
@@ -104,6 +121,10 @@ case class CollectTopKRank(
       }
       buf.rows.clear()
       buf.rows ++= out
+      // A cut happened (`!go`) iff some row ranked > k — only then do the
+      // kept rows provably span ranks 1..k, making the smallest kept
+      // prefix (the last row of the descending sort) the rank-k boundary.
+      buf.boundary = if (!go) out.last else null
     }
     buf.threshold = math.max(64, math.max(2 * k, 2 * buf.rows.length))
   }

@@ -248,6 +248,32 @@ class BoundedRankRewriteSpec extends SparkSpec {
     }
   }
 
+  test("rank() heap boundary fast path: prune-heavy corpus matches the driver rank rule") {
+    import spark.implicits._
+    // Large single-group corpora exercise the RankTopKBuffer boundary
+    // reject (update() only copies rows at/above the current rank-k cut,
+    // set after the first real prune): >64 rows per task forces prunes,
+    // the coarse 0..9 domain forces tie-groups hundreds wide, and the
+    // ascending-id value pattern makes later rows alternately beat and
+    // lose to the boundary. Run at 1 and 8 partitions so both the pure
+    // update() path and the merge() path carry the cut.
+    val rng = new scala.util.Random(0xB0DA11L)
+    val rows: Seq[(String, Option[Double], Long)] = (1 to 5000).map { i =>
+      (s"g${i % 3}", Some(rng.nextInt(10).toDouble), i.toLong)
+    }
+    for (parts <- Seq(1, 8); asc <- Seq(true, false)) {
+      val key = if (asc) col("v").asc else col("v").desc
+      val w   = Window.partitionBy(col("g")).orderBy(key)
+      val df = rows.toDF("g", "v", "id").repartition(parts)
+        .withColumn("rn", rank().over(w)).filter(col("rn") <= 2)
+      assert(!optimizedHasWindow(df) && optimizedHasTopKRank(df), "rank rewrite missing")
+      val got = df.collect().map(r =>
+        (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2), r.getInt(3))).toSet
+      val want = expectRankTop(rows, 2, asc)
+      assert(got == want, s"parts=$parts asc=$asc: ${got.size} vs ${want.size} rows")
+    }
+  }
+
   test("q250 (registered): plans as the ties-kept heap — no Window, no corpus sort") {
     val df = SparkEntry.queries("q250_rank_topk_ties")(spark, Sf0001)
     assert(!optimizedHasWindow(df) && optimizedHasTopKRank(df), "rank rewrite missing")
