@@ -79,7 +79,11 @@ object LayoutOps {
     // the synthetic lineitem does NOT key on (orderkey, linenumber) — only
     // the full 4-column tuple is unique, so rank on all of it
     val ranked = StatsOps.strictlyLess(
-      keyed, Nil, Seq("z", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"), "rk")
+      keyed, Nil, Seq("z", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"), "rk",
+      // the rank input is a bare scan + broadcast + bit arithmetic —
+      // recomputing it for the range sampler is cheaper than persisting
+      // the full fact table
+      cacheInput = false)
 
     ranked
       .withColumn("file_id", expr(s"(rk * $ZFiles) div n_s"))

@@ -485,14 +485,22 @@ object StatsOps {
     * colocation, so the counts are layout-independent.
     */
   def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
-    val scored = docs(spark, dir)
-      .select(
-        col("doc_id"),
-        col("source"),
-        (TextOps.stopCountExpr / size(TextOps.toks)).as("score"))
+    // persisted: the corpus-wide and the per-source rank each range-shuffle
+    // this scored table — without the cache the tokenize+score chain runs
+    // once per consumer (and the helpers' own persist then only dedups
+    // their internal sampling pass, not the shared upstream)
+    val scored = graft.core.CacheScope.persist(
+      docs(spark, dir)
+        .select(
+          col("doc_id"),
+          col("source"),
+          (TextOps.stopCountExpr / size(TextOps.toks)).as("score")))
 
-    val corpus = strictlyLess(scored, Nil, "score", "less_c").withColumnRenamed("n_s", "n")
-    val bySrc  = strictlyLess(scored.select(col("doc_id"), col("source"), col("score")), Seq("source"), "score", "less_s")
+    val corpus = strictlyLess(scored, Nil, "score", "less_c", cacheInput = false)
+      .withColumnRenamed("n_s", "n")
+    val bySrc = strictlyLess(
+      scored.select(col("doc_id"), col("source"), col("score")),
+      Seq("source"), "score", "less_s", cacheInput = false)
       .select(col("doc_id"), col("less_s"), col("n_s"))
 
     corpus
@@ -520,8 +528,9 @@ object StatsOps {
       df: DataFrame,
       parts: Seq[String],
       valueCol: String,
-      out: String
-  ): DataFrame = strictlyLess(df, parts, Seq(valueCol), out)
+      out: String,
+      cacheInput: Boolean
+  ): DataFrame = strictlyLess(df, parts, Seq(valueCol), out, cacheInput)
 
   /** Multi-column variant: strictly-less on the lexicographic tuple of
     * `valueCols` — with a unique tiebreaker column appended this is a
@@ -531,12 +540,33 @@ object StatsOps {
       df: DataFrame,
       parts: Seq[String],
       valueCols: Seq[String],
-      out: String
+      out: String,
+      cacheInput: Boolean = true
   ): DataFrame = {
     val rangeCols = parts.map(col) ++ valueCols.map(col)
-    val keyed = df
-      .repartitionByRange(RankPartitions, rangeCols: _*)
-      .withColumn("pid", spark_partition_id())
+    // r14: two fixes in one shape. (1) `repartitionByRange` executes its
+    // input twice — a range-boundary sampling job plus the real shuffle —
+    // so an uncached upstream ran end-to-end twice per rank call.
+    // `cacheInput` persists the (already projected, narrow) rank input,
+    // trading that recompute for one MEMORY_AND_DISK write of exactly the
+    // rows the shuffle moves anyway; callers pass FALSE when the input is
+    // cheap to recompute or already cached (a bare scan projection, a
+    // post-aggregate histogram whose shuffle files get reused, or a
+    // caller-persisted frame), where the extra materialization is pure
+    // loss. (2) the downstream count/offset/window consumers previously
+    // relied on Spark REUSING the one range exchange for a consistent
+    // `spark_partition_id` — a reuse a cached input (and AQE stage
+    // re-planning generally) can silently break, and range boundaries are
+    // NOT deterministic across separate executions (the partitioner's
+    // sample seeds from the fresh RDD id). The eager localCheckpoint
+    // freezes (row, pid) ONCE; every consumer reads the same blocks, so
+    // rank integrity no longer depends on exchange-reuse luck. CacheScope
+    // frees both at end of query.
+    val src = if (cacheInput) graft.core.CacheScope.persist(df) else df
+    val keyed = graft.core.CacheScope.checkpoint(
+      src
+        .repartitionByRange(RankPartitions, rangeCols: _*)
+        .withColumn("pid", spark_partition_id()))
     val groupCols = col("pid") +: parts.map(col)
     val partCounts = keyed.groupBy(groupCols: _*).agg(count(lit(1)).as("pc"))
     // Partition-prefix offsets and group sizes, computed ON the ≤
@@ -577,11 +607,17 @@ object StatsOps {
       df: DataFrame,
       keyCols: Seq[String],
       weightCol: String,
-      out: String
+      out: String,
+      cacheInput: Boolean = true
   ): DataFrame = {
-    val keyed = df
-      .repartitionByRange(RankPartitions, keyCols.map(col): _*)
-      .withColumn("pid", spark_partition_id())
+    // optional input persist + eager checkpoint around the range shuffle —
+    // see strictlyLess (sampling re-runs the upstream; consumers need one
+    // frozen pid assignment)
+    val src = if (cacheInput) graft.core.CacheScope.persist(df) else df
+    val keyed = graft.core.CacheScope.checkpoint(
+      src
+        .repartitionByRange(RankPartitions, keyCols.map(col): _*)
+        .withColumn("pid", spark_partition_id()))
     val partTotals = keyed.groupBy(col("pid")).agg(sum(col(weightCol)).as("pw"))
     val offsets = partTotals
       .crossJoin(broadcast(
@@ -614,13 +650,19 @@ object StatsOps {
       parts: Seq[String],
       orderCols: Seq[String],
       weightCol: String,
-      out: String
+      out: String,
+      cacheInput: Boolean = true
   ): DataFrame = {
     require(parts.length <= 1, "groupedPrefixSum supports at most one group column")
     val rangeCols = (parts ++ orderCols).map(col)
-    val keyed = df
-      .repartitionByRange(RankPartitions, rangeCols: _*)
-      .withColumn("pid", spark_partition_id())
+    // optional input persist + eager checkpoint around the range shuffle —
+    // see strictlyLess (sampling re-runs the upstream; consumers need one
+    // frozen pid assignment)
+    val src = if (cacheInput) graft.core.CacheScope.persist(df) else df
+    val keyed = graft.core.CacheScope.checkpoint(
+      src
+        .repartitionByRange(RankPartitions, rangeCols: _*)
+        .withColumn("pid", spark_partition_id()))
     val groupCols  = col("pid") +: parts.map(col)
     val partTotals = keyed.groupBy(groupCols: _*).agg(sum(col(weightCol)).as("pw"))
     val sKey = parts.headOption.map(p => col(p).as("g")).getOrElse(lit(0).as("g"))
@@ -839,7 +881,8 @@ object StatsOps {
       .persist()
     // persisted: read by the doc histogram AND the bigram first-rank join —
     // without the cache the whole range-rank subtree replays per consumer
-    val ranked = strictlyLess(perDoc.select(col("doc_id"), col("n_tok")), Nil, "doc_id", "rk")
+    val ranked = strictlyLess(
+      perDoc.select(col("doc_id"), col("n_tok")), Nil, "doc_id", "rk", cacheInput = false)
       .persist()
     // bucket of rank r0 = 1 + how many thresholds ⌊k·nn/C⌋ are ≤ it (reads
     // columns `r0` and `nn`, exact integer arithmetic)
@@ -852,9 +895,14 @@ object StatsOps {
       .groupBy(col("b"))
       .agg(count(lit(1)).as("dc"), sum(col("n_tok")).as("tc"))
     val nRow = perDoc.agg(count(lit(1)).as("nn"))
+    // r14: join the ≤|docs|-row rank table BEFORE the bigram explode —
+    // exploding first shuffled the corpus-bigram grain into the join;
+    // joining first moves only doc-grain rows and the explode stays
+    // map-side above it (identical rows out)
     val termStats = perDoc
-      .select(col("doc_id"), explode(col("terms")).as("term"))
+      .select(col("doc_id"), col("terms"))
       .join(ranked.select(col("doc_id"), col("rk")), "doc_id")
+      .select(explode(col("terms")).as("term"), col("rk"))
       .groupBy(col("term"))
       .agg(min(col("rk")).as("r0"))
       .crossJoin(broadcast(nRow))
@@ -1391,13 +1439,13 @@ object StatsOps {
       .distinct()
     val flagged = graft.core.CacheScope.persist(
       TextOps
-        .qualityScore(spark, dir)
+        .qualityScored(spark, dir)
         .select(col("doc_id"), col("stop_ratio").as("v"))
         .join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
         .select(col("doc_id"), col("v"), coalesce(col("is_dup"), lit(false)).as("is_dup")))
     val ranked = groupedPrefixSum(
       flagged.groupBy(col("v")).agg(count(lit(1)).as("c")),
-      Nil, Seq("v"), "c", "cum")
+      Nil, Seq("v"), "c", "cum", cacheInput = false)
       .withColumnRenamed("n_s", "n")
     // ONE pass computes all 9 cuts (q125's exploded-probabilities shape)
     val cuts = ranked
@@ -3031,14 +3079,14 @@ object StatsOps {
   def conformalGate(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TrainingOps.{splitBucketCol, splitNameCol}
     val scored = graft.core.CacheScope.persist(
-      TextOps.qualityScore(spark, dir)
+      TextOps.qualityScored(spark, dir)
         .select(col("doc_id"), col("stop_ratio").as("v"))
         .withColumn("split", splitNameCol(splitBucketCol(col("doc_id"))))
         .filter(col("split").isin("val", "test")))
     val alphasArr = ConformalAlphas.map(a => s"${a}D").mkString("array(", ", ", ")")
     val ranked = groupedPrefixSum(
       scored.filter(col("split") === "val").groupBy(col("v")).agg(count(lit(1)).as("c")),
-      Nil, Seq("v"), "c", "cum")
+      Nil, Seq("v"), "c", "cum", cacheInput = false)
       .withColumnRenamed("n_s", "n_cal")
     val thresholds = ranked
       .withColumn("alpha", explode(expr(alphasArr)))
@@ -3096,7 +3144,7 @@ object StatsOps {
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
     val hist = TextOps
-      .qualityScore(spark, dir)
+      .qualityScored(spark, dir)
       .select(col("doc_id"), col("stop_ratio").as("v"))
       .join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
       .select(col("v"), coalesce(col("is_dup"), lit(false)).as("pos"))
@@ -3104,7 +3152,7 @@ object StatsOps {
       .agg(
         sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
         sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
-    groupedPrefixSum(hist, Nil, Seq("v"), "nn", "cumn")
+    groupedPrefixSum(hist, Nil, Seq("v"), "nn", "cumn", cacheInput = false)
       .withColumnRenamed("n_s", "tn")
       .agg(
         sum(col("np")).as("n_pos"),
@@ -3181,7 +3229,7 @@ object StatsOps {
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
     val scored = TextOps
-      .qualityScore(spark, dir)
+      .qualityScored(spark, dir)
       .select(col("doc_id"), col("stop_ratio").as("v"))
       .join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
       .select(
@@ -3198,7 +3246,7 @@ object StatsOps {
         sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
     val apAgg = strictlyLess(
       ranked.filter(col("pos")).select(col("nv"), col("doc_id"), col("k")),
-      Nil, Seq("nv", "doc_id"), "plt")
+      Nil, Seq("nv", "doc_id"), "plt", cacheInput = false)
       .select((col("plt") + 1L).as("j"), col("k"))
       .groupBy()
       .agg(sum(expr("CAST(round(1000000.0 * j / k, 0) AS BIGINT)")).as("s"))
@@ -3914,13 +3962,16 @@ object StatsOps {
     * Pure integer arithmetic until one divide-round per row.
     */
   def paddingWaste(spark: SparkSession, dir: String): DataFrame = {
-    val base = docs(spark, dir)
-      .select(col("doc_id"), size(TextOps.toks).cast("long").as("n_tok"))
+    // persisted: both policy ranks range-shuffle this token-count table —
+    // uncached, the tokenize pass ran once per policy per sampling pass
+    val base = graft.core.CacheScope.persist(
+      docs(spark, dir)
+        .select(col("doc_id"), size(TextOps.toks).cast("long").as("n_tok")))
     val byHash = strictlyLess(
       base.withColumn("hk", xxhash64(col("doc_id"))),
-      Nil, Seq("hk", "doc_id"), "o")
+      Nil, Seq("hk", "doc_id"), "o", cacheInput = false)
       .select(lit("hash").as("policy"), col("o"), col("n_tok"))
-    val byLen = strictlyLess(base, Nil, Seq("n_tok", "doc_id"), "o")
+    val byLen = strictlyLess(base, Nil, Seq("n_tok", "doc_id"), "o", cacheInput = false)
       .select(lit("length").as("policy"), col("o"), col("n_tok"))
     val bArr = PadBatchSizes.map(b => s"${b}L").mkString("array(", ", ", ")")
     byHash
@@ -4051,7 +4102,7 @@ object StatsOps {
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
     TextOps
-      .qualityScore(spark, dir)
+      .qualityScored(spark, dir)
       .select(col("doc_id"), col("stop_ratio").as("v"))
       .join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
       .select(
@@ -5215,7 +5266,9 @@ object StatsOps {
   def lorenzDeciles(spark: SparkSession, dir: String): DataFrame = {
     val base = docs(spark, dir)
       .select(col("doc_id"), size(TextOps.toks).cast("long").as("x"))
-    val ranked = strictlyLess(base, Nil, Seq("x", "doc_id"), "r")
+    // persisted: totals row + decile fold both read the rank table
+    val ranked = graft.core.CacheScope.persist(
+      strictlyLess(base, Nil, Seq("x", "doc_id"), "r"))
     val tot = ranked.agg(count(lit(1)).as("nn"), sum(col("x")).as("xx"))
     val dec = ranked
       .crossJoin(broadcast(tot))
@@ -5340,11 +5393,14 @@ object StatsOps {
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
     val scored = TextOps
-      .qualityScore(spark, dir)
+      .qualityScored(spark, dir)
       .select(col("doc_id"), (-col("stop_ratio")).as("nv"))
       .join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("nv"), coalesce(col("is_dup"), lit(false)).as("pos"))
-    val ranked = strictlyLess(scored, Nil, Seq("nv", "doc_id"), "r")
+    // persisted: both the totals row and the decile fold read this rank
+    // table — uncached, the whole score+rank chain replayed per consumer
+    val ranked = graft.core.CacheScope.persist(
+      strictlyLess(scored, Nil, Seq("nv", "doc_id"), "r"))
     val tot = ranked.agg(
       count(lit(1)).as("nn"),
       sum(when(col("pos"), 1L).otherwise(0L)).as("dd"))

@@ -879,7 +879,7 @@ object TimeJoins {
         .groupBy(col("g"), col("v"))
         .agg(count(lit(1)).as("c")))
     val ranked = StatsOps
-      .groupedPrefixSum(hist, Seq("g"), Seq("v"), "c", "cum")
+      .groupedPrefixSum(hist, Seq("g"), Seq("v"), "c", "cum", cacheInput = false)
       .withColumnRenamed("n_s", "n")
     // ONE pass computes every cut: explode the 4 probabilities onto the
     // bounded histogram (map-side) instead of one filter branch per cut —

@@ -690,17 +690,21 @@ object TrainingOps {
     * spills through the external sorter.
     */
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byFlag = Window.partitionBy(col("l_returnflag"))
-    val cumW   = byFlag.orderBy(col("v"))
     val hist = Tables
       .lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice").as("v"))
       .groupBy(col("l_returnflag"), col("v"))
       .agg(count(lit(1)).as("c"))
-    val ranked = hist
-      .withColumn("cum", sum(col("c")).over(cumW))
-      .withColumn("n", sum(col("c")).over(byFlag))
+    // r14: the cumulative count and group total used to be two window
+    // functions over Window.partitionBy(l_returnflag) — ONE sort task per
+    // flag no matter the cluster (3 tasks at 3 flags; the price histogram
+    // is near-raw-row-sized, so each task sorted ~n/3 rows). The grouped
+    // prefix-sum spreads the same exact integer cum/total over ALL range
+    // partitions (per-partition sorts + broadcast offset fold) — identical
+    // values (long counts, order-independent), parallel everywhere.
+    val ranked = StatsOps
+      .groupedPrefixSum(hist, Seq("l_returnflag"), Seq("v"), "c", "cum", cacheInput = false)
+      .withColumn("n", col("n_s"))
     def pos(p: Double): Column   = lit(p) * (col("n") - 1).cast("double")
     def loRn(p: Double): Column  = floor(pos(p)) + 1
     def hiRn(p: Double): Column  = ceil(pos(p)) + 1
