@@ -1402,12 +1402,28 @@ object CurationOps {
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .select(col("h"))
+    // r14: covered token count by INTERVAL SWEEP instead of exploding all
+    // MemN positions per window and distinct-ing the (doc, pos) pairs —
+    // the union length of sorted [widx, widx+MemN-1] spans is each span's
+    // end minus max(previous furthest end, widx-1), clamped at 0: the same
+    // exact integer, at O(windows) instead of O(windows·MemN) with no
+    // token-grain distinct shuffle. Windows sort per doc (widx is unique
+    // within a doc), so the running max is an ordinary keyed window.
+    val sweepW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("widx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val covered = wc
       .join(shared, "h")
-      .select(col("doc_id"), explode(expr(s"sequence(widx, widx + ${MemN - 1})")).as("pos"))
-      .distinct()
+      .select(col("doc_id"), col("widx"), (col("widx") + lit(MemN - 1)).as("wend"))
+      .withColumn("prev_end", max(col("wend")).over(sweepW))
+      .select(
+        col("doc_id"),
+        greatest(
+          col("wend") - greatest(coalesce(col("prev_end"), col("widx") - 1), col("widx") - 1),
+          lit(0)).cast("long").as("gain"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("covered"))
+      .agg(sum(col("gain")).as("covered"))
     tc.select(col("doc_id"), col("source"), size(col("toks")).cast("long").as("n_toks"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("source"), col("n_toks"), coalesce(col("covered"), lit(0L)).as("covered"))
@@ -2081,8 +2097,19 @@ object CurationOps {
     * Cross-engine exactness: per-pair `ln` terms round to 6 decimals before
     * the position-ordered fold (the q49/q57 rule).
     */
-  def lmScore(spark: SparkSession, dir: String): DataFrame =
-    lmScoreOf(docs(spark, dir))
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val m = lmModelFor(spark, dir)
+    lmScoreWith(docs(spark, dir), m._1, m._2)
+  }
+
+  /** Session-shared full-corpus bigram-LM model (q68 + q218 both train on
+    * the unfiltered docs table — one collected ≤2×[[LmBuckets]]-row train
+    * pass per session instead of one per query per bench run; q204 keeps
+    * its own model, trained on ITS filtered corpus). Identical maps,
+    * identical scores, same oracles.
+    */
+  private[graft] def lmModelFor(spark: SparkSession, dir: String): (Map[Long, Long], Map[Long, Long]) =
+    SharedStages.model(spark, dir, "lmModel")(lmModelOf(docs(spark, dir)))
 
   /** Collected model: (bigram-bucket counts, unigram-bucket counts) —
     * both ≤ [[LmBuckets]] rows, ONE distributed aggregate over one scan
@@ -2198,7 +2225,8 @@ object CurationOps {
     * ratio of integers with one 6-dp round.
     */
   def doremiWeights(spark: SparkSession, dir: String): DataFrame = {
-    val per = lmScoreOf(docs(spark, dir))
+    val lmModel = lmModelFor(spark, dir)
+    val per = lmScoreWith(docs(spark, dir), lmModel._1, lmModel._2)
       .filter(col("n_pairs") >= 1)
       .groupBy(col("source"))
       .agg(
@@ -2391,6 +2419,15 @@ object CurationOps {
     * reuse it (the train-once twin of the dedup family's stage sharing).
     */
   private def nbScored(spark: SparkSession, dir: String): DataFrame =
+    // session-shared: q66's per-doc report and q173's confusion rollup
+    // both score the corpus through the (already shared) NB model — the
+    // per-doc scored table is corpus-linear, so it rides a stage too
+    SharedStages.nbScores(spark, dir)
+
+  /** The raw NB apply pass the [[SharedStages.nbScores]] stage
+    * materializes.
+    */
+  private[graft] def nbScoredPlan(spark: SparkSession, dir: String): DataFrame =
     applyNb(docs(spark, dir), nbModelFor(spark, dir))
 
   /** The memoized NB model itself — exposed so runners can prewarm the
@@ -4385,26 +4422,43 @@ object CurationOps {
     */
   def gateAgreement(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpus = docs(spark, dir).filter(size(TextOps.toks) >= 2)
-    def keepFlags(scored: DataFrame, order: Seq[Column], flag: String): DataFrame = {
-      val w  = Window.partitionBy(col("source")).orderBy(order: _*)
-      val cw = Window.partitionBy(col("source"))
-      scored
-        .withColumn("rn", row_number().over(w))
-        .withColumn("ns", count(lit(1)).over(cw))
-        .select(col("doc_id"), (col("rn") <= expr("(ns + 1) div 2")).as(flag))
-    }
-    val heur = keepFlags(
-      corpus.select(col("doc_id"), col("source"),
-        (TextOps.stopCountExpr / size(TextOps.toks)).as("sr")),
-      Seq(col("sr").desc, col("doc_id").asc), "k_heur")
-    val lm = keepFlags(
-      lmScoreOf(corpus).select(col("doc_id"), col("source"), col("lm_xent")),
-      Seq(col("lm_xent").asc, col("doc_id").asc), "k_lm")
-    val dsir = keepFlags(
-      dsirWeightsOf(corpus).select(col("doc_id"), col("source"), col("dsir_score")),
-      Seq(col("dsir_score").desc, col("doc_id").asc), "k_dsir")
-    val flags = heur.join(lm, "doc_id").join(dsir, "doc_id")
+    // persisted: all three gate chains (heuristic, LM, DSIR) re-read this
+    // filtered corpus — and the LM/DSIR model trainers each collect over
+    // it too, so uncached the tokenize filter ran ~6× per query run
+    // persisted: both model trainers collect over this filtered corpus
+    // before the scoring pass reads it
+    val corpus = graft.core.CacheScope.persist(
+      docs(spark, dir).filter(size(TextOps.toks) >= 2))
+    // r14: ONE scoring projection computes all three gate signals (the
+    // two models are collected bounded maps riding codegen'd expressions,
+    // exactly lmScoreWith/dsirWeightsOf's spellings — including DSIR's
+    // 6-dp round, which is the ordering key), then ONE source-keyed
+    // exchange carries all three rank windows + the group count. The
+    // previous spelling built three separate score frames and re-joined
+    // them on doc_id: two corpus-grain join shuffles and three window
+    // exchanges for the same flags.
+    val lmM   = lmModelOf(corpus)
+    val dsirM = dsirModelOf(dsirExploded(corpus))
+    val scored = corpus.select(
+      col("doc_id"),
+      col("source"),
+      (TextOps.stopCountExpr / size(TextOps.toks)).as("sr"),
+      graft.functions.Expressions
+        .lm_xent(TextOps.toks, lmM._1, lmM._2, LmBuckets)
+        .getField("lm_xent").as("lm_xent"),
+      round(
+        graft.functions.Expressions.dsir_score(TextOps.toks, dsirM, DsirBuckets).getField("score"),
+        6).as("dsir_score"))
+    val bySrc = Window.partitionBy(col("source"))
+    def keep(order: Column*): Column =
+      row_number().over(bySrc.orderBy(order: _*)) <= expr("(ns + 1) div 2")
+    val flags = scored
+      .withColumn("ns", count(lit(1)).over(bySrc))
+      .select(
+        col("doc_id"),
+        keep(col("sr").desc, col("doc_id").asc).as("k_heur"),
+        keep(col("lm_xent").asc, col("doc_id").asc).as("k_lm"),
+        keep(col("dsir_score").desc, col("doc_id").asc).as("k_dsir"))
     val r = flags
       .agg(
         sum(when(col("k_heur"), 1L).otherwise(0L)).as("na"),

@@ -117,6 +117,15 @@ object SharedStages {
         VectorOps.emb(spark, dir),
         VectorOps.nearDupPlanesFor(spark, dir)))
 
+  /** q22's per-doc quality-signal projection (token/stop/punct counts,
+    * stop ratio, avg token length), UNSORTED — one row per doc
+    * (corpus-linear), read by q22 itself and the calibration/eval family
+    * (q127/q216/q220/q224/q233/q249), each of which otherwise re-ran the
+    * tokenize + triple-regex scan per query per run.
+    */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "qualityScores")(TextOps.qualityScorePlan(spark, dir))
+
   /** The corpus-side (n, gram)-keyed DF-cap aggregate at every
     * [[TrainingOps.SweepNs]] grain — kept grams only (df ≤ the cap, with
     * the complete ≤cap doc_id list each kept gram has BY DEFINITION):
@@ -128,6 +137,33 @@ object SharedStages {
     */
   def dfCapGrams(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, "dfCapGrams")(TrainingOps.dfCapGramsPlan(spark, dir))
+
+  /** Exact cosine top-k ground truth (q28's brute-force scan) — read by
+    * q28 and the whole retrieval-eval family (q85/q89/q152/q222). Bounded:
+    * QueryCount × TopK rows.
+    */
+  def exactTopK(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "exactTopK")(VectorOps.cosineTopKPlan(spark, dir))
+
+  /** Hyperplane-LSH multi-probe top-k (q29's result) — read by q29/q85/q89.
+    * Bounded: QueryCount × AnnTopK rows.
+    */
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "annLshTopK")(VectorOps.annLshPlan(spark, dir))
+
+  /** IVF probe top-k (q32's result) — read by q32/q89. Bounded. */
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "annIvfTopK")(VectorOps.annIvfPlan(spark, dir))
+
+  /** PQ/ADC probe top-k (q46's result) — read by q46/q89. Bounded. */
+  def annPqTopK(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "annPqTopK")(VectorOps.annPqPlan(spark, dir))
+
+  /** Per-doc NB classification scores (q66's apply pass) — read by q66's
+    * report and q173's confusion-matrix rollup; corpus-linear.
+    */
+  def nbScores(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "nbScores")(CurationOps.nbScoredPlan(spark, dir))
 
   /** Star-contraction component labels (node, lbl) over the VERIFIED
     * pair graph — q47/q56's cluster assignment.
@@ -204,14 +240,21 @@ object SharedStages {
     */
   def prewarm(spark: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
     "shingles"     -> (() => { shingles(spark, dir); () }),
+    "qualityScores" -> (() => { qualityScores(spark, dir); () }),
     "minhashEdges" -> (() => { minhashEdges(spark, dir); () }),
     "jaccardPairs" -> (() => { jaccardPairs(spark, dir); () }),
     "exactPairs"   -> (() => { exactPairs(spark, dir); () }),
     "nearDupPairs" -> (() => { nearDupPairs(spark, dir); () }),
+    "exactTopK"    -> (() => { exactTopK(spark, dir); () }),
+    "annLshTopK"   -> (() => { annLshTopK(spark, dir); () }),
+    "annIvfTopK"   -> (() => { annIvfTopK(spark, dir); () }),
+    "annPqTopK"    -> (() => { annPqTopK(spark, dir); () }),
     "dfCapGrams"   -> (() => { dfCapGrams(spark, dir); () }),
     "dupLabels"    -> (() => { dupLabels(spark, dir); () }),
     "fuzzyLabels"  -> (() => { fuzzyLabels(spark, dir); () }),
     "nbModel"      -> (() => { CurationOps.nbModelFor(spark, dir); () }),
+    "nbScores"     -> (() => { nbScores(spark, dir); () }),
+    "lmModel"      -> (() => { CurationOps.lmModelFor(spark, dir); () }),
     "bpeMerges"    -> (() => { TokenizerOps.merges(spark, dir); () })
   )
 }

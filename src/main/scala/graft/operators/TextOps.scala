@@ -133,7 +133,22 @@ object TextOps {
     expr(s"size(filter(split(trim(text), '\\\\s+'), t -> t IN ($lst)))")
   }
 
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScored(spark, dir).orderBy(col("doc_id"))
+
+  /** The UNSORTED per-doc quality-signal table, session-shared
+    * ([[SharedStages.qualityScores]]): q22 plus the whole
+    * calibration/eval family (q127/q216/q220/q224/q233/q249) read these
+    * columns, and the tokenize + triple-regex projection was otherwise
+    * re-run per consumer per bench run. Corpus-LINEAR (one row per doc —
+    * the SharedStages size contract); values identical to inlining the
+    * projection.
+    */
+  private[graft] def qualityScored(spark: SparkSession, dir: String): DataFrame =
+    SharedStages.qualityScores(spark, dir)
+
+  /** The raw quality-score projection the shared stage materializes. */
+  private[graft] def qualityScorePlan(spark: SparkSession, dir: String): DataFrame = {
     docs(spark, dir)
       .select(
         col("doc_id"),
@@ -145,7 +160,6 @@ object TextOps {
       )
       .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
       .withColumn("avg_token_len", col("n_nonspace") / col("n_tokens"))
-      .orderBy(col("doc_id"))
   }
 
   val qualityScoreSql: String =

@@ -189,7 +189,15 @@ object VectorOps {
   val QueryCount = 8
   val TopK       = 5
 
-  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame =
+    // session-shared: the exact top-k is the ground truth of the whole
+    // retrieval-eval family (q28 itself + q85/q89/q152/q222) — the
+    // brute-force corpus scan otherwise re-ran per consumer per run. The
+    // stage is the k-bounded (QueryCount × TopK) result table.
+    SharedStages.exactTopK(spark, dir).orderBy(col("q_id"), col("rk"))
+
+  /** The raw exact-top-k scan [[SharedStages.exactTopK]] materializes. */
+  private[graft] def cosineTopKPlan(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -199,7 +207,6 @@ object VectorOps {
       .withColumn("sim", dot / (col("qn") * col("cn")))
       .select(col("q_id"), col("n_id"), row_number().over(w).as("rk"))
       .filter(col("rk") <= TopK)
-      .orderBy(col("q_id"), col("rk"))
   }
 
   /** The explicit cosine in the SPARK evaluation shape —
@@ -560,7 +567,19 @@ object VectorOps {
   // QueryCount, bounded by construction.
   val AnnTopK = 3
 
-  def annLsh(spark: SparkSession, dir: String, multiProbe: Boolean = true): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String, multiProbe: Boolean = true): DataFrame =
+    // default (multi-probe) path is session-shared — q29/q85/q89 all read
+    // the same k-bounded probe result; the no-probe variant is a spec-only
+    // ablation and stays inline
+    (if (multiProbe) SharedStages.annLshTopK(spark, dir)
+     else annLshPlan(spark, dir, multiProbe = false))
+      .orderBy(col("q_id"), col("rk"))
+
+  /** The raw LSH probe pass [[SharedStages.annLshTopK]] materializes. */
+  private[graft] def annLshPlan(
+      spark: SparkSession,
+      dir: String,
+      multiProbe: Boolean = true): DataFrame = {
     val planes = annPlanesFor(spark, dir)
     val e = emb(spark, dir).withColumn("bucket", hyperplane_bucket(col("v"), 0, planes))
     val q0 = e.filter(col("vec_id") < QueryCount)
@@ -586,7 +605,6 @@ object VectorOps {
       .withColumn("sim", dot / (col("qn") * col("cn")))
       .select(col("q_id"), col("n_id"), row_number().over(w).as("rk"))
       .filter(col("rk") <= AnnTopK)
-      .orderBy(col("q_id"), col("rk"))
   }
 
   /** DuckDB oracle reproducing [[annLsh]] (multi-probe) bit-for-bit. The
@@ -996,7 +1014,12 @@ object VectorOps {
     cents
   }
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    // session-shared k-bounded probe result — q32 + q89 (the bake-off)
+    SharedStages.annIvfTopK(spark, dir).orderBy(col("q_id"), col("rk"))
+
+  /** The raw IVF probe pass [[SharedStages.annIvfTopK]] materializes. */
+  private[graft] def annIvfPlan(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Expressions.nearest_centroids
     val e     = emb(spark, dir)
     val cents = trainCentroids(collectSample(e), IvfCells)
@@ -1023,7 +1046,6 @@ object VectorOps {
       .withColumn("sim", dot / (col("qn") * col("cn")))
       .select(col("q_id"), col("n_id"), row_number().over(w).as("rk"))
       .filter(col("rk") <= AnnTopK)
-      .orderBy(col("q_id"), col("rk"))
   }
 
   // --- exact SQL emulation of the driver-side k-means trainers -------------
@@ -1256,7 +1278,12 @@ object VectorOps {
     * k-means has no SQL-expressible oracle) with a brute-force-agreement
     * spec, like q32.
     */
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    // session-shared k-bounded probe result — q46 + q89 (the bake-off)
+    SharedStages.annPqTopK(spark, dir).orderBy(col("q_id"), col("rk"))
+
+  /** The raw PQ/ADC probe pass [[SharedStages.annPqTopK]] materializes. */
+  private[graft] def annPqPlan(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Expressions.nearest_centroids
     val e      = emb(spark, dir)
     val sample = collectSample(e)
@@ -1299,7 +1326,6 @@ object VectorOps {
         expr("aggregate(zip_with(codes, lut, (c, row) -> row[c]), 0D, (acc, x) -> acc + x)"))
       .select(col("q_id"), col("n_id"), row_number().over(w).as("rk"))
       .filter(col("rk") <= AnnTopK)
-      .orderBy(col("q_id"), col("rk"))
   }
 
   /** DuckDB oracle reproducing [[annPq]] bit-for-bit — the [[annIvfSql]]

@@ -429,10 +429,18 @@ object Relational {
 
   // --- B14: rollup (hierarchical grouping sets) ----------------------------
   def q14(spark: SparkSession, dir: String): DataFrame =
+    // pre-aggregate to the (priority, status) grain BEFORE the rollup
+    // Expand: Spark's grouping-sets plan replicates every input row once
+    // per grouping set, so feeding it the corpus triples the aggregated
+    // volume — feeding it the ≤|prio|×|status| partial table computes the
+    // identical result (long counts re-sum exactly; decimal sums are
+    // associative-exact, cast to double only at the end)
     Tables
       .orders(spark, dir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n0"), sum(col("o_totalprice").cast("decimal(18,2)")).as("t0"))
       .rollup(col("o_orderpriority"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .agg(sum(col("n0")).as("n"), sum(col("t0")).cast("double").as("total"))
       .select(
         coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
@@ -451,10 +459,16 @@ object Relational {
 
   // --- B14b: CUBE over two dimensions (all grouping-set combinations) ------
   def q18(spark: SparkSession, dir: String): DataFrame =
+    // pre-aggregate before the cube Expand — the q14 rule: the corpus
+    // collapses map-side to ≤|flag|×|status| partials, and the 4-way
+    // grouping-set replication runs on that tiny table with identical
+    // (exact long / exact decimal) re-summed results
     Tables
       .lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n0"), sum(col("l_quantity").cast("decimal(18,2)")).as("q0"))
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .agg(sum(col("n0")).as("n"), sum(col("q0")).cast("double").as("qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),

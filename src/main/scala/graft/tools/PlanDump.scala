@@ -47,7 +47,17 @@ object PlanDump {
       "shared:nearDupPairs" ->
         (() => vo.nearDupPairsRaw(spark, vo.emb(spark, sfDir), vo.nearDupPlanesFor(spark, sfDir))),
       "shared:dfCapGrams" ->
-        (() => graft.operators.TrainingOps.dfCapGramsPlan(spark, sfDir)))
+        (() => graft.operators.TrainingOps.dfCapGramsPlan(spark, sfDir)),
+      // r14 stages: retrieval-eval ground truth + index probes, per-doc
+      // quality/NB score tables (consumers plan as Scan ExistingRDD)
+      "shared:exactTopK"  -> (() => vo.cosineTopKPlan(spark, sfDir)),
+      "shared:annLshTopK" -> (() => vo.annLshPlan(spark, sfDir)),
+      "shared:annIvfTopK" -> (() => vo.annIvfPlan(spark, sfDir)),
+      "shared:annPqTopK"  -> (() => vo.annPqPlan(spark, sfDir)),
+      "shared:qualityScores" ->
+        (() => graft.operators.TextOps.qualityScorePlan(spark, sfDir)),
+      "shared:nbScores" ->
+        (() => graft.operators.CurationOps.nbScoredPlan(spark, sfDir)))
     sharedPlans.foreach { case (name, mk) =>
       val plan =
         try mk().queryExecution.explainString(
