@@ -450,11 +450,24 @@ object StatsOps {
 
   // --- q79: exact quantile normalization without a global sort -------------
 
-  /** How many range partitions the rank shuffle spreads over. 32 here (=
-    * local cores); on a real cluster this is the one knob — set it to a few
-    * × executor count and each task sorts corpus/P rows.
+  /** Floor on how many range partitions the rank shuffle spreads over
+    * (32 = the local bench's core count, keeping the driver's bench
+    * numbers comparable across its core-count runs).
     */
   val RankPartitions = 32
+
+  /** r14: the ACTUAL range-partition count is scale-adaptive —
+    * `max(floor, session default parallelism)` — instead of a constant
+    * tuned for local mode: on a cluster `defaultParallelism` is
+    * executors × cores, so each rank task sorts corpus/P rows at any
+    * size, while every local/driver core-count configuration still sees
+    * exactly the old 32 (defaultParallelism ≤ 32 there, so the floor
+    * rules). Rank VALUES are partition-count-independent by construction
+    * (exact per-partition counts + broadcast prefix offsets; pinned by
+    * LayoutInvarianceSpec), so this changes no query's answer anywhere.
+    */
+  private def rankPartitions(df: DataFrame): Int =
+    math.max(RankPartitions, df.sparkSession.sparkContext.defaultParallelism)
 
   /** Exact corpus-wide and within-source percentile of each document's
     * stop-word ratio (q22's score) — quantile normalization, the step that
@@ -565,7 +578,7 @@ object StatsOps {
     val src = if (cacheInput) graft.core.CacheScope.persist(df) else df
     val keyed = graft.core.CacheScope.checkpoint(
       src
-        .repartitionByRange(RankPartitions, rangeCols: _*)
+        .repartitionByRange(rankPartitions(df), rangeCols: _*)
         .withColumn("pid", spark_partition_id()))
     val groupCols = col("pid") +: parts.map(col)
     val partCounts = keyed.groupBy(groupCols: _*).agg(count(lit(1)).as("pc"))
@@ -616,7 +629,7 @@ object StatsOps {
     val src = if (cacheInput) graft.core.CacheScope.persist(df) else df
     val keyed = graft.core.CacheScope.checkpoint(
       src
-        .repartitionByRange(RankPartitions, keyCols.map(col): _*)
+        .repartitionByRange(rankPartitions(df), keyCols.map(col): _*)
         .withColumn("pid", spark_partition_id()))
     val partTotals = keyed.groupBy(col("pid")).agg(sum(col(weightCol)).as("pw"))
     val offsets = partTotals
@@ -661,7 +674,7 @@ object StatsOps {
     val src = if (cacheInput) graft.core.CacheScope.persist(df) else df
     val keyed = graft.core.CacheScope.checkpoint(
       src
-        .repartitionByRange(RankPartitions, rangeCols: _*)
+        .repartitionByRange(rankPartitions(df), rangeCols: _*)
         .withColumn("pid", spark_partition_id()))
     val groupCols  = col("pid") +: parts.map(col)
     val partTotals = keyed.groupBy(groupCols: _*).agg(sum(col(weightCol)).as("pw"))
