@@ -667,47 +667,82 @@ object TrainingOps {
   private val Quartiles = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")
 
   /** Exact type-7 (linear-interpolation) quartiles of `l_extendedprice` per
-    * return flag — computed over the VALUE HISTOGRAM, not the raw rows:
-    * `groupBy(flag, value) → count` collapses the corpus map-side to one
-    * row per distinct value, a cumulative-count window over that (much
-    * smaller) histogram locates the ≤2 boundary values per quantile, and
-    * the interpolation is Spark's own `Percentile` formula
-    * (`v_lo·(ceil(pos)−pos) + v_hi·(pos−floor(pos))`, `pos = p·(n−1)`),
-    * which is empirically bit-identical to DuckDB's `quantile_cont` — no
-    * rounding slack anywhere.
+    * return flag — found by HISTOGRAM REFINEMENT, never materializing a
+    * per-row (or even per-distinct-value) rank:
+    *
+    *   1. one corpus pass builds the (flag, bin) COUNT histogram at a
+    *      fixed ~64-unit price bin (`CAST(v·100 AS BIGINT) div 6400`).
+    *      The double multiply can truncate a value into the neighboring
+    *      bin at exact edges — harmless BY CONSTRUCTION: the bin map is
+    *      deterministic (equal values always share a bin) and monotone
+    *      (bin order respects value order), which is all steps 2–3 use;
+    *      exact edges would only matter if ranks were derived from bin
+    *      ARITHMETIC, and they never are. Map-side combined to
+    *      ≤ |flags| × |domain|/64 rows;
+    *   2. a cumulative count over that bounded bin table (the per-flag bin
+    *      count is DOMAIN-bounded — price range / 64 — not corpus-sized,
+    *      so the per-flag window sort is over a provably tiny table)
+    *      locates, per quartile, the ≤2 bins containing the boundary
+    *      ranks: rank r is inside bin b iff `cumb − bc < r ≤ cumb`;
+    *   3. a second corpus pass keeps ONLY rows in boundary bins (a
+    *      broadcast hash-probe per row, ≤ 6 bins per flag survive, i.e.
+    *      ~6/|bins| of the corpus), builds their exact value histogram,
+    *      and offsets the within-bin cumulative count by the bin's
+    *      cum-before — the global rank of every surviving value without
+    *      ever ranking the rest;
+    *   4. the interpolation is Spark's own `Percentile` formula
+    *      (`v_lo·(ceil(pos)−pos) + v_hi·(pos−floor(pos))`,
+    *      `pos = p·(n−1)`), empirically bit-identical to DuckDB's
+    *      `quantile_cont` — no rounding slack anywhere.
     *
     * Scale rationale: the built-in `percentile` aggregate buffers every
     * group value in an in-memory ObjectHashAggregate map — the OOM path at
-    * 100 TB group cardinality — and even a sort+rank plan funnels every RAW
-    * row of a group through one reducer. The histogram plan shuffles only
-    * |groups| × |distinct values| rows (the value domain of a price/
-    * quantity-like column is bounded and grows far slower than the data),
-    * with the heavy reduction done by map-side partial counts. A rank `r`
-    * falls inside value `v` iff `cum−c < r ≤ cum`, so boundary ranks are
-    * found without ever materializing per-row ranks. For a genuinely
-    * unbounded continuous domain this degrades gracefully — the histogram
-    * approaches the raw rows but never exceeds them, and the window sort
-    * spills through the external sorter.
+    * 100 TB group cardinality — and a sort+rank plan funnels every RAW row
+    * of a group through one reducer. The r14.1 groupedPrefixSum spelling
+    * fixed the straggler but still range-shuffled AND checkpointed the
+    * near-raw-row-sized VALUE histogram just to read 6 boundary ranks off
+    * it. This shape shuffles only bin partials and boundary-bin values —
+    * both bounded by the VALUE DOMAIN (and the 2-dp tick size: ≤ 6400
+    * distinct values per 64-unit bin), not the corpus — and its two corpus
+    * passes are plain projected scans with map-side aggregation. The
+    * guide-§8 rule: decide with small rows (bin counts), then touch only
+    * the rows the decision needs (boundary bins).
     */
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
-    val hist = Tables
+    import org.apache.spark.sql.expressions.Window
+    // bin = ~64-currency-unit slice; only determinism + monotonicity of
+    // the map matter (see scaladoc), not exact edge placement
+    val binOf = expr("CAST(v * 100 AS BIGINT) div 6400")
+    val base = Tables
       .lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-      .groupBy(col("l_returnflag"), col("v"))
-      .agg(count(lit(1)).as("c"))
-    // r14: the cumulative count and group total used to be two window
-    // functions over Window.partitionBy(l_returnflag) — ONE sort task per
-    // flag no matter the cluster (3 tasks at 3 flags; the price histogram
-    // is near-raw-row-sized, so each task sorted ~n/3 rows). The grouped
-    // prefix-sum spreads the same exact integer cum/total over ALL range
-    // partitions (per-partition sorts + broadcast offset fold) — identical
-    // values (long counts, order-independent), parallel everywhere.
-    val ranked = StatsOps
-      .groupedPrefixSum(hist, Seq("l_returnflag"), Seq("v"), "c", "cum", cacheInput = false)
-      .withColumn("n", col("n_s"))
+    val binHist = base
+      .groupBy(col("l_returnflag"), binOf.as("bin"))
+      .agg(count(lit(1)).as("bc"))
+    val wBin = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val binCum = binHist
+      .withColumn("cumb", sum(col("bc")).over(wBin))
+      .withColumn("n", sum(col("bc")).over(wAll))
     def pos(p: Double): Column   = lit(p) * (col("n") - 1).cast("double")
     def loRn(p: Double): Column  = floor(pos(p)) + 1
     def hiRn(p: Double): Column  = ceil(pos(p)) + 1
+    def coversB(r: Column): Column = (col("cumb") - col("bc") < r) && (r <= col("cumb"))
+    val binBoundary = Quartiles.map { case (p, _) => coversB(loRn(p)) || coversB(hiRn(p)) }
+      .reduce(_ || _)
+    // ≤ 2 bins per quartile per flag survive — broadcastable by construction
+    val bBins = binCum
+      .filter(binBoundary)
+      .select(col("l_returnflag"), col("bin"), (col("cumb") - col("bc")).as("cum0"), col("n"))
+    // second pass: exact value histogram of boundary-bin rows only; the
+    // within-bin running count + the bin's cum-before IS the global rank
+    val wVal = Window.partitionBy(col("l_returnflag"), col("bin")).orderBy(col("v"))
+    val ranked = base
+      .withColumn("bin", binOf)
+      .join(broadcast(bBins), Seq("l_returnflag", "bin"))
+      .groupBy(col("l_returnflag"), col("bin"), col("cum0"), col("n"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", col("cum0") + sum(col("c")).over(wVal))
     def covers(r: Column): Column = (col("cum") - col("c") < r) && (r <= col("cum"))
     val boundary = Quartiles.map { case (p, _) => covers(loRn(p)) || covers(hiRn(p)) }
       .reduce(_ || _)

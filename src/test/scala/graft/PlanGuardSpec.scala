@@ -47,7 +47,7 @@ class PlanGuardSpec extends SparkSpec {
       "q40_split_hash"    -> 1, // map-side assignment; sort only
       "q41_repetition_quality" -> 1, // map-side metrics; sort only
       "q42_kmv_distinct"  -> 4, // hash distinct (sketch + exact branches)
-      "q43_percentiles"   -> 6, // value-histogram agg (inside the checkpointed range shuffle) + groupedPrefixSum pid agg/offsets/window + boundary agg + sort
+      "q43_percentiles"   -> 6, // bin-histogram agg + bin window + boundary-bin value agg + in-bin window + boundary agg + sort (r14.2 bin refinement — no checkpoint, no range shuffle)
       "q44_countmin_topterms" -> 5, // cms agg + exact top agg + probe join + min agg + sort
       "q45_stratified_sample" -> 2, // strata window + sort
       "q48_pii_scrub"     -> 1, // map-side regex; sort only
@@ -415,21 +415,21 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
-  test("q43 computes percentiles from the value histogram, never buffering raw values") {
+  test("q43 computes percentiles by bin refinement, never buffering raw values") {
     val p = plans("q43_percentiles")
     // The OOM shape: percentile()'s aggregate buffers every group value.
-    // The histogram plan must aggregate BEFORE any window. r14: the
-    // cumulative count rides groupedPrefixSum, whose plan legitimately
-    // carries ONE ObjectHashAggregate — the ≤P×|flags|-row partition-
-    // offset collect (bounded by the range partition count, a cluster
-    // constant; the no-unbounded-collect sweep pins the bound) — so the
-    // blanket ObjectHashAggregate ban became a per-shape check: no
-    // collect over the raw value column.
+    // The plan must aggregate BEFORE any window. r14.2: boundary ranks are
+    // located on the (flag, bin) COUNT histogram and only boundary-bin
+    // rows reach the exact value histogram — no groupedPrefixSum, so no
+    // partition-offset collect, no localCheckpoint, no object agg AT ALL.
     assert(!p.contains("percentile"), s"q43 fell back to the buffering percentile aggregate:\n$p")
-    assert(p.contains("Window"), s"q43 lost its cumulative-histogram window:\n$p")
-    assert(!p.contains("collect_list(v"), s"q43 collects raw values:\n$p")
-    assert(p.contains("collect_list(struct(p, pid"),
-      s"q43's only object agg must be the bounded partition-offset fold:\n$p")
+    assert(p.contains("Window"), s"q43 lost its cumulative-histogram windows:\n$p")
+    assert(!p.contains("collect_list"), s"q43 must not collect anything:\n$p")
+    assert(!p.contains("ObjectHashAggregate"), s"q43 must carry no object agg:\n$p")
+    assert(!p.contains("Scan ExistingRDD"),
+      s"q43 must read parquet directly (no checkpointed intermediate):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q43's boundary-bin attach must be a broadcast hash probe:\n$p")
   }
 
   test("q47's star-contraction rounds are guarded structurally (its entry point executes eagerly)") {
@@ -508,9 +508,6 @@ class PlanGuardSpec extends SparkSpec {
         // q106's prefixSum crossJoins the 1-row collected partition-totals
         // aggregate onto the ≤P-row totals table — q88's offset-fold shape
         "q106_token_budget",
-        // q43's cumulative histogram count rides the same groupedPrefixSum
-        // offset fold since r14 (1-row collected totals × ≤P-row table)
-        "q43_percentiles",
         // q108's universe is the |types|×|hours| marginal cross join plus
         // the 1-row grand total — bounded by construction, never the corpus
         "q108_chisq_cells",
@@ -790,7 +787,6 @@ class PlanGuardSpec extends SparkSpec {
       // --- prefix-sum machinery: partition-offset collects, ≤ the range
       // partition count (a cluster constant, never the corpus)
       "q106_token_budget"        -> "groupedPrefixSum partition offsets",
-      "q43_percentiles"          -> "groupedPrefixSum partition offsets",
       "q216_conformal_gate"      -> "groupedPrefixSum partition offsets",
       "q220_signal_auc"          -> "groupedPrefixSum partition offsets",
       "q217_padding_waste"       -> "strictlyLess partition-count offsets (≤P rows, twice)",

@@ -187,6 +187,39 @@ class TrainingOpsSpec extends SparkSpec {
     assert(math.abs(rows.head.getDouble(2) - median) < 1e-6)
   }
 
+  test("q43: bin refinement is exact when quartile ranks sit on bin edges and ties straddle bins") {
+    // r14.2 internals: boundary ranks are located on a coarse (flag, bin)
+    // histogram, then only boundary-bin rows are ranked exactly. This
+    // corpus is engineered against that machinery: values at exact
+    // 64-unit bin edges (the double-multiply truncation corner), a tie
+    // run crossing a bin edge, and group sizes chosen so quartile ranks
+    // land both ON boundary values and BETWEEN bins.
+    val vals = Map(
+      // n=9: pos(.25)=2 → rank 3 = 64.0 (exact bin edge), p50 = 128.0 (edge)
+      "E" -> Seq(0.01, 63.99, 64.0, 64.0, 128.0, 128.01, 192.0, 256.0, 320.0),
+      // n=8: every quartile interpolates BETWEEN two values, ties straddle
+      "T" -> Seq(63.98, 63.99, 64.0, 64.0, 64.0, 64.01, 64.02, 192.0),
+      "S" -> Seq(42.42)) // singleton group: all quartiles = the value
+    val dir = java.nio.file.Files.createTempDirectory("q43edge").toString
+    vals.toSeq
+      .flatMap { case (f, vs) => vs.map(v => (f, v)) }
+      .toDF("l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def t7(vs: Seq[Double], p: Double): Double = {
+      val s   = vs.sorted
+      val pos = p * (s.length - 1)
+      val lo  = math.floor(pos).toInt
+      val hi  = math.ceil(pos).toInt
+      if (lo == hi) s(lo) else s(lo) * (hi - pos) + s(hi) * (pos - lo)
+    }
+    val got = TrainingOps.percentiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == vals.keySet)
+    vals.foreach { case (f, vs) =>
+      assert(got(f) == ((t7(vs, 0.25), t7(vs, 0.5), t7(vs, 0.75))), s"flag $f")
+    }
+  }
+
   test("q69: histogram approximation is within one bin width of the exact percentiles") {
     val exact  = TrainingOps.percentiles(spark, Sf0001).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
