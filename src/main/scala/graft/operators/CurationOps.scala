@@ -4437,8 +4437,40 @@ object CurationOps {
     // previous spelling built three separate score frames and re-joined
     // them on doc_id: two corpus-grain join shuffles and three window
     // exchanges for the same flags.
-    val lmM   = lmModelOf(corpus)
-    val dsirM = dsirModelOf(dsirExploded(corpus))
+    // r14.2: BOTH bounded models train from ONE corpus pass — the LM's
+    // hashed unigram/bigram counts (kind 0/1, lmModelOf's exact
+    // expressions) and DSIR's per-feature raw/target counts (kind 2,
+    // dsirModelOf's exact aggregate) ride a single exploded (kind, f)
+    // aggregate collected once. Identical integer counts in, identical
+    // driver-side model maps out — but one scan and one collect job where
+    // the previous spelling scheduled two of each per run.
+    val B = LmBuckets
+    val isTgt = col("source").isInCollection(DsirTarget)
+    val trained = corpus
+      .select(TextOps.toks.as("toks"), isTgt.cast("long").as("t"))
+      .select(
+        explode(concat(
+          expr(s"transform(toks, t -> named_struct('kind', 0, 'f', pmod(xxhash64(t), $B)))"),
+          expr(
+            s"""zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+               |  (a, b) -> named_struct('kind', 1, 'f', pmod(xxhash64(concat(a, ' ', b)), $B)))"""
+              .stripMargin),
+          transform(dsirFeats, f => struct(lit(2).as("kind"), f.as("f"))))).as("kf"),
+        col("t"))
+      .groupBy(col("kf.kind").as("kind"), col("kf.f").as("f"))
+      .agg(count(lit(1)).as("cr"), sum(col("t")).as("ct"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lmM = (
+      trained.collect { case (1, f, c, _) => f -> c }.toMap,
+      trained.collect { case (0, f, c, _) => f -> c }.toMap)
+    val dsirRows = trained.collect { case (2, f, cr, ct) => (f, cr, ct) }
+    val (tr, tt) = (dsirRows.map(_._2).sum, dsirRows.map(_._3).sum)
+    val dsirM = dsirRows.map { case (f, cr, ct) =>
+      f -> StrictMath.log(
+        ((ct + 1).toDouble * (tr + DsirBuckets).toDouble) /
+          ((cr + 1).toDouble * (tt + DsirBuckets).toDouble))
+    }.toMap
     val scored = corpus.select(
       col("doc_id"),
       col("source"),
