@@ -844,10 +844,12 @@ object TimeJoins {
     * from the data, no float interpolation to disagree on); the 12
     * thresholds pivot to one broadcast row and every user scores map-side.
     * The monetary histogram's cardinality is data-dependent (~|users|
-    * distinct DECIMAL sums), so the cumulative counts ride
-    * [[StatsOps.groupedPrefixSum]] — range-partitioned per-metric slices
-    * with broadcast partition-prefix offsets — never a single-task
-    * `PARTITION BY g` window; a 10⁹-user corpus segments with bounded
+    * distinct DECIMAL sums), so the cut ranks are located by BIN
+    * REFINEMENT (the q43 r14.2 shape): a ≤4096-bin equi-width count
+    * histogram per metric finds each cut's covering bin, and only
+    * boundary-bin values get exact ranks — no corpus-grain range shuffle,
+    * no checkpoint, and the only per-metric single-task window runs over
+    * the BOUNDED bin table; a 10⁹-user corpus segments with bounded
     * per-task state. Tile rule: score = 1 + #cuts passed (strictly
     * below for recency where smaller is better, strictly above for
     * frequency/monetary), so ties share the lower tile deterministically.
@@ -878,12 +880,45 @@ object TimeJoins {
         .select(col("x.g").as("g"), col("x.v").as("v"))
         .groupBy(col("g"), col("v"))
         .agg(count(lit(1)).as("c")))
-    val ranked = StatsOps
-      .groupedPrefixSum(hist, Seq("g"), Seq("v"), "c", "cum", cacheInput = false)
-      .withColumnRenamed("n_s", "n")
-    // ONE pass computes every cut: explode the 4 probabilities onto the
-    // bounded histogram (map-side) instead of one filter branch per cut —
-    // the same unnest shape the oracle uses
+    // r14.2: the 4 cuts per metric are ORDER STATISTICS — located by bin
+    // refinement (the q43 shape) instead of a full groupedPrefixSum over
+    // the near-user-grain monetary histogram (which range-shuffled AND
+    // checkpointed it to read 12 boundary ranks). Equi-width bins with a
+    // data-derived width (the E18 cdf binning ops: subtract, divide,
+    // floor, clamp) — only determinism (equal v → equal bin) and
+    // monotonicity (bin order respects v order) matter, and both hold for
+    // IEEE subtract/divide/floor with a fixed per-metric (mn, w).
+    val RfmBins = 4096
+    val stats = hist.groupBy(col("g")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val binOf =
+      when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(
+          lit(RfmBins - 1L),
+          floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / lit(RfmBins.toDouble)))
+            .cast("long")))
+    val binned = hist.join(broadcast(stats), "g").withColumn("bin", binOf)
+    val byG  = Window.partitionBy(col("g"))
+    val binCum = binned
+      .groupBy(col("g"), col("bin"))
+      .agg(sum(col("c")).as("bc"))
+      .withColumn("cumb", sum(col("bc")).over(byG.orderBy(col("bin"))))
+      .withColumn("n", sum(col("bc")).over(byG))
+    // a bin covers cut p iff it contains rank ⌈p·n⌉ — ≤ |RfmCuts| bins
+    // per metric survive, broadcastable by construction
+    val coversAny = RfmCuts
+      .map(p => (col("cumb") - col("bc") < ceil(lit(p) * col("n").cast("double"))) &&
+        (ceil(lit(p) * col("n").cast("double")) <= col("cumb")))
+      .reduce(_ || _)
+    val bBins = binCum
+      .filter(coversAny)
+      .select(col("g"), col("bin"), (col("cumb") - col("bc")).as("cum0"), col("n"))
+    // exact ranks for boundary-bin values only: within-bin running count
+    // offset by the bin's cum-before; the covering value of every cut is
+    // in a boundary bin, so min(v | cum ≥ ⌈p·n⌉) is unchanged
+    val ranked = binned
+      .join(broadcast(bBins), Seq("g", "bin"))
+      .withColumn("cum",
+        col("cum0") + sum(col("c")).over(Window.partitionBy(col("g"), col("bin")).orderBy(col("v"))))
     val cuts = ranked
       .withColumn("p", explode(expr(RfmCuts.map(p => s"${p}D").mkString("array(", ", ", ")"))))
       .filter(col("cum") >= ceil(col("p") * col("n").cast("double")))
