@@ -597,14 +597,22 @@ object CurationOps {
     */
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val chunks = chunked(docs(spark, dir).select(col("doc_id"), TextOps.toks.as("toks")))
+    // r14.2: the ownership argmin rides a PACKED DECIMAL key
+    // (doc_id · 2³¹ + chunk_idx — lexicographic (doc_id, chunk_idx)
+    // exactly, both non-negative and chunk_idx < 2³¹ by its Int type;
+    // injective, so the kept test is one decimal equality). A struct min
+    // has a struct aggregation buffer, which HashAggregateExec cannot
+    // hold — the old plan silently SortAggregated, sorting every
+    // partition of the suite's chunk grain by chunk_hash before the
+    // partial agg. min(decimal) hash-aggregates (PlanGuardSpec pins it).
+    val packedOwn =
+      expr("CAST(doc_id AS DECIMAL(19,0)) * CAST(2147483648 AS DECIMAL(10,0)) + chunk_idx")
     val owner = chunks
       .groupBy(col("chunk_hash"))
-      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("own"))
+      .agg(min(packedOwn).as("own"))
     chunks
       .join(owner, "chunk_hash")
-      .withColumn(
-        "kept",
-        col("own.doc_id") === col("doc_id") && col("own.chunk_idx") === col("chunk_idx"))
+      .withColumn("kept", col("own") === packedOwn)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -1287,17 +1295,25 @@ object CurationOps {
           col("doc_id"),
           posexplode(graft.functions.Expressions.window_gram_hashes(col("toks"), SubW))
             .as(Seq("widx", "h"))))
+    // r14.2: the q81 packed-ownership rule — min over doc_id · 2³¹ + widx
+    // (lexicographic, injective; widx < 2³¹ by posexplode's Int) keeps the
+    // suite's WIDEST aggregate (one group per corpus token window) on
+    // HashAggregate where the struct min silently SortAggregated, sorting
+    // every partition of the window grain. The owner doc decodes back out
+    // with one exact integral divide.
+    val packedWin =
+      expr("CAST(doc_id AS DECIMAL(19,0)) * CAST(2147483648 AS DECIMAL(10,0)) + widx")
     val owner = wins
       .groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("widx"))).as("own"))
+      .agg(min(packedWin).as("own"))
     val stats = wins
       .join(owner, "h")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_windows"),
-        sum(when(col("own.doc_id") =!= col("doc_id") || col("own.widx") =!= col("widx"), 1L)
-          .otherwise(0L)).as("n_dup"),
-        sum(when(col("own.doc_id") =!= col("doc_id"), 1L).otherwise(0L)).as("n_foreign"))
+        sum(when(col("own") =!= packedWin, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(expr("own DIV 2147483648") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_foreign"))
     docs(spark, dir)
       .select(col("doc_id"))
       .join(stats, Seq("doc_id"), "left")

@@ -257,17 +257,25 @@ object TimeJoins {
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       .withColumn("hour", date_trunc("hour", col("ts")))
 
-    // max over the (ts, event_id, value) struct ≡ max_by on (ts, event_id)
-    // — (ts, event_id) is unique so the value field never decides — but a
-    // struct max keeps the aggregate HASH-aggregable where max_by's buffer
-    // forces SortAggregate (sorting every partition by group keys, the
-    // expensive shape at a billion (user, hour) groups)
+    // r14.2: "last value in the hour" = max_by over a PACKED DECIMAL
+    // ordering key (ts_µs · 2⁶³ + event_id — lexicographic (ts, event_id)
+    // exactly, since both are non-negative longs and (ts, event_id) is
+    // unique so ties cannot exist). A struct max — the previous spelling —
+    // has a struct aggregation buffer, which HashAggregateExec cannot
+    // hold: the plan silently fell to SortAggregate, sorting EVERY corpus
+    // partition by (user, hour) before the partial agg — the expensive
+    // shape at a billion groups this comment used to claim it avoided.
+    // max_by over (decimal, double) buffers IS hash-aggregable: plan now
+    // shows HashAggregate with partial_max_by (pinned by PlanGuardSpec).
+    // DECIMAL(16,0)·(19,0) + event_id stays within precision 38 and is
+    // exact to year ~2286; same argmax row, same value out.
+    val packedTs = expr(
+      "CAST(unix_micros(ts) AS DECIMAL(16,0)) * CAST(9223372036854775808 AS DECIMAL(19,0)) + event_id")
     val hourly = ev
       .groupBy(col("user_id"), col("hour"))
       .agg(
         count(lit(1)).as("n_events"),
-        max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
-      .select(col("user_id"), col("hour"), col("n_events"), col("m.value").as("last_in_hour"))
+        max_by(col("value"), packedTs).as("last_in_hour"))
 
     // Gap fill WITHOUT a grid join or a second carry-forward window: each
     // bucket OWNS the gap hours up to the next bucket (lead), and its
@@ -335,10 +343,14 @@ object TimeJoins {
     * `volume`.
     *
     * Spark-first shape: ONE keyed aggregate of the events scan — open and
-    * close ride `min`/`max` over the (ts, event_id, value) struct, which
-    * stays HASH-aggregable (the q94 rule: max_by's buffer would force
-    * SortAggregate) and is deterministic because (ts, event_id) is unique,
-    * so the value field never decides. Volume sums exact DECIMAL(18,2) —
+    * close ride `min_by`/`max_by` over q94's PACKED DECIMAL ordering key
+    * (ts_µs · 2⁶³ + event_id — lexicographic (ts, event_id) exactly, and
+    * unique so ties cannot exist). r14.2: the previous struct min/max
+    * spelling carried a struct aggregation buffer, which HashAggregateExec
+    * cannot hold — the plan silently fell to SortAggregate, sorting every
+    * corpus partition by (type, hour) before the partial agg; min_by/
+    * max_by over (decimal, double) buffers hash-aggregate (pinned by
+    * PlanGuardSpec). Volume sums exact DECIMAL(18,2) —
     * decimal addition is associative-exact, so the result is independent
     * of partial-aggregation order on any cluster layout (a double sum
     * would not be), then renders as DOUBLE (2-dp decimals are IEEE-exact).
@@ -352,8 +364,12 @@ object TimeJoins {
         col("ts"), col("event_id"), col("value"))
       .groupBy(col("event_type"), col("hour"))
       .agg(
-        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
-        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        min_by(col("value"), expr(
+          "CAST(unix_micros(ts) AS DECIMAL(16,0)) * CAST(9223372036854775808 AS DECIMAL(19,0)) + event_id"))
+          .as("o"),
+        max_by(col("value"), expr(
+          "CAST(unix_micros(ts) AS DECIMAL(16,0)) * CAST(9223372036854775808 AS DECIMAL(19,0)) + event_id"))
+          .as("c"),
         max(col("value")).as("high"),
         min(col("value")).as("low"),
         count(lit(1)).as("n_events"),
@@ -361,10 +377,10 @@ object TimeJoins {
       .select(
         col("event_type"),
         date_format(col("hour"), "yyyy-MM-dd HH").as("hour"),
-        col("o.value").as("open"),
+        col("o").as("open"),
         col("high"),
         col("low"),
-        col("c.value").as("close"),
+        col("c").as("close"),
         col("n_events"),
         col("vol").cast("double").as("volume"))
       .orderBy(col("event_type"), col("hour"))

@@ -1161,8 +1161,9 @@ object VectorOps {
     * Determinism: per-member cosine quantizes to integer micro-units FIRST
     * (q72's rule — integer sums are order-free), the mean is one
     * fixed-shape division of exact integers, and the exemplar argmax is
-    * `min(struct(−ci, vec_id))` — first-by-(cos desc, vec_id) on both
-    * engines.
+    * `min_by(vec_id, −ci · 2⁶³ + vec_id)` (the packed-key argmin — the
+    * same first-by-(cos desc, vec_id) on both engines, and hash-
+    * aggregable where a struct min was not).
     */
   def topicClusters(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Expressions.nearest_centroids
@@ -1180,14 +1181,21 @@ object VectorOps {
         count(lit(1)).as("n_members"),
         sum(col("ci")).as("sci"),
         min(col("ci")).as("mci"),
-        min(struct((-col("ci")).as("nc"), col("vec_id").as("id"))).as("ex"))
+        // r14.2: argmin by the PACKED key −ci · 2⁶³ + vec_id ≡ first-by-
+        // (cos desc, vec_id) — |ci| ≤ 10⁶ and 0 ≤ vec_id < 2⁶³, so the
+        // packing is lexicographic and min_by's (decimal, long) buffer
+        // keeps the aggregate on HashAggregate (a struct min's buffer
+        // forced SortAggregate)
+        min_by(col("vec_id"), expr(
+          "CAST(-ci AS DECIMAL(7,0)) * CAST(9223372036854775808 AS DECIMAL(19,0)) + vec_id"))
+          .as("exemplar_id"))
       .select(
         (col("cell") + 1).as("cluster"),
         col("n_members"),
         round(col("sci").cast("double") / lit(1e6) / col("n_members").cast("double"), 6)
           .as("cohesion"),
         round(col("mci").cast("double") / lit(1e6), 6).as("min_cos"),
-        col("ex.id").as("exemplar_id"))
+        col("exemplar_id"))
       .orderBy(col("cluster"))
   }
 

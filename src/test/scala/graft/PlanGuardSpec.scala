@@ -262,12 +262,13 @@ class PlanGuardSpec extends SparkSpec {
       "q123_seasonal_profile" -> 4,
       // replicate agg + per-source rank window + point-estimate agg + sort
       "q124_bootstrap_ci"   -> 4,
-      // user-grain agg + melt histogram agg (both persisted) +
-      // groupedPrefixSum (range exchange + pid-totals agg + keyed-window
-      // exchange; its two slice scans and the cut/output branches re-print
-      // the persisted subtrees per InMemoryTableScan occurrence — 19
-      // printed, ~8 execute) + cut agg + output sort
-      "q125_rfm_segments"   -> 19,
+      // user-grain agg + melt histogram agg (both persisted) + r14.2 bin
+      // refinement (per-metric min/max broadcast, bin-count agg + bin
+      // window, boundary-bin within-bin window — every one over a
+      // ≤4096·|metrics|-row table; the persisted subtrees re-print per
+      // InMemoryTableScan occurrence, so 21 printed, ~9 execute and none
+      // corpus-grain) + cut agg + output sort
+      "q125_rfm_segments"   -> 21,
       // (user, type) agg (persisted, re-printed for point + replicate
       // branches) + replicate agg + rank window + sort
       "q126_ab_uplift"      -> 6,
@@ -430,6 +431,23 @@ class PlanGuardSpec extends SparkSpec {
       s"q43 must read parquet directly (no checkpointed intermediate):\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"q43's boundary-bin attach must be a broadcast hash probe:\n$p")
+  }
+
+  test("packed-key argmin/argmax aggregates stay on HashAggregate (no silent SortAggregate)") {
+    // r14.2: min/max over a struct has a struct aggregation buffer, which
+    // HashAggregateExec cannot hold — those plans silently fell to
+    // SortAggregate, sorting EVERY partition of the aggregate's input
+    // grain by the group keys before the partial agg (q116's grain is one
+    // row per corpus token window — the suite's widest). The argmin/argmax
+    // now ride packed DECIMAL ordering keys (lexicographic by
+    // construction), whose (decimal, long/double) buffers hash-aggregate.
+    // This pins the five rewritten queries to the hash path.
+    for (q <- Seq("q94_gap_fill", "q107_ohlc_resample", "q81_chunk_dedup",
+        "q116_substring_dedup", "q114_topic_clusters")) {
+      val p = plans(q)
+      assert(!p.contains("SortAggregate"),
+        s"$q fell back to SortAggregate (struct/unpacked aggregation buffer?):\n$p")
+    }
   }
 
   test("q47's star-contraction rounds are guarded structurally (its entry point executes eagerly)") {
@@ -793,7 +811,6 @@ class PlanGuardSpec extends SparkSpec {
       "q224_avg_precision"       -> "strictlyLess partition-count offsets (≤P rows, twice)",
       "q230_neyman_alloc"        -> "source-ordered variance folds, ≤|sources| rows",
       "q232_neyman_draw"         -> "embedded q230 source-ordered folds, ≤|sources| rows",
-      "q125_rfm_segments"        -> "groupedPrefixSum partition offsets",
       "q127_quality_calibration" -> "groupedPrefixSum partition offsets",
       "q79_quantile_normalize"   -> "groupedPrefixSum partition offsets",
       "q88_curriculum_order"     -> "groupedPrefixSum partition offsets",
