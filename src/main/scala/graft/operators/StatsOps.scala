@@ -1556,11 +1556,22 @@ object StatsOps {
         .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
         .select(col("source"), col("gram"))
         .distinct())
-    val tot = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val tot = graft.core.CacheScope.persist(
+      sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams")))
+    // r14.2: the first-owner argmin runs at the corpus-gram grain, and
+    // min(STRING) has no hash-aggregable buffer — the old plan silently
+    // SortAggregated, sorting every partition of the gram grain. Sources
+    // are a bounded named set (the model-collection rule), so the min
+    // rides a DICTIONARY int: the ≤|sources| dictionary is collected off
+    // the already-aggregated totals table IN SPARK'S OWN SORT ORDER (so
+    // index order ≡ the engine's string order even off-ASCII), and the
+    // winning index decodes back through the same literal.
+    val srcs = tot.select(col("source")).orderBy(col("source")).collect().map(_.getString(0))
+    val dict = typedLit(srcs.zipWithIndex.toMap)
     val firsts = sg
       .groupBy(col("gram"))
-      .agg(min(col("source")).as("source"))
-      .groupBy(col("source"))
+      .agg(min(element_at(dict, col("source"))).as("si"))
+      .groupBy(element_at(typedLit(srcs), col("si") + 1).as("source"))
       .agg(count(lit(1)).as("n_new"))
     tot
       .join(firsts, Seq("source"), "left")

@@ -442,8 +442,10 @@ class PlanGuardSpec extends SparkSpec {
     // now ride packed DECIMAL ordering keys (lexicographic by
     // construction), whose (decimal, long/double) buffers hash-aggregate.
     // This pins the five rewritten queries to the hash path.
+    // q128's first-owner min rides a dictionary int (bounded |sources|
+    // collected map) for the same reason — min(STRING) cannot hash-agg.
     for (q <- Seq("q94_gap_fill", "q107_ohlc_resample", "q81_chunk_dedup",
-        "q116_substring_dedup", "q114_topic_clusters")) {
+        "q116_substring_dedup", "q114_topic_clusters", "q128_source_novelty")) {
       val p = plans(q)
       assert(!p.contains("SortAggregate"),
         s"$q fell back to SortAggregate (struct/unpacked aggregation buffer?):\n$p")
