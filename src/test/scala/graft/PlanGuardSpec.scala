@@ -279,8 +279,11 @@ class PlanGuardSpec extends SparkSpec {
       "q127_quality_calibration" -> 20,
       // (source, gram) distinct grain (persisted, re-printed for both
       // rollups) + gram-keyed first-owner agg + two ≤|sources| rollups +
-      // the tiny cumulative window + sort
-      "q128_source_novelty" -> 8,
+      // the tiny cumulative window + sort; r14.2: the per-source totals
+      // table is ALSO persisted (the dictionary collects off it), so its
+      // subtree re-prints once more per InMemoryTableScan — 10 printed,
+      // same ~6 executed, none new at corpus grain
+      "q128_source_novelty" -> 10,
       // doc-keyed encode join + ≤|langs| rollup (persisted, re-printed
       // for the en-baseline branch) + sort; encoding is map-side
       "q129_fertility_by_lang" -> 3,
