@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST 2000 chars of `sbt "runMain graft.Bench"`
+// stdout for the one-line JSON. sbt's default LoggedOutput strategy
+// prefixes every forked-process line with `[info] ` (and colors it),
+// which has made the driver's parse fail (`parsed: null`) every round —
+// StdoutOutput pipes the fork's stdout/stderr through unmodified, so the
+// JSON line starts at column 0 exactly as printed.
+run / outputStrategy := Some(StdoutOutput)
+// ... and drop sbt's own `[success] Total time: ...` epilogue, so the
+// bench's JSON is the LAST stdout line a tail sees (a parser that takes
+// the final line, or any line starting with `{`, both succeed).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
