@@ -50,6 +50,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.excludedRules", graft.core.GraftSession.OptimizerExclusions)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()

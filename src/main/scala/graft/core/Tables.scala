@@ -49,6 +49,27 @@ object Tables {
   * contract); this one is for ScalaTest specs.
   */
 object GraftSession {
+
+  /** Optimizer rules every graft session EXCLUDES (r15).
+    *
+    * `InferFiltersFromGenerate` synthesizes `size(e) > 0 AND isnotnull(e)`
+    * below every explode/posexplode, and predicate pushdown then inlines
+    * the generator's WHOLE child expression into that filter at the scan —
+    * so an un-materialized gram/shingle/window-hash array is evaluated
+    * three times per row (twice in the filter, once in the generator), and
+    * lambdas that INDEX an inlined alias (`toks[i]` after `toks` →
+    * `split(text)` substitution) re-run the tokenizer PER ELEMENT:
+    * O(len²) splits per document. Measured at sf0.1: the bare bigram
+    * explode 12.8 s with the rule vs 0.7 s without; the 3-gram shingle
+    * kernel (the dedup family's root stage) 0.8 s without. The rule is a
+    * pure pruning optimization — explode(outer=false) drops empty/null
+    * arrays identically — so excluding it changes no query's rows, only
+    * removes the duplicated evaluation. Set on every session that runs
+    * graft operators (Bench, Verify, tools, specs).
+    */
+  val OptimizerExclusions: String =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
   def local(cores: Int = 4): SparkSession = {
     val s = SparkSession
       .builder()
@@ -57,6 +78,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.excludedRules", OptimizerExclusions)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()

@@ -882,21 +882,20 @@ object StatsOps {
     * (q77's rule), slope one fixed-shape expression rounded to 6.
     */
   def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
-    val c      = HeapsCheckpoints
-    val perDoc = docs(spark, dir)
-      .select(col("doc_id"), TextOps.toks.as("toks"))
-      .select(
-        col("doc_id"),
-        size(col("toks")).cast("long").as("n_tok"),
-        expr("""if(size(toks) < 2, array(),
-                array_distinct(transform(sequence(0, size(toks) - 2),
-                  i -> concat_ws(' ', toks[i], toks[i+1]))))""").as("terms"))
-      .persist()
+    val c = HeapsCheckpoints
+    // r15: persist ONLY the narrow (doc_id, n_tok) projection. The r14
+    // spelling persisted the full per-doc bigram `terms` arrays too — but
+    // the terms are consumed exactly ONCE (the first-rank explode below),
+    // so materializing them bought nothing and the driver's r14 bench
+    // measured q82 +1.8 s for it (corpus-bigram arrays through the block
+    // store). The narrow table feeds the rank machinery and the doc count.
+    val perDocN = graft.core.CacheScope.persist(
+      docs(spark, dir)
+        .select(col("doc_id"), size(TextOps.toks).cast("long").as("n_tok")))
     // persisted: read by the doc histogram AND the bigram first-rank join —
     // without the cache the whole range-rank subtree replays per consumer
-    val ranked = strictlyLess(
-      perDoc.select(col("doc_id"), col("n_tok")), Nil, "doc_id", "rk", cacheInput = false)
-      .persist()
+    val ranked = graft.core.CacheScope.persist(
+      strictlyLess(perDocN, Nil, "doc_id", "rk", cacheInput = false))
     // bucket of rank r0 = 1 + how many thresholds ⌊k·nn/C⌋ are ≤ it (reads
     // columns `r0` and `nn`, exact integer arithmetic)
     val bucketExpr =
@@ -907,21 +906,41 @@ object StatsOps {
       .withColumn("b", bucketExpr)
       .groupBy(col("b"))
       .agg(count(lit(1)).as("dc"), sum(col("n_tok")).as("tc"))
-    val nRow = perDoc.agg(count(lit(1)).as("nn"))
-    // r14: join the ≤|docs|-row rank table BEFORE the bigram explode —
-    // exploding first shuffled the corpus-bigram grain into the join;
-    // joining first moves only doc-grain rows and the explode stays
-    // map-side above it (identical rows out)
-    val termStats = perDoc
-      .select(col("doc_id"), col("terms"))
-      .join(ranked.select(col("doc_id"), col("rk")), "doc_id")
-      .select(explode(col("terms")).as("term"), col("rk"))
+    val nRow = perDocN.agg(count(lit(1)).as("nn"))
+    // r15: the bigram table never meets a join at all. `rk` is STRICTLY
+    // MONOTONE in doc_id (it counts doc_ids strictly less, and doc_id is
+    // unique), so each term's first RANK is the rank of its first DOC:
+    // min(rk) ≡ rk(min(doc_id)). The explode aggregates map-side —
+    // groupBy(term).min(doc_id), then a second collapse to (first_doc →
+    // term count) at ≤|docs| rows — and only NARROW doc-grain tables meet
+    // the rank join, so no planner estimate can flip a broadcast onto a
+    // bigram-array side. This also runs the interpreted bucket fold per
+    // DOC instead of per TERM.
+    //
+    // The bigram arrays explode FRESH off the scan (no cache): safe only
+    // because every graft session excludes InferFiltersFromGenerate
+    // ([[graft.core.GraftSession.OptimizerExclusions]]) — with the rule
+    // on, the inferred pre-Generate filter inlines this lambda at the
+    // scan and `toks[i]` indexing re-runs split(text) per element
+    // (measured 12.6 s for this explode alone at sf0.1, vs 0.7 s
+    // excluded).
+    val termStats = docs(spark, dir)
+      .select(col("doc_id"), TextOps.toks.as("toks"))
+      .select(
+        col("doc_id"),
+        expr("""if(size(toks) < 2, array(),
+                array_distinct(transform(sequence(0, size(toks) - 2),
+                  i -> concat_ws(' ', toks[i], toks[i+1]))))""").as("terms"))
+      .select(explode(col("terms")).as("term"), col("doc_id"))
       .groupBy(col("term"))
-      .agg(min(col("rk")).as("r0"))
+      .agg(min(col("doc_id")).as("d0"))
+      .groupBy(col("d0"))
+      .agg(count(lit(1)).as("vc0"))
+      .join(ranked.select(col("doc_id").as("d0"), col("rk").as("r0")), "d0")
       .crossJoin(broadcast(nRow))
       .withColumn("b", bucketExpr)
       .groupBy(col("b"))
-      .agg(count(lit(1)).as("vc"))
+      .agg(sum(col("vc0")).as("vc"))
     val cps = spark.range(1, c + 1).toDF("cp")
       .crossJoin(broadcast(docStats.agg(collect_list(struct(col("b"), col("dc"), col("tc"))).as("ds"))))
       .crossJoin(broadcast(termStats.agg(collect_list(struct(col("b"), col("vc"))).as("vs"))))
@@ -3991,15 +4010,26 @@ object StatsOps {
     val base = graft.core.CacheScope.persist(
       docs(spark, dir)
         .select(col("doc_id"), size(TextOps.toks).cast("long").as("n_tok")))
-    val byHash = strictlyLess(
-      base.withColumn("hk", xxhash64(col("doc_id"))),
-      Nil, Seq("hk", "doc_id"), "o", cacheInput = false)
-      .select(lit("hash").as("policy"), col("o"), col("n_tok"))
-    val byLen = strictlyLess(base, Nil, Seq("n_tok", "doc_id"), "o", cacheInput = false)
-      .select(lit("length").as("policy"), col("o"), col("n_tok"))
+    // r15: BOTH policy orders ride ONE grouped rank pass — the union
+    // carries each doc twice with a per-policy ordering key (`k1` = hash
+    // for 'hash', token count for 'length'; doc_id breaks ties), and
+    // [[strictlyLess]] grouped by policy range-partitions on
+    // (policy, k1, doc_id), so each policy's rank is computed over its
+    // own contiguous slice. One range shuffle + one pid checkpoint where
+    // the r14 spelling scheduled two full rank-machinery passes (its two
+    // sampling jobs, two checkpoints and two offset folds were the
+    // query's dominant stage count). Per-policy ranks are identical: the
+    // group column partitions the union exactly into the two old inputs.
+    val both = base
+      .withColumn("policy", explode(expr("array('hash', 'length')")))
+      .withColumn(
+        "k1",
+        when(col("policy") === "hash", xxhash64(col("doc_id"))).otherwise(col("n_tok")))
+    val rankedBoth = strictlyLess(
+      both, Seq("policy"), Seq("k1", "doc_id"), "o", cacheInput = false)
+      .select(col("policy"), col("o"), col("n_tok"))
     val bArr = PadBatchSizes.map(b => s"${b}L").mkString("array(", ", ", ")")
-    byHash
-      .unionAll(byLen)
+    rankedBoth
       .withColumn("b", explode(expr(bArr)))
       .select(col("policy"), col("b"), expr("o div b").as("batch"), col("n_tok"))
       .groupBy(col("policy"), col("b"), col("batch"))
@@ -5416,16 +5446,21 @@ object StatsOps {
       .select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
-    val scored = TextOps
-      .qualityScored(spark, dir)
-      .select(col("doc_id"), (-col("stop_ratio")).as("nv"))
-      .join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("nv"), coalesce(col("is_dup"), lit(false)).as("pos"))
-    // persisted: both the totals row and the decile fold read this rank
-    // table — uncached, the whole score+rank chain replayed per consumer
-    val ranked = graft.core.CacheScope.persist(
-      strictlyLess(scored, Nil, Seq("nv", "doc_id"), "r"))
-    val tot = ranked.agg(
+    // persisted: the NARROW scored table feeds the rank machinery (whose
+    // range shuffle samples + shuffles it, two executions) AND the totals
+    // row. r15: the totals (count + dup count) are rank-INDEPENDENT, so
+    // they read this table directly — the r14 spelling persisted the rank
+    // OUTPUT for them, a second corpus-grain materialization the driver's
+    // bench measured at +1.6 s; the rank table is now consumed exactly
+    // once (the decile fold) and no longer cached.
+    val scored = graft.core.CacheScope.persist(
+      TextOps
+        .qualityScored(spark, dir)
+        .select(col("doc_id"), (-col("stop_ratio")).as("nv"))
+        .join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("nv"), coalesce(col("is_dup"), lit(false)).as("pos")))
+    val ranked = strictlyLess(scored, Nil, Seq("nv", "doc_id"), "r", cacheInput = false)
+    val tot = scored.agg(
       count(lit(1)).as("nn"),
       sum(when(col("pos"), 1L).otherwise(0L)).as("dd"))
     val dec = ranked

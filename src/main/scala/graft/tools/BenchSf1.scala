@@ -118,6 +118,7 @@ object BenchSf1 {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.optimizer.excludedRules", graft.core.GraftSession.OptimizerExclusions)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
