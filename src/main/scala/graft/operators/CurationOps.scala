@@ -1287,6 +1287,16 @@ object CurationOps {
     // the identity width. A campaign that needs certainty dials the
     // identity back to a 128-bit key (md5 of the window, the pre-r12
     // spelling) at ~5× the exchange volume of this stage.
+    // r15: the persisted blocks are REPARTITIONED BY h before
+    // materialization. The two consumers below both need the window grain
+    // keyed by h — the owner aggregate (groupBy h) and the ownership join
+    // (equi-key h) — and each previously paid its own instance-grain
+    // exchange over the suite's widest shuffle. Persisting the
+    // post-exchange layout moves the instance grain across the wire ONCE;
+    // the cached partitioning (hash(h)) satisfies both consumers'
+    // distribution requirements, so neither re-shuffles. (The final
+    // per-doc rollup still exchanges its map-side partials — doc-grain,
+    // small.)
     val wins = graft.core.CacheScope.persist(
       docs(spark, dir)
         .select(col("doc_id"), TextOps.toks.as("toks"))
@@ -1294,7 +1304,8 @@ object CurationOps {
         .select(
           col("doc_id"),
           posexplode(graft.functions.Expressions.window_gram_hashes(col("toks"), SubW))
-            .as(Seq("widx", "h"))))
+            .as(Seq("widx", "h")))
+        .repartition(col("h")))
     // r14.2: the q81 packed-ownership rule — min over doc_id · 2³¹ + widx
     // (lexicographic, injective; widx < 2³¹ by posexplode's Int) keeps the
     // suite's WIDEST aggregate (one group per corpus token window) on
@@ -1306,6 +1317,12 @@ object CurationOps {
     val owner = wins
       .groupBy(col("h"))
       .agg(min(packedWin).as("own"))
+    // Domain pin (r15, ADVICE): the packing and its `DIV` decode assume
+    // doc_id ≥ 0 — `own DIV 2147483648` truncates toward zero, which only
+    // equals the packing's floor semantics for non-negative doc_id (the
+    // old struct comparison was sign-agnostic). The generated corpus and
+    // the docs() loader contract guarantee non-negative ids; a future
+    // signed-id corpus must widen the packing, not this decode.
     val stats = wins
       .join(owner, "h")
       .groupBy(col("doc_id"))
@@ -4438,13 +4455,17 @@ object CurationOps {
     */
   def gateAgreement(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // persisted: all three gate chains (heuristic, LM, DSIR) re-read this
-    // filtered corpus — and the LM/DSIR model trainers each collect over
-    // it too, so uncached the tokenize filter ran ~6× per query run
-    // persisted: both model trainers collect over this filtered corpus
-    // before the scoring pass reads it
+    // persisted: the model-training pass and the scoring pass both read
+    // this filtered corpus. r15: the persisted rows are the TOKENIZED
+    // (doc_id, source, toks) projection, not raw docs — both consumers
+    // previously re-ran the whitespace tokenizer over the cached text per
+    // pass (and the cache held text + toks-sized bytes for no reader of
+    // text). Same split expression, so every downstream value is
+    // unchanged.
     val corpus = graft.core.CacheScope.persist(
-      docs(spark, dir).filter(size(TextOps.toks) >= 2))
+      docs(spark, dir)
+        .select(col("doc_id"), col("source"), TextOps.toks.as("toks"))
+        .filter(size(col("toks")) >= 2))
     // r14: ONE scoring projection computes all three gate signals (the
     // two models are collected bounded maps riding codegen'd expressions,
     // exactly lmScoreWith/dsirWeightsOf's spellings — including DSIR's
@@ -4463,7 +4484,7 @@ object CurationOps {
     val B = LmBuckets
     val isTgt = col("source").isInCollection(DsirTarget)
     val trained = corpus
-      .select(TextOps.toks.as("toks"), isTgt.cast("long").as("t"))
+      .select(col("toks"), isTgt.cast("long").as("t"))
       .select(
         explode(concat(
           expr(s"transform(toks, t -> named_struct('kind', 0, 'f', pmod(xxhash64(t), $B)))"),
@@ -4487,15 +4508,16 @@ object CurationOps {
         ((ct + 1).toDouble * (tr + DsirBuckets).toDouble) /
           ((cr + 1).toDouble * (tt + DsirBuckets).toDouble))
     }.toMap
+    val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
     val scored = corpus.select(
       col("doc_id"),
       col("source"),
-      (TextOps.stopCountExpr / size(TextOps.toks)).as("sr"),
+      (expr(s"size(filter(toks, t -> t IN ($stopList)))") / size(col("toks"))).as("sr"),
       graft.functions.Expressions
-        .lm_xent(TextOps.toks, lmM._1, lmM._2, LmBuckets)
+        .lm_xent(col("toks"), lmM._1, lmM._2, LmBuckets)
         .getField("lm_xent").as("lm_xent"),
       round(
-        graft.functions.Expressions.dsir_score(TextOps.toks, dsirM, DsirBuckets).getField("score"),
+        graft.functions.Expressions.dsir_score(col("toks"), dsirM, DsirBuckets).getField("score"),
         6).as("dsir_score"))
     val bySrc = Window.partitionBy(col("source"))
     def keep(order: Column*): Column =
