@@ -1376,14 +1376,37 @@ object TextOps {
           expr("transform(sort_array(collect_list(struct(df, tok))), s -> s.tok)").as("ts"),
           count(lit(1)).as("n")))
     // ⌈0.5·n⌉ = (n + 1) div 2 — exact integer math (the q80 rule)
+    // r15: the prefix explode carries each prefix token's 1-based POSITION
+    // so the join can apply the PPJoin positional filter (Xiao et al.
+    // 2008): for a pair with |x∩y| = o and a common token at positions
+    // (i, j), o ≤ min(i−1, j−1) + 1 + min(n_a−i, n_b−j) — tokens before
+    // the match can overlap at most min(i−1, j−1) ways and tokens after at
+    // most min of the remaining suffix lengths. J(x,y) ≥ t needs
+    // o ≥ t/(1+t)·(n_a+n_b), so any join row whose positional bound falls
+    // short cannot belong to a qualifying pair and is dropped BEFORE the
+    // pair distinct (guide §3: cut candidate volume ahead of the verify
+    // join). Lossless: the bound is valid for EVERY common prefix token of
+    // a true pair, so no qualifying pair loses all its join rows; the 1e-9
+    // slack keeps a float boundary from ever cutting an exact-integer
+    // qualifying overlap.
     val pref = arr
       .withColumn("plen", col("n") - expr("(n + 1) div 2") + lit(1L))
       .select(col("doc_id"), col("n"),
-        explode(expr("slice(ts, 1, CAST(plen AS INT))")).as("ptok"))
-    val cands = pref.select(col("ptok"), col("doc_id").as("doc_a"), col("n").as("n_a"))
-      .join(pref.select(col("ptok"), col("doc_id").as("doc_b"), col("n").as("n_b")), "ptok")
+        posexplode(expr("slice(ts, 1, CAST(plen AS INT))")).as(Seq("p0", "ptok")))
+    val overlapBound =
+      least(col("p_a"), col("p_b")) +
+        least(col("n_a") - col("p_a") - lit(1L), col("n_b") - col("p_b") - lit(1L)) + lit(1L)
+    val cands = pref.select(
+        col("ptok"), col("doc_id").as("doc_a"), col("n").as("n_a"), col("p0").cast("long").as("p_a"))
+      .join(
+        pref.select(
+          col("ptok"), col("doc_id").as("doc_b"), col("n").as("n_b"),
+          col("p0").cast("long").as("p_b")),
+        "ptok")
       .filter(col("doc_a") < col("doc_b") &&
-        greatest(col("n_a"), col("n_b")) * lit(minJaccard) <= least(col("n_a"), col("n_b")))
+        greatest(col("n_a"), col("n_b")) * lit(minJaccard) <= least(col("n_a"), col("n_b")) &&
+        overlapBound.cast("double") + lit(1e-9) >=
+          lit(minJaccard / (1.0 + minJaccard)) * (col("n_a") + col("n_b")).cast("double"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     cands

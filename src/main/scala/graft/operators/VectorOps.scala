@@ -1488,36 +1488,43 @@ object VectorOps {
     * ([[nearDupTablesFor]]).
     */
   private[graft] def nearDupPairsRaw(spark: SparkSession, e: DataFrame, planes: Int): DataFrame = {
-    graft.GraftExtensions.register(spark) // graft_dot inside the pair-expansion SQL
+    graft.GraftExtensions.register(spark) // graft_dot inside the cosine attach
     val tables = nearDupTablesFor(planes)
-    // Carry (v, nrm) through the member structs (the way simhashPairs
-    // carries `sim`) so the exact cosine runs INSIDE the pair expansion —
-    // no corpus re-join afterwards. Each vector lands in its HOME bucket
-    // plus the `planes` hamming-1 probe buckets per table (flagged), and a
-    // candidate pair is any in-bucket pair with ≥ 1 home member — i.e.
-    // hamming(bucket_a, bucket_b) ≤ 1 in some table, q29's multi-probe
-    // idiom on the pair side. The sub-threshold filter drops non-dups
-    // before the cross-table dedup, so the distinct shuffles only
-    // (a_id, b_id, sim) scalars for true near-dups. The member heap leads
-    // with `h = xxhash64(vec_id)`: collect_topk keeps the MaxBucket
-    // LARGEST (h, id, …) structs over the COMBINED (home + probe)
-    // membership, so a bucket at or under the cap keeps its full member
-    // set (values unchanged) and an over-cap bucket keeps a
-    // content-stable uniform SAMPLE of exactly MaxBucket members —
-    // graceful recall degradation with bounded aggregation state. Two
-    // data shuffles total: the bucket agg (keyed on table × bucket) and
-    // the pair distinct.
+    // r15 (guide §8: decide with small rows, move big rows once): the
+    // bucket agg and the pair expansion carry ONLY (h, id, home) — the
+    // r14 spelling shipped the full (v, nrm) payload through the member
+    // structs, so every vector's doubles crossed the bucket exchange
+    // L(p)·(p+1) times (≈ 300 copies at p = 10) and the per-expansion
+    // cosine ran on every DUPLICATE candidate leg before the distinct.
+    // Now the candidate pairs dedup FIRST on bare ids, and the exact
+    // cosine attaches once per DISTINCT pair through two vector joins —
+    // the payload moves once (broadcast at bench scale; an id-keyed join
+    // of narrow rows at cluster scale). The candidate SET, the per-pair
+    // sim (graft_dot is a fixed-order fold, bitwise symmetric in its
+    // arguments), and the surfaced rows are identical — this matches the
+    // DuckDB oracle's own dedup-before-cosine shape.
+    //
+    // Each vector lands in its HOME bucket plus the `planes` hamming-1
+    // probe buckets per table (flagged); a candidate pair is any
+    // in-bucket pair with ≥ 1 home member — hamming(bucket_a, bucket_b)
+    // ≤ 1 in some table, q29's multi-probe idiom on the pair side. The
+    // member heap leads with `h = xxhash64(vec_id)`: collect_topk keeps
+    // the MaxBucket LARGEST (h, id, home) structs over the COMBINED
+    // (home + probe) membership, so a bucket at or under the cap keeps
+    // its full member set (values unchanged) and an over-cap bucket
+    // keeps a content-stable uniform SAMPLE of exactly MaxBucket members
+    // — (h, id) is unique per bucket member, so the sample is the same
+    // one the payload-carrying spelling kept. Two metadata shuffles
+    // total: the bucket agg and the pair distinct.
     val emitted = e
       .select(
         xxhash64(col("vec_id")).as("h"),
         col("vec_id").as("id"),
-        col("v"),
-        col("nrm"),
         posexplode(array((0 until tables).map(t => hyperplane_bucket(col("v"), t, planes)): _*))
           .as(Seq("tbl", "hb"))
       )
       .select(
-        col("h"), col("id"), col("v"), col("nrm"), col("tbl"),
+        col("h"), col("id"), col("tbl"),
         explode(
           expr(
             s"""concat(
@@ -1526,10 +1533,10 @@ object VectorOps {
                |            p -> named_struct('bucket', cast(hb ^ shiftleft(1, p) AS int),
                |                              'home', false)))""".stripMargin)).as("be"))
       .select(
-        struct(col("h"), col("id"), col("be.home").as("home"), col("v"), col("nrm")).as("m"),
+        struct(col("h"), col("id"), col("be.home").as("home")).as("m"),
         col("tbl"),
         col("be.bucket").as("bucket"))
-    emitted
+    val cands = emitted
       .groupBy(col("tbl"), col("bucket"))
       .agg(
         count(lit(1)).as("nb"),
@@ -1542,13 +1549,19 @@ object VectorOps {
           expr(
             """flatten(transform(filter(ms, a -> a.home), a ->
               |  transform(filter(ms, b -> b.id > a.id OR (NOT b.home AND b.id < a.id)), b ->
-              |    struct(least(a.id, b.id) AS a_id, greatest(a.id, b.id) AS b_id,
-              |           graft_dot(a.v, b.v) / (a.nrm * b.nrm) AS sim))))""".stripMargin)
+              |    struct(least(a.id, b.id) AS a_id, greatest(a.id, b.id) AS b_id))))""".stripMargin)
         ).as("p")
       )
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"), col("p.sim").as("sim"))
-      .filter(col("sim") >= NearDupThreshold)
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
+    cands
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")), "b_id")
+      .select(
+        col("a_id"),
+        col("b_id"),
+        (dot_product(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim"))
+      .filter(col("sim") >= NearDupThreshold)
   }
 
   /** EXACT count of (a, b) cosine evaluations the pair expansion performs
