@@ -242,10 +242,18 @@ object Bench {
           f"$v%.1f".stripSuffix(".0"))
       }
       .sortBy { case (_, v, _) => if (v < 0) Double.MinValue else -v }
+    // r15 (additive): the host has measured 30-75 % run-level spread at 32
+    // cores (one neighbor-noise run inflates the median-of-medians total),
+    // so the line also carries the MINIMUM single-run total (best full
+    // pass + the shared block) — the contention-robust round-over-round
+    // number. The medians, the timing loop and the `value` metric are
+    // untouched.
+    val minRunTotal =
+      if (runTotals.nonEmpty) runTotals.min + sharedTotal else total
     def assembleLine(qs: Seq[(String, Double, String)], omitted: Int): String = {
       val m = qs.sortBy(_._1).map(_._3).mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted,"full":"BENCH_FULL.json"""" else ""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","shared_s":$sharedTotal%.2f,"queries":$m$om,"sf":"$sfName"$sf1Note}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","min_run_total":$minRunTotal%.2f,"shared_s":$sharedTotal%.2f,"queries":$m$om,"sf":"$sfName"$sf1Note}"""
     }
     var keep = entries
     while (assembleLine(keep, entries.size - keep.size).length > budget && keep.nonEmpty)
